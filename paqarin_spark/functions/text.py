@@ -1,0 +1,125 @@
+"""Text-analysis functions for the LLM-data-pipeline surface
+(SURVEY.md §2 'Not present in the reference' / §7 step 6): token
+counting, quality scoring, language ID, document fingerprinting.
+
+Everything is built from JVM-side expressions (regexp/array functions)
+so it runs inside whole-stage codegen — no Python in the hot path. The
+token contract (lowercase alphanumeric runs) is shared with
+operators/dedup.py and mirrored in the DuckDB oracle SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from paqarin_spark.operators.dedup import TOKEN_PATTERN, tokens
+
+# Tiny deterministic stopword marker sets per language for the n-gram
+# heuristic language ID. Chosen from high-frequency function words.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "it"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "es": ("el", "la", "los", "las", "que", "de", "es", "un"),
+    "fr": ("le", "la", "les", "des", "et", "est", "une", "que"),
+    "zh": ("de", "shi", "le", "bu", "wo", "zai", "you", "he"),
+}
+
+ENGLISH_STOPWORDS = LANG_MARKERS["en"] + ("a", "an", "for", "on", "with", "as", "at")
+
+
+def token_count(text_col) -> Column:
+    """Whitespace/alnum token count via one regexp pass."""
+    return F.size(tokens(text_col))
+
+
+def char_count(text_col) -> Column:
+    return F.length(text_col)
+
+
+def alpha_ratio(text_col) -> Column:
+    """Fraction of characters that are ASCII letters (unrounded — round
+    at output so composites stay exact)."""
+    letters = F.length(F.regexp_replace(text_col, "[^A-Za-z]", ""))
+    return letters / F.greatest(F.length(text_col), F.lit(1))
+
+
+def punct_ratio(text_col) -> Column:
+    """Fraction of characters in a fixed punctuation class."""
+    punct = F.length(
+        F.regexp_replace(F.regexp_replace(text_col, "[^.,;:!?'\"()-]", ""), " ", "")
+    )
+    return punct / F.greatest(F.length(text_col), F.lit(1))
+
+
+def stopword_ratio(text_col, stopwords: tuple[str, ...] = ENGLISH_STOPWORDS) -> Column:
+    """Fraction of tokens that are stopwords."""
+    toks = tokens(text_col)
+    hits = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def mean_token_length(text_col) -> Column:
+    toks = tokens(text_col)
+    total = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    return total / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_score(text_col) -> Column:
+    """Composite heuristic quality score in [0, 1]: rewards moderate
+    length, high alpha ratio, sane stopword density. Deterministic and
+    SQL-expressible (mirrored in the oracle)."""
+    length_term = F.least(token_count(text_col) / F.lit(100.0), F.lit(1.0))
+    return (length_term + alpha_ratio(text_col) + stopword_ratio(text_col)) / F.lit(3.0)
+
+
+def predict_language(text_col, markers: dict[str, tuple[str, ...]] | None = None) -> Column:
+    """N-gram-heuristic language ID: count marker-word hits per
+    language, argmax with lexicographic tie-break on language code.
+
+    Expressed as a greatest-of-structs trick so the whole prediction is
+    one codegen'd expression: max(struct(hits, neg_ord, lang)).lang.
+    """
+    markers = markers or LANG_MARKERS
+    toks = tokens(text_col)
+
+    def marker_hits(words: tuple[str, ...]) -> Column:
+        return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+    # greatest() compares struct fields left-to-right: highest hits
+    # wins; ties break toward the lexicographically smallest lang via
+    # the inverted rank field.
+    langs_sorted = sorted(markers)
+    ranked = []
+    for idx, lang in enumerate(langs_sorted):
+        ranked.append(
+            F.struct(
+                marker_hits(markers[lang]).alias("hits"),
+                F.lit(len(langs_sorted) - idx).alias("tie"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    return F.greatest(*ranked).getField("lang")
+
+
+def fingerprint(text_col) -> Column:
+    """Document fingerprint: md5 of the normalized token stream
+    (rolling-hash analogue, stable under whitespace/punct noise)."""
+    return F.md5(F.concat_ws(" ", tokens(text_col)))
+
+
+def text_stats(df: DataFrame, text_column: str, id_column: str) -> DataFrame:
+    """One-pass per-document text statistics table."""
+    t = F.col(text_column)
+    return df.select(
+        F.col(id_column),
+        char_count(t).cast("long").alias("n_chars_computed"),
+        token_count(t).cast("long").alias("n_tokens"),
+        F.round(mean_token_length(t), 6).alias("mean_token_len"),
+        F.round(alpha_ratio(t), 6).alias("alpha_ratio"),
+        F.round(stopword_ratio(t), 6).alias("stopword_ratio"),
+        F.round(quality_score(t), 6).alias("quality"),
+        fingerprint(t).alias("fingerprint"),
+    )

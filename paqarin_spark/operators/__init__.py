@@ -1,0 +1,58 @@
+"""Operator surface (SURVEY.md §2)."""
+
+from paqarin_spark.operators.keys import add_surrogate_key, entity_dim
+from paqarin_spark.operators.resample import (
+    calendar_fill,
+    global_calendar,
+    normalise_sequences,
+    parse_timestamps,
+    regular_index_filter,
+    time_bucket_sum,
+)
+from paqarin_spark.operators.scaling import MinMaxScaler, MinMaxState
+from paqarin_spark.operators.dedup import (
+    exact_duplicates,
+    keep_first,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from paqarin_spark.operators.windows import (
+    attach_date_index,
+    forecast_horizon,
+    positional_split,
+    sliding_windows,
+    tail_trim,
+    window_starts,
+    xy_split,
+)
+from paqarin_spark.operators.similarity import cosine_topk, lsh_topk
+
+__all__ = [
+    "add_surrogate_key",
+    "entity_dim",
+    "calendar_fill",
+    "global_calendar",
+    "normalise_sequences",
+    "parse_timestamps",
+    "regular_index_filter",
+    "time_bucket_sum",
+    "MinMaxScaler",
+    "MinMaxState",
+    "exact_duplicates",
+    "keep_first",
+    "minhash_lsh_pairs",
+    "minhash_signatures",
+    "ngram_jaccard_pairs",
+    "simhash",
+    "attach_date_index",
+    "forecast_horizon",
+    "positional_split",
+    "sliding_windows",
+    "tail_trim",
+    "window_starts",
+    "xy_split",
+    "cosine_topk",
+    "lsh_topk",
+]

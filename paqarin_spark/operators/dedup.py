@@ -1,0 +1,244 @@
+"""Deduplication operators (SURVEY.md §2 ops E1/E2/E3 plus the
+north-star LLM-pipeline dedup family: exact, MinHash-LSH, SimHash,
+n-gram Jaccard).
+
+Reference surface: keep-first key dedup
+(`paqarin/metrics/univariate_metrics.py:69-71`), entity dedup
+(`paqarin/utils/data_utils.py:18`). The document-level near-dup ops are
+north-star extensions (SURVEY.md §7 step 6) built entirely from
+DataFrame primitives so they scale: shingle→hash→band→bucket-join, no
+pairwise cross join except within candidate buckets.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Tokenization contract shared by every text op (and mirrored in the
+# DuckDB oracle SQL): lowercase, alphanumeric runs are tokens.
+TOKEN_PATTERN = "[a-z0-9]+"
+
+
+def keep_first(
+    df: DataFrame,
+    key_columns: Sequence[str],
+    order_columns: Sequence[str],
+) -> DataFrame:
+    """Op E2: on duplicated keys keep the first row by arrival order.
+
+    Reference: ``index.duplicated(keep="first")`` on (item, ts)
+    (`paqarin/metrics/univariate_metrics.py:69-71`). Arrival order must
+    be explicit in Spark (SURVEY.md §7).
+    """
+    w = Window.partitionBy(*key_columns).orderBy(*order_columns)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def tokens(text_col) -> F.Column:
+    """Lowercased alphanumeric tokens of a string column."""
+    return F.regexp_extract_all(F.lower(text_col), F.lit(TOKEN_PATTERN), 0)
+
+
+def word_shingles(text_col, n: int) -> F.Column:
+    """Distinct word n-gram shingles (space-joined) of a string column.
+
+    Built from ``tokens``; transform over a sliced token array — stays
+    JVM-side, no UDF.
+    """
+    toks = tokens(text_col)
+    return F.array_distinct(
+        F.filter(
+            F.transform(
+                toks,
+                lambda _, i: F.when(
+                    i <= F.size(toks) - n,
+                    F.concat_ws(" ", F.slice(toks, i + 1, n)),
+                ),
+            ),
+            lambda x: x.isNotNull(),
+        )
+    )
+
+
+def exact_duplicates(
+    df: DataFrame,
+    text_column: str,
+    id_column: str,
+) -> DataFrame:
+    """Exact dedup via content hash: one row per distinct content hash
+    with the duplicate count and the smallest id (the canonical keeper).
+
+    Hash-groupBy — a single shuffle on the 128-bit digest; partial
+    aggregation makes the shuffle O(distinct contents) not O(rows).
+    """
+    return (
+        df.select(F.md5(F.col(text_column)).alias("content_hash"), F.col(id_column))
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("dup_count"),
+            F.min(id_column).alias("keep_id"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_column: str,
+    id_column: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup candidate pairs by word-n-gram Jaccard similarity.
+
+    Scale path: explode shingles → self-join on shingle (only docs
+    sharing a shingle ever meet — an inverted-index join, not a cross
+    join) → count common shingles per pair → Jaccard =
+    common / (|A| + |B| - common). Output: (id_a, id_b, jaccard),
+    id_a < id_b, jaccard >= threshold.
+    """
+    shing = df.select(
+        F.col(id_column).alias("doc"),
+        F.explode(word_shingles(F.col(text_column), n)).alias("shingle"),
+    )
+    sizes = shing.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = shing.alias("a")
+    b = shing.alias("b")
+    common = (
+        a.join(b, on="shingle")
+        .where(F.col("a.doc") < F.col("b.doc"))
+        .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    out = (
+        common.join(
+            F.broadcast(sizes).withColumnRenamed("doc", "id_a").withColumnRenamed(
+                "n_shingles", "size_a"
+            ),
+            on="id_a",
+        )
+        .join(
+            F.broadcast(sizes).withColumnRenamed("doc", "id_b").withColumnRenamed(
+                "n_shingles", "size_b"
+            ),
+            on="id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common")
+                / (F.col("size_a") + F.col("size_b") - F.col("common")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_column: str,
+    id_column: str,
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Deterministic MinHash signatures over word shingles.
+
+    Hash family: ``md5(i || ':' || shingle)`` for seed i — fully
+    deterministic and reproducible in ANSI SQL (the oracle runs the
+    same expressions in DuckDB). Each signature column is the lexical
+    min digest. Per-doc aggregation is one shuffle; signatures are
+    O(num_hashes) per doc.
+    """
+    shing = df.select(
+        F.col(id_column).alias("doc"),
+        F.explode(word_shingles(F.col(text_column), shingle_n)).alias("shingle"),
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return shing.groupBy("doc").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_column: str,
+    id_column: str,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs: band the signature, join docs that
+    collide in any band. Output distinct (id_a, id_b), id_a < id_b.
+
+    Banding keeps the join an equi-join on (band_id, band_hash) — the
+    classic shingle→minhash→band→bucket-join pipeline; no cross join.
+    """
+    sigs = minhash_signatures(df, text_column, id_column, num_hashes, shingle_n)
+    n_bands = num_hashes // band_size
+    band_rows = []
+    for b in range(n_bands):
+        cols = [F.col(f"mh_{i}") for i in range(b * band_size, (b + 1) * band_size)]
+        band_rows.append(
+            sigs.select(
+                F.col("doc"),
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *cols)).alias("band_hash"),
+            )
+        )
+    bands = band_rows[0]
+    for extra in band_rows[1:]:
+        bands = bands.unionByName(extra)
+    a = bands.alias("a")
+    b_ = bands.alias("b")
+    return (
+        a.join(b_, on=["band", "band_hash"])
+        .where(F.col("a.doc") < F.col("b.doc"))
+        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .distinct()
+    )
+
+
+def simhash(
+    df: DataFrame,
+    text_column: str,
+    id_column: str,
+    bits: int = 64,
+) -> DataFrame:
+    """64-bit SimHash per document from token md5 digests.
+
+    Each token votes +1/-1 per bit (bit taken from the token's md5,
+    interpreted as a 64-bit int from the first 16 hex chars); the
+    fingerprint sets bits with positive vote sums. Pure
+    explode/groupBy/bitwise expressions — no UDF; one shuffle keyed by
+    doc id.
+    """
+    tok = df.select(
+        F.col(id_column).alias("doc"),
+        F.explode(tokens(F.col(text_column))).alias("token"),
+    )
+    h = F.conv(F.substring(F.md5(F.col("token")), 1, 15), 16, 10).cast("long")
+    tok = tok.withColumn("h", h)
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v_{i}")
+        for i in range(min(bits, 60))
+    ]
+    per_doc = tok.groupBy("doc").agg(*votes)
+    fingerprint = F.lit(0).cast("long")
+    for i in range(min(bits, 60)):
+        bit = F.when(F.col(f"v_{i}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        fingerprint = fingerprint + F.shiftleft(bit, i)
+    return per_doc.select("doc", fingerprint.alias("simhash"))

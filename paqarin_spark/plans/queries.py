@@ -1,0 +1,789 @@
+"""The declared oracle query set (SURVEY.md §2.2) plus the north-star
+LLM-pipeline queries, as (Spark callable, DuckDB oracle SQL) pairs.
+
+Every Spark query is expressed through the paqarin_spark operator
+surface; every oracle is ANSI-ish SQL DuckDB 1.0 runs on the same
+parquet tables. Determinism rules (SURVEY.md §2.2): floats rounded
+6dp (big sums are aggregated as DECIMAL for order-independent
+exactness, then rounded), timestamps emitted as UTC strings, all
+ordering tie-broken by explicit key columns.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from paqarin_spark.operators import (
+    add_surrogate_key,
+    calendar_fill,
+    cosine_topk,
+    exact_duplicates,
+    forecast_horizon,
+    keep_first,
+    lsh_topk,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    tail_trim,
+    time_bucket_sum,
+    window_starts,
+)
+from paqarin_spark.functions import is_weekend
+from paqarin_spark.functions.text import (
+    LANG_MARKERS,
+    predict_language,
+    text_stats,
+)
+from paqarin_spark.schema import EVENTS_SCHEMA
+from paqarin_spark.session import configure_for_determinism
+from paqarin_spark.sources import read_table
+
+TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_for_determinism(spark)
+    return read_table(spark, sf_dir, "events")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_for_determinism(spark)
+    return read_table(spark, sf_dir, "documents")
+
+
+# --------------------------------------------------------------------------
+# Q1 — surrogate key (op C1)
+
+
+def q01_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    keyed = add_surrogate_key(ev, ["user_id"], ["ts", "event_id"])
+    return keyed.select(
+        "event_id", "user_id", F.col("surrogate_item_id").cast("long").alias("surrogate_item_id")
+    )
+
+
+Q01_SQL = """
+WITH rid AS (
+  SELECT event_id, user_id,
+         ROW_NUMBER() OVER (ORDER BY ts, event_id) AS rid
+  FROM events
+), dim AS (
+  SELECT user_id,
+         ROW_NUMBER() OVER (ORDER BY MIN(rid)) - 1 AS surrogate_item_id
+  FROM rid GROUP BY user_id
+)
+SELECT e.event_id, e.user_id, CAST(d.surrogate_item_id AS BIGINT) AS surrogate_item_id
+FROM events e JOIN dim d USING (user_id)
+ORDER BY e.event_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Q2 — daily resample-sum (op D1)
+
+
+def q02_daily_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    agg = time_bucket_sum(ev, EVENTS_SCHEMA, bucket_column="bucket")
+    return agg.select(
+        "user_id",
+        F.date_format("bucket", "yyyy-MM-dd").alias("day"),
+        F.round(F.col("value"), 6).alias("sum_value"),
+    )
+
+
+Q02_SQL = """
+SELECT user_id,
+       strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       ROUND(SUM(value), 6) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# Q3 — calendar gap fill (ops F1 = D1 + C2 + G7)
+
+
+def q03_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    filled = calendar_fill(ev, EVENTS_SCHEMA, fill_value=0.0)
+    return filled.select(
+        "user_id",
+        F.date_format("bucket", "yyyy-MM-dd").alias("day"),
+        F.round(F.col("value"), 6).alias("sum_value"),
+    )
+
+
+Q03_SQL = """
+WITH cal AS (
+  SELECT unnest(generate_series(
+           date_trunc('day', (SELECT MIN(ts) FROM events)),
+           date_trunc('day', (SELECT MAX(ts) FROM events)),
+           INTERVAL 1 DAY)) AS d
+), ids AS (SELECT DISTINCT user_id FROM events),
+agg AS (
+  SELECT user_id, date_trunc('day', ts) AS d, SUM(value) AS v
+  FROM events GROUP BY 1, 2
+)
+SELECT i.user_id,
+       strftime(c.d, '%Y-%m-%d') AS day,
+       ROUND(COALESCE(a.v, 0), 6) AS sum_value
+FROM ids i CROSS JOIN cal c
+LEFT JOIN agg a ON a.user_id = i.user_id AND a.d = c.d
+ORDER BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# Q4 — global min-max scale (ops D3 + G4)
+
+
+def q04_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    stats = ev.agg(F.min("value").alias("_mn"), F.max("value").alias("_mx"))
+    return (
+        ev.crossJoin(F.broadcast(stats))
+        .select(
+            "event_id",
+            F.round(
+                (F.col("value") - F.col("_mn")) / (F.col("_mx") - F.col("_mn")), 6
+            ).alias("scaled"),
+        )
+    )
+
+
+Q04_SQL = """
+SELECT event_id,
+       ROUND((value - mn) / (mx - mn), 6) AS scaled
+FROM events CROSS JOIN (SELECT MIN(value) mn, MAX(value) mx FROM events)
+ORDER BY event_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Q5 — stride-1 window starts (op F3 projection)
+
+
+def q05_window_starts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return window_starts(ev, EVENTS_SCHEMA, sequence_length=8).select(
+        "user_id", F.col("win_start").cast("long").alias("win_start")
+    )
+
+
+Q05_SQL = """
+SELECT user_id, CAST(rn AS BIGINT) AS win_start
+FROM (
+  SELECT user_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+) WHERE rn <= n - 7
+ORDER BY user_id, win_start
+"""
+
+
+# --------------------------------------------------------------------------
+# Q6 — per-entity tail trim (op F4)
+
+
+def q06_tail_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return tail_trim(ev, EVENTS_SCHEMA, prediction_length=7).select("event_id")
+
+
+Q06_SQL = """
+SELECT event_id FROM (
+  SELECT event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn > 7 ORDER BY event_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Q7 — keep-first key dedup (op E2)
+
+
+def q07_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return keep_first(ev, ["user_id", "ts"], ["event_id"]).select("event_id")
+
+
+Q07_SQL = """
+SELECT event_id FROM (
+  SELECT event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id) AS rn
+  FROM events
+) WHERE rn = 1 ORDER BY event_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Q8 — metric summary avg + population std (ops D5/I3)
+
+
+def q08_metric_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    schema = EVENTS_SCHEMA
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("DAY", F.col(schema.timestamp_column)).alias("d")
+    ).agg(F.sum("value").alias("v"))
+    return daily.groupBy(F.col("event_type").alias("generator")).agg(
+        F.round(F.avg("v"), 6).alias("avg_metric"),
+        F.round(F.stddev_pop("v"), 6).alias("std_metric"),
+    )
+
+
+Q08_SQL = """
+WITH m AS (
+  SELECT event_type, date_trunc('day', ts) AS d, SUM(value) AS v
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type AS generator,
+       ROUND(AVG(v), 6) AS avg_metric,
+       ROUND(STDDEV_POP(v), 6) AS std_metric
+FROM m GROUP BY 1 ORDER BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Q9 — MAE against lag-1 pseudo-prediction (op I1)
+
+
+def q09_lag_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    with_pred = ev.withColumn("pred", F.lag("value").over(w)).where(
+        F.col("pred").isNotNull()
+    )
+    return with_pred.agg(
+        F.round(F.avg(F.abs(F.col("value") - F.col("pred"))), 6).alias("mae")
+    )
+
+
+Q09_SQL = """
+SELECT ROUND(AVG(ABS(value - pred)), 6) AS mae FROM (
+  SELECT value,
+         LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pred
+  FROM events
+) WHERE pred IS NOT NULL
+"""
+
+
+# --------------------------------------------------------------------------
+# Q10 — weekend covariate counts (op G6)
+
+
+def q10_weekend_covariate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("user_id").agg(
+        F.sum(is_weekend(F.col("ts"))).cast("long").alias("weekend_events"),
+        F.count(F.lit(1)).alias("total_events"),
+    )
+
+
+Q10_SQL = """
+SELECT user_id,
+       CAST(SUM(CASE WHEN EXTRACT(ISODOW FROM ts) IN (6, 7) THEN 1 ELSE 0 END) AS BIGINT)
+         AS weekend_events,
+       COUNT(*) AS total_events
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Q11 — deterministic positional split counts (op H1)
+
+
+def q11_positional_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    per_user = Window.partitionBy("user_id")
+    rn = F.row_number().over(w)
+    n = F.count(F.lit(1)).over(per_user)
+    t = F.floor(F.lit(0.75) * n)
+    v = t + F.floor((n - t) / F.lit(2.0))
+    labeled = ev.withColumn(
+        "split",
+        F.when(rn <= t, F.lit("train")).when(rn <= v, F.lit("valid")).otherwise(
+            F.lit("test")
+        ),
+    )
+    return labeled.groupBy("user_id", "split").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+Q11_SQL = """
+WITH r AS (
+  SELECT user_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+), s AS (
+  SELECT user_id,
+         CASE WHEN rn <= FLOOR(0.75 * n) THEN 'train'
+              WHEN rn <= FLOOR(0.75 * n) + FLOOR((n - FLOOR(0.75 * n)) / 2.0) THEN 'valid'
+              ELSE 'test' END AS split
+  FROM r
+)
+SELECT user_id, split, COUNT(*) AS n_rows FROM s GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# Q12 — forecast-horizon generation (op F5)
+
+
+def q12_forecast_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    horizon = forecast_horizon(ev, EVENTS_SCHEMA, prediction_length=7)
+    return horizon.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_horizon"),
+        F.min(F.date_format("ts", TS_FMT_SPARK)).alias("min_h"),
+        F.max(F.date_format("ts", TS_FMT_SPARK)).alias("max_h"),
+    )
+
+
+Q12_SQL = f"""
+SELECT user_id,
+       CAST(7 AS BIGINT) AS n_horizon,
+       strftime(MAX(ts) + INTERVAL 1 DAY, '{TS_FMT_DUCK}') AS min_h,
+       strftime(MAX(ts) + INTERVAL 7 DAY, '{TS_FMT_DUCK}') AS max_h
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Q13 — union/count identity (ops E1/E3/D6)
+
+
+def q13_count_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    per_entity = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    rollup = per_entity.agg(
+        F.sum("c").alias("sum_entity_counts"),
+        F.count(F.lit(1)).alias("n_entities"),
+    )
+    total = ev.agg(F.count(F.lit(1)).alias("total_rows"))
+    return total.crossJoin(rollup)
+
+
+Q13_SQL = """
+SELECT (SELECT COUNT(*) FROM events) AS total_rows,
+       CAST(SUM(c) AS BIGINT) AS sum_entity_counts,
+       COUNT(*) AS n_entities
+FROM (SELECT user_id, COUNT(*) AS c FROM events GROUP BY 1)
+"""
+
+
+# --------------------------------------------------------------------------
+# Q14 — TPC-H pricing-summary smoke (ops A1/B/D at relational scale)
+
+
+def q14_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_for_determinism(spark)
+    li = read_table(spark, sf_dir, "lineitem")
+    dec = "decimal(30,10)"
+    filtered = li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+    return (
+        filtered.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(F.col("l_quantity").cast(dec)).cast("double"), 4).alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice").cast(dec)).cast("double"), 4).alias(
+                "sum_base_price"
+            ),
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(dec)
+                ).cast("double"),
+                4,
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    (
+                        F.col("l_extendedprice")
+                        * (F.lit(1.0) - F.col("l_discount"))
+                        * (F.lit(1.0) + F.col("l_tax"))
+                    ).cast(dec)
+                ).cast("double"),
+                4,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q14_SQL = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE), 4) AS sum_qty,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE), 4) AS sum_base_price,
+       ROUND(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,10))) AS DOUBLE), 4) AS sum_disc_price,
+       ROUND(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(30,10))) AS DOUBLE), 4) AS sum_charge,
+       ROUND(AVG(l_quantity), 6) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 6) AS avg_price,
+       ROUND(AVG(l_discount), 6) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# Q15 — star-schema join: revenue per nation (broadcast dims)
+
+
+def q15_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_for_determinism(spark)
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    dec = "decimal(30,10)"
+    joined = orders.join(
+        F.broadcast(customer), orders.o_custkey == customer.c_custkey
+    ).join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+    return joined.groupBy("n_name").agg(
+        F.round(F.sum(F.col("o_totalprice").cast(dec)).cast("double"), 4).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+Q15_SQL = """
+SELECT n_name,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE), 4) AS revenue,
+       COUNT(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Q16 — top-k parts by revenue (exact decimal ranking)
+
+
+def q16_top_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_for_determinism(spark)
+    li = read_table(spark, sf_dir, "lineitem")
+    dec = "decimal(30,10)"
+    rev = li.groupBy("l_partkey").agg(
+        F.sum((F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(dec)).alias(
+            "rev_d"
+        )
+    )
+    w = Window.orderBy(F.col("rev_d").desc(), F.col("l_partkey"))
+    return (
+        rev.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 10)
+        .select(
+            "l_partkey",
+            F.round(F.col("rev_d").cast("double"), 4).alias("revenue"),
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )
+
+
+Q16_SQL = """
+SELECT l_partkey,
+       ROUND(CAST(rev_d AS DOUBLE), 4) AS revenue,
+       CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT l_partkey, rev_d,
+         ROW_NUMBER() OVER (ORDER BY rev_d DESC, l_partkey) AS rk
+  FROM (
+    SELECT l_partkey,
+           SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,10))) AS rev_d
+    FROM lineitem GROUP BY 1
+  )
+) WHERE rk <= 10 ORDER BY rk
+"""
+
+
+# --------------------------------------------------------------------------
+# Q17 — JSON property extraction over events.props
+
+
+def q17_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    with_k = ev.select(
+        "event_type", F.get_json_object("props", "$.k").cast("long").alias("k")
+    )
+    return with_k.groupBy("event_type").agg(
+        F.sum("k").alias("sum_k"), F.count(F.lit(1)).alias("n")
+    )
+
+
+Q17_SQL = """
+SELECT event_type,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       COUNT(*) AS n
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Text / dedup family (north-star extensions, documents table)
+
+_TOKS_SQL = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+_SHINGLES_SQL = (
+    "list_distinct(list_transform(range(1, len({t}) - 1), "
+    "i -> array_to_string(list_slice({t}, i, i + 2), ' ')))"
+).format(t=_TOKS_SQL)
+_STOPWORDS_SQL = "['the','and','of','to','in','is','that','it','a','an','for','on','with','as','at']"
+
+
+def tx1_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return text_stats(docs, "text", "doc_id")
+
+
+TX1_SQL = f"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_computed,
+       CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens,
+       ROUND(list_sum(list_transform({_TOKS_SQL}, x -> length(x)))
+             / GREATEST(len({_TOKS_SQL}), 1), 6) AS mean_token_len,
+       ROUND(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+             / GREATEST(length(text), 1), 6) AS alpha_ratio,
+       ROUND(len(list_filter({_TOKS_SQL}, x -> list_contains({_STOPWORDS_SQL}, x)))
+             / GREATEST(len({_TOKS_SQL}), 1), 6) AS stopword_ratio,
+       ROUND((LEAST(len({_TOKS_SQL}) / 100.0, 1.0)
+              + length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / GREATEST(length(text), 1)
+              + len(list_filter({_TOKS_SQL}, x -> list_contains({_STOPWORDS_SQL}, x)))
+                / GREATEST(len({_TOKS_SQL}), 1)) / 3.0, 6) AS quality,
+       md5(array_to_string({_TOKS_SQL}, ' ')) AS fingerprint
+FROM documents ORDER BY doc_id
+"""
+
+
+def tx2_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.select("doc_id", predict_language(F.col("text")).alias("pred_lang"))
+
+
+def _langid_sql() -> str:
+    hits = {
+        lang: (
+            f"len(list_filter({_TOKS_SQL}, x -> list_contains("
+            f"[{', '.join(repr(w) for w in words)}], x)))"
+        )
+        for lang, words in LANG_MARKERS.items()
+    }
+    langs = sorted(LANG_MARKERS)
+    all_hits = ", ".join(f"h_{L}" for L in langs)
+    cases = " ".join(
+        f"WHEN h_{L} >= GREATEST({all_hits}) THEN '{L}'" for L in langs
+    )
+    hit_cols = ", ".join(f"{expr} AS h_{L}" for L, expr in hits.items())
+    return f"""
+WITH h AS (SELECT doc_id, {hit_cols} FROM documents)
+SELECT doc_id, CASE {cases} END AS pred_lang FROM h ORDER BY doc_id
+"""
+
+
+TX2_SQL = _langid_sql()
+
+
+def tx3_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return exact_duplicates(docs, "text", "doc_id")
+
+
+TX3_SQL = """
+SELECT md5(text) AS content_hash, COUNT(*) AS dup_count, MIN(doc_id) AS keep_id
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+
+def tx4_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.2)
+
+
+TX4_SQL = f"""
+WITH sh AS (
+  SELECT doc_id AS doc, unnest({_SHINGLES_SQL}) AS shingle FROM documents
+), sizes AS (
+  SELECT doc, COUNT(*) AS n_shingles FROM sh GROUP BY 1
+), common AS (
+  SELECT a.doc AS id_a, b.doc AS id_b, COUNT(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(common / (sa.n_shingles + sb.n_shingles - common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc = id_a
+JOIN sizes sb ON sb.doc = id_b
+WHERE common / (sa.n_shingles + sb.n_shingles - common) >= 0.2
+ORDER BY 1, 2
+"""
+
+
+def tx5_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return minhash_signatures(docs, "text", "doc_id", num_hashes=4, shingle_n=3)
+
+
+TX5_SQL = f"""
+WITH sh AS (
+  SELECT doc_id AS doc, unnest({_SHINGLES_SQL}) AS shingle FROM documents
+)
+SELECT doc,
+       MIN(md5('0:' || shingle)) AS mh_0,
+       MIN(md5('1:' || shingle)) AS mh_1,
+       MIN(md5('2:' || shingle)) AS mh_2,
+       MIN(md5('3:' || shingle)) AS mh_3
+FROM sh GROUP BY 1 ORDER BY 1
+"""
+
+
+def tx6_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return minhash_lsh_pairs(
+        docs, "text", "doc_id", num_hashes=4, band_size=2, shingle_n=3
+    )
+
+
+TX6_SQL = f"""
+WITH sh AS (
+  SELECT doc_id AS doc, unnest({_SHINGLES_SQL}) AS shingle FROM documents
+), sigs AS (
+  SELECT doc,
+         MIN(md5('0:' || shingle)) AS mh_0,
+         MIN(md5('1:' || shingle)) AS mh_1,
+         MIN(md5('2:' || shingle)) AS mh_2,
+         MIN(md5('3:' || shingle)) AS mh_3
+  FROM sh GROUP BY 1
+), bands AS (
+  SELECT doc, 0 AS band, md5(mh_0 || '|' || mh_1) AS band_hash FROM sigs
+  UNION ALL
+  SELECT doc, 1 AS band, md5(mh_2 || '|' || mh_3) AS band_hash FROM sigs
+)
+SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+WHERE a.doc < b.doc
+ORDER BY 1, 2
+"""
+
+
+def tx7_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return simhash(docs, "text", "doc_id")
+
+
+# --------------------------------------------------------------------------
+# Embedding similarity (north-star extensions, embeddings table)
+
+
+def em1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_for_determinism(spark)
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    return cosine_topk(emb, "vec_id", "embedding", k=5)
+
+
+EM1_SQL = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         ROUND(
+           list_sum(list_transform(range(1, 65), i -> a.e[i] * b.e[i]))
+           / (sqrt(list_sum(list_transform(range(1, 65), i -> a.e[i] * a.e[i])))
+              * sqrt(list_sum(list_transform(range(1, 65), i -> b.e[i] * b.e[i])))),
+           6) AS cos_sim
+  FROM v a CROSS JOIN v b WHERE a.vec_id <> b.vec_id
+)
+SELECT query_id, neighbor_id, cos_sim FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rk
+  FROM pairs
+) WHERE rk <= 5 ORDER BY query_id, neighbor_id
+"""
+
+
+def em2_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_for_determinism(spark)
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    return lsh_topk(emb, "vec_id", "embedding", k=5, num_planes=6, dim=64)
+
+
+# --------------------------------------------------------------------------
+# Registry
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q01_surrogate_key": q01_surrogate_key,
+    "q02_daily_sum": q02_daily_sum,
+    "q03_gap_fill": q03_gap_fill,
+    "q04_minmax_scale": q04_minmax_scale,
+    "q05_window_starts": q05_window_starts,
+    "q06_tail_trim": q06_tail_trim,
+    "q07_keep_first": q07_keep_first,
+    "q08_metric_summary": q08_metric_summary,
+    "q09_lag_mae": q09_lag_mae,
+    "q10_weekend_covariate": q10_weekend_covariate,
+    "q11_positional_split": q11_positional_split,
+    "q12_forecast_horizon": q12_forecast_horizon,
+    "q13_count_identity": q13_count_identity,
+    "q14_pricing_summary": q14_pricing_summary,
+    "q15_nation_revenue": q15_nation_revenue,
+    "q16_top_parts": q16_top_parts,
+    "q17_json_props": q17_json_props,
+    "tx1_text_stats": tx1_text_stats,
+    "tx2_language_id": tx2_language_id,
+    "tx3_exact_dedup": tx3_exact_dedup,
+    "tx4_ngram_jaccard": tx4_ngram_jaccard,
+    "tx5_minhash_signatures": tx5_minhash_signatures,
+    "tx6_minhash_lsh_pairs": tx6_minhash_lsh_pairs,
+    "tx7_simhash": tx7_simhash,
+    "em1_cosine_topk": em1_cosine_topk,
+    "em2_lsh_topk": em2_lsh_topk,
+}
+
+# tx7_simhash and em2_lsh_topk are deliberately oracle-less (bit-level
+# hashing / seeded hyperplanes are not reasonably expressible in
+# portable SQL) — the driver records a rows-only check for them.
+ORACLE_SQL: dict[str, str] = {
+    "q01_surrogate_key": Q01_SQL,
+    "q02_daily_sum": Q02_SQL,
+    "q03_gap_fill": Q03_SQL,
+    "q04_minmax_scale": Q04_SQL,
+    "q05_window_starts": Q05_SQL,
+    "q06_tail_trim": Q06_SQL,
+    "q07_keep_first": Q07_SQL,
+    "q08_metric_summary": Q08_SQL,
+    "q09_lag_mae": Q09_SQL,
+    "q10_weekend_covariate": Q10_SQL,
+    "q11_positional_split": Q11_SQL,
+    "q12_forecast_horizon": Q12_SQL,
+    "q13_count_identity": Q13_SQL,
+    "q14_pricing_summary": Q14_SQL,
+    "q15_nation_revenue": Q15_SQL,
+    "q16_top_parts": Q16_SQL,
+    "q17_json_props": Q17_SQL,
+    "tx1_text_stats": TX1_SQL,
+    "tx2_language_id": TX2_SQL,
+    "tx3_exact_dedup": TX3_SQL,
+    "tx4_ngram_jaccard": TX4_SQL,
+    "tx5_minhash_signatures": TX5_SQL,
+    "tx6_minhash_lsh_pairs": TX6_SQL,
+    "em1_cosine_topk": EM1_SQL,
+}

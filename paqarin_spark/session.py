@@ -1,0 +1,48 @@
+"""SparkSession construction with scale-oriented defaults.
+
+Local tests run on local[N]; the same configs are what we'd set on a
+1000-executor cluster (AQE for runtime re-planning / skew handling,
+UTC session timezone for deterministic calendar arithmetic).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_session(
+    app_name: str = "paqarin-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "8")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or int(cpus) * 4),
+        )
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+    )
+    return builder.getOrCreate()
+
+
+def configure_for_determinism(spark: SparkSession) -> SparkSession:
+    """Pin the session settings the oracle-parity contract requires.
+
+    Timestamps are compared in UTC (SURVEY.md §2.2 determinism rules),
+    so calendar ops (date_trunc / dayofweek / sequence) must run with a
+    UTC session timezone regardless of who built the session.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark

@@ -1,0 +1,86 @@
+"""Sources & sinks (SURVEY.md §2 ops A1-A5).
+
+The reference reads CSVs eagerly with pandas/dask
+(`examples/dopplenganger_example.py:44`,
+`paqarin/utils/cloud_trainer.py:56-78`) and writes CSV artifacts
+(`paqarin/metrics/univariate_metrics.py:198-207`). Spark subsumes all
+of it: schema-on-read, native glob patterns, cloud FS connectors
+(`gs://` / `s3a://`) with no custom blob code.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def _nano_timestamp_columns(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS), which Spark cannot
+    read natively (PARQUET_TYPE_ILLEGAL). Footer-only check."""
+    import pyarrow.parquet as pq
+
+    schema = pq.read_schema(path)
+    out = []
+    for field in schema:
+        t = field.type
+        if str(t).startswith("timestamp[ns"):
+            out.append(field.name)
+    return out
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Op A1/A2 for the driver's testdata: parquet scan with native
+    pushdown/pruning (check `.explain()` for PushedFilters/ReadSchema).
+
+    Nanosecond-precision parquet timestamps (illegal for Spark's
+    vectorized reader) are read as long nanos and truncated to
+    microsecond timestamps — the same truncation DuckDB applies when it
+    casts TIMESTAMP_NS to its microsecond TIMESTAMP, so oracle parity
+    holds.
+    """
+    from pyspark.sql import functions as F
+
+    path = f"{sf_dir}/{name}.parquet"
+    nano_cols = _nano_timestamp_columns(path)
+    if not nano_cols:
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in nano_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def read_csv(
+    spark: SparkSession, path: str, schema=None, header: bool = True
+) -> DataFrame:
+    """Op A1/A2: (glob) CSV scan — `path` may contain wildcards; Spark
+    distributes the read, no driver-side ``.compute()`` collect."""
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Op A3 (sink). Parquet by default — columnar, splittable,
+    predicate-pushdown-friendly; CSV only for interop artifacts."""
+    df.write.mode(mode).parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).option("header", "true").csv(path)
