@@ -111,15 +111,44 @@ def fingerprint(text_col) -> Column:
 
 
 def text_stats(df: DataFrame, text_column: str, id_column: str) -> DataFrame:
-    """One-pass per-document text statistics table."""
+    """One-pass per-document text statistics table.
+
+    Staged projections keep the expensive ``tokens()`` regexp pass
+    computed once per row: Catalyst's CollapseProject does not merge
+    projections when a non-cheap producer expression is consumed more
+    than once, so ``_toks`` is materialized a single time instead of
+    being re-inlined into each of the ~6 consumer expressions.
+    """
     t = F.col(text_column)
-    return df.select(
+    base = df.select(
         F.col(id_column),
-        char_count(t).cast("long").alias("n_chars_computed"),
-        token_count(t).cast("long").alias("n_tokens"),
-        F.round(mean_token_length(t), 6).alias("mean_token_len"),
-        F.round(alpha_ratio(t), 6).alias("alpha_ratio"),
-        F.round(stopword_ratio(t), 6).alias("stopword_ratio"),
-        F.round(quality_score(t), 6).alias("quality"),
-        fingerprint(t).alias("fingerprint"),
+        F.length(t).alias("_n_chars"),
+        tokens(t).alias("_toks"),
+        alpha_ratio(t).alias("_alpha"),
+    )
+    toks = F.col("_toks")
+    comp = base.select(
+        F.col(id_column),
+        "_n_chars",
+        "_alpha",
+        F.size(toks).alias("_n_tokens"),
+        F.aggregate(toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)).alias(
+            "_tok_chars"
+        ),
+        F.size(F.filter(toks, lambda x: x.isin(*ENGLISH_STOPWORDS))).alias("_stop_hits"),
+        F.md5(F.concat_ws(" ", toks)).alias("fingerprint"),
+    )
+    n_toks = F.greatest(F.col("_n_tokens"), F.lit(1))
+    alpha = F.col("_alpha")
+    stop = F.col("_stop_hits") / n_toks
+    length_term = F.least(F.col("_n_tokens") / F.lit(100.0), F.lit(1.0))
+    return comp.select(
+        F.col(id_column),
+        F.col("_n_chars").cast("long").alias("n_chars_computed"),
+        F.col("_n_tokens").cast("long").alias("n_tokens"),
+        F.round(F.col("_tok_chars") / n_toks, 6).alias("mean_token_len"),
+        F.round(alpha, 6).alias("alpha_ratio"),
+        F.round(stop, 6).alias("stopword_ratio"),
+        F.round((length_term + alpha + stop) / F.lit(3.0), 6).alias("quality"),
+        "fingerprint",
     )
