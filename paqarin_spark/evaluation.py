@@ -1,0 +1,238 @@
+"""Evaluation pipeline (SURVEY.md §2 op K2) and the multivariate
+predictive scorer (ops F3/F6/H1/I1-I4, J3's data flow).
+
+Reference lifecycle (`paqarin/evaluation.py:155-242`,
+`paqarin/metrics/multivariate_metrics.py:139-217`): per generator —
+fit transformer if unfitted, fit generator if untrained (golden:
+already-trained generators are SKIPPED, `tests/test_evaluation.py:11-38`),
+then score by train-on-synthetic / test-on-real (TSTR): train a
+forecaster on generated sequences, measure MAE predicting the last step
+of real test sequences. Smaller average MAE wins (op I4).
+
+Model boundary (J3): the reference uses a Keras LSTM; the default here
+is a closed-form per-feature linear head (least-squares on the last
+feature step, fit by distributed aggregation — cov/var, no MLlib, no
+Python loop). A custom forecaster can be injected for parity with deep
+scorers.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from paqarin_spark.generator import TimeSeriesGenerator
+from paqarin_spark.metrics.registry import MetricManager
+from paqarin_spark.operators.resample import parse_timestamps
+from paqarin_spark.operators.windows import (
+    SEQUENCE,
+    SEQUENCE_ID,
+    positional_split,
+    sliding_windows,
+    xy_split,
+)
+
+TRAIN_ON_REAL = "train_on_real"
+PREDICTIVE_SCORE = "predictive_score"
+
+
+class LinearLastStepForecaster:
+    """Closed-form linear model per feature column:
+    ``label ≈ a * last_feature_step + b``, least squares.
+
+    fit = one distributed aggregation (avg/cov/var); predict/evaluate =
+    pure column expressions. Deterministic, dependency-free — the J3
+    model boundary without TF (SURVEY.md §7 step 4 'linear fallback').
+    """
+
+    def __init__(self, value_columns: list[str]):
+        self.value_columns = list(value_columns)
+        self.coef: dict[str, tuple[float, float]] | None = None
+
+    @staticmethod
+    def _xy(df: DataFrame, c: str) -> tuple[F.Column, F.Column]:
+        x = F.element_at(F.col("features"), -1)[c]
+        y = F.col("label")[c]
+        return x, y
+
+    def fit(self, train: DataFrame) -> "LinearLastStepForecaster":
+        aggs = []
+        for c in self.value_columns:
+            x, y = self._xy(train, c)
+            aggs += [
+                F.avg(x).alias(f"_mx_{c}"),
+                F.avg(y).alias(f"_my_{c}"),
+                F.covar_pop(x, y).alias(f"_cov_{c}"),
+                F.var_pop(x).alias(f"_var_{c}"),
+            ]
+        row = train.agg(*aggs).collect()[0]
+        coef = {}
+        for c in self.value_columns:
+            var = row[f"_var_{c}"] or 0.0
+            a = (row[f"_cov_{c}"] / var) if var > 0 else 0.0
+            b = (row[f"_my_{c}"] or 0.0) - a * (row[f"_mx_{c}"] or 0.0)
+            coef[c] = (a, b)
+        self.coef = coef
+        return self
+
+    def evaluate_mae(self, test: DataFrame) -> float:
+        """Mean absolute error over all feature columns (op I1)."""
+        if self.coef is None:
+            raise RuntimeError("forecaster is not fitted")
+        errs = []
+        for c in self.value_columns:
+            x, y = self._xy(test, c)
+            a, b = self.coef[c]
+            errs.append(F.abs((F.lit(a) * x + F.lit(b)) - y))
+        total = errs[0]
+        for e in errs[1:]:
+            total = total + e
+        row = test.agg(F.avg(total / F.lit(len(errs))).alias("mae")).collect()[0]
+        return float(row["mae"])
+
+
+class MultivariatePredictiveScorer:
+    """TSTR predictive score (`paqarin/metrics/multivariate_metrics.py:139-217`).
+
+    ``calculate`` registers per-iteration MAE under the generator's name
+    plus one ``train_on_real`` reference row, exactly like the
+    reference's MetricManager keys.
+    """
+
+    def __init__(
+        self,
+        sequence_length: int,
+        iterations: int = 3,
+        number_of_sequences: int = 100,
+        training_size: float = 0.75,
+        forecaster_factory: Callable[[list[str]], LinearLastStepForecaster] | None = None,
+    ):
+        self.sequence_length = sequence_length
+        self.iterations = iterations
+        self.number_of_sequences = number_of_sequences
+        self.training_size = training_size
+        self.forecaster_factory = forecaster_factory or LinearLastStepForecaster
+        self.metric_manager: MetricManager | None = None
+        self._trained_on_real = False
+
+    def _split(self, windows: DataFrame) -> tuple[DataFrame, DataFrame]:
+        ordinal = F.row_number().over(
+            Window.orderBy(SEQUENCE_ID, *[c for c in windows.columns if c not in (SEQUENCE_ID, SEQUENCE)])
+        )
+        labeled = positional_split(
+            windows.withColumn("_ord", ordinal),
+            "_ord",
+            training_size=self.training_size,
+        )
+        feats = xy_split(labeled, self.sequence_length)
+        train = feats.where(F.col("split") == "train")
+        test = feats.where(F.col("split") == "test")
+        return train, test
+
+    def _real_windows(self, real_df: DataFrame, schema) -> DataFrame:
+        parsed = parse_timestamps(real_df, schema)
+        return sliding_windows(parsed, schema, self.sequence_length)
+
+    def calculate(
+        self,
+        generator: TimeSeriesGenerator,
+        generator_name: str,
+        training_data: DataFrame,
+    ) -> None:
+        spark = training_data.sparkSession
+        if self.metric_manager is None:
+            self.metric_manager = MetricManager(spark)
+        schema = generator.parameters.schema
+        real = self._real_windows(training_data, schema)
+        real_train, real_test = self._split(real)
+
+        if not self._trained_on_real:
+            model = self.forecaster_factory(list(schema.value_columns)).fit(real_train)
+            mae = model.evaluate_mae(real_test)
+            for it in range(self.iterations):
+                self.metric_manager.register_iteration(
+                    TRAIN_ON_REAL, it, {PREDICTIVE_SCORE: mae}
+                )
+            self._trained_on_real = True
+
+        for it in range(self.iterations):
+            synth = generator.generate(self.number_of_sequences, seed=generator.parameters.seed + it)
+            synth_feats = xy_split(synth, self.sequence_length)
+            model = self.forecaster_factory(list(schema.value_columns)).fit(synth_feats)
+            mae = model.evaluate_mae(real_test)
+            self.metric_manager.register_iteration(
+                generator_name, it, {PREDICTIVE_SCORE: mae}
+            )
+
+    @property
+    def summary_metrics(self) -> list[dict]:
+        """Op I3: avg_/std_ rows per generator
+        (`paqarin/evaluation.py:125-140`)."""
+        if self.metric_manager is None:
+            return []
+        rows = self.metric_manager.summary(PREDICTIVE_SCORE).collect()
+        return [
+            {
+                "generator": r["generator"],
+                f"avg_{PREDICTIVE_SCORE}": r[f"avg_{PREDICTIVE_SCORE}"],
+                f"std_{PREDICTIVE_SCORE}": r[f"std_{PREDICTIVE_SCORE}"],
+            }
+            for r in rows
+        ]
+
+    @property
+    def best_generator_name(self) -> str:
+        """Op I4: argmin over generators, excluding the train_on_real
+        reference row (`paqarin/metrics/multivariate_metrics.py:207-217`)."""
+        if self.metric_manager is None:
+            raise ValueError("no metrics registered")
+        df = self.metric_manager.summary(PREDICTIVE_SCORE).where(
+            F.col("generator") != TRAIN_ON_REAL
+        )
+        row = (
+            df.orderBy(F.col(f"avg_{PREDICTIVE_SCORE}").asc(), F.col("generator").asc())
+            .limit(1)
+            .collect()
+        )
+        if not row:
+            raise ValueError("no metrics registered")
+        return row[0]["generator"]
+
+
+class EvaluationPipeline:
+    """Op K2 (`paqarin/evaluation.py:155-242`): fit every generator on
+    the same real data, score each, expose summary + best."""
+
+    def __init__(
+        self,
+        generator_map: dict[str, TimeSeriesGenerator],
+        scorer: MultivariatePredictiveScorer,
+    ):
+        self.generator_map = dict(generator_map)
+        self.scorer = scorer
+        self.training_results: list[dict] = []
+
+    def fit(
+        self,
+        training_data: DataFrame,
+        save_after_fitting: bool = False,
+        save_path: str | None = None,
+    ) -> "EvaluationPipeline":
+        for name, generator in self.generator_map.items():
+            if not generator.is_fitted:  # skip already-trained (golden)
+                generator.fit(training_data)
+                if save_after_fitting and save_path is not None:
+                    generator.save(f"{save_path}/{name}")
+            self.scorer.calculate(generator, name, training_data)
+        self.training_results = self.scorer.summary_metrics
+        return self
+
+    @property
+    def best_generator(self) -> TimeSeriesGenerator:
+        return self.generator_map[self.scorer.best_generator_name]
+
+    @property
+    def best_generator_name(self) -> str:
+        return self.scorer.best_generator_name

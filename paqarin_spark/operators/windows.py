@@ -200,7 +200,7 @@ def attach_date_index(
     ).drop(sequence_column)
     exploded = exploded.withColumn(
         schema.timestamp_column,
-        F.timestampadd(unit, F.col(STEP), F.to_timestamp(F.lit(start))),
+        F.expr(f"timestampadd({unit}, {STEP}, to_timestamp('{start}'))"),
     )
     return exploded.select(
         *[c for c in exploded.columns if c != "_obs"], F.col("_obs.*")

@@ -1,0 +1,88 @@
+"""Dedup operators: keep-first (op E2 golden,
+`/root/reference/tests/test_univariate_metrics.py:33-87` pins the
+observable drop-later-duplicates behavior) and the LLM-pipeline
+dedup family invariants."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from paqarin_spark.operators import (
+    exact_duplicates,
+    keep_first,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from paqarin_spark.operators.dedup import word_shingles
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox leaps over the lazy dog"),  # near dup
+        (4, "completely different text about spark engines"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_keep_first(spark):
+    rows = [
+        ("a", 1, 100.0),
+        ("a", 1, 200.0),  # duplicate key, arrives later
+        ("a", 2, 300.0),
+    ]
+    df = spark.createDataFrame(rows, "item string, ts long, v double")
+    out = keep_first(df, ["item", "ts"], ["v"]).collect()
+    got = sorted((r["item"], r["ts"], r["v"]) for r in out)
+    assert got == [("a", 1, 100.0), ("a", 2, 300.0)]
+
+
+def test_exact_duplicates(docs):
+    out = exact_duplicates(docs, "text", "doc_id").collect()
+    by_keep = {r["keep_id"]: r["dup_count"] for r in out}
+    assert by_keep == {1: 2, 3: 1, 4: 1}
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([("a b c d",)], "t string")
+    out = df.select(word_shingles(F.col("t"), 2).alias("s")).collect()[0]["s"]
+    assert sorted(out) == ["a b", "b c", "c d"]
+
+
+def test_ngram_jaccard_finds_near_dup(docs):
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.3).collect()
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert got[(1, 2)] == 1.0  # exact dup
+    assert (1, 3) in got and 0.3 <= got[(1, 3)] < 1.0
+    assert all(b != 4 and a != 4 for a, b in got)
+
+
+def test_minhash_identical_docs_identical_signatures(docs):
+    sigs = {r["doc"]: (r["mh_0"], r["mh_1"]) for r in minhash_signatures(docs, "text", "doc_id", num_hashes=2).collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[4]
+
+
+def test_minhash_lsh_pairs_exact_dups_collide(docs):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs, "text", "doc_id", num_hashes=4, band_size=2).collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 4) not in pairs and (2, 4) not in pairs
+
+
+def test_simhash_deterministic_and_near(docs):
+    hashes = {r["doc"]: r["simhash"] for r in simhash(docs, "text", "doc_id").collect()}
+    assert hashes[1] == hashes[2]  # identical text -> identical fingerprint
+
+    def hamming(a: int, b: int) -> int:
+        return bin(a ^ b).count("1")
+
+    # near-dup pair closer than unrelated pair
+    assert hamming(hashes[1], hashes[3]) < hamming(hashes[1], hashes[4])

@@ -1,0 +1,63 @@
+"""Text-analysis functions (north-star surface): token counting,
+quality scoring, language ID, fingerprinting."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from paqarin_spark.functions.text import (
+    predict_language,
+    text_stats,
+    token_count,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "The quick brown fox jumps over the lazy dog."),
+        (2, "Der Hund ist nicht der einzige, und das ist gut zu wissen."),
+        (3, "El perro es un animal que vive en la casa de los hombres."),
+        (4, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_token_count(spark):
+    df = spark.createDataFrame([("Hello, world! 42 foo_bar",)], "t string")
+    n = df.select(token_count(F.col("t")).alias("n")).collect()[0]["n"]
+    # tokens: hello, world, 42, foo, bar
+    assert n == 5
+
+
+def test_text_stats_shapes_and_ranges(docs):
+    out = {r["doc_id"]: r for r in text_stats(docs, "text", "doc_id").collect()}
+    r1 = out[1]
+    assert r1["n_tokens"] == 9
+    assert 0.0 <= r1["alpha_ratio"] <= 1.0
+    assert 0.0 <= r1["stopword_ratio"] <= 1.0
+    assert 0.0 <= r1["quality"] <= 1.0
+    assert len(r1["fingerprint"]) == 32
+    # identical token streams -> identical fingerprints
+    assert out[4]["n_tokens"] == 0
+
+
+def test_fingerprint_normalizes_punctuation(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello, World!"), (2, "hello world"), (3, "goodbye world")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["fingerprint"] for r in text_stats(df, "text", "doc_id").collect()}
+    assert out[1] == out[2]
+    assert out[1] != out[3]
+
+
+def test_predict_language(docs):
+    out = {
+        r["doc_id"]: r["lang"]
+        for r in docs.select("doc_id", predict_language(F.col("text")).alias("lang")).collect()
+    }
+    assert out[1] == "en"
+    assert out[2] == "de"
+    assert out[3] == "es"
