@@ -120,23 +120,27 @@ def text_stats(df: DataFrame, text_column: str, id_column: str) -> DataFrame:
     being re-inlined into each of the ~6 consumer expressions.
     """
     t = F.col(text_column)
-    base = df.select(
+    # Every statistic is a single regexp pass over the row — no array
+    # materialization, no higher-order-function lambdas (which are
+    # interpreted per element), everything inside whole-stage codegen.
+    # The token contract ([a-z0-9]+ runs over lowered text) is encoded
+    # as lookaround word boundaries so counts match the array-based
+    # ``tokens()`` exactly.
+    lowered = F.lower(t)
+    stop_pat = "(?<![a-z0-9])(" + "|".join(ENGLISH_STOPWORDS) + ")(?![a-z0-9])"
+    comp = df.select(
         F.col(id_column),
         F.length(t).alias("_n_chars"),
-        tokens(t).alias("_toks"),
-        alpha_ratio(t).alias("_alpha"),
-    )
-    toks = F.col("_toks")
-    comp = base.select(
-        F.col(id_column),
-        "_n_chars",
-        "_alpha",
-        F.size(toks).alias("_n_tokens"),
-        F.aggregate(toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)).alias(
-            "_tok_chars"
+        (F.regexp_count(t, F.lit("[A-Za-z]")) / F.greatest(F.length(t), F.lit(1))).alias(
+            "_alpha"
         ),
-        F.size(F.filter(toks, lambda x: x.isin(*ENGLISH_STOPWORDS))).alias("_stop_hits"),
-        F.md5(F.concat_ws(" ", toks)).alias("fingerprint"),
+        F.regexp_count(lowered, F.lit(TOKEN_PATTERN)).alias("_n_tokens"),
+        F.length(F.regexp_replace(lowered, "[^a-z0-9]", "")).alias("_tok_chars"),
+        F.regexp_count(lowered, F.lit(stop_pat)).alias("_stop_hits"),
+        # md5 of the normalized token stream == md5(concat_ws(' ', tokens))
+        F.md5(F.btrim(F.regexp_replace(lowered, "[^a-z0-9]+", " "))).alias(
+            "fingerprint"
+        ),
     )
     n_toks = F.greatest(F.col("_n_tokens"), F.lit(1))
     alpha = F.col("_alpha")
