@@ -534,6 +534,208 @@ FROM events GROUP BY 1 ORDER BY 1
 
 
 # --------------------------------------------------------------------------
+# Q18 — univariate panel transform (op F2) over daily-bucketed events
+
+
+def q18_panel_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from paqarin_spark.metrics.univariate import panel_transform
+    from paqarin_spark.schema import TimeSeriesSchema
+
+    ev = _events(spark, sf_dir)
+    daily = time_bucket_sum(ev, EVENTS_SCHEMA, bucket_column="bucket")
+    daily_schema = TimeSeriesSchema(
+        item_id_columns=("user_id",),
+        timestamp_column="bucket",
+        value_columns=("value",),
+        frequency="D",
+    )
+    out = panel_transform(daily, daily_schema)
+    return out.select(
+        F.col("item_id").cast("string").alias("item_id"),
+        F.date_format("timestamp", "yyyy-MM-dd").alias("day"),
+        F.round("target", 6).alias("target"),
+        F.col("is_weekend"),
+    )
+
+
+Q18_SQL = """
+WITH daily AS (
+  SELECT user_id, date_trunc('day', ts) AS d, SUM(value) AS v
+  FROM events GROUP BY 1, 2
+), gaps AS (
+  SELECT user_id,
+         date_diff('day', LAG(d) OVER (PARTITION BY user_id ORDER BY d), d) AS g
+  FROM daily
+), regular AS (
+  SELECT user_id
+  FROM gaps GROUP BY 1
+  HAVING COUNT(g) >= 1 AND COUNT(DISTINCT g) = 1
+), bounds AS (
+  SELECT user_id, MIN(d) AS mn, MAX(d) AS mx FROM daily
+  WHERE user_id IN (SELECT user_id FROM regular) GROUP BY 1
+), grid AS (
+  SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS d
+  FROM bounds
+)
+SELECT CAST(g.user_id AS VARCHAR) AS item_id,
+       strftime(g.d, '%Y-%m-%d') AS day,
+       ROUND(COALESCE(daily.v, 0), 6) AS target,
+       CASE WHEN EXTRACT(ISODOW FROM g.d) IN (6, 7) THEN 1.0 ELSE 0.0 END AS is_weekend
+FROM grid g LEFT JOIN daily ON daily.user_id = g.user_id AND daily.d = g.d
+ORDER BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# Q19 — sliding-window content sums (op F3 contents)
+
+
+def q19_window_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from paqarin_spark.operators import sliding_windows
+
+    ev = _events(spark, sf_dir)
+    wins = sliding_windows(ev, EVENTS_SCHEMA, sequence_length=8)
+    return wins.select(
+        "user_id",
+        (F.col("sequence_id") + 1).cast("long").alias("win_start"),
+        F.round(
+            F.aggregate(
+                F.col("sequence"), F.lit(0.0), lambda acc, x: acc + x["value"]
+            ),
+            6,
+        ).alias("win_sum"),
+    )
+
+
+Q19_SQL = """
+SELECT user_id, CAST(rn AS BIGINT) AS win_start, ROUND(wsum, 6) AS win_sum
+FROM (
+  SELECT user_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n,
+         SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS wsum
+  FROM events
+) WHERE rn <= n - 7
+ORDER BY user_id, win_start
+"""
+
+
+# --------------------------------------------------------------------------
+# Q20 — upsample without aggregation (op D2): nulls kept, counted
+
+
+def q20_upsample_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    sparse = calendar_fill(ev, EVENTS_SCHEMA, fill_value=None)
+    return sparse.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_ticks"),
+        F.sum(F.when(F.col("value").isNull(), 1).otherwise(0)).cast("long").alias(
+            "n_missing"
+        ),
+    )
+
+
+Q20_SQL = """
+WITH cal AS (
+  SELECT unnest(generate_series(
+           date_trunc('day', (SELECT MIN(ts) FROM events)),
+           date_trunc('day', (SELECT MAX(ts) FROM events)),
+           INTERVAL 1 DAY)) AS d
+), observed AS (
+  SELECT user_id, COUNT(DISTINCT date_trunc('day', ts)) AS n_days FROM events GROUP BY 1
+)
+SELECT user_id,
+       (SELECT COUNT(*) FROM cal) AS n_ticks,
+       (SELECT COUNT(*) FROM cal) - n_days AS n_missing
+FROM observed ORDER BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Q21 — min-max scale + inverse roundtrip (ops G4/G5)
+
+
+def q21_minmax_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from paqarin_spark.operators import MinMaxScaler
+
+    ev = _events(spark, sf_dir)
+    scaler = MinMaxScaler(["value"]).fit(ev)
+    roundtrip = scaler.inverse_transform(scaler.transform(ev))
+    return roundtrip.select("event_id", F.round("value", 6).alias("value_roundtrip"))
+
+
+Q21_SQL = """
+SELECT event_id, ROUND(value, 6) AS value_roundtrip FROM events ORDER BY event_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Generator / pipeline entries (ops J1/J2/K2; rows-only — model sampling
+# and multi-action orchestration are not single-statement SQL)
+
+
+def _events_gen_params(sequence_length: int = 8):
+    from paqarin_spark.generator import GeneratorParameters
+    from paqarin_spark.schema import TimeSeriesSchema
+
+    schema = TimeSeriesSchema(
+        item_id_columns=("user_id",),
+        timestamp_column="ts",
+        value_columns=("value",),
+        frequency="D",
+        order_columns=("event_id",),
+    )
+    return GeneratorParameters(schema=schema, sequence_length=sequence_length, seed=17)
+
+
+def gen1_bootstrap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fit the block-bootstrap generator on events, draw 50 sequences;
+    emit (sequence_id, step, value) long-form for a stable schema."""
+    from paqarin_spark.generators import BlockBootstrapGenerator
+
+    ev = _events(spark, sf_dir)
+    gen = BlockBootstrapGenerator(_events_gen_params()).fit(ev)
+    out = gen.generate(50)
+    return out.select(
+        "sequence_id", F.posexplode("sequence").alias("step", "_obs")
+    ).select("sequence_id", "step", F.round(F.col("_obs.value"), 6).alias("value"))
+
+
+def gen2_gaussian_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from paqarin_spark.generators import GaussianPerStepGenerator
+
+    ev = _events(spark, sf_dir)
+    gen = GaussianPerStepGenerator(_events_gen_params()).fit(ev)
+    out = gen.generate(50)
+    return out.select(
+        "sequence_id", F.posexplode("sequence").alias("step", "_obs")
+    ).select("sequence_id", "step", F.round(F.col("_obs.value"), 6).alias("value"))
+
+
+def ev1_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship orchestration (op K2): fit bootstrap + gaussian on the
+    events table, TSTR-score both, emit the summary metric rows."""
+    from paqarin_spark.adapter import get_generator_adapter
+    from paqarin_spark.evaluation import (
+        EvaluationPipeline,
+        MultivariatePredictiveScorer,
+    )
+
+    ev = _events(spark, sf_dir)
+    p = _events_gen_params()
+    gens = {
+        "bootstrap": get_generator_adapter("paqarin_spark", "bootstrap", p),
+        "gaussian": get_generator_adapter("paqarin_spark", "gaussian", p),
+    }
+    scorer = MultivariatePredictiveScorer(
+        sequence_length=8, iterations=2, number_of_sequences=50
+    )
+    pipe = EvaluationPipeline(gens, scorer).fit(ev)
+    return scorer.metric_manager.summary("predictive_score")
+
+
+# --------------------------------------------------------------------------
 # Text / dedup family (north-star extensions, documents table)
 
 _TOKS_SQL = "regexp_extract_all(lower(text), '[a-z0-9]+')"
@@ -747,6 +949,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q15_nation_revenue": q15_nation_revenue,
     "q16_top_parts": q16_top_parts,
     "q17_json_props": q17_json_props,
+    "q18_panel_transform": q18_panel_transform,
+    "q19_window_sums": q19_window_sums,
+    "q20_upsample_nulls": q20_upsample_nulls,
+    "q21_minmax_roundtrip": q21_minmax_roundtrip,
+    "gen1_bootstrap_sample": gen1_bootstrap_sample,
+    "gen2_gaussian_sample": gen2_gaussian_sample,
+    "ev1_pipeline_summary": ev1_pipeline_summary,
     "tx1_text_stats": tx1_text_stats,
     "tx2_language_id": tx2_language_id,
     "tx3_exact_dedup": tx3_exact_dedup,
@@ -760,7 +969,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 # tx7_simhash and em2_lsh_topk are deliberately oracle-less (bit-level
 # hashing / seeded hyperplanes are not reasonably expressible in
-# portable SQL) — the driver records a rows-only check for them.
+# portable SQL), as are gen1/gen2/ev1 (seeded model sampling and
+# multi-action pipeline orchestration) — the driver records a
+# rows-only check for them.
 ORACLE_SQL: dict[str, str] = {
     "q01_surrogate_key": Q01_SQL,
     "q02_daily_sum": Q02_SQL,
@@ -779,6 +990,10 @@ ORACLE_SQL: dict[str, str] = {
     "q15_nation_revenue": Q15_SQL,
     "q16_top_parts": Q16_SQL,
     "q17_json_props": Q17_SQL,
+    "q18_panel_transform": Q18_SQL,
+    "q19_window_sums": Q19_SQL,
+    "q20_upsample_nulls": Q20_SQL,
+    "q21_minmax_roundtrip": Q21_SQL,
     "tx1_text_stats": TX1_SQL,
     "tx2_language_id": TX2_SQL,
     "tx3_exact_dedup": TX3_SQL,

@@ -1,0 +1,73 @@
+"""Univariate panel transform (op F2), golden contract port of
+`/root/reference/tests/test_univariate_metrics.py:33-87`: dedup,
+regularity filter, dense upsample, zero fill, weekend covariate."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from paqarin_spark.metrics.univariate import panel_transform, to_panel
+from paqarin_spark.schema import TimeSeriesSchema
+
+SCHEMA = TimeSeriesSchema(
+    item_id_columns=("entity",),
+    timestamp_column="ts",
+    value_columns=("v",),
+    frequency="D",
+)
+
+
+@pytest.fixture(scope="module")
+def raw(spark):
+    def d(day):
+        return dt.datetime(2020, 1, day)
+
+    rows = [
+        # regular daily entity with a duplicate key (second arrival dropped)
+        ("reg", d(1), 1.0),
+        ("reg", d(1), 99.0),
+        ("reg", d(2), 2.0),
+        ("reg", d(3), 3.0),
+        # entity with irregular gaps -> dropped by the frequency filter
+        ("irr", d(1), 1.0),
+        ("irr", d(2), 1.0),
+        ("irr", d(5), 1.0),
+        # regular entity with a constant 2-day gap -> kept, upsampled
+        ("gap2", d(1), 10.0),
+        ("gap2", d(3), 30.0),
+    ]
+    return spark.createDataFrame(rows, "entity string, ts timestamp, v double")
+
+
+def test_panel_rename(raw):
+    p = to_panel(raw, SCHEMA)
+    assert p.columns == ["item_id", "timestamp", "target"]
+
+
+def test_panel_transform_golden(raw):
+    out = panel_transform(raw, SCHEMA)
+    items = {r["item_id"] for r in out.select("item_id").distinct().collect()}
+    assert items == {"reg", "gap2"}  # irregular entity dropped
+
+    reg = {
+        str(r["timestamp"])[:10]: r["target"]
+        for r in out.where(F.col("item_id") == "reg").collect()
+    }
+    # keep-first kept 1.0 (not 99.0); index dense over [01-01, 01-03]
+    assert reg == {"2020-01-01": 1.0, "2020-01-02": 2.0, "2020-01-03": 3.0}
+
+    gap2 = {
+        str(r["timestamp"])[:10]: r["target"]
+        for r in out.where(F.col("item_id") == "gap2").collect()
+    }
+    # upsampled at schema frequency (daily): missing tick filled with 0
+    assert gap2 == {"2020-01-01": 10.0, "2020-01-02": 0.0, "2020-01-03": 30.0}
+
+
+def test_panel_transform_weekend_covariate(raw):
+    out = panel_transform(raw, SCHEMA)
+    # 2020-01-04/05 are Sat/Sun; our fixture covers 01-01..03 (Wed-Fri)
+    assert all(r["is_weekend"] == 0.0 for r in out.collect())
