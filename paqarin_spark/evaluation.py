@@ -118,11 +118,21 @@ class MultivariatePredictiveScorer:
         self._trained_on_real = False
 
     def _split(self, windows: DataFrame) -> tuple[DataFrame, DataFrame]:
-        ordinal = F.row_number().over(
-            Window.orderBy(SEQUENCE_ID, *[c for c in windows.columns if c not in (SEQUENCE_ID, SEQUENCE)])
+        # Global positional ordinal WITHOUT a single-partition window
+        # over the data: per-entity counts (tiny dim) get cumulative
+        # offsets, then ordinal = offset + sequence_id + 1, broadcast
+        # back. Identical to row_number over (ids, sequence_id).
+        id_cols = [c for c in windows.columns if c not in (SEQUENCE_ID, SEQUENCE)]
+        counts = windows.groupBy(*id_cols).agg(F.count(F.lit(1)).alias("_cnt"))
+        cum = Window.orderBy(*id_cols).rowsBetween(Window.unboundedPreceding, -1)
+        offsets = counts.withColumn(
+            "_offset", F.coalesce(F.sum("_cnt").over(cum), F.lit(0))
+        ).drop("_cnt")
+        with_ord = windows.join(F.broadcast(offsets), on=id_cols).withColumn(
+            "_ord", F.col("_offset") + F.col(SEQUENCE_ID) + 1
         )
         labeled = positional_split(
-            windows.withColumn("_ord", ordinal),
+            with_ord,
             "_ord",
             training_size=self.training_size,
         )
@@ -145,8 +155,17 @@ class MultivariatePredictiveScorer:
         if self.metric_manager is None:
             self.metric_manager = MetricManager(spark)
         schema = generator.parameters.schema
-        real = self._real_windows(training_data, schema)
-        real_train, real_test = self._split(real)
+        # The real train/test window sets are reused across every
+        # generator and iteration (1 + iterations actions each):
+        # persist once instead of recomputing the window pipeline per
+        # action. Keyed on the input DataFrame identity.
+        cache_key = (id(training_data), id(schema), self.sequence_length)
+        if getattr(self, "_real_cache_key", None) != cache_key:
+            real = self._real_windows(training_data, schema)
+            real_train, real_test = self._split(real)
+            self._real_cache = (real_train.persist(), real_test.persist())
+            self._real_cache_key = cache_key
+        real_train, real_test = self._real_cache
 
         if not self._trained_on_real:
             model = self.forecaster_factory(list(schema.value_columns)).fit(real_train)

@@ -79,15 +79,24 @@ class BlockBootstrapGenerator(TimeSeriesGenerator):
         if not self.scaler.is_fitted:
             self.scaler.fit(parsed)
         scaled = self.scaler.transform(parsed)
-        self._windows = sliding_windows(
-            scaled, schema, self.parameters.sequence_length
-        ).select(
-            F.concat_ws(
-                "|", *[F.col(c).cast("string") for c in schema.ids], SEQUENCE_ID
-            ).alias("_window_key"),
-            F.col(SEQUENCE),
+        # Persist the window population: ``generate`` is called
+        # repeatedly (H2 generation rounds, scorer iterations) and each
+        # call would otherwise recompute the full window pipeline.
+        self._windows = (
+            sliding_windows(scaled, schema, self.parameters.sequence_length)
+            .select(
+                F.concat_ws(
+                    "|", *[F.col(c).cast("string") for c in schema.ids], SEQUENCE_ID
+                ).alias("_window_key"),
+                F.col(SEQUENCE),
+            )
+            .persist()
         )
         return self
+
+    def unpersist(self) -> None:
+        if self._windows is not None:
+            self._windows.unpersist()
 
     def generate(self, number_of_sequences: int, seed: int | None = None) -> DataFrame:
         if self._windows is None:

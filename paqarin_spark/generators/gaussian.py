@@ -53,9 +53,15 @@ class GaussianPerStepGenerator(TimeSeriesGenerator):
         for c in schema.values:
             aggs.append(F.avg(c).alias(f"_mean_{c}"))
             aggs.append(F.coalesce(F.stddev_pop(c), F.lit(0.0)).alias(f"_std_{c}"))
-        self._profile = exploded.groupBy(STEP).agg(*aggs)
+        # The profile is tiny (L rows) but sits on the full window
+        # pipeline; persist so repeated generate calls don't recompute.
+        self._profile = exploded.groupBy(STEP).agg(*aggs).persist()
         self._spark = training_data.sparkSession
         return self
+
+    def unpersist(self) -> None:
+        if self._profile is not None:
+            self._profile.unpersist()
 
     def generate(self, number_of_sequences: int, seed: int | None = None) -> DataFrame:
         if self._profile is None or self._spark is None:

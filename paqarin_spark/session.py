@@ -30,7 +30,11 @@ def get_session(
             str(shuffle_partitions or int(cpus) * 4),
         )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # local[N] runs all N executor threads inside the driver JVM;
+        # size the heap for N concurrent task sort/agg buffers, not for
+        # a thin driver (8g with 32 threads GC-thrashes on shuffle-heavy
+        # plans).
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
     )
