@@ -74,6 +74,34 @@ class TimeSeriesGenerator(ABC):
         raise NotImplementedError(f"{cls.__name__} does not persist")
 
 
+def generate_rounds(
+    generator: TimeSeriesGenerator,
+    number_of_sequences: int,
+    rounds: int,
+    base_seed: int | None = None,
+) -> DataFrame:
+    """Op H2 (`paqarin/metrics/univariate_metrics.py:332-359`,
+    `paqarin/metrics/multivariate_metrics.py:239-260`): repeated
+    generation rounds unioned into one DataFrame, with globally unique
+    ``sequence_id`` (round r occupies [r*n, (r+1)*n)). Each round uses
+    an independent derived seed — one lazy union, no driver-side list.
+    """
+    from pyspark.sql import functions as F
+
+    seed0 = generator.parameters.seed if base_seed is None else base_seed
+    out: DataFrame | None = None
+    for r in range(rounds):
+        batch = generator.generate(number_of_sequences, seed=seed0 + r)
+        batch = batch.withColumn(
+            "sequence_id",
+            (F.col("sequence_id") + F.lit(r * number_of_sequences)).cast("long"),
+        )
+        out = batch if out is None else out.unionByName(batch)
+    if out is None:
+        raise ValueError("rounds must be >= 1")
+    return out
+
+
 def _write_params(path: str, parameters: GeneratorParameters, extra: dict) -> None:
     os.makedirs(path, exist_ok=True)
     meta = {

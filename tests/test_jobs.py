@@ -1,0 +1,62 @@
+"""Training job CLI (op K4): metadata JSON -> fit -> save, end to end
+with a CSV glob read, mirroring the reference's cloud trainer contract
+(`/root/reference/paqarin/utils/cloud_trainer.py:119-146`)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+
+import pytest
+
+from paqarin_spark.adapter import load_generator
+from paqarin_spark.jobs.train import load_metadata, run
+
+
+@pytest.fixture(scope="module")
+def csv_dir(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("train_csvs")
+    rows = []
+    for item in ("a", "b"):
+        for i in range(10):
+            rows.append((item, (dt.datetime(2020, 1, 1) + dt.timedelta(days=i)).strftime("%Y-%m-%d"), float(i)))
+    df = spark.createDataFrame(rows, "item_id string, ts string, v double")
+    df.coalesce(2).write.option("header", "true").mode("overwrite").csv(str(base / "training"))
+    return str(base / "training" / "*.csv")
+
+
+@pytest.fixture()
+def metadata_file(tmp_path):
+    meta = {
+        "provider": "paqarin_spark",
+        "method": "bootstrap",
+        "schema": {
+            "item_id_columns": ["item_id"],
+            "timestamp_column": "ts",
+            "value_columns": ["v"],
+            "frequency": "D",
+            "date_format": "%Y-%m-%d",
+        },
+        "sequence_length": 4,
+        "seed": 9,
+    }
+    p = tmp_path / "meta.json"
+    p.write_text(json.dumps(meta))
+    return str(p)
+
+
+def test_load_metadata(metadata_file):
+    provider, method, params = load_metadata(metadata_file)
+    assert (provider, method) == ("paqarin_spark", "bootstrap")
+    assert params.schema.item_id_columns == ("item_id",)
+    assert params.schema.date_format == "%Y-%m-%d"
+    assert params.sequence_length == 4
+
+
+def test_train_job_end_to_end(spark, csv_dir, metadata_file, tmp_path):
+    model_path = str(tmp_path / "model")
+    run(spark, metadata_file, csv_dir, model_path)
+    loaded = load_generator(spark, "paqarin_spark", "bootstrap", model_path)
+    out = loaded.generate(3).collect()
+    assert len(out) == 3
+    assert all(len(r["sequence"]) == 4 for r in out)
