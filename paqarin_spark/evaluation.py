@@ -185,6 +185,17 @@ class MultivariatePredictiveScorer:
                 generator_name, it, {PREDICTIVE_SCORE: mae}
             )
 
+    def unpersist(self) -> None:
+        """Release the cached real train/test window sets. Call when
+        scoring is done — leaked cache blocks degrade unrelated later
+        jobs in a shared session."""
+        cache = getattr(self, "_real_cache", None)
+        if cache is not None:
+            for df in cache:
+                df.unpersist()
+            self._real_cache = None
+            self._real_cache_key = None
+
     @property
     def summary_metrics(self) -> list[dict]:
         """Op I3: avg_/std_ rows per generator
@@ -247,6 +258,15 @@ class EvaluationPipeline:
             self.scorer.calculate(generator, name, training_data)
         self.training_results = self.scorer.summary_metrics
         return self
+
+    def unpersist(self) -> None:
+        """Release every cache the pipeline created: the scorer's real
+        window sets and each generator's fitted state."""
+        self.scorer.unpersist()
+        for generator in self.generator_map.values():
+            unpersist = getattr(generator, "unpersist", None)
+            if callable(unpersist):
+                unpersist()
 
     @property
     def best_generator(self) -> TimeSeriesGenerator:

@@ -697,6 +697,10 @@ def gen1_bootstrap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     gen = BlockBootstrapGenerator(_events_gen_params()).fit(ev)
     out = gen.generate(50)
+    # One-shot query: the fitted-state cache only pays off across
+    # repeated generate() calls; release it so the lazy result
+    # recomputes once instead of leaking cache blocks into the session.
+    gen.unpersist()
     return out.select(
         "sequence_id", F.posexplode("sequence").alias("step", "_obs")
     ).select("sequence_id", "step", F.round(F.col("_obs.value"), 6).alias("value"))
@@ -708,6 +712,7 @@ def gen2_gaussian_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     gen = GaussianPerStepGenerator(_events_gen_params()).fit(ev)
     out = gen.generate(50)
+    gen.unpersist()
     return out.select(
         "sequence_id", F.posexplode("sequence").alias("step", "_obs")
     ).select("sequence_id", "step", F.round(F.col("_obs.value"), 6).alias("value"))
@@ -732,6 +737,10 @@ def ev1_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         sequence_length=8, iterations=2, number_of_sequences=50
     )
     pipe = EvaluationPipeline(gens, scorer).fit(ev)
+    # The summary plan is built from driver-side registry rows, so the
+    # pipeline's caches can be released before returning — leaked cache
+    # blocks degrade unrelated later jobs in a shared session.
+    pipe.unpersist()
     return scorer.metric_manager.summary("predictive_score")
 
 
@@ -881,6 +890,63 @@ ORDER BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# Q22 — forecast error metrics in one pass (op I5)
+
+
+def q22_forecast_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All four error metrics (MAE/MAPE/RMSE/SMAPE) from one distributed
+    aggregation over a lag-1 pseudo-forecast (op I5,
+    `paqarin/metrics/univariate_metrics.py:434-476`)."""
+    from paqarin_spark.metrics.errors import mae, mape, rmse, smape
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    with_pred = ev.withColumn("pred", F.lag("value").over(w)).where(
+        F.col("pred").isNotNull()
+    )
+    y, p = F.col("value"), F.col("pred")
+    return with_pred.agg(
+        F.round(mae(y, p), 6).alias("mae"),
+        F.round(mape(y, p), 6).alias("mape"),
+        F.round(rmse(y, p), 6).alias("rmse"),
+        F.round(smape(y, p), 6).alias("smape"),
+    )
+
+
+Q22_SQL = """
+WITH p AS (
+  SELECT value,
+         LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pred
+  FROM events
+)
+SELECT
+  ROUND(AVG(ABS(pred - value)), 6) AS mae,
+  ROUND(AVG(CASE WHEN value <> 0 THEN ABS((pred - value) / value) END), 6)
+    AS mape,
+  ROUND(SQRT(AVG(POW(pred - value, 2))), 6) AS rmse,
+  ROUND(AVG(CASE WHEN (ABS(value) + ABS(pred)) / 2 <> 0
+            THEN ABS(pred - value) / ((ABS(value) + ABS(pred)) / 2) END), 6)
+    AS smape
+FROM p WHERE pred IS NOT NULL
+"""
+
+
+def gen3_generation_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op H2: three generation rounds unioned lazily with globally
+    unique sequence ids (rows-only — RNG output)."""
+    from paqarin_spark.generator import generate_rounds
+    from paqarin_spark.generators import BlockBootstrapGenerator
+
+    ev = _events(spark, sf_dir)
+    gen = BlockBootstrapGenerator(_events_gen_params()).fit(ev)
+    out = generate_rounds(gen, number_of_sequences=20, rounds=3)
+    gen.unpersist()
+    return out.select(
+        "sequence_id", F.size("sequence").alias("seq_len")
+    ).orderBy("sequence_id")
+
+
 def tx7_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     return simhash(docs, "text", "doc_id")
@@ -953,6 +1019,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q19_window_sums": q19_window_sums,
     "q20_upsample_nulls": q20_upsample_nulls,
     "q21_minmax_roundtrip": q21_minmax_roundtrip,
+    "q22_forecast_errors": q22_forecast_errors,
+    "gen3_generation_rounds": gen3_generation_rounds,
     "gen1_bootstrap_sample": gen1_bootstrap_sample,
     "gen2_gaussian_sample": gen2_gaussian_sample,
     "ev1_pipeline_summary": ev1_pipeline_summary,
@@ -994,6 +1062,7 @@ ORACLE_SQL: dict[str, str] = {
     "q19_window_sums": Q19_SQL,
     "q20_upsample_nulls": Q20_SQL,
     "q21_minmax_roundtrip": Q21_SQL,
+    "q22_forecast_errors": Q22_SQL,
     "tx1_text_stats": TX1_SQL,
     "tx2_language_id": TX2_SQL,
     "tx3_exact_dedup": TX3_SQL,
