@@ -110,6 +110,34 @@ def fingerprint(text_col) -> Column:
     return F.md5(F.concat_ws(" ", tokens(text_col)))
 
 
+ROLLING_HASH_BASE = 31
+ROLLING_HASH_MOD = 1_000_000_007
+
+
+def rolling_hash(text_col) -> Column:
+    """Polynomial rolling-hash fingerprint over the normalized
+    character stream: ``h = (h*31 + ascii(ch)) mod 1e9+7``, folded left
+    to right over lowercased text with non-alphanumeric runs collapsed
+    to single spaces.
+
+    The per-character ``aggregate`` lambda is interpreted, so this is
+    the demonstration/verification form; the production fingerprint for
+    bulk dedup is :func:`fingerprint` (one codegen'd regexp + md5 pass).
+    Accumulator stays < 2^63 (mod * base + 255), no overflow on either
+    engine.
+    """
+    normalized = F.btrim(
+        F.regexp_replace(F.lower(text_col), "[^a-z0-9]+", " ")
+    )
+    chars = F.filter(F.split(normalized, ""), lambda c: c != F.lit(""))
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * ROLLING_HASH_BASE + F.ascii(ch))
+        % ROLLING_HASH_MOD,
+    )
+
+
 def text_stats(df: DataFrame, text_column: str, id_column: str) -> DataFrame:
     """One-pass per-document text statistics table.
 

@@ -27,7 +27,12 @@ from paqarin_spark.operators.windows import (
     window_starts,
     xy_split,
 )
-from paqarin_spark.operators.similarity import cosine_topk, lsh_topk
+from paqarin_spark.operators.similarity import (
+    cosine_dedup_pairs,
+    cosine_topk,
+    ivf_topk,
+    lsh_topk,
+)
 
 __all__ = [
     "add_surrogate_key",
@@ -53,6 +58,8 @@ __all__ = [
     "tail_trim",
     "window_starts",
     "xy_split",
+    "cosine_dedup_pairs",
     "cosine_topk",
+    "ivf_topk",
     "lsh_topk",
 ]

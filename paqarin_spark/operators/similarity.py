@@ -132,18 +132,140 @@ def cosine_topk_expr(
     )
 
 
-def _sign_bucket(vector_column: str, planes: list[list[float]]) -> Column:
-    """Random-hyperplane LSH bucket id: sign bit per plane."""
-    bucket = F.lit(0).cast("long")
-    for i, plane in enumerate(planes):
-        d = dot(
-            F.col(vector_column),
-            F.array(*[F.lit(float(v)) for v in plane]),
+def cosine_dedup_pairs(
+    df: DataFrame,
+    id_column: str,
+    vector_column: str,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate detection: all pairs with
+    ``cos_sim >= threshold``, canonicalized as ``id_a < id_b``.
+
+    Physical strategy mirrors :func:`cosine_topk`: broadcast the corpus
+    matrix, stream rows through Arrow-batched ``mapInPandas``, one BLAS
+    matmul per batch. Emitting only the upper triangle halves the
+    output. The corpus must fit a broadcast; at larger scale chain an
+    LSH bucket join (:func:`lsh_topk`'s bucketing) in front as a
+    candidate filter and keep this as the within-bucket verifier.
+
+    Output: (id_a, id_b, cos_sim) with cos_sim rounded 6dp, thresholded
+    on the rounded value so the contract is exactly reproducible.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    corpus_pd = df.select(id_column, vector_column).toPandas()
+    c_ids = corpus_pd[id_column].to_numpy()
+    c_mat = np.vstack(corpus_pd[vector_column].to_numpy()).astype(np.float64)
+    c_norm = np.linalg.norm(c_mat, axis=1)
+    bc = spark.sparkContext.broadcast((c_ids, c_mat, c_norm))
+
+    id_type = df.schema[id_column].dataType.simpleString()
+    out_schema = f"id_a {id_type}, id_b {id_type}, cos_sim double"
+
+    def block(batches):
+        ids_c, mat_c, norm_c = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            q_ids = pdf[id_column].to_numpy()
+            q_mat = np.vstack(pdf[vector_column].to_numpy()).astype(np.float64)
+            q_norm = np.linalg.norm(q_mat, axis=1)
+            sims = np.round((q_mat @ mat_c.T) / np.outer(q_norm, norm_c), 6)
+            # upper triangle only: query id strictly below neighbor id
+            qi, ci = np.nonzero(
+                (sims >= threshold) & (q_ids[:, None] < ids_c[None, :])
+            )
+            yield pd.DataFrame(
+                {"id_a": q_ids[qi], "id_b": ids_c[ci], "cos_sim": sims[qi, ci]}
+            )
+
+    return df.select(id_column, vector_column).mapInPandas(block, schema=out_schema)
+
+
+def ivf_topk(
+    df: DataFrame,
+    id_column: str,
+    vector_column: str,
+    k: int = 5,
+    num_cells: int = 16,
+) -> DataFrame:
+    """Approximate cosine top-k via IVF (inverted-file) coarse
+    quantization, the standard ANN scale path alongside LSH.
+
+    Coarse centroids here are the ``num_cells`` vectors with the
+    smallest ids — deterministic so the oracle contract holds; swap in
+    MLlib KMeans cluster centers for production recall, nothing else
+    changes. Every vector is assigned to its nearest centroid (rounded
+    cosine, ties to the smallest centroid id); queries probe their own
+    cell (nprobe=1) and rank candidates by (cos_sim desc, id).
+
+    Physical plan: centroids broadcast; assignment is one Arrow batch
+    matmul per partition; candidate generation shuffles by cell id so
+    each cell's members are co-located, then one BLAS matmul per cell
+    group — at 100 TB the cells ARE the partitioning, no all-pairs
+    stage exists anywhere.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    cent_pd = (
+        df.select(id_column, vector_column).orderBy(id_column).limit(num_cells).toPandas()
+    )
+    cent_ids = cent_pd[id_column].to_numpy()
+    cent_mat = np.vstack(cent_pd[vector_column].to_numpy()).astype(np.float64)
+    cent_norm = np.linalg.norm(cent_mat, axis=1)
+    bc = spark.sparkContext.broadcast((cent_ids, cent_mat, cent_norm))
+
+    id_type = df.schema[id_column].dataType.simpleString()
+    vec_type = df.schema[vector_column].dataType.simpleString()
+    assigned_schema = f"{id_column} {id_type}, {vector_column} {vec_type}, cell {id_type}"
+
+    def assign(batches):
+        ids_c, mat_c, norm_c = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            q_mat = np.vstack(pdf[vector_column].to_numpy()).astype(np.float64)
+            q_norm = np.linalg.norm(q_mat, axis=1)
+            sims = np.round((q_mat @ mat_c.T) / np.outer(q_norm, norm_c), 6)
+            # argmax by (sim, -centroid_id): lexsort-free via masking
+            best = np.zeros(len(pdf), dtype=int)
+            for i in range(len(pdf)):
+                row = sims[i]
+                m = row == row.max()
+                best[i] = np.flatnonzero(m)[np.argmin(ids_c[m])]
+            out = pdf[[id_column, vector_column]].copy()
+            out["cell"] = ids_c[best]
+            yield out
+
+    assigned = df.select(id_column, vector_column).mapInPandas(
+        assign, schema=assigned_schema
+    )
+
+    topk_schema = f"query_id {id_type}, neighbor_id {id_type}, cos_sim double"
+
+    def cell_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_column].to_numpy()
+        mat = np.vstack(pdf[vector_column].to_numpy()).astype(np.float64)
+        nrm = np.linalg.norm(mat, axis=1)
+        sims = np.round((mat @ mat.T) / np.outer(nrm, nrm), 6)
+        out_q, out_n, out_s = [], [], []
+        for i, qid in enumerate(ids):
+            mask = ids != qid
+            cand_ids = ids[mask]
+            cand_sims = sims[i][mask]
+            order = np.lexsort((cand_ids, -cand_sims))[:k]
+            out_q.extend([qid] * len(order))
+            out_n.extend(cand_ids[order])
+            out_s.extend(cand_sims[order])
+        return pd.DataFrame(
+            {"query_id": out_q, "neighbor_id": out_n, "cos_sim": out_s}
         )
-        bucket = bucket + F.shiftleft(
-            F.when(d >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")), i
-        )
-    return bucket
+
+    return assigned.groupBy("cell").applyInPandas(cell_topk, schema=topk_schema)
 
 
 def lsh_topk(
@@ -161,34 +283,66 @@ def lsh_topk(
     per bucket) — the scale path for ANN when brute force is too big.
     Hyperplanes are seeded and deterministic. Recall < 1 by design;
     exactness is the brute-force baseline's job.
+
+    Physical plan (same shape as :func:`ivf_topk`): the tiny plane
+    matrix is broadcast, bucket assignment is one sign-of-matmul per
+    Arrow batch, then a shuffle on bucket id co-locates each bucket and
+    one BLAS matmul per bucket group ranks its candidates. Nothing is
+    ever all-pairs, and no per-element lambda runs on the pair stream —
+    an earlier expression-based form (interpreted ``zip_with`` dot per
+    candidate pair) was ~20× slower at sf0.1.
     """
+    import numpy as np
+    import pandas as pd
     import random
 
     rng = random.Random(seed)
-    planes = [
-        [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(num_planes)
-    ]
-    bucketed = df.select(
-        F.col(id_column).alias("doc"),
-        F.col(vector_column).alias("vec"),
-        _sign_bucket(vector_column, planes).alias("bucket"),
+    planes = np.array(
+        [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(num_planes)]
     )
-    a = bucketed.alias("a")
-    b = bucketed.alias("b")
-    pairs = (
-        a.join(b, on="bucket")
-        .where(F.col("a.doc") != F.col("b.doc"))
-        .select(
-            F.col("a.doc").alias("query_id"),
-            F.col("b.doc").alias("neighbor_id"),
-            F.round(cosine(F.col("a.vec"), F.col("b.vec")), 6).alias("cos_sim"),
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(planes)
+
+    id_type = df.schema[id_column].dataType.simpleString()
+    vec_type = df.schema[vector_column].dataType.simpleString()
+    bucketed_schema = (
+        f"{id_column} {id_type}, {vector_column} {vec_type}, bucket long"
+    )
+
+    def assign(batches):
+        p = bc.value
+        weights = 1 << np.arange(p.shape[0], dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.vstack(pdf[vector_column].to_numpy()).astype(np.float64)
+            bits = (mat @ p.T) >= 0
+            out = pdf[[id_column, vector_column]].copy()
+            out["bucket"] = bits @ weights
+            yield out
+
+    bucketed = df.select(id_column, vector_column).mapInPandas(
+        assign, schema=bucketed_schema
+    )
+
+    topk_schema = f"query_id {id_type}, neighbor_id {id_type}, cos_sim double"
+
+    def bucket_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_column].to_numpy()
+        mat = np.vstack(pdf[vector_column].to_numpy()).astype(np.float64)
+        nrm = np.linalg.norm(mat, axis=1)
+        sims = np.round((mat @ mat.T) / np.outer(nrm, nrm), 6)
+        out_q, out_n, out_s = [], [], []
+        for i, qid in enumerate(ids):
+            mask = ids != qid
+            cand_ids = ids[mask]
+            cand_sims = sims[i][mask]
+            order = np.lexsort((cand_ids, -cand_sims))[:k]
+            out_q.extend([qid] * len(order))
+            out_n.extend(cand_ids[order])
+            out_s.extend(cand_sims[order])
+        return pd.DataFrame(
+            {"query_id": out_q, "neighbor_id": out_n, "cos_sim": out_s}
         )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id")
-    )
-    return (
-        pairs.withColumn("_rk", F.row_number().over(w))
-        .where(F.col("_rk") <= k)
-        .select("query_id", "neighbor_id", "cos_sim")
-    )
+
+    return bucketed.groupBy("bucket").applyInPandas(bucket_topk, schema=topk_schema)

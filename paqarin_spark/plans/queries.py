@@ -994,6 +994,274 @@ def em2_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Q23 — sequence feature/label split (op F6)
+
+
+def q23_xy_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op F6 (`paqarin/metrics/multivariate_metrics.py:29-36`): per
+    entity, the label is the last observation and the features are all
+    preceding ones — expressed as one per-entity sequence via
+    collect_list over an ordered window, then `element_at(seq, -1)` /
+    `slice(seq, 1, n-1)` on the array column."""
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    seqs = ev.select(
+        "user_id", F.collect_list("value").over(w).alias("seq")
+    ).dropDuplicates(["user_id"])
+    n = F.size("seq")
+    feats = F.slice("seq", 1, n - 1)
+    return seqs.select(
+        "user_id",
+        (n - 1).cast("long").alias("n_features"),
+        F.round(F.element_at("seq", -1), 6).alias("label"),
+        F.round(
+            F.aggregate(feats, F.lit(0.0), lambda acc, v: acc + v), 6
+        ).alias("feat_sum"),
+        F.round(F.element_at("seq", 1), 6).alias("feat_first"),
+    )
+
+
+Q23_SQL = """
+SELECT user_id,
+       CAST(COUNT(*) - 1 AS BIGINT) AS n_features,
+       ROUND(MAX(CASE WHEN rn_desc = 1 THEN value END), 6) AS label,
+       ROUND(SUM(CASE WHEN rn_desc > 1 THEN value ELSE 0 END), 6) AS feat_sum,
+       ROUND(MAX(CASE WHEN rn_asc = 1 THEN value END), 6) AS feat_first
+FROM (
+  SELECT user_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
+           AS rn_desc,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn_asc
+  FROM events
+) GROUP BY user_id ORDER BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Q24 — best-generator argmin (op I4)
+
+
+def q24_best_generator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op I4 (`paqarin/metrics/multivariate_metrics.py:207-217`):
+    smallest average metric wins, ties to the lexicographically first
+    generator name — over the same pseudo-generator metric table as
+    Q8."""
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("DAY", F.col("ts")).alias("d")
+    ).agg(F.sum("value").alias("v"))
+    summary = daily.groupBy(F.col("event_type").alias("generator")).agg(
+        F.round(F.avg("v"), 6).alias("avg_metric")
+    )
+    return summary.orderBy("avg_metric", "generator").limit(1)
+
+
+Q24_SQL = """
+SELECT generator, avg_metric FROM (
+  SELECT event_type AS generator, ROUND(AVG(v), 6) AS avg_metric
+  FROM (
+    SELECT event_type, DATE_TRUNC('day', ts) AS d, SUM(value) AS v
+    FROM events GROUP BY 1, 2
+  ) GROUP BY 1
+) ORDER BY avg_metric, generator LIMIT 1
+"""
+
+
+# --------------------------------------------------------------------------
+# TX8 — polynomial rolling-hash fingerprint (text analysis north star)
+
+
+def tx8_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from paqarin_spark.functions.text import rolling_hash
+
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id", rolling_hash(F.col("text")).alias("rhash")
+    )
+
+
+TX8_SQL = """
+SELECT doc_id,
+       list_reduce(
+         list_prepend(
+           CAST(0 AS BIGINT),
+           list_transform(
+             string_split_regex(
+               trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ''
+             ),
+             c -> CAST(ascii(c) AS BIGINT)
+           )
+         ),
+         (a, b) -> (a * 31 + b) % 1000000007
+       ) AS rhash
+FROM documents ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# EM3 — embedding-cosine near-duplicate pairs (dedup north star)
+
+
+def em3_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from paqarin_spark.operators import cosine_dedup_pairs
+
+    configure_for_determinism(spark)
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    return cosine_dedup_pairs(emb, "vec_id", "embedding", threshold=0.4)
+
+
+EM3_SQL = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+)
+SELECT id_a, id_b, cos_sim FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         ROUND(
+           list_sum(list_transform(range(1, 65), i -> a.e[i] * b.e[i]))
+           / (sqrt(list_sum(list_transform(range(1, 65), i -> a.e[i] * a.e[i])))
+              * sqrt(list_sum(list_transform(range(1, 65), i -> b.e[i] * b.e[i])))),
+           6) AS cos_sim
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+) WHERE cos_sim >= 0.4 ORDER BY id_a, id_b
+"""
+
+
+# --------------------------------------------------------------------------
+# EM4 — IVF (inverted-file) approximate top-k (similarity north star)
+
+
+def em4_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from paqarin_spark.operators import ivf_topk
+
+    configure_for_determinism(spark)
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    return ivf_topk(emb, "vec_id", "embedding", k=5, num_cells=16)
+
+
+EM4_SQL = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), c AS (
+  SELECT vec_id AS cid, e AS ce FROM v ORDER BY vec_id LIMIT 16
+), assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY ROUND(
+               list_sum(list_transform(range(1, 65), i -> v.e[i] * c.ce[i]))
+               / (sqrt(list_sum(list_transform(range(1, 65), i -> v.e[i] * v.e[i])))
+                  * sqrt(list_sum(list_transform(range(1, 65), i -> c.ce[i] * c.ce[i])))),
+               6) DESC, c.cid
+           ) AS rk
+    FROM v CROSS JOIN c
+  ) WHERE rk = 1
+), pairs AS (
+  SELECT qa.vec_id AS query_id, nb.vec_id AS neighbor_id,
+         ROUND(
+           list_sum(list_transform(range(1, 65), i -> a.e[i] * b.e[i]))
+           / (sqrt(list_sum(list_transform(range(1, 65), i -> a.e[i] * a.e[i])))
+              * sqrt(list_sum(list_transform(range(1, 65), i -> b.e[i] * b.e[i])))),
+           6) AS cos_sim
+  FROM assign qa
+  JOIN assign nb ON nb.cid = qa.cid AND nb.vec_id <> qa.vec_id
+  JOIN v a ON a.vec_id = qa.vec_id
+  JOIN v b ON b.vec_id = nb.vec_id
+)
+SELECT query_id, neighbor_id, cos_sim FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rk
+  FROM pairs
+) WHERE rk <= 5 ORDER BY query_id, neighbor_id
+"""
+
+
+# --------------------------------------------------------------------------
+# MM1 — multimodal decode pipeline (multimodal north star)
+
+
+def _media_from_docs(docs: DataFrame) -> DataFrame:
+    """Documents dressed as media assets: content = UTF-8 payload,
+    typed metadata derived deterministically from the text — the
+    Spark-side plumbing (binary column, metadata struct, Arrow batch
+    flow) is exactly what a real image/audio table exercises."""
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.struct(
+            F.when(F.col("doc_id") % 3 == 2, F.lit("video"))
+            .otherwise(F.lit("image"))
+            .alias("media_type"),
+            F.lit("png").alias("format"),
+            (F.length("text") % 640 + 1).cast("int").alias("width"),
+            (F.length("text") % 480 + 1).cast("int").alias("height"),
+            (F.col("doc_id") % 10 + 1).cast("int").alias("n_frames"),
+            F.lit(None).cast("int").alias("sample_rate"),
+        ).alias("meta"),
+    )
+
+
+def mm1_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal column pipeline end-to-end: binary content + typed
+    metadata -> Arrow-batched decode (stubbed codec, real plumbing) ->
+    per-asset record. The md5-based stub decode is deliberately
+    SQL-expressible so even the Python-UDF path stays oracle-checked."""
+    from paqarin_spark.multimodal import decode_media
+
+    docs = _docs(spark, sf_dir)
+    return decode_media(_media_from_docs(docs))
+
+
+MM1_SQL = """
+SELECT doc_id AS asset_id,
+       md5(text) AS content_hash,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(length(text) % 640 + 1 AS INTEGER) AS width,
+       CAST(length(text) % 480 + 1 AS INTEGER) AS height
+FROM documents ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# MM2 — video frame-sampling fan-out (multimodal north star)
+
+
+def mm2_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over the video subset: 1 asset row -> ceil(n/2)
+    frame rows through the mapInPandas UDTF shape. Frame hashes are
+    exercised in unit tests; the declared query pins the fan-out
+    contract (which assets, which frame indices) in SQL."""
+    from paqarin_spark.multimodal import sample_frames
+
+    docs = _docs(spark, sf_dir)
+    return sample_frames(_media_from_docs(docs), every_nth=2).select(
+        "asset_id", "frame_index"
+    )
+
+
+MM2_SQL = """
+SELECT doc_id AS asset_id, CAST(f.i AS INTEGER) AS frame_index
+FROM documents, LATERAL (
+  SELECT unnest(range(0, CAST(doc_id % 10 + 1 AS INTEGER), 2)) AS i
+) f
+WHERE doc_id % 3 = 2
+ORDER BY asset_id, frame_index
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 
 
@@ -1020,6 +1288,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q20_upsample_nulls": q20_upsample_nulls,
     "q21_minmax_roundtrip": q21_minmax_roundtrip,
     "q22_forecast_errors": q22_forecast_errors,
+    "q23_xy_split": q23_xy_split,
+    "q24_best_generator": q24_best_generator,
     "gen3_generation_rounds": gen3_generation_rounds,
     "gen1_bootstrap_sample": gen1_bootstrap_sample,
     "gen2_gaussian_sample": gen2_gaussian_sample,
@@ -1031,8 +1301,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx5_minhash_signatures": tx5_minhash_signatures,
     "tx6_minhash_lsh_pairs": tx6_minhash_lsh_pairs,
     "tx7_simhash": tx7_simhash,
+    "tx8_rolling_hash": tx8_rolling_hash,
     "em1_cosine_topk": em1_cosine_topk,
     "em2_lsh_topk": em2_lsh_topk,
+    "em3_cosine_dedup": em3_cosine_dedup,
+    "em4_ivf_topk": em4_ivf_topk,
+    "mm1_media_decode": mm1_media_decode,
+    "mm2_frame_sample": mm2_frame_sample,
 }
 
 # tx7_simhash and em2_lsh_topk are deliberately oracle-less (bit-level
@@ -1063,6 +1338,13 @@ ORACLE_SQL: dict[str, str] = {
     "q20_upsample_nulls": Q20_SQL,
     "q21_minmax_roundtrip": Q21_SQL,
     "q22_forecast_errors": Q22_SQL,
+    "q23_xy_split": Q23_SQL,
+    "q24_best_generator": Q24_SQL,
+    "tx8_rolling_hash": TX8_SQL,
+    "em3_cosine_dedup": EM3_SQL,
+    "em4_ivf_topk": EM4_SQL,
+    "mm1_media_decode": MM1_SQL,
+    "mm2_frame_sample": MM2_SQL,
     "tx1_text_stats": TX1_SQL,
     "tx2_language_id": TX2_SQL,
     "tx3_exact_dedup": TX3_SQL,

@@ -35,6 +35,15 @@ def get_session(
         # a thin driver (8g with 32 threads GC-thrashes on shuffle-heavy
         # plans).
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        # A long-lived session compiles thousands of whole-stage-codegen
+        # classes; the JVM's default 240m code cache can fill mid-run,
+        # silently disabling JIT and leaving hot generated loops running
+        # interpreted (observed as intermittent 25-60x single-core
+        # stalls). Reserve enough that flushing never kicks in.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=512m",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
     )

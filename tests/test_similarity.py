@@ -44,3 +44,60 @@ def test_lsh_buckets_find_near_neighbor(vectors):
     out = lsh_topk(vectors, "vec_id", "embedding", k=2, num_planes=2, dim=4).collect()
     found = {(r["query_id"], r["neighbor_id"]) for r in out}
     assert (1, 2) in found
+
+
+def test_cosine_dedup_pairs_threshold_and_canonical_order(vectors):
+    from paqarin_spark.operators import cosine_dedup_pairs
+
+    out = cosine_dedup_pairs(vectors, "vec_id", "embedding", threshold=0.9).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["cos_sim"] for r in out}
+    assert set(pairs) == {(1, 2)}  # only the near-duplicate pair survives
+    assert pairs[(1, 2)] == pytest.approx(0.9 / (0.9**2 + 0.1**2) ** 0.5, abs=1e-6)
+    assert all(a < b for a, b in pairs)
+
+
+def test_cosine_dedup_low_threshold_emits_upper_triangle(vectors):
+    from paqarin_spark.operators import cosine_dedup_pairs
+
+    out = cosine_dedup_pairs(vectors, "vec_id", "embedding", threshold=-1.0).collect()
+    # 4 vectors -> C(4,2) = 6 canonical pairs at threshold -1
+    assert len(out) == 6
+
+
+def test_ivf_topk_single_cell_equals_brute_force(vectors):
+    from paqarin_spark.operators import ivf_topk
+
+    # One cell holds the whole corpus -> IVF degenerates to exact kNN.
+    ivf = {
+        (r["query_id"], r["neighbor_id"], r["cos_sim"])
+        for r in ivf_topk(vectors, "vec_id", "embedding", k=2, num_cells=1).collect()
+    }
+    exact = {
+        (r["query_id"], r["neighbor_id"], r["cos_sim"])
+        for r in cosine_topk(vectors, "vec_id", "embedding", k=2).collect()
+    }
+    assert ivf == exact
+
+
+def test_ivf_topk_cells_partition_candidates(vectors):
+    from paqarin_spark.operators import ivf_topk
+
+    # Centroids are vectors 1 and 2. Vector 1 is its own singleton cell
+    # (sim 1.0 to itself); 2, 3, 4 land with centroid 2 -> queries only
+    # see same-cell candidates.
+    out = ivf_topk(vectors, "vec_id", "embedding", k=1, num_cells=2).collect()
+    best = {r["query_id"]: r["neighbor_id"] for r in out}
+    assert 1 not in best          # singleton cell: no candidates
+    assert best[2] == 3           # nearest within {3, 4}
+    assert set(best) == {2, 3, 4}
+
+
+def test_ivf_topk_excludes_self_and_bounds_k(vectors):
+    from paqarin_spark.operators import ivf_topk
+
+    out = ivf_topk(vectors, "vec_id", "embedding", k=2, num_cells=1).collect()
+    assert all(r["query_id"] != r["neighbor_id"] for r in out)
+    from collections import Counter
+
+    counts = Counter(r["query_id"] for r in out)
+    assert all(n <= 2 for n in counts.values())

@@ -61,3 +61,26 @@ def test_predict_language(docs):
     assert out[1] == "en"
     assert out[2] == "de"
     assert out[3] == "es"
+
+
+def test_rolling_hash_golden(spark):
+    from paqarin_spark.functions.text import rolling_hash
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("ab",), ("A b!",), ("",)], "text string")
+    out = [r[0] for r in df.select(rolling_hash(F.col("text"))).collect()]
+    # h("ab") = (0*31+97)*31+98 = 3105; "A b!" normalizes to "a b"
+    assert out[0] == 3105
+    assert out[1] == (97 * 31 + 32) * 31 + 98
+    assert out[2] == 0
+
+
+def test_rolling_hash_whitespace_noise_invariant(spark):
+    from paqarin_spark.functions.text import rolling_hash
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("hello, world",), ("  hello   WORLD!! ",)], "text string"
+    )
+    a, b = [r[0] for r in df.select(rolling_hash(F.col("text"))).collect()]
+    assert a == b
