@@ -994,6 +994,164 @@ def em2_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Q25 — shipping-priority top-k (TPC-H Q3 shape: 3-way join + agg + top-k)
+
+
+def q25_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape over the driver tables: customer ⋈ orders ⋈
+    lineitem with selective predicates on both sides of the join, then
+    revenue agg and top-10. Catalyst pushes the segment/date filters
+    into the scans (check PushedFilters) and AQE picks broadcast for
+    the filtered customer side at this scale."""
+    configure_for_determinism(spark)
+    cust = read_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = read_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = read_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    dec = "decimal(30,10)"
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+                        dec
+                    )
+                ).cast("double"),
+                4,
+            ).alias("revenue")
+        )
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
+Q25_SQL = """
+SELECT o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                           AS DECIMAL(30,10))), 4) AS DOUBLE) AS revenue
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey
+  AND o_orderkey = l_orderkey
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# Q26 — order-priority check (TPC-H Q4 shape: EXISTS semi-join)
+
+
+def q26_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: count orders per priority that have at least one
+    late lineitem — a left-SEMI join (no fan-out, dedup-free), the plan
+    shape Spark picks for EXISTS."""
+    configure_for_determinism(spark)
+    orders = read_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    late = read_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1999-06-01").cast("timestamp")
+    )
+    return (
+        orders.join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q26_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > TIMESTAMP '1999-06-01'
+  )
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
+# Q27 — returned-item revenue (TPC-H Q10 shape: 4-way join + top-k)
+
+
+def q27_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returned items per customer,
+    top-20. The nation dim is broadcast; the orders/lineitem join
+    shuffles on orderkey."""
+    configure_for_determinism(spark)
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    li = read_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    nation = read_table(spark, sf_dir, "nation")
+    dec = "decimal(30,10)"
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+                        dec
+                    )
+                ).cast("double"),
+                4,
+            ).alias("revenue")
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            F.round("c_acctbal", 2).alias("c_acctbal"),
+            "n_name",
+            "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+Q27_SQL = """
+SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS c_acctbal, n_name,
+       CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                           AS DECIMAL(30,10))), 4) AS DOUBLE) AS revenue
+FROM customer, orders, lineitem, nation
+WHERE c_custkey = o_custkey
+  AND o_orderkey = l_orderkey
+  AND c_nationkey = n_nationkey
+  AND o_orderdate >= TIMESTAMP '1998-01-01'
+  AND o_orderdate < TIMESTAMP '1999-01-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
 # Q23 — sequence feature/label split (op F6)
 
 
@@ -1290,6 +1448,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q22_forecast_errors": q22_forecast_errors,
     "q23_xy_split": q23_xy_split,
     "q24_best_generator": q24_best_generator,
+    "q25_shipping_priority": q25_shipping_priority,
+    "q26_order_priority": q26_order_priority,
+    "q27_returned_items": q27_returned_items,
     "gen3_generation_rounds": gen3_generation_rounds,
     "gen1_bootstrap_sample": gen1_bootstrap_sample,
     "gen2_gaussian_sample": gen2_gaussian_sample,
@@ -1340,6 +1501,9 @@ ORACLE_SQL: dict[str, str] = {
     "q22_forecast_errors": Q22_SQL,
     "q23_xy_split": Q23_SQL,
     "q24_best_generator": Q24_SQL,
+    "q25_shipping_priority": Q25_SQL,
+    "q26_order_priority": Q26_SQL,
+    "q27_returned_items": Q27_SQL,
     "tx8_rolling_hash": TX8_SQL,
     "em3_cosine_dedup": EM3_SQL,
     "em4_ivf_topk": EM4_SQL,
