@@ -1420,6 +1420,57 @@ ORDER BY asset_id, frame_index
 
 
 # --------------------------------------------------------------------------
+# ST1 — streaming daily sum (Structured Streaming dual of op D1)
+
+
+def st1_stream_daily_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op D1 as a Structured Streaming job run to completion: file
+    source -> watermarked tumbling-window per-entity sums -> memory
+    sink under Trigger.AvailableNow. The bounded run is deterministic,
+    so the streaming path carries the SAME oracle as the batch daily
+    sum — the lambda-architecture parity contract, checked rather than
+    claimed. (Complete output mode: a terminating stream never emits
+    its final windows in append mode.)"""
+    from pyspark.sql.types import LongType
+
+    from paqarin_spark.streaming import stream_time_bucket_sum
+
+    configure_for_determinism(spark)
+    read_table(spark, sf_dir, "events")  # pins nano-ts session conf
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = spark.readStream.schema(raw_schema).parquet(
+        f"{sf_dir}/events*.parquet"
+    )
+    if isinstance(raw_schema["ts"].dataType, LongType):
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("`ts` div 1000"))
+        )
+    out = stream_time_bucket_sum(stream, EVENTS_SCHEMA, watermark="1 day")
+    name = "st1_stream_daily_sum"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "user_id",
+        F.date_format("bucket", "yyyy-MM-dd").alias("day"),
+        F.round("value", 6).alias("sum_value"),
+    )
+
+
+ST1_SQL = """
+SELECT user_id,
+       strftime(DATE_TRUNC('day', ts), '%Y-%m-%d') AS day,
+       ROUND(SUM(value), 6) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 
 
@@ -1469,6 +1520,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "em4_ivf_topk": em4_ivf_topk,
     "mm1_media_decode": mm1_media_decode,
     "mm2_frame_sample": mm2_frame_sample,
+    "st1_stream_daily_sum": st1_stream_daily_sum,
 }
 
 # tx7_simhash and em2_lsh_topk are deliberately oracle-less (bit-level
@@ -1509,6 +1561,7 @@ ORACLE_SQL: dict[str, str] = {
     "em4_ivf_topk": EM4_SQL,
     "mm1_media_decode": MM1_SQL,
     "mm2_frame_sample": MM2_SQL,
+    "st1_stream_daily_sum": ST1_SQL,
     "tx1_text_stats": TX1_SQL,
     "tx2_language_id": TX2_SQL,
     "tx3_exact_dedup": TX3_SQL,
