@@ -1,0 +1,182 @@
+"""Property-style invariants (SURVEY.md §5 adopted strategy, item 3):
+cheap hypothesis checks of algebraic contracts the golden tests can't
+cover exhaustively — scale∘inverse ≡ id, gap-fill density, window
+counts, split partitioning, hash model equivalence.
+
+Example counts are kept small: every example runs Spark jobs, so the
+value is breadth of generated shapes, not thousands of draws.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from paqarin_spark.operators import (
+    calendar_fill,
+    keep_first,
+    positional_split,
+    sliding_windows,
+)
+from paqarin_spark.operators.scaling import MinMaxScaler
+from paqarin_spark.schema import TimeSeriesSchema
+
+SCHEMA = TimeSeriesSchema(
+    item_id_columns=("item",),
+    timestamp_column="ts",
+    value_columns=("value",),
+    frequency="D",
+)
+
+PROP_SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+finite_floats = st.floats(
+    min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+)
+
+
+def _series_df(spark, per_entity_days: dict[str, list[tuple[int, float]]]):
+    base = dt.datetime(2021, 3, 1)
+    rows = [
+        (item, base + dt.timedelta(days=off), val)
+        for item, obs in per_entity_days.items()
+        for off, val in obs
+    ]
+    return spark.createDataFrame(rows, "item string, ts timestamp, value double")
+
+
+@PROP_SETTINGS
+@given(values=st.lists(finite_floats, min_size=2, max_size=30))
+def test_scale_inverse_roundtrip_is_identity(spark, values):
+    df = spark.createDataFrame([(float(v),) for v in values], "value double")
+    scaler = MinMaxScaler(["value"]).fit(df)
+    back = [
+        r["value"]
+        for r in scaler.inverse_transform(scaler.transform(df)).collect()
+    ]
+    lo, hi = min(values), max(values)
+    if lo != hi:
+        scaled = [r["value"] for r in scaler.transform(df).collect()]
+        assert all(0.0 <= s <= 1.0 for s in scaled)
+        tol = max(1.0, abs(hi - lo)) * 1e-9
+        assert sorted(back) == pytest.approx(sorted(values), abs=tol)
+    else:
+        # Degenerate constant column: transform pins to 0, inverse
+        # reconstructs the constant.
+        assert back == pytest.approx([lo] * len(values))
+
+
+@PROP_SETTINGS
+@given(
+    data=st.dictionaries(
+        st.sampled_from(["a", "b", "c"]),
+        st.dictionaries(
+            st.integers(min_value=0, max_value=14), finite_floats,
+            min_size=1, max_size=8,
+        ),
+        min_size=1,
+        max_size=3,
+    )
+)
+def test_calendar_fill_is_dense_per_entity(spark, data):
+    per_entity = {k: list(v.items()) for k, v in data.items()}
+    df = _series_df(spark, per_entity)
+    out = calendar_fill(df, SCHEMA, fill_value=0.0).collect()
+    all_days = {off for obs in per_entity.values() for off, _ in obs}
+    n_days = max(all_days) - min(all_days) + 1
+    per_item: dict[str, int] = {}
+    for r in out:
+        per_item[r["item"]] = per_item.get(r["item"], 0) + 1
+        assert r["value"] is not None
+    assert per_item == {k: n_days for k in per_entity}
+
+
+@PROP_SETTINGS
+@given(
+    n=st.integers(min_value=0, max_value=12),
+    length=st.integers(min_value=1, max_value=6),
+)
+def test_sliding_window_count_and_length(spark, n, length):
+    per_entity = {"x": [(i, float(i)) for i in range(n)]}
+    df = _series_df(spark, per_entity)
+    out = sliding_windows(df, SCHEMA, sequence_length=length).collect()
+    assert len(out) == max(0, n - length + 1)
+    assert all(len(r["sequence"]) == length for r in out)
+    # windows are stride-1 and oldest-first: window i starts at value i
+    starts = sorted(r["sequence"][0]["value"] for r in out)
+    assert starts == [float(i) for i in range(len(out))]
+
+
+@PROP_SETTINGS
+@given(n=st.integers(min_value=1, max_value=40))
+def test_positional_split_partitions_every_row(spark, n):
+    per_entity = {"x": [(i, float(i)) for i in range(n)]}
+    df = _series_df(spark, per_entity)
+    win = sliding_windows(df, SCHEMA, sequence_length=1).withColumn(
+        "ordinal", F.col("sequence_id") + 1
+    )
+    out = positional_split(win, "ordinal").collect()
+    sizes = {s: 0 for s in ("train", "valid", "test")}
+    for r in out:
+        sizes[r["split"]] += 1
+    assert sum(sizes.values()) == n
+    # reference contract (multivariate_metrics.py:39-82): 75% train,
+    # half the remainder valid, rest test, all by position.
+    n_train = int(n * 0.75)
+    n_valid = int((n - n_train) / 2)
+    assert [sizes["train"], sizes["valid"], sizes["test"]] == [
+        n_train,
+        n_valid,
+        n - n_train - n_valid,
+    ]
+
+
+@PROP_SETTINGS
+@given(
+    keys=st.lists(
+        st.tuples(st.sampled_from(["a", "b"]), st.integers(0, 3)),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_keep_first_unique_and_idempotent(spark, keys):
+    base = dt.datetime(2021, 3, 1)
+    rows = [
+        (item, base + dt.timedelta(days=off), float(i))
+        for i, (item, off) in enumerate(keys)
+    ]
+    df = spark.createDataFrame(rows, "item string, ts timestamp, value double")
+    once = keep_first(df, ["item", "ts"], ["value"])
+    got = once.groupBy("item", "ts").agg(F.count(F.lit(1)).alias("n")).collect()
+    assert all(r["n"] == 1 for r in got)
+    assert once.count() == len({(i, o) for i, o in keys})
+    twice = keep_first(once, ["item", "ts"], ["value"])
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+@PROP_SETTINGS
+@given(text=st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=60))
+def test_rolling_hash_matches_python_model(spark, text):
+    import re
+
+    from paqarin_spark.functions.text import (
+        ROLLING_HASH_BASE,
+        ROLLING_HASH_MOD,
+        rolling_hash,
+    )
+
+    df = spark.createDataFrame([(text,)], "text string")
+    got = df.select(rolling_hash(F.col("text")).alias("h")).collect()[0]["h"]
+    norm = re.sub(r"[^a-z0-9]+", " ", text.lower()).strip()
+    expected = 0
+    for ch in norm:
+        expected = (expected * ROLLING_HASH_BASE + ord(ch)) % ROLLING_HASH_MOD
+    assert got == expected
