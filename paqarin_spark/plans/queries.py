@@ -1471,6 +1471,70 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
 
 
 # --------------------------------------------------------------------------
+# ST2 — custom stateful streaming: sliding windows via applyInPandasWithState
+
+
+def st2_stream_window_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op F3 as a CUSTOM stateful streaming operator
+    (`stream_sliding_windows`, applyInPandasWithState with O(L) state
+    per entity), run to completion and checked against the same SQL
+    oracle as the batch window sums. Rows are sequenced by
+    (event-time, value) on both sides so duplicate-timestamp ties
+    resolve identically."""
+    from pyspark.sql.types import LongType
+
+    from paqarin_spark.streaming import stream_sliding_windows
+
+    configure_for_determinism(spark)
+    read_table(spark, sf_dir, "events")  # pins nano-ts session conf
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = spark.readStream.schema(raw_schema).parquet(
+        f"{sf_dir}/events*.parquet"
+    )
+    if isinstance(raw_schema["ts"].dataType, LongType):
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("`ts` div 1000"))
+        )
+    out = stream_sliding_windows(stream, EVENTS_SCHEMA, sequence_length=8)
+    name = "st2_stream_window_sums"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "user_id",
+        "sequence_id",
+        F.round(
+            F.aggregate(
+                F.col("sequence"),
+                F.lit(0.0),
+                lambda acc, s: acc + s["value"],
+            ),
+            6,
+        ).alias("win_sum"),
+    )
+
+
+ST2_SQL = """
+SELECT user_id, CAST(rn - 1 AS BIGINT) AS sequence_id,
+       ROUND(win_sum, 6) AS win_sum
+FROM (
+  SELECT user_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, value) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n,
+         SUM(value) OVER (PARTITION BY user_id ORDER BY ts, value
+                          ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS win_sum
+  FROM events
+) WHERE rn <= n - 7
+ORDER BY user_id, sequence_id
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 
 
@@ -1521,6 +1585,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm1_media_decode": mm1_media_decode,
     "mm2_frame_sample": mm2_frame_sample,
     "st1_stream_daily_sum": st1_stream_daily_sum,
+    "st2_stream_window_sums": st2_stream_window_sums,
 }
 
 # tx7_simhash and em2_lsh_topk are deliberately oracle-less (bit-level
@@ -1562,6 +1627,7 @@ ORACLE_SQL: dict[str, str] = {
     "mm1_media_decode": MM1_SQL,
     "mm2_frame_sample": MM2_SQL,
     "st1_stream_daily_sum": ST1_SQL,
+    "st2_stream_window_sums": ST2_SQL,
     "tx1_text_stats": TX1_SQL,
     "tx2_language_id": TX2_SQL,
     "tx3_exact_dedup": TX3_SQL,

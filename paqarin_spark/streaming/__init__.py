@@ -98,3 +98,105 @@ def stream_running_minmax(
         aggs.append(F.min(c).alias(f"min_{c}"))
         aggs.append(F.max(c).alias(f"max_{c}"))
     return stream.agg(*aggs)
+
+
+def stream_sliding_windows(
+    stream: DataFrame,
+    schema: TimeSeriesSchema,
+    sequence_length: int,
+) -> DataFrame:
+    """Streaming dual of op F3 (sliding-window sequence extraction) —
+    a CUSTOM stateful operator via ``applyInPandasWithState``, since no
+    built-in streaming op can emit overlapping per-entity windows.
+
+    Per-entity state is exactly the window tail: the last L-1
+    observations (timestamp + one value column) plus the count of
+    windows already emitted. Each micro-batch appends its rows in
+    event-time order, emits every newly completed stride-1 window, and
+    truncates state back to L-1 rows — O(L) state per entity, bounded
+    regardless of stream length.
+
+    Output matches the batch :func:`paqarin_spark.operators.sliding_windows`
+    contract: (ids..., sequence_id, sequence<array<struct<value cols>>>).
+    Ordering caveat: rows are sequenced in (event-time, arrival) order
+    *within* the state buffer; an observation arriving after a later
+    timestamp has already completed a window extends subsequent windows
+    only — reprocessing late data exactly requires the batch operator
+    over the backfill (the lambda contract, as with D1).
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    if len(schema.values) != 1:
+        raise ValueError("stream_sliding_windows supports one value column")
+    value_col = schema.values[0]
+    ts_col = schema.timestamp_column
+    id_fields = [
+        StructField(name, stream.schema[name].dataType, True)
+        for name in schema.ids
+    ]
+    out_type = StructType(
+        [
+            *id_fields,
+            StructField("sequence_id", LongType(), False),
+            StructField(
+                "sequence",
+                ArrayType(
+                    StructType([StructField(value_col, DoubleType(), True)])
+                ),
+                False,
+            ),
+        ]
+    )
+    state_type = StructType(
+        [
+            StructField("ts_micros", ArrayType(LongType()), True),
+            StructField("vals", ArrayType(DoubleType()), True),
+            StructField("emitted", LongType(), True),
+        ]
+    )
+
+    def assemble(key, pdf_iter, state: GroupState):
+        if state.exists:
+            ts_buf, val_buf, emitted = state.get
+            ts_buf, val_buf = list(ts_buf), list(val_buf)
+        else:
+            ts_buf, val_buf, emitted = [], [], 0
+        new = []
+        for pdf in pdf_iter:
+            for ts, val in zip(pdf[ts_col], pdf[value_col]):
+                new.append((int(pd.Timestamp(ts).value // 1000), float(val)))
+        new.sort()
+        for ts_micro, val in new:
+            ts_buf.append(ts_micro)
+            val_buf.append(val)
+        out_rows = []
+        while len(val_buf) >= sequence_length:
+            window = val_buf[:sequence_length]
+            out_rows.append(
+                (*key, emitted, [(v,) for v in window])
+            )
+            emitted += 1
+            ts_buf.pop(0)
+            val_buf.pop(0)
+        state.update((ts_buf, val_buf, emitted))
+        if out_rows:
+            yield pd.DataFrame(
+                out_rows, columns=[*schema.ids, "sequence_id", "sequence"]
+            )
+
+    return stream.groupBy(*schema.ids).applyInPandasWithState(
+        assemble,
+        outputStructType=out_type,
+        stateStructType=state_type,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -84,3 +84,68 @@ def test_stream_keep_first_dedups(spark, source_dir):
     rows = out.collect()
     keys = [(r["item_id"], r["ts"]) for r in rows]
     assert len(keys) == len(set(keys)) == 4  # the dup (b, 1/1) collapsed
+
+
+def test_stream_sliding_windows_matches_batch(spark, tmp_path):
+    import datetime as dt
+
+    from paqarin_spark.operators import sliding_windows
+    from paqarin_spark.streaming import stream_sliding_windows
+
+    rows = [
+        ("a", dt.datetime(2020, 1, 1) + dt.timedelta(days=i), float(i))
+        for i in range(6)
+    ] + [
+        ("b", dt.datetime(2020, 1, 1) + dt.timedelta(days=i), 10.0 + i)
+        for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, "item_id string, ts timestamp, v double")
+    path = str(tmp_path / "swin")
+    df.repartition(2).write.parquet(path)
+
+    stream = spark.readStream.schema(df.schema).parquet(path)
+    out = stream_sliding_windows(stream, SCHEMA, sequence_length=4)
+    got = _run(spark, out, "swin_stateful", "append").collect()
+
+    batch = sliding_windows(df, SCHEMA, sequence_length=4).collect()
+    canon = lambda rs: sorted(
+        (r["item_id"], r["sequence_id"], tuple(x["v"] for x in r["sequence"]))
+        for r in rs
+    )
+    assert canon(got) == canon(batch)
+    # b has 3 rows < L: contributes nothing
+    assert all(r["item_id"] == "a" for r in got)
+
+
+def test_stream_sliding_windows_state_spans_microbatches(spark, tmp_path):
+    import datetime as dt
+
+    from paqarin_spark.operators import sliding_windows
+    from paqarin_spark.streaming import stream_sliding_windows
+
+    rows = [
+        ("a", dt.datetime(2020, 1, 1) + dt.timedelta(days=i), float(i))
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, "item_id string, ts timestamp, v double")
+    path = str(tmp_path / "swin_mb")
+    # two files = two micro-batches under maxFilesPerTrigger=1; windows
+    # crossing the file boundary only exist if state carries over
+    df.where("v < 4").coalesce(1).write.parquet(path)
+    df.where("v >= 4").coalesce(1).write.mode("append").parquet(path)
+
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    out = stream_sliding_windows(stream, SCHEMA, sequence_length=3)
+    got = _run(spark, out, "swin_mb", "append").collect()
+
+    batch = sliding_windows(df, SCHEMA, sequence_length=3).collect()
+    canon = lambda rs: sorted(
+        (r["item_id"], r["sequence_id"], tuple(x["v"] for x in r["sequence"]))
+        for r in rs
+    )
+    assert canon(got) == canon(batch)
+    assert len(got) == 6  # 8 - 3 + 1, including boundary-spanning windows
