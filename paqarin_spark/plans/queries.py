@@ -483,15 +483,15 @@ def q16_top_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rev_d"
         )
     )
+    # Top-k first via distributed TakeOrdered (orderBy+limit), THEN
+    # rank the 10 survivors — a global row_number window over every
+    # part would single-partition the whole dim at scale.
+    top = rev.orderBy(F.col("rev_d").desc(), "l_partkey").limit(10)
     w = Window.orderBy(F.col("rev_d").desc(), F.col("l_partkey"))
-    return (
-        rev.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= 10)
-        .select(
-            "l_partkey",
-            F.round(F.col("rev_d").cast("double"), 4).alias("revenue"),
-            F.col("rk").cast("long").alias("rk"),
-        )
+    return top.withColumn("rk", F.row_number().over(w)).select(
+        "l_partkey",
+        F.round(F.col("rev_d").cast("double"), 4).alias("revenue"),
+        F.col("rk").cast("long").alias("rk"),
     )
 
 
