@@ -1,6 +1,22 @@
-"""Spark-native generation providers (SURVEY.md §7 step 3)."""
+"""Spark-native generation providers (SURVEY.md §7 step 3) and the
+deep-provider data-contract views."""
 
 from paqarin_spark.generators.bootstrap import BlockBootstrapGenerator
 from paqarin_spark.generators.gaussian import GaussianPerStepGenerator
+from paqarin_spark.generators.views import (
+    SynthcityLoaderViews,
+    add_prefixes,
+    par_context,
+    strip_prefixes,
+    synthcity_loader_views,
+)
 
-__all__ = ["BlockBootstrapGenerator", "GaussianPerStepGenerator"]
+__all__ = [
+    "BlockBootstrapGenerator",
+    "GaussianPerStepGenerator",
+    "SynthcityLoaderViews",
+    "add_prefixes",
+    "par_context",
+    "strip_prefixes",
+    "synthcity_loader_views",
+]

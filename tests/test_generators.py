@@ -93,3 +93,45 @@ def test_gaussian_fit_generate(training):
     rows = out.collect()
     assert len(rows) == 4
     assert all(len(r["sequence"]) == 4 for r in rows)
+
+
+def test_synthcity_loader_views(spark):
+    import datetime as dt
+
+    from paqarin_spark.generators.views import (
+        add_prefixes,
+        par_context,
+        strip_prefixes,
+        synthcity_loader_views,
+    )
+    from paqarin_spark.schema import TimeSeriesSchema
+
+    schema = TimeSeriesSchema(
+        item_id_columns=("item",),
+        timestamp_column="ts",
+        value_columns=("v",),
+        attribute_columns=("kind",),
+    )
+    rows = [
+        ("a", dt.datetime(2020, 1, 2), 2.0, "x"),
+        ("a", dt.datetime(2020, 1, 1), 1.0, "x"),
+        ("b", dt.datetime(2020, 1, 1), 9.0, "y"),
+    ]
+    df = spark.createDataFrame(rows, "item string, ts timestamp, v double, kind string")
+    views = synthcity_loader_views(df, schema)
+
+    temporal = {r["item"]: [x["v"] for x in r["observations"]] for r in views.temporal.collect()}
+    assert temporal == {"a": [1.0, 2.0], "b": [9.0]}  # event-time ordered
+    times = {r["item"]: list(r["times"]) for r in views.observation_times.collect()}
+    assert times["a"] == ["2020-01-01", "2020-01-02"]
+    static = {r["item"]: r["kind"] for r in views.static.collect()}
+    assert static == {"a": "x", "b": "y"}
+    assert all(r["outcome"] == 0 for r in views.outcome.collect())
+
+    ctx = par_context(df, schema).collect()
+    assert sorted((r["item"], r["kind"]) for r in ctx) == [("a", "x"), ("b", "y")]
+
+    prefixed = add_prefixes(df, schema)
+    assert "seq_temporal_v" in prefixed.columns
+    assert "seq_static_kind" in prefixed.columns
+    assert strip_prefixes(prefixed).columns == df.columns
