@@ -27,6 +27,7 @@ from paqarin_spark.operators.windows import (
     window_starts,
     xy_split,
 )
+from paqarin_spark.operators.joins import salted_join
 from paqarin_spark.operators.similarity import (
     cosine_dedup_pairs,
     cosine_topk,
@@ -59,6 +60,7 @@ __all__ = [
     "window_starts",
     "xy_split",
     "cosine_dedup_pairs",
+    "salted_join",
     "cosine_topk",
     "ivf_topk",
     "lsh_topk",
