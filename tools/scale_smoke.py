@@ -1,0 +1,102 @@
+"""Scale smoke: run the core operators on spark.range-generated data
+orders of magnitude beyond the sf0.1 bench tables, asserting closed-form
+row-count invariants and printing throughput. This is the local stand-in
+for the 1000-executor question — does the plan shape survive a 100×
+scale-up — not a replacement for the driver's testdata surface.
+
+Usage: python tools/scale_smoke.py [n_events] [n_entities]
+       (default 20,000,000 events across 100,000 entities)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from paqarin_spark.operators import (  # noqa: E402
+    add_surrogate_key,
+    calendar_fill,
+    keep_first,
+    sliding_windows,
+    tail_trim,
+    time_bucket_sum,
+)
+from paqarin_spark.schema import TimeSeriesSchema  # noqa: E402
+from paqarin_spark.session import get_session  # noqa: E402
+
+SCHEMA = TimeSeriesSchema(
+    item_id_columns=("entity",),
+    timestamp_column="ts",
+    value_columns=("value",),
+    frequency="D",
+    order_columns=("rid",),
+)
+
+
+def main() -> int:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000_000
+    entities = int(sys.argv[2]) if len(sys.argv) > 2 else 100_000
+    days = 365
+    spark = get_session("scale-smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Deterministic synthetic stream: entity = id % E, day = (id // E) % D
+    # -> every entity has ceil-ish n/E rows over a dense daily calendar.
+    ev = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("rid"),
+            (F.col("id") % entities).alias("entity"),
+            F.timestamp_seconds(
+                F.lit(1_600_000_000) + ((F.col("id") / entities).cast("long") % days) * 86_400
+            ).alias("ts"),
+            (F.pmod(F.col("id") * 2_654_435_761, F.lit(1_000_000)) / 1000.0).alias(
+                "value"
+            ),
+        )
+    )
+    rows_per_entity = n // entities  # exact when entities divides n
+
+    checks = []
+
+    def timed(name, df, expect=None):
+        t0 = time.perf_counter()
+        got = df.count()
+        dt = time.perf_counter() - t0
+        status = "ok" if (expect is None or got == expect) else f"EXPECTED {expect}"
+        checks.append(status == "ok")
+        print(f"{name:24} {dt:7.1f}s  rows={got:>12,}  [{status}]")
+
+    assert n % entities == 0, "pick entities dividing n for exact invariants"
+
+    timed("daily bucket sum", time_bucket_sum(ev, SCHEMA), entities * min(days, rows_per_entity))
+    timed(
+        "calendar gap fill",
+        calendar_fill(ev, SCHEMA, fill_value=0.0),
+        entities * min(days, rows_per_entity),
+    )
+    timed(
+        "keep-first dedup",
+        keep_first(ev, ["entity", "ts"], ["rid"]),
+        entities * min(days, rows_per_entity),
+    )
+    timed("tail trim (p=7)", tail_trim(ev, SCHEMA, prediction_length=7), n - entities * 7)
+    L = 8
+    timed(
+        "sliding windows L=8",
+        sliding_windows(ev, SCHEMA, sequence_length=L),
+        entities * (rows_per_entity - L + 1),
+    )
+    timed("surrogate keys", add_surrogate_key(ev, ["entity"], ["ts", "rid"]), n)
+
+    print("all invariants hold" if all(checks) else "INVARIANT FAILURES")
+    return 0 if all(checks) else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
