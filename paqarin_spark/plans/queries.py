@@ -744,6 +744,50 @@ def ev1_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scorer.metric_manager.summary("predictive_score")
 
 
+def ev2_univariate_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Univariate TSTR orchestration (ops F2+F4+F7+H2+I2-I4+J4
+    boundary, `paqarin/metrics/univariate_metrics.py:130-277`): fit
+    both Spark-native generators on events, score with the
+    weekday-profile forecaster trained on synthetic panels, emit the
+    summary rows (rows-only — seeded sampling output)."""
+    from paqarin_spark.adapter import get_generator_adapter
+    from paqarin_spark.metrics.univariate import (
+        FORECAST_SCORE,
+        UnivariateForecastScorer,
+    )
+
+    from paqarin_spark.generator import GeneratorParameters
+    from paqarin_spark.schema import TimeSeriesSchema
+
+    ev = _events(spark, sf_dir)
+    # Panel scoring needs a regular per-item index: bucket to daily
+    # first (as q18 does) — raw event timestamps are irregular seconds
+    # and would fail the frequency-regularity filter.
+    daily = time_bucket_sum(ev, EVENTS_SCHEMA, bucket_column="bucket")
+    daily_schema = TimeSeriesSchema(
+        item_id_columns=("user_id",),
+        timestamp_column="bucket",
+        value_columns=("value",),
+        frequency="D",
+    )
+    p = GeneratorParameters(schema=daily_schema, sequence_length=8, seed=17)
+    gens = {
+        "bootstrap": get_generator_adapter("paqarin_spark", "bootstrap", p),
+        "gaussian": get_generator_adapter("paqarin_spark", "gaussian", p),
+    }
+    scorer = UnivariateForecastScorer(
+        prediction_length=7, iterations=2, number_of_sequences=30
+    )
+    for name, gen in gens.items():
+        gen.fit(daily)
+        scorer.calculate(gen, name, daily)
+    out = scorer.metric_manager.summary(FORECAST_SCORE)
+    scorer.unpersist()
+    for gen in gens.values():
+        gen.unpersist()
+    return out
+
+
 # --------------------------------------------------------------------------
 # Text / dedup family (north-star extensions, documents table)
 
@@ -1570,6 +1614,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gen1_bootstrap_sample": gen1_bootstrap_sample,
     "gen2_gaussian_sample": gen2_gaussian_sample,
     "ev1_pipeline_summary": ev1_pipeline_summary,
+    "ev2_univariate_summary": ev2_univariate_summary,
     "tx1_text_stats": tx1_text_stats,
     "tx2_language_id": tx2_language_id,
     "tx3_exact_dedup": tx3_exact_dedup,

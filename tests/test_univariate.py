@@ -71,3 +71,52 @@ def test_panel_transform_weekend_covariate(raw):
     out = panel_transform(raw, SCHEMA)
     # 2020-01-04/05 are Sat/Sun; our fixture covers 01-01..03 (Wed-Fri)
     assert all(r["is_weekend"] == 0.0 for r in out.collect())
+
+
+def test_univariate_forecast_scorer_end_to_end(spark):
+    import datetime as dt
+
+    from paqarin_spark.generator import GeneratorParameters
+    from paqarin_spark.generators import BlockBootstrapGenerator, GaussianPerStepGenerator
+    from paqarin_spark.metrics.univariate import (
+        FORECAST_SCORE,
+        TRAIN_ON_REAL,
+        UnivariateForecastScorer,
+    )
+    from paqarin_spark.schema import TimeSeriesSchema
+
+    schema = TimeSeriesSchema(
+        item_id_columns=("item",),
+        timestamp_column="ts",
+        value_columns=("v",),
+        frequency="D",
+        order_columns=(),
+    )
+    rows = [
+        (item, dt.datetime(2021, 3, 1) + dt.timedelta(days=i),
+         10.0 + (i % 7) + ord(item[0]) % 5)
+        for item in ("a", "b", "c")
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "item string, ts timestamp, v double")
+    params = GeneratorParameters(schema=schema, sequence_length=8, seed=3)
+    gens = {
+        "bootstrap": BlockBootstrapGenerator(params).fit(df),
+        "gaussian": GaussianPerStepGenerator(params).fit(df),
+    }
+    scorer = UnivariateForecastScorer(
+        prediction_length=7, iterations=2, number_of_sequences=20
+    )
+    for name, g in gens.items():
+        scorer.calculate(g, name, df)
+    summary = {r["generator"]: r for r in scorer.summary_metrics}
+    # one row per generator + the control; scores are finite positives
+    assert set(summary) == {"bootstrap", "gaussian", TRAIN_ON_REAL}
+    assert all(r[f"avg_{FORECAST_SCORE}"] >= 0 for r in summary.values())
+    assert scorer.best_generator_name in ("bootstrap", "gaussian")
+    # iterations were registered individually (op I2)
+    vals = scorer.metric_manager.get_iteration_values("bootstrap", FORECAST_SCORE)
+    assert len(vals) == 2
+    scorer.unpersist()
+    for g in gens.values():
+        g.unpersist()
