@@ -996,6 +996,39 @@ def tx7_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(docs, "text", "doc_id")
 
 
+def _simhash_sql() -> str:
+    """DuckDB mirror of operators.dedup.simhash: md5 per token, 60-bit
+    value from the first 15 hex chars (char j holds bits
+    4*(15-j)..4*(15-j)+3), per-bit +1/-1 votes, fingerprint sets bits
+    with positive vote sums."""
+    votes = []
+    for i in range(60):
+        j = 15 - i // 4
+        digit = f"(strpos('0123456789abcdef', substring(h, {j}, 1)) - 1)"
+        votes.append(
+            f"SUM(CASE WHEN (({digit} >> {i % 4}) & 1) = 1"
+            f" THEN 1 ELSE -1 END) AS v_{i}"
+        )
+    fp = " + ".join(
+        f"(CASE WHEN v_{i} > 0 THEN (CAST(1 AS BIGINT) << {i})"
+        f" ELSE CAST(0 AS BIGINT) END)"
+        for i in range(60)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc, md5(t) AS h FROM (
+    SELECT doc_id AS doc, unnest({_TOKS_SQL}) AS t FROM documents
+  )
+), votes AS (
+  SELECT doc, {', '.join(votes)} FROM tok GROUP BY doc
+)
+SELECT doc, {fp} AS simhash FROM votes ORDER BY doc
+"""
+
+
+TX7_SQL = _simhash_sql()
+
+
 # --------------------------------------------------------------------------
 # Embedding similarity (north-star extensions, embeddings table)
 
@@ -1633,11 +1666,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "st2_stream_window_sums": st2_stream_window_sums,
 }
 
-# tx7_simhash and em2_lsh_topk are deliberately oracle-less (bit-level
-# hashing / seeded hyperplanes are not reasonably expressible in
-# portable SQL), as are gen1/gen2/ev1 (seeded model sampling and
-# multi-action pipeline orchestration) — the driver records a
-# rows-only check for them.
+# em2_lsh_topk is deliberately oracle-less (seeded hyperplanes are not
+# reasonably expressible in portable SQL), as are gen1/gen2/ev1/ev2
+# (seeded model sampling and multi-action pipeline orchestration) —
+# the driver records a rows-only check for them.
 ORACLE_SQL: dict[str, str] = {
     "q01_surrogate_key": Q01_SQL,
     "q02_daily_sum": Q02_SQL,
@@ -1679,5 +1711,6 @@ ORACLE_SQL: dict[str, str] = {
     "tx4_ngram_jaccard": TX4_SQL,
     "tx5_minhash_signatures": TX5_SQL,
     "tx6_minhash_lsh_pairs": TX6_SQL,
+    "tx7_simhash": TX7_SQL,
     "em1_cosine_topk": EM1_SQL,
 }
