@@ -217,6 +217,12 @@ class UnivariateForecastScorer:
         row = joined.agg(
             mae(F.col(TARGET), F.col("target_pred")).alias("m")
         ).collect()[0]
+        if row["m"] is None:
+            raise ValueError(
+                "univariate scoring set is empty — every item was dropped "
+                "by the panel regularity filter (gap-fill the input with "
+                "calendar_fill first) or the holdout has no rows"
+            )
         return float(row["m"])
 
     def calculate(self, generator, generator_name: str, training_data: DataFrame) -> None:

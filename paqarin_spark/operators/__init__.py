@@ -27,7 +27,8 @@ from paqarin_spark.operators.windows import (
     window_starts,
     xy_split,
 )
-from paqarin_spark.operators.joins import salted_join
+from paqarin_spark.operators.joins import asof_join, range_point_join, salted_join
+from paqarin_spark.operators.sessions import session_stats, sessionize
 from paqarin_spark.operators.similarity import (
     cosine_dedup_pairs,
     cosine_topk,
@@ -60,7 +61,11 @@ __all__ = [
     "window_starts",
     "xy_split",
     "cosine_dedup_pairs",
+    "asof_join",
+    "range_point_join",
     "salted_join",
+    "session_stats",
+    "sessionize",
     "cosine_topk",
     "ivf_topk",
     "lsh_topk",

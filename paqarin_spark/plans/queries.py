@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from paqarin_spark.operators import (
     add_surrogate_key,
+    asof_join,
     calendar_fill,
     cosine_topk,
     exact_duplicates,
@@ -27,6 +28,8 @@ from paqarin_spark.operators import (
     minhash_lsh_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
+    range_point_join,
+    session_stats,
     simhash,
     tail_trim,
     time_bucket_sum,
@@ -760,10 +763,14 @@ def ev2_univariate_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     from paqarin_spark.schema import TimeSeriesSchema
 
     ev = _events(spark, sf_dir)
-    # Panel scoring needs a regular per-item index: bucket to daily
-    # first (as q18 does) — raw event timestamps are irregular seconds
-    # and would fail the frequency-regularity filter.
-    daily = time_bucket_sum(ev, EVENTS_SCHEMA, bucket_column="bucket")
+    # Panel scoring needs a regular per-item index: normalise to a
+    # dense daily calendar (F1 — bucket-sum + gap-fill with zeros, the
+    # reference's normalise_sequences semantics). Raw event timestamps
+    # are irregular seconds, and at small scale even the daily series
+    # has per-user holes that would fail the regularity filter.
+    daily = calendar_fill(ev, EVENTS_SCHEMA, bucket_column="bucket").select(
+        "user_id", "bucket", "value"
+    )
     daily_schema = TimeSeriesSchema(
         item_id_columns=("user_id",),
         timestamp_column="bucket",
@@ -786,6 +793,142 @@ def ev2_univariate_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     for gen in gens.values():
         gen.unpersist()
     return out
+
+
+# --------------------------------------------------------------------------
+# Time-series join family (as-of / range / session — operators a
+# large-scale event pipeline needs that the reference lacks; batch
+# analogues of Flink temporal joins and session windows)
+
+
+def q28_asof_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators.joins.asof_join): attach to every event
+    its user's most recent Monday daily-sum checkpoint. Single shuffle
+    on the key — no interval explosion."""
+    ev = _events(spark, sf_dir)
+    daily = time_bucket_sum(ev, EVENTS_SCHEMA, bucket_column="bucket")
+    checkpoints = daily.filter(F.weekday("bucket") == 0).select(
+        "user_id", "bucket", F.round("value", 6).alias("checkpoint_sum")
+    )
+    out = asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        checkpoints,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="bucket",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "checkpoint_sum",
+        F.date_format("matched_ts", "yyyy-MM-dd").alias("checkpoint_day"),
+    )
+
+
+Q28_SQL = """
+WITH daily AS (
+  SELECT user_id, date_trunc('day', ts) AS bucket,
+         ROUND(SUM(value), 6) AS checkpoint_sum
+  FROM events GROUP BY 1, 2
+), cp AS (
+  SELECT * FROM daily WHERE EXTRACT(ISODOW FROM bucket) = 1
+)
+SELECT e.event_id, e.user_id, cp.checkpoint_sum,
+       strftime(cp.bucket, '%Y-%m-%d') AS checkpoint_day
+FROM events e ASOF LEFT JOIN cp
+  ON e.user_id = cp.user_id AND e.ts >= cp.bucket
+ORDER BY e.event_id
+"""
+
+
+def q29_range_hot_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned range join (operators.joins.range_point_join): events
+    falling inside above-average global days, joined point-in-interval
+    via day-width hash bins (equi-join, never a nested loop)."""
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(F.date_trunc("DAY", "ts").alias("d")).agg(
+        F.sum("value").alias("s")
+    )
+    thresh = daily.agg(F.avg("s").alias("avg_s"))
+    hot = (
+        daily.join(F.broadcast(thresh))
+        .filter(F.col("s") > F.col("avg_s"))
+        .select("d", (F.col("d") + F.expr("INTERVAL 1 DAY")).alias("d_end"))
+    )
+    joined = range_point_join(
+        ev.select("event_id", "ts", "value"),
+        hot,
+        on=[],
+        point="ts",
+        range_start="d",
+        range_end="d_end",
+        bin_width_seconds=86400,
+    )
+    return joined.groupBy(F.date_format("d", "yyyy-MM-dd").alias("hot_day")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+
+
+Q29_SQL = """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS d, SUM(value) AS s FROM events GROUP BY 1
+), hot AS (
+  SELECT d, d + INTERVAL 1 DAY AS d_end FROM daily
+  WHERE s > (SELECT AVG(s) FROM daily)
+)
+SELECT strftime(h.d, '%Y-%m-%d') AS hot_day,
+       COUNT(*) AS n_events,
+       ROUND(SUM(e.value), 6) AS sum_value
+FROM events e JOIN hot h ON e.ts >= h.d AND e.ts < h.d_end
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q30_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (operators.sessions): 12-hour
+    inactivity gap per user, per-session bounds/counts/sums."""
+    ev = _events(spark, sf_dir)
+    out = session_stats(
+        ev,
+        "user_id",
+        "ts",
+        gap_seconds=43200,
+        value_column="value",
+        order_columns=("event_id",),
+    )
+    return out.select(
+        "user_id",
+        "session_id",
+        F.date_format("session_start", TS_FMT_SPARK).alias("session_start"),
+        F.date_format("session_end", TS_FMT_SPARK).alias("session_end"),
+        "n_events",
+        "value_sum",
+    )
+
+
+Q30_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 43200000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts, value,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) - 1
+              AS BIGINT) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+       strftime(MIN(ts), '{TS_FMT_DUCK}') AS session_start,
+       strftime(MAX(ts), '{TS_FMT_DUCK}') AS session_end,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 6) AS value_sum
+FROM numbered GROUP BY 1, 2 ORDER BY 1, 2
+"""
 
 
 # --------------------------------------------------------------------------
@@ -1643,6 +1786,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q25_shipping_priority": q25_shipping_priority,
     "q26_order_priority": q26_order_priority,
     "q27_returned_items": q27_returned_items,
+    "q28_asof_checkpoint": q28_asof_checkpoint,
+    "q29_range_hot_days": q29_range_hot_days,
+    "q30_sessionize": q30_sessionize,
     "gen3_generation_rounds": gen3_generation_rounds,
     "gen1_bootstrap_sample": gen1_bootstrap_sample,
     "gen2_gaussian_sample": gen2_gaussian_sample,
@@ -1698,6 +1844,9 @@ ORACLE_SQL: dict[str, str] = {
     "q25_shipping_priority": Q25_SQL,
     "q26_order_priority": Q26_SQL,
     "q27_returned_items": Q27_SQL,
+    "q28_asof_checkpoint": Q28_SQL,
+    "q29_range_hot_days": Q29_SQL,
+    "q30_sessionize": Q30_SQL,
     "tx8_rolling_hash": TX8_SQL,
     "em3_cosine_dedup": EM3_SQL,
     "em4_ivf_topk": EM4_SQL,

@@ -44,3 +44,170 @@ def test_salted_join_rejects_right_joins(skewed):
     facts, dim = skewed
     with pytest.raises(ValueError):
         salted_join(facts, dim, on=["k"], how="right")
+
+
+# ---------------------------------------------------------------------------
+# as-of join
+
+
+@pytest.fixture(scope="module")
+def asof_frames(spark):
+    from tests.conftest import ts
+
+    left = spark.createDataFrame(
+        [
+            ("a", ts("2020-01-05 00:00:00"), 1),
+            ("a", ts("2020-01-10 00:00:00"), 2),
+            ("a", ts("2020-01-02 00:00:00"), 3),  # before any right row
+            ("b", ts("2020-01-05 00:00:00"), 4),  # key with no right rows
+        ],
+        "k string, ts timestamp, ev int",
+    )
+    right = spark.createDataFrame(
+        [
+            ("a", ts("2020-01-03 00:00:00"), 30.0),
+            ("a", ts("2020-01-05 00:00:00"), 50.0),  # equal-ts: inclusive match
+            ("a", ts("2020-01-08 00:00:00"), 80.0),
+        ],
+        "k string, rts timestamp, px double",
+    )
+    return left, right
+
+
+def test_asof_backward(asof_frames):
+    from paqarin_spark.operators import asof_join
+
+    left, right = asof_frames
+    out = {
+        r["ev"]: (r["px"], r["matched_ts"])
+        for r in asof_join(
+            left, right, on=["k"], left_ts="ts", right_ts="rts"
+        ).collect()
+    }
+    assert out[1][0] == 50.0  # equal ts matches (inclusive)
+    assert out[2][0] == 80.0  # latest earlier row wins
+    assert out[3] == (None, None)  # nothing at-or-before
+    assert out[4] == (None, None)  # unmatched key preserved (left join)
+
+
+def test_asof_forward_and_tolerance(asof_frames):
+    from paqarin_spark.operators import asof_join
+
+    left, right = asof_frames
+    fwd = {
+        r["ev"]: r["px"]
+        for r in asof_join(
+            left, right, on=["k"], left_ts="ts", right_ts="rts", direction="forward"
+        ).collect()
+    }
+    assert fwd[3] == 30.0  # earliest later row
+    assert fwd[1] == 50.0  # inclusive
+    assert fwd[2] is None  # nothing at-or-after
+
+    tol = {
+        r["ev"]: r["px"]
+        for r in asof_join(
+            left,
+            right,
+            on=["k"],
+            left_ts="ts",
+            right_ts="rts",
+            tolerance="1 days",
+        ).collect()
+    }
+    assert tol[1] == 50.0  # 0-day gap within tolerance
+    assert tol[2] is None  # 2-day gap nulled out
+
+
+def test_asof_rejects_colliding_payload(asof_frames, spark):
+    from paqarin_spark.operators import asof_join
+
+    left, right = asof_frames
+    with pytest.raises(ValueError):
+        asof_join(
+            left,
+            right.withColumnRenamed("px", "ev"),
+            on=["k"],
+            left_ts="ts",
+            right_ts="rts",
+        )
+
+
+# ---------------------------------------------------------------------------
+# binned range join
+
+
+def test_range_point_join_binned_matches_unbinned(spark):
+    from tests.conftest import ts
+
+    from paqarin_spark.operators import range_point_join
+
+    points = spark.createDataFrame(
+        [
+            (1, ts("2020-01-01 00:30:00")),
+            (2, ts("2020-01-01 11:59:59")),
+            (3, ts("2020-01-01 12:00:00")),  # == range_end: excluded
+            (4, ts("2020-01-02 06:00:00")),
+        ],
+        "pid int, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [
+            (ts("2020-01-01 00:00:00"), ts("2020-01-01 12:00:00"), "w1"),
+            (ts("2020-01-02 00:00:00"), ts("2020-01-03 00:00:00"), "w2"),
+        ],
+        "start timestamp, stop timestamp, label string",
+    )
+    plain = range_point_join(
+        points, intervals, on=[], point="ts", range_start="start", range_end="stop"
+    )
+    binned = range_point_join(
+        points,
+        intervals,
+        on=[],
+        point="ts",
+        range_start="start",
+        range_end="stop",
+        bin_width_seconds=3600,
+    )
+    expect = {(1, "w1"), (2, "w1"), (4, "w2")}
+    assert {(r["pid"], r["label"]) for r in plain.collect()} == expect
+    assert {(r["pid"], r["label"]) for r in binned.collect()} == expect
+
+
+# ---------------------------------------------------------------------------
+# sessionization
+
+
+def test_sessionize_gap_boundaries(spark):
+    from tests.conftest import ts
+
+    from paqarin_spark.operators import session_stats, sessionize
+
+    ev = spark.createDataFrame(
+        [
+            ("u1", ts("2020-01-01 00:00:00"), 1.0),
+            ("u1", ts("2020-01-01 00:30:00"), 2.0),  # 30 min: same session
+            ("u1", ts("2020-01-01 02:00:00"), 3.0),  # 90 min > 1h: new session
+            ("u1", ts("2020-01-01 03:00:00"), 4.0),  # exactly 1h: NOT new
+            ("u2", ts("2020-01-01 00:00:00"), 9.0),
+        ],
+        "u string, ts timestamp, v double",
+    )
+    got = {
+        (r["u"], str(r["ts"])): r["session_id"]
+        for r in sessionize(ev, "u", "ts", gap_seconds=3600).collect()
+    }
+    assert got[("u1", "2020-01-01 00:00:00")] == 0
+    assert got[("u1", "2020-01-01 00:30:00")] == 0
+    assert got[("u1", "2020-01-01 02:00:00")] == 1
+    assert got[("u1", "2020-01-01 03:00:00")] == 1  # boundary is strict >
+    assert got[("u2", "2020-01-01 00:00:00")] == 0
+
+    stats = {
+        (r["u"], r["session_id"]): (r["n_events"], r["value_sum"])
+        for r in session_stats(ev, "u", "ts", 3600, value_column="v").collect()
+    }
+    assert stats[("u1", 0)] == (2, 3.0)
+    assert stats[("u1", 1)] == (2, 7.0)
+    assert stats[("u2", 0)] == (1, 9.0)

@@ -55,6 +55,8 @@ def main() -> int:
 
     if failures:
         print(f"\n{len(failures)} plan failures")
+        for f in failures:
+            print(f"  {f}")
         return 1
     print("\nall plans clean of red flags")
     return 0
