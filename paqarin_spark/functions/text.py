@@ -110,6 +110,27 @@ def fingerprint(text_col) -> Column:
     return F.md5(F.concat_ws(" ", tokens(text_col)))
 
 
+# GPT-2-style pre-tokenizer pattern, restricted to constructs both
+# Java regex (Spark) and RE2 (DuckDB) execute identically: ordered
+# alternation, no lookarounds, ASCII classes. Contractions first, then
+# space-prefixed letter/digit/punct runs, then whitespace runs.
+BPE_TOKEN_PATTERN = (
+    "'(?:s|t|re|ve|m|ll|d)"
+    "| ?[A-Za-z]+"
+    "| ?[0-9]+"
+    "| ?[^A-Za-z0-9\\s]+"
+    "|\\s+"
+)
+
+
+def bpe_token_count(text_col) -> Column:
+    """BPE-ish token count: matches of the GPT-2-style pre-tokenizer
+    regex (the unit an LLM tokenizer would split further into subwords
+    — a closer proxy for training-token cost than whitespace words).
+    One codegen'd regexp_count pass."""
+    return F.regexp_count(text_col, F.lit(BPE_TOKEN_PATTERN)).cast("long")
+
+
 ROLLING_HASH_BASE = 31
 ROLLING_HASH_MOD = 1_000_000_007
 

@@ -932,6 +932,172 @@ FROM numbered GROUP BY 1, 2 ORDER BY 1, 2
 
 
 # --------------------------------------------------------------------------
+# Relational breadth: rollup, exact quantiles, two more TPC-H shapes
+
+
+def q31_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation (north-star relational generality; absent in
+    the reference — SURVEY.md §2 'Not present'): revenue by
+    (nation, order year) with subtotal and grand-total rows, computed
+    in one pass by Spark's partial-agg rollup. Dims broadcast."""
+    configure_for_determinism(spark)
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    dec = "decimal(30,10)"
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select(
+            F.col("n_name"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias("_r"),
+        )
+    )
+    return rev.rollup("n_name", "o_year").agg(
+        F.round(F.sum(F.col("_r").cast(dec)).cast("double"), 4).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+Q31_SQL = """
+SELECT n_name, CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+       ROUND(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                           AS DECIMAL(30,10))) AS DOUBLE), 4) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY ROLLUP (n_name, o_year)
+ORDER BY 1, 2
+"""
+
+
+def q32_quality_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles per group (D-family breadth): per
+    document source, median and p90 of document length. Spark
+    ``percentile`` == DuckDB ``quantile_cont`` (both linear
+    interpolation). The exact form shuffles the group's values; at
+    100 TB swap in ``approx_percentile`` (t-digest, partial-agg) —
+    same API shape, documented trade."""
+    configure_for_determinism(spark)
+    docs = _docs(spark, sf_dir)
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.percentile("n_chars", F.lit(0.5)), 6).alias("median_chars"),
+        F.round(F.percentile("n_chars", F.lit(0.9)), 6).alias("p90_chars"),
+    )
+
+
+Q32_SQL = """
+SELECT source, COUNT(*) AS n_docs,
+       ROUND(quantile_cont(n_chars, 0.5), 6) AS median_chars,
+       ROUND(quantile_cont(n_chars, 0.9), 6) AS p90_chars
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+
+def q33_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds 150 —
+    pre-aggregate lineitem on its join key (map-side partials), THEN
+    join the small survivor set; never order×lineitem first."""
+    configure_for_determinism(spark)
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    dec = "decimal(30,10)"
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum(F.col("l_quantity").cast(dec)).cast("double"), 4).alias("sum_qty"))
+        .where(F.col("sum_qty") > 150.0)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.round("o_totalprice", 4).alias("o_totalprice"),
+            "sum_qty",
+        )
+    )
+
+
+Q33_SQL = """
+WITH big AS (
+  SELECT l_orderkey,
+         ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE), 4) AS sum_qty
+  FROM lineitem GROUP BY 1 HAVING sum_qty > 150.0
+)
+SELECT c_name, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       ROUND(o_totalprice, 4) AS o_totalprice, sum_qty
+FROM big JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_orderkey
+"""
+
+
+def q34_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between supplier-nation and
+    customer-nation pairs per ship year. Two broadcast dim chains onto
+    one fact shuffle — the join order a 100 TB plan needs."""
+    configure_for_determinism(spark)
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    supp = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    dec = "decimal(30,10)"
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .where(F.col("supp_nation") < F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(dec)
+                ).cast("double"),
+                4,
+            ).alias("volume")
+        )
+    )
+
+
+Q34_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+       ROUND(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                           AS DECIMAL(30,10))) AS DOUBLE), 4) AS volume
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name < n2.n_name
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
+# --------------------------------------------------------------------------
 # Text / dedup family (north-star extensions, documents table)
 
 _TOKS_SQL = "regexp_extract_all(lower(text), '[a-z0-9]+')"
@@ -1480,6 +1646,39 @@ FROM documents ORDER BY doc_id
 """
 
 
+def tx9_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting (functions.text.bpe_token_count): GPT-2
+    pre-tokenizer regex matches per document plus the corpus total per
+    source — the training-token cost estimate a data pipeline budgets
+    by."""
+    from paqarin_spark.functions.text import bpe_token_count
+
+    docs = _docs(spark, sf_dir)
+    per_doc = docs.select(
+        "source", F.col("doc_id"), bpe_token_count(F.col("text")).alias("bpe_tokens")
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("bpe_tokens").alias("total_bpe_tokens"),
+        F.round(F.avg("bpe_tokens"), 6).alias("avg_bpe_tokens"),
+    )
+
+
+TX9_SQL = r"""
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n) AS BIGINT) AS total_bpe_tokens,
+       ROUND(AVG(n), 6) AS avg_bpe_tokens
+FROM (
+  SELECT source,
+         CAST(len(regexp_extract_all(text,
+           '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+'
+         )) AS BIGINT) AS n
+  FROM documents
+)
+GROUP BY 1 ORDER BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # EM3 — embedding-cosine near-duplicate pairs (dedup north star)
 
@@ -1789,6 +1988,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q28_asof_checkpoint": q28_asof_checkpoint,
     "q29_range_hot_days": q29_range_hot_days,
     "q30_sessionize": q30_sessionize,
+    "q31_rollup_revenue": q31_rollup_revenue,
+    "q32_quality_quantiles": q32_quality_quantiles,
+    "q33_large_orders": q33_large_orders,
+    "q34_nation_pair_volume": q34_nation_pair_volume,
+    "tx9_bpe_tokens": tx9_bpe_tokens,
     "gen3_generation_rounds": gen3_generation_rounds,
     "gen1_bootstrap_sample": gen1_bootstrap_sample,
     "gen2_gaussian_sample": gen2_gaussian_sample,
@@ -1847,6 +2051,11 @@ ORACLE_SQL: dict[str, str] = {
     "q28_asof_checkpoint": Q28_SQL,
     "q29_range_hot_days": Q29_SQL,
     "q30_sessionize": Q30_SQL,
+    "q31_rollup_revenue": Q31_SQL,
+    "q32_quality_quantiles": Q32_SQL,
+    "q33_large_orders": Q33_SQL,
+    "q34_nation_pair_volume": Q34_SQL,
+    "tx9_bpe_tokens": TX9_SQL,
     "tx8_rolling_hash": TX8_SQL,
     "em3_cosine_dedup": EM3_SQL,
     "em4_ivf_topk": EM4_SQL,

@@ -84,3 +84,24 @@ def test_rolling_hash_whitespace_noise_invariant(spark):
     )
     a, b = [r[0] for r in df.select(rolling_hash(F.col("text"))).collect()]
     assert a == b
+
+
+def test_bpe_token_count(spark):
+    from paqarin_spark.functions.text import bpe_token_count
+
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [
+            # "I've" -> I + 've ; " got 2 cats!" -> ' got' ' 2' ' cats' '!'
+            (1, "I've got 2 cats!"),
+            (2, ""),
+            (3, "   "),  # one whitespace run
+        ],
+        "id int, text string",
+    )
+    got = {
+        r["id"]: r["n"]
+        for r in df.select("id", bpe_token_count(F.col("text")).alias("n")).collect()
+    }
+    assert got == {1: 6, 2: 0, 3: 1}
