@@ -117,7 +117,9 @@ class MultivariatePredictiveScorer:
         self.metric_manager: MetricManager | None = None
         self._trained_on_real = False
 
-    def _split(self, windows: DataFrame) -> tuple[DataFrame, DataFrame]:
+    def _split(
+        self, windows: DataFrame
+    ) -> tuple[DataFrame, DataFrame, DataFrame]:
         # Global positional ordinal WITHOUT a single-partition window
         # over the data: per-entity counts (tiny dim) get cumulative
         # offsets, then ordinal = offset + sequence_id + 1, broadcast
@@ -136,10 +138,13 @@ class MultivariatePredictiveScorer:
             "_ord",
             training_size=self.training_size,
         )
-        feats = xy_split(labeled, self.sequence_length)
+        # Persist the PARENT: train/test are filters over it, so one
+        # materialization of the window pipeline serves both (persisting
+        # the two children would execute the pipeline twice).
+        feats = xy_split(labeled, self.sequence_length).persist()
         train = feats.where(F.col("split") == "train")
         test = feats.where(F.col("split") == "test")
-        return train, test
+        return feats, train, test
 
     def _real_windows(self, real_df: DataFrame, schema) -> DataFrame:
         parsed = parse_timestamps(real_df, schema)
@@ -162,10 +167,9 @@ class MultivariatePredictiveScorer:
         cache_key = (id(training_data), id(schema), self.sequence_length)
         if getattr(self, "_real_cache_key", None) != cache_key:
             real = self._real_windows(training_data, schema)
-            real_train, real_test = self._split(real)
-            self._real_cache = (real_train.persist(), real_test.persist())
+            self._real_cache = self._split(real)
             self._real_cache_key = cache_key
-        real_train, real_test = self._real_cache
+        _, real_train, real_test = self._real_cache
 
         if not self._trained_on_real:
             model = self.forecaster_factory(list(schema.value_columns)).fit(real_train)
@@ -191,8 +195,7 @@ class MultivariatePredictiveScorer:
         jobs in a shared session."""
         cache = getattr(self, "_real_cache", None)
         if cache is not None:
-            for df in cache:
-                df.unpersist()
+            cache[0].unpersist()
             self._real_cache = None
             self._real_cache_key = None
 

@@ -95,12 +95,31 @@ class MetricManager:
         return (sum((v - mean) ** 2 for v in vals) / len(vals)) ** 0.5
 
     def summary(self, metric_key: str) -> DataFrame:
-        """Op I3/D5: per-generator avg + population std of a metric."""
-        df = self.to_df().where(F.col("metric_key") == metric_key)
-        return df.groupBy("generator").agg(
-            F.round(F.avg("metric_value"), 6).alias(f"avg_{metric_key}"),
-            F.round(F.stddev_pop("metric_value"), 6).alias(f"std_{metric_key}"),
+        """Op I3/D5: per-generator avg + population std of a metric.
+
+        The registry holds a handful of driver-registered scalars —
+        aggregating them is driver arithmetic (the reference's np.mean
+        / np.std ddof=0), not a distributed job; shipping ~12 floats
+        through a shuffle costs ~1.5 s of pure job overhead per call.
+        Metrics that live in DataFrames at scale aggregate via
+        ``groupBy`` directly (see q08)."""
+        out = []
+        for g in sorted(self.get_all_values(metric_key)):
+            out.append(
+                (
+                    g,
+                    round(self.calculate_average(g, metric_key), 6),
+                    round(self.calculate_standard_deviation(g, metric_key), 6),
+                )
+            )
+        schema = StructType(
+            [
+                StructField("generator", StringType(), False),
+                StructField(f"avg_{metric_key}", DoubleType(), True),
+                StructField(f"std_{metric_key}", DoubleType(), True),
+            ]
         )
+        return self.spark.createDataFrame(out, schema)
 
     def best_generator(self, metric_key: str) -> str:
         """Op I4: argmin of the average metric ("smaller wins",

@@ -60,34 +60,38 @@ def panel_transform(
     sequence() over that item's bounds — no driver loop.
     """
     parsed = parse_timestamps(df, schema)
-    panel_schema = TimeSeriesSchema(
-        item_id_columns=(ITEM_ID,),
-        timestamp_column=TIMESTAMP,
-        value_columns=(TARGET,),
-        frequency=schema.frequency,
-        order_columns=(),
-    )
     panel = to_panel(parsed, schema)
     deduped = keep_first(panel, [ITEM_ID, TIMESTAMP], [TARGET])
 
     # Regularity filter BEFORE upsampling (reference drops items whose
-    # raw index has no inferable frequency).
-    from paqarin_spark.operators.resample import regular_index_filter
-
-    regular = regular_index_filter(deduped, panel_schema)
-
+    # raw index has no inferable frequency; contract = >=2 obs, all
+    # consecutive gaps equal — regular_index_filter's predicate).
+    # Stats and calendar bounds come from ONE window+agg pass so the
+    # dedup subtree executes twice total (stats side + final join),
+    # not three times as separate filter/bounds/join stages would.
+    w = Window.partitionBy(ITEM_ID).orderBy(TIMESTAMP)
+    ts_long = F.col(TIMESTAMP).cast("long")
+    with_gap = deduped.withColumn("_gap", ts_long - F.lag(ts_long).over(w))
     unit, interval = freq_to_spark(schema.frequency)
-    bounds = regular.groupBy(ITEM_ID).agg(
-        F.date_trunc(unit, F.min(TIMESTAMP)).alias("_mn"),
-        F.date_trunc(unit, F.max(TIMESTAMP)).alias("_mx"),
+    ok = (
+        with_gap.groupBy(ITEM_ID)
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.countDistinct("_gap").alias("_ngaps"),
+            F.date_trunc(unit, F.min(TIMESTAMP)).alias("_mn"),
+            F.date_trunc(unit, F.max(TIMESTAMP)).alias("_mx"),
+        )
+        .where((F.col("_n") >= 2) & (F.col("_ngaps") == 1))
     )
-    grid = bounds.select(
+    grid = ok.select(
         ITEM_ID,
         F.explode(F.sequence(F.col("_mn"), F.col("_mx"), F.expr(interval))).alias(
             TIMESTAMP
         ),
     )
-    filled = grid.join(regular, on=[ITEM_ID, TIMESTAMP], how="left").na.fill(
+    # Dropped items simply have no grid rows — the left join is the
+    # semi-join and the upsample at once.
+    filled = grid.join(deduped, on=[ITEM_ID, TIMESTAMP], how="left").na.fill(
         fill_value, subset=[TARGET]
     )
     if add_covariates:
@@ -204,10 +208,12 @@ class UnivariateForecastScorer:
     def _real_frames(self, training_data: DataFrame, schema: TimeSeriesSchema):
         panel = panel_transform(training_data, schema)
         desc = Window.partitionBy(ITEM_ID).orderBy(F.col(TIMESTAMP).desc())
-        ranked = panel.withColumn("_rn", F.row_number().over(desc))
+        # Persist the ranked PARENT: train/actuals are filters over it,
+        # so one materialization of the panel pipeline serves both.
+        ranked = panel.withColumn("_rn", F.row_number().over(desc)).persist()
         train = ranked.where(F.col("_rn") > self.prediction_length).drop("_rn")
         actuals = ranked.where(F.col("_rn") <= self.prediction_length).drop("_rn")
-        return train.persist(), actuals.persist()
+        return ranked, train, actuals
 
     def _score(self, model, train: DataFrame, actuals: DataFrame) -> float:
         from paqarin_spark.metrics.errors import mae
@@ -239,7 +245,7 @@ class UnivariateForecastScorer:
             self.unpersist()
             self._cache = self._real_frames(training_data, schema)
             self._cache_key = cache_key
-        train, actuals = self._cache
+        _, train, actuals = self._cache
 
         if not self._trained_on_real:
             model = self.forecaster_factory().fit(train)
@@ -278,8 +284,7 @@ class UnivariateForecastScorer:
 
     def unpersist(self) -> None:
         if self._cache is not None:
-            for df in self._cache:
-                df.unpersist()
+            self._cache[0].unpersist()
             self._cache = None
             self._cache_key = None
 

@@ -768,8 +768,13 @@ def ev2_univariate_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reference's normalise_sequences semantics). Raw event timestamps
     # are irregular seconds, and at small scale even the daily series
     # has per-user holes that would fail the regularity filter.
-    daily = calendar_fill(ev, EVENTS_SCHEMA, bucket_column="bucket").select(
-        "user_id", "bucket", "value"
+    # Persist: the gap-fill pipeline (grid cross-join + agg + left
+    # join) otherwise re-executes inside every downstream action —
+    # generator window builds, panel ranking, per-iteration scoring.
+    daily = (
+        calendar_fill(ev, EVENTS_SCHEMA, bucket_column="bucket")
+        .select("user_id", "bucket", "value")
+        .persist()
     )
     daily_schema = TimeSeriesSchema(
         item_id_columns=("user_id",),
@@ -792,6 +797,7 @@ def ev2_univariate_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     scorer.unpersist()
     for gen in gens.values():
         gen.unpersist()
+    daily.unpersist()
     return out
 
 
