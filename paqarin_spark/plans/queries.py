@@ -1959,6 +1959,110 @@ ORDER BY user_id, sequence_id
 """
 
 
+def st3_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization as a Structured Streaming job
+    (streaming.stream_sessions, built-in session_window state): bounded
+    run under Trigger.AvailableNow, same 12-hour-gap oracle as the
+    batch q30 minus the ordinal — checked streaming/batch parity for
+    session semantics."""
+    from pyspark.sql.types import LongType
+
+    from paqarin_spark.streaming import stream_sessions
+
+    configure_for_determinism(spark)
+    read_table(spark, sf_dir, "events")  # pins nano-ts session conf
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = spark.readStream.schema(raw_schema).parquet(
+        f"{sf_dir}/events*.parquet"
+    )
+    if isinstance(raw_schema["ts"].dataType, LongType):
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("`ts` div 1000"))
+        )
+    out = stream_sessions(
+        stream, EVENTS_SCHEMA, gap="12 hours", value_column="value"
+    )
+    name = "st3_stream_sessions"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "user_id",
+        F.date_format("session_start", TS_FMT_SPARK).alias("session_start"),
+        F.date_format("session_end", TS_FMT_SPARK).alias("session_end"),
+        "n_events",
+        "value_sum",
+    )
+
+
+ST3_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 43200000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts, value,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       strftime(MIN(ts), '{TS_FMT_DUCK}') AS session_start,
+       strftime(MAX(ts), '{TS_FMT_DUCK}') AS session_end,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 6) AS value_sum
+FROM numbered GROUP BY user_id, session_id ORDER BY 1, 2
+"""
+
+
+def tx10_quality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus quality pruning (the filter step every training-data
+    pipeline runs after scoring): keep documents at or above the global
+    p25 quality score, report per-source survivor counts. Threshold is
+    a 1-row broadcast; the quality column reuses tx1's single-pass
+    stats (thresholding on the 6dp-rounded score keeps the boundary
+    exact on both engines)."""
+    docs = _docs(spark, sf_dir)
+    stats = text_stats(docs, "text", "doc_id").join(
+        docs.select("doc_id", "source"), on="doc_id"
+    )
+    thresh = stats.agg(
+        F.percentile("quality", F.lit(0.25)).alias("_q25")
+    )
+    return (
+        stats.join(F.broadcast(thresh))
+        .where(F.col("quality") >= F.col("_q25"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.round(F.avg("quality"), 6).alias("avg_quality"),
+        )
+    )
+
+
+TX10_SQL = f"""
+WITH q AS (
+  SELECT doc_id, source,
+         ROUND((LEAST(len({_TOKS_SQL}) / 100.0, 1.0)
+                + length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / GREATEST(length(text), 1)
+                + len(list_filter({_TOKS_SQL}, x -> list_contains({_STOPWORDS_SQL}, x)))
+                  / GREATEST(len({_TOKS_SQL}), 1)) / 3.0, 6) AS quality
+  FROM documents
+)
+SELECT source, COUNT(*) AS n_kept, ROUND(AVG(quality), 6) AS avg_quality
+FROM q WHERE quality >= (SELECT quantile_cont(quality, 0.25) FROM q)
+GROUP BY 1 ORDER BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 
@@ -2020,6 +2124,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm2_frame_sample": mm2_frame_sample,
     "st1_stream_daily_sum": st1_stream_daily_sum,
     "st2_stream_window_sums": st2_stream_window_sums,
+    "st3_stream_sessions": st3_stream_sessions,
+    "tx10_quality_prune": tx10_quality_prune,
 }
 
 # em2_lsh_topk is deliberately oracle-less (seeded hyperplanes are not
@@ -2069,6 +2175,8 @@ ORACLE_SQL: dict[str, str] = {
     "mm2_frame_sample": MM2_SQL,
     "st1_stream_daily_sum": ST1_SQL,
     "st2_stream_window_sums": ST2_SQL,
+    "st3_stream_sessions": ST3_SQL,
+    "tx10_quality_prune": TX10_SQL,
     "tx1_text_stats": TX1_SQL,
     "tx2_language_id": TX2_SQL,
     "tx3_exact_dedup": TX3_SQL,

@@ -200,3 +200,37 @@ def stream_sliding_windows(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_sessions(
+    stream: DataFrame,
+    schema: TimeSeriesSchema,
+    gap: str = "12 hours",
+    watermark: str = "1 day",
+    value_column: str | None = None,
+) -> DataFrame:
+    """Streaming dual of :func:`paqarin_spark.operators.sessionize`:
+    gap-based session windows via the built-in ``session_window``
+    aggregation — state is one open session per entity, merged/closed
+    as the watermark passes ``gap`` beyond the last event.
+
+    Gap-merge produces the same session partitioning as the batch
+    cumulative-gap rule, so a bounded run carries the batch oracle
+    (q30's segmentation, minus the ordinal). ``session_end`` here is
+    the last event time (``max(ts)``), not the window close
+    (last + gap), to match the batch contract.
+    """
+    ts = schema.timestamp_column
+    aggs = [
+        F.min(ts).alias("session_start"),
+        F.max(ts).alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    ]
+    if value_column is not None:
+        aggs.append(F.round(F.sum(value_column), 6).alias("value_sum"))
+    return (
+        stream.withWatermark(ts, watermark)
+        .groupBy(*schema.ids, F.session_window(F.col(ts), gap).alias("_w"))
+        .agg(*aggs)
+        .drop("_w")
+    )

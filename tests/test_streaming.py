@@ -149,3 +149,34 @@ def test_stream_sliding_windows_state_spans_microbatches(spark, tmp_path):
     )
     assert canon(got) == canon(batch)
     assert len(got) == 6  # 8 - 3 + 1, including boundary-spanning windows
+
+
+def test_stream_sessions_matches_batch(spark, source_dir):
+    from paqarin_spark.operators import session_stats
+    from paqarin_spark.streaming import stream_sessions
+
+    batch = spark.read.parquet(source_dir)
+    stream = spark.readStream.schema(batch.schema).parquet(source_dir)
+    out = _run(
+        spark,
+        stream_sessions(stream, SCHEMA, gap="6 hours", value_column="v"),
+        "t_sessions",
+        "complete",
+    ).collect()
+    got = {
+        (r["item_id"], str(r["session_start"])): (
+            str(r["session_end"]),
+            r["n_events"],
+            r["value_sum"],
+        )
+        for r in out
+    }
+    expect = {
+        (r["item_id"], str(r["session_start"])): (
+            str(r["session_end"]),
+            r["n_events"],
+            r["value_sum"],
+        )
+        for r in session_stats(batch, "item_id", "ts", 6 * 3600, "v").collect()
+    }
+    assert got == expect
