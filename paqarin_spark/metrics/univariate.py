@@ -257,7 +257,8 @@ class UnivariateForecastScorer:
             self._trained_on_real = True
 
         start = train.agg(F.min(TIMESTAMP).alias("_mn")).collect()[0]["_mn"]
-        for it in range(self.iterations):
+
+        def synth_panel_for(it: int) -> DataFrame:
             synth = generate_rounds(
                 generator,
                 self.number_of_sequences,
@@ -267,7 +268,7 @@ class UnivariateForecastScorer:
             dated = attach_date_index(
                 synth, schema, start=start.strftime("%Y-%m-%d %H:%M:%S")
             )
-            synth_panel = to_panel(
+            return to_panel(
                 dated.withColumn("_item", F.col("sequence_id").cast("string")),
                 TimeSeriesSchema(
                     item_id_columns=("_item",),
@@ -276,11 +277,94 @@ class UnivariateForecastScorer:
                     frequency=schema.frequency,
                 ),
             )
-            model = self.forecaster_factory().fit(synth_panel)
+
+        if self.forecaster_factory is GlobalWeekdayProfileForecaster:
+            # Batched fast path for the default forecaster: all
+            # iterations' profiles, predictions and MAEs evaluate in
+            # ONE action (union tagged by _iter, groupBy(_iter) at
+            # every stage) instead of one job per iteration. Same math
+            # row for row as the per-iteration path below.
+            scores = self._batched_scores(synth_panel_for, train, actuals)
+            for it, score in enumerate(scores):
+                self.metric_manager.register_iteration(
+                    generator_name, it, {FORECAST_SCORE: score}
+                )
+            return
+
+        for it in range(self.iterations):
+            model = self.forecaster_factory().fit(synth_panel_for(it))
             score = self._score(model, train, actuals)
             self.metric_manager.register_iteration(
                 generator_name, it, {FORECAST_SCORE: score}
             )
+
+    def _batched_scores(
+        self, synth_panel_for, train: DataFrame, actuals: DataFrame
+    ) -> list[float]:
+        """All iterations of the weekday-profile TSTR score in one
+        plan: per-iteration profiles from the tagged panel union,
+        iteration-independent per-item base levels from real history,
+        one groupBy(_iter) MAE aggregation."""
+        period = GlobalWeekdayProfileForecaster().period
+        allp = None
+        for it in range(self.iterations):
+            tagged = synth_panel_for(it).withColumn("_iter", F.lit(it))
+            allp = tagged if allp is None else allp.unionByName(tagged)
+
+        global_mean = allp.groupBy("_iter").agg(F.avg(TARGET).alias("_g"))
+        profile = (
+            allp.groupBy("_iter", F.dayofweek(TIMESTAMP).alias("_dow"))
+            .agg(F.avg(TARGET).alias("_m"))
+            .join(global_mean, on="_iter")
+            .select(
+                "_iter",
+                "_dow",
+                F.when(F.col("_g") != 0, F.col("_m") / F.col("_g"))
+                .otherwise(F.lit(1.0))
+                .alias("_mult"),
+            )
+        )
+        recent = Window.partitionBy(ITEM_ID).orderBy(F.col(TIMESTAMP).desc())
+        base = (
+            train.withColumn("_rn", F.row_number().over(recent))
+            .where(F.col("_rn") <= period)
+            .groupBy(ITEM_ID)
+            .agg(F.avg(TARGET).alias("_base"))
+        )
+        iters = self.metric_manager.spark.range(self.iterations).select(
+            F.col("id").cast("int").alias("_iter")
+        )
+        # index × iterations, then LEFT join the profile so a weekday
+        # absent from one iteration's panel falls back to mult=1.0 —
+        # exactly the per-iteration predict() semantics.
+        preds = (
+            actuals.select(ITEM_ID, TIMESTAMP, TARGET)
+            .withColumn("_dow", F.dayofweek(TIMESTAMP))
+            .join(base, on=ITEM_ID, how="left")
+            .crossJoin(F.broadcast(iters))
+            .join(F.broadcast(profile), on=["_iter", "_dow"], how="left")
+            .select(
+                "_iter",
+                (
+                    F.coalesce(F.col("_base"), F.lit(0.0))
+                    * F.coalesce(F.col("_mult"), F.lit(1.0))
+                ).alias("target_pred"),
+                TARGET,
+            )
+        )
+        rows = preds.groupBy("_iter").agg(
+            F.avg(F.abs(F.col("target_pred") - F.col(TARGET))).alias("m")
+        ).collect()
+        by_iter = {r["_iter"]: r["m"] for r in rows}
+        if len(by_iter) != self.iterations or any(
+            v is None for v in by_iter.values()
+        ):
+            raise ValueError(
+                "univariate scoring set is empty — every item was dropped "
+                "by the panel regularity filter (gap-fill the input with "
+                "calendar_fill first) or the holdout has no rows"
+            )
+        return [float(by_iter[it]) for it in range(self.iterations)]
 
     def unpersist(self) -> None:
         if self._cache is not None:
