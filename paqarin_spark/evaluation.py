@@ -180,6 +180,20 @@ class MultivariatePredictiveScorer:
                 )
             self._trained_on_real = True
 
+        if self.forecaster_factory is LinearLastStepForecaster:
+            # Batched fast path for the default forecaster: every
+            # iteration's least-squares moments come from ONE
+            # groupBy(_iter) aggregation over the tagged synth union,
+            # and every iteration's MAE from one pass over real_test —
+            # two actions total instead of two per iteration. Same
+            # math row for row as the per-iteration path below.
+            maes = self._batched_scores(generator, real_test, schema)
+            for it, mae in enumerate(maes):
+                self.metric_manager.register_iteration(
+                    generator_name, it, {PREDICTIVE_SCORE: mae}
+                )
+            return
+
         for it in range(self.iterations):
             synth = generator.generate(self.number_of_sequences, seed=generator.parameters.seed + it)
             synth_feats = xy_split(synth, self.sequence_length)
@@ -188,6 +202,66 @@ class MultivariatePredictiveScorer:
             self.metric_manager.register_iteration(
                 generator_name, it, {PREDICTIVE_SCORE: mae}
             )
+
+    def _batched_scores(
+        self, generator: TimeSeriesGenerator, real_test: DataFrame, schema
+    ) -> list[float]:
+        """All iterations' TSTR scores in two actions: one tagged-union
+        aggregation for the per-iteration least-squares coefficients,
+        one cross-join pass over real_test for the MAEs."""
+        cols = list(schema.value_columns)
+        allf = None
+        for it in range(self.iterations):
+            synth = generator.generate(
+                self.number_of_sequences, seed=generator.parameters.seed + it
+            )
+            tagged = xy_split(synth, self.sequence_length).withColumn(
+                "_iter", F.lit(it)
+            )
+            allf = tagged if allf is None else allf.unionByName(tagged)
+
+        aggs = []
+        for c in cols:
+            x, y = LinearLastStepForecaster._xy(allf, c)
+            aggs += [
+                F.avg(x).alias(f"_mx_{c}"),
+                F.avg(y).alias(f"_my_{c}"),
+                F.covar_pop(x, y).alias(f"_cov_{c}"),
+                F.var_pop(x).alias(f"_var_{c}"),
+            ]
+        coef_rows = {r["_iter"]: r for r in allf.groupBy("_iter").agg(*aggs).collect()}
+
+        # Per-iteration coefficients as a broadcast dim; one shared
+        # scan of (cached) real_test computes every iteration's MAE.
+        spark = real_test.sparkSession
+        dim_rows = []
+        for it in range(self.iterations):
+            row = coef_rows[it]
+            flat = {"_iter": it}
+            for c in cols:
+                var = row[f"_var_{c}"] or 0.0
+                a = (row[f"_cov_{c}"] / var) if var > 0 else 0.0
+                b = (row[f"_my_{c}"] or 0.0) - a * (row[f"_mx_{c}"] or 0.0)
+                flat[f"_a_{c}"] = float(a)
+                flat[f"_b_{c}"] = float(b)
+            dim_rows.append(flat)
+        coefs = spark.createDataFrame(dim_rows)
+
+        errs = []
+        for c in cols:
+            x, y = LinearLastStepForecaster._xy(real_test, c)
+            errs.append(F.abs((F.col(f"_a_{c}") * x + F.col(f"_b_{c}")) - y))
+        total = errs[0]
+        for e in errs[1:]:
+            total = total + e
+        rows = (
+            real_test.crossJoin(F.broadcast(coefs))
+            .groupBy("_iter")
+            .agg(F.avg(total / F.lit(len(errs))).alias("mae"))
+            .collect()
+        )
+        by_iter = {r["_iter"]: float(r["mae"]) for r in rows}
+        return [by_iter[it] for it in range(self.iterations)]
 
     def unpersist(self) -> None:
         """Release the cached real train/test window sets. Call when
