@@ -11,6 +11,7 @@ from paqarin_spark.operators.resample import (
 )
 from paqarin_spark.operators.scaling import MinMaxScaler, MinMaxState
 from paqarin_spark.operators.dedup import (
+    duplicate_clusters,
     exact_duplicates,
     keep_first,
     minhash_lsh_pairs,
@@ -47,6 +48,7 @@ __all__ = [
     "time_bucket_sum",
     "MinMaxScaler",
     "MinMaxState",
+    "duplicate_clusters",
     "exact_duplicates",
     "keep_first",
     "minhash_lsh_pairs",

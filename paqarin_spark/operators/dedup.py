@@ -268,3 +268,73 @@ def simhash(
         )
         fingerprint = fingerprint + F.shiftleft(bit, i)
     return per_doc.select("doc", fingerprint.alias("simhash"))
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair list — the
+    cluster-then-keep-one-representative step after LSH/cosine pair
+    generation (north-star dedup surface; no reference analogue).
+
+    Iterative min-label propagation: every node's label becomes the
+    min of its own and its neighbors' labels until a fixpoint, so each
+    doc ends up labeled with the smallest doc id reachable from it —
+    exactly the transitive closure a recursive-CTE oracle computes.
+    Each iteration is ONE shuffle join keyed on the node id plus a
+    fixpoint check; LSH buckets emit near-cliques, so convergence is
+    fast (diameter rounds, typically <5). For adversarially long chain
+    graphs at 100 TB, swap the body for the large-star/small-star
+    variant — the API contract stays (doc, cluster_rep).
+
+    Only docs appearing in ``pairs`` are returned; unpaired docs are
+    their own trivial clusters and need no row.
+    """
+    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("_nl"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                F.col("node"),
+                F.least(
+                    F.col("label"), F.coalesce(F.col("_nl"), F.col("label"))
+                ).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    out = labels.select(
+        F.col("node").alias("doc"), F.col("label").alias("cluster_rep")
+    )
+    # Detach from the persisted loop frame so callers get a plain
+    # frame; the final labels stay cached until the session drops them
+    # or the caller materializes. Small (one row per paired doc).
+    return out

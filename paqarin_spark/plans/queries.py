@@ -941,6 +941,75 @@ FROM numbered GROUP BY 1, 2 ORDER BY 1, 2
 # Relational breadth: rollup, exact quantiles, two more TPC-H shapes
 
 
+def q35_multi_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution rollup reuse (hypertable continuous-aggregate
+    pattern): monthly per-entity sums derived FROM the daily aggregate,
+    never from raw — at 100 TB the coarse rollup reads the small
+    pre-aggregate. The oracle aggregates raw directly, so the check
+    proves the rollup-reuse identity sum(daily)==sum(raw)."""
+    ev = _events(spark, sf_dir)
+    daily = time_bucket_sum(ev, EVENTS_SCHEMA, bucket_column="bucket")
+    return (
+        daily.groupBy(
+            "user_id", F.date_trunc("MONTH", "bucket").alias("month_start")
+        )
+        .agg(
+            F.round(F.sum("value"), 6).alias("month_sum"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .select(
+            "user_id",
+            F.date_format("month_start", "yyyy-MM-dd").alias("month"),
+            "month_sum",
+            "n_days",
+        )
+    )
+
+
+Q35_SQL = """
+WITH daily AS (
+  SELECT user_id, date_trunc('day', ts) AS d, SUM(value) AS v
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id, strftime(date_trunc('month', d), '%Y-%m-%d') AS month,
+       ROUND(SUM(v), 6) AS month_sum, COUNT(*) AS n_days
+FROM daily GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q36_inactive_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join (left_anti — the NOT EXISTS plan shape): customers
+    with no orders in 1997+, counted per nation. Broadcast the nation
+    dim; the anti-join shuffles on the key like a semi-join, no
+    fan-out."""
+    configure_for_determinism(spark)
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp")
+    )
+    nation = read_table(spark, sf_dir, "nation")
+    inactive = cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    )
+    return (
+        inactive.join(F.broadcast(nation), inactive.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_inactive"))
+    )
+
+
+Q36_SQL = """
+SELECT n_name, COUNT(*) AS n_inactive
+FROM customer c JOIN nation ON c_nationkey = n_nationkey
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+    AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+)
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def q31_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP aggregation (north-star relational generality; absent in
     the reference — SURVEY.md §2 'Not present'): revenue by
@@ -2023,6 +2092,37 @@ FROM numbered GROUP BY user_id, session_id ORDER BY 1, 2
 """
 
 
+def tx11_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate clustering (operators.dedup.duplicate_clusters):
+    connected components over the tx6 MinHash-LSH pair list by
+    iterative min-label propagation; each doc maps to the smallest doc
+    id in its component (the canonical representative to keep)."""
+    from paqarin_spark.operators import duplicate_clusters
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_lsh_pairs(
+        docs, "text", "doc_id", num_hashes=4, band_size=2, shingle_n=3
+    )
+    return duplicate_clusters(pairs)
+
+
+TX11_SQL = f"""
+WITH RECURSIVE pairs AS ({TX6_SQL.replace("ORDER BY 1, 2", "")}),
+sym AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(node, r) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT e.src, re.r FROM sym e JOIN reach re ON e.dst = re.node
+)
+SELECT node AS doc, MIN(r) AS cluster_rep
+FROM reach GROUP BY 1 ORDER BY 1
+"""
+
+
 def tx10_quality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus quality pruning (the filter step every training-data
     pipeline runs after scoring): keep documents at or above the global
@@ -2102,7 +2202,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q32_quality_quantiles": q32_quality_quantiles,
     "q33_large_orders": q33_large_orders,
     "q34_nation_pair_volume": q34_nation_pair_volume,
+    "q35_multi_resolution": q35_multi_resolution,
+    "q36_inactive_dims": q36_inactive_dims,
     "tx9_bpe_tokens": tx9_bpe_tokens,
+    "tx11_dup_clusters": tx11_dup_clusters,
     "gen3_generation_rounds": gen3_generation_rounds,
     "gen1_bootstrap_sample": gen1_bootstrap_sample,
     "gen2_gaussian_sample": gen2_gaussian_sample,
@@ -2167,7 +2270,10 @@ ORACLE_SQL: dict[str, str] = {
     "q32_quality_quantiles": Q32_SQL,
     "q33_large_orders": Q33_SQL,
     "q34_nation_pair_volume": Q34_SQL,
+    "q35_multi_resolution": Q35_SQL,
+    "q36_inactive_dims": Q36_SQL,
     "tx9_bpe_tokens": TX9_SQL,
+    "tx11_dup_clusters": TX11_SQL,
     "tx8_rolling_hash": TX8_SQL,
     "em3_cosine_dedup": EM3_SQL,
     "em4_ivf_topk": EM4_SQL,

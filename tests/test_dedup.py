@@ -86,3 +86,26 @@ def test_simhash_deterministic_and_near(docs):
 
     # near-dup pair closer than unrelated pair
     assert hamming(hashes[1], hashes[3]) < hamming(hashes[1], hashes[4])
+
+
+def test_duplicate_clusters_components(spark):
+    from paqarin_spark.operators import duplicate_clusters
+
+    # chain 1-2-3-4 (diameter > 1 forces multiple propagation rounds),
+    # separate pair {10, 11}, triangle {20, 21, 22}
+    pairs = spark.createDataFrame(
+        [
+            (2, 1), (2, 3), (3, 4),
+            (10, 11),
+            (20, 21), (21, 22), (20, 22),
+        ],
+        "id_a long, id_b long",
+    )
+    got = {
+        r["doc"]: r["cluster_rep"] for r in duplicate_clusters(pairs).collect()
+    }
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20,
+    }
