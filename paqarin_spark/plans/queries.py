@@ -1010,6 +1010,55 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q37_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide panel via pivot (B4 generalization — long↔wide is the
+    boundary between the engine's long format and classic panel
+    tools): per-user value sums pivoted into one column per event
+    type. The pivot value list is DECLARED, not discovered, so the
+    plan is a single groupBy — no extra distinct-scan job and a
+    deterministic schema at any scale."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.round(F.sum("value"), 6))
+    )
+
+
+Q37_SQL = f"""
+SELECT user_id,
+       {', '.join(
+           "ROUND(SUM(CASE WHEN event_type = '" + t + "' THEN value END), 6)"
+           " AS " + t
+           for t in EVENT_TYPES
+       )}
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+def q38_unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) the q37 wide panel back to long — the inverse
+    boundary op; nulls (user × type combos with no events) drop on
+    both engines, so the roundtrip re-derives exactly the per-(user,
+    type) sums."""
+    wide = q37_pivot_event_types(spark, sf_dir)
+    return wide.unpivot(
+        ids=["user_id"],
+        values=list(EVENT_TYPES),
+        variableColumnName="event_type",
+        valueColumnName="type_sum",
+    ).where(F.col("type_sum").isNotNull())
+
+
+Q38_SQL = """
+SELECT user_id, event_type, ROUND(SUM(value), 6) AS type_sum
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q31_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP aggregation (north-star relational generality; absent in
     the reference — SURVEY.md §2 'Not present'): revenue by
@@ -2204,6 +2253,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q34_nation_pair_volume": q34_nation_pair_volume,
     "q35_multi_resolution": q35_multi_resolution,
     "q36_inactive_dims": q36_inactive_dims,
+    "q37_pivot_event_types": q37_pivot_event_types,
+    "q38_unpivot_roundtrip": q38_unpivot_roundtrip,
     "tx9_bpe_tokens": tx9_bpe_tokens,
     "tx11_dup_clusters": tx11_dup_clusters,
     "gen3_generation_rounds": gen3_generation_rounds,
@@ -2272,6 +2323,8 @@ ORACLE_SQL: dict[str, str] = {
     "q34_nation_pair_volume": Q34_SQL,
     "q35_multi_resolution": Q35_SQL,
     "q36_inactive_dims": Q36_SQL,
+    "q37_pivot_event_types": Q37_SQL,
+    "q38_unpivot_roundtrip": Q38_SQL,
     "tx9_bpe_tokens": TX9_SQL,
     "tx11_dup_clusters": TX11_SQL,
     "tx8_rolling_hash": TX8_SQL,

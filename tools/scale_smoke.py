@@ -20,8 +20,11 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from paqarin_spark.operators import (  # noqa: E402
     add_surrogate_key,
+    asof_join,
     calendar_fill,
     keep_first,
+    range_point_join,
+    sessionize,
     sliding_windows,
     tail_trim,
     time_bucket_sum,
@@ -93,6 +96,55 @@ def main() -> int:
         entities * (rows_per_entity - L + 1),
     )
     timed("surrogate keys", add_surrogate_key(ev, ["entity"], ["ts", "rid"]), n)
+
+    # As-of join: every left row survives (left-join contract), one
+    # shuffle on the key regardless of history length.
+    daily = time_bucket_sum(ev, SCHEMA, bucket_column="bucket").select(
+        "entity", "bucket", F.col("value").alias("day_sum")
+    )
+    timed(
+        "as-of join vs daily",
+        asof_join(
+            ev.select("rid", "entity", "ts"),
+            daily,
+            on=["entity"],
+            left_ts="ts",
+            right_ts="bucket",
+        ),
+        n,
+    )
+
+    # Sessionization: distinct days per entity = one session each at a
+    # sub-day gap (events within a day share a timestamp).
+    timed(
+        "sessionize (1h gap)",
+        sessionize(ev, "entity", "ts", gap_seconds=3600)
+        .select("entity", "session_id")
+        .distinct(),
+        entities * min(days, rows_per_entity),
+    )
+
+    # Binned range join: one [day0, day1) interval per entity matches
+    # exactly the day-0 events; interval replication is bounded by
+    # ceil(interval/bin)+1 = 2.
+    intervals = ev.where((F.col("rid") / entities).cast("long") % days == 0).select(
+        "entity",
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 1 DAY")).alias("stop"),
+    ).distinct()
+    timed(
+        "binned range join",
+        range_point_join(
+            ev.select("rid", "entity", "ts"),
+            intervals,
+            on=["entity"],
+            point="ts",
+            range_start="start",
+            range_end="stop",
+            bin_width_seconds=86_400,
+        ),
+        entities * -(-rows_per_entity // days),  # ceil: day-0 rows per entity
+    )
 
     print("all invariants hold" if all(checks) else "INVARIANT FAILURES")
     return 0 if all(checks) else 1
