@@ -1010,6 +1010,38 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q39_top_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via ranking window (relational generality; the
+    reference's only top-k is a global argmin): top-3 events by value
+    per user. The rank window partitions on the group key — parallel
+    across users, never a global sort."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id")
+    )
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select(
+            "user_id",
+            F.col("rk").cast("long").alias("rk"),
+            "event_id",
+            F.round("value", 6).alias("value"),
+        )
+    )
+
+
+Q39_SQL = """
+SELECT user_id, CAST(rk AS BIGINT) AS rk, event_id, ROUND(value, 6) AS value
+FROM (
+  SELECT user_id, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id) AS rk
+  FROM events
+) WHERE rk <= 3 ORDER BY user_id, rk
+"""
+
+
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 
@@ -2255,6 +2287,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q36_inactive_dims": q36_inactive_dims,
     "q37_pivot_event_types": q37_pivot_event_types,
     "q38_unpivot_roundtrip": q38_unpivot_roundtrip,
+    "q39_top_events_per_user": q39_top_events_per_user,
     "tx9_bpe_tokens": tx9_bpe_tokens,
     "tx11_dup_clusters": tx11_dup_clusters,
     "gen3_generation_rounds": gen3_generation_rounds,
@@ -2325,6 +2358,7 @@ ORACLE_SQL: dict[str, str] = {
     "q36_inactive_dims": Q36_SQL,
     "q37_pivot_event_types": Q37_SQL,
     "q38_unpivot_roundtrip": Q38_SQL,
+    "q39_top_events_per_user": Q39_SQL,
     "tx9_bpe_tokens": TX9_SQL,
     "tx11_dup_clusters": TX11_SQL,
     "tx8_rolling_hash": TX8_SQL,
