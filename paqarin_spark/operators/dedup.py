@@ -303,6 +303,7 @@ def duplicate_clusters(
         .withColumn("label", F.col("node"))
         .persist()
     )
+    prev_sum = None
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
@@ -319,17 +320,20 @@ def duplicate_clusters(
             )
             .persist()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        # Min-propagation only ever decreases labels, so the label sum
+        # is strictly monotone until the fixpoint: equal sum == no row
+        # changed. One cheap agg over the (just-cached) labels per
+        # round instead of an old-vs-new join.
+        # decimal sum: a wrapped long sum could alias two different
+        # label states at extreme id ranges; decimal(38) cannot.
+        label_sum = new_labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("_s")
+        ).collect()[0]["_s"]
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if label_sum == prev_sum:
             break
+        prev_sum = label_sum
     edges.unpersist()
     out = labels.select(
         F.col("node").alias("doc"), F.col("label").alias("cluster_rep")
