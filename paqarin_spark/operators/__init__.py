@@ -18,6 +18,7 @@ from paqarin_spark.operators.dedup import (
     minhash_signatures,
     ngram_jaccard_pairs,
     simhash,
+    simhash_pairs,
 )
 from paqarin_spark.operators.windows import (
     attach_date_index,
@@ -55,6 +56,7 @@ __all__ = [
     "minhash_signatures",
     "ngram_jaccard_pairs",
     "simhash",
+    "simhash_pairs",
     "attach_date_index",
     "forecast_horizon",
     "positional_split",

@@ -342,3 +342,65 @@ def duplicate_clusters(
     # frame; the final labels stay cached until the session drops them
     # or the caller materializes. Small (one row per paired doc).
     return out
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_column: str,
+    id_column: str,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """SimHash near-duplicate pairs: docs whose 60-bit fingerprints
+    differ in at most ``max_hamming`` bits.
+
+    Pigeonhole banding keeps this an EQUI-join: with ``n_bands`` bands
+    of 15 bits, any pair within ``n_bands - 1`` flipped bits shares at
+    least one identical band, so candidate generation is a shuffle on
+    (band_id, band_bits) — never all-pairs — and the exact
+    ``bit_count(xor)`` filter prunes band collisions afterwards.
+    Requires ``max_hamming < n_bands`` for the guarantee.
+    """
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"banding guarantee needs max_hamming < n_bands; "
+            f"got {max_hamming} >= {n_bands}"
+        )
+    bits = 60
+    width = bits // n_bands
+    fp = simhash(df, text_column, id_column)
+    mask = (1 << width) - 1
+    band_rows = [
+        fp.select(
+            F.col("doc"),
+            F.col("simhash"),
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("simhash"), b * width).bitwiseAND(F.lit(mask)).alias(
+                "band_bits"
+            ),
+        )
+        for b in range(n_bands)
+    ]
+    bands = band_rows[0]
+    for extra in band_rows[1:]:
+        bands = bands.unionByName(extra)
+    a = bands.alias("a")
+    b_ = bands.alias("b")
+    pairs = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_bits") == F.col("b.band_bits"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("id_a"),
+            F.col("b.doc").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return pairs

@@ -2173,6 +2173,52 @@ FROM numbered GROUP BY user_id, session_id ORDER BY 1, 2
 """
 
 
+def tx12_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (operators.dedup.simhash_pairs):
+    hamming distance <= 3 via pigeonhole banding (15-bit band
+    equi-join, never all-pairs) + exact bit_count(xor) filter. The
+    oracle brute-forces all pairs — same result set, proving the
+    banding loses nothing."""
+    from paqarin_spark.operators import simhash_pairs
+
+    docs = _docs(spark, sf_dir)
+    return simhash_pairs(docs, "text", "doc_id", max_hamming=3, n_bands=4)
+
+
+TX12_SQL = f"""
+WITH fp AS ({TX7_SQL.replace("ORDER BY doc", "")})
+SELECT a.doc AS id_a, b.doc AS id_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM fp a JOIN fp b ON a.doc < b.doc
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+ORDER BY 1, 2
+"""
+
+
+def tx13_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: top-20 tokens by frequency (the
+    word-count shape — partial-agg shuffle on token, distributed
+    TakeOrdered for the limit; lexicographic tie-break for
+    determinism)."""
+    from paqarin_spark.operators.dedup import tokens
+
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token"))
+        .limit(20)
+    )
+
+
+TX13_SQL = f"""
+SELECT token, COUNT(*) AS n
+FROM (SELECT unnest({_TOKS_SQL}) AS token FROM documents)
+GROUP BY 1 ORDER BY n DESC, token LIMIT 20
+"""
+
+
 def tx11_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate clustering (operators.dedup.duplicate_clusters):
     connected components over the tx6 MinHash-LSH pair list by
@@ -2290,6 +2336,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q39_top_events_per_user": q39_top_events_per_user,
     "tx9_bpe_tokens": tx9_bpe_tokens,
     "tx11_dup_clusters": tx11_dup_clusters,
+    "tx12_simhash_pairs": tx12_simhash_pairs,
+    "tx13_top_tokens": tx13_top_tokens,
     "gen3_generation_rounds": gen3_generation_rounds,
     "gen1_bootstrap_sample": gen1_bootstrap_sample,
     "gen2_gaussian_sample": gen2_gaussian_sample,
@@ -2361,6 +2409,8 @@ ORACLE_SQL: dict[str, str] = {
     "q39_top_events_per_user": Q39_SQL,
     "tx9_bpe_tokens": TX9_SQL,
     "tx11_dup_clusters": TX11_SQL,
+    "tx12_simhash_pairs": TX12_SQL,
+    "tx13_top_tokens": TX13_SQL,
     "tx8_rolling_hash": TX8_SQL,
     "em3_cosine_dedup": EM3_SQL,
     "em4_ivf_topk": EM4_SQL,

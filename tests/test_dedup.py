@@ -109,3 +109,17 @@ def test_duplicate_clusters_components(spark):
         10: 10, 11: 10,
         20: 20, 21: 20, 22: 20,
     }
+
+
+def test_simhash_pairs_validates_banding(spark):
+    from paqarin_spark.operators import simhash_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma")],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError):
+        simhash_pairs(docs, "text", "doc_id", max_hamming=4, n_bands=4)
+    # identical docs: hamming 0, exactly one pair
+    out = simhash_pairs(docs, "text", "doc_id").collect()
+    assert [(r["id_a"], r["id_b"], r["hamming"]) for r in out] == [(1, 2, 0)]
