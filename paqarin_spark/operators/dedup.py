@@ -370,20 +370,25 @@ def simhash_pairs(
     width = bits // n_bands
     fp = simhash(df, text_column, id_column)
     mask = (1 << width) - 1
-    band_rows = [
-        fp.select(
-            F.col("doc"),
-            F.col("simhash"),
-            F.lit(b).alias("band"),
-            F.shiftright(F.col("simhash"), b * width).bitwiseAND(F.lit(mask)).alias(
-                "band_bits"
-            ),
-        )
-        for b in range(n_bands)
-    ]
-    bands = band_rows[0]
-    for extra in band_rows[1:]:
-        bands = bands.unionByName(extra)
+    # All bands in ONE projection + unpivot, so the simhash subtree is
+    # planned once per join side — a per-band union would re-execute
+    # the fingerprint aggregation n_bands times per side.
+    wide = fp.select(
+        "doc",
+        "simhash",
+        *[
+            F.shiftright(F.col("simhash"), b * width)
+            .bitwiseAND(F.lit(mask))
+            .alias(f"_bb_{b}")
+            for b in range(n_bands)
+        ],
+    )
+    bands = wide.unpivot(
+        ids=["doc", "simhash"],
+        values=[f"_bb_{b}" for b in range(n_bands)],
+        variableColumnName="band",
+        valueColumnName="band_bits",
+    )
     a = bands.alias("a")
     b_ = bands.alias("b")
     pairs = (
