@@ -180,3 +180,94 @@ def test_rolling_hash_matches_python_model(spark, text):
     for ch in norm:
         expected = (expected * ROLLING_HASH_BASE + ord(ch)) % ROLLING_HASH_MOD
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# as-of join ≡ brute-force reference; sessionize partition laws
+
+
+@st.composite
+def _asof_case(draw):
+    left = draw(
+        st.lists(
+            st.tuples(st.sampled_from("ab"), st.integers(0, 40)),
+            min_size=1,
+            max_size=15,
+        )
+    )
+    right = draw(
+        st.lists(
+            st.tuples(st.sampled_from("ab"), st.integers(0, 40), finite_floats),
+            min_size=0,
+            max_size=10,
+            unique_by=lambda r: (r[0], r[1]),  # operator contract
+        )
+    )
+    direction = draw(st.sampled_from(["backward", "forward"]))
+    return left, right, direction
+
+
+@PROP_SETTINGS
+@given(case=_asof_case())
+def test_asof_join_matches_bruteforce(spark, case):
+    from paqarin_spark.operators import asof_join
+
+    left_rows, right_rows, direction = case
+    base = dt.datetime(2021, 3, 1)
+
+    def ts(off):
+        return base + dt.timedelta(hours=off)
+
+    left = spark.createDataFrame(
+        [(k, ts(o), i) for i, (k, o) in enumerate(left_rows)],
+        "k string, ts timestamp, rid long",
+    )
+    right = spark.createDataFrame(
+        [(k, ts(o), v) for k, o, v in right_rows],
+        "k string, rts timestamp, px double",
+    )
+    got = {
+        r["rid"]: (r["px"], r["matched_ts"])
+        for r in asof_join(
+            left, right, on=["k"], left_ts="ts", right_ts="rts",
+            direction=direction,
+        ).collect()
+    }
+    assert set(got) == set(range(len(left_rows)))
+    for i, (k, o) in enumerate(left_rows):
+        if direction == "backward":
+            cands = [(ro, rv) for rk, ro, rv in right_rows if rk == k and ro <= o]
+            best = max(cands) if cands else None
+        else:
+            cands = [(ro, rv) for rk, ro, rv in right_rows if rk == k and ro >= o]
+            best = min(cands) if cands else None
+        if best is None:
+            assert got[i] == (None, None)
+        else:
+            assert got[i] == (best[1], ts(best[0]))
+
+
+@PROP_SETTINGS
+@given(
+    offsets=st.lists(st.integers(0, 200), min_size=1, max_size=25),
+    gap_hours=st.integers(1, 48),
+)
+def test_sessionize_partition_laws(spark, offsets, gap_hours):
+    from paqarin_spark.operators import sessionize
+
+    base = dt.datetime(2021, 3, 1)
+    rows = [
+        ("u", base + dt.timedelta(hours=o), float(i))
+        for i, o in enumerate(offsets)
+    ]
+    df = spark.createDataFrame(rows, "u string, ts timestamp, v double")
+    out = sorted(
+        (r["ts"], r["session_id"])
+        for r in sessionize(df, "u", "ts", gap_seconds=gap_hours * 3600).collect()
+    )
+    # session ids are a non-decreasing 0-based sequence in time order,
+    # stepping exactly at gaps > threshold
+    assert out[0][1] == 0
+    for (t0, s0), (t1, s1) in zip(out, out[1:]):
+        gap = (t1 - t0).total_seconds()
+        assert s1 - s0 == (1 if gap > gap_hours * 3600 else 0)
