@@ -84,3 +84,36 @@ def write_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).option("header", "true").csv(path)
+
+
+def read_jsonl(
+    spark: SparkSession, path: str, schema=None
+) -> DataFrame:
+    """Op A1/A2 for JSON-lines corpora (the interchange format of
+    large text/training-data pipelines). Globs distribute like CSV;
+    pass an explicit schema in production — inference scans the data
+    twice and cannot prune."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).json(path)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_columns: list[str],
+    mode: str = "overwrite",
+) -> None:
+    """Op A3 at scale: hive-partitioned parquet layout
+    (``path/col=value/...``). Readers touching a partition predicate
+    scan only matching directories (partition pruning — verify with
+    ``.explain()`` PartitionFilters), which is the difference between
+    reading 100 TB and reading one day of it. Choose low-cardinality
+    partition columns (date buckets, source); high-cardinality keys
+    create a small-file explosion."""
+    df.write.mode(mode).partitionBy(*partition_columns).parquet(path)

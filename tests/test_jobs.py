@@ -60,3 +60,35 @@ def test_train_job_end_to_end(spark, csv_dir, metadata_file, tmp_path):
     out = loaded.generate(3).collect()
     assert len(out) == 3
     assert all(len(r["sequence"]) == 4 for r in out)
+
+
+def test_jsonl_roundtrip(spark, tmp_path):
+    from paqarin_spark.sources import read_jsonl, write_jsonl
+
+    df = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "id long, text string"
+    )
+    path = str(tmp_path / "docs_jsonl")
+    write_jsonl(df, path)
+    back = read_jsonl(spark, path, schema="id long, text string")
+    assert sorted((r["id"], r["text"]) for r in back.collect()) == [
+        (1, "alpha"),
+        (2, "beta"),
+    ]
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from paqarin_spark.sources import write_partitioned
+
+    df = spark.createDataFrame(
+        [(i, f"2024-01-{(i % 3) + 1:02d}", float(i)) for i in range(30)],
+        "id long, day string, value double",
+    )
+    path = str(tmp_path / "part_events")
+    write_partitioned(df, path, ["day"])
+    back = spark.read.parquet(path).where(F.col("day") == "2024-01-02")
+    assert back.count() == 10
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(day" in plan
