@@ -1042,6 +1042,111 @@ FROM (
 """
 
 
+def q40_above_average_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery shape (orders 1.5× above their customer's
+    average), written decorrelated: per-customer averages aggregate
+    first (partial-agg shuffle on the key), then join+filter — the
+    plan Catalyst's decorrelation would produce from the subquery."""
+    configure_for_determinism(spark)
+    orders = read_table(spark, sf_dir, "orders")
+    # Decimal-sum average: float avg differs in the 4th decimal across
+    # engines' summation orders; sum(DECIMAL)/count is order-exact.
+    avg_per_cust = orders.groupBy(F.col("o_custkey").alias("_ck")).agg(
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(30,10)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("_avg_price")
+    )
+    return (
+        orders.join(avg_per_cust, orders.o_custkey == F.col("_ck"))
+        .where(F.col("o_totalprice") > F.col("_avg_price") * 1.5)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round("o_totalprice", 4).alias("o_totalprice"),
+            # the average itself stays out of the output: its quotient
+            # can land exactly on a .5 at any fixed rounding scale,
+            # where Spark (HALF_UP) and DuckDB disagree; the filter
+            # compares the unrounded doubles, which are identical
+        )
+    )
+
+
+Q40_SQL = """
+WITH avgs AS (
+  SELECT o_custkey AS ck,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE)
+           / COUNT(*) AS cust_avg
+  FROM orders GROUP BY 1
+)
+SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 4) AS o_totalprice
+FROM orders JOIN avgs ON o_custkey = ck
+WHERE o_totalprice > cust_avg * 1.5
+ORDER BY o_orderkey
+"""
+
+
+def q41_churned_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference (EXCEPT DISTINCT = ``subtract``): users active in
+    the first week of the window but absent on its final day. Distinct
+    projections shuffle on the key; the except is a hash anti-join on
+    tiny sets."""
+    ev = _events(spark, sf_dir)
+    bounds = ev.agg(
+        F.min("ts").alias("_mn"), F.max("ts").alias("_mx")
+    )
+    with_b = ev.join(F.broadcast(bounds))
+    first_week = with_b.where(
+        F.col("ts") < F.col("_mn") + F.expr("INTERVAL 7 DAYS")
+    ).select("user_id")
+    last_day = with_b.where(
+        F.col("ts") >= F.col("_mx") - F.expr("INTERVAL 1 DAY")
+    ).select("user_id")
+    return first_week.subtract(last_day)
+
+
+Q41_SQL = """
+WITH b AS (SELECT MIN(ts) AS mn, MAX(ts) AS mx FROM events)
+SELECT DISTINCT user_id FROM events, b
+WHERE ts < mn + INTERVAL 7 DAY
+EXCEPT
+SELECT DISTINCT user_id FROM events, b
+WHERE ts >= mx - INTERVAL 1 DAY
+ORDER BY user_id
+"""
+
+
+def em5_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (the k-means/IVF training
+    primitive): element-wise mean per (label, dimension) via
+    posexplode + partial-agg groupBy — dimension fan-out is the
+    shuffle key, never a driver-side matrix."""
+    configure_for_determinism(spark)
+    emb = read_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            "label",
+            F.posexplode(
+                F.transform("embedding", lambda x: x.cast("double"))
+            ).alias("dim", "x"),
+        )
+        .groupBy("label", "dim")
+        .agg(
+            F.round(F.avg("x"), 6).alias("centroid"),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+    )
+
+
+EM5_SQL = """
+SELECT label, CAST(t.i - 1 AS INTEGER) AS dim,
+       ROUND(AVG(CAST(embedding[t.i] AS DOUBLE)), 6) AS centroid,
+       COUNT(*) AS n_vectors
+FROM embeddings CROSS JOIN range(1, 65) t(i)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 
@@ -2334,6 +2439,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q37_pivot_event_types": q37_pivot_event_types,
     "q38_unpivot_roundtrip": q38_unpivot_roundtrip,
     "q39_top_events_per_user": q39_top_events_per_user,
+    "q40_above_average_orders": q40_above_average_orders,
+    "q41_churned_users": q41_churned_users,
+    "em5_label_centroids": em5_label_centroids,
     "tx9_bpe_tokens": tx9_bpe_tokens,
     "tx11_dup_clusters": tx11_dup_clusters,
     "tx12_simhash_pairs": tx12_simhash_pairs,
@@ -2407,6 +2515,9 @@ ORACLE_SQL: dict[str, str] = {
     "q37_pivot_event_types": Q37_SQL,
     "q38_unpivot_roundtrip": Q38_SQL,
     "q39_top_events_per_user": Q39_SQL,
+    "q40_above_average_orders": Q40_SQL,
+    "q41_churned_users": Q41_SQL,
+    "em5_label_centroids": EM5_SQL,
     "tx9_bpe_tokens": TX9_SQL,
     "tx11_dup_clusters": TX11_SQL,
     "tx12_simhash_pairs": TX12_SQL,
