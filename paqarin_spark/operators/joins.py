@@ -171,6 +171,15 @@ def range_point_join(
         if on:
             return left.join(right, on=on, how=how).filter(pred)
         return left.join(right, pred, how)
+    if how != "inner":
+        # A post-join residual filter turns unmatched outer rows
+        # (null interval columns) into dropped rows — outer semantics
+        # silently degrade to inner. Refuse rather than mislead.
+        raise ValueError(
+            "binned range_point_join supports how='inner' only; for "
+            "left semantics, anti-join the inner result against the "
+            f"left side (got {how!r})"
+        )
     bin_col = "__bin"
     secs = F.unix_timestamp
     lb = left.withColumn(bin_col, F.floor(secs(F.col(point)) / bin_width_seconds))

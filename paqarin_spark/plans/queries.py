@@ -2214,6 +2214,47 @@ ORDER BY user_id, sequence_id
 """
 
 
+def st4_stream_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op D3's scaler-fit state as a bounded Structured Streaming run
+    (streaming.stream_running_minmax): the online min/max that feeds
+    MinMaxState for continuous scaling, same oracle as the batch
+    global aggregate."""
+    from pyspark.sql.types import LongType
+
+    from paqarin_spark.streaming import stream_running_minmax
+
+    configure_for_determinism(spark)
+    read_table(spark, sf_dir, "events")  # pins nano-ts session conf
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = spark.readStream.schema(raw_schema).parquet(
+        f"{sf_dir}/events*.parquet"
+    )
+    if isinstance(raw_schema["ts"].dataType, LongType):
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("`ts` div 1000"))
+        )
+    out = stream_running_minmax(stream, EVENTS_SCHEMA)
+    name = "st4_stream_minmax"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.round("min_value", 6).alias("min_value"),
+        F.round("max_value", 6).alias("max_value"),
+    )
+
+
+ST4_SQL = """
+SELECT ROUND(MIN(value), 6) AS min_value, ROUND(MAX(value), 6) AS max_value
+FROM events
+"""
+
+
 def st3_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization as a Structured Streaming job
     (streaming.stream_sessions, built-in session_window state): bounded
@@ -2468,6 +2509,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "st1_stream_daily_sum": st1_stream_daily_sum,
     "st2_stream_window_sums": st2_stream_window_sums,
     "st3_stream_sessions": st3_stream_sessions,
+    "st4_stream_minmax": st4_stream_minmax,
     "tx10_quality_prune": tx10_quality_prune,
 }
 
@@ -2530,6 +2572,7 @@ ORACLE_SQL: dict[str, str] = {
     "st1_stream_daily_sum": ST1_SQL,
     "st2_stream_window_sums": ST2_SQL,
     "st3_stream_sessions": ST3_SQL,
+    "st4_stream_minmax": ST4_SQL,
     "tx10_quality_prune": TX10_SQL,
     "tx1_text_stats": TX1_SQL,
     "tx2_language_id": TX2_SQL,
