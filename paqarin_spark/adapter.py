@@ -16,12 +16,14 @@ from pyspark.sql import SparkSession
 
 from paqarin_spark.generator import GeneratorParameters, TimeSeriesGenerator
 from paqarin_spark.generators.bootstrap import BlockBootstrapGenerator
+from paqarin_spark.generators.conditional import ConditionalBootstrapGenerator
 from paqarin_spark.generators.gaussian import GaussianPerStepGenerator
 
 Factory = Callable[[GeneratorParameters], TimeSeriesGenerator]
 
 _REGISTRY: dict[tuple[str, str], Factory] = {
     ("paqarin_spark", "bootstrap"): BlockBootstrapGenerator,
+    ("paqarin_spark", "conditional_bootstrap"): ConditionalBootstrapGenerator,
     ("paqarin_spark", "gaussian"): GaussianPerStepGenerator,
 }
 

@@ -2,6 +2,7 @@
 deep-provider data-contract views."""
 
 from paqarin_spark.generators.bootstrap import BlockBootstrapGenerator
+from paqarin_spark.generators.conditional import ConditionalBootstrapGenerator
 from paqarin_spark.generators.gaussian import GaussianPerStepGenerator
 from paqarin_spark.generators.views import (
     SynthcityLoaderViews,
@@ -13,6 +14,7 @@ from paqarin_spark.generators.views import (
 
 __all__ = [
     "BlockBootstrapGenerator",
+    "ConditionalBootstrapGenerator",
     "GaussianPerStepGenerator",
     "SynthcityLoaderViews",
     "add_prefixes",

@@ -721,6 +721,67 @@ def gen2_gaussian_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("sequence_id", "step", F.round(F.col("_obs.value"), 6).alias("value"))
 
 
+def gen4_conditional_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAR-contract conditional sampling (J2 with a required context
+    frame): generate sequences conditioned on each user's dominant
+    event type; emit per-attribute sequence counts (rows-only — seeded
+    sampling)."""
+    from paqarin_spark.generator import GeneratorParameters
+    from paqarin_spark.generators import ConditionalBootstrapGenerator
+    from paqarin_spark.schema import TimeSeriesSchema
+
+    ev = _events(spark, sf_dir)
+    # PAR's model assumes STATIC per-entity attributes; events carry a
+    # per-row type, so derive each user's dominant type as the static
+    # attribute first (count-desc, lexicographic tie-break).
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("_n").desc(), F.col("event_type")
+    )
+    dom = (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .select("user_id", F.col("event_type").alias("dom_type"))
+    )
+    tagged = ev.select("user_id", "ts", "event_id", "value").join(
+        F.broadcast(dom), on="user_id"
+    )
+    schema = TimeSeriesSchema(
+        item_id_columns=("user_id",),
+        timestamp_column="ts",
+        value_columns=("value",),
+        attribute_columns=("dom_type",),
+        frequency="D",
+        order_columns=("event_id",),
+    )
+    gen = ConditionalBootstrapGenerator(
+        GeneratorParameters(schema=schema, sequence_length=8, seed=23)
+    ).fit(tagged)
+    ctx = spark.createDataFrame(
+        [(t,) for t in EVENT_TYPES for _ in range(4)], "dom_type string"
+    )
+    out = (
+        gen.generate(context=ctx)
+        .groupBy("dom_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_sequences"),
+            F.round(
+                F.avg(
+                    F.aggregate(
+                        "sequence",
+                        F.lit(0.0),
+                        lambda acc, x: acc + x["value"],
+                    )
+                ),
+                6,
+            ).alias("avg_seq_sum"),
+        )
+    )
+    gen.unpersist()
+    return out
+
+
 def ev1_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship orchestration (op K2): fit bootstrap + gaussian on the
     events table, TSTR-score both, emit the summary metric rows."""
@@ -2490,6 +2551,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gen3_generation_rounds": gen3_generation_rounds,
     "gen1_bootstrap_sample": gen1_bootstrap_sample,
     "gen2_gaussian_sample": gen2_gaussian_sample,
+    "gen4_conditional_sample": gen4_conditional_sample,
     "ev1_pipeline_summary": ev1_pipeline_summary,
     "ev2_univariate_summary": ev2_univariate_summary,
     "tx1_text_stats": tx1_text_stats,

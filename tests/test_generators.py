@@ -135,3 +135,74 @@ def test_synthcity_loader_views(spark):
     assert "seq_temporal_v" in prefixed.columns
     assert "seq_static_kind" in prefixed.columns
     assert strip_prefixes(prefixed).columns == df.columns
+
+
+def test_conditional_bootstrap_contract(spark):
+    import datetime as dt
+
+    import pytest
+
+    from paqarin_spark.generator import GeneratorParameters
+    from paqarin_spark.generators import ConditionalBootstrapGenerator
+    from paqarin_spark.schema import TimeSeriesSchema
+
+    schema = TimeSeriesSchema(
+        item_id_columns=("item",),
+        timestamp_column="ts",
+        value_columns=("v",),
+        attribute_columns=("kind",),
+        frequency="D",
+        order_columns=(),
+    )
+    rows = [
+        (item, kind, dt.datetime(2021, 3, 1) + dt.timedelta(days=i),
+         float(i + ord(item[0])))
+        for item, kind in (("a", "red"), ("b", "red"), ("c", "blue"))
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, "item string, kind string, ts timestamp, v double")
+    params = GeneratorParameters(schema=schema, sequence_length=4, seed=11)
+    gen = ConditionalBootstrapGenerator(params).fit(df)
+
+    # context is REQUIRED (reference: tests/test_par.py:43-44)
+    with pytest.raises(ValueError):
+        gen.generate(5)
+
+    ctx = spark.createDataFrame(
+        [("red",), ("red",), ("blue",)], "kind string"
+    )
+    out = gen.generate(context=ctx).collect()
+    # one sequence per context row, attributes honored
+    assert len(out) == 3
+    kinds = sorted(r["kind"] for r in out)
+    assert kinds == ["blue", "red", "red"]
+    for r in out:
+        assert len(r["sequence"]) == 4
+
+    # unseen attribute values yield no sequences (no crash)
+    ghost = spark.createDataFrame([("green",)], "kind string")
+    assert gen.generate(context=ghost).count() == 0
+
+    # deterministic under repeated calls with the same seed
+    again = gen.generate(context=ctx).collect()
+    assert sorted(map(str, out)) == sorted(map(str, again))
+    gen.unpersist()
+
+
+def test_conditional_bootstrap_needs_attributes():
+    import pytest
+
+    from paqarin_spark.generator import GeneratorParameters
+    from paqarin_spark.generators import ConditionalBootstrapGenerator
+    from paqarin_spark.schema import TimeSeriesSchema
+
+    schema = TimeSeriesSchema(
+        item_id_columns=("item",),
+        timestamp_column="ts",
+        value_columns=("v",),
+        frequency="D",
+    )
+    with pytest.raises(ValueError):
+        ConditionalBootstrapGenerator(
+            GeneratorParameters(schema=schema, sequence_length=4, seed=1)
+        )
