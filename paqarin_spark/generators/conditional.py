@@ -120,3 +120,32 @@ class ConditionalBootstrapGenerator(TimeSeriesGenerator):
             list(self.parameters.schema.value_columns),
             inverse=True,
         )
+
+    def save(self, path: str) -> None:
+        import os
+
+        from paqarin_spark.generator import _write_params
+        from paqarin_spark.operators.scaling import MinMaxState  # noqa: F401
+
+        if self._windows is None:
+            raise RuntimeError("generator is not fitted")
+        _write_params(
+            path, self.parameters, {"provider": self.provider, "method": self.method}
+        )
+        self.scaler.state.save(os.path.join(path, "scaler.json"))
+        self._windows.write.mode("overwrite").parquet(
+            os.path.join(path, "windows.parquet")
+        )
+
+    @classmethod
+    def load(cls, spark, path: str) -> "ConditionalBootstrapGenerator":
+        import os
+
+        from paqarin_spark.generator import _read_params
+        from paqarin_spark.operators.scaling import MinMaxState
+
+        params, _ = _read_params(path)
+        gen = cls(params)
+        gen.scaler.state = MinMaxState.load(os.path.join(path, "scaler.json"))
+        gen._windows = spark.read.parquet(os.path.join(path, "windows.parquet"))
+        return gen

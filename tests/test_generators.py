@@ -206,3 +206,39 @@ def test_conditional_bootstrap_needs_attributes():
         ConditionalBootstrapGenerator(
             GeneratorParameters(schema=schema, sequence_length=4, seed=1)
         )
+
+
+def test_conditional_bootstrap_save_load_roundtrip(spark, tmp_path):
+    import datetime as dt
+
+    from paqarin_spark.adapter import load_generator
+    from paqarin_spark.generator import GeneratorParameters
+    from paqarin_spark.generators import ConditionalBootstrapGenerator
+    from paqarin_spark.schema import TimeSeriesSchema
+
+    schema = TimeSeriesSchema(
+        item_id_columns=("item",),
+        timestamp_column="ts",
+        value_columns=("v",),
+        attribute_columns=("kind",),
+        frequency="D",
+        order_columns=(),
+    )
+    rows = [
+        (item, kind, dt.datetime(2021, 3, 1) + dt.timedelta(days=i), float(i))
+        for item, kind in (("a", "red"), ("c", "blue"))
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, "item string, kind string, ts timestamp, v double")
+    gen = ConditionalBootstrapGenerator(
+        GeneratorParameters(schema=schema, sequence_length=4, seed=5)
+    ).fit(df)
+    ctx = spark.createDataFrame([("red",), ("blue",)], "kind string")
+    before = sorted(map(str, gen.generate(context=ctx).collect()))
+
+    path = str(tmp_path / "cond_gen")
+    gen.save(path)
+    gen.unpersist()
+    loaded = load_generator(spark, "paqarin_spark", "conditional_bootstrap", path)
+    after = sorted(map(str, loaded.generate(context=ctx).collect()))
+    assert before == after
