@@ -117,3 +117,18 @@ def write_partitioned(
     partition columns (date buckets, source); high-cardinality keys
     create a small-file explosion."""
     df.write.mode(mode).partitionBy(*partition_columns).parquet(path)
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> list[str]:
+    """Register every testdata table as a temp view so the engine's
+    SQL surface (`spark.sql`) serves the same relations as the
+    DataFrame API — and as the DuckDB oracle's pre-registered views.
+    Returns the registered names."""
+    import os
+
+    out = []
+    for name in TABLES:
+        if os.path.exists(f"{sf_dir}/{name}.parquet"):
+            read_table(spark, sf_dir, name).createOrReplaceTempView(name)
+            out.append(name)
+    return out

@@ -92,3 +92,25 @@ def test_partitioned_write_prunes(spark, tmp_path):
     assert back.count() == 10
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(day" in plan
+
+
+def test_register_views_sql_surface(spark):
+    from paqarin_spark.sources import register_views
+
+    names = register_views(spark, "/root/testdata/sf0.001")
+    assert {"events", "lineitem", "orders"} <= set(names)
+    row = spark.sql(
+        """
+        SELECT COUNT(*) AS n, COUNT(DISTINCT user_id) AS users
+        FROM events
+        """
+    ).collect()[0]
+    assert row["n"] > 0 and row["users"] > 0
+    joined = spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS c
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY 1 ORDER BY 1 LIMIT 3
+        """
+    ).collect()
+    assert len(joined) == 3
