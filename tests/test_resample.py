@@ -103,3 +103,33 @@ def test_regular_index_filter_keeps_regular_entities(spark):
     schema = TimeSeriesSchema(("item_id",), "timestamp", ("numeric_column",), frequency="D")
     kept = {r["item_id"] for r in regular_index_filter(df, schema).collect()}
     assert kept == {"reg"}
+
+
+def test_wrong_date_format_raises(spark):
+    """G1 error contract (reference tests/test_synthcity_adapter.py:
+    135-145): a mismatched explicit format is an error, not a silent
+    coercion — ANSI to_timestamp raises at execution."""
+    import pytest
+
+    from paqarin_spark.operators.resample import parse_timestamps
+    from paqarin_spark.schema import TimeSeriesSchema
+
+    schema = TimeSeriesSchema(
+        item_id_columns=("item",),
+        timestamp_column="ts",
+        value_columns=("v",),
+        frequency="D",
+        date_format="%d/%m/%Y",
+    )
+    df = spark.createDataFrame(
+        [("a", "2021-03-01", 1.0)], "item string, ts string, v double"
+    )
+    with pytest.raises(Exception) as err:
+        parse_timestamps(df, schema).collect()
+    assert "2021-03-01" in str(err.value) or "CANNOT_PARSE" in str(err.value).upper()
+
+    ok = spark.createDataFrame(
+        [("a", "01/03/2021", 1.0)], "item string, ts string, v double"
+    )
+    row = parse_timestamps(ok, schema).collect()[0]
+    assert str(row["ts"]).startswith("2021-03-01")
