@@ -1208,6 +1208,69 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q42_cube_type_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation (all grouping-set combinations of event type ×
+    ISO weekday) — one pass, partial-agg per grouping set."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.select(
+            "event_type",
+            (F.weekday("ts") + 1).cast("long").alias("isodow"),
+            "value",
+        )
+        .cube("event_type", "isodow")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(30,10)")).cast("double"), 4).alias(
+                "sum_value"
+            ),
+        )
+    )
+
+
+Q42_SQL = """
+SELECT event_type, CAST(EXTRACT(ISODOW FROM ts) AS BIGINT) AS isodow,
+       COUNT(*) AS n,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(30,10))) AS DOUBLE), 4) AS sum_value
+FROM events
+GROUP BY CUBE (event_type, isodow)
+ORDER BY 1, 2
+"""
+
+
+def q43_mad_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per event type (robust spread —
+    nested exact quantiles): MAD = median(|x - median(x)|). Two
+    percentile aggregations with a broadcast join between them."""
+    ev = _events(spark, sf_dir)
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("_med")
+    )
+    return (
+        ev.join(F.broadcast(med), on="event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.min("_med"), 6).alias("median_value"),
+            F.round(
+                F.percentile(F.abs(F.col("value") - F.col("_med")), F.lit(0.5)), 6
+            ).alias("mad_value"),
+        )
+    )
+
+
+Q43_SQL = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS m
+  FROM events GROUP BY 1
+)
+SELECT e.event_type,
+       ROUND(MIN(m), 6) AS median_value,
+       ROUND(quantile_cont(ABS(value - m), 0.5), 6) AS mad_value
+FROM events e JOIN med USING (event_type)
+GROUP BY 1 ORDER BY 1
+"""
+
+
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 
@@ -2543,6 +2606,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q39_top_events_per_user": q39_top_events_per_user,
     "q40_above_average_orders": q40_above_average_orders,
     "q41_churned_users": q41_churned_users,
+    "q42_cube_type_weekday": q42_cube_type_weekday,
+    "q43_mad_by_type": q43_mad_by_type,
     "em5_label_centroids": em5_label_centroids,
     "tx9_bpe_tokens": tx9_bpe_tokens,
     "tx11_dup_clusters": tx11_dup_clusters,
@@ -2621,6 +2686,8 @@ ORACLE_SQL: dict[str, str] = {
     "q39_top_events_per_user": Q39_SQL,
     "q40_above_average_orders": Q40_SQL,
     "q41_churned_users": Q41_SQL,
+    "q42_cube_type_weekday": Q42_SQL,
+    "q43_mad_by_type": Q43_SQL,
     "em5_label_centroids": EM5_SQL,
     "tx9_bpe_tokens": TX9_SQL,
     "tx11_dup_clusters": TX11_SQL,
