@@ -185,7 +185,8 @@ def sample_frames(df: DataFrame, every_nth: int = 2) -> DataFrame:
                 meta = row["meta"]
                 if meta is None or meta["media_type"] != "video":
                     continue
-                n = meta["n_frames"] or 0
+                # nullable struct ints arrive as floats through Arrow
+                n = int(meta["n_frames"] or 0)
                 for idx in range(0, n, every_nth):
                     h = hashlib.md5(
                         (row["content"] or b"") + idx.to_bytes(4, "big")
@@ -196,6 +197,62 @@ def sample_frames(df: DataFrame, every_nth: int = 2) -> DataFrame:
             yield pd.DataFrame(rows, columns=["asset_id", "frame_index", "frame_hash"])
 
     return df.mapInPandas(frames, schema=schema)
+
+
+def chunk_audio(df: DataFrame, window_seconds: float = 1.0) -> DataFrame:
+    """Audio windowing: one output row per fixed-duration chunk of each
+    audio asset, ``(asset_id, chunk_index, start_sample, n_samples,
+    chunk_hash)``. PCM decode is stubbed (the hash stands in for the
+    samples); the fan-out shape — 1 asset row ->
+    ceil(total_samples / window) rows, Arrow-batched, no driver loop —
+    is real, and is what an ASR/embedding pre-processor consumes.
+
+    Total samples per asset are ``n_frames`` (sample count) at
+    ``sample_rate`` Hz, both from the typed metadata struct.
+    """
+    schema = StructType(
+        [
+            StructField("asset_id", LongType(), False),
+            StructField("chunk_index", IntegerType(), False),
+            StructField("start_sample", LongType(), False),
+            StructField("n_samples", IntegerType(), False),
+            StructField("chunk_hash", StringType(), True),
+        ]
+    )
+
+    def chunks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["asset_id", "chunk_index", "start_sample", "n_samples", "chunk_hash"]
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                meta = row["meta"]
+                if meta is None or meta["media_type"] != "audio":
+                    continue
+                # nullable struct ints arrive as floats through Arrow
+                rate = int(meta["sample_rate"] or 0)
+                total = int(meta["n_frames"] or 0)
+                if rate <= 0 or total <= 0:
+                    continue
+                per = max(int(rate * window_seconds), 1)
+                idx = 0
+                for start in range(0, total, per):
+                    n = min(per, total - start)
+                    h = hashlib.md5(
+                        (row["content"] or b"") + start.to_bytes(8, "big")
+                    ).hexdigest()
+                    rows.append(
+                        {
+                            "asset_id": row["asset_id"],
+                            "chunk_index": idx,
+                            "start_sample": start,
+                            "n_samples": n,
+                            "chunk_hash": h,
+                        }
+                    )
+                    idx += 1
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(chunks, schema=schema)
 
 
 def media_table(spark, rows: list[tuple]) -> DataFrame:

@@ -2159,18 +2159,30 @@ def _media_from_docs(docs: DataFrame) -> DataFrame:
     typed metadata derived deterministically from the text — the
     Spark-side plumbing (binary column, metadata struct, Arrow batch
     flow) is exactly what a real image/audio table exercises."""
+    media_type = (
+        F.when(F.col("doc_id") % 3 == 2, F.lit("video"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("audio"))
+        .otherwise(F.lit("image"))
+    )
+    # video: n_frames = frame count; audio: n_frames = SAMPLE count at
+    # sample_rate Hz (the MEDIA_META contract)
+    n_frames = (
+        F.when(F.col("doc_id") % 3 == 2, F.col("doc_id") % 10 + 1)
+        .when(F.col("doc_id") % 3 == 1, F.length("text") * 37)
+        .otherwise(F.lit(None))
+    )
     return docs.select(
         F.col("doc_id").alias("asset_id"),
         F.encode("text", "UTF-8").alias("content"),
         F.struct(
-            F.when(F.col("doc_id") % 3 == 2, F.lit("video"))
-            .otherwise(F.lit("image"))
-            .alias("media_type"),
+            media_type.alias("media_type"),
             F.lit("png").alias("format"),
             (F.length("text") % 640 + 1).cast("int").alias("width"),
             (F.length("text") % 480 + 1).cast("int").alias("height"),
-            (F.col("doc_id") % 10 + 1).cast("int").alias("n_frames"),
-            F.lit(None).cast("int").alias("sample_rate"),
+            n_frames.cast("int").alias("n_frames"),
+            F.when(F.col("doc_id") % 3 == 1, F.lit(16000))
+            .cast("int")
+            .alias("sample_rate"),
         ).alias("meta"),
     )
 
@@ -2220,6 +2232,33 @@ FROM documents, LATERAL (
 ) f
 WHERE doc_id % 3 = 2
 ORDER BY asset_id, frame_index
+"""
+
+
+def mm3_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio chunking over the audio subset (multimodal.chunk_audio):
+    1 asset row -> ceil(samples / rate·window) chunk rows through the
+    Arrow-batched UDTF shape. Chunk hashes are unit-tested; the
+    declared query pins the fan-out contract (which assets, which
+    chunk bounds) in SQL."""
+    from paqarin_spark.multimodal import chunk_audio
+
+    docs = _docs(spark, sf_dir)
+    return chunk_audio(_media_from_docs(docs), window_seconds=1.0).select(
+        "asset_id", "chunk_index", "start_sample", "n_samples"
+    )
+
+
+MM3_SQL = """
+SELECT doc_id AS asset_id,
+       CAST(c.i // 16000 AS INTEGER) AS chunk_index,
+       CAST(c.i AS BIGINT) AS start_sample,
+       CAST(LEAST(16000, length(text) * 37 - c.i) AS INTEGER) AS n_samples
+FROM documents, LATERAL (
+  SELECT unnest(range(0, length(text) * 37, 16000)) AS i
+) c
+WHERE doc_id % 3 = 1
+ORDER BY asset_id, chunk_index
 """
 
 
@@ -2633,6 +2672,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "em4_ivf_topk": em4_ivf_topk,
     "mm1_media_decode": mm1_media_decode,
     "mm2_frame_sample": mm2_frame_sample,
+    "mm3_audio_chunks": mm3_audio_chunks,
     "st1_stream_daily_sum": st1_stream_daily_sum,
     "st2_stream_window_sums": st2_stream_window_sums,
     "st3_stream_sessions": st3_stream_sessions,
@@ -2698,6 +2738,7 @@ ORACLE_SQL: dict[str, str] = {
     "em4_ivf_topk": EM4_SQL,
     "mm1_media_decode": MM1_SQL,
     "mm2_frame_sample": MM2_SQL,
+    "mm3_audio_chunks": MM3_SQL,
     "st1_stream_daily_sum": ST1_SQL,
     "st2_stream_window_sums": ST2_SQL,
     "st3_stream_sessions": ST3_SQL,

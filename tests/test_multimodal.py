@@ -63,3 +63,25 @@ def test_sample_frames_fanout(assets):
     assert {r["asset_id"] for r in out} == {3}
     assert sorted(r["frame_index"] for r in out) == [0, 2, 4]
     assert all(len(r["frame_hash"]) == 32 for r in out)
+
+
+def test_chunk_audio_fanout_and_bounds(spark):
+    from paqarin_spark.multimodal import chunk_audio, media_table
+
+    rows = [
+        # 2.5 s at 4 Hz -> chunks of 4, 4, 2 samples
+        (1, b"pcm-a", ("audio", "wav", None, None, 10, 4)),
+        (2, b"img", ("image", "png", 8, 8, None, None)),  # skipped
+        (3, b"pcm-b", ("audio", "wav", None, None, 4, 4)),  # exactly 1 chunk
+    ]
+    df = media_table(spark, rows)
+    got = {
+        (r["asset_id"], r["chunk_index"]): (r["start_sample"], r["n_samples"])
+        for r in chunk_audio(df, window_seconds=1.0).collect()
+    }
+    assert got == {
+        (1, 0): (0, 4),
+        (1, 1): (4, 4),
+        (1, 2): (8, 2),
+        (3, 0): (0, 4),
+    }
