@@ -2559,6 +2559,95 @@ FROM reach GROUP BY 1 ORDER BY 1
 """
 
 
+def tx14_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (the mixture-building step of
+    a corpus pipeline): 5 docs per source by seeded hash rank — stable
+    under retries and across cluster sizes, unlike ``rand()`` sampling;
+    one shuffle on the stratum key."""
+    docs = _docs(spark, sf_dir)
+    rank = F.md5(F.concat_ws("#", F.col("doc_id"), F.lit("7")))
+    w = Window.partitionBy("source").orderBy(rank)
+    return (
+        docs.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= 5)
+        .select("source", "doc_id")
+    )
+
+
+TX14_SQL = """
+SELECT source, doc_id FROM (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR) || '#' || '7')
+         ) AS rk
+  FROM documents
+) WHERE rk <= 5 ORDER BY source, doc_id
+"""
+
+
+def em6_label_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal join (documents ⋈ embeddings on the shared id):
+    text-quality statistics per embedding-cluster label — the check a
+    curation pipeline runs to see which semantic clusters carry
+    low-quality text. Embedding side is a broadcast dim of (id,
+    label); quality reuses tx1's single-pass stats."""
+    configure_for_determinism(spark)
+    docs = _docs(spark, sf_dir)
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "label"
+    )
+    stats = text_stats(docs, "text", "doc_id").select("doc_id", "quality")
+    return (
+        stats.join(F.broadcast(emb), on="doc_id")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("quality"), 6).alias("avg_quality"),
+            F.round(F.min("quality"), 6).alias("min_quality"),
+        )
+    )
+
+
+EM6_SQL = f"""
+WITH q AS (
+  SELECT doc_id,
+         ROUND((LEAST(len({_TOKS_SQL}) / 100.0, 1.0)
+                + length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / GREATEST(length(text), 1)
+                + len(list_filter({_TOKS_SQL}, x -> list_contains({_STOPWORDS_SQL}, x)))
+                  / GREATEST(len({_TOKS_SQL}), 1)) / 3.0, 6) AS quality
+  FROM documents
+)
+SELECT label, COUNT(*) AS n_docs,
+       ROUND(AVG(quality), 6) AS avg_quality,
+       ROUND(MIN(quality), 6) AS min_quality
+FROM q JOIN embeddings ON doc_id = vec_id
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q44_daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count time series (DAU — the canonical event-pipeline
+    aggregate): exact countDistinct per day. At 100 TB swap in
+    approx_count_distinct (HLL, partial-agg, no per-key set state) —
+    same API shape, documented trade."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy(
+        F.date_format(F.date_trunc("DAY", "ts"), "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.countDistinct("user_id").alias("dau"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+Q44_SQL = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       COUNT(DISTINCT user_id) AS dau,
+       COUNT(*) AS n_events
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
 def tx10_quality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus quality pruning (the filter step every training-data
     pipeline runs after scoring): keep documents at or above the global
@@ -2652,6 +2741,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx11_dup_clusters": tx11_dup_clusters,
     "tx12_simhash_pairs": tx12_simhash_pairs,
     "tx13_top_tokens": tx13_top_tokens,
+    "tx14_stratified_sample": tx14_stratified_sample,
+    "q44_daily_active_users": q44_daily_active_users,
+    "em6_label_quality": em6_label_quality,
     "gen3_generation_rounds": gen3_generation_rounds,
     "gen1_bootstrap_sample": gen1_bootstrap_sample,
     "gen2_gaussian_sample": gen2_gaussian_sample,
@@ -2733,6 +2825,9 @@ ORACLE_SQL: dict[str, str] = {
     "tx11_dup_clusters": TX11_SQL,
     "tx12_simhash_pairs": TX12_SQL,
     "tx13_top_tokens": TX13_SQL,
+    "tx14_stratified_sample": TX14_SQL,
+    "q44_daily_active_users": Q44_SQL,
+    "em6_label_quality": EM6_SQL,
     "tx8_rolling_hash": TX8_SQL,
     "em3_cosine_dedup": EM3_SQL,
     "em4_ivf_topk": EM4_SQL,
