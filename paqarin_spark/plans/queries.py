@@ -1271,6 +1271,131 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q45_type_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation between two event types' daily volumes
+    (cross-series dependence — the screen before joint modeling):
+    pivot the daily type sums, then one corr aggregate."""
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(F.date_trunc("DAY", "ts").alias("d")).pivot(
+        "event_type", ["click", "view"]
+    ).agg(F.sum("value"))
+    return daily.agg(
+        F.round(F.corr("click", "view"), 6).alias("corr_click_view"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+
+
+Q45_SQL = """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS d,
+         SUM(CASE WHEN event_type = 'click' THEN value END) AS click,
+         SUM(CASE WHEN event_type = 'view' THEN value END) AS view
+  FROM events GROUP BY 1
+)
+SELECT ROUND(corr(click, view), 6) AS corr_click_view,
+       COUNT(*) AS n_days
+FROM daily
+"""
+
+
+def q46_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-user cumulative sums over the daily series (the
+    balance/odometer shape): unbounded-preceding window over the
+    pre-aggregated daily frame — the window sorts days per user, not
+    raw events."""
+    ev = _events(spark, sf_dir)
+    daily = time_bucket_sum(ev, EVENTS_SCHEMA, bucket_column="bucket")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily.select(
+        "user_id",
+        F.date_format("bucket", "yyyy-MM-dd").alias("day"),
+        F.round(F.sum(F.col("value").cast("decimal(30,10)")).over(w).cast("double"), 4).alias(
+            "running_sum"
+        ),
+    )
+
+
+Q46_SQL = """
+WITH daily AS (
+  SELECT user_id, date_trunc('day', ts) AS bucket, SUM(value) AS v
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id, strftime(bucket, '%Y-%m-%d') AS day,
+       ROUND(CAST(SUM(CAST(v AS DECIMAL(30,10)))
+                    OVER (PARTITION BY user_id ORDER BY bucket
+                          ROWS UNBOUNDED PRECEDING) AS DOUBLE), 4)
+         AS running_sum
+FROM daily ORDER BY 1, 2
+"""
+
+
+def q47_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total (share) per nation: group sums against a
+    1-row broadcast grand total — never a global window over the
+    detail rows."""
+    configure_for_determinism(spark)
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    dec = "decimal(30,10)"
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(dec)
+            ).alias("_r")
+        )
+    )
+    total = rev.agg(F.sum("_r").alias("_t"))
+    return rev.join(F.broadcast(total)).select(
+        "n_name",
+        F.round(F.col("_r").cast("double"), 4).alias("revenue"),
+        F.round((F.col("_r") / F.col("_t")).cast("double"), 6).alias("share"),
+    )
+
+
+Q47_SQL = """
+WITH rev AS (
+  SELECT n_name,
+         SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,10))) AS r
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  GROUP BY 1
+)
+SELECT n_name, ROUND(CAST(r AS DOUBLE), 4) AS revenue,
+       ROUND(CAST(r / (SELECT SUM(r) FROM rev) AS DOUBLE), 6) AS share
+FROM rev ORDER BY 1
+"""
+
+
+def q48_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of event values per type (distribution
+    profiling): bucket = floor(value / 50) — a groupBy expression, so
+    the histogram is one partial-agg shuffle at any scale (DuckDB 1.0
+    has no width_bucket; floor-bucketing is the portable form)."""
+    ev = _events(spark, sf_dir)
+    bucket = F.floor(F.col("value") / 50).cast("long")
+    return ev.groupBy("event_type", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+Q48_SQL = """
+SELECT event_type, CAST(FLOOR(value / 50) AS BIGINT) AS bucket, COUNT(*) AS n
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 
@@ -2736,6 +2861,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q41_churned_users": q41_churned_users,
     "q42_cube_type_weekday": q42_cube_type_weekday,
     "q43_mad_by_type": q43_mad_by_type,
+    "q45_type_correlation": q45_type_correlation,
+    "q46_running_totals": q46_running_totals,
+    "q47_revenue_share": q47_revenue_share,
+    "q48_value_histogram": q48_value_histogram,
     "em5_label_centroids": em5_label_centroids,
     "tx9_bpe_tokens": tx9_bpe_tokens,
     "tx11_dup_clusters": tx11_dup_clusters,
@@ -2820,6 +2949,10 @@ ORACLE_SQL: dict[str, str] = {
     "q41_churned_users": Q41_SQL,
     "q42_cube_type_weekday": Q42_SQL,
     "q43_mad_by_type": Q43_SQL,
+    "q45_type_correlation": Q45_SQL,
+    "q46_running_totals": Q46_SQL,
+    "q47_revenue_share": Q47_SQL,
+    "q48_value_histogram": Q48_SQL,
     "em5_label_centroids": EM5_SQL,
     "tx9_bpe_tokens": TX9_SQL,
     "tx11_dup_clusters": TX11_SQL,
