@@ -2902,9 +2902,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 # em2_lsh_topk is deliberately oracle-less (seeded hyperplanes are not
-# reasonably expressible in portable SQL), as are gen1/gen2/ev1/ev2
-# (seeded model sampling and multi-action pipeline orchestration) —
-# the driver records a rows-only check for them.
+# reasonably expressible in portable SQL), as are gen1-gen4 and
+# ev1/ev2 (seeded model sampling and multi-action pipeline
+# orchestration) — the driver records a rows-only check for them.
+# Everything else is value-hash-checked against DuckDB.
 ORACLE_SQL: dict[str, str] = {
     "q01_surrogate_key": Q01_SQL,
     "q02_daily_sum": Q02_SQL,
