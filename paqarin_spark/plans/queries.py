@@ -1271,6 +1271,21 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q49_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's SQL-string surface: register the relations as
+    views and run the pricing-summary oracle text VERBATIM through
+    ``spark.sql`` — one SQL string, two engines, identical result.
+    Proves dialect-level parity, not just DataFrame-plan parity."""
+    from paqarin_spark.sources import register_views
+
+    configure_for_determinism(spark)
+    register_views(spark, sf_dir)
+    return spark.sql(Q14_SQL)
+
+
+Q49_SQL = Q14_SQL  # the whole point: one text, two engines
+
+
 def q45_type_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson correlation between two event types' daily volumes
     (cross-series dependence — the screen before joint modeling):
@@ -2862,6 +2877,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q42_cube_type_weekday": q42_cube_type_weekday,
     "q43_mad_by_type": q43_mad_by_type,
     "q45_type_correlation": q45_type_correlation,
+    "q49_sql_surface": q49_sql_surface,
     "q46_running_totals": q46_running_totals,
     "q47_revenue_share": q47_revenue_share,
     "q48_value_histogram": q48_value_histogram,
@@ -2951,6 +2967,7 @@ ORACLE_SQL: dict[str, str] = {
     "q42_cube_type_weekday": Q42_SQL,
     "q43_mad_by_type": Q43_SQL,
     "q45_type_correlation": Q45_SQL,
+    "q49_sql_surface": Q49_SQL,
     "q46_running_totals": Q46_SQL,
     "q47_revenue_share": Q47_SQL,
     "q48_value_histogram": Q48_SQL,
