@@ -39,10 +39,12 @@ def get_session(
         # classes; the JVM's default 240m code cache can fill mid-run,
         # silently disabling JIT and leaving hot generated loops running
         # interpreted (observed as intermittent 25-60x single-core
-        # stalls). Reserve enough that flushing never kicks in.
+        # stalls). 512m still filled once the declared set passed ~80
+        # queries (late-run streaming queries stalling 5-10x); reserve
+        # enough that flushing never kicks in at this plan count.
         .config(
             "spark.driver.extraJavaOptions",
-            "-XX:ReservedCodeCacheSize=512m",
+            "-XX:ReservedCodeCacheSize=1g",
         )
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
