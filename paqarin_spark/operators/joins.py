@@ -165,33 +165,57 @@ def range_point_join(
     range predicate filters residuals after the hash match. Pick the
     bin width near the typical interval length: replication factor is
     ``⌈interval/bin⌉+1``.
+
+    ``how='left'`` keeps unmatched left rows with null interval
+    payload. It is computed as inner ∪ (left ANTI inner): the residual
+    range predicate cannot run post-join on outer rows (null interval
+    columns would silently drop them), so unmatched rows are recovered
+    with a null-safe anti-join on the full left row — exact even with
+    duplicate left rows, because byte-identical rows share one match
+    status. Costs one extra shuffle over the inner result.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(f"range_point_join supports inner|left, got {how!r}")
     pred = (F.col(point) >= F.col(range_start)) & (F.col(point) < F.col(range_end))
     if bin_width_seconds is None:
-        if on:
-            return left.join(right, on=on, how=how).filter(pred)
-        return left.join(right, pred, how)
-    if how != "inner":
-        # A post-join residual filter turns unmatched outer rows
-        # (null interval columns) into dropped rows — outer semantics
-        # silently degrade to inner. Refuse rather than mislead.
-        raise ValueError(
-            "binned range_point_join supports how='inner' only; for "
-            "left semantics, anti-join the inner result against the "
-            f"left side (got {how!r})"
+        inner = (
+            left.join(right, on=on, how="inner").filter(pred)
+            if on
+            else left.join(right, pred, "inner")
         )
-    bin_col = "__bin"
-    secs = F.unix_timestamp
-    lb = left.withColumn(bin_col, F.floor(secs(F.col(point)) / bin_width_seconds))
-    rb = right.withColumn(
-        bin_col,
-        F.explode(
-            F.sequence(
-                F.floor(secs(F.col(range_start)) / bin_width_seconds),
-                # end is exclusive but sequence() is inclusive: a point in
-                # the end bin can still precede range_end, so keep it.
-                F.floor(secs(F.col(range_end)) / bin_width_seconds),
-            )
-        ),
+    else:
+        bin_col = "__bin"
+        secs = F.unix_timestamp
+        lb = left.withColumn(bin_col, F.floor(secs(F.col(point)) / bin_width_seconds))
+        rb = right.withColumn(
+            bin_col,
+            F.explode(
+                F.sequence(
+                    F.floor(secs(F.col(range_start)) / bin_width_seconds),
+                    # end is exclusive but sequence() is inclusive: a point in
+                    # the end bin can still precede range_end, so keep it.
+                    F.floor(secs(F.col(range_end)) / bin_width_seconds),
+                )
+            ),
+        )
+        inner = lb.join(rb, on=[*on, bin_col], how="inner").filter(pred).drop(bin_col)
+    if how == "inner":
+        return inner
+    payload = [c for c in right.columns if c not in on]
+    matched = inner.select(*left.columns)
+    anti_cond = None
+    for c in left.columns:
+        eq = F.col(f"__l.{c}").eqNullSafe(F.col(f"__m.{c}"))
+        anti_cond = eq if anti_cond is None else (anti_cond & eq)
+    unmatched = (
+        left.alias("__l")
+        .join(matched.alias("__m"), anti_cond, "left_anti")
+        .select(
+            *[F.col(f"__l.{c}") for c in left.columns],
+            *[
+                F.lit(None).cast(right.schema[c].dataType).alias(c)
+                for c in payload
+            ],
+        )
     )
-    return lb.join(rb, on=[*on, bin_col], how=how).filter(pred).drop(bin_col)
+    return inner.unionByName(unmatched)

@@ -952,6 +952,57 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q50_left_range_cold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT binned range join (operators.joins.range_point_join
+    how='left'): every event tagged with its above-average day, events
+    on cold days kept with a null interval and rolled into a '(none)'
+    bucket — proves outer semantics survive the bin+residual-filter
+    rewrite (unmatched rows recovered by null-safe anti-join)."""
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(F.date_trunc("DAY", "ts").alias("d")).agg(
+        F.sum("value").alias("s")
+    )
+    thresh = daily.agg(F.avg("s").alias("avg_s"))
+    hot = (
+        daily.join(F.broadcast(thresh))
+        .filter(F.col("s") > F.col("avg_s"))
+        .select("d", (F.col("d") + F.expr("INTERVAL 1 DAY")).alias("d_end"))
+    )
+    joined = range_point_join(
+        ev.select("event_id", "ts", "value"),
+        hot,
+        on=[],
+        point="ts",
+        range_start="d",
+        range_end="d_end",
+        bin_width_seconds=86400,
+        how="left",
+    )
+    return joined.groupBy(
+        F.coalesce(F.date_format("d", "yyyy-MM-dd"), F.lit("(none)")).alias(
+            "hot_day"
+        )
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+
+
+Q50_SQL = """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS d, SUM(value) AS s FROM events GROUP BY 1
+), hot AS (
+  SELECT d, d + INTERVAL 1 DAY AS d_end FROM daily
+  WHERE s > (SELECT AVG(s) FROM daily)
+)
+SELECT COALESCE(strftime(h.d, '%Y-%m-%d'), '(none)') AS hot_day,
+       COUNT(*) AS n_events,
+       ROUND(SUM(e.value), 6) AS sum_value
+FROM events e LEFT JOIN hot h ON e.ts >= h.d AND e.ts < h.d_end
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def q30_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (operators.sessions): 12-hour
     inactivity gap per user, per-session bounds/counts/sums."""
@@ -2862,6 +2913,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q27_returned_items": q27_returned_items,
     "q28_asof_checkpoint": q28_asof_checkpoint,
     "q29_range_hot_days": q29_range_hot_days,
+    "q50_left_range_cold": q50_left_range_cold,
     "q30_sessionize": q30_sessionize,
     "q31_rollup_revenue": q31_rollup_revenue,
     "q32_quality_quantiles": q32_quality_quantiles,
@@ -2952,6 +3004,7 @@ ORACLE_SQL: dict[str, str] = {
     "q27_returned_items": Q27_SQL,
     "q28_asof_checkpoint": Q28_SQL,
     "q29_range_hot_days": Q29_SQL,
+    "q50_left_range_cold": Q50_SQL,
     "q30_sessionize": Q30_SQL,
     "q31_rollup_revenue": Q31_SQL,
     "q32_quality_quantiles": Q32_SQL,

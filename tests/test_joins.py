@@ -175,6 +175,42 @@ def test_range_point_join_binned_matches_unbinned(spark):
     assert {(r["pid"], r["label"]) for r in binned.collect()} == expect
 
 
+def test_range_point_join_left_keeps_unmatched(spark):
+    from tests.conftest import ts
+
+    from paqarin_spark.operators import range_point_join
+
+    points = spark.createDataFrame(
+        [
+            (1, ts("2020-01-01 00:30:00")),
+            (2, ts("2020-01-01 12:00:00")),  # == range_end: unmatched
+            (2, ts("2020-01-01 12:00:00")),  # duplicate row: kept twice
+            (3, ts("2020-01-05 00:00:00")),  # no interval at all
+        ],
+        "pid int, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [(ts("2020-01-01 00:00:00"), ts("2020-01-01 12:00:00"), "w1")],
+        "start timestamp, stop timestamp, label string",
+    )
+    expect = [(1, "w1"), (2, None), (2, None), (3, None)]
+    for bin_w in (None, 3600):
+        out = range_point_join(
+            points,
+            intervals,
+            on=[],
+            point="ts",
+            range_start="start",
+            range_end="stop",
+            bin_width_seconds=bin_w,
+            how="left",
+        )
+        got = sorted(
+            (r["pid"], r["label"]) for r in out.collect()
+        )
+        assert got == expect, f"bin_width_seconds={bin_w}"
+
+
 # ---------------------------------------------------------------------------
 # sessionization
 
