@@ -275,24 +275,35 @@ def duplicate_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 25,
+    algorithm: str = "label",
 ) -> DataFrame:
     """Connected components over a near-duplicate pair list — the
     cluster-then-keep-one-representative step after LSH/cosine pair
     generation (north-star dedup surface; no reference analogue).
 
-    Iterative min-label propagation: every node's label becomes the
-    min of its own and its neighbors' labels until a fixpoint, so each
-    doc ends up labeled with the smallest doc id reachable from it —
-    exactly the transitive closure a recursive-CTE oracle computes.
-    Each iteration is ONE shuffle join keyed on the node id plus a
-    fixpoint check; LSH buckets emit near-cliques, so convergence is
-    fast (diameter rounds, typically <5). For adversarially long chain
-    graphs at 100 TB, swap the body for the large-star/small-star
-    variant — the API contract stays (doc, cluster_rep).
+    ``algorithm='label'`` (default): iterative min-label propagation —
+    every node's label becomes the min of its own and its neighbors'
+    labels until a fixpoint, so each doc ends up labeled with the
+    smallest doc id reachable from it — exactly the transitive closure
+    a recursive-CTE oracle computes. Each iteration is ONE shuffle
+    join keyed on the node id plus a fixpoint check; LSH buckets emit
+    near-cliques, so convergence is fast (diameter rounds, typically
+    <5).
+
+    ``algorithm='star'``: alternating large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    2014) — converges in O(log²) rounds independent of component
+    diameter, the scale path for adversarially chain-shaped duplicate
+    graphs where diameter-bound propagation would run hundreds of
+    shuffle rounds. Identical output contract.
 
     Only docs appearing in ``pairs`` are returned; unpaired docs are
     their own trivial clusters and need no row.
     """
+    if algorithm == "star":
+        return _duplicate_clusters_star(pairs, id_a, id_b, max_iterations)
+    if algorithm != "label":
+        raise ValueError(f"algorithm must be label|star, got {algorithm!r}")
     fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = fwd.unionByName(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -310,6 +321,12 @@ def duplicate_clusters(
             .groupBy("src")
             .agg(F.min("label").alias("_nl"))
         )
+        # localCheckpoint (not persist): caching alone leaves the
+        # logical plan growing one join deeper per round, and Catalyst
+        # re-analyzes the whole accumulated plan each iteration —
+        # super-linear planning time that dominates past ~10 rounds.
+        # Checkpointing truncates the lineage so every round plans
+        # against a flat in-memory scan.
         new_labels = (
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
             .select(
@@ -318,7 +335,7 @@ def duplicate_clusters(
                     F.col("label"), F.coalesce(F.col("_nl"), F.col("label"))
                 ).alias("label"),
             )
-            .persist()
+            .localCheckpoint()
         )
         # Min-propagation only ever decreases labels, so the label sum
         # is strictly monotone until the fixpoint: equal sum == no row
@@ -341,6 +358,101 @@ def duplicate_clusters(
     # Detach from the persisted loop frame so callers get a plain
     # frame; the final labels stay cached until the session drops them
     # or the caller materializes. Small (one row per paired doc).
+    return out
+
+
+def _edge_checksum(edges: DataFrame) -> tuple:
+    """(row count, sum of per-edge 64-bit hashes) — an order-free
+    fingerprint of an edge set, one cheap aggregate per round instead
+    of an old-vs-new anti-join."""
+    row = edges.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(
+            F.xxhash64(F.col("src"), F.col("dst")).cast("decimal(38,0)")
+        ).alias("_h"),
+    ).collect()[0]
+    return (row["_n"], row["_h"])
+
+
+def _duplicate_clusters_star(
+    pairs: DataFrame,
+    id_a: str,
+    id_b: str,
+    max_rounds: int,
+) -> DataFrame:
+    """Alternating large-star/small-star connected components.
+
+    One round = large-star then small-star, each a groupBy + join on
+    the node id (two shuffles per pass). Large-star hangs every
+    neighbor larger than u off m(u) = min(Γ⁺(u)); small-star re-hangs
+    u and its smaller non-min neighbors off min(Γ(u) ∩ [0,u)). Both
+    passes preserve connectivity and monotonically pull components
+    toward stars rooted at the component minimum; round count is
+    O(log²) in component size, independent of diameter (vs
+    O(diameter) for min-label propagation). Fixpoint = edge-set
+    checksum unchanged over a full round; at the fixpoint every edge
+    is (node, component_min).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    checksum = _edge_checksum(edges)
+    for _ in range(max_rounds):
+        sym = edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+        # Large-star at u: emit (v, m) for v ∈ Γ(u), v > u, where
+        # m = min(Γ(u) ∪ {u}). Emitted as (larger, smaller) = (v, m).
+        lmin = sym.groupBy("src").agg(
+            F.least(F.min("dst"), F.first("src")).alias("m")
+        )
+        large = (
+            sym.join(lmin, on="src")
+            .where(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+            .persist()
+        )
+        lsym = large.unionByName(
+            large.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+        # Small-star at u over N = Γ(u) ∩ [0, u): emit (u, m) and
+        # (v, m) for v ∈ N \ {m}, where m = min(N).
+        smaller = lsym.where(F.col("dst") < F.col("src"))
+        smin = smaller.groupBy("src").agg(F.min("dst").alias("m"))
+        hang_u = smin.select("src", F.col("m").alias("dst"))
+        hang_v = (
+            smaller.join(smin, on="src")
+            .where(F.col("dst") != F.col("m"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        )
+        # localCheckpoint: truncate lineage every round (see the label
+        # loop) — each round otherwise re-plans all prior rounds.
+        new_edges = (
+            hang_u.unionByName(hang_v)
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint()
+        )
+        new_checksum = _edge_checksum(new_edges)
+        large.unpersist()
+        edges = new_edges
+        if new_checksum == checksum:
+            break
+        checksum = new_checksum
+    # Converged: edges are (node, component_min) stars. The roots
+    # label themselves, matching the label-propagation contract.
+    out = edges.select(
+        F.col("src").alias("doc"), F.col("dst").alias("cluster_rep")
+    ).unionByName(
+        edges.select("dst").distinct().select(
+            F.col("dst").alias("doc"), F.col("dst").alias("cluster_rep")
+        )
+    )
     return out
 
 

@@ -111,6 +111,43 @@ def test_duplicate_clusters_components(spark):
     }
 
 
+def test_duplicate_clusters_star_matches_label(spark):
+    from paqarin_spark.operators import duplicate_clusters
+
+    # Adversarial shape for label propagation: a 40-node chain
+    # (diameter 39) with shuffled ids, plus a clique and a pair.
+    # Star must produce the identical (doc, cluster_rep) map while
+    # converging in O(log^2) rounds — max_iterations=8 would make
+    # diameter-bound propagation fail, so passing proves the round
+    # complexity, not just the output.
+    ids = [(i * 17) % 40 + 100 for i in range(40)]  # permuted chain ids
+    chain = [(ids[i], ids[i + 1]) for i in range(39)]
+    extra = [(1, 2), (2, 3), (1, 3), (50, 51)]
+    pairs = spark.createDataFrame(chain + extra, "id_a long, id_b long")
+    label = {
+        r["doc"]: r["cluster_rep"]
+        for r in duplicate_clusters(pairs, max_iterations=60).collect()
+    }
+    star = {
+        r["doc"]: r["cluster_rep"]
+        for r in duplicate_clusters(
+            pairs, max_iterations=8, algorithm="star"
+        ).collect()
+    }
+    assert star == label
+    assert set(star.values()) == {100, 1, 50}
+
+
+def test_duplicate_clusters_rejects_unknown_algorithm(spark):
+    import pytest
+
+    from paqarin_spark.operators import duplicate_clusters
+
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    with pytest.raises(ValueError, match="label|star"):
+        duplicate_clusters(pairs, algorithm="bogus")
+
+
 def test_simhash_pairs_validates_banding(spark):
     from paqarin_spark.operators import simhash_pairs
 
