@@ -211,6 +211,13 @@ def minhash_lsh_pairs(
     """
     sigs = minhash_signatures(df, text_column, id_column, num_hashes, shingle_n)
     n_bands = num_hashes // band_size
+    # Measured: the per-band union is FASTER than the unpivot
+    # formulation here (4.0 s vs 5.4 s for tx11 at sf0.1) — the
+    # signature aggregation's shuffle is reused across branches
+    # (ReusedExchange), while unpivot's Expand duplicates every
+    # signature row n_bands times before the join. simhash_pairs
+    # measured the opposite because its per-band cost is a full
+    # fingerprint aggregation, not a reusable exchange.
     band_rows = []
     for b in range(n_bands):
         cols = [F.col(f"mh_{i}") for i in range(b * band_size, (b + 1) * band_size)]
