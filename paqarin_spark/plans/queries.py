@@ -1003,6 +1003,256 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q51_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from brand lineitems below 20% of
+    their part's average quantity. Written decorrelated: the
+    per-part averages aggregate first (map-side partials on
+    l_partkey), then one join+filter — never a per-row subquery.
+    The brand filter prunes the part side to a broadcastable dim."""
+    configure_for_determinism(spark)
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#13")
+    dec = "decimal(30,10)"
+    # decimal-sum average: identical doubles on both engines
+    avg_q = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        (
+            F.sum(F.col("l_quantity").cast(dec)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("_avg_qty")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(avg_q, li.l_partkey == F.col("_pk"))
+        .where(F.col("l_quantity") < F.col("_avg_qty") * 0.2)
+        .agg(
+            F.round(
+                (
+                    F.sum(F.col("l_extendedprice").cast(dec)).cast("double")
+                    / 7.0
+                ),
+                4,
+            ).alias("avg_yearly"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+    )
+
+
+Q51_SQL = """
+WITH avg_q AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*)
+           AS avg_qty
+  FROM lineitem GROUP BY 1
+)
+SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE)
+             / 7.0, 4) AS avg_yearly,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem l
+JOIN part ON p_partkey = l_partkey AND p_brand = 'Brand#13'
+JOIN avg_q a ON a.l_partkey = l.l_partkey
+WHERE l.l_quantity < a.avg_qty * 0.2
+"""
+
+
+def q52_disjunctive_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under a disjunction of
+    (brand, size-band, quantity-band) predicates. One broadcast join
+    with the OR evaluated as a single codegen'd predicate — Catalyst
+    extracts the common p_partkey conjunct; no union-of-three-scans."""
+    configure_for_determinism(spark)
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    dec = "decimal(30,10)"
+    bands = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#7")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#20")
+        & F.col("p_size").between(20, 50)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .where(bands)
+        .groupBy("p_brand")
+        .agg(
+            F.round(
+                F.sum(
+                    (
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    ).cast(dec)
+                ).cast("double"),
+                4,
+            ).alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+    )
+
+
+Q52_SQL = """
+SELECT p_brand,
+       ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(30,10))) AS DOUBLE), 4) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#7' AND p_size BETWEEN 10 AND 30
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#20' AND p_size BETWEEN 20 AND 50
+       AND l_quantity BETWEEN 20 AND 30)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q53_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) whose 1996-Q1 revenue equals the
+    maximum. The revenue view aggregates once and is self-consumed:
+    max is a one-row broadcast, equality compares the UNROUNDED
+    decimal-sum doubles (bit-identical on both engines), so float
+    ties are exact."""
+    configure_for_determinism(spark)
+    li = read_table(spark, sf_dir, "lineitem")
+    supp = read_table(spark, sf_dir, "supplier")
+    dec = "decimal(30,10)"
+    rev = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(dec)
+            )
+            .cast("double")
+            .alias("_rev")
+        )
+    )
+    top = rev.agg(F.max("_rev").alias("_max_rev"))
+    return (
+        rev.join(F.broadcast(top), rev._rev == top._max_rev)
+        .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round("_rev", 4).alias("total_rev"),
+        )
+    )
+
+
+Q53_SQL = """
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                       AS DECIMAL(30,10))) AS DOUBLE) AS r
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name, ROUND(r, 4) AS total_rev
+FROM supplier JOIN rev ON s_suppkey = l_suppkey
+WHERE r = (SELECT MAX(r) FROM rev)
+ORDER BY 1
+"""
+
+
+def q54_promo_bulk_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (adapted — no partsupp table in the star):
+    suppliers who shipped >300 units of PROMO parts in 1997, via a
+    semi-join chain: part filter (broadcast) → lineitem aggregate →
+    left_semi onto supplier. Quantity sums are integral doubles
+    (<2^53), so the HAVING threshold is order-exact without decimal."""
+    configure_for_determinism(spark)
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    supp = read_table(spark, sf_dir, "supplier")
+    bulk = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey, "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("_q"))
+        .where(F.col("_q") > 300.0)
+    )
+    return supp.join(
+        bulk, supp.s_suppkey == bulk.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+Q54_SQL = """
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+  GROUP BY 1 HAVING SUM(l_quantity) > 300.0
+)
+ORDER BY 1
+"""
+
+
+def q55_rich_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (nationkey standing in for the phone prefix):
+    customers with above-average positive balance and no recent
+    (1999+) orders — scalar-subquery threshold (one-row broadcast) +
+    anti-join, grouped per nation. The average compares unrounded
+    decimal-sum doubles; only the output sum rounds."""
+    configure_for_determinism(spark)
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    )
+    dec = "decimal(30,10)"
+    avg_bal = cust.where(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast(dec)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("_avg_bal")
+    )
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").cast("long").alias("c_nationkey"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("numcust"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast(dec)).cast("double"), 4
+            ).alias("totacctbal"),
+        )
+    )
+
+
+Q55_SQL = """
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS numcust,
+       ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(30,10))) AS DOUBLE), 4)
+         AS totacctbal
+FROM customer c
+WHERE c_acctbal > (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*)
+  FROM customer WHERE c_acctbal > 0.0
+)
+AND NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+    AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+)
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def q30_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (operators.sessions): 12-hour
     inactivity gap per user, per-session bounds/counts/sums."""
@@ -2914,6 +3164,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q28_asof_checkpoint": q28_asof_checkpoint,
     "q29_range_hot_days": q29_range_hot_days,
     "q50_left_range_cold": q50_left_range_cold,
+    "q51_small_quantity_revenue": q51_small_quantity_revenue,
+    "q52_disjunctive_bands": q52_disjunctive_bands,
+    "q53_top_supplier": q53_top_supplier,
+    "q54_promo_bulk_suppliers": q54_promo_bulk_suppliers,
+    "q55_rich_inactive_customers": q55_rich_inactive_customers,
     "q30_sessionize": q30_sessionize,
     "q31_rollup_revenue": q31_rollup_revenue,
     "q32_quality_quantiles": q32_quality_quantiles,
@@ -3005,6 +3260,11 @@ ORACLE_SQL: dict[str, str] = {
     "q28_asof_checkpoint": Q28_SQL,
     "q29_range_hot_days": Q29_SQL,
     "q50_left_range_cold": Q50_SQL,
+    "q51_small_quantity_revenue": Q51_SQL,
+    "q52_disjunctive_bands": Q52_SQL,
+    "q53_top_supplier": Q53_SQL,
+    "q54_promo_bulk_suppliers": Q54_SQL,
+    "q55_rich_inactive_customers": Q55_SQL,
     "q30_sessionize": Q30_SQL,
     "q31_rollup_revenue": Q31_SQL,
     "q32_quality_quantiles": Q32_SQL,
