@@ -1509,6 +1509,84 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def em7_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid assignment (the k-means E-step / IVF coarse
+    quantizer): every vector assigned to the closest label centroid by
+    squared L2. Centroids round to 6 dp FIRST so both engines compare
+    identical inputs; per-(vector, centroid) distances sum 64
+    decimal-cast terms (q14 pattern — order-independent); argmin via
+    row_number ordered (distance, label). The centroid set is
+    dims×labels — a broadcast, so the fan-out join never shuffles the
+    vector side; at 100 TB this is the mapInPandas-free assignment
+    path as long as k×d stays broadcastable."""
+    configure_for_determinism(spark)
+    emb = read_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("dim", "x"),
+    )
+    cent = (
+        emb.select(
+            F.col("label").alias("c_label"),
+            F.posexplode(
+                F.transform("embedding", lambda x: x.cast("double"))
+            ).alias("dim", "cx"),
+        )
+        .groupBy("c_label", "dim")
+        .agg(F.round(F.avg("cx"), 6).alias("c"))
+    )
+    d2 = (
+        dims.join(F.broadcast(cent), on="dim")
+        .groupBy("vec_id", "c_label")
+        .agg(
+            F.sum(
+                ((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).cast(
+                    "decimal(30,10)"
+                )
+            )
+            .cast("double")
+            .alias("_d2")
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy("_d2", "c_label")
+    return (
+        d2.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            "vec_id",
+            F.col("c_label").alias("assigned_label"),
+            F.round("_d2", 6).alias("dist_sq"),
+        )
+    )
+
+
+EM7_SQL = """
+WITH cent AS (
+  SELECT label AS c_label, CAST(t.i - 1 AS INTEGER) AS dim,
+         ROUND(AVG(CAST(embedding[t.i] AS DOUBLE)), 6) AS c
+  FROM embeddings CROSS JOIN range(1, 65) t(i)
+  GROUP BY 1, 2
+), d2 AS (
+  SELECT e.vec_id, cent.c_label,
+         CAST(SUM(CAST(
+           (CAST(e.embedding[cent.dim + 1] AS DOUBLE) - cent.c)
+           * (CAST(e.embedding[cent.dim + 1] AS DOUBLE) - cent.c)
+           AS DECIMAL(30,10))) AS DOUBLE) AS _d2
+  FROM embeddings e CROSS JOIN cent
+  GROUP BY 1, 2
+)
+SELECT vec_id, c_label AS assigned_label, ROUND(_d2, 6) AS dist_sq
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY vec_id ORDER BY _d2, c_label
+  ) AS _rn FROM d2
+)
+WHERE _rn = 1 ORDER BY vec_id
+"""
+
+
 def q42_cube_type_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE aggregation (all grouping-set combinations of event type ×
     ISO weekday) — one pass, partial-agg per grouping set."""
@@ -2859,6 +2937,57 @@ FROM events
 """
 
 
+def st5_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup on ingest (streaming.stream_keep_first,
+    dropDuplicatesWithinWatermark with bounded per-key state) on the
+    coarse (user, day) key, run to completion. Which duplicate row
+    survives is micro-batch-order nondeterministic, so the declared
+    output is the KEY SET — deterministic, and the full-value oracle
+    is plain SELECT DISTINCT. The surviving-payload variant is pinned
+    by tests/test_streaming.py instead."""
+    from pyspark.sql.types import LongType
+
+    from paqarin_spark.schema import TimeSeriesSchema
+    from paqarin_spark.streaming import stream_keep_first
+
+    configure_for_determinism(spark)
+    read_table(spark, sf_dir, "events")  # pins nano-ts session conf
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = spark.readStream.schema(raw_schema).parquet(
+        f"{sf_dir}/events*.parquet"
+    )
+    if isinstance(raw_schema["ts"].dataType, LongType):
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("`ts` div 1000"))
+        )
+    stream = stream.withColumn("day", F.date_trunc("DAY", "ts"))
+    day_schema = TimeSeriesSchema(
+        item_id_columns=("user_id",),
+        timestamp_column="day",
+        value_columns=("value",),
+        frequency="D",
+    )
+    out = stream_keep_first(stream, day_schema, watermark="1 day")
+    name = "st5_stream_dedup"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "user_id", F.date_format("day", "yyyy-MM-dd").alias("day")
+    )
+
+
+ST5_SQL = """
+SELECT DISTINCT user_id, strftime(DATE_TRUNC('day', ts), '%Y-%m-%d') AS day
+FROM events ORDER BY 1, 2
+"""
+
+
 def st3_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization as a Structured Streaming job
     (streaming.stream_sessions, built-in session_window state): bounded
@@ -3189,6 +3318,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q47_revenue_share": q47_revenue_share,
     "q48_value_histogram": q48_value_histogram,
     "em5_label_centroids": em5_label_centroids,
+    "em7_nearest_centroid": em7_nearest_centroid,
+    "st5_stream_dedup": st5_stream_dedup,
     "tx9_bpe_tokens": tx9_bpe_tokens,
     "tx11_dup_clusters": tx11_dup_clusters,
     "tx12_simhash_pairs": tx12_simhash_pairs,
@@ -3285,6 +3416,7 @@ ORACLE_SQL: dict[str, str] = {
     "q47_revenue_share": Q47_SQL,
     "q48_value_histogram": Q48_SQL,
     "em5_label_centroids": EM5_SQL,
+    "em7_nearest_centroid": EM7_SQL,
     "tx9_bpe_tokens": TX9_SQL,
     "tx11_dup_clusters": TX11_SQL,
     "tx12_simhash_pairs": TX12_SQL,
@@ -3302,6 +3434,7 @@ ORACLE_SQL: dict[str, str] = {
     "st2_stream_window_sums": ST2_SQL,
     "st3_stream_sessions": ST3_SQL,
     "st4_stream_minmax": ST4_SQL,
+    "st5_stream_dedup": ST5_SQL,
     "tx10_quality_prune": TX10_SQL,
     "tx1_text_stats": TX1_SQL,
     "tx2_language_id": TX2_SQL,

@@ -22,6 +22,7 @@ from paqarin_spark.operators import (  # noqa: E402
     add_surrogate_key,
     asof_join,
     calendar_fill,
+    duplicate_clusters,
     keep_first,
     range_point_join,
     sessionize,
@@ -147,6 +148,28 @@ def main() -> int:
             bin_width_seconds=86_400,
         ),
         entities * -(-rows_per_entity // days),  # ceil: day-0 rows per entity
+    )
+
+    # Star connected components on the adversarial shape for label
+    # propagation: C disjoint chains of K/C nodes (diameter K/C-1,
+    # where diameter-bound propagation would need K/C shuffle rounds;
+    # star needs O(log^2)). Closed form: every node labeled, exactly C
+    # components, reps = the chain minima {0..C-1}.
+    K = min(max(n // 20, 10_000), 1_000_000)
+    C = 100
+    chain_pairs = spark.range(K - C).select(
+        F.col("id").alias("id_a"), (F.col("id") + C).alias("id_b")
+    )
+    t0 = time.perf_counter()
+    clusters = duplicate_clusters(chain_pairs, algorithm="star", max_iterations=40)
+    got_rows = clusters.count()
+    got_reps = clusters.select("cluster_rep").distinct().count()
+    dt = time.perf_counter() - t0
+    ok = got_rows == K and got_reps == C
+    checks.append(ok)
+    print(
+        f"{'star CC (chains)':24} {dt:7.1f}s  rows={got_rows:>12,}  "
+        f"[{'ok' if ok else f'EXPECTED {K} rows / {C} reps, got {got_reps} reps'}]"
     )
 
     print("all invariants hold" if all(checks) else "INVARIANT FAILURES")
