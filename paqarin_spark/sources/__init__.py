@@ -119,6 +119,39 @@ def write_partitioned(
     df.write.mode(mode).partitionBy(*partition_columns).parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_columns: list[str],
+    num_buckets: int,
+    sort_columns: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Op A3's co-location variant: a bucketed parquet table
+    (``bucketBy`` + ``saveAsTable``). Rows hash-cluster into
+    ``num_buckets`` files per partition at WRITE time, so every later
+    equi-join or aggregation keyed on ``bucket_columns`` between
+    tables with matching bucketing reads pre-shuffled data — the plan
+    is a SortMergeJoin with NO Exchange on either side (verified in
+    tests/test_jobs.py). At 100 TB this converts the nightly fact ⋈
+    fact join from a full-network shuffle into a per-bucket local
+    merge; ``sort_columns`` additionally pre-sorts within buckets so
+    even the Sort node drops when it matches the join key.
+
+    Bucket pruning: equality predicates on the first bucket column
+    skip non-matching bucket files at scan time
+    (``spark.sql.sources.bucketing.enabled``, on by default).
+    """
+    writer = (
+        df.write.mode(mode)
+        .format("parquet")
+        .bucketBy(num_buckets, *bucket_columns)
+    )
+    if sort_columns:
+        writer = writer.sortBy(*sort_columns)
+    writer.saveAsTable(table_name)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> list[str]:
     """Register every testdata table as a temp view so the engine's
     SQL surface (`spark.sql`) serves the same relations as the

@@ -94,6 +94,51 @@ def test_partitioned_write_prunes(spark, tmp_path):
     assert "PartitionFilters: [isnotnull(day" in plan
 
 
+def test_bucketed_join_has_no_exchange(spark):
+    import pyspark.sql.functions as F
+
+    from paqarin_spark.sources import write_bucketed
+
+    facts = spark.createDataFrame(
+        [(i % 7, float(i)) for i in range(100)], "k long, v double"
+    )
+    dims = spark.createDataFrame(
+        [(i, f"label_{i}") for i in range(7)], "k long, name string"
+    )
+    try:
+        write_bucketed(facts, "_bk_facts", ["k"], 4, sort_columns=["k"])
+        write_bucketed(dims, "_bk_dims", ["k"], 4, sort_columns=["k"])
+        joined = (
+            spark.table("_bk_facts")
+            .join(spark.table("_bk_dims"), on="k")
+            .groupBy("k", "name")
+            .agg(F.sum("v").alias("s"))
+        )
+        # Matching bucketing on both sides: the sort-merge join reads
+        # pre-shuffled buckets — NO Exchange anywhere in the plan (the
+        # groupBy also reuses the bucket partitioning). With the
+        # default broadcast threshold the small side would broadcast,
+        # which ALSO has no shuffle but wouldn't prove co-location, so
+        # pin the join strategy via hint.
+        merged = (
+            spark.table("_bk_facts")
+            .hint("merge")
+            .join(spark.table("_bk_dims").hint("merge"), on="k")
+        )
+        plan = merged._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        got = {(r["k"], r["name"], r["s"]) for r in joined.collect()}
+        expect = {
+            (k, f"label_{k}", float(sum(i for i in range(100) if i % 7 == k)))
+            for k in range(7)
+        }
+        assert got == expect
+    finally:
+        spark.sql("DROP TABLE IF EXISTS _bk_facts")
+        spark.sql("DROP TABLE IF EXISTS _bk_dims")
+
+
 def test_register_views_sql_surface(spark):
     from paqarin_spark.sources import register_views
 
