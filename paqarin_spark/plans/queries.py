@@ -1790,6 +1790,83 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q56_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity exponential moving average (the classic sequential
+    fold SQL engines struggle with): collect the ordered value series
+    per entity, fold it with ``F.aggregate`` (a codegen'd expression —
+    no UDF, no driver loop), seeded with the first element:
+    ema = 0.3·x + 0.7·ema_prev. Both engines fold left-to-right over
+    identical doubles (DuckDB mirrors with list_reduce), so the result
+    is bit-identical before rounding. State is O(history) per entity
+    in one array — the same per-entity memory contract as F3
+    windowing; entities themselves parallelize freely."""
+    ev = _events(spark, sf_dir)
+    seq = ev.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("ts", "event_id", "value"))
+        ).alias("_s")
+    )
+    vals = F.transform("_s", lambda r: r["value"])
+    ema = F.aggregate(
+        F.slice(vals, F.lit(2), F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda acc, x: F.lit(0.3) * x + F.lit(0.7) * acc,
+    )
+    return seq.select(
+        "user_id",
+        F.round(ema, 6).alias("ema"),
+        F.size(vals).cast("long").alias("n_obs"),
+    )
+
+
+Q56_SQL = """
+SELECT user_id,
+       ROUND(list_reduce(list(value ORDER BY ts, event_id),
+                         (acc, x) -> 0.3 * x + 0.7 * acc), 6) AS ema,
+       CAST(COUNT(*) AS BIGINT) AS n_obs
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+def q57_order_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE decile profile of order prices (mixture/quality binning
+    for corpus curation): tie-broken by order key so the decile
+    assignment is total-order deterministic on both engines. The
+    global sort is the inherent cost of exact quantile binning; at
+    100 TB use approx percentile boundaries + a broadcast range join
+    instead (q32 covers the exact-group-quantile path)."""
+    configure_for_determinism(spark)
+    orders = read_table(spark, sf_dir, "orders")
+    dec = "decimal(30,10)"
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.select(
+            "o_totalprice", F.ntile(10).over(w).alias("decile")
+        )
+        .groupBy(F.col("decile").cast("long").alias("decile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast(dec)).cast("double"), 4
+            ).alias("sum_price"),
+        )
+    )
+
+
+Q57_SQL = """
+SELECT CAST(decile AS BIGINT) AS decile,
+       COUNT(*) AS n_orders,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE), 4)
+         AS sum_price
+FROM (
+  SELECT o_totalprice,
+         NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+  FROM orders
+)
+GROUP BY 1 ORDER BY 1
+"""
+
+
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 
@@ -3317,6 +3394,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q46_running_totals": q46_running_totals,
     "q47_revenue_share": q47_revenue_share,
     "q48_value_histogram": q48_value_histogram,
+    "q56_ema": q56_ema,
+    "q57_order_deciles": q57_order_deciles,
     "em5_label_centroids": em5_label_centroids,
     "em7_nearest_centroid": em7_nearest_centroid,
     "st5_stream_dedup": st5_stream_dedup,
@@ -3415,6 +3494,8 @@ ORACLE_SQL: dict[str, str] = {
     "q46_running_totals": Q46_SQL,
     "q47_revenue_share": Q47_SQL,
     "q48_value_histogram": Q48_SQL,
+    "q56_ema": Q56_SQL,
+    "q57_order_deciles": Q57_SQL,
     "em5_label_centroids": EM5_SQL,
     "em7_nearest_centroid": EM7_SQL,
     "tx9_bpe_tokens": TX9_SQL,
