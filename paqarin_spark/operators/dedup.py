@@ -460,7 +460,18 @@ def _duplicate_clusters_star(
             F.col("dst").alias("doc"), F.col("dst").alias("cluster_rep")
         )
     )
-    return out
+    # Docs that appear in `pairs` only via self-pairs (id_a == id_b)
+    # were dropped with the self-loops; the contract returns every
+    # paired doc, so re-attach them as their own trivial clusters.
+    nodes = (
+        pairs.select(F.col(id_a).alias("doc"))
+        .unionByName(pairs.select(F.col(id_b).alias("doc")))
+        .distinct()
+    )
+    singles = nodes.join(out, on="doc", how="left_anti").select(
+        "doc", F.col("doc").alias("cluster_rep")
+    )
+    return out.unionByName(singles)
 
 
 def simhash_pairs(

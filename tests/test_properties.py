@@ -271,3 +271,48 @@ def test_sessionize_partition_laws(spark, offsets, gap_hours):
     for (t0, s0), (t1, s1) in zip(out, out[1:]):
         gap = (t1 - t0).total_seconds()
         assert s1 - s0 == (1 if gap > gap_hours * 3600 else 0)
+
+
+@PROP_SETTINGS
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_connected_components_star_equals_label(spark, edges):
+    """Both duplicate_clusters algorithms are exact connected
+    components, so on ANY pair list they must produce the identical
+    (doc, cluster_rep) map — and it must equal a driver-side
+    union-find ground truth."""
+    from paqarin_spark.operators import duplicate_clusters
+
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    label = {
+        r["doc"]: r["cluster_rep"]
+        for r in duplicate_clusters(pairs, max_iterations=40).collect()
+    }
+    star = {
+        r["doc"]: r["cluster_rep"]
+        for r in duplicate_clusters(
+            pairs, max_iterations=40, algorithm="star"
+        ).collect()
+    }
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = {n for e in edges for n in e}
+    truth = {n: find(n) for n in nodes}
+    assert label == truth
+    assert star == truth
