@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from paqarin_spark.operators import (
     add_surrogate_key,
     asof_join,
+    salted_join,
     calendar_fill,
     cosine_topk,
     exact_duplicates,
@@ -905,6 +906,105 @@ SELECT e.event_id, e.user_id, cp.checkpoint_sum,
 FROM events e ASOF LEFT JOIN cp
   ON e.user_id = cp.user_id AND e.ts >= cp.bucket
 ORDER BY e.event_id
+"""
+
+
+def q58_salted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resilient salted join (operators.joins.salted_join):
+    lineitem ⋈ orders spread across 8 salt buckets, then revenue per
+    order priority. The oracle is the PLAIN join — proving salting is
+    a pure physical rewrite (per-row scatter on the left, bucket
+    replication on the right) with zero semantic drift."""
+    configure_for_determinism(spark)
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    dec = "decimal(30,10)"
+    joined = salted_join(
+        li.select(
+            "l_orderkey",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_r"),
+        ),
+        orders,
+        on=["l_orderkey"],
+        salt_buckets=8,
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.round(F.sum(F.col("_r").cast(dec)).cast("double"), 4).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+Q58_SQL = """
+SELECT o_orderpriority,
+       ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(30,10))) AS DOUBLE), 4) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q59_asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join with tolerance (the variant q28 doesn't
+    exercise): every event matched to its user's NEXT Monday
+    checkpoint, nulled when it is more than 3 days ahead. Gap compared
+    in integer microseconds on both engines; the oracle expresses
+    forward-as-of as a correlated MIN(bucket >= ts) subquery."""
+    ev = _events(spark, sf_dir)
+    daily = time_bucket_sum(ev, EVENTS_SCHEMA, bucket_column="bucket")
+    checkpoints = daily.filter(F.weekday("bucket") == 0).select(
+        "user_id", "bucket", F.round("value", 6).alias("checkpoint_sum")
+    )
+    out = asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        checkpoints,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="bucket",
+        direction="forward",
+        tolerance="3 days",
+    )
+    return out.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("checkpoint_sum").alias("n_matched"),
+        F.round(F.sum("checkpoint_sum"), 6).alias("sum_matched"),
+        F.max(
+            F.unix_micros("matched_ts") - F.unix_micros("ts")
+        ).alias("max_gap_us"),
+    )
+
+
+Q59_SQL = """
+WITH daily AS (
+  SELECT user_id, date_trunc('day', ts) AS bucket,
+         ROUND(SUM(value), 6) AS checkpoint_sum
+  FROM events GROUP BY 1, 2
+), cp AS (
+  SELECT * FROM daily WHERE EXTRACT(ISODOW FROM bucket) = 1
+), matched AS (
+  SELECT e.event_id, e.user_id, e.ts,
+         (SELECT MIN(c.bucket) FROM cp c
+          WHERE c.user_id = e.user_id AND c.bucket >= e.ts) AS m
+  FROM events e
+), tol AS (
+  SELECT user_id, ts,
+         CASE WHEN m IS NOT NULL
+                   AND epoch_us(m) - epoch_us(ts) <= 3 * 86400000000
+              THEN m END AS m
+  FROM matched
+)
+SELECT t.user_id,
+       COUNT(*) AS n_events,
+       COUNT(c.checkpoint_sum) AS n_matched,
+       ROUND(SUM(c.checkpoint_sum), 6) AS sum_matched,
+       MAX(epoch_us(t.m) - epoch_us(t.ts)) AS max_gap_us
+FROM tol t
+LEFT JOIN cp c ON c.user_id = t.user_id AND c.bucket = t.m
+GROUP BY 1 ORDER BY 1
 """
 
 
@@ -3370,6 +3470,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q28_asof_checkpoint": q28_asof_checkpoint,
     "q29_range_hot_days": q29_range_hot_days,
     "q50_left_range_cold": q50_left_range_cold,
+    "q58_salted_revenue": q58_salted_revenue,
+    "q59_asof_forward_tolerance": q59_asof_forward_tolerance,
     "q51_small_quantity_revenue": q51_small_quantity_revenue,
     "q52_disjunctive_bands": q52_disjunctive_bands,
     "q53_top_supplier": q53_top_supplier,
@@ -3470,6 +3572,8 @@ ORACLE_SQL: dict[str, str] = {
     "q28_asof_checkpoint": Q28_SQL,
     "q29_range_hot_days": Q29_SQL,
     "q50_left_range_cold": Q50_SQL,
+    "q58_salted_revenue": Q58_SQL,
+    "q59_asof_forward_tolerance": Q59_SQL,
     "q51_small_quantity_revenue": Q51_SQL,
     "q52_disjunctive_bands": Q52_SQL,
     "q53_top_supplier": Q53_SQL,
