@@ -1928,6 +1928,49 @@ FROM events GROUP BY 1 ORDER BY 1
 """
 
 
+def q60_trailing_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-bounded RANGE window (the trailing-aggregate family
+    RANGE frames exist for): per event, the sum and count of the same
+    user's events in the trailing 7 days INCLUDING the current second.
+    Frame membership is time-valued, not row-counted — duplicate
+    timestamps all enter the frame on both engines, so no tie-break is
+    needed; the float sum rounds through the decimal path. The frame
+    bound is INTEGER MICROSECONDS on both engines (events carry
+    sub-second precision; a seconds-truncated ordering key would move
+    boundary rows between frames). One shuffle on the user key,
+    per-partition ordered scan — O(n) with a sliding frame, no
+    self-join."""
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-7 * 86400 * 1_000_000, 0)
+    )
+    dec = "decimal(30,10)"
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(
+            F.sum(F.col("value").cast(dec)).over(w).cast("double"), 6
+        ).alias("trail_sum"),
+        F.count(F.lit(1)).over(w).cast("long").alias("trail_n"),
+    )
+
+
+Q60_SQL = """
+SELECT event_id, user_id,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(30,10))) OVER w AS DOUBLE), 6)
+         AS trail_sum,
+       CAST(COUNT(*) OVER w AS BIGINT) AS trail_n
+FROM events
+WINDOW w AS (
+  PARTITION BY user_id ORDER BY epoch_us(ts)
+  RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW
+)
+ORDER BY event_id
+"""
+
+
 def q57_order_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NTILE decile profile of order prices (mixture/quality binning
     for corpus curation): tie-broken by order key so the decile
@@ -3498,6 +3541,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q48_value_histogram": q48_value_histogram,
     "q56_ema": q56_ema,
     "q57_order_deciles": q57_order_deciles,
+    "q60_trailing_7d": q60_trailing_7d,
     "em5_label_centroids": em5_label_centroids,
     "em7_nearest_centroid": em7_nearest_centroid,
     "st5_stream_dedup": st5_stream_dedup,
@@ -3600,6 +3644,7 @@ ORACLE_SQL: dict[str, str] = {
     "q48_value_histogram": Q48_SQL,
     "q56_ema": Q56_SQL,
     "q57_order_deciles": Q57_SQL,
+    "q60_trailing_7d": Q60_SQL,
     "em5_label_centroids": EM5_SQL,
     "em7_nearest_centroid": EM7_SQL,
     "tx9_bpe_tokens": TX9_SQL,
