@@ -58,17 +58,46 @@ def main() -> int:
         print(f"# {name}: {timings[name]}s rows={n}", file=sys.stderr)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    print(
-        json.dumps(
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # The driver keeps only the LAST 2000 characters of stdout and
+    # json-parses the final line (round-1 BENCH had "parsed": null
+    # because the full-name 95-query line was ~3.8k chars and lost its
+    # head). Emit the final line with each query's unique short prefix
+    # ("q01_surrogate_key" -> "q01") so all ~95 timings fit in one
+    # parseable <2000-char line; the full-name table goes to
+    # bench_results.json alongside the short->full mapping.
+    short = {name.split("_", 1)[0]: t for name, t in timings.items()}
+    if len(short) != len(timings):  # prefix collision: full names win
+        short = timings
+    payload = {
+        "metric": "declared_query_set_total",
+        "value": total,
+        "unit": "sec",
+        "queries": short,
+        "sf": sf_val,
+    }
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_results.json"),
+        "w",
+    ) as fh:
+        json.dump(
             {
                 "metric": "declared_query_set_total",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+                "short_to_full": {
+                    name.split("_", 1)[0]: name for name in timings
+                },
+                "sf": sf_val,
+            },
+            fh,
+            indent=1,
         )
-    )
+    line = json.dumps(payload, separators=(",", ":"))
+    if len(line) >= 1900:  # must fit the driver's 2000-char stdout tail
+        print(f"# bench line {len(line)} chars > 1900", file=sys.stderr)
+    print(line)
     return 0
 
 

@@ -3482,7 +3482,61 @@ GROUP BY 1 ORDER BY 1
 # Registry
 
 
+# Registry order matters: the round-1 driver verified exactly the FIRST
+# 50 entries of this dict (CORRECTNESS_r01.json = positions 1-50 in
+# round-1 order), so the 45 queries it never reached are listed FIRST
+# this round — cheapest first, with the three most expensive (tx11,
+# ev1, ev2) at positions 43-45 so a runtime-capped run still reaches
+# them. The 50 already driver-verified queries follow in their round-1
+# order.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # --- round-1 driver-UNVERIFIED set (45), cheap first ---
+    "q43_mad_by_type": q43_mad_by_type,
+    "q44_daily_active_users": q44_daily_active_users,
+    "q45_type_correlation": q45_type_correlation,
+    "q46_running_totals": q46_running_totals,
+    "q47_revenue_share": q47_revenue_share,
+    "q48_value_histogram": q48_value_histogram,
+    "q49_sql_surface": q49_sql_surface,
+    "q56_ema": q56_ema,
+    "q57_order_deciles": q57_order_deciles,
+    "q60_trailing_7d": q60_trailing_7d,
+    "tx1_text_stats": tx1_text_stats,
+    "tx2_language_id": tx2_language_id,
+    "tx3_exact_dedup": tx3_exact_dedup,
+    "tx4_ngram_jaccard": tx4_ngram_jaccard,
+    "tx5_minhash_signatures": tx5_minhash_signatures,
+    "tx6_minhash_lsh_pairs": tx6_minhash_lsh_pairs,
+    "tx7_simhash": tx7_simhash,
+    "tx8_rolling_hash": tx8_rolling_hash,
+    "tx9_bpe_tokens": tx9_bpe_tokens,
+    "tx10_quality_prune": tx10_quality_prune,
+    "tx12_simhash_pairs": tx12_simhash_pairs,
+    "tx13_top_tokens": tx13_top_tokens,
+    "tx14_stratified_sample": tx14_stratified_sample,
+    "em1_cosine_topk": em1_cosine_topk,
+    "em2_lsh_topk": em2_lsh_topk,
+    "em3_cosine_dedup": em3_cosine_dedup,
+    "em4_ivf_topk": em4_ivf_topk,
+    "em5_label_centroids": em5_label_centroids,
+    "em6_label_quality": em6_label_quality,
+    "em7_nearest_centroid": em7_nearest_centroid,
+    "mm1_media_decode": mm1_media_decode,
+    "mm2_frame_sample": mm2_frame_sample,
+    "mm3_audio_chunks": mm3_audio_chunks,
+    "gen1_bootstrap_sample": gen1_bootstrap_sample,
+    "gen2_gaussian_sample": gen2_gaussian_sample,
+    "gen3_generation_rounds": gen3_generation_rounds,
+    "gen4_conditional_sample": gen4_conditional_sample,
+    "st1_stream_daily_sum": st1_stream_daily_sum,
+    "st2_stream_window_sums": st2_stream_window_sums,
+    "st3_stream_sessions": st3_stream_sessions,
+    "st4_stream_minmax": st4_stream_minmax,
+    "st5_stream_dedup": st5_stream_dedup,
+    "tx11_dup_clusters": tx11_dup_clusters,
+    "ev1_pipeline_summary": ev1_pipeline_summary,
+    "ev2_univariate_summary": ev2_univariate_summary,
+    # --- round-1 driver-VERIFIED set (50), round-1 order ---
     "q01_surrogate_key": q01_surrogate_key,
     "q02_daily_sum": q02_daily_sum,
     "q03_gap_fill": q03_gap_fill,
@@ -3533,51 +3587,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q40_above_average_orders": q40_above_average_orders,
     "q41_churned_users": q41_churned_users,
     "q42_cube_type_weekday": q42_cube_type_weekday,
-    "q43_mad_by_type": q43_mad_by_type,
-    "q45_type_correlation": q45_type_correlation,
-    "q49_sql_surface": q49_sql_surface,
-    "q46_running_totals": q46_running_totals,
-    "q47_revenue_share": q47_revenue_share,
-    "q48_value_histogram": q48_value_histogram,
-    "q56_ema": q56_ema,
-    "q57_order_deciles": q57_order_deciles,
-    "q60_trailing_7d": q60_trailing_7d,
-    "em5_label_centroids": em5_label_centroids,
-    "em7_nearest_centroid": em7_nearest_centroid,
-    "st5_stream_dedup": st5_stream_dedup,
-    "tx9_bpe_tokens": tx9_bpe_tokens,
-    "tx11_dup_clusters": tx11_dup_clusters,
-    "tx12_simhash_pairs": tx12_simhash_pairs,
-    "tx13_top_tokens": tx13_top_tokens,
-    "tx14_stratified_sample": tx14_stratified_sample,
-    "q44_daily_active_users": q44_daily_active_users,
-    "em6_label_quality": em6_label_quality,
-    "gen3_generation_rounds": gen3_generation_rounds,
-    "gen1_bootstrap_sample": gen1_bootstrap_sample,
-    "gen2_gaussian_sample": gen2_gaussian_sample,
-    "gen4_conditional_sample": gen4_conditional_sample,
-    "ev1_pipeline_summary": ev1_pipeline_summary,
-    "ev2_univariate_summary": ev2_univariate_summary,
-    "tx1_text_stats": tx1_text_stats,
-    "tx2_language_id": tx2_language_id,
-    "tx3_exact_dedup": tx3_exact_dedup,
-    "tx4_ngram_jaccard": tx4_ngram_jaccard,
-    "tx5_minhash_signatures": tx5_minhash_signatures,
-    "tx6_minhash_lsh_pairs": tx6_minhash_lsh_pairs,
-    "tx7_simhash": tx7_simhash,
-    "tx8_rolling_hash": tx8_rolling_hash,
-    "em1_cosine_topk": em1_cosine_topk,
-    "em2_lsh_topk": em2_lsh_topk,
-    "em3_cosine_dedup": em3_cosine_dedup,
-    "em4_ivf_topk": em4_ivf_topk,
-    "mm1_media_decode": mm1_media_decode,
-    "mm2_frame_sample": mm2_frame_sample,
-    "mm3_audio_chunks": mm3_audio_chunks,
-    "st1_stream_daily_sum": st1_stream_daily_sum,
-    "st2_stream_window_sums": st2_stream_window_sums,
-    "st3_stream_sessions": st3_stream_sessions,
-    "st4_stream_minmax": st4_stream_minmax,
-    "tx10_quality_prune": tx10_quality_prune,
 }
 
 # em2_lsh_topk is deliberately oracle-less (seeded hyperplanes are not
