@@ -126,6 +126,7 @@ def ngram_jaccard_pairs(
     id_column: str,
     n: int = 3,
     threshold: float = 0.5,
+    max_doc_frequency: int | None = None,
 ) -> DataFrame:
     """Near-dup candidate pairs by word-n-gram Jaccard similarity.
 
@@ -134,9 +135,28 @@ def ngram_jaccard_pairs(
     join) → count common shingles per pair → Jaccard =
     common / (|A| + |B| - common). Output: (id_a, id_b, jaccard),
     id_a < id_b, jaccard >= threshold.
+
+    ``max_doc_frequency``: standard stop-shingle pruning. A shingle
+    appearing in k documents emits O(k²) join rows, so ONE viral
+    shingle shared by 10k docs would produce ~50M pairs — at 100 TB
+    this is the blow-up that kills the self-join. Shingles whose
+    document frequency exceeds the cap are dropped from the JOIN side
+    only (doc sizes still count every shingle), which can only lower
+    the reported ``common`` for pairs sharing a stop-shingle — the
+    usual precision/cost trade, mirrored exactly in the tx4 oracle
+    SQL. The hot-shingle list is tiny by construction (heavy hitters),
+    so it broadcasts.
     """
     shing = _shingle_rows(df, text_column, id_column, n)
     sizes = shing.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
+    if max_doc_frequency is not None:
+        hot = (
+            shing.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_doc_frequency)
+            .select("shingle")
+        )
+        shing = shing.join(F.broadcast(hot), on="shingle", how="left_anti")
     a = shing.alias("a")
     b = shing.alias("b")
     common = (

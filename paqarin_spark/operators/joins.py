@@ -32,9 +32,16 @@ def salted_join(
     its full match set. Join semantics are preserved for ``inner`` and
     ``left`` joins (each left row carries exactly one salt value).
 
-    The salt is ``rand(seed)``-derived: any per-row value works for
-    correctness since the right side covers all buckets; a seeded draw
-    keeps retries deterministic per task attempt.
+    The salt is a content hash of the FULL left row
+    (``pmod(xxhash64(*cols, seed), buckets)``), not ``rand(seed)``:
+    any per-row value is correct (the right side covers all buckets),
+    but a rand-derived salt is partition-layout-dependent — an AQE
+    coalesce or task retry can re-salt rows mid-query. A row-content
+    hash is layout- and retry-independent for free. Hashing the whole
+    row (not just the join keys, which would pin every hot-key row to
+    one bucket and defeat the salting) spreads a hot key's rows across
+    buckets whenever they differ in any other column; byte-identical
+    duplicates share a bucket, which is harmless.
     """
     if how not in ("inner", "left"):
         raise ValueError(
@@ -43,7 +50,11 @@ def salted_join(
             "right-preserved rows)"
         )
     salted_left = left.withColumn(
-        _SALT, (F.rand(seed) * salt_buckets).cast("int")
+        _SALT,
+        F.pmod(
+            F.xxhash64(*[F.col(c) for c in left.columns], F.lit(seed)),
+            F.lit(salt_buckets),
+        ).cast("int"),
     )
     buckets = F.array(*[F.lit(i) for i in range(salt_buckets)])
     salted_right = right.withColumn(_SALT, F.explode(buckets))

@@ -2297,17 +2297,27 @@ FROM documents GROUP BY 1 ORDER BY 1
 
 def tx4_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    return ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.2)
+    return ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.2, max_doc_frequency=50
+    )
 
 
+# Stop-shingle df-cap (50) mirrored from ngram_jaccard_pairs: shingles
+# in >50 docs are dropped from the JOIN side only; sizes still count
+# every shingle.
 TX4_SQL = f"""
 WITH sh AS (
   SELECT doc_id AS doc, unnest({_SHINGLES_SQL}) AS shingle FROM documents
 ), sizes AS (
   SELECT doc, COUNT(*) AS n_shingles FROM sh GROUP BY 1
+), kept AS (
+  SELECT doc, shingle FROM sh
+  WHERE shingle NOT IN (
+    SELECT shingle FROM sh GROUP BY 1 HAVING COUNT(*) > 50
+  )
 ), common AS (
   SELECT a.doc AS id_a, b.doc AS id_b, COUNT(*) AS common
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc < b.doc
   GROUP BY 1, 2
 )
 SELECT id_a, id_b,

@@ -62,6 +62,30 @@ def test_ngram_jaccard_finds_near_dup(docs):
     assert all(b != 4 and a != 4 for a, b in got)
 
 
+def test_ngram_jaccard_df_cap_prunes_stop_shingles(spark):
+    # 6 docs all share the viral shingle "the quick fox"; docs 1/2 also
+    # share a rare shingle. With the cap below 6 the viral shingle is
+    # pruned from the join, so only the rare-shingle pair survives and
+    # its `common` count excludes the stop-shingle.
+    rows = [(i, "the quick fox jumps over obstacle%d wall%d gate%d" % (i, i, i)) for i in range(3, 9)]
+    rows += [(1, "the quick fox likes green tea"), (2, "the quick fox likes green tea")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.1).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(
+            docs, "text", "doc_id", n=3, threshold=0.1, max_doc_frequency=5
+        ).collect()
+    }
+    assert (1, 2) in capped
+    # every cross-pair that only met via the viral shingle is gone
+    assert capped < uncapped
+    assert all(a in (1, 2) and b in (1, 2) for a, b in capped)
+
+
 def test_minhash_identical_docs_identical_signatures(docs):
     sigs = {r["doc"]: (r["mh_0"], r["mh_1"]) for r in minhash_signatures(docs, "text", "doc_id", num_hashes=2).collect()}
     assert sigs[1] == sigs[2]

@@ -46,6 +46,41 @@ def test_salted_join_rejects_right_joins(skewed):
         salted_join(facts, dim, on=["k"], how="right")
 
 
+def test_salt_is_layout_independent(skewed):
+    # The content-hash salt must not change with partition layout:
+    # identical rows get identical salts no matter how the input is
+    # repartitioned (a rand-derived salt fails this under AQE
+    # coalescing / task retries).
+    facts, dim = skewed
+    baseline = _canon(
+        salted_join(facts, dim, on=["k"], how="left", salt_buckets=4).collect()
+    )
+    for nparts in (1, 3, 7):
+        shuffled = facts.repartition(nparts)
+        got = _canon(
+            salted_join(shuffled, dim, on=["k"], how="left", salt_buckets=4).collect()
+        )
+        assert got == baseline
+
+
+def test_salt_spreads_hot_key(skewed, spark):
+    # All 200 rows of hot key 'h' differ in v, so the row-content hash
+    # must scatter them across more than one bucket.
+    facts, _ = skewed
+    from paqarin_spark.operators.joins import _SALT
+
+    salted = facts.withColumn(
+        _SALT,
+        F.pmod(
+            F.xxhash64(*[F.col(c) for c in facts.columns], F.lit(42)), F.lit(4)
+        ).cast("int"),
+    )
+    n_buckets = (
+        salted.filter(F.col("k") == "h").select(_SALT).distinct().count()
+    )
+    assert n_buckets > 1
+
+
 # ---------------------------------------------------------------------------
 # as-of join
 

@@ -30,6 +30,7 @@ from paqarin_spark.operators import (  # noqa: E402
     tail_trim,
     time_bucket_sum,
 )
+from paqarin_spark.operators.dedup import ngram_jaccard_pairs  # noqa: E402
 from paqarin_spark.schema import TimeSeriesSchema  # noqa: E402
 from paqarin_spark.session import get_session  # noqa: E402
 
@@ -170,6 +171,34 @@ def main() -> int:
     print(
         f"{'star CC (chains)':24} {dt:7.1f}s  rows={got_rows:>12,}  "
         f"[{'ok' if ok else f'EXPECTED {K} rows / {C} reps, got {got_reps} reps'}]"
+    )
+
+    # Hot-shingle Jaccard: 10k docs all sharing one viral trigram, each
+    # with a private trigram pair shared with exactly one neighbor.
+    # Uncapped, the viral shingle alone would emit ~50M join rows; the
+    # df-cap prunes it so the self-join only meets on the private
+    # shingles — expected pairs = the 5k neighbor pairs.
+    D = 10_000
+    docs = spark.range(D).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("viral shingle here unique"),
+            (F.col("id") / 2).cast("long").cast("string"),
+            F.lit(" pairtoken"),
+            (F.col("id") / 2).cast("long").cast("string"),
+            F.lit(" tail"),
+        ).alias("text"),
+    )
+    t0 = time.perf_counter()
+    got_pairs = ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.3, max_doc_frequency=100
+    ).count()
+    dt = time.perf_counter() - t0
+    ok = got_pairs == D // 2
+    checks.append(ok)
+    print(
+        f"{'jaccard df-cap (viral)':24} {dt:7.1f}s  rows={got_pairs:>12,}  "
+        f"[{'ok' if ok else f'EXPECTED {D // 2}'}]"
     )
 
     print("all invariants hold" if all(checks) else "INVARIANT FAILURES")
