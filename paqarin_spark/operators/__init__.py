@@ -33,6 +33,7 @@ from paqarin_spark.operators.joins import asof_join, range_point_join, salted_jo
 from paqarin_spark.operators.sessions import session_stats, sessionize
 from paqarin_spark.operators.similarity import (
     cosine_dedup_pairs,
+    cosine_dedup_pairs_bucketed,
     cosine_topk,
     ivf_topk,
     lsh_topk,
@@ -65,6 +66,7 @@ __all__ = [
     "window_starts",
     "xy_split",
     "cosine_dedup_pairs",
+    "cosine_dedup_pairs_bucketed",
     "asof_join",
     "range_point_join",
     "salted_join",

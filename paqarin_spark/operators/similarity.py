@@ -32,24 +32,83 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _vector_blocks(
+    df: DataFrame,
+    id_column: str,
+    vector_column: str,
+    num_blocks: int,
+    blk_col: str,
+    rows_col: str,
+) -> DataFrame:
+    """Pack (id, vector) rows into ``num_blocks`` matrix blocks keyed by
+    a content hash of the id — one row per block holding the block's
+    members as an array of structs. Layout-independent (hash, not
+    position) so retries/AQE cannot re-block, and each block is sized
+    |corpus|/num_blocks regardless of input partitioning."""
+    return (
+        df.select(F.col(id_column).alias("_id"), F.col(vector_column).alias("_vec"))
+        .withColumn(blk_col, F.pmod(F.xxhash64("_id"), F.lit(num_blocks)).cast("int"))
+        .groupBy(blk_col)
+        .agg(F.collect_list(F.struct("_id", "_vec")).alias(rows_col))
+    )
+
+
+def _block_pair_stream(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_column: str,
+    vector_column: str,
+    num_blocks: int,
+) -> DataFrame:
+    """Cross join of query blocks × corpus blocks: B² small-but-heavy
+    rows, repartitioned on both block ids so every BLAS task lands on
+    its own core. This is the distributed block-matrix pattern — no
+    executor ever sees more than (|Q|+|C|)/num_blocks vectors, and the
+    DRIVER never sees any (the round-1 implementation collected the
+    whole corpus through ``toPandas()``, the scale-killer this
+    replaces)."""
+    qb = _vector_blocks(queries, id_column, vector_column, num_blocks, "_qblk", "_qrows")
+    cb = _vector_blocks(corpus, id_column, vector_column, num_blocks, "_cblk", "_crows")
+    return qb.crossJoin(cb).repartition(F.col("_qblk"), F.col("_cblk"))
+
+
+def _matmul_chunks(q_mat, c_mat, q_norm, c_norm, chunk: int = 2048):
+    """Yield (row_offset, rounded-cosine-sim chunk) keeping each sims
+    slab at chunk×|c_block| so task memory stays bounded."""
+    import numpy as np
+
+    for lo in range(0, q_mat.shape[0], chunk):
+        hi = min(lo + chunk, q_mat.shape[0])
+        sims = np.round(
+            (q_mat[lo:hi] @ c_mat.T) / np.outer(q_norm[lo:hi], c_norm), 6
+        )
+        yield lo, sims
+
+
 def cosine_topk(
     df: DataFrame,
     id_column: str,
     vector_column: str,
     k: int = 5,
     queries: DataFrame | None = None,
+    num_blocks: int = 16,
 ) -> DataFrame:
     """Exact brute-force cosine top-k neighbors.
 
     ``queries`` defaults to the corpus itself (all-pairs kNN, self
-    excluded). Physical strategy: broadcast the corpus matrix to every
-    task, stream query rows through an Arrow-batched ``mapInPandas``
-    and compute each block of the similarity matrix with one BLAS
-    matmul — the distributed block-matrix pattern. 10-50× faster than
-    a crossJoin with per-element array expressions, and each task's
-    memory is O(|corpus| + batch). The corpus must fit a broadcast
-    (same posture as any broadcast join); use :func:`lsh_topk` when it
-    does not.
+    excluded). Physical strategy: hash-partition both sides into
+    ``num_blocks`` matrix blocks, cross-join the B×B block pairs (a
+    join of 2·B block rows, not of vectors), compute each block of the
+    similarity matrix with one BLAS matmul per pair, keep a per-block
+    top-k, then take the global top-k per query with a window rank over
+    the ≤ B·k surviving candidates. Exact — the global top-k is always
+    contained in the union of per-corpus-block top-ks.
+
+    Scale posture: work is O(|Q|·|C|) BLAS no matter what (that is what
+    "exact" costs — use :func:`lsh_topk` / :func:`ivf_topk` when the
+    corpus outgrows brute force), but memory is O((|Q|+|C|)/B) per task
+    and NOTHING flows through the driver; size ``num_blocks`` so a
+    block fits executor memory.
 
     Output: (query_id, neighbor_id, cos_sim) with rank <= k per query,
     cos_sim rounded 6dp, ties broken by neighbor_id.
@@ -57,45 +116,48 @@ def cosine_topk(
     import numpy as np
     import pandas as pd
 
-    spark = df.sparkSession
-    corpus_pd = df.select(id_column, vector_column).toPandas()
-    c_ids = corpus_pd[id_column].to_numpy()
-    c_mat = np.vstack(corpus_pd[vector_column].to_numpy()).astype(np.float64)
-    c_norm = np.linalg.norm(c_mat, axis=1)
-    bc = spark.sparkContext.broadcast((c_ids, c_mat, c_norm))
-
     id_type = df.schema[id_column].dataType.simpleString()
     out_schema = f"query_id {id_type}, neighbor_id {id_type}, cos_sim double"
 
-    def block(batches):
-        ids_c, mat_c, norm_c = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            q_ids = pdf[id_column].to_numpy()
-            q_mat = np.vstack(pdf[vector_column].to_numpy()).astype(np.float64)
-            q_norm = np.linalg.norm(q_mat, axis=1)
-            sims = np.round(
-                (q_mat @ mat_c.T) / np.outer(q_norm, norm_c), 6
-            )
-            out_q, out_n, out_s = [], [], []
-            for i, qid in enumerate(q_ids):
-                row = sims[i]
-                mask = ids_c != qid  # exclude self
-                cand_ids = ids_c[mask]
-                cand_sims = row[mask]
-                # rank by (-sim, neighbor_id): lexsort uses last key as
-                # primary
-                order = np.lexsort((cand_ids, -cand_sims))[:k]
-                out_q.extend([qid] * len(order))
-                out_n.extend(cand_ids[order])
-                out_s.extend(cand_sims[order])
-            yield pd.DataFrame(
-                {"query_id": out_q, "neighbor_id": out_n, "cos_sim": out_s}
-            )
+    pairs = _block_pair_stream(
+        df, queries or df, id_column, vector_column, num_blocks
+    )
 
-    q = (queries or df).select(id_column, vector_column)
-    return q.mapInPandas(block, schema=out_schema)
+    def block_topk(batches):
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                q_ids = np.array([r["_id"] for r in row["_qrows"]])
+                q_mat = np.vstack([r["_vec"] for r in row["_qrows"]]).astype(np.float64)
+                c_ids = np.array([r["_id"] for r in row["_crows"]])
+                c_mat = np.vstack([r["_vec"] for r in row["_crows"]]).astype(np.float64)
+                q_norm = np.linalg.norm(q_mat, axis=1)
+                c_norm = np.linalg.norm(c_mat, axis=1)
+                out_q, out_n, out_s = [], [], []
+                for lo, sims in _matmul_chunks(q_mat, c_mat, q_norm, c_norm):
+                    for i in range(sims.shape[0]):
+                        qid = q_ids[lo + i]
+                        mask = c_ids != qid  # exclude self
+                        cand_ids = c_ids[mask]
+                        cand_sims = sims[i][mask]
+                        # rank by (-sim, neighbor_id): lexsort's last
+                        # key is primary
+                        order = np.lexsort((cand_ids, -cand_sims))[:k]
+                        out_q.extend([qid] * len(order))
+                        out_n.extend(cand_ids[order])
+                        out_s.extend(cand_sims[order])
+                yield pd.DataFrame(
+                    {"query_id": out_q, "neighbor_id": out_n, "cos_sim": out_s}
+                )
+
+    partial = pairs.mapInPandas(block_topk, schema=out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        partial.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim")
+    )
 
 
 def cosine_topk_expr(
@@ -137,16 +199,18 @@ def cosine_dedup_pairs(
     id_column: str,
     vector_column: str,
     threshold: float = 0.9,
+    num_blocks: int = 16,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate detection: all pairs with
     ``cos_sim >= threshold``, canonicalized as ``id_a < id_b``.
 
-    Physical strategy mirrors :func:`cosine_topk`: broadcast the corpus
-    matrix, stream rows through Arrow-batched ``mapInPandas``, one BLAS
-    matmul per batch. Emitting only the upper triangle halves the
-    output. The corpus must fit a broadcast; at larger scale chain an
-    LSH bucket join (:func:`lsh_topk`'s bucketing) in front as a
-    candidate filter and keep this as the within-bucket verifier.
+    Physical strategy mirrors :func:`cosine_topk`: hash-blocked
+    block-matrix cross join, one BLAS matmul per block pair, nothing
+    through the driver. Emitting only the upper triangle (id_a < id_b)
+    means each qualifying pair surfaces in exactly one block pair — no
+    dedup pass needed. Exact and O(n²) BLAS by definition; for corpora
+    beyond brute force use :func:`cosine_dedup_pairs_bucketed`, which
+    fronts this kernel with LSH buckets.
 
     Output: (id_a, id_b, cos_sim) with cos_sim rounded 6dp, thresholded
     on the rounded value so the contract is exactly reproducible.
@@ -154,34 +218,113 @@ def cosine_dedup_pairs(
     import numpy as np
     import pandas as pd
 
-    spark = df.sparkSession
-    corpus_pd = df.select(id_column, vector_column).toPandas()
-    c_ids = corpus_pd[id_column].to_numpy()
-    c_mat = np.vstack(corpus_pd[vector_column].to_numpy()).astype(np.float64)
-    c_norm = np.linalg.norm(c_mat, axis=1)
-    bc = spark.sparkContext.broadcast((c_ids, c_mat, c_norm))
-
     id_type = df.schema[id_column].dataType.simpleString()
     out_schema = f"id_a {id_type}, id_b {id_type}, cos_sim double"
 
-    def block(batches):
-        ids_c, mat_c, norm_c = bc.value
+    pairs = _block_pair_stream(df, df, id_column, vector_column, num_blocks)
+
+    def block_pairs(batches):
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                q_ids = np.array([r["_id"] for r in row["_qrows"]])
+                q_mat = np.vstack([r["_vec"] for r in row["_qrows"]]).astype(np.float64)
+                c_ids = np.array([r["_id"] for r in row["_crows"]])
+                c_mat = np.vstack([r["_vec"] for r in row["_crows"]]).astype(np.float64)
+                q_norm = np.linalg.norm(q_mat, axis=1)
+                c_norm = np.linalg.norm(c_mat, axis=1)
+                for lo, sims in _matmul_chunks(q_mat, c_mat, q_norm, c_norm):
+                    # upper triangle only: query id strictly below
+                    # neighbor id
+                    qi, ci = np.nonzero(
+                        (sims >= threshold)
+                        & (q_ids[lo : lo + sims.shape[0], None] < c_ids[None, :])
+                    )
+                    yield pd.DataFrame(
+                        {
+                            "id_a": q_ids[lo + qi],
+                            "id_b": c_ids[ci],
+                            "cos_sim": sims[qi, ci],
+                        }
+                    )
+
+    return pairs.mapInPandas(block_pairs, schema=out_schema)
+
+
+def cosine_dedup_pairs_bucketed(
+    df: DataFrame,
+    id_column: str,
+    vector_column: str,
+    threshold: float = 0.9,
+    num_planes: int = 12,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Scale path for embedding near-dup: random-hyperplane LSH buckets
+    as the candidate front, exact cosine verification within each
+    bucket. Same output contract as :func:`cosine_dedup_pairs` but
+    recall < 1 by design (pairs hashing to different buckets are never
+    compared — for cos_sim ≥ 0.9 thresholds the collision probability
+    per plane is ≈ 1 - angle/π ≈ 0.86^planes-ish; raise recall by
+    unioning over several seeds, the standard multi-table LSH move).
+
+    Physical plan: bucket assignment is one sign-of-matmul per Arrow
+    batch, then a shuffle on bucket id co-locates candidates and one
+    BLAS matmul per bucket emits the thresholded upper triangle. At
+    100 TB the buckets ARE the partitioning — expected bucket size is
+    n/2^planes, no all-pairs stage exists, and the driver never sees a
+    vector.
+    """
+    import numpy as np
+    import pandas as pd
+    import random
+
+    rng = random.Random(seed)
+    planes = np.array(
+        [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(num_planes)]
+    )
+    bc = df.sparkSession.sparkContext.broadcast(planes)
+
+    id_type = df.schema[id_column].dataType.simpleString()
+    vec_type = df.schema[vector_column].dataType.simpleString()
+    bucketed_schema = f"{id_column} {id_type}, {vector_column} {vec_type}, bucket long"
+
+    def assign(batches):
+        p = bc.value
+        weights = 1 << np.arange(p.shape[0], dtype=np.int64)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            q_ids = pdf[id_column].to_numpy()
-            q_mat = np.vstack(pdf[vector_column].to_numpy()).astype(np.float64)
-            q_norm = np.linalg.norm(q_mat, axis=1)
-            sims = np.round((q_mat @ mat_c.T) / np.outer(q_norm, norm_c), 6)
-            # upper triangle only: query id strictly below neighbor id
-            qi, ci = np.nonzero(
-                (sims >= threshold) & (q_ids[:, None] < ids_c[None, :])
-            )
-            yield pd.DataFrame(
-                {"id_a": q_ids[qi], "id_b": ids_c[ci], "cos_sim": sims[qi, ci]}
-            )
+            mat = np.vstack(pdf[vector_column].to_numpy()).astype(np.float64)
+            bits = (mat @ p.T) >= 0
+            out = pdf[[id_column, vector_column]].copy()
+            out["bucket"] = bits @ weights
+            yield out
 
-    return df.select(id_column, vector_column).mapInPandas(block, schema=out_schema)
+    bucketed = df.select(id_column, vector_column).mapInPandas(
+        assign, schema=bucketed_schema
+    )
+
+    out_schema = f"id_a {id_type}, id_b {id_type}, cos_sim double"
+
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_column].to_numpy()
+        mat = np.vstack(pdf[vector_column].to_numpy()).astype(np.float64)
+        nrm = np.linalg.norm(mat, axis=1)
+        frames = []
+        for lo, sims in _matmul_chunks(mat, mat, nrm, nrm):
+            qi, ci = np.nonzero(
+                (sims >= threshold) & (ids[lo : lo + sims.shape[0], None] < ids[None, :])
+            )
+            frames.append(
+                pd.DataFrame(
+                    {"id_a": ids[lo + qi], "id_b": ids[ci], "cos_sim": sims[qi, ci]}
+                )
+            )
+        return pd.concat(frames) if frames else pd.DataFrame(
+            {"id_a": [], "id_b": [], "cos_sim": []}
+        )
+
+    return bucketed.groupBy("bucket").applyInPandas(bucket_pairs, schema=out_schema)
 
 
 def ivf_topk(

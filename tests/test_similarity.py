@@ -64,6 +64,49 @@ def test_cosine_dedup_low_threshold_emits_upper_triangle(vectors):
     assert len(out) == 6
 
 
+def test_cosine_dedup_exact_is_blocking_invariant(vectors):
+    # The block-matrix plan must give identical results for any block
+    # count (1 block = the old single-matrix behavior).
+    from paqarin_spark.operators import cosine_dedup_pairs
+
+    def canon(num_blocks):
+        return sorted(
+            (r["id_a"], r["id_b"], r["cos_sim"])
+            for r in cosine_dedup_pairs(
+                vectors, "vec_id", "embedding", threshold=-1.0, num_blocks=num_blocks
+            ).collect()
+        )
+
+    assert canon(1) == canon(3) == canon(16)
+
+
+def test_cosine_topk_blocking_invariant(vectors):
+    def canon(num_blocks):
+        return sorted(
+            (r["query_id"], r["neighbor_id"], r["cos_sim"])
+            for r in cosine_topk(
+                vectors, "vec_id", "embedding", k=2, num_blocks=num_blocks
+            ).collect()
+        )
+
+    assert canon(1) == canon(4) == canon(16)
+
+
+def test_bucketed_dedup_finds_identical_vectors(spark):
+    from paqarin_spark.operators import cosine_dedup_pairs_bucketed
+
+    rows = [(i, [float(i % 7 + 1), float((i * 3) % 5), 1.0, 0.5]) for i in range(20)]
+    rows += [(100, [2.0, 4.0, 6.0, 8.0]), (101, [1.0, 2.0, 3.0, 4.0])]  # parallel
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = cosine_dedup_pairs_bucketed(
+        df, "vec_id", "embedding", threshold=0.999999, num_planes=4, dim=4
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in out}
+    # parallel vectors always share every LSH bucket bit -> must be found
+    assert (100, 101) in pairs
+    assert all(a < b for a, b in pairs)
+
+
 def test_ivf_topk_single_cell_equals_brute_force(vectors):
     from paqarin_spark.operators import ivf_topk
 

@@ -31,6 +31,9 @@ from paqarin_spark.operators import (  # noqa: E402
     time_bucket_sum,
 )
 from paqarin_spark.operators.dedup import ngram_jaccard_pairs  # noqa: E402
+from paqarin_spark.operators.similarity import (  # noqa: E402
+    cosine_dedup_pairs_bucketed,
+)
 from paqarin_spark.schema import TimeSeriesSchema  # noqa: E402
 from paqarin_spark.session import get_session  # noqa: E402
 
@@ -199,6 +202,43 @@ def main() -> int:
     print(
         f"{'jaccard df-cap (viral)':24} {dt:7.1f}s  rows={got_pairs:>12,}  "
         f"[{'ok' if ok else f'EXPECTED {D // 2}'}]"
+    )
+
+    # Embedding near-dup at 2M vectors through the LSH-bucketed scale
+    # path: ids 2k/2k+1 share one identical 16-dim vector (cos = 1.0,
+    # and identical vectors share every LSH bucket bit, so recall on
+    # them is exact); distinct base vectors are hash-generated centered
+    # components whose cross cosines concentrate near 0 — none can
+    # reach the 0.999999 threshold. Expected pairs = exactly V/2, the
+    # driver never sees a vector.
+    V = max(2_000_000, n // 10)
+    dim16 = 16
+    vecs = spark.range(V).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[
+                (
+                    F.pmod(
+                        F.xxhash64((F.col("id") / 2).cast("long"), F.lit(j)),
+                        F.lit(1000),
+                    )
+                    / 1000.0
+                    - 0.5
+                )
+                for j in range(dim16)
+            ]
+        ).alias("embedding"),
+    )
+    t0 = time.perf_counter()
+    got_dups = cosine_dedup_pairs_bucketed(
+        vecs, "vec_id", "embedding", threshold=0.999999, num_planes=12, dim=dim16
+    ).count()
+    dt = time.perf_counter() - t0
+    ok = got_dups == V // 2
+    checks.append(ok)
+    print(
+        f"{'bucketed embed dedup':24} {dt:7.1f}s  rows={got_dups:>12,}  "
+        f"[{'ok' if ok else f'EXPECTED {V // 2}'}]"
     )
 
     print("all invariants hold" if all(checks) else "INVARIANT FAILURES")
