@@ -29,30 +29,29 @@ _REGISTRY: dict[tuple[str, str], Factory] = {
 
 # The reference's 3x3 provider/method grid has 5 valid cells
 # (`paqarin/adapter.py:64-97`): ydata x {timegan, doppleganger},
-# synthcity x timegan, sdv x par. Their model internals live in
-# third-party libraries not present in this environment; the cells are
-# declared so dispatch errors match the reference contract, and each
-# factory raises ImportError mentioning the missing library.
+# synthcity x timegan, sdv x par. Each cell dispatches to the
+# applyInPandas-hosted DeepProviderGenerator (generators/deep.py),
+# which carries the reference adapters' parameter translation; its
+# constructor raises ImportError naming the missing library when the
+# provider package is absent, so the dependency-free default is kept.
 
 
-def _missing(provider: str, method: str, lib: str) -> Factory:
+def _deep(provider: str, method: str) -> Factory:
     def factory(parameters: GeneratorParameters) -> TimeSeriesGenerator:
-        raise ImportError(
-            f"provider {provider!r} method {method!r} requires {lib}, "
-            "which is not installed; use provider='paqarin_spark' for the "
-            "dependency-free Spark-native generators"
-        )
+        from paqarin_spark.generators.deep import DeepProviderGenerator
+
+        return DeepProviderGenerator(parameters, provider, method)
 
     return factory
 
 
-for _provider, _method, _lib in [
-    ("ydata", "timegan", "ydata-synthetic"),
-    ("ydata", "doppleganger", "ydata-synthetic"),
-    ("synthcity", "timegan", "synthcity"),
-    ("sdv", "par", "sdv"),
+for _provider, _method in [
+    ("ydata", "timegan"),
+    ("ydata", "doppleganger"),
+    ("synthcity", "timegan"),
+    ("sdv", "par"),
 ]:
-    _REGISTRY[(_provider, _method)] = _missing(_provider, _method, _lib)
+    _REGISTRY[(_provider, _method)] = _deep(_provider, _method)
 
 
 def register_generator(provider: str, method: str, factory: Factory) -> None:

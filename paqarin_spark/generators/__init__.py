@@ -3,6 +3,7 @@ deep-provider data-contract views."""
 
 from paqarin_spark.generators.bootstrap import BlockBootstrapGenerator
 from paqarin_spark.generators.conditional import ConditionalBootstrapGenerator
+from paqarin_spark.generators.deep import DeepProviderGenerator
 from paqarin_spark.generators.gaussian import GaussianPerStepGenerator
 from paqarin_spark.generators.views import (
     SynthcityLoaderViews,
@@ -15,6 +16,7 @@ from paqarin_spark.generators.views import (
 __all__ = [
     "BlockBootstrapGenerator",
     "ConditionalBootstrapGenerator",
+    "DeepProviderGenerator",
     "GaussianPerStepGenerator",
     "SynthcityLoaderViews",
     "add_prefixes",

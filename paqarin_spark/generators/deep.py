@@ -1,0 +1,293 @@
+"""applyInPandas-hosted deep-provider adapter (SURVEY.md §2 ops J1/J2).
+
+Reference surface: the provider adapters translate paqarin parameter
+objects into library kwargs and drive train → sample
+(`paqarin/adapters/ydata_adapter.py:291-358`,
+`paqarin/adapters/synthcity_adapter.py:109-155`,
+`paqarin/adapters/sdv_adapter.py:94-119`; contracts pinned by
+`tests/test_synthcity_adapter.py:148-157`, `tests/test_ydata_adapter.py:13-45`).
+
+Spark-first hosting: these are single-node model libraries, so the
+engine runs train+sample FUSED inside one ``applyInPandas`` stage —
+training rows reach the executor as Arrow batches, the provider model
+never exists on the driver, and sampled sequences come back as
+DataFrame rows in the engine's ``(sequence_id, sequence)`` contract.
+With a ``cohort_column`` the same stage trains ONE MODEL PER COHORT in
+parallel — the scale move a single-node library cannot make on its
+own; without it there is one global model, matching the reference
+exactly (its one model sees all rows; so does the single group here).
+
+The provider libraries (TF/torch-backed) are not installable in every
+environment, so the executor entry point is a pluggable ``runner``
+callable: the default runners import the real libraries by their
+published APIs; tests inject a deterministic fake runner (cloudpickle
+ships it inside the closure) to pin the translation contract without
+the dependency. Dispatch raises the same ImportError as before when
+the library is absent.
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from paqarin_spark.generator import GeneratorParameters, TimeSeriesGenerator
+
+# pip-name / import-name per provider (reference `paqarin/adapter.py:64-97`).
+PROVIDER_LIBS: dict[str, tuple[str, str]] = {
+    "ydata": ("ydata-synthetic", "ydata_synthetic"),
+    "synthcity": ("synthcity", "synthcity"),
+    "sdv": ("sdv", "sdv"),
+}
+
+
+# ---------------------------------------------------------------------------
+# Parameter translation — field-by-field mirrors of the reference adapters.
+# ---------------------------------------------------------------------------
+
+
+def translate_ydata_timegan(p: GeneratorParameters) -> dict:
+    """Mirror of `adapters/ydata_adapter.py:291-322` (train_timegan):
+    ModelParameters(batch_size, lr, latent_dim, gamma) +
+    TrainParameters(epochs, sequence_length) + num_cols."""
+    o = p.provider_options
+    return {
+        "modelname": "timegan",
+        "model_parameters": {
+            "batch_size": o["batch_size"],
+            "lr": o["learning_rate"],
+            "latent_dim": o["latent_dimension"],
+            "gamma": o["gamma"],
+        },
+        "train_parameters": {
+            "epochs": o["epochs"],
+            "sequence_length": p.sequence_length,
+        },
+        "num_cols": list(p.schema.value_columns),
+    }
+
+
+def translate_ydata_doppleganger(p: GeneratorParameters) -> dict:
+    """Mirror of `adapters/ydata_adapter.py:325-358` (train_doppleganger):
+    ModelParameters(batch_size, lr, latent_dim) + TrainParameters(epochs,
+    sequence_length, sample_length, measurement_cols) + num/cat cols."""
+    o = p.provider_options
+    return {
+        "modelname": "doppelganger",
+        "model_parameters": {
+            "batch_size": o["batch_size"],
+            "lr": o["learning_rate"],
+            "latent_dim": o["latent_dimension"],
+        },
+        "train_parameters": {
+            "epochs": o["epochs"],
+            "sequence_length": p.sequence_length,
+            "sample_length": o["sample_length"],
+            "measurement_cols": list(p.schema.value_columns),
+        },
+        "num_cols": list(p.schema.value_columns),
+        "cat_cols": list(p.schema.attribute_columns),
+    }
+
+
+def translate_synthcity_timegan(p: GeneratorParameters) -> dict:
+    """Mirror of `adapters/synthcity_adapter.py:142-151`, pinned by the
+    reference's `tests/test_synthcity_adapter.py:148-157`: both learning
+    rates get `learning_rate`, both hidden-unit counts get
+    `latent_dimension`."""
+    o = p.provider_options
+    return {
+        "plugin": "timegan",
+        "n_iter": o["epochs"],
+        "batch_size": o["batch_size"],
+        "discriminator_lr": o["learning_rate"],
+        "generator_lr": o["learning_rate"],
+        "gamma_penalty": o["gamma"],
+        "generator_n_units_hidden": o["latent_dimension"],
+        "discriminator_n_units_hidden": o["latent_dimension"],
+    }
+
+
+def translate_sdv_par(p: GeneratorParameters) -> dict:
+    """Mirror of `adapters/sdv_adapter.py:94-119` (train_par):
+    PARSynthesizer(epochs, verbose, context_columns=item_id_columns)
+    with the timestamp column as sequence index."""
+    o = p.provider_options
+    return {
+        "epochs": o["epochs"],
+        "verbose": True,
+        "context_columns": list(p.schema.item_id_columns),
+        "sequence_index": p.schema.timestamp_column,
+        "sample_size": o.get("sample_size", 1),
+    }
+
+
+TRANSLATORS: dict[tuple[str, str], Callable[[GeneratorParameters], dict]] = {
+    ("ydata", "timegan"): translate_ydata_timegan,
+    ("ydata", "doppleganger"): translate_ydata_doppleganger,
+    ("synthcity", "timegan"): translate_synthcity_timegan,
+    ("sdv", "par"): translate_sdv_par,
+}
+
+
+# ---------------------------------------------------------------------------
+# Default executor-side runners: import the real library, train, sample.
+# Signature: runner(pdf, kwargs, n, seed) -> list[pandas.DataFrame], one
+# frame per sampled sequence carrying the value columns (the reference's
+# generate_sequences list-of-frames contract).
+# ---------------------------------------------------------------------------
+
+
+def _ydata_runner(pdf: pd.DataFrame, kwargs: dict, n: int, seed: int) -> list:
+    from ydata_synthetic.synthesizers import ModelParameters, TrainParameters
+    from ydata_synthetic.synthesizers.timeseries import TimeSeriesSynthesizer
+
+    synthesizer = TimeSeriesSynthesizer(
+        modelname=kwargs["modelname"],
+        model_parameters=ModelParameters(**kwargs["model_parameters"]),
+    )
+    fit_extra = {"num_cols": kwargs["num_cols"]}
+    if kwargs.get("cat_cols"):
+        fit_extra["cat_cols"] = kwargs["cat_cols"]
+    synthesizer.fit(
+        pdf, TrainParameters(**kwargs["train_parameters"]), **fit_extra
+    )
+    return synthesizer.sample(n)
+
+
+def _synthcity_runner(pdf: pd.DataFrame, kwargs: dict, n: int, seed: int) -> list:
+    from synthcity.plugins import Plugins
+
+    kwargs = dict(kwargs)
+    plugin_name = kwargs.pop("plugin")
+    plugin = Plugins().get(plugin_name, **kwargs)
+    plugin.fit(pdf)
+    frame = plugin.generate(count=n).dataframe()
+    return [seq for _, seq in frame.groupby("seq_id")]
+
+
+def _sdv_runner(pdf: pd.DataFrame, kwargs: dict, n: int, seed: int) -> list:
+    from sdv.metadata import SingleTableMetadata
+    from sdv.sequential import PARSynthesizer
+
+    metadata = SingleTableMetadata()
+    metadata.detect_from_dataframe(data=pdf)
+    metadata.update_column(column_name=kwargs["sequence_index"], sdtype="datetime")
+    metadata.set_sequence_index(column_name=kwargs["sequence_index"])
+    synthesizer = PARSynthesizer(
+        metadata=metadata,
+        epochs=kwargs["epochs"],
+        verbose=kwargs["verbose"],
+        context_columns=kwargs["context_columns"],
+    )
+    synthesizer.fit(pdf)
+    frame = synthesizer.sample(num_sequences=n)
+    return [seq for _, seq in frame.groupby(kwargs["context_columns"])]
+
+
+RUNNERS: dict[str, Callable] = {
+    "ydata": _ydata_runner,
+    "synthcity": _synthcity_runner,
+    "sdv": _sdv_runner,
+}
+
+
+class DeepProviderGenerator(TimeSeriesGenerator):
+    """J1/J2: a third-party deep generator hosted at the executor edge.
+
+    ``generate`` is lazy — the returned DataFrame's applyInPandas stage
+    trains the provider model and samples from it when acted on. The
+    engine's no-pickle persistence rule means deep models are
+    train-per-run (the reference pickles transformers to disk,
+    `adapters/ydata_adapter.py:255-264` — deliberately not replicated);
+    ``save``/``load`` persist parameters only.
+    """
+
+    def __init__(
+        self,
+        parameters: GeneratorParameters,
+        provider: str,
+        method: str,
+        runner: Callable | None = None,
+    ):
+        super().__init__(parameters)
+        self.provider = provider
+        self.method = method
+        pip_name, import_name = PROVIDER_LIBS[provider]
+        if runner is None:
+            try:
+                importlib.import_module(import_name)
+            except ImportError as exc:
+                raise ImportError(
+                    f"provider {provider!r} method {method!r} requires "
+                    f"{pip_name}, which is not installed; use "
+                    "provider='paqarin_spark' for the dependency-free "
+                    "Spark-native generators"
+                ) from exc
+            runner = RUNNERS[provider]
+        self._runner = runner
+        self._training: DataFrame | None = None
+
+    @property
+    def is_fitted(self) -> bool:
+        return self._training is not None
+
+    def fit(self, training_data: DataFrame) -> "DeepProviderGenerator":
+        self._training = training_data
+        return self
+
+    def generate(self, number_of_sequences: int, seed: int | None = None) -> DataFrame:
+        if self._training is None:
+            raise RuntimeError("generator is not fitted")
+        seed = self.parameters.seed if seed is None else seed
+        params = self.parameters
+        value_columns = list(params.schema.value_columns)
+        kwargs = TRANSLATORS[(self.provider, self.method)](params)
+        runner = self._runner
+        n = number_of_sequences
+
+        cohort = params.provider_options.get("cohort_column")
+        group_cols = [cohort] if cohort else ["_g"]
+        struct_fields = ", ".join(f"{c}: double" for c in value_columns)
+        out_cols = (f"{cohort} string, " if cohort else "") + (
+            f"sequence_id long, sequence array<struct<{struct_fields}>>"
+        )
+
+        def train_sample(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            sequences = runner(pdf, kwargs, n, seed)
+            rows = []
+            for i, frame in enumerate(sequences):
+                seq = [
+                    {c: float(rec[c]) for c in value_columns}
+                    for rec in frame[value_columns].to_dict("records")
+                ]
+                row = {"sequence_id": i, "sequence": seq}
+                if cohort:
+                    row[cohort] = key[0]
+                rows.append(row)
+            return pd.DataFrame(
+                rows,
+                columns=([cohort] if cohort else []) + ["sequence_id", "sequence"],
+            )
+
+        source = (
+            self._training
+            if cohort
+            else self._training.withColumn("_g", F.lit(0))
+        )
+        return source.groupBy(*group_cols).applyInPandas(
+            train_sample, schema=out_cols
+        )
+
+    def save(self, path: str) -> None:
+        from paqarin_spark.generator import _write_params
+
+        _write_params(
+            path,
+            self.parameters,
+            {"provider": self.provider, "method": self.method},
+        )
