@@ -5,16 +5,21 @@ reference — SURVEY.md §2 'Not present').
 Design: media travel as ``struct<content: binary, meta: struct<...>>``
 — one row per asset, co-partitioned with the documents that own them.
 All heavy per-asset work (decode, resize, feature extraction, frame
-sampling) runs as Arrow-batched ``mapInPandas`` transforms: the Spark
-side (schemas, partitioning, UDF signatures, batch shapes) is real and
-tested; the codec call itself is STUBBED behind ``_decode_bytes``
-because image/audio libraries are not available in this container —
-swap the stub for PIL/ffmpeg in production, nothing else changes.
+sampling) runs as Arrow-batched ``mapInPandas`` transforms.
+
+Codecs: uncompressed BMP (BITMAPINFOHEADER, 24bpp) and PCM WAV
+(RIFF/WAVE) are decoded for REAL by pure-python header parsers — no
+external libraries — so width/height/sample_rate/n_samples come from
+the bytes, not from trusting metadata. Compressed formats (png/jpeg/
+mp4/...) still fall back to the metadata-trusting stub because their
+codec libraries are not available in this container; swap in
+PIL/ffmpeg there, nothing else changes.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -57,6 +62,8 @@ DECODED_SCHEMA = StructType(
         StructField("n_bytes", LongType(), True),
         StructField("width", IntegerType(), True),
         StructField("height", IntegerType(), True),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("n_samples", LongType(), True),
     ]
 )
 
@@ -71,22 +78,136 @@ FEATURES_SCHEMA = StructType(
 )
 
 
-def _decode_bytes(content: bytes | None, width: int | None, height: int | None):
-    """STUB decode. Production: replace with PIL.Image.open /
-    soundfile / pyav — the surrounding plumbing is codec-agnostic.
+# --------------------------------------------------------------------------
+# Real pure-python codecs: uncompressed 24bpp BMP and PCM WAV. Header
+# layouts per the published BMP (BITMAPFILEHEADER+BITMAPINFOHEADER) and
+# RIFF/WAVE specifications; parsers validate magics and sizes and return
+# None for malformed payloads rather than raising (a poisoned asset must
+# not kill a 100 TB scan task).
+# --------------------------------------------------------------------------
 
-    The deterministic fake hashes the payload and trusts metadata for
-    dimensions, so tests pin real schemas and batch flow without codecs.
-    """
+BMP_HEADER_SIZE = 54  # 14-byte file header + 40-byte BITMAPINFOHEADER
+WAV_HEADER_SIZE = 44  # RIFF + fmt(16) + data chunk headers
+
+
+def bmp_row_size(width: int) -> int:
+    """24bpp BMP rows are zero-padded to 4-byte boundaries."""
+    return (width * 3 + 3) // 4 * 4
+
+
+def encode_bmp(width: int, height: int) -> bytes:
+    """Minimal spec-compliant 24bpp BMP with zeroed pixel data."""
+    data_size = bmp_row_size(width) * height
+    header = struct.pack(
+        "<2sIHHIIiiHHIIiiII",
+        b"BM",
+        BMP_HEADER_SIZE + data_size,  # file size
+        0,
+        0,
+        BMP_HEADER_SIZE,  # pixel data offset
+        40,  # BITMAPINFOHEADER size
+        width,
+        height,
+        1,  # planes
+        24,  # bits per pixel
+        0,  # BI_RGB (uncompressed)
+        data_size,
+        0,
+        0,
+        0,
+        0,
+    )
+    return header + b"\x00" * data_size
+
+
+def parse_bmp(content: bytes) -> dict | None:
+    """Parse width/height from BMP bytes; None if not a valid BMP."""
+    if len(content) < BMP_HEADER_SIZE or content[:2] != b"BM":
+        return None
+    header_size, width, height = struct.unpack_from("<Iii", content, 14)
+    if header_size < 40 or width <= 0 or height == 0:
+        return None
+    return {"width": width, "height": abs(height)}  # negative = top-down rows
+
+
+def encode_wav(sample_rate: int, n_samples: int, channels: int = 1) -> bytes:
+    """Minimal PCM16 WAV with zeroed samples."""
+    block_align = channels * 2
+    data_size = n_samples * block_align
+    header = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF",
+        36 + data_size,
+        b"WAVE",
+        b"fmt ",
+        16,  # fmt chunk size
+        1,  # PCM
+        channels,
+        sample_rate,
+        sample_rate * block_align,  # byte rate
+        block_align,
+        16,  # bits per sample
+        b"data",
+        data_size,
+    )
+    return header + b"\x00" * data_size
+
+
+def parse_wav(content: bytes) -> dict | None:
+    """Parse sample_rate and sample count from PCM WAV bytes; None if
+    not a valid RIFF/WAVE payload. Walks chunks, so payloads with extra
+    chunks (LIST, fact) before ``data`` still parse."""
+    if (
+        len(content) < WAV_HEADER_SIZE
+        or content[:4] != b"RIFF"
+        or content[8:12] != b"WAVE"
+    ):
+        return None
+    pos = 12
+    sample_rate = block_align = None
+    while pos + 8 <= len(content):
+        chunk_id, chunk_size = struct.unpack_from("<4sI", content, pos)
+        body = pos + 8
+        if chunk_id == b"fmt " and body + 16 <= len(content):
+            _, channels, sample_rate, _, block_align, _ = struct.unpack_from(
+                "<HHIIHH", content, body
+            )
+        elif chunk_id == b"data":
+            if not sample_rate or not block_align:
+                return None  # data before fmt: malformed
+            n_samples = min(chunk_size, len(content) - body) // block_align
+            return {"sample_rate": sample_rate, "n_samples": n_samples}
+        pos = body + chunk_size + (chunk_size & 1)  # chunks are word-aligned
+    return None
+
+
+def _decode_bytes(content: bytes | None, meta) -> dict | None:
+    """Decode one asset. BMP and WAV payloads are parsed for real from
+    the bytes; other formats (no codec library in this container) fall
+    back to trusting the metadata struct for their dimensions —
+    production swaps PIL/ffmpeg in right here, nothing else changes."""
     if content is None:
         return None
-    digest = hashlib.md5(content).hexdigest()
-    return {
-        "content_hash": digest,
+    decoded = {
+        "content_hash": hashlib.md5(content).hexdigest(),
         "n_bytes": len(content),
-        "width": width,
-        "height": height,
+        "width": None,
+        "height": None,
+        "sample_rate": None,
+        "n_samples": None,
     }
+    parsed = parse_bmp(content) or parse_wav(content)
+    if parsed is not None:
+        decoded.update(parsed)
+    elif meta is not None:  # compressed formats: metadata fallback
+        # nullable struct ints arrive as floats (NaN for null) via Arrow
+        opt = lambda v: None if v is None or pd.isna(v) else int(v)  # noqa: E731
+        decoded["width"] = opt(meta["width"])
+        decoded["height"] = opt(meta["height"])
+        decoded["sample_rate"] = opt(meta["sample_rate"])
+        if meta["media_type"] == "audio":
+            decoded["n_samples"] = opt(meta["n_frames"])
+    return decoded
 
 
 def decode_media(df: DataFrame) -> DataFrame:
@@ -94,28 +215,55 @@ def decode_media(df: DataFrame) -> DataFrame:
 
     Batches stream through Python with Arrow transfer; nothing is
     collected to the driver. O(1) state per batch."""
+    nulls = {f.name: None for f in DECODED_SCHEMA.fields if f.name != "asset_id"}
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for _, row in pdf.iterrows():
-                meta = row["meta"]
-                decoded = _decode_bytes(
-                    row["content"],
-                    None if meta is None else meta["width"],
-                    None if meta is None else meta["height"],
-                )
-                if decoded is None:
-                    decoded = {
-                        "content_hash": None,
-                        "n_bytes": None,
-                        "width": None,
-                        "height": None,
-                    }
-                out.append({"asset_id": row["asset_id"], **decoded})
+                decoded = _decode_bytes(row["content"], row["meta"])
+                out.append({"asset_id": row["asset_id"], **(decoded or nulls)})
             yield pd.DataFrame(out, columns=[f.name for f in DECODED_SCHEMA.fields])
 
     return df.mapInPandas(decode, schema=DECODED_SCHEMA)
+
+
+def codec_assets_from_ids(df: DataFrame, id_column: str) -> DataFrame:
+    """Deterministic REAL-codec asset table from an id column: even ids
+    become 24bpp BMPs (width = id%8+1, height = id%6+1), odd ids become
+    PCM16 WAVs (rate = 8000 + id%4·1000, samples = id%100+1) — built by
+    the spec encoders with the dimension METADATA deliberately withheld,
+    so anything a decoder reports can only have come from the bytes.
+    """
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid in pdf[id_column]:
+                aid = int(aid)
+                if aid % 2 == 0:
+                    content = encode_bmp(aid % 8 + 1, aid % 6 + 1)
+                    media_type, fmt = "image", "bmp"
+                else:
+                    content = encode_wav(8000 + aid % 4 * 1000, aid % 100 + 1)
+                    media_type, fmt = "audio", "wav"
+                rows.append(
+                    {
+                        "asset_id": aid,
+                        "content": content,
+                        "meta": {
+                            "media_type": media_type,
+                            "format": fmt,
+                            "width": None,
+                            "height": None,
+                            "n_frames": None,
+                            "sample_rate": None,
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["asset_id", "content", "meta"])
+
+    return df.select(id_column).mapInPandas(build, schema=MEDIA_SCHEMA)
 
 
 def extract_features(df: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:

@@ -2938,9 +2938,11 @@ def _media_from_docs(docs: DataFrame) -> DataFrame:
 
 def mm1_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal column pipeline end-to-end: binary content + typed
-    metadata -> Arrow-batched decode (stubbed codec, real plumbing) ->
-    per-asset record. The md5-based stub decode is deliberately
-    SQL-expressible so even the Python-UDF path stays oracle-checked."""
+    metadata -> Arrow-batched decode -> per-asset record. These payloads
+    are text dressed as compressed media, so the decoder takes its
+    metadata-fallback path (real BMP/WAV parsing is driver-checked by
+    mm4); every fallback value is SQL-expressible, keeping even the
+    Python-UDF path oracle-checked."""
     from paqarin_spark.multimodal import decode_media
 
     docs = _docs(spark, sf_dir)
@@ -2952,7 +2954,43 @@ SELECT doc_id AS asset_id,
        md5(text) AS content_hash,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
        CAST(length(text) % 640 + 1 AS INTEGER) AS width,
-       CAST(length(text) % 480 + 1 AS INTEGER) AS height
+       CAST(length(text) % 480 + 1 AS INTEGER) AS height,
+       CASE WHEN doc_id % 3 = 1 THEN 16000 END AS sample_rate,
+       CASE WHEN doc_id % 3 = 1 THEN CAST(length(text) * 37 AS BIGINT) END
+         AS n_samples
+FROM documents ORDER BY doc_id
+"""
+
+
+def mm4_codec_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec decode (multimodal.parse_bmp / parse_wav): spec-built
+    BMP and WAV payloads with dimension metadata deliberately withheld,
+    so width/height/sample_rate/n_samples in the output can only have
+    been parsed from the bytes. The oracle predicts them (and the exact
+    file sizes, incl. BMP 4-byte row padding) from id arithmetic."""
+    from paqarin_spark.multimodal import codec_assets_from_ids, decode_media
+
+    docs = _docs(spark, sf_dir)
+    return decode_media(codec_assets_from_ids(docs, "doc_id")).select(
+        "asset_id", "width", "height", "sample_rate", "n_samples", "n_bytes"
+    )
+
+
+MM4_SQL = """
+SELECT doc_id AS asset_id,
+       CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id % 8 + 1 AS INTEGER) END
+         AS width,
+       CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id % 6 + 1 AS INTEGER) END
+         AS height,
+       CASE WHEN doc_id % 2 = 1
+            THEN CAST(8000 + doc_id % 4 * 1000 AS INTEGER) END AS sample_rate,
+       CASE WHEN doc_id % 2 = 1 THEN CAST(doc_id % 100 + 1 AS BIGINT) END
+         AS n_samples,
+       CASE WHEN doc_id % 2 = 0
+            THEN CAST(54 + ((doc_id % 8 + 1) * 3 + 3) // 4 * 4
+                           * (doc_id % 6 + 1) AS BIGINT)
+            ELSE CAST(44 + (doc_id % 100 + 1) * 2 AS BIGINT)
+       END AS n_bytes
 FROM documents ORDER BY doc_id
 """
 
@@ -3534,6 +3572,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm1_media_decode": mm1_media_decode,
     "mm2_frame_sample": mm2_frame_sample,
     "mm3_audio_chunks": mm3_audio_chunks,
+    "mm4_codec_decode": mm4_codec_decode,
     "gen1_bootstrap_sample": gen1_bootstrap_sample,
     "gen2_gaussian_sample": gen2_gaussian_sample,
     "gen3_generation_rounds": gen3_generation_rounds,
@@ -3679,6 +3718,7 @@ ORACLE_SQL: dict[str, str] = {
     "mm1_media_decode": MM1_SQL,
     "mm2_frame_sample": MM2_SQL,
     "mm3_audio_chunks": MM3_SQL,
+    "mm4_codec_decode": MM4_SQL,
     "st1_stream_daily_sum": ST1_SQL,
     "st2_stream_window_sums": ST2_SQL,
     "st3_stream_sessions": ST3_SQL,

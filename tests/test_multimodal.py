@@ -85,3 +85,84 @@ def test_chunk_audio_fanout_and_bounds(spark):
         (1, 2): (8, 2),
         (3, 0): (0, 4),
     }
+
+
+# --- real codecs: BMP / WAV header parse -----------------------------------
+
+
+def test_parse_bmp_golden_bytes():
+    """Hand-written 2x2 24bpp BMP so encoder and parser cannot share a
+    bug: row size = (2*3+3)//4*4 = 8, data = 16 bytes, file = 70."""
+    from paqarin_spark.multimodal import parse_bmp
+
+    golden = (
+        b"BM"                      # magic
+        + (70).to_bytes(4, "little")   # file size
+        + b"\x00\x00\x00\x00"      # reserved
+        + (54).to_bytes(4, "little")   # pixel offset
+        + (40).to_bytes(4, "little")   # BITMAPINFOHEADER size
+        + (2).to_bytes(4, "little", signed=True)   # width
+        + (2).to_bytes(4, "little", signed=True)   # height
+        + (1).to_bytes(2, "little")    # planes
+        + (24).to_bytes(2, "little")   # bpp
+        + b"\x00" * 24             # compression..colors
+        + b"\x00" * 16             # pixel rows
+    )
+    assert parse_bmp(golden) == {"width": 2, "height": 2}
+
+
+def test_parse_wav_golden_bytes():
+    """Hand-written 3-sample PCM16 mono WAV at 8000 Hz."""
+    from paqarin_spark.multimodal import parse_wav
+
+    golden = (
+        b"RIFF" + (42).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")        # PCM
+        + (1).to_bytes(2, "little")        # mono
+        + (8000).to_bytes(4, "little")     # sample rate
+        + (16000).to_bytes(4, "little")    # byte rate
+        + (2).to_bytes(2, "little")        # block align
+        + (16).to_bytes(2, "little")       # bits
+        + b"data" + (6).to_bytes(4, "little")
+        + b"\x00" * 6
+    )
+    assert parse_wav(golden) == {"sample_rate": 8000, "n_samples": 3}
+
+
+def test_codec_roundtrip_and_malformed():
+    from paqarin_spark.multimodal import (
+        encode_bmp,
+        encode_wav,
+        parse_bmp,
+        parse_wav,
+    )
+
+    assert parse_bmp(encode_bmp(7, 3)) == {"width": 7, "height": 3}
+    assert parse_wav(encode_wav(16000, 123)) == {
+        "sample_rate": 16000,
+        "n_samples": 123,
+    }
+    # negative height = top-down row order, dimensions still real
+    bmp = bytearray(encode_bmp(4, 5))
+    bmp[22:26] = (-5).to_bytes(4, "little", signed=True)
+    assert parse_bmp(bytes(bmp)) == {"width": 4, "height": 5}
+    assert parse_bmp(b"BM too short") is None
+    assert parse_bmp(encode_wav(8000, 4)) is None
+    assert parse_wav(encode_bmp(2, 2)) is None
+    assert parse_wav(b"RIFFxxxxWAVE") is None
+
+
+def test_decode_media_parses_real_codecs_not_metadata(spark):
+    """Metadata lies on purpose; decoded dimensions must win from bytes."""
+    from paqarin_spark.multimodal import decode_media, encode_bmp, encode_wav, media_table
+
+    rows = [
+        (1, encode_bmp(6, 4), ("image", "bmp", 999, 999, None, None)),
+        (2, encode_wav(11000, 50), ("audio", "wav", None, None, 999, 999)),
+    ]
+    got = {r["asset_id"]: r for r in decode_media(media_table(spark, rows)).collect()}
+    assert (got[1]["width"], got[1]["height"]) == (6, 4)
+    assert got[1]["n_bytes"] == 54 + 20 * 4  # row size 20 (6*3=18 padded)
+    assert (got[2]["sample_rate"], got[2]["n_samples"]) == (11000, 50)
+    assert got[2]["n_bytes"] == 44 + 100
