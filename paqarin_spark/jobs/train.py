@@ -35,11 +35,23 @@ from paqarin_spark.generator import GeneratorParameters
 from paqarin_spark.schema import TimeSeriesSchema
 
 
-def load_metadata(path: str) -> tuple[str, str, GeneratorParameters]:
+def load_metadata(
+    path: str, spark: SparkSession | None = None
+) -> tuple[str, str, GeneratorParameters]:
     """JSON analogue of the reference's TrainingMetadata pickle
-    (`paqarin/evaluation.py:33-54`)."""
-    with open(path, encoding="utf-8") as fh:
-        meta = json.load(fh)
+    (`paqarin/evaluation.py:33-54`). ``path`` may be any Hadoop-reachable
+    URI (op A5, `utils/cloud_trainer.py:56-78`'s metadata download) when
+    a session is provided; plain and ``file://`` paths read locally."""
+    from paqarin_spark.sources import hadoop_read_text, local_path
+
+    lpath = local_path(path)
+    if lpath is None:
+        if spark is None:
+            raise ValueError(f"remote metadata path {path!r} requires a SparkSession")
+        meta = json.loads(hadoop_read_text(spark, path))
+    else:
+        with open(lpath, encoding="utf-8") as fh:
+            meta = json.load(fh)
     s = meta["schema"]
     schema = TimeSeriesSchema(
         item_id_columns=tuple(s["item_id_columns"]),
@@ -66,7 +78,9 @@ def run(
     model_path: str,
     data_format: str = "csv",
 ) -> None:
-    provider, method, params = load_metadata(metadata_file)
+    from paqarin_spark.sources import local_path
+
+    provider, method, params = load_metadata(metadata_file, spark)
     generator = get_generator_adapter(provider, method, params)
     if data_format == "parquet":
         df = spark.read.parquet(training_data)
@@ -77,7 +91,10 @@ def run(
             .csv(training_data)  # glob-distributed scan (op A2)
         )
     generator.fit(df)
-    generator.save(model_path)
+    # Model params JSON is written locally (file:// normalized); the
+    # generators' bulk state goes through DataFrame writers, which
+    # accept any connector scheme directly.
+    generator.save(local_path(model_path) or model_path)
 
 
 def main(argv: list[str] | None = None) -> int:

@@ -4,11 +4,27 @@ The reference reads CSVs eagerly with pandas/dask
 (`examples/dopplenganger_example.py:44`,
 `paqarin/utils/cloud_trainer.py:56-78`) and writes CSV artifacts
 (`paqarin/metrics/univariate_metrics.py:198-207`). Spark subsumes all
-of it: schema-on-read, native glob patterns, cloud FS connectors
-(`gs://` / `s3a://`) with no custom blob code.
+of it: schema-on-read, native glob patterns, cloud FS connectors with
+no custom blob code.
+
+Op A5 (cloud object-store I/O): every path in this module may be a
+URI. ``file://`` normalizes to the local filesystem; any other scheme
+(``s3a://``, ``gs://``, ``abfss://``, ``hdfs://``) is served by the
+matching Hadoop FileSystem connector — provide the connector jar and
+credentials via standard Spark conf (e.g. ``spark.jars.packages
+org.apache.hadoop:hadoop-aws``, ``spark.hadoop.fs.s3a.access.key``;
+for GCS the gcs-connector jar and
+``spark.hadoop.google.cloud.auth.service.account.json.keyfile``).
+Small sidecar artifacts (metadata JSON, model params) go through
+:func:`hadoop_read_text` / :func:`hadoop_write_text`, which use the
+same FileSystem API — replacing the reference's hand-rolled GCS blob
+client (`utils/cloud_trainer.py:28-116`) with connector-backed I/O
+that works on every scheme Spark itself can reach.
 """
 
 from __future__ import annotations
+
+from urllib.parse import urlparse
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -24,6 +40,57 @@ TABLES = (
     "documents",
     "embeddings",
 )
+
+
+def local_path(path: str) -> str | None:
+    """Local filesystem path for a plain or ``file://`` path; None for
+    remote schemes (s3a/gs/abfss/hdfs/...), which only the Hadoop
+    connectors can serve. Windows drive letters (``C:\\...``) are not
+    schemes."""
+    parsed = urlparse(path)
+    if parsed.scheme in ("", "file") or len(parsed.scheme) == 1:
+        return (parsed.path or path) if parsed.scheme == "file" else path
+    return None
+
+
+def hadoop_write_text(spark: SparkSession, path: str, content: str) -> None:
+    """Op A5: write a small text artifact (metadata JSON, model params)
+    to ANY Hadoop-reachable URI via the FileSystem API — the
+    connector-backed replacement for the reference's GCS blob upload
+    (`utils/cloud_trainer.py:81-116`). For bulk data use the DataFrame
+    writers; this is for sidecar files only."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(content.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def hadoop_read_text(spark: SparkSession, path: str) -> str:
+    """Op A5: read a small text artifact from any Hadoop-reachable URI
+    (`utils/cloud_trainer.py:56-78`'s download path)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    stream = fs.open(jpath)
+    try:
+        # py4j copies byte[] args, so a Python-side read buffer would
+        # never see the data — let the JVM drain the stream instead.
+        data = jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        return bytes(data).decode("utf-8")
+    finally:
+        stream.close()
+
+
+def hadoop_exists(spark: SparkSession, path: str) -> bool:
+    """Op A5: existence check through the Hadoop FileSystem API."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(jpath))
 
 
 def _nano_timestamp_columns(path: str) -> list[str]:
@@ -52,8 +119,13 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     from pyspark.sql import functions as F
 
-    path = f"{sf_dir}/{name}.parquet"
-    nano_cols = _nano_timestamp_columns(path)
+    path = f"{sf_dir.rstrip('/')}/{name}.parquet"
+    # The nano-footer check needs footer bytes; pyarrow reads them only
+    # from local paths. Remote-scheme tables skip it (Spark-written
+    # parquet is micros; for foreign nano-parquet on a bucket, set
+    # spark.sql.legacy.parquet.nanosAsLong and truncate explicitly).
+    lpath = local_path(path)
+    nano_cols = _nano_timestamp_columns(lpath) if lpath is not None else []
     if not nano_cols:
         return spark.read.parquet(path)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -161,7 +233,12 @@ def register_views(spark: SparkSession, sf_dir: str) -> list[str]:
 
     out = []
     for name in TABLES:
-        if os.path.exists(f"{sf_dir}/{name}.parquet"):
+        path = f"{sf_dir.rstrip('/')}/{name}.parquet"
+        lpath = local_path(path)
+        exists = (
+            os.path.exists(lpath) if lpath is not None else hadoop_exists(spark, path)
+        )
+        if exists:
             read_table(spark, sf_dir, name).createOrReplaceTempView(name)
             out.append(name)
     return out

@@ -159,3 +159,51 @@ def test_register_views_sql_surface(spark):
         """
     ).collect()
     assert len(joined) == 3
+
+
+# --- op A5: URI-form paths through the Hadoop FileSystem API ---------------
+
+
+def test_local_path_scheme_handling():
+    from paqarin_spark.sources import local_path
+
+    assert local_path("/data/x.parquet") == "/data/x.parquet"
+    assert local_path("file:///data/x.parquet") == "/data/x.parquet"
+    assert local_path("s3a://bucket/key.parquet") is None
+    assert local_path("gs://bucket/key.parquet") is None
+    assert local_path("hdfs://nn/path") is None
+
+
+def test_hadoop_text_roundtrip_and_exists(spark, tmp_path):
+    from paqarin_spark.sources import hadoop_exists, hadoop_read_text, hadoop_write_text
+
+    uri = f"file://{tmp_path}/artifacts/meta.json"
+    assert not hadoop_exists(spark, uri)
+    hadoop_write_text(spark, uri, '{"k": "v", "unicode": "ü"}')
+    assert hadoop_exists(spark, uri)
+    assert hadoop_read_text(spark, uri) == '{"k": "v", "unicode": "ü"}'
+
+
+def test_read_table_accepts_file_uri(spark):
+    from paqarin_spark.sources import read_table
+
+    plain = read_table(spark, "/root/testdata/sf0.001", "events").count()
+    via_uri = read_table(spark, "file:///root/testdata/sf0.001", "events").count()
+    assert plain == via_uri > 0
+
+
+def test_train_job_end_to_end_with_uris(spark, csv_dir, metadata_file, tmp_path):
+    """The reference's cloud-trainer contract (cloud_trainer.py:119-146)
+    with every path in URI form: metadata read through the Hadoop FS
+    API, training glob and model dir as file:// URIs."""
+    from paqarin_spark.sources import hadoop_write_text
+
+    meta_uri = f"file://{tmp_path}/meta.json"
+    hadoop_write_text(spark, meta_uri, open(metadata_file).read())
+    model_uri = f"file://{tmp_path}/model"
+    run(spark, meta_uri, f"file://{csv_dir}", model_uri)
+    loaded = load_generator(
+        spark, "paqarin_spark", "bootstrap", str(tmp_path / "model")
+    )
+    out = loaded.generate(2).collect()
+    assert len(out) == 2
