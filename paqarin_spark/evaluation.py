@@ -93,6 +93,106 @@ class LinearLastStepForecaster:
         return float(row["mae"])
 
 
+class RidgeLagForecaster:
+    """J3 parity model: ridge regression over the FULL lag design —
+    every step of every value column plus a bias — predicting each
+    label column. The reference trains a Keras LSTM on exactly this
+    X/y split (`paqarin/metrics/multivariate_metrics.py:262-305`);
+    ridge on all lags is its strongest closed-form analogue: genuinely
+    trainable (uses the whole window, unlike the last-step-only
+    :class:`LinearLastStepForecaster`), multivariate, deterministic,
+    and fit with ONE distributed action, so TSTR MAEs and the
+    ``best_generator`` ranking are produced by a model in the same
+    family of capacity the reference scores with.
+
+    fit: per-partition Gram partials (XᵀX, XᵀY) via Arrow-batched
+    ``mapInPandas`` — one numpy matmul per batch, d×d partials to the
+    driver (d = lags·|cols|+1, tiny), normal equations solved with
+    ``(XᵀX + λI)⁻¹XᵀY``. evaluate: pure column expressions with
+    literal weights — JVM-side, no Python on the scoring pass.
+    """
+
+    def __init__(self, value_columns: list[str], ridge_lambda: float = 1e-3):
+        self.value_columns = list(value_columns)
+        self.ridge_lambda = ridge_lambda
+        self.weights: dict[str, list[float]] | None = None  # label -> d coefs
+        self._lags: int | None = None
+
+    def _x_exprs(self, lags: int) -> list[F.Column]:
+        exprs = [
+            F.element_at(F.col("features"), j + 1)[c]
+            for j in range(lags)
+            for c in self.value_columns
+        ]
+        return [*exprs, F.lit(1.0)]  # bias term
+
+    def fit(self, train: DataFrame) -> "RidgeLagForecaster":
+        import numpy as np
+        import pandas as pd
+
+        cols = self.value_columns
+        first = train.select(F.size("features").alias("n")).limit(1).collect()
+        if not first:
+            raise ValueError("cannot fit on an empty training set")
+        lags = int(first[0]["n"])
+        d = lags * len(cols) + 1
+
+        def gram(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                X = np.array(
+                    [
+                        [rec[c] for rec in feats for c in cols] + [1.0]
+                        for feats in pdf["features"]
+                    ],
+                    dtype=np.float64,
+                )
+                Y = np.array(
+                    [[lab[c] for c in cols] for lab in pdf["label"]],
+                    dtype=np.float64,
+                )
+                yield pd.DataFrame(
+                    {
+                        "xtx": [(X.T @ X).ravel().tolist()],
+                        "xty": [(X.T @ Y).ravel().tolist()],
+                    }
+                )
+
+        partials = (
+            train.select("features", "label")
+            .mapInPandas(gram, schema="xtx array<double>, xty array<double>")
+            .collect()
+        )
+        xtx = np.zeros((d, d))
+        xty = np.zeros((d, len(cols)))
+        for row in partials:
+            xtx += np.array(row["xtx"]).reshape(d, d)
+            xty += np.array(row["xty"]).reshape(d, len(cols))
+        W = np.linalg.solve(xtx + self.ridge_lambda * np.eye(d), xty)
+        self.weights = {c: W[:, k].tolist() for k, c in enumerate(cols)}
+        self._lags = lags
+        return self
+
+    def evaluate_mae(self, test: DataFrame) -> float:
+        """Mean absolute error over all label columns (op I1)."""
+        if self.weights is None or self._lags is None:
+            raise RuntimeError("forecaster is not fitted")
+        xs = self._x_exprs(self._lags)
+        errs = []
+        for c in self.value_columns:
+            w = self.weights[c]
+            pred = F.lit(0.0)
+            for wk, xk in zip(w, xs):
+                pred = pred + F.lit(float(wk)) * xk
+            errs.append(F.abs(pred - F.col("label")[c]))
+        total = errs[0]
+        for e in errs[1:]:
+            total = total + e
+        row = test.agg(F.avg(total / F.lit(len(errs))).alias("mae")).collect()[0]
+        return float(row["mae"])
+
+
 class MultivariatePredictiveScorer:
     """TSTR predictive score (`paqarin/metrics/multivariate_metrics.py:139-217`).
 

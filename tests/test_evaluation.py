@@ -87,3 +87,80 @@ def test_linear_forecaster_learns_identity(spark):
     assert a == pytest.approx(1.0)
     assert b == pytest.approx(0.0)
     assert model.evaluate_mae(df) == pytest.approx(0.0)
+
+
+def test_ridge_forecaster_uses_all_lags(spark):
+    """y = 0.5*x[t-2] + 0.3*x[t-1]: invisible to the last-step-only
+    linear head, exactly recoverable from the full lag design."""
+    import random
+
+    from paqarin_spark.evaluation import RidgeLagForecaster
+
+    rng = random.Random(5)
+    rows = []
+    for _ in range(200):
+        x1, x2 = rng.uniform(-1, 1), rng.uniform(-1, 1)
+        rows.append(([{"v": x1}, {"v": x2}], {"v": 0.5 * x1 + 0.3 * x2}))
+    df = spark.createDataFrame(
+        rows, "features array<struct<v:double>>, label struct<v:double>"
+    )
+    ridge = RidgeLagForecaster(["v"], ridge_lambda=1e-6).fit(df)
+    w = ridge.weights["v"]
+    assert w[0] == pytest.approx(0.5, abs=1e-3)  # lag step 1
+    assert w[1] == pytest.approx(0.3, abs=1e-3)  # lag step 2
+    assert abs(w[2]) < 1e-3  # bias
+    assert ridge.evaluate_mae(df) == pytest.approx(0.0, abs=1e-3)
+    # the last-step head structurally cannot fit this relationship
+    linear_mae = LinearLastStepForecaster(["v"]).fit(df).evaluate_mae(df)
+    assert linear_mae > 10 * max(ridge.evaluate_mae(df), 1e-6)
+
+
+def test_ridge_tstr_ranks_faithful_generator_first(training):
+    """TSTR ordering with the trainable forecaster: a generator whose
+    samples follow the real dynamics must out-rank one emitting noise —
+    the defensible-ranking contract VERDICT asks the J3 model for."""
+    from paqarin_spark.evaluation import RidgeLagForecaster
+
+    p = GeneratorParameters(schema=SCHEMA, sequence_length=4, seed=3)
+    faithful = get_generator_adapter("paqarin_spark", "bootstrap", p)
+
+    class NoiseGenerator:
+        """Samples uniform noise shaped like bootstrap output."""
+
+        parameters = p
+        is_fitted = False
+
+        def fit(self, df):
+            self._spark = df.sparkSession
+            self.is_fitted = True
+            return self
+
+        def generate(self, n, seed=None):
+            import pyspark.sql.functions as F
+
+            seqs = self._spark.range(n).select(F.col("id").alias("sequence_id"))
+            return seqs.select(
+                "sequence_id",
+                F.array(
+                    *[
+                        F.struct((F.rand(17 + j) * 1000 - 500).alias("v"))
+                        for j in range(4)
+                    ]
+                ).alias("sequence"),
+            )
+
+    scorer = MultivariatePredictiveScorer(
+        sequence_length=4,
+        iterations=2,
+        number_of_sequences=10,
+        forecaster_factory=RidgeLagForecaster,
+    )
+    pipe = EvaluationPipeline(
+        {"bootstrap": faithful, "noise": NoiseGenerator()}, scorer
+    ).fit(training)
+    assert pipe.best_generator_name == "bootstrap"
+    by_gen = {
+        r["generator"]: r["avg_predictive_score"] for r in pipe.training_results
+    }
+    assert by_gen["bootstrap"] < by_gen["noise"]
+    pipe.unpersist()
