@@ -250,20 +250,13 @@ class MultivariatePredictiveScorer:
         parsed = parse_timestamps(real_df, schema)
         return sliding_windows(parsed, schema, self.sequence_length)
 
-    def calculate(
-        self,
-        generator: TimeSeriesGenerator,
-        generator_name: str,
-        training_data: DataFrame,
-    ) -> None:
-        spark = training_data.sparkSession
+    def _prepare(self, training_data: DataFrame, schema):
+        """Real window cache + one-time train-on-real control rows.
+        The real train/test window sets are reused across every
+        generator and iteration: persist once instead of recomputing
+        the window pipeline per action. Keyed on input identity."""
         if self.metric_manager is None:
-            self.metric_manager = MetricManager(spark)
-        schema = generator.parameters.schema
-        # The real train/test window sets are reused across every
-        # generator and iteration (1 + iterations actions each):
-        # persist once instead of recomputing the window pipeline per
-        # action. Keyed on the input DataFrame identity.
+            self.metric_manager = MetricManager(training_data.sparkSession)
         cache_key = (id(training_data), id(schema), self.sequence_length)
         if getattr(self, "_real_cache_key", None) != cache_key:
             real = self._real_windows(training_data, schema)
@@ -279,44 +272,78 @@ class MultivariatePredictiveScorer:
                     TRAIN_ON_REAL, it, {PREDICTIVE_SCORE: mae}
                 )
             self._trained_on_real = True
+        return real_train, real_test
 
-        if self.forecaster_factory is LinearLastStepForecaster:
-            # Batched fast path for the default forecaster: every
-            # iteration's least-squares moments come from ONE
-            # groupBy(_iter) aggregation over the tagged synth union,
-            # and every iteration's MAE from one pass over real_test —
-            # two actions total instead of two per iteration. Same
-            # math row for row as the per-iteration path below.
-            maes = self._batched_scores(generator, real_test, schema)
-            for it, mae in enumerate(maes):
-                self.metric_manager.register_iteration(
-                    generator_name, it, {PREDICTIVE_SCORE: mae}
-                )
+    def calculate(
+        self,
+        generator: TimeSeriesGenerator,
+        generator_name: str,
+        training_data: DataFrame,
+    ) -> None:
+        self.calculate_many({generator_name: generator}, training_data)
+
+    def calculate_many(
+        self, generator_map: dict[str, TimeSeriesGenerator], training_data: DataFrame
+    ) -> None:
+        """Score every generator in one batched plan (default
+        forecaster): the x/y splits of all (generator, iteration)
+        synth samples union into one frame tagged (_gen, _iter), the
+        least-squares moments come from ONE grouped aggregation, and
+        every MAE from one shared pass over real_test — two actions
+        total regardless of generator count. Same math row for row as
+        the per-iteration path."""
+        first = next(iter(generator_map.values()))
+        schema = first.parameters.schema
+        _, real_test = self._prepare(training_data, schema)
+
+        if self.forecaster_factory is not LinearLastStepForecaster:
+            for name, generator in generator_map.items():
+                for it in range(self.iterations):
+                    synth = generator.generate(
+                        self.number_of_sequences,
+                        seed=generator.parameters.seed + it,
+                    )
+                    synth_feats = xy_split(synth, self.sequence_length)
+                    model = self.forecaster_factory(
+                        list(schema.value_columns)
+                    ).fit(synth_feats)
+                    mae = model.evaluate_mae(real_test)
+                    self.metric_manager.register_iteration(
+                        name, it, {PREDICTIVE_SCORE: mae}
+                    )
             return
 
-        for it in range(self.iterations):
-            synth = generator.generate(self.number_of_sequences, seed=generator.parameters.seed + it)
-            synth_feats = xy_split(synth, self.sequence_length)
-            model = self.forecaster_factory(list(schema.value_columns)).fit(synth_feats)
-            mae = model.evaluate_mae(real_test)
+        maes = self._batched_scores(generator_map, real_test, schema)
+        for (name, it), mae in maes.items():
             self.metric_manager.register_iteration(
-                generator_name, it, {PREDICTIVE_SCORE: mae}
+                name, it, {PREDICTIVE_SCORE: mae}
             )
 
     def _batched_scores(
-        self, generator: TimeSeriesGenerator, real_test: DataFrame, schema
-    ) -> list[float]:
-        """All iterations' TSTR scores in two actions: one tagged-union
-        aggregation for the per-iteration least-squares coefficients,
-        one cross-join pass over real_test for the MAEs."""
+        self,
+        generator_map: dict[str, TimeSeriesGenerator],
+        real_test: DataFrame,
+        schema,
+    ) -> dict[tuple[str, int], float]:
+        """All (generator, iteration) TSTR scores in two actions: one
+        tagged-union aggregation for the per-combo least-squares
+        coefficients, one cross-join pass over real_test for the MAEs."""
         cols = list(schema.value_columns)
+        combos = [
+            (name, it)
+            for name in generator_map
+            for it in range(self.iterations)
+        ]
         allf = None
-        for it in range(self.iterations):
+        for name, it in combos:
+            generator = generator_map[name]
             synth = generator.generate(
                 self.number_of_sequences, seed=generator.parameters.seed + it
             )
-            tagged = xy_split(synth, self.sequence_length).withColumn(
-                "_iter", F.lit(it)
+            tagged = (
+                xy_split(synth, self.sequence_length)
+                .withColumn("_gen", F.lit(name))
+                .withColumn("_iter", F.lit(it))
             )
             allf = tagged if allf is None else allf.unionByName(tagged)
 
@@ -329,15 +356,18 @@ class MultivariatePredictiveScorer:
                 F.covar_pop(x, y).alias(f"_cov_{c}"),
                 F.var_pop(x).alias(f"_var_{c}"),
             ]
-        coef_rows = {r["_iter"]: r for r in allf.groupBy("_iter").agg(*aggs).collect()}
+        coef_rows = {
+            (r["_gen"], r["_iter"]): r
+            for r in allf.groupBy("_gen", "_iter").agg(*aggs).collect()
+        }
 
-        # Per-iteration coefficients as a broadcast dim; one shared
-        # scan of (cached) real_test computes every iteration's MAE.
+        # Per-combo coefficients as a broadcast dim; one shared scan of
+        # (cached) real_test computes every combo's MAE.
         spark = real_test.sparkSession
         dim_rows = []
-        for it in range(self.iterations):
-            row = coef_rows[it]
-            flat = {"_iter": it}
+        for name, it in combos:
+            row = coef_rows[(name, it)]
+            flat = {"_gen": name, "_iter": it}
             for c in cols:
                 var = row[f"_var_{c}"] or 0.0
                 a = (row[f"_cov_{c}"] / var) if var > 0 else 0.0
@@ -356,12 +386,12 @@ class MultivariatePredictiveScorer:
             total = total + e
         rows = (
             real_test.crossJoin(F.broadcast(coefs))
-            .groupBy("_iter")
+            .groupBy("_gen", "_iter")
             .agg(F.avg(total / F.lit(len(errs))).alias("mae"))
             .collect()
         )
-        by_iter = {r["_iter"]: float(r["mae"]) for r in rows}
-        return [by_iter[it] for it in range(self.iterations)]
+        by_combo = {(r["_gen"], r["_iter"]): float(r["mae"]) for r in rows}
+        return {combo: by_combo[combo] for combo in combos}
 
     def unpersist(self) -> None:
         """Release the cached real train/test window sets. Call when
@@ -432,7 +462,8 @@ class EvaluationPipeline:
                 generator.fit(training_data)
                 if save_after_fitting and save_path is not None:
                     generator.save(f"{save_path}/{name}")
-            self.scorer.calculate(generator, name, training_data)
+        # One batched plan scores every (generator, iteration) pair.
+        self.scorer.calculate_many(self.generator_map, training_data)
         self.training_results = self.scorer.summary_metrics
         return self
 

@@ -204,6 +204,7 @@ class UnivariateForecastScorer:
         self._trained_on_real = False
         self._cache = None
         self._cache_key = None
+        self._start = None  # cached min(train timestamp), one action
 
     def _real_frames(self, training_data: DataFrame, schema: TimeSeriesSchema):
         panel = panel_transform(training_data, schema)
@@ -231,20 +232,20 @@ class UnivariateForecastScorer:
             )
         return float(row["m"])
 
-    def calculate(self, generator, generator_name: str, training_data: DataFrame) -> None:
-        from paqarin_spark.generator import generate_rounds
+    def _prepare(self, training_data: DataFrame, schema: TimeSeriesSchema):
+        """Real-frame cache + one-time train-on-real control row + the
+        cached panel start timestamp (one action, shared by every
+        generator scored against the same training data)."""
         from paqarin_spark.metrics.registry import MetricManager
-        from paqarin_spark.operators.windows import attach_date_index
 
-        spark = training_data.sparkSession
         if self.metric_manager is None:
-            self.metric_manager = MetricManager(spark)
-        schema = generator.parameters.schema
+            self.metric_manager = MetricManager(training_data.sparkSession)
         cache_key = (id(training_data), id(schema), self.prediction_length)
         if self._cache_key != cache_key:
             self.unpersist()
             self._cache = self._real_frames(training_data, schema)
             self._cache_key = cache_key
+            self._start = None
         _, train, actuals = self._cache
 
         if not self._trained_on_real:
@@ -256,68 +257,104 @@ class UnivariateForecastScorer:
                 )
             self._trained_on_real = True
 
-        start = train.agg(F.min(TIMESTAMP).alias("_mn")).collect()[0]["_mn"]
+        if self._start is None:
+            self._start = train.agg(F.min(TIMESTAMP).alias("_mn")).collect()[0][
+                "_mn"
+            ]
+        return train, actuals
 
-        def synth_panel_for(it: int) -> DataFrame:
-            synth = generate_rounds(
-                generator,
-                self.number_of_sequences,
-                self.generation_rounds,
-                base_seed=generator.parameters.seed + 101 * it,
-            )
-            dated = attach_date_index(
-                synth, schema, start=start.strftime("%Y-%m-%d %H:%M:%S")
-            )
-            return to_panel(
-                dated.withColumn("_item", F.col("sequence_id").cast("string")),
-                TimeSeriesSchema(
-                    item_id_columns=("_item",),
-                    timestamp_column=schema.timestamp_column,
-                    value_columns=schema.value_columns,
-                    frequency=schema.frequency,
-                ),
-            )
+    def _synth_panel(self, generator, it: int, start) -> DataFrame:
+        from paqarin_spark.generator import generate_rounds
+        from paqarin_spark.operators.windows import attach_date_index
 
-        if self.forecaster_factory is GlobalWeekdayProfileForecaster:
-            # Batched fast path for the default forecaster: all
-            # iterations' profiles, predictions and MAEs evaluate in
-            # ONE action (union tagged by _iter, groupBy(_iter) at
-            # every stage) instead of one job per iteration. Same math
-            # row for row as the per-iteration path below.
-            scores = self._batched_scores(synth_panel_for, train, actuals)
-            for it, score in enumerate(scores):
-                self.metric_manager.register_iteration(
-                    generator_name, it, {FORECAST_SCORE: score}
-                )
+        schema = generator.parameters.schema
+        synth = generate_rounds(
+            generator,
+            self.number_of_sequences,
+            self.generation_rounds,
+            base_seed=generator.parameters.seed + 101 * it,
+        )
+        dated = attach_date_index(
+            synth, schema, start=start.strftime("%Y-%m-%d %H:%M:%S")
+        )
+        return to_panel(
+            dated.withColumn("_item", F.col("sequence_id").cast("string")),
+            TimeSeriesSchema(
+                item_id_columns=("_item",),
+                timestamp_column=schema.timestamp_column,
+                value_columns=schema.value_columns,
+                frequency=schema.frequency,
+            ),
+        )
+
+    def calculate(self, generator, generator_name: str, training_data: DataFrame) -> None:
+        self.calculate_many({generator_name: generator}, training_data)
+
+    def calculate_many(
+        self, generator_map: dict, training_data: DataFrame
+    ) -> None:
+        """Score every generator in ONE batched plan (default
+        forecaster): the synth panels of all (generator, iteration)
+        pairs union into a single frame tagged (_gen, _iter), profiles
+        and MAEs aggregate grouped on that tag, and the whole scoring
+        pass is one collect instead of one per generator — the job-count
+        lever that matters when the per-job data is small."""
+        first = next(iter(generator_map.values()))
+        train, actuals = self._prepare(training_data, first.parameters.schema)
+
+        if self.forecaster_factory is not GlobalWeekdayProfileForecaster:
+            for name, generator in generator_map.items():
+                for it in range(self.iterations):
+                    model = self.forecaster_factory().fit(
+                        self._synth_panel(generator, it, self._start)
+                    )
+                    score = self._score(model, train, actuals)
+                    self.metric_manager.register_iteration(
+                        name, it, {FORECAST_SCORE: score}
+                    )
             return
 
-        for it in range(self.iterations):
-            model = self.forecaster_factory().fit(synth_panel_for(it))
-            score = self._score(model, train, actuals)
+        combos = [
+            (name, it)
+            for name in generator_map
+            for it in range(self.iterations)
+        ]
+        allp = None
+        for name, it in combos:
+            tagged = (
+                self._synth_panel(generator_map[name], it, self._start)
+                .withColumn("_gen", F.lit(name))
+                .withColumn("_iter", F.lit(it))
+            )
+            allp = tagged if allp is None else allp.unionByName(tagged)
+        scores = self._batched_scores(allp, combos, train, actuals)
+        for (name, it), score in scores.items():
             self.metric_manager.register_iteration(
-                generator_name, it, {FORECAST_SCORE: score}
+                name, it, {FORECAST_SCORE: score}
             )
 
     def _batched_scores(
-        self, synth_panel_for, train: DataFrame, actuals: DataFrame
-    ) -> list[float]:
-        """All iterations of the weekday-profile TSTR score in one
-        plan: per-iteration profiles from the tagged panel union,
-        iteration-independent per-item base levels from real history,
-        one groupBy(_iter) MAE aggregation."""
+        self,
+        allp: DataFrame,
+        combos: list[tuple[str, int]],
+        train: DataFrame,
+        actuals: DataFrame,
+    ) -> dict[tuple[str, int], float]:
+        """Every (generator, iteration) weekday-profile TSTR score in
+        one plan: per-combo profiles from the tagged panel union,
+        combo-independent per-item base levels from real history, one
+        groupBy(_gen, _iter) MAE aggregation. Same math row for row as
+        the per-iteration predict() path."""
         period = GlobalWeekdayProfileForecaster().period
-        allp = None
-        for it in range(self.iterations):
-            tagged = synth_panel_for(it).withColumn("_iter", F.lit(it))
-            allp = tagged if allp is None else allp.unionByName(tagged)
+        keys = ["_gen", "_iter"]
 
-        global_mean = allp.groupBy("_iter").agg(F.avg(TARGET).alias("_g"))
+        global_mean = allp.groupBy(*keys).agg(F.avg(TARGET).alias("_g"))
         profile = (
-            allp.groupBy("_iter", F.dayofweek(TIMESTAMP).alias("_dow"))
+            allp.groupBy(*keys, F.dayofweek(TIMESTAMP).alias("_dow"))
             .agg(F.avg(TARGET).alias("_m"))
-            .join(global_mean, on="_iter")
+            .join(global_mean, on=keys)
             .select(
-                "_iter",
+                *keys,
                 "_dow",
                 F.when(F.col("_g") != 0, F.col("_m") / F.col("_g"))
                 .otherwise(F.lit(1.0))
@@ -331,20 +368,20 @@ class UnivariateForecastScorer:
             .groupBy(ITEM_ID)
             .agg(F.avg(TARGET).alias("_base"))
         )
-        iters = self.metric_manager.spark.range(self.iterations).select(
-            F.col("id").cast("int").alias("_iter")
+        combo_dim = self.metric_manager.spark.createDataFrame(
+            combos, "_gen string, _iter int"
         )
-        # index × iterations, then LEFT join the profile so a weekday
-        # absent from one iteration's panel falls back to mult=1.0 —
+        # index × combos, then LEFT join the profile so a weekday
+        # absent from one combo's panel falls back to mult=1.0 —
         # exactly the per-iteration predict() semantics.
         preds = (
             actuals.select(ITEM_ID, TIMESTAMP, TARGET)
             .withColumn("_dow", F.dayofweek(TIMESTAMP))
             .join(base, on=ITEM_ID, how="left")
-            .crossJoin(F.broadcast(iters))
-            .join(F.broadcast(profile), on=["_iter", "_dow"], how="left")
+            .crossJoin(F.broadcast(combo_dim))
+            .join(F.broadcast(profile), on=[*keys, "_dow"], how="left")
             .select(
-                "_iter",
+                *keys,
                 (
                     F.coalesce(F.col("_base"), F.lit(0.0))
                     * F.coalesce(F.col("_mult"), F.lit(1.0))
@@ -352,19 +389,19 @@ class UnivariateForecastScorer:
                 TARGET,
             )
         )
-        rows = preds.groupBy("_iter").agg(
+        rows = preds.groupBy(*keys).agg(
             F.avg(F.abs(F.col("target_pred") - F.col(TARGET))).alias("m")
         ).collect()
-        by_iter = {r["_iter"]: r["m"] for r in rows}
-        if len(by_iter) != self.iterations or any(
-            v is None for v in by_iter.values()
+        by_combo = {(r["_gen"], r["_iter"]): r["m"] for r in rows}
+        if len(by_combo) != len(combos) or any(
+            v is None for v in by_combo.values()
         ):
             raise ValueError(
                 "univariate scoring set is empty — every item was dropped "
                 "by the panel regularity filter (gap-fill the input with "
                 "calendar_fill first) or the holdout has no rows"
             )
-        return [float(by_iter[it]) for it in range(self.iterations)]
+        return {combo: float(by_combo[combo]) for combo in combos}
 
     def unpersist(self) -> None:
         if self._cache is not None:

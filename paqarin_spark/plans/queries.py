@@ -852,9 +852,11 @@ def ev2_univariate_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     scorer = UnivariateForecastScorer(
         prediction_length=7, iterations=2, number_of_sequences=30
     )
-    for name, gen in gens.items():
+    for gen in gens.values():
         gen.fit(daily)
-        scorer.calculate(gen, name, daily)
+    # One batched plan scores every (generator, iteration) pair — the
+    # scoring pass is a single collect instead of one per generator.
+    scorer.calculate_many(gens, daily)
     out = scorer.metric_manager.summary(FORECAST_SCORE)
     scorer.unpersist()
     for gen in gens.values():
