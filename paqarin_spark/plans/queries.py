@@ -3051,6 +3051,30 @@ ORDER BY asset_id, chunk_index
 """
 
 
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table with the same timestamp
+    normalization as the batch `read_table`: nano-long ts (legacy conf
+    pinned by a batch read first) becomes micros TIMESTAMP, and naive
+    micros parquet — which Spark 4 infers as TIMESTAMP_NTZ, a type
+    streaming watermarks reject — casts to TIMESTAMP (UTC session, so
+    wall-clock values are unchanged and batch/stream oracles agree)."""
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    read_table(spark, sf_dir, "events")  # pins nano-ts session conf
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = spark.readStream.schema(raw_schema).parquet(
+        f"{sf_dir}/events*.parquet"
+    )
+    ts_type = raw_schema["ts"].dataType
+    if isinstance(ts_type, LongType):
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("`ts` div 1000"))
+        )
+    elif isinstance(ts_type, TimestampNTZType):
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
+
+
 # --------------------------------------------------------------------------
 # ST1 — streaming daily sum (Structured Streaming dual of op D1)
 
@@ -3063,20 +3087,10 @@ def st1_stream_daily_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum — the lambda-architecture parity contract, checked rather than
     claimed. (Complete output mode: a terminating stream never emits
     its final windows in append mode.)"""
-    from pyspark.sql.types import LongType
-
     from paqarin_spark.streaming import stream_time_bucket_sum
 
     configure_for_determinism(spark)
-    read_table(spark, sf_dir, "events")  # pins nano-ts session conf
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = spark.readStream.schema(raw_schema).parquet(
-        f"{sf_dir}/events*.parquet"
-    )
-    if isinstance(raw_schema["ts"].dataType, LongType):
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.expr("`ts` div 1000"))
-        )
+    stream = _events_stream(spark, sf_dir)
     out = stream_time_bucket_sum(stream, EVENTS_SCHEMA, watermark="1 day")
     name = "st1_stream_daily_sum"
     q = (
@@ -3113,20 +3127,10 @@ def st2_stream_window_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle as the batch window sums. Rows are sequenced by
     (event-time, value) on both sides so duplicate-timestamp ties
     resolve identically."""
-    from pyspark.sql.types import LongType
-
     from paqarin_spark.streaming import stream_sliding_windows
 
     configure_for_determinism(spark)
-    read_table(spark, sf_dir, "events")  # pins nano-ts session conf
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = spark.readStream.schema(raw_schema).parquet(
-        f"{sf_dir}/events*.parquet"
-    )
-    if isinstance(raw_schema["ts"].dataType, LongType):
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.expr("`ts` div 1000"))
-        )
+    stream = _events_stream(spark, sf_dir)
     out = stream_sliding_windows(stream, EVENTS_SCHEMA, sequence_length=8)
     name = "st2_stream_window_sums"
     q = (
@@ -3171,20 +3175,10 @@ def st4_stream_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     (streaming.stream_running_minmax): the online min/max that feeds
     MinMaxState for continuous scaling, same oracle as the batch
     global aggregate."""
-    from pyspark.sql.types import LongType
-
     from paqarin_spark.streaming import stream_running_minmax
 
     configure_for_determinism(spark)
-    read_table(spark, sf_dir, "events")  # pins nano-ts session conf
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = spark.readStream.schema(raw_schema).parquet(
-        f"{sf_dir}/events*.parquet"
-    )
-    if isinstance(raw_schema["ts"].dataType, LongType):
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.expr("`ts` div 1000"))
-        )
+    stream = _events_stream(spark, sf_dir)
     out = stream_running_minmax(stream, EVENTS_SCHEMA)
     name = "st4_stream_minmax"
     q = (
@@ -3215,21 +3209,11 @@ def st5_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     output is the KEY SET — deterministic, and the full-value oracle
     is plain SELECT DISTINCT. The surviving-payload variant is pinned
     by tests/test_streaming.py instead."""
-    from pyspark.sql.types import LongType
-
     from paqarin_spark.schema import TimeSeriesSchema
     from paqarin_spark.streaming import stream_keep_first
 
     configure_for_determinism(spark)
-    read_table(spark, sf_dir, "events")  # pins nano-ts session conf
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = spark.readStream.schema(raw_schema).parquet(
-        f"{sf_dir}/events*.parquet"
-    )
-    if isinstance(raw_schema["ts"].dataType, LongType):
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.expr("`ts` div 1000"))
-        )
+    stream = _events_stream(spark, sf_dir)
     stream = stream.withColumn("day", F.date_trunc("DAY", "ts"))
     day_schema = TimeSeriesSchema(
         item_id_columns=("user_id",),
@@ -3264,20 +3248,10 @@ def st3_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     run under Trigger.AvailableNow, same 12-hour-gap oracle as the
     batch q30 minus the ordinal — checked streaming/batch parity for
     session semantics."""
-    from pyspark.sql.types import LongType
-
     from paqarin_spark.streaming import stream_sessions
 
     configure_for_determinism(spark)
-    read_table(spark, sf_dir, "events")  # pins nano-ts session conf
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = spark.readStream.schema(raw_schema).parquet(
-        f"{sf_dir}/events*.parquet"
-    )
-    if isinstance(raw_schema["ts"].dataType, LongType):
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.expr("`ts` div 1000"))
-        )
+    stream = _events_stream(spark, sf_dir)
     out = stream_sessions(
         stream, EVENTS_SCHEMA, gap="12 hours", value_column="value"
     )

@@ -127,11 +127,28 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     lpath = local_path(path)
     nano_cols = _nano_timestamp_columns(lpath) if lpath is not None else []
     if not nano_cols:
-        return spark.read.parquet(path)
+        return _ntz_to_utc(spark.read.parquet(path))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in nano_cols:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return _ntz_to_utc(df)
+
+
+def _ntz_to_utc(df: DataFrame) -> DataFrame:
+    """Normalize TIMESTAMP_NTZ columns to TIMESTAMP. Parquet written
+    with naive (isAdjustedToUTC=false) timestamps infers as NTZ on
+    Spark 4, which `unix_micros`, RANGE window frames, and streaming
+    watermarks all reject. The session timezone is pinned UTC, so the
+    cast preserves wall-clock values exactly — matching both how DuckDB
+    reads the same files and how the nano-conversion path (which always
+    produced TIMESTAMP) behaves."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import TimestampNTZType
+
+    for f in df.schema.fields:
+        if isinstance(f.dataType, TimestampNTZType):
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
     return df
 
 
