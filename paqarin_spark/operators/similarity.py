@@ -333,16 +333,24 @@ def ivf_topk(
     vector_column: str,
     k: int = 5,
     num_cells: int = 16,
+    centroids: str = "first_ids",
+    seed: int = 42,
 ) -> DataFrame:
     """Approximate cosine top-k via IVF (inverted-file) coarse
     quantization, the standard ANN scale path alongside LSH.
 
-    Coarse centroids here are the ``num_cells`` vectors with the
-    smallest ids — deterministic so the oracle contract holds; swap in
-    MLlib KMeans cluster centers for production recall, nothing else
-    changes. Every vector is assigned to its nearest centroid (rounded
-    cosine, ties to the smallest centroid id); queries probe their own
-    cell (nprobe=1) and rank candidates by (cos_sim desc, id).
+    ``centroids`` picks the coarse quantizer:
+    - ``"first_ids"`` (default): the ``num_cells`` vectors with the
+      smallest ids — deterministic and SQL-mirrorable, so the oracle
+      contract holds; recall quality is arbitrary.
+    - ``"kmeans"``: MLlib KMeans cluster centers under ``seed`` — the
+      production-recall choice; the distributed training is one MLlib
+      job and everything downstream (assignment, cell shuffle, per-cell
+      BLAS) is unchanged. Cell ids become the 0-based cluster indices.
+
+    Every vector is assigned to its nearest centroid (rounded cosine,
+    ties to the smallest centroid id); queries probe their own cell
+    (nprobe=1) and rank candidates by (cos_sim desc, id).
 
     Physical plan: centroids broadcast; assignment is one Arrow batch
     matmul per partition; candidate generation shuffles by cell id so
@@ -354,17 +362,42 @@ def ivf_topk(
     import pandas as pd
 
     spark = df.sparkSession
-    cent_pd = (
-        df.select(id_column, vector_column).orderBy(id_column).limit(num_cells).toPandas()
-    )
-    cent_ids = cent_pd[id_column].to_numpy()
-    cent_mat = np.vstack(cent_pd[vector_column].to_numpy()).astype(np.float64)
+    if centroids == "kmeans":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        feats = df.select(
+            array_to_vector(F.col(vector_column).cast("array<double>")).alias(
+                "features"
+            )
+        )
+        model = KMeans(k=num_cells, seed=seed, featuresCol="features").fit(feats)
+        cent_mat = np.vstack([np.asarray(c) for c in model.clusterCenters()]).astype(
+            np.float64
+        )
+        cent_ids = np.arange(cent_mat.shape[0])
+    elif centroids == "first_ids":
+        cent_pd = (
+            df.select(id_column, vector_column)
+            .orderBy(id_column)
+            .limit(num_cells)
+            .toPandas()
+        )
+        cent_ids = cent_pd[id_column].to_numpy()
+        cent_mat = np.vstack(cent_pd[vector_column].to_numpy()).astype(np.float64)
+    else:
+        raise ValueError(f"centroids must be first_ids|kmeans, got {centroids!r}")
     cent_norm = np.linalg.norm(cent_mat, axis=1)
     bc = spark.sparkContext.broadcast((cent_ids, cent_mat, cent_norm))
 
     id_type = df.schema[id_column].dataType.simpleString()
     vec_type = df.schema[vector_column].dataType.simpleString()
-    assigned_schema = f"{id_column} {id_type}, {vector_column} {vec_type}, cell {id_type}"
+    # kmeans cells are 0-based cluster indices (long); first_ids cells
+    # reuse the centroid vector's id, whatever type that is.
+    cell_type = "bigint" if centroids == "kmeans" else id_type
+    assigned_schema = (
+        f"{id_column} {id_type}, {vector_column} {vec_type}, cell {cell_type}"
+    )
 
     def assign(batches):
         ids_c, mat_c, norm_c = bc.value

@@ -144,3 +144,30 @@ def test_ivf_topk_excludes_self_and_bounds_k(vectors):
 
     counts = Counter(r["query_id"] for r in out)
     assert all(n <= 2 for n in counts.values())
+
+
+def test_ivf_topk_kmeans_centroids(spark):
+    from paqarin_spark.operators import ivf_topk
+
+    # two tight clusters far apart: kmeans must separate them, and
+    # nprobe=1 then confines neighbors within each cluster
+    rows = [(i, [10.0 + 0.01 * i, 0.0, 0.0, 0.0]) for i in range(5)]
+    rows += [(100 + i, [0.0, 10.0 + 0.01 * i, 0.0, 0.0]) for i in range(5)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = ivf_topk(
+        df, "vec_id", "embedding", k=2, num_cells=2, centroids="kmeans", seed=7
+    ).collect()
+    for r in out:
+        same_side = (r["query_id"] < 100) == (r["neighbor_id"] < 100)
+        assert same_side
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    assert all(len(v) == 2 for v in per_q.values())
+
+
+def test_ivf_topk_rejects_unknown_centroids(vectors):
+    from paqarin_spark.operators import ivf_topk
+
+    with pytest.raises(ValueError, match="first_ids"):
+        ivf_topk(vectors, "vec_id", "embedding", centroids="random")
