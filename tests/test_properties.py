@@ -316,3 +316,42 @@ def test_connected_components_star_equals_label(spark, edges):
     truth = {n: find(n) for n in nodes}
     assert label == truth
     assert star == truth
+
+
+# --- multimodal codecs: encode/parse roundtrips ---------------------------
+
+
+@PROP_SETTINGS
+@given(
+    width=st.integers(min_value=1, max_value=200),
+    height=st.integers(min_value=1, max_value=200),
+)
+def test_bmp_roundtrip_property(width, height):
+    from paqarin_spark.multimodal import bmp_row_size, encode_bmp, parse_bmp
+
+    payload = encode_bmp(width, height)
+    assert parse_bmp(payload) == {"width": width, "height": height}
+    assert len(payload) == 54 + bmp_row_size(width) * height
+
+
+@PROP_SETTINGS
+@given(
+    rate=st.integers(min_value=1, max_value=192_000),
+    n=st.integers(min_value=0, max_value=10_000),
+    channels=st.integers(min_value=1, max_value=2),
+)
+def test_wav_roundtrip_property(rate, n, channels):
+    from paqarin_spark.multimodal import encode_wav, parse_wav
+
+    payload = encode_wav(rate, n, channels=channels)
+    assert parse_wav(payload) == {"sample_rate": rate, "n_samples": n}
+
+
+@PROP_SETTINGS
+@given(junk=st.binary(min_size=0, max_size=200))
+def test_codec_parsers_never_raise_on_junk(junk):
+    from paqarin_spark.multimodal import parse_bmp, parse_wav
+
+    for parser in (parse_bmp, parse_wav):
+        out = parser(junk)
+        assert out is None or isinstance(out, dict)
