@@ -102,8 +102,17 @@ def generate_rounds(
     return out
 
 
-def _write_params(path: str, parameters: GeneratorParameters, extra: dict) -> None:
-    os.makedirs(path, exist_ok=True)
+def _write_params(
+    path: str,
+    parameters: GeneratorParameters,
+    extra: dict,
+    spark: SparkSession | None = None,
+) -> None:
+    """Persist the generator sidecar JSON. Local and ``file://`` paths
+    write directly; any other scheme goes through the Hadoop FileSystem
+    API (op A5) when a session is available — so ``save(path)`` works
+    with an ``s3a://``/``gs://`` model dir exactly like the DataFrame
+    state writers already do."""
     meta = {
         "schema": {
             "item_id_columns": list(parameters.schema.item_id_columns),
@@ -119,13 +128,34 @@ def _write_params(path: str, parameters: GeneratorParameters, extra: dict) -> No
         "provider_options": parameters.provider_options,
         **extra,
     }
-    with open(os.path.join(path, "generator.json"), "w", encoding="utf-8") as fh:
+    from paqarin_spark.sources import hadoop_write_text, local_path
+
+    lpath = local_path(path)
+    if lpath is None:
+        if spark is None:
+            raise ValueError(f"remote model path {path!r} requires a SparkSession")
+        hadoop_write_text(spark, f"{path.rstrip('/')}/generator.json", json.dumps(meta))
+        return
+    os.makedirs(lpath, exist_ok=True)
+    with open(os.path.join(lpath, "generator.json"), "w", encoding="utf-8") as fh:
         json.dump(meta, fh)
 
 
-def _read_params(path: str) -> tuple[GeneratorParameters, dict]:
-    with open(os.path.join(path, "generator.json"), encoding="utf-8") as fh:
-        meta = json.load(fh)
+def _read_params(
+    path: str, spark: SparkSession | None = None
+) -> tuple[GeneratorParameters, dict]:
+    from paqarin_spark.sources import hadoop_read_text, local_path
+
+    lpath = local_path(path)
+    if lpath is None:
+        if spark is None:
+            raise ValueError(f"remote model path {path!r} requires a SparkSession")
+        meta = json.loads(
+            hadoop_read_text(spark, f"{path.rstrip('/')}/generator.json")
+        )
+    else:
+        with open(os.path.join(lpath, "generator.json"), encoding="utf-8") as fh:
+            meta = json.load(fh)
     s = meta["schema"]
     schema = TimeSeriesSchema(
         item_id_columns=tuple(s["item_id_columns"]),

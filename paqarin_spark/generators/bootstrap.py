@@ -123,14 +123,22 @@ class BlockBootstrapGenerator(TimeSeriesGenerator):
     def save(self, path: str) -> None:
         if self._windows is None:
             raise RuntimeError("generator is not fitted")
-        _write_params(path, self.parameters, {"provider": self.provider, "method": self.method})
-        self.scaler.state.save(os.path.join(path, "scaler.json"))
+        spark = self._windows.sparkSession
+        _write_params(
+            path,
+            self.parameters,
+            {"provider": self.provider, "method": self.method},
+            spark=spark,
+        )
+        self.scaler.state.save(os.path.join(path, "scaler.json"), spark=spark)
         self._windows.write.mode("overwrite").parquet(os.path.join(path, "windows.parquet"))
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "BlockBootstrapGenerator":
-        params, _ = _read_params(path)
+        params, _ = _read_params(path, spark=spark)
         gen = cls(params)
-        gen.scaler.state = MinMaxState.load(os.path.join(path, "scaler.json"))
+        gen.scaler.state = MinMaxState.load(
+            os.path.join(path, "scaler.json"), spark=spark
+        )
         gen._windows = spark.read.parquet(os.path.join(path, "windows.parquet"))
         return gen

@@ -129,10 +129,14 @@ class ConditionalBootstrapGenerator(TimeSeriesGenerator):
 
         if self._windows is None:
             raise RuntimeError("generator is not fitted")
+        spark = self._windows.sparkSession
         _write_params(
-            path, self.parameters, {"provider": self.provider, "method": self.method}
+            path,
+            self.parameters,
+            {"provider": self.provider, "method": self.method},
+            spark=spark,
         )
-        self.scaler.state.save(os.path.join(path, "scaler.json"))
+        self.scaler.state.save(os.path.join(path, "scaler.json"), spark=spark)
         self._windows.write.mode("overwrite").parquet(
             os.path.join(path, "windows.parquet")
         )
@@ -144,8 +148,10 @@ class ConditionalBootstrapGenerator(TimeSeriesGenerator):
         from paqarin_spark.generator import _read_params
         from paqarin_spark.operators.scaling import MinMaxState
 
-        params, _ = _read_params(path)
+        params, _ = _read_params(path, spark=spark)
         gen = cls(params)
-        gen.scaler.state = MinMaxState.load(os.path.join(path, "scaler.json"))
+        gen.scaler.state = MinMaxState.load(
+            os.path.join(path, "scaler.json"), spark=spark
+        )
         gen._windows = spark.read.parquet(os.path.join(path, "windows.parquet"))
         return gen

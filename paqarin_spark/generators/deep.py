@@ -290,4 +290,5 @@ class DeepProviderGenerator(TimeSeriesGenerator):
             path,
             self.parameters,
             {"provider": self.provider, "method": self.method},
+            spark=self._training.sparkSession if self._training is not None else None,
         )

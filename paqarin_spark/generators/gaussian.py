@@ -118,15 +118,23 @@ class GaussianPerStepGenerator(TimeSeriesGenerator):
     def save(self, path: str) -> None:
         if self._profile is None:
             raise RuntimeError("generator is not fitted")
-        _write_params(path, self.parameters, {"provider": self.provider, "method": self.method})
-        self.scaler.state.save(os.path.join(path, "scaler.json"))
+        spark = self._profile.sparkSession
+        _write_params(
+            path,
+            self.parameters,
+            {"provider": self.provider, "method": self.method},
+            spark=spark,
+        )
+        self.scaler.state.save(os.path.join(path, "scaler.json"), spark=spark)
         self._profile.write.mode("overwrite").parquet(os.path.join(path, "profile.parquet"))
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "GaussianPerStepGenerator":
-        params, _ = _read_params(path)
+        params, _ = _read_params(path, spark=spark)
         gen = cls(params)
-        gen.scaler.state = MinMaxState.load(os.path.join(path, "scaler.json"))
+        gen.scaler.state = MinMaxState.load(
+            os.path.join(path, "scaler.json"), spark=spark
+        )
         gen._profile = spark.read.parquet(os.path.join(path, "profile.parquet"))
         gen._spark = spark
         return gen

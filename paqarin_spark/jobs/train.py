@@ -78,8 +78,6 @@ def run(
     model_path: str,
     data_format: str = "csv",
 ) -> None:
-    from paqarin_spark.sources import local_path
-
     provider, method, params = load_metadata(metadata_file, spark)
     generator = get_generator_adapter(provider, method, params)
     if data_format == "parquet":
@@ -91,10 +89,10 @@ def run(
             .csv(training_data)  # glob-distributed scan (op A2)
         )
     generator.fit(df)
-    # Model params JSON is written locally (file:// normalized); the
-    # generators' bulk state goes through DataFrame writers, which
-    # accept any connector scheme directly.
-    generator.save(local_path(model_path) or model_path)
+    # save() is URI-aware end to end: sidecar JSON goes through the
+    # Hadoop FS API for remote schemes, bulk state through DataFrame
+    # writers (connector-backed for any scheme).
+    generator.save(model_path)
 
 
 def main(argv: list[str] | None = None) -> int:

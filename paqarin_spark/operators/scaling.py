@@ -31,15 +31,35 @@ class MinMaxState:
 
     column_range: dict[str, tuple[float, float]]
 
-    def save(self, path: str) -> None:
-        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-        with open(path, "w", encoding="utf-8") as fh:
-            json.dump({k: list(v) for k, v in self.column_range.items()}, fh)
+    def save(self, path: str, spark=None) -> None:
+        """Local and ``file://`` paths write directly; other schemes go
+        through the Hadoop FileSystem API (op A5) when a session is
+        given, so model dirs can live on any connector-backed store."""
+        from paqarin_spark.sources import hadoop_write_text, local_path
+
+        payload = json.dumps({k: list(v) for k, v in self.column_range.items()})
+        lpath = local_path(path)
+        if lpath is None:
+            if spark is None:
+                raise ValueError(f"remote path {path!r} requires a SparkSession")
+            hadoop_write_text(spark, path, payload)
+            return
+        os.makedirs(os.path.dirname(lpath) or ".", exist_ok=True)
+        with open(lpath, "w", encoding="utf-8") as fh:
+            fh.write(payload)
 
     @staticmethod
-    def load(path: str) -> "MinMaxState":
-        with open(path, encoding="utf-8") as fh:
-            raw = json.load(fh)
+    def load(path: str, spark=None) -> "MinMaxState":
+        from paqarin_spark.sources import hadoop_read_text, local_path
+
+        lpath = local_path(path)
+        if lpath is None:
+            if spark is None:
+                raise ValueError(f"remote path {path!r} requires a SparkSession")
+            raw = json.loads(hadoop_read_text(spark, path))
+        else:
+            with open(lpath, encoding="utf-8") as fh:
+                raw = json.load(fh)
         return MinMaxState({k: (v[0], v[1]) for k, v in raw.items()})
 
 

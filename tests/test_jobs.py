@@ -207,3 +207,25 @@ def test_train_job_end_to_end_with_uris(spark, csv_dir, metadata_file, tmp_path)
     )
     out = loaded.generate(2).collect()
     assert len(out) == 2
+
+
+def test_generator_save_load_via_uri(spark, csv_dir, metadata_file, tmp_path):
+    """Generator persistence entirely through URI paths: sidecar JSON
+    and scaler state go through the Hadoop FS API, bulk state through
+    the DataFrame writer — loading back from the same URI works."""
+    from paqarin_spark.adapter import get_generator_adapter
+    from paqarin_spark.generators import BlockBootstrapGenerator
+
+    _, _, params = load_metadata(metadata_file)
+    gen = get_generator_adapter("paqarin_spark", "bootstrap", params)
+    df = (
+        spark.read.option("header", "true")
+        .option("inferSchema", "true")
+        .csv(csv_dir)
+    )
+    gen.fit(df)
+    uri = f"file://{tmp_path}/uri_model"
+    gen.save(uri)
+    loaded = BlockBootstrapGenerator.load(spark, uri)
+    out = loaded.generate(2).collect()
+    assert len(out) == 2
