@@ -60,16 +60,25 @@ def _block_pair_stream(
     vector_column: str,
     num_blocks: int,
 ) -> DataFrame:
-    """Cross join of query blocks × corpus blocks: B² small-but-heavy
-    rows, repartitioned on both block ids so every BLAS task lands on
-    its own core. This is the distributed block-matrix pattern — no
-    executor ever sees more than (|Q|+|C|)/num_blocks vectors, and the
-    DRIVER never sees any (the round-1 implementation collected the
-    whole corpus through ``toPandas()``, the scale-killer this
-    replaces)."""
+    """All query-block × corpus-block pairs: B² small-but-heavy rows,
+    repartitioned on both block ids so every BLAS task lands on its own
+    core. This is the distributed block-matrix pattern — no executor
+    ever sees more than (|Q|+|C|)/num_blocks vectors, and the DRIVER
+    never sees any (the round-1 implementation collected the whole
+    corpus through ``toPandas()``, the scale-killer this replaces).
+
+    The pairing is an explode + EQUI-join on the corpus block id, not a
+    crossJoin: a crossJoin of the two block tables plans as a
+    BroadcastNestedLoopJoin whose build side — the entire packed corpus
+    — materializes through the driver, quietly reintroducing the
+    collect this design removes. The equi-join shuffles instead, and
+    AQE still broadcasts it when the corpus is genuinely small."""
     qb = _vector_blocks(queries, id_column, vector_column, num_blocks, "_qblk", "_qrows")
     cb = _vector_blocks(corpus, id_column, vector_column, num_blocks, "_cblk", "_crows")
-    return qb.crossJoin(cb).repartition(F.col("_qblk"), F.col("_cblk"))
+    fanout = qb.withColumn(
+        "_cblk", F.explode(F.array(*[F.lit(i) for i in range(num_blocks)]))
+    )
+    return fanout.join(cb, on="_cblk").repartition(F.col("_qblk"), F.col("_cblk"))
 
 
 def _matmul_chunks(q_mat, c_mat, q_norm, c_norm, chunk: int = 2048):
