@@ -7,6 +7,11 @@ Red flags (fail):
 Amber flags (report, don't fail — legitimate in bounded contexts):
   - Exchange SinglePartition   global sort/window funnel; fine for
     top-k limits and tiny dims, a bug on large relations
+  - BroadcastNestedLoopJoin    non-equi join with a broadcast build
+    side that materializes through the driver; fine for tiny dims
+    (calendars, centroid tables), a scale-killer when the build side
+    grows with the data (this is how the block-matrix crossJoin bug
+    was found)
 
 Usage: python tools/plan_audit.py [sf_dir] [query ...]
 """
@@ -22,7 +27,7 @@ from paqarin_spark.session import get_session  # noqa: E402
 import __spark_entry__ as entrymod  # noqa: E402
 
 RED = ("BatchEvalPython", "CartesianProduct")
-AMBER = ("Exchange SinglePartition",)
+AMBER = ("Exchange SinglePartition", "BroadcastNestedLoopJoin")
 
 # Streaming queries run to completion inside the callable; their
 # returned frame is a memory-sink scan, so the interesting plan has
