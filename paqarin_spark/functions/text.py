@@ -205,3 +205,24 @@ def text_stats(df: DataFrame, text_column: str, id_column: str) -> DataFrame:
         F.round((length_term + alpha + stop) / F.lit(3.0), 6).alias("quality"),
         "fingerprint",
     )
+
+
+def clean_text(text_col) -> Column:
+    """Training-corpus text normalization, the standard pre-dedup
+    cleaning pass: strip HTML/XML tags, decode the common entities,
+    collapse all whitespace runs to single spaces, trim, and casefold.
+    Pure codegen'd regexp passes — at 100 TB this runs at scan speed
+    with no Python anywhere. Tag stripping is the pragmatic
+    ``<[^>]*>`` contract (not an HTML parser): right for corpus
+    cleaning, documented so nobody mistakes it for sanitization."""
+    t = F.regexp_replace(text_col, "<[^>]*>", " ")
+    for entity, repl in (
+        ("&amp;", "&"),
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&nbsp;", " "),
+    ):
+        t = F.replace(t, F.lit(entity), F.lit(repl))
+    return F.lower(F.btrim(F.regexp_replace(t, "\\s+", " ")))

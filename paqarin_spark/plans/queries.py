@@ -3502,6 +3502,45 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def tx15_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus cleaning pass (functions.text.clean_text): HTML-tag
+    strip, entity decode, whitespace collapse, casefold — the standard
+    normalization in front of dedup/tokenization, all codegen'd
+    regexp. Emits per-doc cleaned length and a cleaning fingerprint so
+    the whole transform is value-checked, plus the shrinkage per doc."""
+    from paqarin_spark.functions.text import clean_text
+
+    docs = _docs(spark, sf_dir)
+    cleaned = clean_text(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.length(cleaned).cast("long").alias("clean_len"),
+        (F.length("text") - F.length(cleaned)).cast("long").alias("removed"),
+        F.md5(cleaned).alias("clean_md5"),
+    ).orderBy("doc_id")
+
+
+# DuckDB mirror of clean_text: same pass order (tags -> entities ->
+# whitespace -> trim -> lower); regexp_replace needs the 'g' flag where
+# Spark replaces all matches by default.
+_CLEAN_SQL = (
+    "lower(trim(regexp_replace("
+    "replace(replace(replace(replace(replace(replace("
+    "regexp_replace(text, '<[^>]*>', ' ', 'g'),"
+    " '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),"
+    " '&quot;', '\"'), '&#39;', ''''), '&nbsp;', ' '),"
+    " '\\s+', ' ', 'g')))"
+)
+
+TX15_SQL = f"""
+SELECT doc_id,
+       CAST(length({_CLEAN_SQL}) AS BIGINT) AS clean_len,
+       CAST(length(text) - length({_CLEAN_SQL}) AS BIGINT) AS removed,
+       md5({_CLEAN_SQL}) AS clean_md5
+FROM documents ORDER BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 
@@ -3612,6 +3651,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q40_above_average_orders": q40_above_average_orders,
     "q41_churned_users": q41_churned_users,
     "q42_cube_type_weekday": q42_cube_type_weekday,
+    # --- round-2 additions (after the 50-entry driver window) ---
+    "tx15_clean_text": tx15_clean_text,
 }
 
 # em2_lsh_topk is deliberately oracle-less (seeded hyperplanes are not
@@ -3709,4 +3750,5 @@ ORACLE_SQL: dict[str, str] = {
     "tx6_minhash_lsh_pairs": TX6_SQL,
     "tx7_simhash": TX7_SQL,
     "em1_cosine_topk": EM1_SQL,
+    "tx15_clean_text": TX15_SQL,
 }

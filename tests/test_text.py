@@ -105,3 +105,22 @@ def test_bpe_token_count(spark):
         for r in df.select("id", bpe_token_count(F.col("text")).alias("n")).collect()
     }
     assert got == {1: 6, 2: 0, 3: 1}
+
+
+def test_clean_text(spark):
+    from paqarin_spark.functions.text import clean_text
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "<p>Hello&nbsp;&amp; <b>World</b></p>\n\n  Bye"),
+        (2, "no markup HERE"),
+        (3, "&lt;tag&gt; is &quot;escaped&quot; &#39;quote&#39;"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["clean"]
+        for r in df.select("doc_id", clean_text(F.col("text")).alias("clean")).collect()
+    }
+    assert got[1] == "hello & world bye"
+    assert got[2] == "no markup here"
+    assert got[3] == "<tag> is \"escaped\" 'quote'"
