@@ -226,3 +226,34 @@ def clean_text(text_col) -> Column:
     ):
         t = F.replace(t, F.lit(entity), F.lit(repl))
     return F.lower(F.btrim(F.regexp_replace(t, "\\s+", " ")))
+
+
+# Deterministic, dialect-portable PII patterns (same regex text runs on
+# Spark and DuckDB): pragmatic corpus-scrubbing contracts, not a
+# compliance guarantee.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>"),
+    ("phone", "\\+?[0-9][0-9()\\- ]{7,}[0-9]", "<PHONE>"),
+)
+
+
+def redact_pii(text_col) -> Column:
+    """Mask emails, IPv4 addresses, and phone-shaped digit runs with
+    typed placeholder tokens — the standard scrub in front of training
+    corpora. Pure codegen'd regexp passes applied in declared order
+    (email first so its digits can't be half-eaten by the phone rule).
+    """
+    t = text_col
+    for _, pattern, token in PII_PATTERNS:
+        t = F.regexp_replace(t, pattern, token)
+    return t
+
+
+def pii_counts(text_col) -> list[Column]:
+    """Per-kind match counts (one `regexp_count` each), aliased
+    n_<kind> — the audit side of :func:`redact_pii`."""
+    return [
+        F.regexp_count(text_col, F.lit(pattern)).cast("long").alias(f"n_{kind}")
+        for kind, pattern, _ in PII_PATTERNS
+    ]

@@ -3541,6 +3541,41 @@ FROM documents ORDER BY doc_id
 """
 
 
+def tx16_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (functions.text.redact_pii): email/IPv4/phone masking
+    with typed placeholders plus per-kind audit counts, value-checked
+    byte-exactly via the md5 of the redacted text. The same regex text
+    runs on both engines (Java regex and RE2 agree on this dialect
+    subset), so the oracle pins the patterns themselves."""
+    from paqarin_spark.functions.text import pii_counts, redact_pii
+
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        *pii_counts(F.col("text")),
+        F.md5(redact_pii(F.col("text"))).alias("redacted_md5"),
+    ).orderBy("doc_id")
+
+
+def _tx16_sql() -> str:
+    from paqarin_spark.functions.text import PII_PATTERNS
+
+    counts = ", ".join(
+        f"CAST(len(regexp_extract_all(text, '{p}')) AS BIGINT) AS n_{kind}"
+        for kind, p, _ in PII_PATTERNS
+    )
+    redacted = "text"
+    for _, p, token in PII_PATTERNS:
+        redacted = f"regexp_replace({redacted}, '{p}', '{token}', 'g')"
+    return f"""
+SELECT doc_id, {counts}, md5({redacted}) AS redacted_md5
+FROM documents ORDER BY doc_id
+"""
+
+
+TX16_SQL = _tx16_sql()
+
+
 # --------------------------------------------------------------------------
 # Registry
 
@@ -3653,6 +3688,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q42_cube_type_weekday": q42_cube_type_weekday,
     # --- round-2 additions (after the 50-entry driver window) ---
     "tx15_clean_text": tx15_clean_text,
+    "tx16_pii_redaction": tx16_pii_redaction,
 }
 
 # em2_lsh_topk is deliberately oracle-less (seeded hyperplanes are not
@@ -3751,4 +3787,5 @@ ORACLE_SQL: dict[str, str] = {
     "tx7_simhash": TX7_SQL,
     "em1_cosine_topk": EM1_SQL,
     "tx15_clean_text": TX15_SQL,
+    "tx16_pii_redaction": TX16_SQL,
 }

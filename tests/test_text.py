@@ -124,3 +124,29 @@ def test_clean_text(spark):
     assert got[1] == "hello & world bye"
     assert got[2] == "no markup here"
     assert got[3] == "<tag> is \"escaped\" 'quote'"
+
+
+def test_redact_pii(spark):
+    from paqarin_spark.functions.text import pii_counts, redact_pii
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "mail me at jo.doe+x@example.co.uk or call +44 20 7946 0958 now"),
+        (2, "server at 192.168.1.250 responded"),
+        (3, "nothing sensitive here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            redact_pii(F.col("text")).alias("red"),
+            *pii_counts(F.col("text")),
+        ).collect()
+    }
+    assert out[1]["red"] == "mail me at <EMAIL> or call <PHONE> now"
+    assert (out[1]["n_email"], out[1]["n_phone"]) == (1, 1)
+    assert out[2]["red"] == "server at <IP> responded"
+    assert out[2]["n_ipv4"] == 1
+    assert out[3]["red"] == "nothing sensitive here"
+    assert (out[3]["n_email"], out[3]["n_ipv4"], out[3]["n_phone"]) == (0, 0, 0)
