@@ -3576,6 +3576,82 @@ FROM documents ORDER BY doc_id
 TX16_SQL = _tx16_sql()
 
 
+def tx17_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram vocabulary head: every occurrence (not per-doc
+    distinct) of every adjacent token pair, counted corpus-wide, top 20
+    by (count desc, bigram asc). The bigram build is one materialized
+    token array per doc + a transform/slice pass; the count is a plain
+    shuffle agg with map-side combine — word-count shape, scales."""
+    from paqarin_spark.operators.dedup import tokens
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(tokens(F.col("text")).alias("_toks"))
+    bigrams = toks.select(
+        F.explode(
+            F.filter(
+                F.transform(
+                    F.col("_toks"),
+                    lambda _, i: F.when(
+                        i <= F.size(F.col("_toks")) - 2,
+                        F.concat_ws(" ", F.slice(F.col("_toks"), i + 1, 2)),
+                    ),
+                ),
+                lambda x: x.isNotNull(),
+            )
+        ).alias("bigram")
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram"))
+        .limit(20)
+    )
+
+
+TX17_SQL = f"""
+WITH b AS (
+  SELECT unnest(list_transform(range(1, len({_TOKS_SQL})),
+                i -> array_to_string(list_slice({_TOKS_SQL}, i, i + 1), ' ')))
+         AS bigram
+  FROM documents
+)
+SELECT bigram, COUNT(*) AS n FROM b
+GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20
+"""
+
+
+def tx18_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition (Gopher/C4-style quality signal):
+    1 − distinct-trigrams / total-trigrams per doc, 0 for docs too
+    short to have a trigram. All expression work on one materialized
+    token array — no shuffle at all; at 100 TB this runs at scan
+    speed."""
+    from paqarin_spark.operators.dedup import shingles_from_tokens, tokens
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("_toks"))
+    total = F.greatest(F.size("_toks") - F.lit(2), F.lit(0))
+    distinct = F.size(shingles_from_tokens(F.col("_toks"), 3))
+    return toks.select(
+        "doc_id",
+        total.cast("long").alias("total_trigrams"),
+        F.when(total > 0, F.round(1 - distinct / total, 6))
+        .otherwise(F.lit(0.0))
+        .alias("repetition"),
+    ).orderBy("doc_id")
+
+
+TX18_SQL = f"""
+SELECT doc_id,
+       CAST(GREATEST(len({_TOKS_SQL}) - 2, 0) AS BIGINT) AS total_trigrams,
+       CASE WHEN len({_TOKS_SQL}) > 2
+            THEN ROUND(1 - len({_SHINGLES_SQL})
+                           / CAST(len({_TOKS_SQL}) - 2 AS DOUBLE), 6)
+            ELSE 0.0 END AS repetition
+FROM documents ORDER BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 
@@ -3689,6 +3765,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-2 additions (after the 50-entry driver window) ---
     "tx15_clean_text": tx15_clean_text,
     "tx16_pii_redaction": tx16_pii_redaction,
+    "tx17_top_bigrams": tx17_top_bigrams,
+    "tx18_repetition_ratio": tx18_repetition_ratio,
 }
 
 # em2_lsh_topk is deliberately oracle-less (seeded hyperplanes are not
@@ -3788,4 +3866,6 @@ ORACLE_SQL: dict[str, str] = {
     "em1_cosine_topk": EM1_SQL,
     "tx15_clean_text": TX15_SQL,
     "tx16_pii_redaction": TX16_SQL,
+    "tx17_top_bigrams": TX17_SQL,
+    "tx18_repetition_ratio": TX18_SQL,
 }
