@@ -42,6 +42,12 @@ def _deep(provider: str, method: str) -> Factory:
 
         return DeepProviderGenerator(parameters, provider, method)
 
+    def load(spark: SparkSession, path: str) -> TimeSeriesGenerator:
+        from paqarin_spark.generators.deep import DeepProviderGenerator
+
+        return DeepProviderGenerator.load(spark, path)
+
+    factory.load = load  # type: ignore[attr-defined] — load_generator dispatch
     return factory
 
 

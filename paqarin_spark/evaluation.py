@@ -292,8 +292,17 @@ class MultivariatePredictiveScorer:
         every MAE from one shared pass over real_test — two actions
         total regardless of generator count. Same math row for row as
         the per-iteration path."""
+        if not generator_map:
+            raise ValueError("generator_map is empty — nothing to score")
         first = next(iter(generator_map.values()))
         schema = first.parameters.schema
+        for name, generator in generator_map.items():
+            if generator.parameters.schema != schema:
+                raise ValueError(
+                    f"generator {name!r} declares a different schema than the "
+                    "first generator — batched scoring shares one real "
+                    "window set, so all generators must agree on data roles"
+                )
         _, real_test = self._prepare(training_data, schema)
 
         if self.forecaster_factory is not LinearLastStepForecaster:

@@ -216,13 +216,16 @@ def clean_text(text_col) -> Column:
     ``<[^>]*>`` contract (not an HTML parser): right for corpus
     cleaning, documented so nobody mistakes it for sanitization."""
     t = F.regexp_replace(text_col, "<[^>]*>", " ")
+    # '&amp;' decodes LAST (standard unescape order): decoding it first
+    # would double-decode doubly-escaped text ('&amp;lt;' -> '<'
+    # instead of the literal '&lt;' the author displayed).
     for entity, repl in (
-        ("&amp;", "&"),
         ("&lt;", "<"),
         ("&gt;", ">"),
         ("&quot;", '"'),
         ("&#39;", "'"),
         ("&nbsp;", " "),
+        ("&amp;", "&"),
     ):
         t = F.replace(t, F.lit(entity), F.lit(repl))
     return F.lower(F.btrim(F.regexp_replace(t, "\\s+", " ")))
@@ -251,9 +254,16 @@ def redact_pii(text_col) -> Column:
 
 
 def pii_counts(text_col) -> list[Column]:
-    """Per-kind match counts (one `regexp_count` each), aliased
-    n_<kind> — the audit side of :func:`redact_pii`."""
-    return [
-        F.regexp_count(text_col, F.lit(pattern)).cast("long").alias(f"n_{kind}")
-        for kind, pattern, _ in PII_PATTERNS
-    ]
+    """Per-kind REDACTION counts, aliased n_<kind>: each pattern is
+    counted on the text with all EARLIER patterns already applied, so
+    the numbers reconcile exactly with what :func:`redact_pii` masks
+    (counting independently on the raw text would claim a phone
+    redaction for the digit run inside an already-masked email)."""
+    out = []
+    t = text_col
+    for kind, pattern, token in PII_PATTERNS:
+        out.append(
+            F.regexp_count(t, F.lit(pattern)).cast("long").alias(f"n_{kind}")
+        )
+        t = F.regexp_replace(t, pattern, token)
+    return out

@@ -138,13 +138,40 @@ TRANSLATORS: dict[tuple[str, str], Callable[[GeneratorParameters], dict]] = {
 # Default executor-side runners: import the real library, train, sample.
 # Signature: runner(pdf, kwargs, n, seed) -> list[pandas.DataFrame], one
 # frame per sampled sequence carrying the value columns (the reference's
-# generate_sequences list-of-frames contract).
+# generate_sequences list-of-frames contract). The provider libraries
+# expose no direct seed kwarg on their train/sample APIs, so each runner
+# seeds the process-global RNGs first — the strongest reproducibility
+# these stacks offer, and it makes the per-iteration derived seeds the
+# scorers pass actually vary the samples.
 # ---------------------------------------------------------------------------
+
+
+def _seed_rngs(seed: int) -> None:
+    import random
+
+    import numpy as np
+
+    random.seed(seed)
+    np.random.seed(seed % (2**32))
+    try:
+        import torch
+
+        torch.manual_seed(seed)
+    except ImportError:
+        pass
+    try:
+        import tensorflow as tf
+
+        tf.random.set_seed(seed)
+    except ImportError:
+        pass
 
 
 def _ydata_runner(pdf: pd.DataFrame, kwargs: dict, n: int, seed: int) -> list:
     from ydata_synthetic.synthesizers import ModelParameters, TrainParameters
     from ydata_synthetic.synthesizers.timeseries import TimeSeriesSynthesizer
+
+    _seed_rngs(seed)
 
     synthesizer = TimeSeriesSynthesizer(
         modelname=kwargs["modelname"],
@@ -162,6 +189,7 @@ def _ydata_runner(pdf: pd.DataFrame, kwargs: dict, n: int, seed: int) -> list:
 def _synthcity_runner(pdf: pd.DataFrame, kwargs: dict, n: int, seed: int) -> list:
     from synthcity.plugins import Plugins
 
+    _seed_rngs(seed)
     kwargs = dict(kwargs)
     plugin_name = kwargs.pop("plugin")
     plugin = Plugins().get(plugin_name, **kwargs)
@@ -173,6 +201,8 @@ def _synthcity_runner(pdf: pd.DataFrame, kwargs: dict, n: int, seed: int) -> lis
 def _sdv_runner(pdf: pd.DataFrame, kwargs: dict, n: int, seed: int) -> list:
     from sdv.metadata import SingleTableMetadata
     from sdv.sequential import PARSynthesizer
+
+    _seed_rngs(seed)
 
     metadata = SingleTableMetadata()
     metadata.detect_from_dataframe(data=pdf)
@@ -253,7 +283,12 @@ class DeepProviderGenerator(TimeSeriesGenerator):
         cohort = params.provider_options.get("cohort_column")
         group_cols = [cohort] if cohort else ["_g"]
         struct_fields = ", ".join(f"{c}: double" for c in value_columns)
-        out_cols = (f"{cohort} string, " if cohort else "") + (
+        # the cohort column keeps its ACTUAL type from the training
+        # frame (hardcoding string would break integer cohort keys)
+        cohort_type = (
+            self._training.schema[cohort].dataType.simpleString() if cohort else None
+        )
+        out_cols = (f"{cohort} {cohort_type}, " if cohort else "") + (
             f"sequence_id long, sequence array<struct<{struct_fields}>>"
         )
 
@@ -292,3 +327,15 @@ class DeepProviderGenerator(TimeSeriesGenerator):
             {"provider": self.provider, "method": self.method},
             spark=self._training.sparkSession if self._training is not None else None,
         )
+
+    @classmethod
+    def load(cls, spark, path: str) -> "DeepProviderGenerator":
+        """Reconstruct from the persisted parameters. The provider
+        model itself is train-per-run by the no-pickle rule, so the
+        loaded generator is UNFITTED — call ``fit`` before
+        ``generate`` (the reference instead unpickles a transformer +
+        provider weights, `adapters/ydata_adapter.py:377-402`)."""
+        from paqarin_spark.generator import _read_params
+
+        params, meta = _read_params(path, spark=spark)
+        return cls(params, meta["provider"], meta["method"])

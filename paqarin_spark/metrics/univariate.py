@@ -299,8 +299,18 @@ class UnivariateForecastScorer:
         and MAEs aggregate grouped on that tag, and the whole scoring
         pass is one collect instead of one per generator — the job-count
         lever that matters when the per-job data is small."""
+        if not generator_map:
+            raise ValueError("generator_map is empty — nothing to score")
         first = next(iter(generator_map.values()))
-        train, actuals = self._prepare(training_data, first.parameters.schema)
+        schema = first.parameters.schema
+        for name, generator in generator_map.items():
+            if generator.parameters.schema != schema:
+                raise ValueError(
+                    f"generator {name!r} declares a different schema than the "
+                    "first generator — batched scoring shares one real "
+                    "panel, so all generators must agree on data roles"
+                )
+        train, actuals = self._prepare(training_data, schema)
 
         if self.forecaster_factory is not GlobalWeekdayProfileForecaster:
             for name, generator in generator_map.items():

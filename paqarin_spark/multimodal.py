@@ -121,11 +121,28 @@ def encode_bmp(width: int, height: int) -> bytes:
 
 
 def parse_bmp(content: bytes) -> dict | None:
-    """Parse width/height from BMP bytes; None if not a valid BMP."""
+    """Parse width/height from BMP bytes; None if not a valid BMP.
+
+    Validation is strict on every fixed header field — magic alone is
+    NOT enough: arbitrary text starting with "BM" ("BMW sales ...")
+    would otherwise decode to garbage dimensions and hijack the
+    metadata fallback for non-BMP payloads."""
     if len(content) < BMP_HEADER_SIZE or content[:2] != b"BM":
         return None
-    header_size, width, height = struct.unpack_from("<Iii", content, 14)
-    if header_size < 40 or width <= 0 or height == 0:
+    pixel_offset, header_size, width, height, planes, bpp, compression = (
+        struct.unpack_from("<I", content, 10)
+        + struct.unpack_from("<Iii", content, 14)
+        + struct.unpack_from("<HHI", content, 26)
+    )
+    if (
+        header_size < 40
+        or planes != 1
+        or bpp not in (1, 4, 8, 16, 24, 32)
+        or compression > 6  # beyond any defined BI_* method
+        or not (0 < width <= 1 << 20)
+        or not (0 < abs(height) <= 1 << 20)
+        or not (BMP_HEADER_SIZE <= pixel_offset <= len(content))
+    ):
         return None
     return {"width": width, "height": abs(height)}  # negative = top-down rows
 
@@ -169,9 +186,15 @@ def parse_wav(content: bytes) -> dict | None:
         chunk_id, chunk_size = struct.unpack_from("<4sI", content, pos)
         body = pos + 8
         if chunk_id == b"fmt " and body + 16 <= len(content):
-            _, channels, sample_rate, _, block_align, _ = struct.unpack_from(
-                "<HHIIHH", content, body
+            audio_format, channels, sample_rate, _, block_align, _ = (
+                struct.unpack_from("<HHIIHH", content, body)
             )
+            if (
+                audio_format not in (1, 3)  # PCM / IEEE float
+                or not (1 <= channels <= 64)
+                or not (1 <= sample_rate <= 1_000_000)
+            ):
+                return None
         elif chunk_id == b"data":
             if not sample_rate or not block_align:
                 return None  # data before fmt: malformed

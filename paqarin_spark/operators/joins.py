@@ -49,13 +49,19 @@ def salted_join(
             f"got {how!r} (the replicated right side would duplicate "
             "right-preserved rows)"
         )
-    salted_left = left.withColumn(
-        _SALT,
-        F.pmod(
-            F.xxhash64(*[F.col(c) for c in left.columns], F.lit(seed)),
-            F.lit(salt_buckets),
-        ).cast("int"),
+    # xxhash64 rejects MAP-typed inputs (hash order is undefined), so
+    # hash only the hashable columns; a frame with NO hashable column
+    # falls back to the layout-dependent rand salt (still correct —
+    # the right side covers every bucket — just not retry-stable).
+    hashable = [
+        F.col(c) for c in left.columns if "map<" not in left.schema[c].dataType.simpleString()
+    ]
+    salt = (
+        F.pmod(F.xxhash64(*hashable, F.lit(seed)), F.lit(salt_buckets))
+        if hashable
+        else (F.rand(seed) * salt_buckets)
     )
+    salted_left = left.withColumn(_SALT, salt.cast("int"))
     buckets = F.array(*[F.lit(i) for i in range(salt_buckets)])
     salted_right = right.withColumn(_SALT, F.explode(buckets))
     return salted_left.join(salted_right, on=[*on, _SALT], how=how).drop(_SALT)

@@ -3520,15 +3520,15 @@ def tx15_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-# DuckDB mirror of clean_text: same pass order (tags -> entities ->
-# whitespace -> trim -> lower); regexp_replace needs the 'g' flag where
-# Spark replaces all matches by default.
+# DuckDB mirror of clean_text: same pass order (tags -> entities with
+# '&amp;' LAST -> whitespace -> trim -> lower); regexp_replace needs
+# the 'g' flag where Spark replaces all matches by default.
 _CLEAN_SQL = (
     "lower(trim(regexp_replace("
     "replace(replace(replace(replace(replace(replace("
     "regexp_replace(text, '<[^>]*>', ' ', 'g'),"
-    " '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),"
-    " '&quot;', '\"'), '&#39;', ''''), '&nbsp;', ' '),"
+    " '&lt;', '<'), '&gt;', '>'), '&quot;', '\"'),"
+    " '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),"
     " '\\s+', ' ', 'g')))"
 )
 
@@ -3560,15 +3560,18 @@ def tx16_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _tx16_sql() -> str:
     from paqarin_spark.functions.text import PII_PATTERNS
 
-    counts = ", ".join(
-        f"CAST(len(regexp_extract_all(text, '{p}')) AS BIGINT) AS n_{kind}"
-        for kind, p, _ in PII_PATTERNS
-    )
+    # Mirror pii_counts' sequential semantics: each kind is counted on
+    # the text with all earlier patterns already applied.
+    counts = []
     redacted = "text"
-    for _, p, token in PII_PATTERNS:
+    for kind, p, token in PII_PATTERNS:
+        counts.append(
+            f"CAST(len(regexp_extract_all({redacted}, '{p}')) AS BIGINT)"
+            f" AS n_{kind}"
+        )
         redacted = f"regexp_replace({redacted}, '{p}', '{token}', 'g')"
     return f"""
-SELECT doc_id, {counts}, md5({redacted}) AS redacted_md5
+SELECT doc_id, {', '.join(counts)}, md5({redacted}) AS redacted_md5
 FROM documents ORDER BY doc_id
 """
 
@@ -3659,12 +3662,14 @@ FROM documents ORDER BY doc_id
 # Registry order matters: the round-1 driver verified exactly the FIRST
 # 50 entries of this dict (CORRECTNESS_r01.json = positions 1-50 in
 # round-1 order), so the 45 queries it never reached are listed FIRST
-# this round — cheapest first, with the three most expensive (tx11,
-# ev1, ev2) at positions 43-45 so a runtime-capped run still reaches
-# them. The 50 already driver-verified queries follow in their round-1
-# order.
+# this round — cheapest first, joined by the new mm4 (position 34, so
+# it gets a driver row too), with the three most expensive (tx11, ev1,
+# ev2) at positions 44-46. That makes the first block 46 entries; the
+# driver's 50-entry window additionally covers q01-q04 of the round-1
+# verified block that follows, and the other round-2 additions
+# (tx15-tx18) sit at the very end, outside the window.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- round-1 driver-UNVERIFIED set (45), cheap first ---
+    # --- round-1 driver-UNVERIFIED set (45) + mm4, cheap first ---
     "q43_mad_by_type": q43_mad_by_type,
     "q44_daily_active_users": q44_daily_active_users,
     "q45_type_correlation": q45_type_correlation,

@@ -218,3 +218,41 @@ def test_deep_generator_requires_fit(spark):
     )
     with pytest.raises(RuntimeError, match="not fitted"):
         gen.generate(1)
+
+
+def test_deep_generator_cohort_mode_keeps_integer_cohort_type(spark):
+    params = timegan_params().to_generator_parameters()
+    params.provider_options["cohort_column"] = "region_id"
+    gen = DeepProviderGenerator(params, "synthcity", "timegan", runner=_make_echo_runner())
+    rows = [(1, "2024-01-01", 1.0), (1, "2024-01-02", 2.0), (2, "2024-01-01", 5.0)]
+    df = spark.createDataFrame(rows, "region_id long, ts string, value double")
+    gen.fit(df)
+    out = gen.generate(1).collect()
+    assert {r["region_id"] for r in out} == {1, 2}
+    assert all(isinstance(r["region_id"], int) for r in out)
+
+
+def test_deep_generator_save_load_roundtrip(spark, tmp_path):
+    import sys
+    import types
+
+    from paqarin_spark.adapter import load_generator
+
+    gen = DeepProviderGenerator(
+        timegan_params().to_generator_parameters(),
+        "synthcity",
+        "timegan",
+        runner=_make_echo_runner(),
+    )
+    gen.fit(_training_df(spark))
+    path = str(tmp_path / "deep_model")
+    gen.save(path)
+    fake = types.ModuleType("synthcity")
+    sys.modules["synthcity"] = fake
+    try:
+        loaded = load_generator(spark, "synthcity", "timegan", path)
+        assert isinstance(loaded, DeepProviderGenerator)
+        assert not loaded.is_fitted  # train-per-run by the no-pickle rule
+        assert loaded.parameters.sequence_length == 4
+    finally:
+        del sys.modules["synthcity"]

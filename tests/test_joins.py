@@ -282,3 +282,18 @@ def test_sessionize_gap_boundaries(spark):
     assert stats[("u1", 0)] == (2, 3.0)
     assert stats[("u1", 1)] == (2, 7.0)
     assert stats[("u2", 0)] == (1, 9.0)
+
+
+def test_salted_join_handles_map_columns(spark):
+    # map-typed payloads are unhashable for xxhash64; the salt must
+    # skip them rather than fail analysis
+    facts = spark.createDataFrame(
+        [("h", {"k": "v"}, i) for i in range(20)] + [("a", {"x": "y"}, 1)],
+        "k string, props map<string,string>, v int",
+    )
+    dim = spark.createDataFrame([("h", "hot"), ("a", "cold")], "k string, label string")
+    plain = facts.join(dim, on=["k"], how="inner")
+    salted = salted_join(facts, dim, on=["k"], how="inner", salt_buckets=4)
+    assert sorted((r["k"], r["v"], r["label"]) for r in salted.collect()) == sorted(
+        (r["k"], r["v"], r["label"]) for r in plain.collect()
+    )

@@ -166,3 +166,22 @@ def test_decode_media_parses_real_codecs_not_metadata(spark):
     assert got[1]["n_bytes"] == 54 + 20 * 4  # row size 20 (6*3=18 padded)
     assert (got[2]["sample_rate"], got[2]["n_samples"]) == (11000, 50)
     assert got[2]["n_bytes"] == 44 + 100
+
+
+def test_parse_bmp_rejects_bm_prefixed_text():
+    # arbitrary text starting with 'BM' must not decode as an image
+    from paqarin_spark.multimodal import parse_bmp
+
+    assert parse_bmp(b"BMW announced record sales figures for the third quarter") is None
+    assert parse_bmp(b"BM" + b"x" * 100) is None
+
+
+def test_parse_wav_rejects_nonpcm_and_bad_rates():
+    from paqarin_spark.multimodal import encode_wav, parse_wav
+
+    bad_fmt = bytearray(encode_wav(8000, 4))
+    bad_fmt[20:22] = (85).to_bytes(2, "little")  # MP3 format tag
+    assert parse_wav(bytes(bad_fmt)) is None
+    bad_rate = bytearray(encode_wav(8000, 4))
+    bad_rate[24:28] = (0).to_bytes(4, "little")
+    assert parse_wav(bytes(bad_rate)) is None

@@ -126,6 +126,17 @@ def test_clean_text(spark):
     assert got[3] == "<tag> is \"escaped\" 'quote'"
 
 
+def test_clean_text_does_not_double_decode(spark):
+    # '&amp;lt;' is an author DISPLAYING the literal string '&lt;' —
+    # decoding '&amp;' last preserves it instead of resurrecting '<'.
+    from paqarin_spark.functions.text import clean_text
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, "literal &amp;lt; stays")], "i long, text string")
+    got = df.select(clean_text(F.col("text")).alias("c")).collect()[0]["c"]
+    assert got == "literal &lt; stays"
+
+
 def test_redact_pii(spark):
     from paqarin_spark.functions.text import pii_counts, redact_pii
     from pyspark.sql import functions as F
@@ -150,3 +161,18 @@ def test_redact_pii(spark):
     assert out[2]["n_ipv4"] == 1
     assert out[3]["red"] == "nothing sensitive here"
     assert (out[3]["n_email"], out[3]["n_ipv4"], out[3]["n_phone"]) == (0, 0, 0)
+
+
+def test_pii_counts_reconcile_with_redaction(spark):
+    # the digit run inside an email must NOT also count as a phone
+    from paqarin_spark.functions.text import pii_counts, redact_pii
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "contact jo1234567890@example.com today")], "i long, text string"
+    )
+    row = df.select(
+        redact_pii(F.col("text")).alias("red"), *pii_counts(F.col("text"))
+    ).collect()[0]
+    assert row["red"] == "contact <EMAIL> today"
+    assert (row["n_email"], row["n_phone"], row["n_ipv4"]) == (1, 0, 0)
