@@ -3623,6 +3623,28 @@ GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20
 """
 
 
+def tx19_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalize-then-hash dedup: exact_duplicates over clean_text
+    output instead of raw bytes, so casing/markup/whitespace variants
+    of the same document collapse into one group — the standard first
+    dedup pass of a corpus pipeline (clean -> hash -> groupBy), still
+    one shuffle on the digest."""
+    from paqarin_spark.functions.text import clean_text
+    from paqarin_spark.operators.dedup import exact_duplicates
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", clean_text(F.col("text")).alias("norm")
+    )
+    return exact_duplicates(docs, "norm", "doc_id")
+
+
+TX19_SQL = f"""
+SELECT md5({_CLEAN_SQL}) AS content_hash,
+       COUNT(*) AS dup_count, MIN(doc_id) AS keep_id
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+
 def tx18_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repetition (Gopher/C4-style quality signal):
     1 − distinct-trigrams / total-trigrams per doc, 0 for docs too
@@ -3772,6 +3794,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx16_pii_redaction": tx16_pii_redaction,
     "tx17_top_bigrams": tx17_top_bigrams,
     "tx18_repetition_ratio": tx18_repetition_ratio,
+    "tx19_normalized_dedup": tx19_normalized_dedup,
 }
 
 # em2_lsh_topk is deliberately oracle-less (seeded hyperplanes are not
@@ -3873,4 +3896,5 @@ ORACLE_SQL: dict[str, str] = {
     "tx16_pii_redaction": TX16_SQL,
     "tx17_top_bigrams": TX17_SQL,
     "tx18_repetition_ratio": TX18_SQL,
+    "tx19_normalized_dedup": TX19_SQL,
 }
