@@ -52,43 +52,65 @@ PROVIDER_LIBS: dict[str, tuple[str, str]] = {
 
 def translate_ydata_timegan(p: GeneratorParameters) -> dict:
     """Mirror of `adapters/ydata_adapter.py:291-322` (train_timegan):
-    ModelParameters(batch_size, lr, latent_dim, gamma) +
-    TrainParameters(epochs, sequence_length) + num_cols."""
+    ModelParameters(batch_size, lr, noise_dim, layers_dim, latent_dim,
+    gamma) + TrainParameters(epochs, sequence_length, number_sequences)
+    + num_cols. The optional fields are forwarded only when the caller
+    provides them, so the provider's own defaults apply otherwise."""
     o = p.provider_options
+    model: dict = {
+        "batch_size": o["batch_size"],
+        "lr": o["learning_rate"],
+        "latent_dim": o["latent_dimension"],
+        "gamma": o["gamma"],
+    }
+    if "noise_dimension" in o:
+        model["noise_dim"] = o["noise_dimension"]
+    if "layers_dimension" in o:
+        model["layers_dim"] = o["layers_dimension"]
+    train: dict = {
+        "epochs": o["epochs"],
+        "sequence_length": p.sequence_length,
+    }
+    if "number_of_sequences" in o:
+        train["number_sequences"] = o["number_of_sequences"]
     return {
         "modelname": "timegan",
-        "model_parameters": {
-            "batch_size": o["batch_size"],
-            "lr": o["learning_rate"],
-            "latent_dim": o["latent_dimension"],
-            "gamma": o["gamma"],
-        },
-        "train_parameters": {
-            "epochs": o["epochs"],
-            "sequence_length": p.sequence_length,
-        },
+        "model_parameters": model,
+        "train_parameters": train,
         "num_cols": list(p.schema.value_columns),
     }
 
 
 def translate_ydata_doppleganger(p: GeneratorParameters) -> dict:
     """Mirror of `adapters/ydata_adapter.py:325-358` (train_doppleganger):
-    ModelParameters(batch_size, lr, latent_dim) + TrainParameters(epochs,
-    sequence_length, sample_length, measurement_cols) + num/cat cols."""
+    ModelParameters(batch_size, lr, betas, latent_dim, gp_lambda, pac) +
+    TrainParameters(epochs, sequence_length, sample_length, rounds,
+    measurement_cols) + num/cat cols. Optional fields forward only when
+    the caller provides them."""
     o = p.provider_options
+    model: dict = {
+        "batch_size": o["batch_size"],
+        "lr": o["learning_rate"],
+        "latent_dim": o["latent_dimension"],
+    }
+    if "exponential_decay_rates" in o:
+        model["betas"] = tuple(o["exponential_decay_rates"])
+    if "wgan_weight" in o:
+        model["gp_lambda"] = o["wgan_weight"]
+    if "packing_degree" in o:
+        model["pac"] = o["packing_degree"]
+    train: dict = {
+        "epochs": o["epochs"],
+        "sequence_length": p.sequence_length,
+        "sample_length": o["sample_length"],
+        "measurement_cols": list(p.schema.value_columns),
+    }
+    if "steps_per_batch" in o:
+        train["rounds"] = o["steps_per_batch"]
     return {
         "modelname": "doppelganger",
-        "model_parameters": {
-            "batch_size": o["batch_size"],
-            "lr": o["learning_rate"],
-            "latent_dim": o["latent_dimension"],
-        },
-        "train_parameters": {
-            "epochs": o["epochs"],
-            "sequence_length": p.sequence_length,
-            "sample_length": o["sample_length"],
-            "measurement_cols": list(p.schema.value_columns),
-        },
+        "model_parameters": model,
+        "train_parameters": train,
         "num_cols": list(p.schema.value_columns),
         "cat_cols": list(p.schema.attribute_columns),
     }
@@ -167,23 +189,70 @@ def _seed_rngs(seed: int) -> None:
         pass
 
 
+def minmax_scale_frame(
+    pdf: pd.DataFrame, num_cols: list[str]
+) -> tuple[pd.DataFrame, pd.Series, pd.Series]:
+    """Min-max scale ``num_cols`` like the reference transformers do
+    before fit (`adapters/ydata_adapter.py:45-73,202-239`); returns the
+    scaled frame plus the (mins, range) state used to invert. A
+    zero-range column keeps scale 1, matching sklearn's MinMaxScaler."""
+    mins = pdf[num_cols].min()
+    rng = (pdf[num_cols].max() - mins).replace(0.0, 1.0)
+    scaled = pdf.copy()
+    scaled[num_cols] = (scaled[num_cols] - mins) / rng
+    return scaled, mins, rng
+
+
+def inverse_transform_samples(
+    raw, num_cols: list[str], mins: pd.Series, rng: pd.Series
+) -> list[pd.DataFrame]:
+    """Reference ``inverse_transform`` semantics
+    (`adapters/ydata_adapter.py:75-91,241-254`): sampled sequences —
+    ndarrays in scaled space (TimeGAN) or DataFrames (DoppleGANger) —
+    become named DataFrames with the numeric columns descaled."""
+    import numpy as np
+
+    if isinstance(raw, np.ndarray):
+        raw = list(raw) if raw.ndim == 3 else [raw]
+    frames: list[pd.DataFrame] = []
+    for item in raw:
+        if isinstance(item, pd.DataFrame):
+            frame = item.copy()
+        else:
+            frame = pd.DataFrame(
+                np.asarray(item, dtype="float64"), columns=num_cols
+            )
+        frame[num_cols] = frame[num_cols] * rng.to_numpy() + mins.to_numpy()
+        frames.append(frame)
+    return frames
+
+
 def _ydata_runner(pdf: pd.DataFrame, kwargs: dict, n: int, seed: int) -> list:
+    """Train + sample with scaling handled like the reference transformers:
+    `TimeGanTransformer`/`DoppleGangerTransformer` min-max scale the numeric
+    columns before fit and inverse-transform sampled sequences back
+    (`adapters/ydata_adapter.py:45-91,202-264`). TimeGAN's ``sample`` returns
+    raw ndarrays in scaled space; they become named DataFrames here, exactly
+    what ``inverse_transform`` produces in the reference."""
     from ydata_synthetic.synthesizers import ModelParameters, TrainParameters
     from ydata_synthetic.synthesizers.timeseries import TimeSeriesSynthesizer
 
     _seed_rngs(seed)
 
+    num_cols = list(kwargs["num_cols"])
+    scaled, mins, rng = minmax_scale_frame(pdf, num_cols)
+
     synthesizer = TimeSeriesSynthesizer(
         modelname=kwargs["modelname"],
         model_parameters=ModelParameters(**kwargs["model_parameters"]),
     )
-    fit_extra = {"num_cols": kwargs["num_cols"]}
+    fit_extra = {"num_cols": num_cols}
     if kwargs.get("cat_cols"):
         fit_extra["cat_cols"] = kwargs["cat_cols"]
     synthesizer.fit(
-        pdf, TrainParameters(**kwargs["train_parameters"]), **fit_extra
+        scaled, TrainParameters(**kwargs["train_parameters"]), **fit_extra
     )
-    return synthesizer.sample(n)
+    return inverse_transform_samples(synthesizer.sample(n), num_cols, mins, rng)
 
 
 def _synthcity_runner(pdf: pd.DataFrame, kwargs: dict, n: int, seed: int) -> list:
@@ -293,6 +362,10 @@ class DeepProviderGenerator(TimeSeriesGenerator):
         )
 
         def train_sample(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            # applyInPandas delivers the grouping column in the batch;
+            # the provider must not train on it (it is constant within
+            # the group and would pollute sdv's schema detection).
+            pdf = pdf.drop(columns=[c for c in group_cols if c in pdf.columns])
             sequences = runner(pdf, kwargs, n, seed)
             rows = []
             for i, frame in enumerate(sequences):

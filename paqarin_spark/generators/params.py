@@ -34,6 +34,9 @@ class TimeGanParameters:
     learning_rate: float = 5e-4
     latent_dimension: int = 24
     gamma: float = 1.0
+    noise_dimension: int | None = None
+    layers_dimension: int | None = None
+    number_of_sequences: int | None = None
     frequency: str = "D"
     seed: int = 42
 
@@ -44,17 +47,24 @@ class TimeGanParameters:
             value_columns=tuple(self.numerical_columns),
             frequency=self.frequency,
         )
+        options = {
+            "epochs": self.epochs,
+            "batch_size": self.batch_size,
+            "learning_rate": self.learning_rate,
+            "latent_dimension": self.latent_dimension,
+            "gamma": self.gamma,
+        }
+        # optional ModelParameters/TrainParameters fields the reference
+        # forwards when set (`generators/timegan.py:41-68`)
+        for key in ("noise_dimension", "layers_dimension", "number_of_sequences"):
+            value = getattr(self, key)
+            if value is not None:
+                options[key] = value
         return GeneratorParameters(
             schema=schema,
             sequence_length=self.sequence_length,
             seed=self.seed,
-            provider_options={
-                "epochs": self.epochs,
-                "batch_size": self.batch_size,
-                "learning_rate": self.learning_rate,
-                "latent_dimension": self.latent_dimension,
-                "gamma": self.gamma,
-            },
+            provider_options=options,
         )
 
 
@@ -73,6 +83,10 @@ class DoppleGanGerParameters:
     batch_size: int = 512
     learning_rate: float = 1e-3
     latent_dimension: int = 20
+    exponential_decay_rates: tuple[float, float] | None = None
+    wgan_weight: float | None = None
+    packing_degree: int | None = None
+    steps_per_batch: int | None = None
     frequency: str = "D"
     seed: int = 42
 
@@ -84,17 +98,30 @@ class DoppleGanGerParameters:
             attribute_columns=tuple(self.categorical_columns),
             frequency=self.frequency,
         )
+        options = {
+            "sample_length": self.sample_length,
+            "epochs": self.epochs,
+            "batch_size": self.batch_size,
+            "learning_rate": self.learning_rate,
+            "latent_dimension": self.latent_dimension,
+        }
+        # optional fields the reference forwards to ModelParameters
+        # (betas/gp_lambda/pac) and TrainParameters (rounds)
+        # (`generators/doppleganger.py:46-80`)
+        for key in (
+            "exponential_decay_rates",
+            "wgan_weight",
+            "packing_degree",
+            "steps_per_batch",
+        ):
+            value = getattr(self, key)
+            if value is not None:
+                options[key] = value
         return GeneratorParameters(
             schema=schema,
             sequence_length=self.sequence_length,
             seed=self.seed,
-            provider_options={
-                "sample_length": self.sample_length,
-                "epochs": self.epochs,
-                "batch_size": self.batch_size,
-                "learning_rate": self.learning_rate,
-                "latent_dimension": self.latent_dimension,
-            },
+            provider_options=options,
         )
 
 

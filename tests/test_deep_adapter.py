@@ -16,6 +16,8 @@ import pytest
 from paqarin_spark.adapter import get_generator_adapter
 from paqarin_spark.generators.deep import (
     DeepProviderGenerator,
+    inverse_transform_samples,
+    minmax_scale_frame,
     translate_sdv_par,
     translate_synthcity_timegan,
     translate_ydata_doppleganger,
@@ -74,6 +76,20 @@ def test_ydata_timegan_translation():
     assert kwargs["num_cols"] == ["value"]
 
 
+def test_ydata_timegan_translation_optional_fields():
+    """The reference also forwards noise_dim/layers_dim to ModelParameters
+    and number_sequences to TrainParameters
+    (`adapters/ydata_adapter.py:296-308`)."""
+    p = timegan_params()
+    p.noise_dimension = 32
+    p.layers_dimension = 128
+    p.number_of_sequences = 6
+    kwargs = translate_ydata_timegan(p.to_generator_parameters())
+    assert kwargs["model_parameters"]["noise_dim"] == 32
+    assert kwargs["model_parameters"]["layers_dim"] == 128
+    assert kwargs["train_parameters"]["number_sequences"] == 6
+
+
 def test_ydata_doppleganger_translation():
     """Mirror of `adapters/ydata_adapter.py:325-358`."""
     p = DoppleGanGerParameters(
@@ -104,6 +120,31 @@ def test_ydata_doppleganger_translation():
     assert kwargs["cat_cols"] == ["cat"]
 
 
+def test_ydata_doppleganger_translation_optional_fields():
+    """The reference also forwards betas/gp_lambda/pac to ModelParameters
+    and rounds to TrainParameters (`adapters/ydata_adapter.py:329-344`)."""
+    p = DoppleGanGerParameters(
+        item_id_column="item",
+        timestamp_column="ts",
+        measurement_columns=("v1",),
+        sequence_length=8,
+        sample_length=2,
+        epochs=3,
+        batch_size=16,
+        learning_rate=0.01,
+        latent_dimension=5,
+        exponential_decay_rates=(0.2, 0.9),
+        wgan_weight=10.0,
+        packing_degree=2,
+        steps_per_batch=4,
+    )
+    kwargs = translate_ydata_doppleganger(p.to_generator_parameters())
+    assert kwargs["model_parameters"]["betas"] == (0.2, 0.9)
+    assert kwargs["model_parameters"]["gp_lambda"] == 10.0
+    assert kwargs["model_parameters"]["pac"] == 2
+    assert kwargs["train_parameters"]["rounds"] == 4
+
+
 def test_sdv_par_translation():
     """Mirror of `adapters/sdv_adapter.py:94-119`: context_columns are
     the item id columns, timestamp is the sequence index."""
@@ -120,6 +161,40 @@ def test_sdv_par_translation():
     assert kwargs["context_columns"] == ["item"]
     assert kwargs["sequence_index"] == "ts"
     assert kwargs["sample_size"] == 2
+
+
+# --- ydata scaling round trip (reference transformer semantics) ------------
+
+
+def test_minmax_scale_and_inverse_roundtrip_ndarray_samples():
+    """TimeGAN samples are ndarrays in scaled space; inverse_transform
+    names the columns and descales (`adapters/ydata_adapter.py:241-254`).
+    A constant column must survive (sklearn zero-range rule)."""
+    import numpy as np
+
+    pdf = pd.DataFrame({"a": [1.0, 3.0, 5.0], "b": [7.0, 7.0, 7.0]})
+    scaled, mins, rng = minmax_scale_frame(pdf, ["a", "b"])
+    assert scaled["a"].tolist() == [0.0, 0.5, 1.0]
+    assert scaled["b"].tolist() == [0.0, 0.0, 0.0]
+
+    raw = np.array([[[0.0, 0.0], [1.0, 0.0]], [[0.5, 0.0], [0.25, 0.0]]])
+    frames = inverse_transform_samples(raw, ["a", "b"], mins, rng)
+    assert len(frames) == 2
+    assert list(frames[0].columns) == ["a", "b"]
+    assert frames[0]["a"].tolist() == [1.0, 5.0]
+    assert frames[0]["b"].tolist() == [7.0, 7.0]
+    assert frames[1]["a"].tolist() == [3.0, 2.0]
+
+
+def test_inverse_transform_descale_dataframe_samples():
+    """DoppleGANger samples arrive as DataFrames; only the numeric
+    columns descale (`adapters/ydata_adapter.py:75-91`)."""
+    pdf = pd.DataFrame({"v": [0.0, 10.0], "cat": ["x", "y"]})
+    _, mins, rng = minmax_scale_frame(pdf, ["v"])
+    sample = pd.DataFrame({"v": [0.5, 1.0], "cat": ["x", "x"]})
+    frames = inverse_transform_samples([sample], ["v"], mins, rng)
+    assert frames[0]["v"].tolist() == [5.0, 10.0]
+    assert frames[0]["cat"].tolist() == ["x", "x"]
 
 
 # --- dispatch --------------------------------------------------------------
@@ -218,6 +293,46 @@ def test_deep_generator_requires_fit(spark):
     )
     with pytest.raises(RuntimeError, match="not fitted"):
         gen.generate(1)
+
+
+def test_deep_generator_drops_grouping_column_before_runner(spark):
+    """The provider must never train on the grouping column — it is
+    constant within the group and pollutes sdv's schema detection."""
+
+    def make_probe(grouping_column: str):
+        def probe_runner(pdf: pd.DataFrame, kwargs: dict, n: int, seed: int) -> list:
+            leaked = float(grouping_column in pdf.columns)
+            return [
+                pd.DataFrame({"value": [leaked, float(len(pdf.columns))]})
+                for _ in range(n)
+            ]
+
+        return probe_runner
+
+    # global mode: the synthetic _g key must not reach the runner, but
+    # the data columns (item, ts, value) all do
+    gen = DeepProviderGenerator(
+        timegan_params().to_generator_parameters(),
+        "synthcity",
+        "timegan",
+        runner=make_probe("_g"),
+    )
+    gen.fit(_training_df(spark))
+    seq = gen.generate(1).collect()[0]["sequence"]
+    assert seq[0]["value"] == 0.0  # _g not leaked
+    assert seq[1]["value"] == 3.0  # item, ts, value
+
+    # cohort mode: the cohort column itself is the grouping key
+    params = timegan_params().to_generator_parameters()
+    params.provider_options["cohort_column"] = "item"
+    gen = DeepProviderGenerator(
+        params, "synthcity", "timegan", runner=make_probe("item")
+    )
+    gen.fit(_training_df(spark))
+    out = gen.generate(1).collect()
+    for row in out:
+        assert row["sequence"][0]["value"] == 0.0
+        assert row["sequence"][1]["value"] == 2.0  # ts, value
 
 
 def test_deep_generator_cohort_mode_keeps_integer_cohort_type(spark):
