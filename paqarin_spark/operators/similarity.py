@@ -259,13 +259,41 @@ def cosine_dedup_pairs(
     return pairs.mapInPandas(block_pairs, schema=out_schema)
 
 
+def _seeded_planes(
+    seed: int,
+    num_planes: int,
+    width: int,
+    expected_dim: int | None,
+    vector_column: str,
+):
+    """Deterministic Gaussian hyperplanes sized to the ACTUAL embedding
+    width. Built lazily inside each task from the first Arrow batch
+    (same seed → identical planes on every executor, no broadcast
+    needed for a num_planes×width matrix); an explicit ``dim`` is
+    validated here so a mismatch raises a clear error naming the
+    parameter instead of an opaque numpy shape error mid-matmul."""
+    import random
+
+    import numpy as np
+
+    if expected_dim is not None and width != expected_dim:
+        raise ValueError(
+            f"dim={expected_dim} does not match the embedding width {width} "
+            f"found in column {vector_column!r}; omit dim to infer it"
+        )
+    rng = random.Random(seed)
+    return np.array(
+        [[rng.gauss(0.0, 1.0) for _ in range(width)] for _ in range(num_planes)]
+    )
+
+
 def cosine_dedup_pairs_bucketed(
     df: DataFrame,
     id_column: str,
     vector_column: str,
     threshold: float = 0.9,
     num_planes: int = 12,
-    dim: int = 64,
+    dim: int | None = None,
     seed: int = 42,
 ) -> DataFrame:
     """Scale path for embedding near-dup: random-hyperplane LSH buckets
@@ -285,25 +313,20 @@ def cosine_dedup_pairs_bucketed(
     """
     import numpy as np
     import pandas as pd
-    import random
-
-    rng = random.Random(seed)
-    planes = np.array(
-        [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(num_planes)]
-    )
-    bc = df.sparkSession.sparkContext.broadcast(planes)
 
     id_type = df.schema[id_column].dataType.simpleString()
     vec_type = df.schema[vector_column].dataType.simpleString()
     bucketed_schema = f"{id_column} {id_type}, {vector_column} {vec_type}, bucket long"
 
     def assign(batches):
-        p = bc.value
-        weights = 1 << np.arange(p.shape[0], dtype=np.int64)
+        p = None
+        weights = 1 << np.arange(num_planes, dtype=np.int64)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             mat = np.vstack(pdf[vector_column].to_numpy()).astype(np.float64)
+            if p is None:
+                p = _seeded_planes(seed, num_planes, mat.shape[1], dim, vector_column)
             bits = (mat @ p.T) >= 0
             out = pdf[[id_column, vector_column]].copy()
             out["bucket"] = bits @ weights
@@ -386,6 +409,9 @@ def ivf_topk(
         )
         cent_ids = np.arange(cent_mat.shape[0])
     elif centroids == "first_ids":
+        # Catalyst compiles orderBy+limit into TakeOrderedAndProject —
+        # per-partition top-num_cells then a driver merge of num_cells
+        # rows per partition, NOT a global sort; verified via .explain().
         cent_pd = (
             df.select(id_column, vector_column)
             .orderBy(id_column)
@@ -410,20 +436,23 @@ def ivf_topk(
 
     def assign(batches):
         ids_c, mat_c, norm_c = bc.value
+        id_order = np.argsort(ids_c, kind="stable")
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             q_mat = np.vstack(pdf[vector_column].to_numpy()).astype(np.float64)
             q_norm = np.linalg.norm(q_mat, axis=1)
             sims = np.round((q_mat @ mat_c.T) / np.outer(q_norm, norm_c), 6)
-            # argmax by (sim, -centroid_id): lexsort-free via masking
-            best = np.zeros(len(pdf), dtype=int)
-            for i in range(len(pdf)):
-                row = sims[i]
-                m = row == row.max()
-                best[i] = np.flatnonzero(m)[np.argmin(ids_c[m])]
+            # vectorized argmax by (sim desc, centroid id asc): with
+            # columns pre-sorted by centroid id, argmax over the
+            # boolean row-max mask returns the FIRST (= smallest-id)
+            # centroid achieving the max — no per-row Python loop
+            sims_ord = sims[:, id_order]
+            best_ord = np.argmax(
+                sims_ord == sims_ord.max(axis=1, keepdims=True), axis=1
+            )
             out = pdf[[id_column, vector_column]].copy()
-            out["cell"] = ids_c[best]
+            out["cell"] = ids_c[id_order[best_ord]]
             yield out
 
     assigned = df.select(id_column, vector_column).mapInPandas(
@@ -459,7 +488,7 @@ def lsh_topk(
     vector_column: str,
     k: int = 5,
     num_planes: int = 8,
-    dim: int = 64,
+    dim: int | None = None,
     seed: int = 42,
 ) -> DataFrame:
     """Approximate cosine top-k via random-hyperplane LSH buckets.
@@ -470,8 +499,10 @@ def lsh_topk(
     exactness is the brute-force baseline's job.
 
     Physical plan (same shape as :func:`ivf_topk`): the tiny plane
-    matrix is broadcast, bucket assignment is one sign-of-matmul per
-    Arrow batch, then a shuffle on bucket id co-locates each bucket and
+    matrix is rebuilt deterministically inside each task (seeded, sized
+    to the embedding width of the first Arrow batch), bucket assignment
+    is one sign-of-matmul per batch, then a shuffle on bucket id
+    co-locates each bucket and
     one BLAS matmul per bucket group ranks its candidates. Nothing is
     ever all-pairs, and no per-element lambda runs on the pair stream —
     an earlier expression-based form (interpreted ``zip_with`` dot per
@@ -479,14 +510,6 @@ def lsh_topk(
     """
     import numpy as np
     import pandas as pd
-    import random
-
-    rng = random.Random(seed)
-    planes = np.array(
-        [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(num_planes)]
-    )
-    spark = df.sparkSession
-    bc = spark.sparkContext.broadcast(planes)
 
     id_type = df.schema[id_column].dataType.simpleString()
     vec_type = df.schema[vector_column].dataType.simpleString()
@@ -495,12 +518,14 @@ def lsh_topk(
     )
 
     def assign(batches):
-        p = bc.value
-        weights = 1 << np.arange(p.shape[0], dtype=np.int64)
+        p = None
+        weights = 1 << np.arange(num_planes, dtype=np.int64)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             mat = np.vstack(pdf[vector_column].to_numpy()).astype(np.float64)
+            if p is None:
+                p = _seeded_planes(seed, num_planes, mat.shape[1], dim, vector_column)
             bits = (mat @ p.T) >= 0
             out = pdf[[id_column, vector_column]].copy()
             out["bucket"] = bits @ weights

@@ -107,6 +107,30 @@ def test_bucketed_dedup_finds_identical_vectors(spark):
     assert all(a < b for a, b in pairs)
 
 
+def test_bucketed_dedup_infers_dim_and_validates_mismatch(spark):
+    import pytest
+
+    from paqarin_spark.operators import cosine_dedup_pairs_bucketed
+
+    rows = [(1, [1.0, 2.0, 3.0, 4.0]), (2, [2.0, 4.0, 6.0, 8.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # dim omitted: inferred from the first Arrow batch
+    out = cosine_dedup_pairs_bucketed(
+        df, "vec_id", "embedding", threshold=0.999999, num_planes=4
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in out} == {(1, 2)}
+    # wrong dim: clear error naming the parameter, not a numpy shape error
+    from py4j.protocol import Py4JJavaError
+
+    with pytest.raises(Exception, match="dim=64 does not match"):
+        try:
+            cosine_dedup_pairs_bucketed(
+                df, "vec_id", "embedding", num_planes=4, dim=64
+            ).collect()
+        except Py4JJavaError as exc:  # executor errors surface wrapped
+            raise ValueError(str(exc)) from exc
+
+
 def test_ivf_topk_single_cell_equals_brute_force(vectors):
     from paqarin_spark.operators import ivf_topk
 
