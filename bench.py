@@ -66,9 +66,20 @@ def main() -> int:
     # ("q01_surrogate_key" -> "q01") so all ~95 timings fit in one
     # parseable <2000-char line; the full-name table goes to
     # bench_results.json alongside the short->full mapping.
-    short = {name.split("_", 1)[0]: t for name, t in timings.items()}
-    if len(short) != len(timings):  # prefix collision: full names win
-        short = timings
+    # Prefix collisions disambiguate with a deterministic ~N suffix
+    # (registry order) — NEVER fall back to full names, which is the
+    # ~3.8k-char line that overflowed the tail in round 1.
+    short: dict[str, float] = {}
+    short_to_full: dict[str, str] = {}
+    for name, t in timings.items():
+        key = name.split("_", 1)[0]
+        if key in short_to_full:
+            i = 2
+            while f"{key}~{i}" in short_to_full:
+                i += 1
+            key = f"{key}~{i}"
+        short[key] = t
+        short_to_full[key] = name
     payload = {
         "metric": "declared_query_set_total",
         "value": total,
@@ -86,9 +97,7 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "short_to_full": {
-                    name.split("_", 1)[0]: name for name in timings
-                },
+                "short_to_full": short_to_full,
                 "sf": sf_val,
             },
             fh,

@@ -7,13 +7,15 @@ Design: media travel as ``struct<content: binary, meta: struct<...>>``
 All heavy per-asset work (decode, resize, feature extraction, frame
 sampling) runs as Arrow-batched ``mapInPandas`` transforms.
 
-Codecs: uncompressed BMP (BITMAPINFOHEADER, 24bpp) and PCM WAV
-(RIFF/WAVE) are decoded for REAL by pure-python header parsers — no
-external libraries — so width/height/sample_rate/n_samples come from
-the bytes, not from trusting metadata. Compressed formats (png/jpeg/
-mp4/...) still fall back to the metadata-trusting stub because their
-codec libraries are not available in this container; swap in
-PIL/ffmpeg there, nothing else changes.
+Codecs: uncompressed BMP (BITMAPINFOHEADER, 24bpp), PCM WAV
+(RIFF/WAVE), and PNG (8-bit gray/RGB/palette/alpha, zlib-inflated
+IDAT with full scanline defiltering and CRC validation) are decoded
+for REAL by pure-python parsers — no external libraries — so
+width/height/sample_rate/n_samples/pixels come from the bytes, not
+from trusting metadata. Remaining compressed formats (jpeg/mp4/...)
+still fall back to the metadata-trusting stub because their codec
+libraries are not available in this container; swap in PIL/ffmpeg
+there, nothing else changes.
 """
 
 from __future__ import annotations
@@ -204,6 +206,178 @@ def parse_wav(content: bytes) -> dict | None:
     return None
 
 
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color type -> samples/px
+
+
+def _png_chunk(chunk_type: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + chunk_type
+        + data
+        + struct.pack(">I", zlib.crc32(chunk_type + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (spec §9, Filter type 4)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _png_predictor(ft: int, cur, prev, i: int, bpp: int) -> int:
+    a = cur[i - bpp] if i >= bpp else 0
+    b = prev[i]
+    c = prev[i - bpp] if i >= bpp else 0
+    if ft == 1:
+        return a
+    if ft == 2:
+        return b
+    if ft == 3:
+        return (a + b) // 2
+    return _paeth(a, b, c)
+
+
+def encode_png(width: int, height: int, pixel_fn=None) -> bytes:
+    """Spec-compliant 8-bit RGB (color type 2) PNG encoder. Each row is
+    filtered with type ``y % 5``, so a round trip exercises every
+    standard filter (None/Sub/Up/Average/Paeth). ``pixel_fn(x, y)``
+    returns an (r, g, b) tuple; default is a deterministic gradient."""
+    import zlib
+
+    if pixel_fn is None:
+        pixel_fn = lambda x, y: ((x + y) % 256, (2 * x + y) % 256, (x * y) % 256)  # noqa: E731
+    bpp = 3
+    raw = bytearray()
+    prev = bytes(width * bpp)
+    for y in range(height):
+        row = bytearray()
+        for x in range(width):
+            row += bytes(pixel_fn(x, y))
+        ft = y % 5
+        raw.append(ft)
+        if ft == 0:
+            raw += row
+        else:
+            for i in range(len(row)):
+                # filtering is defined on RECONSTRUCTED neighbors, which
+                # for the encoder are the raw bytes themselves
+                raw.append((row[i] - _png_predictor(ft, row, prev, i, bpp)) & 0xFF)
+        prev = bytes(row)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        PNG_SIGNATURE
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def parse_png(content: bytes) -> dict | None:
+    """REAL pure-python PNG decoder: signature + chunk walk with CRC32
+    validation, IHDR sanity checks, zlib-inflated IDAT, and full
+    scanline defiltering. Returns ``{"width", "height", "channels",
+    "pixels"}`` where ``pixels`` is the reconstructed raw sample bytes
+    (palette images expanded to RGB via PLTE) — or ``pixels=None`` for
+    valid-but-unsupported variants (bit depth != 8, interlaced), where
+    only the IHDR dimensions are trustworthy. Malformed payloads
+    (bad CRC, wrong IDAT length, unknown filter type) return None
+    rather than raising — a poisoned asset must not kill a scan task.
+
+    The per-byte defilter loop is pure Python; synthetic assets here
+    are tiny, and a production deployment swaps a C-backed codec into
+    the same mapInPandas boundary."""
+    import zlib
+
+    if len(content) < len(PNG_SIGNATURE) + 25 or not content.startswith(
+        PNG_SIGNATURE
+    ):
+        return None
+    pos = len(PNG_SIGNATURE)
+    ihdr = None
+    plte = None
+    idat = bytearray()
+    while pos + 12 <= len(content):
+        (length,) = struct.unpack_from(">I", content, pos)
+        chunk_type = content[pos + 4 : pos + 8]
+        body = pos + 8
+        if body + length + 4 > len(content):
+            return None
+        data = content[body : body + length]
+        (crc,) = struct.unpack_from(">I", content, body + length)
+        if zlib.crc32(chunk_type + data) & 0xFFFFFFFF != crc:
+            return None
+        if chunk_type == b"IHDR":
+            if length != 13 or ihdr is not None:
+                return None
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif chunk_type == b"PLTE":
+            plte = data
+        elif chunk_type == b"IDAT":
+            idat += data
+        elif chunk_type == b"IEND":
+            break
+        pos = body + length + 4
+    if ihdr is None or not idat:
+        return None
+    width, height, bit_depth, color_type, compression, filter_method, interlace = ihdr
+    if (
+        not (0 < width <= 1 << 20)
+        or not (0 < height <= 1 << 20)
+        or color_type not in _PNG_CHANNELS
+        or compression != 0
+        or filter_method != 0
+        or interlace not in (0, 1)
+    ):
+        return None
+    dims = {"width": width, "height": height, "channels": None, "pixels": None}
+    if bit_depth != 8 or interlace != 0:
+        return dims  # header-only: dimensions are still from the bytes
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    channels = _PNG_CHANNELS[color_type]
+    stride = width * channels
+    if len(raw) != (stride + 1) * height:
+        return None
+    recon = bytearray()
+    prev = bytearray(stride)
+    rpos = 0
+    for _y in range(height):
+        ft = raw[rpos]
+        rpos += 1
+        if ft > 4:
+            return None
+        cur = bytearray(raw[rpos : rpos + stride])
+        rpos += stride
+        if ft != 0:
+            for i in range(stride):
+                cur[i] = (cur[i] + _png_predictor(ft, cur, prev, i, channels)) & 0xFF
+        recon += cur
+        prev = cur
+    if color_type == 3:  # palette: expand indices to RGB
+        if plte is None or len(plte) % 3 != 0:
+            return None
+        n_entries = len(plte) // 3
+        if any(ix >= n_entries for ix in recon):
+            return None
+        recon = bytearray(
+            b for ix in recon for b in plte[ix * 3 : ix * 3 + 3]
+        )
+        channels = 3
+    dims["channels"] = channels
+    dims["pixels"] = bytes(recon)
+    return dims
+
+
 def _decode_bytes(content: bytes | None, meta) -> dict | None:
     """Decode one asset. BMP and WAV payloads are parsed for real from
     the bytes; other formats (no codec library in this container) fall
@@ -220,6 +394,10 @@ def _decode_bytes(content: bytes | None, meta) -> dict | None:
         "n_samples": None,
     }
     parsed = parse_bmp(content) or parse_wav(content)
+    if parsed is None:
+        png = parse_png(content)
+        if png is not None:
+            parsed = {"width": png["width"], "height": png["height"]}
     if parsed is not None:
         decoded.update(parsed)
     elif meta is not None:  # compressed formats: metadata fallback
@@ -287,6 +465,96 @@ def codec_assets_from_ids(df: DataFrame, id_column: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=["asset_id", "content", "meta"])
 
     return df.select(id_column).mapInPandas(build, schema=MEDIA_SCHEMA)
+
+
+def png_assets_from_ids(df: DataFrame, id_column: str) -> DataFrame:
+    """Deterministic REAL-PNG asset table from an id column: 8-bit RGB,
+    width = id%6+2, height = id%5+2, pixel (x, y) =
+    ((x+y+id)%256, (2x+y+id)%256, (x·y+id)%256), rows filtered with
+    type y%5 (every standard PNG filter appears for height ≥ 5).
+    Dimension metadata is deliberately withheld: anything a decoder
+    reports can only have come from the compressed bytes."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid in pdf[id_column]:
+                aid = int(aid)
+                content = encode_png(
+                    aid % 6 + 2,
+                    aid % 5 + 2,
+                    pixel_fn=lambda x, y, a=aid: (
+                        (x + y + a) % 256,
+                        (2 * x + y + a) % 256,
+                        (x * y + a) % 256,
+                    ),
+                )
+                rows.append(
+                    {
+                        "asset_id": aid,
+                        "content": content,
+                        "meta": {
+                            "media_type": "image",
+                            "format": "png",
+                            "width": None,
+                            "height": None,
+                            "n_frames": None,
+                            "sample_rate": None,
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["asset_id", "content", "meta"])
+
+    return df.select(id_column).mapInPandas(build, schema=MEDIA_SCHEMA)
+
+
+PNG_STATS_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("mean_r", DoubleType(), True),
+        StructField("mean_g", DoubleType(), True),
+        StructField("mean_b", DoubleType(), True),
+    ]
+)
+
+
+def png_pixel_stats(df: DataFrame) -> DataFrame:
+    """Full-decode pixel statistics per PNG asset: channel means over
+    the RECONSTRUCTED pixels (CRC check, inflate, defilter all on the
+    hot path — any codec bug corrupts the means). Arrow-batched
+    mapInPandas; grayscale/alpha channels fold as (r=g=b=gray)."""
+    import numpy as np
+
+    cols = [f.name for f in PNG_STATS_SCHEMA.fields]
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                rec = {"asset_id": row["asset_id"], "width": None, "height": None,
+                       "mean_r": None, "mean_g": None, "mean_b": None}
+                png = parse_png(row["content"]) if row["content"] is not None else None
+                if png is not None:
+                    rec["width"] = png["width"]
+                    rec["height"] = png["height"]
+                    if png["pixels"] is not None:
+                        mat = np.frombuffer(png["pixels"], dtype=np.uint8).astype(
+                            np.float64
+                        ).reshape(-1, png["channels"])
+                        means = mat.mean(axis=0)
+                        if png["channels"] >= 3:
+                            r, g, b = means[0], means[1], means[2]
+                        else:  # gray / gray+alpha
+                            r = g = b = means[0]
+                        rec["mean_r"] = round(r, 6)
+                        rec["mean_g"] = round(g, 6)
+                        rec["mean_b"] = round(b, 6)
+                rows.append(rec)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(stats, schema=PNG_STATS_SCHEMA)
 
 
 def extract_features(df: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:

@@ -2997,6 +2997,39 @@ FROM documents ORDER BY doc_id
 """
 
 
+def mm5_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode end to end (multimodal.parse_png): spec-built
+    RGB8 PNGs — zlib-compressed IDAT, per-row filter type y%5 so every
+    standard filter appears, CRC-validated chunks — with dimension
+    metadata withheld. The output's channel means are computed from the
+    RECONSTRUCTED pixels, so the oracle (which predicts them from the
+    pixel formula by id arithmetic) catches any defilter/inflate bug,
+    not just header parsing."""
+    from paqarin_spark.multimodal import png_assets_from_ids, png_pixel_stats
+
+    docs = _docs(spark, sf_dir)
+    return png_pixel_stats(png_assets_from_ids(docs, "doc_id")).orderBy("asset_id")
+
+
+MM5_SQL = """
+WITH a AS (
+  SELECT doc_id AS asset_id,
+         CAST(doc_id % 6 + 2 AS INTEGER) AS width,
+         CAST(doc_id % 5 + 2 AS INTEGER) AS height
+  FROM documents
+),
+gx AS (SELECT asset_id, width, height, UNNEST(range(width)) AS x FROM a),
+g AS (SELECT asset_id, width, height, x, UNNEST(range(height)) AS y FROM gx)
+SELECT asset_id, width, height,
+       ROUND(AVG((x + y + asset_id) % 256), 6) AS mean_r,
+       ROUND(AVG((2 * x + y + asset_id) % 256), 6) AS mean_g,
+       ROUND(AVG((x * y + asset_id) % 256), 6) AS mean_b
+FROM g
+GROUP BY asset_id, width, height
+ORDER BY asset_id
+"""
+
+
 # --------------------------------------------------------------------------
 # MM2 — video frame-sampling fan-out (multimodal north star)
 
@@ -3681,68 +3714,46 @@ FROM documents ORDER BY doc_id
 # Registry
 
 
-# Registry order matters: the round-1 driver verified exactly the FIRST
-# 50 entries of this dict (CORRECTNESS_r01.json = positions 1-50 in
-# round-1 order), so the 45 queries it never reached are listed FIRST
-# this round — cheapest first, joined by the new mm4 (position 34, so
-# it gets a driver row too), with the three most expensive (tx11, ev1,
-# ev2) at positions 44-46. That makes the first block 46 entries; the
-# driver's 50-entry window additionally covers q01-q04 of the round-1
-# verified block that follows, and the other round-2 additions
-# (tx15-tx18) sit at the very end, outside the window.
+# Registry order matters: the driver verifies exactly the FIRST 50
+# entries per round. Round-3 window: (1) the round-2 additions
+# tx15-tx19 and every NEW round-3 query — the only entries without a
+# driver row yet; (2) regression-watch entries (q33/gen4/st2/st3 moved
+# >2x in BENCH_r02) plus one representative per operator family so the
+# driver re-checks each family against this round's regenerated
+# testdata; (3) backfill from the round-1-verified set, whose last
+# driver check is the oldest. Everything after position 50 has at
+# least one green driver row from rounds 1-2 and stays covered by the
+# local sf0.001/sf0.01 gate (tools/check_oracle.py).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- round-1 driver-UNVERIFIED set (45) + mm4, cheap first ---
-    "q43_mad_by_type": q43_mad_by_type,
-    "q44_daily_active_users": q44_daily_active_users,
-    "q45_type_correlation": q45_type_correlation,
-    "q46_running_totals": q46_running_totals,
-    "q47_revenue_share": q47_revenue_share,
-    "q48_value_histogram": q48_value_histogram,
-    "q49_sql_surface": q49_sql_surface,
-    "q56_ema": q56_ema,
-    "q57_order_deciles": q57_order_deciles,
-    "q60_trailing_7d": q60_trailing_7d,
-    "tx1_text_stats": tx1_text_stats,
-    "tx2_language_id": tx2_language_id,
-    "tx3_exact_dedup": tx3_exact_dedup,
-    "tx4_ngram_jaccard": tx4_ngram_jaccard,
-    "tx5_minhash_signatures": tx5_minhash_signatures,
-    "tx6_minhash_lsh_pairs": tx6_minhash_lsh_pairs,
-    "tx7_simhash": tx7_simhash,
-    "tx8_rolling_hash": tx8_rolling_hash,
-    "tx9_bpe_tokens": tx9_bpe_tokens,
-    "tx10_quality_prune": tx10_quality_prune,
-    "tx12_simhash_pairs": tx12_simhash_pairs,
-    "tx13_top_tokens": tx13_top_tokens,
-    "tx14_stratified_sample": tx14_stratified_sample,
-    "em1_cosine_topk": em1_cosine_topk,
-    "em2_lsh_topk": em2_lsh_topk,
-    "em3_cosine_dedup": em3_cosine_dedup,
-    "em4_ivf_topk": em4_ivf_topk,
-    "em5_label_centroids": em5_label_centroids,
-    "em6_label_quality": em6_label_quality,
-    "em7_nearest_centroid": em7_nearest_centroid,
-    "mm1_media_decode": mm1_media_decode,
-    "mm2_frame_sample": mm2_frame_sample,
-    "mm3_audio_chunks": mm3_audio_chunks,
-    "mm4_codec_decode": mm4_codec_decode,
-    "gen1_bootstrap_sample": gen1_bootstrap_sample,
-    "gen2_gaussian_sample": gen2_gaussian_sample,
-    "gen3_generation_rounds": gen3_generation_rounds,
+    # --- never driver-verified: round-2 tail + round-3 additions ---
+    "tx15_clean_text": tx15_clean_text,
+    "tx16_pii_redaction": tx16_pii_redaction,
+    "tx17_top_bigrams": tx17_top_bigrams,
+    "tx18_repetition_ratio": tx18_repetition_ratio,
+    "tx19_normalized_dedup": tx19_normalized_dedup,
+    "mm5_png_decode": mm5_png_decode,
+    # --- regression watch (BENCH_r02 movers) ---
+    "q33_large_orders": q33_large_orders,
     "gen4_conditional_sample": gen4_conditional_sample,
-    "st1_stream_daily_sum": st1_stream_daily_sum,
     "st2_stream_window_sums": st2_stream_window_sums,
     "st3_stream_sessions": st3_stream_sessions,
-    "st4_stream_minmax": st4_stream_minmax,
-    "st5_stream_dedup": st5_stream_dedup,
-    "tx11_dup_clusters": tx11_dup_clusters,
-    "ev1_pipeline_summary": ev1_pipeline_summary,
-    "ev2_univariate_summary": ev2_univariate_summary,
-    # --- round-1 driver-VERIFIED set (50), round-1 order ---
+    # --- one representative per operator family ---
     "q01_surrogate_key": q01_surrogate_key,
     "q02_daily_sum": q02_daily_sum,
     "q03_gap_fill": q03_gap_fill,
     "q04_minmax_scale": q04_minmax_scale,
+    "tx11_dup_clusters": tx11_dup_clusters,
+    "ev1_pipeline_summary": ev1_pipeline_summary,
+    "ev2_univariate_summary": ev2_univariate_summary,
+    "em1_cosine_topk": em1_cosine_topk,
+    "em4_ivf_topk": em4_ivf_topk,
+    "mm4_codec_decode": mm4_codec_decode,
+    "tx3_exact_dedup": tx3_exact_dedup,
+    "tx6_minhash_lsh_pairs": tx6_minhash_lsh_pairs,
+    "q58_salted_revenue": q58_salted_revenue,
+    "q30_sessionize": q30_sessionize,
+    "q14_pricing_summary": q14_pricing_summary,
+    # --- backfill: round-1-verified (oldest driver check) ---
     "q05_window_starts": q05_window_starts,
     "q06_tail_trim": q06_tail_trim,
     "q07_keep_first": q07_keep_first,
@@ -3752,7 +3763,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q11_positional_split": q11_positional_split,
     "q12_forecast_horizon": q12_forecast_horizon,
     "q13_count_identity": q13_count_identity,
-    "q14_pricing_summary": q14_pricing_summary,
     "q15_nation_revenue": q15_nation_revenue,
     "q16_top_parts": q16_top_parts,
     "q17_json_props": q17_json_props,
@@ -3768,18 +3778,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q27_returned_items": q27_returned_items,
     "q28_asof_checkpoint": q28_asof_checkpoint,
     "q29_range_hot_days": q29_range_hot_days,
-    "q50_left_range_cold": q50_left_range_cold,
-    "q58_salted_revenue": q58_salted_revenue,
-    "q59_asof_forward_tolerance": q59_asof_forward_tolerance,
-    "q51_small_quantity_revenue": q51_small_quantity_revenue,
-    "q52_disjunctive_bands": q52_disjunctive_bands,
-    "q53_top_supplier": q53_top_supplier,
-    "q54_promo_bulk_suppliers": q54_promo_bulk_suppliers,
-    "q55_rich_inactive_customers": q55_rich_inactive_customers,
-    "q30_sessionize": q30_sessionize,
     "q31_rollup_revenue": q31_rollup_revenue,
+    # ---------------- driver window ends around here ----------------
     "q32_quality_quantiles": q32_quality_quantiles,
-    "q33_large_orders": q33_large_orders,
     "q34_nation_pair_volume": q34_nation_pair_volume,
     "q35_multi_resolution": q35_multi_resolution,
     "q36_inactive_dims": q36_inactive_dims,
@@ -3789,12 +3790,48 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q40_above_average_orders": q40_above_average_orders,
     "q41_churned_users": q41_churned_users,
     "q42_cube_type_weekday": q42_cube_type_weekday,
-    # --- round-2 additions (after the 50-entry driver window) ---
-    "tx15_clean_text": tx15_clean_text,
-    "tx16_pii_redaction": tx16_pii_redaction,
-    "tx17_top_bigrams": tx17_top_bigrams,
-    "tx18_repetition_ratio": tx18_repetition_ratio,
-    "tx19_normalized_dedup": tx19_normalized_dedup,
+    "q50_left_range_cold": q50_left_range_cold,
+    "q51_small_quantity_revenue": q51_small_quantity_revenue,
+    "q52_disjunctive_bands": q52_disjunctive_bands,
+    "q53_top_supplier": q53_top_supplier,
+    "q54_promo_bulk_suppliers": q54_promo_bulk_suppliers,
+    "q55_rich_inactive_customers": q55_rich_inactive_customers,
+    "q59_asof_forward_tolerance": q59_asof_forward_tolerance,
+    "q60_trailing_7d": q60_trailing_7d,
+    "q43_mad_by_type": q43_mad_by_type,
+    "q44_daily_active_users": q44_daily_active_users,
+    "q45_type_correlation": q45_type_correlation,
+    "q46_running_totals": q46_running_totals,
+    "q47_revenue_share": q47_revenue_share,
+    "q48_value_histogram": q48_value_histogram,
+    "q49_sql_surface": q49_sql_surface,
+    "q56_ema": q56_ema,
+    "q57_order_deciles": q57_order_deciles,
+    "tx1_text_stats": tx1_text_stats,
+    "tx2_language_id": tx2_language_id,
+    "tx4_ngram_jaccard": tx4_ngram_jaccard,
+    "tx5_minhash_signatures": tx5_minhash_signatures,
+    "tx7_simhash": tx7_simhash,
+    "tx8_rolling_hash": tx8_rolling_hash,
+    "tx9_bpe_tokens": tx9_bpe_tokens,
+    "tx10_quality_prune": tx10_quality_prune,
+    "tx12_simhash_pairs": tx12_simhash_pairs,
+    "tx13_top_tokens": tx13_top_tokens,
+    "tx14_stratified_sample": tx14_stratified_sample,
+    "em2_lsh_topk": em2_lsh_topk,
+    "em3_cosine_dedup": em3_cosine_dedup,
+    "em5_label_centroids": em5_label_centroids,
+    "em6_label_quality": em6_label_quality,
+    "em7_nearest_centroid": em7_nearest_centroid,
+    "mm1_media_decode": mm1_media_decode,
+    "mm2_frame_sample": mm2_frame_sample,
+    "mm3_audio_chunks": mm3_audio_chunks,
+    "gen1_bootstrap_sample": gen1_bootstrap_sample,
+    "gen2_gaussian_sample": gen2_gaussian_sample,
+    "gen3_generation_rounds": gen3_generation_rounds,
+    "st1_stream_daily_sum": st1_stream_daily_sum,
+    "st4_stream_minmax": st4_stream_minmax,
+    "st5_stream_dedup": st5_stream_dedup,
 }
 
 # em2_lsh_topk is deliberately oracle-less (seeded hyperplanes are not
@@ -3878,6 +3915,7 @@ ORACLE_SQL: dict[str, str] = {
     "mm2_frame_sample": MM2_SQL,
     "mm3_audio_chunks": MM3_SQL,
     "mm4_codec_decode": MM4_SQL,
+    "mm5_png_decode": MM5_SQL,
     "st1_stream_daily_sum": ST1_SQL,
     "st2_stream_window_sums": ST2_SQL,
     "st3_stream_sessions": ST3_SQL,

@@ -185,3 +185,97 @@ def test_parse_wav_rejects_nonpcm_and_bad_rates():
     bad_rate = bytearray(encode_wav(8000, 4))
     bad_rate[24:28] = (0).to_bytes(4, "little")
     assert parse_wav(bytes(bad_rate)) is None
+
+
+def test_png_roundtrip_all_filters():
+    """encode_png cycles filter types per row (y%5), so height>=5 makes
+    the decoder reconstruct through None/Sub/Up/Average/Paeth. Pixels
+    must come back exactly."""
+    from paqarin_spark.multimodal import encode_png, parse_png
+
+    w, h = 7, 6
+    content = encode_png(w, h)
+    png = parse_png(content)
+    assert png is not None
+    assert (png["width"], png["height"], png["channels"]) == (w, h, 3)
+    expect = bytearray()
+    for y in range(h):
+        for x in range(w):
+            expect += bytes(((x + y) % 256, (2 * x + y) % 256, (x * y) % 256))
+    assert png["pixels"] == bytes(expect)
+
+
+def test_png_rejects_malformed():
+    from paqarin_spark.multimodal import encode_png, parse_png
+
+    good = encode_png(4, 4)
+    assert parse_png(b"\x89PNG\r\n\x1a\n" + b"junk" * 10) is None
+    assert parse_png(b"not a png at all, just text" * 3) is None
+    # flip one IDAT byte: CRC validation must catch it
+    bad = bytearray(good)
+    idat_pos = bytes(good).find(b"IDAT") + 6
+    bad[idat_pos] ^= 0xFF
+    assert parse_png(bytes(bad)) is None
+
+
+def test_png_gray_and_palette_variants():
+    """Hand-built color-type 0 (gray) and 3 (palette) payloads decode;
+    palette indices expand through PLTE to RGB."""
+    import struct
+    import zlib
+
+    from paqarin_spark.multimodal import PNG_SIGNATURE, _png_chunk, parse_png
+
+    # 2x2 gray: rows filter 0, values 10,20 / 30,40
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    raw = bytes([0, 10, 20, 0, 30, 40])
+    gray = (
+        PNG_SIGNATURE
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    png = parse_png(gray)
+    assert png["channels"] == 1 and png["pixels"] == bytes([10, 20, 30, 40])
+
+    # 2x1 palette: entries (255,0,0) and (0,255,0), indices 1,0
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 3, 0, 0, 0)
+    plte = bytes([255, 0, 0, 0, 255, 0])
+    raw = bytes([0, 1, 0])
+    pal = (
+        PNG_SIGNATURE
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", plte)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    png = parse_png(pal)
+    assert png["channels"] == 3
+    assert png["pixels"] == bytes([0, 255, 0, 255, 0, 0])
+    # palette index out of range -> reject
+    bad = (
+        PNG_SIGNATURE
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", plte)
+        + _png_chunk(b"IDAT", zlib.compress(bytes([0, 7, 0])))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert parse_png(bad) is None
+
+
+def test_png_pixel_stats_through_spark(spark):
+    from paqarin_spark.multimodal import png_assets_from_ids, png_pixel_stats
+
+    ids = spark.createDataFrame([(0,), (7,), (29,)], "doc_id long")
+    got = {
+        r["asset_id"]: r
+        for r in png_pixel_stats(png_assets_from_ids(ids, "doc_id")).collect()
+    }
+    for aid in (0, 7, 29):
+        w, h = aid % 6 + 2, aid % 5 + 2
+        assert (got[aid]["width"], got[aid]["height"]) == (w, h)
+        n = w * h
+        exp_r = sum((x + y + aid) % 256 for x in range(w) for y in range(h)) / n
+        exp_b = sum((x * y + aid) % 256 for x in range(w) for y in range(h)) / n
+        assert got[aid]["mean_r"] == round(exp_r, 6)
+        assert got[aid]["mean_b"] == round(exp_b, 6)
