@@ -176,6 +176,85 @@ class GlobalWeekdayProfileForecaster:
 
 
 
+class SeasonalNaiveDriftForecaster:
+    """Second J4 pluggable behind the same factory boundary: ADDITIVE
+    seasonal-naive with drift. From the fitted (synthetic) panel it
+    learns (a) a global per-tick drift — the mean consecutive-tick
+    delta — and (b) additive weekday offsets — the mean deviation of
+    each tick from its item's own level. Prediction anchors on the
+    item's recent real level (last ``period`` ticks), extrapolates the
+    drift from that window's CENTER (the level of ``n`` trailing ticks
+    of a trending series sits (n-1)/2 ticks behind the last one), and
+    adds the predicted weekday's offset.
+
+    Complements the multiplicative :class:`GlobalWeekdayProfileForecaster`:
+    on trending panels the drift term wins, on stationary
+    multiplicative-seasonal panels the profile model wins — so a TSTR
+    ranking (ev2) discriminates generators by which structure their
+    synthetic data preserves instead of collapsing to one family's
+    blind spot. Pure DataFrame expressions; learned state is one
+    scalar plus a ≤7-row broadcast dim. Daily frequency (the
+    PANEL_SCHEMA contract). Reference J4 boundary:
+    `paqarin/metrics/univariate_metrics.py:361-419`.
+    """
+
+    def __init__(self, period: int = 7):
+        self.period = period
+        self._drift: float | None = None
+        self._offsets: DataFrame | None = None
+
+    def fit(self, panel: DataFrame) -> "SeasonalNaiveDriftForecaster":
+        w = Window.partitionBy(ITEM_ID).orderBy(TIMESTAMP)
+        deltas = panel.withColumn("_prev", F.lag(TARGET).over(w)).where(
+            F.col("_prev").isNotNull()
+        )
+        row = deltas.agg(
+            F.avg(F.col(TARGET) - F.col("_prev")).alias("_d")
+        ).collect()[0]
+        self._drift = float(row["_d"]) if row["_d"] is not None else 0.0
+        item_level = panel.groupBy(ITEM_ID).agg(F.avg(TARGET).alias("_lvl"))
+        self._offsets = (
+            panel.join(item_level, on=ITEM_ID)
+            .groupBy(F.dayofweek(TIMESTAMP).alias("_dow"))
+            .agg(F.avg(F.col(TARGET) - F.col("_lvl")).alias("_off"))
+        )
+        return self
+
+    def predict(self, history: DataFrame, index: DataFrame) -> DataFrame:
+        if self._drift is None or self._offsets is None:
+            raise RuntimeError("forecaster is not fitted")
+        recent = Window.partitionBy(ITEM_ID).orderBy(F.col(TIMESTAMP).desc())
+        anchor = (
+            history.withColumn("_rn", F.row_number().over(recent))
+            .where(F.col("_rn") <= self.period)
+            .groupBy(ITEM_ID)
+            .agg(
+                F.avg(TARGET).alias("_lvl"),
+                F.max(TIMESTAMP).alias("_last"),
+                F.count(F.lit(1)).alias("_n"),
+            )
+        )
+        steps = (
+            F.coalesce(F.datediff(F.col(TIMESTAMP), F.col("_last")), F.lit(0))
+            .cast("double")
+            + (F.coalesce(F.col("_n"), F.lit(1)) - 1).cast("double") / 2.0
+        )
+        return (
+            index.join(anchor, on=ITEM_ID, how="left")
+            .withColumn("_dow", F.dayofweek(TIMESTAMP))
+            .join(F.broadcast(self._offsets), on="_dow", how="left")
+            .select(
+                ITEM_ID,
+                TIMESTAMP,
+                (
+                    F.coalesce(F.col("_lvl"), F.lit(0.0))
+                    + F.lit(self._drift) * steps
+                    + F.coalesce(F.col("_off"), F.lit(0.0))
+                ).alias("target_pred"),
+            )
+        )
+
+
 class UnivariateForecastScorer:
     """The reference's univariate TSTR scorer re-orchestrated
     (`paqarin/metrics/univariate_metrics.py:130-277`): panel-transform
