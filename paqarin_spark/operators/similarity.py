@@ -367,6 +367,7 @@ def ivf_topk(
     num_cells: int = 16,
     centroids: str = "first_ids",
     seed: int = 42,
+    nprobe: int = 1,
 ) -> DataFrame:
     """Approximate cosine top-k via IVF (inverted-file) coarse
     quantization, the standard ANN scale path alongside LSH.
@@ -380,15 +381,21 @@ def ivf_topk(
       job and everything downstream (assignment, cell shuffle, per-cell
       BLAS) is unchanged. Cell ids become the 0-based cluster indices.
 
-    Every vector is assigned to its nearest centroid (rounded cosine,
-    ties to the smallest centroid id); queries probe their own cell
-    (nprobe=1) and rank candidates by (cos_sim desc, id).
+    Every vector is a MEMBER of its nearest centroid's cell (rounded
+    cosine, ties to the smallest centroid id); as a QUERY it probes its
+    ``nprobe`` nearest cells and ranks candidates by (cos_sim desc,
+    id). ``nprobe=1`` (default) is the classic single-probe IVF;
+    raising it is the standard recall knob — candidates grow ~linearly
+    while the per-cell work shape stays identical.
 
     Physical plan: centroids broadcast; assignment is one Arrow batch
-    matmul per partition; candidate generation shuffles by cell id so
-    each cell's members are co-located, then one BLAS matmul per cell
-    group — at 100 TB the cells ARE the partitioning, no all-pairs
-    stage exists anywhere.
+    matmul per partition (each vector emits ``nprobe`` probe rows, the
+    first doubling as its membership row); candidate generation
+    shuffles by cell id so each cell's members are co-located, then one
+    BLAS matmul per cell group. With ``nprobe>1`` a final
+    ``Window.partitionBy(query)`` top-k merges the per-cell candidate
+    lists — one extra shuffle on query id, still never all-pairs.
+    At 100 TB the cells ARE the partitioning.
     """
     import numpy as np
     import pandas as pd
@@ -432,6 +439,7 @@ def ivf_topk(
     cell_type = "bigint" if centroids == "kmeans" else id_type
     assigned_schema = (
         f"{id_column} {id_type}, {vector_column} {vec_type}, cell {cell_type}"
+        + (", is_member boolean" if nprobe > 1 else "")
     )
 
     def assign(batches):
@@ -443,17 +451,24 @@ def ivf_topk(
             q_mat = np.vstack(pdf[vector_column].to_numpy()).astype(np.float64)
             q_norm = np.linalg.norm(q_mat, axis=1)
             sims = np.round((q_mat @ mat_c.T) / np.outer(q_norm, norm_c), 6)
-            # vectorized argmax by (sim desc, centroid id asc): with
-            # columns pre-sorted by centroid id, argmax over the
-            # boolean row-max mask returns the FIRST (= smallest-id)
-            # centroid achieving the max — no per-row Python loop
+            # vectorized argsort by (sim desc, centroid id asc): with
+            # columns pre-sorted by centroid id, a stable argsort of
+            # the negated sims lists each row's cells best-first,
+            # smallest id winning ties — no per-row Python loop
             sims_ord = sims[:, id_order]
-            best_ord = np.argmax(
-                sims_ord == sims_ord.max(axis=1, keepdims=True), axis=1
-            )
-            out = pdf[[id_column, vector_column]].copy()
-            out["cell"] = ids_c[id_order[best_ord]]
-            yield out
+            order = np.argsort(-sims_ord, axis=1, kind="stable")[:, :nprobe]
+            if nprobe == 1:
+                out = pdf[[id_column, vector_column]].copy()
+                out["cell"] = ids_c[id_order[order[:, 0]]]
+                yield out
+                continue
+            frames = []
+            for p in range(min(nprobe, order.shape[1])):
+                out = pdf[[id_column, vector_column]].copy()
+                out["cell"] = ids_c[id_order[order[:, p]]]
+                out["is_member"] = p == 0  # first probe = home cell
+                frames.append(out)
+            yield pd.concat(frames)
 
     assigned = df.select(id_column, vector_column).mapInPandas(
         assign, schema=assigned_schema
@@ -462,14 +477,24 @@ def ivf_topk(
     topk_schema = f"query_id {id_type}, neighbor_id {id_type}, cos_sim double"
 
     def cell_topk(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids = pdf[id_column].to_numpy()
-        mat = np.vstack(pdf[vector_column].to_numpy()).astype(np.float64)
-        nrm = np.linalg.norm(mat, axis=1)
-        sims = np.round((mat @ mat.T) / np.outer(nrm, nrm), 6)
+        empty = pd.DataFrame({"query_id": [], "neighbor_id": [], "cos_sim": []})
+        if nprobe > 1:
+            members = pdf[pdf["is_member"]]
+            if len(members) == 0:  # cell is only ever probed, never home
+                return empty
+        else:
+            members = pdf
+        m_ids = members[id_column].to_numpy()
+        m_mat = np.vstack(members[vector_column].to_numpy()).astype(np.float64)
+        m_nrm = np.linalg.norm(m_mat, axis=1)
+        q_ids = pdf[id_column].to_numpy()
+        q_mat = np.vstack(pdf[vector_column].to_numpy()).astype(np.float64)
+        q_nrm = np.linalg.norm(q_mat, axis=1)
+        sims = np.round((q_mat @ m_mat.T) / np.outer(q_nrm, m_nrm), 6)
         out_q, out_n, out_s = [], [], []
-        for i, qid in enumerate(ids):
-            mask = ids != qid
-            cand_ids = ids[mask]
+        for i, qid in enumerate(q_ids):
+            mask = m_ids != qid
+            cand_ids = m_ids[mask]
             cand_sims = sims[i][mask]
             order = np.lexsort((cand_ids, -cand_sims))[:k]
             out_q.extend([qid] * len(order))
@@ -479,7 +504,19 @@ def ivf_topk(
             {"query_id": out_q, "neighbor_id": out_n, "cos_sim": out_s}
         )
 
-    return assigned.groupBy("cell").applyInPandas(cell_topk, schema=topk_schema)
+    local = assigned.groupBy("cell").applyInPandas(cell_topk, schema=topk_schema)
+    if nprobe == 1:
+        return local
+    # merge each query's per-cell candidate lists (a neighbor is a
+    # member of exactly one cell, so no duplicate pairs exist)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        local.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .drop("_rk")
+    )
 
 
 def lsh_topk(

@@ -2901,6 +2901,63 @@ SELECT query_id, neighbor_id, cos_sim FROM (
 """
 
 
+def em8_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF (nprobe=2) — the production recall knob over
+    em4's single-probe plan: each vector stays a member of its home
+    cell but queries its two nearest cells, and a per-query window
+    merges the per-cell candidate lists. Same deterministic first_ids
+    quantizer, so the whole approximate index stays SQL-mirrorable."""
+    from paqarin_spark.operators import ivf_topk
+
+    configure_for_determinism(spark)
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    return ivf_topk(emb, "vec_id", "embedding", k=5, num_cells=16, nprobe=2)
+
+
+EM8_SQL = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), c AS (
+  SELECT vec_id AS cid, e AS ce FROM v ORDER BY vec_id LIMIT 16
+), ranked AS (
+  SELECT v.vec_id, c.cid,
+         ROW_NUMBER() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY ROUND(
+             list_sum(list_transform(range(1, 65), i -> v.e[i] * c.ce[i]))
+             / (sqrt(list_sum(list_transform(range(1, 65), i -> v.e[i] * v.e[i])))
+                * sqrt(list_sum(list_transform(range(1, 65), i -> c.ce[i] * c.ce[i])))),
+             6) DESC, c.cid
+         ) AS rk
+  FROM v CROSS JOIN c
+), member AS (
+  SELECT vec_id, cid FROM ranked WHERE rk = 1
+), probe AS (
+  SELECT vec_id, cid FROM ranked WHERE rk <= 2
+), pairs AS (
+  SELECT q.vec_id AS query_id, m.vec_id AS neighbor_id,
+         ROUND(
+           list_sum(list_transform(range(1, 65), i -> a.e[i] * b.e[i]))
+           / (sqrt(list_sum(list_transform(range(1, 65), i -> a.e[i] * a.e[i])))
+              * sqrt(list_sum(list_transform(range(1, 65), i -> b.e[i] * b.e[i])))),
+           6) AS cos_sim
+  FROM probe q
+  JOIN member m ON m.cid = q.cid AND m.vec_id <> q.vec_id
+  JOIN v a ON a.vec_id = q.vec_id
+  JOIN v b ON b.vec_id = m.vec_id
+)
+SELECT query_id, neighbor_id, cos_sim FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rk
+  FROM pairs
+) WHERE rk <= 5 ORDER BY query_id, neighbor_id
+"""
+
+
 # --------------------------------------------------------------------------
 # MM1 — multimodal decode pipeline (multimodal north star)
 
@@ -3710,6 +3767,103 @@ FROM documents ORDER BY doc_id
 """
 
 
+def tx20_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full corpus-curation funnel in ONE declared query — the C4/Gopher
+    recipe end to end with per-source survivor accounting: quality
+    scoring (tx1's single-pass stats), within-doc repetition (tx18),
+    global p25 quality gate (tx10), repetition gate, then
+    normalize-then-hash keep-first dedup among survivors (tx19).
+    Output: (source, n_total, n_quality, n_clean, n_final).
+
+    Scale shape: all signals are expression-side over one scan; the
+    shuffles are a scalar percentile agg (broadcast back), the
+    keep-first groupBy on the clean hash, and the final per-source
+    rollup — each a single keyed exchange, nothing driver-side."""
+    from paqarin_spark.functions.text import clean_text, text_stats
+    from paqarin_spark.operators.dedup import shingles_from_tokens, tokens
+
+    docs = _docs(spark, sf_dir)
+    stats = text_stats(docs, "text", "doc_id").select("doc_id", "quality")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        tokens(F.col("text")).alias("_toks"),
+        F.md5(clean_text(F.col("text"))).alias("_h"),
+    )
+    total = F.greatest(F.size("_toks") - F.lit(2), F.lit(0))
+    rep = (
+        F.when(
+            total > 0,
+            F.round(1 - F.size(shingles_from_tokens(F.col("_toks"), 3)) / total, 6),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    flagged = toks.select("doc_id", "source", "_h", rep.alias("_rep")).join(
+        stats, on="doc_id"
+    )
+    thresh = flagged.agg(F.percentile("quality", F.lit(0.25)).alias("_q25"))
+    flagged = flagged.join(F.broadcast(thresh)).select(
+        "doc_id",
+        "source",
+        "_h",
+        (F.col("quality") >= F.col("_q25")).alias("_pq"),
+        (
+            (F.col("quality") >= F.col("_q25")) & (F.col("_rep") <= 0.2)
+        ).alias("_surv"),
+    )
+    keep = (
+        flagged.where("_surv")
+        .groupBy("_h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", F.lit(True).alias("_final"))
+    )
+    return (
+        flagged.join(keep, on="doc_id", how="left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.col("_pq").cast("long")).alias("n_quality"),
+            F.sum(F.col("_surv").cast("long")).alias("n_clean"),
+            F.sum(F.coalesce(F.col("_final").cast("long"), F.lit(0))).alias(
+                "n_final"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+TX20_SQL = f"""
+WITH q AS (
+  SELECT doc_id, source,
+         ROUND((LEAST(len({_TOKS_SQL}) / 100.0, 1.0)
+                + length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / GREATEST(length(text), 1)
+                + len(list_filter({_TOKS_SQL}, x -> list_contains({_STOPWORDS_SQL}, x)))
+                  / GREATEST(len({_TOKS_SQL}), 1)) / 3.0, 6) AS quality,
+         CASE WHEN len({_TOKS_SQL}) > 2
+              THEN ROUND(1 - len({_SHINGLES_SQL})
+                             / CAST(len({_TOKS_SQL}) - 2 AS DOUBLE), 6)
+              ELSE 0.0 END AS rep,
+         md5({_CLEAN_SQL}) AS h
+  FROM documents
+), f AS (
+  SELECT *,
+         quality >= (SELECT quantile_cont(quality, 0.25) FROM q) AS pq,
+         (quality >= (SELECT quantile_cont(quality, 0.25) FROM q)
+          AND rep <= 0.2) AS surv
+  FROM q
+), k AS (
+  SELECT MIN(doc_id) AS doc_id FROM f WHERE surv GROUP BY h
+)
+SELECT source,
+       COUNT(*) AS n_total,
+       CAST(SUM(CASE WHEN pq THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+       CAST(SUM(CASE WHEN surv THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+       CAST(SUM(CASE WHEN doc_id IN (SELECT doc_id FROM k) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_final
+FROM f GROUP BY source ORDER BY source
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 
@@ -3732,6 +3886,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx18_repetition_ratio": tx18_repetition_ratio,
     "tx19_normalized_dedup": tx19_normalized_dedup,
     "mm5_png_decode": mm5_png_decode,
+    "tx20_corpus_curation": tx20_corpus_curation,
+    "em8_ivf_multiprobe": em8_ivf_multiprobe,
     # --- regression watch (BENCH_r02 movers) ---
     "q33_large_orders": q33_large_orders,
     "gen4_conditional_sample": gen4_conditional_sample,
@@ -3916,6 +4072,8 @@ ORACLE_SQL: dict[str, str] = {
     "mm3_audio_chunks": MM3_SQL,
     "mm4_codec_decode": MM4_SQL,
     "mm5_png_decode": MM5_SQL,
+    "tx20_corpus_curation": TX20_SQL,
+    "em8_ivf_multiprobe": EM8_SQL,
     "st1_stream_daily_sum": ST1_SQL,
     "st2_stream_window_sums": ST2_SQL,
     "st3_stream_sessions": ST3_SQL,

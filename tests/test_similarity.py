@@ -195,3 +195,37 @@ def test_ivf_topk_rejects_unknown_centroids(vectors):
 
     with pytest.raises(ValueError, match="first_ids"):
         ivf_topk(vectors, "vec_id", "embedding", centroids="random")
+
+
+def test_ivf_topk_multiprobe_full_probe_equals_brute_force(vectors):
+    from paqarin_spark.operators import ivf_topk
+
+    # Probing every cell makes multi-probe IVF exact regardless of the
+    # coarse quantization.
+    ivf = {
+        (r["query_id"], r["neighbor_id"], r["cos_sim"])
+        for r in ivf_topk(
+            vectors, "vec_id", "embedding", k=2, num_cells=2, nprobe=2
+        ).collect()
+    }
+    exact = {
+        (r["query_id"], r["neighbor_id"], r["cos_sim"])
+        for r in cosine_topk(vectors, "vec_id", "embedding", k=2).collect()
+    }
+    assert ivf == exact
+
+
+def test_ivf_topk_multiprobe_improves_recall(vectors):
+    from paqarin_spark.operators import ivf_topk
+
+    # Singleton-cell vector 1 has NO candidates at nprobe=1 (see
+    # test_ivf_topk_cells_partition_candidates); probing its second
+    # cell gives it neighbors.
+    single = {r["query_id"] for r in ivf_topk(
+        vectors, "vec_id", "embedding", k=1, num_cells=2, nprobe=1
+    ).collect()}
+    multi = {r["query_id"]: r["neighbor_id"] for r in ivf_topk(
+        vectors, "vec_id", "embedding", k=1, num_cells=2, nprobe=2
+    ).collect()}
+    assert 1 not in single
+    assert 1 in multi  # recall recovered by the second probe
