@@ -141,21 +141,18 @@ def cosine_topk(
                 c_mat = np.vstack([r["_vec"] for r in row["_crows"]]).astype(np.float64)
                 q_norm = np.linalg.norm(q_mat, axis=1)
                 c_norm = np.linalg.norm(c_mat, axis=1)
-                out_q, out_n, out_s = [], [], []
+                frames = []
                 for lo, sims in _matmul_chunks(q_mat, c_mat, q_norm, c_norm):
-                    for i in range(sims.shape[0]):
-                        qid = q_ids[lo + i]
-                        mask = c_ids != qid  # exclude self
-                        cand_ids = c_ids[mask]
-                        cand_sims = sims[i][mask]
-                        # rank by (-sim, neighbor_id): lexsort's last
-                        # key is primary
-                        order = np.lexsort((cand_ids, -cand_sims))[:k]
-                        out_q.extend([qid] * len(order))
-                        out_n.extend(cand_ids[order])
-                        out_s.extend(cand_sims[order])
-                yield pd.DataFrame(
-                    {"query_id": out_q, "neighbor_id": out_n, "cos_sim": out_s}
+                    cq, cn, cs = _topk_rows(
+                        q_ids[lo : lo + sims.shape[0]], c_ids, sims, k
+                    )
+                    frames.append(
+                        pd.DataFrame(
+                            {"query_id": cq, "neighbor_id": cn, "cos_sim": cs}
+                        )
+                    )
+                yield pd.concat(frames) if frames else pd.DataFrame(
+                    {"query_id": [], "neighbor_id": [], "cos_sim": []}
                 )
 
     partial = pairs.mapInPandas(block_topk, schema=out_schema)
@@ -257,6 +254,46 @@ def cosine_dedup_pairs(
                     )
 
     return pairs.mapInPandas(block_pairs, schema=out_schema)
+
+
+def _top_cols(s, kk: int):
+    """Column indices of each row's top-``kk`` entries by (value desc,
+    column index asc), fully vectorized. Tie-break rides a composite
+    key: values are 6dp-rounded (adjacent distinct values differ by
+    ≥~1e-6), so subtracting ``1e-13 × col`` reorders exact ties toward
+    the smaller column without ever crossing a value boundary (safe to
+    ~1e6 columns). For wide matrices an argpartition prefilter keeps it
+    O(n·C) instead of O(n·C·log C) — the difference between seconds
+    and minutes at millions of rows × thousands of candidates."""
+    import numpy as np
+
+    comp = s - 1e-13 * np.arange(s.shape[1], dtype=np.float64)[None, :]
+    if s.shape[1] > 8 * kk:
+        part = np.argpartition(-comp, kk - 1, axis=1)[:, :kk]
+        sub = np.take_along_axis(comp, part, axis=1)
+        order = np.argsort(-sub, axis=1, kind="stable")
+        return np.take_along_axis(part, order, axis=1)
+    return np.argsort(-comp, axis=1, kind="stable")[:, :kk]
+
+
+def _topk_rows(q_ids, m_ids, sims, k: int):
+    """Vectorized per-row top-k by (sim desc, candidate id asc), self
+    matches excluded: columns are pre-sorted by candidate id so
+    :func:`_top_cols`'s index tie-break IS the id tie-break — no
+    Python lexsort per query row. Returns parallel
+    (query_id, neighbor_id, cos_sim) arrays."""
+    import numpy as np
+
+    col_order = np.argsort(m_ids, kind="stable")
+    ids_sorted = m_ids[col_order]
+    s = sims[:, col_order].astype(np.float64, copy=True)
+    s[ids_sorted[None, :] == q_ids[:, None]] = -np.inf  # self-exclusion
+    kk = min(k, s.shape[1])
+    top = _top_cols(s, kk)
+    top_sims = np.take_along_axis(s, top, axis=1)
+    valid = np.isfinite(top_sims)
+    rows = np.repeat(q_ids, kk).reshape(top.shape)
+    return rows[valid], ids_sorted[top][valid], top_sims[valid]
 
 
 def _seeded_planes(
@@ -451,12 +488,12 @@ def ivf_topk(
             q_mat = np.vstack(pdf[vector_column].to_numpy()).astype(np.float64)
             q_norm = np.linalg.norm(q_mat, axis=1)
             sims = np.round((q_mat @ mat_c.T) / np.outer(q_norm, norm_c), 6)
-            # vectorized argsort by (sim desc, centroid id asc): with
-            # columns pre-sorted by centroid id, a stable argsort of
-            # the negated sims lists each row's cells best-first,
-            # smallest id winning ties — no per-row Python loop
+            # vectorized top-nprobe by (sim desc, centroid id asc):
+            # with columns pre-sorted by centroid id, _top_cols's index
+            # tie-break is the id tie-break — no per-row Python loop,
+            # and no full argsort over thousands of cells
             sims_ord = sims[:, id_order]
-            order = np.argsort(-sims_ord, axis=1, kind="stable")[:, :nprobe]
+            order = _top_cols(sims_ord, min(nprobe, sims_ord.shape[1]))
             if nprobe == 1:
                 out = pdf[[id_column, vector_column]].copy()
                 out["cell"] = ids_c[id_order[order[:, 0]]]
@@ -491,15 +528,7 @@ def ivf_topk(
         q_mat = np.vstack(pdf[vector_column].to_numpy()).astype(np.float64)
         q_nrm = np.linalg.norm(q_mat, axis=1)
         sims = np.round((q_mat @ m_mat.T) / np.outer(q_nrm, m_nrm), 6)
-        out_q, out_n, out_s = [], [], []
-        for i, qid in enumerate(q_ids):
-            mask = m_ids != qid
-            cand_ids = m_ids[mask]
-            cand_sims = sims[i][mask]
-            order = np.lexsort((cand_ids, -cand_sims))[:k]
-            out_q.extend([qid] * len(order))
-            out_n.extend(cand_ids[order])
-            out_s.extend(cand_sims[order])
+        out_q, out_n, out_s = _topk_rows(q_ids, m_ids, sims, k)
         return pd.DataFrame(
             {"query_id": out_q, "neighbor_id": out_n, "cos_sim": out_s}
         )
@@ -579,15 +608,7 @@ def lsh_topk(
         mat = np.vstack(pdf[vector_column].to_numpy()).astype(np.float64)
         nrm = np.linalg.norm(mat, axis=1)
         sims = np.round((mat @ mat.T) / np.outer(nrm, nrm), 6)
-        out_q, out_n, out_s = [], [], []
-        for i, qid in enumerate(ids):
-            mask = ids != qid
-            cand_ids = ids[mask]
-            cand_sims = sims[i][mask]
-            order = np.lexsort((cand_ids, -cand_sims))[:k]
-            out_q.extend([qid] * len(order))
-            out_n.extend(cand_ids[order])
-            out_s.extend(cand_sims[order])
+        out_q, out_n, out_s = _topk_rows(ids, ids, sims, k)
         return pd.DataFrame(
             {"query_id": out_q, "neighbor_id": out_n, "cos_sim": out_s}
         )

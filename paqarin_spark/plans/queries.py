@@ -3779,17 +3779,26 @@ def tx20_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles are a scalar percentile agg (broadcast back), the
     keep-first groupBy on the clean hash, and the final per-source
     rollup — each a single keyed exchange, nothing driver-side."""
-    from paqarin_spark.functions.text import clean_text, text_stats
+    from paqarin_spark.functions.text import ENGLISH_STOPWORDS, clean_text
     from paqarin_spark.operators.dedup import shingles_from_tokens, tokens
 
     docs = _docs(spark, sf_dir)
-    stats = text_stats(docs, "text", "doc_id").select("doc_id", "quality")
-    toks = docs.select(
+    # Staged projection: ONE tokens() regexp pass per row feeds quality,
+    # repetition, and the trigram terms (CollapseProject keeps _toks
+    # materialized); no doc_id self-join anywhere.
+    base = docs.select(
         "doc_id",
         "source",
+        "text",
         tokens(F.col("text")).alias("_toks"),
         F.md5(clean_text(F.col("text"))).alias("_h"),
     )
+    n_toks = F.greatest(F.size("_toks"), F.lit(1))
+    alpha = F.regexp_count(F.col("text"), F.lit("[A-Za-z]")) / F.greatest(
+        F.length("text"), F.lit(1)
+    )
+    stop = F.size(F.filter(F.col("_toks"), lambda t: t.isin(*ENGLISH_STOPWORDS))) / n_toks
+    length_term = F.least(F.size("_toks") / F.lit(100.0), F.lit(1.0))
     total = F.greatest(F.size("_toks") - F.lit(2), F.lit(0))
     rep = (
         F.when(
@@ -3798,8 +3807,12 @@ def tx20_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(F.lit(0.0))
     )
-    flagged = toks.select("doc_id", "source", "_h", rep.alias("_rep")).join(
-        stats, on="doc_id"
+    flagged = base.select(
+        "doc_id",
+        "source",
+        "_h",
+        F.round((length_term + alpha + stop) / F.lit(3.0), 6).alias("quality"),
+        rep.alias("_rep"),
     )
     thresh = flagged.agg(F.percentile("quality", F.lit(0.25)).alias("_q25"))
     flagged = flagged.join(F.broadcast(thresh)).select(

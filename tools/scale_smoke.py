@@ -241,6 +241,29 @@ def main() -> int:
         f"[{'ok' if ok else f'EXPECTED {V // 2}'}]"
     )
 
+    # Multi-probe IVF at the same vector scale: identical twin vectors
+    # always share a home cell (identical sims to every centroid), so
+    # every vector's top-1 neighbor has cos_sim 1.0 regardless of the
+    # quantization. num_cells sized so a cell's candidate matmul stays
+    # ~500x1000 — the per-cell work shape that holds at any corpus size.
+    from paqarin_spark.operators.similarity import ivf_topk
+
+    t0 = time.perf_counter()
+    got_twins = (
+        ivf_topk(
+            vecs, "vec_id", "embedding", k=1, num_cells=4096, nprobe=2
+        )
+        .where(F.col("cos_sim") >= 0.999999)
+        .count()
+    )
+    dt = time.perf_counter() - t0
+    ok = got_twins == V
+    checks.append(ok)
+    print(
+        f"{'multiprobe ivf top1':24} {dt:7.1f}s  rows={got_twins:>12,}  "
+        f"[{'ok' if ok else f'EXPECTED {V}'}]"
+    )
+
     print("all invariants hold" if all(checks) else "INVARIANT FAILURES")
     return 0 if all(checks) else 1
 
