@@ -2223,6 +2223,165 @@ GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
 """
 
 
+def q61_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's market share of ECONOMY-part
+    revenue among AMERICA-region customers, per order year —
+    conditional aggregation over a two-sided broadcast dim chain
+    (part/supplier/nation on the lineitem side, customer/nation/region
+    on the orders side) with the only big-table shuffle being
+    lineitem ⨝ orders on the order key."""
+    configure_for_determinism(spark)
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders").where(
+        F.year("o_orderdate").between(1996, 1997)
+    )
+    part = read_table(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    cust = read_table(spark, sf_dir, "customer")
+    supp = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region").where(F.col("r_name") == "AMERICA")
+    n_c = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    n_s = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    dec = "decimal(30,10)"
+    vol = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(dec)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n_c), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(region), F.col("c_rk") == region.r_regionkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n_s), F.col("s_nationkey") == F.col("s_nk"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(
+                (
+                    F.sum(
+                        F.when(F.col("supp_nation") == "NATION_1", vol).otherwise(
+                            F.lit(0).cast(dec)
+                        )
+                    )
+                    / F.sum(vol)
+                ).cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+Q61_SQL = """
+SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+       ROUND(CAST(SUM(CASE WHEN n2.n_name = 'NATION_1'
+                           THEN CAST(l_extendedprice * (1.0 - l_discount)
+                                     AS DECIMAL(30,10))
+                           ELSE CAST(0 AS DECIMAL(30,10)) END)
+                  / SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                             AS DECIMAL(30,10))) AS DOUBLE), 6) AS mkt_share
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region   ON n1.n_regionkey = r_regionkey AND r_name = 'AMERICA'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE EXTRACT(YEAR FROM o_orderdate) BETWEEN 1996 AND 1997
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q62_custorder_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of per-customer order counts
+    INCLUDING zero-order customers — the filter must live inside the
+    left join condition (a WHERE would turn it inner and drop the
+    zeros), then two stacked aggregations. o_orderpriority stands in
+    for Q13's o_comment exclusion (no comment column in this schema)."""
+    configure_for_determinism(spark)
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(
+            orders,
+            (cust.c_custkey == orders.o_custkey)
+            & (orders.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+Q62_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey
+                   AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q63_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: pseudo-profit by supplier nation and order
+    year over parts whose name contains 'widget'. The schema carries
+    no partsupp table, so ps_supplycost is replaced by a retail-price
+    cost basis (0.5 · p_retailprice · l_quantity) — a documented
+    deviation that preserves Q9's plan shape: name-filtered part dim
+    broadcast under the fact, supplier/nation broadcast chain,
+    decimal-exact aggregation."""
+    configure_for_determinism(spark)
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    part = read_table(spark, sf_dir, "part").where(
+        F.col("p_name").contains("widget")
+    )
+    supp = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    dec = "decimal(30,10)"
+    amount = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        - F.lit(0.5) * F.col("p_retailprice") * F.col("l_quantity")
+    ).cast(dec)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.round(F.sum(amount).cast("double"), 4).alias("sum_profit"))
+    )
+
+
+Q63_SQL = """
+SELECT n_name AS nation,
+       CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+       ROUND(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                           - 0.5 * p_retailprice * l_quantity
+                           AS DECIMAL(30,10))) AS DOUBLE), 4) AS sum_profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey AND p_name LIKE '%widget%'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN orders   ON l_orderkey = o_orderkey
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------------
 # Text / dedup family (north-star extensions, documents table)
 
@@ -3901,6 +4060,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm5_png_decode": mm5_png_decode,
     "tx20_corpus_curation": tx20_corpus_curation,
     "em8_ivf_multiprobe": em8_ivf_multiprobe,
+    "q61_market_share": q61_market_share,
+    "q62_custorder_distribution": q62_custorder_distribution,
+    "q63_nation_profit": q63_nation_profit,
     # --- regression watch (BENCH_r02 movers) ---
     "q33_large_orders": q33_large_orders,
     "gen4_conditional_sample": gen4_conditional_sample,
@@ -4087,6 +4249,9 @@ ORACLE_SQL: dict[str, str] = {
     "mm5_png_decode": MM5_SQL,
     "tx20_corpus_curation": TX20_SQL,
     "em8_ivf_multiprobe": EM8_SQL,
+    "q61_market_share": Q61_SQL,
+    "q62_custorder_distribution": Q62_SQL,
+    "q63_nation_profit": Q63_SQL,
     "st1_stream_daily_sum": ST1_SQL,
     "st2_stream_window_sums": ST2_SQL,
     "st3_stream_sessions": ST3_SQL,
