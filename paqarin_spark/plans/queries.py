@@ -2422,7 +2422,7 @@ def tx2_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", predict_language(F.col("text")).alias("pred_lang"))
 
 
-def _langid_sql() -> str:
+def _langid_sql(extra_cols: str = "") -> str:
     hits = {
         lang: (
             f"len(list_filter({_TOKS_SQL}, x -> list_contains("
@@ -2436,9 +2436,10 @@ def _langid_sql() -> str:
         f"WHEN h_{L} >= GREATEST({all_hits}) THEN '{L}'" for L in langs
     )
     hit_cols = ", ".join(f"{expr} AS h_{L}" for L, expr in hits.items())
+    carry = f", {extra_cols}" if extra_cols else ""
     return f"""
-WITH h AS (SELECT doc_id, {hit_cols} FROM documents)
-SELECT doc_id, CASE {cases} END AS pred_lang FROM h ORDER BY doc_id
+WITH h AS (SELECT doc_id{carry}, {hit_cols} FROM documents)
+SELECT doc_id{carry}, CASE {cases} END AS pred_lang FROM h ORDER BY doc_id
 """
 
 
@@ -3926,6 +3927,74 @@ FROM documents ORDER BY doc_id
 """
 
 
+def tx21_lang_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-vs-content language audit: declared ``lang`` against
+    tx2's n-gram language prediction, rolled up to per-source mismatch
+    rates — the contamination gate a multilingual corpus runs before
+    mixing sources. Prediction is one codegen'd expression (tx2); the
+    only shuffle is the per-source rollup."""
+    docs = _docs(spark, sf_dir)
+    pred = docs.select(
+        "source", "lang", predict_language(F.col("text")).alias("_pred")
+    )
+    mism = (F.col("_pred") != F.col("lang")).cast("long")
+    return (
+        pred.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(mism).alias("n_mismatch"),
+            F.round(F.sum(mism) / F.count(F.lit(1)), 6).alias("mismatch_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+TX21_SQL = f"""
+WITH p AS ({_langid_sql("source, lang").replace("ORDER BY doc_id", "")})
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN pred_lang <> lang THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_mismatch,
+       ROUND(SUM(CASE WHEN pred_lang <> lang THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS mismatch_rate
+FROM p GROUP BY source ORDER BY source
+"""
+
+
+def em9_embed_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate CLUSTERS: connected components over
+    em3's exact cosine pair list — the cross-family composition
+    (similarity → graph clustering) that turns pairwise near-dups into
+    keep-one-representative groups, exactly like tx11 does for MinHash
+    pairs. Same min-label/star machinery, so every vector in a dup
+    pair maps to the smallest vec_id reachable from it."""
+    from paqarin_spark.operators import cosine_dedup_pairs, duplicate_clusters
+
+    configure_for_determinism(spark)
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    pairs = cosine_dedup_pairs(emb, "vec_id", "embedding", threshold=0.4)
+    return duplicate_clusters(pairs)
+
+
+EM9_SQL = f"""
+WITH RECURSIVE pairs AS ({EM3_SQL.replace("ORDER BY id_a, id_b", "")}),
+sym AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(node, r) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT e.src, re.r FROM sym e JOIN reach re ON e.dst = re.node
+)
+SELECT node AS doc, MIN(r) AS cluster_rep
+FROM reach GROUP BY 1 ORDER BY 1
+"""
+
+
 def tx20_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full corpus-curation funnel in ONE declared query — the C4/Gopher
     recipe end to end with per-source survivor accounting: quality
@@ -4063,6 +4132,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q61_market_share": q61_market_share,
     "q62_custorder_distribution": q62_custorder_distribution,
     "q63_nation_profit": q63_nation_profit,
+    "tx21_lang_mismatch": tx21_lang_mismatch,
+    "em9_embed_clusters": em9_embed_clusters,
     # --- regression watch (BENCH_r02 movers) ---
     "q33_large_orders": q33_large_orders,
     "gen4_conditional_sample": gen4_conditional_sample,
@@ -4252,6 +4323,8 @@ ORACLE_SQL: dict[str, str] = {
     "q61_market_share": Q61_SQL,
     "q62_custorder_distribution": Q62_SQL,
     "q63_nation_profit": Q63_SQL,
+    "tx21_lang_mismatch": TX21_SQL,
+    "em9_embed_clusters": EM9_SQL,
     "st1_stream_daily_sum": ST1_SQL,
     "st2_stream_window_sums": ST2_SQL,
     "st3_stream_sessions": ST3_SQL,
