@@ -355,3 +355,73 @@ def test_codec_parsers_never_raise_on_junk(junk):
     for parser in (parse_bmp, parse_wav):
         out = parser(junk)
         assert out is None or isinstance(out, dict)
+
+
+@PROP_SETTINGS
+@given(
+    n_q=st.integers(min_value=1, max_value=8),
+    n_m=st.integers(min_value=1, max_value=12),
+    k=st.integers(min_value=1, max_value=6),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+def test_topk_rows_matches_per_row_lexsort(n_q, n_m, k, seed):
+    """The vectorized composite-key selection must agree with the
+    obvious per-row lexsort by (sim desc, id asc) with self-exclusion,
+    including heavy ties (sims drawn from a tiny 6dp grid)."""
+    import numpy as np
+
+    from paqarin_spark.operators.similarity import _topk_rows
+
+    rng = np.random.default_rng(seed)
+    m_ids = rng.choice(np.arange(100), size=n_m, replace=False)
+    q_ids = rng.choice(np.arange(100), size=n_q, replace=False)
+    # few distinct rounded values -> many exact ties
+    sims = np.round(rng.choice([0.1, 0.2, 0.3], size=(n_q, n_m)), 6)
+
+    got_q, got_n, got_s = _topk_rows(q_ids, m_ids, sims, k)
+    got = list(zip(got_q.tolist(), got_n.tolist(), got_s.tolist()))
+
+    expect = []
+    for i, qid in enumerate(q_ids):
+        mask = m_ids != qid
+        cand_ids = m_ids[mask]
+        cand_sims = sims[i][mask]
+        order = np.lexsort((cand_ids, -cand_sims))[:k]
+        expect.extend(
+            (qid, cand_ids[j], cand_sims[j]) for j in order
+        )
+    assert got == [(int(a), int(b), float(c)) for a, b, c in expect]
+
+
+@PROP_SETTINGS
+@given(
+    w=st.integers(min_value=1, max_value=12),
+    h=st.integers(min_value=1, max_value=12),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+def test_png_roundtrip_property(w, h, seed):
+    """encode_png -> parse_png is the identity on pixels for any
+    dimensions and content (filters cycle per row, so every filter
+    type participates once h >= 5)."""
+    import random
+
+    from paqarin_spark.multimodal import encode_png, parse_png
+
+    rng = random.Random(seed)
+    pix = {(x, y): (rng.randrange(256), rng.randrange(256), rng.randrange(256))
+           for x in range(w) for y in range(h)}
+    payload = encode_png(w, h, pixel_fn=lambda x, y: pix[(x, y)])
+    png = parse_png(payload)
+    assert png is not None and (png["width"], png["height"]) == (w, h)
+    expect = bytes(b for y in range(h) for x in range(w) for b in pix[(x, y)])
+    assert png["pixels"] == expect
+
+
+@PROP_SETTINGS
+@given(junk=st.binary(min_size=0, max_size=300))
+def test_png_parser_never_raises_on_junk(junk):
+    from paqarin_spark.multimodal import PNG_SIGNATURE, parse_png
+
+    for payload in (junk, PNG_SIGNATURE + junk):
+        out = parse_png(payload)
+        assert out is None or isinstance(out, dict)
