@@ -4003,10 +4003,13 @@ def tx20_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     normalize-then-hash keep-first dedup among survivors (tx19).
     Output: (source, n_total, n_quality, n_clean, n_final).
 
-    Scale shape: all signals are expression-side over one scan; the
-    shuffles are a scalar percentile agg (broadcast back), the
-    keep-first groupBy on the clean hash, and the final per-source
-    rollup — each a single keyed exchange, nothing driver-side."""
+    Scale shape: all signals are expression-side over ONE scan whose
+    slim result (5 small columns/doc) is localCheckpointed — the
+    funnel consumes it four times (threshold agg, flags, keep-first
+    groupBy on the clean hash, per-source rollup) and must not re-run
+    the regexp tokenization per consumer. The p25 threshold is a
+    scalar aggregate collected to the driver (the MinMaxScaler.fit
+    pattern); remaining exchanges are single keyed shuffles."""
     from paqarin_spark.functions.text import ENGLISH_STOPWORDS, clean_text
     from paqarin_spark.operators.dedup import shingles_from_tokens, tokens
 
@@ -4035,21 +4038,23 @@ def tx20_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(F.lit(0.0))
     )
-    flagged = base.select(
+    scored = base.select(
         "doc_id",
         "source",
         "_h",
         F.round((length_term + alpha + stop) / F.lit(3.0), 6).alias("quality"),
         rep.alias("_rep"),
-    )
-    thresh = flagged.agg(F.percentile("quality", F.lit(0.25)).alias("_q25"))
-    flagged = flagged.join(F.broadcast(thresh)).select(
+    ).localCheckpoint()  # one tokenization pass total, 4 consumers
+    q25 = scored.agg(F.percentile("quality", F.lit(0.25)).alias("_q25")).collect()[
+        0
+    ]["_q25"]
+    flagged = scored.select(
         "doc_id",
         "source",
         "_h",
-        (F.col("quality") >= F.col("_q25")).alias("_pq"),
+        (F.col("quality") >= F.lit(q25)).alias("_pq"),
         (
-            (F.col("quality") >= F.col("_q25")) & (F.col("_rep") <= 0.2)
+            (F.col("quality") >= F.lit(q25)) & (F.col("_rep") <= 0.2)
         ).alias("_surv"),
     )
     keep = (
