@@ -585,14 +585,47 @@ def extract_features(df: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
     return df.mapInPandas(feats, schema=FEATURES_SCHEMA)
 
 
+def resize_png(content: bytes, width: int, height: int) -> bytes | None:
+    """REAL nearest-neighbor resample for decodable 8-bit RGB PNGs:
+    decode (CRC + inflate + defilter), sample source pixel
+    ``(dst·src_size) // dst_size`` per axis, re-encode. Returns None
+    when the payload isn't a fully-decodable RGB PNG — callers fall
+    back to the metadata-only stub path for foreign formats."""
+    import numpy as np
+
+    png = parse_png(content)
+    if png is None or png["pixels"] is None or png["channels"] != 3:
+        return None
+    src = np.frombuffer(png["pixels"], dtype=np.uint8).reshape(
+        png["height"], png["width"], 3
+    )
+    xs = (np.arange(width) * png["width"]) // width
+    ys = (np.arange(height) * png["height"]) // height
+    dst = src[ys][:, xs]
+    return encode_png(
+        width, height, pixel_fn=lambda x, y: tuple(int(v) for v in dst[y, x])
+    )
+
+
 def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize plumbing: emits the same asset rows with updated metadata
-    and (stub) re-encoded content. Production swaps the identity
-    re-encode for a real resampler inside the same mapInPandas."""
+    """Image resize at the Arrow boundary: decodable RGB PNGs are
+    REALLY resampled (nearest-neighbor via :func:`resize_png`) and
+    re-encoded; other formats keep their bytes and only update
+    metadata (the documented stub path — swap PIL in right here for
+    jpeg and friends, nothing else changes)."""
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = pdf.copy()
+            contents = []
+            for content in out["content"]:
+                resized = (
+                    resize_png(content, width, height)
+                    if content is not None
+                    else None
+                )
+                contents.append(resized if resized is not None else content)
+            out["content"] = contents
             out["meta"] = [
                 None
                 if m is None

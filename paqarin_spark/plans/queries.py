@@ -3247,6 +3247,44 @@ ORDER BY asset_id
 """
 
 
+def mm6_png_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize end to end: the deterministic PNG assets are
+    nearest-neighbor resampled to 3×3 (multimodal.resize_png — decode,
+    sample src pixel (dst·src)//3 per axis, re-encode) and decoded
+    AGAIN for channel means, so the oracle (which predicts the sampled
+    source coordinates by id arithmetic) checks the decode → resample
+    → re-encode → decode chain, not just one codec direction."""
+    from paqarin_spark.multimodal import png_assets_from_ids, png_pixel_stats, resize_images
+
+    docs = _docs(spark, sf_dir)
+    resized = resize_images(png_assets_from_ids(docs, "doc_id"), 3, 3)
+    return png_pixel_stats(resized).orderBy("asset_id")
+
+
+MM6_SQL = """
+WITH a AS (
+  SELECT doc_id AS asset_id,
+         doc_id % 6 + 2 AS src_w,
+         doc_id % 5 + 2 AS src_h
+  FROM documents
+),
+gx AS (SELECT asset_id, src_w, src_h, UNNEST(range(3)) AS x FROM a),
+g AS (
+  SELECT asset_id, (x * src_w) // 3 AS sx, (y * src_h) // 3 AS sy
+  FROM (SELECT asset_id, src_w, src_h, x, UNNEST(range(3)) AS y FROM gx)
+)
+SELECT asset_id,
+       CAST(3 AS INTEGER) AS width,
+       CAST(3 AS INTEGER) AS height,
+       ROUND(AVG((sx + sy + asset_id) % 256), 6) AS mean_r,
+       ROUND(AVG((2 * sx + sy + asset_id) % 256), 6) AS mean_g,
+       ROUND(AVG((sx * sy + asset_id) % 256), 6) AS mean_b
+FROM g
+GROUP BY asset_id
+ORDER BY asset_id
+"""
+
+
 # --------------------------------------------------------------------------
 # MM2 — video frame-sampling fan-out (multimodal north star)
 
@@ -3978,6 +4016,58 @@ def em9_embed_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_clusters(pairs)
 
 
+def em10_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index QUALITY evaluation — the measurement loop any
+    deployment runs before trusting an approximate index: recall@5 of
+    the single-probe IVF index (em4) against the exact brute-force
+    top-k (em1). Both sides are deterministic, so even the evaluation
+    itself is value-checked against the oracle. Output: one row
+    (n_queries, avg_recall)."""
+    from paqarin_spark.operators import cosine_topk, ivf_topk
+
+    configure_for_determinism(spark)
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    exact = cosine_topk(emb, "vec_id", "embedding", k=5).select(
+        "query_id", "neighbor_id"
+    )
+    approx = ivf_topk(emb, "vec_id", "embedding", k=5, num_cells=16).select(
+        "query_id", "neighbor_id"
+    )
+    hits = (
+        exact.join(approx, on=["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("_h"))
+    )
+    per_q = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("_k"))
+    recall = per_q.join(hits, on="query_id", how="left").select(
+        (F.coalesce(F.col("_h"), F.lit(0)) / F.col("_k")).alias("_recall")
+    )
+    return recall.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.round(F.avg("_recall"), 6).alias("avg_recall"),
+    )
+
+
+EM10_SQL = f"""
+WITH exact AS ({EM1_SQL.replace("ORDER BY query_id, neighbor_id", "")}),
+approx AS ({EM4_SQL.replace("ORDER BY query_id, neighbor_id", "")}),
+hits AS (
+  SELECT e.query_id, COUNT(*) AS h
+  FROM exact e JOIN approx a
+    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+  GROUP BY 1
+), per_q AS (
+  SELECT query_id, CAST(COUNT(*) AS DOUBLE) AS k FROM exact GROUP BY 1
+)
+SELECT COUNT(*) AS n_queries,
+       ROUND(AVG(COALESCE(h.h, 0) / p.k), 6) AS avg_recall
+FROM per_q p LEFT JOIN hits h ON p.query_id = h.query_id
+"""
+
+
 EM9_SQL = f"""
 WITH RECURSIVE pairs AS ({EM3_SQL.replace("ORDER BY id_a, id_b", "")}),
 sym AS (
@@ -4139,6 +4229,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q63_nation_profit": q63_nation_profit,
     "tx21_lang_mismatch": tx21_lang_mismatch,
     "em9_embed_clusters": em9_embed_clusters,
+    "em10_ann_recall": em10_ann_recall,
+    "mm6_png_resize": mm6_png_resize,
     # --- regression watch (BENCH_r02 movers) ---
     "q33_large_orders": q33_large_orders,
     "gen4_conditional_sample": gen4_conditional_sample,
@@ -4330,6 +4422,8 @@ ORACLE_SQL: dict[str, str] = {
     "q63_nation_profit": Q63_SQL,
     "tx21_lang_mismatch": TX21_SQL,
     "em9_embed_clusters": EM9_SQL,
+    "em10_ann_recall": EM10_SQL,
+    "mm6_png_resize": MM6_SQL,
     "st1_stream_daily_sum": ST1_SQL,
     "st2_stream_window_sums": ST2_SQL,
     "st3_stream_sessions": ST3_SQL,

@@ -279,3 +279,32 @@ def test_png_pixel_stats_through_spark(spark):
         exp_b = sum((x * y + aid) % 256 for x in range(w) for y in range(h)) / n
         assert got[aid]["mean_r"] == round(exp_r, 6)
         assert got[aid]["mean_b"] == round(exp_b, 6)
+
+
+def test_resize_png_nearest_neighbor_semantics():
+    from paqarin_spark.multimodal import encode_png, parse_png, resize_png
+
+    # 4x2 source with position-coded pixels
+    src = encode_png(4, 2, pixel_fn=lambda x, y: (x * 10, y * 10, x + y))
+    out = resize_png(src, 2, 1)
+    png = parse_png(out)
+    assert (png["width"], png["height"]) == (2, 1)
+    # xs = (0*4)//2, (1*4)//2 = 0, 2 ; ys = (0*2)//1 = 0
+    assert png["pixels"] == bytes([0, 0, 0, 20, 0, 2])
+    # non-PNG payloads refuse (stub fallback path)
+    assert resize_png(b"not a png", 2, 2) is None
+
+
+def test_resize_images_really_resizes_pngs(spark):
+    from paqarin_spark.multimodal import (
+        parse_png,
+        png_assets_from_ids,
+        resize_images,
+    )
+
+    ids = spark.createDataFrame([(3,), (10,)], "doc_id long")
+    out = resize_images(png_assets_from_ids(ids, "doc_id"), 3, 3).collect()
+    for row in out:
+        png = parse_png(bytes(row["content"]))
+        assert (png["width"], png["height"]) == (3, 3)
+        assert row["meta"]["width"] == 3 and row["meta"]["height"] == 3
