@@ -361,11 +361,22 @@ class DeepProviderGenerator(TimeSeriesGenerator):
             f"sequence_id long, sequence array<struct<{struct_fields}>>"
         )
 
+        # Columns the provider legitimately consumes: everything the
+        # schema declares (sdv's context_columns are the item id
+        # columns; ydata's cat_cols are the attribute columns). A
+        # grouping column OUTSIDE that set — the synthetic _g, or an
+        # ad-hoc cohort key — is constant within the group and must
+        # not reach fit/metadata detection.
+        declared = (
+            set(params.schema.item_id_columns)
+            | set(params.schema.attribute_columns)
+            | set(value_columns)
+            | {params.schema.timestamp_column}
+        )
+        drop_cols = [c for c in group_cols if c not in declared]
+
         def train_sample(key, pdf: pd.DataFrame) -> pd.DataFrame:
-            # applyInPandas delivers the grouping column in the batch;
-            # the provider must not train on it (it is constant within
-            # the group and would pollute sdv's schema detection).
-            pdf = pdf.drop(columns=[c for c in group_cols if c in pdf.columns])
+            pdf = pdf.drop(columns=[c for c in drop_cols if c in pdf.columns])
             sequences = runner(pdf, kwargs, n, seed)
             rows = []
             for i, frame in enumerate(sequences):

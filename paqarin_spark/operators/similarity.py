@@ -281,7 +281,14 @@ def _topk_rows(q_ids, m_ids, sims, k: int):
     matches excluded: columns are pre-sorted by candidate id so
     :func:`_top_cols`'s index tie-break IS the id tie-break — no
     Python lexsort per query row. Returns parallel
-    (query_id, neighbor_id, cos_sim) arrays."""
+    (query_id, neighbor_id, cos_sim) arrays.
+
+    Contract note: non-finite sims (a zero-norm vector makes every
+    cosine NaN) are dropped rather than ranked — deterministic, and
+    the honest choice given that NaN ordering differs between numpy
+    sorts and SQL engines anyway. Zero-norm vectors are out of the
+    oracle-checked input contract; pre-filter them if a corpus can
+    contain empty embeddings."""
     import numpy as np
 
     col_order = np.argsort(m_ids, kind="stable")

@@ -4269,6 +4269,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q19_window_sums": q19_window_sums,
     "q20_upsample_nulls": q20_upsample_nulls,
     "q21_minmax_roundtrip": q21_minmax_roundtrip,
+    # ------------- driver 50-entry window ends HERE (position 50) -------------
     "q22_forecast_errors": q22_forecast_errors,
     "q23_xy_split": q23_xy_split,
     "q24_best_generator": q24_best_generator,
@@ -4278,7 +4279,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q28_asof_checkpoint": q28_asof_checkpoint,
     "q29_range_hot_days": q29_range_hot_days,
     "q31_rollup_revenue": q31_rollup_revenue,
-    # ---------------- driver window ends around here ----------------
     "q32_quality_quantiles": q32_quality_quantiles,
     "q34_nation_pair_volume": q34_nation_pair_volume,
     "q35_multi_resolution": q35_multi_resolution,

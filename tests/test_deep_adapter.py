@@ -12,6 +12,7 @@ import types
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from paqarin_spark.adapter import get_generator_adapter
 from paqarin_spark.generators.deep import (
@@ -295,9 +296,12 @@ def test_deep_generator_requires_fit(spark):
         gen.generate(1)
 
 
-def test_deep_generator_drops_grouping_column_before_runner(spark):
-    """The provider must never train on the grouping column — it is
-    constant within the group and pollutes sdv's schema detection."""
+def test_deep_generator_drops_undeclared_grouping_column_before_runner(spark):
+    """A grouping column OUTSIDE the declared schema (synthetic _g, or
+    an ad-hoc cohort key) is constant within the group and must not
+    reach the provider — but a cohort that IS a declared column (e.g.
+    an item id) must stay, because translated kwargs reference it
+    (sdv context_columns, ydata cat_cols)."""
 
     def make_probe(grouping_column: str):
         def probe_runner(pdf: pd.DataFrame, kwargs: dict, n: int, seed: int) -> list:
@@ -322,7 +326,20 @@ def test_deep_generator_drops_grouping_column_before_runner(spark):
     assert seq[0]["value"] == 0.0  # _g not leaked
     assert seq[1]["value"] == 3.0  # item, ts, value
 
-    # cohort mode: the cohort column itself is the grouping key
+    # ad-hoc cohort key (not in the schema): dropped before the runner
+    params = timegan_params().to_generator_parameters()
+    params.provider_options["cohort_column"] = "grp"
+    gen = DeepProviderGenerator(
+        params, "synthcity", "timegan", runner=make_probe("grp")
+    )
+    gen.fit(_training_df(spark).withColumn("grp", F.col("item")))
+    out = gen.generate(1).collect()
+    for row in out:
+        assert row["sequence"][0]["value"] == 0.0
+        assert row["sequence"][1]["value"] == 3.0  # item, ts, value
+
+    # declared cohort (an item id column): KEPT — providers whose
+    # translated kwargs reference it must still see it
     params = timegan_params().to_generator_parameters()
     params.provider_options["cohort_column"] = "item"
     gen = DeepProviderGenerator(
@@ -331,8 +348,8 @@ def test_deep_generator_drops_grouping_column_before_runner(spark):
     gen.fit(_training_df(spark))
     out = gen.generate(1).collect()
     for row in out:
-        assert row["sequence"][0]["value"] == 0.0
-        assert row["sequence"][1]["value"] == 2.0  # ts, value
+        assert row["sequence"][0]["value"] == 1.0  # declared cohort present
+        assert row["sequence"][1]["value"] == 3.0
 
 
 def test_deep_generator_cohort_mode_keeps_integer_cohort_type(spark):
