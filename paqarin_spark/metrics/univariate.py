@@ -391,7 +391,11 @@ class UnivariateForecastScorer:
                 )
         train, actuals = self._prepare(training_data, schema)
 
-        if self.forecaster_factory is not GlobalWeekdayProfileForecaster:
+        batched = {
+            GlobalWeekdayProfileForecaster: self._batched_scores,
+            SeasonalNaiveDriftForecaster: self._batched_scores_drift,
+        }.get(self.forecaster_factory)
+        if batched is None:
             for name, generator in generator_map.items():
                 for it in range(self.iterations):
                     model = self.forecaster_factory().fit(
@@ -416,7 +420,7 @@ class UnivariateForecastScorer:
                 .withColumn("_iter", F.lit(it))
             )
             allp = tagged if allp is None else allp.unionByName(tagged)
-        scores = self._batched_scores(allp, combos, train, actuals)
+        scores = batched(allp, combos, train, actuals)
         for (name, it), score in scores.items():
             self.metric_manager.register_iteration(
                 name, it, {FORECAST_SCORE: score}
@@ -478,6 +482,85 @@ class UnivariateForecastScorer:
                 TARGET,
             )
         )
+        return self._collect_combo_maes(preds, combos, keys)
+
+    def _batched_scores_drift(
+        self,
+        allp: DataFrame,
+        combos: list[tuple[str, int]],
+        train: DataFrame,
+        actuals: DataFrame,
+    ) -> dict[tuple[str, int], float]:
+        """Drift-forecaster analogue of :meth:`_batched_scores`: every
+        (generator, iteration) pair's drift scalar and weekday-offset
+        dim aggregate from the tagged panel union grouped on the tag,
+        the combo-independent anchor (level/last/count of each item's
+        recent real history) computes once, and one
+        groupBy(_gen, _iter) MAE collect scores everything. Math is
+        row-for-row the per-iteration fit→predict path of
+        :class:`SeasonalNaiveDriftForecaster`."""
+        period = SeasonalNaiveDriftForecaster().period
+        keys = ["_gen", "_iter"]
+
+        w = Window.partitionBy(*keys, ITEM_ID).orderBy(TIMESTAMP)
+        deltas = allp.withColumn("_prev", F.lag(TARGET).over(w)).where(
+            F.col("_prev").isNotNull()
+        )
+        drift = deltas.groupBy(*keys).agg(
+            F.avg(F.col(TARGET) - F.col("_prev")).alias("_drift")
+        )
+        item_level = allp.groupBy(*keys, ITEM_ID).agg(
+            F.avg(TARGET).alias("_lvl_i")
+        )
+        offsets = (
+            allp.join(item_level, on=[*keys, ITEM_ID])
+            .groupBy(*keys, F.dayofweek(TIMESTAMP).alias("_dow"))
+            .agg(F.avg(F.col(TARGET) - F.col("_lvl_i")).alias("_off"))
+        )
+        recent = Window.partitionBy(ITEM_ID).orderBy(F.col(TIMESTAMP).desc())
+        anchor = (
+            train.withColumn("_rn", F.row_number().over(recent))
+            .where(F.col("_rn") <= period)
+            .groupBy(ITEM_ID)
+            .agg(
+                F.avg(TARGET).alias("_lvl"),
+                F.max(TIMESTAMP).alias("_last"),
+                F.count(F.lit(1)).alias("_n"),
+            )
+        )
+        combo_dim = self.metric_manager.spark.createDataFrame(
+            combos, "_gen string, _iter int"
+        )
+        steps = (
+            F.coalesce(F.datediff(F.col(TIMESTAMP), F.col("_last")), F.lit(0))
+            .cast("double")
+            + (F.coalesce(F.col("_n"), F.lit(1)) - 1).cast("double") / 2.0
+        )
+        preds = (
+            actuals.select(ITEM_ID, TIMESTAMP, TARGET)
+            .join(anchor, on=ITEM_ID, how="left")
+            .withColumn("_dow", F.dayofweek(TIMESTAMP))
+            .crossJoin(F.broadcast(combo_dim))
+            .join(F.broadcast(offsets), on=[*keys, "_dow"], how="left")
+            .join(F.broadcast(drift), on=keys, how="left")
+            .select(
+                *keys,
+                (
+                    F.coalesce(F.col("_lvl"), F.lit(0.0))
+                    + F.coalesce(F.col("_drift"), F.lit(0.0)) * steps
+                    + F.coalesce(F.col("_off"), F.lit(0.0))
+                ).alias("target_pred"),
+                TARGET,
+            )
+        )
+        return self._collect_combo_maes(preds, combos, keys)
+
+    def _collect_combo_maes(
+        self,
+        preds: DataFrame,
+        combos: list[tuple[str, int]],
+        keys: list[str],
+    ) -> dict[tuple[str, int], float]:
         rows = preds.groupBy(*keys).agg(
             F.avg(F.abs(F.col("target_pred") - F.col(TARGET))).alias("m")
         ).collect()

@@ -865,6 +865,58 @@ def ev2_univariate_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def ev3_drift_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ev2's TSTR orchestration under the SECOND J4 pluggable
+    (SeasonalNaiveDriftForecaster): same generators, same panel
+    pipeline, batched scoring plan specialised to the drift model —
+    per-combo drift scalar + weekday-offset dims grouped on the
+    (generator, iteration) tag, one MAE collect. Together with ev2
+    the two summaries show the ranking discriminating by which
+    structure each generator's synthetic data preserves (rows-only —
+    seeded sampling output)."""
+    from paqarin_spark.adapter import get_generator_adapter
+    from paqarin_spark.generator import GeneratorParameters
+    from paqarin_spark.metrics.univariate import (
+        FORECAST_SCORE,
+        SeasonalNaiveDriftForecaster,
+        UnivariateForecastScorer,
+    )
+    from paqarin_spark.schema import TimeSeriesSchema
+
+    ev = _events(spark, sf_dir)
+    daily = (
+        calendar_fill(ev, EVENTS_SCHEMA, bucket_column="bucket")
+        .select("user_id", "bucket", "value")
+        .persist()
+    )
+    daily_schema = TimeSeriesSchema(
+        item_id_columns=("user_id",),
+        timestamp_column="bucket",
+        value_columns=("value",),
+        frequency="D",
+    )
+    p = GeneratorParameters(schema=daily_schema, sequence_length=8, seed=23)
+    gens = {
+        "bootstrap": get_generator_adapter("paqarin_spark", "bootstrap", p),
+        "gaussian": get_generator_adapter("paqarin_spark", "gaussian", p),
+    }
+    scorer = UnivariateForecastScorer(
+        prediction_length=7,
+        iterations=2,
+        number_of_sequences=30,
+        forecaster_factory=SeasonalNaiveDriftForecaster,
+    )
+    for gen in gens.values():
+        gen.fit(daily)
+    scorer.calculate_many(gens, daily)
+    out = scorer.metric_manager.summary(FORECAST_SCORE)
+    scorer.unpersist()
+    for gen in gens.values():
+        gen.unpersist()
+    daily.unpersist()
+    return out
+
+
 # --------------------------------------------------------------------------
 # Time-series join family (as-of / range / session — operators a
 # large-scale event pipeline needs that the reference lacks; batch
@@ -4231,6 +4283,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "em9_embed_clusters": em9_embed_clusters,
     "em10_ann_recall": em10_ann_recall,
     "mm6_png_resize": mm6_png_resize,
+    "ev3_drift_summary": ev3_drift_summary,
     # --- regression watch (BENCH_r02 movers) ---
     "q33_large_orders": q33_large_orders,
     "gen4_conditional_sample": gen4_conditional_sample,
@@ -4335,7 +4388,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 # em2_lsh_topk is deliberately oracle-less (seeded hyperplanes are not
 # reasonably expressible in portable SQL), as are gen1-gen4 and
-# ev1/ev2 (seeded model sampling and multi-action pipeline
+# ev1/ev2/ev3 (seeded model sampling and multi-action pipeline
 # orchestration) — the driver records a rows-only check for them.
 # Everything else is value-hash-checked against DuckDB.
 ORACLE_SQL: dict[str, str] = {

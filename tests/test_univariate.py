@@ -232,3 +232,64 @@ def test_scorer_pluggable_drift_factory_end_to_end(spark):
     assert summary["bootstrap"][f"avg_{FORECAST_SCORE}"] >= 0
     scorer.unpersist()
     gen.unpersist()
+
+
+def test_drift_batched_scores_match_per_iteration_path(spark):
+    """calculate_many's batched drift plan must register the same
+    scores as the per-iteration fit->predict loop (a non-class factory
+    callable falls through to the loop, same models, same seeds)."""
+    import datetime as dt
+
+    from paqarin_spark.generator import GeneratorParameters
+    from paqarin_spark.generators import BlockBootstrapGenerator, GaussianPerStepGenerator
+    from paqarin_spark.metrics.univariate import (
+        FORECAST_SCORE,
+        SeasonalNaiveDriftForecaster,
+        UnivariateForecastScorer,
+    )
+    from paqarin_spark.schema import TimeSeriesSchema
+
+    schema = TimeSeriesSchema(
+        item_id_columns=("item",),
+        timestamp_column="ts",
+        value_columns=("v",),
+        frequency="D",
+    )
+    rows = [
+        (item, dt.datetime(2021, 3, 1) + dt.timedelta(days=i),
+         5.0 + i * 0.5 + (i % 7) + ord(item[0]) % 3)
+        for item in ("a", "b")
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "item string, ts timestamp, v double")
+    params = GeneratorParameters(schema=schema, sequence_length=8, seed=11)
+
+    def run(factory):
+        gens = {
+            "bootstrap": BlockBootstrapGenerator(params).fit(df),
+            "gaussian": GaussianPerStepGenerator(params).fit(df),
+        }
+        scorer = UnivariateForecastScorer(
+            prediction_length=7,
+            iterations=2,
+            number_of_sequences=10,
+            forecaster_factory=factory,
+        )
+        scorer.calculate_many(gens, df)
+        out = {
+            (name, it): scorer.metric_manager.get_iteration_values(
+                name, FORECAST_SCORE
+            )[it]
+            for name in gens
+            for it in range(2)
+        }
+        scorer.unpersist()
+        for g in gens.values():
+            g.unpersist()
+        return out
+
+    batched = run(SeasonalNaiveDriftForecaster)
+    looped = run(lambda: SeasonalNaiveDriftForecaster())
+    assert set(batched) == set(looped)
+    for combo, score in batched.items():
+        assert score == pytest.approx(looped[combo], rel=1e-9)
