@@ -4321,8 +4321,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q18_panel_transform": q18_panel_transform,
     "q19_window_sums": q19_window_sums,
     "q20_upsample_nulls": q20_upsample_nulls,
-    "q21_minmax_roundtrip": q21_minmax_roundtrip,
     # ------------- driver 50-entry window ends HERE (position 50) -------------
+    "q21_minmax_roundtrip": q21_minmax_roundtrip,
     "q22_forecast_errors": q22_forecast_errors,
     "q23_xy_split": q23_xy_split,
     "q24_best_generator": q24_best_generator,
