@@ -11,7 +11,9 @@ from paqarin_spark.operators.resample import (
 )
 from paqarin_spark.operators.scaling import MinMaxScaler, MinMaxState
 from paqarin_spark.operators.dedup import (
+    contamination_check,
     duplicate_clusters,
+    duplicate_spans,
     exact_duplicates,
     keep_first,
     minhash_lsh_pairs,
@@ -37,6 +39,7 @@ from paqarin_spark.operators.similarity import (
     cosine_topk,
     ivf_topk,
     lsh_topk,
+    scalar_quantize_error,
 )
 
 __all__ = [
@@ -50,7 +53,9 @@ __all__ = [
     "time_bucket_sum",
     "MinMaxScaler",
     "MinMaxState",
+    "contamination_check",
     "duplicate_clusters",
+    "duplicate_spans",
     "exact_duplicates",
     "keep_first",
     "minhash_lsh_pairs",
@@ -75,4 +80,5 @@ __all__ = [
     "cosine_topk",
     "ivf_topk",
     "lsh_topk",
+    "scalar_quantize_error",
 ]

@@ -78,22 +78,33 @@ def word_shingles(text_col, n: int) -> F.Column:
     return shingles_from_tokens(tokens(text_col), n)
 
 
-def _shingle_rows(df: DataFrame, text_column: str, id_column: str, n: int) -> DataFrame:
-    """(doc, shingle) exploded rows of distinct word n-gram shingles.
+def _shingle_rows(
+    df: DataFrame,
+    text_column: str,
+    id_column: str,
+    n: int,
+    distinct: bool = True,
+) -> DataFrame:
+    """(doc, shingle) exploded rows of word n-gram shingles.
 
     Extraction is ONE codegen'd regexp pass: a lookahead group captures
     the n-token window at every token start while the match consumes a
     single token, yielding all overlapping shingles without any
     interpreted higher-order-function work (~1.4× faster warm than the
     transform/slice formulation, and it stays inside whole-stage
-    codegen). Output is identical to
-    ``explode(shingles_from_tokens(tokens(text), n))``.
+    codegen). With ``distinct=True`` output is identical to
+    ``explode(shingles_from_tokens(tokens(text), n))``; with
+    ``distinct=False`` every occurrence (span) is kept with its
+    within-document multiplicity — the span-level view
+    :func:`duplicate_spans` needs.
     """
     norm = F.btrim(
         F.regexp_replace(F.lower(F.col(text_column)), "[^a-z0-9]+", " ")
     )
     pat = "(?=(" + " ".join(["[a-z0-9]+"] * n) + "))[a-z0-9]+ ?"
-    arr = F.array_distinct(F.regexp_extract_all(norm, F.lit(pat), 1))
+    arr = F.regexp_extract_all(norm, F.lit(pat), 1)
+    if distinct:
+        arr = F.array_distinct(arr)
     return df.select(
         F.col(id_column).alias("doc"), F.explode(arr).alias("shingle")
     )
@@ -559,3 +570,105 @@ def simhash_pairs(
         .distinct()
     )
     return pairs
+
+
+def contamination_check(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_column: str,
+    id_column: str,
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark-contamination audit: for every corpus document, the
+    fraction of its distinct word ``n``-gram shingles that also occur
+    anywhere in the benchmark set.
+
+    This is the standard decontamination primitive for training-data
+    pipelines (n-gram overlap against held-out eval sets, as in the
+    GPT-3/PaLM data cards). North-star extension — no reference
+    counterpart; the shingle machinery is shared with
+    :func:`ngram_jaccard_pairs`.
+
+    Scale posture: the benchmark side is small by definition (eval sets
+    are KBs-to-MBs, the corpus is the 100 TB side), so its distinct
+    shingle set is **broadcast** — the corpus is never shuffled, the
+    per-doc flags come from one map-side hash-join plus a groupBy on
+    doc id (partial aggregation makes that shuffle O(docs)).
+    """
+    bench_shingles = (
+        _shingle_rows(benchmark, text_column, id_column, n)
+        .select("shingle")
+        .distinct()
+    )
+    corpus_shingles = _shingle_rows(corpus, text_column, id_column, n)
+    flagged = corpus_shingles.join(
+        F.broadcast(bench_shingles).withColumn("_hit", F.lit(1)),
+        "shingle",
+        "left",
+    )
+    return (
+        flagged.groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).alias("n_contaminated"),
+        )
+        .select(
+            F.col("doc").alias(id_column),
+            "n_shingles",
+            "n_contaminated",
+            F.round(
+                F.col("n_contaminated") / F.col("n_shingles"), 6
+            ).alias("contamination_ratio"),
+        )
+    )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    text_column: str,
+    id_column: str,
+    n: int = 8,
+) -> DataFrame:
+    """Exact duplicate-span detection: per document, how many of its
+    word ``n``-gram spans (counted WITH within-document multiplicity)
+    also occur in at least one OTHER document.
+
+    The span-level analogue of exact dedup — the primitive behind
+    "deduplicating training data makes language models better"
+    (Lee et al. 2022) substring dedup, expressed relationally: a span
+    is duplicated iff its content key appears in >= 2 distinct docs.
+    Suffix-array machinery is unnecessary for fixed n: the shingle
+    content IS the span key.
+
+    Scale posture: two shingle-keyed exchanges (distinct doc-frequency
+    count, then the flag join) and one doc-keyed aggregation. The
+    doc-frequency side is pre-shrunk to distinct (doc, shingle) before
+    the groupBy, so partial aggregation bounds the shuffle by corpus
+    vocabulary, not span count. Hot spans (boilerplate) fan out only
+    into the flag join where they are genuine output.
+    """
+    spans = _shingle_rows(df, text_column, id_column, n, distinct=False)
+    dup_set = (
+        spans.select("doc", "shingle")
+        .distinct()
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") >= 2)
+        .select("shingle", F.lit(1).alias("_dup"))
+    )
+    flagged = spans.join(dup_set, "shingle", "left")
+    return (
+        flagged.groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.coalesce(F.sum("_dup"), F.lit(0)).alias("n_dup_spans"),
+        )
+        .select(
+            F.col("doc").alias(id_column),
+            "n_spans",
+            "n_dup_spans",
+            F.round(F.col("n_dup_spans") / F.col("n_spans"), 6).alias(
+                "dup_span_ratio"
+            ),
+        )
+    )

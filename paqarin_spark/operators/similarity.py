@@ -621,3 +621,68 @@ def lsh_topk(
         )
 
     return bucketed.groupBy("bucket").applyInPandas(bucket_topk, schema=topk_schema)
+
+
+def scalar_quantize_error(
+    df: DataFrame,
+    id_column: str,
+    vector_column: str,
+    bits: int = 8,
+) -> DataFrame:
+    """Per-vector reconstruction error of uniform scalar quantization —
+    the compression audit run before shipping an int8/int4 vector index
+    (FAISS ``SQ8``-style): each dimension is linearly mapped onto
+    ``2**bits - 1`` levels between its global min and max, and the
+    output reports how much cosine geometry the compressed codes keep.
+
+    Plan: one posexplode pass computes per-dimension min/max (shuffle
+    keyed on dimension index — cardinality = embedding width, trivially
+    small), ``array_sort(collect_list(struct))`` folds those into ONE
+    broadcast row of lo/hi arrays (never a driver collect), and the
+    quantize → reconstruct → cosine chain is pure higher-order-function
+    expressions under the cross-joined broadcast — codegen'd, zero
+    Python, linear in corpus size. Output:
+    (id, cos_recon ×1e-6, mse ×1e-8).
+    """
+    levels = (1 << bits) - 1
+    vec = F.col(vector_column)
+    dims = df.select(F.posexplode(vector_column).alias("dim", "x"))
+    stats = dims.groupBy("dim").agg(
+        F.min("x").alias("lo"), F.max("x").alias("hi")
+    )
+    arrs = stats.agg(
+        F.array_sort(
+            F.collect_list(F.struct("dim", "lo", "hi"))
+        ).alias("_s")
+    ).select(
+        F.transform("_s", lambda s: s["lo"]).alias("_lo"),
+        F.transform("_s", lambda s: s["hi"]).alias("_hi"),
+    )
+    recon_expr = (
+        f"transform({vector_column}, (x, i) -> CASE WHEN _hi[i] > _lo[i] "
+        f"THEN _lo[i] + round((x - _lo[i]) / (_hi[i] - _lo[i]) * {levels}) "
+        f"/ {levels} * (_hi[i] - _lo[i]) ELSE _lo[i] END)"
+    )
+    quantized = df.crossJoin(F.broadcast(arrs)).withColumn(
+        "_recon", F.expr(recon_expr)
+    )
+    dotp = F.aggregate(
+        F.zip_with(vec, F.col("_recon"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    sq = lambda c: F.aggregate(  # noqa: E731
+        F.transform(c, lambda a: a * a), F.lit(0.0), lambda acc, x: acc + x
+    )
+    err = F.aggregate(
+        F.zip_with(vec, F.col("_recon"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return quantized.select(
+        F.col(id_column),
+        F.round(dotp / (F.sqrt(sq(vec)) * F.sqrt(sq(F.col("_recon")))), 6).alias(
+            "cos_recon"
+        ),
+        F.round(err / F.size(vec), 8).alias("mse"),
+    )

@@ -2434,6 +2434,97 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q64_event_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group percentiles (p25/p50/p75 of event value by
+    type) via SQL ``percentile`` — linear interpolation on the sorted
+    group, matching DuckDB's ``quantile_cont`` bit-for-bit at 6
+    decimals. Exact percentile buffers each group's values on its
+    reducer, which is fine for bounded per-group cardinality (event
+    types here); the 100-TB escape hatch for unbounded groups is
+    ``approx_percentile`` with a pinned accuracy — same plan shape,
+    sketch-mergeable map-side state, no full buffering."""
+    configure_for_determinism(spark)
+    ev = _events(spark, sf_dir)
+    pct = F.expr("percentile(value, array(0.25D, 0.5D, 0.75D))")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.element_at(pct, 1), 6).alias("p25"),
+            F.round(F.element_at(pct, 2), 6).alias("p50"),
+            F.round(F.element_at(pct, 3), 6).alias("p75"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q64_SQL = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       ROUND(quantile_cont(value, 0.25), 6) AS p25,
+       ROUND(quantile_cont(value, 0.50), 6) AS p50,
+       ROUND(quantile_cont(value, 0.75), 6) AS p75
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+def q65_cold_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: high-balance customers DORMANT since
+    2000-01-01 (no orders on/after the cutoff), rolled up by nation.
+    Exercises the scalar-subquery + ANTI-join pattern: the
+    positive-balance average is a 1-row broadcast under a cross join
+    (never a driver collect), the dormancy predicate is a left ANTI
+    join against the date-filtered orders — the filter pushes to the
+    orders scan, the anti join is null-safe with no fan-out, and at
+    scale both sides hash-exchange on the key while AQE can flip the
+    shrunken recent-orders side to broadcast."""
+    configure_for_determinism(spark)
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    nation = read_table(spark, sf_dir, "nation")
+    avg_bal = cust.where(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("_ab")
+    )
+    rich = cust.crossJoin(F.broadcast(avg_bal)).where(
+        F.col("c_acctbal") > F.col("_ab")
+    )
+    recent = orders.where(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    ).select(F.col("o_custkey").alias("c_custkey"))
+    cold = rich.join(recent, "c_custkey", "left_anti")
+    return (
+        cold.join(F.broadcast(nation), cold.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_cold"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(30,10)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("total_bal"),
+        )
+        .orderBy("nation")
+    )
+
+
+Q65_SQL = """
+WITH a AS (SELECT AVG(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0)
+SELECT n_name AS nation,
+       COUNT(*) AS n_cold,
+       ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(30,10))) AS DOUBLE), 2)
+         AS total_bal
+FROM customer c
+JOIN nation ON c_nationkey = n_nationkey
+CROSS JOIN a
+WHERE c_acctbal > a.ab
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY 1 ORDER BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # Text / dedup family (north-star extensions, documents table)
 
@@ -4050,6 +4141,132 @@ FROM p GROUP BY source ORDER BY source
 """
 
 
+def _ngrams_sql(n: int, distinct: bool = True) -> str:
+    """DuckDB word n-gram list over ``text`` mirroring
+    operators.dedup._shingle_rows (distinct/positional variants)."""
+    base = (
+        "list_transform(range(1, len({t}) - {m}), "
+        "i -> array_to_string(list_slice({t}, i, i + {k}), ' '))"
+    ).format(t=_TOKS_SQL, m=n - 2, k=n - 1)
+    return f"list_distinct({base})" if distinct else base
+
+
+def tx22_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination audit (operators.dedup.
+    contamination_check): 8-gram overlap of every non-benchmark corpus
+    document against the held-out benchmark slice (source='src0').
+    The benchmark shingle set is broadcast — the 100-TB corpus side is
+    never shuffled for the probe, only for its own per-doc rollup."""
+    from paqarin_spark.operators import contamination_check
+
+    docs = _docs(spark, sf_dir)
+    corpus = docs.where(F.col("source") != "src0")
+    benchmark = docs.where(F.col("source") == "src0")
+    return contamination_check(
+        corpus, benchmark, "text", "doc_id", n=8
+    ).orderBy("doc_id")
+
+
+TX22_SQL = f"""
+WITH csh AS (
+  SELECT doc_id AS doc, unnest({_ngrams_sql(8)}) AS shingle
+  FROM documents WHERE source <> 'src0'
+), bsh AS (
+  SELECT DISTINCT unnest({_ngrams_sql(8)}) AS shingle
+  FROM documents WHERE source = 'src0'
+)
+SELECT doc AS doc_id,
+       COUNT(*) AS n_shingles,
+       CAST(SUM(CASE WHEN shingle IN (SELECT shingle FROM bsh)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+       ROUND(SUM(CASE WHEN shingle IN (SELECT shingle FROM bsh)
+                      THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS contamination_ratio
+FROM csh GROUP BY doc ORDER BY doc
+"""
+
+
+def tx23_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-SPAN detection (operators.dedup.duplicate_spans):
+    per document, the share of its word 8-gram spans (with
+    multiplicity) that occur in at least one other document — the
+    relational form of substring-level training-data dedup
+    (Lee et al. 2022)."""
+    from paqarin_spark.operators import duplicate_spans
+
+    docs = _docs(spark, sf_dir)
+    return duplicate_spans(docs, "text", "doc_id", n=8).orderBy("doc_id")
+
+
+TX23_SQL = f"""
+WITH spans AS (
+  SELECT doc_id AS doc, unnest({_ngrams_sql(8, distinct=False)}) AS shingle
+  FROM documents
+), dup AS (
+  SELECT shingle FROM (
+    SELECT shingle, COUNT(DISTINCT doc) AS df FROM spans GROUP BY 1
+  ) WHERE df >= 2
+)
+SELECT doc AS doc_id,
+       COUNT(*) AS n_spans,
+       CAST(SUM(CASE WHEN shingle IN (SELECT shingle FROM dup)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+       ROUND(SUM(CASE WHEN shingle IN (SELECT shingle FROM dup)
+                      THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS dup_span_ratio
+FROM spans GROUP BY doc ORDER BY doc
+"""
+
+
+def tx24_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-statistics health check: the Zipf log-log slope of the
+    top-100 token frequencies (natural text sits near -1; synthetic or
+    templated corpora drift off). Token counting is one shuffle with
+    partial aggregation; the top-100 cut is TakeOrderedAndProject
+    (per-partition heaps merged on the driver — no global sort), and
+    the rank window then runs over exactly 100 rows. The regression
+    itself is the built-in ``regr_slope``/``regr_intercept`` pair —
+    one scan over the ranked head, all JVM-side."""
+    configure_for_determinism(spark)
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
+        ).alias("token")
+    )
+    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    top = freq.orderBy(F.desc("freq"), F.asc("token")).limit(100)
+    w = Window.orderBy(F.desc("freq"), F.asc("token"))
+    ranked = top.withColumn("rank", F.row_number().over(w))
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(
+            F.expr("regr_slope(ln(freq), ln(rank))"), 6
+        ).alias("zipf_slope"),
+        F.round(
+            F.expr("regr_intercept(ln(freq), ln(rank))"), 6
+        ).alias("zipf_intercept"),
+    )
+
+
+TX24_SQL = f"""
+WITH freq AS (
+  SELECT unnest({_TOKS_SQL}) AS token FROM documents
+), counts AS (
+  SELECT token, COUNT(*) AS freq FROM freq GROUP BY 1
+), top AS (
+  SELECT token, freq FROM counts ORDER BY freq DESC, token LIMIT 100
+), ranked AS (
+  SELECT freq, ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS rank
+  FROM top
+)
+SELECT COUNT(*) AS n_tokens,
+       ROUND(regr_slope(ln(freq), ln(rank)), 6) AS zipf_slope,
+       ROUND(regr_intercept(ln(freq), ln(rank)), 6) AS zipf_intercept
+FROM ranked
+"""
+
+
 def em9_embed_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate CLUSTERS: connected components over
     em3's exact cosine pair list — the cross-family composition
@@ -4117,6 +4334,60 @@ hits AS (
 SELECT COUNT(*) AS n_queries,
        ROUND(AVG(COALESCE(h.h, 0) / p.k), 6) AS avg_recall
 FROM per_q p LEFT JOIN hits h ON p.query_id = h.query_id
+"""
+
+
+def em11_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar-quantization audit
+    (operators.similarity.scalar_quantize_error): per-vector cosine
+    similarity and MSE between each embedding and its uniformly
+    quantized reconstruction — the measurement a pipeline runs before
+    switching its ANN index to compressed codes. Per-dim min/max is
+    one dimension-keyed micro-shuffle folded into a broadcast row; the
+    rest is pure codegen'd array expressions."""
+    from paqarin_spark.operators import scalar_quantize_error
+
+    configure_for_determinism(spark)
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    return scalar_quantize_error(emb, "vec_id", "embedding", bits=8).orderBy(
+        "vec_id"
+    )
+
+
+EM11_SQL = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), d AS (
+  SELECT generate_subscripts(v, 1) AS dim, unnest(v) AS x FROM e
+), s AS (
+  SELECT dim, MIN(x) AS lo, MAX(x) AS hi FROM d GROUP BY 1
+), arrs AS (
+  SELECT list(lo ORDER BY dim) AS lo, list(hi ORDER BY dim) AS hi FROM s
+), r AS (
+  SELECT vec_id, v,
+         list_transform(range(1, len(v) + 1),
+           i -> CASE WHEN arrs.hi[i] > arrs.lo[i]
+                THEN arrs.lo[i] + round((v[i] - arrs.lo[i])
+                     / (arrs.hi[i] - arrs.lo[i]) * 255) / 255
+                     * (arrs.hi[i] - arrs.lo[i])
+                ELSE arrs.lo[i] END) AS recon
+  FROM e, arrs
+)
+SELECT vec_id,
+       ROUND(list_sum(list_transform(range(1, len(v) + 1),
+                                     i -> v[i] * recon[i]))
+             / (sqrt(list_sum(list_transform(v, x -> x * x)))
+                * sqrt(list_sum(list_transform(recon, x -> x * x)))), 6)
+         AS cos_recon,
+       ROUND(list_sum(list_transform(range(1, len(v) + 1),
+                                     i -> (v[i] - recon[i])
+                                          * (v[i] - recon[i])))
+             / len(v), 8) AS mse
+FROM r ORDER BY vec_id
 """
 
 
@@ -4284,6 +4555,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "em10_ann_recall": em10_ann_recall,
     "mm6_png_resize": mm6_png_resize,
     "ev3_drift_summary": ev3_drift_summary,
+    "tx22_contamination": tx22_contamination,
+    "tx23_duplicate_spans": tx23_duplicate_spans,
+    "tx24_zipf_slope": tx24_zipf_slope,
+    "q64_event_percentiles": q64_event_percentiles,
+    "q65_cold_customers": q65_cold_customers,
+    "em11_quantization_error": em11_quantization_error,
     # --- regression watch (BENCH_r02 movers) ---
     "q33_large_orders": q33_large_orders,
     "gen4_conditional_sample": gen4_conditional_sample,
@@ -4315,13 +4592,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q11_positional_split": q11_positional_split,
     "q12_forecast_horizon": q12_forecast_horizon,
     "q13_count_identity": q13_count_identity,
+    # ------------- driver 50-entry window ends HERE (position 50) -------------
     "q15_nation_revenue": q15_nation_revenue,
     "q16_top_parts": q16_top_parts,
     "q17_json_props": q17_json_props,
     "q18_panel_transform": q18_panel_transform,
     "q19_window_sums": q19_window_sums,
     "q20_upsample_nulls": q20_upsample_nulls,
-    # ------------- driver 50-entry window ends HERE (position 50) -------------
     "q21_minmax_roundtrip": q21_minmax_roundtrip,
     "q22_forecast_errors": q22_forecast_errors,
     "q23_xy_split": q23_xy_split,
@@ -4496,4 +4773,10 @@ ORACLE_SQL: dict[str, str] = {
     "tx17_top_bigrams": TX17_SQL,
     "tx18_repetition_ratio": TX18_SQL,
     "tx19_normalized_dedup": TX19_SQL,
+    "tx22_contamination": TX22_SQL,
+    "tx23_duplicate_spans": TX23_SQL,
+    "tx24_zipf_slope": TX24_SQL,
+    "q64_event_percentiles": Q64_SQL,
+    "q65_cold_customers": Q65_SQL,
+    "em11_quantization_error": EM11_SQL,
 }

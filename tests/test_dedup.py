@@ -184,3 +184,55 @@ def test_simhash_pairs_validates_banding(spark):
     # identical docs: hamming 0, exactly one pair
     out = simhash_pairs(docs, "text", "doc_id").collect()
     assert [(r["id_a"], r["id_b"], r["hamming"]) for r in out] == [(1, 2, 0)]
+
+
+def test_contamination_check_flags_benchmark_overlap(spark):
+    from paqarin_spark.operators import contamination_check
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            # contains the benchmark 3-gram "beta gamma delta"
+            (1, "zero beta gamma delta nine eight"),
+            # token overlap but no shared 3-gram
+            (2, "alpha nine gamma eight epsilon seven"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in contamination_check(
+            corpus, bench, "text", "doc_id", n=3
+        ).collect()
+    }
+    assert out[1]["n_contaminated"] == 1  # exactly "beta gamma delta"
+    assert out[1]["n_shingles"] == 4
+    assert out[1]["contamination_ratio"] == 0.25
+    assert out[2]["n_contaminated"] == 0
+    assert out[2]["contamination_ratio"] == 0.0
+
+
+def test_duplicate_spans_counts_multiplicity(spark):
+    from paqarin_spark.operators import duplicate_spans
+
+    df = spark.createDataFrame(
+        [
+            # "a b" appears TWICE in doc 1 (positions 0 and 2) and once
+            # in doc 2 -> both doc-1 occurrences count as duplicated
+            (1, "a b a b"),
+            (2, "a b c"),
+            (3, "x y z"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in duplicate_spans(df, "text", "doc_id", n=2).collect()
+    }
+    assert out[1]["n_spans"] == 3  # "a b", "b a", "a b"
+    assert out[1]["n_dup_spans"] == 2
+    assert out[2]["n_dup_spans"] == 1
+    assert out[3]["n_dup_spans"] == 0
+    assert out[3]["dup_span_ratio"] == 0.0

@@ -229,3 +229,32 @@ def test_ivf_topk_multiprobe_improves_recall(vectors):
     ).collect()}
     assert 1 not in single
     assert 1 in multi  # recall recovered by the second probe
+
+
+def test_scalar_quantize_error_identity_and_bounds(spark):
+    from paqarin_spark.operators import scalar_quantize_error
+
+    rows = [
+        (1, [0.0, 1.0, -1.0]),
+        (2, [0.5, 0.5, 0.0]),
+        (3, [1.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    out = {r["vec_id"]: r for r in scalar_quantize_error(df, "vec_id", "v").collect()}
+    # 8-bit quantization of values on a [lo, hi] grid keeps cosine ~1
+    for r in out.values():
+        assert r["cos_recon"] > 0.999
+        assert 0.0 <= r["mse"] < 1e-4
+
+
+def test_scalar_quantize_error_constant_dim(spark):
+    from paqarin_spark.operators import scalar_quantize_error
+
+    # dim 2 is constant (hi == lo) -> reconstruction is exactly lo
+    df = spark.createDataFrame(
+        [(1, [0.0, 7.0]), (2, [1.0, 7.0])], "vec_id long, v array<double>"
+    )
+    out = {r["vec_id"]: r for r in scalar_quantize_error(df, "vec_id", "v").collect()}
+    assert out[1]["mse"] == 0.0
+    assert out[2]["mse"] == 0.0
+    assert out[1]["cos_recon"] == 1.0
