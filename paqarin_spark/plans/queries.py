@@ -2525,6 +2525,133 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q66_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type transition matrix (Markov counts +
+    row-normalized probabilities) — the sequence-mining primitive
+    behind funnel and next-action analyses. The lag window partitions
+    per user (users parallelize freely; no global window), the count
+    is one shuffle on the (prev, next) pair, and the row
+    normalization is a partition-local window over at most
+    |event_types| rows."""
+    configure_for_determinism(spark)
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = ev.select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).where(F.col("prev_type").isNotNull())
+    counts = steps.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n_trans")
+    )
+    row_total = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n_trans",
+        F.round(F.col("n_trans") / F.sum("n_trans").over(row_total), 6).alias(
+            "p_trans"
+        ),
+    ).orderBy("prev_type", "next_type")
+
+
+Q66_SQL = """
+WITH steps AS (
+  SELECT LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type,
+         event_type AS next_type
+  FROM events
+), counts AS (
+  SELECT prev_type, next_type, COUNT(*) AS n_trans
+  FROM steps WHERE prev_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT prev_type, next_type, n_trans,
+       ROUND(n_trans / SUM(n_trans) OVER (PARTITION BY prev_type), 6)
+         AS p_trans
+FROM counts ORDER BY 1, 2
+"""
+
+
+def q67_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count ESTIMATION via a deterministic KMV (k minimum
+    values) sketch, evaluated against the exact count — the
+    cardinality-sketch pattern (HLL's simpler cousin) built from
+    portable primitives so even the estimator itself is
+    value-checkable in the oracle: hash each key to (0,1) via an
+    md5-prefix, keep each group's k smallest, estimate
+    (k-1)/kth_value. At scale the k smallest per group come out of
+    one shuffle with partial top-k pruning; here the rank window runs
+    per event_type. Spark's own approx_count_distinct(HLL++) is the
+    production path; this query pins the math end to end."""
+    configure_for_determinism(spark)
+    k = 32
+    ev = _events(spark, sf_dir)
+    keys = ev.select("event_type", "user_id").distinct()
+    hashed = keys.select(
+        "event_type",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
+                16,
+                10,
+            ).cast("double")
+            / F.lit(float(1 << 60))
+        ).alias("u"),
+    )
+    w = Window.partitionBy("event_type").orderBy("u")
+    kth = (
+        hashed.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == k)
+        .select("event_type", F.col("u").alias("u_k"))
+    )
+    exact = keys.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    # Standard KMV small-set degeneracy: a sketch holding fewer than k
+    # values IS the exact distinct set, so the estimate falls back to
+    # the exact count (left join + coalesce).
+    est = F.coalesce(
+        F.lit(k - 1) / F.col("u_k"), F.col("n_exact").cast("double")
+    )
+    return (
+        exact.join(kth, "event_type", "left")
+        .select(
+            "event_type",
+            "n_exact",
+            F.round(est, 4).alias("n_kmv"),
+            F.round(
+                F.abs(est - F.col("n_exact")) / F.col("n_exact"), 6
+            ).alias("rel_error"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q67_SQL = """
+WITH keys AS (
+  SELECT DISTINCT event_type, user_id FROM events
+), hashed AS (
+  SELECT event_type,
+         ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::UBIGINT
+           / 1152921504606846976.0 AS u
+  FROM keys
+), kth AS (
+  SELECT event_type, u AS u_k FROM (
+    SELECT event_type, u,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY u) AS rn
+    FROM hashed
+  ) WHERE rn = 32
+), exact AS (
+  SELECT event_type, COUNT(*) AS n_exact FROM keys GROUP BY 1
+)
+SELECT e.event_type, e.n_exact,
+       ROUND(COALESCE(31.0 / k.u_k, e.n_exact), 4) AS n_kmv,
+       ROUND(ABS(COALESCE(31.0 / k.u_k, e.n_exact) - e.n_exact)
+             / e.n_exact, 6) AS rel_error
+FROM exact e LEFT JOIN kth k ON e.event_type = k.event_type
+ORDER BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # Text / dedup family (north-star extensions, documents table)
 
@@ -3673,6 +3800,49 @@ FROM events ORDER BY 1, 2
 """
 
 
+def st6_stream_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming daily-active-users (streaming.stream_distinct_count):
+    CHAINED stateful operators — watermarked per-(user, day) dedup
+    feeding a tumbling-window count — the decomposition that gives
+    windowed COUNT DISTINCT with bounded state in each stage. Chained
+    stateful operators REQUIRE append mode (no complete-mode escape
+    like st1/st3), and an append stream only ever emits
+    watermark-CLOSED windows, so a terminating run holds back the
+    final watermark-delay's worth of days. The oracle encodes exactly
+    that contract: days whose window end precedes max(ts) - 1 day.
+    Emitted counts are exact (verified against the q44 batch rollup
+    on the emitted range)."""
+    from paqarin_spark.streaming import stream_distinct_count
+
+    configure_for_determinism(spark)
+    stream = _events_stream(spark, sf_dir)
+    out = stream_distinct_count(
+        stream, "ts", "user_id", window_duration="1 day", watermark="1 day"
+    )
+    name = "st6_stream_daily_users"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.date_format("window_start", "yyyy-MM-dd").alias("day"), "n_distinct"
+    )
+
+
+ST6_SQL = """
+SELECT strftime(DATE_TRUNC('day', ts), '%Y-%m-%d') AS day,
+       COUNT(DISTINCT user_id) AS n_distinct
+FROM events
+WHERE DATE_TRUNC('day', ts) + INTERVAL '1 day'
+      <= (SELECT MAX(ts) - INTERVAL '1 day' FROM events)
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def st3_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization as a Structured Streaming job
     (streaming.stream_sessions, built-in session_window state): bounded
@@ -4267,6 +4437,57 @@ FROM ranked
 """
 
 
+def tx25_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality score: per-document mean negative log
+    probability under the corpus's own unigram language model — the
+    cheap stand-in for the KenLM gate most LLM data pipelines run
+    (low mean -log p = fluent/common tokens, high = junk or
+    out-of-domain). Two aggregation passes over one exploded token
+    frame: global token frequencies (shuffle keyed on token, partial
+    agg bounds it by vocabulary), then a token-keyed join back and a
+    per-doc mean. At 100 TB the frequency side is vocabulary-sized —
+    usually broadcastable after a min-count floor; the join below
+    stays a shuffle join so the plan is correct even for unbounded
+    vocabularies."""
+    configure_for_determinism(spark)
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
+        ).alias("token"),
+    )
+    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("_c"))
+    total = freq.agg(F.sum("_c").alias("_n"))
+    scored = toks.join(freq, "token").crossJoin(F.broadcast(total))
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(-F.log(F.col("_c") / F.col("_n"))), 6).alias(
+                "mean_neg_logprob"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TX25_SQL = f"""
+WITH t AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS token FROM documents
+), f AS (
+  SELECT token, COUNT(*) AS c FROM t GROUP BY 1
+), tot AS (
+  SELECT SUM(c) AS n FROM f
+)
+SELECT t.doc_id,
+       COUNT(*) AS n_tokens,
+       ROUND(AVG(-ln(f.c / tot.n)), 6) AS mean_neg_logprob
+FROM t JOIN f USING (token) CROSS JOIN tot
+GROUP BY t.doc_id ORDER BY t.doc_id
+"""
+
+
 def em9_embed_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate CLUSTERS: connected components over
     em3's exact cosine pair list — the cross-family composition
@@ -4561,6 +4782,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q64_event_percentiles": q64_event_percentiles,
     "q65_cold_customers": q65_cold_customers,
     "em11_quantization_error": em11_quantization_error,
+    "st6_stream_daily_users": st6_stream_daily_users,
+    "q66_type_transitions": q66_type_transitions,
+    "q67_kmv_distinct": q67_kmv_distinct,
+    "tx25_unigram_logprob": tx25_unigram_logprob,
     # --- regression watch (BENCH_r02 movers) ---
     "q33_large_orders": q33_large_orders,
     "gen4_conditional_sample": gen4_conditional_sample,
@@ -4588,11 +4813,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q07_keep_first": q07_keep_first,
     "q08_metric_summary": q08_metric_summary,
     "q09_lag_mae": q09_lag_mae,
+    # ------------- driver 50-entry window ends HERE (position 50) -------------
     "q10_weekend_covariate": q10_weekend_covariate,
     "q11_positional_split": q11_positional_split,
     "q12_forecast_horizon": q12_forecast_horizon,
     "q13_count_identity": q13_count_identity,
-    # ------------- driver 50-entry window ends HERE (position 50) -------------
     "q15_nation_revenue": q15_nation_revenue,
     "q16_top_parts": q16_top_parts,
     "q17_json_props": q17_json_props,
@@ -4779,4 +5004,8 @@ ORACLE_SQL: dict[str, str] = {
     "q64_event_percentiles": Q64_SQL,
     "q65_cold_customers": Q65_SQL,
     "em11_quantization_error": EM11_SQL,
+    "st6_stream_daily_users": ST6_SQL,
+    "q66_type_transitions": Q66_SQL,
+    "q67_kmv_distinct": Q67_SQL,
+    "tx25_unigram_logprob": TX25_SQL,
 }

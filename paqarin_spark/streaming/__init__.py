@@ -86,6 +86,39 @@ def stream_keep_first(
     ).dropDuplicatesWithinWatermark(keys)
 
 
+def stream_distinct_count(
+    stream: DataFrame,
+    timestamp_column: str,
+    key_column: str,
+    window_duration: str = "1 day",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Streaming windowed COUNT DISTINCT via chained stateful
+    operators: watermarked ``dropDuplicatesWithinWatermark`` on
+    (key, window start) collapses repeats with bounded per-key state,
+    then a tumbling-window count aggregates the survivors — distinct
+    counting without ever holding a per-window key set in one
+    operator's state. This is the standard two-stage decomposition
+    (dedup state is per-key and expires at the watermark; the count
+    state is one long per window), and it shuffles on exactly the
+    keys each stage groups by — the same plan shape a 1000-executor
+    cluster wants. Output: (window_start, n_distinct), append mode on
+    window close.
+    """
+    bucket = F.date_trunc("DAY", F.col(timestamp_column))
+    deduped = (
+        stream.withColumn("_bucket", bucket)
+        .withWatermark(timestamp_column, watermark)
+        .dropDuplicatesWithinWatermark([key_column, "_bucket"])
+    )
+    win = F.window(F.col(timestamp_column), window_duration)
+    return (
+        deduped.groupBy(win.alias("_w"))
+        .agg(F.count(F.lit(1)).alias("n_distinct"))
+        .select(F.col("_w.start").alias("window_start"), "n_distinct")
+    )
+
+
 def stream_running_minmax(
     stream: DataFrame,
     schema: TimeSeriesSchema,

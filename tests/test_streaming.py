@@ -180,3 +180,34 @@ def test_stream_sessions_matches_batch(spark, source_dir):
         for r in session_stats(batch, "item_id", "ts", 6 * 3600, "v").collect()
     }
     assert got == expect
+
+
+def test_stream_distinct_count_closed_windows(spark, tmp_path):
+    from paqarin_spark.streaming import stream_distinct_count
+
+    # 3 distinct users on 1/1 (one repeated), 2 on 1/2, 1 on 1/5. With
+    # watermark = 1 day the final watermark lands at 1/4, so days 1-2
+    # close and emit; the 1/5 window stays open (append contract).
+    rows = [
+        ("u1", dt.datetime(2020, 1, 1, 1)),
+        ("u1", dt.datetime(2020, 1, 1, 9)),
+        ("u2", dt.datetime(2020, 1, 1, 5)),
+        ("u3", dt.datetime(2020, 1, 1, 22)),
+        ("u1", dt.datetime(2020, 1, 2, 3)),
+        ("u9", dt.datetime(2020, 1, 2, 4)),
+        ("u5", dt.datetime(2020, 1, 5, 1)),
+    ]
+    df = spark.createDataFrame(rows, "user string, ts timestamp")
+    path = str(tmp_path / "in")
+    df.repartition(2).write.parquet(path)
+    stream = spark.readStream.schema(df.schema).parquet(path)
+    out = _run(
+        spark,
+        stream_distinct_count(stream, "ts", "user"),
+        "t_distinct_count",
+        "append",
+    )
+    got = {
+        str(r["window_start"])[:10]: r["n_distinct"] for r in out.collect()
+    }
+    assert got == {"2020-01-01": 3, "2020-01-02": 2}
