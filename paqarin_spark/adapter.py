@@ -18,6 +18,7 @@ from paqarin_spark.generator import GeneratorParameters, TimeSeriesGenerator
 from paqarin_spark.generators.bootstrap import BlockBootstrapGenerator
 from paqarin_spark.generators.conditional import ConditionalBootstrapGenerator
 from paqarin_spark.generators.gaussian import GaussianPerStepGenerator
+from paqarin_spark.generators.markov import MarkovEventGenerator
 
 Factory = Callable[[GeneratorParameters], TimeSeriesGenerator]
 
@@ -25,6 +26,7 @@ _REGISTRY: dict[tuple[str, str], Factory] = {
     ("paqarin_spark", "bootstrap"): BlockBootstrapGenerator,
     ("paqarin_spark", "conditional_bootstrap"): ConditionalBootstrapGenerator,
     ("paqarin_spark", "gaussian"): GaussianPerStepGenerator,
+    ("paqarin_spark", "markov"): MarkovEventGenerator,
 }
 
 # The reference's 3x3 provider/method grid has 5 valid cells

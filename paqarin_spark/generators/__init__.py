@@ -5,6 +5,7 @@ from paqarin_spark.generators.bootstrap import BlockBootstrapGenerator
 from paqarin_spark.generators.conditional import ConditionalBootstrapGenerator
 from paqarin_spark.generators.deep import DeepProviderGenerator
 from paqarin_spark.generators.gaussian import GaussianPerStepGenerator
+from paqarin_spark.generators.markov import MarkovEventGenerator
 from paqarin_spark.generators.views import (
     SynthcityLoaderViews,
     add_prefixes,
@@ -18,6 +19,7 @@ __all__ = [
     "ConditionalBootstrapGenerator",
     "DeepProviderGenerator",
     "GaussianPerStepGenerator",
+    "MarkovEventGenerator",
     "SynthcityLoaderViews",
     "add_prefixes",
     "par_context",

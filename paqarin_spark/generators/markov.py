@@ -1,0 +1,216 @@
+"""First-order Markov categorical sequence generator — synthetic
+EVENT-TYPE streams learned from real event logs.
+
+The numeric generators (bootstrap/gaussian/conditional) cover the
+reference's value-series surface (`paqarin/generator.py:65-98`
+fit→generate contract); this one covers the categorical half a
+training-data pipeline needs: synthesizing plausible action sequences
+(funnel simulation, load testing, privacy-preserving event-log
+release). No reference counterpart — north-star extension.
+
+Design for scale and determinism:
+
+- ``fit`` estimates the initial distribution (first event per entity)
+  and the first-order transition matrix with exactly the q66 plan
+  (per-entity lag windows, one (prev, next)-keyed shuffle). The
+  fitted state is bounded by the category vocabulary (|types| +
+  |types|^2 rows), so collecting it to the driver is the same
+  bounded-state move as MinMaxScaler — never row data.
+- ``generate`` runs the sampling walk as PURE JVM expressions: the
+  per-step uniform draw is ``conv(md5(seq#step#seed)) / 2^60`` (the
+  same portable hash the q67 KMV sketch pins against DuckDB), and the
+  CDF inversion is a nested CASE folded over steps with
+  ``F.aggregate`` — one codegen'd projection over ``spark.range(n)``,
+  no Python, no shuffle, trivially parallel in n. Because every draw
+  is a pure function of (sequence_id, step, seed), the output is
+  reproducible on any cluster layout AND expressible in portable SQL
+  — gen5's DuckDB oracle replays the identical walk with a recursive
+  CTE, making this the one generator whose samples are value-checked,
+  not just row-counted.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from paqarin_spark.generator import (
+    GeneratorParameters,
+    TimeSeriesGenerator,
+    _read_params,
+    _write_params,
+)
+from paqarin_spark.sources import hadoop_read_text, hadoop_write_text
+
+TWO_POW_60 = float(1 << 60)
+
+
+def uniform_hash(*cols: Column) -> Column:
+    """Deterministic uniform(0,1) from md5 — portable across engines
+    (same construction as q67's KMV sketch; DuckDB replays it with
+    ``('0x' || substring(md5(..),1,15))::UBIGINT``)."""
+    return (
+        F.conv(F.substring(F.md5(F.concat_ws("#", *cols)), 1, 15), 16, 10)
+        .cast("double")
+        / F.lit(TWO_POW_60)
+    )
+
+
+def _cdf(counts: dict[str, int]) -> list[tuple[str, float]]:
+    """(category, cumulative probability) in sorted-category order.
+    Cumulative INT count divided by total once per entry — the exact
+    double DuckDB's ``SUM(c) OVER (ORDER BY ..) / total`` produces, so
+    oracle comparisons are bit-identical."""
+    total = sum(counts.values())
+    out, run = [], 0
+    for cat in sorted(counts):
+        run += counts[cat]
+        out.append((cat, run / total))
+    return out
+
+
+def _pick(cdf: list[tuple[str, float]], u: Column) -> Column:
+    """CDF inversion as a nested CASE: first category whose cumulative
+    probability reaches ``u``. The last branch is the unconditional
+    fallback so float edge cases (u == 1.0) stay total."""
+    expr = F.lit(cdf[-1][0])
+    for cat, cum in reversed(cdf[:-1]):
+        expr = F.when(u <= F.lit(cum), F.lit(cat)).otherwise(expr)
+    return expr
+
+
+class MarkovEventGenerator(TimeSeriesGenerator):
+    provider = "paqarin_spark"
+    method = "markov"
+
+    def __init__(
+        self, parameters: GeneratorParameters, category_column: str = "event_type"
+    ):
+        super().__init__(parameters)
+        self.category_column = category_column
+        self.initial: dict[str, int] | None = None
+        self.transitions: dict[str, dict[str, int]] | None = None
+
+    @property
+    def is_fitted(self) -> bool:
+        return self.initial is not None
+
+    def fit(self, training_data: DataFrame) -> "MarkovEventGenerator":
+        from pyspark.sql import Window
+
+        schema = self.parameters.schema
+        cat = self.category_column
+        # Deterministic per-entity order: timestamp, then category as
+        # the tie-break (same contract as the q66 oracle).
+        w = Window.partitionBy(*schema.ids).orderBy(
+            F.col(schema.timestamp_column), F.col(cat)
+        )
+        ordered = training_data.select(
+            F.col(cat).alias("_cat"),
+            F.row_number().over(w).alias("_rn"),
+            F.lag(cat).over(w).alias("_prev"),
+        )
+        init_rows = (
+            ordered.where(F.col("_rn") == 1)
+            .groupBy("_cat")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        trans_rows = (
+            ordered.where(F.col("_prev").isNotNull())
+            .groupBy("_prev", "_cat")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        self.initial = {r["_cat"]: r["c"] for r in init_rows}
+        self.transitions = {}
+        for r in trans_rows:
+            self.transitions.setdefault(r["_prev"], {})[r["_cat"]] = r["c"]
+        # Absorbing fallback: a category observed only as a final
+        # event has no outgoing mass — self-loop keeps the chain total.
+        for cat_name in self.initial:
+            self.transitions.setdefault(cat_name, {cat_name: 1})
+        return self
+
+    def generate(
+        self, number_of_sequences: int, seed: int | None = None
+    ) -> DataFrame:
+        if self.initial is None or self.transitions is None:
+            raise RuntimeError("generator is not fitted")
+        seed = self.parameters.seed if seed is None else seed
+        length = self.parameters.sequence_length
+        spark = SparkSession.getActiveSession()
+        base = spark.range(number_of_sequences).select(
+            F.col("id").alias("sequence_id")
+        )
+        sid = F.col("sequence_id").cast("string")
+        first = _pick(
+            _cdf(self.initial), uniform_hash(sid, F.lit(0), F.lit(str(seed)))
+        )
+        trans_cdfs = {
+            prev: _cdf(nexts) for prev, nexts in self.transitions.items()
+        }
+
+        def step(acc, i):
+            u = uniform_hash(sid, i, F.lit(str(seed)))
+            cur = acc["cur"]
+            nxt = None
+            for prev in sorted(trans_cdfs):
+                picked = _pick(trans_cdfs[prev], u)
+                nxt = (
+                    picked
+                    if nxt is None
+                    else F.when(cur == F.lit(prev), picked).otherwise(nxt)
+                )
+                # build the chain most-common-last so the final
+                # unconditional branch is a valid fallback
+            return F.struct(
+                nxt.alias("cur"),
+                F.concat(acc["seq"], F.array(nxt)).alias("seq"),
+            )
+
+        walk = F.aggregate(
+            F.sequence(F.lit(1), F.lit(length - 1)),
+            F.struct(first.alias("cur"), F.array(first).alias("seq")),
+            step,
+            lambda acc: acc["seq"],
+        )
+        return base.select(
+            "sequence_id", F.posexplode(walk).alias("step", self.category_column)
+        )
+
+    def save(self, path: str) -> None:
+        if self.initial is None:
+            raise RuntimeError("generator is not fitted")
+        spark = SparkSession.getActiveSession()
+        _write_params(
+            path,
+            self.parameters,
+            {"provider": self.provider, "method": self.method},
+            spark=spark,
+        )
+        hadoop_write_text(
+            spark,
+            os.path.join(path, "markov.json"),
+            json.dumps(
+                {
+                    "category_column": self.category_column,
+                    "initial": self.initial,
+                    "transitions": self.transitions,
+                }
+            ),
+        )
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "MarkovEventGenerator":
+        params, _ = _read_params(path, spark=spark)
+        state = json.loads(
+            hadoop_read_text(spark, os.path.join(path, "markov.json"))
+        )
+        gen = cls(params, category_column=state["category_column"])
+        gen.initial = state["initial"]
+        gen.transitions = state["transitions"]
+        return gen

@@ -783,6 +783,81 @@ def gen4_conditional_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def gen5_markov_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical sequence synthesis (generators.markov.
+    MarkovEventGenerator): fit a first-order event-type Markov chain
+    on the real event log (q66's transition plan), then sample 40
+    sequences of length 8. Every draw is a pure function of
+    (sequence_id, step, seed) via the portable md5 hash, so — unlike
+    gen1-gen4's rows-only contract — the SAMPLES THEMSELVES are
+    value-checked: the DuckDB oracle refits the same chain in SQL and
+    replays the identical walk with a recursive CTE. The generate plan
+    is one codegen'd projection over spark.range(n): no shuffle, no
+    Python, embarrassingly parallel in n."""
+    from paqarin_spark.generators import MarkovEventGenerator
+
+    configure_for_determinism(spark)
+    ev = _events(spark, sf_dir)
+    p = _events_gen_params()
+    gen = MarkovEventGenerator(p).fit(ev)
+    return gen.generate(40, seed=11).orderBy("sequence_id", "step")
+
+
+# The oracle replays gen5's exact walk: same (ts, event_type) ordering
+# for the lag pairs, same sorted-category CDF (cumulative INT count /
+# total — bit-identical doubles), same md5-prefix uniform draws, CDF
+# inversion as first-cat-with-cum>=u. Every observed category has
+# outgoing transitions in this data, so the generator's absorbing
+# self-loop fallback never fires and needs no SQL mirror.
+GEN5_SQL = """
+WITH RECURSIVE
+ordered AS (
+  SELECT event_type AS cat,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_type)
+           AS rn,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_type)
+           AS prev
+  FROM events
+),
+init AS (SELECT cat, COUNT(*) AS c FROM ordered WHERE rn = 1 GROUP BY 1),
+init_cdf AS (
+  SELECT cat,
+         SUM(c) OVER (ORDER BY cat) / (SELECT SUM(c) FROM init) AS cum
+  FROM init
+),
+trans AS (
+  SELECT prev, cat, COUNT(*) AS c FROM ordered
+  WHERE prev IS NOT NULL GROUP BY 1, 2
+),
+trans_cdf AS (
+  SELECT prev, cat,
+         SUM(c) OVER (PARTITION BY prev ORDER BY cat)
+           / SUM(c) OVER (PARTITION BY prev) AS cum
+  FROM trans
+),
+walk(sequence_id, step, event_type) AS (
+  SELECT s.range AS sequence_id, 0,
+         (SELECT i.cat FROM init_cdf i
+          WHERE i.cum >= ('0x' || substring(
+                  md5(s.range::VARCHAR || '#0#11'), 1, 15))::UBIGINT
+                / 1152921504606846976.0
+          ORDER BY i.cum LIMIT 1)
+  FROM range(40) s
+  UNION ALL
+  SELECT w.sequence_id, w.step + 1,
+         (SELECT t.cat FROM trans_cdf t
+          WHERE t.prev = w.event_type
+            AND t.cum >= ('0x' || substring(
+                  md5(w.sequence_id::VARCHAR || '#' ||
+                      (w.step + 1)::VARCHAR || '#11'), 1, 15))::UBIGINT
+                / 1152921504606846976.0
+          ORDER BY t.cum LIMIT 1)
+  FROM walk w WHERE w.step < 7
+)
+SELECT sequence_id, step, event_type FROM walk ORDER BY 1, 2
+"""
+
+
 def ev1_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship orchestration (op K2): fit bootstrap + gaussian on the
     events table, TSTR-score both, emit the summary metric rows."""
@@ -4786,6 +4861,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q66_type_transitions": q66_type_transitions,
     "q67_kmv_distinct": q67_kmv_distinct,
     "tx25_unigram_logprob": tx25_unigram_logprob,
+    "gen5_markov_sample": gen5_markov_sample,
     # --- regression watch (BENCH_r02 movers) ---
     "q33_large_orders": q33_large_orders,
     "gen4_conditional_sample": gen4_conditional_sample,
@@ -4812,8 +4888,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q06_tail_trim": q06_tail_trim,
     "q07_keep_first": q07_keep_first,
     "q08_metric_summary": q08_metric_summary,
-    "q09_lag_mae": q09_lag_mae,
     # ------------- driver 50-entry window ends HERE (position 50) -------------
+    "q09_lag_mae": q09_lag_mae,
     "q10_weekend_covariate": q10_weekend_covariate,
     "q11_positional_split": q11_positional_split,
     "q12_forecast_horizon": q12_forecast_horizon,
@@ -5008,4 +5084,5 @@ ORACLE_SQL: dict[str, str] = {
     "q66_type_transitions": Q66_SQL,
     "q67_kmv_distinct": Q67_SQL,
     "tx25_unigram_logprob": TX25_SQL,
+    "gen5_markov_sample": GEN5_SQL,
 }

@@ -242,3 +242,88 @@ def test_conditional_bootstrap_save_load_roundtrip(spark, tmp_path):
     loaded = load_generator(spark, "paqarin_spark", "conditional_bootstrap", path)
     after = sorted(map(str, loaded.generate(context=ctx).collect()))
     assert before == after
+
+
+def test_markov_generator_deterministic_and_learns_transitions(spark):
+    import datetime as dt
+
+    from paqarin_spark.generators import MarkovEventGenerator
+    from paqarin_spark.generator import GeneratorParameters
+    from paqarin_spark.schema import TimeSeriesSchema
+
+    # u1/u2: a -> b -> a -> b ...; u3: c only (absorbing)
+    rows = []
+    for uid in ("u1", "u2"):
+        for i in range(6):
+            rows.append(
+                (uid, dt.datetime(2020, 1, 1) + dt.timedelta(hours=i),
+                 "a" if i % 2 == 0 else "b", 1.0)
+            )
+    rows.append(("u3", dt.datetime(2020, 1, 1), "c", 1.0))
+    df = spark.createDataFrame(
+        rows, "user_id string, ts timestamp, event_type string, value double"
+    )
+    schema = TimeSeriesSchema(
+        item_id_columns=("user_id",),
+        timestamp_column="ts",
+        value_columns=("value",),
+        frequency="D",
+    )
+    p = GeneratorParameters(schema=schema, sequence_length=5, seed=3)
+    gen = MarkovEventGenerator(p).fit(df)
+    # fitted state: initial = {a: 2, c: 1}; a->b and b->a are certain;
+    # c has no outgoing mass -> absorbing self-loop fallback
+    assert gen.initial == {"a": 2, "c": 1}
+    assert gen.transitions["a"] == {"b": 6}
+    assert gen.transitions["b"] == {"a": 4}
+    assert gen.transitions["c"] == {"c": 1}
+
+    out = gen.generate(20).collect()
+    assert len(out) == 20 * 5
+    seqs = {}
+    for r in out:
+        seqs.setdefault(r["sequence_id"], []).append((r["step"], r["event_type"]))
+    for sid, steps in seqs.items():
+        cats = [c for _, c in sorted(steps)]
+        if cats[0] == "c":
+            assert cats == ["c"] * 5  # absorbing self-loop
+        else:
+            # deterministic alternation a<->b
+            for prev, nxt in zip(cats, cats[1:]):
+                assert {prev, nxt} == {"a", "b"} and prev != nxt
+
+    # same seed -> identical sample; different seed -> different draw ids
+    again = gen.generate(20).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_markov_generator_adapter_and_persistence(spark, tmp_path):
+    import datetime as dt
+
+    from paqarin_spark.adapter import get_generator_adapter, load_generator
+    from paqarin_spark.generator import GeneratorParameters
+    from paqarin_spark.schema import TimeSeriesSchema
+
+    rows = [
+        ("u1", dt.datetime(2020, 1, 1, h), "x" if h % 2 else "y", 1.0)
+        for h in range(4)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id string, ts timestamp, event_type string, value double"
+    )
+    schema = TimeSeriesSchema(
+        item_id_columns=("user_id",),
+        timestamp_column="ts",
+        value_columns=("value",),
+        frequency="D",
+    )
+    p = GeneratorParameters(schema=schema, sequence_length=3, seed=5)
+    gen = get_generator_adapter("paqarin_spark", "markov", p).fit(df)
+    path = str(tmp_path / "markov_model")
+    gen.save(path)
+    loaded = load_generator(spark, "paqarin_spark", "markov", path)
+    assert loaded.initial == gen.initial
+    assert loaded.transitions == gen.transitions
+    a = sorted(map(tuple, gen.generate(7).collect()))
+    b = sorted(map(tuple, loaded.generate(7).collect()))
+    assert a == b
