@@ -858,6 +858,110 @@ SELECT sequence_id, step, event_type FROM walk ORDER BY 1, 2
 """
 
 
+def ev4_markov_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generative-fidelity EVALUATION of the categorical generator:
+    total-variation distance between the real event log's first-order
+    transition rows and the transition rows re-estimated from gen5's
+    synthetic sample — the train/generate/re-measure loop every
+    synthetic-data pipeline runs, and (because the gen5 walk is
+    deterministic) the whole evaluation is value-checked against the
+    oracle, not just row-counted. Plan: two q66-shaped lag/count
+    passes (real: per-user; synthetic: per-sequence), a full-outer
+    join on (prev, next) with absent mass as 0, and a per-prev
+    0.5·Σ|Δp| rollup."""
+    from paqarin_spark.generators import MarkovEventGenerator
+
+    configure_for_determinism(spark)
+    ev = _events(spark, sf_dir)
+    p = _events_gen_params()
+    gen = MarkovEventGenerator(p).fit(ev)
+    sample = gen.generate(40, seed=11)
+
+    def _trans_probs(df, part_cols, order_cols, cat="event_type"):
+        w = Window.partitionBy(*part_cols).orderBy(*order_cols)
+        steps = df.select(
+            F.lag(cat).over(w).alias("prev_type"),
+            F.col(cat).alias("next_type"),
+        ).where(F.col("prev_type").isNotNull())
+        counts = steps.groupBy("prev_type", "next_type").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        row_w = Window.partitionBy("prev_type")
+        return counts.select(
+            "prev_type",
+            "next_type",
+            (F.col("n") / F.sum("n").over(row_w)).alias("p"),
+        )
+
+    real = _trans_probs(ev, ["user_id"], [F.col("ts"), F.col("event_type")])
+    synth = _trans_probs(sample, ["sequence_id"], [F.col("step")])
+    joined = real.withColumnRenamed("p", "p_real").join(
+        synth.withColumnRenamed("p", "p_synth"),
+        ["prev_type", "next_type"],
+        "full_outer",
+    )
+    return (
+        joined.groupBy("prev_type")
+        .agg(
+            F.round(
+                F.sum(
+                    F.abs(
+                        F.coalesce(F.col("p_real"), F.lit(0.0))
+                        - F.coalesce(F.col("p_synth"), F.lit(0.0))
+                    )
+                )
+                / 2,
+                6,
+            ).alias("tvd")
+        )
+        .orderBy("prev_type")
+    )
+
+
+EV4_SQL = f"""
+WITH walk_base AS ({GEN5_SQL.replace("ORDER BY 1, 2", "")}),
+real_steps AS (
+  SELECT LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_type)
+           AS prev_type,
+         event_type AS next_type
+  FROM events
+),
+real_counts AS (
+  SELECT prev_type, next_type, COUNT(*) AS n FROM real_steps
+  WHERE prev_type IS NOT NULL GROUP BY 1, 2
+),
+real_p AS (
+  SELECT prev_type, next_type,
+         n / SUM(n) OVER (PARTITION BY prev_type) AS p_real
+  FROM real_counts
+),
+synth_steps AS (
+  SELECT LAG(event_type) OVER (PARTITION BY sequence_id ORDER BY step)
+           AS prev_type,
+         event_type AS next_type
+  FROM walk_base
+),
+synth_counts AS (
+  SELECT prev_type, next_type, COUNT(*) AS n FROM synth_steps
+  WHERE prev_type IS NOT NULL GROUP BY 1, 2
+),
+synth_p AS (
+  SELECT prev_type, next_type,
+         n / SUM(n) OVER (PARTITION BY prev_type) AS p_synth
+  FROM synth_counts
+),
+joined AS (
+  SELECT COALESCE(r.prev_type, s.prev_type) AS prev_type,
+         COALESCE(r.p_real, 0) AS p_real,
+         COALESCE(s.p_synth, 0) AS p_synth
+  FROM real_p r FULL OUTER JOIN synth_p s
+    ON r.prev_type = s.prev_type AND r.next_type = s.next_type
+)
+SELECT prev_type, ROUND(SUM(ABS(p_real - p_synth)) / 2, 6) AS tvd
+FROM joined GROUP BY 1 ORDER BY 1
+"""
+
+
 def ev1_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship orchestration (op K2): fit bootstrap + gaussian on the
     events table, TSTR-score both, emit the summary metric rows."""
@@ -4862,6 +4966,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q67_kmv_distinct": q67_kmv_distinct,
     "tx25_unigram_logprob": tx25_unigram_logprob,
     "gen5_markov_sample": gen5_markov_sample,
+    "ev4_markov_fidelity": ev4_markov_fidelity,
     # --- regression watch (BENCH_r02 movers) ---
     "q33_large_orders": q33_large_orders,
     "gen4_conditional_sample": gen4_conditional_sample,
@@ -4887,8 +4992,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q05_window_starts": q05_window_starts,
     "q06_tail_trim": q06_tail_trim,
     "q07_keep_first": q07_keep_first,
-    "q08_metric_summary": q08_metric_summary,
     # ------------- driver 50-entry window ends HERE (position 50) -------------
+    "q08_metric_summary": q08_metric_summary,
     "q09_lag_mae": q09_lag_mae,
     "q10_weekend_covariate": q10_weekend_covariate,
     "q11_positional_split": q11_positional_split,
@@ -5085,4 +5190,5 @@ ORACLE_SQL: dict[str, str] = {
     "q67_kmv_distinct": Q67_SQL,
     "tx25_unigram_logprob": TX25_SQL,
     "gen5_markov_sample": GEN5_SQL,
+    "ev4_markov_fidelity": EV4_SQL,
 }
