@@ -730,3 +730,192 @@ def chunk_audio(df: DataFrame, window_seconds: float = 1.0) -> DataFrame:
 def media_table(spark, rows: list[tuple]) -> DataFrame:
     """Helper to build a media DataFrame with the canonical schema."""
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# JPEG / MP4 metadata probing (real header parsers; full entropy decode
+# of JPEG scans and MP4 sample data remains stubbed — see module header)
+
+JPEG_SOF_MARKERS = frozenset(
+    range(0xC0, 0xD0)
+) - {0xC4, 0xC8, 0xCC}  # SOF0..15 minus DHT/JPG/DAC
+
+
+def encode_jpeg_shell(width: int, height: int, comment: bytes = b"") -> bytes:
+    """Syntactically valid JPEG container: SOI, JFIF APP0, optional
+    COM, a 3-component SOF0 carrying the real dimensions, EOI. No
+    entropy-coded scan — this builds PROBE fixtures, not viewable
+    images; the point is that the dimensions live only in the SOF
+    payload, exactly where a real camera JPEG keeps them."""
+    app0 = struct.pack(">HH5sBBBHHBB", 0xFFE0, 16, b"JFIF\x00", 1, 2, 0, 72, 72, 0, 0)
+    com = struct.pack(">HH", 0xFFFE, 2 + len(comment)) + comment if comment else b""
+    sof0 = struct.pack(
+        ">HHBHHB", 0xFFC0, 8 + 3 * 3, 8, height, width, 3
+    ) + b"".join(struct.pack("BBB", i + 1, 0x11, 0) for i in range(3))
+    return b"\xff\xd8" + app0 + com + sof0 + b"\xff\xd9"
+
+
+def parse_jpeg_meta(content: bytes) -> dict | None:
+    """Marker-walk metadata probe: dimensions + component count from
+    the first SOFn segment. Strict: SOI required, segment lengths must
+    stay in-bounds, SOF payload must be complete. Returns None for
+    anything malformed — text that merely starts with 0xFFD8-looking
+    bytes cannot produce garbage dimensions."""
+    if len(content) < 4 or content[:2] != b"\xff\xd8":
+        return None
+    i = 2
+    while i + 4 <= len(content):
+        if content[i] != 0xFF:
+            return None
+        marker = content[i + 1]
+        if marker == 0xD9:  # EOI before any SOF
+            return None
+        if 0xD0 <= marker <= 0xD7 or marker == 0x01:  # RST/TEM: bare
+            i += 2
+            continue
+        (seg_len,) = struct.unpack_from(">H", content, i + 2)
+        if seg_len < 2 or i + 2 + seg_len > len(content):
+            return None
+        if marker in JPEG_SOF_MARKERS:
+            if seg_len < 8:
+                return None
+            precision, height, width, n_comp = struct.unpack_from(
+                ">BHHB", content, i + 4
+            )
+            if precision not in (8, 12, 16) or width == 0 or height == 0:
+                return None
+            return {
+                "width": width,
+                "height": height,
+                "n_components": n_comp,
+                "progressive": marker == 0xC2,
+            }
+        i += 2 + seg_len
+    return None
+
+
+def _mp4_box(kind: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I4s", 8 + len(payload), kind) + payload
+
+
+def encode_mp4_shell(
+    duration: int, timescale: int = 1000, pad: int = 0
+) -> bytes:
+    """Minimal ISO-BMFF container: ftyp + moov/mvhd (version 0) with
+    the real timescale/duration, plus an optional ``free`` box so
+    fixture sizes vary. Like the JPEG shell: a structurally real
+    container whose metadata lives where ffprobe would look."""
+    ftyp = _mp4_box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    mvhd_payload = (
+        struct.pack(">BxxxII", 0, 0, 0)  # version/flags, ctime, mtime
+        + struct.pack(">II", timescale, duration)
+        + struct.pack(">i", 0x00010000)  # rate 1.0
+        + struct.pack(">hxx", 0x0100)  # volume 1.0 + reserved
+        + b"\x00" * 8
+        + struct.pack(">9i", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24
+        + struct.pack(">I", 2)  # next track id
+    )
+    moov = _mp4_box(b"moov", _mp4_box(b"mvhd", mvhd_payload))
+    free = _mp4_box(b"free", b"\x00" * pad) if pad else b""
+    return ftyp + moov + free
+
+
+def parse_mp4_meta(content: bytes) -> dict | None:
+    """Box-walk metadata probe: timescale/duration from moov/mvhd.
+    Strict on box sizes; returns None when the walk runs off the end
+    or mvhd is missing/truncated."""
+
+    def walk(data: bytes, want: bytes) -> bytes | None:
+        i = 0
+        while i + 8 <= len(data):
+            size, kind = struct.unpack_from(">I4s", data, i)
+            if size < 8 or i + size > len(data):
+                return None
+            if kind == want:
+                return data[i + 8 : i + size]
+            i += size
+        return None
+
+    if len(content) < 8:
+        return None
+    moov = walk(content, b"moov")
+    if moov is None:
+        return None
+    mvhd = walk(moov, b"mvhd")
+    if mvhd is None or len(mvhd) < 20 or mvhd[0] != 0:
+        return None
+    timescale, duration = struct.unpack_from(">II", mvhd, 12)
+    if timescale == 0:
+        return None
+    return {
+        "timescale": timescale,
+        "duration": duration,
+        "duration_s": duration / timescale,
+    }
+
+
+PROBE_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("kind", StringType(), False),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+        StructField("n_components", LongType(), True),
+        StructField("duration_ms", LongType(), True),
+        StructField("n_bytes", LongType(), False),
+    ]
+)
+
+
+def probe_media_from_ids(df: DataFrame, id_column: str) -> DataFrame:
+    """Build-then-probe in one Arrow-batched pass: even ids become
+    JPEG shells (width = id%640+16, height = id%480+16, COM length =
+    id%50), odd ids MP4 shells (duration = id%9000+1000 ms at
+    timescale 1000, free-box pad = id%50). Metadata is deliberately
+    NOT carried alongside — everything the probe reports is re-parsed
+    from the bytes, and the mm7 oracle predicts it from id arithmetic
+    (including exact byte sizes). The probe is what a 100-TB ingest
+    runs BEFORE any decode: cheap header walks to route/filter/shard
+    assets, linear scan, no shuffle."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid in pdf[id_column]:
+                aid = int(aid)
+                if aid % 2 == 0:
+                    content = encode_jpeg_shell(
+                        aid % 640 + 16, aid % 480 + 16, b"x" * (aid % 50)
+                    )
+                    meta = parse_jpeg_meta(content)
+                    rows.append(
+                        {
+                            "asset_id": aid,
+                            "kind": "jpeg",
+                            "width": meta["width"],
+                            "height": meta["height"],
+                            "n_components": meta["n_components"],
+                            "duration_ms": None,
+                            "n_bytes": len(content),
+                        }
+                    )
+                else:
+                    content = encode_mp4_shell(
+                        aid % 9000 + 1000, 1000, aid % 50
+                    )
+                    meta = parse_mp4_meta(content)
+                    rows.append(
+                        {
+                            "asset_id": aid,
+                            "kind": "mp4",
+                            "width": None,
+                            "height": None,
+                            "n_components": None,
+                            "duration_ms": meta["duration"],
+                            "n_bytes": len(content),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in PROBE_SCHEMA.fields])
+
+    return df.select(id_column).mapInPandas(build, schema=PROBE_SCHEMA)

@@ -3734,6 +3734,39 @@ ORDER BY asset_id
 """
 
 
+def mm7_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-walk metadata PROBE for compressed formats
+    (multimodal.parse_jpeg_meta / parse_mp4_meta): JPEG marker walk to
+    the first SOFn for dimensions/components, ISO-BMFF box walk to
+    moov/mvhd for timescale/duration. This is the step a 100-TB
+    ingest runs BEFORE any decode — cheap routing/filtering/sharding
+    off a few header bytes, one Arrow-batched linear pass, no
+    shuffle. The shell fixtures carry their metadata ONLY inside the
+    parsed structures (and the oracle predicts every field — incl.
+    exact byte sizes — from id arithmetic), so the output proves the
+    parsers, not the plumbing. Full JPEG entropy decode / MP4 sample
+    decode remain the stub boundary."""
+    from paqarin_spark.multimodal import probe_media_from_ids
+
+    docs = _docs(spark, sf_dir)
+    return probe_media_from_ids(docs, "doc_id").orderBy("asset_id")
+
+
+MM7_SQL = """
+SELECT doc_id AS asset_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'jpeg' ELSE 'mp4' END AS kind,
+       CASE WHEN doc_id % 2 = 0 THEN doc_id % 640 + 16 END AS width,
+       CASE WHEN doc_id % 2 = 0 THEN doc_id % 480 + 16 END AS height,
+       CASE WHEN doc_id % 2 = 0 THEN 3 END AS n_components,
+       CASE WHEN doc_id % 2 = 1 THEN doc_id % 9000 + 1000 END AS duration_ms,
+       CASE WHEN doc_id % 2 = 0
+            THEN 41 + CASE WHEN doc_id % 50 > 0 THEN 4 + doc_id % 50 ELSE 0 END
+            ELSE 140 + CASE WHEN doc_id % 50 > 0 THEN 8 + doc_id % 50 ELSE 0 END
+       END AS n_bytes
+FROM documents ORDER BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # MM2 — video frame-sampling fan-out (multimodal north star)
 
@@ -4967,6 +5000,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx25_unigram_logprob": tx25_unigram_logprob,
     "gen5_markov_sample": gen5_markov_sample,
     "ev4_markov_fidelity": ev4_markov_fidelity,
+    "mm7_media_probe": mm7_media_probe,
     # --- regression watch (BENCH_r02 movers) ---
     "q33_large_orders": q33_large_orders,
     "gen4_conditional_sample": gen4_conditional_sample,
@@ -4991,8 +5025,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- backfill: round-1-verified (oldest driver check) ---
     "q05_window_starts": q05_window_starts,
     "q06_tail_trim": q06_tail_trim,
-    "q07_keep_first": q07_keep_first,
     # ------------- driver 50-entry window ends HERE (position 50) -------------
+    "q07_keep_first": q07_keep_first,
     "q08_metric_summary": q08_metric_summary,
     "q09_lag_mae": q09_lag_mae,
     "q10_weekend_covariate": q10_weekend_covariate,
@@ -5191,4 +5225,5 @@ ORACLE_SQL: dict[str, str] = {
     "tx25_unigram_logprob": TX25_SQL,
     "gen5_markov_sample": GEN5_SQL,
     "ev4_markov_fidelity": EV4_SQL,
+    "mm7_media_probe": MM7_SQL,
 }

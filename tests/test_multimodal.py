@@ -308,3 +308,46 @@ def test_resize_images_really_resizes_pngs(spark):
         png = parse_png(bytes(row["content"]))
         assert (png["width"], png["height"]) == (3, 3)
         assert row["meta"]["width"] == 3 and row["meta"]["height"] == 3
+
+
+def test_jpeg_probe_roundtrip_and_strictness():
+    from paqarin_spark.multimodal import encode_jpeg_shell, parse_jpeg_meta
+
+    j = encode_jpeg_shell(321, 199, b"comment")
+    meta = parse_jpeg_meta(j)
+    assert (meta["width"], meta["height"], meta["n_components"]) == (321, 199, 3)
+    assert meta["progressive"] is False
+    # strictness: no SOI, truncated SOF, EOI before SOF
+    assert parse_jpeg_meta(b"not a jpeg") is None
+    assert parse_jpeg_meta(j[:10]) is None
+    assert parse_jpeg_meta(b"\xff\xd8\xff\xd9") is None
+    # a segment length pointing past the buffer is rejected
+    bad = bytearray(j)
+    bad[4] = 0xFF  # inflate APP0 length high byte (offset 4 after SOI+marker)
+    assert parse_jpeg_meta(bytes(bad)) is None
+
+
+def test_mp4_probe_roundtrip_and_strictness():
+    from paqarin_spark.multimodal import encode_mp4_shell, parse_mp4_meta
+
+    m = encode_mp4_shell(5400, 600, pad=3)
+    meta = parse_mp4_meta(m)
+    assert meta["timescale"] == 600 and meta["duration"] == 5400
+    assert meta["duration_s"] == 9.0
+    assert parse_mp4_meta(b"tiny") is None
+    assert parse_mp4_meta(b"\x00" * 32) is None
+    # box size running past the end is rejected
+    bad = bytearray(m)
+    bad[3] = 0xFF
+    assert parse_mp4_meta(bytes(bad)) is None
+
+
+def test_probe_media_from_ids_schema(spark):
+    from paqarin_spark.multimodal import probe_media_from_ids
+
+    df = spark.range(6).withColumnRenamed("id", "doc_id")
+    rows = {r["asset_id"]: r for r in probe_media_from_ids(df, "doc_id").collect()}
+    assert rows[0]["kind"] == "jpeg" and rows[0]["width"] == 16
+    assert rows[1]["kind"] == "mp4" and rows[1]["duration_ms"] == 1001
+    assert rows[2]["n_components"] == 3
+    assert rows[3]["n_bytes"] == 140 + 8 + 3
