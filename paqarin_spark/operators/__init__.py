@@ -12,6 +12,7 @@ from paqarin_spark.operators.resample import (
 from paqarin_spark.operators.scaling import MinMaxScaler, MinMaxState
 from paqarin_spark.operators.dedup import (
     contamination_check,
+    containment_pairs,
     duplicate_clusters,
     duplicate_spans,
     exact_duplicates,
@@ -54,6 +55,7 @@ __all__ = [
     "MinMaxScaler",
     "MinMaxState",
     "contamination_check",
+    "containment_pairs",
     "duplicate_clusters",
     "duplicate_spans",
     "exact_duplicates",

@@ -672,3 +672,82 @@ def duplicate_spans(
             ),
         )
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_column: str,
+    id_column: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_doc_frequency: int | None = None,
+) -> DataFrame:
+    """ASYMMETRIC containment |A∩B| / |A|: how much of document A's
+    shingle set lives inside B. The dedup score Jaccard cannot
+    express — a 50-shingle snippet fully embedded in a 5000-shingle
+    page has Jaccard ~0.01 but containment 1.0 — which is exactly the
+    quote/boilerplate/subset case corpus curation needs to catch
+    (Broder's original resemblance/containment pair, 1997).
+
+    Same scale shape as :func:`ngram_jaccard_pairs`: inverted-index
+    self-join on shingle (docs meet only on shared shingles), df-cap
+    pruning against viral shingles, sizes broadcast back. Each
+    undirected common-count expands to both directions before the
+    threshold, so the output names (id_small = the contained side).
+    """
+    shing = _shingle_rows(df, text_column, id_column, n)
+    sizes = shing.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
+    if max_doc_frequency is not None:
+        hot = (
+            shing.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_doc_frequency)
+            .select("shingle")
+        )
+        shing = shing.join(F.broadcast(hot), on="shingle", how="left_anti")
+    a = shing.alias("a")
+    b = shing.alias("b")
+    common = (
+        a.join(b, on="shingle")
+        .where(F.col("a.doc") < F.col("b.doc"))
+        .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    # Join both sizes once and EXPLODE the two directed rows — a
+    # union of two selects over `common` would recompute the whole
+    # shingle self-join per branch (measured 28s -> 3s at sf0.01).
+    paired = common.join(
+        F.broadcast(sizes).withColumnRenamed("doc", "id_a").withColumnRenamed(
+            "n_shingles", "size_a"
+        ),
+        on="id_a",
+    ).join(
+        F.broadcast(sizes).withColumnRenamed("doc", "id_b").withColumnRenamed(
+            "n_shingles", "size_b"
+        ),
+        on="id_b",
+    )
+    directed = F.explode(
+        F.array(
+            F.struct(
+                F.col("id_a").alias("id_small"),
+                F.col("id_b").alias("id_large"),
+                (F.col("common") / F.col("size_a")).alias("_raw"),
+            ),
+            F.struct(
+                F.col("id_b").alias("id_small"),
+                F.col("id_a").alias("id_large"),
+                (F.col("common") / F.col("size_b")).alias("_raw"),
+            ),
+        )
+    )
+    return (
+        paired.select(directed.alias("_d"))
+        .select("_d.*")
+        .where(F.col("_raw") >= threshold)
+        .select(
+            "id_small",
+            "id_large",
+            F.round(F.col("_raw"), 6).alias("containment"),
+        )
+    )

@@ -2831,6 +2831,86 @@ ORDER BY 1
 """
 
 
+def q68_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (signup → later click → later
+    purchase): per-user stage timestamps via chained per-user window
+    minima — stage k+1's candidate set is conditioned on stage k's
+    window result, so the three projections reuse ONE exchange on
+    user_id (no re-shuffle between stages; check the plan for a
+    single Exchange). The final rollup counts users reaching each
+    stage — the sequence-pattern primitive behind funnel dashboards,
+    here without any MATCH_RECOGNIZE dependency."""
+    configure_for_determinism(spark)
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id")
+    s1 = ev.withColumn(
+        "_t_signup",
+        F.min(
+            F.when(F.col("event_type") == "signup", F.col("ts"))
+        ).over(w),
+    )
+    s2 = s1.withColumn(
+        "_t_click",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("ts") > F.col("_t_signup")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    s3 = s2.withColumn(
+        "_t_purchase",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("_t_click")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    per_user = s3.groupBy("user_id").agg(
+        F.max("_t_signup").alias("t1"),
+        F.max("_t_click").alias("t2"),
+        F.max("_t_purchase").alias("t3"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t1").alias("n_signup"),
+        F.count("t2").alias("n_click_after"),
+        F.count("t3").alias("n_purchase_after"),
+    )
+
+
+Q68_SQL = """
+WITH s1 AS (
+  SELECT user_id, event_type, ts,
+         MIN(CASE WHEN event_type = 'signup' THEN ts END)
+           OVER (PARTITION BY user_id) AS t_signup
+  FROM events
+), s2 AS (
+  SELECT *,
+         MIN(CASE WHEN event_type = 'click' AND ts > t_signup THEN ts END)
+           OVER (PARTITION BY user_id) AS t_click
+  FROM s1
+), s3 AS (
+  SELECT *,
+         MIN(CASE WHEN event_type = 'purchase' AND ts > t_click THEN ts END)
+           OVER (PARTITION BY user_id) AS t_purchase
+  FROM s2
+), per_user AS (
+  SELECT user_id, MAX(t_signup) AS t1, MAX(t_click) AS t2,
+         MAX(t_purchase) AS t3
+  FROM s3 GROUP BY 1
+)
+SELECT COUNT(*) AS n_users,
+       COUNT(t1) AS n_signup,
+       COUNT(t2) AS n_click_after,
+       COUNT(t3) AS n_purchase_after
+FROM per_user
+"""
+
+
 # --------------------------------------------------------------------------
 # Text / dedup family (north-star extensions, documents table)
 
@@ -4600,6 +4680,49 @@ FROM spans GROUP BY doc ORDER BY doc
 """
 
 
+def tx26_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup detection: shingle containment
+    |A∩B| / |A| — the score that catches a short document embedded
+    inside a longer one (quote farms, paywall snippets, boilerplate
+    wrappers), which symmetric Jaccard dilutes below any threshold.
+    Same inverted-index join as tx4 (docs meet only on shared
+    shingles, df-capped against viral shingles), but normalized by
+    the CONTAINED side's size and emitted in both directions."""
+    from paqarin_spark.operators import containment_pairs
+
+    docs = _docs(spark, sf_dir)
+    return containment_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.8, max_doc_frequency=50
+    ).orderBy("id_small", "id_large")
+
+
+TX26_SQL = f"""
+WITH sh AS (
+  SELECT doc_id AS doc, unnest({_SHINGLES_SQL}) AS shingle FROM documents
+), sizes AS (
+  SELECT doc, COUNT(*) AS n_shingles FROM sh GROUP BY 1
+), kept AS (
+  SELECT doc, shingle FROM sh
+  WHERE shingle NOT IN (
+    SELECT shingle FROM sh GROUP BY 1 HAVING COUNT(*) > 50
+  )
+), common AS (
+  SELECT a.doc AS id_a, b.doc AS id_b, COUNT(*) AS common
+  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc < b.doc
+  GROUP BY 1, 2
+), both_dirs AS (
+  SELECT id_a AS id_small, id_b AS id_large, common FROM common
+  UNION ALL
+  SELECT id_b, id_a, common FROM common
+)
+SELECT id_small, id_large,
+       ROUND(common / s.n_shingles, 6) AS containment
+FROM both_dirs JOIN sizes s ON s.doc = id_small
+WHERE common / s.n_shingles >= 0.8
+ORDER BY 1, 2
+"""
+
+
 def tx24_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-statistics health check: the Zipf log-log slope of the
     top-100 token frequencies (natural text sits near -1; synthetic or
@@ -5001,6 +5124,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gen5_markov_sample": gen5_markov_sample,
     "ev4_markov_fidelity": ev4_markov_fidelity,
     "mm7_media_probe": mm7_media_probe,
+    "tx26_containment_pairs": tx26_containment_pairs,
+    "q68_conversion_funnel": q68_conversion_funnel,
     # --- regression watch (BENCH_r02 movers) ---
     "q33_large_orders": q33_large_orders,
     "gen4_conditional_sample": gen4_conditional_sample,
@@ -5022,10 +5147,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q58_salted_revenue": q58_salted_revenue,
     "q30_sessionize": q30_sessionize,
     "q14_pricing_summary": q14_pricing_summary,
+    # ------------- driver 50-entry window ends HERE (position 50) -------------
     # --- backfill: round-1-verified (oldest driver check) ---
     "q05_window_starts": q05_window_starts,
     "q06_tail_trim": q06_tail_trim,
-    # ------------- driver 50-entry window ends HERE (position 50) -------------
     "q07_keep_first": q07_keep_first,
     "q08_metric_summary": q08_metric_summary,
     "q09_lag_mae": q09_lag_mae,
@@ -5226,4 +5351,6 @@ ORACLE_SQL: dict[str, str] = {
     "gen5_markov_sample": GEN5_SQL,
     "ev4_markov_fidelity": EV4_SQL,
     "mm7_media_probe": MM7_SQL,
+    "tx26_containment_pairs": TX26_SQL,
+    "q68_conversion_funnel": Q68_SQL,
 }

@@ -236,3 +236,23 @@ def test_duplicate_spans_counts_multiplicity(spark):
     assert out[2]["n_dup_spans"] == 1
     assert out[3]["n_dup_spans"] == 0
     assert out[3]["dup_span_ratio"] == 0.0
+
+
+def test_containment_pairs_asymmetric(spark):
+    from paqarin_spark.operators import containment_pairs
+
+    # doc 2 is a snippet fully contained in doc 1; Jaccard would be
+    # ~3/8 but containment(2 -> 1) is 1.0
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),
+            (2, "c d e f g"),
+            (3, "x y z w v u"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["id_small"], r["id_large"]): r["containment"]
+        for r in containment_pairs(df, "text", "doc_id", n=3, threshold=0.9).collect()
+    }
+    assert out == {(2, 1): 1.0}  # only the contained direction passes

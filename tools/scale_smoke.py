@@ -264,6 +264,59 @@ def main() -> int:
         f"[{'ok' if ok else f'EXPECTED {V}'}]"
     )
 
+    # Span-dedup + contamination at corpus scale: M synthetic docs of
+    # 16 tokens each from per-doc disjoint alphabets, with doc pairs
+    # (10k, 10k+1) sharing identical text. Every span either recurs in
+    # exactly its twin (ratio 1.0) or nowhere (ratio 0.0) — closed
+    # form at any M, and the shingle-keyed exchanges see M*14 span
+    # rows with no hot keys (worst-case df = 2).
+    from paqarin_spark.operators import contamination_check, duplicate_spans
+
+    M = max(n // 10, 100_000)
+    base = F.col("doc_id") - F.when(F.col("doc_id") % 10 == 1, 1).otherwise(0)
+    text = F.concat_ws(
+        " ",
+        *[
+            F.concat(F.lit("t"), base.cast("string"), F.lit(f"x{j}"))
+            for j in range(16)
+        ],
+    )
+    docs = spark.range(M).select(F.col("id").alias("doc_id"), text.alias("text"))
+    t0 = time.perf_counter()
+    full_dup = (
+        duplicate_spans(docs, "text", "doc_id", n=3)
+        .where(F.col("dup_span_ratio") == 1.0)
+        .count()
+    )
+    dt = time.perf_counter() - t0
+    ok = full_dup == M // 5  # ids with id%10 in {0,1}
+    checks.append(ok)
+    print(
+        f"{'duplicate spans M=' + str(M):24} {dt:7.1f}s  rows={full_dup:>12,}  "
+        f"[{'ok' if ok else f'EXPECTED {M // 5}'}]"
+    )
+
+    # Benchmark = every 1000th doc; the only contaminated corpus docs
+    # are their twins (id % 1000 == 1), at ratio 1.0. The benchmark
+    # shingle set (~M/1000 * 14 rows) broadcasts; the corpus is never
+    # shuffled before its own per-doc rollup.
+    bench = docs.where(F.col("doc_id") % 1000 == 0)
+    corpus = docs.where(F.col("doc_id") % 1000 != 0)
+    t0 = time.perf_counter()
+    contaminated = (
+        contamination_check(corpus, bench, "text", "doc_id", n=3)
+        .where(F.col("contamination_ratio") == 1.0)
+        .count()
+    )
+    dt = time.perf_counter() - t0
+    expect_cont = M // 1000  # ids == 1 mod 1000
+    ok = contaminated == expect_cont
+    checks.append(ok)
+    print(
+        f"{'contamination probe':24} {dt:7.1f}s  rows={contaminated:>12,}  "
+        f"[{'ok' if ok else f'EXPECTED {expect_cont}'}]"
+    )
+
     print("all invariants hold" if all(checks) else "INVARIANT FAILURES")
     return 0 if all(checks) else 1
 
