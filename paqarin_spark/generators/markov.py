@@ -140,6 +140,11 @@ class MarkovEventGenerator(TimeSeriesGenerator):
     ) -> DataFrame:
         if self.initial is None or self.transitions is None:
             raise RuntimeError("generator is not fitted")
+        if not self.initial:
+            raise RuntimeError(
+                "generator was fitted on an empty relation — no initial "
+                "distribution to sample from"
+            )
         seed = self.parameters.seed if seed is None else seed
         length = self.parameters.sequence_length
         spark = SparkSession.getActiveSession()

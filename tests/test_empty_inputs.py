@@ -63,3 +63,46 @@ def test_asof_join_empty_sides(spark, empty):
     )
     rows = asof_join(left, right, on=["item"], left_ts="ts", right_ts="rts").collect()
     assert len(rows) == 1 and rows[0]["px"] is None
+
+
+def test_round3_ops_on_empty_relations(spark):
+    from paqarin_spark.operators import (
+        contamination_check,
+        containment_pairs,
+        duplicate_spans,
+        scalar_quantize_error,
+    )
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    some = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    assert duplicate_spans(docs, "text", "doc_id").count() == 0
+    assert containment_pairs(docs, "text", "doc_id").count() == 0
+    # empty corpus against a real benchmark, and vice versa
+    assert contamination_check(docs, some, "text", "doc_id", n=2).count() == 0
+    out = contamination_check(some, docs, "text", "doc_id", n=2).collect()
+    assert len(out) == 1 and out[0]["n_contaminated"] == 0
+
+    vecs = spark.createDataFrame([], "vec_id long, v array<double>")
+    assert scalar_quantize_error(vecs, "vec_id", "v").count() == 0
+
+
+def test_markov_generator_empty_fit_raises_cleanly(spark):
+    from paqarin_spark.generators import MarkovEventGenerator
+    from paqarin_spark.generator import GeneratorParameters
+
+    empty_ev = spark.createDataFrame(
+        [], "user_id string, ts timestamp, event_type string, value double"
+    )
+    schema = TimeSeriesSchema(
+        item_id_columns=("user_id",),
+        timestamp_column="ts",
+        value_columns=("value",),
+        frequency="D",
+    )
+    p = GeneratorParameters(schema=schema, sequence_length=4, seed=1)
+    gen = MarkovEventGenerator(p).fit(empty_ev)
+    # fitting on nothing yields an empty chain; sampling from it must
+    # fail loudly (no initial distribution), not emit garbage
+    assert gen.initial == {} and gen.transitions == {}
+    with pytest.raises(RuntimeError, match="empty relation"):
+        gen.generate(3)
