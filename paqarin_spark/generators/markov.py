@@ -113,25 +113,38 @@ class MarkovEventGenerator(TimeSeriesGenerator):
             F.row_number().over(w).alias("_rn"),
             F.lag(cat).over(w).alias("_prev"),
         )
-        init_rows = (
-            ordered.where(F.col("_rn") == 1)
-            .groupBy("_cat")
+        # ONE grouped pass + ONE collect: the per-entity window (a
+        # full shuffle-and-sort of the training data) is the expensive
+        # part, so both distributions come out of the same scan —
+        # (_first, _prev, _cat) rows are initial counts where _first,
+        # transition counts where _prev is set.
+        rows = (
+            ordered.groupBy(
+                (F.col("_rn") == 1).alias("_first"), "_prev", "_cat"
+            )
             .agg(F.count(F.lit(1)).alias("c"))
             .collect()
         )
-        trans_rows = (
-            ordered.where(F.col("_prev").isNotNull())
-            .groupBy("_prev", "_cat")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .collect()
-        )
-        self.initial = {r["_cat"]: r["c"] for r in init_rows}
+        self.initial = {}
         self.transitions = {}
-        for r in trans_rows:
-            self.transitions.setdefault(r["_prev"], {})[r["_cat"]] = r["c"]
-        # Absorbing fallback: a category observed only as a final
-        # event has no outgoing mass — self-loop keeps the chain total.
-        for cat_name in self.initial:
+        observed: set[str] = set()
+        for r in rows:
+            observed.add(r["_cat"])
+            if r["_first"]:
+                self.initial[r["_cat"]] = (
+                    self.initial.get(r["_cat"], 0) + r["c"]
+                )
+            if r["_prev"] is not None:
+                observed.add(r["_prev"])
+                nexts = self.transitions.setdefault(r["_prev"], {})
+                nexts[r["_cat"]] = nexts.get(r["_cat"], 0) + r["c"]
+        # Absorbing fallback over EVERY observed category, not just the
+        # initial ones: a category that only ever appears as a
+        # non-first FINAL event is still reachable mid-walk, and
+        # without outgoing mass the sampler would fall through to an
+        # arbitrary CDF (and diverge from the oracle). Self-loop keeps
+        # the chain total.
+        for cat_name in observed:
             self.transitions.setdefault(cat_name, {cat_name: 1})
         return self
 
@@ -162,6 +175,11 @@ class MarkovEventGenerator(TimeSeriesGenerator):
         def step(acc, i):
             u = uniform_hash(sid, i, F.lit(str(seed)))
             cur = acc["cur"]
+            # CASE chain over every fitted state; fit() guarantees an
+            # entry for every observed category, so `cur` always
+            # matches one branch — the trailing unconditional branch
+            # (the first sorted state's pick) is unreachable, kept
+            # only so the expression stays total.
             nxt = None
             for prev in sorted(trans_cdfs):
                 picked = _pick(trans_cdfs[prev], u)
@@ -170,19 +188,24 @@ class MarkovEventGenerator(TimeSeriesGenerator):
                     if nxt is None
                     else F.when(cur == F.lit(prev), picked).otherwise(nxt)
                 )
-                # build the chain most-common-last so the final
-                # unconditional branch is a valid fallback
             return F.struct(
                 nxt.alias("cur"),
                 F.concat(acc["seq"], F.array(nxt)).alias("seq"),
             )
 
-        walk = F.aggregate(
-            F.sequence(F.lit(1), F.lit(length - 1)),
-            F.struct(first.alias("cur"), F.array(first).alias("seq")),
-            step,
-            lambda acc: acc["seq"],
-        )
+        init_struct = F.struct(first.alias("cur"), F.array(first).alias("seq"))
+        if length <= 1:
+            # F.sequence(1, 0) would produce the DESCENDING [1, 0] and
+            # append two spurious steps; a 1-step walk is just the
+            # initial draw.
+            walk = init_struct["seq"]
+        else:
+            walk = F.aggregate(
+                F.sequence(F.lit(1), F.lit(length - 1)),
+                init_struct,
+                step,
+                lambda acc: acc["seq"],
+            )
         return base.select(
             "sequence_id", F.posexplode(walk).alias("step", self.category_column)
         )

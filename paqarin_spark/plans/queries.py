@@ -988,12 +988,15 @@ def ev1_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scorer.metric_manager.summary("predictive_score")
 
 
-def ev2_univariate_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Univariate TSTR orchestration (ops F2+F4+F7+H2+I2-I4+J4
-    boundary, `paqarin/metrics/univariate_metrics.py:130-277`): fit
-    both Spark-native generators on events, score with the
-    weekday-profile forecaster trained on synthetic panels, emit the
-    summary rows (rows-only — seeded sampling output)."""
+def _univariate_tstr_summary(
+    spark: SparkSession, sf_dir: str, seed: int, forecaster_factory=None
+) -> DataFrame:
+    """Shared TSTR orchestration behind ev2/ev3: normalise events to a
+    dense daily panel (F1), fit both Spark-native generators, score
+    each (generator, iteration) with the given forecaster in ONE
+    batched plan, and emit the metric summary. The two declared
+    queries differ only in seed and forecaster pluggable — keeping the
+    calendar-fill/persist/score/unpersist discipline in one place."""
     from paqarin_spark.adapter import get_generator_adapter
     from paqarin_spark.metrics.univariate import (
         FORECAST_SCORE,
@@ -1023,14 +1026,17 @@ def ev2_univariate_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_columns=("value",),
         frequency="D",
     )
-    p = GeneratorParameters(schema=daily_schema, sequence_length=8, seed=17)
+    p = GeneratorParameters(schema=daily_schema, sequence_length=8, seed=seed)
     gens = {
         "bootstrap": get_generator_adapter("paqarin_spark", "bootstrap", p),
         "gaussian": get_generator_adapter("paqarin_spark", "gaussian", p),
     }
-    scorer = UnivariateForecastScorer(
+    scorer_kwargs = dict(
         prediction_length=7, iterations=2, number_of_sequences=30
     )
+    if forecaster_factory is not None:
+        scorer_kwargs["forecaster_factory"] = forecaster_factory
+    scorer = UnivariateForecastScorer(**scorer_kwargs)
     for gen in gens.values():
         gen.fit(daily)
     # One batched plan scores every (generator, iteration) pair — the
@@ -1044,6 +1050,15 @@ def ev2_univariate_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def ev2_univariate_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Univariate TSTR orchestration (ops F2+F4+F7+H2+I2-I4+J4
+    boundary, `paqarin/metrics/univariate_metrics.py:130-277`): fit
+    both Spark-native generators on events, score with the
+    weekday-profile forecaster trained on synthetic panels, emit the
+    summary rows (rows-only — seeded sampling output)."""
+    return _univariate_tstr_summary(spark, sf_dir, seed=17)
+
+
 def ev3_drift_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ev2's TSTR orchestration under the SECOND J4 pluggable
     (SeasonalNaiveDriftForecaster): same generators, same panel
@@ -1053,47 +1068,11 @@ def ev3_drift_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     the two summaries show the ranking discriminating by which
     structure each generator's synthetic data preserves (rows-only —
     seeded sampling output)."""
-    from paqarin_spark.adapter import get_generator_adapter
-    from paqarin_spark.generator import GeneratorParameters
-    from paqarin_spark.metrics.univariate import (
-        FORECAST_SCORE,
-        SeasonalNaiveDriftForecaster,
-        UnivariateForecastScorer,
-    )
-    from paqarin_spark.schema import TimeSeriesSchema
+    from paqarin_spark.metrics.univariate import SeasonalNaiveDriftForecaster
 
-    ev = _events(spark, sf_dir)
-    daily = (
-        calendar_fill(ev, EVENTS_SCHEMA, bucket_column="bucket")
-        .select("user_id", "bucket", "value")
-        .persist()
+    return _univariate_tstr_summary(
+        spark, sf_dir, seed=23, forecaster_factory=SeasonalNaiveDriftForecaster
     )
-    daily_schema = TimeSeriesSchema(
-        item_id_columns=("user_id",),
-        timestamp_column="bucket",
-        value_columns=("value",),
-        frequency="D",
-    )
-    p = GeneratorParameters(schema=daily_schema, sequence_length=8, seed=23)
-    gens = {
-        "bootstrap": get_generator_adapter("paqarin_spark", "bootstrap", p),
-        "gaussian": get_generator_adapter("paqarin_spark", "gaussian", p),
-    }
-    scorer = UnivariateForecastScorer(
-        prediction_length=7,
-        iterations=2,
-        number_of_sequences=30,
-        forecaster_factory=SeasonalNaiveDriftForecaster,
-    )
-    for gen in gens.values():
-        gen.fit(daily)
-    scorer.calculate_many(gens, daily)
-    out = scorer.metric_manager.summary(FORECAST_SCORE)
-    scorer.unpersist()
-    for gen in gens.values():
-        gen.unpersist()
-    daily.unpersist()
-    return out
 
 
 # --------------------------------------------------------------------------

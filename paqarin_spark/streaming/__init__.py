@@ -105,15 +105,17 @@ def stream_distinct_count(
     cluster wants. Output: (window_start, n_distinct), append mode on
     window close.
     """
-    bucket = F.date_trunc("DAY", F.col(timestamp_column))
+    # The dedup key is the WINDOW START itself (not a hard-coded
+    # day-trunc), so a key active in two different windows counts once
+    # in each — for any window_duration.
+    win = F.window(F.col(timestamp_column), window_duration)
     deduped = (
-        stream.withColumn("_bucket", bucket)
+        stream.withColumn("_bucket", win["start"])
         .withWatermark(timestamp_column, watermark)
         .dropDuplicatesWithinWatermark([key_column, "_bucket"])
     )
-    win = F.window(F.col(timestamp_column), window_duration)
     return (
-        deduped.groupBy(win.alias("_w"))
+        deduped.groupBy(F.window(F.col(timestamp_column), window_duration).alias("_w"))
         .agg(F.count(F.lit(1)).alias("n_distinct"))
         .select(F.col("_w.start").alias("window_start"), "n_distinct")
     )

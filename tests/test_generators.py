@@ -327,3 +327,64 @@ def test_markov_generator_adapter_and_persistence(spark, tmp_path):
     a = sorted(map(tuple, gen.generate(7).collect()))
     b = sorted(map(tuple, loaded.generate(7).collect()))
     assert a == b
+
+
+def test_markov_generator_terminal_category_absorbs(spark):
+    import datetime as dt
+
+    from paqarin_spark.generators import MarkovEventGenerator
+    from paqarin_spark.generator import GeneratorParameters
+    from paqarin_spark.schema import TimeSeriesSchema
+
+    # every sequence is a -> b -> c: c is observed ONLY as a non-first
+    # final event, so it must still get an absorbing self-loop
+    rows = []
+    for uid in ("u1", "u2", "u3"):
+        for i, t in enumerate("abc"):
+            rows.append(
+                (uid, dt.datetime(2020, 1, 1) + dt.timedelta(hours=i), t, 1.0)
+            )
+    df = spark.createDataFrame(
+        rows, "user_id string, ts timestamp, event_type string, value double"
+    )
+    schema = TimeSeriesSchema(
+        item_id_columns=("user_id",),
+        timestamp_column="ts",
+        value_columns=("value",),
+        frequency="D",
+    )
+    p = GeneratorParameters(schema=schema, sequence_length=6, seed=2)
+    gen = MarkovEventGenerator(p).fit(df)
+    assert gen.transitions["c"] == {"c": 1}
+    seqs = {}
+    for r in gen.generate(10).collect():
+        seqs.setdefault(r["sequence_id"], []).append((r["step"], r["event_type"]))
+    for steps in seqs.values():
+        cats = [c for _, c in sorted(steps)]
+        assert cats[:3] == ["a", "b", "c"] and cats[3:] == ["c", "c", "c"]
+
+
+def test_markov_generator_length_one(spark):
+    import datetime as dt
+
+    from paqarin_spark.generators import MarkovEventGenerator
+    from paqarin_spark.generator import GeneratorParameters
+    from paqarin_spark.schema import TimeSeriesSchema
+
+    df = spark.createDataFrame(
+        [("u1", dt.datetime(2020, 1, 1), "x", 1.0),
+         ("u1", dt.datetime(2020, 1, 2), "y", 1.0)],
+        "user_id string, ts timestamp, event_type string, value double",
+    )
+    schema = TimeSeriesSchema(
+        item_id_columns=("user_id",),
+        timestamp_column="ts",
+        value_columns=("value",),
+        frequency="D",
+    )
+    p = GeneratorParameters(schema=schema, sequence_length=1, seed=4)
+    out = MarkovEventGenerator(p).fit(df).generate(5).collect()
+    # exactly one step per sequence — F.sequence(1, 0) would have
+    # produced a descending [1, 0] and 3 rows each
+    assert len(out) == 5
+    assert {r["step"] for r in out} == {0}

@@ -211,3 +211,33 @@ def test_stream_distinct_count_closed_windows(spark, tmp_path):
         str(r["window_start"])[:10]: r["n_distinct"] for r in out.collect()
     }
     assert got == {"2020-01-01": 3, "2020-01-02": 2}
+
+
+def test_stream_distinct_count_subdaily_window(spark, tmp_path):
+    from paqarin_spark.streaming import stream_distinct_count
+
+    # same user in two different HOURS must count once per hourly
+    # window (the dedup key is the window start, not a fixed day)
+    rows = [
+        ("u1", dt.datetime(2020, 1, 1, 1, 5)),
+        ("u1", dt.datetime(2020, 1, 1, 1, 40)),  # dup within the hour
+        ("u1", dt.datetime(2020, 1, 1, 5, 0)),
+        ("u2", dt.datetime(2020, 1, 1, 5, 30)),
+        ("u9", dt.datetime(2020, 1, 3, 0, 0)),  # advances the watermark
+    ]
+    df = spark.createDataFrame(rows, "user string, ts timestamp")
+    path = str(tmp_path / "in")
+    df.repartition(2).write.parquet(path)
+    stream = spark.readStream.schema(df.schema).parquet(path)
+    out = _run(
+        spark,
+        stream_distinct_count(
+            stream, "ts", "user", window_duration="1 hour", watermark="1 hour"
+        ),
+        "t_distinct_hourly",
+        "append",
+    )
+    got = {
+        str(r["window_start"])[:13]: r["n_distinct"] for r in out.collect()
+    }
+    assert got == {"2020-01-01 01": 1, "2020-01-01 05": 2}
