@@ -32,6 +32,13 @@ from paqarin_spark.operators.windows import (
     window_starts,
     xy_split,
 )
+from paqarin_spark.operators.corpus import (
+    bm25_topk,
+    chunk_tokens,
+    mixture_sample,
+    pack_sequences,
+    tfidf_top_terms,
+)
 from paqarin_spark.operators.joins import asof_join, range_point_join, salted_join
 from paqarin_spark.operators.sessions import session_stats, sessionize
 from paqarin_spark.operators.similarity import (
@@ -83,4 +90,9 @@ __all__ = [
     "ivf_topk",
     "lsh_topk",
     "scalar_quantize_error",
+    "bm25_topk",
+    "chunk_tokens",
+    "mixture_sample",
+    "pack_sequences",
+    "tfidf_top_terms",
 ]

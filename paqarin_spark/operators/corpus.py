@@ -1,0 +1,293 @@
+"""Corpus-preparation operators for the LLM-training-data pipeline
+surface (SURVEY.md §2 'Not present in the reference'): deterministic
+mixture sampling, concat-and-chunk sequence packing, overlapping
+token chunking, TF-IDF term ranking, and BM25 retrieval.
+
+Everything here is pure DataFrame expressions (whole-stage codegen) —
+no Python in the hot path — and every shuffle is keyed on a
+high-cardinality column (token, doc bucket) so the plans survive a
+1000-executor 100 TB corpus. Determinism contracts (md5-prefix
+uniforms, composite-key tie-breaks) are shared with the DuckDB
+oracles in plans/queries.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from paqarin_spark.operators.dedup import tokens
+
+TWO_POW_60 = float(1 << 60)
+
+
+def _uniform_hash(*cols) -> F.Column:
+    """Deterministic uniform(0,1) from an md5 prefix (the q67/gen5
+    construction; DuckDB replays it with
+    ``('0x' || substring(md5(..),1,15))::UBIGINT / 2^60``)."""
+    return (
+        F.conv(F.substring(F.md5(F.concat_ws("#", *cols)), 1, 15), 16, 10)
+        .cast("double")
+        / F.lit(TWO_POW_60)
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    id_column: str,
+    source_column: str,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    seed: str = "mix",
+) -> DataFrame:
+    """Deterministic per-source Bernoulli sampling — the corpus
+    MIXTURE-reweighting step of a pretraining pipeline (keep web text
+    at 30%, books at 100%, ...). Each row draws uniform(0,1) from
+    md5(seed # id) and survives iff draw < rate(source).
+
+    Scale: a pure filter over the scan — no shuffle, no state, and the
+    same row always gets the same verdict regardless of partitioning,
+    retries, or cluster size (unlike ``df.sample`` whose output
+    depends on partition layout).
+    """
+    rate = F.lit(float(default_rate))
+    # Fold the dict into a CASE chain in sorted-key order so the plan
+    # (and the oracle) is deterministic.
+    expr = None
+    for src in sorted(rates):
+        cond = F.col(source_column) == F.lit(src)
+        expr = (
+            F.when(cond, F.lit(float(rates[src])))
+            if expr is None
+            else expr.when(cond, F.lit(float(rates[src])))
+        )
+    rate = rate if expr is None else expr.otherwise(rate)
+    draw = _uniform_hash(F.lit(seed), F.col(id_column).cast("string"))
+    return df.where(draw < rate)
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_column: str,
+    text_column: str,
+    budget: int,
+    bucket_size: int = 1024,
+) -> DataFrame:
+    """Concat-and-chunk SEQUENCE PACKING (the GPT-style pretraining
+    step): documents are laid out in ``id_column`` order as one token
+    stream and split every ``budget`` tokens; a document spans the
+    training sequences ``first_seq..last_seq`` its token offsets fall
+    into. Output: one row per doc with
+    (id, n_tokens, start_offset, first_seq, last_seq, n_seqs).
+
+    Scale: the global prefix-sum is TWO-LEVEL — docs are bucketed by
+    ``id div bucket_size``, the within-bucket cumsum is a window
+    partitioned BY BUCKET (each window sees ≤bucket_size rows, never a
+    whole corpus on one task), and the per-bucket totals (corpus/2^10
+    rows) take one tiny global-window pass before being joined back on
+    the bucket key. No single-partition window over the full corpus —
+    the classic prefix-sum-at-scale layout.
+    """
+    bucket = (F.col(id_column) / F.lit(int(bucket_size))).cast("bigint")
+    sized = df.select(
+        F.col(id_column),
+        bucket.alias("_bucket"),
+        F.size(tokens(F.col(text_column))).alias("n_tokens"),
+    )
+    in_bucket = Window.partitionBy("_bucket").orderBy(id_column)
+    local = sized.withColumn(
+        "_local_end", F.sum("n_tokens").over(in_bucket)
+    )
+    totals = sized.groupBy("_bucket").agg(F.sum("n_tokens").alias("_bt"))
+    bucket_order = Window.orderBy("_bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.select(
+        "_bucket",
+        F.coalesce(F.sum("_bt").over(bucket_order), F.lit(0)).alias("_base"),
+    )
+    packed = local.join(F.broadcast(offsets), on="_bucket").select(
+        F.col(id_column),
+        "n_tokens",
+        (F.col("_base") + F.col("_local_end") - F.col("n_tokens")).alias(
+            "start_offset"
+        ),
+        (F.col("_base") + F.col("_local_end")).alias("_end"),
+    )
+    first_seq = F.floor(F.col("start_offset") / F.lit(int(budget)))
+    last_seq = F.floor(
+        (F.col("_end") - F.lit(1)) / F.lit(int(budget))
+    )
+    # Empty docs occupy no tokens: pin both span ends to the sequence
+    # at their start offset so every row has defined span columns.
+    empty = F.col("n_tokens") == 0
+    return packed.select(
+        F.col(id_column),
+        "n_tokens",
+        "start_offset",
+        first_seq.alias("first_seq"),
+        F.when(empty, first_seq).otherwise(last_seq).alias("last_seq"),
+        F.when(empty, F.lit(0))
+        .otherwise(last_seq - first_seq + 1)
+        .cast("bigint")
+        .alias("n_seqs"),
+    )
+
+
+def chunk_tokens(
+    df: DataFrame,
+    id_column: str,
+    text_column: str,
+    chunk: int,
+    stride: int,
+) -> DataFrame:
+    """Overlapping token CHUNKING (the RAG/window-attention prep step):
+    each document explodes into windows of ``chunk`` tokens taken
+    every ``stride`` tokens (so consecutive chunks overlap by
+    ``chunk - stride``). Chunks that would start at-or-past the end
+    are not emitted; a non-empty doc always emits at least one chunk.
+    Output: (id, chunk_id, start_token, n_chunk_tokens, chunk_text).
+
+    Scale: generate-and-project only — the explode happens where the
+    row already lives (no shuffle), and the token array is computed
+    once per doc then sliced per chunk inside codegen.
+    """
+    toks = tokens(F.col(text_column))
+    n = F.size(toks)
+    starts = F.when(n <= 0, F.array().cast("array<int>")).otherwise(
+        F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(int(stride)))
+    )
+    base = df.select(
+        F.col(id_column), toks.alias("_toks"), F.explode(starts).alias("start_token")
+    )
+    piece = F.slice(F.col("_toks"), F.col("start_token") + 1, int(chunk))
+    return base.select(
+        F.col(id_column),
+        (F.col("start_token") / F.lit(int(stride)))
+        .cast("bigint")
+        .alias("chunk_id"),
+        "start_token",
+        F.size(piece).alias("n_chunk_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_column: str,
+    text_column: str,
+    k: int = 3,
+) -> DataFrame:
+    """Top-k TF-IDF terms per document — the classic keyword-extraction
+    pass. tf = in-doc term count; idf = ln((N+1)/(df+1)) + 1 (the
+    smoothed scikit-learn form, never negative); ties break on the
+    lexicographically smaller term so the top-k set is deterministic.
+
+    Scale: term stats shuffle on the TERM key (high cardinality, no
+    hot rows after stopword-class terms spread across docs); the
+    per-doc top-k is a doc-keyed window over ≤|vocab ∩ doc| rows.
+    N is a scalar broadcast, not a cross join.
+    """
+    tf = (
+        df.select(F.col(id_column), F.explode(tokens(F.col(text_column))).alias("term"))
+        .groupBy(id_column, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_docs = df.select(F.count(F.lit(1)).alias("_n"))
+    idf = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term",
+            "df",
+            (
+                F.log((F.col("_n") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+                + F.lit(1.0)
+            ).alias("idf"),
+        )
+    )
+    scored = tf.join(idf, on="term").select(
+        F.col(id_column),
+        "term",
+        "tf",
+        "df",
+        (F.col("tf") * F.col("idf")).alias("score"),
+    )
+    rank_w = Window.partitionBy(id_column).orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(rank_w))
+        .where(F.col("rank") <= int(k))
+        .select(id_column, "rank", "term", "tf", "df", F.round("score", 6).alias("score"))
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_column: str,
+    text_column: str,
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 retrieval of the top-k documents for a bag of query terms
+    — full-corpus search scoring as a relational plan. Uses the
+    standard Robertson idf ``ln(1 + (N - df + 0.5)/(df + 0.5))`` and
+    per-term saturation ``tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl))``.
+
+    Scale: the corpus explodes only the QUERY terms' postings (filter
+    before the shuffle — a scan + tiny agg, not a full inverted
+    index); N/avgdl are scalar broadcasts; the final top-k is a
+    global ``orderBy(...).limit(k)`` = TakeOrderedAndProject (per-
+    partition heaps + driver merge of k·P rows, never a full sort).
+    """
+    terms = [t.lower() for t in query_terms]
+    toks = tokens(F.col(text_column))
+    docs = df.select(
+        F.col(id_column),
+        F.size(toks).alias("dl"),
+        F.filter(toks, lambda t: t.isin(*terms)).alias("_hits"),
+    )
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("_n"), F.avg("dl").alias("_avgdl")
+    )
+    postings = (
+        docs.select(F.col(id_column), "dl", F.explode("_hits").alias("term"))
+        .groupBy(id_column, "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = postings.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    scored = (
+        postings.join(F.broadcast(dfreq), on="term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col(id_column),
+            (
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("_n") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                )
+                * (F.col("tf") * F.lit(k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (
+                        F.lit(1.0 - b)
+                        + F.lit(b) * F.col("dl") / F.col("_avgdl")
+                    )
+                )
+            ).alias("_term_score"),
+        )
+    )
+    return (
+        scored.groupBy(id_column)
+        .agg(F.round(F.sum("_term_score"), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_column))
+        .limit(int(k))
+    )

@@ -5058,6 +5058,207 @@ FROM f GROUP BY source ORDER BY source
 """
 
 
+def tx27_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus MIXTURE sampling (operators.corpus.
+    mixture_sample): per-source keep rates (the pretraining
+    reweighting step — keep curated sources at 100%, downweight noisy
+    web text), decided by an md5-prefix uniform so the same document
+    survives on any cluster layout, retry, or scale. Pure filter —
+    zero shuffle."""
+    from paqarin_spark.operators import mixture_sample
+
+    docs = _docs(spark, sf_dir)
+    kept = mixture_sample(
+        docs,
+        "doc_id",
+        "source",
+        rates={"src0": 1.0, "src1": 0.7, "src2": 0.4, "src3": 0.1},
+        default_rate=0.3,
+    )
+    return kept.select("doc_id", "source").orderBy("doc_id")
+
+
+TX27_SQL = """
+SELECT doc_id, source
+FROM documents
+WHERE ('0x' || substring(md5('mix#' || CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT
+      / 1152921504606846976.0
+      < CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.7
+                    WHEN 'src2' THEN 0.4 WHEN 'src3' THEN 0.1
+                    ELSE 0.3 END
+ORDER BY doc_id
+"""
+
+
+def tx28_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk SEQUENCE PACKING (operators.corpus.
+    pack_sequences): the GPT-style pretraining layout — documents
+    concatenated in doc_id order and split every 512 tokens; each doc
+    reports the training sequences it spans. The global prefix-sum is
+    two-level (within-bucket window + broadcast bucket offsets), so no
+    task ever windows the whole corpus."""
+    from paqarin_spark.operators import pack_sequences
+
+    docs = _docs(spark, sf_dir)
+    packed = pack_sequences(docs, "doc_id", "text", budget=512, bucket_size=128)
+    return packed.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        "start_offset",
+        "first_seq",
+        "last_seq",
+        "n_seqs",
+    ).orderBy("doc_id")
+
+
+TX28_SQL = f"""
+WITH t AS (
+  SELECT doc_id, len({_TOKS_SQL}) AS n_tokens FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS start_offset
+  FROM t
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(start_offset AS BIGINT) AS start_offset,
+       CAST(start_offset // 512 AS BIGINT) AS first_seq,
+       CAST(CASE WHEN n_tokens = 0 THEN start_offset // 512
+                 ELSE (start_offset + n_tokens - 1) // 512 END AS BIGINT)
+         AS last_seq,
+       CAST(CASE WHEN n_tokens = 0 THEN 0
+                 ELSE (start_offset + n_tokens - 1) // 512
+                      - start_offset // 512 + 1 END AS BIGINT) AS n_seqs
+FROM c ORDER BY doc_id
+"""
+
+
+def tx29_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token CHUNKING (operators.corpus.chunk_tokens): the
+    RAG / context-window prep step — every document explodes into
+    32-token windows every 24 tokens (8-token overlap). Generate-and-
+    project only, no shuffle; chunk text is md5'd here so the declared
+    result stays compact."""
+    from paqarin_spark.operators import chunk_tokens
+
+    docs = _docs(spark, sf_dir)
+    chunks = chunk_tokens(docs, "doc_id", "text", chunk=32, stride=24)
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        "start_token",
+        "n_chunk_tokens",
+        F.md5("chunk_text").alias("chunk_hash"),
+    ).orderBy("doc_id", "chunk_id")
+
+
+TX29_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+), s AS (
+  SELECT doc_id, toks,
+         UNNEST(range(0, GREATEST(len(toks), 1), 24)) AS start_token
+  FROM t WHERE len(toks) > 0
+)
+SELECT doc_id,
+       CAST(start_token // 24 AS BIGINT) AS chunk_id,
+       CAST(start_token AS INTEGER) AS start_token,
+       CAST(len(list_slice(toks, start_token + 1, start_token + 32))
+            AS INTEGER) AS n_chunk_tokens,
+       md5(array_to_string(list_slice(toks, start_token + 1, start_token + 32),
+           ' ')) AS chunk_hash
+FROM s ORDER BY doc_id, chunk_id
+"""
+
+
+def tx30_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (operators.corpus.
+    tfidf_top_terms): smoothed scikit-learn idf, term-asc tie-break.
+    Term stats shuffle on the term key; N is a scalar broadcast."""
+    from paqarin_spark.operators import tfidf_top_terms
+
+    docs = _docs(spark, sf_dir)
+    top = tfidf_top_terms(docs, "doc_id", "text", k=3)
+    return top.select(
+        "doc_id",
+        F.col("rank").cast("int").alias("rank"),
+        "term",
+        "tf",
+        "df",
+        "score",
+    ).orderBy("doc_id", "rank")
+
+
+TX30_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, UNNEST({_TOKS_SQL}) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+), idf AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+), n AS (
+  SELECT COUNT(*) AS n FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, idf.df,
+         tf.tf * (ln((n.n + 1.0) / (idf.df + 1.0)) + 1.0) AS score
+  FROM tf JOIN idf USING (term) CROSS JOIN n
+)
+SELECT doc_id, CAST(rank AS INTEGER) AS rank, term,
+       CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       ROUND(score, 6) AS score
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+             ORDER BY score DESC, term) AS rank
+  FROM scored
+)
+WHERE rank <= 3 ORDER BY doc_id, rank
+"""
+
+
+def tx31_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 retrieval (operators.corpus.bm25_topk) for a fixed
+    query bag — full-corpus search scoring as a relational plan. The
+    corpus explodes only the query terms' postings (filter before the
+    shuffle); the final top-k is TakeOrderedAndProject, never a full
+    sort."""
+    from paqarin_spark.operators import bm25_topk
+
+    docs = _docs(spark, sf_dir)
+    return bm25_topk(
+        docs, "doc_id", "text", ["spark", "join", "window", "hash"], k=20
+    )
+
+
+TX31_SQL = f"""
+WITH d AS (
+  SELECT doc_id, len({_TOKS_SQL}) AS dl,
+         list_filter({_TOKS_SQL},
+                     t -> list_contains(['spark','join','window','hash'], t))
+           AS hits
+  FROM documents
+), stats AS (
+  SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM d
+), postings AS (
+  SELECT doc_id, dl, UNNEST(hits) AS term FROM d
+), tf AS (
+  SELECT doc_id, dl, term, COUNT(*) AS tf FROM postings GROUP BY 1, 2, 3
+), dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+)
+SELECT doc_id,
+       ROUND(SUM(ln(1.0 + (s.n - f.df + 0.5) / (f.df + 0.5))
+                 * (t.tf * 2.2)
+                 / (t.tf + 1.2 * (0.25 + 0.75 * t.dl / s.avgdl))), 6)
+         AS score
+FROM tf t JOIN dfreq f USING (term) CROSS JOIN stats s
+GROUP BY doc_id
+ORDER BY score DESC, doc_id
+LIMIT 20
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 
@@ -5105,28 +5306,34 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm7_media_probe": mm7_media_probe,
     "tx26_containment_pairs": tx26_containment_pairs,
     "q68_conversion_funnel": q68_conversion_funnel,
+    "tx27_mixture_sample": tx27_mixture_sample,
+    "tx28_sequence_pack": tx28_sequence_pack,
+    "tx29_chunk_overlap": tx29_chunk_overlap,
+    "tx30_tfidf_terms": tx30_tfidf_terms,
+    "tx31_bm25_search": tx31_bm25_search,
     # --- regression watch (BENCH_r02 movers) ---
     "q33_large_orders": q33_large_orders,
     "gen4_conditional_sample": gen4_conditional_sample,
     "st2_stream_window_sums": st2_stream_window_sums,
     "st3_stream_sessions": st3_stream_sessions,
     # --- one representative per operator family ---
-    "q01_surrogate_key": q01_surrogate_key,
-    "q02_daily_sum": q02_daily_sum,
-    "q03_gap_fill": q03_gap_fill,
-    "q04_minmax_scale": q04_minmax_scale,
     "tx11_dup_clusters": tx11_dup_clusters,
     "ev1_pipeline_summary": ev1_pipeline_summary,
     "ev2_univariate_summary": ev2_univariate_summary,
     "em1_cosine_topk": em1_cosine_topk,
     "em4_ivf_topk": em4_ivf_topk,
     "mm4_codec_decode": mm4_codec_decode,
-    "tx3_exact_dedup": tx3_exact_dedup,
     "tx6_minhash_lsh_pairs": tx6_minhash_lsh_pairs,
     "q58_salted_revenue": q58_salted_revenue,
     "q30_sessionize": q30_sessionize,
     "q14_pricing_summary": q14_pricing_summary,
     # ------------- driver 50-entry window ends HERE (position 50) -------------
+    # --- displaced representatives (driver-green in r2 on these exact rows) ---
+    "q01_surrogate_key": q01_surrogate_key,
+    "q02_daily_sum": q02_daily_sum,
+    "q03_gap_fill": q03_gap_fill,
+    "q04_minmax_scale": q04_minmax_scale,
+    "tx3_exact_dedup": tx3_exact_dedup,
     # --- backfill: round-1-verified (oldest driver check) ---
     "q05_window_starts": q05_window_starts,
     "q06_tail_trim": q06_tail_trim,
@@ -5331,5 +5538,10 @@ ORACLE_SQL: dict[str, str] = {
     "ev4_markov_fidelity": EV4_SQL,
     "mm7_media_probe": MM7_SQL,
     "tx26_containment_pairs": TX26_SQL,
+    "tx27_mixture_sample": TX27_SQL,
+    "tx28_sequence_pack": TX28_SQL,
+    "tx29_chunk_overlap": TX29_SQL,
+    "tx30_tfidf_terms": TX30_SQL,
+    "tx31_bm25_search": TX31_SQL,
     "q68_conversion_funnel": Q68_SQL,
 }
