@@ -686,3 +686,76 @@ def scalar_quantize_error(
         ),
         F.round(err / F.size(vec), 8).alias("mse"),
     )
+
+
+def random_projection_distortion(
+    df: DataFrame,
+    id_column: str,
+    vector_column: str,
+    out_dim: int = 16,
+    in_dim: int | None = None,
+    seed: str = "rp",
+) -> DataFrame:
+    """Johnson–Lindenstrauss ±1 random-projection audit: project every
+    embedding to ``out_dim`` dims with a deterministic sign matrix
+    (sign(j,i) = parity of the first hex digit of md5('seed#j#i')) and
+    report per-vector norm distortion ``‖Px‖² / (out_dim·‖x‖²)``
+    (expectation 1 under JL) — the measurement a pipeline runs before
+    swapping full-width embeddings for compressed ones in ANN.
+
+    Plan: the sign matrix is built DRIVER-SIDE (out_dim × in_dim
+    literals — data-independent, so no md5 in the per-row hot path)
+    and folded into nested zip_with/aggregate expressions: scan-only,
+    zero shuffle, zero Python per row. The oracle recomputes the same
+    signs from md5 in SQL, so the projection itself is value-checked.
+    ``in_dim`` is inferred from the data when not given (one scalar
+    aggregate), and mismatched vector widths raise before any task
+    runs work on them.
+    """
+    import hashlib
+
+    if in_dim is None:
+        probe = df.agg(
+            F.min(F.size(vector_column)).alias("lo"),
+            F.max(F.size(vector_column)).alias("hi"),
+        ).first()
+        if probe is None or probe["lo"] is None:
+            in_dim = 0
+        elif probe["lo"] != probe["hi"]:
+            raise ValueError(
+                f"ragged {vector_column!r} widths "
+                f"[{probe['lo']}, {probe['hi']}]; pass in_dim explicitly"
+            )
+        else:
+            in_dim = int(probe["lo"])
+
+    def sign(j: int, i: int) -> float:
+        h = hashlib.md5(f"{seed}#{j}#{i}".encode()).hexdigest()
+        return 1.0 if int(h[0], 16) % 2 == 0 else -1.0
+
+    rows = [
+        F.array(*[F.lit(sign(j, i)) for i in range(in_dim)])
+        for j in range(out_dim)
+    ]
+    matrix = F.array(*rows) if rows else F.array().cast("array<array<double>>")
+    vec = F.transform(F.col(vector_column), lambda x: x.cast("double"))
+    proj = F.transform(
+        matrix,
+        lambda row: F.aggregate(
+            F.zip_with(vec, row, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    sq_sum = lambda c: F.aggregate(  # noqa: E731
+        F.transform(c, lambda a: a * a), F.lit(0.0), lambda acc, x: acc + x
+    )
+    n2 = sq_sum(vec)
+    p2 = sq_sum(proj)
+    return df.select(
+        F.col(id_column),
+        F.round(F.sqrt(n2), 6).alias("norm_in"),
+        F.when(n2 > 0, F.round(p2 / (F.lit(float(out_dim)) * n2), 6)).alias(
+            "distortion"
+        ),
+    )

@@ -5259,6 +5259,99 @@ LIMIT 20
 """
 
 
+def em12_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss compression audit (operators.similarity.
+    random_projection_distortion): 64→16 dims through a deterministic
+    md5-sign matrix, reporting per-vector norm distortion (JL
+    expectation 1). The sign matrix is driver-built literals — the
+    per-row path is pure codegen'd array math, zero shuffle — and the
+    oracle recomputes the same signs from md5 in SQL, so the projection
+    itself is value-checked."""
+    from paqarin_spark.operators import random_projection_distortion
+
+    configure_for_determinism(spark)
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return random_projection_distortion(
+        emb, "vec_id", "embedding", out_dim=16
+    ).orderBy("vec_id")
+
+
+EM12_SQL = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), p AS (
+  SELECT vec_id, v,
+         list_transform(range(16), j ->
+           list_sum(list_transform(range(len(v)), i -> v[i + 1] *
+             (CASE WHEN ('0x' || substring(md5('rp#' || j || '#' || i), 1, 1))
+                        ::UBIGINT % 2 = 0
+                   THEN 1.0 ELSE -1.0 END)))) AS proj
+  FROM e
+)
+SELECT vec_id,
+       ROUND(sqrt(list_sum(list_transform(v, x -> x * x))), 6) AS norm_in,
+       CASE WHEN list_sum(list_transform(v, x -> x * x)) > 0
+            THEN ROUND(list_sum(list_transform(proj, x -> x * x))
+                       / (16.0 * list_sum(list_transform(v, x -> x * x))), 6)
+       END AS distortion
+FROM p ORDER BY vec_id
+"""
+
+
+def st7_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM–STATIC enrichment rollup (streaming.
+    stream_enrich_window_sum): the events stream joins the static
+    customer dim (broadcast, probed per micro-batch — the stream never
+    shuffles for the join) and rolls up per-market-segment daily
+    counts/sums with a 1-day watermark. Append mode emits only
+    watermark-closed windows; the oracle encodes that contract exactly
+    like st6."""
+    from paqarin_spark.streaming import stream_enrich_window_sum
+
+    configure_for_determinism(spark)
+    stream = _events_stream(spark, sf_dir)
+    dim = read_table(spark, sf_dir, "customer")
+    out = stream_enrich_window_sum(
+        stream,
+        dim,
+        timestamp_column="ts",
+        join_column="user_id",
+        dim_key="c_custkey",
+        segment_column="c_mktsegment",
+        value_column="value",
+        window_duration="1 day",
+        watermark="1 day",
+    )
+    name = "st7_stream_enrich"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.date_format("window_start", "yyyy-MM-dd").alias("day"),
+        F.col("c_mktsegment").alias("segment"),
+        "n_events",
+        "sum_value",
+    )
+
+
+ST7_SQL = """
+SELECT strftime(DATE_TRUNC('day', e.ts), '%Y-%m-%d') AS day,
+       c.c_mktsegment AS segment,
+       COUNT(*) AS n_events,
+       ROUND(SUM(e.value), 6) AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+WHERE DATE_TRUNC('day', e.ts) + INTERVAL '1 day'
+      <= (SELECT MAX(ts) - INTERVAL '1 day' FROM events)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 
@@ -5311,6 +5404,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx29_chunk_overlap": tx29_chunk_overlap,
     "tx30_tfidf_terms": tx30_tfidf_terms,
     "tx31_bm25_search": tx31_bm25_search,
+    "em12_random_projection": em12_random_projection,
+    "st7_stream_enrich": st7_stream_enrich,
     # --- regression watch (BENCH_r02 movers) ---
     "q33_large_orders": q33_large_orders,
     "gen4_conditional_sample": gen4_conditional_sample,
@@ -5320,9 +5415,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx11_dup_clusters": tx11_dup_clusters,
     "ev1_pipeline_summary": ev1_pipeline_summary,
     "ev2_univariate_summary": ev2_univariate_summary,
-    "em1_cosine_topk": em1_cosine_topk,
     "em4_ivf_topk": em4_ivf_topk,
-    "mm4_codec_decode": mm4_codec_decode,
     "tx6_minhash_lsh_pairs": tx6_minhash_lsh_pairs,
     "q58_salted_revenue": q58_salted_revenue,
     "q30_sessionize": q30_sessionize,
@@ -5334,6 +5427,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q03_gap_fill": q03_gap_fill,
     "q04_minmax_scale": q04_minmax_scale,
     "tx3_exact_dedup": tx3_exact_dedup,
+    "em1_cosine_topk": em1_cosine_topk,
+    "mm4_codec_decode": mm4_codec_decode,
     # --- backfill: round-1-verified (oldest driver check) ---
     "q05_window_starts": q05_window_starts,
     "q06_tail_trim": q06_tail_trim,
@@ -5543,5 +5638,7 @@ ORACLE_SQL: dict[str, str] = {
     "tx29_chunk_overlap": TX29_SQL,
     "tx30_tfidf_terms": TX30_SQL,
     "tx31_bm25_search": TX31_SQL,
+    "em12_random_projection": EM12_SQL,
+    "st7_stream_enrich": ST7_SQL,
     "q68_conversion_funnel": Q68_SQL,
 }

@@ -269,3 +269,49 @@ def stream_sessions(
         .agg(*aggs)
         .drop("_w")
     )
+
+
+def stream_enrich_window_sum(
+    stream: DataFrame,
+    dim: DataFrame,
+    timestamp_column: str,
+    join_column: str,
+    dim_key: str,
+    segment_column: str,
+    value_column: str,
+    window_duration: str = "1 day",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """STREAM–STATIC enrichment: join each streaming event to a static
+    dimension row (broadcast — the dim never shuffles the stream) and
+    aggregate the enriched key over tumbling windows. This is the
+    canonical streaming-ETL shape (click stream × user dim → per-
+    segment rollup). The static side is planned as a broadcast hash
+    join probed per micro-batch; stream state is only the windowed
+    aggregate, bounded by watermark expiry. Inner join semantics:
+    events without a dim row drop, mirroring the batch oracle's INNER
+    JOIN. Output (append mode, watermark-closed windows only):
+    (window_start, segment, n_events, sum_value).
+    """
+    enriched = stream.withWatermark(timestamp_column, watermark).join(
+        F.broadcast(dim.select(
+            F.col(dim_key).alias(join_column), F.col(segment_column)
+        )),
+        on=join_column,
+    )
+    return (
+        enriched.groupBy(
+            F.window(F.col(timestamp_column), window_duration).alias("_w"),
+            F.col(segment_column),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(value_column), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("_w.start").alias("window_start"),
+            F.col(segment_column),
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -258,3 +258,54 @@ def test_scalar_quantize_error_constant_dim(spark):
     assert out[1]["mse"] == 0.0
     assert out[2]["mse"] == 0.0
     assert out[1]["cos_recon"] == 1.0
+
+
+def test_random_projection_distortion_matches_numpy(spark):
+    import hashlib
+
+    import numpy as np
+
+    from paqarin_spark.operators import random_projection_distortion
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(5, 8).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(5)],
+        "vid long, emb array<float>",
+    )
+    out = {
+        r.vid: r
+        for r in random_projection_distortion(df, "vid", "emb", out_dim=4).collect()
+    }
+
+    def sign(j, i):
+        h = hashlib.md5(f"rp#{j}#{i}".encode()).hexdigest()
+        return 1.0 if int(h[0], 16) % 2 == 0 else -1.0
+
+    M = np.array([[sign(j, i) for i in range(8)] for j in range(4)])
+    for i in range(5):
+        x = vecs[i].astype("float64")
+        p = M @ x
+        assert abs(out[i].norm_in - round(float(np.sqrt(x @ x)), 6)) < 1e-6
+        expect = float((p @ p) / (4.0 * (x @ x)))
+        assert abs(out[i].distortion - expect) < 1e-5
+
+
+def test_random_projection_rejects_ragged_widths(spark):
+    from paqarin_spark.operators import random_projection_distortion
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [1.0, 2.0, 3.0])], "vid long, emb array<float>"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="ragged"):
+        random_projection_distortion(df, "vid", "emb", out_dim=4)
+
+
+def test_random_projection_zero_vector_null_distortion(spark):
+    from paqarin_spark.operators import random_projection_distortion
+
+    df = spark.createDataFrame([(1, [0.0, 0.0])], "vid long, emb array<float>")
+    row = random_projection_distortion(df, "vid", "emb", out_dim=2).first()
+    assert row.distortion is None and row.norm_in == 0.0

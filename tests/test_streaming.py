@@ -241,3 +241,42 @@ def test_stream_distinct_count_subdaily_window(spark, tmp_path):
         str(r["window_start"])[:13]: r["n_distinct"] for r in out.collect()
     }
     assert got == {"2020-01-01 01": 1, "2020-01-01 05": 2}
+
+
+def test_stream_enrich_window_sum_joins_dim_and_closes_windows(spark, tmp_path):
+    from paqarin_spark.streaming import stream_enrich_window_sum
+
+    # u1/u2 have dim rows (gold/silver); u9 does not and must drop
+    # (inner join). Watermark 1 day + max ts on 1/5 closes days 1-2.
+    rows = [
+        (1, dt.datetime(2020, 1, 1, 1), 10.0),
+        (1, dt.datetime(2020, 1, 1, 2), 5.0),
+        (2, dt.datetime(2020, 1, 1, 3), 7.0),
+        (2, dt.datetime(2020, 1, 2, 3), 1.0),
+        (9, dt.datetime(2020, 1, 2, 4), 99.0),
+        (1, dt.datetime(2020, 1, 5, 1), 3.0),
+    ]
+    df = spark.createDataFrame(rows, "uid long, ts timestamp, v double")
+    path = str(tmp_path / "enrich_in")
+    df.repartition(2).write.parquet(path)
+    stream = spark.readStream.schema(df.schema).parquet(path)
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "silver"), (3, "gold")], "k long, seg string"
+    )
+    out = _run(
+        spark,
+        stream_enrich_window_sum(
+            stream, dim, "ts", "uid", "k", "seg", "v"
+        ),
+        "t_enrich",
+        "append",
+    )
+    got = {
+        (str(r["window_start"])[:10], r["seg"]): (r["n_events"], r["sum_value"])
+        for r in out.collect()
+    }
+    assert got == {
+        ("2020-01-01", "gold"): (2, 15.0),
+        ("2020-01-01", "silver"): (1, 7.0),
+        ("2020-01-02", "silver"): (1, 1.0),
+    }
