@@ -340,8 +340,12 @@ def duplicate_clusters(
     """
     if algorithm == "star":
         return _duplicate_clusters_star(pairs, id_a, id_b, max_iterations)
+    if algorithm == "contract":
+        return _duplicate_clusters_contract(pairs, id_a, id_b, max_iterations)
     if algorithm != "label":
-        raise ValueError(f"algorithm must be label|star, got {algorithm!r}")
+        raise ValueError(
+            f"algorithm must be label|star|contract, got {algorithm!r}"
+        )
     fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = fwd.unionByName(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -410,6 +414,77 @@ def _edge_checksum(edges: DataFrame) -> tuple:
         ).alias("_h"),
     ).collect()[0]
     return (row["_n"], row["_h"])
+
+
+def _duplicate_clusters_contract(
+    pairs: DataFrame,
+    id_a: str,
+    id_b: str,
+    max_rounds: int,
+) -> DataFrame:
+    """Connected components by repeated MIN-NEIGHBOR CONTRACTION:
+    each round every node merges into the minimum of its closed
+    neighborhood, the surviving mapping composes into a persistent
+    node→rep table, and the edge set is rewritten onto the contracted
+    ids (self-loops dropped, duplicates collapsed). Every node merges
+    with at least one neighbor per round, so active nodes at least
+    halve — O(log n) rounds regardless of component diameter (the
+    chain-shaped graphs where min-label propagation pays one shuffle
+    round per hop), and the edge set SHRINKS geometrically, so late
+    rounds are cheap where label/star rounds stay full-size. The
+    component minimum always maps to itself, so the final rep of every
+    node is the smallest id in its component — the same contract as
+    ``label``/``star`` and the recursive-CTE oracles.
+    """
+    canon = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    mapping = (
+        pairs.select(F.col(id_a).alias("node"))
+        .unionByName(pairs.select(F.col(id_b).alias("node")))
+        .distinct()
+        .withColumn("rep", F.col("node"))
+        .localCheckpoint()
+    )
+    edges = canon
+    for _ in range(max_rounds):
+        if edges.isEmpty():
+            break
+        sym = edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        # lbl(u) = min(Γ(u) ∪ {u}) over the CONTRACTED graph — the id
+        # u's super-node merges into this round.
+        lbl = sym.groupBy("src").agg(
+            F.least(F.min("dst"), F.first("src")).alias("lbl")
+        )
+        mapping = (
+            mapping.join(lbl, mapping.rep == lbl.src, "left")
+            .select(
+                F.col("node"),
+                F.coalesce(F.col("lbl"), F.col("rep")).alias("rep"),
+            )
+            .localCheckpoint()
+        )
+        a = lbl.select(F.col("src"), F.col("lbl").alias("_sa"))
+        b = lbl.select(F.col("src").alias("dst"), F.col("lbl").alias("_sb"))
+        edges = (
+            sym.join(a, on="src")
+            .join(b, on="dst")
+            .select(
+                F.least("_sa", "_sb").alias("src"),
+                F.greatest("_sa", "_sb").alias("dst"),
+            )
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint()
+        )
+    return mapping.select(
+        F.col("node").alias("doc"), F.col("rep").alias("cluster_rep")
+    )
 
 
 def _duplicate_clusters_star(

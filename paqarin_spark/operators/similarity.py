@@ -32,6 +32,17 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _auto_blocks(n_rows: int, target: int = 2048, cap: int = 64) -> int:
+    """Block count sized so each matrix block holds ~``target`` vectors:
+    small corpora collapse to one block (one BLAS call, none of the
+    B² fan-out overhead), large ones cap at ``cap`` blocks — at 64-dim
+    doubles a capped block is still only |corpus|/64 rows per task.
+    Auto-sizing changes the task split, never the result: block
+    assignment is content-hashed and the merges (min/top-k) are
+    order-independent."""
+    return max(1, min(cap, -(-int(n_rows) // target)))
+
+
 def _vector_blocks(
     df: DataFrame,
     id_column: str,
@@ -100,7 +111,7 @@ def cosine_topk(
     vector_column: str,
     k: int = 5,
     queries: DataFrame | None = None,
-    num_blocks: int = 16,
+    num_blocks: int | None = None,
 ) -> DataFrame:
     """Exact brute-force cosine top-k neighbors.
 
@@ -128,6 +139,10 @@ def cosine_topk(
     id_type = df.schema[id_column].dataType.simpleString()
     out_schema = f"query_id {id_type}, neighbor_id {id_type}, cos_sim double"
 
+    if num_blocks is None:
+        num_blocks = _auto_blocks(
+            max(df.count(), queries.count() if queries is not None else 0)
+        )
     pairs = _block_pair_stream(
         df, queries or df, id_column, vector_column, num_blocks
     )
@@ -205,7 +220,7 @@ def cosine_dedup_pairs(
     id_column: str,
     vector_column: str,
     threshold: float = 0.9,
-    num_blocks: int = 16,
+    num_blocks: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate detection: all pairs with
     ``cos_sim >= threshold``, canonicalized as ``id_a < id_b``.
@@ -227,6 +242,8 @@ def cosine_dedup_pairs(
     id_type = df.schema[id_column].dataType.simpleString()
     out_schema = f"id_a {id_type}, id_b {id_type}, cos_sim double"
 
+    if num_blocks is None:
+        num_blocks = _auto_blocks(df.count())
     pairs = _block_pair_stream(df, df, id_column, vector_column, num_blocks)
 
     def block_pairs(batches):

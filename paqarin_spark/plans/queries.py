@@ -4225,7 +4225,7 @@ def tx11_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_lsh_pairs(
         docs, "text", "doc_id", num_hashes=4, band_size=2, shingle_n=3
     )
-    return duplicate_clusters(pairs)
+    return duplicate_clusters(pairs, algorithm="contract")
 
 
 TX11_SQL = f"""
@@ -4807,8 +4807,10 @@ def em9_embed_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     em3's exact cosine pair list — the cross-family composition
     (similarity → graph clustering) that turns pairwise near-dups into
     keep-one-representative groups, exactly like tx11 does for MinHash
-    pairs. Same min-label/star machinery, so every vector in a dup
-    pair maps to the smallest vec_id reachable from it."""
+    pairs. Runs the min-neighbor-contraction variant (O(log n)
+    rounds on the chain-shaped graphs a 0.4 threshold produces), so
+    every vector in a dup pair maps to the smallest vec_id reachable
+    from it."""
     from paqarin_spark.operators import cosine_dedup_pairs, duplicate_clusters
 
     configure_for_determinism(spark)
@@ -4817,7 +4819,7 @@ def em9_embed_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
     )
     pairs = cosine_dedup_pairs(emb, "vec_id", "embedding", threshold=0.4)
-    return duplicate_clusters(pairs)
+    return duplicate_clusters(pairs, algorithm="contract")
 
 
 def em10_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -160,6 +160,29 @@ def test_duplicate_clusters_star_matches_label(spark):
     }
     assert star == label
     assert set(star.values()) == {100, 1, 50}
+    # Min-neighbor contraction: same map in O(log n) rounds — 8 rounds
+    # on a 40-node chain again proves the round complexity.
+    contract = {
+        r["doc"]: r["cluster_rep"]
+        for r in duplicate_clusters(
+            pairs, max_iterations=8, algorithm="contract"
+        ).collect()
+    }
+    assert contract == label
+
+
+def test_duplicate_clusters_contract_self_pairs(spark):
+    from paqarin_spark.operators import duplicate_clusters
+
+    # self-pair-only docs come back as their own trivial clusters
+    pairs = spark.createDataFrame(
+        [(7, 7), (1, 2)], "id_a long, id_b long"
+    )
+    got = {
+        r["doc"]: r["cluster_rep"]
+        for r in duplicate_clusters(pairs, algorithm="contract").collect()
+    }
+    assert got == {7: 7, 1: 1, 2: 1}
 
 
 def test_duplicate_clusters_rejects_unknown_algorithm(spark):
