@@ -267,3 +267,82 @@ def pii_counts(text_col) -> list[Column]:
         )
         t = F.regexp_replace(t, pattern, token)
     return out
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    text_column: str,
+    id_column: str,
+    min_tokens: int = 10,
+    max_tokens: int = 100_000,
+    min_mean_len: float = 3.0,
+    max_mean_len: float = 10.0,
+    max_top_token_frac: float = 0.20,
+    min_stopwords: int = 2,
+    max_repetition: float = 0.30,
+) -> DataFrame:
+    """Gopher-style multi-rule quality GATE (Rae et al. 2021 §A1.1,
+    adapted to single-line corpora): per-document boolean verdicts for
+    the classic repetition/shape filters plus the overall keep flag.
+    Rules: token count in [min,max]; mean token length in [min,max];
+    most-frequent-token share ≤ cap; ≥ ``min_stopwords`` stopword
+    hits; duplicate-trigram fraction ≤ cap (the tx18 measure).
+
+    Scale: one projection pass — the token array materializes once per
+    row (staged projection, same CollapseProject contract as
+    ``text_stats``) and every rule is array/regexp expressions, zero
+    shuffle. The top-token share scans distinct×total tokens per row
+    (bounded per-doc work at scan time — the cost profile a filter
+    pass wants; no vocabulary shuffle).
+    """
+    from paqarin_spark.operators.dedup import shingles_from_tokens
+
+    toks = df.select(
+        F.col(id_column), tokens(F.col(text_column)).alias("_toks")
+    )
+    n = F.size("_toks")
+    n1 = F.greatest(n, F.lit(1))
+    mean_len = F.aggregate(
+        F.transform("_toks", F.length), F.lit(0), lambda a, x: a + x
+    ) / n1
+    top_cnt = F.coalesce(
+        F.array_max(
+            F.transform(
+                F.array_distinct("_toks"),
+                lambda t: F.size(F.filter(F.col("_toks"), lambda x: x == t)),
+            )
+        ),
+        F.lit(0),
+    )
+    stop_hits = F.size(
+        F.filter(F.col("_toks"), lambda t: t.isin(*ENGLISH_STOPWORDS))
+    )
+    tri_total = F.greatest(n - F.lit(2), F.lit(0))
+    repetition = F.when(
+        tri_total > 0,
+        F.round(
+            1 - F.size(shingles_from_tokens(F.col("_toks"), 3)) / tri_total, 6
+        ),
+    ).otherwise(F.lit(0.0))
+    flagged = toks.select(
+        F.col(id_column),
+        n.cast("long").alias("n_tokens"),
+        F.round(mean_len, 6).alias("mean_token_len"),
+        F.round(top_cnt / n1, 6).alias("top_token_frac"),
+        stop_hits.cast("long").alias("stopword_hits"),
+        repetition.alias("repetition"),
+    )
+    r_count = F.col("n_tokens").between(min_tokens, max_tokens)
+    r_len = F.col("mean_token_len").between(min_mean_len, max_mean_len)
+    r_top = F.col("top_token_frac") <= max_top_token_frac
+    r_stop = F.col("stopword_hits") >= min_stopwords
+    r_rep = F.col("repetition") <= max_repetition
+    return flagged.select(
+        "*",
+        r_count.alias("ok_token_count"),
+        r_len.alias("ok_mean_len"),
+        r_top.alias("ok_top_token"),
+        r_stop.alias("ok_stopwords"),
+        r_rep.alias("ok_repetition"),
+        (r_count & r_len & r_top & r_stop & r_rep).alias("keep"),
+    )

@@ -5354,6 +5354,60 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def tx32_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style multi-rule quality gate (functions.text.
+    gopher_quality_flags): per-document verdicts for the classic
+    shape/repetition filters — token-count bounds, mean-token-length
+    bounds, top-token share cap, minimum stopword hits, duplicate-
+    trigram cap — plus the overall keep flag. One projection pass,
+    zero shuffle; every rule is value-checked."""
+    from paqarin_spark.functions.text import gopher_quality_flags
+
+    docs = _docs(spark, sf_dir)
+    return gopher_quality_flags(docs, "text", "doc_id").orderBy("doc_id")
+
+
+TX32_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+), m AS (
+  SELECT doc_id,
+         len(toks) AS n,
+         list_sum(list_transform(toks, x -> length(x)))
+           / GREATEST(len(toks), 1) AS mean_len,
+         COALESCE(list_max(list_transform(list_distinct(toks),
+                    t2 -> len(list_filter(toks, x -> x = t2)))), 0) AS topc,
+         len(list_filter(toks, x -> list_contains({_STOPWORDS_SQL}, x)))
+           AS stop_hits,
+         GREATEST(len(toks) - 2, 0) AS tri_total,
+         len(list_distinct(list_transform(range(1, len(toks) - 1),
+               i -> array_to_string(list_slice(toks, i, i + 2), ' '))))
+           AS tri_distinct
+  FROM t
+), s AS (
+  SELECT doc_id,
+         CAST(n AS BIGINT) AS n_tokens,
+         ROUND(mean_len, 6) AS mean_token_len,
+         ROUND(topc / GREATEST(n, 1), 6) AS top_token_frac,
+         CAST(stop_hits AS BIGINT) AS stopword_hits,
+         CASE WHEN tri_total > 0
+              THEN ROUND(1 - tri_distinct / CAST(tri_total AS DOUBLE), 6)
+              ELSE 0.0 END AS repetition
+  FROM m
+)
+SELECT *,
+       n_tokens BETWEEN 10 AND 100000 AS ok_token_count,
+       mean_token_len BETWEEN 3.0 AND 10.0 AS ok_mean_len,
+       top_token_frac <= 0.20 AS ok_top_token,
+       stopword_hits >= 2 AS ok_stopwords,
+       repetition <= 0.30 AS ok_repetition,
+       (n_tokens BETWEEN 10 AND 100000 AND mean_token_len BETWEEN 3.0 AND 10.0
+        AND top_token_frac <= 0.20 AND stopword_hits >= 2
+        AND repetition <= 0.30) AS keep
+FROM s ORDER BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 
@@ -5408,6 +5462,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx31_bm25_search": tx31_bm25_search,
     "em12_random_projection": em12_random_projection,
     "st7_stream_enrich": st7_stream_enrich,
+    "tx32_gopher_gate": tx32_gopher_gate,
     # --- regression watch (BENCH_r02 movers) ---
     "q33_large_orders": q33_large_orders,
     "gen4_conditional_sample": gen4_conditional_sample,
@@ -5418,7 +5473,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ev1_pipeline_summary": ev1_pipeline_summary,
     "ev2_univariate_summary": ev2_univariate_summary,
     "em4_ivf_topk": em4_ivf_topk,
-    "tx6_minhash_lsh_pairs": tx6_minhash_lsh_pairs,
     "q58_salted_revenue": q58_salted_revenue,
     "q30_sessionize": q30_sessionize,
     "q14_pricing_summary": q14_pricing_summary,
@@ -5431,6 +5485,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx3_exact_dedup": tx3_exact_dedup,
     "em1_cosine_topk": em1_cosine_topk,
     "mm4_codec_decode": mm4_codec_decode,
+    "tx6_minhash_lsh_pairs": tx6_minhash_lsh_pairs,
     # --- backfill: round-1-verified (oldest driver check) ---
     "q05_window_starts": q05_window_starts,
     "q06_tail_trim": q06_tail_trim,
@@ -5642,5 +5697,6 @@ ORACLE_SQL: dict[str, str] = {
     "tx31_bm25_search": TX31_SQL,
     "em12_random_projection": EM12_SQL,
     "st7_stream_enrich": ST7_SQL,
+    "tx32_gopher_gate": TX32_SQL,
     "q68_conversion_funnel": Q68_SQL,
 }

@@ -176,3 +176,25 @@ def test_pii_counts_reconcile_with_redaction(spark):
     ).collect()[0]
     assert row["red"] == "contact <EMAIL> today"
     assert (row["n_email"], row["n_phone"], row["n_ipv4"]) == (1, 0, 0)
+
+
+def test_gopher_quality_flags_rules(spark):
+    from paqarin_spark.functions.text import gopher_quality_flags
+
+    rows = [
+        # passes everything: 12 varied tokens incl. 2 stopwords
+        (1, "the cat and dog ran over green hills near blue lakes today"),
+        # too short
+        (2, "tiny doc here"),
+        # top-token domination + repetition ("spam spam ... spam")
+        (3, " ".join(["spam"] * 15)),
+        # no stopwords
+        (4, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in gopher_quality_flags(df, "text", "doc_id").collect()}
+    assert out[1].keep
+    assert not out[2].ok_token_count and not out[2].keep
+    assert not out[3].ok_top_token and not out[3].ok_repetition
+    assert out[3].top_token_frac == 1.0 and out[3].repetition > 0.8
+    assert not out[4].ok_stopwords and out[4].ok_token_count
