@@ -5408,6 +5408,67 @@ FROM s ORDER BY doc_id
 """
 
 
+def mm8_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode end to end (paqarin_spark.jpeg):
+    spec-built JFIF fixtures — standard Annex K quant/Huffman tables,
+    4:4:4 on even ids and 4:2:0 MCU-interleaved on odd ids — with
+    dimension metadata withheld, so width/height come from SOF0 and
+    the channel means from Huffman entropy decode → dequantize → IDCT
+    → chroma upsample → YCbCr→RGB. Solid-color fixtures keep every
+    lossy rounding step (floor(x+0.5) contract) exactly predictable,
+    so the oracle replays the codec's DC-quantization arithmetic in
+    SQL and the means hash-match despite JPEG being lossy."""
+    from paqarin_spark.multimodal import jpeg_assets_from_ids, jpeg_pixel_stats
+
+    docs = _docs(spark, sf_dir)
+    return jpeg_pixel_stats(jpeg_assets_from_ids(docs, "doc_id")).orderBy(
+        "asset_id"
+    )
+
+
+MM8_SQL = """
+WITH src AS (
+  SELECT doc_id AS asset_id,
+         7 * doc_id % 256 AS r,
+         (13 * doc_id + 5) % 256 AS g,
+         (29 * doc_id + 11) % 256 AS b
+  FROM documents
+), ycc AS (
+  SELECT asset_id, r, g, b,
+    LEAST(255, GREATEST(0,
+      FLOOR(ROUND(0.299*r + 0.587*g + 0.114*b, 6) + 0.5))) AS y,
+    LEAST(255, GREATEST(0,
+      FLOOR(ROUND(-0.168736*r - 0.331264*g + 0.5*b + 128, 6) + 0.5))) AS cb,
+    LEAST(255, GREATEST(0,
+      FLOOR(ROUND(0.5*r - 0.418688*g - 0.081312*b + 128, 6) + 0.5))) AS cr
+  FROM src
+), dq AS (
+  SELECT asset_id,
+    LEAST(255, GREATEST(0, FLOOR(ROUND(
+      SIGN(y - 128) * FLOOR(ROUND(ABS(8*(y - 128)) / 16.0, 6) + 0.5)
+      * 16 / 8.0 + 128, 6) + 0.5))) AS y2,
+    LEAST(255, GREATEST(0, FLOOR(ROUND(
+      SIGN(cb - 128) * FLOOR(ROUND(ABS(8*(cb - 128)) / 17.0, 6) + 0.5)
+      * 17 / 8.0 + 128, 6) + 0.5))) AS cb2,
+    LEAST(255, GREATEST(0, FLOOR(ROUND(
+      SIGN(cr - 128) * FLOOR(ROUND(ABS(8*(cr - 128)) / 17.0, 6) + 0.5)
+      * 17 / 8.0 + 128, 6) + 0.5))) AS cr2
+  FROM ycc
+)
+SELECT asset_id,
+       CAST((asset_id % 4 + 1) * 8 AS INTEGER) AS width,
+       CAST((asset_id % 3 + 1) * 8 AS INTEGER) AS height,
+       CAST(LEAST(255, GREATEST(0,
+         FLOOR(ROUND(y2 + 1.402*(cr2 - 128), 6) + 0.5))) AS DOUBLE) AS mean_r,
+       CAST(LEAST(255, GREATEST(0,
+         FLOOR(ROUND(y2 - 0.344136*(cb2 - 128) - 0.714136*(cr2 - 128), 6)
+               + 0.5))) AS DOUBLE) AS mean_g,
+       CAST(LEAST(255, GREATEST(0,
+         FLOOR(ROUND(y2 + 1.772*(cb2 - 128), 6) + 0.5))) AS DOUBLE) AS mean_b
+FROM dq ORDER BY asset_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 
@@ -5463,6 +5524,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "em12_random_projection": em12_random_projection,
     "st7_stream_enrich": st7_stream_enrich,
     "tx32_gopher_gate": tx32_gopher_gate,
+    "mm8_jpeg_decode": mm8_jpeg_decode,
     # --- regression watch (BENCH_r02 movers) ---
     "q33_large_orders": q33_large_orders,
     "gen4_conditional_sample": gen4_conditional_sample,
@@ -5474,7 +5536,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ev2_univariate_summary": ev2_univariate_summary,
     "em4_ivf_topk": em4_ivf_topk,
     "q58_salted_revenue": q58_salted_revenue,
-    "q30_sessionize": q30_sessionize,
     "q14_pricing_summary": q14_pricing_summary,
     # ------------- driver 50-entry window ends HERE (position 50) -------------
     # --- displaced representatives (driver-green in r2 on these exact rows) ---
@@ -5486,6 +5547,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "em1_cosine_topk": em1_cosine_topk,
     "mm4_codec_decode": mm4_codec_decode,
     "tx6_minhash_lsh_pairs": tx6_minhash_lsh_pairs,
+    "q30_sessionize": q30_sessionize,
     # --- backfill: round-1-verified (oldest driver check) ---
     "q05_window_starts": q05_window_starts,
     "q06_tail_trim": q06_tail_trim,
@@ -5698,5 +5760,6 @@ ORACLE_SQL: dict[str, str] = {
     "em12_random_projection": EM12_SQL,
     "st7_stream_enrich": ST7_SQL,
     "tx32_gopher_gate": TX32_SQL,
+    "mm8_jpeg_decode": MM8_SQL,
     "q68_conversion_funnel": Q68_SQL,
 }
