@@ -151,8 +151,11 @@ def parse_bmp(content: bytes) -> dict | None:
     return {"width": width, "height": abs(height)}  # negative = top-down rows
 
 
-def encode_wav(sample_rate: int, n_samples: int, channels: int = 1) -> bytes:
-    """Minimal PCM16 WAV with zeroed samples."""
+def encode_wav(
+    sample_rate: int, n_samples: int, channels: int = 1, sample_fn=None
+) -> bytes:
+    """Minimal PCM16 WAV; ``sample_fn(i) -> int16`` fills real sample
+    data (mono), zeros otherwise."""
     block_align = channels * 2
     data_size = n_samples * block_align
     header = struct.pack(
@@ -171,7 +174,47 @@ def encode_wav(sample_rate: int, n_samples: int, channels: int = 1) -> bytes:
         b"data",
         data_size,
     )
-    return header + b"\x00" * data_size
+    if sample_fn is None:
+        return header + b"\x00" * data_size
+    body = struct.pack(
+        f"<{n_samples * channels}h",
+        *[int(sample_fn(i)) for i in range(n_samples * channels)],
+    )
+    return header + body
+
+
+def parse_wav_samples(content: bytes):
+    """Decode the PCM16 payload of a mono WAV into an int array (the
+    actual sample values, not just counts); None for malformed input
+    or non-PCM16 payloads. Chunk walk mirrors :func:`parse_wav`."""
+    import numpy as np
+
+    if (
+        len(content) < WAV_HEADER_SIZE
+        or content[:4] != b"RIFF"
+        or content[8:12] != b"WAVE"
+    ):
+        return None
+    pos = 12
+    block_align = bits = None
+    while pos + 8 <= len(content):
+        chunk_id, chunk_size = struct.unpack_from("<4sI", content, pos)
+        body = pos + 8
+        if chunk_id == b"fmt " and body + 16 <= len(content):
+            audio_format, channels, _, _, block_align, bits = struct.unpack_from(
+                "<HHIIHH", content, body
+            )
+            if audio_format != 1 or channels != 1 or bits != 16:
+                return None
+        elif chunk_id == b"data":
+            if block_align != 2:
+                return None
+            n = min(chunk_size, len(content) - body) // 2
+            return np.frombuffer(content, dtype="<i2", count=n, offset=body).astype(
+                np.int64
+            )
+        pos = body + chunk_size + (chunk_size & 1)
+    return None
 
 
 def parse_wav(content: bytes) -> dict | None:
@@ -1005,3 +1048,85 @@ def jpeg_pixel_stats(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=cols)
 
     return df.mapInPandas(stats, schema=PNG_STATS_SCHEMA)
+
+
+WAV_STATS_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("n_samples", LongType(), True),
+        StructField("mean_abs", DoubleType(), True),
+        StructField("peak", LongType(), True),
+        StructField("zero_crossings", LongType(), True),
+    ]
+)
+
+
+def wav_assets_from_ids(df: DataFrame, id_column: str) -> DataFrame:
+    """Deterministic REAL-PCM WAV asset table from an id column:
+    mono 16-bit, n = id%100+1 samples at 8000+id%4·1000 Hz, sample
+    s(i) = ((i·(id%7+1)·37 + id) mod 4001) − 2000 — real waveform data
+    whose every value is id-arithmetic, so decoded FEATURES (not just
+    counts) are SQL-checkable."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid in pdf[id_column]:
+                aid = int(aid)
+                step = aid % 7 + 1
+                content = encode_wav(
+                    8000 + aid % 4 * 1000,
+                    aid % 100 + 1,
+                    sample_fn=lambda i, a=aid, s=step: ((i * s * 37 + a) % 4001)
+                    - 2000,
+                )
+                rows.append(
+                    {
+                        "asset_id": aid,
+                        "content": content,
+                        "meta": {
+                            "media_type": "audio",
+                            "format": "wav",
+                            "width": None,
+                            "height": None,
+                            "n_frames": None,
+                            "sample_rate": None,
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["asset_id", "content", "meta"])
+
+    return df.select(id_column).mapInPandas(build, schema=MEDIA_SCHEMA)
+
+
+def wav_audio_stats(df: DataFrame) -> DataFrame:
+    """Waveform feature extraction from DECODED PCM samples
+    (parse_wav_samples on the hot path): per asset the sample count,
+    mean |amplitude| (6dp), peak |amplitude|, and zero-crossing count
+    (strict sign products < 0, zeros break runs) — the front half of
+    any audio featurization pipeline, Arrow-batched mapInPandas."""
+    import numpy as np
+
+    cols = [f.name for f in WAV_STATS_SCHEMA.fields]
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                rec = {"asset_id": row["asset_id"], "n_samples": None,
+                       "mean_abs": None, "peak": None, "zero_crossings": None}
+                content = row["content"]
+                s = (
+                    parse_wav_samples(bytes(content))
+                    if content is not None
+                    else None
+                )
+                if s is not None and len(s):
+                    rec["n_samples"] = int(len(s))
+                    rec["mean_abs"] = round(float(np.abs(s).mean()), 6)
+                    rec["peak"] = int(np.abs(s).max())
+                    rec["zero_crossings"] = int((s[:-1] * s[1:] < 0).sum())
+                rows.append(rec)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(stats, schema=WAV_STATS_SCHEMA)

@@ -5469,6 +5469,42 @@ FROM dq ORDER BY asset_id
 """
 
 
+def mm9_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Waveform FEATURE extraction from real decoded PCM
+    (multimodal.wav_audio_stats over parse_wav_samples): spec-built
+    mono 16-bit WAVs whose sample values are id-arithmetic, so the
+    decoded features — mean |amplitude|, peak, zero crossings — are
+    value-checked, not just the header counts mm3/mm4 already pin."""
+    from paqarin_spark.multimodal import wav_assets_from_ids, wav_audio_stats
+
+    docs = _docs(spark, sf_dir)
+    return wav_audio_stats(wav_assets_from_ids(docs, "doc_id")).orderBy(
+        "asset_id"
+    )
+
+
+MM9_SQL = """
+WITH g AS (
+  SELECT doc_id AS asset_id, doc_id % 7 + 1 AS step, doc_id % 100 + 1 AS n,
+         UNNEST(range(doc_id % 100 + 1)) AS i
+  FROM documents
+), s AS (
+  SELECT asset_id, n, i,
+         (i * step * 37 + asset_id) % 4001 - 2000 AS v,
+         CASE WHEN i > 0
+              THEN ((i - 1) * step * 37 + asset_id) % 4001 - 2000 END AS pv
+  FROM g
+)
+SELECT asset_id,
+       CAST(MAX(n) AS BIGINT) AS n_samples,
+       ROUND(AVG(ABS(v)), 6) AS mean_abs,
+       CAST(MAX(ABS(v)) AS BIGINT) AS peak,
+       CAST(COALESCE(SUM(CASE WHEN pv * v < 0 THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS zero_crossings
+FROM s GROUP BY asset_id ORDER BY asset_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 
@@ -5525,6 +5561,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "st7_stream_enrich": st7_stream_enrich,
     "tx32_gopher_gate": tx32_gopher_gate,
     "mm8_jpeg_decode": mm8_jpeg_decode,
+    "mm9_wav_stats": mm9_wav_stats,
     # --- regression watch (BENCH_r02 movers) ---
     "q33_large_orders": q33_large_orders,
     "gen4_conditional_sample": gen4_conditional_sample,
@@ -5536,8 +5573,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ev2_univariate_summary": ev2_univariate_summary,
     "em4_ivf_topk": em4_ivf_topk,
     "q58_salted_revenue": q58_salted_revenue,
-    "q14_pricing_summary": q14_pricing_summary,
     # ------------- driver 50-entry window ends HERE (position 50) -------------
+    "q14_pricing_summary": q14_pricing_summary,
     # --- displaced representatives (driver-green in r2 on these exact rows) ---
     "q01_surrogate_key": q01_surrogate_key,
     "q02_daily_sum": q02_daily_sum,
@@ -5761,5 +5798,6 @@ ORACLE_SQL: dict[str, str] = {
     "st7_stream_enrich": ST7_SQL,
     "tx32_gopher_gate": TX32_SQL,
     "mm8_jpeg_decode": MM8_SQL,
+    "mm9_wav_stats": MM9_SQL,
     "q68_conversion_funnel": Q68_SQL,
 }

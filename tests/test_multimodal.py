@@ -351,3 +351,38 @@ def test_probe_media_from_ids_schema(spark):
     assert rows[1]["kind"] == "mp4" and rows[1]["duration_ms"] == 1001
     assert rows[2]["n_components"] == 3
     assert rows[3]["n_bytes"] == 140 + 8 + 3
+
+
+def test_wav_sample_decode_round_trip():
+    import numpy as np
+
+    from paqarin_spark.multimodal import encode_wav, parse_wav_samples
+
+    vals = [0, 100, -200, 32767, -32768, 7]
+    data = encode_wav(8000, len(vals), sample_fn=lambda i: vals[i])
+    out = parse_wav_samples(data)
+    assert out is not None and list(out) == vals
+    # malformed / unsupported shapes return None
+    assert parse_wav_samples(b"nope") is None
+    stereo = encode_wav(8000, 4, channels=2)
+    assert parse_wav_samples(stereo) is None
+
+
+def test_wav_audio_stats_through_spark(spark):
+    import numpy as np
+
+    from paqarin_spark.multimodal import wav_assets_from_ids, wav_audio_stats
+
+    ids = spark.range(0, 8).withColumnRenamed("id", "doc_id")
+    out = {
+        r.asset_id: r
+        for r in wav_audio_stats(wav_assets_from_ids(ids, "doc_id")).collect()
+    }
+    for aid, r in out.items():
+        n = aid % 100 + 1
+        step = aid % 7 + 1
+        s = np.array([((i * step * 37 + aid) % 4001) - 2000 for i in range(n)])
+        assert r.n_samples == n
+        assert r.peak == int(np.abs(s).max())
+        assert abs(r.mean_abs - round(float(np.abs(s).mean()), 6)) < 1e-9
+        assert r.zero_crossings == int((s[:-1] * s[1:] < 0).sum())
