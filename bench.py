@@ -78,7 +78,9 @@ def main() -> int:
             while f"{key}~{i}" in short_to_full:
                 i += 1
             key = f"{key}~{i}"
-        short[key] = t
+        # 2dp in the stdout line (3dp stays in bench_results.json):
+        # at 137 queries the 3dp line brushes the 1900-char budget.
+        short[key] = round(t, 2)
         short_to_full[key] = name
     payload = {
         "metric": "declared_query_set_total",

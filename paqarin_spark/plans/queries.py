@@ -5505,6 +5505,55 @@ FROM s GROUP BY asset_id ORDER BY asset_id
 """
 
 
+def st8_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM–STREAM interval self-join (streaming.
+    stream_interval_join): click→purchase attribution within 1 hour
+    per user, both sides watermarked so join state is evicted once the
+    watermark passes ts + lag. Inner-join semantics make the emitted
+    set equal the batch interval join exactly — the oracle is plain
+    SQL, no closed-window carve-out needed."""
+    from paqarin_spark.streaming import stream_interval_join
+
+    configure_for_determinism(spark)
+    stream = _events_stream(spark, sf_dir)
+    out = stream_interval_join(
+        stream,
+        timestamp_column="ts",
+        key_column="user_id",
+        left_filter=F.col("event_type") == "click",
+        right_filter=F.col("event_type") == "purchase",
+        max_lag="1 hour",
+        watermark="1 day",
+        left_prefix="click",
+        right_prefix="purchase",
+    )
+    name = "st8_stream_interval_join"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "click_id", "purchase_id", "user_id", "lag_seconds"
+    )
+
+
+ST8_SQL = """
+SELECT a.event_id AS click_id,
+       b.event_id AS purchase_id,
+       a.user_id,
+       CAST(date_diff('second', a.ts, b.ts) AS BIGINT) AS lag_seconds
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'click' AND b.event_type = 'purchase'
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL '1 hour'
+ORDER BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 
@@ -5562,6 +5611,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx32_gopher_gate": tx32_gopher_gate,
     "mm8_jpeg_decode": mm8_jpeg_decode,
     "mm9_wav_stats": mm9_wav_stats,
+    "st8_stream_interval_join": st8_stream_interval_join,
     # --- regression watch (BENCH_r02 movers) ---
     "q33_large_orders": q33_large_orders,
     "gen4_conditional_sample": gen4_conditional_sample,
@@ -5572,8 +5622,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ev1_pipeline_summary": ev1_pipeline_summary,
     "ev2_univariate_summary": ev2_univariate_summary,
     "em4_ivf_topk": em4_ivf_topk,
-    "q58_salted_revenue": q58_salted_revenue,
     # ------------- driver 50-entry window ends HERE (position 50) -------------
+    "q58_salted_revenue": q58_salted_revenue,
     "q14_pricing_summary": q14_pricing_summary,
     # --- displaced representatives (driver-green in r2 on these exact rows) ---
     "q01_surrogate_key": q01_surrogate_key,
@@ -5799,5 +5849,6 @@ ORACLE_SQL: dict[str, str] = {
     "tx32_gopher_gate": TX32_SQL,
     "mm8_jpeg_decode": MM8_SQL,
     "mm9_wav_stats": MM9_SQL,
+    "st8_stream_interval_join": ST8_SQL,
     "q68_conversion_funnel": Q68_SQL,
 }

@@ -315,3 +315,61 @@ def stream_enrich_window_sum(
             "sum_value",
         )
     )
+
+
+def stream_interval_join(
+    stream: DataFrame,
+    timestamp_column: str,
+    key_column: str,
+    left_filter,
+    right_filter,
+    max_lag: str = "1 hour",
+    watermark: str = "1 day",
+    left_prefix: str = "left",
+    right_prefix: str = "right",
+) -> DataFrame:
+    """STREAM–STREAM interval self-join: pair each left-side event with
+    every right-side event of the same key that follows within
+    ``max_lag`` (click→purchase attribution, request→error
+    correlation). Both sides are watermarked and the join condition
+    carries the time bound, so each side's state is evicted once the
+    watermark passes ``ts + max_lag`` — the bounded-state contract a
+    stream-stream join REQUIRES (an unbounded-time join would keep
+    every row forever). Inner join: matches emit as soon as both
+    sides have arrived; the result set equals the batch interval join
+    exactly, so the oracle is plain SQL.
+
+    Output: ({left}_id, {right}_id, key, lag_seconds), both event_id
+    columns taken from ``event_id``.
+    """
+    lts, rts = f"{left_prefix}_ts", f"{right_prefix}_ts"
+    lid, rid = f"{left_prefix}_id", f"{right_prefix}_id"
+    left = (
+        stream.where(left_filter)
+        .select(
+            F.col(key_column),
+            F.col("event_id").alias(lid),
+            F.col(timestamp_column).alias(lts),
+        )
+        .withWatermark(lts, watermark)
+    )
+    right = (
+        stream.where(right_filter)
+        .select(
+            F.col(key_column).alias("_rkey"),
+            F.col("event_id").alias(rid),
+            F.col(timestamp_column).alias(rts),
+        )
+        .withWatermark(rts, watermark)
+    )
+    cond = (
+        (left[key_column] == right["_rkey"])
+        & (F.col(rts) >= F.col(lts))
+        & (F.col(rts) <= F.col(lts) + F.expr(f"INTERVAL {max_lag}"))
+    )
+    return left.join(right, cond).select(
+        F.col(lid),
+        F.col(rid),
+        F.col(key_column),
+        (F.unix_timestamp(rts) - F.unix_timestamp(lts)).alias("lag_seconds"),
+    )

@@ -280,3 +280,45 @@ def test_stream_enrich_window_sum_joins_dim_and_closes_windows(spark, tmp_path):
         ("2020-01-01", "silver"): (1, 7.0),
         ("2020-01-02", "silver"): (1, 1.0),
     }
+
+
+def test_stream_interval_join_matches_batch(spark, tmp_path):
+    from paqarin_spark.streaming import stream_interval_join
+
+    rows = [
+        (1, 10, dt.datetime(2020, 1, 1, 10, 0), "click"),
+        (2, 10, dt.datetime(2020, 1, 1, 10, 30), "purchase"),  # in window
+        (3, 10, dt.datetime(2020, 1, 1, 12, 0), "purchase"),   # too late
+        (4, 11, dt.datetime(2020, 1, 1, 10, 10), "purchase"),  # other user
+        (5, 11, dt.datetime(2020, 1, 1, 10, 0), "click"),
+        (6, 11, dt.datetime(2020, 1, 1, 10, 5), "purchase"),   # in window
+        (7, 12, dt.datetime(2020, 1, 1, 9, 0), "purchase"),    # before click
+        (8, 12, dt.datetime(2020, 1, 1, 9, 30), "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    path = str(tmp_path / "ivj_in")
+    df.repartition(2).write.parquet(path)
+    stream = spark.readStream.schema(df.schema).parquet(path)
+    out = _run(
+        spark,
+        stream_interval_join(
+            stream,
+            "ts",
+            "user_id",
+            F.col("event_type") == "click",
+            F.col("event_type") == "purchase",
+            max_lag="1 hour",
+            left_prefix="click",
+            right_prefix="purchase",
+        ),
+        "t_ivj",
+        "append",
+    )
+    got = sorted(
+        (r.click_id, r.purchase_id, r.lag_seconds) for r in out.collect()
+    )
+    # user 10: click 1 -> purchase 2 (1800s); user 11: click 5 -> both
+    # purchase 4 (600s) and 6 (300s); user 12: purchase precedes click
+    assert got == [(1, 2, 1800), (5, 4, 600), (5, 6, 300)]

@@ -37,6 +37,10 @@ SKIP = {
     "st2_stream_window_sums",
     "st3_stream_sessions",
     "st4_stream_minmax",
+    "st5_stream_dedup",
+    "st6_stream_daily_users",
+    "st7_stream_enrich",
+    "st8_stream_interval_join",
 }
 
 
