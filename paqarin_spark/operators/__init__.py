@@ -39,6 +39,7 @@ from paqarin_spark.operators.corpus import (
     pack_sequences,
     tfidf_top_terms,
 )
+from paqarin_spark.operators.graph import pagerank
 from paqarin_spark.operators.joins import asof_join, range_point_join, salted_join
 from paqarin_spark.operators.sessions import session_stats, sessionize
 from paqarin_spark.operators.similarity import (
@@ -92,6 +93,7 @@ __all__ = [
     "lsh_topk",
     "scalar_quantize_error",
     "random_projection_distortion",
+    "pagerank",
     "bm25_topk",
     "chunk_tokens",
     "mixture_sample",

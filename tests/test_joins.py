@@ -297,3 +297,39 @@ def test_salted_join_handles_map_columns(spark):
     assert sorted((r["k"], r["v"], r["label"]) for r in salted.collect()) == sorted(
         (r["k"], r["v"], r["label"]) for r in plain.collect()
     )
+
+
+def test_pagerank_matches_reference_and_handles_dangling(spark):
+    import numpy as np
+
+    from paqarin_spark.operators import pagerank
+
+    # a->b, a->d(w3), b->c, c->a; d dangling
+    edges = spark.createDataFrame(
+        [("a", "b", 1.0), ("a", "d", 3.0), ("b", "c", 2.0), ("c", "a", 1.0)],
+        "src string, dst string, w double",
+    )
+    got = {
+        r.node: r.rank
+        for r in pagerank(edges, "src", "dst", "w", iterations=3).collect()
+    }
+    nodes = ["a", "b", "c", "d"]
+    frac = {("a", "b"): 0.25, ("a", "d"): 0.75, ("b", "c"): 1.0, ("c", "a"): 1.0}
+    pr = {v: 0.25 for v in nodes}
+    for _ in range(3):
+        dm = pr["d"]
+        new = {}
+        for v in nodes:
+            infl = sum(pr[s] * f for (s, d), f in frac.items() if d == v)
+            new[v] = (1.0 - 0.85) / 4 + 0.85 * (infl + dm / 4)
+        pr = new
+    for v in nodes:
+        assert abs(got[v] - pr[v]) < 1e-12, v
+    # rank mass is conserved (sums to 1)
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    # unweighted: weight=None treats edges equally
+    uw = {
+        r.node: r.rank
+        for r in pagerank(edges, "src", "dst", iterations=1).collect()
+    }
+    assert uw["b"] == uw["d"]  # equal split from a
