@@ -82,9 +82,21 @@ def main() -> int:
         .orderBy("source")
     )
 
+    # 5. mixture-sample the survivors, then lay them out as training
+    #    sequences (concat-and-chunk at 512 tokens)
+    from paqarin_spark.operators import mixture_sample, pack_sequences
+
+    sampled = mixture_sample(
+        docs3, "doc_id", "source", rates={"src0": 1.0}, default_rate=0.5
+    )
+    packed = pack_sequences(sampled, "doc_id", "text", budget=512)
+    n_seqs = packed.agg(F.max("last_seq") + 1).first()[0]
+
     n1, n2, n3 = docs1.count(), docs2.count(), docs3.count()
+    n4 = sampled.count()
     print(f"documents: {n0} raw -> {n1} exact-deduped -> "
-          f"{n2} near-dedup'd -> {n3} quality-kept")
+          f"{n2} near-dedup'd -> {n3} quality-kept -> {n4} mixture-sampled "
+          f"-> {n_seqs} training sequences of 512 tokens")
     budget.show(truncate=False)
     return 0
 
