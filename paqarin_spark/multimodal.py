@@ -474,6 +474,17 @@ def decode_media(df: DataFrame) -> DataFrame:
     return df.mapInPandas(decode, schema=DECODED_SCHEMA)
 
 
+def _spread_ids(df: DataFrame, id_column: str) -> DataFrame:
+    """Id projection repartitioned across the cluster before a
+    per-asset codec stage: a single-file parquet scan arrives as ONE
+    partition, which would serialize every encode/decode onto one
+    core. The exchange moves only the id column (bytes per row), and
+    hash partitioning on the id keeps placement deterministic."""
+    ids = df.select(id_column)
+    par = max(int(ids.sparkSession.sparkContext.defaultParallelism), 1)
+    return ids.repartition(par, F.col(id_column))
+
+
 def codec_assets_from_ids(df: DataFrame, id_column: str) -> DataFrame:
     """Deterministic REAL-codec asset table from an id column: even ids
     become 24bpp BMPs (width = id%8+1, height = id%6+1), odd ids become
@@ -509,7 +520,7 @@ def codec_assets_from_ids(df: DataFrame, id_column: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["asset_id", "content", "meta"])
 
-    return df.select(id_column).mapInPandas(build, schema=MEDIA_SCHEMA)
+    return _spread_ids(df, id_column).mapInPandas(build, schema=MEDIA_SCHEMA)
 
 
 def png_assets_from_ids(df: DataFrame, id_column: str) -> DataFrame:
@@ -550,7 +561,7 @@ def png_assets_from_ids(df: DataFrame, id_column: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["asset_id", "content", "meta"])
 
-    return df.select(id_column).mapInPandas(build, schema=MEDIA_SCHEMA)
+    return _spread_ids(df, id_column).mapInPandas(build, schema=MEDIA_SCHEMA)
 
 
 PNG_STATS_SCHEMA = StructType(
@@ -963,7 +974,7 @@ def probe_media_from_ids(df: DataFrame, id_column: str) -> DataFrame:
                     )
             yield pd.DataFrame(rows, columns=[f.name for f in PROBE_SCHEMA.fields])
 
-    return df.select(id_column).mapInPandas(build, schema=PROBE_SCHEMA)
+    return _spread_ids(df, id_column).mapInPandas(build, schema=PROBE_SCHEMA)
 
 
 def jpeg_assets_from_ids(df: DataFrame, id_column: str) -> DataFrame:
@@ -1010,7 +1021,7 @@ def jpeg_assets_from_ids(df: DataFrame, id_column: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["asset_id", "content", "meta"])
 
-    return df.select(id_column).mapInPandas(build, schema=MEDIA_SCHEMA)
+    return _spread_ids(df, id_column).mapInPandas(build, schema=MEDIA_SCHEMA)
 
 
 def jpeg_pixel_stats(df: DataFrame) -> DataFrame:
@@ -1096,7 +1107,7 @@ def wav_assets_from_ids(df: DataFrame, id_column: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["asset_id", "content", "meta"])
 
-    return df.select(id_column).mapInPandas(build, schema=MEDIA_SCHEMA)
+    return _spread_ids(df, id_column).mapInPandas(build, schema=MEDIA_SCHEMA)
 
 
 def wav_audio_stats(df: DataFrame) -> DataFrame:
