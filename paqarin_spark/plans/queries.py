@@ -57,7 +57,10 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_for_determinism(spark)
-    return read_table(spark, sf_dir, "documents")
+    # spread=True: the text/dedup surface is map-heavy (tokenize,
+    # shingle explode) and the single-row-group documents file would
+    # otherwise run those stages on one core (sources.read_table).
+    return read_table(spark, sf_dir, "documents", spread=True)
 
 
 # --------------------------------------------------------------------------

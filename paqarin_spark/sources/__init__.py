@@ -107,7 +107,9 @@ def _nano_timestamp_columns(path: str) -> list[str]:
     return out
 
 
-def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def read_table(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = False
+) -> DataFrame:
     """Op A1/A2 for the driver's testdata: parquet scan with native
     pushdown/pruning (check `.explain()` for PushedFilters/ReadSchema).
 
@@ -127,12 +129,36 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     lpath = local_path(path)
     nano_cols = _nano_timestamp_columns(lpath) if lpath is not None else []
     if not nano_cols:
-        return _ntz_to_utc(spark.read.parquet(path))
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
-    for c in nano_cols:
-        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
-    return _ntz_to_utc(df)
+        df = _ntz_to_utc(spark.read.parquet(path))
+    else:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        for c in nano_cols:
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        df = _ntz_to_utc(df)
+    return _spread_small_scan(spark, df) if spread else df
+
+
+def _spread_small_scan(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Normalize tiny scan layouts for MAP-HEAVY consumers: parquet
+    splits only at row-group boundaries, so a single-file
+    single-row-group table arrives as ONE partition and heavy map-side
+    work (tokenize/explode/shingle extraction) serializes onto one
+    core. When the scan has fewer partitions than the cluster's
+    parallelism, round-robin repartition to fan it out — the exchange
+    moves only this small table (a table with few row groups IS
+    small; at production scale input splits are plentiful and this
+    branch never triggers). Round-robin repartition is
+    retry-deterministic (Spark sorts within partitions before the
+    exchange), and every declared query is order-insensitive by
+    contract. Opt-in (``read_table(..., spread=True)``): pipelines
+    dominated by scheduling-sensitive iterative stages (the ev/gen
+    evaluation loops) plan WORSE with the extra exchange, so only the
+    text/dedup surface requests it."""
+    par = int(spark.sparkContext.defaultParallelism)
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
 
 
 def _ntz_to_utc(df: DataFrame) -> DataFrame:

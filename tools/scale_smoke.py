@@ -317,6 +317,53 @@ def main() -> int:
         f"[{'ok' if ok else f'EXPECTED {expect_cont}'}]"
     )
 
+    # Sequence packing over the same 2M 16-token docs, budget 512:
+    # 16 divides 512, so the stream packs into exactly 16·M/512
+    # sequences of 32 docs each with ZERO straddling docs — the
+    # closed-form alignment property (any straddler would mean the
+    # prefix sum drifted). The two-level prefix sum (1024-doc buckets
+    # -> ~M/1024 broadcast offsets) is what makes this shape safe at
+    # corpus scale.
+    from paqarin_spark.operators import chunk_tokens, pack_sequences
+
+    assert M % 32 == 0, "pick n so n//10 is a multiple of 32"
+    t0 = time.perf_counter()
+    packed = pack_sequences(docs, "doc_id", "text", budget=512)
+    agg = packed.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.max("last_seq") + 1).alias("n_seqs"),
+        F.sum((F.col("n_seqs") != 1).cast("long")).alias("n_straddle"),
+    ).first()
+    dt = time.perf_counter() - t0
+    ok = (
+        agg["n"] == M
+        and agg["n_seqs"] == 16 * M // 512
+        and agg["n_straddle"] == 0
+    )
+    checks.append(ok)
+    print(
+        f"{'sequence packing':24} {dt:7.1f}s  rows={agg['n']:>12,}  "
+        f"[{'ok' if ok else f'EXPECTED {M}/{16 * M // 512}/0, got {dict(agg.asDict())}'}]"
+    )
+
+    # Overlapping chunking (8-token windows every 4): 16-token docs
+    # emit starts 0/4/8/12 -> 4 chunks, the last truncated to 4 tokens
+    # -> 4M chunks of which exactly 3M are full. Explode-only, no
+    # shuffle — scan-speed at any corpus size.
+    t0 = time.perf_counter()
+    ch = chunk_tokens(docs, "doc_id", "text", chunk=8, stride=4)
+    cagg = ch.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("n_chunk_tokens") == 8).cast("long")).alias("full"),
+    ).first()
+    dt = time.perf_counter() - t0
+    ok = cagg["n"] == 4 * M and cagg["full"] == 3 * M
+    checks.append(ok)
+    print(
+        f"{'overlap chunking':24} {dt:7.1f}s  rows={cagg['n']:>12,}  "
+        f"[{'ok' if ok else f'EXPECTED {4 * M}/{3 * M}'}]"
+    )
+
     print("all invariants hold" if all(checks) else "INVARIANT FAILURES")
     return 0 if all(checks) else 1
 
