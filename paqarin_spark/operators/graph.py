@@ -37,13 +37,19 @@ def pagerank(
     driver.
     """
     w = F.col(weight) if weight else F.lit(1.0)
+    # Loop invariants persist once: without this, every iteration's
+    # lineage re-executes the caller's whole edge-construction ETL
+    # (for q69 a 5-table join) several times per round — the classic
+    # iterative-algorithm mistake. Persist (not checkpoint) so large
+    # edge lists spill to disk instead of failing.
     e = edges.select(
         F.col(src).alias("_s"), F.col(dst).alias("_d"), w.alias("_w")
-    )
+    ).persist()
     nodes = (
         e.select(F.col("_s").alias("node"))
         .unionByName(e.select(F.col("_d").alias("node")))
         .distinct()
+        .persist()
     )
     n_row = nodes.agg(F.count(F.lit(1)).cast("double").alias("_n"))
     out_w = e.groupBy("_s").agg(F.sum("_w").alias("_ow"))
@@ -51,15 +57,21 @@ def pagerank(
     # decimals — summing them in their native type keeps _ow order-
     # independent; dividing as doubles keeps the fraction's float
     # value engine-reproducible).
-    frac = e.join(out_w, on="_s").select(
-        "_s",
-        "_d",
-        (F.col("_w").cast("double") / F.col("_ow").cast("double")).alias("_frac"),
+    frac = (
+        e.join(out_w, on="_s")
+        .select(
+            "_s",
+            "_d",
+            (F.col("_w").cast("double") / F.col("_ow").cast("double")).alias(
+                "_frac"
+            ),
+        )
+        .persist()
     )
     ranks = nodes.crossJoin(F.broadcast(n_row)).select(
         "node", (F.lit(1.0) / F.col("_n")).alias("rank")
     )
-    has_out = out_w.select(F.col("_s").alias("node"))
+    has_out = out_w.select(F.col("_s").alias("node")).persist()
     for _ in range(int(iterations)):
         inflow = (
             frac.join(ranks, frac._s == ranks.node)
