@@ -5660,6 +5660,83 @@ SELECT node, ROUND(rank, 6) AS rank FROM r3 ORDER BY node
 """
 
 
+def em13_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style TRUNCATION audit: recall@5 of brute-force
+    top-k computed on the 16-dim embedding PREFIX against the full
+    64-dim baseline — the measurement a pipeline runs before shipping
+    truncated embeddings to cut index cost 4×. Both sides reuse the
+    exact block-matrix kernel (em1), so the audit itself is
+    value-checked. Output: one row (n_queries, avg_recall)."""
+    from paqarin_spark.operators import cosine_topk
+
+    configure_for_determinism(spark)
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    trunc = emb.select(
+        "vec_id", F.slice("embedding", 1, 16).alias("embedding")
+    )
+    full_topk = cosine_topk(emb, "vec_id", "embedding", k=5).select(
+        "query_id", "neighbor_id"
+    )
+    trunc_topk = cosine_topk(trunc, "vec_id", "embedding", k=5).select(
+        "query_id", "neighbor_id"
+    )
+    hits = (
+        full_topk.join(trunc_topk, on=["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("_h"))
+    )
+    per_q = full_topk.groupBy("query_id").agg(F.count(F.lit(1)).alias("_k"))
+    recall = per_q.join(hits, on="query_id", how="left").select(
+        (F.coalesce(F.col("_h"), F.lit(0)) / F.col("_k")).alias("_r")
+    )
+    return recall.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.round(F.avg("_r"), 6).alias("avg_recall"),
+    )
+
+
+_EM13_TRUNC_TOPK = """
+WITH v AS (
+  SELECT vec_id,
+         list_transform(list_slice(embedding, 1, 16),
+                        x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         ROUND(
+           list_sum(list_transform(range(1, 17), i -> a.e[i] * b.e[i]))
+           / (sqrt(list_sum(list_transform(range(1, 17), i -> a.e[i] * a.e[i])))
+              * sqrt(list_sum(list_transform(range(1, 17), i -> b.e[i] * b.e[i])))),
+           6) AS cos_sim
+  FROM v a CROSS JOIN v b WHERE a.vec_id <> b.vec_id
+)
+SELECT query_id, neighbor_id FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rk
+  FROM pairs
+) WHERE rk <= 5
+"""
+
+EM13_SQL = f"""
+WITH fullk AS ({EM1_SQL.replace("ORDER BY query_id, neighbor_id", "")}),
+trunck AS ({_EM13_TRUNC_TOPK}),
+hits AS (
+  SELECT f.query_id, COUNT(*) AS h
+  FROM fullk f JOIN trunck t
+    ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+  GROUP BY 1
+), per_q AS (
+  SELECT query_id, CAST(COUNT(*) AS DOUBLE) AS k FROM fullk GROUP BY 1
+)
+SELECT COUNT(*) AS n_queries,
+       ROUND(AVG(COALESCE(h.h, 0) / p.k), 6) AS avg_recall
+FROM per_q p LEFT JOIN hits h ON p.query_id = h.query_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 
@@ -5719,6 +5796,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm9_wav_stats": mm9_wav_stats,
     "st8_stream_interval_join": st8_stream_interval_join,
     "q69_trade_pagerank": q69_trade_pagerank,
+    "em13_truncation_recall": em13_truncation_recall,
     # --- regression watch (BENCH_r02 movers) ---
     "q33_large_orders": q33_large_orders,
     "gen4_conditional_sample": gen4_conditional_sample,
@@ -5727,8 +5805,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- one representative per operator family ---
     "tx11_dup_clusters": tx11_dup_clusters,
     "ev1_pipeline_summary": ev1_pipeline_summary,
-    "ev2_univariate_summary": ev2_univariate_summary,
     # ------------- driver 50-entry window ends HERE (position 50) -------------
+    "ev2_univariate_summary": ev2_univariate_summary,
     "em4_ivf_topk": em4_ivf_topk,
     "q58_salted_revenue": q58_salted_revenue,
     "q14_pricing_summary": q14_pricing_summary,
@@ -5958,5 +6036,6 @@ ORACLE_SQL: dict[str, str] = {
     "mm9_wav_stats": MM9_SQL,
     "st8_stream_interval_join": ST8_SQL,
     "q69_trade_pagerank": Q69_SQL,
+    "em13_truncation_recall": EM13_SQL,
     "q68_conversion_funnel": Q68_SQL,
 }
