@@ -39,6 +39,7 @@ from paqarin_spark.operators.corpus import (
     pack_sequences,
     tfidf_top_terms,
 )
+from paqarin_spark.operators.cdc import apply_cdc, scd2_intervals
 from paqarin_spark.operators.graph import pagerank
 from paqarin_spark.operators.joins import asof_join, range_point_join, salted_join
 from paqarin_spark.operators.sessions import session_stats, sessionize
@@ -94,6 +95,8 @@ __all__ = [
     "scalar_quantize_error",
     "random_projection_distortion",
     "pagerank",
+    "apply_cdc",
+    "scd2_intervals",
     "bm25_topk",
     "chunk_tokens",
     "mixture_sample",

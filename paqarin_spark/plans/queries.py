@@ -5737,6 +5737,108 @@ FROM per_q p LEFT JOIN hits h ON p.query_id = h.query_id
 """
 
 
+def q70_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension build (operators.cdc.scd2_intervals):
+    collapse each user's per-day activity LEVEL (count bands) into
+    validity intervals — one row per run of equal states, valid_to =
+    start of the next run, NULL = current. Both window passes share
+    one key exchange."""
+    from paqarin_spark.operators import scd2_intervals
+
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("_n"))
+    state = (
+        F.when(F.col("_n") < 3, F.lit("low"))
+        .when(F.col("_n") <= 5, F.lit("mid"))
+        .otherwise(F.lit("high"))
+    )
+    leveled = daily.select("user_id", "bucket", state.alias("level"))
+    out = scd2_intervals(leveled, ["user_id"], "bucket", "level")
+    return out.select(
+        "user_id",
+        F.date_format("valid_from", "yyyy-MM-dd").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd").alias("valid_to"),
+        "level",
+    ).orderBy("user_id", "valid_from")
+
+
+Q70_SQL = """
+WITH daily AS (
+  SELECT user_id, date_trunc('day', ts) AS bucket, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), leveled AS (
+  SELECT user_id, bucket,
+         CASE WHEN n < 3 THEN 'low' WHEN n <= 5 THEN 'mid'
+              ELSE 'high' END AS level
+  FROM daily
+), marked AS (
+  SELECT *,
+         (level IS DISTINCT FROM
+            LAG(level) OVER (PARTITION BY user_id ORDER BY bucket)
+          OR ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY bucket) = 1)
+           AS chg
+  FROM leveled
+), runs AS (
+  SELECT user_id, bucket AS valid_from,
+         LEAD(bucket) OVER (PARTITION BY user_id ORDER BY bucket)
+           AS valid_to,
+         level
+  FROM marked WHERE chg
+)
+SELECT user_id,
+       strftime(valid_from, '%Y-%m-%d') AS valid_from,
+       strftime(valid_to, '%Y-%m-%d') AS valid_to,
+       level
+FROM runs ORDER BY user_id, valid_from
+"""
+
+
+def q71_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-wins CDC merge (operators.cdc.apply_cdc — the batch form
+    of MERGE INTO): the event stream is read as a change log per user
+    ('error' = delete, anything else = upsert); the snapshot keeps
+    each user's highest-version record unless it is a delete. One
+    exchange on the key."""
+    from paqarin_spark.operators import apply_cdc
+
+    ev = _events(spark, sf_dir)
+    changes = ev.select(
+        "user_id",
+        "value",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+    )
+    snap = apply_cdc(
+        changes, ["user_id"], ["ts", "event_id"], "op", delete_op="delete"
+    )
+    return snap.select(
+        "user_id",
+        F.round("value", 6).alias("value"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+    ).orderBy("user_id")
+
+
+Q71_SQL = """
+WITH ranked AS (
+  SELECT user_id, value, ts, event_id,
+         CASE WHEN event_type = 'error' THEN 'delete'
+              ELSE 'upsert' END AS op,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, ROUND(value, 6) AS value,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts
+FROM ranked WHERE rn = 1 AND op <> 'delete'
+ORDER BY user_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 
@@ -5797,15 +5899,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "st8_stream_interval_join": st8_stream_interval_join,
     "q69_trade_pagerank": q69_trade_pagerank,
     "em13_truncation_recall": em13_truncation_recall,
+    "q70_scd2_intervals": q70_scd2_intervals,
+    "q71_cdc_merge": q71_cdc_merge,
     # --- regression watch (BENCH_r02 movers) ---
     "q33_large_orders": q33_large_orders,
     "gen4_conditional_sample": gen4_conditional_sample,
     "st2_stream_window_sums": st2_stream_window_sums,
     "st3_stream_sessions": st3_stream_sessions,
+    # ------------- driver 50-entry window ends HERE (position 50) -------------
     # --- one representative per operator family ---
     "tx11_dup_clusters": tx11_dup_clusters,
     "ev1_pipeline_summary": ev1_pipeline_summary,
-    # ------------- driver 50-entry window ends HERE (position 50) -------------
     "ev2_univariate_summary": ev2_univariate_summary,
     "em4_ivf_topk": em4_ivf_topk,
     "q58_salted_revenue": q58_salted_revenue,
@@ -6037,5 +6141,7 @@ ORACLE_SQL: dict[str, str] = {
     "st8_stream_interval_join": ST8_SQL,
     "q69_trade_pagerank": Q69_SQL,
     "em13_truncation_recall": EM13_SQL,
+    "q70_scd2_intervals": Q70_SQL,
+    "q71_cdc_merge": Q71_SQL,
     "q68_conversion_funnel": Q68_SQL,
 }
