@@ -452,8 +452,17 @@ def _parse_jpeg_strict(content: bytes) -> dict | None:
         if content[pos] != 0xFF:
             return None
         marker = content[pos + 1]
+        if marker == 0xFF:
+            # spec-legal fill byte (T.81 B.1.1.2): optional 0xFF
+            # padding precedes any marker
+            pos += 1
+            continue
         if marker == 0xD9:
             return None  # EOI before SOS
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # TEM / RSTn are length-less markers
+            pos += 2
+            continue
         size = struct.unpack(">H", content[pos + 2 : pos + 4])[0]
         payload = content[pos + 4 : pos + 2 + size]
         pos += 2 + size

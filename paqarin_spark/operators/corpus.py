@@ -88,7 +88,10 @@ def pack_sequences(
     the bucket key. No single-partition window over the full corpus —
     the classic prefix-sum-at-scale layout.
     """
-    bucket = (F.col(id_column) / F.lit(int(bucket_size))).cast("bigint")
+    # integer `div`, not float `/`: double division loses low bits of
+    # 64-bit ids above 2^53 and could round an id into the wrong
+    # bucket, corrupting the prefix sum's bucket-monotonic invariant
+    bucket = F.expr(f"`{id_column}` div {int(bucket_size)}")
     sized = df.select(
         F.col(id_column),
         bucket.alias("_bucket"),

@@ -422,19 +422,25 @@ def _duplicate_clusters_contract(
     id_b: str,
     max_rounds: int,
 ) -> DataFrame:
-    """Connected components by repeated MIN-NEIGHBOR CONTRACTION:
-    each round every node merges into the minimum of its closed
-    neighborhood, the surviving mapping composes into a persistent
-    node→rep table, and the edge set is rewritten onto the contracted
-    ids (self-loops dropped, duplicates collapsed). Every node merges
-    with at least one neighbor per round, so active nodes at least
-    halve — O(log n) rounds regardless of component diameter (the
-    chain-shaped graphs where min-label propagation pays one shuffle
-    round per hop), and the edge set SHRINKS geometrically, so late
-    rounds are cheap where label/star rounds stay full-size. The
-    component minimum always maps to itself, so the final rep of every
-    node is the smallest id in its component — the same contract as
-    ``label``/``star`` and the recursive-CTE oracles.
+    """Connected components by repeated MIN-NEIGHBOR CONTRACTION with
+    a guaranteed finish: each round every node merges into the minimum
+    of its closed neighborhood, the surviving mapping composes into a
+    persistent node→rep table, and the edge set is rewritten onto the
+    contracted ids (self-loops dropped, duplicates collapsed).
+
+    Round complexity: O(log n) when local minima are dispersed (the
+    content-hash / random-id case — each round merges most nodes and
+    the edge set shrinks geometrically), but a MONOTONE-id chain is
+    the adversarial case: every interior node's closed-neighborhood
+    minimum is its predecessor, so the chain contracts by only ~1
+    node per round. Contraction therefore never claims convergence it
+    didn't reach: if edges remain after ``max_rounds``, the residual
+    contracted graph (already far smaller than the input) finishes on
+    the alternating-star algorithm — O(log²) rounds REGARDLESS of
+    shape — and the two mappings compose. The component minimum
+    always maps to itself through both phases, so the final rep of
+    every node is the smallest id in its component — the same
+    contract as ``label``/``star`` and the recursive-CTE oracles.
     """
     canon = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -461,7 +467,7 @@ def _duplicate_clusters_contract(
         lbl = sym.groupBy("src").agg(
             F.least(F.min("dst"), F.first("src")).alias("lbl")
         )
-        mapping = (
+        new_mapping = (
             mapping.join(lbl, mapping.rep == lbl.src, "left")
             .select(
                 F.col("node"),
@@ -469,9 +475,11 @@ def _duplicate_clusters_contract(
             )
             .localCheckpoint()
         )
+        mapping.unpersist()
+        mapping = new_mapping
         a = lbl.select(F.col("src"), F.col("lbl").alias("_sa"))
         b = lbl.select(F.col("src").alias("dst"), F.col("lbl").alias("_sb"))
-        edges = (
+        new_edges = (
             sym.join(a, on="src")
             .join(b, on="dst")
             .select(
@@ -482,9 +490,43 @@ def _duplicate_clusters_contract(
             .distinct()
             .localCheckpoint()
         )
-    return mapping.select(
+        if edges is not canon:
+            edges.unpersist()
+        edges = new_edges
+    if not edges.isEmpty():
+        # Adversarial residual (monotone chains): finish with the
+        # shape-independent O(log²) star algorithm on the contracted
+        # graph and compose the mappings. The residual's checkpointed
+        # edges stay persisted — the composed plan reads them and a
+        # checkpoint's blocks are not recomputable once dropped.
+        residual = edges.select(
+            F.col("src").alias("id_a"), F.col("dst").alias("id_b")
+        )
+        # The caller's budget is already spent — give the finisher its
+        # own generous bound (star detects its fixpoint and stops
+        # early; 64 rounds covers components far beyond any real
+        # residual, which contraction has already shrunk).
+        star = _duplicate_clusters_star(
+            residual, "id_a", "id_b", max(max_rounds, 64)
+        )
+        mapping = (
+            mapping.join(star, mapping.rep == star.doc, "left")
+            .select(
+                F.col("node"),
+                F.coalesce(F.col("cluster_rep"), F.col("rep")).alias("rep"),
+            )
+            .localCheckpoint()
+        )
+    out = mapping.select(
         F.col("node").alias("doc"), F.col("rep").alias("cluster_rep")
     )
+    # The final mapping is checkpointed, so the intermediate edge sets
+    # can drop now (the empty final frame in the converged case, the
+    # residual after the composed mapping materialized otherwise).
+    if edges is not canon:
+        edges.unpersist()
+    canon.unpersist()
+    return out
 
 
 def _duplicate_clusters_star(

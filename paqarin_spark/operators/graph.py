@@ -82,7 +82,13 @@ def pagerank(
             ranks.join(has_out, on="node", how="left_anti")
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm"))
         )
-        ranks = (
+        # localCheckpoint the evolving state every round: `ranks` is
+        # referenced TWICE per iteration (inflow + dangling), so an
+        # unpersisted lineage would double each round — ~2^iterations
+        # plan duplication long before deep runs finish. Checkpointing
+        # keeps every round planning against a flat scan (same
+        # discipline as the dedup label/contract loops).
+        new_ranks = (
             nodes.join(inflow, nodes.node == inflow._d, "left")
             .crossJoin(F.broadcast(dangling))
             .crossJoin(F.broadcast(n_row))
@@ -97,5 +103,10 @@ def pagerank(
                     )
                 ).alias("rank"),
             )
+            .localCheckpoint()
         )
+        ranks = new_ranks
+    # The final state is checkpointed, so the loop invariants can drop.
+    for frame in (frac, has_out, nodes, e):
+        frame.unpersist()
     return ranks

@@ -39,7 +39,10 @@ def _auto_blocks(n_rows: int, target: int = 2048, cap: int = 64) -> int:
     doubles a capped block is still only |corpus|/64 rows per task.
     Auto-sizing changes the task split, never the result: block
     assignment is content-hashed and the merges (min/top-k) are
-    order-independent."""
+    order-independent. The count that drives it is one extra eager
+    job over the input — cheap for a scan, but callers whose input is
+    an expensive unpersisted pipeline should pass ``num_blocks``
+    explicitly (or persist the input) to avoid re-executing it."""
     return max(1, min(cap, -(-int(n_rows) // target)))
 
 

@@ -279,3 +279,22 @@ def test_containment_pairs_asymmetric(spark):
         for r in containment_pairs(df, "text", "doc_id", n=3, threshold=0.9).collect()
     }
     assert out == {(2, 1): 1.0}  # only the contained direction passes
+
+
+def test_duplicate_clusters_contract_monotone_chain(spark):
+    from paqarin_spark.operators import duplicate_clusters
+
+    # Monotone-ascending chain ids are the ADVERSARIAL case for
+    # min-neighbor contraction (each round removes only ~1 node), so
+    # max_iterations=5 on a 60-node chain forces the star fallback;
+    # the composed mapping must still put every node in cluster 0.
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(59)], "id_a long, id_b long"
+    )
+    got = {
+        r["doc"]: r["cluster_rep"]
+        for r in duplicate_clusters(
+            pairs, max_iterations=5, algorithm="contract"
+        ).collect()
+    }
+    assert got == {i: 0 for i in range(60)}

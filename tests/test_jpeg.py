@@ -96,3 +96,14 @@ def test_jpeg_pixel_stats_through_spark(spark):
         # solid fixtures decode flat -> integral means
         assert r.mean_r == int(r.mean_r)
         assert 0.0 <= r.mean_r <= 255.0
+
+
+def test_fill_bytes_before_markers_accepted():
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    img[..., 0] = 120
+    good = encode_jpeg(img)
+    # inject spec-legal 0xFF fill padding before the SOF0 marker
+    idx = good.find(b"\xff\xc0")
+    padded = good[:idx] + b"\xff\xff\xff" + good[idx:]
+    dec = parse_jpeg(padded)
+    assert dec is not None and (dec["width"], dec["height"]) == (8, 8)
