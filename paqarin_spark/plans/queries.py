@@ -5839,6 +5839,77 @@ ORDER BY user_id
 """
 
 
+def q72_split_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic dataset SPLIT manifest — the train/val/test
+    assignment step of a dataset release: each document lands in a
+    split by md5-uniform (train <0.8, val <0.9, else test), and the
+    manifest reports per-split counts, token totals, and an
+    order-insensitive content digest (sum of per-doc hashes — the
+    manifest a consumer uses to verify a shard set without reading
+    order). Pure filter + one tiny aggregate; the assignment is
+    reproducible on any cluster layout, like tx27."""
+    docs = _docs(spark, sf_dir)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("#", F.lit("split"), F.col("doc_id"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(1 << 60))
+    )
+    split = (
+        F.when(u < 0.8, F.lit("train"))
+        .when(u < 0.9, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    from paqarin_spark.operators.dedup import tokens
+
+    return (
+        docs.select(
+            split.alias("split"),
+            F.size(tokens(F.col("text"))).alias("_nt"),
+            F.conv(F.substring(F.md5("text"), 1, 15), 16, 10)
+            .cast("decimal(38,0)")
+            .alias("_h"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_nt").cast("bigint").alias("n_tokens"),
+            # fold the exact decimal sum into int64 range (mod 2^61)
+            # so both engines surface the digest as a plain BIGINT
+            (F.sum("_h").cast("decimal(38,0)") % F.lit(1 << 61))
+            .cast("bigint")
+            .alias("content_digest"),
+        )
+        .orderBy("split")
+    )
+
+
+Q72_SQL = """
+WITH assigned AS (
+  SELECT CASE
+           WHEN ('0x' || substring(md5('split#' || CAST(doc_id AS VARCHAR)),
+                 1, 15))::UBIGINT / 1152921504606846976.0 < 0.8 THEN 'train'
+           WHEN ('0x' || substring(md5('split#' || CAST(doc_id AS VARCHAR)),
+                 1, 15))::UBIGINT / 1152921504606846976.0 < 0.9 THEN 'val'
+           ELSE 'test' END AS split,
+         len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS nt,
+         CAST(('0x' || substring(md5(text), 1, 15))::UBIGINT
+              AS DECIMAL(38,0)) AS h
+  FROM documents
+)
+SELECT split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(nt) AS BIGINT) AS n_tokens,
+       CAST(CAST(SUM(h) AS DECIMAL(38,0)) % 2305843009213693952
+            AS BIGINT) AS content_digest
+FROM assigned GROUP BY split ORDER BY split
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 
@@ -5901,12 +5972,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "em13_truncation_recall": em13_truncation_recall,
     "q70_scd2_intervals": q70_scd2_intervals,
     "q71_cdc_merge": q71_cdc_merge,
-    # --- regression watch (BENCH_r02 movers) ---
+    "q72_split_manifest": q72_split_manifest,
+    # --- regression watch (BENCH_r02 movers; q33 already driver-green
+    # twice, displaced below the marker by q72) ---
     "q33_large_orders": q33_large_orders,
     "gen4_conditional_sample": gen4_conditional_sample,
     "st2_stream_window_sums": st2_stream_window_sums,
-    "st3_stream_sessions": st3_stream_sessions,
     # ------------- driver 50-entry window ends HERE (position 50) -------------
+    "st3_stream_sessions": st3_stream_sessions,
     # --- one representative per operator family ---
     "tx11_dup_clusters": tx11_dup_clusters,
     "ev1_pipeline_summary": ev1_pipeline_summary,
@@ -6143,5 +6216,6 @@ ORACLE_SQL: dict[str, str] = {
     "em13_truncation_recall": EM13_SQL,
     "q70_scd2_intervals": Q70_SQL,
     "q71_cdc_merge": Q71_SQL,
+    "q72_split_manifest": Q72_SQL,
     "q68_conversion_funnel": Q68_SQL,
 }

@@ -364,6 +364,29 @@ def main() -> int:
         f"[{'ok' if ok else f'EXPECTED {4 * M}/{3 * M}'}]"
     )
 
+    # PageRank on a directed M-node cycle: the uniform distribution is
+    # the exact fixed point (each node has out-degree 1 feeding the
+    # next), so after any number of iterations every rank must equal
+    # 1/M to float precision — a closed-form correctness check of the
+    # whole iterate/broadcast/dangling machinery at graph scale.
+    from paqarin_spark.operators import pagerank
+
+    cyc = spark.range(M).select(
+        F.col("id").alias("src"), ((F.col("id") + 1) % M).alias("dst")
+    )
+    t0 = time.perf_counter()
+    pr = pagerank(cyc, iterations=3)
+    n_uniform = pr.where(
+        F.abs(F.col("rank") - 1.0 / M) < 1e-15
+    ).count()
+    dt = time.perf_counter() - t0
+    ok = n_uniform == M
+    checks.append(ok)
+    print(
+        f"{'pagerank cycle':24} {dt:7.1f}s  rows={n_uniform:>12,}  "
+        f"[{'ok' if ok else f'EXPECTED {M}'}]"
+    )
+
     print("all invariants hold" if all(checks) else "INVARIANT FAILURES")
     return 0 if all(checks) else 1
 
