@@ -63,3 +63,20 @@ def strip_prefix(df: DataFrame, prefix: str) -> DataFrame:
             for c in df.columns
         ]
     )
+
+
+TWO_POW_60 = float(1 << 60)
+
+
+def uniform_hash(*cols: Column) -> Column:
+    """Deterministic uniform(0,1) from an md5 prefix — THE portable
+    random-draw construction shared by the Markov generator (gen5),
+    mixture sampling (tx27), split assignment (q72), and the KMV
+    sketch (q67). DuckDB replays it with
+    ``('0x' || substring(md5(..),1,15))::UBIGINT / 2^60`` — keep the
+    two in lockstep; this is the single Spark-side source."""
+    return (
+        F.conv(F.substring(F.md5(F.concat_ws("#", *cols)), 1, 15), 16, 10)
+        .cast("double")
+        / F.lit(TWO_POW_60)
+    )

@@ -45,18 +45,9 @@ from paqarin_spark.generator import (
 )
 from paqarin_spark.sources import hadoop_read_text, hadoop_write_text
 
-TWO_POW_60 = float(1 << 60)
-
-
-def uniform_hash(*cols: Column) -> Column:
-    """Deterministic uniform(0,1) from md5 — portable across engines
-    (same construction as q67's KMV sketch; DuckDB replays it with
-    ``('0x' || substring(md5(..),1,15))::UBIGINT``)."""
-    return (
-        F.conv(F.substring(F.md5(F.concat_ws("#", *cols)), 1, 15), 16, 10)
-        .cast("double")
-        / F.lit(TWO_POW_60)
-    )
+# Single-source md5-prefix uniform shared across the determinism
+# surface (re-exported here for existing importers).
+from paqarin_spark.functions import TWO_POW_60, uniform_hash  # noqa: F401,E402
 
 
 def _cdf(counts: dict[str, int]) -> list[tuple[str, float]]:

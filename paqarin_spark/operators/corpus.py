@@ -18,18 +18,7 @@ from pyspark.sql import functions as F
 
 from paqarin_spark.operators.dedup import tokens
 
-TWO_POW_60 = float(1 << 60)
-
-
-def _uniform_hash(*cols) -> F.Column:
-    """Deterministic uniform(0,1) from an md5 prefix (the q67/gen5
-    construction; DuckDB replays it with
-    ``('0x' || substring(md5(..),1,15))::UBIGINT / 2^60``)."""
-    return (
-        F.conv(F.substring(F.md5(F.concat_ws("#", *cols)), 1, 15), 16, 10)
-        .cast("double")
-        / F.lit(TWO_POW_60)
-    )
+from paqarin_spark.functions import uniform_hash as _uniform_hash  # noqa: E402
 
 
 def mixture_sample(
@@ -92,11 +81,15 @@ def pack_sequences(
     # 64-bit ids above 2^53 and could round an id into the wrong
     # bucket, corrupting the prefix sum's bucket-monotonic invariant
     bucket = F.expr(f"`{id_column}` div {int(bucket_size)}")
+    # persist: both the in-bucket window and the bucket totals consume
+    # this projection — without caching, the tokenize-and-count pass
+    # over the full corpus executes twice. The cached rows are ~24
+    # bytes each, negligible next to re-running the regexp.
     sized = df.select(
         F.col(id_column),
         bucket.alias("_bucket"),
         F.size(tokens(F.col(text_column))).alias("n_tokens"),
-    )
+    ).persist()
     in_bucket = Window.partitionBy("_bucket").orderBy(id_column)
     local = sized.withColumn(
         "_local_end", F.sum("n_tokens").over(in_bucket)

@@ -287,6 +287,17 @@ def _top_cols(s, kk: int):
     and minutes at millions of rows × thousands of candidates."""
     import numpy as np
 
+    if s.shape[1] > 5_000_000:
+        # 1e-13 × col approaches the 1e-6 rounding quantum past ~1e7
+        # columns, where the tie-break could reorder genuinely
+        # different sims. Enforce the documented bound instead of
+        # silently mis-ranking: shrink per-task candidate width via
+        # more blocks/cells.
+        raise ValueError(
+            f"candidate width {s.shape[1]} exceeds the tie-break-safe "
+            "bound (5e6); raise num_blocks/num_cells so each task "
+            "sees fewer candidates"
+        )
     comp = s - 1e-13 * np.arange(s.shape[1], dtype=np.float64)[None, :]
     if s.shape[1] > 8 * kk:
         part = np.argpartition(-comp, kk - 1, axis=1)[:, :kk]

@@ -4716,11 +4716,9 @@ def tx24_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     one scan over the ranked head, all JVM-side."""
     configure_for_determinism(spark)
     docs = _docs(spark, sf_dir)
-    toks = docs.select(
-        F.explode(
-            F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
-        ).alias("token")
-    )
+    from paqarin_spark.operators.dedup import tokens as _tokens
+
+    toks = docs.select(F.explode(_tokens(F.col("text"))).alias("token"))
     freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
     top = freq.orderBy(F.desc("freq"), F.asc("token")).limit(100)
     w = Window.orderBy(F.desc("freq"), F.asc("token"))
@@ -4768,12 +4766,9 @@ def tx25_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabularies."""
     configure_for_determinism(spark)
     docs = _docs(spark, sf_dir)
-    toks = docs.select(
-        "doc_id",
-        F.explode(
-            F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
-        ).alias("token"),
-    )
+    from paqarin_spark.operators.dedup import tokens as _tokens
+
+    toks = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("token"))
     freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("_c"))
     total = freq.agg(F.sum("_c").alias("_n"))
     scored = toks.join(freq, "token").crossJoin(F.broadcast(total))

@@ -327,6 +327,7 @@ def stream_interval_join(
     watermark: str = "1 day",
     left_prefix: str = "left",
     right_prefix: str = "right",
+    id_column: str = "event_id",
 ) -> DataFrame:
     """STREAM–STREAM interval self-join: pair each left-side event with
     every right-side event of the same key that follows within
@@ -339,8 +340,8 @@ def stream_interval_join(
     sides have arrived; the result set equals the batch interval join
     exactly, so the oracle is plain SQL.
 
-    Output: ({left}_id, {right}_id, key, lag_seconds), both event_id
-    columns taken from ``event_id``.
+    Output: ({left}_id, {right}_id, key, lag_seconds), both id
+    columns taken from ``id_column``.
     """
     lts, rts = f"{left_prefix}_ts", f"{right_prefix}_ts"
     lid, rid = f"{left_prefix}_id", f"{right_prefix}_id"
@@ -348,7 +349,7 @@ def stream_interval_join(
         stream.where(left_filter)
         .select(
             F.col(key_column),
-            F.col("event_id").alias(lid),
+            F.col(id_column).alias(lid),
             F.col(timestamp_column).alias(lts),
         )
         .withWatermark(lts, watermark)
@@ -357,7 +358,7 @@ def stream_interval_join(
         stream.where(right_filter)
         .select(
             F.col(key_column).alias("_rkey"),
-            F.col("event_id").alias(rid),
+            F.col(id_column).alias(rid),
             F.col(timestamp_column).alias(rts),
         )
         .withWatermark(rts, watermark)
