@@ -309,3 +309,16 @@ def test_random_projection_zero_vector_null_distortion(spark):
     df = spark.createDataFrame([(1, [0.0, 0.0])], "vid long, emb array<float>")
     row = random_projection_distortion(df, "vid", "emb", out_dim=2).first()
     assert row.distortion is None and row.norm_in == 0.0
+
+
+def test_top_cols_enforces_tie_break_bound():
+    import numpy as np
+    import pytest as _pytest
+
+    from paqarin_spark.operators.similarity import _top_cols
+
+    with _pytest.raises(ValueError, match="tie-break-safe"):
+        _top_cols(np.zeros((1, 5_000_001)), 5)
+    # at the bound, still fine
+    out = _top_cols(np.array([[0.3, 0.9, 0.9, 0.1]]), 2)
+    assert out.tolist() == [[1, 2]]
