@@ -3,8 +3,11 @@
 
 ``fit`` learns per-(step, column) mean/std over the scaled window
 population (one distributed aggregation); ``generate(n)`` samples
-``mean + std * randn(seed)`` per step — `spark.range` gives stable
-partitioning, so seeded randn is reproducible.
+``mean + std * z`` per step with Box–Muller over md5-prefix uniforms
+keyed on (sequence, step, column, seed) — layout-INDEPENDENT, unlike
+``F.randn`` whose draws depend on partition ids and row order, so the
+same seed yields the same sequences on any cluster size, retry, or
+repartitioning (the gen5 determinism contract).
 """
 
 from __future__ import annotations
@@ -75,9 +78,32 @@ class GaussianPerStepGenerator(TimeSeriesGenerator):
         steps = seqs.crossJoin(
             F.broadcast(self._profile)
         )
+        from paqarin_spark.functions import uniform_hash
+
         cols = []
         for j, c in enumerate(schema.values):
-            noise = F.randn(seed + j)
+            # Box–Muller from two portable uniforms; u1 nudged away
+            # from 0 so ln() stays finite.
+            u1 = F.greatest(
+                uniform_hash(
+                    F.lit("gauss-u1"),
+                    F.col(SEQUENCE_ID).cast("string"),
+                    F.col(STEP).cast("string"),
+                    F.lit(str(j)),
+                    F.lit(str(seed)),
+                ),
+                F.lit(1e-18),
+            )
+            u2 = uniform_hash(
+                F.lit("gauss-u2"),
+                F.col(SEQUENCE_ID).cast("string"),
+                F.col(STEP).cast("string"),
+                F.lit(str(j)),
+                F.lit(str(seed)),
+            )
+            noise = F.sqrt(F.lit(-2.0) * F.log(u1)) * F.cos(
+                F.lit(2.0 * 3.141592653589793) * u2
+            )
             cols.append(
                 (F.col(f"_mean_{c}") + F.col(f"_std_{c}") * noise).alias(c)
             )

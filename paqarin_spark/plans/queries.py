@@ -714,6 +714,12 @@ def gen1_bootstrap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def gen2_gaussian_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaussian per-step generation — VALUE-verified like gen5: the
+    sampler draws Box–Muller normals from portable md5-prefix uniforms
+    keyed on (sequence, step, column, seed), so the oracle refits the
+    per-step profile in SQL (minmax scale → stride-1 window population
+    → mean/stddev_pop) and replays the identical draws; the generated
+    rows themselves hash-match."""
     from paqarin_spark.generators import GaussianPerStepGenerator
 
     ev = _events(spark, sf_dir)
@@ -723,6 +729,43 @@ def gen2_gaussian_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "sequence_id", F.posexplode("sequence").alias("step", "_obs")
     ).select("sequence_id", "step", F.round(F.col("_obs.value"), 6).alias("value"))
+
+
+GEN2_SQL = """
+WITH mm AS (
+  SELECT MIN(value) AS mn, MAX(value) AS mx FROM events
+), r AS (
+  SELECT user_id,
+         (value - mm.mn) / (mm.mx - mm.mn) AS sv,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+           AS p,
+         COUNT(*) OVER (PARTITION BY user_id) AS cnt
+  FROM events CROSS JOIN mm
+), steps AS (
+  SELECT UNNEST(range(8)) AS step
+), prof AS (
+  SELECT s.step, AVG(r.sv) AS mean, COALESCE(STDDEV_POP(r.sv), 0) AS std
+  FROM r JOIN steps s ON r.p >= s.step AND r.p <= r.cnt - 8 + s.step
+  GROUP BY 1
+), seqs AS (
+  SELECT UNNEST(range(50)) AS sequence_id
+), samp AS (
+  SELECT q.sequence_id, pr.step, pr.mean, pr.std,
+         GREATEST(('0x' || substring(md5('gauss-u1#' || q.sequence_id || '#'
+                   || pr.step || '#0#17'), 1, 15))::UBIGINT
+                  / 1152921504606846976.0, 1e-18) AS u1,
+         ('0x' || substring(md5('gauss-u2#' || q.sequence_id || '#'
+                   || pr.step || '#0#17'), 1, 15))::UBIGINT
+                  / 1152921504606846976.0 AS u2
+  FROM seqs q CROSS JOIN prof pr
+)
+SELECT sequence_id,
+       CAST(step AS INTEGER) AS step,
+       ROUND((mean + std * (sqrt(-2.0 * ln(u1))
+                            * cos(6.283185307179586 * u2)))
+             * (SELECT mx - mn FROM mm) + (SELECT mn FROM mm), 6) AS value
+FROM samp ORDER BY sequence_id, step
+"""
 
 
 def gen4_conditional_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5968,12 +6011,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q70_scd2_intervals": q70_scd2_intervals,
     "q71_cdc_merge": q71_cdc_merge,
     "q72_split_manifest": q72_split_manifest,
-    # --- regression watch (BENCH_r02 movers; q33 already driver-green
-    # twice, displaced below the marker by q72) ---
+    "gen2_gaussian_sample": gen2_gaussian_sample,
+    # --- regression watch (BENCH_r02 movers; st2/st3 already
+    # driver-green twice, displaced below the marker) ---
     "q33_large_orders": q33_large_orders,
     "gen4_conditional_sample": gen4_conditional_sample,
-    "st2_stream_window_sums": st2_stream_window_sums,
     # ------------- driver 50-entry window ends HERE (position 50) -------------
+    "st2_stream_window_sums": st2_stream_window_sums,
     "st3_stream_sessions": st3_stream_sessions,
     # --- one representative per operator family ---
     "tx11_dup_clusters": tx11_dup_clusters,
@@ -6065,7 +6109,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm2_frame_sample": mm2_frame_sample,
     "mm3_audio_chunks": mm3_audio_chunks,
     "gen1_bootstrap_sample": gen1_bootstrap_sample,
-    "gen2_gaussian_sample": gen2_gaussian_sample,
     "gen3_generation_rounds": gen3_generation_rounds,
     "st1_stream_daily_sum": st1_stream_daily_sum,
     "st4_stream_minmax": st4_stream_minmax,
@@ -6073,10 +6116,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 # em2_lsh_topk is deliberately oracle-less (seeded hyperplanes are not
-# reasonably expressible in portable SQL), as are gen1-gen4 and
+# reasonably expressible in portable SQL), as are gen1/gen3/gen4 and
 # ev1/ev2/ev3 (seeded model sampling and multi-action pipeline
 # orchestration) — the driver records a rows-only check for them.
-# Everything else is value-hash-checked against DuckDB.
+# gen2 and gen5 sample through portable md5 draws, so their generated
+# rows ARE value-checked. Everything else is value-hash-checked
+# against DuckDB.
 ORACLE_SQL: dict[str, str] = {
     "q01_surrogate_key": Q01_SQL,
     "q02_daily_sum": Q02_SQL,
@@ -6193,6 +6238,7 @@ ORACLE_SQL: dict[str, str] = {
     "q67_kmv_distinct": Q67_SQL,
     "tx25_unigram_logprob": TX25_SQL,
     "gen5_markov_sample": GEN5_SQL,
+    "gen2_gaussian_sample": GEN2_SQL,
     "ev4_markov_fidelity": EV4_SQL,
     "mm7_media_probe": MM7_SQL,
     "tx26_containment_pairs": TX26_SQL,
