@@ -6076,6 +6076,98 @@ FROM assigned GROUP BY split ORDER BY split
 """
 
 
+def ev5_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUE-checked forecaster evaluation (the I5/J4 math itself,
+    where ev2/ev3's TSTR orchestrations are rows-only): hold out the
+    last 7 days of the real daily panel, fit the weekday-profile
+    forecaster on the train split, predict the holdout, and report
+    per-user MAE. Every step — calendar fill, weekday multipliers,
+    recent-history base levels, horizon MAE — replays in SQL, so the
+    evaluation arithmetic is hash-verified end to end."""
+    from paqarin_spark.metrics.univariate import (
+        ITEM_ID,
+        TARGET,
+        TIMESTAMP,
+        GlobalWeekdayProfileForecaster,
+    )
+    from paqarin_spark.operators import calendar_fill
+
+    ev = _events(spark, sf_dir)
+    panel = calendar_fill(ev, EVENTS_SCHEMA, bucket_column="bucket").select(
+        F.col("user_id").alias(ITEM_ID),
+        F.col("bucket").alias(TIMESTAMP),
+        F.col("value").alias(TARGET),
+    )
+    cutoff = panel.agg(
+        F.date_sub(F.max(TIMESTAMP), 7).cast("timestamp").alias("_c")
+    )
+    with_cut = panel.crossJoin(F.broadcast(cutoff))
+    train = with_cut.where(F.col(TIMESTAMP) <= F.col("_c")).drop("_c")
+    test = with_cut.where(F.col(TIMESTAMP) > F.col("_c")).drop("_c")
+    fc = GlobalWeekdayProfileForecaster().fit(train)
+    pred = fc.predict(train, test.select(ITEM_ID, TIMESTAMP))
+    joined = pred.join(test, on=[ITEM_ID, TIMESTAMP])
+    return (
+        joined.groupBy(ITEM_ID)
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.round(
+                F.avg(F.abs(F.col("target_pred") - F.col(TARGET))), 6
+            ).alias("mae"),
+        )
+        .select(F.col(ITEM_ID).alias("user_id"), "n_days", "mae")
+        .orderBy("user_id")
+    )
+
+
+EV5_SQL = """
+WITH cal AS (
+  SELECT unnest(generate_series(
+           date_trunc('day', (SELECT MIN(ts) FROM events)),
+           date_trunc('day', (SELECT MAX(ts) FROM events)),
+           INTERVAL 1 DAY)) AS d
+), ids AS (
+  SELECT DISTINCT user_id FROM events
+), agg AS (
+  SELECT user_id, date_trunc('day', ts) AS d, SUM(value) AS v
+  FROM events GROUP BY 1, 2
+), panel AS (
+  SELECT i.user_id, c.d, COALESCE(a.v, 0) AS v
+  FROM ids i CROSS JOIN cal c
+  LEFT JOIN agg a ON a.user_id = i.user_id AND a.d = c.d
+), cut AS (
+  SELECT MAX(d) - INTERVAL 7 DAY AS c FROM panel
+), train AS (
+  SELECT * FROM panel WHERE d <= (SELECT c FROM cut)
+), test AS (
+  SELECT * FROM panel WHERE d > (SELECT c FROM cut)
+), gmean AS (
+  SELECT AVG(v) AS g FROM train
+), prof AS (
+  SELECT ISODOW(d) AS dow,
+         CASE WHEN (SELECT g FROM gmean) <> 0
+              THEN AVG(v) / (SELECT g FROM gmean) ELSE 1.0 END AS mult
+  FROM train GROUP BY 1
+), base AS (
+  SELECT user_id, AVG(v) AS b FROM (
+    SELECT user_id, v,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d DESC) AS rn
+    FROM train
+  ) WHERE rn <= 7 GROUP BY 1
+), pred AS (
+  SELECT t.user_id, t.d, t.v,
+         COALESCE(b.b, 0) * COALESCE(p.mult, 1.0) AS yhat
+  FROM test t
+  LEFT JOIN base b ON t.user_id = b.user_id
+  LEFT JOIN prof p ON ISODOW(t.d) = p.dow
+)
+SELECT user_id,
+       COUNT(*) AS n_days,
+       ROUND(AVG(ABS(yhat - v)), 6) AS mae
+FROM pred GROUP BY 1 ORDER BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 
@@ -6143,6 +6235,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gen1_bootstrap_sample": gen1_bootstrap_sample,
     "gen3_generation_rounds": gen3_generation_rounds,
     # ------------- driver 50-entry window ends HERE (position 50) -------------
+    # --- ev5 + gen4's oracle are new this round but exceed the window;
+    # the local gate verifies them until the round-4 rotation ---
+    "ev5_forecast_backtest": ev5_forecast_backtest,
     # --- every entry below is driver-green from earlier rounds ---
     "q33_large_orders": q33_large_orders,
     "gen4_conditional_sample": gen4_conditional_sample,
@@ -6370,6 +6465,7 @@ ORACLE_SQL: dict[str, str] = {
     "gen1_bootstrap_sample": GEN1_SQL,
     "gen3_generation_rounds": GEN3_SQL,
     "gen4_conditional_sample": GEN4_SQL,
+    "ev5_forecast_backtest": EV5_SQL,
     "ev4_markov_fidelity": EV4_SQL,
     "mm7_media_probe": MM7_SQL,
     "tx26_containment_pairs": TX26_SQL,
