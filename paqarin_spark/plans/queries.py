@@ -6168,6 +6168,135 @@ FROM pred GROUP BY 1 ORDER BY 1
 """
 
 
+# ev2's full TSTR replay: real daily panel -> 7-day holdout -> both
+# generators' deterministic samples (md5 bootstrap ranks, md5
+# Box-Muller gaussian draws, seeds 17 and 17+101 per iteration) ->
+# per-combo weekday profiles fit on the SYNTHETIC panels -> horizon
+# MAE on the real holdout -> per-generator avg/std plus the
+# train-on-real control (same score both iterations, std exactly 0).
+EV2_SQL = """
+WITH cal AS (
+  SELECT unnest(generate_series(
+           date_trunc('day', (SELECT MIN(ts) FROM events)),
+           date_trunc('day', (SELECT MAX(ts) FROM events)),
+           INTERVAL 1 DAY)) AS d
+), ids AS (
+  SELECT DISTINCT user_id FROM events
+), agg AS (
+  SELECT user_id, date_trunc('day', ts) AS d, SUM(value) AS v
+  FROM events GROUP BY 1, 2
+), panel AS (
+  SELECT i.user_id, c.d, COALESCE(a.v, 0) AS v
+  FROM ids i CROSS JOIN cal c
+  LEFT JOIN agg a ON a.user_id = i.user_id AND a.d = c.d
+), cut AS (
+  SELECT MAX(d) - INTERVAL 7 DAY AS c FROM panel
+), train AS (
+  SELECT * FROM panel WHERE d <= (SELECT c FROM cut)
+), actuals AS (
+  SELECT * FROM panel WHERE d > (SELECT c FROM cut)
+), strt AS (
+  SELECT MIN(d) AS s FROM train
+), mm AS (
+  SELECT MIN(v) AS mn, MAX(v) AS mx FROM panel
+), r AS (
+  SELECT user_id, v,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) - 1 AS p,
+         COUNT(*) OVER (PARTITION BY user_id) AS cnt
+  FROM panel
+), wins AS (
+  SELECT user_id, p AS w FROM r WHERE p <= cnt - 8
+), steps AS (
+  SELECT UNNEST(range(8)) AS step
+), bs AS (
+  SELECT 0 AS it, user_id, w FROM (
+    SELECT user_id, w FROM wins
+    ORDER BY md5(user_id || '|' || w || '#17') LIMIT 30)
+  UNION ALL
+  SELECT 1, user_id, w FROM (
+    SELECT user_id, w FROM wins
+    ORDER BY md5(user_id || '|' || w || '#118') LIMIT 30)
+), bvals AS (
+  SELECT 'bootstrap' AS gen, b.it, s.step,
+         (r2.v - mm.mn) / (mm.mx - mm.mn) * (mm.mx - mm.mn) + mm.mn AS tv
+  FROM bs b CROSS JOIN steps s
+  JOIN r r2 ON r2.user_id = b.user_id AND r2.p = b.w + s.step
+  CROSS JOIN mm
+), prof AS (
+  SELECT s.step,
+         AVG((r.v - mm.mn) / (mm.mx - mm.mn)) AS mean,
+         COALESCE(STDDEV_POP((r.v - mm.mn) / (mm.mx - mm.mn)), 0) AS std
+  FROM r JOIN steps s ON r.p >= s.step AND r.p <= r.cnt - 8 + s.step
+  CROSS JOIN mm
+  GROUP BY 1
+), seqs AS (
+  SELECT UNNEST(range(30)) AS sid
+), gvals AS (
+  SELECT 'gaussian' AS gen, i.it, pr.step,
+         (pr.mean + pr.std *
+           (sqrt(-2.0 * ln(GREATEST(
+              ('0x' || substring(md5('gauss-u1#' || q.sid || '#' || pr.step
+                 || '#0#' || (17 + 101 * i.it)), 1, 15))::UBIGINT
+              / 1152921504606846976.0, 1e-18)))
+            * cos(6.283185307179586 *
+              ('0x' || substring(md5('gauss-u2#' || q.sid || '#' || pr.step
+                 || '#0#' || (17 + 101 * i.it)), 1, 15))::UBIGINT
+              / 1152921504606846976.0)))
+         * (mm.mx - mm.mn) + mm.mn AS tv
+  FROM (VALUES (0), (1)) i(it) CROSS JOIN seqs q CROSS JOIN prof pr
+  CROSS JOIN mm
+), synth AS (
+  SELECT gen, it, tv,
+         ISODOW((SELECT s FROM strt) + step * INTERVAL 1 DAY) AS dow
+  FROM (SELECT * FROM bvals UNION ALL SELECT * FROM gvals)
+), gm AS (
+  SELECT gen, it, AVG(tv) AS g FROM synth GROUP BY 1, 2
+), mult AS (
+  SELECT s.gen, s.it, s.dow,
+         CASE WHEN m.g <> 0 THEN AVG(s.tv) / m.g ELSE 1.0 END AS mult
+  FROM synth s JOIN gm m ON s.gen = m.gen AND s.it = m.it
+  GROUP BY s.gen, s.it, s.dow, m.g
+), base AS (
+  SELECT user_id, AVG(v) AS b FROM (
+    SELECT user_id, v,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d DESC) AS rn
+    FROM train
+  ) WHERE rn <= 7 GROUP BY 1
+), combos AS (
+  SELECT DISTINCT gen, it FROM synth
+), preds AS (
+  SELECT c.gen, c.it, a.user_id, a.d, a.v,
+         COALESCE(b.b, 0) * COALESCE(mu.mult, 1.0) AS yhat
+  FROM actuals a CROSS JOIN combos c
+  LEFT JOIN base b ON a.user_id = b.user_id
+  LEFT JOIN mult mu ON mu.gen = c.gen AND mu.it = c.it
+        AND mu.dow = ISODOW(a.d)
+), scores AS (
+  SELECT gen, it, AVG(ABS(yhat - v)) AS mae FROM preds GROUP BY 1, 2
+), rgm AS (
+  SELECT AVG(v) AS g FROM train
+), rmult AS (
+  SELECT ISODOW(d) AS dow,
+         CASE WHEN (SELECT g FROM rgm) <> 0
+              THEN AVG(v) / (SELECT g FROM rgm) ELSE 1.0 END AS mult
+  FROM train GROUP BY 1
+), rscore AS (
+  SELECT AVG(ABS(COALESCE(b.b, 0) * COALESCE(mu.mult, 1.0) - a.v)) AS mae
+  FROM actuals a
+  LEFT JOIN base b ON a.user_id = b.user_id
+  LEFT JOIN rmult mu ON mu.dow = ISODOW(a.d)
+)
+SELECT generator, avg_forecast_mae, std_forecast_mae FROM (
+  SELECT gen AS generator,
+         ROUND(AVG(mae), 6) AS avg_forecast_mae,
+         ROUND(STDDEV_POP(mae), 6) AS std_forecast_mae
+  FROM scores GROUP BY 1
+  UNION ALL
+  SELECT 'train_on_real', ROUND((SELECT mae FROM rscore), 6), 0.0
+) ORDER BY generator
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 
@@ -6338,9 +6467,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 # em2_lsh_topk is deliberately oracle-less (seeded hyperplanes are not
-# reasonably expressible in portable SQL), as are ev1/ev2/ev3
-# (multi-action TSTR orchestration) — the driver records a rows-only
-# check for them. ALL FIVE generators (gen1-gen5) sample through
+# reasonably expressible in portable SQL), as are ev1/ev3
+# (multi-action orchestration) — the driver records a rows-only check
+# for them. ev2's ENTIRE TSTR pipeline — generator fits, deterministic
+# samples, weekday-profile training on synthetic panels, holdout MAE,
+# summary stats — replays in one SQL oracle and hash-matches. ALL FIVE generators (gen1-gen5) sample through
 # portable md5 draws/ranks, so their generated rows ARE value-checked
 # (gen4's new oracle exceeds the 50-entry window this round — local
 # gate + judge spot-check cover it until the round-4 rotation).
@@ -6466,6 +6597,7 @@ ORACLE_SQL: dict[str, str] = {
     "gen3_generation_rounds": GEN3_SQL,
     "gen4_conditional_sample": GEN4_SQL,
     "ev5_forecast_backtest": EV5_SQL,
+    "ev2_univariate_summary": EV2_SQL,
     "ev4_markov_fidelity": EV4_SQL,
     "mm7_media_probe": MM7_SQL,
     "tx26_containment_pairs": TX26_SQL,
