@@ -6297,6 +6297,155 @@ SELECT generator, avg_forecast_mae, std_forecast_mae FROM (
 """
 
 
+# ev3's replay: same panel/holdout/generator machinery as EV2_SQL
+# (seeds 23/124) but the SECOND J4 pluggable — additive seasonal-naive
+# with drift: per-combo mean consecutive-tick delta + per-weekday
+# offsets from item levels, predictions anchored on each real item's
+# recent level with the drift extrapolated from the window center
+# (datediff + (7-1)/2).
+EV3_SQL = """
+WITH cal AS (
+  SELECT unnest(generate_series(
+           date_trunc('day', (SELECT MIN(ts) FROM events)),
+           date_trunc('day', (SELECT MAX(ts) FROM events)),
+           INTERVAL 1 DAY)) AS d
+), ids AS (
+  SELECT DISTINCT user_id FROM events
+), agg AS (
+  SELECT user_id, date_trunc('day', ts) AS d, SUM(value) AS v
+  FROM events GROUP BY 1, 2
+), panel AS (
+  SELECT i.user_id, c.d, COALESCE(a.v, 0) AS v
+  FROM ids i CROSS JOIN cal c
+  LEFT JOIN agg a ON a.user_id = i.user_id AND a.d = c.d
+), cut AS (
+  SELECT MAX(d) - INTERVAL 7 DAY AS c FROM panel
+), train AS (
+  SELECT * FROM panel WHERE d <= (SELECT c FROM cut)
+), actuals AS (
+  SELECT * FROM panel WHERE d > (SELECT c FROM cut)
+), strt AS (
+  SELECT MIN(d) AS s FROM train
+), mm AS (
+  SELECT MIN(v) AS mn, MAX(v) AS mx FROM panel
+), r AS (
+  SELECT user_id, v,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) - 1 AS p,
+         COUNT(*) OVER (PARTITION BY user_id) AS cnt
+  FROM panel
+), wins AS (
+  SELECT user_id, p AS w FROM r WHERE p <= cnt - 8
+), steps AS (
+  SELECT UNNEST(range(8)) AS step
+), bs AS (
+  SELECT 0 AS it, user_id, w FROM (
+    SELECT user_id, w FROM wins
+    ORDER BY md5(user_id || '|' || w || '#23') LIMIT 30)
+  UNION ALL
+  SELECT 1, user_id, w FROM (
+    SELECT user_id, w FROM wins
+    ORDER BY md5(user_id || '|' || w || '#124') LIMIT 30)
+), bvals AS (
+  SELECT 'bootstrap' AS gen, b.it,
+         b.user_id || '|' || b.w AS seq, s.step,
+         (r2.v - mm.mn) / (mm.mx - mm.mn) * (mm.mx - mm.mn) + mm.mn AS tv
+  FROM bs b CROSS JOIN steps s
+  JOIN r r2 ON r2.user_id = b.user_id AND r2.p = b.w + s.step
+  CROSS JOIN mm
+), prof AS (
+  SELECT s.step,
+         AVG((r.v - mm.mn) / (mm.mx - mm.mn)) AS mean,
+         COALESCE(STDDEV_POP((r.v - mm.mn) / (mm.mx - mm.mn)), 0) AS std
+  FROM r JOIN steps s ON r.p >= s.step AND r.p <= r.cnt - 8 + s.step
+  CROSS JOIN mm
+  GROUP BY 1
+), seqs AS (
+  SELECT UNNEST(range(30)) AS sid
+), gvals AS (
+  SELECT 'gaussian' AS gen, i.it, CAST(q.sid AS VARCHAR) AS seq, pr.step,
+         (pr.mean + pr.std *
+           (sqrt(-2.0 * ln(GREATEST(
+              ('0x' || substring(md5('gauss-u1#' || q.sid || '#' || pr.step
+                 || '#0#' || (23 + 101 * i.it)), 1, 15))::UBIGINT
+              / 1152921504606846976.0, 1e-18)))
+            * cos(6.283185307179586 *
+              ('0x' || substring(md5('gauss-u2#' || q.sid || '#' || pr.step
+                 || '#0#' || (23 + 101 * i.it)), 1, 15))::UBIGINT
+              / 1152921504606846976.0)))
+         * (mm.mx - mm.mn) + mm.mn AS tv
+  FROM (VALUES (0), (1)) i(it) CROSS JOIN seqs q CROSS JOIN prof pr
+  CROSS JOIN mm
+), synth AS (
+  SELECT gen, it, seq, step, tv,
+         ISODOW((SELECT s FROM strt) + step * INTERVAL 1 DAY) AS dow
+  FROM (SELECT * FROM bvals UNION ALL SELECT * FROM gvals)
+), drift AS (
+  SELECT gen, it, AVG(tv - ptv) AS dr FROM (
+    SELECT gen, it, seq, tv,
+           LAG(tv) OVER (PARTITION BY gen, it, seq ORDER BY step) AS ptv
+    FROM synth
+  ) WHERE ptv IS NOT NULL GROUP BY 1, 2
+), lvl AS (
+  SELECT gen, it, seq, AVG(tv) AS l FROM synth GROUP BY 1, 2, 3
+), offs AS (
+  SELECT s.gen, s.it, s.dow, AVG(s.tv - l.l) AS off
+  FROM synth s JOIN lvl l
+    ON s.gen = l.gen AND s.it = l.it AND s.seq = l.seq
+  GROUP BY 1, 2, 3
+), anchor AS (
+  SELECT user_id, AVG(v) AS lvl, MAX(d) AS last_d, COUNT(*) AS n FROM (
+    SELECT user_id, v, d,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d DESC) AS rn
+    FROM train
+  ) WHERE rn <= 7 GROUP BY 1
+), combos AS (
+  SELECT DISTINCT gen, it FROM synth
+), preds AS (
+  SELECT c.gen, c.it, a.user_id, a.v,
+         COALESCE(an.lvl, 0)
+         + dr.dr * (CAST(COALESCE(date_diff('day', an.last_d, a.d), 0)
+                         AS DOUBLE)
+                    + (COALESCE(an.n, 1) - 1) / 2.0)
+         + COALESCE(o.off, 0) AS yhat
+  FROM actuals a CROSS JOIN combos c
+  JOIN drift dr ON dr.gen = c.gen AND dr.it = c.it
+  LEFT JOIN anchor an ON a.user_id = an.user_id
+  LEFT JOIN offs o ON o.gen = c.gen AND o.it = c.it
+        AND o.dow = ISODOW(a.d)
+), scores AS (
+  SELECT gen, it, AVG(ABS(yhat - v)) AS mae FROM preds GROUP BY 1, 2
+), rdrift AS (
+  SELECT AVG(v - pv) AS dr FROM (
+    SELECT v, LAG(v) OVER (PARTITION BY user_id ORDER BY d) AS pv
+    FROM train
+  ) WHERE pv IS NOT NULL
+), rlvl AS (
+  SELECT user_id, AVG(v) AS l FROM train GROUP BY 1
+), roffs AS (
+  SELECT ISODOW(t.d) AS dow, AVG(t.v - l.l) AS off
+  FROM train t JOIN rlvl l ON t.user_id = l.user_id GROUP BY 1
+), rscore AS (
+  SELECT AVG(ABS(
+    COALESCE(an.lvl, 0)
+    + (SELECT dr FROM rdrift)
+      * (CAST(COALESCE(date_diff('day', an.last_d, a.d), 0) AS DOUBLE)
+         + (COALESCE(an.n, 1) - 1) / 2.0)
+    + COALESCE(o.off, 0) - a.v)) AS mae
+  FROM actuals a
+  LEFT JOIN anchor an ON a.user_id = an.user_id
+  LEFT JOIN roffs o ON o.dow = ISODOW(a.d)
+)
+SELECT generator, avg_forecast_mae, std_forecast_mae FROM (
+  SELECT gen AS generator,
+         ROUND(AVG(mae), 6) AS avg_forecast_mae,
+         ROUND(STDDEV_POP(mae), 6) AS std_forecast_mae
+  FROM scores GROUP BY 1
+  UNION ALL
+  SELECT 'train_on_real', ROUND((SELECT mae FROM rscore), 6), 0.0
+) ORDER BY generator
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 
@@ -6466,12 +6615,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "st5_stream_dedup": st5_stream_dedup,
 }
 
-# em2_lsh_topk is deliberately oracle-less (seeded hyperplanes are not
-# reasonably expressible in portable SQL), as are ev1/ev3
-# (multi-action orchestration) — the driver records a rows-only check
-# for them. ev2's ENTIRE TSTR pipeline — generator fits, deterministic
-# samples, weekday-profile training on synthetic panels, holdout MAE,
-# summary stats — replays in one SQL oracle and hash-matches. ALL FIVE generators (gen1-gen5) sample through
+# Only TWO queries remain rows-only by design: em2_lsh_topk (seeded
+# hyperplanes are not reasonably expressible in portable SQL) and ev1
+# (its scorer solves a distributed Gram system — matrix solves are
+# beyond portable SQL). ev2 AND ev3's ENTIRE TSTR pipelines — panel
+# construction, holdout, both generators' deterministic samples,
+# forecaster training on the synthetic panels, holdout MAE, summary
+# stats — replay in single SQL oracles and hash-match. ALL FIVE generators (gen1-gen5) sample through
 # portable md5 draws/ranks, so their generated rows ARE value-checked
 # (gen4's new oracle exceeds the 50-entry window this round — local
 # gate + judge spot-check cover it until the round-4 rotation).
@@ -6598,6 +6748,7 @@ ORACLE_SQL: dict[str, str] = {
     "gen4_conditional_sample": GEN4_SQL,
     "ev5_forecast_backtest": EV5_SQL,
     "ev2_univariate_summary": EV2_SQL,
+    "ev3_drift_summary": EV3_SQL,
     "ev4_markov_fidelity": EV4_SQL,
     "mm7_media_probe": MM7_SQL,
     "tx26_containment_pairs": TX26_SQL,
