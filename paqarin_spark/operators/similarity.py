@@ -340,13 +340,21 @@ def _seeded_planes(
     width: int,
     expected_dim: int | None,
     vector_column: str,
+    family: str = "gauss",
 ):
-    """Deterministic Gaussian hyperplanes sized to the ACTUAL embedding
-    width. Built lazily inside each task from the first Arrow batch
-    (same seed → identical planes on every executor, no broadcast
-    needed for a num_planes×width matrix); an explicit ``dim`` is
-    validated here so a mismatch raises a clear error naming the
-    parameter instead of an opaque numpy shape error mid-matmul."""
+    """Deterministic hyperplanes sized to the ACTUAL embedding width.
+    Built lazily inside each task from the first Arrow batch (same
+    seed → identical planes on every executor, no broadcast needed for
+    a num_planes×width matrix); an explicit ``dim`` is validated here
+    so a mismatch raises a clear error naming the parameter instead of
+    an opaque numpy shape error mid-matmul.
+
+    ``family='gauss'``: seeded Gaussian entries (classic SimHash-LSH).
+    ``family='sign'``: ±1 entries from md5 parity — the em12/JPEG
+    portable-hash convention, so bucket assignment is REPLAYABLE IN
+    SQL and an LSH query can be value-checked end to end. Both are
+    valid sign-random-projection families."""
+    import hashlib
     import random
 
     import numpy as np
@@ -356,6 +364,16 @@ def _seeded_planes(
             f"dim={expected_dim} does not match the embedding width {width} "
             f"found in column {vector_column!r}; omit dim to infer it"
         )
+    if family == "sign":
+        def sgn(j: int, i: int) -> float:
+            h = hashlib.md5(f"lsh{seed}#{j}#{i}".encode()).hexdigest()
+            return 1.0 if int(h[0], 16) % 2 == 0 else -1.0
+
+        return np.array(
+            [[sgn(j, i) for i in range(width)] for j in range(num_planes)]
+        )
+    if family != "gauss":
+        raise ValueError(f"plane family must be gauss|sign, got {family!r}")
     rng = random.Random(seed)
     return np.array(
         [[rng.gauss(0.0, 1.0) for _ in range(width)] for _ in range(num_planes)]
@@ -594,6 +612,7 @@ def lsh_topk(
     num_planes: int = 8,
     dim: int | None = None,
     seed: int = 42,
+    plane_family: str = "gauss",
 ) -> DataFrame:
     """Approximate cosine top-k via random-hyperplane LSH buckets.
 
@@ -629,7 +648,10 @@ def lsh_topk(
                 continue
             mat = np.vstack(pdf[vector_column].to_numpy()).astype(np.float64)
             if p is None:
-                p = _seeded_planes(seed, num_planes, mat.shape[1], dim, vector_column)
+                p = _seeded_planes(
+                    seed, num_planes, mat.shape[1], dim,
+                    vector_column, family=plane_family,
+                )
             bits = (mat @ p.T) >= 0
             out = pdf[[id_column, vector_column]].copy()
             out["bucket"] = bits @ weights

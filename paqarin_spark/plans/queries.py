@@ -3350,11 +3350,52 @@ SELECT query_id, neighbor_id, cos_sim FROM (
 
 
 def em2_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k — VALUE-verified: the ±1
+    hyperplanes come from md5 parity (plane_family='sign', the em12
+    portable-hash convention), so the oracle recomputes the same
+    planes, bucket ids, and within-bucket exact rankings in SQL and
+    the approximate result itself hash-matches."""
     configure_for_determinism(spark)
     emb = read_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
-    return lsh_topk(emb, "vec_id", "embedding", k=5, num_planes=6, dim=64)
+    return lsh_topk(
+        emb, "vec_id", "embedding", k=5, num_planes=6, dim=64,
+        plane_family="sign",
+    )
+
+
+EM2_SQL = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), b AS (
+  SELECT vec_id, e,
+         list_sum(list_transform(range(6), j ->
+           CASE WHEN list_sum(list_transform(range(len(e)), i ->
+                  e[i + 1] *
+                  (CASE WHEN ('0x' || substring(
+                         md5('lsh42#' || j || '#' || i), 1, 1))::UBIGINT
+                         % 2 = 0
+                        THEN 1.0 ELSE -1.0 END))) >= 0
+                THEN CAST(2 ** j AS BIGINT) ELSE 0 END)) AS bucket
+  FROM v
+), pairs AS (
+  SELECT a.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROUND(
+           list_sum(list_transform(range(1, 65), i -> a.e[i] * c.e[i]))
+           / (sqrt(list_sum(list_transform(range(1, 65), i -> a.e[i] * a.e[i])))
+              * sqrt(list_sum(list_transform(range(1, 65),
+                                             i -> c.e[i] * c.e[i])))),
+           6) AS cos_sim
+  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, cos_sim FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rk
+  FROM pairs
+) WHERE rk <= 5 ORDER BY query_id, neighbor_id
+"""
 
 
 # --------------------------------------------------------------------------
@@ -6615,13 +6656,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "st5_stream_dedup": st5_stream_dedup,
 }
 
-# Only TWO queries remain rows-only by design: em2_lsh_topk (seeded
-# hyperplanes are not reasonably expressible in portable SQL) and ev1
-# (its scorer solves a distributed Gram system — matrix solves are
-# beyond portable SQL). ev2 AND ev3's ENTIRE TSTR pipelines — panel
-# construction, holdout, both generators' deterministic samples,
-# forecaster training on the synthetic panels, holdout MAE, summary
-# stats — replay in single SQL oracles and hash-match. ALL FIVE generators (gen1-gen5) sample through
+# ONE query remains rows-only by design: ev1, whose scorer solves a
+# distributed Gram system (matrix solves are beyond portable SQL).
+# Everything else — including every generator's samples, both full
+# TSTR pipelines (ev2/ev3), and the LSH index itself (em2, md5-sign
+# hyperplanes) — is value-hash-checked against DuckDB. ALL FIVE generators (gen1-gen5) sample through
 # portable md5 draws/ranks, so their generated rows ARE value-checked
 # (gen4's new oracle exceeds the 50-entry window this round — local
 # gate + judge spot-check cover it until the round-4 rotation).
@@ -6749,6 +6788,7 @@ ORACLE_SQL: dict[str, str] = {
     "ev5_forecast_backtest": EV5_SQL,
     "ev2_univariate_summary": EV2_SQL,
     "ev3_drift_summary": EV3_SQL,
+    "em2_lsh_topk": EM2_SQL,
     "ev4_markov_fidelity": EV4_SQL,
     "mm7_media_probe": MM7_SQL,
     "tx26_containment_pairs": TX26_SQL,
