@@ -108,6 +108,16 @@ def _matmul_chunks(q_mat, c_mat, q_norm, c_norm, chunk: int = 2048):
         yield lo, sims
 
 
+def _md5_sign(key: str) -> float:
+    """±1 from the first-hex-digit parity of md5(key) — THE portable
+    sign convention every SQL oracle mirrors byte-for-byte (shared by
+    the sign-plane LSH family and the JL projection; key prefixes
+    differ, the construction must not)."""
+    import hashlib
+
+    return 1.0 if int(hashlib.md5(key.encode()).hexdigest()[0], 16) % 2 == 0 else -1.0
+
+
 def cosine_topk(
     df: DataFrame,
     id_column: str,
@@ -354,7 +364,6 @@ def _seeded_planes(
     portable-hash convention, so bucket assignment is REPLAYABLE IN
     SQL and an LSH query can be value-checked end to end. Both are
     valid sign-random-projection families."""
-    import hashlib
     import random
 
     import numpy as np
@@ -365,12 +374,11 @@ def _seeded_planes(
             f"found in column {vector_column!r}; omit dim to infer it"
         )
     if family == "sign":
-        def sgn(j: int, i: int) -> float:
-            h = hashlib.md5(f"lsh{seed}#{j}#{i}".encode()).hexdigest()
-            return 1.0 if int(h[0], 16) % 2 == 0 else -1.0
-
         return np.array(
-            [[sgn(j, i) for i in range(width)] for j in range(num_planes)]
+            [
+                [_md5_sign(f"lsh{seed}#{j}#{i}") for i in range(width)]
+                for j in range(num_planes)
+            ]
         )
     if family != "gauss":
         raise ValueError(f"plane family must be gauss|sign, got {family!r}")
@@ -652,7 +660,11 @@ def lsh_topk(
                     seed, num_planes, mat.shape[1], dim,
                     vector_column, family=plane_family,
                 )
-            bits = (mat @ p.T) >= 0
+            # 6dp stabilization before the sign test: numpy's BLAS
+            # summation order differs from a SQL replay's sequential
+            # list_sum, so a dot within ~1 ulp of 0 could otherwise
+            # flip a bucket bit between engines
+            bits = np.round(mat @ p.T, 6) >= 0
             out = pdf[[id_column, vector_column]].copy()
             out["bucket"] = bits @ weights
             yield out
@@ -765,8 +777,6 @@ def random_projection_distortion(
     aggregate), and mismatched vector widths raise before any task
     runs work on them.
     """
-    import hashlib
-
     if in_dim is None:
         probe = df.agg(
             F.min(F.size(vector_column)).alias("lo"),
@@ -782,12 +792,8 @@ def random_projection_distortion(
         else:
             in_dim = int(probe["lo"])
 
-    def sign(j: int, i: int) -> float:
-        h = hashlib.md5(f"{seed}#{j}#{i}".encode()).hexdigest()
-        return 1.0 if int(h[0], 16) % 2 == 0 else -1.0
-
     rows = [
-        F.array(*[F.lit(sign(j, i)) for i in range(in_dim)])
+        F.array(*[F.lit(_md5_sign(f"{seed}#{j}#{i}")) for i in range(in_dim)])
         for j in range(out_dim)
     ]
     matrix = F.array(*rows) if rows else F.array().cast("array<array<double>>")

@@ -3372,12 +3372,12 @@ WITH v AS (
 ), b AS (
   SELECT vec_id, e,
          list_sum(list_transform(range(6), j ->
-           CASE WHEN list_sum(list_transform(range(len(e)), i ->
+           CASE WHEN ROUND(list_sum(list_transform(range(len(e)), i ->
                   e[i + 1] *
                   (CASE WHEN ('0x' || substring(
                          md5('lsh42#' || j || '#' || i), 1, 1))::UBIGINT
                          % 2 = 0
-                        THEN 1.0 ELSE -1.0 END))) >= 0
+                        THEN 1.0 ELSE -1.0 END))), 6) >= 0
                 THEN CAST(2 ** j AS BIGINT) ELSE 0 END)) AS bucket
   FROM v
 ), pairs AS (
@@ -6161,8 +6161,13 @@ def ev5_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-EV5_SQL = """
-WITH cal AS (
+# Shared replay building blocks for the ev oracles: the real daily
+# panel + 7-day holdout (EV5/EV2/EV3) and the two generators'
+# deterministic-sample CTEs (EV2/EV3, parameterized by seed — the
+# per-iteration seed is seed + 101*it). One copy: a change to
+# calendar fill, holdout width, or the draw contract edits every
+# oracle at once.
+_EV_PANEL_CORE = """WITH cal AS (
   SELECT unnest(generate_series(
            date_trunc('day', (SELECT MIN(ts) FROM events)),
            date_trunc('day', (SELECT MAX(ts) FROM events)),
@@ -6179,8 +6184,71 @@ WITH cal AS (
 ), cut AS (
   SELECT MAX(d) - INTERVAL 7 DAY AS c FROM panel
 ), train AS (
-  SELECT * FROM panel WHERE d <= (SELECT c FROM cut)
-), test AS (
+  SELECT * FROM panel WHERE d <= (SELECT c FROM cut)"""
+
+
+def _ev_synth_sql(seed: int) -> str:
+    return """), actuals AS (
+  SELECT * FROM panel WHERE d > (SELECT c FROM cut)
+), strt AS (
+  SELECT MIN(d) AS s FROM train
+), mm AS (
+  SELECT MIN(v) AS mn, MAX(v) AS mx FROM panel
+), r AS (
+  SELECT user_id, v,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) - 1 AS p,
+         COUNT(*) OVER (PARTITION BY user_id) AS cnt
+  FROM panel
+), wins AS (
+  SELECT user_id, p AS w FROM r WHERE p <= cnt - 8
+), steps AS (
+  SELECT UNNEST(range(8)) AS step
+), bs AS (
+  SELECT 0 AS it, user_id, w FROM (
+    SELECT user_id, w FROM wins
+    ORDER BY md5(user_id || '|' || w || '#{seed}') LIMIT 30)
+  UNION ALL
+  SELECT 1, user_id, w FROM (
+    SELECT user_id, w FROM wins
+    ORDER BY md5(user_id || '|' || w || '#{seed_it1}') LIMIT 30)
+), bvals AS (
+  SELECT 'bootstrap' AS gen, b.it,
+         b.user_id || '|' || b.w AS seq, s.step,
+         (r2.v - mm.mn) / (mm.mx - mm.mn) * (mm.mx - mm.mn) + mm.mn AS tv
+  FROM bs b CROSS JOIN steps s
+  JOIN r r2 ON r2.user_id = b.user_id AND r2.p = b.w + s.step
+  CROSS JOIN mm
+), prof AS (
+  SELECT s.step,
+         AVG((r.v - mm.mn) / (mm.mx - mm.mn)) AS mean,
+         COALESCE(STDDEV_POP((r.v - mm.mn) / (mm.mx - mm.mn)), 0) AS std
+  FROM r JOIN steps s ON r.p >= s.step AND r.p <= r.cnt - 8 + s.step
+  CROSS JOIN mm
+  GROUP BY 1
+), seqs AS (
+  SELECT UNNEST(range(30)) AS sid
+), gvals AS (
+  SELECT 'gaussian' AS gen, i.it, CAST(q.sid AS VARCHAR) AS seq, pr.step,
+         (pr.mean + pr.std *
+           (sqrt(-2.0 * ln(GREATEST(
+              ('0x' || substring(md5('gauss-u1#' || q.sid || '#' || pr.step
+                 || '#0#' || ({seed} + 101 * i.it)), 1, 15))::UBIGINT
+              / 1152921504606846976.0, 1e-18)))
+            * cos(6.283185307179586 *
+              ('0x' || substring(md5('gauss-u2#' || q.sid || '#' || pr.step
+                 || '#0#' || ({seed} + 101 * i.it)), 1, 15))::UBIGINT
+              / 1152921504606846976.0)))
+         * (mm.mx - mm.mn) + mm.mn AS tv
+  FROM (VALUES (0), (1)) i(it) CROSS JOIN seqs q CROSS JOIN prof pr
+  CROSS JOIN mm
+), synth AS (
+  SELECT gen, it, seq, step, tv,
+         ISODOW((SELECT s FROM strt) + step * INTERVAL 1 DAY) AS dow
+  FROM (SELECT * FROM bvals UNION ALL SELECT * FROM gvals)
+""".format(seed=seed, seed_it1=seed + 101)
+
+
+EV5_SQL = _EV_PANEL_CORE + """), test AS (
   SELECT * FROM panel WHERE d > (SELECT c FROM cut)
 ), gmean AS (
   SELECT AVG(v) AS g FROM train
@@ -6208,89 +6276,7 @@ SELECT user_id,
 FROM pred GROUP BY 1 ORDER BY 1
 """
 
-
-# ev2's full TSTR replay: real daily panel -> 7-day holdout -> both
-# generators' deterministic samples (md5 bootstrap ranks, md5
-# Box-Muller gaussian draws, seeds 17 and 17+101 per iteration) ->
-# per-combo weekday profiles fit on the SYNTHETIC panels -> horizon
-# MAE on the real holdout -> per-generator avg/std plus the
-# train-on-real control (same score both iterations, std exactly 0).
-EV2_SQL = """
-WITH cal AS (
-  SELECT unnest(generate_series(
-           date_trunc('day', (SELECT MIN(ts) FROM events)),
-           date_trunc('day', (SELECT MAX(ts) FROM events)),
-           INTERVAL 1 DAY)) AS d
-), ids AS (
-  SELECT DISTINCT user_id FROM events
-), agg AS (
-  SELECT user_id, date_trunc('day', ts) AS d, SUM(value) AS v
-  FROM events GROUP BY 1, 2
-), panel AS (
-  SELECT i.user_id, c.d, COALESCE(a.v, 0) AS v
-  FROM ids i CROSS JOIN cal c
-  LEFT JOIN agg a ON a.user_id = i.user_id AND a.d = c.d
-), cut AS (
-  SELECT MAX(d) - INTERVAL 7 DAY AS c FROM panel
-), train AS (
-  SELECT * FROM panel WHERE d <= (SELECT c FROM cut)
-), actuals AS (
-  SELECT * FROM panel WHERE d > (SELECT c FROM cut)
-), strt AS (
-  SELECT MIN(d) AS s FROM train
-), mm AS (
-  SELECT MIN(v) AS mn, MAX(v) AS mx FROM panel
-), r AS (
-  SELECT user_id, v,
-         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) - 1 AS p,
-         COUNT(*) OVER (PARTITION BY user_id) AS cnt
-  FROM panel
-), wins AS (
-  SELECT user_id, p AS w FROM r WHERE p <= cnt - 8
-), steps AS (
-  SELECT UNNEST(range(8)) AS step
-), bs AS (
-  SELECT 0 AS it, user_id, w FROM (
-    SELECT user_id, w FROM wins
-    ORDER BY md5(user_id || '|' || w || '#17') LIMIT 30)
-  UNION ALL
-  SELECT 1, user_id, w FROM (
-    SELECT user_id, w FROM wins
-    ORDER BY md5(user_id || '|' || w || '#118') LIMIT 30)
-), bvals AS (
-  SELECT 'bootstrap' AS gen, b.it, s.step,
-         (r2.v - mm.mn) / (mm.mx - mm.mn) * (mm.mx - mm.mn) + mm.mn AS tv
-  FROM bs b CROSS JOIN steps s
-  JOIN r r2 ON r2.user_id = b.user_id AND r2.p = b.w + s.step
-  CROSS JOIN mm
-), prof AS (
-  SELECT s.step,
-         AVG((r.v - mm.mn) / (mm.mx - mm.mn)) AS mean,
-         COALESCE(STDDEV_POP((r.v - mm.mn) / (mm.mx - mm.mn)), 0) AS std
-  FROM r JOIN steps s ON r.p >= s.step AND r.p <= r.cnt - 8 + s.step
-  CROSS JOIN mm
-  GROUP BY 1
-), seqs AS (
-  SELECT UNNEST(range(30)) AS sid
-), gvals AS (
-  SELECT 'gaussian' AS gen, i.it, pr.step,
-         (pr.mean + pr.std *
-           (sqrt(-2.0 * ln(GREATEST(
-              ('0x' || substring(md5('gauss-u1#' || q.sid || '#' || pr.step
-                 || '#0#' || (17 + 101 * i.it)), 1, 15))::UBIGINT
-              / 1152921504606846976.0, 1e-18)))
-            * cos(6.283185307179586 *
-              ('0x' || substring(md5('gauss-u2#' || q.sid || '#' || pr.step
-                 || '#0#' || (17 + 101 * i.it)), 1, 15))::UBIGINT
-              / 1152921504606846976.0)))
-         * (mm.mx - mm.mn) + mm.mn AS tv
-  FROM (VALUES (0), (1)) i(it) CROSS JOIN seqs q CROSS JOIN prof pr
-  CROSS JOIN mm
-), synth AS (
-  SELECT gen, it, tv,
-         ISODOW((SELECT s FROM strt) + step * INTERVAL 1 DAY) AS dow
-  FROM (SELECT * FROM bvals UNION ALL SELECT * FROM gvals)
-), gm AS (
+EV2_SQL = _EV_PANEL_CORE + _ev_synth_sql(17) + """), gm AS (
   SELECT gen, it, AVG(tv) AS g FROM synth GROUP BY 1, 2
 ), mult AS (
   SELECT s.gen, s.it, s.dow,
@@ -6337,90 +6323,7 @@ SELECT generator, avg_forecast_mae, std_forecast_mae FROM (
 ) ORDER BY generator
 """
 
-
-# ev3's replay: same panel/holdout/generator machinery as EV2_SQL
-# (seeds 23/124) but the SECOND J4 pluggable — additive seasonal-naive
-# with drift: per-combo mean consecutive-tick delta + per-weekday
-# offsets from item levels, predictions anchored on each real item's
-# recent level with the drift extrapolated from the window center
-# (datediff + (7-1)/2).
-EV3_SQL = """
-WITH cal AS (
-  SELECT unnest(generate_series(
-           date_trunc('day', (SELECT MIN(ts) FROM events)),
-           date_trunc('day', (SELECT MAX(ts) FROM events)),
-           INTERVAL 1 DAY)) AS d
-), ids AS (
-  SELECT DISTINCT user_id FROM events
-), agg AS (
-  SELECT user_id, date_trunc('day', ts) AS d, SUM(value) AS v
-  FROM events GROUP BY 1, 2
-), panel AS (
-  SELECT i.user_id, c.d, COALESCE(a.v, 0) AS v
-  FROM ids i CROSS JOIN cal c
-  LEFT JOIN agg a ON a.user_id = i.user_id AND a.d = c.d
-), cut AS (
-  SELECT MAX(d) - INTERVAL 7 DAY AS c FROM panel
-), train AS (
-  SELECT * FROM panel WHERE d <= (SELECT c FROM cut)
-), actuals AS (
-  SELECT * FROM panel WHERE d > (SELECT c FROM cut)
-), strt AS (
-  SELECT MIN(d) AS s FROM train
-), mm AS (
-  SELECT MIN(v) AS mn, MAX(v) AS mx FROM panel
-), r AS (
-  SELECT user_id, v,
-         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) - 1 AS p,
-         COUNT(*) OVER (PARTITION BY user_id) AS cnt
-  FROM panel
-), wins AS (
-  SELECT user_id, p AS w FROM r WHERE p <= cnt - 8
-), steps AS (
-  SELECT UNNEST(range(8)) AS step
-), bs AS (
-  SELECT 0 AS it, user_id, w FROM (
-    SELECT user_id, w FROM wins
-    ORDER BY md5(user_id || '|' || w || '#23') LIMIT 30)
-  UNION ALL
-  SELECT 1, user_id, w FROM (
-    SELECT user_id, w FROM wins
-    ORDER BY md5(user_id || '|' || w || '#124') LIMIT 30)
-), bvals AS (
-  SELECT 'bootstrap' AS gen, b.it,
-         b.user_id || '|' || b.w AS seq, s.step,
-         (r2.v - mm.mn) / (mm.mx - mm.mn) * (mm.mx - mm.mn) + mm.mn AS tv
-  FROM bs b CROSS JOIN steps s
-  JOIN r r2 ON r2.user_id = b.user_id AND r2.p = b.w + s.step
-  CROSS JOIN mm
-), prof AS (
-  SELECT s.step,
-         AVG((r.v - mm.mn) / (mm.mx - mm.mn)) AS mean,
-         COALESCE(STDDEV_POP((r.v - mm.mn) / (mm.mx - mm.mn)), 0) AS std
-  FROM r JOIN steps s ON r.p >= s.step AND r.p <= r.cnt - 8 + s.step
-  CROSS JOIN mm
-  GROUP BY 1
-), seqs AS (
-  SELECT UNNEST(range(30)) AS sid
-), gvals AS (
-  SELECT 'gaussian' AS gen, i.it, CAST(q.sid AS VARCHAR) AS seq, pr.step,
-         (pr.mean + pr.std *
-           (sqrt(-2.0 * ln(GREATEST(
-              ('0x' || substring(md5('gauss-u1#' || q.sid || '#' || pr.step
-                 || '#0#' || (23 + 101 * i.it)), 1, 15))::UBIGINT
-              / 1152921504606846976.0, 1e-18)))
-            * cos(6.283185307179586 *
-              ('0x' || substring(md5('gauss-u2#' || q.sid || '#' || pr.step
-                 || '#0#' || (23 + 101 * i.it)), 1, 15))::UBIGINT
-              / 1152921504606846976.0)))
-         * (mm.mx - mm.mn) + mm.mn AS tv
-  FROM (VALUES (0), (1)) i(it) CROSS JOIN seqs q CROSS JOIN prof pr
-  CROSS JOIN mm
-), synth AS (
-  SELECT gen, it, seq, step, tv,
-         ISODOW((SELECT s FROM strt) + step * INTERVAL 1 DAY) AS dow
-  FROM (SELECT * FROM bvals UNION ALL SELECT * FROM gvals)
-), drift AS (
+EV3_SQL = _EV_PANEL_CORE + _ev_synth_sql(23) + """), drift AS (
   SELECT gen, it, AVG(tv - ptv) AS dr FROM (
     SELECT gen, it, seq, tv,
            LAG(tv) OVER (PARTITION BY gen, it, seq ORDER BY step) AS ptv
@@ -6485,6 +6388,22 @@ SELECT generator, avg_forecast_mae, std_forecast_mae FROM (
   SELECT 'train_on_real', ROUND((SELECT mae FROM rscore), 6), 0.0
 ) ORDER BY generator
 """
+
+
+# ev2's full TSTR replay: real daily panel -> 7-day holdout -> both
+# generators' deterministic samples (md5 bootstrap ranks, md5
+# Box-Muller gaussian draws, seeds 17 and 17+101 per iteration) ->
+# per-combo weekday profiles fit on the SYNTHETIC panels -> horizon
+# MAE on the real holdout -> per-generator avg/std plus the
+# train-on-real control (same score both iterations, std exactly 0).
+
+
+# ev3's replay: same panel/holdout/generator machinery as EV2_SQL
+# (seeds 23/124) but the SECOND J4 pluggable — additive seasonal-naive
+# with drift: per-combo mean consecutive-tick delta + per-weekday
+# offsets from item levels, predictions anchored on each real item's
+# recent level with the drift extrapolated from the window center
+# (datediff + (7-1)/2).
 
 
 # --------------------------------------------------------------------------
@@ -6554,10 +6473,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gen1_bootstrap_sample": gen1_bootstrap_sample,
     "gen3_generation_rounds": gen3_generation_rounds,
     # ------------- driver 50-entry window ends HERE (position 50) -------------
-    # --- ev5 + gen4's oracle are new this round but exceed the window;
-    # the local gate verifies them until the round-4 rotation ---
+    # --- these gained NEW (value) oracles or changed output late in
+    # round 3 and exceed the window: ev5, gen4, ev2, ev3, and em2
+    # (whose sign-plane switch changed its emitted rows). The local
+    # sf0.001/sf0.01 gate verifies them until the round-4 rotation ---
     "ev5_forecast_backtest": ev5_forecast_backtest,
-    # --- every entry below is driver-green from earlier rounds ---
+    # --- entries below WERE driver-green in earlier rounds (em2's
+    # current output is NOT — see note above) ---
     "q33_large_orders": q33_large_orders,
     "gen4_conditional_sample": gen4_conditional_sample,
     "st2_stream_window_sums": st2_stream_window_sums,
@@ -6658,13 +6580,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 # ONE query remains rows-only by design: ev1, whose scorer solves a
 # distributed Gram system (matrix solves are beyond portable SQL).
-# Everything else — including every generator's samples, both full
-# TSTR pipelines (ev2/ev3), and the LSH index itself (em2, md5-sign
-# hyperplanes) — is value-hash-checked against DuckDB. ALL FIVE generators (gen1-gen5) sample through
-# portable md5 draws/ranks, so their generated rows ARE value-checked
-# (gen4's new oracle exceeds the 50-entry window this round — local
-# gate + judge spot-check cover it until the round-4 rotation).
-# Everything else is value-hash-checked against DuckDB.
+# Everything else — every generator's samples (portable md5 draws and
+# ranks), both full TSTR pipelines (ev2/ev3), and the LSH index
+# itself (em2, md5-sign hyperplanes) — is value-hash-checked against
+# DuckDB.
 ORACLE_SQL: dict[str, str] = {
     "q01_surrogate_key": Q01_SQL,
     "q02_daily_sum": Q02_SQL,
