@@ -110,10 +110,11 @@ def pack_sequences(
         ),
         (F.col("_base") + F.col("_local_end")).alias("_end"),
     )
-    first_seq = F.floor(F.col("start_offset") / F.lit(int(budget)))
-    last_seq = F.floor(
-        (F.col("_end") - F.lit(1)) / F.lit(int(budget))
-    )
+    # integer `div` on bigints, matching the oracle's `//`: F.floor of a
+    # double quotient can land in the wrong sequence past ~2^53
+    # cumulative tokens, the same precision trap as the bucket key above
+    first_seq = F.expr(f"start_offset div {int(budget)}")
+    last_seq = F.expr(f"(_end - 1) div {int(budget)}")
     # Empty docs occupy no tokens: pin both span ends to the sequence
     # at their start offset so every row has defined span columns.
     empty = F.col("n_tokens") == 0

@@ -455,8 +455,12 @@ def q15_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = read_table(spark, sf_dir, "customer")
     nation = read_table(spark, sf_dir, "nation")
     dec = "decimal(30,10)"
+    # customer is a FACT-scale dim (multi-GB at 100×): no broadcast
+    # hint — AQE picks broadcast at bench scale and shuffle at cluster
+    # scale. Explicit hints stay only on the bounded dims
+    # (nation/region/supplier: ≤25/5/SF·10k rows by TPC-H construction).
     joined = orders.join(
-        F.broadcast(customer), orders.o_custkey == customer.c_custkey
+        customer, orders.o_custkey == customer.c_custkey
     ).join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
     return joined.groupBy("n_name").agg(
         F.round(F.sum(F.col("o_totalprice").cast(dec)).cast("double"), 4).alias(
@@ -1096,7 +1100,14 @@ FROM joined GROUP BY 1 ORDER BY 1
 
 def ev1_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship orchestration (op K2): fit bootstrap + gaussian on the
-    events table, TSTR-score both, emit the summary metric rows."""
+    events table, TSTR-score both, emit the summary metric rows.
+    VALUE-verified end to end: every stage — stride-1 real windows,
+    the global-ordinal 75% positional split, the closed-form
+    least-squares head (avg/covar_pop/var_pop), both generators'
+    deterministic samples (md5 block ranks / md5 Box–Muller draws,
+    seeds 17 and 18 per iteration), the four TSTR MAEs and the
+    train-on-real control — replays in EV1_SQL, so the whole K2
+    orchestration hash-matches DuckDB."""
     from paqarin_spark.adapter import get_generator_adapter
     from paqarin_spark.evaluation import (
         EvaluationPipeline,
@@ -1465,7 +1476,7 @@ def q51_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("_avg_qty")
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(avg_q, li.l_partkey == F.col("_pk"))
         .where(F.col("l_quantity") < F.col("_avg_qty") * 0.2)
         .agg(
@@ -1521,7 +1532,7 @@ def q52_disjunctive_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_quantity").between(20, 30)
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .where(bands)
         .groupBy("p_brand")
         .agg(
@@ -1622,7 +1633,7 @@ def q54_promo_bulk_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
         )
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey, "left_semi")
+        .join(part, li.l_partkey == part.p_partkey, "left_semi")
         .groupBy("l_suppkey")
         .agg(F.sum("l_quantity").alias("_q"))
         .where(F.col("_q") > 300.0)
@@ -2183,7 +2194,7 @@ def q47_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     dec = "decimal(30,10)"
     rev = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")
         .agg(
@@ -2416,7 +2427,7 @@ def q31_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     dec = "decimal(30,10)"
     rev = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .select(
             F.col("n_name"),
@@ -2484,7 +2495,7 @@ def q33_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         big.join(orders, big.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .select(
             "c_name",
             "o_orderkey",
@@ -2529,7 +2540,7 @@ def q34_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
         .where(F.col("supp_nation") < F.col("cust_nation"))
@@ -2591,9 +2602,9 @@ def q61_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     dec = "decimal(30,10)"
     vol = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(dec)
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n_c), F.col("c_nationkey") == F.col("c_nk"))
         .join(F.broadcast(region), F.col("c_rk") == region.r_regionkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
@@ -2697,7 +2708,7 @@ def q63_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.lit(0.5) * F.col("p_retailprice") * F.col("l_quantity")
     ).cast(dec)
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
@@ -5583,7 +5594,7 @@ WITH t AS (
 ), m AS (
   SELECT doc_id,
          len(toks) AS n,
-         list_sum(list_transform(toks, x -> length(x)))
+         COALESCE(list_sum(list_transform(toks, x -> length(x))), 0)
            / GREATEST(len(toks), 1) AS mean_len,
          COALESCE(list_max(list_transform(list_distinct(toks),
                     t2 -> len(list_filter(toks, x -> x = t2)))), 0) AS topc,
@@ -5790,7 +5801,7 @@ def q69_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
         .groupBy("supp_nation", "cust_nation")
