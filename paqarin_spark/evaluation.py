@@ -159,16 +159,25 @@ class RidgeLagForecaster:
                     }
                 )
 
-        partials = (
+        # Pre-reduce the per-batch partials on the cluster: flatten
+        # [XᵀX | XᵀY] into one positional vector and sum per position,
+        # so the driver receives exactly d·(d+|cols|) rows no matter
+        # how many partitions/Arrow batches the training set spans
+        # (an unbounded per-batch collect would scale with partition
+        # count at 100 TB).
+        flat = (
             train.select("features", "label")
             .mapInPandas(gram, schema="xtx array<double>, xty array<double>")
+            .select(F.posexplode(F.concat("xtx", "xty")).alias("i", "v"))
+            .groupBy("i")
+            .agg(F.sum("v").alias("v"))
             .collect()
         )
-        xtx = np.zeros((d, d))
-        xty = np.zeros((d, len(cols)))
-        for row in partials:
-            xtx += np.array(row["xtx"]).reshape(d, d)
-            xty += np.array(row["xty"]).reshape(d, len(cols))
+        vec = np.zeros(d * d + d * len(cols))
+        for row in flat:
+            vec[row["i"]] = row["v"]
+        xtx = vec[: d * d].reshape(d, d)
+        xty = vec[d * d :].reshape(d, len(cols))
         W = np.linalg.solve(xtx + self.ridge_lambda * np.eye(d), xty)
         self.weights = {c: W[:, k].tolist() for k, c in enumerate(cols)}
         self._lags = lags

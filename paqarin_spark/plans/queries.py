@@ -682,8 +682,10 @@ SELECT event_id, ROUND(value, 6) AS value_roundtrip FROM events ORDER BY event_i
 
 
 # --------------------------------------------------------------------------
-# Generator / pipeline entries (ops J1/J2/K2; rows-only — model sampling
-# and multi-action orchestration are not single-statement SQL)
+# Generator / pipeline entries (ops J1/J2/K2) — all VALUE-verified:
+# every sampler draws via portable md5 hashes, so even the multi-action
+# orchestrations (gen1-gen5, ev1-ev3) replay as single DuckDB
+# statements and hash-match.
 
 
 def _events_gen_params(sequence_length: int = 8):
@@ -1129,6 +1131,144 @@ def ev1_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # blocks degrade unrelated later jobs in a shared session.
     pipe.unpersist()
     return scorer.metric_manager.summary("predictive_score")
+
+
+# ev1's full multivariate-TSTR replay. Stage by stage:
+#   r        — per-user 0-based positions ordered (ts, event_id), the
+#              arrival order every window op uses
+#   wins     — stride-1 window starts w ∈ [0, cnt-8] (sliding_windows)
+#   woff/cuts— the scorer's global ordinal (per-user window counts →
+#              cumulative offsets, ordered by user_id) and the
+#              positional-split cut points t = ⌊0.75·n⌋,
+#              v = t + ⌊(n-t)/2⌋ (train ≤ t < valid ≤ v < test)
+#   rxy      — real (x, y) pairs: x = step 6 of the window (last
+#              feature step of xy_split's L-1 slice), y = step 7
+#   rab/rmae — the closed-form least-squares head fit on real train
+#              (a = covar_pop/var_pop, b = ȳ - a·x̄) and its MAE on
+#              real test — the train_on_real control row
+#   bs/bxy   — block-bootstrap samples: windows ranked by
+#              md5(user|w#seed), top 50, seeds 17 (iter 0) / 18
+#              (iter 1); values replay the min-max scale→inverse
+#              roundtrip bit for bit
+#   prof/gdraw/gxy — gaussian per-step profile over the SCALED window
+#              population (steps 6/7 suffice for x/y) and the md5
+#              Box–Muller draws keyed (gauss-u*, sid, step, col, seed)
+#   scoef/sab/smae — per-(generator, iteration) least-squares fits on
+#              the synthetic pairs and their MAEs on the same real
+#              test set (TSTR)
+# Summary = per-generator ROUND(avg/stddev_pop of the two iteration
+# MAEs, 6) plus the train_on_real row (same MAE both iterations →
+# std exactly 0), sorted by generator — byte-identical to
+# MetricManager.summary's driver arithmetic at 6dp.
+EV1_SQL = """
+WITH mm AS (
+  SELECT MIN(value) AS mn, MAX(value) AS mx FROM events
+), r AS (
+  SELECT user_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+           AS p,
+         COUNT(*) OVER (PARTITION BY user_id) AS cnt
+  FROM events
+), wins AS (
+  SELECT user_id, p AS w FROM r WHERE p <= cnt - 8
+), wcnt AS (
+  SELECT user_id, COUNT(*) AS c FROM wins GROUP BY 1
+), woff AS (
+  SELECT user_id,
+         COALESCE(SUM(c) OVER (ORDER BY user_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM wcnt
+), cuts AS (
+  SELECT n, t, t + FLOOR((n - t) / 2) AS v
+  FROM (SELECT COUNT(*) AS n, FLOOR(0.75 * COUNT(*)) AS t FROM wins)
+), rxy AS (
+  SELECT wi.user_id, wo.off + wi.w + 1 AS ordn,
+         rx.value AS x, ry.value AS y
+  FROM wins wi
+  JOIN woff wo ON wi.user_id = wo.user_id
+  JOIN r rx ON rx.user_id = wi.user_id AND rx.p = wi.w + 6
+  JOIN r ry ON ry.user_id = wi.user_id AND ry.p = wi.w + 7
+), rtrain AS (
+  SELECT * FROM rxy WHERE ordn <= (SELECT t FROM cuts)
+), rtest AS (
+  SELECT * FROM rxy WHERE ordn > (SELECT v FROM cuts)
+), rab AS (
+  SELECT CASE WHEN var > 0 THEN cov / var ELSE 0.0 END AS a,
+         my_ - (CASE WHEN var > 0 THEN cov / var ELSE 0.0 END) * mx_ AS b
+  FROM (SELECT AVG(x) AS mx_, AVG(y) AS my_,
+               COVAR_POP(x, y) AS cov, VAR_POP(x) AS var
+        FROM rtrain)
+), rmae AS (
+  SELECT AVG(ABS(((SELECT a FROM rab) * x + (SELECT b FROM rab)) - y))
+    AS mae
+  FROM rtest
+), bs AS (
+  SELECT 0 AS it, user_id, w FROM (
+    SELECT user_id, w FROM wins
+    ORDER BY md5(user_id || '|' || w || '#17') LIMIT 50)
+  UNION ALL
+  SELECT 1, user_id, w FROM (
+    SELECT user_id, w FROM wins
+    ORDER BY md5(user_id || '|' || w || '#18') LIMIT 50)
+), bxy AS (
+  SELECT 'bootstrap' AS gen, b.it,
+         (rx.value - mm.mn) / (mm.mx - mm.mn) * (mm.mx - mm.mn) + mm.mn AS x,
+         (ry.value - mm.mn) / (mm.mx - mm.mn) * (mm.mx - mm.mn) + mm.mn AS y
+  FROM bs b
+  JOIN r rx ON rx.user_id = b.user_id AND rx.p = b.w + 6
+  JOIN r ry ON ry.user_id = b.user_id AND ry.p = b.w + 7
+  CROSS JOIN mm
+), steps AS (
+  SELECT UNNEST([6, 7]) AS step
+), prof AS (
+  SELECT s.step,
+         AVG((r.value - mm.mn) / (mm.mx - mm.mn)) AS mean,
+         COALESCE(STDDEV_POP((r.value - mm.mn) / (mm.mx - mm.mn)), 0) AS std
+  FROM r JOIN steps s ON r.p >= s.step AND r.p <= r.cnt - 8 + s.step
+  CROSS JOIN mm
+  GROUP BY 1
+), gdraw AS (
+  SELECT i.it, q.sid, pr.step,
+         (pr.mean + pr.std *
+           (sqrt(-2.0 * ln(GREATEST(
+              ('0x' || substring(md5('gauss-u1#' || q.sid || '#' || pr.step
+                 || '#0#' || (17 + i.it)), 1, 15))::UBIGINT
+              / 1152921504606846976.0, 1e-18)))
+            * cos(6.283185307179586 *
+              ('0x' || substring(md5('gauss-u2#' || q.sid || '#' || pr.step
+                 || '#0#' || (17 + i.it)), 1, 15))::UBIGINT
+              / 1152921504606846976.0)))
+         * (mm.mx - mm.mn) + mm.mn AS val
+  FROM (VALUES (0), (1)) i(it)
+  CROSS JOIN (SELECT UNNEST(range(50)) AS sid) q
+  CROSS JOIN prof pr CROSS JOIN mm
+), gxy AS (
+  SELECT 'gaussian' AS gen, x6.it, x6.val AS x, x7.val AS y
+  FROM gdraw x6
+  JOIN gdraw x7 ON x6.it = x7.it AND x6.sid = x7.sid
+  WHERE x6.step = 6 AND x7.step = 7
+), sab AS (
+  SELECT gen, it,
+         CASE WHEN var > 0 THEN cov / var ELSE 0.0 END AS a,
+         my_ - (CASE WHEN var > 0 THEN cov / var ELSE 0.0 END) * mx_ AS b
+  FROM (SELECT gen, it, AVG(x) AS mx_, AVG(y) AS my_,
+               COVAR_POP(x, y) AS cov, VAR_POP(x) AS var
+        FROM (SELECT * FROM bxy UNION ALL SELECT * FROM gxy)
+        GROUP BY 1, 2)
+), smae AS (
+  SELECT s.gen, s.it, AVG(ABS((s.a * t.x + s.b) - t.y)) AS mae
+  FROM sab s CROSS JOIN rtest t
+  GROUP BY 1, 2
+)
+SELECT generator, avg_predictive_score, std_predictive_score FROM (
+  SELECT gen AS generator,
+         ROUND(AVG(mae), 6) AS avg_predictive_score,
+         ROUND(STDDEV_POP(mae), 6) AS std_predictive_score
+  FROM smae GROUP BY 1
+  UNION ALL
+  SELECT 'train_on_real', ROUND((SELECT mae FROM rmae), 6), 0.0
+) ORDER BY generator
+"""
 
 
 def _univariate_tstr_summary(
@@ -6589,12 +6729,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "st5_stream_dedup": st5_stream_dedup,
 }
 
-# ONE query remains rows-only by design: ev1, whose scorer solves a
-# distributed Gram system (matrix solves are beyond portable SQL).
-# Everything else — every generator's samples (portable md5 draws and
-# ranks), both full TSTR pipelines (ev2/ev3), and the LSH index
-# itself (em2, md5-sign hyperplanes) — is value-hash-checked against
-# DuckDB.
+# EVERY query is value-hash-checked against DuckDB — all generator
+# samples (portable md5 draws and ranks), all THREE TSTR pipelines
+# (ev1 multivariate, ev2/ev3 univariate), and the LSH index itself
+# (em2, md5-sign hyperplanes). ev1 was the last rows-only entry; its
+# closed-form least-squares head replays in EV1_SQL. (The
+# RidgeLagForecaster Gram-solve path remains available behind the
+# forecaster factory for callers, but no declared query depends on
+# non-replayable arithmetic.)
 ORACLE_SQL: dict[str, str] = {
     "q01_surrogate_key": Q01_SQL,
     "q02_daily_sum": Q02_SQL,
@@ -6716,6 +6858,7 @@ ORACLE_SQL: dict[str, str] = {
     "gen3_generation_rounds": GEN3_SQL,
     "gen4_conditional_sample": GEN4_SQL,
     "ev5_forecast_backtest": EV5_SQL,
+    "ev1_pipeline_summary": EV1_SQL,
     "ev2_univariate_summary": EV2_SQL,
     "ev3_drift_summary": EV3_SQL,
     "em2_lsh_topk": EM2_SQL,

@@ -115,6 +115,28 @@ def test_ridge_forecaster_uses_all_lags(spark):
     assert linear_mae > 10 * max(ridge.evaluate_mae(df), 1e-6)
 
 
+def test_ridge_fit_invariant_to_partitioning(spark):
+    """The Gram partials pre-reduce on the cluster (driver receives
+    O(d²) rows, not O(partitions)); the solved weights must not depend
+    on how the training set is partitioned."""
+    import random
+
+    from paqarin_spark.evaluation import RidgeLagForecaster
+
+    rng = random.Random(11)
+    rows = []
+    for _ in range(300):
+        x1, x2 = rng.uniform(-1, 1), rng.uniform(-1, 1)
+        rows.append(([{"v": x1}, {"v": x2}], {"v": 0.4 * x1 - 0.2 * x2 + 0.1}))
+    df = spark.createDataFrame(
+        rows, "features array<struct<v:double>>, label struct<v:double>"
+    )
+    w1 = RidgeLagForecaster(["v"]).fit(df.coalesce(1)).weights["v"]
+    w32 = RidgeLagForecaster(["v"]).fit(df.repartition(32)).weights["v"]
+    assert w32 == pytest.approx(w1, abs=1e-9)
+    assert w1[0] == pytest.approx(0.4, abs=1e-2)
+
+
 def test_ridge_tstr_ranks_faithful_generator_first(training):
     """TSTR ordering with the trainable forecaster: a generator whose
     samples follow the real dynamics must out-rank one emitting noise —
