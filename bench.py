@@ -21,8 +21,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import functions as F  # noqa: E402
+
 from paqarin_spark.session import get_session  # noqa: E402
-from paqarin_spark.sources import read_table  # noqa: E402
+from paqarin_spark.sources import TABLES, read_table  # noqa: E402
 import __spark_entry__ as entrymod  # noqa: E402
 
 
@@ -35,8 +37,20 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     queries = entrymod.queries()
-    # Warm-up: touch the JVM + parquet footers once, untimed.
-    read_table(spark, sf_dir, "events").count()
+    # Warm-up, untimed: fully decode EVERY input table (per-column
+    # count forces page reads, filling the OS page cache and JIT'ing
+    # the parquet/codegen path for each table's physical types).
+    # BENCH_r03 ran ~2x high on map-heavy documents/assets/embeddings
+    # queries while trivial ones were stable — cold-cache noise that an
+    # events-only warm-up can't amortize.
+    for t in TABLES:
+        df = read_table(spark, sf_dir, t)
+        df.select([F.count(df[c]) for c in df.columns]).collect()
+    # Warm the Python-worker/Arrow lane once so the first Pandas-UDF
+    # query isn't charged for interpreter fork + Arrow JIT.
+    spark.range(64).repartition(32).mapInPandas(
+        lambda it: it, schema="id bigint"
+    ).count()
 
     timings: dict[str, float] = {}
     for name, fn in queries.items():

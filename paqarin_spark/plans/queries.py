@@ -4192,6 +4192,41 @@ FROM documents ORDER BY doc_id
 """
 
 
+def mm10_mp4_sample_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISO-BMFF SAMPLE-TABLE probe (multimodal.parse_mp4_sample_table):
+    walk moov→trak→mdia→minf→stbl, decode stsz/stco, and byte-verify
+    the table against the mdat payload (first byte of every sample is
+    read back through the stco/stsz arithmetic). This closes the MP4
+    metadata surface at the sample level — per-sample sizes/offsets
+    are what a frame-extraction shard planner needs before any codec
+    work; entropy decode of video essence remains the documented stub.
+    The oracle predicts every field, including the exact chunk offset
+    (445 + 4·n_samples) and file size, from id arithmetic."""
+    from paqarin_spark.multimodal import mp4_sample_stats_from_ids
+
+    docs = _docs(spark, sf_dir)
+    return mp4_sample_stats_from_ids(docs, "doc_id").orderBy("asset_id")
+
+
+MM10_SQL = """
+WITH sz AS (
+  SELECT doc_id, ((doc_id * 31 + k * 17) % 113) + 1 AS s,
+         (doc_id + k) % 256 AS fb
+  FROM documents, LATERAL (
+    SELECT UNNEST(range(doc_id % 7 + 2)) AS k
+  )
+)
+SELECT doc_id AS asset_id,
+       CAST(doc_id % 7 + 2 AS BIGINT) AS n_samples,
+       CAST(SUM(s) AS BIGINT) AS total_sample_bytes,
+       CAST(MAX(s) AS BIGINT) AS max_sample_bytes,
+       CAST(445 + 4 * (doc_id % 7 + 2) AS BIGINT) AS chunk_offset,
+       CAST(SUM(fb) AS BIGINT) AS first_byte_sum,
+       CAST(445 + 4 * (doc_id % 7 + 2) + SUM(s) AS BIGINT) AS n_bytes
+FROM sz GROUP BY doc_id ORDER BY asset_id
+"""
+
+
 # --------------------------------------------------------------------------
 # MM2 — video frame-sampling fan-out (multimodal north star)
 
@@ -6572,17 +6607,23 @@ SELECT generator, avg_forecast_mae, std_forecast_mae FROM (
 # least one green driver row from rounds 1-2 and stays covered by the
 # local sf0.001/sf0.01 gate (tools/check_oracle.py).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- never driver-verified: round-2 tail + round-3 additions ---
-    "tx15_clean_text": tx15_clean_text,
-    "tx16_pii_redaction": tx16_pii_redaction,
-    "tx17_top_bigrams": tx17_top_bigrams,
-    "tx18_repetition_ratio": tx18_repetition_ratio,
+    # --- round-4 rotation, never verified by the driver on their
+    # CURRENT oracles: mm10 is new; ev1 gained its first value oracle
+    # (was rows-only); ev5 was added after the r3 window closed; em2's
+    # emitted rows changed with the sign-plane switch; gen4/ev2's
+    # oracles were upgraded to full value replays after their last
+    # driver row. ---
+    "mm10_mp4_sample_table": mm10_mp4_sample_table,
+    "ev1_pipeline_summary": ev1_pipeline_summary,
+    "ev5_forecast_backtest": ev5_forecast_backtest,
+    "em2_lsh_topk": em2_lsh_topk,
+    "gen4_conditional_sample": gen4_conditional_sample,
+    "ev2_univariate_summary": ev2_univariate_summary,
+    # --- round-3-verified regression sentinels (one per family) ---
     "tx19_normalized_dedup": tx19_normalized_dedup,
     "mm5_png_decode": mm5_png_decode,
     "tx20_corpus_curation": tx20_corpus_curation,
     "em8_ivf_multiprobe": em8_ivf_multiprobe,
-    "q61_market_share": q61_market_share,
-    "q62_custorder_distribution": q62_custorder_distribution,
     "q63_nation_profit": q63_nation_profit,
     "tx21_lang_mismatch": tx21_lang_mismatch,
     "em9_embed_clusters": em9_embed_clusters,
@@ -6624,21 +6665,22 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gen1_bootstrap_sample": gen1_bootstrap_sample,
     "gen3_generation_rounds": gen3_generation_rounds,
     # ------------- driver 50-entry window ends HERE (position 50) -------------
-    # --- these gained NEW (value) oracles or changed output late in
-    # round 3 and exceed the window: ev5, gen4, ev2, ev3, and em2
-    # (whose sign-plane switch changed its emitted rows). The local
-    # sf0.001/sf0.01 gate verifies them until the round-4 rotation ---
-    "ev5_forecast_backtest": ev5_forecast_backtest,
-    # --- entries below WERE driver-green in earlier rounds (em2's
-    # current output is NOT — see note above) ---
+    # --- displaced this round to make room for the rotation (all
+    # driver-green in r3 on these exact oracles; families still
+    # represented above: tx19 clean_text, tx13 top-tokens, q63-q68
+    # TPC-H agg/join) ---
+    "tx15_clean_text": tx15_clean_text,
+    "tx16_pii_redaction": tx16_pii_redaction,
+    "tx17_top_bigrams": tx17_top_bigrams,
+    "tx18_repetition_ratio": tx18_repetition_ratio,
+    "q61_market_share": q61_market_share,
+    "q62_custorder_distribution": q62_custorder_distribution,
+    # --- driver-green in earlier rounds ---
     "q33_large_orders": q33_large_orders,
-    "gen4_conditional_sample": gen4_conditional_sample,
     "st2_stream_window_sums": st2_stream_window_sums,
     "st3_stream_sessions": st3_stream_sessions,
     # --- one representative per operator family ---
     "tx11_dup_clusters": tx11_dup_clusters,
-    "ev1_pipeline_summary": ev1_pipeline_summary,
-    "ev2_univariate_summary": ev2_univariate_summary,
     "em4_ivf_topk": em4_ivf_topk,
     "q58_salted_revenue": q58_salted_revenue,
     "q14_pricing_summary": q14_pricing_summary,
@@ -6859,6 +6901,7 @@ ORACLE_SQL: dict[str, str] = {
     "gen4_conditional_sample": GEN4_SQL,
     "ev5_forecast_backtest": EV5_SQL,
     "ev1_pipeline_summary": EV1_SQL,
+    "mm10_mp4_sample_table": MM10_SQL,
     "ev2_univariate_summary": EV2_SQL,
     "ev3_drift_summary": EV3_SQL,
     "em2_lsh_topk": EM2_SQL,

@@ -386,3 +386,48 @@ def test_wav_audio_stats_through_spark(spark):
         assert r.peak == int(np.abs(s).max())
         assert abs(r.mean_abs - round(float(np.abs(s).mean()), 6)) < 1e-9
         assert r.zero_crossings == int((s[:-1] * s[1:] < 0).sum())
+
+
+def test_mp4_sample_table_roundtrip_and_strictness():
+    from paqarin_spark.multimodal import (
+        encode_mp4_with_samples,
+        parse_mp4_meta,
+        parse_mp4_sample_table,
+    )
+
+    samples = [b"\x07" * 5, b"\x09" * 3, b"\x0b" * 11]
+    content = encode_mp4_with_samples(samples)
+    meta = parse_mp4_sample_table(content)
+    assert meta["n_samples"] == 3
+    assert meta["sample_sizes"] == [5, 3, 11]
+    assert meta["total_sample_bytes"] == 19
+    assert meta["max_sample_bytes"] == 11
+    # stco points at real essence: first byte of each sample read back
+    assert meta["first_byte_sum"] == 0x07 + 0x09 + 0x0B
+    off = meta["chunk_offset"]
+    assert content[off : off + 5] == b"\x07" * 5
+    # the mvhd probe still works on the sample-table container
+    assert parse_mp4_meta(content) is not None
+    # strictness: truncation inside mdat must invalidate the table
+    assert parse_mp4_sample_table(content[: off + 10]) is None
+    assert parse_mp4_sample_table(b"") is None
+    assert parse_mp4_sample_table(b"\x00" * 64) is None
+    # zero samples is a VALID (if empty) table
+    empty = parse_mp4_sample_table(encode_mp4_with_samples([]))
+    assert empty["n_samples"] == 0 and empty["first_byte_sum"] == 0
+
+
+def test_mp4_sample_stats_through_spark(spark):
+    from paqarin_spark.multimodal import mp4_sample_stats_from_ids
+
+    ids = spark.range(0, 10).withColumnRenamed("id", "doc_id")
+    out = {r.asset_id: r for r in mp4_sample_stats_from_ids(ids, "doc_id").collect()}
+    for aid, r in out.items():
+        n = aid % 7 + 2
+        sizes = [(aid * 31 + k * 17) % 113 + 1 for k in range(n)]
+        assert r.n_samples == n
+        assert r.total_sample_bytes == sum(sizes)
+        assert r.max_sample_bytes == max(sizes)
+        assert r.chunk_offset == 445 + 4 * n
+        assert r.first_byte_sum == sum((aid + k) % 256 for k in range(n))
+        assert r.n_bytes == 445 + 4 * n + sum(sizes)
