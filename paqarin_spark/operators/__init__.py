@@ -43,6 +43,13 @@ from paqarin_spark.operators.cdc import apply_cdc, scd2_intervals
 from paqarin_spark.operators.graph import pagerank
 from paqarin_spark.operators.joins import asof_join, range_point_join, salted_join
 from paqarin_spark.operators.sessions import session_stats, sessionize
+from paqarin_spark.operators.sketch import (
+    count_min_counters,
+    count_min_estimates,
+    hll_estimate,
+    hll_registers,
+    weighted_sample,
+)
 from paqarin_spark.operators.similarity import (
     cosine_dedup_pairs,
     cosine_dedup_pairs_bucketed,
@@ -95,6 +102,11 @@ __all__ = [
     "scalar_quantize_error",
     "random_projection_distortion",
     "pagerank",
+    "count_min_counters",
+    "count_min_estimates",
+    "hll_estimate",
+    "hll_registers",
+    "weighted_sample",
     "apply_cdc",
     "scd2_intervals",
     "bm25_topk",

@@ -1,0 +1,204 @@
+"""Probabilistic sketches for corpus-scale profiling (north-star
+extensions, sketch family): HyperLogLog distinct counting, count-min
+frequency estimation, and weighted sampling without replacement.
+
+All three draw their randomness from the portable md5 construction
+(functions.uniform_hash's contract), so — unlike library sketches
+seeded per-JVM — every register, counter, and sample key is a pure
+function of the DATA, reproducible on any cluster layout and
+replayable in the DuckDB oracle. That is also the property that makes
+sketches mergeable across shards: two workers hashing the same value
+always touch the same register/bucket.
+
+Scale posture: each sketch is one groupBy whose result is BOUNDED by
+construction (2^p HLL registers, depth×width counters, top-k sample
+keys) regardless of input rows — the classic
+reduce-a-petabyte-to-a-page shapes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TWO_POW_60 = float(1 << 60)
+
+
+def _hash60(col: F.Column) -> F.Column:
+    """60-bit non-negative integer hash (md5 prefix) — the same bits
+    uniform_hash scales to (0,1); kept integral here because HLL
+    needs exact bit arithmetic (register index + leading-zero rank)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def hll_registers(
+    df: DataFrame,
+    column: str,
+    p: int = 12,
+    group_by: list[str] | None = None,
+) -> DataFrame:
+    """HyperLogLog register table: idx = top ``p`` hash bits, register
+    value = max over values of rho (1 + leading zeros of the remaining
+    ``60-p`` bits). One groupBy; output bounded by groups × 2^p rows.
+    Registers are mergeable with MAX — union two shards' register
+    tables and re-aggregate to sketch the union."""
+    groups = list(group_by or [])
+    tail_bits = 60 - p
+    mod = 1 << tail_bits
+    h = _hash60(F.col(column).cast("string"))
+    idx = F.expr(f"_h div {mod}")
+    tail = F.pmod(F.col("_h"), F.lit(mod))
+    # rho via bin(): length(bin(t)) = floor(log2 t)+1 exactly (integer
+    # string arithmetic — no float log edge cases at powers of two);
+    # an all-zero tail ranks tail_bits+1 by convention.
+    rho = F.when(tail == 0, F.lit(tail_bits + 1)).otherwise(
+        F.lit(tail_bits) - F.length(F.bin(tail)) + 1
+    )
+    return (
+        df.select(*groups, h.alias("_h"))
+        .select(*groups, idx.alias("idx"), rho.alias("rho"))
+        .groupBy(*groups, "idx")
+        .agg(F.max("rho").alias("r"))
+    )
+
+
+def hll_estimate(
+    df: DataFrame,
+    column: str,
+    p: int = 12,
+    group_by: list[str] | None = None,
+    out_column: str = "n_distinct_est",
+) -> DataFrame:
+    """HyperLogLog cardinality estimate (Flajolet et al. 2007) per
+    group: harmonic-mean raw estimate with the small-range
+    linear-counting correction. Every arithmetic step mirrors the SQL
+    oracle expression for expression (alpha as the published formula,
+    unseen registers contributing 2^0 to the harmonic sum)."""
+    groups = list(group_by or [])
+    m = 1 << p
+    regs = hll_registers(df, column, p=p, group_by=groups)
+    per_group = regs.groupBy(*groups).agg(
+        F.count(F.lit(1)).alias("_nobs"),
+        F.sum(F.pow(F.lit(2.0), -F.col("r"))).alias("_sobs"),
+    )
+    # alpha_m for m >= 128 (p >= 7); small-m variants are out of scope
+    # for corpus-scale sketches.
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(float(m)))
+    v = F.lit(m) - F.col("_nobs")  # zero registers
+    raw = alpha * F.lit(float(m)) * F.lit(float(m)) / (
+        F.col("_sobs") + v.cast("double")
+    )
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),
+    ).otherwise(raw)
+    return per_group.select(*groups, est.alias(out_column))
+
+
+def count_min_counters(
+    items: DataFrame,
+    column: str,
+    depth: int = 4,
+    width: int = 512,
+    weight_column: str | None = None,
+) -> DataFrame:
+    """Count-min counter table: every item increments one bucket per
+    hash row, bucket = md5(row#value) mod width. Output is EXACTLY
+    depth×width rows after one groupBy — the petabyte-to-a-page
+    reduction; counters merge across shards by summing."""
+    w = F.col(weight_column) if weight_column else F.lit(1)
+    rows = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("row")
+    bucket = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "#", F.col("row").cast("string"), F.col("_v")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(width),
+    )
+    return (
+        items.select(F.col(column).cast("string").alias("_v"), w.alias("_w"), rows)
+        .select("row", bucket.alias("bucket"), "_w")
+        .groupBy("row", "bucket")
+        .agg(F.sum("_w").alias("counter"))
+    )
+
+
+def count_min_estimates(
+    items: DataFrame,
+    column: str,
+    candidates: DataFrame,
+    candidate_column: str,
+    depth: int = 4,
+    width: int = 512,
+    weight_column: str | None = None,
+) -> DataFrame:
+    """Count-min frequency estimates for a candidate set: estimate =
+    MIN over the depth rows of the candidate's bucket counter — an
+    overestimate by construction (collisions only add). The counter
+    table (depth×width rows) broadcasts to the candidate probe: the
+    full corpus is touched exactly once, candidates never shuffle it."""
+    counters = count_min_counters(
+        items, column, depth=depth, width=width, weight_column=weight_column
+    )
+    rows = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("row")
+    bucket = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws("#", F.col("row").cast("string"), F.col("_v"))
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(width),
+    )
+    probes = candidates.select(
+        F.col(candidate_column).alias("_cand"),
+        F.col(candidate_column).cast("string").alias("_v"),
+        rows,
+    ).select("_cand", "row", bucket.alias("bucket"))
+    return (
+        probes.join(F.broadcast(counters), on=["row", "bucket"])
+        .groupBy("_cand")
+        .agg(F.min("counter").alias("cm_estimate"))
+        .select(F.col("_cand").alias(candidate_column), "cm_estimate")
+    )
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_column: str,
+    weight_column: str,
+    k: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis via
+    the exponential-clocks form): key = -ln(u)/w with u a portable
+    md5 uniform keyed on (id, seed); the k smallest keys are the
+    sample, distributed P(i first) = w_i/Σw. Deterministic under any
+    layout; the global sort runs over (id, key) pairs only
+    (TakeOrderedAndProject), never the payload."""
+    from paqarin_spark.functions import uniform_hash
+
+    u = uniform_hash(
+        F.lit("wsample"), F.col(id_column).cast("string"), F.lit(str(seed))
+    )
+    key = -F.log(u) / F.col(weight_column).cast("double")
+    return (
+        df.select(F.col(id_column), key.alias("_key"))
+        .orderBy("_key")
+        .limit(k)
+        .select(id_column)
+    )

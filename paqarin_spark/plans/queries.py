@@ -6303,6 +6303,248 @@ FROM assigned GROUP BY split ORDER BY split
 """
 
 
+def q73_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-user sketch per event type
+    (operators.sketch.hll_estimate, p=10) next to the exact count —
+    the mergeable-register construction every petabyte profiler uses
+    where countDistinct's exact shuffle would be the bottleneck. The
+    register assignment is portable md5 bit arithmetic, so the sketch
+    VALUE (not just its error bound) replays in SQL: idx = top 10
+    hash bits, rho = leading-zero rank via integer bin()-length (no
+    float log edge cases), harmonic estimate + linear-counting
+    correction expression for expression."""
+    from paqarin_spark.operators import hll_estimate
+
+    ev = _events(spark, sf_dir)
+    est = hll_estimate(ev, "user_id", p=10, group_by=["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+    return (
+        est.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_users",
+            F.round("n_distinct_est", 4).alias("est_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q73_SQL = """
+WITH h AS (
+  SELECT event_type,
+         ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::UBIGINT
+           AS hv
+  FROM events
+), reg AS (
+  SELECT event_type, hv // 1125899906842624 AS idx,
+         MAX(CASE WHEN hv % 1125899906842624 = 0 THEN 51
+                  ELSE 50 - length(bin(hv % 1125899906842624)) + 1 END) AS r
+  FROM h GROUP BY 1, 2
+), agg AS (
+  SELECT event_type, COUNT(*) AS nobs, SUM(power(2.0, -r)) AS sobs
+  FROM reg GROUP BY 1
+), est AS (
+  SELECT event_type,
+         (0.7213 / (1.0 + 1.079 / 1024.0)) * 1024.0 * 1024.0
+           / (sobs + CAST(1024 - nobs AS DOUBLE)) AS raw,
+         1024 - nobs AS v
+  FROM agg
+), ex AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+  FROM events GROUP BY 1
+)
+SELECT e.event_type, x.n_users,
+       ROUND(CASE WHEN e.raw <= 2560.0 AND e.v > 0
+                  THEN 1024.0 * ln(1024.0 / CAST(e.v AS DOUBLE))
+                  ELSE e.raw END, 4) AS est_users
+FROM est e JOIN ex x ON e.event_type = x.event_type
+ORDER BY 1
+"""
+
+
+def tx33_count_min_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min heavy-hitter estimation (operators.sketch): the
+    corpus token stream folds into a 4×512 counter table (one
+    groupBy, output bounded by the sketch size at ANY corpus scale),
+    then the true top-20 tokens probe it — estimate = min over rows,
+    an overestimate by construction. Counters and probes share the
+    portable md5 bucket hash, so the estimates themselves
+    hash-match; the counter table broadcasts to the probe side."""
+    from paqarin_spark.operators import count_min_estimates
+    from paqarin_spark.operators.dedup import tokens as _tokens
+
+    configure_for_determinism(spark)
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(F.explode(_tokens(F.col("text"))).alias("token"))
+    true_counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n_true"))
+    cands = true_counts.orderBy(F.col("n_true").desc(), "token").limit(20)
+    est = count_min_estimates(toks, "token", cands, "token", depth=4, width=512)
+    return (
+        cands.join(est, "token")
+        .select("token", "n_true", "cm_estimate")
+        .orderBy(F.col("n_true").desc(), "token")
+    )
+
+
+TX33_SQL = f"""
+WITH toks AS (
+  SELECT UNNEST({_TOKS_SQL}) AS token FROM documents
+), tc AS (
+  SELECT token, COUNT(*) AS n_true FROM toks GROUP BY 1
+), cands AS (
+  SELECT token, n_true FROM tc ORDER BY n_true DESC, token LIMIT 20
+), rows_ AS (
+  SELECT UNNEST(range(4)) AS row
+), counters AS (
+  SELECT r.row,
+         ('0x' || substring(md5(r.row || '#' || t.token), 1, 15))::UBIGINT
+           % 512 AS bucket,
+         COUNT(*) AS counter
+  FROM toks t CROSS JOIN rows_ r
+  GROUP BY 1, 2
+), probes AS (
+  SELECT c.token, c.n_true, r.row,
+         ('0x' || substring(md5(r.row || '#' || c.token), 1, 15))::UBIGINT
+           % 512 AS bucket
+  FROM cands c CROSS JOIN rows_ r
+)
+SELECT p.token, p.n_true, CAST(MIN(co.counter) AS BIGINT) AS cm_estimate
+FROM probes p JOIN counters co ON p.row = co.row AND p.bucket = co.bucket
+GROUP BY 1, 2 ORDER BY n_true DESC, token
+"""
+
+
+def tx34_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing: score every document by mean
+    negative log probability under a corpus-self BIGRAM model
+    (add-0.5 smoothing over the observed vocabulary) and split the
+    corpus into head/middle/tail terciles — the quality-stratified
+    mixture step of a pretraining pipeline. Two token-keyed
+    aggregations (bigram and context counts), one join back, an
+    ntile over (rounded score, doc_id) so the bucket boundary is
+    deterministic cross-engine. Per-bucket output keeps the whole
+    plan value-checkable."""
+    from paqarin_spark.operators.dedup import tokens as _tokens
+
+    configure_for_determinism(spark)
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", F.posexplode(_tokens(F.col("text"))).alias("pos", "token")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bi = toks.select(
+        "doc_id",
+        F.lag("token").over(w).alias("prev"),
+        F.col("token").alias("cur"),
+    ).where(F.col("prev").isNotNull())
+    c2 = bi.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("_c2"))
+    c1 = bi.groupBy("prev").agg(F.count(F.lit(1)).alias("_c1"))
+    vocab = toks.select("token").distinct().agg(
+        F.count(F.lit(1)).cast("double").alias("_v")
+    )
+    scored = (
+        bi.join(c2, ["prev", "cur"])
+        .join(c1, "prev")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.avg(
+                    -F.log(
+                        (F.col("_c2") + F.lit(0.5))
+                        / (F.col("_c1") + F.lit(0.5) * F.col("_v"))
+                    )
+                ),
+                9,
+            ).alias("_score")
+        )
+    )
+    bucketed = scored.withColumn(
+        "bucket", F.ntile(3).over(Window.orderBy("_score", "doc_id"))
+    )
+    return (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("_score"), 6).alias("avg_neg_logprob"),
+        )
+        .orderBy("bucket")
+    )
+
+
+TX34_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, t.token, t.pos
+  FROM documents, LATERAL (
+    SELECT UNNEST({_TOKS_SQL}) AS token,
+           generate_subscripts({_TOKS_SQL}, 1) AS pos
+  ) t
+), bi AS (
+  SELECT doc_id,
+         LAG(token) OVER (PARTITION BY doc_id ORDER BY pos) AS prev,
+         token AS cur
+  FROM toks
+  QUALIFY prev IS NOT NULL
+), c2 AS (
+  SELECT prev, cur, COUNT(*) AS c2 FROM bi GROUP BY 1, 2
+), c1 AS (
+  SELECT prev, COUNT(*) AS c1 FROM bi GROUP BY 1
+), vocab AS (
+  SELECT CAST(COUNT(DISTINCT token) AS DOUBLE) AS v FROM toks
+), scored AS (
+  SELECT b.doc_id,
+         ROUND(AVG(-ln((c2.c2 + 0.5) / (c1.c1 + 0.5 * vocab.v))), 9)
+           AS score
+  FROM bi b
+  JOIN c2 ON b.prev = c2.prev AND b.cur = c2.cur
+  JOIN c1 ON b.prev = c1.prev
+  CROSS JOIN vocab
+  GROUP BY 1
+), bucketed AS (
+  SELECT doc_id, score,
+         NTILE(3) OVER (ORDER BY score, doc_id) AS bucket
+  FROM scored
+)
+SELECT bucket, COUNT(*) AS n_docs,
+       ROUND(AVG(score), 6) AS avg_neg_logprob
+FROM bucketed GROUP BY 1 ORDER BY 1
+"""
+
+
+def tx35_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis,
+    exponential-clocks form): draw 40 documents with probability
+    proportional to length (n_chars) via key = -ln(u)/w over portable
+    md5 uniforms — the deterministic heavy-docs-first draw a mixture
+    builder uses where naive rand() sampling breaks reproducibility
+    across retries. The global sort sees only (id, key) pairs
+    (TakeOrderedAndProject); output is the sampled ids with their
+    weights."""
+    from paqarin_spark.operators import weighted_sample
+
+    configure_for_determinism(spark)
+    docs = _docs(spark, sf_dir)
+    picked = weighted_sample(docs, "doc_id", "n_chars", k=40, seed=7)
+    return (
+        picked.join(docs.select("doc_id", "n_chars"), "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+TX35_SQL = """
+SELECT doc_id, n_chars FROM (
+  SELECT doc_id, n_chars,
+         -ln(('0x' || substring(md5('wsample#' || CAST(doc_id AS VARCHAR)
+               || '#7'), 1, 15))::UBIGINT / 1152921504606846976.0)
+           / CAST(n_chars AS DOUBLE) AS k
+  FROM documents
+  ORDER BY k LIMIT 40
+) ORDER BY doc_id
+"""
+
+
 def ev5_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """VALUE-checked forecaster evaluation (the I5/J4 math itself,
     where ev2/ev3's TSTR orchestrations are rows-only): hold out the
@@ -6614,6 +6856,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # oracles were upgraded to full value replays after their last
     # driver row. ---
     "mm10_mp4_sample_table": mm10_mp4_sample_table,
+    "q73_hll_distinct": q73_hll_distinct,
+    "tx33_count_min_tokens": tx33_count_min_tokens,
+    "tx34_perplexity_buckets": tx34_perplexity_buckets,
+    "tx35_weighted_sample": tx35_weighted_sample,
     "ev1_pipeline_summary": ev1_pipeline_summary,
     "ev5_forecast_backtest": ev5_forecast_backtest,
     "em2_lsh_topk": em2_lsh_topk,
@@ -6631,10 +6877,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm6_png_resize": mm6_png_resize,
     "ev3_drift_summary": ev3_drift_summary,
     "tx22_contamination": tx22_contamination,
-    "tx23_duplicate_spans": tx23_duplicate_spans,
     "tx24_zipf_slope": tx24_zipf_slope,
     "q64_event_percentiles": q64_event_percentiles,
-    "q65_cold_customers": q65_cold_customers,
     "em11_quantization_error": em11_quantization_error,
     "st6_stream_daily_users": st6_stream_daily_users,
     "q66_type_transitions": q66_type_transitions,
@@ -6661,14 +6905,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q70_scd2_intervals": q70_scd2_intervals,
     "q71_cdc_merge": q71_cdc_merge,
     "q72_split_manifest": q72_split_manifest,
-    "gen2_gaussian_sample": gen2_gaussian_sample,
-    "gen1_bootstrap_sample": gen1_bootstrap_sample,
     "gen3_generation_rounds": gen3_generation_rounds,
     # ------------- driver 50-entry window ends HERE (position 50) -------------
     # --- displaced this round to make room for the rotation (all
     # driver-green in r3 on these exact oracles; families still
-    # represented above: tx19 clean_text, tx13 top-tokens, q63-q68
-    # TPC-H agg/join) ---
+    # represented above: tx19 clean_text, tx22 span/contamination,
+    # gen3/gen4/gen5 generators, q63/q64/q66-q68 TPC-H agg/join) ---
+    "tx23_duplicate_spans": tx23_duplicate_spans,
+    "q65_cold_customers": q65_cold_customers,
+    "gen2_gaussian_sample": gen2_gaussian_sample,
+    "gen1_bootstrap_sample": gen1_bootstrap_sample,
     "tx15_clean_text": tx15_clean_text,
     "tx16_pii_redaction": tx16_pii_redaction,
     "tx17_top_bigrams": tx17_top_bigrams,
@@ -6902,6 +7148,10 @@ ORACLE_SQL: dict[str, str] = {
     "ev5_forecast_backtest": EV5_SQL,
     "ev1_pipeline_summary": EV1_SQL,
     "mm10_mp4_sample_table": MM10_SQL,
+    "q73_hll_distinct": Q73_SQL,
+    "tx33_count_min_tokens": TX33_SQL,
+    "tx34_perplexity_buckets": TX34_SQL,
+    "tx35_weighted_sample": TX35_SQL,
     "ev2_univariate_summary": EV2_SQL,
     "ev3_drift_summary": EV3_SQL,
     "em2_lsh_topk": EM2_SQL,

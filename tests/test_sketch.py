@@ -1,0 +1,104 @@
+"""Sketch operators (operators/sketch.py): HyperLogLog, count-min,
+weighted sampling. The oracle queries (q73/tx33/tx35) pin cross-engine
+value parity; these tests pin the SKETCH GUARANTEES — estimation
+error, overestimate-only, mergeability, and sampling bias — which the
+hash-match alone can't certify."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from paqarin_spark.operators import (
+    count_min_counters,
+    count_min_estimates,
+    hll_estimate,
+    hll_registers,
+    weighted_sample,
+)
+
+
+def test_hll_estimate_within_error_bound(spark):
+    # 10,000 distinct values at p=12 (m=4096): standard error is
+    # 1.04/sqrt(m) ~ 1.6%; assert a generous 5% envelope.
+    df = spark.range(10_000).select(F.col("id").alias("v"))
+    est = hll_estimate(df, "v", p=12).first()["n_distinct_est"]
+    assert est == pytest.approx(10_000, rel=0.05)
+
+
+def test_hll_ignores_duplicates(spark):
+    # 100k rows over 1,000 distinct values must sketch ~1,000, not 100k.
+    df = spark.range(100_000).select((F.col("id") % 1000).alias("v"))
+    est = hll_estimate(df, "v", p=12).first()["n_distinct_est"]
+    assert est == pytest.approx(1000, rel=0.05)
+
+
+def test_hll_registers_merge_across_shards(spark):
+    # The union of two shards' register tables, re-aggregated with
+    # MAX, must equal the registers of the union — the mergeability
+    # property that makes the sketch shard-parallel.
+    a = spark.range(0, 6000).select(F.col("id").alias("v"))
+    b = spark.range(4000, 10_000).select(F.col("id").alias("v"))
+    whole = hll_registers(a.unionByName(b), "v", p=10)
+    merged = (
+        hll_registers(a, "v", p=10)
+        .unionByName(hll_registers(b, "v", p=10))
+        .groupBy("idx")
+        .agg(F.max("r").alias("r"))
+    )
+    assert whole.exceptAll(merged).count() == 0
+    assert merged.exceptAll(whole).count() == 0
+
+
+def test_count_min_never_underestimates(spark):
+    df = spark.range(20_000).select(
+        (F.pmod(F.col("id") * 7919, F.lit(300))).cast("string").alias("v")
+    )
+    true = df.groupBy("v").agg(F.count(F.lit(1)).alias("n_true"))
+    est = count_min_estimates(df, "v", true, "v", depth=4, width=64)
+    joined = true.join(est, "v")
+    assert joined.where(F.col("cm_estimate") < F.col("n_true")).count() == 0
+    # width 64 << 300 keys forces collisions: at least one strict
+    # overestimate proves the estimates come from shared buckets,
+    # not a hidden exact count.
+    assert joined.where(F.col("cm_estimate") > F.col("n_true")).count() > 0
+
+
+def test_count_min_counter_table_is_bounded(spark):
+    df = spark.range(50_000).select(F.col("id").cast("string").alias("v"))
+    counters = count_min_counters(df, "v", depth=4, width=32)
+    assert counters.count() <= 4 * 32
+    # total mass per row equals the stream length
+    per_row = counters.groupBy("row").agg(F.sum("counter").alias("s"))
+    assert all(r["s"] == 50_000 for r in per_row.collect())
+
+
+def test_count_min_exact_when_no_collisions(spark):
+    # 8 keys into width 4096: collisions are overwhelmingly unlikely,
+    # so every estimate must be exact.
+    df = spark.range(1000).select((F.col("id") % 8).cast("string").alias("v"))
+    true = df.groupBy("v").agg(F.count(F.lit(1)).alias("n_true"))
+    est = count_min_estimates(df, "v", true, "v", depth=4, width=4096)
+    bad = true.join(est, "v").where(F.col("cm_estimate") != F.col("n_true"))
+    assert bad.count() == 0
+
+
+def test_weighted_sample_is_deterministic_and_biased(spark):
+    # 100 heavy ids (weight 100) vs 900 light ids (weight 1): a 50-draw
+    # weighted sample must lean overwhelmingly heavy (expected ~46).
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 100, F.lit(100.0)).otherwise(F.lit(1.0)).alias("w"),
+    )
+    s1 = {r["doc_id"] for r in weighted_sample(df, "doc_id", "w", k=50, seed=3).collect()}
+    s2 = {
+        r["doc_id"]
+        for r in weighted_sample(
+            df.repartition(16), "doc_id", "w", k=50, seed=3
+        ).collect()
+    }
+    assert s1 == s2  # layout-independent
+    heavy = sum(1 for d in s1 if d < 100)
+    assert heavy >= 30
+    s3 = {r["doc_id"] for r in weighted_sample(df, "doc_id", "w", k=50, seed=4).collect()}
+    assert s3 != s1  # seed actually matters

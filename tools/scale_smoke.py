@@ -387,6 +387,39 @@ def main() -> int:
         f"[{'ok' if ok else f'EXPECTED {M}'}]"
     )
 
+    # Deep-iteration PageRank mass conservation: 12 rounds on a
+    # WEIGHTED chain where every 10th node is a dangling sink. Total
+    # rank mass is exactly 1 per round in exact arithmetic (teleport +
+    # damped inflow + dangling redistribution partition the mass), so
+    # any leak in the dangling broadcast or the localCheckpoint loop
+    # compounds over 12 rounds and shows up here. Tolerance 1e-9, not
+    # 1e-12: summing ~M doubles of magnitude 1/M carries O(n·eps)
+    # float noise (~2e-10 at 1M nodes) that is summation error, not
+    # mass leak — a real leak is O(dangling mass) ≈ 0.1/round.
+    Mg = min(M, 1_000_000)
+    wedges = (
+        spark.range(Mg)
+        .where(F.col("id") % 10 != 9)
+        .select(
+            F.col("id").alias("src"),
+            ((F.col("id") + 1) % Mg).alias("dst"),
+            ((F.col("id") % 5) + 1).cast("double").alias("w"),
+        )
+    )
+    t0 = time.perf_counter()
+    total = (
+        pagerank(wedges, weight="w", iterations=12)
+        .agg(F.sum("rank").alias("s"))
+        .first()["s"]
+    )
+    dt = time.perf_counter() - t0
+    ok = abs(total - 1.0) < 1e-9
+    checks.append(ok)
+    print(
+        f"{'pagerank 12-round mass':24} {dt:7.1f}s  sum={total:.15f}  "
+        f"[{'ok' if ok else 'EXPECTED 1 +/- 1e-9'}]"
+    )
+
     print("all invariants hold" if all(checks) else "INVARIANT FAILURES")
     return 0 if all(checks) else 1
 
