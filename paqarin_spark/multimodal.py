@@ -938,7 +938,11 @@ def encode_mp4_with_samples(
         + struct.pack(">I", 2)
     )
     tkhd_payload = (
-        struct.pack(">BxxxII", 0, 7, 0)  # version 0, flags enabled
+        # version 0 + flags 0x000007 (enabled|in_movie|in_preview) in
+        # ONE 32-bit word — `>BxxxI` would zero the flag bytes and
+        # write the 7 into creation_time, leaving the track disabled
+        struct.pack(">I", 0x00000007)
+        + struct.pack(">II", 0, 0)  # creation/modification time
         + struct.pack(">IxxxxI", 1, duration)  # track id, rsvd, duration
         + b"\x00" * 8
         + struct.pack(">hhhxx", 0, 0, 0)  # layer, alt group, volume
@@ -1019,6 +1023,11 @@ def parse_mp4_sample_table(content: bytes) -> dict | None:
         return None
     fixed_size, n = struct.unpack_from(">II", stsz, 4)
     if fixed_size != 0:
+        # Bound BEFORE materializing: a poisoned stsz with
+        # n=0xFFFFFFFF would otherwise allocate a ~4-billion-entry
+        # list (executor OOM) ahead of the offset check below.
+        if fixed_size * n > len(content):
+            return None
         sizes = [fixed_size] * n
     else:
         if len(stsz) < 12 + 4 * n:

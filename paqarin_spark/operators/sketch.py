@@ -21,14 +21,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-TWO_POW_60 = float(1 << 60)
-
 
 def _hash60(col: F.Column) -> F.Column:
     """60-bit non-negative integer hash (md5 prefix) — the same bits
     uniform_hash scales to (0,1); kept integral here because HLL
     needs exact bit arithmetic (register index + leading-zero rank)."""
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _cm_bucket(row: F.Column, value: F.Column, width: int) -> F.Column:
+    """Count-min bucket for (hash row, value) — the ONE definition both
+    the counter build and the probe side must share: the sketch's core
+    invariant is that they hash identically."""
+    return F.pmod(_hash60(F.concat_ws("#", row.cast("string"), value)), F.lit(width))
 
 
 def hll_registers(
@@ -77,9 +82,15 @@ def hll_estimate(
     groups = list(group_by or [])
     m = 1 << p
     regs = hll_registers(df, column, p=p, group_by=groups)
+    # coalesce: an EMPTY ungrouped input still emits one global-agg
+    # row (_nobs=0, _sobs=NULL); with 0 the math below falls into the
+    # linear-counting branch and correctly reports cardinality 0
+    # instead of NULL-poisoning the caller.
     per_group = regs.groupBy(*groups).agg(
         F.count(F.lit(1)).alias("_nobs"),
-        F.sum(F.pow(F.lit(2.0), -F.col("r"))).alias("_sobs"),
+        F.coalesce(
+            F.sum(F.pow(F.lit(2.0), -F.col("r"))), F.lit(0.0)
+        ).alias("_sobs"),
     )
     # alpha_m for m >= 128 (p >= 7); small-m variants are out of scope
     # for corpus-scale sketches.
@@ -103,30 +114,19 @@ def count_min_counters(
     weight_column: str | None = None,
 ) -> DataFrame:
     """Count-min counter table: every item increments one bucket per
-    hash row, bucket = md5(row#value) mod width. Output is EXACTLY
-    depth×width rows after one groupBy — the petabyte-to-a-page
+    hash row, bucket = md5(row#value) mod width. Output is AT MOST
+    depth×width rows after one groupBy (only touched buckets appear —
+    untouched buckets are implicitly 0) — the petabyte-to-a-page
     reduction; counters merge across shards by summing."""
     w = F.col(weight_column) if weight_column else F.lit(1)
     rows = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("row")
-    bucket = F.pmod(
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat_ws(
-                        "#", F.col("row").cast("string"), F.col("_v")
-                    )
-                ),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("long"),
-        F.lit(width),
-    )
     return (
         items.select(F.col(column).cast("string").alias("_v"), w.alias("_w"), rows)
-        .select("row", bucket.alias("bucket"), "_w")
+        .select(
+            "row",
+            _cm_bucket(F.col("row"), F.col("_v"), width).alias("bucket"),
+            "_w",
+        )
         .groupBy("row", "bucket")
         .agg(F.sum("_w").alias("counter"))
     )
@@ -150,29 +150,23 @@ def count_min_estimates(
         items, column, depth=depth, width=width, weight_column=weight_column
     )
     rows = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("row")
-    bucket = F.pmod(
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat_ws("#", F.col("row").cast("string"), F.col("_v"))
-                ),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("long"),
-        F.lit(width),
-    )
     probes = candidates.select(
         F.col(candidate_column).alias("_cand"),
         F.col(candidate_column).cast("string").alias("_v"),
         rows,
-    ).select("_cand", "row", bucket.alias("bucket"))
+    ).select(
+        "_cand", "row", _cm_bucket(F.col("row"), F.col("_v"), width).alias("bucket")
+    )
+    # LEFT join + coalesce(0): a candidate hashing to an untouched
+    # bucket has count-min estimate 0 on that row — an inner join
+    # would drop the candidate (or inflate its MIN from the surviving
+    # rows), breaking the estimate for items absent from the stream.
     return (
-        probes.join(F.broadcast(counters), on=["row", "bucket"])
+        probes.join(F.broadcast(counters), on=["row", "bucket"], how="left")
         .groupBy("_cand")
-        .agg(F.min("counter").alias("cm_estimate"))
+        .agg(
+            F.min(F.coalesce(F.col("counter"), F.lit(0))).alias("cm_estimate")
+        )
         .select(F.col("_cand").alias(candidate_column), "cm_estimate")
     )
 
@@ -189,7 +183,12 @@ def weighted_sample(
     md5 uniform keyed on (id, seed); the k smallest keys are the
     sample, distributed P(i first) = w_i/Σw. Deterministic under any
     layout; the global sort runs over (id, key) pairs only
-    (TakeOrderedAndProject), never the payload."""
+    (TakeOrderedAndProject), never the payload.
+
+    Rows with weight <= 0 are EXCLUDED (P ∝ w assigns them zero
+    probability; arithmetically, -ln(u)/0 is NULL in non-ANSI Spark
+    and NULLS sort FIRST ascending, which would guarantee zero-weight
+    rows into every sample — the exact inverse of the contract)."""
     from paqarin_spark.functions import uniform_hash
 
     u = uniform_hash(
@@ -197,7 +196,8 @@ def weighted_sample(
     )
     key = -F.log(u) / F.col(weight_column).cast("double")
     return (
-        df.select(F.col(id_column), key.alias("_key"))
+        df.where(F.col(weight_column) > 0)
+        .select(F.col(id_column), key.alias("_key"))
         .orderBy("_key")
         .limit(k)
         .select(id_column)

@@ -6425,7 +6425,18 @@ def tx34_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregations (bigram and context counts), one join back, an
     ntile over (rounded score, doc_id) so the bucket boundary is
     deterministic cross-engine. Per-bucket output keeps the whole
-    plan value-checkable."""
+    plan value-checkable.
+
+    Scale note (same posture as q57's deciles): the ntile is a global
+    window over the per-DOC score table — one row per document, the
+    corpus already reduced — and plan_audit flags its
+    SinglePartition exchange amber. Exact equal-count terciles
+    require a global rank; at 1e9-doc scale swap the ntile for
+    quantile-cutoff assignment (compute c1/c2 once, bucket by
+    comparison — CCNet's actual construction), trading exact equal
+    counts for a shuffle-free assignment. The oracle pins the exact
+    form because approx-quantile cutoffs are not bit-portable across
+    engines."""
     from paqarin_spark.operators.dedup import tokens as _tokens
 
     configure_for_determinism(spark)
@@ -6540,6 +6551,7 @@ SELECT doc_id, n_chars FROM (
                || '#7'), 1, 15))::UBIGINT / 1152921504606846976.0)
            / CAST(n_chars AS DOUBLE) AS k
   FROM documents
+  WHERE n_chars > 0
   ORDER BY k LIMIT 40
 ) ORDER BY doc_id
 """
@@ -7004,7 +7016,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx12_simhash_pairs": tx12_simhash_pairs,
     "tx13_top_tokens": tx13_top_tokens,
     "tx14_stratified_sample": tx14_stratified_sample,
-    "em2_lsh_topk": em2_lsh_topk,
     "em3_cosine_dedup": em3_cosine_dedup,
     "em5_label_centroids": em5_label_centroids,
     "em6_label_quality": em6_label_quality,

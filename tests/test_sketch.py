@@ -83,6 +83,70 @@ def test_count_min_exact_when_no_collisions(spark):
     assert bad.count() == 0
 
 
+def test_count_min_estimate_zero_for_absent_candidate(spark):
+    # A candidate never seen in the stream must estimate 0 (or a small
+    # collision count) — NOT vanish from the output: with a wide
+    # sketch its buckets are untouched, which an inner join would drop.
+    df = spark.range(100).select(F.col("id").cast("string").alias("v"))
+    cand = spark.createDataFrame([("never-seen-token",)], "v string")
+    est = count_min_estimates(df, "v", cand, "v", depth=4, width=65536)
+    rows = est.collect()
+    assert len(rows) == 1
+    assert rows[0]["cm_estimate"] == 0
+
+
+def test_hll_estimate_empty_input_is_zero(spark):
+    df = spark.range(0).select(F.col("id").alias("v"))
+    est = hll_estimate(df, "v", p=10).first()["n_distinct_est"]
+    assert est == 0.0
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    # Zero/negative weights have probability 0 — they must never be
+    # sampled (naively, -ln(u)/0 = NULL would sort FIRST and win).
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 50, F.lit(0.0))
+        .when(F.col("id") < 60, F.lit(-1.0))
+        .otherwise(F.lit(1.0))
+        .alias("w"),
+    )
+    picked = {r["doc_id"] for r in weighted_sample(df, "doc_id", "w", k=30, seed=1).collect()}
+    assert all(d >= 60 for d in picked)
+    assert len(picked) == 30
+
+
+def test_mp4_sample_table_rejects_poisoned_fixed_size_stsz():
+    # A crafted stsz claiming 4 billion fixed-size samples must fail
+    # the bound check BEFORE materializing the sizes list.
+    import struct
+
+    from paqarin_spark.multimodal import (
+        _mp4_box,
+        encode_mp4_with_samples,
+        parse_mp4_sample_table,
+    )
+
+    content = encode_mp4_with_samples([b"\x01" * 4, b"\x02" * 4])
+    # splice a same-length poisoned stsz (fixed_size=1, n=0xFFFFFFFF,
+    # zero-padded payload so the box framing stays intact and the
+    # parser reaches the fixed-size branch with the huge count)
+    real_stsz = _mp4_box(
+        b"stsz", struct.pack(">BxxxII", 0, 0, 2) + struct.pack(">2I", 4, 4)
+    )
+    poisoned_stsz = _mp4_box(
+        b"stsz", struct.pack(">BxxxII", 0, 1, 0xFFFFFFFF) + b"\x00" * 8
+    )
+    assert len(poisoned_stsz) == len(real_stsz)
+    assert real_stsz in content
+    poisoned = content.replace(real_stsz, poisoned_stsz)
+    import time
+
+    t0 = time.perf_counter()
+    assert parse_mp4_sample_table(poisoned) is None
+    assert time.perf_counter() - t0 < 1.0  # no giant allocation
+
+
 def test_weighted_sample_is_deterministic_and_biased(spark):
     # 100 heavy ids (weight 100) vs 900 light ids (weight 1): a 50-draw
     # weighted sample must lean overwhelmingly heavy (expected ~46).
