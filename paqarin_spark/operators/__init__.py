@@ -47,6 +47,7 @@ from paqarin_spark.operators.sketch import (
     count_min_counters,
     count_min_estimates,
     hll_estimate,
+    hll_estimate_from_registers,
     hll_registers,
     weighted_sample,
 )
@@ -105,6 +106,7 @@ __all__ = [
     "count_min_counters",
     "count_min_estimates",
     "hll_estimate",
+    "hll_estimate_from_registers",
     "hll_registers",
     "weighted_sample",
     "apply_cdc",

@@ -80,8 +80,25 @@ def hll_estimate(
     oracle expression for expression (alpha as the published formula,
     unseen registers contributing 2^0 to the harmonic sum)."""
     groups = list(group_by or [])
-    m = 1 << p
     regs = hll_registers(df, column, p=p, group_by=groups)
+    return hll_estimate_from_registers(
+        regs, p=p, group_by=groups, out_column=out_column
+    )
+
+
+def hll_estimate_from_registers(
+    regs: DataFrame,
+    p: int = 12,
+    group_by: list[str] | None = None,
+    out_column: str = "n_distinct_est",
+) -> DataFrame:
+    """The register-table → estimate step, separated so register
+    tables produced ELSEWHERE — a streaming complete-mode aggregation
+    (st9), shards merged with MAX, a persisted sketch — finish through
+    the identical arithmetic. ``regs`` must have the hll_registers
+    shape: (group cols..., idx, r)."""
+    groups = list(group_by or [])
+    m = 1 << p
     # coalesce: an EMPTY ungrouped input still emits one global-agg
     # row (_nobs=0, _sobs=NULL); with 0 the math below falls into the
     # linear-counting branch and correctly reports cardinality 0

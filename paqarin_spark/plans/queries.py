@@ -5950,6 +5950,139 @@ ORDER BY 1, 2
 """
 
 
+def st9_stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING sketch: the HLL register table as streaming state
+    (streaming.stream_hll_registers — groupBy + MAX in complete mode,
+    ≤ groups × 2^p state rows forever, where st6's exact distinct
+    holds per-KEY state that grows with cardinality). The final
+    register table finishes through the SAME estimator arithmetic as
+    batch q73, so the streaming estimate provably equals the batch
+    estimate — and hash-matches the same oracle replay."""
+    from paqarin_spark.operators.sketch import hll_estimate_from_registers
+    from paqarin_spark.streaming import stream_hll_registers
+
+    configure_for_determinism(spark)
+    stream = _events_stream(spark, sf_dir)
+    regs = stream_hll_registers(
+        stream, "user_id", p=10, group_by=["event_type"]
+    )
+    name = "st9_stream_hll_distinct"
+    q = (
+        regs.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        hll_estimate_from_registers(
+            spark.table(name), p=10, group_by=["event_type"]
+        )
+        .select(
+            "event_type", F.round("n_distinct_est", 4).alias("est_users")
+        )
+        .orderBy("event_type")
+    )
+
+
+ST9_SQL = """
+WITH h AS (
+  SELECT event_type,
+         ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::UBIGINT
+           AS hv
+  FROM events
+), reg AS (
+  SELECT event_type, hv // 1125899906842624 AS idx,
+         MAX(CASE WHEN hv % 1125899906842624 = 0 THEN 51
+                  ELSE 50 - length(bin(hv % 1125899906842624)) + 1 END) AS r
+  FROM h GROUP BY 1, 2
+), agg AS (
+  SELECT event_type, COUNT(*) AS nobs, SUM(power(2.0, -r)) AS sobs
+  FROM reg GROUP BY 1
+), est AS (
+  SELECT event_type,
+         (0.7213 / (1.0 + 1.079 / 1024.0)) * 1024.0 * 1024.0
+           / (sobs + CAST(1024 - nobs AS DOUBLE)) AS raw,
+         1024 - nobs AS v
+  FROM agg
+)
+SELECT event_type,
+       ROUND(CASE WHEN raw <= 2560.0 AND v > 0
+                  THEN 1024.0 * ln(1024.0 / CAST(v AS DOUBLE))
+                  ELSE raw END, 4) AS est_users
+FROM est ORDER BY 1
+"""
+
+
+def q74_blame_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers-who-kept-orders-waiting) re-expressed
+    without correlated EXISTS/NOT-EXISTS: a supplier is 'to blame' for
+    an order when its lineitem shipped late (> 60 days after the order
+    date — the slimmed lineitem carries no commit/receipt dates) on a
+    multi-supplier order where NO other supplier was late. Q21's two
+    correlated subqueries collapse into one per-(order, supplier)
+    flag aggregation plus one per-order rollup — two exchanges keyed
+    on l_orderkey, then a supplier-keyed count. That is the
+    decorrelated plan an optimizer should find, written directly; at
+    100 TB it avoids the join-per-subquery a naive translation pays."""
+    configure_for_determinism(spark)
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    supp = read_table(spark, sf_dir, "supplier")
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .cast("int")
+        .alias("_late"),
+    )
+    per_os = joined.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("_late").alias("_late")
+    )
+    per_o = per_os.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("_n_supps"),
+        F.sum("_late").alias("_n_late"),
+    )
+    qual = (
+        per_os.where(F.col("_late") == 1)
+        .join(per_o, "l_orderkey")
+        .where((F.col("_n_supps") >= 2) & (F.col("_n_late") == 1))
+    )
+    return (
+        qual.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(15)
+    )
+
+
+Q74_SQL = """
+WITH j AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+              THEN 1 ELSE 0 END AS late
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), per_os AS (
+  SELECT l_orderkey, l_suppkey, MAX(late) AS late FROM j GROUP BY 1, 2
+), per_o AS (
+  SELECT l_orderkey, COUNT(*) AS n_supps, SUM(late) AS n_late
+  FROM per_os GROUP BY 1
+)
+SELECT s.s_name, COUNT(*) AS numwait
+FROM per_os p
+JOIN per_o q ON p.l_orderkey = q.l_orderkey
+JOIN supplier s ON p.l_suppkey = s.s_suppkey
+WHERE p.late = 1 AND q.n_supps >= 2 AND q.n_late = 1
+GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 15
+"""
+
+
 def q69_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted PageRank (operators.graph.pagerank) over the directed
     supplier-nation → customer-nation trade graph, revenue-weighted,
@@ -6872,6 +7005,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx33_count_min_tokens": tx33_count_min_tokens,
     "tx34_perplexity_buckets": tx34_perplexity_buckets,
     "tx35_weighted_sample": tx35_weighted_sample,
+    "st9_stream_hll_distinct": st9_stream_hll_distinct,
+    "q74_blame_suppliers": q74_blame_suppliers,
     "ev1_pipeline_summary": ev1_pipeline_summary,
     "ev5_forecast_backtest": ev5_forecast_backtest,
     "em2_lsh_topk": em2_lsh_topk,
@@ -6879,11 +7014,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ev2_univariate_summary": ev2_univariate_summary,
     # --- round-3-verified regression sentinels (one per family) ---
     "tx19_normalized_dedup": tx19_normalized_dedup,
-    "mm5_png_decode": mm5_png_decode,
     "tx20_corpus_curation": tx20_corpus_curation,
     "em8_ivf_multiprobe": em8_ivf_multiprobe,
     "q63_nation_profit": q63_nation_profit,
-    "tx21_lang_mismatch": tx21_lang_mismatch,
     "em9_embed_clusters": em9_embed_clusters,
     "em10_ann_recall": em10_ann_recall,
     "mm6_png_resize": mm6_png_resize,
@@ -6924,6 +7057,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # represented above: tx19 clean_text, tx22 span/contamination,
     # gen3/gen4/gen5 generators, q63/q64/q66-q68 TPC-H agg/join) ---
     "tx23_duplicate_spans": tx23_duplicate_spans,
+    "mm5_png_decode": mm5_png_decode,
+    "tx21_lang_mismatch": tx21_lang_mismatch,
     "q65_cold_customers": q65_cold_customers,
     "gen2_gaussian_sample": gen2_gaussian_sample,
     "gen1_bootstrap_sample": gen1_bootstrap_sample,
@@ -7163,6 +7298,8 @@ ORACLE_SQL: dict[str, str] = {
     "tx33_count_min_tokens": TX33_SQL,
     "tx34_perplexity_buckets": TX34_SQL,
     "tx35_weighted_sample": TX35_SQL,
+    "st9_stream_hll_distinct": ST9_SQL,
+    "q74_blame_suppliers": Q74_SQL,
     "ev2_univariate_summary": EV2_SQL,
     "ev3_drift_summary": EV3_SQL,
     "em2_lsh_topk": EM2_SQL,

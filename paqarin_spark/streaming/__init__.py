@@ -121,6 +121,29 @@ def stream_distinct_count(
     )
 
 
+def stream_hll_registers(
+    stream: DataFrame,
+    column: str,
+    p: int = 12,
+    group_by: list[str] | None = None,
+) -> DataFrame:
+    """Streaming HyperLogLog: the register table IS the streaming
+    state. hll_registers is select + groupBy + MAX — exactly the shape
+    Structured Streaming's stateful aggregation supports in
+    complete/update mode — and MAX is also the sketch's merge
+    operator, so each micro-batch folds into ≤ groups × 2^p state rows
+    that never grow with stream length (the running-distinct dual of
+    st4's min/max scaler state; st6's exact windowed distinct holds
+    per-KEY state instead, unbounded in key cardinality). Finish the
+    final register table through
+    ``operators.sketch.hll_estimate_from_registers`` — the identical
+    arithmetic the batch estimator uses, so the streaming estimate
+    equals the batch estimate on the same data by construction."""
+    from paqarin_spark.operators.sketch import hll_registers
+
+    return hll_registers(stream, column, p=p, group_by=group_by)
+
+
 def stream_running_minmax(
     stream: DataFrame,
     schema: TimeSeriesSchema,

@@ -322,3 +322,34 @@ def test_stream_interval_join_matches_batch(spark, tmp_path):
     # user 10: click 1 -> purchase 2 (1800s); user 11: click 5 -> both
     # purchase 4 (600s) and 6 (300s); user 12: purchase precedes click
     assert got == [(1, 2, 1800), (5, 4, 600), (5, 6, 300)]
+
+
+def test_stream_hll_registers_match_batch(spark, tmp_path):
+    """The streaming register table (complete mode) must equal the
+    batch register table on the same data — MAX-aggregated state is
+    the sketch itself, so the streaming estimate inherits batch
+    equality through hll_estimate_from_registers."""
+    from paqarin_spark.operators.sketch import (
+        hll_estimate_from_registers,
+        hll_registers,
+    )
+    from paqarin_spark.streaming import stream_hll_registers
+
+    df = spark.range(5000).select(
+        (F.col("id") % 700).cast("string").alias("k")
+    )
+    path = str(tmp_path / "hll_in")
+    df.repartition(4).write.parquet(path)
+
+    batch_regs = hll_registers(spark.read.parquet(path), "k", p=10)
+    stream = spark.readStream.schema("k string").parquet(path)
+    out = _run(
+        spark,
+        stream_hll_registers(stream, "k", p=10),
+        "st_hll_regs",
+        "complete",
+    )
+    assert out.exceptAll(batch_regs).count() == 0
+    assert batch_regs.exceptAll(out).count() == 0
+    est = hll_estimate_from_registers(out, p=10).first()["n_distinct_est"]
+    assert est == pytest.approx(700, rel=0.1)
