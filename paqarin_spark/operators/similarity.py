@@ -818,3 +818,91 @@ def random_projection_distortion(
             "distortion"
         ),
     )
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    id_column: str,
+    vector_column: str,
+    k: int,
+    iterations: int = 2,
+    seed: int = 5,
+    round_decimals: int = 6,
+) -> tuple[DataFrame, DataFrame]:
+    """Lloyd's k-means with a FIXED iteration count and deterministic
+    md5-rank init (the k vectors with the smallest md5('kmeans#id#seed')
+    seed the clusters, numbered 0..k-1 in rank order) — the same
+    no-convergence-threshold contract as operators.graph.pagerank, so
+    an oracle can unroll the exact rounds in SQL CTEs.
+
+    Per round: E-step = exploded-dims join against the BROADCAST k×d
+    centroid table, squared-L2 via order-independent decimal sums
+    (em7's pattern), argmin by (distance, cluster); M-step = per-dim
+    means of the assigned vectors, ROUNDED to ``round_decimals`` so
+    the next round's comparisons see identical inputs on any engine.
+    The vector side never shuffles for the assignment (centroids are
+    k×d — broadcastable for any practical k·d); the M-step is one
+    exchange keyed on cluster. The dims projection persists across
+    rounds; centroid tables localCheckpoint per round so lineage stays
+    flat (the pagerank/dedup loop discipline). A cluster that loses
+    every vector drops out (standard Lloyd behavior, deterministic on
+    both engines).
+
+    Returns ``(assignments, centroids)``: (id, cluster, _d2) from the
+    final E-step and the k×d centroid table after the final M-step.
+    """
+    dims = df.select(
+        F.col(id_column),
+        F.posexplode(
+            F.transform(vector_column, lambda x: x.cast("double"))
+        ).alias("dim", "x"),
+    ).persist()
+    rank_key = F.md5(
+        F.concat_ws(
+            "#", F.lit("kmeans"), F.col(id_column).cast("string"), F.lit(str(seed))
+        )
+    )
+    init_ids = (
+        df.select(F.col(id_column).alias("_cid"), rank_key.alias("_r"))
+        .orderBy("_r")
+        .limit(k)
+        .select(
+            (F.row_number().over(Window.orderBy("_r")) - 1).alias("cluster"),
+            "_cid",
+        )
+    )
+    cent = (
+        dims.join(F.broadcast(init_ids), dims[id_column] == F.col("_cid"))
+        .select("cluster", "dim", F.col("x").alias("c"))
+        .localCheckpoint()
+    )
+    assign = None
+    for _ in range(int(iterations)):
+        d2 = (
+            dims.join(F.broadcast(cent), on="dim")
+            .groupBy(id_column, "cluster")
+            .agg(
+                F.sum(
+                    ((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).cast(
+                        "decimal(30,10)"
+                    )
+                )
+                .cast("double")
+                .alias("_d2")
+            )
+        )
+        wmin = Window.partitionBy(id_column).orderBy("_d2", "cluster")
+        assign = (
+            d2.withColumn("_rk", F.row_number().over(wmin))
+            .where(F.col("_rk") == 1)
+            .select(id_column, "cluster", "_d2")
+            .localCheckpoint()
+        )
+        cent = (
+            dims.join(assign.select(id_column, "cluster"), on=id_column)
+            .groupBy("cluster", "dim")
+            .agg(F.round(F.avg("x"), round_decimals).alias("c"))
+            .localCheckpoint()
+        )
+    dims.unpersist()
+    return assign, cent

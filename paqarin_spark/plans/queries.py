@@ -1271,6 +1271,98 @@ SELECT generator, avg_predictive_score, std_predictive_score FROM (
 """
 
 
+def ev6_ks_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marginal-distribution FIDELITY of the bootstrap generator: the
+    two-sample Kolmogorov–Smirnov statistic between the real value
+    distribution and the sampled one — the continuous complement to
+    ev4's categorical TVD, and the standard synthetic-data acceptance
+    test. Exact tie-aware form: per DISTINCT value, cumulative counts
+    on both sides; D = max |F̂_real − F̂_synth|. The ECDF window runs
+    over distinct VALUES (already aggregated), not rows — the same
+    bounded-window posture as q57/tx34, with the count table as the
+    petabyte-to-distinct reduction in front."""
+    from paqarin_spark.generators import BlockBootstrapGenerator
+
+    ev = _events(spark, sf_dir)
+    gen = BlockBootstrapGenerator(_events_gen_params()).fit(ev)
+    synth = (
+        gen.generate(50)
+        .select(F.explode("sequence").alias("_o"))
+        .select(F.col("_o.value").alias("v"))
+        .select("v", F.lit(0).alias("_r"), F.lit(1).alias("_s"))
+    )
+    gen.unpersist()
+    real = ev.select(
+        F.col("value").alias("v"), F.lit(1).alias("_r"), F.lit(0).alias("_s")
+    )
+    counts = (
+        real.unionByName(synth)
+        .groupBy("v")
+        .agg(F.sum("_r").alias("_cr"), F.sum("_s").alias("_cs"))
+    )
+    totals = counts.agg(
+        F.sum("_cr").alias("_nr"), F.sum("_cs").alias("_ns")
+    )
+    w = Window.orderBy("v")
+    cum = counts.select(
+        "v",
+        F.sum("_cr").over(w).alias("_cum_r"),
+        F.sum("_cs").over(w).alias("_cum_s"),
+    ).crossJoin(F.broadcast(totals))
+    return cum.agg(
+        F.max("_nr").cast("bigint").alias("n_real"),
+        F.max("_ns").cast("bigint").alias("n_synth"),
+        F.round(
+            F.max(F.abs(F.col("_cum_r") / F.col("_nr") - F.col("_cum_s") / F.col("_ns"))),
+            6,
+        ).alias("ks_stat"),
+    )
+
+
+# The synth side replays gen1's exact draw (md5 block ranks, seed 17,
+# scale/inverse roundtrip); both engines then build tie-aware ECDFs
+# over the identical value multisets, so D matches bit-for-bit at 6dp.
+EV6_SQL = """
+WITH mm AS (
+  SELECT MIN(value) AS mn, MAX(value) AS mx FROM events
+), r AS (
+  SELECT user_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+           AS p,
+         COUNT(*) OVER (PARTITION BY user_id) AS cnt
+  FROM events
+), top AS (
+  SELECT user_id, w FROM (
+    SELECT user_id, p AS w,
+           md5(user_id || '|' || p || '#17') AS rk
+    FROM r WHERE p <= cnt - 8
+  ) ORDER BY rk LIMIT 50
+), synth AS (
+  SELECT (r2.value - mm.mn) / (mm.mx - mm.mn) * (mm.mx - mm.mn) + mm.mn AS v
+  FROM top t CROSS JOIN (SELECT UNNEST(range(8)) AS step) s
+  JOIN r r2 ON r2.user_id = t.user_id AND r2.p = t.w + s.step
+  CROSS JOIN mm
+), c AS (
+  SELECT v, SUM(is_r) AS cr, SUM(is_s) AS cs FROM (
+    SELECT value AS v, 1 AS is_r, 0 AS is_s FROM events
+    UNION ALL
+    SELECT v, 0, 1 FROM synth
+  ) GROUP BY 1
+), tot AS (
+  SELECT SUM(cr) AS nr, SUM(cs) AS ns FROM c
+), cum AS (
+  SELECT SUM(cr) OVER (ORDER BY v) AS cum_r,
+         SUM(cs) OVER (ORDER BY v) AS cum_s
+  FROM c
+)
+SELECT (SELECT CAST(nr AS BIGINT) FROM tot) AS n_real,
+       (SELECT CAST(ns AS BIGINT) FROM tot) AS n_synth,
+       ROUND(MAX(ABS(cum_r / (SELECT nr FROM tot)
+                     - cum_s / (SELECT ns FROM tot))), 6) AS ks_stat
+FROM cum
+"""
+
+
 def _univariate_tstr_summary(
     spark: SparkSession, sf_dir: str, seed: int, forecaster_factory=None
 ) -> DataFrame:
@@ -6263,6 +6355,81 @@ FROM per_q p LEFT JOIN hits h ON p.query_id = h.query_id
 """
 
 
+def em14_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's K-MEANS over the embedding corpus
+    (operators.similarity.kmeans_lloyd, k=4, 2 fixed rounds, md5-rank
+    init) — the coarse-quantizer TRAINING step that em4/em8's IVF
+    index assumes as given, now implemented and value-verified: fixed
+    iteration count + 6dp-rounded M-steps make every assignment and
+    centroid bit-replayable, so the oracle unrolls both E/M rounds in
+    CTEs (the pagerank contract applied to clustering). Per-round
+    cost: one broadcast join against the k×d centroid table (the
+    vector side never shuffles for assignment) + one cluster-keyed
+    mean. Output: per-cluster size and mean squared distance."""
+    from paqarin_spark.operators import kmeans_lloyd
+
+    configure_for_determinism(spark)
+    emb = read_table(spark, sf_dir, "embeddings")
+    assign, _ = kmeans_lloyd(emb, "vec_id", "embedding", k=4, iterations=2)
+    return (
+        assign.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("_d2"), 6).alias("avg_d2"),
+        )
+        .orderBy("cluster")
+    )
+
+
+EM14_SQL = """
+WITH v AS (
+  SELECT vec_id, u.dim, u.x FROM embeddings, LATERAL (
+    SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+           UNNEST(embedding)::DOUBLE AS x
+  ) u
+), init AS (
+  SELECT ROW_NUMBER() OVER (
+           ORDER BY md5('kmeans#' || CAST(vec_id AS VARCHAR) || '#5')
+         ) - 1 AS cluster,
+         vec_id
+  FROM embeddings
+  ORDER BY md5('kmeans#' || CAST(vec_id AS VARCHAR) || '#5') LIMIT 4
+), c0 AS (
+  SELECT i.cluster, v.dim, v.x AS c
+  FROM init i JOIN v ON v.vec_id = i.vec_id
+), d1 AS (
+  SELECT v.vec_id, c.cluster,
+         CAST(SUM(CAST((v.x - c.c) * (v.x - c.c) AS DECIMAL(30,10)))
+              AS DOUBLE) AS d2
+  FROM v JOIN c0 c ON v.dim = c.dim GROUP BY 1, 2
+), a1 AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cluster)
+             AS rk
+    FROM d1
+  ) WHERE rk = 1
+), c1 AS (
+  SELECT a.cluster, v.dim, ROUND(AVG(v.x), 6) AS c
+  FROM v JOIN a1 a ON v.vec_id = a.vec_id GROUP BY 1, 2
+), d2_ AS (
+  SELECT v.vec_id, c.cluster,
+         CAST(SUM(CAST((v.x - c.c) * (v.x - c.c) AS DECIMAL(30,10)))
+              AS DOUBLE) AS d2
+  FROM v JOIN c1 c ON v.dim = c.dim GROUP BY 1, 2
+), a2 AS (
+  SELECT vec_id, cluster, d2 FROM (
+    SELECT vec_id, cluster, d2,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cluster)
+             AS rk
+    FROM d2_
+  ) WHERE rk = 1
+)
+SELECT cluster, COUNT(*) AS n_vecs, ROUND(AVG(d2), 6) AS avg_d2
+FROM a2 GROUP BY 1 ORDER BY 1
+"""
+
+
 def q70_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD type-2 dimension build (operators.cdc.scd2_intervals):
     collapse each user's per-day activity LEVEL (count bands) into
@@ -7007,6 +7174,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx35_weighted_sample": tx35_weighted_sample,
     "st9_stream_hll_distinct": st9_stream_hll_distinct,
     "q74_blame_suppliers": q74_blame_suppliers,
+    "em14_kmeans_clusters": em14_kmeans_clusters,
+    "ev6_ks_fidelity": ev6_ks_fidelity,
     "ev1_pipeline_summary": ev1_pipeline_summary,
     "ev5_forecast_backtest": ev5_forecast_backtest,
     "em2_lsh_topk": em2_lsh_topk,
@@ -7018,14 +7187,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "em8_ivf_multiprobe": em8_ivf_multiprobe,
     "q63_nation_profit": q63_nation_profit,
     "em9_embed_clusters": em9_embed_clusters,
-    "em10_ann_recall": em10_ann_recall,
     "mm6_png_resize": mm6_png_resize,
     "ev3_drift_summary": ev3_drift_summary,
     "tx22_contamination": tx22_contamination,
     "tx24_zipf_slope": tx24_zipf_slope,
     "q64_event_percentiles": q64_event_percentiles,
     "em11_quantization_error": em11_quantization_error,
-    "st6_stream_daily_users": st6_stream_daily_users,
     "q66_type_transitions": q66_type_transitions,
     "q67_kmv_distinct": q67_kmv_distinct,
     "tx25_unigram_logprob": tx25_unigram_logprob,
@@ -7059,6 +7226,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx23_duplicate_spans": tx23_duplicate_spans,
     "mm5_png_decode": mm5_png_decode,
     "tx21_lang_mismatch": tx21_lang_mismatch,
+    "em10_ann_recall": em10_ann_recall,
+    "st6_stream_daily_users": st6_stream_daily_users,
     "q65_cold_customers": q65_cold_customers,
     "gen2_gaussian_sample": gen2_gaussian_sample,
     "gen1_bootstrap_sample": gen1_bootstrap_sample,
@@ -7300,6 +7469,8 @@ ORACLE_SQL: dict[str, str] = {
     "tx35_weighted_sample": TX35_SQL,
     "st9_stream_hll_distinct": ST9_SQL,
     "q74_blame_suppliers": Q74_SQL,
+    "em14_kmeans_clusters": EM14_SQL,
+    "ev6_ks_fidelity": EV6_SQL,
     "ev2_univariate_summary": EV2_SQL,
     "ev3_drift_summary": EV3_SQL,
     "em2_lsh_topk": EM2_SQL,

@@ -322,3 +322,66 @@ def test_top_cols_enforces_tie_break_bound():
     # at the bound, still fine
     out = _top_cols(np.array([[0.3, 0.9, 0.9, 0.1]]), 2)
     assert out.tolist() == [[1, 2]]
+
+
+def test_kmeans_lloyd_recovers_separated_clusters(spark):
+    """Four well-separated blobs must each land in their own cluster
+    with near-zero within-cluster distance, regardless of layout."""
+    import pyspark.sql.functions as F
+
+    from paqarin_spark.operators import kmeans_lloyd
+
+    import hashlib
+
+    # Lloyd's converges to whatever the init allows: pick (in pure
+    # Python, same md5 rank the operator uses) a seed whose 4 initial
+    # centroids land in 4 DIFFERENT blobs, so the recovery assertion
+    # tests the iteration, not init luck.
+    def init_blobs(seed):
+        ranked = sorted(
+            range(400),
+            key=lambda i: hashlib.md5(
+                f"kmeans#{i}#{seed}".encode()
+            ).hexdigest(),
+        )[:4]
+        return {i % 4 for i in ranked}
+
+    seed = next(s for s in range(100) if len(init_blobs(s)) == 4)
+
+    centers = [0.0, 10.0, 20.0, 30.0]
+    df = spark.range(400).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[
+                (
+                    F.element_at(
+                        F.array(*[F.lit(c) for c in centers]),
+                        (F.col("id") % 4 + 1).cast("int"),
+                    )
+                    + (F.pmod(F.col("id") * 37 + j, F.lit(100)) / 1000.0)
+                ).cast("double")
+                for j in range(8)
+            ]
+        ).alias("embedding"),
+    )
+    assign, cent = kmeans_lloyd(
+        df, "vec_id", "embedding", k=4, iterations=2, seed=seed
+    )
+    rows = assign.collect()
+    assert len(rows) == 400
+    # each blob (id % 4) maps to exactly one cluster, bijectively
+    blob_to_cluster = {}
+    for r in rows:
+        blob = r["vec_id"] % 4
+        blob_to_cluster.setdefault(blob, set()).add(r["cluster"])
+    assert all(len(s) == 1 for s in blob_to_cluster.values())
+    assert len({next(iter(s)) for s in blob_to_cluster.values()}) == 4
+    # within-cluster squared distance is bounded by the jitter (<0.1 per dim)
+    assert all(r["_d2"] < 8 * 0.01 + 1e-6 for r in rows)
+    # layout-independence: same assignments at 16 partitions
+    assign16, _ = kmeans_lloyd(
+        df.repartition(16), "vec_id", "embedding", k=4, iterations=2, seed=seed
+    )
+    a = {(r["vec_id"], r["cluster"]) for r in rows}
+    b = {(r["vec_id"], r["cluster"]) for r in assign16.collect()}
+    assert a == b
