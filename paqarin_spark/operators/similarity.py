@@ -828,6 +828,7 @@ def kmeans_lloyd(
     iterations: int = 2,
     seed: int = 5,
     round_decimals: int = 6,
+    assignment: str = "expr",
 ) -> tuple[DataFrame, DataFrame]:
     """Lloyd's k-means with a FIXED iteration count and deterministic
     md5-rank init (the k vectors with the smallest md5('kmeans#id#seed')
@@ -850,7 +851,24 @@ def kmeans_lloyd(
 
     Returns ``(assignments, centroids)``: (id, cluster, _d2) from the
     final E-step and the k×d centroid table after the final M-step.
+
+    ``assignment`` picks the E-step physical path:
+
+    - ``"expr"`` (default): exploded dims × broadcast centroids with
+      decimal-exact distance sums — the oracle-parity path (em14),
+      but each E-step materializes rows × k × d join rows.
+    - ``"blas"``: one Arrow-batched ``mapInPandas`` pass per E-step —
+      each batch computes all k distances in a single numpy matmul
+      (|x|² − 2XCᵀ + |c|²), centroids riding along as a k×d literal
+      (the ivf_topk centroid pattern; k·d doubles, never row data).
+      ~10× less shuffled data at scale; distances are float64 matmul
+      sums instead of decimal-exact, so assignments can differ from
+      "expr" only on near-exact ties — use it for throughput, "expr"
+      when replaying against an oracle. argmin ties break to the
+      smallest cluster id on both paths.
     """
+    if assignment not in ("expr", "blas"):
+        raise ValueError(f"unknown assignment path: {assignment!r}")
     dims = df.select(
         F.col(id_column),
         F.posexplode(
@@ -876,28 +894,73 @@ def kmeans_lloyd(
         .select("cluster", "dim", F.col("x").alias("c"))
         .localCheckpoint()
     )
+    id_type = dict(df.dtypes)[id_column]
+    vec_df = df.select(
+        F.col(id_column),
+        F.transform(vector_column, lambda x: x.cast("double")).alias("_vec"),
+    )
+
+    def _estep_blas(cent_df: DataFrame) -> DataFrame:
+        import numpy as np
+        import pandas as pd
+
+        rows = cent_df.collect()  # k×d scalars — never row data
+        ks = sorted({r["cluster"] for r in rows})
+        d = 1 + max(r["dim"] for r in rows)
+        kmap = {c: i for i, c in enumerate(ks)}
+        cmat = np.zeros((len(ks), d))
+        for r in rows:
+            cmat[kmap[r["cluster"]], r["dim"]] = r["c"]
+        cl = np.array(ks, dtype=np.int32)
+        c_sq = (cmat * cmat).sum(1)
+
+        def estep(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                x = np.array([list(v) for v in pdf["_vec"]], dtype=np.float64)
+                d2 = np.maximum(
+                    (x * x).sum(1)[:, None] - 2.0 * (x @ cmat.T) + c_sq[None, :],
+                    0.0,
+                )
+                j = d2.argmin(1)  # first min = smallest cluster id (ks sorted)
+                yield pd.DataFrame(
+                    {
+                        id_column: pdf[id_column],
+                        "cluster": cl[j],
+                        "_d2": d2[np.arange(len(j)), j],
+                    }
+                )
+
+        return vec_df.mapInPandas(
+            estep, schema=f"{id_column} {id_type}, cluster int, _d2 double"
+        )
+
     assign = None
     for _ in range(int(iterations)):
-        d2 = (
-            dims.join(F.broadcast(cent), on="dim")
-            .groupBy(id_column, "cluster")
-            .agg(
-                F.sum(
-                    ((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).cast(
-                        "decimal(30,10)"
+        if assignment == "blas":
+            assign = _estep_blas(cent).localCheckpoint()
+        else:
+            d2 = (
+                dims.join(F.broadcast(cent), on="dim")
+                .groupBy(id_column, "cluster")
+                .agg(
+                    F.sum(
+                        (
+                            (F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))
+                        ).cast("decimal(30,10)")
                     )
+                    .cast("double")
+                    .alias("_d2")
                 )
-                .cast("double")
-                .alias("_d2")
             )
-        )
-        wmin = Window.partitionBy(id_column).orderBy("_d2", "cluster")
-        assign = (
-            d2.withColumn("_rk", F.row_number().over(wmin))
-            .where(F.col("_rk") == 1)
-            .select(id_column, "cluster", "_d2")
-            .localCheckpoint()
-        )
+            wmin = Window.partitionBy(id_column).orderBy("_d2", "cluster")
+            assign = (
+                d2.withColumn("_rk", F.row_number().over(wmin))
+                .where(F.col("_rk") == 1)
+                .select(id_column, "cluster", "_d2")
+                .localCheckpoint()
+            )
         cent = (
             dims.join(assign.select(id_column, "cluster"), on=id_column)
             .groupBy("cluster", "dim")

@@ -385,3 +385,39 @@ def test_kmeans_lloyd_recovers_separated_clusters(spark):
     a = {(r["vec_id"], r["cluster"]) for r in rows}
     b = {(r["vec_id"], r["cluster"]) for r in assign16.collect()}
     assert a == b
+
+
+def test_kmeans_blas_path_matches_expr_path(spark):
+    """The BLAS E-step must produce the same assignments as the
+    decimal-exact expression E-step away from ties (separated data)."""
+    import pyspark.sql.functions as F
+
+    from paqarin_spark.operators import kmeans_lloyd
+
+    df = spark.range(300).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[
+                (
+                    (F.col("id") % 3) * 50.0
+                    + F.pmod(F.col("id") * 13 + j, F.lit(40)) / 10.0
+                ).cast("double")
+                for j in range(6)
+            ]
+        ).alias("embedding"),
+    )
+    a_expr, c_expr = kmeans_lloyd(
+        df, "vec_id", "embedding", k=3, iterations=2, seed=2
+    )
+    a_blas, c_blas = kmeans_lloyd(
+        df, "vec_id", "embedding", k=3, iterations=2, seed=2,
+        assignment="blas",
+    )
+    ae = {(r["vec_id"], r["cluster"]) for r in a_expr.collect()}
+    ab = {(r["vec_id"], r["cluster"]) for r in a_blas.collect()}
+    assert ae == ab
+    # centroid tables agree to the rounding contract
+    ce = {(r["cluster"], r["dim"]): r["c"] for r in c_expr.collect()}
+    cb = {(r["cluster"], r["dim"]): r["c"] for r in c_blas.collect()}
+    assert ce.keys() == cb.keys()
+    assert all(abs(ce[k] - cb[k]) < 1e-9 for k in ce)

@@ -387,6 +387,72 @@ def main() -> int:
         f"[{'ok' if ok else f'EXPECTED {M}'}]"
     )
 
+    # HyperLogLog at stream scale: estimate over n rows spanning
+    # exactly `entities` distinct keys must land within the sketch's
+    # error envelope (1.04/sqrt(2^12) ~ 1.6% standard error; assert
+    # 5%), and the register table is bounded at 2^12 rows no matter n.
+    from paqarin_spark.operators import hll_estimate, hll_registers
+
+    t0 = time.perf_counter()
+    est = hll_estimate(ev, "entity", p=12).first()["n_distinct_est"]
+    n_regs = hll_registers(ev, "entity", p=12).count()
+    dt = time.perf_counter() - t0
+    ok = abs(est - entities) / entities < 0.05 and n_regs <= 4096
+    checks.append(ok)
+    print(
+        f"{'hll distinct sketch':24} {dt:7.1f}s  est={est:>12,.0f}  "
+        f"[{'ok' if ok else f'EXPECTED {entities} +/-5%, {n_regs} regs'}]"
+    )
+
+    # Count-min at stream scale: counter table bounded at depth*width
+    # rows after ONE groupBy; per-row mass equals the stream length;
+    # estimates for a known-frequency candidate set never
+    # underestimate. entity = id % E -> every entity appears exactly
+    # n/E times.
+    from paqarin_spark.operators import count_min_estimates
+
+    cands = spark.range(50).select(F.col("id").alias("entity"))
+    t0 = time.perf_counter()
+    cm = count_min_estimates(
+        ev, "entity", cands, "entity", depth=4, width=8192
+    )
+    under = cm.where(F.col("cm_estimate") < rows_per_entity).count()
+    dt = time.perf_counter() - t0
+    ok = under == 0
+    checks.append(ok)
+    print(
+        f"{'count-min estimates':24} {dt:7.1f}s  under={under:>12,}  "
+        f"[{'ok' if ok else 'UNDERESTIMATED'}]"
+    )
+
+    # K-means at vector scale: the V-vector corpus from the embed-dedup
+    # check has vectors in hash-generated positions; Lloyd's must
+    # assign every vector, keep k*d centroids, and give identical
+    # twin vectors (2k/2k+1 share a vector) identical clusters —
+    # the assignment is a pure function of the vector, layout-free.
+    from paqarin_spark.operators import kmeans_lloyd
+
+    km_in = vecs.limit(200_000)
+    t0 = time.perf_counter()
+    assign, cent = kmeans_lloyd(
+        km_in, "vec_id", "embedding", k=8, iterations=2, assignment="blas"
+    )
+    n_assigned = assign.count()
+    twin_mismatch = (
+        assign.select((F.col("vec_id") / 2).cast("long").alias("pair"), "cluster")
+        .groupBy("pair")
+        .agg(F.count_distinct("cluster").alias("nc"))
+        .where(F.col("nc") > 1)
+        .count()
+    )
+    dt = time.perf_counter() - t0
+    ok = n_assigned == 200_000 and twin_mismatch == 0
+    checks.append(ok)
+    print(
+        f"{'kmeans lloyd k=8':24} {dt:7.1f}s  rows={n_assigned:>12,}  "
+        f"[{'ok' if ok else f'{twin_mismatch} twin pairs split'}]"
+    )
+
     # Deep-iteration PageRank mass conservation: 12 rounds on a
     # WEIGHTED chain where every 10th node is a dangling sink. Total
     # rank mass is exactly 1 per round in exact arithmetic (teleport +
