@@ -32,5 +32,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable oracle SQL per query (omissions = rows-only)."""
+    """DuckDB-runnable oracle SQL per query — complete since round 4:
+    every declared query is value-hash-checked (no rows-only
+    omissions)."""
     return dict(ORACLE_SQL)
