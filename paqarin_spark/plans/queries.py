@@ -6107,6 +6107,83 @@ FROM est ORDER BY 1
 """
 
 
+def st10_stream_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING count-min (streaming.stream_count_min): the counter
+    table as bounded streaming state — 4×512 rows forever, where an
+    exact streaming frequency table holds one state row per key. The
+    final counters are probed batch-side with the same min-over-rows
+    arithmetic as tx33, next to the true per-type counts; both the
+    counters and the probe replay in SQL, so the streaming sketch's
+    VALUES hash-match, not just its shape."""
+    from paqarin_spark.operators.sketch import _cm_bucket
+    from paqarin_spark.streaming import stream_count_min
+
+    configure_for_determinism(spark)
+    stream = _events_stream(spark, sf_dir)
+    counters = stream_count_min(stream, "event_type", depth=4, width=512)
+    name = "st10_stream_count_min"
+    q = (
+        counters.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    ev = _events(spark, sf_dir)
+    true_counts = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_true")
+    )
+    rows = F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("row")
+    probes = true_counts.select(
+        "event_type",
+        "n_true",
+        rows,
+    ).select(
+        "event_type",
+        "n_true",
+        "row",
+        _cm_bucket(F.col("row"), F.col("event_type"), 512).alias("bucket"),
+    )
+    return (
+        probes.join(
+            F.broadcast(spark.table(name)), on=["row", "bucket"], how="left"
+        )
+        .groupBy("event_type", "n_true")
+        .agg(
+            F.min(F.coalesce(F.col("counter"), F.lit(0)))
+            .cast("bigint")
+            .alias("cm_estimate")
+        )
+        .orderBy("event_type")
+    )
+
+
+ST10_SQL = """
+WITH rows_ AS (
+  SELECT UNNEST(range(4)) AS row
+), counters AS (
+  SELECT r.row,
+         ('0x' || substring(md5(r.row || '#' || e.event_type), 1, 15))::UBIGINT
+           % 512 AS bucket,
+         COUNT(*) AS counter
+  FROM events e CROSS JOIN rows_ r
+  GROUP BY 1, 2
+), tc AS (
+  SELECT event_type, COUNT(*) AS n_true FROM events GROUP BY 1
+), probes AS (
+  SELECT t.event_type, t.n_true, r.row,
+         ('0x' || substring(md5(r.row || '#' || t.event_type), 1, 15))::UBIGINT
+           % 512 AS bucket
+  FROM tc t CROSS JOIN rows_ r
+)
+SELECT p.event_type, p.n_true,
+       CAST(MIN(COALESCE(c.counter, 0)) AS BIGINT) AS cm_estimate
+FROM probes p LEFT JOIN counters c ON p.row = c.row AND p.bucket = c.bucket
+GROUP BY 1, 2 ORDER BY 1
+"""
+
+
 def q74_blame_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape (suppliers-who-kept-orders-waiting) re-expressed
     without correlated EXISTS/NOT-EXISTS: a supplier is 'to blame' for
@@ -7176,6 +7253,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q74_blame_suppliers": q74_blame_suppliers,
     "em14_kmeans_clusters": em14_kmeans_clusters,
     "ev6_ks_fidelity": ev6_ks_fidelity,
+    "st10_stream_count_min": st10_stream_count_min,
     "ev1_pipeline_summary": ev1_pipeline_summary,
     "ev5_forecast_backtest": ev5_forecast_backtest,
     "em2_lsh_topk": em2_lsh_topk,
@@ -7190,7 +7268,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm6_png_resize": mm6_png_resize,
     "ev3_drift_summary": ev3_drift_summary,
     "tx22_contamination": tx22_contamination,
-    "tx24_zipf_slope": tx24_zipf_slope,
     "q64_event_percentiles": q64_event_percentiles,
     "em11_quantization_error": em11_quantization_error,
     "q66_type_transitions": q66_type_transitions,
@@ -7228,6 +7305,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx21_lang_mismatch": tx21_lang_mismatch,
     "em10_ann_recall": em10_ann_recall,
     "st6_stream_daily_users": st6_stream_daily_users,
+    "tx24_zipf_slope": tx24_zipf_slope,
     "q65_cold_customers": q65_cold_customers,
     "gen2_gaussian_sample": gen2_gaussian_sample,
     "gen1_bootstrap_sample": gen1_bootstrap_sample,
@@ -7471,6 +7549,7 @@ ORACLE_SQL: dict[str, str] = {
     "q74_blame_suppliers": Q74_SQL,
     "em14_kmeans_clusters": EM14_SQL,
     "ev6_ks_fidelity": EV6_SQL,
+    "st10_stream_count_min": ST10_SQL,
     "ev2_univariate_summary": EV2_SQL,
     "ev3_drift_summary": EV3_SQL,
     "em2_lsh_topk": EM2_SQL,

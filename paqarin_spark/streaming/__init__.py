@@ -144,6 +144,33 @@ def stream_hll_registers(
     return hll_registers(stream, column, p=p, group_by=group_by)
 
 
+def stream_count_min(
+    stream: DataFrame,
+    column: str,
+    depth: int = 4,
+    width: int = 512,
+) -> DataFrame:
+    """Streaming count-min: like st9's HLL registers, the counter
+    table IS the streaming state — explode to (row, bucket) and SUM
+    in complete/update mode, state bounded at depth×width rows
+    forever regardless of stream length or key cardinality (an exact
+    streaming frequency table holds one state row PER KEY). SUM is
+    also the sketch's merge operator. Probe the final counter table
+    with ``operators.sketch``'s estimate arithmetic (min over rows),
+    identical to the batch path."""
+    from paqarin_spark.operators.sketch import _cm_bucket
+
+    rows = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("row")
+    return (
+        stream.select(F.col(column).cast("string").alias("_v"), rows)
+        .select(
+            "row", _cm_bucket(F.col("row"), F.col("_v"), width).alias("bucket")
+        )
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("counter"))
+    )
+
+
 def stream_running_minmax(
     stream: DataFrame,
     schema: TimeSeriesSchema,

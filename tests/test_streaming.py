@@ -353,3 +353,26 @@ def test_stream_hll_registers_match_batch(spark, tmp_path):
     assert batch_regs.exceptAll(out).count() == 0
     est = hll_estimate_from_registers(out, p=10).first()["n_distinct_est"]
     assert est == pytest.approx(700, rel=0.1)
+
+
+def test_stream_count_min_matches_batch_counters(spark, tmp_path):
+    """Streaming counters (complete mode) must equal the batch counter
+    table — SUM-aggregated state is the sketch."""
+    from paqarin_spark.operators.sketch import count_min_counters
+    from paqarin_spark.streaming import stream_count_min
+
+    df = spark.range(3000).select(
+        (F.col("id") % 40).cast("string").alias("k")
+    )
+    path = str(tmp_path / "cm_in")
+    df.repartition(4).write.parquet(path)
+
+    batch = count_min_counters(spark.read.parquet(path), "k", depth=4, width=64)
+    stream = spark.readStream.schema("k string").parquet(path)
+    out = _run(
+        spark, stream_count_min(stream, "k", depth=4, width=64),
+        "st_cm", "complete",
+    )
+    assert out.exceptAll(batch).count() == 0
+    assert batch.exceptAll(out).count() == 0
+    assert out.count() <= 4 * 64
