@@ -2352,6 +2352,38 @@ def q49_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q49_SQL = Q14_SQL  # the whole point: one text, two engines
 
 
+# One SQL text for both engines (the q49 contract): arbitrary
+# GROUPING SETS — the generalization q31's ROLLUP and q42's CUBE are
+# special cases of. Group markers surface through COALESCE (no NULL
+# returnflag/linestatus exists in the data), the revenue sum runs
+# through the exact-decimal contract, and both engines produce the
+# identical grouping-set union in one aggregation pass (Spark expands
+# to an Expand + single exchange, not one scan per set).
+Q75_SQL = """
+SELECT COALESCE(l_returnflag, '*') AS returnflag,
+       COALESCE(l_linestatus, '*') AS linestatus,
+       COUNT(*) AS n_rows,
+       ROUND(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                           AS DECIMAL(30,10))) AS DOUBLE), 4) AS revenue
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+ORDER BY returnflag, linestatus
+"""
+
+
+def q75_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS in one aggregation pass — detail,
+    per-returnflag subtotals, and the grand total from a single
+    lineitem scan (one Expand + one exchange, vs q31's ROLLUP / q42's
+    CUBE special cases). Same SQL text runs on both engines (the q49
+    dialect-parity contract)."""
+    from paqarin_spark.sources import register_views
+
+    configure_for_determinism(spark)
+    register_views(spark, sf_dir)
+    return spark.sql(Q75_SQL)
+
+
 def q45_type_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson correlation between two event types' daily volumes
     (cross-series dependence — the screen before joint modeling):
@@ -7254,6 +7286,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "em14_kmeans_clusters": em14_kmeans_clusters,
     "ev6_ks_fidelity": ev6_ks_fidelity,
     "st10_stream_count_min": st10_stream_count_min,
+    "q75_grouping_sets": q75_grouping_sets,
     "ev1_pipeline_summary": ev1_pipeline_summary,
     "ev5_forecast_backtest": ev5_forecast_backtest,
     "em2_lsh_topk": em2_lsh_topk,
@@ -7273,7 +7306,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q66_type_transitions": q66_type_transitions,
     "q67_kmv_distinct": q67_kmv_distinct,
     "tx25_unigram_logprob": tx25_unigram_logprob,
-    "gen5_markov_sample": gen5_markov_sample,
     "ev4_markov_fidelity": ev4_markov_fidelity,
     "mm7_media_probe": mm7_media_probe,
     "tx26_containment_pairs": tx26_containment_pairs,
@@ -7306,6 +7338,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "em10_ann_recall": em10_ann_recall,
     "st6_stream_daily_users": st6_stream_daily_users,
     "tx24_zipf_slope": tx24_zipf_slope,
+    "gen5_markov_sample": gen5_markov_sample,
     "q65_cold_customers": q65_cold_customers,
     "gen2_gaussian_sample": gen2_gaussian_sample,
     "gen1_bootstrap_sample": gen1_bootstrap_sample,
@@ -7550,6 +7583,7 @@ ORACLE_SQL: dict[str, str] = {
     "em14_kmeans_clusters": EM14_SQL,
     "ev6_ks_fidelity": EV6_SQL,
     "st10_stream_count_min": ST10_SQL,
+    "q75_grouping_sets": Q75_SQL,
     "ev2_univariate_summary": EV2_SQL,
     "ev3_drift_summary": EV3_SQL,
     "em2_lsh_topk": EM2_SQL,
