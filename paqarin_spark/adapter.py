@@ -19,10 +19,12 @@ from paqarin_spark.generators.bootstrap import BlockBootstrapGenerator
 from paqarin_spark.generators.conditional import ConditionalBootstrapGenerator
 from paqarin_spark.generators.gaussian import GaussianPerStepGenerator
 from paqarin_spark.generators.markov import MarkovEventGenerator
+from paqarin_spark.generators.neural import ARNetGenerator
 
 Factory = Callable[[GeneratorParameters], TimeSeriesGenerator]
 
 _REGISTRY: dict[tuple[str, str], Factory] = {
+    ("paqarin_spark", "arnet"): ARNetGenerator,
     ("paqarin_spark", "bootstrap"): BlockBootstrapGenerator,
     ("paqarin_spark", "conditional_bootstrap"): ConditionalBootstrapGenerator,
     ("paqarin_spark", "gaussian"): GaussianPerStepGenerator,

@@ -6,6 +6,7 @@ from paqarin_spark.generators.conditional import ConditionalBootstrapGenerator
 from paqarin_spark.generators.deep import DeepProviderGenerator
 from paqarin_spark.generators.gaussian import GaussianPerStepGenerator
 from paqarin_spark.generators.markov import MarkovEventGenerator
+from paqarin_spark.generators.neural import ARNetGenerator
 from paqarin_spark.generators.views import (
     SynthcityLoaderViews,
     add_prefixes,
@@ -15,6 +16,7 @@ from paqarin_spark.generators.views import (
 )
 
 __all__ = [
+    "ARNetGenerator",
     "BlockBootstrapGenerator",
     "ConditionalBootstrapGenerator",
     "DeepProviderGenerator",

@@ -1,0 +1,116 @@
+"""Pure-numpy neural net core for the EXECUTING deep-style provider
+(generators/neural.py) and the J4-class MLP forecaster — the piece
+that upgrades the deep-model boundary from "translation contracts,
+mock-tested" to "a model that actually trains and samples in this
+environment", with zero TF/torch.
+
+Reference boundary this stands in for: the provider fit/sample calls
+in `paqarin/adapters/ydata_adapter.py:291-358` (TimeGAN) and
+`synthcity_adapter.py:109-155` — single-node library training on a
+window population. Same placement here: training runs inside ONE
+Arrow batch on a bounded, deterministically-subsampled window set;
+everything before (scale, window, subsample) and after (rollout,
+inverse-scale) is distributed Spark.
+
+Determinism contract: float64 throughout, full-batch gradient steps
+(no minibatch ordering), md5-derived Glorot-style init, fixed epoch
+count — the trained weights are a pure function of the (sorted)
+training rows, so fits are layout-independent and reproducible
+across sessions. No global RNG is ever touched.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+
+def _md5_unit(key: str) -> float:
+    """Deterministic uniform(0,1) from an md5 prefix — the same
+    construction as functions.uniform_hash, evaluated driver/worker
+    side for weight init."""
+    return int(hashlib.md5(key.encode()).hexdigest()[:15], 16) / float(1 << 60)
+
+
+def init_params(sizes: list[int], seed: int) -> list[dict]:
+    """Glorot-uniform weights from md5 draws keyed (seed, layer, i, j)
+    — reproducible on any host, no RNG state."""
+    layers = []
+    for li in range(len(sizes) - 1):
+        fan_in, fan_out = sizes[li], sizes[li + 1]
+        limit = (6.0 / (fan_in + fan_out)) ** 0.5
+        w = np.empty((fan_in, fan_out))
+        for i in range(fan_in):
+            for j in range(fan_out):
+                u = _md5_unit(f"nn-init#{seed}#{li}#{i}#{j}")
+                w[i, j] = (2.0 * u - 1.0) * limit
+        layers.append({"w": w, "b": np.zeros(fan_out)})
+    return layers
+
+
+def forward(params: list[dict], x: np.ndarray) -> np.ndarray:
+    """tanh hidden layers, linear output head."""
+    h = x
+    for layer in params[:-1]:
+        h = np.tanh(h @ layer["w"] + layer["b"])
+    out = params[-1]
+    return h @ out["w"] + out["b"]
+
+
+def train_mlp(
+    x: np.ndarray,
+    y: np.ndarray,
+    hidden: int,
+    epochs: int = 200,
+    lr: float = 0.05,
+    seed: int = 0,
+) -> list[dict]:
+    """Full-batch gradient descent with momentum on MSE — one hidden
+    tanh layer. Full-batch (not SGD) so the gradient is an
+    order-insensitive sum over rows up to float associativity, and
+    the fixed epoch count keeps the fit replayable."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    params = init_params([x.shape[1], hidden, y.shape[1]], seed)
+    vel = [{"w": np.zeros_like(p["w"]), "b": np.zeros_like(p["b"])} for p in params]
+    n = max(len(x), 1)
+    for _ in range(int(epochs)):
+        h_pre = x @ params[0]["w"] + params[0]["b"]
+        h = np.tanh(h_pre)
+        pred = h @ params[1]["w"] + params[1]["b"]
+        err = (pred - y) / n
+        g1w = h.T @ err
+        g1b = err.sum(0)
+        dh = (err @ params[1]["w"].T) * (1.0 - h * h)
+        g0w = x.T @ dh
+        g0b = dh.sum(0)
+        for p, v, gw, gb in (
+            (params[0], vel[0], g0w, g0b),
+            (params[1], vel[1], g1w, g1b),
+        ):
+            v["w"] = 0.9 * v["w"] - lr * gw
+            v["b"] = 0.9 * v["b"] - lr * gb
+            p["w"] = p["w"] + v["w"]
+            p["b"] = p["b"] + v["b"]
+    return params
+
+
+def mse(params: list[dict], x: np.ndarray, y: np.ndarray) -> float:
+    d = forward(params, np.asarray(x, dtype=np.float64)) - np.asarray(
+        y, dtype=np.float64
+    )
+    return float((d * d).mean())
+
+
+def params_to_lists(params: list[dict]) -> list[dict]:
+    """JSON-able form (persistence contract: no pickle)."""
+    return [{"w": p["w"].tolist(), "b": p["b"].tolist()} for p in params]
+
+
+def params_from_lists(data: list[dict]) -> list[dict]:
+    return [
+        {"w": np.asarray(p["w"], dtype=np.float64),
+         "b": np.asarray(p["b"], dtype=np.float64)}
+        for p in data
+    ]

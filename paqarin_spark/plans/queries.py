@@ -1100,6 +1100,33 @@ FROM joined GROUP BY 1 ORDER BY 1
 """
 
 
+def gen6_arnet_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EXECUTING neural provider (generators.neural.ARNetGenerator
+    — one-hidden-layer autoregressive MLP, pure numpy, zero TF/torch):
+    fit on events, roll out 30 sequences, emit long-form samples.
+
+    ROWS-ONLY BY DESIGN — the one declared query without a value
+    oracle: 200 full-batch gradient epochs are deterministic (md5
+    init, sorted bounded batch, layout-independent weights — pinned
+    by tests/test_neural.py) but not single-statement SQL. Declaring
+    it anyway makes the driver smoke-prove every round that a neural
+    train/sample lifecycle (the reference's TimeGAN-shaped boundary,
+    `paqarin/adapters/ydata_adapter.py:291-358`) actually executes in
+    this environment; every OTHER query remains value-verified."""
+    from paqarin_spark.generators import ARNetGenerator
+
+    configure_for_determinism(spark)
+    ev = _events(spark, sf_dir)
+    gen = ARNetGenerator(_events_gen_params(), hidden=16, epochs=150).fit(ev)
+    out = gen.generate(30)
+    gen.unpersist()
+    return out.select(
+        "sequence_id", F.posexplode("sequence").alias("step", "_obs")
+    ).select(
+        "sequence_id", "step", F.round(F.col("_obs.value"), 6).alias("value")
+    ).orderBy("sequence_id", "step")
+
+
 def ev1_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship orchestration (op K2): fit bootstrap + gaussian on the
     events table, TSTR-score both, emit the summary metric rows.
@@ -7287,6 +7314,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ev6_ks_fidelity": ev6_ks_fidelity,
     "st10_stream_count_min": st10_stream_count_min,
     "q75_grouping_sets": q75_grouping_sets,
+    "gen6_arnet_sample": gen6_arnet_sample,
     "ev1_pipeline_summary": ev1_pipeline_summary,
     "ev5_forecast_backtest": ev5_forecast_backtest,
     "em2_lsh_topk": em2_lsh_topk,
@@ -7306,7 +7334,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q66_type_transitions": q66_type_transitions,
     "q67_kmv_distinct": q67_kmv_distinct,
     "tx25_unigram_logprob": tx25_unigram_logprob,
-    "ev4_markov_fidelity": ev4_markov_fidelity,
     "mm7_media_probe": mm7_media_probe,
     "tx26_containment_pairs": tx26_containment_pairs,
     "q68_conversion_funnel": q68_conversion_funnel,
@@ -7339,6 +7366,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "st6_stream_daily_users": st6_stream_daily_users,
     "tx24_zipf_slope": tx24_zipf_slope,
     "gen5_markov_sample": gen5_markov_sample,
+    "ev4_markov_fidelity": ev4_markov_fidelity,
     "q65_cold_customers": q65_cold_customers,
     "gen2_gaussian_sample": gen2_gaussian_sample,
     "gen1_bootstrap_sample": gen1_bootstrap_sample,
@@ -7443,14 +7471,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "st5_stream_dedup": st5_stream_dedup,
 }
 
-# EVERY query is value-hash-checked against DuckDB — all generator
-# samples (portable md5 draws and ranks), all THREE TSTR pipelines
-# (ev1 multivariate, ev2/ev3 univariate), and the LSH index itself
-# (em2, md5-sign hyperplanes). ev1 was the last rows-only entry; its
-# closed-form least-squares head replays in EV1_SQL. (The
-# RidgeLagForecaster Gram-solve path remains available behind the
-# forecaster factory for callers, but no declared query depends on
-# non-replayable arithmetic.)
+# Every query EXCEPT gen6 is value-hash-checked against DuckDB — all
+# md5-portable generator samples, all THREE TSTR pipelines (ev1
+# multivariate, ev2/ev3 univariate), the LSH index itself (em2), the
+# sketches (q73/tx33/st9/st10), and the k-means rounds (em14). ev1
+# was the last legacy rows-only entry; its closed-form least-squares
+# head replays in EV1_SQL. gen6 is the ONE deliberate rows-only
+# query: the executing neural provider's 200 gradient epochs are
+# deterministic (tests pin layout-independence) but not
+# single-statement SQL — declared so the driver proves the neural
+# train/sample lifecycle runs, not to widen the oracle surface.
 ORACLE_SQL: dict[str, str] = {
     "q01_surrogate_key": Q01_SQL,
     "q02_daily_sum": Q02_SQL,
