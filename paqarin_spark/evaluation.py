@@ -202,6 +202,140 @@ class RidgeLagForecaster:
         return float(row["mae"])
 
 
+class MLPLagForecaster:
+    """J3/J4 boundary with a model that genuinely TRAINS: a
+    one-hidden-layer MLP on the full lag design (generators/nn.py —
+    pure numpy, md5 init, full-batch gradient descent, fixed epochs),
+    where the reference scores with a Keras LSTM
+    (`paqarin/metrics/multivariate_metrics.py:262-305`) or AutoGluon
+    models (`univariate_metrics.py:361-419`). Unlike the closed-form
+    heads (LinearLastStep, RidgeLag) this learns NONLINEAR dynamics;
+    unlike generators/deep.py's adapters it executes here, no
+    TF/torch.
+
+    Placement mirrors ARNet's training boundary: fit subsamples the
+    window set by md5 rank (bounded single-node batch, sorted before
+    training → layout-independent weights), trains inside ONE
+    applyInPandas group, and only the weight vector returns. evaluate
+    is an Arrow-batched map emitting per-batch (err_sum, n) partials —
+    two scalars per batch to the driver, never rows."""
+
+    def __init__(
+        self,
+        value_columns: list[str],
+        hidden: int = 16,
+        epochs: int = 200,
+        learning_rate: float = 0.05,
+        max_rows: int = 1024,
+        seed: int = 0,
+    ):
+        self.value_columns = list(value_columns)
+        self.hidden = int(hidden)
+        self.epochs = int(epochs)
+        self.learning_rate = float(learning_rate)
+        self.max_rows = int(max_rows)
+        self.seed = int(seed)
+        self.weights: list[dict] | None = None
+        self._lags: int | None = None
+
+    def fit(self, train: DataFrame) -> "MLPLagForecaster":
+        import json
+
+        cols = self.value_columns
+        hidden, epochs, lr, seed = (
+            self.hidden,
+            self.epochs,
+            self.learning_rate,
+            self.seed,
+        )
+        first = train.select(F.size("features").alias("n")).limit(1).collect()
+        if not first:
+            raise ValueError("cannot fit on an empty training set")
+        lags = int(first[0]["n"])
+
+        ranked = train.select(
+            F.md5(F.to_json(F.struct("features", "label"))).alias("_r"),
+            "features",
+            "label",
+        )
+        sample = ranked.orderBy("_r").limit(self.max_rows)
+
+        def train_fn(pdf):
+            import numpy as np
+            import pandas as pd
+
+            from paqarin_spark.generators import nn
+
+            pdf = pdf.sort_values("_r")
+            x = np.array(
+                [
+                    [rec[c] for rec in feats for c in cols]
+                    for feats in pdf["features"]
+                ],
+                dtype=np.float64,
+            )
+            y = np.array(
+                [[lab[c] for c in cols] for lab in pdf["label"]],
+                dtype=np.float64,
+            )
+            params = nn.train_mlp(
+                x, y, hidden=hidden, epochs=epochs, lr=lr, seed=seed
+            )
+            return pd.DataFrame(
+                {"weights": [json.dumps(nn.params_to_lists(params))]}
+            )
+
+        row = (
+            sample.withColumn("_g", F.lit(0))
+            .groupBy("_g")
+            .applyInPandas(train_fn, schema="weights string")
+            .collect()
+        )
+        self.weights = json.loads(row[0]["weights"])
+        self._lags = lags
+        return self
+
+    def evaluate_mae(self, test: DataFrame) -> float:
+        import json
+
+        if self.weights is None:
+            raise RuntimeError("forecaster is not fitted")
+        cols = self.value_columns
+        weights_json = json.dumps(self.weights)
+
+        def score(batches):
+            import numpy as np
+            import pandas as pd
+
+            from paqarin_spark.generators import nn
+
+            params = nn.params_from_lists(json.loads(weights_json))
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                x = np.array(
+                    [
+                        [rec[c] for rec in feats for c in cols]
+                        for feats in pdf["features"]
+                    ],
+                    dtype=np.float64,
+                )
+                y = np.array(
+                    [[lab[c] for c in cols] for lab in pdf["label"]],
+                    dtype=np.float64,
+                )
+                err = np.abs(nn.forward(params, x) - y).mean(1)
+                yield pd.DataFrame({"s": [float(err.sum())], "n": [len(err)]})
+
+        agg = (
+            test.select("features", "label")
+            .mapInPandas(score, schema="s double, n long")
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+            .collect()[0]
+        )
+        return float(agg["s"] / agg["n"])
+
+
 class MultivariatePredictiveScorer:
     """TSTR predictive score (`paqarin/metrics/multivariate_metrics.py:139-217`).
 

@@ -155,3 +155,100 @@ def test_arnet_via_adapter_and_tstr_pipeline(sine_panel):
     assert all(v is not None and v == v for v in by_gen.values())
     assert pipe.best_generator_name in {"arnet", "bootstrap"}
     pipe.unpersist()
+
+
+def test_mlp_forecaster_beats_linear_on_nonlinear_dynamics(spark):
+    """J4-class upgrade: the trained MLP head must fit y = x1*x2 (pure
+    interaction — invisible to any linear model) with a fraction of
+    the linear head's error."""
+    import random
+
+    from paqarin_spark.evaluation import (
+        LinearLastStepForecaster,
+        MLPLagForecaster,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    for _ in range(400):
+        x1, x2 = rng.uniform(-1, 1), rng.uniform(-1, 1)
+        rows.append(([{"v": x1}, {"v": x2}], {"v": x1 * x2}))
+    df = spark.createDataFrame(
+        rows, "features array<struct<v:double>>, label struct<v:double>"
+    )
+    mlp = MLPLagForecaster(["v"], hidden=24, epochs=600, learning_rate=0.2).fit(df)
+    lin = LinearLastStepForecaster(["v"]).fit(df)
+    mlp_mae = mlp.evaluate_mae(df)
+    lin_mae = lin.evaluate_mae(df)
+    assert mlp_mae < 0.5 * lin_mae
+    assert mlp_mae < 0.1
+
+
+def test_mlp_forecaster_layout_independent_fit(spark):
+    import random
+
+    from paqarin_spark.evaluation import MLPLagForecaster
+
+    rng = random.Random(3)
+    rows = [
+        ([{"v": rng.uniform(-1, 1)}, {"v": rng.uniform(-1, 1)}], {"v": 0.3})
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame(
+        rows, "features array<struct<v:double>>, label struct<v:double>"
+    )
+    w1 = MLPLagForecaster(["v"], epochs=50).fit(df.coalesce(1)).weights
+    w2 = MLPLagForecaster(["v"], epochs=50).fit(df.repartition(32)).weights
+    assert w1 == w2
+
+
+def test_mlp_forecaster_in_tstr_scorer(sine_panel):
+    """The trained MLP slots into the scorer factory boundary and
+    ranks the faithful generator over noise (the VERDICT's
+    defensible-ranking contract, now with a genuinely trained
+    nonlinear model)."""
+    from paqarin_spark.adapter import get_generator_adapter
+    from paqarin_spark.evaluation import (
+        EvaluationPipeline,
+        MLPLagForecaster,
+        MultivariatePredictiveScorer,
+    )
+
+    class NoiseGenerator:
+        parameters = _params()
+        is_fitted = False
+
+        def fit(self, df):
+            self._spark = df.sparkSession
+            self.is_fitted = True
+            return self
+
+        def generate(self, n, seed=None):
+            seqs = self._spark.range(n).select(F.col("id").alias("sequence_id"))
+            return seqs.select(
+                "sequence_id",
+                F.array(
+                    *[
+                        F.struct((F.rand(29 + j) * 1000 - 500).alias("v"))
+                        for j in range(8)
+                    ]
+                ).alias("sequence"),
+            )
+
+    scorer = MultivariatePredictiveScorer(
+        sequence_length=8,
+        iterations=1,
+        number_of_sequences=15,
+        forecaster_factory=MLPLagForecaster,
+    )
+    pipe = EvaluationPipeline(
+        {
+            "bootstrap": get_generator_adapter(
+                "paqarin_spark", "bootstrap", _params()
+            ),
+            "noise": NoiseGenerator(),
+        },
+        scorer,
+    ).fit(sine_panel)
+    assert pipe.best_generator_name == "bootstrap"
+    pipe.unpersist()
