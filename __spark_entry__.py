@@ -32,7 +32,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable oracle SQL per query — complete since round 4:
-    every declared query is value-hash-checked (no rows-only
-    omissions)."""
+    """DuckDB-runnable oracle SQL per query. Every query is
+    value-hash-checked EXCEPT gen6_arnet_sample — deliberately
+    rows-only (neural gradient training is deterministic but not
+    single-statement SQL; see its docstring). len(ORACLE_SQL) ==
+    len(QUERIES) - 1 by design."""
     return dict(ORACLE_SQL)

@@ -236,7 +236,6 @@ class MLPLagForecaster:
         self.max_rows = int(max_rows)
         self.seed = int(seed)
         self.weights: list[dict] | None = None
-        self._lags: int | None = None
 
     def fit(self, train: DataFrame) -> "MLPLagForecaster":
         import json
@@ -248,11 +247,6 @@ class MLPLagForecaster:
             self.learning_rate,
             self.seed,
         )
-        first = train.select(F.size("features").alias("n")).limit(1).collect()
-        if not first:
-            raise ValueError("cannot fit on an empty training set")
-        lags = int(first[0]["n"])
-
         ranked = train.select(
             F.md5(F.to_json(F.struct("features", "label"))).alias("_r"),
             "features",
@@ -291,8 +285,9 @@ class MLPLagForecaster:
             .applyInPandas(train_fn, schema="weights string")
             .collect()
         )
+        if not row:  # empty training set -> applyInPandas emits nothing
+            raise ValueError("cannot fit on an empty training set")
         self.weights = json.loads(row[0]["weights"])
-        self._lags = lags
         return self
 
     def evaluate_mae(self, test: DataFrame) -> float:

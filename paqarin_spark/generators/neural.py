@@ -73,6 +73,7 @@ class ARNetGenerator(TimeSeriesGenerator):
         self.scaler = MinMaxScaler(list(parameters.schema.value_columns))
         self.weights: list[dict] | None = None  # JSON-able layer list
         self._starts: DataFrame | None = None  # scaled windows, keyed
+        self._n_starts: int | None = None
 
     @property
     def is_fitted(self) -> bool:
@@ -136,8 +137,15 @@ class ARNetGenerator(TimeSeriesGenerator):
             .applyInPandas(train, schema="weights string")
             .collect()
         )
+        if not row:
+            sample.unpersist()
+            raise ValueError(
+                "cannot fit: no training windows (every entity is shorter "
+                f"than sequence_length={L})"
+            )
         self.weights = json.loads(row[0]["weights"])
         self._starts = sample
+        self._n_starts = sample.count()
         return self
 
     def unpersist(self) -> None:
@@ -147,6 +155,16 @@ class ARNetGenerator(TimeSeriesGenerator):
     def generate(self, number_of_sequences: int, seed: int | None = None) -> DataFrame:
         if self.weights is None or self._starts is None:
             raise RuntimeError("generator is not fitted")
+        n_starts = getattr(self, "_n_starts", None)
+        if n_starts is not None and number_of_sequences > n_starts:
+            # The rollout pool is the bounded fit-time subsample; a
+            # silent shortfall would skew downstream TSTR scoring
+            # (e.g. number_of_sequences=600 quietly scoring on 512).
+            raise ValueError(
+                f"number_of_sequences={number_of_sequences} exceeds the "
+                f"fitted start pool ({n_starts}); refit with a larger "
+                "max_windows to draw more"
+            )
         seed = self.parameters.seed if seed is None else seed
         schema = self.parameters.schema
         cols = list(schema.value_columns)
@@ -265,4 +283,5 @@ class ARNetGenerator(TimeSeriesGenerator):
             os.path.join(path, "scaler.json"), spark=spark
         )
         gen._starts = spark.read.parquet(os.path.join(path, "starts.parquet"))
+        gen._n_starts = gen._starts.count()
         return gen

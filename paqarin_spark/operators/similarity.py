@@ -869,6 +869,8 @@ def kmeans_lloyd(
     """
     if assignment not in ("expr", "blas"):
         raise ValueError(f"unknown assignment path: {assignment!r}")
+    if int(iterations) < 1:
+        raise ValueError("iterations must be >= 1 (no assignment exists before the first E-step)")
     dims = df.select(
         F.col(id_column),
         F.posexplode(
@@ -961,10 +963,22 @@ def kmeans_lloyd(
                 .select(id_column, "cluster", "_d2")
                 .localCheckpoint()
             )
+        # M-step mean via the exact-decimal sum (order-independent),
+        # not F.avg: a plain double sum is ordering-dependent in the
+        # last ulp, and a cluster mean landing within 1 ulp of a
+        # 0.5e-6 rounding boundary would flip the rounded centroid —
+        # and therefore downstream assignments — across layouts or
+        # engines. Same contract as the E-step's _d2 sums.
         cent = (
             dims.join(assign.select(id_column, "cluster"), on=id_column)
             .groupBy("cluster", "dim")
-            .agg(F.round(F.avg("x"), round_decimals).alias("c"))
+            .agg(
+                F.round(
+                    F.sum(F.col("x").cast("decimal(30,10)")).cast("double")
+                    / F.count(F.lit(1)),
+                    round_decimals,
+                ).alias("c")
+            )
             .localCheckpoint()
         )
     dims.unpersist()

@@ -6546,7 +6546,9 @@ WITH v AS (
     FROM d1
   ) WHERE rk = 1
 ), c1 AS (
-  SELECT a.cluster, v.dim, ROUND(AVG(v.x), 6) AS c
+  SELECT a.cluster, v.dim,
+         ROUND(CAST(SUM(CAST(v.x AS DECIMAL(30,10))) AS DOUBLE)
+               / COUNT(*), 6) AS c
   FROM v JOIN a1 a ON v.vec_id = a.vec_id GROUP BY 1, 2
 ), d2_ AS (
   SELECT v.vec_id, c.cluster,
