@@ -6491,6 +6491,50 @@ FROM per_q p LEFT JOIN hits h ON p.query_id = h.query_id
 """
 
 
+def em15_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-TABLE retrieval — the RAG shape em1's self-join is not:
+    a disjoint query set (every 10th vector) searches the remaining
+    corpus for its exact top-3 by cosine, via the same block-matrix
+    BLAS kernel (cosine_topk's ``queries`` side). The block pairing
+    streams Q-blocks × C-blocks, so the query table can be tiny (one
+    block) while the corpus fans wide — at 100 TB that is a broadcast
+    -shaped probe of queries against corpus blocks with per-block
+    top-k and a ≤B·k-candidate global rank. Value-verified against
+    the exact SQL cross join."""
+    configure_for_determinism(spark)
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    queries_df = emb.where(F.col("vec_id") % 10 == 0)
+    corpus = emb.where(F.col("vec_id") % 10 != 0)
+    return cosine_topk(corpus, "vec_id", "embedding", k=3, queries=queries_df)
+
+
+EM15_SQL = """
+WITH q AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings WHERE vec_id % 10 = 0
+), c AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings WHERE vec_id % 10 <> 0
+), pairs AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         ROUND(
+           list_sum(list_transform(range(1, 65), i -> a.e[i] * b.e[i]))
+           / (sqrt(list_sum(list_transform(range(1, 65), i -> a.e[i] * a.e[i])))
+              * sqrt(list_sum(list_transform(range(1, 65), i -> b.e[i] * b.e[i])))),
+           6) AS cos_sim
+  FROM q a CROSS JOIN c b
+)
+SELECT query_id, neighbor_id, cos_sim FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rk
+  FROM pairs
+) WHERE rk <= 3 ORDER BY query_id, neighbor_id
+"""
+
+
 def em14_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd's K-MEANS over the embedding corpus
     (operators.similarity.kmeans_lloyd, k=4, 2 fixed rounds, md5-rank
@@ -7317,6 +7361,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "st10_stream_count_min": st10_stream_count_min,
     "q75_grouping_sets": q75_grouping_sets,
     "gen6_arnet_sample": gen6_arnet_sample,
+    "em15_retrieval_topk": em15_retrieval_topk,
     "ev1_pipeline_summary": ev1_pipeline_summary,
     "ev5_forecast_backtest": ev5_forecast_backtest,
     "em2_lsh_topk": em2_lsh_topk,
@@ -7330,7 +7375,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "em9_embed_clusters": em9_embed_clusters,
     "mm6_png_resize": mm6_png_resize,
     "ev3_drift_summary": ev3_drift_summary,
-    "tx22_contamination": tx22_contamination,
     "q64_event_percentiles": q64_event_percentiles,
     "em11_quantization_error": em11_quantization_error,
     "q66_type_transitions": q66_type_transitions,
@@ -7369,6 +7413,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx24_zipf_slope": tx24_zipf_slope,
     "gen5_markov_sample": gen5_markov_sample,
     "ev4_markov_fidelity": ev4_markov_fidelity,
+    "tx22_contamination": tx22_contamination,
     "q65_cold_customers": q65_cold_customers,
     "gen2_gaussian_sample": gen2_gaussian_sample,
     "gen1_bootstrap_sample": gen1_bootstrap_sample,
@@ -7613,6 +7658,7 @@ ORACLE_SQL: dict[str, str] = {
     "st9_stream_hll_distinct": ST9_SQL,
     "q74_blame_suppliers": Q74_SQL,
     "em14_kmeans_clusters": EM14_SQL,
+    "em15_retrieval_topk": EM15_SQL,
     "ev6_ks_fidelity": EV6_SQL,
     "st10_stream_count_min": ST10_SQL,
     "q75_grouping_sets": Q75_SQL,
