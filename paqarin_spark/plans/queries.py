@@ -1390,6 +1390,146 @@ FROM cum
 """
 
 
+def ev8_coverage_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generative PRECISION/COVERAGE — the fidelity-diversity pair
+    that complements ev4 (categorical TVD) and ev6 (marginal KS):
+    per-sequence sums of gen1's bootstrap samples are compared
+    against the real stride-1 window-sum population. precision =
+    fraction of synthetic sums inside the real support
+    [min, max]; bin_recall = of the 10 equal-width bins over the real
+    support that contain at least one REAL sum, the fraction also hit
+    by a synthetic sum (mode collapse shows up here long before the
+    mean drifts). Equal-width bins are pure arithmetic — no global
+    sort — and every number replays in SQL."""
+    from paqarin_spark.generators import BlockBootstrapGenerator
+
+    ev = _events(spark, sf_dir)
+    gen = BlockBootstrapGenerator(_events_gen_params()).fit(ev)
+    synth_sums = (
+        gen.generate(50)
+        .select(
+            F.aggregate(
+                "sequence", F.lit(0.0), lambda acc, s: acc + s["value"]
+            ).alias("s")
+        )
+    )
+    gen.unpersist()
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    real_sums = (
+        ev.select(
+            "user_id",
+            F.sum("value")
+            .over(w.rowsBetween(Window.currentRow, 7))
+            .alias("s"),
+            F.row_number().over(w).alias("_rn"),
+            F.count(F.lit(1)).over(Window.partitionBy("user_id")).alias("_n"),
+        )
+        .where(F.col("_rn") <= F.col("_n") - 7)
+        .select("s")
+    )
+    bounds = real_sums.agg(
+        F.min("s").alias("_lo"), F.max("s").alias("_hi")
+    )
+    # bin k = floor(10 * (s - lo) / (hi - lo)), clamped to 9 at s = hi
+    def binned(df):
+        return (
+            df.crossJoin(F.broadcast(bounds))
+            .select(
+                F.least(
+                    F.floor(
+                        F.lit(10.0)
+                        * (F.col("s") - F.col("_lo"))
+                        / (F.col("_hi") - F.col("_lo"))
+                    ),
+                    F.lit(9),
+                ).alias("bin"),
+                "s",
+            )
+        )
+
+    real_bins = binned(real_sums)
+    synth_bins = binned(synth_sums)
+    rb = real_bins.select("bin").distinct()
+    sb = synth_bins.select("bin").where(
+        (F.col("bin") >= 0) & (F.col("bin") <= 9)
+    ).distinct()
+    hit = rb.join(sb, "bin")
+    prec = (
+        synth_bins.agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(
+                ((F.col("bin") >= 0) & (F.col("bin") <= 9)).cast("int")
+            ).alias("_in"),
+        )
+    )
+    return (
+        real_sums.agg(F.count(F.lit(1)).alias("n_real_windows"))
+        .crossJoin(F.broadcast(prec))
+        .crossJoin(
+            F.broadcast(rb.agg(F.count(F.lit(1)).alias("_rbins")))
+        )
+        .crossJoin(F.broadcast(hit.agg(F.count(F.lit(1)).alias("_hbins"))))
+        .select(
+            "n_real_windows",
+            F.col("_n").cast("bigint").alias("n_synth"),
+            F.round(F.col("_in") / F.col("_n"), 6).alias("precision"),
+            F.round(F.col("_hbins") / F.col("_rbins"), 6).alias("bin_recall"),
+        )
+    )
+
+
+EV8_SQL = """
+WITH r AS (
+  SELECT user_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+           AS p,
+         COUNT(*) OVER (PARTITION BY user_id) AS cnt
+  FROM events
+), rsums AS (
+  SELECT SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS s
+  FROM events
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          <= COUNT(*) OVER (PARTITION BY user_id) - 7
+), mm AS (
+  SELECT MIN(value) AS mn, MAX(value) AS mx FROM events
+), top AS (
+  SELECT user_id, w FROM (
+    SELECT user_id, p AS w, md5(user_id || '|' || p || '#17') AS rk
+    FROM r WHERE p <= cnt - 8
+  ) ORDER BY rk LIMIT 50
+), ssums AS (
+  SELECT SUM((r2.value - mm.mn) / (mm.mx - mm.mn) * (mm.mx - mm.mn) + mm.mn)
+           AS s
+  FROM top t CROSS JOIN (SELECT UNNEST(range(8)) AS step) st
+  JOIN r r2 ON r2.user_id = t.user_id AND r2.p = t.w + st.step
+  CROSS JOIN mm
+  GROUP BY t.user_id, t.w
+), bounds AS (
+  SELECT MIN(s) AS lo, MAX(s) AS hi FROM rsums
+), rbins AS (
+  SELECT DISTINCT LEAST(FLOOR(10.0 * (s - (SELECT lo FROM bounds))
+                        / ((SELECT hi FROM bounds) - (SELECT lo FROM bounds))),
+                        9) AS bin
+  FROM rsums
+), sbinned AS (
+  SELECT LEAST(FLOOR(10.0 * (s - (SELECT lo FROM bounds))
+               / ((SELECT hi FROM bounds) - (SELECT lo FROM bounds))), 9)
+           AS bin
+  FROM ssums
+), sbins AS (
+  SELECT DISTINCT bin FROM sbinned WHERE bin >= 0 AND bin <= 9
+)
+SELECT (SELECT COUNT(*) FROM rsums) AS n_real_windows,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM sbinned) AS n_synth,
+       ROUND((SELECT SUM(CASE WHEN bin >= 0 AND bin <= 9 THEN 1 ELSE 0 END)
+              FROM sbinned) * 1.0
+             / (SELECT COUNT(*) FROM sbinned), 6) AS precision,
+       ROUND((SELECT COUNT(*) FROM rbins r JOIN sbins s ON r.bin = s.bin)
+             * 1.0 / (SELECT COUNT(*) FROM rbins), 6) AS bin_recall
+"""
+
+
 def _univariate_tstr_summary(
     spark: SparkSession, sf_dir: str, seed: int, forecaster_factory=None
 ) -> DataFrame:
@@ -7362,6 +7502,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q75_grouping_sets": q75_grouping_sets,
     "gen6_arnet_sample": gen6_arnet_sample,
     "em15_retrieval_topk": em15_retrieval_topk,
+    "ev8_coverage_metric": ev8_coverage_metric,
     "ev1_pipeline_summary": ev1_pipeline_summary,
     "ev5_forecast_backtest": ev5_forecast_backtest,
     "em2_lsh_topk": em2_lsh_topk,
@@ -7371,7 +7512,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx19_normalized_dedup": tx19_normalized_dedup,
     "tx20_corpus_curation": tx20_corpus_curation,
     "em8_ivf_multiprobe": em8_ivf_multiprobe,
-    "q63_nation_profit": q63_nation_profit,
     "em9_embed_clusters": em9_embed_clusters,
     "mm6_png_resize": mm6_png_resize,
     "ev3_drift_summary": ev3_drift_summary,
@@ -7414,6 +7554,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gen5_markov_sample": gen5_markov_sample,
     "ev4_markov_fidelity": ev4_markov_fidelity,
     "tx22_contamination": tx22_contamination,
+    "q63_nation_profit": q63_nation_profit,
     "q65_cold_customers": q65_cold_customers,
     "gen2_gaussian_sample": gen2_gaussian_sample,
     "gen1_bootstrap_sample": gen1_bootstrap_sample,
@@ -7659,6 +7800,7 @@ ORACLE_SQL: dict[str, str] = {
     "q74_blame_suppliers": Q74_SQL,
     "em14_kmeans_clusters": EM14_SQL,
     "em15_retrieval_topk": EM15_SQL,
+    "ev8_coverage_metric": EV8_SQL,
     "ev6_ks_fidelity": EV6_SQL,
     "st10_stream_count_min": ST10_SQL,
     "q75_grouping_sets": Q75_SQL,
