@@ -868,3 +868,86 @@ def containment_pairs(
             F.round(F.col("_raw"), 6).alias("containment"),
         )
     )
+
+
+def ingest_novelty(
+    batch: DataFrame,
+    corpus: DataFrame,
+    text_column: str,
+    id_column: str,
+    n: int = 3,
+    near_threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental-ingest dedup manifest: classify every document of a
+    (small) new BATCH against the (huge) existing corpus as
+    ``exact_dup`` (content hash already present), ``near_dup``
+    (≥ ``near_threshold`` of its distinct word n-gram shingles occur
+    somewhere in the corpus), or ``novel`` — the admit/reject decision
+    table a daily corpus ingest produces.
+
+    Scale posture — the INVERSE of contamination_check's broadcast
+    direction, because here the corpus is the 100-TB side: the batch's
+    hash set and shingle set broadcast as probes, the corpus is
+    scanned ONCE per probe with a map-side broadcast semi-join (never
+    shuffled), and only the matched-probe sets (≤ batch-sized) flow
+    onward. Output: (id, n_shingles, containment, verdict).
+    """
+    batch_hashes = batch.select(
+        F.col(id_column), F.md5(F.col(text_column)).alias("_h")
+    )
+    matched_hashes = (
+        corpus.select(F.md5(F.col(text_column)).alias("_h"))
+        .join(
+            F.broadcast(batch_hashes.select("_h").distinct()),
+            "_h",
+            "left_semi",
+        )
+        .distinct()
+    )
+    exact = batch_hashes.join(
+        F.broadcast(matched_hashes.withColumn("_exact", F.lit(1))),
+        "_h",
+        "left",
+    ).select(id_column, F.coalesce("_exact", F.lit(0)).alias("_exact"))
+
+    batch_sh = _shingle_rows(batch, text_column, id_column, n)
+    probe = batch_sh.select("shingle").distinct()
+    corpus_hits = (
+        _shingle_rows(corpus, text_column, id_column, n)
+        .select("shingle")
+        .join(F.broadcast(probe), "shingle", "left_semi")
+        .distinct()
+    )
+    contained = (
+        batch_sh.join(
+            F.broadcast(corpus_hits.withColumn("_hit", F.lit(1))),
+            "shingle",
+            "left",
+        )
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).alias("_n_hit"),
+        )
+        .select(
+            F.col("doc").alias(id_column),
+            "n_shingles",
+            F.round(F.col("_n_hit") / F.col("n_shingles"), 6).alias(
+                "containment"
+            ),
+        )
+    )
+    verdict = (
+        F.when(F.col("_exact") == 1, F.lit("exact_dup"))
+        .when(F.col("containment") >= near_threshold, F.lit("near_dup"))
+        .otherwise(F.lit("novel"))
+    )
+    return (
+        exact.join(contained, on=id_column, how="left")
+        .select(
+            id_column,
+            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+            F.coalesce("containment", F.lit(0.0)).alias("containment"),
+            verdict.alias("verdict"),
+        )
+    )

@@ -5319,6 +5319,55 @@ FROM csh GROUP BY doc ORDER BY doc
 """
 
 
+def tx36_ingest_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup MANIFEST (operators.dedup.
+    ingest_novelty): every 7th document plays the daily batch, the
+    rest the existing corpus; each batch doc is admitted as
+    exact_dup / near_dup (≥60% trigram containment) / novel. The
+    probes (batch hash + shingle sets) broadcast; the corpus side is
+    scanned once per probe and NEVER shuffled — the inverse broadcast
+    direction of tx22's decontamination, because here the corpus is
+    the 100-TB side."""
+    from paqarin_spark.operators import ingest_novelty
+
+    docs = _docs(spark, sf_dir)
+    batch = docs.where(F.col("doc_id") % 7 == 3)
+    corpus = docs.where(F.col("doc_id") % 7 != 3)
+    return ingest_novelty(
+        batch, corpus, "text", "doc_id", n=3, near_threshold=0.6
+    ).orderBy("doc_id")
+
+
+TX36_SQL = f"""
+WITH bh AS (
+  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 7 = 3
+), ch AS (
+  SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 7 <> 3
+), bsh AS (
+  SELECT doc_id AS doc, unnest({_ngrams_sql(3)}) AS shingle
+  FROM documents WHERE doc_id % 7 = 3
+), csh AS (
+  SELECT DISTINCT unnest({_ngrams_sql(3)}) AS shingle
+  FROM documents WHERE doc_id % 7 <> 3
+), contained AS (
+  SELECT doc,
+         COUNT(*) AS n_shingles,
+         ROUND(SUM(CASE WHEN shingle IN (SELECT shingle FROM csh)
+                        THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6)
+           AS containment
+  FROM bsh GROUP BY doc
+)
+SELECT b.doc_id,
+       COALESCE(c.n_shingles, 0) AS n_shingles,
+       COALESCE(c.containment, 0.0) AS containment,
+       CASE WHEN b.h IN (SELECT h FROM ch) THEN 'exact_dup'
+            WHEN COALESCE(c.containment, 0.0) >= 0.6 THEN 'near_dup'
+            ELSE 'novel' END AS verdict
+FROM bh b LEFT JOIN contained c ON b.doc_id = c.doc
+ORDER BY b.doc_id
+"""
+
+
 def tx23_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicate-SPAN detection (operators.dedup.duplicate_spans):
     per document, the share of its word 8-gram spans (with
@@ -7503,6 +7552,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gen6_arnet_sample": gen6_arnet_sample,
     "em15_retrieval_topk": em15_retrieval_topk,
     "ev8_coverage_metric": ev8_coverage_metric,
+    "tx36_ingest_novelty": tx36_ingest_novelty,
     "ev1_pipeline_summary": ev1_pipeline_summary,
     "ev5_forecast_backtest": ev5_forecast_backtest,
     "em2_lsh_topk": em2_lsh_topk,
@@ -7510,7 +7560,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ev2_univariate_summary": ev2_univariate_summary,
     # --- round-3-verified regression sentinels (one per family) ---
     "tx19_normalized_dedup": tx19_normalized_dedup,
-    "tx20_corpus_curation": tx20_corpus_curation,
     "em8_ivf_multiprobe": em8_ivf_multiprobe,
     "em9_embed_clusters": em9_embed_clusters,
     "mm6_png_resize": mm6_png_resize,
@@ -7555,6 +7604,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ev4_markov_fidelity": ev4_markov_fidelity,
     "tx22_contamination": tx22_contamination,
     "q63_nation_profit": q63_nation_profit,
+    "tx20_corpus_curation": tx20_corpus_curation,
     "q65_cold_customers": q65_cold_customers,
     "gen2_gaussian_sample": gen2_gaussian_sample,
     "gen1_bootstrap_sample": gen1_bootstrap_sample,
@@ -7801,6 +7851,7 @@ ORACLE_SQL: dict[str, str] = {
     "em14_kmeans_clusters": EM14_SQL,
     "em15_retrieval_topk": EM15_SQL,
     "ev8_coverage_metric": EV8_SQL,
+    "tx36_ingest_novelty": TX36_SQL,
     "ev6_ks_fidelity": EV6_SQL,
     "st10_stream_count_min": ST10_SQL,
     "q75_grouping_sets": Q75_SQL,

@@ -298,3 +298,34 @@ def test_duplicate_clusters_contract_monotone_chain(spark):
         ).collect()
     }
     assert got == {i: 0 for i in range(60)}
+
+
+def test_ingest_novelty_verdicts(spark):
+    from paqarin_spark.operators import ingest_novelty
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "one two three four five six seven"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon zeta"),  # exact dup of 1
+            (11, "one two three four nine ten eleven"),   # shares a prefix
+            (12, "wholly unrelated words appear here now"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in ingest_novelty(
+            batch, corpus, "text", "doc_id", n=3, near_threshold=0.4
+        ).collect()
+    }
+    assert out[10]["verdict"] == "exact_dup"
+    assert out[11]["verdict"] == "near_dup"  # 2 of 5 trigrams shared = 0.4
+    assert out[11]["containment"] == pytest.approx(0.4)
+    assert out[12]["verdict"] == "novel"
+    assert out[12]["containment"] == 0.0
