@@ -285,3 +285,51 @@ def register_views(spark: SparkSession, sf_dir: str) -> list[str]:
             read_table(spark, sf_dir, name).createOrReplaceTempView(name)
             out.append(name)
     return out
+
+
+def compact_parquet(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Table MAINTENANCE: rewrite a small-files parquet directory into
+    ~``target_file_bytes`` files (the OPTIMIZE/compaction step every
+    lakehouse runs after streaming or fine-grained ingest — thousands
+    of KB-sized files turn a scan into a task-scheduling and
+    footer-read benchmark). File count comes from the ACTUAL byte
+    size via the Hadoop FileSystem API (works on any scheme, no
+    driver listing of row data), the rewrite is one
+    ``repartition(n)`` pass, and the output is written to a NEW path:
+    in-place overwrite of inputs being read is not atomic on plain
+    parquet directories — the caller swaps paths/views after the
+    returned manifest verifies. Returns {n_input_files,
+    input_bytes, n_output_files, rows}.
+    """
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(in_path)
+    fs = p.getFileSystem(conf)
+    it = fs.listFiles(p, True)
+    n_in, total = 0, 0
+    while it.hasNext():
+        f = it.next()
+        name = f.getPath().getName()
+        if name.endswith(".parquet"):
+            n_in += 1
+            total += f.getLen()
+    n_out = max(1, -(-total // int(target_file_bytes)))  # ceil
+    df = spark.read.parquet(in_path)
+    df.repartition(n_out).write.mode("overwrite").parquet(out_path)
+    out_p = jvm.org.apache.hadoop.fs.Path(out_path)
+    out_it = fs.listFiles(out_p, True)
+    n_written = 0
+    while out_it.hasNext():
+        if out_it.next().getPath().getName().endswith(".parquet"):
+            n_written += 1
+    return {
+        "n_input_files": n_in,
+        "input_bytes": int(total),
+        "n_output_files": n_written,
+        "rows": spark.read.parquet(out_path).count(),
+    }

@@ -259,3 +259,25 @@ def test_train_job_sidecar_via_mocked_remote_scheme(spark, csv_dir, metadata_fil
         assert len(out) == 2
     finally:
         hconf.unset(mount_key)
+
+
+def test_compact_parquet_rewrites_small_files(spark, tmp_path):
+    from paqarin_spark.sources import compact_parquet
+
+    src = str(tmp_path / "small_files")
+    out = str(tmp_path / "compacted")
+    df = spark.range(10_000).selectExpr("id", "id * 2 AS v")
+    df.repartition(64).write.parquet(src)  # 64 tiny files
+
+    manifest = compact_parquet(spark, src, out, target_file_bytes=10**9)
+    assert manifest["n_input_files"] == 64
+    assert manifest["n_output_files"] == 1  # all fit one target file
+    assert manifest["rows"] == 10_000
+    # content identical, order-free
+    a, b = spark.read.parquet(src), spark.read.parquet(out)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # a small target splits the rewrite into multiple right-sized files
+    out2 = str(tmp_path / "compacted2")
+    m2 = compact_parquet(spark, src, out2, target_file_bytes=max(manifest["input_bytes"] // 4, 1))
+    assert 2 <= m2["n_output_files"] <= 8
+    assert m2["rows"] == 10_000
