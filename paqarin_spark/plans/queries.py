@@ -4937,6 +4937,86 @@ FROM reach GROUP BY 1 ORDER BY 1
 """
 
 
+def tx37_quality_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup RESOLUTION — the curation refinement on
+    top of tx11's clustering: inside every MinHash-LSH duplicate
+    cluster keep the HIGHEST-quality member (argmax on the 6dp-rounded
+    tx10 heuristic, doc-id tie-break) instead of the smallest id —
+    what a real pipeline does so boilerplate-stripped originals beat
+    their mirrored copies. Composition of three existing stages
+    (LSH pairs → contraction components → per-cluster argmax window);
+    the quality ROUNDS BEFORE ranking so the argmax is cross-engine
+    deterministic. Output: one row per multi-doc cluster."""
+    from paqarin_spark.functions.text import quality_score
+    from paqarin_spark.operators import duplicate_clusters
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_lsh_pairs(
+        docs, "text", "doc_id", num_hashes=4, band_size=2, shingle_n=3
+    )
+    clusters = duplicate_clusters(pairs, algorithm="contract")
+    q = docs.select(
+        "doc_id", F.round(quality_score(F.col("text")), 6).alias("quality")
+    )
+    members = clusters.join(q, clusters.doc == q.doc_id)
+    w = Window.partitionBy("cluster_rep").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    return (
+        members.withColumn("_rk", F.row_number().over(w))
+        .groupBy("cluster_rep")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max(F.when(F.col("_rk") == 1, F.col("doc_id"))).alias(
+                "kept_doc_id"
+            ),
+            F.max(F.when(F.col("_rk") == 1, F.col("quality"))).alias(
+                "kept_quality"
+            ),
+        )
+        .orderBy("cluster_rep")
+    )
+
+
+TX37_SQL = f"""
+WITH RECURSIVE pairs AS ({TX6_SQL.replace("ORDER BY 1, 2", "")}),
+sym AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(node, r) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT e.src, re.r FROM sym e JOIN reach re ON e.dst = re.node
+),
+comp AS (
+  SELECT node AS doc, MIN(r) AS cluster_rep FROM reach GROUP BY 1
+),
+q AS (
+  SELECT doc_id,
+         ROUND((LEAST(len({_TOKS_SQL}) / 100.0, 1.0)
+                + length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                  / GREATEST(length(text), 1)
+                + len(list_filter({_TOKS_SQL},
+                      x -> list_contains({_STOPWORDS_SQL}, x)))
+                  / GREATEST(len({_TOKS_SQL}), 1)) / 3.0, 6) AS quality
+  FROM documents
+),
+m AS (
+  SELECT c.cluster_rep, c.doc, q.quality,
+         ROW_NUMBER() OVER (PARTITION BY c.cluster_rep
+                            ORDER BY q.quality DESC, c.doc) AS rk
+  FROM comp c JOIN q ON c.doc = q.doc_id
+)
+SELECT cluster_rep,
+       COUNT(*) AS n_members,
+       MAX(CASE WHEN rk = 1 THEN doc END) AS kept_doc_id,
+       MAX(CASE WHEN rk = 1 THEN quality END) AS kept_quality
+FROM m GROUP BY 1 ORDER BY 1
+"""
+
+
 def tx14_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling (the mixture-building step of
     a corpus pipeline): 5 docs per source by seeded hash rank — stable
@@ -7553,13 +7633,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "em15_retrieval_topk": em15_retrieval_topk,
     "ev8_coverage_metric": ev8_coverage_metric,
     "tx36_ingest_novelty": tx36_ingest_novelty,
+    "tx37_quality_dedup_keep": tx37_quality_dedup_keep,
     "ev1_pipeline_summary": ev1_pipeline_summary,
     "ev5_forecast_backtest": ev5_forecast_backtest,
     "em2_lsh_topk": em2_lsh_topk,
     "gen4_conditional_sample": gen4_conditional_sample,
     "ev2_univariate_summary": ev2_univariate_summary,
     # --- round-3-verified regression sentinels (one per family) ---
-    "tx19_normalized_dedup": tx19_normalized_dedup,
     "em8_ivf_multiprobe": em8_ivf_multiprobe,
     "em9_embed_clusters": em9_embed_clusters,
     "mm6_png_resize": mm6_png_resize,
@@ -7605,6 +7685,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx22_contamination": tx22_contamination,
     "q63_nation_profit": q63_nation_profit,
     "tx20_corpus_curation": tx20_corpus_curation,
+    "tx19_normalized_dedup": tx19_normalized_dedup,
     "q65_cold_customers": q65_cold_customers,
     "gen2_gaussian_sample": gen2_gaussian_sample,
     "gen1_bootstrap_sample": gen1_bootstrap_sample,
@@ -7852,6 +7933,7 @@ ORACLE_SQL: dict[str, str] = {
     "em15_retrieval_topk": EM15_SQL,
     "ev8_coverage_metric": EV8_SQL,
     "tx36_ingest_novelty": TX36_SQL,
+    "tx37_quality_dedup_keep": TX37_SQL,
     "ev6_ks_fidelity": EV6_SQL,
     "st10_stream_count_min": ST10_SQL,
     "q75_grouping_sets": Q75_SQL,
