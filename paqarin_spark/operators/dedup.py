@@ -937,17 +937,20 @@ def ingest_novelty(
             ),
         )
     )
+    # Coalesce BEFORE the verdict: a zero-shingle doc's containment is
+    # NULL off the left join, and NULL >= threshold is NULL (falsy) —
+    # the verdict must judge the same 0.0 the output row reports.
+    joined = exact.join(contained, on=id_column, how="left").select(
+        F.col(id_column),
+        F.col("_exact"),
+        F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+        F.coalesce("containment", F.lit(0.0)).alias("containment"),
+    )
     verdict = (
         F.when(F.col("_exact") == 1, F.lit("exact_dup"))
         .when(F.col("containment") >= near_threshold, F.lit("near_dup"))
         .otherwise(F.lit("novel"))
     )
-    return (
-        exact.join(contained, on=id_column, how="left")
-        .select(
-            id_column,
-            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
-            F.coalesce("containment", F.lit(0.0)).alias("containment"),
-            verdict.alias("verdict"),
-        )
+    return joined.select(
+        id_column, "n_shingles", "containment", verdict.alias("verdict")
     )

@@ -1395,12 +1395,15 @@ def ev8_coverage_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
     that complements ev4 (categorical TVD) and ev6 (marginal KS):
     per-sequence sums of gen1's bootstrap samples are compared
     against the real stride-1 window-sum population. precision =
-    fraction of synthetic sums inside the real support
-    [min, max]; bin_recall = of the 10 equal-width bins over the real
-    support that contain at least one REAL sum, the fraction also hit
-    by a synthetic sum (mode collapse shows up here long before the
-    mean drifts). Equal-width bins are pure arithmetic — no global
-    sort — and every number replays in SQL."""
+    fraction of synthetic sums inside the real support [min, max]
+    (out-of-support on EITHER side counts against it); bin_recall =
+    of the 10 equal-width bins over the real support, the fraction
+    hit by an in-support synthetic sum (mode collapse shows up here
+    long before the mean drifts). Sums ROUND to 6dp before every
+    comparison — window-sum fold order differs between engines in
+    the last ulp, and an unrounded value sitting on a bin edge would
+    flip the bin nondeterministically. Equal-width bins are pure
+    arithmetic — no global sort — and every number replays in SQL."""
     from paqarin_spark.generators import BlockBootstrapGenerator
 
     ev = _events(spark, sf_dir)
@@ -1408,8 +1411,11 @@ def ev8_coverage_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
     synth_sums = (
         gen.generate(50)
         .select(
-            F.aggregate(
-                "sequence", F.lit(0.0), lambda acc, s: acc + s["value"]
+            F.round(
+                F.aggregate(
+                    "sequence", F.lit(0.0), lambda acc, s: acc + s["value"]
+                ),
+                6,
             ).alias("s")
         )
     )
@@ -1418,9 +1424,9 @@ def ev8_coverage_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
     real_sums = (
         ev.select(
             "user_id",
-            F.sum("value")
-            .over(w.rowsBetween(Window.currentRow, 7))
-            .alias("s"),
+            F.round(
+                F.sum("value").over(w.rowsBetween(Window.currentRow, 7)), 6
+            ).alias("s"),
             F.row_number().over(w).alias("_rn"),
             F.count(F.lit(1)).over(Window.partitionBy("user_id")).alias("_n"),
         )
@@ -1430,37 +1436,35 @@ def ev8_coverage_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds = real_sums.agg(
         F.min("s").alias("_lo"), F.max("s").alias("_hi")
     )
-    # bin k = floor(10 * (s - lo) / (hi - lo)), clamped to 9 at s = hi
+    in_support = (F.col("s") >= F.col("_lo")) & (F.col("s") <= F.col("_hi"))
+    # bin over the real support only: s == hi folds into bin 9 (the
+    # half-open top bin closes); out-of-support rows get NO bin — the
+    # earlier clamp-then-filter form silently binned above-max sums
+    # into bin 9, blinding precision to high drift entirely.
+    bin_col = F.when(
+        in_support,
+        F.least(
+            F.floor(
+                F.lit(10.0)
+                * (F.col("s") - F.col("_lo"))
+                / (F.col("_hi") - F.col("_lo"))
+            ),
+            F.lit(9),
+        ),
+    )
+
     def binned(df):
-        return (
-            df.crossJoin(F.broadcast(bounds))
-            .select(
-                F.least(
-                    F.floor(
-                        F.lit(10.0)
-                        * (F.col("s") - F.col("_lo"))
-                        / (F.col("_hi") - F.col("_lo"))
-                    ),
-                    F.lit(9),
-                ).alias("bin"),
-                "s",
-            )
+        return df.crossJoin(F.broadcast(bounds)).select(
+            bin_col.alias("bin"), in_support.cast("int").alias("_ok")
         )
 
     real_bins = binned(real_sums)
     synth_bins = binned(synth_sums)
     rb = real_bins.select("bin").distinct()
-    sb = synth_bins.select("bin").where(
-        (F.col("bin") >= 0) & (F.col("bin") <= 9)
-    ).distinct()
+    sb = synth_bins.where(F.col("_ok") == 1).select("bin").distinct()
     hit = rb.join(sb, "bin")
-    prec = (
-        synth_bins.agg(
-            F.count(F.lit(1)).alias("_n"),
-            F.sum(
-                ((F.col("bin") >= 0) & (F.col("bin") <= 9)).cast("int")
-            ).alias("_in"),
-        )
+    prec = synth_bins.agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("_ok").alias("_in")
     )
     return (
         real_sums.agg(F.count(F.lit(1)).alias("n_real_windows"))
@@ -1486,8 +1490,8 @@ WITH r AS (
          COUNT(*) OVER (PARTITION BY user_id) AS cnt
   FROM events
 ), rsums AS (
-  SELECT SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                          ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS s
+  SELECT ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING), 6) AS s
   FROM events
   QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
           <= COUNT(*) OVER (PARTITION BY user_id) - 7
@@ -1499,8 +1503,8 @@ WITH r AS (
     FROM r WHERE p <= cnt - 8
   ) ORDER BY rk LIMIT 50
 ), ssums AS (
-  SELECT SUM((r2.value - mm.mn) / (mm.mx - mm.mn) * (mm.mx - mm.mn) + mm.mn)
-           AS s
+  SELECT ROUND(SUM((r2.value - mm.mn) / (mm.mx - mm.mn) * (mm.mx - mm.mn)
+                   + mm.mn), 6) AS s
   FROM top t CROSS JOIN (SELECT UNNEST(range(8)) AS step) st
   JOIN r r2 ON r2.user_id = t.user_id AND r2.p = t.w + st.step
   CROSS JOIN mm
@@ -1512,19 +1516,21 @@ WITH r AS (
                         / ((SELECT hi FROM bounds) - (SELECT lo FROM bounds))),
                         9) AS bin
   FROM rsums
-), sbinned AS (
-  SELECT LEAST(FLOOR(10.0 * (s - (SELECT lo FROM bounds))
-               / ((SELECT hi FROM bounds) - (SELECT lo FROM bounds))), 9)
-           AS bin
+), sflag AS (
+  SELECT s,
+         CASE WHEN s >= (SELECT lo FROM bounds)
+               AND s <= (SELECT hi FROM bounds) THEN 1 ELSE 0 END AS ok
   FROM ssums
 ), sbins AS (
-  SELECT DISTINCT bin FROM sbinned WHERE bin >= 0 AND bin <= 9
+  SELECT DISTINCT LEAST(FLOOR(10.0 * (s - (SELECT lo FROM bounds))
+                        / ((SELECT hi FROM bounds) - (SELECT lo FROM bounds))),
+                        9) AS bin
+  FROM sflag WHERE ok = 1
 )
 SELECT (SELECT COUNT(*) FROM rsums) AS n_real_windows,
-       (SELECT CAST(COUNT(*) AS BIGINT) FROM sbinned) AS n_synth,
-       ROUND((SELECT SUM(CASE WHEN bin >= 0 AND bin <= 9 THEN 1 ELSE 0 END)
-              FROM sbinned) * 1.0
-             / (SELECT COUNT(*) FROM sbinned), 6) AS precision,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM sflag) AS n_synth,
+       ROUND((SELECT SUM(ok) FROM sflag) * 1.0
+             / (SELECT COUNT(*) FROM sflag), 6) AS precision,
        ROUND((SELECT COUNT(*) FROM rbins r JOIN sbins s ON r.bin = s.bin)
              * 1.0 / (SELECT COUNT(*) FROM rbins), 6) AS bin_recall
 """
@@ -3473,6 +3479,16 @@ _SHINGLES_SQL = (
     "i -> array_to_string(list_slice({t}, i, i + 2), ' ')))"
 ).format(t=_TOKS_SQL)
 _STOPWORDS_SQL = "['the','and','of','to','in','is','that','it','a','an','for','on','with','as','at']"
+# The tx1 composite quality heuristic, ONE definition for every oracle
+# that scores documents (tx1/tx10/tx20/em6/tx37) — mirrors
+# functions.text.quality_score; edit both together.
+_QUALITY_SQL = (
+    "ROUND((LEAST(len({t}) / 100.0, 1.0) "
+    "+ length(regexp_replace(text, '[^A-Za-z]', '', 'g')) "
+    "/ GREATEST(length(text), 1) "
+    "+ len(list_filter({t}, x -> list_contains({s}, x))) "
+    "/ GREATEST(len({t}), 1)) / 3.0, 6)"
+).format(t=_TOKS_SQL, s=_STOPWORDS_SQL)
 
 
 def tx1_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3490,10 +3506,7 @@ SELECT doc_id,
              / GREATEST(length(text), 1), 6) AS alpha_ratio,
        ROUND(len(list_filter({_TOKS_SQL}, x -> list_contains({_STOPWORDS_SQL}, x)))
              / GREATEST(len({_TOKS_SQL}), 1), 6) AS stopword_ratio,
-       ROUND((LEAST(len({_TOKS_SQL}) / 100.0, 1.0)
-              + length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / GREATEST(length(text), 1)
-              + len(list_filter({_TOKS_SQL}, x -> list_contains({_STOPWORDS_SQL}, x)))
-                / GREATEST(len({_TOKS_SQL}), 1)) / 3.0, 6) AS quality,
+       {_QUALITY_SQL} AS quality,
        md5(array_to_string({_TOKS_SQL}, ' ')) AS fingerprint
 FROM documents ORDER BY doc_id
 """
@@ -4995,12 +5008,7 @@ comp AS (
 ),
 q AS (
   SELECT doc_id,
-         ROUND((LEAST(len({_TOKS_SQL}) / 100.0, 1.0)
-                + length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
-                  / GREATEST(length(text), 1)
-                + len(list_filter({_TOKS_SQL},
-                      x -> list_contains({_STOPWORDS_SQL}, x)))
-                  / GREATEST(len({_TOKS_SQL}), 1)) / 3.0, 6) AS quality
+         {_QUALITY_SQL} AS quality
   FROM documents
 ),
 m AS (
@@ -5070,10 +5078,7 @@ def em6_label_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 EM6_SQL = f"""
 WITH q AS (
   SELECT doc_id,
-         ROUND((LEAST(len({_TOKS_SQL}) / 100.0, 1.0)
-                + length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / GREATEST(length(text), 1)
-                + len(list_filter({_TOKS_SQL}, x -> list_contains({_STOPWORDS_SQL}, x)))
-                  / GREATEST(len({_TOKS_SQL}), 1)) / 3.0, 6) AS quality
+         {_QUALITY_SQL} AS quality
   FROM documents
 )
 SELECT label, COUNT(*) AS n_docs,
@@ -5134,10 +5139,7 @@ def tx10_quality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 TX10_SQL = f"""
 WITH q AS (
   SELECT doc_id, source,
-         ROUND((LEAST(len({_TOKS_SQL}) / 100.0, 1.0)
-                + length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / GREATEST(length(text), 1)
-                + len(list_filter({_TOKS_SQL}, x -> list_contains({_STOPWORDS_SQL}, x)))
-                  / GREATEST(len({_TOKS_SQL}), 1)) / 3.0, 6) AS quality
+         {_QUALITY_SQL} AS quality
   FROM documents
 )
 SELECT source, COUNT(*) AS n_kept, ROUND(AVG(quality), 6) AS avg_quality
@@ -5847,10 +5849,7 @@ def tx20_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 TX20_SQL = f"""
 WITH q AS (
   SELECT doc_id, source,
-         ROUND((LEAST(len({_TOKS_SQL}) / 100.0, 1.0)
-                + length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / GREATEST(length(text), 1)
-                + len(list_filter({_TOKS_SQL}, x -> list_contains({_STOPWORDS_SQL}, x)))
-                  / GREATEST(len({_TOKS_SQL}), 1)) / 3.0, 6) AS quality,
+         {_QUALITY_SQL} AS quality,
          CASE WHEN len({_TOKS_SQL}) > 2
               THEN ROUND(1 - len({_SHINGLES_SQL})
                              / CAST(len({_TOKS_SQL}) - 2 AS DOUBLE), 6)

@@ -322,7 +322,11 @@ def compact_parquet(
     df = spark.read.parquet(in_path)
     df.repartition(n_out).write.mode("overwrite").parquet(out_path)
     out_p = jvm.org.apache.hadoop.fs.Path(out_path)
-    out_it = fs.listFiles(out_p, True)
+    # the output may live on a DIFFERENT filesystem/scheme than the
+    # input (hdfs -> s3a compaction is the common migration shape) —
+    # resolve its own FS rather than reusing the input's
+    out_fs = out_p.getFileSystem(conf)
+    out_it = out_fs.listFiles(out_p, True)
     n_written = 0
     while out_it.hasNext():
         if out_it.next().getPath().getName().endswith(".parquet"):
