@@ -68,6 +68,7 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q01_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op C1: first-appearance surrogate keys per entity (operators.keys.add_surrogate_key; reference paqarin/utils/data_utils.py:25-28)."""
     ev = _events(spark, sf_dir)
     keyed = add_surrogate_key(ev, ["user_id"], ["ts", "event_id"])
     return keyed.select(
@@ -96,6 +97,7 @@ ORDER BY e.event_id
 
 
 def q02_daily_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op D1: per-entity daily bucket sums (operators.resample.time_bucket_sum; reference utils/data_utils.py:43-58 resample path)."""
     ev = _events(spark, sf_dir)
     agg = time_bucket_sum(ev, EVENTS_SCHEMA, bucket_column="bucket")
     return agg.select(
@@ -118,6 +120,7 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
 
 
 def q03_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ops C2/F1/G7: dense daily calendar left-join with zero fill (operators.resample.calendar_fill — the reference's normalise_sequences data path)."""
     ev = _events(spark, sf_dir)
     filled = calendar_fill(ev, EVENTS_SCHEMA, fill_value=0.0)
     return filled.select(
@@ -152,6 +155,7 @@ ORDER BY 1, 2
 
 
 def q04_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ops D3/G4: global min-max fit + transform as pure expressions (operators.scaling.MinMaxScaler; reference adapters/ydata_adapter.py:233-239)."""
     ev = _events(spark, sf_dir)
     stats = ev.agg(F.min("value").alias("_mn"), F.max("value").alias("_mx"))
     return (
@@ -178,6 +182,7 @@ ORDER BY event_id
 
 
 def q05_window_starts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op F3 projection: valid stride-1 window-start ordinals per entity (operators.windows.window_starts)."""
     ev = _events(spark, sf_dir)
     return window_starts(ev, EVENTS_SCHEMA, sequence_length=8).select(
         "user_id", F.col("win_start").cast("long").alias("win_start")
@@ -201,6 +206,7 @@ ORDER BY user_id, win_start
 
 
 def q06_tail_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op F4: drop each entity's last prediction_length steps (operators.windows.tail_trim; reference metrics/univariate_metrics.py:421-432)."""
     ev = _events(spark, sf_dir)
     return tail_trim(ev, EVENTS_SCHEMA, prediction_length=7).select("event_id")
 
@@ -219,6 +225,7 @@ SELECT event_id FROM (
 
 
 def q07_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op E2: keep-first dedup on (entity, ts) by arrival order (operators.dedup.keep_first)."""
     ev = _events(spark, sf_dir)
     return keep_first(ev, ["user_id", "ts"], ["event_id"]).select("event_id")
 
@@ -237,6 +244,7 @@ SELECT event_id FROM (
 
 
 def q08_metric_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ops I2/I3/D5: metric registry summary with population stddev (metrics.registry.MetricManager; reference evaluation.py:125-140)."""
     ev = _events(spark, sf_dir)
     schema = EVENTS_SCHEMA
     daily = ev.groupBy(
@@ -265,6 +273,7 @@ FROM m GROUP BY 1 ORDER BY 1
 
 
 def q09_lag_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op I1: MAE of the naive lag-1 forecaster over daily sums (metrics mae expression; reference metrics/multivariate_metrics.py:219-230)."""
     ev = _events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     with_pred = ev.withColumn("pred", F.lag("value").over(w)).where(
@@ -289,6 +298,7 @@ SELECT ROUND(AVG(ABS(value - pred)), 6) AS mae FROM (
 
 
 def q10_weekend_covariate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op G6: ISO weekend indicator covariate (functions.is_weekend; Sun=1/Sat=7 remap pinned against the reference)."""
     ev = _events(spark, sf_dir)
     return ev.groupBy("user_id").agg(
         F.sum(is_weekend(F.col("ts"))).cast("long").alias("weekend_events"),
@@ -310,6 +320,7 @@ FROM events GROUP BY 1 ORDER BY 1
 
 
 def q11_positional_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op H1: deterministic train/valid/test positional split (operators.windows.positional_split; reference metrics/multivariate_metrics.py:39-82)."""
     ev = _events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     per_user = Window.partitionBy("user_id")
@@ -348,6 +359,7 @@ SELECT user_id, split, COUNT(*) AS n_rows FROM s GROUP BY 1, 2 ORDER BY 1, 2
 
 
 def q12_forecast_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op F5: prediction_length future ticks per entity after each series end (operators.windows.forecast_horizon; reference univariate_metrics.py:384-405)."""
     ev = _events(spark, sf_dir)
     horizon = forecast_horizon(ev, EVENTS_SCHEMA, prediction_length=7)
     return horizon.groupBy("user_id").agg(
@@ -371,6 +383,7 @@ FROM events GROUP BY 1 ORDER BY 1
 
 
 def q13_count_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ops D4/D6/E1: distinct-entity dim vs raw counts consistency (operators.keys.entity_dim)."""
     ev = _events(spark, sf_dir)
     per_entity = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
     rollup = per_entity.agg(
@@ -394,6 +407,7 @@ FROM (SELECT user_id, COUNT(*) AS c FROM events GROUP BY 1)
 
 
 def q14_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: returnflag/linestatus pricing aggregate with exact decimal sums (the q49/q75 shared-dialect anchor)."""
     configure_for_determinism(spark)
     li = read_table(spark, sf_dir, "lineitem")
     dec = "decimal(30,10)"
@@ -450,6 +464,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
 
 
 def q15_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-ish: revenue by nation through the order-customer-nation join chain (bounded dims broadcast)."""
     configure_for_determinism(spark)
     orders = read_table(spark, sf_dir, "orders")
     customer = read_table(spark, sf_dir, "customer")
@@ -486,6 +501,7 @@ GROUP BY 1 ORDER BY 1
 
 
 def q16_top_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-ish top-k parts by revenue (TakeOrderedAndProject, no global sort of the fact side)."""
     configure_for_determinism(spark)
     li = read_table(spark, sf_dir, "lineitem")
     dec = "decimal(30,10)"
@@ -527,6 +543,7 @@ FROM (
 
 
 def q17_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured scan: JSON property extraction from the events props column (get_json_object pushover)."""
     ev = _events(spark, sf_dir)
     with_k = ev.select(
         "event_type", F.get_json_object("props", "$.k").cast("long").alias("k")
@@ -549,6 +566,7 @@ FROM events GROUP BY 1 ORDER BY 1
 
 
 def q18_panel_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op F2: univariate panel transform with regular-index filter (metrics.univariate.panel_transform; reference univariate_metrics.py panel path)."""
     from paqarin_spark.metrics.univariate import panel_transform
     from paqarin_spark.schema import TimeSeriesSchema
 
@@ -602,6 +620,7 @@ ORDER BY 1, 2
 
 
 def q19_window_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op F3 consumer: per-window value sums over sliding sequences (operators.windows.sliding_windows + aggregate expression)."""
     from paqarin_spark.operators import sliding_windows
 
     ev = _events(spark, sf_dir)
@@ -637,6 +656,7 @@ ORDER BY user_id, win_start
 
 
 def q20_upsample_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op D2: calendar upsample keeping nulls (operators.resample.calendar_fill(fill_value=None) — asfreq semantics)."""
     ev = _events(spark, sf_dir)
     sparse = calendar_fill(ev, EVENTS_SCHEMA, fill_value=None)
     return sparse.groupBy("user_id").agg(
@@ -668,6 +688,7 @@ FROM observed ORDER BY 1
 
 
 def q21_minmax_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op G5: scale -> inverse-scale roundtrip equals identity at 6dp (operators.scaling inverse; reference inverse_transform contract)."""
     from paqarin_spark.operators import MinMaxScaler
 
     ev = _events(spark, sf_dir)
@@ -3492,6 +3513,7 @@ _QUALITY_SQL = (
 
 
 def tx1_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-analysis baseline: per-doc token/char/quality heuristics in one shuffle-free projection (functions.text.text_stats)."""
     docs = _docs(spark, sf_dir)
     return text_stats(docs, "text", "doc_id")
 
@@ -3513,6 +3535,7 @@ FROM documents ORDER BY doc_id
 
 
 def tx2_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-heuristic language ID via marker-word hits, argmax as one codegen expression (functions.text.predict_language)."""
     docs = _docs(spark, sf_dir)
     return docs.select("doc_id", predict_language(F.col("text")).alias("pred_lang"))
 
@@ -3542,6 +3565,7 @@ TX2_SQL = _langid_sql()
 
 
 def tx3_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: content-hash groupBy keeping the smallest id (operators.dedup.exact_duplicates) — the 100-TB first pass."""
     docs = _docs(spark, sf_dir)
     return exact_duplicates(docs, "text", "doc_id")
 
@@ -3553,6 +3577,7 @@ FROM documents GROUP BY 1 ORDER BY 1
 
 
 def tx4_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-trigram Jaccard pairs via a df-capped inverted shingle index — no all-pairs join (operators.dedup.ngram_jaccard_pairs)."""
     docs = _docs(spark, sf_dir)
     return ngram_jaccard_pairs(
         docs, "text", "doc_id", n=3, threshold=0.2, max_doc_frequency=50
@@ -3588,6 +3613,7 @@ ORDER BY 1, 2
 
 
 def tx5_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures from portable md5 hashes per shingle (operators.dedup.minhash_signatures) — layout-independent sketch rows."""
     docs = _docs(spark, sf_dir)
     return minhash_signatures(docs, "text", "doc_id", num_hashes=4, shingle_n=3)
 
@@ -3606,6 +3632,7 @@ FROM sh GROUP BY 1 ORDER BY 1
 
 
 def tx6_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs via band-bucket equi-joins (operators.dedup.minhash_lsh_pairs) — the near-dup discovery shuffle shape."""
     docs = _docs(spark, sf_dir)
     return minhash_lsh_pairs(
         docs, "text", "doc_id", num_hashes=4, band_size=2, shingle_n=3
@@ -3734,6 +3761,7 @@ ORDER BY 1, 2
 
 
 def tx7_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprints from token md5s (operators.dedup.simhash) — the Hamming-distance dedup sketch."""
     docs = _docs(spark, sf_dir)
     return simhash(docs, "text", "doc_id")
 
@@ -3776,6 +3804,7 @@ TX7_SQL = _simhash_sql()
 
 
 def em1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-5 over embeddings via the block-matrix BLAS kernel (operators.similarity.cosine_topk)."""
     configure_for_determinism(spark)
     emb = read_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
@@ -4094,6 +4123,7 @@ SELECT generator, avg_metric FROM (
 
 
 def tx8_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling document fingerprints (polynomial hash over token stream, functions.text) — the shard-stable content signature."""
     from paqarin_spark.functions.text import rolling_hash
 
     docs = _docs(spark, sf_dir)
@@ -4158,6 +4188,7 @@ GROUP BY 1 ORDER BY 1
 
 
 def em3_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine near-dup pairs above threshold, canonical a<b order (operators.similarity.cosine_dedup_pairs)."""
     from paqarin_spark.operators import cosine_dedup_pairs
 
     configure_for_determinism(spark)
@@ -4190,6 +4221,7 @@ SELECT id_a, id_b, cos_sim FROM (
 
 
 def em4_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-probe IVF approximate top-k: nearest-centroid cells bound each query's candidate set (operators.similarity.ivf_topk)."""
     from paqarin_spark.operators import ivf_topk
 
     configure_for_determinism(spark)
