@@ -106,3 +106,50 @@ def test_markov_generator_empty_fit_raises_cleanly(spark):
     assert gen.initial == {} and gen.transitions == {}
     with pytest.raises(RuntimeError, match="empty relation"):
         gen.generate(3)
+
+
+def test_round4_operators_on_empty_inputs(spark):
+    """Round-4 operator surface: empty batches/corpora/streams are
+    routine at scale — every new operator must degrade to an empty
+    (or zero-valued) result with the right schema, not crash."""
+    from pyspark.sql import functions as F
+
+    from paqarin_spark.operators import (
+        count_min_counters,
+        count_min_estimates,
+        hll_estimate,
+        ingest_novelty,
+        weighted_sample,
+    )
+
+    empty_s = spark.createDataFrame([], "v string")
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+
+    # sketches
+    assert hll_estimate(empty_s, "v", p=10).first()["n_distinct_est"] == 0.0
+    assert count_min_counters(empty_s, "v", depth=2, width=8).count() == 0
+    cand = spark.createDataFrame([("x",)], "v string")
+    est = count_min_estimates(empty_s, "v", cand, "v", depth=2, width=8)
+    assert est.collect()[0]["cm_estimate"] == 0
+    wdf = spark.createDataFrame([], "doc_id long, w double")
+    assert weighted_sample(wdf, "doc_id", "w", k=5).count() == 0
+
+    # ingest manifest: empty batch -> empty manifest; empty corpus ->
+    # everything novel with containment 0
+    assert ingest_novelty(empty_docs, docs, "text", "doc_id").count() == 0
+    rows = ingest_novelty(docs, empty_docs, "text", "doc_id").collect()
+    assert len(rows) == 1 and rows[0]["verdict"] == "novel"
+    assert rows[0]["containment"] == 0.0
+
+
+def test_kmeans_empty_input_raises_cleanly(spark):
+    from paqarin_spark.operators import kmeans_lloyd
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    # init over an empty frame yields no centroids; the E-step then has
+    # nothing to assign — an empty assignment, not a crash
+    assign, cent = kmeans_lloyd(empty, "vec_id", "embedding", k=2, iterations=1)
+    assert assign.count() == 0 and cent.count() == 0
