@@ -7643,12 +7643,16 @@ SELECT generator, avg_forecast_mae, std_forecast_mae FROM (
 # least one green driver row from rounds 1-2 and stays covered by the
 # local sf0.001/sf0.01 gate (tools/check_oracle.py).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- round-4 rotation, never verified by the driver on their
-    # CURRENT oracles: mm10 is new; ev1 gained its first value oracle
-    # (was rows-only); ev5 was added after the r3 window closed; em2's
-    # emitted rows changed with the sign-plane switch; gen4/ev2's
-    # oracles were upgraded to full value replays after their last
-    # driver row. ---
+    # --- round-4 rotation: everything from here to ev2 has never
+    # been driver-verified on its CURRENT oracle. The 16 round-4
+    # ADDITIONS (mm10 MP4 sample tables; q73/tx33/st9/st10 sketches;
+    # tx34 perplexity buckets; tx35 weighted sample; q74/q75 TPC-H
+    # shapes; em14 k-means; em15 cross-table retrieval; ev6/ev8
+    # fidelity metrics; tx36 ingest manifest; tx37 quality dedup;
+    # gen6 executing neural provider — rows-only BY DESIGN, the one
+    # query without an oracle) come first; then the five r3-late
+    # oracle upgrades (ev1's first value oracle, ev5 post-window,
+    # em2 sign-plane switch, gen4/ev2 full value replays). ---
     "mm10_mp4_sample_table": mm10_mp4_sample_table,
     "q73_hll_distinct": q73_hll_distinct,
     "tx33_count_min_tokens": tx33_count_min_tokens,
