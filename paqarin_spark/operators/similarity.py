@@ -834,7 +834,11 @@ def kmeans_lloyd(
     md5-rank init (the k vectors with the smallest md5('kmeans#id#seed')
     seed the clusters, numbered 0..k-1 in rank order) — the same
     no-convergence-threshold contract as operators.graph.pagerank, so
-    an oracle can unroll the exact rounds in SQL CTEs.
+    an oracle can unroll the exact rounds in SQL CTEs. Deliberate
+    sibling of :func:`ivf_topk`'s ``centroids="kmeans"`` MLlib path:
+    MLlib is the convergence-driven library quantizer; this one
+    trades convergence control for bit-replayability (em14) and
+    layout-independence.
 
     Per round: E-step = exploded-dims join against the BROADCAST k×d
     centroid table, squared-L2 via order-independent decimal sums
