@@ -328,6 +328,8 @@ class MLPLagForecaster:
             .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
             .collect()[0]
         )
+        if not agg["n"]:  # F.sum over zero rows yields NULL
+            raise ValueError("cannot evaluate on an empty test set")
         return float(agg["s"] / agg["n"])
 
 

@@ -357,6 +357,7 @@ def duplicate_clusters(
         .persist()
     )
     prev_sum = None
+    converged = False
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
@@ -391,8 +392,46 @@ def duplicate_clusters(
         labels.unpersist()
         labels = new_labels
         if label_sum == prev_sum:
+            converged = True
             break
         prev_sum = label_sum
+    if not converged:
+        # Budget exhausted before the fixpoint (deep-diameter graph —
+        # e.g. a chain longer than max_iterations). Never return a
+        # partial labeling: contract the graph through the partial
+        # labels (connectivity-preserving — every node is connected to
+        # its current label by construction), finish the much smaller
+        # residual on the shape-independent star algorithm, and
+        # compose — the same guarantee `contract` gives.
+        la = labels.select(
+            F.col("node").alias("src"), F.col("label").alias("_la")
+        )
+        lb = labels.select(
+            F.col("node").alias("dst"), F.col("label").alias("_lb")
+        )
+        residual = (
+            edges.join(la, on="src")
+            .join(lb, on="dst")
+            .where(F.col("_la") != F.col("_lb"))
+            .select(
+                F.least("_la", "_lb").alias("id_a"),
+                F.greatest("_la", "_lb").alias("id_b"),
+            )
+            .distinct()
+        )
+        star = _duplicate_clusters_star(
+            residual, "id_a", "id_b", max(max_iterations, 64)
+        )
+        labels = (
+            labels.join(star, labels.label == star.doc, "left")
+            .select(
+                F.col("node"),
+                F.coalesce(F.col("cluster_rep"), F.col("label")).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint()
+        )
     edges.unpersist()
     out = labels.select(
         F.col("node").alias("doc"), F.col("label").alias("cluster_rep")
@@ -555,7 +594,10 @@ def _duplicate_clusters_star(
         .localCheckpoint()
     )
     checksum = _edge_checksum(edges)
+    converged = edges.isEmpty()
     for _ in range(max_rounds):
+        if converged:
+            break
         sym = edges.unionByName(
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         ).distinct()
@@ -597,8 +639,20 @@ def _duplicate_clusters_star(
         large.unpersist()
         edges = new_edges
         if new_checksum == checksum:
+            converged = True
             break
         checksum = new_checksum
+    if not converged:
+        # Star rounds are O(log² component-size) regardless of shape,
+        # so exhausting the budget means the caller passed a bound far
+        # below any realistic need. A partial star forest would
+        # silently violate the "rep == component minimum" contract —
+        # fail loudly instead.
+        raise RuntimeError(
+            "duplicate_clusters(star) did not reach its fixpoint in "
+            f"{max_rounds} rounds; raise max_iterations (star needs "
+            "O(log^2 n) rounds — 64 covers any realistic graph)"
+        )
     # Converged: edges are (node, component_min) stars. The roots
     # label themselves, matching the label-propagation contract.
     out = edges.select(

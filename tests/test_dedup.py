@@ -329,3 +329,34 @@ def test_ingest_novelty_verdicts(spark):
     assert out[11]["containment"] == pytest.approx(0.4)
     assert out[12]["verdict"] == "novel"
     assert out[12]["containment"] == 0.0
+
+
+def test_duplicate_clusters_label_finishes_past_budget(spark):
+    """A chain deeper than max_iterations must NOT return a partial
+    labeling: the label path detects the missed fixpoint and finishes
+    the contracted residual on the star algorithm (ADVICE r4)."""
+    from paqarin_spark.operators import duplicate_clusters
+
+    n = 40  # diameter 39 >> 3 rounds of min-label propagation
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+    )
+    got = {
+        r["doc"]: r["cluster_rep"]
+        for r in duplicate_clusters(pairs, max_iterations=3).collect()
+    }
+    assert got == {i: 0 for i in range(n + 1)}
+
+
+def test_duplicate_clusters_star_raises_on_exhausted_budget(spark):
+    """Star is the shape-independent finisher — if ITS budget runs out
+    it must fail loudly, never return a partial star forest."""
+    import pytest
+
+    from paqarin_spark.operators import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        duplicate_clusters(pairs, max_iterations=1, algorithm="star").collect()

@@ -186,3 +186,23 @@ def test_ridge_tstr_ranks_faithful_generator_first(training):
     }
     assert by_gen["bootstrap"] < by_gen["noise"]
     pipe.unpersist()
+
+
+def test_mlp_evaluate_mae_empty_test_raises(spark):
+    """evaluate_mae on an empty test frame must raise a clear error,
+    not an opaque None/None TypeError (ADVICE r4)."""
+    import pytest
+
+    from paqarin_spark.evaluation import MLPLagForecaster
+
+    train = spark.createDataFrame(
+        [
+            ([{"v": 0.1}, {"v": 0.2}], {"v": 0.3}),
+            ([{"v": 0.2}, {"v": 0.3}], {"v": 0.4}),
+            ([{"v": 0.3}, {"v": 0.4}], {"v": 0.5}),
+        ],
+        "features array<struct<v double>>, label struct<v double>",
+    )
+    f = MLPLagForecaster(["v"], epochs=1, hidden=4).fit(train)
+    with pytest.raises(ValueError, match="empty test set"):
+        f.evaluate_mae(train.limit(0))

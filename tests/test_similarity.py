@@ -407,7 +407,8 @@ def test_kmeans_blas_path_matches_expr_path(spark):
         ).alias("embedding"),
     )
     a_expr, c_expr = kmeans_lloyd(
-        df, "vec_id", "embedding", k=3, iterations=2, seed=2
+        df, "vec_id", "embedding", k=3, iterations=2, seed=2,
+        assignment="expr",
     )
     a_blas, c_blas = kmeans_lloyd(
         df, "vec_id", "embedding", k=3, iterations=2, seed=2,
@@ -421,3 +422,29 @@ def test_kmeans_blas_path_matches_expr_path(spark):
     cb = {(r["cluster"], r["dim"]): r["c"] for r in c_blas.collect()}
     assert ce.keys() == cb.keys()
     assert all(abs(ce[k] - cb[k]) < 1e-9 for k in ce)
+
+
+def test_cosine_topk_cross_table_id_collision(spark):
+    """In cross-table mode (explicit `queries`) the query and corpus id
+    spaces are unrelated — a corpus vector sharing an id with a query
+    must still be a candidate (ADVICE r4); only self-kNN masks the
+    self match."""
+    import pyspark.sql.functions as F
+
+    from paqarin_spark.operators import cosine_topk
+    from paqarin_spark.operators.similarity import cosine_topk_expr
+
+    corpus = spark.createDataFrame(
+        [(5, [1.0, 0.0]), (6, [0.0, 1.0])], "vec_id long, v array<double>"
+    )
+    queries = spark.createDataFrame(
+        [(5, [1.0, 0.0])], "vec_id long, v array<double>"
+    )
+    for fn in (cosine_topk, cosine_topk_expr):
+        rows = fn(corpus, "vec_id", "v", k=1, queries=queries).collect()
+        assert len(rows) == 1
+        # corpus id 5 is the true nearest neighbor despite the collision
+        assert rows[0]["neighbor_id"] == 5 and rows[0]["cos_sim"] == 1.0
+    # self-kNN still excludes the trivial self match
+    rows = cosine_topk(corpus, "vec_id", "v", k=1).collect()
+    assert all(r["query_id"] != r["neighbor_id"] for r in rows)
