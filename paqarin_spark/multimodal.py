@@ -15,8 +15,12 @@ dequantization, IDCT, 4:2:0 upsample, JFIF color transform) are
 decoded for REAL by pure-python parsers — no external libraries — so
 width/height/sample_rate/n_samples/pixels come from the bytes, not
 from trusting metadata. MP4 gets a real ISO-BMFF metadata probe
-(moov/mvhd box walk); its VIDEO essence decode is the one remaining
-stub — swap in ffmpeg there, nothing else changes. Progressive JPEG
+(moov/mvhd box walk), a byte-verified stsz/stco sample table, and —
+for Motion-JPEG essence — REAL per-frame pixel decode: the sample
+table indexes baseline-JPEG frames in the mdat and the in-repo JPEG
+decoder entropy-decodes each one (:func:`mjpeg_frame_stats_from_ids`).
+Foreign inter-frame codecs (H.264/H.265/AV1) stay out of scope — swap
+in ffmpeg at that one seam, nothing else changes. Progressive JPEG
 and arithmetic coding are rejected explicitly, not mis-decoded.
 """
 
@@ -789,8 +793,8 @@ def media_table(spark, rows: list[tuple]) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# JPEG / MP4 metadata probing (real header parsers; full entropy decode
-# of JPEG scans and MP4 sample data remains stubbed — see module header)
+# JPEG / MP4 metadata probing (real header parsers; the full decode
+# paths live in paqarin_spark.jpeg and mjpeg_frame_stats_from_ids)
 
 JPEG_SOF_MARKERS = frozenset(
     range(0xC0, 0xD0)
@@ -920,8 +924,9 @@ def encode_mp4_with_samples(
     samples, laid out as one chunk. The stco entry is the absolute
     file offset of the first sample, so a reader can seek to real
     essence — the structure ffprobe/mp4dump walk, minus codec-specific
-    stsd entries (entry_count 0: the samples are opaque payloads, not
-    encoded video — entropy decode stays the stub boundary)."""
+    stsd entries (entry_count 0: the container is codec-agnostic; when
+    the samples are baseline-JPEG frames,
+    :func:`mjpeg_frame_stats_from_ids` decodes them for real)."""
     n = len(samples)
     sizes = [len(s) for s in samples]
     if duration is None:
@@ -1111,6 +1116,102 @@ def mp4_sample_stats_from_ids(df: DataFrame, id_column: str) -> DataFrame:
 
     return _spread_ids(df, id_column).mapInPandas(
         build, schema=SAMPLE_TABLE_SCHEMA
+    )
+
+
+MJPEG_STATS_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("frame_index", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("mean_r", DoubleType(), True),
+        StructField("mean_g", DoubleType(), True),
+        StructField("mean_b", DoubleType(), True),
+    ]
+)
+
+
+def mjpeg_frame_stats_from_ids(df: DataFrame, id_column: str) -> DataFrame:
+    """Motion-JPEG VIDEO ESSENCE decode through the ISO-BMFF sample
+    table — the mm10 shard-planner walk now drives real pixel decode,
+    closing the last codec stub with zero external libraries.
+
+    Build: each id becomes a container whose mdat holds
+    ``id % 3 + 2`` baseline-JPEG frames (paqarin_spark.jpeg encoder —
+    standard Annex K tables; frame k solid-colored
+    ``((7·id+19k) % 256, (13·id+5+23k) % 256, (29·id+11+31k) % 256)``
+    at ``(id%2+1)·8 × 8``; 4:4:4 when ``(id+k)`` is even, 4:2:0
+    MCU-interleaved otherwise), indexed by a real stsz/stco table
+    (:func:`encode_mp4_with_samples`).
+
+    Decode — honest, container-only: :func:`parse_mp4_sample_table`
+    byte-verifies stsz/stco, each sample is sliced out of the mdat at
+    its table offset, and ``paqarin_spark.jpeg.parse_jpeg`` runs the
+    full entropy decode → dequantize → IDCT → upsample → YCbCr→RGB
+    pipeline per frame. width/height come from each frame's SOF0,
+    the channel means from the reconstructed pixels; solid fixtures
+    keep every lossy floor(round(x,6)+0.5) step exactly predictable,
+    so the per-frame means replay in SQL (mm8's DC-quantization
+    arithmetic) even though JPEG is lossy. Arrow-batched linear scan,
+    1 asset → n_frames rows, no shuffle — at 100 TB this is the
+    frame-extraction pass that runs right after the mm10 shard plan."""
+    import numpy as np
+
+    from paqarin_spark.jpeg import encode_jpeg, parse_jpeg
+
+    cols = [f.name for f in MJPEG_STATS_SCHEMA.fields]
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid in pdf[id_column]:
+                aid = int(aid)
+                n = aid % 3 + 2
+                w, h = (aid % 2 + 1) * 8, 8
+                frames = []
+                for k in range(n):
+                    img = np.zeros((h, w, 3), dtype=np.uint8)
+                    img[..., 0] = (7 * aid + 19 * k) % 256
+                    img[..., 1] = (13 * aid + 5 + 23 * k) % 256
+                    img[..., 2] = (29 * aid + 11 + 31 * k) % 256
+                    frames.append(
+                        encode_jpeg(
+                            img,
+                            subsampling="444" if (aid + k) % 2 == 0 else "420",
+                        )
+                    )
+                content = encode_mp4_with_samples(frames)
+                # decode side: everything below reads ONLY `content`
+                table = parse_mp4_sample_table(content)
+                if table is None:
+                    continue  # malformed container: no frame rows
+                pos = table["chunk_offset"]
+                for k, sz in enumerate(table["sample_sizes"]):
+                    rec = {
+                        "asset_id": aid, "frame_index": k, "width": None,
+                        "height": None, "mean_r": None, "mean_g": None,
+                        "mean_b": None,
+                    }
+                    jpg = parse_jpeg(content[pos : pos + sz])
+                    pos += sz
+                    if jpg is not None:
+                        rec["width"] = jpg["width"]
+                        rec["height"] = jpg["height"]
+                        px = jpg["pixels"].astype(np.float64)
+                        means = (
+                            [px.mean()] * 3
+                            if px.ndim == 2
+                            else px.reshape(-1, px.shape[-1]).mean(axis=0)
+                        )
+                        rec["mean_r"] = round(float(means[0]), 6)
+                        rec["mean_g"] = round(float(means[1]), 6)
+                        rec["mean_b"] = round(float(means[2]), 6)
+                    rows.append(rec)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return _spread_ids(df, id_column).mapInPandas(
+        build, schema=MJPEG_STATS_SCHEMA
     )
 
 

@@ -4571,6 +4571,68 @@ FROM sz GROUP BY doc_id ORDER BY asset_id
 """
 
 
+def mm11_mjpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Motion-JPEG ESSENCE decode through the ISO-BMFF sample table
+    (multimodal.mjpeg_frame_stats_from_ids) — the last codec stub
+    closed: mm10's byte-verified stsz/stco walk now indexes real
+    baseline-JPEG frames inside the mdat, and each frame runs the full
+    in-repo entropy decode → dequantize → IDCT → upsample → YCbCr→RGB
+    pipeline (paqarin_spark.jpeg). 1 asset → id%3+2 frame rows, each
+    value-checked: width/height from the frame's own SOF0, channel
+    means from the reconstructed pixels, replayed in SQL via the mm8
+    DC-quantization arithmetic (solid frames keep every lossy
+    floor(round(x,6)+0.5) step exactly predictable)."""
+    from paqarin_spark.multimodal import mjpeg_frame_stats_from_ids
+
+    docs = _docs(spark, sf_dir)
+    return mjpeg_frame_stats_from_ids(docs, "doc_id").orderBy(
+        "asset_id", "frame_index"
+    )
+
+
+MM11_SQL = """
+WITH src AS (
+  SELECT doc_id AS asset_id, CAST(f.k AS BIGINT) AS frame_index,
+         (7 * doc_id + 19 * f.k) % 256 AS r,
+         (13 * doc_id + 5 + 23 * f.k) % 256 AS g,
+         (29 * doc_id + 11 + 31 * f.k) % 256 AS b
+  FROM documents, LATERAL (SELECT UNNEST(range(doc_id % 3 + 2)) AS k) f
+), ycc AS (
+  SELECT asset_id, frame_index,
+    LEAST(255, GREATEST(0,
+      FLOOR(ROUND(0.299*r + 0.587*g + 0.114*b, 6) + 0.5))) AS y,
+    LEAST(255, GREATEST(0,
+      FLOOR(ROUND(-0.168736*r - 0.331264*g + 0.5*b + 128, 6) + 0.5))) AS cb,
+    LEAST(255, GREATEST(0,
+      FLOOR(ROUND(0.5*r - 0.418688*g - 0.081312*b + 128, 6) + 0.5))) AS cr
+  FROM src
+), dq AS (
+  SELECT asset_id, frame_index,
+    LEAST(255, GREATEST(0, FLOOR(ROUND(
+      SIGN(y - 128) * FLOOR(ROUND(ABS(8*(y - 128)) / 16.0, 6) + 0.5)
+      * 16 / 8.0 + 128, 6) + 0.5))) AS y2,
+    LEAST(255, GREATEST(0, FLOOR(ROUND(
+      SIGN(cb - 128) * FLOOR(ROUND(ABS(8*(cb - 128)) / 17.0, 6) + 0.5)
+      * 17 / 8.0 + 128, 6) + 0.5))) AS cb2,
+    LEAST(255, GREATEST(0, FLOOR(ROUND(
+      SIGN(cr - 128) * FLOOR(ROUND(ABS(8*(cr - 128)) / 17.0, 6) + 0.5)
+      * 17 / 8.0 + 128, 6) + 0.5))) AS cr2
+  FROM ycc
+)
+SELECT asset_id, frame_index,
+       CAST((asset_id % 2 + 1) * 8 AS INTEGER) AS width,
+       CAST(8 AS INTEGER) AS height,
+       CAST(LEAST(255, GREATEST(0,
+         FLOOR(ROUND(y2 + 1.402*(cr2 - 128), 6) + 0.5))) AS DOUBLE) AS mean_r,
+       CAST(LEAST(255, GREATEST(0,
+         FLOOR(ROUND(y2 - 0.344136*(cb2 - 128) - 0.714136*(cr2 - 128), 6)
+               + 0.5))) AS DOUBLE) AS mean_g,
+       CAST(LEAST(255, GREATEST(0,
+         FLOOR(ROUND(y2 + 1.772*(cb2 - 128), 6) + 0.5))) AS DOUBLE) AS mean_b
+FROM dq ORDER BY asset_id, frame_index
+"""
+
+
 # --------------------------------------------------------------------------
 # MM2 — video frame-sampling fan-out (multimodal north star)
 
@@ -7653,6 +7715,8 @@ SELECT generator, avg_forecast_mae, std_forecast_mae FROM (
 # least one green driver row from rounds 1-2 and stays covered by the
 # local sf0.001/sf0.01 gate (tools/check_oracle.py).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # --- round-5 additions (never driver-verified) come first ---
+    "mm11_mjpeg_decode": mm11_mjpeg_decode,
     # --- round-4 rotation: everything from here to ev2 has never
     # been driver-verified on its CURRENT oracle. The 16 round-4
     # ADDITIONS (mm10 MP4 sample tables; q73/tx33/st9/st10 sketches;
@@ -7713,12 +7777,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q70_scd2_intervals": q70_scd2_intervals,
     "q71_cdc_merge": q71_cdc_merge,
     "q72_split_manifest": q72_split_manifest,
-    "gen3_generation_rounds": gen3_generation_rounds,
     # ------------- driver 50-entry window ends HERE (position 50) -------------
     # --- displaced this round to make room for the rotation (all
     # driver-green in r3 on these exact oracles; families still
     # represented above: tx19 clean_text, tx22 span/contamination,
     # gen3/gen4/gen5 generators, q63/q64/q66-q68 TPC-H agg/join) ---
+    "gen3_generation_rounds": gen3_generation_rounds,
     "tx23_duplicate_spans": tx23_duplicate_spans,
     "mm5_png_decode": mm5_png_decode,
     "tx21_lang_mismatch": tx21_lang_mismatch,
@@ -7968,6 +8032,7 @@ ORACLE_SQL: dict[str, str] = {
     "ev5_forecast_backtest": EV5_SQL,
     "ev1_pipeline_summary": EV1_SQL,
     "mm10_mp4_sample_table": MM10_SQL,
+    "mm11_mjpeg_decode": MM11_SQL,
     "q73_hll_distinct": Q73_SQL,
     "tx33_count_min_tokens": TX33_SQL,
     "tx34_perplexity_buckets": TX34_SQL,

@@ -431,3 +431,35 @@ def test_mp4_sample_stats_through_spark(spark):
         assert r.chunk_offset == 445 + 4 * n
         assert r.first_byte_sum == sum((aid + k) % 256 for k in range(n))
         assert r.n_bytes == 445 + 4 * n + sum(sizes)
+
+
+def test_mjpeg_frame_stats_decodes_essence_through_sample_table(spark):
+    """Motion-JPEG frames in the mdat, indexed by stsz/stco, decoded by
+    the in-repo JPEG decoder — per-frame fan-out, SOF0 dims, and exact
+    means on solid fixtures (both 4:4:4 and 4:2:0 appear per asset)."""
+    from paqarin_spark.multimodal import mjpeg_frame_stats_from_ids
+
+    ids = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    rows = mjpeg_frame_stats_from_ids(ids, "doc_id").collect()
+    # fan-out: id % 3 + 2 frames per asset
+    per = {}
+    for r in rows:
+        per.setdefault(r["asset_id"], []).append(r)
+    assert set(per) == set(range(8))
+    for aid, frames in per.items():
+        assert len(frames) == aid % 3 + 2
+        assert {f["frame_index"] for f in frames} == set(range(aid % 3 + 2))
+        # dims come from each frame's own SOF0
+        assert all(f["width"] == (aid % 2 + 1) * 8 for f in frames)
+        assert all(f["height"] == 8 for f in frames)
+    # asset 0 frame 0: RGB (0, 5, 11) — decoded means replay the
+    # DC-quantization contract (verified against the SQL oracle)
+    f00 = [r for r in rows if r["asset_id"] == 0 and r["frame_index"] == 0][0]
+    assert (f00["mean_r"], f00["mean_g"], f00["mean_b"]) == (1.0, 4.0, 11.0)
+
+
+def test_mjpeg_frame_stats_empty_input(spark):
+    from paqarin_spark.multimodal import mjpeg_frame_stats_from_ids
+
+    empty = spark.createDataFrame([], "doc_id long")
+    assert mjpeg_frame_stats_from_ids(empty, "doc_id").count() == 0
