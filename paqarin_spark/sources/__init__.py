@@ -267,6 +267,46 @@ def write_bucketed(
     writer.saveAsTable(table_name)
 
 
+def write_sorted(
+    df: DataFrame,
+    path: str,
+    sort_columns: list[str],
+    num_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """DATA-SKIPPING write path — the other half of lakehouse table
+    maintenance beside :func:`compact_parquet` (which fixes file
+    COUNT; this fixes file CONTENT layout). Rows are range-clustered
+    across files (``repartitionByRange`` — one sampling pass computes
+    the range bounds, then a single shuffle) and sorted within each
+    file, so every parquet row group carries TIGHT, mostly disjoint
+    min/max footer statistics on ``sort_columns``. A later scan with
+    a selective predicate on those columns then skips whole row
+    groups from the footer stats alone — on a 100 TB fact table,
+    clustering by the dominant filter key (date, tenant, score band)
+    is the difference between reading everything and reading the one
+    row group that matters. This is the 1-D case of Z-ORDER/cluster-by
+    maintenance; compose with :func:`write_partitioned` (directory
+    pruning) for the coarse dimension and range-cluster the fine one.
+
+    ``num_files`` pins the output file count (e.g. from
+    :func:`compact_parquet`'s byte-based sizing); omitted, Spark's
+    shuffle-partition setting decides. Order multi-column
+    ``sort_columns`` most-selective-first — range bounds nest
+    lexicographically."""
+    from pyspark.sql import functions as F
+
+    if not sort_columns:
+        raise ValueError("write_sorted requires at least one sort column")
+    cols = [F.col(c) for c in sort_columns]
+    clustered = (
+        df.repartitionByRange(num_files, *cols)
+        if num_files
+        else df.repartitionByRange(*cols)
+    )
+    clustered.sortWithinPartitions(*cols).write.mode(mode).parquet(path)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> list[str]:
     """Register every testdata table as a temp view so the engine's
     SQL surface (`spark.sql`) serves the same relations as the

@@ -281,3 +281,75 @@ def test_compact_parquet_rewrites_small_files(spark, tmp_path):
     m2 = compact_parquet(spark, src, out2, target_file_bytes=max(manifest["input_bytes"] // 4, 1))
     assert 2 <= m2["n_output_files"] <= 8
     assert m2["rows"] == 10_000
+
+
+def _scan_output_rows(df) -> int:
+    """numOutputRows of the (single) file scan in an executed plan —
+    rows actually READ from parquet after row-group skipping, before
+    Spark's residual Filter."""
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan()
+    if "Adaptive" in plan.getClass().getSimpleName():
+        plan = plan.executedPlan()
+    leaves = plan.collectLeaves()
+    for i in range(leaves.size()):
+        leaf = leaves.apply(i)
+        if "Scan" in leaf.getClass().getSimpleName():
+            return int(leaf.metrics().apply("numOutputRows").value())
+    raise AssertionError("no scan leaf found")
+
+
+def test_write_sorted_prunes_row_groups(spark, tmp_path):
+    """write_sorted range-clusters rows so parquet min/max footer
+    stats become selective: a narrow predicate must read FAR fewer
+    rows from the sorted layout than from a random layout (row-group
+    skipping), and the per-file value ranges must be ~disjoint."""
+    import pyspark.sql.functions as F
+
+    from paqarin_spark.sources import write_sorted
+
+    n, files = 80_000, 8
+    df = spark.range(n).select(
+        F.col("id"), F.pmod(F.hash("id"), F.lit(10_000)).alias("v")
+    )
+    sorted_path = str(tmp_path / "sorted")
+    random_path = str(tmp_path / "random")
+    write_sorted(df, sorted_path, ["v"], num_files=files)
+    df.repartition(files).write.parquet(random_path)
+
+    pred = F.col("v").between(0, 99)  # ~1% of the value domain
+    rows_sorted = _scan_output_rows(spark.read.parquet(sorted_path).where(pred))
+    rows_random = _scan_output_rows(spark.read.parquet(random_path).where(pred))
+    # identical answers either way
+    a = spark.read.parquet(sorted_path).where(pred).count()
+    b = spark.read.parquet(random_path).where(pred).count()
+    assert a == b > 0
+    # random layout: every row group spans the full domain -> no skipping
+    assert rows_random == n
+    # clustered layout: only ~1 of 8 row groups survives footer pruning
+    assert rows_sorted <= n // files * 2
+
+    # footer-level evidence: per-file [min, max] on v are ~disjoint
+    import pathlib
+
+    import pyarrow.parquet as pq
+
+    spans = []
+    for f in pathlib.Path(sorted_path).glob("*.parquet"):
+        md = pq.ParquetFile(str(f)).metadata
+        col = [
+            md.row_group(g).column(c)
+            for g in range(md.num_row_groups)
+            for c in range(md.num_columns)
+            if md.row_group(g).column(c).path_in_schema == "v"
+        ]
+        stats = [c.statistics for c in col if c.statistics is not None]
+        assert stats, "parquet footer must carry min/max stats"
+        spans.append((min(s.min for s in stats), max(s.max for s in stats)))
+    spans.sort()
+    overlaps = sum(
+        1 for (a0, a1), (b0, b1) in zip(spans, spans[1:]) if b0 <= a1
+    )
+    # range-clustering: at most boundary-value overlap between files
+    assert overlaps <= len(spans) - 1
+    assert sum(hi - lo for lo, hi in spans) < 10_000 * 1.5

@@ -376,3 +376,82 @@ def test_stream_count_min_matches_batch_counters(spark, tmp_path):
     assert out.exceptAll(batch).count() == 0
     assert batch.exceptAll(out).count() == 0
     assert out.count() <= 4 * 64
+
+
+def _run_checkpointed(spark, stream_df, name: str, ckpt: str):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_stream_hll_state_survives_checkpoint_restart(spark, tmp_path):
+    """Kill the HLL streaming query after the first batch of files,
+    add more data, restart from the SAME checkpoint: availableNow only
+    replays the NEW files, so the final register table equals the
+    full-data batch sketch ONLY if the register state was durably
+    recovered from the state store — bounded state is proven
+    elsewhere; this pins durable state."""
+    from paqarin_spark.operators.sketch import hll_registers
+    from paqarin_spark.streaming import stream_hll_registers
+
+    path = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    part1 = spark.range(0, 2500).select((F.col("id") % 700).cast("string").alias("k"))
+    part2 = spark.range(2500, 5000).select(
+        (F.col("id") % 300 + 1000).cast("string").alias("k")  # disjoint keys
+    )
+    part1.repartition(2).write.mode("append").parquet(path)
+
+    stream = spark.readStream.schema("k string").parquet(path)
+    _run_checkpointed(spark, stream_hll_registers(stream, "k", p=10), "st_hll_r1", ckpt)
+
+    part2.repartition(2).write.mode("append").parquet(path)
+    stream2 = spark.readStream.schema("k string").parquet(path)
+    out = _run_checkpointed(
+        spark, stream_hll_registers(stream2, "k", p=10), "st_hll_r2", ckpt
+    )
+    full_batch = hll_registers(spark.read.parquet(path), "k", p=10)
+    # precondition: part2 alone gives a DIFFERENT sketch, so equality
+    # below can only come from recovered part1 state
+    part2_only = hll_registers(part2, "k", p=10)
+    assert full_batch.exceptAll(part2_only).count() > 0
+    assert out.exceptAll(full_batch).count() == 0
+    assert full_batch.exceptAll(out).count() == 0
+
+
+def test_stream_count_min_state_survives_checkpoint_restart(spark, tmp_path):
+    """Same durable-state pin for the count-min counter table: the
+    restarted query sees only new files, so counter totals equal the
+    full batch counters only via state-store recovery."""
+    from paqarin_spark.operators.sketch import count_min_counters
+    from paqarin_spark.streaming import stream_count_min
+
+    path = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    part1 = spark.range(0, 1500).select((F.col("id") % 40).cast("string").alias("k"))
+    part2 = spark.range(1500, 3000).select((F.col("id") % 60).cast("string").alias("k"))
+    part1.repartition(2).write.mode("append").parquet(path)
+
+    stream = spark.readStream.schema("k string").parquet(path)
+    _run_checkpointed(
+        spark, stream_count_min(stream, "k", depth=4, width=64), "st_cm_r1", ckpt
+    )
+
+    part2.repartition(2).write.mode("append").parquet(path)
+    stream2 = spark.readStream.schema("k string").parquet(path)
+    out = _run_checkpointed(
+        spark, stream_count_min(stream2, "k", depth=4, width=64), "st_cm_r2", ckpt
+    )
+    batch = count_min_counters(spark.read.parquet(path), "k", depth=4, width=64)
+    assert out.exceptAll(batch).count() == 0
+    assert batch.exceptAll(out).count() == 0
+    # total mass = depth × total rows over BOTH parts — part2 alone would halve it
+    total = out.agg(F.sum("counter").alias("s")).first()["s"]
+    assert total == 4 * 3000
