@@ -333,6 +333,105 @@ class MLPLagForecaster:
         return float(agg["s"] / agg["n"])
 
 
+class GBTLagForecaster:
+    """J4's ensemble-tree gap, closed in-env: a GRADIENT-BOOSTED-TREE
+    forecaster over the full lag design — the model class AutoGluon's
+    tabular/time-series predictors lean on (reference
+    `paqarin/metrics/univariate_metrics.py:361-419`) — trained with
+    Spark MLlib's ``GBTRegressor``, no external library. Unlike the
+    single-node-batch RidgeLag/MLPLag heads, this training IS
+    distributed: MLlib grows each tree from cluster-wide sufficient
+    statistics (per-partition histogram aggregates, tree-reduced), so
+    fit parallelizes with executors and the lag design never collects.
+
+    fit: flatten the ``features`` array<struct> window into an ml
+    Vector (pure expressions + ``array_to_vector``) and boost one
+    regressor per target column. evaluate_mae: one batched transform
+    per model, then a single avg over per-column absolute errors.
+    Same ``factory(value_columns) → fit → evaluate_mae`` contract as
+    the other lag heads, so :class:`MultivariatePredictiveScorer`
+    accepts it as ``forecaster_factory`` unchanged.
+
+    Determinism note: seeded boosting is reproducible for a fixed
+    data layout, but MLlib's feature binning samples per-partition, so
+    exact weights are NOT layout-independent the way RidgeLag/MLPLag
+    pin (their md5-ordered single-batch training is). Documented
+    honestly rather than promised away — at 100 TB that trade (true
+    distributed training, approximate bin boundaries) is the right
+    default, and the reference's own library forecasters make it too.
+    """
+
+    def __init__(
+        self,
+        value_columns: list[str],
+        max_iter: int = 20,
+        max_depth: int = 4,
+        step_size: float = 0.1,
+        seed: int = 0,
+    ):
+        self.value_columns = list(value_columns)
+        self.max_iter = int(max_iter)
+        self.max_depth = int(max_depth)
+        self.step_size = float(step_size)
+        self.seed = int(seed)
+        self.models: dict | None = None  # column -> GBTRegressionModel
+
+    def _with_vector(self, df: DataFrame) -> DataFrame:
+        from pyspark.ml.functions import array_to_vector
+
+        cols = self.value_columns
+        flat = F.flatten(
+            F.transform(
+                F.col("features"), lambda rec: F.array(*[rec[c] for c in cols])
+            )
+        )
+        return df.withColumn("_fv", array_to_vector(flat))
+
+    def fit(self, train: DataFrame) -> "GBTLagForecaster":
+        from pyspark.ml.regression import GBTRegressor
+
+        if train.limit(1).isEmpty():
+            raise ValueError("cannot fit on an empty training set")
+        base = self._with_vector(train).persist()
+        try:
+            self.models = {}
+            for c in self.value_columns:
+                labeled = base.withColumn("_y", F.col("label")[c])
+                self.models[c] = GBTRegressor(
+                    featuresCol="_fv",
+                    labelCol="_y",
+                    predictionCol=f"_p_{c}",
+                    maxIter=self.max_iter,
+                    maxDepth=self.max_depth,
+                    stepSize=self.step_size,
+                    seed=self.seed,
+                ).fit(labeled)
+        finally:
+            base.unpersist()
+        return self
+
+    def evaluate_mae(self, test: DataFrame) -> float:
+        """Mean absolute error over all label columns (op I1)."""
+        if self.models is None:
+            raise RuntimeError("forecaster is not fitted")
+        scored = self._with_vector(test)
+        for c in self.value_columns:
+            scored = self.models[c].transform(scored)
+        errs = [
+            F.abs(F.col(f"_p_{c}") - F.col("label")[c])
+            for c in self.value_columns
+        ]
+        total = errs[0]
+        for e in errs[1:]:
+            total = total + e
+        row = scored.agg(
+            F.avg(total / F.lit(len(errs))).alias("mae")
+        ).collect()[0]
+        if row["mae"] is None:
+            raise ValueError("cannot evaluate on an empty test set")
+        return float(row["mae"])
+
+
 class MultivariatePredictiveScorer:
     """TSTR predictive score (`paqarin/metrics/multivariate_metrics.py:139-217`).
 

@@ -206,3 +206,75 @@ def test_mlp_evaluate_mae_empty_test_raises(spark):
     f = MLPLagForecaster(["v"], epochs=1, hidden=4).fit(train)
     with pytest.raises(ValueError, match="empty test set"):
         f.evaluate_mae(train.limit(0))
+
+
+def test_gbt_forecaster_beats_linear_on_nonlinear_dynamics(spark):
+    """J4 ensemble-tree closure: MLlib gradient-boosted trees must fit
+    y = x1*x2 (pure interaction, invisible to any linear model) far
+    better than the linear head — real distributed boosting, in-env."""
+    import random
+
+    from paqarin_spark.evaluation import (
+        GBTLagForecaster,
+        LinearLastStepForecaster,
+    )
+
+    rng = random.Random(11)
+    rows = []
+    for _ in range(400):
+        x1, x2 = rng.uniform(-1, 1), rng.uniform(-1, 1)
+        rows.append(([{"v": x1}, {"v": x2}], {"v": x1 * x2}))
+    df = spark.createDataFrame(
+        rows, "features array<struct<v:double>>, label struct<v:double>"
+    )
+    gbt = GBTLagForecaster(["v"], max_iter=30, max_depth=4).fit(df)
+    lin = LinearLastStepForecaster(["v"]).fit(df)
+    gbt_mae = gbt.evaluate_mae(df)
+    lin_mae = lin.evaluate_mae(df)
+    assert gbt_mae < 0.5 * lin_mae
+    assert gbt_mae < 0.1
+
+
+def test_gbt_forecaster_multivariate_and_empty_contracts(spark):
+    """Two value columns -> one boosted model per target; empty
+    train/test raise the same clear errors as the other lag heads."""
+    import pytest
+
+    from paqarin_spark.evaluation import GBTLagForecaster
+
+    rows = [
+        (
+            [{"a": 0.1 * i, "b": 0.2}, {"a": 0.3, "b": 0.1 * i}],
+            {"a": 0.1 * i + 0.3, "b": 0.2 + 0.1 * i},
+        )
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "features array<struct<a:double,b:double>>, "
+        "label struct<a:double,b:double>",
+    )
+    f = GBTLagForecaster(["a", "b"], max_iter=5, max_depth=2).fit(df)
+    assert set(f.models) == {"a", "b"}
+    assert f.evaluate_mae(df) < 1.0
+    with pytest.raises(ValueError, match="empty training set"):
+        GBTLagForecaster(["a", "b"]).fit(df.limit(0))
+    with pytest.raises(ValueError, match="empty test set"):
+        f.evaluate_mae(df.limit(0))
+
+
+def test_gbt_forecaster_in_tstr_scorer_factory(spark):
+    """GBTLagForecaster satisfies the forecaster_factory contract of
+    MultivariatePredictiveScorer (factory(cols) -> fit -> mae)."""
+    from paqarin_spark.evaluation import GBTLagForecaster
+
+    rows = [
+        ([{"v": 0.1 * i}, {"v": 0.1 * i + 0.1}], {"v": 0.1 * i + 0.2})
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows, "features array<struct<v:double>>, label struct<v:double>"
+    )
+    factory = lambda cols: GBTLagForecaster(cols, max_iter=30, max_depth=4)  # noqa: E731
+    f = factory(["v"]).fit(df)
+    assert f.evaluate_mae(df) < 0.2

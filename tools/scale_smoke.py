@@ -486,6 +486,138 @@ def main() -> int:
         f"[{'ok' if ok else 'EXPECTED 1 +/- 1e-9'}]"
     )
 
+    # Ingest-novelty manifest with the corpus as the 100-TB side: the
+    # span-dedup corpus (M docs, disjoint per-doc alphabets) is probed
+    # by a 3000-doc batch — 1000 exact copies of corpus docs, 1000
+    # near-dups (14 of 16 tokens kept -> shingle containment 10/14 ≥
+    # 0.5), 1000 novel (fresh alphabet). The batch probes BROADCAST;
+    # the corpus shuffles nowhere. Verdict counts are closed-form.
+    from paqarin_spark.operators.dedup import ingest_novelty
+
+    nb = 1000
+    bid = F.col("id")
+    ref = (bid % nb) * 10  # corpus doc 10*(id%nb): base == itself
+    corpus_tok = [
+        F.concat(F.lit("t"), ref.cast("string"), F.lit(f"x{j}"))
+        for j in range(16)
+    ]
+    novel_tok = [
+        F.concat(F.lit("nv"), bid.cast("string"), F.lit(f"x{j}"))
+        for j in range(16)
+    ]
+    near_tok = corpus_tok[:14] + novel_tok[:2]
+    batch = spark.range(3 * nb).select(
+        bid.alias("doc_id"),
+        F.when(bid < nb, F.concat_ws(" ", *corpus_tok))
+        .when(bid < 2 * nb, F.concat_ws(" ", *near_tok))
+        .otherwise(F.concat_ws(" ", *novel_tok))
+        .alias("text"),
+    )
+    t0 = time.perf_counter()
+    verdicts = {
+        r["verdict"]: r["n"]
+        for r in ingest_novelty(batch, docs, "text", "doc_id", n=3)
+        .groupBy("verdict")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    dt = time.perf_counter() - t0
+    ok = verdicts == {"exact_dup": nb, "near_dup": nb, "novel": nb}
+    checks.append(ok)
+    print(
+        f"{'ingest novelty 3k/' + str(M):24} {dt:7.1f}s  "
+        f"got={verdicts}  [{'ok' if ok else f'EXPECTED {nb} each'}]"
+    )
+
+    # Quality-aware near-dup resolution (tx37's composition) at 200k
+    # docs: MinHash-LSH pairs -> contraction components -> per-cluster
+    # argmax. Twins (10k, 10k+1) share identical text, so every
+    # cluster has exactly 2 members and the argmax tie-break keeps the
+    # smaller (even) id — the kept set is closed-form, which is a
+    # stronger check than run-to-run stability.
+    from paqarin_spark.operators.dedup import minhash_lsh_pairs
+
+    M37 = 200_000
+    docs37 = spark.range(M37).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[
+                F.concat(
+                    F.lit("t"),
+                    (
+                        F.col("id")
+                        - F.when(F.col("id") % 10 == 1, 1).otherwise(0)
+                    ).cast("string"),
+                    F.lit(f"x{j}"),
+                )
+                for j in range(16)
+            ],
+        ).alias("text"),
+    )
+    t0 = time.perf_counter()
+    pairs37 = minhash_lsh_pairs(
+        docs37, "text", "doc_id", num_hashes=4, band_size=2, shingle_n=3
+    )
+    clusters37 = duplicate_clusters(pairs37, algorithm="contract")
+    kept_bad = (
+        clusters37.groupBy("cluster_rep")
+        .agg(F.count(F.lit(1)).alias("nm"), F.min("doc").alias("kept"))
+        .where(
+            (F.col("nm") != 2)
+            | (F.col("kept") % 10 != 0)
+            | (F.col("kept") != F.col("cluster_rep"))
+        )
+        .count()
+    )
+    n_clusters = clusters37.select("cluster_rep").distinct().count()
+    dt = time.perf_counter() - t0
+    ok = kept_bad == 0 and n_clusters == M37 // 10
+    checks.append(ok)
+    print(
+        f"{'quality dedup 200k':24} {dt:7.1f}s  clusters={n_clusters:>9,}  "
+        f"[{'ok' if ok else f'{kept_bad} bad, EXPECTED {M37 // 10}'}]"
+    )
+
+    # Cross-table retrieval (em15's shape) against the 2M-vector
+    # corpus: 1000 probe vectors, each the exact vector of corpus twin
+    # pair (2q, 2q+1) under a DISJOINT id space — every probe's top-1
+    # must be an exact hit (cos 1.0). Q-blocks × C-blocks BLAS fanout;
+    # global rank sees ≤ B·k candidates per query, nothing through the
+    # driver.
+    from paqarin_spark.operators.similarity import cosine_topk
+
+    nq = 1000
+    probes = spark.range(nq).select(
+        (F.col("id") + 1_000_000_000).alias("vec_id"),
+        F.array(
+            *[
+                (
+                    F.pmod(
+                        F.xxhash64(F.col("id").cast("long"), F.lit(j)),
+                        F.lit(1000),
+                    )
+                    / 1000.0
+                    - 0.5
+                )
+                for j in range(dim16)
+            ]
+        ).alias("embedding"),
+    )
+    t0 = time.perf_counter()
+    hits = (
+        cosine_topk(vecs, "vec_id", "embedding", k=1, queries=probes)
+        .where(F.col("cos_sim") >= 0.999999)
+        .count()
+    )
+    dt = time.perf_counter() - t0
+    ok = hits == nq
+    checks.append(ok)
+    print(
+        f"{'cross-table top1 2M':24} {dt:7.1f}s  hits={hits:>12,}  "
+        f"[{'ok' if ok else f'EXPECTED {nq}'}]"
+    )
+
     print("all invariants hold" if all(checks) else "INVARIANT FAILURES")
     return 0 if all(checks) else 1
 
