@@ -307,6 +307,79 @@ def write_sorted(
     clustered.sortWithinPartitions(*cols).write.mode(mode).parquet(path)
 
 
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cluster_columns: list[str],
+    num_files: int | None = None,
+    bits: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """MULTI-column data skipping: Z-ORDER the rows before writing so
+    parquet row-group min/max stats stay selective on EVERY clustered
+    column at once. A 1-D sort (:func:`write_sorted`) makes the first
+    column's stats tight and scrambles the rest; interleaving the bits
+    of per-column ranks into a Morton key and range-clustering on THAT
+    gives each file an (approximate) hyper-rectangle of the value
+    space, so a selective predicate on ANY clustered column prunes row
+    groups from footer stats — the property Delta/Iceberg OPTIMIZE
+    ZORDER provides, built from plain DataFrame ops.
+
+    Ranks are QUANTILE bins (``approxQuantile`` boundaries, 2^bits per
+    column — a bounded driver-side list, skew-proof where linear
+    min-max binning collapses under a hot key); bin lookup and the bit
+    interleave are pure JVM expressions, the layout pass is the same
+    single range-shuffle ``write_sorted`` pays. Numeric columns only;
+    2–4 cluster columns is the useful range (beyond that, per-column
+    selectivity dilutes — the same advice every lakehouse gives)."""
+    from pyspark.sql import functions as F
+
+    if not cluster_columns or len(cluster_columns) < 2:
+        raise ValueError(
+            "write_zordered needs >= 2 cluster columns; use write_sorted "
+            "for 1-D clustering"
+        )
+    if bits * len(cluster_columns) > 63:
+        raise ValueError("bits * len(cluster_columns) must fit in a long")
+    n_bins = 1 << bits
+    ncols = len(cluster_columns)
+    probs = [i / n_bins for i in range(1, n_bins)]
+    zcol = F.lit(0).cast("long")
+    dfd = df
+    for j, c in enumerate(cluster_columns):
+        bounds = dfd.approxQuantile(c, probs, 1.0 / (4 * n_bins))
+        # strictly increasing interior boundaries (duplicates collapse
+        # under heavy skew — fewer, still-valid bins)
+        uniq = []
+        for b in bounds:
+            if not uniq or b > uniq[-1]:
+                uniq.append(float(b))
+        rank = F.size(
+            F.filter(
+                F.array(*[F.lit(b) for b in uniq]),
+                lambda b: b <= F.col(c).cast("double"),
+            )
+        ).cast("long")
+        dfd = dfd.withColumn(f"_zr_{j}", rank)
+        for i in range(bits):
+            bit = F.shiftright(F.col(f"_zr_{j}"), i).bitwiseAND(F.lit(1))
+            zcol = zcol + F.shiftleft(bit.cast("long"), i * ncols + j)
+    dfd = dfd.withColumn("_zorder", zcol).drop(
+        *[f"_zr_{j}" for j in range(ncols)]
+    )
+    clustered = (
+        dfd.repartitionByRange(num_files, F.col("_zorder"))
+        if num_files
+        else dfd.repartitionByRange(F.col("_zorder"))
+    )
+    (
+        clustered.sortWithinPartitions("_zorder")
+        .drop("_zorder")
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> list[str]:
     """Register every testdata table as a temp view so the engine's
     SQL surface (`spark.sql`) serves the same relations as the

@@ -353,3 +353,54 @@ def test_write_sorted_prunes_row_groups(spark, tmp_path):
     # range-clustering: at most boundary-value overlap between files
     assert overlaps <= len(spans) - 1
     assert sum(hi - lo for lo, hi in spans) < 10_000 * 1.5
+
+
+def test_write_zordered_prunes_on_both_columns(spark, tmp_path):
+    """Z-ordering must keep footer stats selective on BOTH cluster
+    columns: a narrow predicate on either one skips row groups, where
+    a 1-D sort only serves its own sort column."""
+    import pyspark.sql.functions as F
+
+    from paqarin_spark.sources import write_sorted, write_zordered
+
+    n, files = 80_000, 16
+    df = spark.range(n).select(
+        F.col("id"),
+        F.pmod(F.hash("id"), F.lit(10_000)).alias("x"),
+        F.pmod(F.hash(F.col("id") + 1), F.lit(10_000)).alias("y"),
+    )
+    z_path = str(tmp_path / "zorder")
+    x_path = str(tmp_path / "xsort")
+    write_zordered(df, z_path, ["x", "y"], num_files=files)
+    write_sorted(df, x_path, ["x"], num_files=files)
+
+    def read_rows(path, pred):
+        return _scan_output_rows(spark.read.parquet(path).where(pred))
+
+    x_pred = F.col("x").between(0, 624)    # 1/16 of the x domain
+    y_pred = F.col("y").between(0, 624)    # 1/16 of the y domain
+    # 1-D sort: perfect on x, useless on y
+    assert read_rows(x_path, x_pred) <= n // files * 2
+    assert read_rows(x_path, y_pred) == n
+    # z-order: prunes on BOTH columns (bounding boxes are ~4x4 grid at
+    # 16 files, so a 1/16 slab touches ~1/4 of the files)
+    assert read_rows(z_path, x_pred) <= n // 2
+    assert read_rows(z_path, y_pred) <= n // 2
+    # answers identical across layouts
+    assert (
+        spark.read.parquet(z_path).where(y_pred).count()
+        == spark.read.parquet(x_path).where(y_pred).count()
+        > 0
+    )
+
+
+def test_write_zordered_validates_inputs(spark, tmp_path):
+    import pytest
+
+    from paqarin_spark.sources import write_zordered
+
+    df = spark.range(10).selectExpr("id", "id AS x")
+    with pytest.raises(ValueError, match=">= 2 cluster columns"):
+        write_zordered(df, str(tmp_path / "p"), ["x"])
+    with pytest.raises(ValueError, match="fit in a long"):
+        write_zordered(df, str(tmp_path / "p"), ["id", "x"], bits=32)
