@@ -4633,6 +4633,193 @@ FROM dq ORDER BY asset_id, frame_index
 """
 
 
+def q76_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): orders whose total
+    quantity exceeds 200, joined back to customer detail, top 100 by
+    value. The HAVING subquery decorrelates into one lineitem rollup
+    keyed on l_orderkey — the SAME key the orders join shuffles on, so
+    at scale the rollup and the join co-locate into one exchange
+    chain; the customer dim joins under AQE (broadcast at bench scale,
+    shuffled at 100 TB). Quantity sums are exact decimal, rounded at
+    the boundary and output (the q33 order-independence discipline)."""
+    configure_for_determinism(spark)
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    per_order = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_quantity").cast("decimal(30,10)")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("total_qty")
+        )
+        .where(F.col("total_qty") > 200.0)
+    )
+    return (
+        per_order.join(orders, per_order.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
+            F.round("o_totalprice", 6).alias("total_price"),
+            "total_qty",
+        )
+        .orderBy(
+            F.col("total_price").desc(), F.col("order_day"), F.col("o_orderkey")
+        )
+        .limit(100)
+    )
+
+
+Q76_SQL = """
+WITH per_order AS (
+  SELECT l_orderkey,
+         ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE), 6)
+           AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING total_qty > 200.0
+)
+SELECT c_name, o_orderkey,
+       STRFTIME(o_orderdate, '%Y-%m-%d') AS order_day,
+       ROUND(o_totalprice, 6) AS total_price,
+       total_qty
+FROM per_order
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY total_price DESC, order_day, o_orderkey
+LIMIT 100
+"""
+
+
+def q77_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): average yearly
+    revenue lost if orders below 20% of a part's average quantity were
+    dropped, for one brand. The correlated per-part average
+    decorrelates into a lineitem rollup keyed on l_partkey — the same
+    key the detail join shuffles on (co-located exchange chain); the
+    brand-filtered part dim prunes FIRST so both lineitem passes scan
+    only matching parts' rows. Per-part averages use exact decimal
+    sums over a long count (identical doubles on both engines — no
+    rounded-threshold boundary to flip)."""
+    configure_for_determinism(spark)
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    brand_parts = part.where(F.col("p_brand") == "Brand#23").select("p_partkey")
+    branded = li.join(
+        brand_parts, li.l_partkey == brand_parts.p_partkey
+    ).select("l_partkey", "l_quantity", "l_extendedprice")
+    per_part = branded.groupBy("l_partkey").agg(
+        (
+            F.sum(F.col("l_quantity").cast("decimal(30,10)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("_avg_qty")
+    )
+    kept = branded.join(per_part, on="l_partkey").where(
+        F.col("l_quantity") < 0.2 * F.col("_avg_qty")
+    )
+    return kept.agg(
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(30,10)")).cast(
+                "double"
+            )
+            / 7.0,
+            6,
+        ).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_small"),
+    )
+
+
+Q77_SQL = """
+WITH branded AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#23'
+), per_part AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE)
+           / COUNT(*) AS avg_qty
+  FROM branded GROUP BY l_partkey
+)
+SELECT ROUND(CAST(SUM(CAST(b.l_extendedprice AS DECIMAL(30,10))) AS DOUBLE)
+             / 7.0, 6) AS avg_yearly,
+       COUNT(*) AS n_small
+FROM branded b JOIN per_part p ON b.l_partkey = p.l_partkey
+WHERE b.l_quantity < 0.2 * p.avg_qty
+"""
+
+
+def q78_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): customers with
+    above-average positive balances and NO order since mid-2000,
+    rolled up per nation. The NOT EXISTS is a LEFT ANTI join against
+    the date-pruned orders projection (the filter pushes to the
+    orders scan; the anti join shuffles only matching custkeys); the
+    scalar average threshold is an exact decimal sum over a long
+    count, so both engines compare against the identical double."""
+    configure_for_determinism(spark)
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    avg_bal = (
+        cust.where(F.col("c_acctbal") > 0.0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(30,10)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+            ).alias("_thr")
+        )
+    )
+    recent = orders.where(
+        F.col("o_orderdate") >= F.lit("2000-06-01").cast("timestamp")
+    ).select("o_custkey")
+    rich = cust.crossJoin(F.broadcast(avg_bal)).where(
+        F.col("c_acctbal") > F.col("_thr")
+    )
+    dormant = rich.join(
+        recent, rich.c_custkey == recent.o_custkey, "left_anti"
+    )
+    return (
+        dormant.groupBy(F.col("c_nationkey").cast("long").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(30,10)")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("totacctbal"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+Q78_SQL = """
+WITH thr AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(30,10))) AS DOUBLE)
+           / COUNT(*) AS t
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+       COUNT(*) AS numcust,
+       ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(30,10))) AS DOUBLE), 6)
+         AS totacctbal
+FROM customer, thr
+WHERE c_acctbal > thr.t
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey
+      AND o_orderdate >= TIMESTAMP '2000-06-01'
+  )
+GROUP BY c_nationkey
+ORDER BY nationkey
+"""
+
+
 # --------------------------------------------------------------------------
 # MM2 — video frame-sampling fan-out (multimodal north star)
 
@@ -7717,6 +7904,9 @@ SELECT generator, avg_forecast_mae, std_forecast_mae FROM (
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-5 additions (never driver-verified) come first ---
     "mm11_mjpeg_decode": mm11_mjpeg_decode,
+    "q76_large_volume_orders": q76_large_volume_orders,
+    "q77_small_qty_revenue": q77_small_qty_revenue,
+    "q78_dormant_rich_customers": q78_dormant_rich_customers,
     # --- round-4 rotation: everything from here to ev2 has never
     # been driver-verified on its CURRENT oracle. The 16 round-4
     # ADDITIONS (mm10 MP4 sample tables; q73/tx33/st9/st10 sketches;
@@ -7774,10 +7964,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "st8_stream_interval_join": st8_stream_interval_join,
     "q69_trade_pagerank": q69_trade_pagerank,
     "em13_truncation_recall": em13_truncation_recall,
+    # ------------- driver 50-entry window ends HERE (position 50) -------------
     "q70_scd2_intervals": q70_scd2_intervals,
     "q71_cdc_merge": q71_cdc_merge,
     "q72_split_manifest": q72_split_manifest,
-    # ------------- driver 50-entry window ends HERE (position 50) -------------
     # --- displaced this round to make room for the rotation (all
     # driver-green in r3 on these exact oracles; families still
     # represented above: tx19 clean_text, tx22 span/contamination,
@@ -8033,6 +8223,9 @@ ORACLE_SQL: dict[str, str] = {
     "ev1_pipeline_summary": EV1_SQL,
     "mm10_mp4_sample_table": MM10_SQL,
     "mm11_mjpeg_decode": MM11_SQL,
+    "q76_large_volume_orders": Q76_SQL,
+    "q77_small_qty_revenue": Q77_SQL,
+    "q78_dormant_rich_customers": Q78_SQL,
     "q73_hll_distinct": Q73_SQL,
     "tx33_count_min_tokens": TX33_SQL,
     "tx34_perplexity_buckets": TX34_SQL,
