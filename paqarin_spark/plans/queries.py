@@ -1457,7 +1457,14 @@ def ev8_coverage_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds = real_sums.agg(
         F.min("s").alias("_lo"), F.max("s").alias("_hi")
     )
-    in_support = (F.col("s") >= F.col("_lo")) & (F.col("s") <= F.col("_hi"))
+    # isNotNull guard: an EMPTY real window set leaves NULL bounds —
+    # NULL-propagating comparisons would make _ok (and precision) NULL
+    # where the oracle's CASE WHEN yields 0; pin "not in support".
+    in_support = (
+        F.col("_lo").isNotNull()
+        & (F.col("s") >= F.col("_lo"))
+        & (F.col("s") <= F.col("_hi"))
+    )
     # bin over the real support only: s == hi folds into bin 9 (the
     # half-open top bin closes); out-of-support rows get NO bin — the
     # earlier clamp-then-filter form silently binned above-max sums

@@ -298,10 +298,12 @@ def write_sorted(
 
     if not sort_columns:
         raise ValueError("write_sorted requires at least one sort column")
+    if num_files is not None and num_files < 1:
+        raise ValueError(f"num_files must be >= 1, got {num_files}")
     cols = [F.col(c) for c in sort_columns]
     clustered = (
         df.repartitionByRange(num_files, *cols)
-        if num_files
+        if num_files is not None
         else df.repartitionByRange(*cols)
     )
     clustered.sortWithinPartitions(*cols).write.mode(mode).parquet(path)
@@ -341,13 +343,20 @@ def write_zordered(
         )
     if bits * len(cluster_columns) > 63:
         raise ValueError("bits * len(cluster_columns) must fit in a long")
+    if num_files is not None and num_files < 1:
+        raise ValueError(f"num_files must be >= 1, got {num_files}")
     n_bins = 1 << bits
     ncols = len(cluster_columns)
     probs = [i / n_bins for i in range(1, n_bins)]
+    # ONE multi-column approxQuantile pass over the SOURCE frame —
+    # all columns' boundaries from a single scan, not one blocking
+    # scan per column over a growing plan
+    all_bounds = df.approxQuantile(
+        list(cluster_columns), probs, 1.0 / (4 * n_bins)
+    )
     zcol = F.lit(0).cast("long")
     dfd = df
-    for j, c in enumerate(cluster_columns):
-        bounds = dfd.approxQuantile(c, probs, 1.0 / (4 * n_bins))
+    for j, (c, bounds) in enumerate(zip(cluster_columns, all_bounds)):
         # strictly increasing interior boundaries (duplicates collapse
         # under heavy skew — fewer, still-valid bins)
         uniq = []
@@ -369,7 +378,7 @@ def write_zordered(
     )
     clustered = (
         dfd.repartitionByRange(num_files, F.col("_zorder"))
-        if num_files
+        if num_files is not None
         else dfd.repartitionByRange(F.col("_zorder"))
     )
     (

@@ -489,8 +489,8 @@ def main() -> int:
     # Ingest-novelty manifest with the corpus as the 100-TB side: the
     # span-dedup corpus (M docs, disjoint per-doc alphabets) is probed
     # by a 3000-doc batch — 1000 exact copies of corpus docs, 1000
-    # near-dups (14 of 16 tokens kept -> shingle containment 10/14 ≥
-    # 0.5), 1000 novel (fresh alphabet). The batch probes BROADCAST;
+    # near-dups (14 of 16 tokens kept -> 12 of 14 trigram shingles
+    # fully inside corpus tokens, containment 12/14 ≥ 0.5), 1000 novel (fresh alphabet). The batch probes BROADCAST;
     # the corpus shuffles nowhere. Verdict counts are closed-form.
     from paqarin_spark.operators.dedup import ingest_novelty
 
