@@ -188,6 +188,126 @@ def count_min_estimates(
     )
 
 
+def quantile_sketch(
+    df: DataFrame,
+    value_column: str,
+    rank_columns: list[str],
+    k: int = 256,
+    group_by: list[str] | None = None,
+    seed: int = 0,
+) -> DataFrame:
+    """Mergeable QUANTILE sketch — the fourth petabyte-to-a-page shape
+    beside HLL/count-min/weighted-sample: a bottom-k uniform sample
+    per group. Each row's sort key is the portable md5 uniform of its
+    ``rank_columns`` identity (value-independent → a uniform random
+    permutation), and the k smallest keys per group are kept — a
+    uniform sample WITHOUT replacement whose size is BOUNDED at k rows
+    per group no matter how many rows the group holds. Merging shards
+    is union + re-top-k (associative, order-free), the same property
+    that makes the other sketches shard-safe.
+
+    Output: (group..., _rk, value) with ``_rk`` the 1-based sample
+    rank by (md5 key, identity) — feed it to
+    :func:`quantile_estimate_from_sketch`, which every shard-merged or
+    persisted sketch finishes through identically. Deterministic by
+    construction, so estimates replay exactly in SQL — the sketch's
+    ERROR is statistical (a k-sample's quantile error ~ O(1/sqrt(k))),
+    but its VALUE is bit-reproducible."""
+    from paqarin_spark.functions import uniform_hash
+    from pyspark.sql import Window
+
+    groups = list(group_by or [])
+    ident = [F.col(c).cast("string") for c in rank_columns]
+    u = uniform_hash(F.lit("qsketch"), F.lit(str(seed)), *ident)
+    base = df.select(
+        *groups,
+        *rank_columns,
+        F.col(value_column).cast("double").alias("_v"),
+        u.alias("_u"),
+    )
+    if not groups:
+        # global sketch: TakeOrderedAndProject (top-k, never a
+        # single-partition window over the full data), then number
+        # the ≤ k survivors
+        base = base.orderBy("_u", *rank_columns).limit(k)
+    w = Window.partitionBy(*[F.col(g) for g in groups]).orderBy(
+        F.col("_u"), *[F.col(c) for c in rank_columns]
+    )
+    return (
+        base.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .select(
+            *groups,
+            "_rk",
+            F.col("_v").alias("value"),
+            # retained sort key (+ identity tie-break) so shard
+            # sketches MERGE by re-top-k on the stored key — see
+            # quantile_sketch_merge
+            F.col("_u").alias("_key"),
+            F.concat_ws("#", *[F.col(c).cast("string") for c in rank_columns]).alias(
+                "_tie"
+            ),
+        )
+    )
+
+
+def quantile_sketch_merge(
+    sketches: DataFrame,
+    k: int,
+    group_by: list[str] | None = None,
+) -> DataFrame:
+    """Merge shard quantile sketches: union the shard samples (the
+    caller unions the frames) and keep the k smallest stored keys per
+    group. Because every shard kept ITS k smallest of the same global
+    md5 permutation, the union's bottom-k equals the bottom-k of the
+    full data — the merge is exact, associative and order-free (the
+    HLL-MAX / count-min-SUM property in sample form)."""
+    from pyspark.sql import Window
+
+    groups = list(group_by or [])
+    w = Window.partitionBy(*[F.col(g) for g in groups]).orderBy(
+        "_key", "_tie"
+    )
+    return (
+        sketches.withColumn("_mrk", F.row_number().over(w))
+        .where(F.col("_mrk") <= k)
+        .select(
+            *groups, F.col("_mrk").alias("_rk"), "value", "_key", "_tie"
+        )
+    )
+
+
+def quantile_estimate_from_sketch(
+    sketch: DataFrame,
+    probabilities: list[float],
+    group_by: list[str] | None = None,
+) -> DataFrame:
+    """Finish a :func:`quantile_sketch` into per-group quantile
+    estimates: type-1 (inverted-ECDF) quantiles of the SAMPLE —
+    q(p) = v_(ceil(p·m)) over the m sorted sample values. Pure
+    expressions (one sort_array over ≤ k values per group); the same
+    arithmetic replays in SQL, so estimates hash-match the oracle."""
+    groups = list(group_by or [])
+    vals = F.sort_array(F.collect_list("value"))
+    aggs = [vals.alias("_vs"), F.count(F.lit(1)).alias("_m")]
+    out = (
+        sketch.groupBy(*[F.col(g) for g in groups]).agg(*aggs)
+        if groups
+        else sketch.groupBy().agg(*aggs)
+    )
+    sel = [*groups, F.col("_m").cast("long").alias("n_sample")]
+    for p in probabilities:
+        idx = F.greatest(
+            F.ceil(F.lit(float(p)) * F.col("_m")).cast("int"), F.lit(1)
+        )
+        sel.append(
+            F.round(F.element_at(F.col("_vs"), idx), 6).alias(
+                f"p{str(p).replace('0.', '').replace('.', '_')}"
+            )
+        )
+    return out.select(*sel)
+
+
 def weighted_sample(
     df: DataFrame,
     id_column: str,

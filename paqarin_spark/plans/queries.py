@@ -4640,6 +4640,59 @@ FROM dq ORDER BY asset_id, frame_index
 """
 
 
+def q79_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable QUANTILE sketch (operators.sketch.quantile_sketch) —
+    the fourth sketch shape beside HLL (q73), count-min (tx33) and
+    weighted sampling (tx35): a bottom-k md5-rank uniform sample per
+    event_type (bounded at k rows/group forever, merge = union +
+    re-top-k), finished into type-1 sample quantiles
+    (quantile_estimate_from_sketch). The sample is value-independent
+    (ranks hash only the row identity), so the estimates are
+    bit-reproducible on any layout and replay exactly in SQL — the
+    error is statistical (O(1/sqrt(k))), the value deterministic."""
+    from paqarin_spark.operators import (
+        quantile_estimate_from_sketch,
+        quantile_sketch,
+    )
+
+    configure_for_determinism(spark)
+    ev = _events(spark, sf_dir)
+    sk = quantile_sketch(
+        ev, "value", rank_columns=["event_id"], k=128,
+        group_by=["event_type"],
+    )
+    return quantile_estimate_from_sketch(
+        sk, [0.5, 0.9, 0.99], group_by=["event_type"]
+    ).orderBy("event_type")
+
+
+Q79_SQL = """
+WITH ranked AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type
+           ORDER BY ('0x' || substring(md5('qsketch#0#'
+                       || CAST(event_id AS VARCHAR)), 1, 15))::UBIGINT
+                    / 1152921504606846976.0,
+                    event_id
+         ) AS rk
+  FROM events
+), samp AS (
+  SELECT event_type, value FROM ranked WHERE rk <= 128
+), agg AS (
+  SELECT event_type, COUNT(*) AS m,
+         LIST(value ORDER BY value) AS vs
+  FROM samp GROUP BY event_type
+)
+SELECT event_type,
+       CAST(m AS BIGINT) AS n_sample,
+       ROUND(vs[GREATEST(CAST(CEIL(0.5 * m) AS INTEGER), 1)], 6) AS p5,
+       ROUND(vs[GREATEST(CAST(CEIL(0.9 * m) AS INTEGER), 1)], 6) AS p9,
+       ROUND(vs[GREATEST(CAST(CEIL(0.99 * m) AS INTEGER), 1)], 6) AS p99
+FROM agg ORDER BY event_type
+"""
+
+
 def q76_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape (large-volume customers): orders whose total
     quantity exceeds 200, joined back to customer detail, top 100 by
@@ -7914,6 +7967,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q76_large_volume_orders": q76_large_volume_orders,
     "q77_small_qty_revenue": q77_small_qty_revenue,
     "q78_dormant_rich_customers": q78_dormant_rich_customers,
+    "q79_quantile_sketch": q79_quantile_sketch,
     # --- round-4 rotation: everything from here to ev2 has never
     # been driver-verified on its CURRENT oracle. The 16 round-4
     # ADDITIONS (mm10 MP4 sample tables; q73/tx33/st9/st10 sketches;
@@ -7970,8 +8024,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm9_wav_stats": mm9_wav_stats,
     "st8_stream_interval_join": st8_stream_interval_join,
     "q69_trade_pagerank": q69_trade_pagerank,
-    "em13_truncation_recall": em13_truncation_recall,
     # ------------- driver 50-entry window ends HERE (position 50) -------------
+    "em13_truncation_recall": em13_truncation_recall,
     "q70_scd2_intervals": q70_scd2_intervals,
     "q71_cdc_merge": q71_cdc_merge,
     "q72_split_manifest": q72_split_manifest,
@@ -8233,6 +8287,7 @@ ORACLE_SQL: dict[str, str] = {
     "q76_large_volume_orders": Q76_SQL,
     "q77_small_qty_revenue": Q77_SQL,
     "q78_dormant_rich_customers": Q78_SQL,
+    "q79_quantile_sketch": Q79_SQL,
     "q73_hll_distinct": Q73_SQL,
     "tx33_count_min_tokens": TX33_SQL,
     "tx34_perplexity_buckets": TX34_SQL,

@@ -166,3 +166,80 @@ def test_weighted_sample_is_deterministic_and_biased(spark):
     assert heavy >= 30
     s3 = {r["doc_id"] for r in weighted_sample(df, "doc_id", "w", k=50, seed=4).collect()}
     assert s3 != s1  # seed actually matters
+
+
+def test_quantile_sketch_bounded_and_mergeable(spark):
+    """Bottom-k md5-rank sampling: per-group size bounded at k, and
+    merging two shard sketches (union + re-top-k) equals the sketch of
+    the union — the shard-safety property of the whole family."""
+    import pyspark.sql.functions as F
+
+    from paqarin_spark.operators import quantile_sketch
+
+    df = spark.range(5000).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.pmod(F.hash("id"), F.lit(1000)) / 10.0).alias("v"),
+    )
+    sk = quantile_sketch(df, "v", ["event_id"], k=64, group_by=["g"])
+    sizes = sk.groupBy("g").count().collect()
+    assert all(r["count"] == 64 for r in sizes)
+    # shard merge: sketch(shard1) ∪ sketch(shard2) re-top-k == sketch(all)
+    s1 = quantile_sketch(
+        df.where(F.col("event_id") < 2500), "v", ["event_id"], k=64,
+        group_by=["g"],
+    )
+    s2 = quantile_sketch(
+        df.where(F.col("event_id") >= 2500), "v", ["event_id"], k=64,
+        group_by=["g"],
+    )
+    # TRUE merge: re-top-k over the stored keys of the shard samples
+    # must equal the sketch of the full data, row for row
+    from paqarin_spark.operators import quantile_sketch_merge
+
+    merged = quantile_sketch_merge(s1.unionByName(s2), k=64, group_by=["g"])
+    a = sorted((r["g"], r["_rk"], r["value"]) for r in merged.collect())
+    b = sorted((r["g"], r["_rk"], r["value"]) for r in sk.collect())
+    assert a == b
+
+
+def test_quantile_sketch_exact_when_small(spark):
+    """n <= k: the sample IS the data, so estimates are the exact
+    type-1 quantiles."""
+    import pyspark.sql.functions as F
+
+    from paqarin_spark.operators import (
+        quantile_estimate_from_sketch,
+        quantile_sketch,
+    )
+
+    df = spark.range(100).select(
+        F.col("id").alias("event_id"), (F.col("id") + 1.0).alias("v")
+    )
+    sk = quantile_sketch(df, "v", ["event_id"], k=256)
+    est = quantile_estimate_from_sketch(sk, [0.5, 0.99]).first()
+    assert est["n_sample"] == 100
+    assert est["p5"] == 50.0   # ceil(0.5*100) = 50th of 1..100
+    assert est["p99"] == 99.0  # ceil(0.99*100) = 99
+
+
+def test_quantile_sketch_layout_independent(spark):
+    import pyspark.sql.functions as F
+
+    from paqarin_spark.operators import quantile_sketch
+
+    df = spark.range(3000).select(
+        F.col("id").alias("event_id"),
+        (F.pmod(F.hash("id"), F.lit(500)) * 1.0).alias("v"),
+    )
+    a = sorted(
+        (r["_rk"], r["value"])
+        for r in quantile_sketch(df.coalesce(1), "v", ["event_id"], k=32).collect()
+    )
+    b = sorted(
+        (r["_rk"], r["value"])
+        for r in quantile_sketch(
+            df.repartition(32), "v", ["event_id"], k=32
+        ).collect()
+    )
+    assert a == b
