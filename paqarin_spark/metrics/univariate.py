@@ -255,6 +255,102 @@ class SeasonalNaiveDriftForecaster:
         )
 
 
+class GBTPanelForecaster:
+    """Third J4 pluggable, and the first LEARNED one in the univariate
+    seam: MLlib gradient-boosted trees over per-tick calendar + level
+    features — the ensemble-tree model class the reference reaches for
+    via AutoGluon (`paqarin/metrics/univariate_metrics.py:361-419`),
+    trained distributedly in-env (cluster-wide histogram aggregates,
+    no single-node batch bound).
+
+    Feature contract, aligned between fit and predict: each tick is
+    (weekday, item trailing-``period`` mean level EXCLUDING the tick).
+    fit derives both from the training panel with one lag window;
+    predict anchors the level on the item's recent REAL history (the
+    same base the profile/seasonal stand-ins use) so the TSTR
+    information flow is identical — learned parameters come only from
+    the fitted (synthetic) panel. Trees capture weekday×level
+    interactions the multiplicative profile and additive drift models
+    each only half-express."""
+
+    def __init__(
+        self,
+        period: int = 7,
+        max_iter: int = 20,
+        max_depth: int = 4,
+        seed: int = 0,
+    ):
+        self.period = period
+        self.max_iter = int(max_iter)
+        self.max_depth = int(max_depth)
+        self.seed = int(seed)
+        self._model = None
+
+    @staticmethod
+    def _vec(dow_col: F.Column, lvl_col: F.Column) -> F.Column:
+        from pyspark.ml.functions import array_to_vector
+
+        return array_to_vector(
+            F.array(dow_col.cast("double"), lvl_col.cast("double"))
+        )
+
+    def fit(self, panel: DataFrame) -> "GBTPanelForecaster":
+        from pyspark.ml.regression import GBTRegressor
+
+        w = (
+            Window.partitionBy(ITEM_ID)
+            .orderBy(TIMESTAMP)
+            .rowsBetween(-self.period, -1)
+        )
+        feats = (
+            panel.withColumn("_lvl", F.avg(TARGET).over(w))
+            .where(F.col("_lvl").isNotNull())
+            .select(
+                self._vec(
+                    F.dayofweek(TIMESTAMP), F.col("_lvl")
+                ).alias("_fv"),
+                F.col(TARGET).cast("double").alias("_y"),
+            )
+        )
+        if feats.limit(1).isEmpty():
+            raise ValueError(
+                "cannot fit on a panel with no tick having prior history"
+            )
+        self._model = GBTRegressor(
+            featuresCol="_fv",
+            labelCol="_y",
+            predictionCol="target_pred",
+            maxIter=self.max_iter,
+            maxDepth=self.max_depth,
+            seed=self.seed,
+        ).fit(feats)
+        return self
+
+    def predict(self, history: DataFrame, index: DataFrame) -> DataFrame:
+        if self._model is None:
+            raise RuntimeError("forecaster is not fitted")
+        recent = Window.partitionBy(ITEM_ID).orderBy(F.col(TIMESTAMP).desc())
+        base = (
+            history.withColumn("_rn", F.row_number().over(recent))
+            .where(F.col("_rn") <= self.period)
+            .groupBy(ITEM_ID)
+            .agg(F.avg(TARGET).alias("_base"))
+        )
+        staged = (
+            index.join(base, on=ITEM_ID, how="left")
+            .withColumn(
+                "_fv",
+                self._vec(
+                    F.dayofweek(TIMESTAMP),
+                    F.coalesce(F.col("_base"), F.lit(0.0)),
+                ),
+            )
+        )
+        return self._model.transform(staged).select(
+            ITEM_ID, TIMESTAMP, "target_pred"
+        )
+
+
 class UnivariateForecastScorer:
     """The reference's univariate TSTR scorer re-orchestrated
     (`paqarin/metrics/univariate_metrics.py:130-277`): panel-transform

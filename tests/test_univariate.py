@@ -293,3 +293,99 @@ def test_drift_batched_scores_match_per_iteration_path(spark):
     assert set(batched) == set(looped)
     for combo, score in batched.items():
         assert score == pytest.approx(looped[combo], rel=1e-9)
+
+
+def test_gbt_panel_forecaster_learns_weekday_level_interaction(spark):
+    """The GBT panel head must learn a weekday x level interaction
+    that both linear stand-ins half-miss: items whose weekend values
+    MULTIPLY at high levels but stay flat at low levels."""
+    import datetime as dt
+
+    from paqarin_spark.metrics.univariate import (
+        PANEL_SCHEMA,
+        GBTPanelForecaster,
+        GlobalWeekdayProfileForecaster,
+        panel_transform,
+    )
+    from paqarin_spark.schema import TimeSeriesSchema
+
+    schema = TimeSeriesSchema(
+        item_id_columns=("item",),
+        timestamp_column="ts",
+        value_columns=("v",),
+        frequency="D",
+    )
+    rows = []
+    for item, lvl in (("hi", 100.0), ("lo", 5.0)):
+        for i in range(60):
+            d = dt.datetime(2021, 3, 1) + dt.timedelta(days=i)
+            wknd = d.weekday() >= 5
+            # high-level item doubles on weekends; low-level stays flat
+            v = lvl * (2.0 if (wknd and lvl > 50) else 1.0)
+            rows.append((item, d, v))
+    df = spark.createDataFrame(rows, "item string, ts timestamp, v double")
+    panel = panel_transform(df, schema)
+    train = panel.where(F.col("timestamp") < "2021-04-15")
+    test_index = panel.where(F.col("timestamp") >= "2021-04-15").select(
+        "item_id", "timestamp"
+    )
+    actual = panel.where(F.col("timestamp") >= "2021-04-15")
+
+    def mae(model):
+        pred = model.predict(train, test_index)
+        return (
+            pred.join(actual, on=["item_id", "timestamp"])
+            .agg(F.avg(F.abs(F.col("target_pred") - F.col("target"))))
+            .first()[0]
+        )
+
+    gbt_mae = mae(GBTPanelForecaster(max_iter=30, max_depth=4).fit(train))
+    prof_mae = mae(GlobalWeekdayProfileForecaster().fit(train))
+    # the multiplicative-profile model applies ONE global weekend
+    # multiplier to both items -> systematic error on one of them;
+    # trees split on (dow, level) and nail both
+    assert gbt_mae < 0.7 * prof_mae
+
+
+def test_gbt_panel_forecaster_in_scorer_factory(spark):
+    """GBTPanelForecaster flows through the TSTR scorer factory
+    boundary end to end (J4 seam, ensemble-tree pluggable)."""
+    import datetime as dt
+
+    from paqarin_spark.generator import GeneratorParameters
+    from paqarin_spark.generators import BlockBootstrapGenerator
+    from paqarin_spark.metrics.univariate import (
+        FORECAST_SCORE,
+        TRAIN_ON_REAL,
+        GBTPanelForecaster,
+        UnivariateForecastScorer,
+    )
+    from paqarin_spark.schema import TimeSeriesSchema
+
+    schema = TimeSeriesSchema(
+        item_id_columns=("item",),
+        timestamp_column="ts",
+        value_columns=("v",),
+        frequency="D",
+    )
+    rows = [
+        (item, dt.datetime(2021, 3, 1) + dt.timedelta(days=i), 10.0 + i % 7)
+        for item in ("a", "b")
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "item string, ts timestamp, v double")
+    gen = BlockBootstrapGenerator(
+        GeneratorParameters(schema=schema, sequence_length=8, seed=5)
+    ).fit(df)
+    scorer = UnivariateForecastScorer(
+        prediction_length=7,
+        iterations=1,
+        number_of_sequences=10,
+        forecaster_factory=lambda: GBTPanelForecaster(max_iter=5, max_depth=2),
+    )
+    scorer.calculate(gen, "bootstrap", df)
+    summary = {r["generator"]: r for r in scorer.summary_metrics}
+    assert set(summary) == {"bootstrap", TRAIN_ON_REAL}
+    assert summary["bootstrap"][f"avg_{FORECAST_SCORE}"] >= 0
+    scorer.unpersist()
+    gen.unpersist()
