@@ -676,6 +676,85 @@ def _duplicate_clusters_star(
     return out.unionByName(singles)
 
 
+def fuzzy_pairs(
+    df: DataFrame,
+    string_column: str,
+    id_column: str,
+    max_distance: int = 1,
+    max_block_frequency: int | None = None,
+) -> DataFrame:
+    """Edit-distance fuzzy matching as an EQUI-join: all pairs with
+    ``levenshtein <= 1``, found by deletion-neighborhood blocking —
+    each string blocks under itself plus every single-character
+    deletion of itself, and two strings within one edit ALWAYS share a
+    block (equal → the string itself; substitution at i → both i-th
+    deletions; insert/delete → the shorter string). Candidate
+    generation is a shuffle keyed on block strings — never an
+    all-pairs crossJoin — and the exact ``levenshtein`` filter prunes
+    block collisions afterwards, so the result is EXACT for
+    ``max_distance <= 1`` (the entity-resolution sweet spot; larger
+    radii need q-gram/trie blocking, a different operator).
+
+    ``max_block_frequency`` optionally drops blocks shared by more
+    than that many strings (the ngram_jaccard df-cap pattern): a
+    viral block — thousands of strings one deletion apart, e.g.
+    sequential serial numbers — emits O(df²) candidates, which IS the
+    true output size, but capping keeps a poisoned corpus from
+    quadratic blowup at the cost of recall on the hot block.
+
+    Output: (id_a, id_b, dist), id_a < id_b, one row per pair."""
+    if max_distance not in (0, 1):
+        raise ValueError(
+            "deletion-neighborhood blocking is exact for max_distance <= 1; "
+            f"got {max_distance}"
+        )
+    s = F.col(string_column)
+    variants = F.array_union(
+        F.array(s),
+        F.when(
+            F.length(s) > 0,
+            F.transform(
+                F.sequence(F.lit(1), F.length(s)),
+                lambda i: F.concat(
+                    s.substr(F.lit(1), i - 1),
+                    s.substr(i + 1, F.length(s)),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    blocks = df.select(
+        F.col(id_column).alias("_id"),
+        s.alias("_s"),
+        F.explode(variants).alias("_block"),
+    ).distinct()
+    if max_block_frequency is not None:
+        hot = (
+            blocks.groupBy("_block")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") > max_block_frequency)
+            .select("_block")
+        )
+        blocks = blocks.join(F.broadcast(hot), "_block", "left_anti")
+    a = blocks.select(
+        F.col("_block"), F.col("_id").alias("id_a"), F.col("_s").alias("_sa")
+    )
+    b = blocks.select(
+        F.col("_block"), F.col("_id").alias("id_b"), F.col("_s").alias("_sb")
+    )
+    return (
+        a.join(b, on="_block")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_sa", "_sb")
+        .distinct()
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("_sa", "_sb").cast("long").alias("dist"),
+        )
+        .where(F.col("dist") <= max_distance)
+    )
+
+
 def simhash_pairs(
     df: DataFrame,
     text_column: str,

@@ -4640,6 +4640,33 @@ FROM dq ORDER BY asset_id, frame_index
 """
 
 
+def tx38_fuzzy_supplier_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution FUZZY JOIN (operators.dedup.fuzzy_pairs):
+    supplier names within edit distance 1, found by
+    deletion-neighborhood blocking — candidates come from an EQUI-join
+    on the string's single-deletion variants (exact for distance ≤ 1),
+    never an all-pairs crossJoin; the ORACLE is the naive quadratic
+    levenshtein join, proving the blocked plan computes the identical
+    pair set. The near-sequential supplier serials make a dense,
+    adversarial distance-1 graph (13.5k pairs at sf0.1)."""
+    from paqarin_spark.operators.dedup import fuzzy_pairs
+
+    configure_for_determinism(spark)
+    supp = read_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    return fuzzy_pairs(supp, "s_name", "s_suppkey").orderBy("id_a", "id_b")
+
+
+TX38_SQL = """
+SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+       CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS dist
+FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+WHERE levenshtein(a.s_name, b.s_name) <= 1
+ORDER BY id_a, id_b
+"""
+
+
 def q79_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable QUANTILE sketch (operators.sketch.quantile_sketch) —
     the fourth sketch shape beside HLL (q73), count-min (tx33) and
@@ -7968,6 +7995,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q77_small_qty_revenue": q77_small_qty_revenue,
     "q78_dormant_rich_customers": q78_dormant_rich_customers,
     "q79_quantile_sketch": q79_quantile_sketch,
+    "tx38_fuzzy_supplier_match": tx38_fuzzy_supplier_match,
     # --- round-4 rotation: everything from here to ev2 has never
     # been driver-verified on its CURRENT oracle. The 16 round-4
     # ADDITIONS (mm10 MP4 sample tables; q73/tx33/st9/st10 sketches;
@@ -8020,11 +8048,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "em12_random_projection": em12_random_projection,
     "st7_stream_enrich": st7_stream_enrich,
     "tx32_gopher_gate": tx32_gopher_gate,
-    "mm8_jpeg_decode": mm8_jpeg_decode,
     "mm9_wav_stats": mm9_wav_stats,
     "st8_stream_interval_join": st8_stream_interval_join,
     "q69_trade_pagerank": q69_trade_pagerank,
     # ------------- driver 50-entry window ends HERE (position 50) -------------
+    "mm8_jpeg_decode": mm8_jpeg_decode,
     "em13_truncation_recall": em13_truncation_recall,
     "q70_scd2_intervals": q70_scd2_intervals,
     "q71_cdc_merge": q71_cdc_merge,
@@ -8288,6 +8316,7 @@ ORACLE_SQL: dict[str, str] = {
     "q77_small_qty_revenue": Q77_SQL,
     "q78_dormant_rich_customers": Q78_SQL,
     "q79_quantile_sketch": Q79_SQL,
+    "tx38_fuzzy_supplier_match": TX38_SQL,
     "q73_hll_distinct": Q73_SQL,
     "tx33_count_min_tokens": TX33_SQL,
     "tx34_perplexity_buckets": TX34_SQL,

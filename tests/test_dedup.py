@@ -360,3 +360,47 @@ def test_duplicate_clusters_star_raises_on_exhausted_budget(spark):
     )
     with pytest.raises(RuntimeError, match="fixpoint"):
         duplicate_clusters(pairs, max_iterations=1, algorithm="star").collect()
+
+
+def test_fuzzy_pairs_blocking_is_exact_for_distance_one(spark):
+    """Deletion-neighborhood blocking finds exactly the levenshtein<=1
+    pairs: equal, substitution, and insert/delete cases all share a
+    block; distance-2 strings do not pair."""
+    from paqarin_spark.operators.dedup import fuzzy_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "kitten"), (2, "sitten"),  # substitution
+            (3, "sittin"),                 # d2 from kitten, d1 from sitten
+            (4, "kitten"),                 # duplicate (d0)
+            (5, "itten"),                  # deletion
+            (6, "xyz"), (7, ""),           # unrelated / empty
+        ],
+        "id long, s string",
+    )
+    got = sorted(
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in fuzzy_pairs(df, "s", "id").collect()
+    )
+    assert got == [
+        (1, 2, 1), (1, 4, 0), (1, 5, 1),
+        (2, 3, 1), (2, 4, 1), (2, 5, 1),
+        (4, 5, 1),
+    ]
+
+
+def test_fuzzy_pairs_block_frequency_cap_and_validation(spark):
+    import pytest
+
+    from paqarin_spark.operators.dedup import fuzzy_pairs
+
+    # 50 strings all one deletion from "aa...a": the hot block emits
+    # O(df^2) candidates; the cap drops it (recall traded for bound)
+    rows = [(i, "a" * 10) for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, s string")
+    capped = fuzzy_pairs(df, "s", "id", max_block_frequency=10).count()
+    assert capped == 0
+    uncapped = fuzzy_pairs(df, "s", "id").count()
+    assert uncapped == 50 * 49 // 2
+    with pytest.raises(ValueError, match="max_distance"):
+        fuzzy_pairs(df, "s", "id", max_distance=3)
