@@ -4640,6 +4640,71 @@ FROM dq ORDER BY asset_id, frame_index
 """
 
 
+def st11_stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING quantile sketch — the third streaming-sketch dual
+    beside st9 (HLL registers) and st10 (count-min counters): the
+    bottom-k uniform sample IS the per-group state (≤ k rows forever),
+    folded per micro-batch by the same union + re-top-k merge the
+    batch sketch uses across shards, via a custom
+    applyInPandasWithState operator. The final state provably equals
+    batch q79's sample at the same k, and finishes through the SAME
+    estimate arithmetic — so a STREAMING run hash-matches a plain SQL
+    oracle (tie-break on the md5 key then the id STRING, mirrored in
+    the ORDER BY)."""
+    from paqarin_spark.operators.sketch import quantile_estimate_from_sketch
+    from paqarin_spark.streaming import (
+        latest_sketch_version,
+        stream_quantile_sketch,
+    )
+
+    configure_for_determinism(spark)
+    stream = _events_stream(spark, sf_dir)
+    sk = stream_quantile_sketch(
+        stream, "value", rank_columns=["event_id"], k=128,
+        group_by=["event_type"],
+    )
+    name = "st11_stream_quantile_sketch"
+    q = (
+        sk.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = latest_sketch_version(spark.table(name), ["event_type"])
+    return quantile_estimate_from_sketch(
+        final, [0.5, 0.9, 0.99], group_by=["event_type"]
+    ).orderBy("event_type")
+
+
+ST11_SQL = """
+WITH ranked AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type
+           ORDER BY ('0x' || substring(md5('qsketch#0#'
+                       || CAST(event_id AS VARCHAR)), 1, 15))::UBIGINT
+                    / 1152921504606846976.0,
+                    CAST(event_id AS VARCHAR)
+         ) AS rk
+  FROM events
+), samp AS (
+  SELECT event_type, value FROM ranked WHERE rk <= 128
+), agg AS (
+  SELECT event_type, COUNT(*) AS m,
+         LIST(value ORDER BY value) AS vs
+  FROM samp GROUP BY event_type
+)
+SELECT event_type,
+       CAST(m AS BIGINT) AS n_sample,
+       ROUND(vs[GREATEST(CAST(CEIL(0.5 * m) AS INTEGER), 1)], 6) AS p5,
+       ROUND(vs[GREATEST(CAST(CEIL(0.9 * m) AS INTEGER), 1)], 6) AS p9,
+       ROUND(vs[GREATEST(CAST(CEIL(0.99 * m) AS INTEGER), 1)], 6) AS p99
+FROM agg ORDER BY event_type
+"""
+
+
 def tx38_fuzzy_supplier_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity-resolution FUZZY JOIN (operators.dedup.fuzzy_pairs):
     supplier names within edit distance 1, found by
@@ -7996,6 +8061,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q78_dormant_rich_customers": q78_dormant_rich_customers,
     "q79_quantile_sketch": q79_quantile_sketch,
     "tx38_fuzzy_supplier_match": tx38_fuzzy_supplier_match,
+    "st11_stream_quantile_sketch": st11_stream_quantile_sketch,
     # --- round-4 rotation: everything from here to ev2 has never
     # been driver-verified on its CURRENT oracle. The 16 round-4
     # ADDITIONS (mm10 MP4 sample tables; q73/tx33/st9/st10 sketches;
@@ -8048,11 +8114,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "em12_random_projection": em12_random_projection,
     "st7_stream_enrich": st7_stream_enrich,
     "tx32_gopher_gate": tx32_gopher_gate,
-    "mm9_wav_stats": mm9_wav_stats,
     "st8_stream_interval_join": st8_stream_interval_join,
     "q69_trade_pagerank": q69_trade_pagerank,
     # ------------- driver 50-entry window ends HERE (position 50) -------------
     "mm8_jpeg_decode": mm8_jpeg_decode,
+    "mm9_wav_stats": mm9_wav_stats,
     "em13_truncation_recall": em13_truncation_recall,
     "q70_scd2_intervals": q70_scd2_intervals,
     "q71_cdc_merge": q71_cdc_merge,
@@ -8317,6 +8383,7 @@ ORACLE_SQL: dict[str, str] = {
     "q78_dormant_rich_customers": Q78_SQL,
     "q79_quantile_sketch": Q79_SQL,
     "tx38_fuzzy_supplier_match": TX38_SQL,
+    "st11_stream_quantile_sketch": ST11_SQL,
     "q73_hll_distinct": Q73_SQL,
     "tx33_count_min_tokens": TX33_SQL,
     "tx34_perplexity_buckets": TX34_SQL,

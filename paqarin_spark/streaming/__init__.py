@@ -171,6 +171,134 @@ def stream_count_min(
     )
 
 
+def stream_quantile_sketch(
+    stream: DataFrame,
+    value_column: str,
+    rank_columns: list[str],
+    k: int = 256,
+    group_by: list[str] | None = None,
+    seed: int = 0,
+) -> DataFrame:
+    """Streaming dual of ``operators.sketch.quantile_sketch`` — the
+    third streaming-sketch shape beside st9's HLL registers and st10's
+    count-min counters: per-group state IS the bottom-k uniform sample
+    (≤ k rows per group forever, regardless of stream length). Each
+    micro-batch folds its rows' portable md5 keys into the state —
+    exactly the union + re-top-k merge ``quantile_sketch_merge`` runs
+    across shards, so the final state equals the batch sketch of the
+    full stream BY CONSTRUCTION. No built-in streaming op keeps a
+    ranked top-k, so this is a custom stateful operator
+    (``applyInPandasWithState``, the stream_sliding_windows shape).
+
+    Emissions carry a per-group monotone ``version``; readers take
+    each group's max-version rows (the emission count depends on
+    micro-batch boundaries, the final state does not). Ties on the
+    53-bit md5 double break on the STRING concat of ``rank_columns``
+    (document for oracle replays: ORDER BY key, CAST(id AS VARCHAR))."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from paqarin_spark.functions import uniform_hash
+
+    groups = list(group_by or [])
+    if not groups:
+        raise ValueError(
+            "stream_quantile_sketch requires group_by (state is keyed)"
+        )
+    ident = [F.col(c).cast("string") for c in rank_columns]
+    u = uniform_hash(F.lit("qsketch"), F.lit(str(seed)), *ident)
+    staged = stream.select(
+        *groups,
+        u.alias("_u"),
+        F.concat_ws("#", *ident).alias("_tie"),
+        F.col(value_column).cast("double").alias("_v"),
+    )
+    group_fields = [
+        StructField(g, staged.schema[g].dataType, True) for g in groups
+    ]
+    out_type = StructType(
+        [
+            *group_fields,
+            StructField("version", LongType(), False),
+            StructField("_rk", LongType(), False),
+            StructField("value", DoubleType(), True),
+        ]
+    )
+    state_type = StructType(
+        [
+            StructField("keys", ArrayType(DoubleType()), True),
+            StructField("ties", ArrayType(StringType()), True),
+            StructField("vals", ArrayType(DoubleType()), True),
+            StructField("version", LongType(), True),
+        ]
+    )
+
+    def fold(key, pdf_iter, state: GroupState):
+        if state.exists:
+            keys, ties, vals, version = state.get
+            entries = list(zip(keys, ties, vals))
+        else:
+            entries, version = [], 0
+        before = sorted(entries)[:k]
+        for pdf in pdf_iter:
+            entries.extend(
+                zip(
+                    (float(x) for x in pdf["_u"]),
+                    (str(x) for x in pdf["_tie"]),
+                    (float(x) for x in pdf["_v"]),
+                )
+            )
+        entries = sorted(entries)[:k]
+        if entries != before:
+            version += 1
+            state.update(
+                (
+                    [e[0] for e in entries],
+                    [e[1] for e in entries],
+                    [e[2] for e in entries],
+                    version,
+                )
+            )
+            yield pd.DataFrame(
+                [
+                    (*key, version, rk + 1, e[2])
+                    for rk, e in enumerate(entries)
+                ],
+                columns=[*groups, "version", "_rk", "value"],
+            )
+
+    return staged.groupBy(*groups).applyInPandasWithState(
+        fold,
+        outputStructType=out_type,
+        stateStructType=state_type,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def latest_sketch_version(table: DataFrame, group_by: list[str]) -> DataFrame:
+    """Select each group's max-``version`` emission from an
+    accumulated :func:`stream_quantile_sketch` sink table — the final
+    state, independent of how many micro-batches the stream saw."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_by)
+    return (
+        table.withColumn("_maxv", F.max("version").over(w))
+        .where(F.col("version") == F.col("_maxv"))
+        .drop("_maxv", "version")
+    )
+
+
 def stream_running_minmax(
     stream: DataFrame,
     schema: TimeSeriesSchema,

@@ -455,3 +455,107 @@ def test_stream_count_min_state_survives_checkpoint_restart(spark, tmp_path):
     # total mass = depth × total rows over BOTH parts — part2 alone would halve it
     total = out.agg(F.sum("counter").alias("s")).first()["s"]
     assert total == 4 * 3000
+
+
+def test_stream_quantile_sketch_matches_batch(spark, tmp_path):
+    """The streaming bottom-k state (latest version per group) must
+    equal the batch quantile sketch of the same data — the fold is the
+    same union + re-top-k merge, so equality is by construction."""
+    from paqarin_spark.operators.sketch import quantile_sketch
+    from paqarin_spark.streaming import (
+        latest_sketch_version,
+        stream_quantile_sketch,
+    )
+
+    df = spark.range(4000).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 2).cast("string").alias("g"),
+        (F.pmod(F.hash("id"), F.lit(900)) / 3.0).alias("v"),
+    )
+    path = str(tmp_path / "qs_in")
+    df.repartition(4).write.parquet(path)
+
+    stream = spark.readStream.schema(
+        "event_id long, g string, v double"
+    ).parquet(path)
+    out = _run(
+        spark,
+        stream_quantile_sketch(
+            stream, "v", ["event_id"], k=32, group_by=["g"]
+        ),
+        "st_qs", "append",
+    )
+    final = latest_sketch_version(out, ["g"])
+    batch = quantile_sketch(
+        spark.read.parquet(path), "v", ["event_id"], k=32, group_by=["g"]
+    )
+    a = sorted((r["g"], r["_rk"], r["value"]) for r in final.collect())
+    b = sorted((r["g"], r["_rk"], r["value"]) for r in batch.collect())
+    assert a == b
+    assert len(a) == 64  # bounded: 2 groups x k
+
+
+def test_stream_quantile_sketch_state_survives_checkpoint_restart(
+    spark, tmp_path
+):
+    """applyInPandasWithState state-store recovery: restart from the
+    checkpoint sees only new files, so final == full-data batch sketch
+    only if the bottom-k state survived (disjoint-id precondition)."""
+    from paqarin_spark.operators.sketch import quantile_sketch
+    from paqarin_spark.streaming import (
+        latest_sketch_version,
+        stream_quantile_sketch,
+    )
+
+    path = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "event_id long, g string, v double"
+
+    def part(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("event_id"),
+            F.lit("x").alias("g"),
+            (F.pmod(F.hash("id"), F.lit(500)) * 1.0).alias("v"),
+        )
+
+    out_dir = str(tmp_path / "out")
+    part(0, 1500).repartition(2).write.mode("append").parquet(path)
+    sk = lambda s: stream_quantile_sketch(  # noqa: E731
+        s, "v", ["event_id"], k=32, group_by=["g"]
+    )
+
+    def run_to_files(stream_df):
+        # memory sink rejects append-mode recovery; the parquet sink
+        # is the fault-tolerant one
+        q = (
+            stream_df.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    stream1 = spark.readStream.schema(schema).parquet(path)
+    run_to_files(sk(stream1))
+
+    part(1500, 3000).repartition(2).write.mode("append").parquet(path)
+    stream2 = spark.readStream.schema(schema).parquet(path)
+    run_to_files(sk(stream2))
+
+    # the sink dir holds BOTH runs' emissions; the max-version rows
+    # must reproduce the full-data batch sketch, which requires the
+    # bottom-k state to have survived the restart
+    final = latest_sketch_version(spark.read.parquet(out_dir), ["g"])
+    batch = quantile_sketch(
+        spark.read.parquet(path), "v", ["event_id"], k=32, group_by=["g"]
+    )
+    a = sorted((r["_rk"], r["value"]) for r in final.collect())
+    b = sorted((r["_rk"], r["value"]) for r in batch.collect())
+    # precondition: part2 alone gives a different bottom-k
+    p2 = quantile_sketch(part(1500, 3000), "v", ["event_id"], k=32, group_by=["g"])
+    c = sorted((r["_rk"], r["value"]) for r in p2.collect())
+    assert c != b
+    assert a == b
+
