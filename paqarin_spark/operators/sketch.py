@@ -230,6 +230,31 @@ def quantile_sketch(
         # single-partition window over the full data), then number
         # the ≤ k survivors
         base = base.orderBy("_u", *rank_columns).limit(k)
+    else:
+        # two-stage bounded top-k — the 100-TB posture: a bare
+        # row_number window would SORT every group's full row set in
+        # one task. Stage 1 takes each (group, input-partition)'s
+        # bottom-k (chunk sorts bounded by partition sizing; exact —
+        # any row dropped here is beaten by k rows in its own chunk,
+        # so it can't be in the group's global bottom-k). Stage 2's
+        # window then ranks ≤ partitions×k survivors per group. For
+        # extreme partition counts, stack another level with
+        # :func:`quantile_sketch_merge` — same algebra.
+        st = F.struct(
+            F.col("_u"), *[F.col(c) for c in rank_columns], F.col("_v")
+        )
+        base = (
+            base.withColumn("_pid", F.spark_partition_id())
+            .groupBy(*groups, "_pid")
+            .agg(F.slice(F.sort_array(F.collect_list(st)), 1, k).alias("_top"))
+            .select(*groups, F.explode("_top").alias("_s"))
+            .select(
+                *groups,
+                F.col("_s._u").alias("_u"),
+                *[F.col(f"_s.{c}").alias(c) for c in rank_columns],
+                F.col("_s._v").alias("_v"),
+            )
+        )
     w = Window.partitionBy(*[F.col(g) for g in groups]).orderBy(
         F.col("_u"), *[F.col(c) for c in rank_columns]
     )
@@ -300,8 +325,10 @@ def quantile_estimate_from_sketch(
         idx = F.greatest(
             F.ceil(F.lit(float(p)) * F.col("_m")).cast("int"), F.lit(1)
         )
+        # try_element_at: an EMPTY ungrouped sketch aggregates to one
+        # row with m=0 — estimates are NULL, not an index error
         sel.append(
-            F.round(F.element_at(F.col("_vs"), idx), 6).alias(
+            F.round(F.try_element_at(F.col("_vs"), idx), 6).alias(
                 f"p{str(p).replace('0.', '').replace('.', '_')}"
             )
         )

@@ -153,3 +153,36 @@ def test_kmeans_empty_input_raises_cleanly(spark):
     # nothing to assign — an empty assignment, not a crash
     assign, cent = kmeans_lloyd(empty, "vec_id", "embedding", k=2, iterations=1)
     assert assign.count() == 0 and cent.count() == 0
+
+
+def test_round5_surface_empty_inputs(spark, tmp_path):
+    """Empty-input robustness for the round-5 operator batch: fuzzy
+    pairs, quantile sketch + estimate + merge, and the sorted write
+    path all handle zero rows without crashing."""
+    import pyspark.sql.functions as F
+
+    from paqarin_spark.operators import (
+        quantile_estimate_from_sketch,
+        quantile_sketch,
+        quantile_sketch_merge,
+    )
+    from paqarin_spark.operators.dedup import fuzzy_pairs
+    from paqarin_spark.sources import write_sorted
+
+    empty_s = spark.createDataFrame([], "id long, s string")
+    assert fuzzy_pairs(empty_s, "s", "id").count() == 0
+
+    empty_v = spark.createDataFrame([], "event_id long, g string, v double")
+    sk = quantile_sketch(empty_v, "v", ["event_id"], k=8, group_by=["g"])
+    assert sk.count() == 0
+    assert quantile_sketch_merge(sk, k=8, group_by=["g"]).count() == 0
+    est = quantile_estimate_from_sketch(sk, [0.5], group_by=["g"])
+    assert est.count() == 0  # no groups -> no estimate rows
+    # ungrouped estimate over an empty sketch: one row, count 0
+    sk_g = quantile_sketch(empty_v, "v", ["event_id"], k=8)
+    row = quantile_estimate_from_sketch(sk_g, [0.5]).first()
+    assert row["n_sample"] == 0
+
+    p = str(tmp_path / "empty_sorted")
+    write_sorted(empty_v.select("event_id", "v"), p, ["v"], num_files=2)
+    assert spark.read.parquet(p).count() == 0

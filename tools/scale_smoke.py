@@ -618,6 +618,34 @@ def main() -> int:
         f"[{'ok' if ok else f'EXPECTED {nq}'}]"
     )
 
+    # Quantile sketch at stream scale: bottom-k per event-type-sized
+    # group over all n rows. Size is exactly groups × k; the two-stage
+    # top-k must be LAYOUT-INDEPENDENT (the exactness argument: a row
+    # dropped in any chunk is beaten by k rows of its own chunk), so
+    # the sample at 8 partitions equals the sample at the default
+    # layout row for row.
+    from paqarin_spark.operators import quantile_sketch
+
+    qev = ev.select(
+        "rid", (F.col("entity") % 5).cast("string").alias("etype"), "value"
+    )
+    t0 = time.perf_counter()
+    qs = quantile_sketch(qev, "value", ["rid"], k=256, group_by=["etype"])
+    n_rows = qs.count()
+    qs8 = quantile_sketch(
+        qev.repartition(8), "value", ["rid"], k=256, group_by=["etype"]
+    )
+    diff = qs.select("etype", "_rk", "value").exceptAll(
+        qs8.select("etype", "_rk", "value")
+    ).count()
+    dt = time.perf_counter() - t0
+    ok = n_rows == 5 * 256 and diff == 0
+    checks.append(ok)
+    print(
+        f"{'quantile sketch 20M':24} {dt:7.1f}s  rows={n_rows:>12,}  "
+        f"[{'ok' if ok else f'EXPECTED {5 * 256}, diff={diff}'}]"
+    )
+
     print("all invariants hold" if all(checks) else "INVARIANT FAILURES")
     return 0 if all(checks) else 1
 
