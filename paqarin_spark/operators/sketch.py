@@ -188,6 +188,100 @@ def count_min_estimates(
     )
 
 
+def bloom_bits(
+    df: DataFrame,
+    column: str,
+    m: int = 4096,
+    hashes: int = 3,
+    seed: int = 0,
+) -> DataFrame:
+    """Portable BLOOM FILTER build — the fifth sketch shape, and the
+    membership-pruning one: the set-bit positions of a Bloom filter
+    over ``column``, as a DataFrame of ≤ m rows (column ``bit``).
+    Bit positions come from the md5 construction
+    (``md5('bloom#seed#h#' || value) % m`` for h in 0..hashes-1), so
+    the filter is a pure function of the data — reproducible on any
+    layout, mergeable across shards by plain UNION/DISTINCT (the
+    bitwise-OR of bitsets in row form), and replayable in SQL.
+
+    Scale posture: one distinct over ≤ m·hashes generated rows —
+    output BOUNDED at m rows regardless of input; broadcast it to
+    probe (``bloom_probe``) and a 100-TB fact scan prefilters against
+    a build side that never exceeds the filter size. This is the
+    semi-join pushdown shape Spark's runtime bloom join applies,
+    made explicit, portable, and oracle-checkable."""
+    hs = F.explode(F.array(*[F.lit(h) for h in range(hashes)])).alias("_h")
+    return (
+        df.select(F.col(column).cast("string").alias("_v"), hs)
+        .select(
+            F.pmod(
+                _hash60(
+                    F.concat_ws(
+                        "#",
+                        F.lit("bloom"),
+                        F.lit(str(seed)),
+                        F.col("_h").cast("string"),
+                        F.col("_v"),
+                    )
+                ),
+                F.lit(m),
+            ).alias("bit")
+        )
+        .distinct()
+    )
+
+
+def bloom_probe(
+    df: DataFrame,
+    column: str,
+    bits: DataFrame,
+    m: int = 4096,
+    hashes: int = 3,
+    seed: int = 0,
+) -> DataFrame:
+    """Probe a :func:`bloom_bits` filter: appends ``bloom_hit``
+    (1 when ALL ``hashes`` bit positions of ``column``'s value are
+    set — no false negatives ever; false positives at the standard
+    ``(1 - e^(-hashes·n/m))^hashes`` rate). The bits table broadcasts;
+    the probe is ``hashes`` generated rows per input row, one
+    broadcast join, one count-matches rollup keyed like the input —
+    the fact side never shuffles against the build side."""
+    probe_cols = df.columns
+    hs = F.explode(F.array(*[F.lit(h) for h in range(hashes)])).alias("_h")
+    pos = df.withColumn("_pid_row", F.monotonically_increasing_id()).select(
+        "*",
+        hs,
+    ).withColumn(
+        "_bit",
+        F.pmod(
+            _hash60(
+                F.concat_ws(
+                    "#",
+                    F.lit("bloom"),
+                    F.lit(str(seed)),
+                    F.col("_h").cast("string"),
+                    F.col(column).cast("string"),
+                )
+            ),
+            F.lit(m),
+        ),
+    )
+    marked = pos.join(
+        F.broadcast(bits.withColumn("_set", F.lit(1))),
+        pos["_bit"] == bits["bit"],
+        "left",
+    )
+    return (
+        marked.groupBy("_pid_row", *probe_cols)
+        .agg(
+            (F.sum(F.coalesce(F.col("_set"), F.lit(0))) == F.lit(hashes))
+            .cast("int")
+            .alias("bloom_hit")
+        )
+        .drop("_pid_row")
+    )
+
+
 def quantile_sketch(
     df: DataFrame,
     value_column: str,

@@ -4640,6 +4640,90 @@ FROM dq ORDER BY asset_id, frame_index
 """
 
 
+def q80_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable BLOOM-FILTER membership pruning (sketch.bloom_bits /
+    bloom_probe) — the explicit, oracle-checkable form of the
+    semi-join pushdown a 100-TB fact scan wants: build a ≤ m-row bit
+    table over the interesting dimension keys (suppliers from nations
+    0–4), broadcast it, and prefilter lineitem with 3 generated hash
+    rows per probe + one broadcast join. The query exposes the
+    sketch's whole truth table per returnflag: probe hits (true
+    members + false positives at the (1−e^(−jn/m))^j rate), exact
+    members, and the FP overcount — no false negatives by
+    construction, and every bit replays in SQL."""
+    from paqarin_spark.operators import bloom_bits, bloom_probe
+
+    configure_for_determinism(spark)
+    li = read_table(spark, sf_dir, "lineitem")
+    supp = read_table(spark, sf_dir, "supplier")
+    risky = supp.where(F.col("s_nationkey") < 5).select("s_suppkey")
+    bits = bloom_bits(risky, "s_suppkey", m=1024, hashes=3)
+    probed = bloom_probe(
+        li.select("l_suppkey", "l_returnflag"),
+        "l_suppkey",
+        bits,
+        m=1024,
+        hashes=3,
+    )
+    exact = li.join(
+        F.broadcast(risky), li.l_suppkey == risky.s_suppkey, "left_semi"
+    ).groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n_exact"))
+    return (
+        probed.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("bloom_hit").cast("bigint").alias("n_bloom_hits"),
+        )
+        .join(exact, on="l_returnflag", how="left")
+        .select(
+            "l_returnflag",
+            "n_rows",
+            "n_bloom_hits",
+            F.coalesce("n_exact", F.lit(0)).alias("n_exact"),
+            (F.col("n_bloom_hits") - F.coalesce("n_exact", F.lit(0)))
+            .cast("bigint")
+            .alias("n_false_pos"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+Q80_SQL = """
+WITH keys AS (
+  SELECT DISTINCT s_suppkey FROM supplier WHERE s_nationkey < 5
+), bits AS (
+  SELECT DISTINCT
+    ('0x' || substring(md5('bloom#0#' || h.h || '#'
+        || CAST(s_suppkey AS VARCHAR)), 1, 15))::UBIGINT % 1024 AS bit
+  FROM keys, (SELECT UNNEST(range(3)) AS h) h
+), probe AS (
+  SELECT l_returnflag, l_suppkey,
+         COUNT(*) FILTER (WHERE
+           ('0x' || substring(md5('bloom#0#' || h.h || '#'
+               || CAST(l_suppkey AS VARCHAR)), 1, 15))::UBIGINT % 1024
+           IN (SELECT bit FROM bits)) AS nset
+  FROM (SELECT ROW_NUMBER() OVER () AS rid, l_returnflag, l_suppkey
+        FROM lineitem) l,
+       (SELECT UNNEST(range(3)) AS h) h
+  GROUP BY rid, l_returnflag, l_suppkey
+), exact AS (
+  SELECT l_returnflag, COUNT(*) AS n_exact
+  FROM lineitem WHERE l_suppkey IN (SELECT s_suppkey FROM keys)
+  GROUP BY l_returnflag
+)
+SELECT p.l_returnflag,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN nset = 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bloom_hits,
+       COALESCE(MAX(e.n_exact), 0) AS n_exact,
+       CAST(SUM(CASE WHEN nset = 3 THEN 1 ELSE 0 END)
+            - COALESCE(MAX(e.n_exact), 0) AS BIGINT) AS n_false_pos
+FROM probe p LEFT JOIN exact e ON p.l_returnflag = e.l_returnflag
+GROUP BY p.l_returnflag
+ORDER BY p.l_returnflag
+"""
+
+
 def st11_stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING quantile sketch — the third streaming-sketch dual
     beside st9 (HLL registers) and st10 (count-min counters): the
@@ -8062,6 +8146,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q79_quantile_sketch": q79_quantile_sketch,
     "tx38_fuzzy_supplier_match": tx38_fuzzy_supplier_match,
     "st11_stream_quantile_sketch": st11_stream_quantile_sketch,
+    "q80_bloom_prune": q80_bloom_prune,
     # --- round-4 rotation: everything from here to ev2 has never
     # been driver-verified on its CURRENT oracle. The 16 round-4
     # ADDITIONS (mm10 MP4 sample tables; q73/tx33/st9/st10 sketches;
@@ -8113,10 +8198,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx31_bm25_search": tx31_bm25_search,
     "em12_random_projection": em12_random_projection,
     "st7_stream_enrich": st7_stream_enrich,
-    "tx32_gopher_gate": tx32_gopher_gate,
     "st8_stream_interval_join": st8_stream_interval_join,
     "q69_trade_pagerank": q69_trade_pagerank,
     # ------------- driver 50-entry window ends HERE (position 50) -------------
+    "tx32_gopher_gate": tx32_gopher_gate,
     "mm8_jpeg_decode": mm8_jpeg_decode,
     "mm9_wav_stats": mm9_wav_stats,
     "em13_truncation_recall": em13_truncation_recall,
@@ -8384,6 +8469,7 @@ ORACLE_SQL: dict[str, str] = {
     "q79_quantile_sketch": Q79_SQL,
     "tx38_fuzzy_supplier_match": TX38_SQL,
     "st11_stream_quantile_sketch": ST11_SQL,
+    "q80_bloom_prune": Q80_SQL,
     "q73_hll_distinct": Q73_SQL,
     "tx33_count_min_tokens": TX33_SQL,
     "tx34_perplexity_buckets": TX34_SQL,

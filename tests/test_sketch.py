@@ -243,3 +243,29 @@ def test_quantile_sketch_layout_independent(spark):
         ).collect()
     )
     assert a == b
+
+
+def test_bloom_no_false_negatives_and_bounded_bits(spark):
+    """Every member must hit (no false negatives — the Bloom
+    contract); the bit table never exceeds m rows; shard merge is
+    plain union+distinct."""
+    import pyspark.sql.functions as F
+
+    from paqarin_spark.operators import bloom_bits, bloom_probe
+
+    members = spark.range(200).select(F.col("id").alias("k"))
+    bits = bloom_bits(members, "k", m=512, hashes=3)
+    assert bits.count() <= 512
+    probe = spark.range(1000).select(F.col("id").alias("k"))
+    out = bloom_probe(probe, "k", bits, m=512, hashes=3)
+    assert out.count() == 1000  # row multiplicity preserved
+    hits = {r["k"] for r in out.where(F.col("bloom_hit") == 1).collect()}
+    assert set(range(200)) <= hits  # no false negatives
+    # false positives exist at this load factor but stay a minority
+    assert len(hits) < 1000
+    # shard merge: union of shard bit tables == bits of the union
+    b1 = bloom_bits(members.where("k < 100"), "k", m=512, hashes=3)
+    b2 = bloom_bits(members.where("k >= 100"), "k", m=512, hashes=3)
+    merged = b1.unionByName(b2).distinct()
+    assert merged.exceptAll(bits).count() == 0
+    assert bits.exceptAll(merged).count() == 0
