@@ -110,6 +110,21 @@ FORECAST_SCORE = "forecast_mae"
 TRAIN_ON_REAL = "train_on_real"
 
 
+def _recent_item_stats(panel, period: int, aggs) -> DataFrame:
+    """The shared recent-history anchor every forecaster predicts
+    from: keep each item's last ``period`` ticks (row_number over the
+    descending time window) and aggregate them. One definition so
+    recency semantics — e.g. tie handling on duplicate timestamps —
+    change in exactly one place for every model and both scorer paths."""
+    recent = Window.partitionBy(ITEM_ID).orderBy(F.col(TIMESTAMP).desc())
+    return (
+        panel.withColumn("_rn", F.row_number().over(recent))
+        .where(F.col("_rn") <= period)
+        .groupBy(ITEM_ID)
+        .agg(*aggs)
+    )
+
+
 class GlobalWeekdayProfileForecaster:
     """Op J4 stand-in behind the forecaster factory boundary: learns a
     GLOBAL weekday multiplier profile from its training panel, then
@@ -153,12 +168,8 @@ class GlobalWeekdayProfileForecaster:
         ``index``, given each item's real ``history`` panel."""
         if self._profile is None:
             raise RuntimeError("forecaster is not fitted")
-        recent = Window.partitionBy(ITEM_ID).orderBy(F.col(TIMESTAMP).desc())
-        base = (
-            history.withColumn("_rn", F.row_number().over(recent))
-            .where(F.col("_rn") <= self.period)
-            .groupBy(ITEM_ID)
-            .agg(F.avg(TARGET).alias("_base"))
+        base = _recent_item_stats(
+            history, self.period, [F.avg(TARGET).alias("_base")]
         )
         return (
             index.join(base, on=ITEM_ID, how="left")
@@ -223,16 +234,14 @@ class SeasonalNaiveDriftForecaster:
     def predict(self, history: DataFrame, index: DataFrame) -> DataFrame:
         if self._drift is None or self._offsets is None:
             raise RuntimeError("forecaster is not fitted")
-        recent = Window.partitionBy(ITEM_ID).orderBy(F.col(TIMESTAMP).desc())
-        anchor = (
-            history.withColumn("_rn", F.row_number().over(recent))
-            .where(F.col("_rn") <= self.period)
-            .groupBy(ITEM_ID)
-            .agg(
+        anchor = _recent_item_stats(
+            history,
+            self.period,
+            [
                 F.avg(TARGET).alias("_lvl"),
                 F.max(TIMESTAMP).alias("_last"),
                 F.count(F.lit(1)).alias("_n"),
-            )
+            ],
         )
         steps = (
             F.coalesce(F.datediff(F.col(TIMESTAMP), F.col("_last")), F.lit(0))
@@ -329,12 +338,8 @@ class GBTPanelForecaster:
     def predict(self, history: DataFrame, index: DataFrame) -> DataFrame:
         if self._model is None:
             raise RuntimeError("forecaster is not fitted")
-        recent = Window.partitionBy(ITEM_ID).orderBy(F.col(TIMESTAMP).desc())
-        base = (
-            history.withColumn("_rn", F.row_number().over(recent))
-            .where(F.col("_rn") <= self.period)
-            .groupBy(ITEM_ID)
-            .agg(F.avg(TARGET).alias("_base"))
+        base = _recent_item_stats(
+            history, self.period, [F.avg(TARGET).alias("_base")]
         )
         staged = (
             index.join(base, on=ITEM_ID, how="left")
@@ -550,12 +555,8 @@ class UnivariateForecastScorer:
                 .alias("_mult"),
             )
         )
-        recent = Window.partitionBy(ITEM_ID).orderBy(F.col(TIMESTAMP).desc())
-        base = (
-            train.withColumn("_rn", F.row_number().over(recent))
-            .where(F.col("_rn") <= period)
-            .groupBy(ITEM_ID)
-            .agg(F.avg(TARGET).alias("_base"))
+        base = _recent_item_stats(
+            train, period, [F.avg(TARGET).alias("_base")]
         )
         combo_dim = self.metric_manager.spark.createDataFrame(
             combos, "_gen string, _iter int"
@@ -613,16 +614,14 @@ class UnivariateForecastScorer:
             .groupBy(*keys, F.dayofweek(TIMESTAMP).alias("_dow"))
             .agg(F.avg(F.col(TARGET) - F.col("_lvl_i")).alias("_off"))
         )
-        recent = Window.partitionBy(ITEM_ID).orderBy(F.col(TIMESTAMP).desc())
-        anchor = (
-            train.withColumn("_rn", F.row_number().over(recent))
-            .where(F.col("_rn") <= period)
-            .groupBy(ITEM_ID)
-            .agg(
+        anchor = _recent_item_stats(
+            train,
+            period,
+            [
                 F.avg(TARGET).alias("_lvl"),
                 F.max(TIMESTAMP).alias("_last"),
                 F.count(F.lit(1)).alias("_n"),
-            )
+            ],
         )
         combo_dim = self.metric_manager.spark.createDataFrame(
             combos, "_gen string, _iter int"

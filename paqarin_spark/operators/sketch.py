@@ -242,43 +242,53 @@ def bloom_probe(
     """Probe a :func:`bloom_bits` filter: appends ``bloom_hit``
     (1 when ALL ``hashes`` bit positions of ``column``'s value are
     set — no false negatives ever; false positives at the standard
-    ``(1 - e^(-hashes·n/m))^hashes`` rate). The bits table broadcasts;
-    the probe is ``hashes`` generated rows per input row, one
-    broadcast join, one count-matches rollup keyed like the input —
-    the fact side never shuffles against the build side."""
-    probe_cols = df.columns
-    hs = F.explode(F.array(*[F.lit(h) for h in range(hashes)])).alias("_h")
-    pos = df.withColumn("_pid_row", F.monotonically_increasing_id()).select(
-        "*",
-        hs,
-    ).withColumn(
-        "_bit",
-        F.pmod(
-            _hash60(
-                F.concat_ws(
-                    "#",
-                    F.lit("bloom"),
-                    F.lit(str(seed)),
-                    F.col("_h").cast("string"),
-                    F.col(column).cast("string"),
-                )
-            ),
-            F.lit(m),
-        ),
-    )
-    marked = pos.join(
-        F.broadcast(bits.withColumn("_set", F.lit(1))),
-        pos["_bit"] == bits["bit"],
-        "left",
-    )
-    return (
-        marked.groupBy("_pid_row", *probe_cols)
-        .agg(
-            (F.sum(F.coalesce(F.col("_set"), F.lit(0))) == F.lit(hashes))
-            .cast("int")
-            .alias("bloom_hit")
+    ``(1 - e^(-hashes·n/m))^hashes`` rate). Physical shape: one
+    broadcast LEFT join per hash function against the (defensively
+    deduplicated, ≤ m-row) bits table, flags ANDed in a single
+    projection — pure map-side work, the fact side NEVER shuffles,
+    row multiplicity and column set preserved exactly.
+
+    Internal columns are ``__bloom_``-prefixed and the bits side is
+    renamed per join, so probe frames with ordinary column names
+    (including ``bit``) pass through untouched."""
+    reserved = [c for c in df.columns if c.startswith("__bloom_")]
+    if reserved:
+        raise ValueError(
+            f"probe columns collide with the __bloom_ namespace: {reserved}"
         )
-        .drop("_pid_row")
+    # distinct() defends the no-false-negative contract against a
+    # caller merging shard filters with a bare union(): a duplicated
+    # bit row would double-join — harmless under per-hash flags, but
+    # keep the broadcast side minimal and canonical regardless
+    bset = F.broadcast(bits.select("bit").distinct())
+    out = df
+    hit = F.lit(True)
+    for h in range(hashes):
+        pos_col = f"__bloom_pos_{h}"
+        bit_col = f"__bloom_bit_{h}"
+        out = out.withColumn(
+            pos_col,
+            F.pmod(
+                _hash60(
+                    F.concat_ws(
+                        "#",
+                        F.lit("bloom"),
+                        F.lit(str(seed)),
+                        F.lit(str(h)),
+                        F.col(column).cast("string"),
+                    )
+                ),
+                F.lit(m),
+            ),
+        ).join(
+            bset.select(F.col("bit").alias(bit_col)),
+            F.col(pos_col) == F.col(bit_col),
+            "left",
+        )
+        hit = hit & F.col(bit_col).isNotNull()
+    return out.withColumn("bloom_hit", hit.cast("int")).drop(
+        *[f"__bloom_pos_{h}" for h in range(hashes)],
+        *[f"__bloom_bit_{h}" for h in range(hashes)],
     )
 
 
@@ -313,17 +323,26 @@ def quantile_sketch(
     groups = list(group_by or [])
     ident = [F.col(c).cast("string") for c in rank_columns]
     u = uniform_hash(F.lit("qsketch"), F.lit(str(seed)), *ident)
+    # ONE tie-break contract everywhere: the 53-bit _u double first,
+    # then the STRING concat of the identity. Batch rank, the grouped
+    # two-stage chunks, quantile_sketch_merge's re-top-k, and
+    # streaming.stream_quantile_sketch's state all sort on exactly
+    # this pair — a typed-vs-string divergence would let an _u
+    # collision straddling the rank-k boundary make merge(shards)
+    # disagree with sketch(full data). Oracle replays order by
+    # (u, CAST(id AS VARCHAR)).
+    tie = F.concat_ws("#", *ident)
     base = df.select(
         *groups,
-        *rank_columns,
         F.col(value_column).cast("double").alias("_v"),
         u.alias("_u"),
+        tie.alias("_tie"),
     )
     if not groups:
         # global sketch: TakeOrderedAndProject (top-k, never a
         # single-partition window over the full data), then number
         # the ≤ k survivors
-        base = base.orderBy("_u", *rank_columns).limit(k)
+        base = base.orderBy("_u", "_tie").limit(k)
     else:
         # two-stage bounded top-k — the 100-TB posture: a bare
         # row_number window would SORT every group's full row set in
@@ -334,9 +353,7 @@ def quantile_sketch(
         # window then ranks ≤ partitions×k survivors per group. For
         # extreme partition counts, stack another level with
         # :func:`quantile_sketch_merge` — same algebra.
-        st = F.struct(
-            F.col("_u"), *[F.col(c) for c in rank_columns], F.col("_v")
-        )
+        st = F.struct(F.col("_u"), F.col("_tie"), F.col("_v"))
         base = (
             base.withColumn("_pid", F.spark_partition_id())
             .groupBy(*groups, "_pid")
@@ -345,12 +362,12 @@ def quantile_sketch(
             .select(
                 *groups,
                 F.col("_s._u").alias("_u"),
-                *[F.col(f"_s.{c}").alias(c) for c in rank_columns],
+                F.col("_s._tie").alias("_tie"),
                 F.col("_s._v").alias("_v"),
             )
         )
     w = Window.partitionBy(*[F.col(g) for g in groups]).orderBy(
-        F.col("_u"), *[F.col(c) for c in rank_columns]
+        F.col("_u"), F.col("_tie")
     )
     return (
         base.withColumn("_rk", F.row_number().over(w))
@@ -363,9 +380,7 @@ def quantile_sketch(
             # sketches MERGE by re-top-k on the stored key — see
             # quantile_sketch_merge
             F.col("_u").alias("_key"),
-            F.concat_ws("#", *[F.col(c).cast("string") for c in rank_columns]).alias(
-                "_tie"
-            ),
+            F.col("_tie").alias("_tie"),
         )
     )
 
@@ -379,8 +394,11 @@ def quantile_sketch_merge(
     caller unions the frames) and keep the k smallest stored keys per
     group. Because every shard kept ITS k smallest of the same global
     md5 permutation, the union's bottom-k equals the bottom-k of the
-    full data — the merge is exact, associative and order-free (the
-    HLL-MAX / count-min-SUM property in sample form)."""
+    full data — the merge is exact, associative, order-free AND
+    idempotent (the HLL-MAX / count-min-SUM property in sample form):
+    duplicate sample rows from overlapping or re-delivered shards
+    collapse on the (key, tie) identity before ranking, so re-merging
+    an already-included shard cannot evict a genuine row."""
     from pyspark.sql import Window
 
     groups = list(group_by or [])
@@ -388,7 +406,8 @@ def quantile_sketch_merge(
         "_key", "_tie"
     )
     return (
-        sketches.withColumn("_mrk", F.row_number().over(w))
+        sketches.dropDuplicates([*groups, "_key", "_tie"])
+        .withColumn("_mrk", F.row_number().over(w))
         .where(F.col("_mrk") <= k)
         .select(
             *groups, F.col("_mrk").alias("_rk"), "value", "_key", "_tie"
@@ -408,7 +427,9 @@ def quantile_estimate_from_sketch(
     arithmetic replays in SQL, so estimates hash-match the oracle."""
     groups = list(group_by or [])
     vals = F.sort_array(F.collect_list("value"))
-    aggs = [vals.alias("_vs"), F.count(F.lit(1)).alias("_m")]
+    # count NON-NULL values: collect_list drops NULLs, so a count(*)
+    # _m would shift every quantile index on a sample with NULL values
+    aggs = [vals.alias("_vs"), F.count("value").alias("_m")]
     out = (
         sketch.groupBy(*[F.col(g) for g in groups]).agg(*aggs)
         if groups

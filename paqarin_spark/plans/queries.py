@@ -4850,7 +4850,7 @@ WITH ranked AS (
            ORDER BY ('0x' || substring(md5('qsketch#0#'
                        || CAST(event_id AS VARCHAR)), 1, 15))::UBIGINT
                     / 1152921504606846976.0,
-                    event_id
+                    CAST(event_id AS VARCHAR)
          ) AS rk
   FROM events
 ), samp AS (
