@@ -242,54 +242,37 @@ def bloom_probe(
     """Probe a :func:`bloom_bits` filter: appends ``bloom_hit``
     (1 when ALL ``hashes`` bit positions of ``column``'s value are
     set — no false negatives ever; false positives at the standard
-    ``(1 - e^(-hashes·n/m))^hashes`` rate). Physical shape: one
-    broadcast LEFT join per hash function against the (defensively
-    deduplicated, ≤ m-row) bits table, flags ANDed in a single
-    projection — pure map-side work, the fact side NEVER shuffles,
-    row multiplicity and column set preserved exactly.
-
-    Internal columns are ``__bloom_``-prefixed and the bits side is
-    renamed per join, so probe frames with ordinary column names
-    (including ``bit``) pass through untouched."""
-    reserved = [c for c in df.columns if c.startswith("__bloom_")]
-    if reserved:
-        raise ValueError(
-            f"probe columns collide with the __bloom_ namespace: {reserved}"
-        )
-    # distinct() defends the no-false-negative contract against a
-    # caller merging shard filters with a bare union(): a duplicated
-    # bit row would double-join — harmless under per-hash flags, but
-    # keep the broadcast side minimal and canonical regardless
-    bset = F.broadcast(bits.select("bit").distinct())
-    out = df
+    ``(1 - e^(-hashes·n/m))^hashes`` rate). Physical shape: the bit
+    set is BOUNDED at m positions by construction, so it collects once
+    (the k×d-centroids bounded-collect class — ≤ m longs, never row
+    data) and the probe compiles to ``hashes`` InSet membership tests
+    in one whole-stage-codegen projection: zero joins, zero shuffles,
+    the fact scan stays a pure map — exactly what a 100-TB prefilter
+    must be. Row multiplicity and the probe's column set are
+    preserved; duplicate bit rows from a bare shard union() are
+    deduplicated by the collect, so the no-false-negative contract
+    holds for any bits input."""
+    vals = sorted(
+        int(r["bit"]) for r in bits.select("bit").distinct().collect()
+    )
+    if not vals:
+        return df.withColumn("bloom_hit", F.lit(0))
     hit = F.lit(True)
     for h in range(hashes):
-        pos_col = f"__bloom_pos_{h}"
-        bit_col = f"__bloom_bit_{h}"
-        out = out.withColumn(
-            pos_col,
-            F.pmod(
-                _hash60(
-                    F.concat_ws(
-                        "#",
-                        F.lit("bloom"),
-                        F.lit(str(seed)),
-                        F.lit(str(h)),
-                        F.col(column).cast("string"),
-                    )
-                ),
-                F.lit(m),
+        pos = F.pmod(
+            _hash60(
+                F.concat_ws(
+                    "#",
+                    F.lit("bloom"),
+                    F.lit(str(seed)),
+                    F.lit(str(h)),
+                    F.col(column).cast("string"),
+                )
             ),
-        ).join(
-            bset.select(F.col("bit").alias(bit_col)),
-            F.col(pos_col) == F.col(bit_col),
-            "left",
+            F.lit(m),
         )
-        hit = hit & F.col(bit_col).isNotNull()
-    return out.withColumn("bloom_hit", hit.cast("int")).drop(
-        *[f"__bloom_pos_{h}" for h in range(hashes)],
-        *[f"__bloom_bit_{h}" for h in range(hashes)],
-    )
+        hit = hit & pos.isin(vals)
+    return df.withColumn("bloom_hit", hit.cast("int"))
 
 
 def quantile_sketch(
