@@ -47,9 +47,20 @@ def main() -> int:
         df = read_table(spark, sf_dir, t)
         df.select([F.count(df[c]) for c in df.columns]).collect()
     # Warm the Python-worker/Arrow lane once so the first Pandas-UDF
-    # query isn't charged for interpreter fork + Arrow JIT.
+    # query isn't charged for interpreter fork + Arrow JIT. The
+    # closure imports the in-repo codec stack so reused workers
+    # (spark.python.worker.reuse) already hold numpy + jpeg/multimodal
+    # when the first mm query runs — without this the registry-first
+    # query absorbs ~7s of 32x module-import cost that belongs to
+    # session startup, not to that query.
+    def _warm(it):
+        import numpy  # noqa: F401
+        from paqarin_spark import jpeg, multimodal  # noqa: F401
+
+        return it
+
     spark.range(64).repartition(32).mapInPandas(
-        lambda it: it, schema="id bigint"
+        _warm, schema="id bigint"
     ).count()
 
     timings: dict[str, float] = {}

@@ -110,3 +110,85 @@ def pagerank(
     for frame in (frac, has_out, nodes, e):
         frame.unpersist()
     return ranks
+
+
+def triangles(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Exact triangle enumeration over an undirected edge list via
+    degree-ordered orientation — the MapReduce "node-iterator++" /
+    compact-forward algorithm (Suri & Vassilvitskii, WWW'11): orient
+    every edge from its lower-(degree, id) endpoint to the higher one,
+    enumerate wedges at each triangle's LOWEST-rank vertex by
+    self-joining the oriented out-edge list on the source, and close
+    each wedge with one equi-probe back into the oriented edges.
+
+    Output: one row per triangle, columns (x, y, z) with
+    rank(x) < rank(y) < rank(z) — each triangle exactly once.
+
+    Scale posture: degree-ordering bounds every oriented out-degree by
+    O(sqrt(m)), so the wedge join's intermediate is O(m^1.5) worst
+    case instead of the unordered sum of squared degrees (a single hub
+    of degree d contributes C(d,2) wedges unordered but ~0 once its
+    edges all point INTO it). Three keyed shuffles total — degree agg,
+    wedge self-join on the low vertex, closing probe on (y, z) — and
+    the oriented edge list is locally checkpointed once so the three
+    probes scan a materialized table instead of re-running the
+    caller's edge ETL three times. Beyond-reference north-star op
+    (graph family #3 beside pagerank / connected components);
+    SURVEY.md §2 'Not present in the reference'.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .persist()
+    )
+    deg = (
+        e.select(F.col("u").alias("n"))
+        .unionByName(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du, dv = deg.alias("du"), deg.alias("dv")
+    ranked = (
+        e.join(du, F.col("u") == F.col("du.n"))
+        .join(dv, F.col("v") == F.col("dv.n"))
+        .select(
+            "u", "v",
+            F.col("du.d").alias("_dU"), F.col("dv.d").alias("_dV"),
+        )
+    )
+    u_first = (F.col("_dU") < F.col("_dV")) | (
+        (F.col("_dU") == F.col("_dV")) & (F.col("u") < F.col("v"))
+    )
+    # Eager local checkpoint: `o` feeds all three probe sides below,
+    # and the wedge join would otherwise replay the caller's full edge
+    # construction (often a multi-table self-join) three times.
+    o = ranked.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+        F.when(u_first, F.col("_dV")).otherwise(F.col("_dU")).alias("db"),
+    ).localCheckpoint()
+    e.unpersist()
+    e1, e2, e3 = o.alias("e1"), o.alias("e2"), o.alias("e3")
+    rank_lt = (F.col("e1.db") < F.col("e2.db")) | (
+        (F.col("e1.db") == F.col("e2.db")) & (F.col("e1.b") < F.col("e2.b"))
+    )
+    return (
+        e1.join(e2, (F.col("e1.a") == F.col("e2.a")) & rank_lt)
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.b")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("x"),
+            F.col("e1.b").alias("y"),
+            F.col("e2.b").alias("z"),
+        )
+    )

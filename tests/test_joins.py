@@ -333,3 +333,51 @@ def test_pagerank_matches_reference_and_handles_dangling(spark):
         for r in pagerank(edges, "src", "dst", iterations=1).collect()
     }
     assert uw["b"] == uw["d"]  # equal split from a
+
+
+def test_triangles_k4_exact_enumeration(spark):
+    from paqarin_spark.operators import triangles
+
+    # K4 on {1,2,3,4} has exactly C(4,3)=4 triangles; every vertex has
+    # equal degree so orientation falls back to the id tie-break and
+    # each output triple must be strictly increasing.
+    edges = spark.createDataFrame(
+        [(u, v) for u in range(1, 5) for v in range(u + 1, 5)],
+        "src int, dst int",
+    )
+    got = sorted(tuple(r) for r in triangles(edges).collect())
+    assert got == [(1, 2, 3), (1, 2, 4), (1, 3, 4), (2, 3, 4)]
+
+
+def test_triangles_hub_star_has_none_and_input_noise_ignored(spark):
+    from paqarin_spark.operators import triangles
+
+    # A star (hub 0 to 10 leaves) holds C(10,2) wedges at the hub but
+    # no triangle; duplicated, reversed, and self-loop edges must not
+    # manufacture one, and one genuine triangle among the leaves must
+    # be counted exactly once despite appearing in both directions.
+    star = [(0, i) for i in range(1, 11)]
+    noise = [(i, 0) for i in range(1, 11)] + [(5, 5), (0, 0)]
+    # triangle on vertices DISJOINT from the star so the hub closes
+    # no wedge; both directions + a duplicate exercise canonicalization
+    tri = [(21, 22), (22, 21), (22, 23), (21, 23)]
+    edges = spark.createDataFrame(star + noise + tri, "src int, dst int")
+    got = [tuple(r) for r in triangles(edges).collect()]
+    # exactly the {21,22,23} triangle, whatever the degree-rank order
+    assert len(got) == 1 and sorted(got[0]) == [21, 22, 23]
+
+
+def test_triangles_degree_orientation_bounds_wedges(spark):
+    from paqarin_spark.operators import triangles
+
+    # Lollipop: hub h adjacent to 30 leaves plus one triangle edge
+    # pair through (a, b). Degree-ordering sends every leaf edge INTO
+    # the hub, so the only wedges enumerate at the low-degree corner;
+    # the count must still be exact.
+    edges = (
+        [("h", f"leaf{i}") for i in range(30)]
+        + [("h", "a"), ("h", "b"), ("a", "b")]
+    )
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = [tuple(r) for r in triangles(df).collect()]
+    assert len(got) == 1 and sorted(got[0]) == ["a", "b", "h"]
