@@ -1013,3 +1013,159 @@ def kmeans_lloyd(
         )
     dims.unpersist()
     return assign, cent
+
+
+def pq_train_encode(
+    df: DataFrame,
+    id_column: str,
+    vector_column: str,
+    subspaces: int = 2,
+    k: int = 4,
+    iterations: int = 2,
+    train_limit: int | None = None,
+    seed: int = 7,
+) -> tuple[DataFrame, DataFrame]:
+    """Product quantization (Jégou, Douze & Schmid, TPAMI 2011 —
+    "Product Quantization for Nearest Neighbor Search"): split every
+    vector into ``subspaces`` equal slices, train an independent
+    k-codeword codebook per slice with the deterministic Lloyd
+    contract of :func:`kmeans_lloyd` (md5-rank init, exact-decimal
+    E-step distances, 6dp-rounded M-steps — bit-replayable in SQL),
+    and encode each vector as its per-slice nearest codeword. The
+    m·k·(d/m) codebook replaces the full vector table for distance
+    work: asymmetric distance (ADC) against any query needs only a
+    query-side k×m lookup table plus the code columns — the memory
+    layout every large-scale ANN index (FAISS-style IVF-PQ) builds on.
+
+    Returns ``(codes, codebooks)``:
+
+    - codes: (id, subspace, code, _d2sub) — one row per vector per
+      subspace, ``_d2sub`` the exact-decimal squared distance to the
+      chosen codeword (sums to the vector's total quantization error).
+    - codebooks: (subspace, cluster, dim, c) — subspace-LOCAL dim
+      index (0..d/m-1), centroid components rounded to 6dp.
+
+    ``train_limit`` bounds codebook training to the bottom-N vectors
+    by md5('pqtrain#'||id) rank (deterministic, value-independent) —
+    the standard PQ practice of training on a sample while ENCODING
+    the full corpus; the encode pass always covers every input row.
+
+    Scale shape: ALL subspace codebooks train in ONE joint E/M job
+    chain — the training dims carry a subspace column, every E-step is
+    a single broadcast join keyed on (subspace, dim) and every M-step
+    one exchange keyed on (subspace, cluster), so driver roundtrips
+    stay O(iterations) no matter how many subspaces (m sequential
+    kmeans calls would pay m× the fixed per-job cost — at m=16 that
+    dominates). Encoding joins exploded slice dims against the
+    BROADCAST codebook (the vector side never shuffles) and argmins
+    per (id, subspace). Init seeds every subspace from the SAME
+    bottom-k md5('kmeans#id#seed') ids of the training sample — the
+    per-subspace replay (em14's CTE pattern sliced per subspace)
+    therefore unrolls independently in SQL.
+    """
+    if subspaces < 1:
+        raise ValueError("subspaces must be >= 1")
+    first = df.select(F.size(vector_column).alias("d")).first()
+    if first is None:
+        raise ValueError("cannot train product quantizer on an empty input")
+    d = int(first["d"])
+    if d % subspaces != 0:
+        raise ValueError(
+            f"vector width {d} not divisible into {subspaces} subspaces"
+        )
+    width = d // subspaces
+    train = df
+    if train_limit is not None:
+        rank = F.md5(
+            F.concat_ws(
+                "#", F.lit("pqtrain"), F.col(id_column).cast("string")
+            )
+        )
+        train = (
+            df.withColumn("_tr", rank)
+            .orderBy("_tr", id_column)
+            .limit(int(train_limit))
+            .drop("_tr")
+        )
+
+    def _sliced_dims(frame: DataFrame) -> DataFrame:
+        return frame.select(
+            F.col(id_column),
+            F.posexplode(
+                F.transform(vector_column, lambda x: x.cast("double"))
+            ).alias("_gdim", "x"),
+        ).select(
+            F.col(id_column),
+            F.floor(F.col("_gdim") / width).cast("int").alias("subspace"),
+            (F.col("_gdim") % width).alias("dim"),
+            "x",
+        )
+
+    tdims = _sliced_dims(train).persist()
+    init_key = F.md5(
+        F.concat_ws(
+            "#", F.lit("kmeans"), F.col(id_column).cast("string"),
+            F.lit(str(seed)),
+        )
+    )
+    init_ids = (
+        train.select(F.col(id_column).alias("_cid"), init_key.alias("_r"))
+        .orderBy("_r")
+        .limit(k)
+        .select(
+            (F.row_number().over(Window.orderBy("_r")) - 1).alias("cluster"),
+            "_cid",
+        )
+    )
+    cent = (
+        tdims.join(F.broadcast(init_ids), tdims[id_column] == F.col("_cid"))
+        .select("subspace", "cluster", "dim", F.col("x").alias("c"))
+        .localCheckpoint()
+    )
+
+    def _assign(dims_df: DataFrame, cent_df: DataFrame) -> DataFrame:
+        d2 = (
+            dims_df.join(F.broadcast(cent_df), on=["subspace", "dim"])
+            .groupBy(id_column, "subspace", "cluster")
+            .agg(
+                F.sum(
+                    ((F.col("x") - F.col("c")) * (F.col("x") - F.col("c")))
+                    .cast("decimal(30,10)")
+                )
+                .cast("double")
+                .alias("_d2sub")
+            )
+        )
+        wmin = Window.partitionBy(id_column, "subspace").orderBy(
+            "_d2sub", "cluster"
+        )
+        return (
+            d2.withColumn("_rk", F.row_number().over(wmin))
+            .where(F.col("_rk") == 1)
+            .select(id_column, "subspace", "cluster", "_d2sub")
+        )
+
+    for _ in range(int(iterations)):
+        assign = _assign(tdims, cent)
+        # M-step mean via the exact-decimal sum, rounded to 6dp — the
+        # kmeans_lloyd engine-reproducibility contract.
+        cent = (
+            tdims.join(
+                assign.select(id_column, "subspace", "cluster"),
+                on=[id_column, "subspace"],
+            )
+            .groupBy("subspace", "cluster", "dim")
+            .agg(
+                F.round(
+                    F.sum(F.col("x").cast("decimal(30,10)")).cast("double")
+                    / F.count(F.lit(1)),
+                    6,
+                ).alias("c")
+            )
+            .localCheckpoint()
+        )
+    tdims.unpersist()
+    codes = _assign(_sliced_dims(df), cent).withColumnRenamed(
+        "cluster", "code"
+    )
+    return codes, cent.select("subspace", "cluster", "dim", "c")

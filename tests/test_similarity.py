@@ -448,3 +448,66 @@ def test_cosine_topk_cross_table_id_collision(spark):
     # self-kNN still excludes the trivial self match
     rows = cosine_topk(corpus, "vec_id", "v", k=1).collect()
     assert all(r["query_id"] != r["neighbor_id"] for r in rows)
+
+
+def test_pq_train_encode_separates_planted_codewords(spark):
+    import pytest
+
+    from paqarin_spark.operators import pq_train_encode
+
+    # Two tight groups per subspace: ids 0-9 near (0,0|0,0), ids 10-19
+    # near (9,9|9,9). With k=2 per subspace every vector must encode
+    # with its group in BOTH subspaces, and the two groups must get
+    # different codes.
+    rows = []
+    for i in range(20):
+        base = 0.0 if i < 10 else 9.0
+        eps = (i % 10) * 0.01
+        rows.append((i, [base + eps, base, base + eps, base]))
+    df = spark.createDataFrame(rows, "vec_id int, v array<float>")
+    codes, books = pq_train_encode(
+        df, "vec_id", "v", subspaces=2, k=2, iterations=2
+    )
+    got = {(r["vec_id"], r["subspace"]): r["code"] for r in codes.collect()}
+    # complete: every (id, subspace) encoded
+    assert len(got) == 40
+    for s in (0, 1):
+        lo = {got[(i, s)] for i in range(10)}
+        hi = {got[(i, s)] for i in range(10, 20)}
+        assert len(lo) == 1 and len(hi) == 1 and lo != hi
+    # codebooks: 2 subspaces x 2 codewords x 2 local dims
+    assert books.count() == 8
+    assert books.agg({"dim": "max"}).first()[0] == 1  # subspace-LOCAL dims
+
+    # quantization error is exact-decimal and non-negative
+    assert codes.where("_d2sub < 0").count() == 0
+
+    with pytest.raises(ValueError):
+        pq_train_encode(df, "vec_id", "v", subspaces=3)  # 4 dims % 3 != 0
+    with pytest.raises(ValueError):
+        pq_train_encode(df.limit(0), "vec_id", "v", subspaces=2)
+
+
+def test_pq_train_encode_layout_independent_and_sample_trained(spark):
+    from paqarin_spark.operators import pq_train_encode
+
+    rows = [
+        (i, [float((7 * i + j) % 13) for j in range(8)]) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, v array<float>")
+
+    def run(frame):
+        codes, books = pq_train_encode(
+            frame, "vec_id", "v", subspaces=2, k=3, iterations=2,
+            train_limit=30,
+        )
+        return (
+            sorted(map(tuple, codes.select("vec_id", "subspace", "code").collect())),
+            sorted(map(tuple, books.collect())),
+        )
+
+    a = run(df)
+    b = run(df.repartition(7, "vec_id"))
+    assert a == b
+    # encode covers ALL ids even though training saw only 30
+    assert len(a[0]) == 120
