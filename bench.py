@@ -114,6 +114,13 @@ def main() -> int:
         "queries": short,
         "sf": sf_val,
     }
+    if only:
+        # Scoped runs (bench.py q81 ...) are an iteration tool; the
+        # committed artifact must stay the FULL declared-set table —
+        # a partial overwrite silently destroys the round-over-round
+        # comparison and the short->full mapping.
+        print(json.dumps(payload))
+        return 0
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_results.json"),
         "w",

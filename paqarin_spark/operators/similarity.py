@@ -835,6 +835,83 @@ def random_projection_distortion(
     )
 
 
+def _lloyd_init_ids(df: DataFrame, id_column: str, k: int, seed: int):
+    """Bottom-k md5('kmeans#id#seed') rows, numbered 0..k-1 in rank
+    order — the deterministic-init contract SHARED by kmeans_lloyd and
+    pq_train_encode (single-sourced so the md5 key format and rank
+    tie-break can never drift between the two)."""
+    rank_key = F.md5(
+        F.concat_ws(
+            "#", F.lit("kmeans"), F.col(id_column).cast("string"),
+            F.lit(str(seed)),
+        )
+    )
+    return (
+        df.select(F.col(id_column).alias("_cid"), rank_key.alias("_r"))
+        .orderBy("_r")
+        .limit(k)
+        .select(
+            (F.row_number().over(Window.orderBy("_r")) - 1).alias("cluster"),
+            "_cid",
+        )
+    )
+
+
+def _lloyd_expr_assign(
+    dims: DataFrame, cent: DataFrame, id_column: str, extra: tuple = ()
+) -> DataFrame:
+    """Exact-decimal expr E-step shared by kmeans_lloyd and
+    pq_train_encode: exploded dims × BROADCAST centroids, squared-L2
+    via order-independent decimal(30,10) sums cast to double at the
+    end, argmin tie-break to the smallest cluster id. ``extra`` adds
+    grouping columns (pq's subspace) to every key."""
+    d2 = (
+        dims.join(F.broadcast(cent), on=[*extra, "dim"])
+        .groupBy(id_column, *extra, "cluster")
+        .agg(
+            F.sum(
+                ((F.col("x") - F.col("c")) * (F.col("x") - F.col("c")))
+                .cast("decimal(30,10)")
+            )
+            .cast("double")
+            .alias("_d2")
+        )
+    )
+    wmin = Window.partitionBy(id_column, *extra).orderBy("_d2", "cluster")
+    return (
+        d2.withColumn("_rk", F.row_number().over(wmin))
+        .where(F.col("_rk") == 1)
+        .select(id_column, *extra, "cluster", "_d2")
+    )
+
+
+def _lloyd_mstep(
+    dims: DataFrame,
+    assign: DataFrame,
+    id_column: str,
+    extra: tuple = (),
+    round_decimals: int = 6,
+) -> DataFrame:
+    """M-step mean via the exact-decimal sum (order-independent, NOT
+    F.avg), rounded to ``round_decimals`` so the next round's
+    comparisons see identical inputs on any engine — shared by
+    kmeans_lloyd and pq_train_encode."""
+    return (
+        dims.join(
+            assign.select(id_column, *extra, "cluster"),
+            on=[id_column, *extra],
+        )
+        .groupBy(*extra, "cluster", "dim")
+        .agg(
+            F.round(
+                F.sum(F.col("x").cast("decimal(30,10)")).cast("double")
+                / F.count(F.lit(1)),
+                round_decimals,
+            ).alias("c")
+        )
+    )
+
+
 def kmeans_lloyd(
     df: DataFrame,
     id_column: str,
@@ -899,20 +976,7 @@ def kmeans_lloyd(
             F.transform(vector_column, lambda x: x.cast("double"))
         ).alias("dim", "x"),
     ).persist()
-    rank_key = F.md5(
-        F.concat_ws(
-            "#", F.lit("kmeans"), F.col(id_column).cast("string"), F.lit(str(seed))
-        )
-    )
-    init_ids = (
-        df.select(F.col(id_column).alias("_cid"), rank_key.alias("_r"))
-        .orderBy("_r")
-        .limit(k)
-        .select(
-            (F.row_number().over(Window.orderBy("_r")) - 1).alias("cluster"),
-            "_cid",
-        )
-    )
+    init_ids = _lloyd_init_ids(df, id_column, k, seed)
     cent = (
         dims.join(F.broadcast(init_ids), dims[id_column] == F.col("_cid"))
         .select("cluster", "dim", F.col("x").alias("c"))
@@ -973,44 +1037,14 @@ def kmeans_lloyd(
         if assignment == "blas":
             assign = _estep_blas(cent).localCheckpoint()
         else:
-            d2 = (
-                dims.join(F.broadcast(cent), on="dim")
-                .groupBy(id_column, "cluster")
-                .agg(
-                    F.sum(
-                        (
-                            (F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))
-                        ).cast("decimal(30,10)")
-                    )
-                    .cast("double")
-                    .alias("_d2")
-                )
-            )
-            wmin = Window.partitionBy(id_column).orderBy("_d2", "cluster")
-            assign = (
-                d2.withColumn("_rk", F.row_number().over(wmin))
-                .where(F.col("_rk") == 1)
-                .select(id_column, "cluster", "_d2")
-                .localCheckpoint()
-            )
-        # M-step mean via the exact-decimal sum (order-independent),
-        # not F.avg: a plain double sum is ordering-dependent in the
-        # last ulp, and a cluster mean landing within 1 ulp of a
-        # 0.5e-6 rounding boundary would flip the rounded centroid —
-        # and therefore downstream assignments — across layouts or
-        # engines. Same contract as the E-step's _d2 sums.
-        cent = (
-            dims.join(assign.select(id_column, "cluster"), on=id_column)
-            .groupBy("cluster", "dim")
-            .agg(
-                F.round(
-                    F.sum(F.col("x").cast("decimal(30,10)")).cast("double")
-                    / F.count(F.lit(1)),
-                    round_decimals,
-                ).alias("c")
-            )
-            .localCheckpoint()
-        )
+            assign = _lloyd_expr_assign(
+                dims, cent, id_column
+            ).localCheckpoint()
+        # M-step: see _lloyd_mstep — exact-decimal rounded mean, the
+        # same engine-reproducibility contract as the E-step sums.
+        cent = _lloyd_mstep(
+            dims, assign, id_column, round_decimals=round_decimals
+        ).localCheckpoint()
     dims.unpersist()
     return assign, cent
 
@@ -1102,70 +1136,25 @@ def pq_train_encode(
         )
 
     tdims = _sliced_dims(train).persist()
-    init_key = F.md5(
-        F.concat_ws(
-            "#", F.lit("kmeans"), F.col(id_column).cast("string"),
-            F.lit(str(seed)),
-        )
-    )
-    init_ids = (
-        train.select(F.col(id_column).alias("_cid"), init_key.alias("_r"))
-        .orderBy("_r")
-        .limit(k)
-        .select(
-            (F.row_number().over(Window.orderBy("_r")) - 1).alias("cluster"),
-            "_cid",
-        )
-    )
+    # Same init / E-step / M-step engine as kmeans_lloyd's expr path
+    # (_lloyd_* helpers), with "subspace" added to every key — ALL
+    # codebooks advance through one shared job chain per iteration.
+    init_ids = _lloyd_init_ids(train, id_column, k, seed)
     cent = (
         tdims.join(F.broadcast(init_ids), tdims[id_column] == F.col("_cid"))
         .select("subspace", "cluster", "dim", F.col("x").alias("c"))
         .localCheckpoint()
     )
-
-    def _assign(dims_df: DataFrame, cent_df: DataFrame) -> DataFrame:
-        d2 = (
-            dims_df.join(F.broadcast(cent_df), on=["subspace", "dim"])
-            .groupBy(id_column, "subspace", "cluster")
-            .agg(
-                F.sum(
-                    ((F.col("x") - F.col("c")) * (F.col("x") - F.col("c")))
-                    .cast("decimal(30,10)")
-                )
-                .cast("double")
-                .alias("_d2sub")
-            )
-        )
-        wmin = Window.partitionBy(id_column, "subspace").orderBy(
-            "_d2sub", "cluster"
-        )
-        return (
-            d2.withColumn("_rk", F.row_number().over(wmin))
-            .where(F.col("_rk") == 1)
-            .select(id_column, "subspace", "cluster", "_d2sub")
-        )
-
+    sub = ("subspace",)
     for _ in range(int(iterations)):
-        assign = _assign(tdims, cent)
-        # M-step mean via the exact-decimal sum, rounded to 6dp — the
-        # kmeans_lloyd engine-reproducibility contract.
-        cent = (
-            tdims.join(
-                assign.select(id_column, "subspace", "cluster"),
-                on=[id_column, "subspace"],
-            )
-            .groupBy("subspace", "cluster", "dim")
-            .agg(
-                F.round(
-                    F.sum(F.col("x").cast("decimal(30,10)")).cast("double")
-                    / F.count(F.lit(1)),
-                    6,
-                ).alias("c")
-            )
-            .localCheckpoint()
-        )
+        assign = _lloyd_expr_assign(tdims, cent, id_column, extra=sub)
+        cent = _lloyd_mstep(
+            tdims, assign, id_column, extra=sub
+        ).localCheckpoint()
     tdims.unpersist()
-    codes = _assign(_sliced_dims(df), cent).withColumnRenamed(
-        "cluster", "code"
+    codes = (
+        _lloyd_expr_assign(_sliced_dims(df), cent, id_column, extra=sub)
+        .withColumnRenamed("cluster", "code")
+        .withColumnRenamed("_d2", "_d2sub")
     )
     return codes, cent.select("subspace", "cluster", "dim", "c")

@@ -4767,10 +4767,10 @@ def q81_triangle_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tri = triangles(edges)
     part = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    vertices = (
-        tri.select(F.col("x").alias("pk"))
-        .unionByName(tri.select(F.col("y").alias("pk")))
-        .unionByName(tri.select(F.col("z").alias("pk")))
+    # ONE explode, not three unioned selects — a 3-branch union would
+    # replay the wedge join + closing probe once per branch.
+    vertices = tri.select(
+        F.explode(F.array("x", "y", "z")).alias("pk")
     )
     return (
         vertices.join(part, vertices.pk == part.p_partkey)
@@ -4816,11 +4816,12 @@ def q82_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     (events family beside q41 churn / q44 DAU; SURVEY.md §2 'Not
     present in the reference').
 
-    Scale shape: ONE shuffle on user_id — the cohort day is a window
-    MIN over the user partition (no groupBy-then-join-back second
-    exchange), and the (cohort, offset) rollup is a partial-aggregated
-    distinct count. The offset-0 cohort size joins back on cohort_day
-    un-hinted (cohort-count rows, AQE broadcasts at any scale)."""
+    Scale shape: the user-level pass costs ONE exchange on user_id —
+    the cohort day is a window MIN over the user partition instead of
+    a groupBy-then-join-back pair; downstream remain only the
+    (cohort, offset) distinct-count rollup (partial-aggregated,
+    cardinality ≈ cohorts × offsets) and the offset-0 size join
+    (cohort-count rows, un-hinted — AQE broadcasts at any scale)."""
     configure_for_determinism(spark)
     ev = read_table(spark, sf_dir, "events").select("user_id", "ts")
     w = Window.partitionBy("user_id")
@@ -4902,7 +4903,7 @@ def em16_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     codes, books = pq_train_encode(
         emb, "vec_id", "embedding",
-        subspaces=2, k=4, iterations=2, train_limit=500,
+        subspaces=_PQ_SUBSPACES, k=4, iterations=2, train_limit=500,
     )
     dims = emb.select(
         "vec_id",
@@ -4915,8 +4916,10 @@ def em16_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # probe LUT: d2(probe subvector, codeword) per (q, subspace, code)
     lut = (
-        pdims.withColumn("psub", F.floor(F.col("dim") / 32).cast("int"))
-        .withColumn("sdim", F.col("dim") % 32)
+        pdims.withColumn(
+            "psub", F.floor(F.col("dim") / _PQ_WIDTH).cast("int")
+        )
+        .withColumn("sdim", F.col("dim") % _PQ_WIDTH)
         .join(
             F.broadcast(books),
             (F.col("psub") == books.subspace) & (F.col("sdim") == books.dim),
@@ -4993,7 +4996,15 @@ def em16_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_subspace_sql(s: int, width: int = 32, k: int = 4) -> str:
+# em16's geometry — shared by the DataFrame plan and the SQL generator
+# so the probe LUT join keys (psub, sdim) can never misalign with the
+# subspace-local codebook dims if either side changes.
+_PQ_SUBSPACES = 2
+_PQ_DIM = 64  # embeddings fixture width (TESTDATA.md)
+_PQ_WIDTH = _PQ_DIM // _PQ_SUBSPACES
+
+
+def _pq_subspace_sql(s: int, width: int = _PQ_WIDTH, k: int = 4) -> str:
     """Per-subspace CTE block for EM16_SQL: slice dims, unroll the
     2-iteration deterministic Lloyd (em14's CTE pattern on the
     training sample), encode ALL vectors against the final centroids,
@@ -5077,12 +5088,14 @@ WITH v AS (
            ) AS rn
     FROM embeddings
   ) WHERE rn <= 500
-), {_pq_subspace_sql(0)}, {_pq_subspace_sql(1)}, adc AS (
+), {", ".join(_pq_subspace_sql(s) for s in range(_PQ_SUBSPACES))}, adc AS (
   SELECT l.q, e.vec_id, SUM(l.lutd2) AS adc
-  FROM (SELECT 0 AS s, vec_id, code FROM enc0
-        UNION ALL SELECT 1 AS s, vec_id, code FROM enc1) e
-  JOIN (SELECT 0 AS s, q, cluster, lutd2 FROM lut0
-        UNION ALL SELECT 1 AS s, q, cluster, lutd2 FROM lut1) l
+  FROM ({" UNION ALL ".join(
+      f"SELECT {s} AS s, vec_id, code FROM enc{s}"
+      for s in range(_PQ_SUBSPACES))}) e
+  JOIN ({" UNION ALL ".join(
+      f"SELECT {s} AS s, q, cluster, lutd2 FROM lut{s}"
+      for s in range(_PQ_SUBSPACES))}) l
     ON e.s = l.s AND e.code = l.cluster
   GROUP BY l.q, e.vec_id
 ), adc_top AS (
