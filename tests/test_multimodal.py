@@ -463,3 +463,93 @@ def test_mjpeg_frame_stats_empty_input(spark):
 
     empty = spark.createDataFrame([], "doc_id long")
     assert mjpeg_frame_stats_from_ids(empty, "doc_id").count() == 0
+
+
+def test_exif_roundtrip_and_tiff_layout():
+    import struct
+
+    from paqarin_spark.multimodal import (
+        EXIF_TAG_DATETIME,
+        EXIF_TAG_HEIGHT,
+        EXIF_TAG_MAKE,
+        EXIF_TAG_ORIENTATION,
+        EXIF_TAG_WIDTH,
+        EXIF_TYPE_ASCII,
+        EXIF_TYPE_SHORT,
+        encode_exif_app1,
+        encode_jpeg_shell,
+        parse_exif,
+    )
+
+    app1 = encode_exif_app1(
+        [
+            (EXIF_TAG_DATETIME, EXIF_TYPE_ASCII, "2024:03:05 00:00:00"),
+            (EXIF_TAG_WIDTH, EXIF_TYPE_SHORT, 320),
+            (EXIF_TAG_HEIGHT, EXIF_TYPE_SHORT, 240),
+            (EXIF_TAG_ORIENTATION, EXIF_TYPE_SHORT, 6),
+            (EXIF_TAG_MAKE, EXIF_TYPE_ASCII, "cam-1"),
+        ]
+    )
+    shell = encode_jpeg_shell(320, 240)
+    jpg = shell[:2] + app1 + shell[2:]
+    tags = parse_exif(jpg)
+    assert tags == {
+        EXIF_TAG_WIDTH: 320,
+        EXIF_TAG_HEIGHT: 240,
+        EXIF_TAG_ORIENTATION: 6,
+        EXIF_TAG_DATETIME: "2024:03:05 00:00:00",
+        EXIF_TAG_MAKE: "cam-1",
+    }
+    # TIFF layout: entries stored ascending by tag, DateTime (20 bytes
+    # with NUL) forced out-of-line — its inline slot holds an OFFSET
+    # into the data area, not the text.
+    tiff = app1[4 + 6 :]
+    (n,) = struct.unpack_from("<H", tiff, 8)
+    tags_in_order = [
+        struct.unpack_from("<HHI", tiff, 10 + 12 * e)[0] for e in range(n)
+    ]
+    assert tags_in_order == sorted(tags_in_order)
+    dt_entry = next(
+        e for e in range(n)
+        if struct.unpack_from("<HHI", tiff, 10 + 12 * e)[0] == EXIF_TAG_DATETIME
+    )
+    (voff,) = struct.unpack_from("<I", tiff, 10 + 12 * dt_entry + 8)
+    assert voff >= 10 + 12 * n + 4  # points past the IFD
+    assert tiff[voff : voff + 19] == b"2024:03:05 00:00:00"
+
+
+def test_exif_big_endian_and_malformed():
+    import struct
+
+    from paqarin_spark.multimodal import (
+        EXIF_TAG_ORIENTATION,
+        encode_exif_app1,
+        encode_jpeg_shell,
+        parse_exif,
+    )
+
+    # hand-built BIG-endian TIFF: the parser must honor the MM byte
+    # order probe (our encoder only writes II)
+    tiff = (
+        b"MM" + struct.pack(">H", 42) + struct.pack(">I", 8)
+        + struct.pack(">H", 1)
+        + struct.pack(">HHI", EXIF_TAG_ORIENTATION, 3, 1)
+        + struct.pack(">H", 7) + b"\x00\x00"
+        + struct.pack(">I", 0)
+    )
+    payload = b"Exif\x00\x00" + tiff
+    app1 = struct.pack(">HH", 0xFFE1, 2 + len(payload)) + payload
+    jpg = b"\xff\xd8" + app1 + b"\xff\xd9"
+    assert parse_exif(jpg) == {EXIF_TAG_ORIENTATION: 7}
+
+    # malformed: truncated out-of-line value offset must yield None,
+    # plain text must yield None, JPEG without APP1 yields None
+    assert parse_exif(b"not a jpeg at all") is None
+    assert parse_exif(encode_jpeg_shell(8, 8)) is None
+    app1_bad = encode_exif_app1([(0x0132, 2, "2024:01:01 00:00:00")])
+    truncated = (b"\xff\xd8" + app1_bad)[: 2 + 4 + 6 + 8 + 2 + 12]
+    # re-wrap with a consistent segment length so the marker walk
+    # reaches the TIFF parse, which must then bounds-fail
+    seg = truncated[2:]
+    fixed = b"\xff\xd8" + struct.pack(">HH", 0xFFE1, len(seg) - 2) + seg[4:]
+    assert parse_exif(fixed + b"\xff\xd9") is None
