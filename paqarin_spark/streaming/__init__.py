@@ -19,7 +19,7 @@ them with a file source + memory sink under ``Trigger.AvailableNow``.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from paqarin_spark.schema import TimeSeriesSchema, freq_to_spark
@@ -551,4 +551,133 @@ def stream_interval_join(
         F.col(rid),
         F.col(key_column),
         (F.unix_timestamp(rts) - F.unix_timestamp(lts)).alias("lag_seconds"),
+    )
+
+
+def stream_cohort_offsets(
+    stream: DataFrame,
+    user_column: str = "user_id",
+    ts_column: str = "ts",
+) -> DataFrame:
+    """Streaming dual of the q82 cohort-retention rollup: per-user
+    state tracks the set of DISTINCT ACTIVE DAYS, and each emission
+    publishes the user's full corrected (cohort_epoch_day,
+    week_offset) set under a monotone version. Storing days — not
+    derived offsets — is what makes the operator correct under
+    out-of-order arrival: a user's true first event landing in a LATER
+    micro-batch rebases the cohort, and every week offset must be
+    recomputed against the new anchor (offsets alone cannot be rebased
+    when the anchor shifts by a non-multiple of 7). Readers take each
+    user's max-version rows (latest_sketch_version shape) and
+    aggregate — the result equals the batch rollup BY CONSTRUCTION,
+    independent of micro-batch boundaries or arrival order.
+
+    State bound: distinct active days per user (≤ 366/year — calendar
+    growth, not event growth); emissions re-publish a user's set only
+    when it actually changes."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    staged = stream.select(
+        F.col(user_column).alias("user_id"),
+        F.datediff(
+            F.to_date(ts_column), F.lit("1970-01-01").cast("date")
+        ).cast("long").alias("_day"),
+    )
+    out_type = StructType(
+        [
+            StructField("user_id", LongType(), True),
+            StructField("version", LongType(), False),
+            StructField("cohort_epoch_day", LongType(), False),
+            StructField("week_offset", LongType(), False),
+        ]
+    )
+    state_type = StructType(
+        [
+            StructField("days", ArrayType(LongType()), True),
+            StructField("version", LongType(), True),
+        ]
+    )
+
+    def derived(days: set) -> tuple:
+        if not days:
+            return ()
+        first = min(days)
+        return (first, tuple(sorted({(d - first) // 7 for d in days})))
+
+    def fold(key, pdf_iter, state: GroupState):
+        if state.exists:
+            stored, version = state.get
+            days = set(stored)
+        else:
+            days, version = set(), 0
+        before = derived(days)
+        for pdf in pdf_iter:
+            days.update(int(d) for d in pdf["_day"] if not pd.isna(d))
+        after = derived(days)
+        if after != before:
+            version += 1
+            state.update((sorted(days), version))
+            first, offsets = after
+            yield pd.DataFrame(
+                [(key[0], version, first, off) for off in offsets],
+                columns=["user_id", "version", "cohort_epoch_day",
+                         "week_offset"],
+            )
+
+    return staged.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType=out_type,
+        stateStructType=state_type,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def cohort_retention_from_emissions(emissions: DataFrame) -> DataFrame:
+    """Finish a :func:`stream_cohort_offsets` emission table into the
+    q82 cohort-retention matrix: max-version rows per user (the
+    corrected set), then the same (cohort, offset) rollup / offset-0
+    size join / 6dp retention arithmetic as the batch query — so a
+    streaming run hash-matches the batch SQL oracle."""
+    w = Window.partitionBy("user_id")
+    latest = (
+        emissions.withColumn("_mx", F.max("version").over(w))
+        .where(F.col("version") == F.col("_mx"))
+    )
+    epoch = F.lit("1970-01-01").cast("date")
+    g = (
+        latest.select(
+            "user_id",
+            F.date_add(epoch, F.col("cohort_epoch_day").cast("int")).alias(
+                "_cd"
+            ),
+            F.col("week_offset").cast("int").alias("week_offset"),
+        )
+        .groupBy("_cd", "week_offset")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+    size = g.where(F.col("week_offset") == 0).select(
+        "_cd", F.col("active_users").alias("cohort_size")
+    )
+    return (
+        g.join(size, "_cd")
+        .select(
+            F.date_format("_cd", "yyyy-MM-dd").alias("cohort_day"),
+            "week_offset",
+            "active_users",
+            "cohort_size",
+            F.round(
+                F.col("active_users").cast("double") / F.col("cohort_size"),
+                6,
+            ).alias("retention"),
+        )
+        .orderBy("cohort_day", "week_offset")
     )

@@ -559,3 +559,57 @@ def test_stream_quantile_sketch_state_survives_checkpoint_restart(
     assert c != b
     assert a == b
 
+
+
+def test_stream_cohort_rebases_on_out_of_order_first_event(spark, tmp_path):
+    import datetime as dt
+
+    from paqarin_spark.streaming import (
+        cohort_retention_from_emissions,
+        stream_cohort_offsets,
+    )
+
+    # Batch 1 carries user 1's LATER activity (days 10, 24); batch 2
+    # delivers the true first event (day 1). The cohort anchor moves
+    # by 9 days — NOT a multiple of 7 — so both existing offsets must
+    # be recomputed (day10: (10-1)//7=1, day24: 3), which a
+    # state-of-offsets design cannot do. User 2 is single-batch
+    # control.
+    base = dt.datetime(2024, 1, 1)
+    b1 = [(1, base + dt.timedelta(days=10)), (1, base + dt.timedelta(days=24)),
+          (2, base)]
+    b2 = [(1, base + dt.timedelta(days=1)), (2, base + dt.timedelta(days=7))]
+    schema = "user_id long, ts timestamp"
+    path = str(tmp_path / "cohort_mb")
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(path)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    emi = _run(
+        spark, stream_cohort_offsets(stream), "cohort_mb", "append"
+    )
+    got = cohort_retention_from_emissions(emi).collect()
+
+    # user 1 cohort 2024-01-02: offsets {0 (day1), 1 (day10), 3 (day24)}
+    # user 2 cohort 2024-01-01: offsets {0, 1}
+    expect = {
+        ("2024-01-01", 0, 1, 1, 1.0),
+        ("2024-01-01", 1, 1, 1, 1.0),
+        ("2024-01-02", 0, 1, 1, 1.0),
+        ("2024-01-02", 1, 1, 1, 1.0),
+        ("2024-01-02", 3, 1, 1, 1.0),
+    }
+    assert {tuple(r) for r in got} == expect
+
+    # versions: user 1 re-published (2 versions), user 2 likewise
+    # (its day-7 offset arrived in batch 2); max-version rows carry
+    # the CORRECTED full set
+    v = {r["user_id"]: r["mx"] for r in emi.groupBy("user_id")
+         .agg(F.max("version").alias("mx")).collect()}
+    assert v[1] == 2 and v[2] == 2
