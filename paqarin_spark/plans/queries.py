@@ -1370,8 +1370,10 @@ def ev6_ks_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The synth side replays gen1's exact draw (md5 block ranks, seed 17,
 # scale/inverse roundtrip); both engines then build tie-aware ECDFs
 # over the identical value multisets, so D matches bit-for-bit at 6dp.
-EV6_SQL = """
-WITH mm AS (
+# Bootstrap-generator synthetic-sample CTEs shared by EV6 (KS) and
+# EV9 (energy distance) — one definition so the two fidelity oracles
+# replay the IDENTICAL synthetic values.
+_EV_SYNTH_CTE = """mm AS (
   SELECT MIN(value) AS mn, MAX(value) AS mx FROM events
 ), r AS (
   SELECT user_id, value,
@@ -1390,7 +1392,11 @@ WITH mm AS (
   FROM top t CROSS JOIN (SELECT UNNEST(range(8)) AS step) s
   JOIN r r2 ON r2.user_id = t.user_id AND r2.p = t.w + s.step
   CROSS JOIN mm
-), c AS (
+)"""
+
+
+EV6_SQL = f"""
+WITH {_EV_SYNTH_CTE}, c AS (
   SELECT v, SUM(is_r) AS cr, SUM(is_s) AS cs FROM (
     SELECT value AS v, 1 AS is_r, 0 AS is_s FROM events
     UNION ALL
@@ -1408,6 +1414,79 @@ SELECT (SELECT CAST(nr AS BIGINT) FROM tot) AS n_real,
        ROUND(MAX(ABS(cum_r / (SELECT nr FROM tot)
                      - cum_s / (SELECT ns FROM tot))), 6) AS ks_stat
 FROM cum
+"""
+
+
+def ev9_energy_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kernel two-sample FIDELITY of the bootstrap generator
+    (evaluation.energy_distance_stats): the Székely–Rizzo energy
+    distance E = 2·E|X−Y| − E|X−X'| − E|Y−Y'| between an md5-rank
+    bounded real sample and the generator's output — the
+    whole-distance-structure complement to ev6's KS (which sees only
+    the worst single ECDF gap), and an MMD under the distance-induced
+    kernel with NO per-pair transcendentals: every |a−b| is an exact
+    IEEE double, so the three pair-grid means replay bit-for-bit
+    through the exact-decimal sum contract. Both samples are
+    sketch-sized and broadcast; the V-statistic grids never touch an
+    unbounded cross join."""
+    from paqarin_spark.evaluation import energy_distance_stats
+    from paqarin_spark.generators import BlockBootstrapGenerator
+
+    ev = _events(spark, sf_dir)
+    gen = BlockBootstrapGenerator(_events_gen_params()).fit(ev)
+    # ≤ 400 and ≤ 256 rows, each consumed by TWO pair grids — bound
+    # them eagerly so the generator / rank-sample ETL runs once.
+    synth = (
+        gen.generate(50)
+        .select(F.explode("sequence").alias("_o"))
+        .select(F.col("_o.value").alias("v"))
+        .localCheckpoint()
+    )
+    gen.unpersist()
+    real = (
+        ev.withColumn(
+            "_rk",
+            F.md5(
+                F.concat_ws(
+                    "#", F.lit("mmd"), F.col("event_id").cast("string")
+                )
+            ),
+        )
+        .orderBy("_rk", "event_id")
+        .limit(256)
+        .select(F.col("value").alias("v"))
+        .localCheckpoint()
+    )
+    return energy_distance_stats(real, synth, "v")
+
+
+EV9_SQL = f"""
+WITH {_EV_SYNTH_CTE}, rs AS (
+  SELECT value AS v FROM (
+    SELECT value, event_id,
+           md5('mmd#' || CAST(event_id AS VARCHAR)) AS rk
+    FROM events ORDER BY rk, event_id LIMIT 256
+  )
+), xy AS (
+  SELECT CAST(SUM(CAST(ABS(a.v - b.v) AS DECIMAL(30,10))) AS DOUBLE)
+           / COUNT(*) AS m
+  FROM rs a CROSS JOIN synth b
+), xx AS (
+  SELECT CAST(SUM(CAST(ABS(a.v - b.v) AS DECIMAL(30,10))) AS DOUBLE)
+           / COUNT(*) AS m
+  FROM rs a CROSS JOIN rs b
+), yy AS (
+  SELECT CAST(SUM(CAST(ABS(a.v - b.v) AS DECIMAL(30,10))) AS DOUBLE)
+           / COUNT(*) AS m
+  FROM synth a CROSS JOIN synth b
+)
+SELECT (SELECT COUNT(*) FROM rs) AS n_real,
+       (SELECT COUNT(*) FROM synth) AS n_synth,
+       ROUND(xy.m, 6) AS e_xy,
+       ROUND(xx.m, 6) AS e_xx,
+       ROUND(yy.m, 6) AS e_yy,
+       ROUND(2 * xy.m - xx.m - yy.m, 6) AS energy_dist
+FROM xy CROSS JOIN xx CROSS JOIN yy
 """
 
 
@@ -8614,6 +8693,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "em16_pq_adc_recall": em16_pq_adc_recall,
     "mm12_exif_tags": mm12_exif_tags,
     "st12_stream_cohort": st12_stream_cohort,
+    "ev9_energy_fidelity": ev9_energy_fidelity,
     "mm11_mjpeg_decode": mm11_mjpeg_decode,
     "q76_large_volume_orders": q76_large_volume_orders,
     "q77_small_qty_revenue": q77_small_qty_revenue,
@@ -8669,11 +8749,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx27_mixture_sample": tx27_mixture_sample,
     "tx28_sequence_pack": tx28_sequence_pack,
     "tx29_chunk_overlap": tx29_chunk_overlap,
-    "tx30_tfidf_terms": tx30_tfidf_terms,
     # ------------- driver 50-entry window ends HERE (position 50) -------------
-    # tx31/em12/st7/st8/q69 displaced this session for
-    # q81/q82/em16/mm12/st12 (all r4-green: driver r4 window + judge
-    # sf0.01 spot-checks).
+    # tx30/tx31/em12/st7/st8/q69 displaced this session for
+    # q81/q82/em16/mm12/st12/ev9 (all r4-green: driver r4 window +
+    # judge sf0.01 spot-checks).
+    "tx30_tfidf_terms": tx30_tfidf_terms,
     "tx31_bm25_search": tx31_bm25_search,
     "em12_random_projection": em12_random_projection,
     "st7_stream_enrich": st7_stream_enrich,
@@ -8946,6 +9026,7 @@ ORACLE_SQL: dict[str, str] = {
     "mm12_exif_tags": MM12_SQL,
     # st12 is q82's streaming dual: the batch SQL is its oracle.
     "st12_stream_cohort": Q82_SQL,
+    "ev9_energy_fidelity": EV9_SQL,
     "mm11_mjpeg_decode": MM11_SQL,
     "q76_large_volume_orders": Q76_SQL,
     "q77_small_qty_revenue": Q77_SQL,
