@@ -1158,3 +1158,176 @@ def pq_train_encode(
         .withColumnRenamed("_d2", "_d2sub")
     )
     return codes, cent.select("subspace", "cluster", "dim", "c")
+
+
+def ivfpq_adc_topk(
+    df: DataFrame,
+    id_column: str,
+    vector_column: str,
+    probe_predicate: Column,
+    num_cells: int = 4,
+    subspaces: int = 2,
+    k_codes: int = 4,
+    nprobe: int = 2,
+    k: int = 5,
+    train_limit: int | None = 400,
+    coarse_seed: int = 11,
+    pq_seed: int = 7,
+) -> DataFrame:
+    """IVF-PQ retrieval with asymmetric distance (Jégou, Douze &
+    Schmid, TPAMI 2011 §IV — "inverted file with asymmetric distance
+    computation", the FAISS IVFADC architecture): a coarse quantizer
+    partitions the corpus into ``num_cells`` inverted lists, every
+    vector is product-quantized on its RESIDUAL from its cell
+    centroid, and a query scans only its ``nprobe`` nearest cells,
+    ranking candidates through a per-(query, cell) lookup table of
+    subspace distances — never touching a raw corpus vector.
+
+    This composes the repo's three deterministic pieces end-to-end:
+    :func:`kmeans_lloyd` (1 iteration, ``assignment="expr"``) trains
+    the coarse centroids, a final :func:`_lloyd_expr_assign` E-step
+    fixes cell membership, and :func:`pq_train_encode` codes the
+    6dp-rounded residuals — every step keeps the exact-decimal /
+    6dp-rounded arithmetic contract, so the WHOLE index (cells,
+    codes, ADC values, ranking) replays in SQL (em17 pins it).
+
+    Scale shape: the coarse centroid table is num_cells×d rows and
+    the codebook m·k×(d/m) — both broadcast; corpus vectors never
+    shuffle for assignment or encoding beyond the per-id argmin
+    exchanges, and the ADC scan joins CODE rows (m small ints per
+    vector) against the probe LUT keyed on (cell, subspace, code).
+    A query ranks ~nprobe/num_cells of the corpus moving ~1% of the
+    raw vector bytes — the shape that holds at billions of vectors.
+    This is the oracle-parity expr composition; the throughput
+    variants of each stage (``kmeans_lloyd(assignment="blas")``,
+    ivf_topk's Arrow-batch assignment) swap in without changing the
+    index semantics.
+
+    Returns (query_id, neighbor_id, adc, rk) with rk ≤ k ranked by
+    (adc asc, neighbor_id) — self-matches included (a query in a
+    probed cell ranks itself, typically at distance ≈ quantization
+    error).
+    """
+    dims = df.select(
+        F.col(id_column),
+        F.posexplode(
+            F.transform(vector_column, lambda x: x.cast("double"))
+        ).alias("dim", "x"),
+    ).persist()
+    # Coarse quantizer: one Lloyd round from md5-rank seeds, then a
+    # final E-step against the POST-M-step centroids so membership
+    # matches what queries probe.
+    _, cent = kmeans_lloyd(
+        df, id_column, vector_column, k=num_cells,
+        iterations=1, seed=coarse_seed, assignment="expr",
+    )
+    cent = cent.withColumnRenamed("cluster", "cell").localCheckpoint()
+    member = (
+        _lloyd_expr_assign(
+            dims, cent.withColumnRenamed("cell", "cluster"), id_column
+        )
+        .select(id_column, F.col("cluster").alias("cell"))
+        .localCheckpoint()
+    )
+    # Residual arrays: x - centroid, rounded to 6dp so the PQ stage
+    # sees exact-decimal inputs on any engine.
+    cent_arr = cent.groupBy("cell").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "c"))),
+            lambda s: s["c"],
+        ).alias("_carr")
+    )
+    resid = (
+        df.join(member, on=id_column)
+        .join(F.broadcast(cent_arr), on="cell")
+        .select(
+            F.col(id_column),
+            "cell",
+            F.zip_with(
+                F.transform(vector_column, lambda x: x.cast("double")),
+                "_carr",
+                lambda a, b: F.round(a - b, 6),
+            ).alias("_resid"),
+        )
+        .localCheckpoint()
+    )
+    codes, _books = pq_train_encode(
+        resid, id_column, "_resid", subspaces=subspaces, k=k_codes,
+        iterations=1, train_limit=train_limit, seed=pq_seed,
+    )
+    # Probe side: rank cells by exact-decimal d2(query, centroid),
+    # keep nprobe; the query's residual is PER PROBED CELL.
+    qd = dims.where(probe_predicate).select(
+        F.col(id_column).alias("q"), "dim", F.col("x").alias("qx")
+    )
+    qcd = (
+        qd.join(F.broadcast(cent), on="dim")
+        .groupBy("q", "cell")
+        .agg(
+            F.sum(
+                ((F.col("qx") - F.col("c")) * (F.col("qx") - F.col("c")))
+                .cast("decimal(30,10)")
+            )
+            .cast("double")
+            .alias("_d2")
+        )
+    )
+    w_cell = Window.partitionBy("q").orderBy("_d2", "cell")
+    qcell = (
+        qcd.withColumn("_rk", F.row_number().over(w_cell))
+        .where(F.col("_rk") <= nprobe)
+        .select("q", "cell")
+    )
+    first = df.select(F.size(vector_column).alias("d")).first()
+    width = int(first["d"]) // subspaces
+    qres = (
+        qd.join(qcell, on="q")
+        .join(F.broadcast(cent), on=["cell", "dim"])
+        .select(
+            "q", "cell",
+            F.floor(F.col("dim") / width).cast("int").alias("subspace"),
+            (F.col("dim") % width).alias("dim_s"),
+            F.round(F.col("qx") - F.col("c"), 6).alias("rx"),
+        )
+    )
+    books = _books.withColumnRenamed("dim", "dim_s")
+    lut = (
+        qres.join(F.broadcast(books), on=["subspace", "dim_s"])
+        .groupBy("q", "cell", "subspace", "cluster")
+        .agg(
+            F.sum(
+                ((F.col("rx") - F.col("c")) * (F.col("rx") - F.col("c")))
+                .cast("decimal(30,10)")
+            )
+            .cast("double")
+            .alias("lutd2")
+        )
+    )
+    # ADC scan: candidate codes restricted to probed cells by the
+    # (cell, subspace, code) join key — the inverted-list prune.
+    cand = codes.select(id_column, "subspace", "code").join(
+        member, on=id_column
+    )
+    adc = (
+        cand.join(
+            lut,
+            (cand.cell == lut.cell)
+            & (cand.subspace == lut.subspace)
+            & (cand.code == lut.cluster),
+        )
+        .groupBy("q", id_column)
+        .agg(F.sum("lutd2").alias("adc"))
+    )
+    w_adc = Window.partitionBy("q").orderBy("adc", id_column)
+    out = (
+        adc.withColumn("rk", F.row_number().over(w_adc))
+        .where(F.col("rk") <= k)
+        .select(
+            F.col("q").alias("query_id"),
+            F.col(id_column).alias("neighbor_id"),
+            "adc",
+            "rk",
+        )
+    )
+    dims.unpersist()
+    return out

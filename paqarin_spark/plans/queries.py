@@ -5241,6 +5241,257 @@ ORDER BY query_id
 """
 
 
+
+def em17_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with asymmetric distance (operators.similarity.
+    ivfpq_adc_topk — Jégou/Douze/Schmid's IVFADC, the FAISS
+    billion-scale ANN architecture): a 1-round deterministic-Lloyd
+    coarse quantizer splits the corpus into 4 inverted lists, every
+    vector is product-quantized (2 subspaces × 4 codewords) on its
+    6dp-rounded RESIDUAL from its cell centroid, and each probe
+    (vec_id % 100 == 0) scans only its 2 nearest cells through a
+    per-(query, cell) ADC lookup table. Output per probe: ADC top-1,
+    exact top-1, and recall@5 against the exact ranking — the
+    cell-prune + compression recall audit, completing the em4/em8
+    (IVF) and em16 (PQ) composition end-to-end.
+
+    Scale shape: centroids (4×64) and codebooks (2×4×32) broadcast
+    everywhere; the candidate scan joins 2-small-int code rows against
+    the probe LUT keyed on (cell, subspace, code), so a query ranks
+    ~nprobe/num_cells of the corpus moving ~1% of the raw vector
+    bytes. Every stage keeps the exact-decimal / 6dp-rounded Lloyd
+    contract, so cells, residuals, codes, ADC values and both
+    rankings hash-match the fully unrolled SQL oracle."""
+    from paqarin_spark.operators import ivfpq_adc_topk
+
+    configure_for_determinism(spark)
+    emb = read_table(spark, sf_dir, "embeddings")
+    adc_top = ivfpq_adc_topk(
+        emb, "vec_id", "embedding", F.col("vec_id") % 100 == 0,
+        num_cells=4, subspaces=2, k_codes=4, nprobe=2, k=5,
+        train_limit=400, coarse_seed=11, pq_seed=7,
+    ).localCheckpoint()  # consumed twice (top-1 + intersection)
+    dims = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("dim", "x"),
+    )
+    pdims = dims.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q"), "dim", F.col("x").alias("px")
+    )
+    exact = (
+        pdims.join(dims, on="dim")
+        .groupBy("q", "vec_id")
+        .agg(
+            F.sum(
+                ((F.col("px") - F.col("x")) * (F.col("px") - F.col("x")))
+                .cast("decimal(30,10)")
+            )
+            .cast("double")
+            .alias("ed2")
+        )
+    )
+    w_ex = Window.partitionBy("q").orderBy("ed2", "vec_id")
+    exact_top = (
+        exact.withColumn("rk", F.row_number().over(w_ex))
+        .where(F.col("rk") <= 5)
+        .localCheckpoint()
+    )
+    inter = (
+        adc_top.select("query_id", "neighbor_id")
+        .join(
+            exact_top.select(
+                F.col("q").alias("query_id"),
+                F.col("vec_id").alias("neighbor_id"),
+            ),
+            on=["query_id", "neighbor_id"],
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    a1 = adc_top.where(F.col("rk") == 1).select(
+        "query_id", F.col("neighbor_id").alias("adc_top1")
+    )
+    e1 = exact_top.where(F.col("rk") == 1).select(
+        F.col("q").alias("query_id"), F.col("vec_id").alias("exact_top1")
+    )
+    return (
+        a1.join(e1, on="query_id")
+        .join(inter, on="query_id", how="left")
+        .select(
+            "query_id",
+            "adc_top1",
+            "exact_top1",
+            F.round(
+                F.coalesce(F.col("hits"), F.lit(0)).cast("double") / 5.0, 6
+            ).alias("recall5"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _ivfpq_subspace_sql(s: int, width: int = _PQ_WIDTH, k: int = 4) -> str:
+    """Per-subspace CTE block for EM17_SQL — em16's PQ pattern pointed
+    at the RESIDUAL dims CTE ``rv`` (1 Lloyd iteration: pb0 → pa1 →
+    pb1 final), plus the per-(query, cell) residual LUT."""
+    lo, hi = s * width, (s + 1) * width
+    key = "md5('kmeans#' || CAST(vec_id AS VARCHAR) || '#7')"
+    return f"""rvs{s} AS (
+  SELECT vec_id, dim - {lo} AS dim, x FROM rv WHERE dim >= {lo} AND dim < {hi}
+), ptv{s} AS (
+  SELECT r.vec_id, r.dim, r.x FROM rvs{s} r JOIN tr USING (vec_id)
+), pinit{s} AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY {key}) - 1 AS cluster, vec_id
+  FROM tr ORDER BY {key} LIMIT {k}
+), pb0_{s} AS (
+  SELECT i.cluster, t.dim, t.x AS c
+  FROM pinit{s} i JOIN ptv{s} t ON t.vec_id = i.vec_id
+), pa1_{s} AS (
+  SELECT vec_id, cluster FROM (
+    SELECT t.vec_id, c.cluster,
+           ROW_NUMBER() OVER (
+             PARTITION BY t.vec_id
+             ORDER BY CAST(SUM(CAST((t.x - c.c) * (t.x - c.c)
+                                    AS DECIMAL(30,10))) AS DOUBLE), c.cluster
+           ) AS rk
+    FROM ptv{s} t JOIN pb0_{s} c ON t.dim = c.dim GROUP BY t.vec_id, c.cluster
+  ) WHERE rk = 1
+), pb1_{s} AS (
+  SELECT a.cluster, t.dim,
+         ROUND(CAST(SUM(CAST(t.x AS DECIMAL(30,10))) AS DOUBLE)
+               / COUNT(*), 6) AS c
+  FROM ptv{s} t JOIN pa1_{s} a ON t.vec_id = a.vec_id GROUP BY 1, 2
+), enc{s} AS (
+  SELECT vec_id, cluster AS code FROM (
+    SELECT e.vec_id, e.cluster,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY e.d2, e.cluster)
+             AS rk
+    FROM (
+      SELECT t.vec_id, c.cluster,
+             CAST(SUM(CAST((t.x - c.c) * (t.x - c.c) AS DECIMAL(30,10)))
+                  AS DOUBLE) AS d2
+      FROM rvs{s} t JOIN pb1_{s} c ON t.dim = c.dim GROUP BY 1, 2
+    ) e
+  ) WHERE rk = 1
+), lut{s} AS (
+  SELECT r.q, r.cell, c.cluster,
+         CAST(SUM(CAST((r.x - c.c) * (r.x - c.c) AS DECIMAL(30,10)))
+              AS DOUBLE) AS lutd2
+  FROM (SELECT q, cell, dim - {lo} AS dim, x
+        FROM qr WHERE dim >= {lo} AND dim < {hi}) r
+  JOIN pb1_{s} c ON c.dim = r.dim
+  GROUP BY 1, 2, 3
+)"""
+
+
+_EM17_COARSE_KEY = "md5('kmeans#' || CAST(vec_id AS VARCHAR) || '#11')"
+
+EM17_SQL = f"""
+WITH v AS (
+  SELECT vec_id, u.dim, u.x FROM embeddings, LATERAL (
+    SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+           UNNEST(embedding)::DOUBLE AS x
+  ) u
+), civ AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY {_EM17_COARSE_KEY}) - 1 AS cell, vec_id
+  FROM embeddings ORDER BY {_EM17_COARSE_KEY} LIMIT 4
+), c0 AS (
+  SELECT i.cell, v.dim, v.x AS c FROM civ i JOIN v ON v.vec_id = i.vec_id
+), a1 AS (
+  SELECT vec_id, cell FROM (
+    SELECT v.vec_id, c.cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY CAST(SUM(CAST((v.x - c.c) * (v.x - c.c)
+                                    AS DECIMAL(30,10))) AS DOUBLE), c.cell
+           ) AS rk
+    FROM v JOIN c0 c ON v.dim = c.dim GROUP BY v.vec_id, c.cell
+  ) WHERE rk = 1
+), c1 AS (
+  SELECT a.cell, v.dim,
+         ROUND(CAST(SUM(CAST(v.x AS DECIMAL(30,10))) AS DOUBLE)
+               / COUNT(*), 6) AS c
+  FROM v JOIN a1 a ON v.vec_id = a.vec_id GROUP BY 1, 2
+), a2 AS (
+  SELECT vec_id, cell FROM (
+    SELECT v.vec_id, c.cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY CAST(SUM(CAST((v.x - c.c) * (v.x - c.c)
+                                    AS DECIMAL(30,10))) AS DOUBLE), c.cell
+           ) AS rk
+    FROM v JOIN c1 c ON v.dim = c.dim GROUP BY v.vec_id, c.cell
+  ) WHERE rk = 1
+), rv AS (
+  SELECT v.vec_id, v.dim, ROUND(v.x - c.c, 6) AS x
+  FROM v JOIN a2 ON v.vec_id = a2.vec_id
+  JOIN c1 c ON c.cell = a2.cell AND c.dim = v.dim
+), tr AS (
+  SELECT vec_id FROM (
+    SELECT vec_id,
+           ROW_NUMBER() OVER (
+             ORDER BY md5('pqtrain#' || CAST(vec_id AS VARCHAR)), vec_id
+           ) AS rn
+    FROM embeddings
+  ) WHERE rn <= 400
+), qcd AS (
+  SELECT v.vec_id AS q, c.cell,
+         CAST(SUM(CAST((v.x - c.c) * (v.x - c.c) AS DECIMAL(30,10)))
+              AS DOUBLE) AS d2
+  FROM v JOIN c1 c ON v.dim = c.dim
+  WHERE v.vec_id % 100 = 0 GROUP BY 1, 2
+), qcell AS (
+  SELECT q, cell FROM (
+    SELECT q, cell, ROW_NUMBER() OVER (PARTITION BY q ORDER BY d2, cell) AS rk
+    FROM qcd
+  ) WHERE rk <= 2
+), qr AS (
+  SELECT v.vec_id AS q, qc.cell, v.dim, ROUND(v.x - c.c, 6) AS x
+  FROM v JOIN qcell qc ON qc.q = v.vec_id
+  JOIN c1 c ON c.cell = qc.cell AND c.dim = v.dim
+), {", ".join(_ivfpq_subspace_sql(s) for s in range(_PQ_SUBSPACES))}, adc AS (
+  SELECT l.q, e.vec_id, SUM(l.lutd2) AS adc
+  FROM ({" UNION ALL ".join(
+      f"SELECT {s} AS s, vec_id, code FROM enc{s}"
+      for s in range(_PQ_SUBSPACES))}) e
+  JOIN a2 ON a2.vec_id = e.vec_id
+  JOIN ({" UNION ALL ".join(
+      f"SELECT {s} AS s, q, cell, cluster, lutd2 FROM lut{s}"
+      for s in range(_PQ_SUBSPACES))}) l
+    ON l.s = e.s AND l.cluster = e.code AND l.cell = a2.cell
+  GROUP BY l.q, e.vec_id
+), adc_top AS (
+  SELECT q, vec_id, rk FROM (
+    SELECT q, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY q ORDER BY adc, vec_id) AS rk
+    FROM adc
+  ) WHERE rk <= 5
+), exact AS (
+  SELECT p.vec_id AS q, o.vec_id,
+         CAST(SUM(CAST((p.x - o.x) * (p.x - o.x) AS DECIMAL(30,10)))
+              AS DOUBLE) AS ed2
+  FROM v p JOIN v o ON p.dim = o.dim
+  WHERE p.vec_id % 100 = 0 GROUP BY 1, 2
+), exact_top AS (
+  SELECT q, vec_id, rk FROM (
+    SELECT q, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY q ORDER BY ed2, vec_id) AS rk
+    FROM exact
+  ) WHERE rk <= 5
+), inter AS (
+  SELECT a.q, COUNT(*) AS hits
+  FROM adc_top a JOIN exact_top e ON a.q = e.q AND a.vec_id = e.vec_id
+  GROUP BY a.q
+)
+SELECT a1t.q AS query_id, a1t.vec_id AS adc_top1, e1.vec_id AS exact_top1,
+       ROUND(CAST(COALESCE(i.hits, 0) AS DOUBLE) / 5.0, 6) AS recall5
+FROM (SELECT q, vec_id FROM adc_top WHERE rk = 1) a1t
+JOIN (SELECT q, vec_id FROM exact_top WHERE rk = 1) e1 ON a1t.q = e1.q
+LEFT JOIN inter i ON i.q = a1t.q
+ORDER BY query_id
+"""
+
 def st11_stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING quantile sketch — the third streaming-sketch dual
     beside st9 (HLL registers) and st10 (count-min counters): the
@@ -8688,6 +8939,7 @@ SELECT generator, avg_forecast_mae, std_forecast_mae FROM (
 # local sf0.001/sf0.01 gate (tools/check_oracle.py).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-5 additions (never driver-verified) come first ---
+    "em17_ivfpq_recall": em17_ivfpq_recall,
     "q81_triangle_brands": q81_triangle_brands,
     "q82_cohort_retention": q82_cohort_retention,
     "em16_pq_adc_recall": em16_pq_adc_recall,
@@ -8748,11 +9000,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q68_conversion_funnel": q68_conversion_funnel,
     "tx27_mixture_sample": tx27_mixture_sample,
     "tx28_sequence_pack": tx28_sequence_pack,
-    "tx29_chunk_overlap": tx29_chunk_overlap,
     # ------------- driver 50-entry window ends HERE (position 50) -------------
     # tx30/tx31/em12/st7/st8/q69 displaced this session for
     # q81/q82/em16/mm12/st12/ev9 (all r4-green: driver r4 window +
     # judge sf0.01 spot-checks).
+    "tx29_chunk_overlap": tx29_chunk_overlap,
     "tx30_tfidf_terms": tx30_tfidf_terms,
     "tx31_bm25_search": tx31_bm25_search,
     "em12_random_projection": em12_random_projection,
@@ -9023,6 +9275,7 @@ ORACLE_SQL: dict[str, str] = {
     "q81_triangle_brands": Q81_SQL,
     "q82_cohort_retention": Q82_SQL,
     "em16_pq_adc_recall": EM16_SQL,
+    "em17_ivfpq_recall": EM17_SQL,
     "mm12_exif_tags": MM12_SQL,
     # st12 is q82's streaming dual: the batch SQL is its oracle.
     "st12_stream_cohort": Q82_SQL,

@@ -511,3 +511,63 @@ def test_pq_train_encode_layout_independent_and_sample_trained(spark):
     assert a == b
     # encode covers ALL ids even though training saw only 30
     assert len(a[0]) == 120
+
+
+def test_ivfpq_adc_topk_planted_cells(spark):
+    """Two well-separated blobs: cell pruning must keep every probe's
+    neighbors inside its own blob, and rank-1 must be the probe itself
+    (ADC self-distance ≈ quantization error, strictly smallest against
+    the far blob)."""
+    from paqarin_spark.operators import ivfpq_adc_topk
+
+    rows = []
+    for i in range(24):
+        base = 0.0 if i < 12 else 50.0
+        eps = (i % 12) * 0.05
+        rows.append((i, [base + eps, base, base - eps, base + 2 * eps]))
+    df = spark.createDataFrame(rows, "vec_id int, v array<float>")
+    out = ivfpq_adc_topk(
+        df, "vec_id", "v", F.col("vec_id") % 6 == 0,
+        num_cells=2, subspaces=2, k_codes=2, nprobe=1, k=3,
+        train_limit=None,
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 6, 12, 18}
+    for q, hits in by_q.items():
+        assert len(hits) == 3
+        blob = set(range(12)) if q < 12 else set(range(12, 24))
+        # nprobe=1 on separated blobs -> candidates never cross blobs
+        assert {h["neighbor_id"] for h in hits} <= blob
+        assert all(h["adc"] >= 0.0 for h in hits)
+        ranked = sorted(hits, key=lambda h: h["rk"])
+        assert [h["adc"] for h in ranked] == sorted(h["adc"] for h in hits)
+
+
+def test_ivfpq_adc_topk_probe_covers_more_cells_with_nprobe(spark):
+    """Raising nprobe can only grow each probe's candidate pool (the
+    classic IVF recall knob): top-k lists at nprobe=2 rank over a
+    superset of the nprobe=1 candidates."""
+    from paqarin_spark.operators import ivfpq_adc_topk
+
+    rows = [
+        (i, [float((i * 7) % 13), float((i * 3) % 11),
+             float((i * 5) % 17), float(i % 7)])
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, v array<float>")
+    one = ivfpq_adc_topk(
+        df, "vec_id", "v", F.col("vec_id") == 0,
+        num_cells=3, subspaces=2, k_codes=2, nprobe=1, k=30,
+        train_limit=None,
+    )
+    two = ivfpq_adc_topk(
+        df, "vec_id", "v", F.col("vec_id") == 0,
+        num_cells=3, subspaces=2, k_codes=2, nprobe=2, k=30,
+        train_limit=None,
+    )
+    n1 = {r["neighbor_id"] for r in one.collect()}
+    n2 = {r["neighbor_id"] for r in two.collect()}
+    assert n1 <= n2
+    assert len(n2) > len(n1)
