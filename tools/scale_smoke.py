@@ -646,6 +646,95 @@ def main() -> int:
         f"[{'ok' if ok else f'EXPECTED {5 * 256}, diff={diff}'}]"
     )
 
+    # Triangle counting at 1M planted triangles (3M vertices + a
+    # 100k-leaf hub): disjoint 3-cliques give an EXACT closed-form
+    # count; the hub vertex is adjacent to one corner of each of the
+    # first 100k triangles, so unordered it would contribute C(100k,2)
+    # wedges — degree-ordered orientation sends every leaf edge INTO
+    # the hub and the wedge join never materializes them. No new
+    # triangle is closed (hub neighbors are pairwise non-adjacent).
+    from paqarin_spark.operators import triangles
+
+    T = 1_000_000
+    tri_base = spark.range(T)
+    tri_edges = (
+        tri_base.select((3 * F.col("id")).alias("src"), (3 * F.col("id") + 1).alias("dst"))
+        .unionByName(
+            tri_base.select((3 * F.col("id")).alias("src"), (3 * F.col("id") + 2).alias("dst"))
+        )
+        .unionByName(
+            tri_base.select((3 * F.col("id") + 1).alias("src"), (3 * F.col("id") + 2).alias("dst"))
+        )
+        .unionByName(
+            spark.range(100_000).select(
+                F.lit(3_000_000_000).alias("src"), (3 * F.col("id")).alias("dst")
+            )
+        )
+    )
+    timed("triangles 1M planted", triangles(tri_edges), T)
+
+    # Product quantization at the 2M-vector corpus: codebooks train on
+    # a 512-vector md5-rank sample, then EVERY vector encodes against
+    # the broadcast codebook — codes are exactly 2 rows (subspaces)
+    # per vector and every code falls in [0, k). The encode pass is
+    # the broadcast-join/no-vector-shuffle shape that has to hold at
+    # billion-vector scale.
+    from paqarin_spark.operators import pq_train_encode
+
+    t0 = time.perf_counter()
+    codes2m, _books2m = pq_train_encode(
+        vecs, "vec_id", "embedding", subspaces=2, k=4, iterations=1,
+        train_limit=512,
+    )
+    n_codes = codes2m.count()
+    bad_codes = codes2m.where(
+        (F.col("code") < 0) | (F.col("code") >= 4)
+    ).count()
+    dt = time.perf_counter() - t0
+    n_vecs_total = vecs.count()
+    ok = n_codes == 2 * n_vecs_total and bad_codes == 0
+    checks.append(ok)
+    print(
+        f"{'pq encode 2M':24} {dt:7.1f}s  rows={n_codes:>12,}  "
+        f"[{'ok' if ok else f'EXPECTED {2 * n_vecs_total}, bad={bad_codes}'}]"
+    )
+
+    # Cohort retention at the full 20M-event stream: every entity is
+    # active on days 0..rows_per_entity-1 (dense), so there is ONE
+    # cohort with a closed-form offset range and every (cohort,
+    # offset) cell holds exactly `entities` users — the single
+    # user-keyed exchange + rollup shape of q82 at 200x the bench
+    # row count.
+    from pyspark.sql import Window as _W
+
+    t0 = time.perf_counter()
+    _w = _W.partitionBy("entity")
+    act = ev.select(
+        "entity",
+        F.min(F.to_date("ts")).over(_w).alias("_cd"),
+        F.to_date("ts").alias("_d"),
+    ).select(
+        "entity", "_cd",
+        F.floor(F.datediff("_d", "_cd") / 7).cast("int").alias("off"),
+    )
+    coh = act.groupBy("_cd", "off").agg(
+        F.countDistinct("entity").alias("au")
+    )
+    rows_c = coh.count()
+    uniform = coh.select(F.min("au").alias("lo"), F.max("au").alias("hi")).first()
+    dt = time.perf_counter() - t0
+    expect_offsets = (min(days, rows_per_entity) - 1) // 7 + 1
+    ok = (
+        rows_c == expect_offsets
+        and uniform["lo"] == entities
+        and uniform["hi"] == entities
+    )
+    checks.append(ok)
+    print(
+        f"{'cohort rollup 20M':24} {dt:7.1f}s  rows={rows_c:>12,}  "
+        f"[{'ok' if ok else f'EXPECTED {expect_offsets} x {entities}'}]"
+    )
+
     print("all invariants hold" if all(checks) else "INVARIANT FAILURES")
     return 0 if all(checks) else 1
 
