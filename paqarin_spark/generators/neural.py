@@ -63,6 +63,8 @@ class ARNetGenerator(TimeSeriesGenerator):
         learning_rate: float = 0.05,
         max_windows: int = 512,
         noise: float = 0.0,
+        shards: int = 1,
+        rounds: int = 1,
     ):
         super().__init__(parameters)
         self.hidden = int(hidden)
@@ -70,6 +72,10 @@ class ARNetGenerator(TimeSeriesGenerator):
         self.learning_rate = float(learning_rate)
         self.max_windows = int(max_windows)
         self.noise = float(noise)
+        if int(shards) < 1 or int(rounds) < 1:
+            raise ValueError("shards and rounds must be >= 1")
+        self.shards = int(shards)
+        self.rounds = int(rounds)
         self.scaler = MinMaxScaler(list(parameters.schema.value_columns))
         self.weights: list[dict] | None = None  # JSON-able layer list
         self._starts: DataFrame | None = None  # scaled windows, keyed
@@ -106,11 +112,8 @@ class ARNetGenerator(TimeSeriesGenerator):
         )
         sample = ranked.orderBy("_r").limit(self.max_windows).persist()
 
-        def train(pdf):
+        def _xy(pdf):
             import numpy as np
-            import pandas as pd
-
-            from paqarin_spark.generators import nn
 
             pdf = pdf.sort_values("_window_key")
             x = np.array(
@@ -124,26 +127,129 @@ class ARNetGenerator(TimeSeriesGenerator):
                 [[seq[L - 1][c] for c in cols] for seq in pdf[SEQUENCE]],
                 dtype=np.float64,
             )
-            params = nn.train_mlp(
-                x, y, hidden=hidden, epochs=epochs, lr=lr, seed=seed
-            )
-            return pd.DataFrame(
-                {"weights": [json.dumps(nn.params_to_lists(params))]}
-            )
+            return x, y
 
-        row = (
-            sample.withColumn("_g", F.lit(0))
-            .groupBy("_g")
-            .applyInPandas(train, schema="weights string")
-            .collect()
-        )
-        if not row:
-            sample.unpersist()
-            raise ValueError(
-                "cannot fit: no training windows (every entity is shorter "
-                f"than sequence_length={L})"
+        if self.shards == 1:
+            def train(pdf):
+                import pandas as pd
+
+                from paqarin_spark.generators import nn
+
+                x, y = _xy(pdf)
+                params = nn.train_mlp(
+                    x, y, hidden=hidden, epochs=epochs, lr=lr, seed=seed
+                )
+                return pd.DataFrame(
+                    {"weights": [json.dumps(nn.params_to_lists(params))]}
+                )
+
+            row = (
+                sample.withColumn("_g", F.lit(0))
+                .groupBy("_g")
+                .applyInPandas(train, schema="weights string")
+                .collect()
             )
-        self.weights = json.loads(row[0]["weights"])
+            if not row:
+                sample.unpersist()
+                raise ValueError(
+                    "cannot fit: no training windows (every entity is "
+                    f"shorter than sequence_length={L})"
+                )
+            self.weights = json.loads(row[0]["weights"])
+        else:
+            # Parameter-averaged distributed training (local SGD /
+            # FedAvg): shard the window sample by a CONTENT hash (not
+            # partition layout), train each shard locally from the
+            # current global weights for epochs/rounds full-batch
+            # steps, average the shard weights by example count, and
+            # repeat. Per round the driver sees ≤ shards weight rows
+            # (never window data) — the communication pattern that
+            # trains one model across a 1000-executor cluster when the
+            # window population no longer fits one Arrow batch. The
+            # reference trains its providers single-node on one host
+            # (ydata_adapter.py:291-358); this is the cluster-shaped
+            # counterpart for the in-env numpy model.
+            from paqarin_spark.generators import nn
+
+            if not cols:
+                raise ValueError("schema has no value columns")
+            in_dim = (L - 1) * len(cols)
+            sharded = sample.withColumn(
+                "_shard",
+                F.pmod(
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.lit("arnet-shard#"),
+                                    F.col("_window_key"),
+                                )
+                            ),
+                            1,
+                            15,
+                        ),
+                        16,
+                        10,
+                    ).cast("long"),
+                    F.lit(self.shards),
+                ),
+            ).persist()
+            params = nn.init_params([in_dim, hidden, len(cols)], seed)
+            local_epochs = max(1, epochs // self.rounds)
+            def _make_local_train(_cur):
+                # single-arg closure: applyInPandas inspects the arity,
+                # so the round's weight state must NOT ride as a
+                # default arg (two params would read as (key, pdf)).
+                def local_train(pdf):
+                    import pandas as pd
+
+                    from paqarin_spark.generators import nn as _nn
+
+                    x, y = _xy(pdf)
+                    trained = _nn.train_mlp(
+                        x,
+                        y,
+                        hidden=hidden,
+                        epochs=local_epochs,
+                        lr=lr,
+                        seed=seed,
+                        params=json.loads(_cur),
+                    )
+                    return pd.DataFrame(
+                        {
+                            "n": [len(pdf)],
+                            "weights": [
+                                json.dumps(_nn.params_to_lists(trained))
+                            ],
+                        }
+                    )
+
+                return local_train
+
+            for _ in range(self.rounds):
+                local_train = _make_local_train(
+                    json.dumps(nn.params_to_lists(params))
+                )
+                rows = (
+                    sharded.groupBy("_shard")
+                    .applyInPandas(local_train, schema="n long, weights string")
+                    .collect()
+                )
+                if not rows:
+                    sharded.unpersist()
+                    sample.unpersist()
+                    raise ValueError(
+                        "cannot fit: no training windows (every entity is "
+                        f"shorter than sequence_length={L})"
+                    )
+                params = nn.average_params(
+                    [
+                        (int(r["n"]), nn.params_from_lists(json.loads(r["weights"])))
+                        for r in rows
+                    ]
+                )
+            sharded.unpersist()
+            self.weights = nn.params_to_lists(params)
         self._starts = sample
         self._n_starts = sample.count()
         return self

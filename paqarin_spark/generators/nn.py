@@ -65,14 +65,25 @@ def train_mlp(
     epochs: int = 200,
     lr: float = 0.05,
     seed: int = 0,
+    params: list[dict] | None = None,
 ) -> list[dict]:
     """Full-batch gradient descent with momentum on MSE — one hidden
     tanh layer. Full-batch (not SGD) so the gradient is an
     order-insensitive sum over rows up to float associativity, and
-    the fixed epoch count keeps the fit replayable."""
+    the fixed epoch count keeps the fit replayable. ``params``
+    continues training from an existing weight state (the local step
+    of parameter-averaged training) instead of the md5 init; momentum
+    restarts from zero either way."""
     x = np.asarray(x, dtype=np.float64)
     y = np.asarray(y, dtype=np.float64)
-    params = init_params([x.shape[1], hidden, y.shape[1]], seed)
+    if params is None:
+        params = init_params([x.shape[1], hidden, y.shape[1]], seed)
+    else:
+        params = [
+            {"w": np.array(p["w"], dtype=np.float64),
+             "b": np.array(p["b"], dtype=np.float64)}
+            for p in params
+        ]
     vel = [{"w": np.zeros_like(p["w"]), "b": np.zeros_like(p["b"])} for p in params]
     n = max(len(x), 1)
     for _ in range(int(epochs)):
@@ -94,6 +105,41 @@ def train_mlp(
             p["w"] = p["w"] + v["w"]
             p["b"] = p["b"] + v["b"]
     return params
+
+
+def average_params(
+    shard_params: list[tuple[int, list[dict]]],
+) -> list[dict]:
+    """Example-weighted average of per-shard weight states — the
+    aggregation step of parameter-averaged distributed training
+    (local SGD / FedAvg, McMahan et al., AISTATS 2017: each shard
+    runs local full-batch steps on its own rows, the coordinator
+    averages the resulting weights by shard size, rebroadcasts, and
+    repeats). Shards are summed in ascending (n, index) order so the
+    float result is independent of the order the executors returned
+    them in."""
+    if not shard_params:
+        raise ValueError("cannot average an empty shard list")
+    ordered = sorted(
+        enumerate(shard_params), key=lambda t: (t[1][0], t[0])
+    )
+    total = float(sum(n for _, (n, _) in ordered))
+    if total <= 0:
+        raise ValueError("cannot average shards with zero total examples")
+    out = None
+    for _, (n, params) in ordered:
+        scale = n / total
+        if out is None:
+            out = [
+                {"w": np.asarray(p["w"], dtype=np.float64) * scale,
+                 "b": np.asarray(p["b"], dtype=np.float64) * scale}
+                for p in params
+            ]
+        else:
+            for acc, p in zip(out, params):
+                acc["w"] = acc["w"] + np.asarray(p["w"], dtype=np.float64) * scale
+                acc["b"] = acc["b"] + np.asarray(p["b"], dtype=np.float64) * scale
+    return out
 
 
 def mse(params: list[dict], x: np.ndarray, y: np.ndarray) -> float:

@@ -252,3 +252,71 @@ def test_mlp_forecaster_in_tstr_scorer(sine_panel):
     ).fit(sine_panel)
     assert pipe.best_generator_name == "bootstrap"
     pipe.unpersist()
+
+
+def test_average_params_is_example_weighted_and_order_free():
+    import numpy as np
+
+    from paqarin_spark.generators import nn
+
+    a = [{"w": np.full((2, 2), 1.0), "b": np.zeros(2)}]
+    b = [{"w": np.full((2, 2), 5.0), "b": np.ones(2)}]
+    avg = nn.average_params([(1, a), (3, b)])
+    assert np.allclose(avg[0]["w"], 4.0)  # (1*1 + 3*5) / 4
+    assert np.allclose(avg[0]["b"], 0.75)
+    # permuting the shard list cannot change the float result
+    avg2 = nn.average_params([(3, b), (1, a)])
+    assert np.array_equal(avg[0]["w"], avg2[0]["w"])
+    assert np.array_equal(avg[0]["b"], avg2[0]["b"])
+    with pytest.raises(ValueError):
+        nn.average_params([])
+    with pytest.raises(ValueError):
+        nn.average_params([(0, a)])
+
+
+def test_parameter_averaged_fit_is_layout_independent(sine_panel):
+    """Local-SGD training shards by a CONTENT hash of the window key,
+    so the fitted weights are a pure function of the data — identical
+    across any input partitioning."""
+    import numpy as np
+
+    from paqarin_spark.generators import nn
+
+    fits = []
+    for parts in (1, 16):
+        gen = ARNetGenerator(
+            _params(), hidden=8, epochs=40, shards=3, rounds=2
+        ).fit(sine_panel.repartition(parts))
+        fits.append(nn.params_from_lists(gen.weights))
+        gen.unpersist()
+    for p0, p1 in zip(*fits):
+        assert np.array_equal(p0["w"], p1["w"])
+        assert np.array_equal(p0["b"], p1["b"])
+
+
+def test_parameter_averaged_fit_learns_dynamics(sine_panel):
+    """The averaged model must actually train: after shards×rounds of
+    local steps + weight averaging, one-step-ahead error on the real
+    windows is a small fraction of the md5-init model's error."""
+    import numpy as np
+
+    from paqarin_spark.generators import nn
+    from paqarin_spark.operators.windows import sliding_windows
+    from paqarin_spark.operators.resample import parse_timestamps
+
+    gen = ARNetGenerator(
+        _params(), hidden=16, epochs=200, shards=3, rounds=4
+    ).fit(sine_panel)
+    trained = nn.params_from_lists(gen.weights)
+    init = nn.init_params(
+        [7 * 1, gen.hidden, 1], gen.parameters.seed
+    )
+    parsed = parse_timestamps(sine_panel, SCHEMA)
+    scaled = gen.scaler.transform(parsed)
+    wins = sliding_windows(scaled, SCHEMA, 8).limit(200).collect()
+    x = np.array(
+        [[rec["v"] for rec in r["sequence"][:7]] for r in wins]
+    )
+    y = np.array([[r["sequence"][7]["v"]] for r in wins])
+    assert nn.mse(trained, x, y) < 0.25 * nn.mse(init, x, y)
+    gen.unpersist()
