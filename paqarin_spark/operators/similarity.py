@@ -1331,3 +1331,75 @@ def ivfpq_adc_topk(
     )
     dims.unpersist()
     return out
+
+
+def semdedup_pairs(
+    df: DataFrame,
+    id_column: str,
+    vector_column: str,
+    k: int = 4,
+    threshold: float = 0.4,
+    iterations: int = 1,
+    seed: int = 5,
+    assignment: str = "expr",
+) -> DataFrame:
+    """Semantic near-duplicate candidate pairs, SemDeDup-style (Abbas
+    et al., 2023, arXiv:2303.09540 — "SemDeDup: Data-efficient
+    learning at web-scale through semantic deduplication"): cluster
+    the embedding corpus with k-means, then emit exact cosine pairs ≥
+    ``threshold`` WITHIN each cluster only. The clusters bound the
+    quadratic — no all-pairs stage exists; pairs straddling a cluster
+    boundary are missed by design (the SemDeDup approximation; raise
+    ``k`` with corpus size to keep expected cluster width constant,
+    the paper runs 50k clusters at 5B docs).
+
+    The coarse clustering uses :func:`kmeans_lloyd` under the
+    deterministic md5-init contract, so with ``assignment="expr"``
+    the cluster memberships — and therefore exactly which pairs are
+    compared — replay in SQL (tx39 pins the full composition).
+    Within a cluster, similarity is one BLAS matmul per Arrow group,
+    rounded to 6dp (the em3 cross-engine cosine contract).
+
+    Returns (id_a, id_b, cos_sim) with id_a < id_b.
+    """
+    import numpy as np
+    import pandas as pd
+
+    assign, _cent = kmeans_lloyd(
+        df, id_column, vector_column, k=k, iterations=iterations,
+        seed=seed, assignment=assignment,
+    )
+    feat = df.select(
+        id_column,
+        F.transform(vector_column, lambda x: x.cast("double")).alias("_v"),
+    ).join(assign.select(id_column, "cluster"), on=id_column)
+
+    id_type = dict(df.dtypes)[id_column]
+    out_schema = f"id_a {id_type}, id_b {id_type}, cos_sim double"
+
+    def cluster_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_column].to_numpy()
+        mat = np.vstack(pdf["_v"].to_numpy()).astype(np.float64)
+        nrm = np.linalg.norm(mat, axis=1)
+        frames = []
+        for lo, sims in _matmul_chunks(mat, mat, nrm, nrm):
+            qi, ci = np.nonzero(
+                (sims >= threshold)
+                & (ids[lo : lo + sims.shape[0], None] < ids[None, :])
+            )
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "id_a": ids[lo + qi],
+                        "id_b": ids[ci],
+                        "cos_sim": sims[qi, ci],
+                    }
+                )
+            )
+        return pd.concat(frames) if frames else pd.DataFrame(
+            {"id_a": [], "id_b": [], "cos_sim": []}
+        )
+
+    return feat.groupBy("cluster").applyInPandas(
+        cluster_pairs, schema=out_schema
+    )

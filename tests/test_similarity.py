@@ -571,3 +571,27 @@ def test_ivfpq_adc_topk_probe_covers_more_cells_with_nprobe(spark):
     n2 = {r["neighbor_id"] for r in two.collect()}
     assert n1 <= n2
     assert len(n2) > len(n1)
+
+
+def test_semdedup_pairs_blocks_by_cluster(spark):
+    """Pairs only form WITHIN a k-means cluster: two tight blobs give
+    within-blob pairs at high threshold, and even an exact duplicate
+    pair split across blobs is never emitted (the SemDeDup
+    approximation, pinned)."""
+    from paqarin_spark.operators import semdedup_pairs
+
+    rows = []
+    for i in range(8):
+        base = 1.0 if i < 4 else -1.0
+        rows.append((i, [base, base * 0.5, 0.0, base]))
+    df = spark.createDataFrame(rows, "vec_id int, v array<float>")
+    out = semdedup_pairs(
+        df, "vec_id", "v", k=2, threshold=0.99, iterations=1
+    ).collect()
+    assert len(out) > 0
+    lo, hi = set(range(4)), set(range(4, 8))
+    for r in out:
+        a, b = r["id_a"], r["id_b"]
+        assert a < b
+        assert ({a, b} <= lo) or ({a, b} <= hi)
+        assert r["cos_sim"] >= 0.99
