@@ -5856,6 +5856,75 @@ ORDER BY nationkey
 """
 
 
+def q83_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (part-promotion supplier selection) re-expressed
+    over the slimmed schema (no partsupp table): for every PROMO-type
+    part, find the LEADING supplier — the one that shipped the largest
+    total quantity of that part (exact-decimal sums; suppkey breaks
+    ties) — and report how many parts each supplier leads. Q20's
+    correlated `availqty > 0.5 * SUM(lineitem)` threshold becomes a
+    per-part argmax so the selection stays meaningful at ANY scale
+    factor (a fixed share threshold empties out as supplier counts per
+    part grow with SF); the plan is the same decorrelated two-stage
+    shape — one (part, supplier) aggregation, one per-part rank over
+    it, written directly instead of as a correlated subquery.
+
+    Scale shape: the part-type filter broadcast-semi-prunes lineitem
+    at the scan; the rank window re-uses the aggregation's l_partkey
+    partitioning (no extra exchange); the supplier join is AQE's
+    choice (q53/q74 policy). Exact-decimal qty ordering means the
+    argmax can never flip cross-engine."""
+    configure_for_determinism(spark)
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    supp = read_table(spark, sf_dir, "supplier")
+    promo = part.where(F.col("p_type") == "PROMO").select("p_partkey")
+    pruned = li.join(
+        F.broadcast(promo), li.l_partkey == F.col("p_partkey"), "left_semi"
+    )
+    per_ps = pruned.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(30,10)")).alias("qty_ps")
+    )
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.col("qty_ps").desc(), F.col("l_suppkey")
+    )
+    leaders = per_ps.withColumn("_rk", F.row_number().over(w)).where(
+        F.col("_rk") == 1
+    )
+    return (
+        leaders.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_parts_led"))
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_name", "n_parts_led")
+        .orderBy(F.col("n_parts_led").desc(), "s_name")
+    )
+
+
+Q83_SQL = """
+WITH promo AS (
+  SELECT p_partkey FROM part WHERE p_type = 'PROMO'
+), per_ps AS (
+  SELECT l_partkey, l_suppkey,
+         SUM(CAST(l_quantity AS DECIMAL(30,10))) AS qty_ps
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM promo)
+  GROUP BY 1, 2
+), leaders AS (
+  SELECT l_partkey, l_suppkey FROM (
+    SELECT l_partkey, l_suppkey,
+           ROW_NUMBER() OVER (PARTITION BY l_partkey
+                              ORDER BY qty_ps DESC, l_suppkey) AS rk
+    FROM per_ps
+  ) WHERE rk = 1
+)
+SELECT s.s_name, COUNT(*) AS n_parts_led
+FROM leaders l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+GROUP BY s.s_name
+ORDER BY n_parts_led DESC, s_name
+"""
+
+
 # --------------------------------------------------------------------------
 # MM2 — video frame-sampling fan-out (multimodal north star)
 
@@ -9065,6 +9134,7 @@ SELECT generator, avg_forecast_mae, std_forecast_mae FROM (
 # local sf0.001/sf0.01 gate (tools/check_oracle.py).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-5 additions (never driver-verified) come first ---
+    "q83_dominant_part_suppliers": q83_dominant_part_suppliers,
     "tx39_semdedup_keep": tx39_semdedup_keep,
     "em17_ivfpq_recall": em17_ivfpq_recall,
     "q81_triangle_brands": q81_triangle_brands,
@@ -9125,11 +9195,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm7_media_probe": mm7_media_probe,
     "tx26_containment_pairs": tx26_containment_pairs,
     "q68_conversion_funnel": q68_conversion_funnel,
-    "tx27_mixture_sample": tx27_mixture_sample,
     # ------------- driver 50-entry window ends HERE (position 50) -------------
     # tx30/tx31/em12/st7/st8/q69 displaced this session for
     # q81/q82/em16/mm12/st12/ev9 (all r4-green: driver r4 window +
     # judge sf0.01 spot-checks).
+    "tx27_mixture_sample": tx27_mixture_sample,
     "tx28_sequence_pack": tx28_sequence_pack,
     "tx29_chunk_overlap": tx29_chunk_overlap,
     "tx30_tfidf_terms": tx30_tfidf_terms,
@@ -9404,6 +9474,7 @@ ORACLE_SQL: dict[str, str] = {
     "em16_pq_adc_recall": EM16_SQL,
     "em17_ivfpq_recall": EM17_SQL,
     "tx39_semdedup_keep": TX39_SQL,
+    "q83_dominant_part_suppliers": Q83_SQL,
     "mm12_exif_tags": MM12_SQL,
     # st12 is q82's streaming dual: the batch SQL is its oracle.
     "st12_stream_cohort": Q82_SQL,
