@@ -364,6 +364,8 @@ class ARNetGenerator(TimeSeriesGenerator):
                 "learning_rate": self.learning_rate,
                 "max_windows": self.max_windows,
                 "noise": self.noise,
+                "shards": self.shards,
+                "rounds": self.rounds,
                 "weights": self.weights,
             },
             spark=spark,
@@ -383,6 +385,8 @@ class ARNetGenerator(TimeSeriesGenerator):
             learning_rate=float(extra.get("learning_rate", 0.05)),
             max_windows=int(extra.get("max_windows", 512)),
             noise=float(extra.get("noise", 0.0)),
+            shards=int(extra.get("shards", 1)),
+            rounds=int(extra.get("rounds", 1)),
         )
         gen.weights = extra["weights"]
         gen.scaler.state = MinMaxState.load(

@@ -115,19 +115,30 @@ def average_params(
     (local SGD / FedAvg, McMahan et al., AISTATS 2017: each shard
     runs local full-batch steps on its own rows, the coordinator
     averages the resulting weights by shard size, rebroadcasts, and
-    repeats). Shards are summed in ascending (n, index) order so the
-    float result is independent of the order the executors returned
-    them in."""
+    repeats). Shards are summed in ascending (n, weight-bytes) order —
+    a CONTENT key, so the float result is independent of the order the
+    executors returned them in even when two shards hold the same
+    number of examples."""
     if not shard_params:
         raise ValueError("cannot average an empty shard list")
-    ordered = sorted(
-        enumerate(shard_params), key=lambda t: (t[1][0], t[0])
-    )
-    total = float(sum(n for _, (n, _) in ordered))
+
+    def _content_key(t):
+        n, params = t
+        return (
+            n,
+            b"".join(
+                np.ascontiguousarray(p["w"], dtype=np.float64).tobytes()
+                + np.ascontiguousarray(p["b"], dtype=np.float64).tobytes()
+                for p in params
+            ),
+        )
+
+    ordered = sorted(shard_params, key=_content_key)
+    total = float(sum(n for n, _ in ordered))
     if total <= 0:
         raise ValueError("cannot average shards with zero total examples")
     out = None
-    for _, (n, params) in ordered:
+    for n, params in ordered:
         scale = n / total
         if out is None:
             out = [

@@ -1208,12 +1208,20 @@ def ivfpq_adc_topk(
     probed cell ranks itself, typically at distance ≈ quantization
     error).
     """
+    first = df.select(F.size(vector_column).alias("d")).first()
+    if first is None:
+        raise ValueError("cannot build an IVF-PQ index on an empty input")
+    width = int(first["d"]) // subspaces
+    # dims is a cheap exploded PROJECTION consumed by three independent
+    # lazy branches (membership E-step, probe-cell ranking, probe
+    # residuals); re-deriving it per branch beats pinning n×d rows in
+    # cache that would outlive this builder (the returned plan is lazy).
     dims = df.select(
         F.col(id_column),
         F.posexplode(
             F.transform(vector_column, lambda x: x.cast("double"))
         ).alias("dim", "x"),
-    ).persist()
+    )
     # Coarse quantizer: one Lloyd round from md5-rank seeds, then a
     # final E-step against the POST-M-step centroids so membership
     # matches what queries probe.
@@ -1278,8 +1286,6 @@ def ivfpq_adc_topk(
         .where(F.col("_rk") <= nprobe)
         .select("q", "cell")
     )
-    first = df.select(F.size(vector_column).alias("d")).first()
-    width = int(first["d"]) // subspaces
     qres = (
         qd.join(qcell, on="q")
         .join(F.broadcast(cent), on=["cell", "dim"])
@@ -1329,7 +1335,6 @@ def ivfpq_adc_topk(
             "rk",
         )
     )
-    dims.unpersist()
     return out
 
 

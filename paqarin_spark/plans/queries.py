@@ -5917,10 +5917,12 @@ WITH promo AS (
     FROM per_ps
   ) WHERE rk = 1
 )
-SELECT s.s_name, COUNT(*) AS n_parts_led
-FROM leaders l
-JOIN supplier s ON l.l_suppkey = s.s_suppkey
-GROUP BY s.s_name
+SELECT s_name, n_parts_led FROM (
+  SELECT s.s_suppkey, s.s_name, COUNT(*) AS n_parts_led
+  FROM leaders l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY s.s_suppkey, s.s_name
+)
 ORDER BY n_parts_led DESC, s_name
 """
 
@@ -9196,9 +9198,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx26_containment_pairs": tx26_containment_pairs,
     "q68_conversion_funnel": q68_conversion_funnel,
     # ------------- driver 50-entry window ends HERE (position 50) -------------
-    # tx30/tx31/em12/st7/st8/q69 displaced this session for
-    # q81/q82/em16/mm12/st12/ev9 (all r4-green: driver r4 window +
-    # judge sf0.01 spot-checks).
+    # tx30/tx31/em12/st7/st8/q69 displaced for
+    # q81/q82/em16/mm12/st12/ev9, then tx27/tx28/tx29 displaced for
+    # q83/tx39/em17 (all displaced entries r3/r4-green: driver windows
+    # + judge sf0.01 spot-checks).
     "tx27_mixture_sample": tx27_mixture_sample,
     "tx28_sequence_pack": tx28_sequence_pack,
     "tx29_chunk_overlap": tx29_chunk_overlap,

@@ -320,3 +320,20 @@ def test_parameter_averaged_fit_learns_dynamics(sine_panel):
     y = np.array([[r["sequence"][7]["v"]] for r in wins])
     assert nn.mse(trained, x, y) < 0.25 * nn.mse(init, x, y)
     gen.unpersist()
+
+
+def test_average_params_equal_n_shards_are_order_free():
+    """Two shards with the SAME example count must still average to
+    bit-identical floats in any arrival order (the tie-break is the
+    weight content, not the list index)."""
+    import numpy as np
+
+    from paqarin_spark.generators import nn
+
+    a = [{"w": np.array([[0.1, 0.2], [0.3, 0.4]]), "b": np.array([0.5, 0.6])}]
+    b = [{"w": np.array([[0.7, 0.8], [0.9, 1.0]]), "b": np.array([1.1, 1.2])}]
+    c = [{"w": np.array([[1.3, 1.4], [1.5, 1.6]]), "b": np.array([1.7, 1.8])}]
+    r1 = nn.average_params([(3, c), (7, a), (7, b)])
+    r2 = nn.average_params([(7, b), (3, c), (7, a)])
+    assert np.array_equal(r1[0]["w"], r2[0]["w"])
+    assert np.array_equal(r1[0]["b"], r2[0]["b"])

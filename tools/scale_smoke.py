@@ -686,10 +686,15 @@ def main() -> int:
         vecs, "vec_id", "embedding", subspaces=2, k=4, iterations=1,
         train_limit=512,
     )
-    n_codes = codes2m.count()
-    bad_codes = codes2m.where(
-        (F.col("code") < 0) | (F.col("code") >= 4)
-    ).count()
+    # one aggregation pass: count + code-range violations together
+    # (separate .count() actions would re-run the whole train+encode)
+    stats = codes2m.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            ((F.col("code") < 0) | (F.col("code") >= 4)).cast("long")
+        ).alias("bad"),
+    ).first()
+    n_codes, bad_codes = int(stats["n"]), int(stats["bad"] or 0)
     dt = time.perf_counter() - t0
     n_vecs_total = vecs.count()
     ok = n_codes == 2 * n_vecs_total and bad_codes == 0
@@ -720,8 +725,12 @@ def main() -> int:
     coh = act.groupBy("_cd", "off").agg(
         F.countDistinct("entity").alias("au")
     )
-    rows_c = coh.count()
-    uniform = coh.select(F.min("au").alias("lo"), F.max("au").alias("hi")).first()
+    probe = coh.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("au").alias("lo"),
+        F.max("au").alias("hi"),
+    ).first()
+    rows_c, uniform = int(probe["n"]), probe
     dt = time.perf_counter() - t0
     expect_offsets = (min(days, rows_per_entity) - 1) // 7 + 1
     ok = (
