@@ -1408,3 +1408,72 @@ def semdedup_pairs(
     return feat.groupBy("cluster").applyInPandas(
         cluster_pairs, schema=out_schema
     )
+
+
+def sign_signatures(
+    df: DataFrame,
+    id_column: str,
+    vector_column: str,
+    num_planes: int = 32,
+    seed: int = 7,
+    prefix: str = "ham",
+) -> DataFrame:
+    """Binary embedding signatures by random-hyperplane sign hashing
+    (Charikar, STOC 2002 — the SimHash construction applied to dense
+    vectors): project every vector onto ``num_planes`` md5-sign
+    hyperplanes and pack the sign bits into ONE long. Hamming distance
+    between signatures estimates the angle (E[ham]/planes = θ/π), so
+    a 32-bit signature replaces a 64-float vector for coarse ranking —
+    the 30×-smaller scan every binary-hashing ANN system builds on.
+
+    Determinism contract: plane entries are ±1 from md5 first-hex-digit
+    parity (the :func:`_md5_sign` convention, key
+    ``'{prefix}{seed}#{plane}#{dim}'``), projections are exact-decimal
+    sums ROUNDED to 6dp before the sign test (em2's contract), and the
+    packed weight is 2^plane — every signature replays bit-for-bit in
+    SQL (em18 pins it).
+
+    Physical plan: the plane table is num_planes×d rows of ±1 —
+    broadcast; signatures are one groupBy(id) over the exploded dims,
+    entirely JVM-side expressions (no Python). Output: (id, sig).
+    """
+    if not 1 <= int(num_planes) <= 62:
+        raise ValueError("num_planes must be in [1, 62] to pack into a long")
+    spark = df.sparkSession
+    planes = spark.createDataFrame(
+        [
+            (j, i, _md5_sign(f"{prefix}{seed}#{j}#{i}"), 1 << j)
+            for j in range(int(num_planes))
+            for i in range(_vector_width(df, vector_column))
+        ],
+        "j int, dim int, s double, w long",
+    )
+    dims = df.select(
+        F.col(id_column),
+        F.posexplode(
+            F.transform(vector_column, lambda x: x.cast("double"))
+        ).alias("dim", "x"),
+    )
+    proj = (
+        dims.join(F.broadcast(planes), on="dim")
+        .groupBy(id_column, "j", "w")
+        .agg(
+            F.round(
+                F.sum((F.col("x") * F.col("s")).cast("decimal(30,10)"))
+                .cast("double"),
+                6,
+            ).alias("p")
+        )
+    )
+    return proj.groupBy(id_column).agg(
+        F.sum(F.when(F.col("p") >= 0, F.col("w")).otherwise(F.lit(0))).alias(
+            "sig"
+        )
+    )
+
+
+def _vector_width(df: DataFrame, vector_column: str) -> int:
+    first = df.select(F.size(vector_column).alias("d")).first()
+    if first is None:
+        raise ValueError("cannot derive vector width from an empty input")
+    return int(first["d"])

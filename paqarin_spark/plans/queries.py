@@ -5492,6 +5492,181 @@ LEFT JOIN inter i ON i.q = a1t.q
 ORDER BY query_id
 """
 
+
+def em18_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-signature retrieval audit (operators.similarity.
+    sign_signatures — Charikar's SimHash over dense embeddings): pack
+    32 md5-sign hyperplane bits into one long per vector, rank the
+    corpus for every probe (vec_id % 100 == 0) by HAMMING distance
+    (bit_count of xor — pure integer ops on 8-byte signatures instead
+    of 256-byte float vectors), and audit recall@5 of the Hamming
+    ranking against exact cosine. E[ham]/32 estimates θ/π, so this is
+    the compression/recall trade of binary-hashing ANN, measured.
+
+    Scale shape: signatures are ONE JVM-side groupBy over exploded
+    dims against a broadcast 32×d ±1 plane table, computed once and
+    8 bytes/vector thereafter; the probe scan broadcasts the ~1%
+    probe signature table across the corpus signature scan (integer
+    xor+popcount per pair — the linear scan binary hashing exists to
+    make cheap; band the signature into LSH buckets, em2-style, when
+    even that scan is too much). Ties in Hamming distance break by
+    vec_id; every signature bit and both rankings replay in SQL."""
+    from paqarin_spark.operators import sign_signatures
+
+    configure_for_determinism(spark)
+    emb = read_table(spark, sf_dir, "embeddings")
+    sigs = sign_signatures(
+        emb, "vec_id", "embedding", num_planes=32, seed=7, prefix="ham"
+    ).localCheckpoint()  # consumed by both sides of the probe scan
+    probes = sigs.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q"), F.col("sig").alias("qsig")
+    )
+    ham = sigs.crossJoin(F.broadcast(probes)).select(
+        "q",
+        "vec_id",
+        F.bit_count(F.col("sig").bitwiseXOR(F.col("qsig"))).alias("ham"),
+    )
+    w_h = Window.partitionBy("q").orderBy("ham", "vec_id")
+    ham_top = (
+        ham.withColumn("rk", F.row_number().over(w_h))
+        .where(F.col("rk") <= 5)
+        .localCheckpoint()
+    )
+    dims = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("dim", "x"),
+    )
+    norms = dims.groupBy("vec_id").agg(
+        F.sqrt(
+            F.sum((F.col("x") * F.col("x")).cast("decimal(30,10)")).cast(
+                "double"
+            )
+        ).alias("nrm")
+    )
+    pdims = dims.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q"), "dim", F.col("x").alias("px")
+    )
+    dots = (
+        pdims.join(dims, on="dim")
+        .groupBy("q", "vec_id")
+        .agg(
+            F.sum((F.col("px") * F.col("x")).cast("decimal(30,10)"))
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    cos = (
+        dots.join(norms.withColumnRenamed("vec_id", "q"), on="q")
+        .withColumnRenamed("nrm", "qn")
+        .join(norms, on="vec_id")
+        .select(
+            "q",
+            "vec_id",
+            F.round(F.col("dot") / (F.col("qn") * F.col("nrm")), 6).alias(
+                "cs"
+            ),
+        )
+    )
+    w_c = Window.partitionBy("q").orderBy(F.col("cs").desc(), "vec_id")
+    cos_top = (
+        cos.withColumn("rk", F.row_number().over(w_c))
+        .where(F.col("rk") <= 5)
+        .localCheckpoint()
+    )
+    inter = (
+        ham_top.select("q", "vec_id")
+        .join(cos_top.select("q", "vec_id"), on=["q", "vec_id"])
+        .groupBy("q")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    h1 = ham_top.where(F.col("rk") == 1).select(
+        "q", F.col("vec_id").alias("ham_top1")
+    )
+    c1 = cos_top.where(F.col("rk") == 1).select(
+        "q", F.col("vec_id").alias("cos_top1")
+    )
+    return (
+        h1.join(c1, on="q")
+        .join(inter, on="q", how="left")
+        .select(
+            F.col("q").alias("query_id"),
+            "ham_top1",
+            "cos_top1",
+            F.round(
+                F.coalesce(F.col("hits"), F.lit(0)).cast("double") / 5.0, 6
+            ).alias("recall5"),
+        )
+        .orderBy("query_id")
+    )
+
+
+EM18_SQL = """
+WITH v AS (
+  SELECT vec_id, u.dim, u.x FROM embeddings, LATERAL (
+    SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+           UNNEST(embedding)::DOUBLE AS x
+  ) u
+), planes AS (
+  SELECT j, i,
+         CASE WHEN ('0x' || substring(
+                md5('ham7#' || j || '#' || i), 1, 1))::UBIGINT % 2 = 0
+              THEN 1.0 ELSE -1.0 END AS s,
+         CAST(2 ** j AS BIGINT) AS w
+  FROM (SELECT unnest(range(32)) AS j), (SELECT unnest(range(64)) AS i)
+), proj AS (
+  SELECT v.vec_id, p.j, p.w,
+         ROUND(CAST(SUM(CAST(v.x * p.s AS DECIMAL(30,10))) AS DOUBLE), 6)
+           AS pr
+  FROM v JOIN planes p ON p.i = v.dim
+  GROUP BY 1, 2, 3
+), sigs AS (
+  SELECT vec_id, SUM(CASE WHEN pr >= 0 THEN w ELSE 0 END) AS sig
+  FROM proj GROUP BY 1
+), ham AS (
+  SELECT p.vec_id AS q, c.vec_id,
+         bit_count(xor(CAST(c.sig AS BIGINT), CAST(p.sig AS BIGINT))) AS hd
+  FROM sigs c, sigs p WHERE p.vec_id % 100 = 0
+), ham_top AS (
+  SELECT q, vec_id, rk FROM (
+    SELECT q, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY q ORDER BY hd, vec_id) AS rk
+    FROM ham
+  ) WHERE rk <= 5
+), norms AS (
+  SELECT vec_id, sqrt(CAST(SUM(CAST(x * x AS DECIMAL(30,10))) AS DOUBLE))
+           AS nrm
+  FROM v GROUP BY 1
+), cos AS (
+  SELECT p.vec_id AS q, o.vec_id,
+         ROUND(CAST(SUM(CAST(p.x * o.x AS DECIMAL(30,10))) AS DOUBLE)
+               / (np.nrm * no.nrm), 6) AS cs
+  FROM v p
+  JOIN v o ON p.dim = o.dim
+  JOIN norms np ON np.vec_id = p.vec_id
+  JOIN norms no ON no.vec_id = o.vec_id
+  WHERE p.vec_id % 100 = 0
+  GROUP BY p.vec_id, o.vec_id, np.nrm, no.nrm
+), cos_top AS (
+  SELECT q, vec_id, rk FROM (
+    SELECT q, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY q ORDER BY cs DESC, vec_id) AS rk
+    FROM cos
+  ) WHERE rk <= 5
+), inter AS (
+  SELECT h.q, COUNT(*) AS hits
+  FROM ham_top h JOIN cos_top c ON h.q = c.q AND h.vec_id = c.vec_id
+  GROUP BY h.q
+)
+SELECT h1.q AS query_id, h1.vec_id AS ham_top1, c1.vec_id AS cos_top1,
+       ROUND(CAST(COALESCE(i.hits, 0) AS DOUBLE) / 5.0, 6) AS recall5
+FROM (SELECT q, vec_id FROM ham_top WHERE rk = 1) h1
+JOIN (SELECT q, vec_id FROM cos_top WHERE rk = 1) c1 ON h1.q = c1.q
+LEFT JOIN inter i ON i.q = h1.q
+ORDER BY query_id
+"""
+
 def st11_stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING quantile sketch — the third streaming-sketch dual
     beside st9 (HLL registers) and st10 (count-min counters): the
@@ -9136,6 +9311,7 @@ SELECT generator, avg_forecast_mae, std_forecast_mae FROM (
 # local sf0.001/sf0.01 gate (tools/check_oracle.py).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-5 additions (never driver-verified) come first ---
+    "em18_hamming_rerank": em18_hamming_rerank,
     "q83_dominant_part_suppliers": q83_dominant_part_suppliers,
     "tx39_semdedup_keep": tx39_semdedup_keep,
     "em17_ivfpq_recall": em17_ivfpq_recall,
@@ -9195,13 +9371,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q67_kmv_distinct": q67_kmv_distinct,
     "tx25_unigram_logprob": tx25_unigram_logprob,
     "mm7_media_probe": mm7_media_probe,
-    "tx26_containment_pairs": tx26_containment_pairs,
     "q68_conversion_funnel": q68_conversion_funnel,
     # ------------- driver 50-entry window ends HERE (position 50) -------------
     # tx30/tx31/em12/st7/st8/q69 displaced for
     # q81/q82/em16/mm12/st12/ev9, then tx27/tx28/tx29 displaced for
     # q83/tx39/em17 (all displaced entries r3/r4-green: driver windows
     # + judge sf0.01 spot-checks).
+    "tx26_containment_pairs": tx26_containment_pairs,
     "tx27_mixture_sample": tx27_mixture_sample,
     "tx28_sequence_pack": tx28_sequence_pack,
     "tx29_chunk_overlap": tx29_chunk_overlap,
@@ -9478,6 +9654,7 @@ ORACLE_SQL: dict[str, str] = {
     "em17_ivfpq_recall": EM17_SQL,
     "tx39_semdedup_keep": TX39_SQL,
     "q83_dominant_part_suppliers": Q83_SQL,
+    "em18_hamming_rerank": EM18_SQL,
     "mm12_exif_tags": MM12_SQL,
     # st12 is q82's streaming dual: the batch SQL is its oracle.
     "st12_stream_cohort": Q82_SQL,

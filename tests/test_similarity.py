@@ -595,3 +595,37 @@ def test_semdedup_pairs_blocks_by_cluster(spark):
         assert a < b
         assert ({a, b} <= lo) or ({a, b} <= hi)
         assert r["cos_sim"] >= 0.99
+
+
+def test_sign_signatures_pack_and_angle_estimate(spark):
+    """Identical vectors share a signature (ham=0), opposite vectors
+    flip every plane (ham=num_planes), orthogonal vectors land near
+    planes/2 — the E[ham]/planes = angle/pi estimator."""
+    from paqarin_spark.operators import sign_signatures
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0, 0.0]),   # identical to 0
+        (2, [-1.0, 0.0, 0.0, 0.0]),  # opposite of 0
+        (3, [0.0, 1.0, 0.0, 0.0]),   # orthogonal to 0
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, v array<float>")
+    sigs = {
+        r["vec_id"]: r["sig"]
+        for r in sign_signatures(df, "vec_id", "v", num_planes=32).collect()
+    }
+    assert all(0 <= s < (1 << 32) for s in sigs.values())
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    assert ham(sigs[0], sigs[1]) == 0
+    assert ham(sigs[0], sigs[2]) == 32  # every projection flips sign
+    assert 6 <= ham(sigs[0], sigs[3]) <= 26  # ~16 expected, wide belt
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sign_signatures(df, "vec_id", "v", num_planes=63)
+    with _pytest.raises(ValueError):
+        sign_signatures(df.limit(0), "vec_id", "v")
