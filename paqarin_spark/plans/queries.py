@@ -6102,6 +6102,115 @@ ORDER BY n_parts_led DESC, s_name
 """
 
 
+def q84_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier) over the slimmed schema:
+    for every LARGE-type part, find the EUROPE supplier with the
+    lowest observed unit price — exact-decimal sum(extendedprice) /
+    sum(quantity) per (part, supplier), argmin per part with suppkey
+    tie-break. Q2's correlated `ps_supplycost = (SELECT MIN ...)`
+    subquery becomes one aggregation plus a per-part rank window (the
+    decorrelated plan), and the region→nation→supplier dimension
+    chain collapses into ONE broadcast-able supplier filter before
+    the big-table aggregation — the join order Catalyst should pick,
+    declared directly.
+
+    Scale shape: region⋈nation⋈supplier is dims-only (broadcast by
+    AQE); lineitem is semi-pruned by BOTH broadcast probes (part
+    type, regional supplier) before its only exchange on
+    (l_partkey, l_suppkey); the argmin window reuses the l_partkey
+    prefix of that key. Unit price divides two exact decimal sums, so
+    the double is bit-identical cross-engine and the argmin cannot
+    flip."""
+    configure_for_determinism(spark)
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    supp = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region")
+    euro_supp = (
+        supp.join(
+            nation, supp.s_nationkey == nation.n_nationkey
+        )
+        .join(
+            region.where(F.col("r_name") == "EUROPE"),
+            nation.n_regionkey == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    large = part.where(F.col("p_type") == "LARGE").select(
+        "p_partkey", "p_name"
+    )
+    pruned = li.join(
+        F.broadcast(large.select("p_partkey")),
+        li.l_partkey == F.col("p_partkey"),
+        "left_semi",
+    ).join(
+        F.broadcast(euro_supp.select("s_suppkey")),
+        li.l_suppkey == F.col("s_suppkey"),
+        "left_semi",
+    )
+    per_ps = pruned.groupBy("l_partkey", "l_suppkey").agg(
+        (
+            F.sum(F.col("l_extendedprice").cast("decimal(30,10)"))
+            .cast("double")
+            / F.sum(F.col("l_quantity").cast("decimal(30,10)")).cast(
+                "double"
+            )
+        ).alias("unit_price")
+    )
+    w = Window.partitionBy("l_partkey").orderBy("unit_price", "l_suppkey")
+    best = per_ps.withColumn("_rk", F.row_number().over(w)).where(
+        F.col("_rk") == 1
+    )
+    return (
+        best.join(large, best.l_partkey == large.p_partkey)
+        .join(euro_supp, best.l_suppkey == euro_supp.s_suppkey)
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            "p_name",
+            "s_name",
+            F.col("n_name").alias("nation"),
+            F.round("unit_price", 6).alias("unit_price"),
+        )
+        .orderBy("partkey")
+    )
+
+
+Q84_SQL = """
+WITH euro_supp AS (
+  SELECT s_suppkey, s_name, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+), large AS (
+  SELECT p_partkey, p_name FROM part WHERE p_type = 'LARGE'
+), per_ps AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE)
+           / CAST(SUM(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE)
+           AS unit_price
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM large)
+    AND l_suppkey IN (SELECT s_suppkey FROM euro_supp)
+  GROUP BY 1, 2
+), best AS (
+  SELECT l_partkey, l_suppkey, unit_price FROM (
+    SELECT l_partkey, l_suppkey, unit_price,
+           ROW_NUMBER() OVER (PARTITION BY l_partkey
+                              ORDER BY unit_price, l_suppkey) AS rk
+    FROM per_ps
+  ) WHERE rk = 1
+)
+SELECT b.l_partkey AS partkey, p.p_name, s.s_name, s.n_name AS nation,
+       ROUND(b.unit_price, 6) AS unit_price
+FROM best b
+JOIN large p ON b.l_partkey = p.p_partkey
+JOIN euro_supp s ON b.l_suppkey = s.s_suppkey
+ORDER BY partkey
+"""
+
+
 # --------------------------------------------------------------------------
 # MM2 — video frame-sampling fan-out (multimodal north star)
 
@@ -9311,6 +9420,7 @@ SELECT generator, avg_forecast_mae, std_forecast_mae FROM (
 # local sf0.001/sf0.01 gate (tools/check_oracle.py).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-5 additions (never driver-verified) come first ---
+    "q84_min_cost_supplier": q84_min_cost_supplier,
     "em18_hamming_rerank": em18_hamming_rerank,
     "q83_dominant_part_suppliers": q83_dominant_part_suppliers,
     "tx39_semdedup_keep": tx39_semdedup_keep,
@@ -9369,7 +9479,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "em11_quantization_error": em11_quantization_error,
     "q66_type_transitions": q66_type_transitions,
     "q67_kmv_distinct": q67_kmv_distinct,
-    "tx25_unigram_logprob": tx25_unigram_logprob,
     "mm7_media_probe": mm7_media_probe,
     "q68_conversion_funnel": q68_conversion_funnel,
     # ------------- driver 50-entry window ends HERE (position 50) -------------
@@ -9377,6 +9486,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # q81/q82/em16/mm12/st12/ev9, then tx27/tx28/tx29 displaced for
     # q83/tx39/em17 (all displaced entries r3/r4-green: driver windows
     # + judge sf0.01 spot-checks).
+    "tx25_unigram_logprob": tx25_unigram_logprob,
     "tx26_containment_pairs": tx26_containment_pairs,
     "tx27_mixture_sample": tx27_mixture_sample,
     "tx28_sequence_pack": tx28_sequence_pack,
@@ -9655,6 +9765,7 @@ ORACLE_SQL: dict[str, str] = {
     "tx39_semdedup_keep": TX39_SQL,
     "q83_dominant_part_suppliers": Q83_SQL,
     "em18_hamming_rerank": EM18_SQL,
+    "q84_min_cost_supplier": Q84_SQL,
     "mm12_exif_tags": MM12_SQL,
     # st12 is q82's streaming dual: the batch SQL is its oracle.
     "st12_stream_cohort": Q82_SQL,
