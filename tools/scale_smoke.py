@@ -744,6 +744,52 @@ def main() -> int:
         f"[{'ok' if ok else f'EXPECTED {expect_offsets} x {entities}'}]"
     )
 
+    # Sign signatures at 500k: ids 2k and 2k+1 share a vector by
+    # construction, so their 32-bit signatures must be IDENTICAL for
+    # every pair — one broadcast-plane groupBy over the exploded dims,
+    # the encode-once-then-8-bytes-forever shape of binary hashing.
+    from paqarin_spark.operators import semdedup_pairs, sign_signatures
+
+    t0 = time.perf_counter()
+    sig_in = vecs.limit(500_000)
+    sigs = sign_signatures(sig_in, "vec_id", "embedding", num_planes=16)
+    sp = (
+        sigs.groupBy(F.floor(F.col("vec_id") / 2).alias("p"))
+        .agg(F.count_distinct("sig").alias("nd"))
+        .agg(
+            F.count(F.lit(1)).alias("pairs"),
+            F.sum((F.col("nd") > 1).cast("long")).alias("split"),
+        )
+        .first()
+    )
+    dt = time.perf_counter() - t0
+    n_pairs, n_split = int(sp["pairs"]), int(sp["split"] or 0)
+    ok = n_pairs == 250_000 and n_split == 0
+    checks.append(ok)
+    print(
+        f"{'sign signatures 500k':24} {dt:7.1f}s  rows={n_pairs:>12,}  "
+        f"[{'ok' if ok else f'split pairs={n_split}'}]"
+    )
+
+    # SemDeDup at 200k: every (2k, 2k+1) pair is an exact duplicate,
+    # identical vectors always land in the same k-means cluster, and
+    # no other pair reaches the 0.999999 threshold (established by the
+    # bucketed-dedup invariant at 2M) — so the cluster-blocked pair
+    # count has a closed form. The quadratic stays inside clusters.
+    t0 = time.perf_counter()
+    sd_in = vecs.limit(200_000)
+    n_sd_pairs = semdedup_pairs(
+        sd_in, "vec_id", "embedding", k=16, threshold=0.999999,
+        iterations=1, assignment="blas",
+    ).count()
+    dt = time.perf_counter() - t0
+    ok = n_sd_pairs == 100_000
+    checks.append(ok)
+    print(
+        f"{'semdedup pairs 200k':24} {dt:7.1f}s  rows={n_sd_pairs:>12,}  "
+        f"[{'ok' if ok else 'EXPECTED 100,000'}]"
+    )
+
     print("all invariants hold" if all(checks) else "INVARIANT FAILURES")
     return 0 if all(checks) else 1
 
