@@ -3706,6 +3706,139 @@ ORDER BY 1, 2
 """
 
 
+
+def tx40_minhash_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash ESTIMATOR audit — the text-side sibling of the em10–em13
+    index self-audits: for every tx6 LSH candidate pair, compare the
+    4-component signature agreement fraction (the MinHash Jaccard
+    estimator, E[est] = J) against the EXACT distinct-shingle Jaccard,
+    and report the absolute error. This measures the num_hashes
+    knob the whole MinHash/LSH family trades on, with the same
+    sketches the dedup pipeline already builds.
+
+    Scale shape: signatures are O(num_hashes) per doc off one shingle
+    shuffle; the exact side is the inverted-index shingle self-join
+    (docs sharing no shingle never meet) inner-joined down to the
+    LSH-bounded pair set; the estimator join touches only pair rows.
+    Both similarity values round to 6dp before the error subtraction,
+    so every row replays in SQL."""
+    from paqarin_spark.operators.dedup import (
+        _shingle_rows,
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+
+    configure_for_determinism(spark)
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_lsh_pairs(
+        docs, "text", "doc_id", num_hashes=4, band_size=2, shingle_n=3
+    ).select("id_a", "id_b")
+    sigs = minhash_signatures(
+        docs, "text", "doc_id", num_hashes=4, shingle_n=3
+    )
+    sa = sigs.select(
+        F.col("doc").alias("id_a"),
+        *[F.col(f"mh_{i}").alias(f"_a{i}") for i in range(4)],
+    )
+    sb = sigs.select(
+        F.col("doc").alias("id_b"),
+        *[F.col(f"mh_{i}").alias(f"_b{i}") for i in range(4)],
+    )
+    agree = sum(
+        F.when(F.col(f"_a{i}") == F.col(f"_b{i}"), 1).otherwise(0)
+        for i in range(4)
+    )
+    est = (
+        pairs.join(sa, on="id_a")
+        .join(sb, on="id_b")
+        .select(
+            "id_a", "id_b", F.round(agree / F.lit(4.0), 6).alias("est_j")
+        )
+    )
+    sh = _shingle_rows(docs, "text", "doc_id", 3)
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, on="shingle")
+        .where(F.col("a.doc") < F.col("b.doc"))
+        .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    joined = (
+        est.join(common, on=["id_a", "id_b"], how="left")
+        .join(sizes.withColumnRenamed("doc", "id_a"), on="id_a")
+        .withColumnRenamed("n_shingles", "_na")
+        .join(sizes.withColumnRenamed("doc", "id_b"), on="id_b")
+        .withColumnRenamed("n_shingles", "_nb")
+        .select(
+            "id_a",
+            "id_b",
+            "est_j",
+            F.round(
+                F.coalesce(F.col("common"), F.lit(0)).cast("double")
+                / (
+                    F.col("_na")
+                    + F.col("_nb")
+                    - F.coalesce(F.col("common"), F.lit(0))
+                ),
+                6,
+            ).alias("true_j"),
+        )
+    )
+    return joined.select(
+        "id_a",
+        "id_b",
+        "est_j",
+        "true_j",
+        F.round(F.abs(F.col("est_j") - F.col("true_j")), 6).alias("abs_err"),
+    ).orderBy("id_a", "id_b")
+
+
+TX40_SQL = f"""
+WITH sh AS (
+  SELECT doc_id AS doc, unnest({_SHINGLES_SQL}) AS shingle FROM documents
+), sigs AS (
+  SELECT doc,
+         MIN(md5('0:' || shingle)) AS mh_0,
+         MIN(md5('1:' || shingle)) AS mh_1,
+         MIN(md5('2:' || shingle)) AS mh_2,
+         MIN(md5('3:' || shingle)) AS mh_3
+  FROM sh GROUP BY 1
+), bands AS (
+  SELECT doc, 0 AS band, md5(mh_0 || '|' || mh_1) AS band_hash FROM sigs
+  UNION ALL
+  SELECT doc, 1 AS band, md5(mh_2 || '|' || mh_3) AS band_hash FROM sigs
+), pairs AS (
+  SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+  WHERE a.doc < b.doc
+), sizes AS (
+  SELECT doc, COUNT(*) AS n_shingles FROM sh GROUP BY 1
+), common AS (
+  SELECT a.doc AS id_a, b.doc AS id_b, COUNT(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+  GROUP BY 1, 2
+), scored AS (
+  SELECT p.id_a, p.id_b,
+         ROUND(((sa.mh_0 = sb.mh_0)::INT + (sa.mh_1 = sb.mh_1)::INT
+                + (sa.mh_2 = sb.mh_2)::INT + (sa.mh_3 = sb.mh_3)::INT)
+               / 4.0, 6) AS est_j,
+         ROUND(CAST(COALESCE(c.common, 0) AS DOUBLE)
+               / (za.n_shingles + zb.n_shingles - COALESCE(c.common, 0)),
+               6) AS true_j
+  FROM pairs p
+  JOIN sigs sa ON sa.doc = p.id_a
+  JOIN sigs sb ON sb.doc = p.id_b
+  LEFT JOIN common c ON c.id_a = p.id_a AND c.id_b = p.id_b
+  JOIN sizes za ON za.doc = p.id_a
+  JOIN sizes zb ON zb.doc = p.id_b
+)
+SELECT id_a, id_b, est_j, true_j,
+       ROUND(ABS(est_j - true_j), 6) AS abs_err
+FROM scored ORDER BY 1, 2
+"""
+
 def tx5_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures from portable md5 hashes per shingle (operators.dedup.minhash_signatures) — layout-independent sketch rows."""
     docs = _docs(spark, sf_dir)
@@ -9420,6 +9553,7 @@ SELECT generator, avg_forecast_mae, std_forecast_mae FROM (
 # local sf0.001/sf0.01 gate (tools/check_oracle.py).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-5 additions (never driver-verified) come first ---
+    "tx40_minhash_error": tx40_minhash_error,
     "q84_min_cost_supplier": q84_min_cost_supplier,
     "em18_hamming_rerank": em18_hamming_rerank,
     "q83_dominant_part_suppliers": q83_dominant_part_suppliers,
@@ -9479,13 +9613,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "em11_quantization_error": em11_quantization_error,
     "q66_type_transitions": q66_type_transitions,
     "q67_kmv_distinct": q67_kmv_distinct,
-    "mm7_media_probe": mm7_media_probe,
     "q68_conversion_funnel": q68_conversion_funnel,
     # ------------- driver 50-entry window ends HERE (position 50) -------------
     # tx30/tx31/em12/st7/st8/q69 displaced for
     # q81/q82/em16/mm12/st12/ev9, then tx27/tx28/tx29 displaced for
     # q83/tx39/em17 (all displaced entries r3/r4-green: driver windows
     # + judge sf0.01 spot-checks).
+    "mm7_media_probe": mm7_media_probe,
     "tx25_unigram_logprob": tx25_unigram_logprob,
     "tx26_containment_pairs": tx26_containment_pairs,
     "tx27_mixture_sample": tx27_mixture_sample,
@@ -9766,6 +9900,7 @@ ORACLE_SQL: dict[str, str] = {
     "q83_dominant_part_suppliers": Q83_SQL,
     "em18_hamming_rerank": EM18_SQL,
     "q84_min_cost_supplier": Q84_SQL,
+    "tx40_minhash_error": TX40_SQL,
     "mm12_exif_tags": MM12_SQL,
     # st12 is q82's streaming dual: the batch SQL is its oracle.
     "st12_stream_cohort": Q82_SQL,
