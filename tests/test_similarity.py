@@ -629,3 +629,33 @@ def test_sign_signatures_pack_and_angle_estimate(spark):
         sign_signatures(df, "vec_id", "v", num_planes=63)
     with _pytest.raises(ValueError):
         sign_signatures(df.limit(0), "vec_id", "v")
+
+
+def test_semdedup_k1_equals_full_pairwise_dedup(spark):
+    """With k=1 every vector lands in the single cluster, so the
+    cluster-blocked pair set must EXACTLY equal the unblocked
+    cosine_dedup_pairs output — the SemDeDup approximation degrades
+    to brute force, pinning that blocking only ever REMOVES pairs."""
+    import random
+
+    from paqarin_spark.operators import cosine_dedup_pairs, semdedup_pairs
+
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, v array<float>")
+    blocked = {
+        (r["id_a"], r["id_b"], r["cos_sim"])
+        for r in semdedup_pairs(
+            df, "vec_id", "v", k=1, threshold=0.5, iterations=1
+        ).collect()
+    }
+    full = {
+        (r["id_a"], r["id_b"], r["cos_sim"])
+        for r in cosine_dedup_pairs(
+            df, "vec_id", "v", threshold=0.5
+        ).collect()
+    }
+    assert blocked == full
+    assert len(full) > 0
