@@ -192,3 +192,51 @@ def triangles(
             F.col("e2.b").alias("z"),
         )
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+    max_hops: int = 4,
+) -> DataFrame:
+    """Bounded-round breadth-first search: minimum hop distance from a
+    seed set over a directed edge list (pass both directions for an
+    undirected graph). The classic iterative frontier expansion —
+    round h joins the hop-(h-1) frontier against the edge list, anti-
+    joins everything already visited, and labels survivors hop h.
+
+    Scale posture: each round is ONE equi-join keyed on the source
+    endpoint plus one anti-join on the visited set — the same keyed-
+    shuffle-per-round discipline as :func:`pagerank`; frontier and
+    visited tables localCheckpoint every round so lineage stays flat
+    and no round re-runs the caller's edge ETL. The hop bound is the
+    contract (fixed unroll, SQL-replayable); an empty frontier exits
+    early since every later hop is empty by induction.
+
+    Returns (node, hop) with hop = min edges from any seed, 0 for the
+    seeds themselves, hop <= max_hops; unreached nodes are absent.
+    """
+    visited = (
+        seeds.select(F.col(node).alias("node"))
+        .distinct()
+        .withColumn("hop", F.lit(0))
+        .localCheckpoint()
+    )
+    frontier = visited.select("node")
+    for h in range(1, int(max_hops) + 1):
+        nxt = (
+            frontier.join(edges, frontier.node == edges[src])
+            .select(F.col(dst).alias("node"))
+            .distinct()
+            .join(visited.select("node"), on="node", how="left_anti")
+            .withColumn("hop", F.lit(h))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt.select("node")
+    return visited

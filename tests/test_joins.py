@@ -381,3 +381,29 @@ def test_triangles_degree_orientation_bounds_wedges(spark):
     df = spark.createDataFrame(edges, "src string, dst string")
     got = [tuple(r) for r in triangles(df).collect()]
     assert len(got) == 1 and sorted(got[0]) == ["a", "b", "h"]
+
+
+def test_bfs_hops_chain_distances_and_early_exit(spark):
+    """Chain 0-1-2-3-4-5 seeded at 0: hop = index, truncated at
+    max_hops; a disconnected node is absent; undirected input (both
+    edge directions) never revisits earlier hops."""
+    from pyspark.sql import functions as F
+
+    from paqarin_spark.operators import bfs_hops
+
+    chain = [(i, i + 1) for i in range(5)]
+    e = spark.createDataFrame(chain, "src string, dst string")
+    und = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    seeds = spark.createDataFrame([("0",)], "node string")
+    got = {
+        r["node"]: r["hop"]
+        for r in bfs_hops(und, seeds, max_hops=3).collect()
+    }
+    assert got == {"0": 0, "1": 1, "2": 2, "3": 3}  # 4,5 beyond bound
+
+    # early exit: isolated seed reaches nothing, only hop 0 remains
+    lone = spark.createDataFrame([("z",)], "node string")
+    out = bfs_hops(und, lone, max_hops=4).collect()
+    assert [(r["node"], r["hop"]) for r in out] == [("z", 0)]
