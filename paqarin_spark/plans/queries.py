@@ -5649,7 +5649,8 @@ def em18_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_for_determinism(spark)
     emb = read_table(spark, sf_dir, "embeddings")
     sigs = sign_signatures(
-        emb, "vec_id", "embedding", num_planes=32, seed=7, prefix="ham"
+        emb, "vec_id", "embedding", num_planes=32, seed=7, prefix="ham",
+        method="expr",  # the oracle-parity path; matmul is the default
     ).localCheckpoint()  # consumed by both sides of the probe scan
     probes = sigs.where(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("q"), F.col("sig").alias("qsig")

@@ -659,3 +659,31 @@ def test_semdedup_k1_equals_full_pairwise_dedup(spark):
     }
     assert blocked == full
     assert len(full) > 0
+
+
+def test_sign_signatures_matmul_matches_expr(spark):
+    """The throughput (matmul) and oracle-parity (expr) paths must
+    produce identical packed signatures — the kmeans_lloyd two-path
+    policy applied to binary hashing."""
+    import random
+
+    from paqarin_spark.operators import sign_signatures
+
+    rng = random.Random(5)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(12)]) for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, v array<float>")
+    a = {
+        r["vec_id"]: r["sig"]
+        for r in sign_signatures(
+            df, "vec_id", "v", num_planes=20, method="matmul"
+        ).collect()
+    }
+    b = {
+        r["vec_id"]: r["sig"]
+        for r in sign_signatures(
+            df, "vec_id", "v", num_planes=20, method="expr"
+        ).collect()
+    }
+    assert a == b
