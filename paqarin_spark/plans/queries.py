@@ -6430,6 +6430,83 @@ FROM reached GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q86_incremental_view_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MATERIALIZED-VIEW maintenance — the aggregate-level
+    sibling of q71's row-level CDC merge: a per-user rollup (event
+    count, value sum, last activity) is maintained by aggregating the
+    BASE period (ts < Jan 20) and the DELTA period separately and
+    merging with one full-outer coalesce join — never re-scanning the
+    base at refresh time. The ORACLE deliberately computes the same
+    view by FULL recompute over all events, so the hash match proves
+    the algebraic identity the whole incremental-refresh pattern
+    rests on: decimal sums and counts are associative across the
+    split, and max(last_ts) distributes over the union.
+
+    Scale shape: at 100 TB the base aggregate is a stored table and
+    only the delta is scanned per refresh; both aggregations and the
+    merge share the user_id key, so the refresh is one delta-sized
+    exchange plus a co-partitioned join. Exact decimal(30,10) sums
+    make base+delta bit-equal to the one-pass sum, cast to double
+    only at output."""
+    configure_for_determinism(spark)
+    ev = _events(spark, sf_dir)
+    split = "2024-01-20"
+
+    def rollup(part):
+        return part.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(30,10)")).alias("s"),
+            F.max("ts").alias("last_ts"),
+        )
+
+    base = rollup(ev.where(F.col("ts") < F.lit(split).cast("timestamp")))
+    delta = rollup(ev.where(F.col("ts") >= F.lit(split).cast("timestamp")))
+    b = base.select(
+        "user_id",
+        F.col("n").alias("_bn"),
+        F.col("s").alias("_bs"),
+        F.col("last_ts").alias("_bt"),
+    )
+    d = delta.select(
+        "user_id",
+        F.col("n").alias("_dn"),
+        F.col("s").alias("_ds"),
+        F.col("last_ts").alias("_dt"),
+    )
+    merged = b.join(d, on="user_id", how="full_outer").select(
+        "user_id",
+        (
+            F.coalesce("_bn", F.lit(0)) + F.coalesce("_dn", F.lit(0))
+        ).alias("n_events"),
+        F.round(
+            (
+                F.coalesce(F.col("_bs"), F.lit(0).cast("decimal(30,10)"))
+                + F.coalesce(F.col("_ds"), F.lit(0).cast("decimal(30,10)"))
+            ).cast("double"),
+            6,
+        ).alias("sum_value"),
+        F.date_format(
+            F.greatest(
+                F.coalesce("_bt", "_dt"), F.coalesce("_dt", "_bt")
+            ),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("last_seen"),
+    )
+    return merged.orderBy("user_id")
+
+
+Q86_SQL = """
+SELECT user_id,
+       COUNT(*) AS n_events,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(30,10))) AS DOUBLE), 6)
+         AS sum_value,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_seen
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 # --------------------------------------------------------------------------
 # MM2 — video frame-sampling fan-out (multimodal north star)
 
@@ -9639,6 +9716,7 @@ SELECT generator, avg_forecast_mae, std_forecast_mae FROM (
 # local sf0.001/sf0.01 gate (tools/check_oracle.py).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-5 additions (never driver-verified) come first ---
+    "q86_incremental_view_merge": q86_incremental_view_merge,
     "q85_trade_reach": q85_trade_reach,
     "tx40_minhash_error": tx40_minhash_error,
     "q84_min_cost_supplier": q84_min_cost_supplier,
@@ -9698,13 +9776,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ev3_drift_summary": ev3_drift_summary,
     "q64_event_percentiles": q64_event_percentiles,
     "em11_quantization_error": em11_quantization_error,
-    "q66_type_transitions": q66_type_transitions,
     "q68_conversion_funnel": q68_conversion_funnel,
     # ------------- driver 50-entry window ends HERE (position 50) -------------
     # tx30/tx31/em12/st7/st8/q69 displaced for
     # q81/q82/em16/mm12/st12/ev9, then tx27/tx28/tx29 displaced for
     # q83/tx39/em17 (all displaced entries r3/r4-green: driver windows
     # + judge sf0.01 spot-checks).
+    "q66_type_transitions": q66_type_transitions,
     "q67_kmv_distinct": q67_kmv_distinct,
     "mm7_media_probe": mm7_media_probe,
     "tx25_unigram_logprob": tx25_unigram_logprob,
@@ -9989,6 +10067,7 @@ ORACLE_SQL: dict[str, str] = {
     "q84_min_cost_supplier": Q84_SQL,
     "tx40_minhash_error": TX40_SQL,
     "q85_trade_reach": Q85_SQL,
+    "q86_incremental_view_merge": Q86_SQL,
     "mm12_exif_tags": MM12_SQL,
     # st12 is q82's streaming dual: the batch SQL is its oracle.
     "st12_stream_cohort": Q82_SQL,
