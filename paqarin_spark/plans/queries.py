@@ -6507,6 +6507,138 @@ ORDER BY user_id
 """
 
 
+def q87_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock identification) over the
+    slimmed schema (no partsupp): per-part stock value = exact-decimal
+    sum of discounted lineitem revenue restricted to ASIA suppliers,
+    keeping parts whose value exceeds 0.1% of the GLOBAL total. Q11's
+    scalar subquery (`HAVING SUM(...) > (SELECT SUM(...) * frac)`)
+    becomes a 1-row broadcast cross join, and the fraction compare is
+    kept in EXACT decimal arithmetic — `value * 1000 > total` instead
+    of `value > total * 0.001` — so no float rounding can flip a
+    borderline part on either engine (the q77/q78 threshold rule:
+    never ROUND a value that feeds a comparison).
+
+    Scale shape: the region→nation→supplier chain is dims-only and
+    semi-prunes lineitem before its single l_partkey exchange; the
+    global total re-aggregates the (already tiny) per-part rollup and
+    broadcasts ONE row back — the detail table is scanned exactly
+    once. Output ordering is on the exact decimal value, so the
+    ranking is engine-independent before the display rounding."""
+    configure_for_determinism(spark)
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    supp = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region")
+    asia_supp = (
+        supp.join(nation, supp.s_nationkey == nation.n_nationkey)
+        .join(
+            region.where(F.col("r_name") == "ASIA"),
+            nation.n_regionkey == F.col("r_regionkey"),
+        )
+        .select("s_suppkey")
+    )
+    pruned = li.join(
+        F.broadcast(asia_supp), li.l_suppkey == F.col("s_suppkey"), "left_semi"
+    )
+    per_part = pruned.groupBy("l_partkey").agg(
+        F.sum(
+            (
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+            ).cast("decimal(30,10)")
+        ).alias("val_d")
+    )
+    total = per_part.agg(F.sum("val_d").alias("_tot"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(F.col("val_d") * 1000 > F.col("_tot"))
+        .join(part, F.col("l_partkey") == part.p_partkey)
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            "p_name",
+            F.round(F.col("val_d").cast("double"), 4).alias("stock_value"),
+            F.col("val_d"),
+        )
+        .orderBy(F.col("val_d").desc(), "partkey")
+        .drop("val_d")
+    )
+
+
+Q87_SQL = """
+WITH asia_supp AS (
+  SELECT s_suppkey
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+), per_part AS (
+  SELECT l_partkey,
+         SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                  AS DECIMAL(30,10))) AS val_d
+  FROM lineitem
+  WHERE l_suppkey IN (SELECT s_suppkey FROM asia_supp)
+  GROUP BY 1
+), tot AS (
+  SELECT SUM(val_d) AS t FROM per_part
+)
+SELECT pp.l_partkey AS partkey, p.p_name,
+       ROUND(CAST(pp.val_d AS DOUBLE), 4) AS stock_value
+FROM per_part pp
+CROSS JOIN tot
+JOIN part p ON pp.l_partkey = p.p_partkey
+WHERE pp.val_d * 1000 > tot.t
+ORDER BY pp.val_d DESC, partkey
+"""
+
+
+def q88_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): how many
+    DISTINCT suppliers ship each (brand, type) of mid-size parts,
+    excluding low-standing suppliers (s_acctbal < 1000 stands in for
+    Q16's customer-complaints subquery). The NOT-IN subquery is the
+    anti-join plan shape (q36's family) but feeding a count-DISTINCT
+    aggregation rather than a plain count — the shuffle is keyed on
+    (brand, type, suppkey) for the partial-distinct pass, then
+    re-aggregated, which is how Spark avoids a full-detail exchange
+    for COUNT(DISTINCT).
+
+    Scale shape: the excluded-supplier list is a tiny broadcast
+    anti-probe; the part join carries only 3 columns after pruning
+    and is AQE's choice (q53/q74 de-hinting policy — part scales with
+    SF); both engines order on the exact bigint count."""
+    configure_for_determinism(spark)
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    supp = read_table(spark, sf_dir, "supplier")
+    bad = supp.where(F.col("s_acctbal") < 1000).select("s_suppkey")
+    good_li = li.join(
+        F.broadcast(bad), li.l_suppkey == F.col("s_suppkey"), "left_anti"
+    )
+    mid_parts = part.where(
+        (F.col("p_size").between(10, 40)) & (F.col("p_brand") != "Brand#1")
+    ).select("p_partkey", "p_brand", "p_type")
+    return (
+        good_li.join(mid_parts, good_li.l_partkey == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type")
+    )
+
+
+Q88_SQL = """
+SELECT p_brand, p_type, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_size BETWEEN 10 AND 40
+  AND p_brand <> 'Brand#1'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                        WHERE s_acctbal < 1000)
+GROUP BY 1, 2
+ORDER BY supplier_cnt DESC, p_brand, p_type
+"""
+
+
 # --------------------------------------------------------------------------
 # MM2 — video frame-sampling fan-out (multimodal north star)
 
@@ -9716,6 +9848,8 @@ SELECT generator, avg_forecast_mae, std_forecast_mae FROM (
 # local sf0.001/sf0.01 gate (tools/check_oracle.py).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-5 additions (never driver-verified) come first ---
+    "q87_important_parts": q87_important_parts,
+    "q88_part_supplier_counts": q88_part_supplier_counts,
     "q86_incremental_view_merge": q86_incremental_view_merge,
     "q85_trade_reach": q85_trade_reach,
     "tx40_minhash_error": tx40_minhash_error,
@@ -9775,13 +9909,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm6_png_resize": mm6_png_resize,
     "ev3_drift_summary": ev3_drift_summary,
     "q64_event_percentiles": q64_event_percentiles,
-    "em11_quantization_error": em11_quantization_error,
-    "q68_conversion_funnel": q68_conversion_funnel,
     # ------------- driver 50-entry window ends HERE (position 50) -------------
     # tx30/tx31/em12/st7/st8/q69 displaced for
     # q81/q82/em16/mm12/st12/ev9, then tx27/tx28/tx29 displaced for
-    # q83/tx39/em17 (all displaced entries r3/r4-green: driver windows
+    # q83/tx39/em17, then em11/q68 (r4-green) displaced for q87/q88
+    # (all displaced entries r3/r4-green: driver windows
     # + judge sf0.01 spot-checks).
+    "em11_quantization_error": em11_quantization_error,
+    "q68_conversion_funnel": q68_conversion_funnel,
     "q66_type_transitions": q66_type_transitions,
     "q67_kmv_distinct": q67_kmv_distinct,
     "mm7_media_probe": mm7_media_probe,
@@ -10068,6 +10203,8 @@ ORACLE_SQL: dict[str, str] = {
     "tx40_minhash_error": TX40_SQL,
     "q85_trade_reach": Q85_SQL,
     "q86_incremental_view_merge": Q86_SQL,
+    "q87_important_parts": Q87_SQL,
+    "q88_part_supplier_counts": Q88_SQL,
     "mm12_exif_tags": MM12_SQL,
     # st12 is q82's streaming dual: the batch SQL is its oracle.
     "st12_stream_cohort": Q82_SQL,
