@@ -1516,6 +1516,262 @@ def sign_signatures(
     )
 
 
+def mmr_rerank(
+    corpus: DataFrame,
+    id_column: str,
+    vector_column: str,
+    queries: DataFrame,
+    k_candidates: int = 8,
+    select_k: int = 3,
+    lam: float = 0.5,
+    round_decimals: int = 6,
+    num_blocks: int | None = None,
+) -> DataFrame:
+    """Maximal-marginal-relevance diversified re-ranking: after a
+    brute-force :func:`cosine_topk` probe retrieves ``k_candidates``
+    per query, greedily select ``select_k`` of them maximizing
+    ``lam·rel(c) − (1−lam)·max_sim(c, selected)`` — the standard
+    redundancy-suppression stage between retrieval and a RAG prompt
+    (Carbonell & Goldstein 1998). Beyond-reference LLM-pipeline
+    surface beside em15's plain top-k.
+
+    Scale shape: the corpus is touched ONCE by the top-k probe; every
+    later stage operates on the bounded candidate table (≤ Q·k rows)
+    and its pairwise-sim table (≤ Q·k² rows), all keyed on query_id —
+    the selection rounds are Q-parallel argmax windows, unrolled
+    ``select_k−1`` times with no data-dependent iteration. Candidate
+    relevance comes from cosine_topk's 6dp contract; candidate-pair
+    sims use the same expr cosine rounded to ``round_decimals``, so
+    every comparison sees engine-identical doubles and the greedy
+    trajectory is bit-replayable in SQL (em19 pins it). Ties break to
+    the smaller neighbor_id at every argmax.
+
+    Note: ``1.0 − lam`` is computed HERE, in Python — an oracle must
+    mirror it as the same float expression, not a re-typed decimal
+    literal (the q69 pagerank rule). Default lam=0.5 is exact either
+    way.
+
+    Output: (query_id, sel_rank 1..select_k, neighbor_id, mmr_score)
+    where sel_rank is the greedy pick order and mmr_score the
+    objective value at pick time (rank-1 score = lam·rel).
+    """
+    if select_k < 1 or select_k > k_candidates:
+        raise ValueError("need 1 <= select_k <= k_candidates")
+    mu = 1.0 - lam
+    cand = cosine_topk(
+        corpus, id_column, vector_column, k=k_candidates, queries=queries,
+        num_blocks=num_blocks,
+    ).persist()
+    vec = corpus.select(
+        F.col(id_column).alias("_vid"),
+        F.transform(vector_column, lambda x: x.cast("double")).alias("_ve"),
+    )
+    cv = cand.join(vec, cand.neighbor_id == F.col("_vid")).select(
+        "query_id", "neighbor_id", "_ve"
+    )
+    a = cv.select(
+        "query_id",
+        F.col("neighbor_id").alias("a_id"),
+        F.col("_ve").alias("a_e"),
+    )
+    b = cv.select(
+        "query_id",
+        F.col("neighbor_id").alias("b_id"),
+        F.col("_ve").alias("b_e"),
+    )
+    pair = (
+        a.join(b, on="query_id")
+        .where(F.col("a_id") != F.col("b_id"))
+        .select(
+            "query_id",
+            "a_id",
+            "b_id",
+            F.round(
+                cosine(F.col("a_e"), F.col("b_e")), round_decimals
+            ).alias("sim"),
+        )
+        .persist()
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_score").desc(), "neighbor_id"
+    )
+    first = (
+        cand.withColumn("_score", F.lit(lam) * F.col("cos_sim"))
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.lit(1).alias("sel_rank"),
+            "_score",
+        )
+    )
+    out = first
+    selected = first.select(
+        "query_id", F.col("neighbor_id").alias("sel_id")
+    )
+    for t in range(2, select_k + 1):
+        rem = cand.join(
+            selected.withColumnRenamed("sel_id", "neighbor_id"),
+            on=["query_id", "neighbor_id"],
+            how="left_anti",
+        )
+        pen = (
+            pair.alias("p")
+            .join(
+                selected.alias("s"),
+                (F.col("p.query_id") == F.col("s.query_id"))
+                & (F.col("p.b_id") == F.col("s.sel_id")),
+                "left_semi",
+            )
+            .groupBy("query_id", "a_id")
+            .agg(F.max("sim").alias("_pen"))
+        )
+        nxt = (
+            rem.join(
+                pen,
+                (rem["query_id"] == pen["query_id"])
+                & (rem["neighbor_id"] == pen["a_id"]),
+            )
+            .select(
+                rem["query_id"],
+                rem["neighbor_id"],
+                (
+                    F.lit(lam) * F.col("cos_sim")
+                    - F.lit(mu) * F.col("_pen")
+                ).alias("_score"),
+            )
+            .withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") == 1)
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.lit(t).alias("sel_rank"),
+                "_score",
+            )
+        )
+        out = out.unionByName(nxt)
+        selected = selected.unionByName(
+            nxt.select("query_id", F.col("neighbor_id").alias("sel_id"))
+        )
+    return out.select(
+        "query_id",
+        "sel_rank",
+        "neighbor_id",
+        F.round("_score", round_decimals).alias("mmr_score"),
+    )
+
+
+def ivf_ingest(
+    base: DataFrame,
+    delta: DataFrame,
+    id_column: str,
+    vector_column: str,
+    k: int = 4,
+    seed: int = 11,
+    round_decimals: int = 6,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental IVF index maintenance — the ANN sibling of q86's
+    materialized-view merge: a NEW vector batch (``delta``) is folded
+    into an existing inverted-file index WITHOUT rescanning or
+    retraining on the base corpus. Centroids are FROZEN (md5-rank
+    seed vectors drawn from base — :func:`_lloyd_init_ids`, the
+    kmeans/pq init contract); base and delta are assigned separately
+    through the exact-decimal E-step (:func:`_lloyd_expr_assign`),
+    and the per-cluster (count, per-dim decimal sum) partials merge
+    with one coalesce full-outer join. Because the sums are exact
+    decimals, base+delta partials are BIT-EQUAL to a one-pass
+    recompute over the union — the algebraic identity an oracle
+    verifies (em20), and the property that makes the 100-TB refresh
+    a delta-sized job: the base partials are a stored k×d-row table,
+    only the batch is scanned and assigned per ingest.
+
+    Returns ``(counts, centroids)``: per-cluster (cluster, n_base,
+    n_delta) and the updated k×d mean table (cluster, dim, c_upd)
+    rounded to ``round_decimals``.
+    """
+
+    def dims_of(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_column),
+            F.posexplode(
+                F.transform(vector_column, lambda x: x.cast("double"))
+            ).alias("dim", "x"),
+        )
+
+    bdims = dims_of(base).persist()
+    ddims = dims_of(delta).persist()
+    init_ids = _lloyd_init_ids(base, id_column, k, seed)
+    cent = (
+        bdims.join(F.broadcast(init_ids), bdims[id_column] == F.col("_cid"))
+        .select("cluster", "dim", F.col("x").alias("c"))
+        .localCheckpoint()
+    )
+    ab = _lloyd_expr_assign(bdims, cent, id_column)
+    ad = _lloyd_expr_assign(ddims, cent, id_column)
+
+    def stats(dims: DataFrame, assign: DataFrame) -> DataFrame:
+        return (
+            dims.join(assign.select(id_column, "cluster"), on=id_column)
+            .groupBy("cluster", "dim")
+            .agg(
+                F.sum(F.col("x").cast("decimal(30,10)")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+
+    zero = F.lit(0).cast("decimal(30,10)")
+    merged = (
+        stats(bdims, ab)
+        .select(
+            "cluster",
+            "dim",
+            F.col("s").alias("_bs"),
+            F.col("n").alias("_bn"),
+        )
+        .join(
+            stats(ddims, ad).select(
+                "cluster",
+                "dim",
+                F.col("s").alias("_ds"),
+                F.col("n").alias("_dn"),
+            ),
+            on=["cluster", "dim"],
+            how="full_outer",
+        )
+        .select(
+            "cluster",
+            "dim",
+            F.round(
+                (
+                    F.coalesce("_bs", zero) + F.coalesce("_ds", zero)
+                ).cast("double")
+                / (
+                    F.coalesce("_bn", F.lit(0)) + F.coalesce("_dn", F.lit(0))
+                ),
+                round_decimals,
+            ).alias("c_upd"),
+        )
+    )
+    counts = (
+        ab.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_base"))
+        .join(
+            ad.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_delta")),
+            on="cluster",
+            how="full_outer",
+        )
+        .select(
+            "cluster",
+            F.coalesce("n_base", F.lit(0).cast("long")).alias("n_base"),
+            F.coalesce("n_delta", F.lit(0).cast("long")).alias("n_delta"),
+        )
+    )
+    bdims.unpersist()
+    ddims.unpersist()
+    return counts, merged
+
+
 def _vector_width(df: DataFrame, vector_column: str) -> int:
     first = df.select(F.size(vector_column).alias("d")).first()
     if first is None:

@@ -6639,6 +6639,223 @@ ORDER BY supplier_cnt DESC, p_brand, p_type
 """
 
 
+def em19_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversified re-ranking (operators.similarity.mmr_rerank):
+    every 50th vector queries the remaining corpus for its exact
+    top-8 by cosine (em15's cross-table probe), then greedily keeps 3
+    maximizing 0.5·relevance − 0.5·max-sim-to-selected — the
+    redundancy-suppression stage between retrieval and a RAG prompt.
+    The greedy trajectory is bit-replayable: relevance carries
+    cosine_topk's 6dp contract, candidate-pair sims round to 6dp, and
+    every argmax tie-breaks to the smaller neighbor_id, so the oracle
+    unrolls the two selection rounds in CTEs exactly.
+
+    Scale shape: corpus touched once by the BLAS top-k probe; the
+    selection works on the ≤Q·k candidate table and ≤Q·k² pair table,
+    all keyed on query_id — Q-parallel argmax windows, no
+    data-dependent iteration."""
+    from paqarin_spark.operators import mmr_rerank
+
+    configure_for_determinism(spark)
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    queries_df = emb.where(F.col("vec_id") % 50 == 0)
+    corpus = emb.where(F.col("vec_id") % 50 != 0)
+    return mmr_rerank(
+        corpus,
+        "vec_id",
+        "embedding",
+        queries=queries_df,
+        k_candidates=8,
+        select_k=3,
+        lam=0.5,
+    ).orderBy("query_id", "sel_rank")
+
+
+EM19_SQL = """
+WITH q AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings WHERE vec_id % 50 = 0
+), c AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings WHERE vec_id % 50 <> 0
+), rel AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         ROUND(
+           list_sum(list_transform(range(1, 65), i -> a.e[i] * b.e[i]))
+           / (sqrt(list_sum(list_transform(range(1, 65), i -> a.e[i] * a.e[i])))
+              * sqrt(list_sum(list_transform(range(1, 65), i -> b.e[i] * b.e[i])))),
+           6) AS cos_sim
+  FROM q a CROSS JOIN c b
+), cand AS (
+  SELECT query_id, neighbor_id, cos_sim FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, neighbor_id) AS rk
+    FROM rel
+  ) WHERE rk <= 8
+), cp AS (
+  SELECT x.query_id, x.neighbor_id AS a_id, y.neighbor_id AS b_id,
+         ROUND(
+           list_sum(list_transform(range(1, 65), i -> cx.e[i] * cy.e[i]))
+           / (sqrt(list_sum(list_transform(range(1, 65), i -> cx.e[i] * cx.e[i])))
+              * sqrt(list_sum(list_transform(range(1, 65), i -> cy.e[i] * cy.e[i])))),
+           6) AS sim
+  FROM cand x
+  JOIN cand y ON x.query_id = y.query_id AND x.neighbor_id <> y.neighbor_id
+  JOIN c cx ON cx.vec_id = x.neighbor_id
+  JOIN c cy ON cy.vec_id = y.neighbor_id
+), s1 AS (
+  SELECT query_id, neighbor_id, score FROM (
+    SELECT query_id, neighbor_id, 0.5 * cos_sim AS score,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY 0.5 * cos_sim DESC, neighbor_id) AS rk
+    FROM cand
+  ) WHERE rk = 1
+), pen2 AS (
+  SELECT p.query_id, p.a_id, MAX(p.sim) AS pen
+  FROM cp p JOIN s1 ON p.query_id = s1.query_id AND p.b_id = s1.neighbor_id
+  GROUP BY 1, 2
+), s2 AS (
+  SELECT query_id, neighbor_id, score FROM (
+    SELECT cd.query_id, cd.neighbor_id,
+           0.5 * cd.cos_sim - 0.5 * p.pen AS score,
+           ROW_NUMBER() OVER (PARTITION BY cd.query_id
+                              ORDER BY 0.5 * cd.cos_sim - 0.5 * p.pen DESC,
+                                       cd.neighbor_id) AS rk
+    FROM cand cd
+    JOIN pen2 p ON cd.query_id = p.query_id AND cd.neighbor_id = p.a_id
+  ) WHERE rk = 1
+), sel2 AS (
+  SELECT query_id, neighbor_id FROM s1
+  UNION ALL SELECT query_id, neighbor_id FROM s2
+), pen3 AS (
+  SELECT p.query_id, p.a_id, MAX(p.sim) AS pen
+  FROM cp p JOIN sel2 s ON p.query_id = s.query_id AND p.b_id = s.neighbor_id
+  GROUP BY 1, 2
+), s3 AS (
+  SELECT query_id, neighbor_id, score FROM (
+    SELECT cd.query_id, cd.neighbor_id,
+           0.5 * cd.cos_sim - 0.5 * p.pen AS score,
+           ROW_NUMBER() OVER (PARTITION BY cd.query_id
+                              ORDER BY 0.5 * cd.cos_sim - 0.5 * p.pen DESC,
+                                       cd.neighbor_id) AS rk
+    FROM cand cd
+    JOIN pen3 p ON cd.query_id = p.query_id AND cd.neighbor_id = p.a_id
+    WHERE NOT EXISTS (SELECT 1 FROM sel2 s
+                      WHERE s.query_id = cd.query_id
+                        AND s.neighbor_id = cd.neighbor_id)
+  ) WHERE rk = 1
+)
+SELECT query_id, sel_rank, neighbor_id, ROUND(score, 6) AS mmr_score FROM (
+  SELECT query_id, CAST(1 AS INTEGER) AS sel_rank, neighbor_id, score FROM s1
+  UNION ALL
+  SELECT query_id, CAST(2 AS INTEGER), neighbor_id, score FROM s2
+  UNION ALL
+  SELECT query_id, CAST(3 AS INTEGER), neighbor_id, score FROM s3
+) ORDER BY query_id, sel_rank
+"""
+
+
+def em20_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF ingest (operators.similarity.ivf_ingest) — the
+    ANN index-maintenance sibling of q86's view merge: vectors with
+    vec_id % 7 == 0 arrive as a NEW batch against an index built on
+    the rest. Centroids stay frozen (md5-rank seed vectors from the
+    base, the kmeans init contract); base and delta assign separately
+    through the exact-decimal E-step; per-cluster (count, per-dim
+    decimal sum) partials merge with one coalesce join. The ORACLE
+    recomputes everything in ONE pass over the union, so the hash
+    match proves base+delta partial aggregates are bit-equal to the
+    full rebuild — the identity that makes a 100-TB index refresh a
+    delta-sized job (stored base partials + assign-the-batch).
+
+    Output: per cluster, base/delta occupancy and the updated
+    centroid at dims {0, 31, 63} (6dp exact-decimal means)."""
+    from paqarin_spark.operators import ivf_ingest
+
+    configure_for_determinism(spark)
+    emb = read_table(spark, sf_dir, "embeddings")
+    base = emb.where(F.col("vec_id") % 7 != 0)
+    delta = emb.where(F.col("vec_id") % 7 == 0)
+    counts, cent = ivf_ingest(
+        base, delta, "vec_id", "embedding", k=4, seed=11
+    )
+    picks = (
+        cent.where(F.col("dim").isin(0, 31, 63))
+        .groupBy("cluster")
+        .agg(
+            F.max(F.when(F.col("dim") == 0, F.col("c_upd"))).alias("c_dim0"),
+            F.max(F.when(F.col("dim") == 31, F.col("c_upd"))).alias(
+                "c_dim31"
+            ),
+            F.max(F.when(F.col("dim") == 63, F.col("c_upd"))).alias(
+                "c_dim63"
+            ),
+        )
+    )
+    return (
+        counts.join(picks, on="cluster")
+        .select("cluster", "n_base", "n_delta", "c_dim0", "c_dim31", "c_dim63")
+        .orderBy("cluster")
+    )
+
+
+EM20_SQL = """
+WITH v AS (
+  SELECT vec_id, (vec_id % 7 = 0) AS is_delta, u.dim, u.x
+  FROM embeddings, LATERAL (
+    SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+           UNNEST(embedding)::DOUBLE AS x
+  ) u
+), init AS (
+  SELECT ROW_NUMBER() OVER (
+           ORDER BY md5('kmeans#' || CAST(vec_id AS VARCHAR) || '#11')
+         ) - 1 AS cluster,
+         vec_id
+  FROM embeddings WHERE vec_id % 7 <> 0
+  ORDER BY md5('kmeans#' || CAST(vec_id AS VARCHAR) || '#11') LIMIT 4
+), c0 AS (
+  SELECT i.cluster, v.dim, v.x AS c
+  FROM init i JOIN v ON v.vec_id = i.vec_id
+), d1 AS (
+  SELECT v.vec_id, v.is_delta, c.cluster,
+         CAST(SUM(CAST((v.x - c.c) * (v.x - c.c) AS DECIMAL(30,10)))
+              AS DOUBLE) AS d2
+  FROM v JOIN c0 c ON v.dim = c.dim
+  GROUP BY 1, 2, 3
+), a1 AS (
+  SELECT vec_id, is_delta, cluster FROM (
+    SELECT vec_id, is_delta, cluster,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY d2, cluster) AS rk
+    FROM d1
+  ) WHERE rk = 1
+), means AS (
+  SELECT a.cluster, v.dim,
+         ROUND(CAST(SUM(CAST(v.x AS DECIMAL(30,10))) AS DOUBLE)
+               / COUNT(*), 6) AS c_upd
+  FROM v JOIN a1 a ON v.vec_id = a.vec_id
+  GROUP BY 1, 2
+), counts AS (
+  SELECT cluster,
+         COUNT(CASE WHEN NOT is_delta THEN 1 END) AS n_base,
+         COUNT(CASE WHEN is_delta THEN 1 END) AS n_delta
+  FROM a1 GROUP BY 1
+)
+SELECT k.cluster, k.n_base, k.n_delta,
+       m0.c_upd AS c_dim0, m31.c_upd AS c_dim31, m63.c_upd AS c_dim63
+FROM counts k
+JOIN means m0 ON m0.cluster = k.cluster AND m0.dim = 0
+JOIN means m31 ON m31.cluster = k.cluster AND m31.dim = 31
+JOIN means m63 ON m63.cluster = k.cluster AND m63.dim = 63
+ORDER BY k.cluster
+"""
+
+
 # --------------------------------------------------------------------------
 # MM2 — video frame-sampling fan-out (multimodal north star)
 
@@ -9848,6 +10065,8 @@ SELECT generator, avg_forecast_mae, std_forecast_mae FROM (
 # local sf0.001/sf0.01 gate (tools/check_oracle.py).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-5 additions (never driver-verified) come first ---
+    "em19_mmr_rerank": em19_mmr_rerank,
+    "em20_ivf_ingest": em20_ivf_ingest,
     "q87_important_parts": q87_important_parts,
     "q88_part_supplier_counts": q88_part_supplier_counts,
     "q86_incremental_view_merge": q86_incremental_view_merge,
@@ -9907,14 +10126,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "em8_ivf_multiprobe": em8_ivf_multiprobe,
     "em9_embed_clusters": em9_embed_clusters,
     "mm6_png_resize": mm6_png_resize,
-    "ev3_drift_summary": ev3_drift_summary,
-    "q64_event_percentiles": q64_event_percentiles,
     # ------------- driver 50-entry window ends HERE (position 50) -------------
     # tx30/tx31/em12/st7/st8/q69 displaced for
     # q81/q82/em16/mm12/st12/ev9, then tx27/tx28/tx29 displaced for
     # q83/tx39/em17, then em11/q68 (r4-green) displaced for q87/q88
     # (all displaced entries r3/r4-green: driver windows
-    # + judge sf0.01 spot-checks).
+    # + judge sf0.01 spot-checks). Round-5 session-3 batch B displaced
+    # ev3/q64 (r4-green) for em19/em20.
+    "ev3_drift_summary": ev3_drift_summary,
+    "q64_event_percentiles": q64_event_percentiles,
     "em11_quantization_error": em11_quantization_error,
     "q68_conversion_funnel": q68_conversion_funnel,
     "q66_type_transitions": q66_type_transitions,
@@ -10205,6 +10425,8 @@ ORACLE_SQL: dict[str, str] = {
     "q86_incremental_view_merge": Q86_SQL,
     "q87_important_parts": Q87_SQL,
     "q88_part_supplier_counts": Q88_SQL,
+    "em19_mmr_rerank": EM19_SQL,
+    "em20_ivf_ingest": EM20_SQL,
     "mm12_exif_tags": MM12_SQL,
     # st12 is q82's streaming dual: the batch SQL is its oracle.
     "st12_stream_cohort": Q82_SQL,

@@ -687,3 +687,115 @@ def test_sign_signatures_matmul_matches_expr(spark):
         ).collect()
     }
     assert a == b
+
+
+def test_mmr_rerank_prefers_diverse_candidates(spark):
+    """MMR's whole point: when the top-2 by relevance are
+    near-duplicates, rank 2 must swap in the diverse candidate the
+    plain top-k would rank below them. Geometry: c1/c2 nearly
+    coincide, c3 mirrors c1 across the query axis (same relevance,
+    low mutual sim)."""
+    from paqarin_spark.operators import cosine_topk, mmr_rerank
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [0.9, 0.43, 0.0]),
+            (2, [0.9, 0.44, 0.0]),
+            (3, [0.9, -0.43, 0.0]),
+        ],
+        "vec_id int, v array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0])], "vec_id int, v array<double>"
+    )
+    plain = [
+        r["neighbor_id"]
+        for r in cosine_topk(corpus, "vec_id", "v", k=2, queries=queries)
+        .orderBy(F.col("cos_sim").desc(), "neighbor_id")
+        .collect()
+    ]
+    assert plain == [1, 3] or plain == [1, 2]  # 1 and 3 tie on relevance
+    sel = (
+        mmr_rerank(
+            corpus, "vec_id", "v", queries=queries,
+            k_candidates=3, select_k=2, lam=0.5,
+        )
+        .orderBy("sel_rank")
+        .collect()
+    )
+    assert [r["neighbor_id"] for r in sel] == [1, 3]
+    assert sel[0]["sel_rank"] == 1 and sel[1]["sel_rank"] == 2
+    # rank-1 score is lam*rel; rank-2 score is penalized below it
+    assert sel[0]["mmr_score"] > sel[1]["mmr_score"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        mmr_rerank(corpus, "vec_id", "v", queries=queries,
+                   k_candidates=2, select_k=3)
+
+
+def test_ivf_ingest_matches_full_rebuild(spark):
+    """The maintenance identity em20 verifies cross-engine, pinned
+    Spark-side on random data: merged base+delta partials must equal
+    a one-pass recompute over the union with the same frozen
+    centroids (exact-decimal sums are associative across the
+    split)."""
+    import random
+
+    from paqarin_spark.operators import ivf_ingest
+    from paqarin_spark.operators.similarity import (
+        _lloyd_expr_assign,
+        _lloyd_init_ids,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(6)]) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, v array<float>")
+    base = df.where(F.col("vec_id") % 5 != 0)
+    delta = df.where(F.col("vec_id") % 5 == 0)
+    counts, cent = ivf_ingest(base, delta, "vec_id", "v", k=3, seed=2)
+
+    # one-pass recompute with the SAME frozen centroids
+    dims = df.select(
+        F.col("vec_id"),
+        F.posexplode(
+            F.transform("v", lambda x: x.cast("double"))
+        ).alias("dim", "x"),
+    )
+    bdims = base.select(
+        F.col("vec_id"),
+        F.posexplode(
+            F.transform("v", lambda x: x.cast("double"))
+        ).alias("dim", "x"),
+    )
+    init = _lloyd_init_ids(base, "vec_id", 3, 2)
+    c0 = bdims.join(
+        F.broadcast(init), bdims["vec_id"] == F.col("_cid")
+    ).select("cluster", "dim", F.col("x").alias("c"))
+    assign = _lloyd_expr_assign(dims, c0, "vec_id")
+    full = {
+        (r["cluster"], r["dim"]): r["c_upd"]
+        for r in dims.join(assign.select("vec_id", "cluster"), on="vec_id")
+        .groupBy("cluster", "dim")
+        .agg(
+            F.round(
+                F.sum(F.col("x").cast("decimal(30,10)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("c_upd")
+        )
+        .collect()
+    }
+    merged = {
+        (r["cluster"], r["dim"]): r["c_upd"] for r in cent.collect()
+    }
+    assert merged == full
+    cnt = {r["cluster"]: (r["n_base"], r["n_delta"]) for r in counts.collect()}
+    assert sum(b for b, _ in cnt.values()) == base.count()
+    assert sum(d for _, d in cnt.values()) == delta.count()
+
+    # empty delta: index unchanged, zero delta occupancy everywhere
+    c2, m2 = ivf_ingest(base, delta.limit(0), "vec_id", "v", k=3, seed=2)
+    assert all(r["n_delta"] == 0 for r in c2.collect())
