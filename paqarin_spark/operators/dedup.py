@@ -1087,3 +1087,68 @@ def ingest_novelty(
     return joined.select(
         id_column, "n_shingles", "containment", verdict.alias("verdict")
     )
+
+
+def dedup_lines(
+    df: DataFrame,
+    text_column: str,
+    id_column: str,
+    words_per_line: int = 4,
+) -> DataFrame:
+    """C4-style LINE-level corpus dedup (Raffel et al. 2020 §2.2
+    deduplicates three-sentence spans; Dodge et al. 2021 audits the
+    result): every document is cut into consecutive non-overlapping
+    ``words_per_line``-word lines, and only the FIRST global
+    occurrence of each normalized line (ordered by doc id, then line
+    position) is kept — repeated boilerplate beyond the first sighting
+    is flagged for removal. Complements :func:`duplicate_spans`, which
+    COUNTS sliding n-gram overlap but keeps everything: this one makes
+    the keep/drop decision that rewrites the corpus.
+
+    The line slicing happens INSIDE the array domain — one
+    ``transform`` over block indices with ``slice``/``array_join`` on
+    the already-split word array — so no word-level explode ever hits
+    the shuffle; the only exchanges are the line-key groupBy (partial
+    aggregation shrinks it to distinct lines) and the key-keyed flag
+    join back.
+
+    Returns one row per line: (id, line_pos, line_key, kept). A
+    doc's tail shorter than ``words_per_line`` words is not a line.
+    """
+    if words_per_line < 1:
+        raise ValueError("words_per_line must be >= 1")
+    arr = F.split(F.col(text_column), " ")
+    nblk = F.floor(F.size(arr) / words_per_line).cast("int")
+    blocks = F.when(
+        nblk > 0,
+        F.transform(
+            F.sequence(F.lit(0), nblk - 1),
+            lambda b: F.lower(
+                F.trim(
+                    F.array_join(
+                        F.slice(arr, b * words_per_line + 1, words_per_line),
+                        " ",
+                    )
+                )
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    lines = df.select(
+        F.col(id_column), F.posexplode(blocks).alias("line_pos", "line_key")
+    )
+    firsts = lines.groupBy("line_key").agg(
+        F.min(
+            F.struct(
+                F.col(id_column).alias("_d"), F.col("line_pos").alias("_p")
+            )
+        ).alias("_first")
+    )
+    return lines.join(firsts, on="line_key").select(
+        id_column,
+        "line_pos",
+        "line_key",
+        (
+            (F.col("_first._d") == F.col(id_column))
+            & (F.col("_first._p") == F.col("line_pos"))
+        ).alias("kept"),
+    )

@@ -6639,6 +6639,161 @@ ORDER BY supplier_cnt DESC, p_brand, p_type
 """
 
 
+def tx41_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level corpus dedup (operators.dedup.dedup_lines):
+    documents are cut into consecutive non-overlapping 4-word lines;
+    only the first global occurrence of each normalized line survives
+    (keep-first ordered by doc_id, line position), and every later
+    occurrence is flagged for removal — the boilerplate-stripping
+    decision duplicate_spans (tx23) only measures. Per-doc output:
+    how many lines the doc has and how many a rewrite would drop.
+
+    Scale shape: line slicing stays in the array domain (no
+    word-level explode reaches the shuffle); the corpus pays one
+    line-key groupBy (partial-agg shrunk to distinct lines) + one
+    key-keyed flag join + one doc-keyed rollup."""
+    from paqarin_spark.operators import dedup_lines
+
+    configure_for_determinism(spark)
+    docs = _docs(spark, sf_dir)
+    lines = dedup_lines(docs, "text", "doc_id", words_per_line=4)
+    return (
+        lines.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.count(F.when(~F.col("kept"), F.lit(1))).alias("n_dupes"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TX41_SQL = """
+WITH docs AS (
+  SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+), lines AS (
+  SELECT doc_id, u.pos AS line_pos,
+         lower(trim(array_to_string(
+           list_slice(arr, u.pos * 4 + 1, u.pos * 4 + 4), ' '))) AS key
+  FROM docs, LATERAL (
+    SELECT UNNEST(range(len(arr) // 4)) AS pos
+  ) u
+), firsts AS (
+  SELECT key, doc_id, line_pos FROM (
+    SELECT key, doc_id, line_pos,
+           ROW_NUMBER() OVER (PARTITION BY key
+                              ORDER BY doc_id, line_pos) AS rk
+    FROM lines
+  ) WHERE rk = 1
+)
+SELECT l.doc_id, COUNT(*) AS n_lines,
+       COUNT(CASE WHEN f.key IS NULL THEN 1 END) AS n_dupes
+FROM lines l
+LEFT JOIN firsts f ON f.key = l.key AND f.doc_id = l.doc_id
+                  AND f.line_pos = l.line_pos
+GROUP BY l.doc_id
+ORDER BY l.doc_id
+"""
+
+
+def ev10_acf_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPORAL fidelity of the bootstrap generator — the axis no
+    other ev metric sees: ev4/ev6/ev8/ev9 all compare MARGINAL value
+    distributions, which a generator can match perfectly while
+    shuffling time order into noise. Lag-1 autocorrelation (pooled
+    Pearson over consecutive-observation pairs, per user for the real
+    panel / per generated sequence for the synthetic one) is the
+    standard first-order check that temporal DEPENDENCE survived
+    generation; block-bootstrap should score near the real panel by
+    construction — the gap pins how near.
+
+    Determinism: both engines build identical pair multisets (the
+    ev6-proven md5 window replay; lag windows keyed on the same
+    (ts, event_id) order), and COVAR_POP/STDDEV_POP differ only in
+    last-ulp summation — safe behind ROUND 6 (the ev1 contract), with
+    the gap computed from unrounded statistics before its own round.
+
+    Scale shape: the real side is one lag window per user partition +
+    a scalar aggregate; the synthetic side is sequence-count-bounded.
+    Nothing quadratic, nothing driver-side."""
+    from paqarin_spark.generators import BlockBootstrapGenerator
+
+    configure_for_determinism(spark)
+    ev = _events(spark, sf_dir)
+    gen = BlockBootstrapGenerator(_events_gen_params()).fit(ev)
+    seq = (
+        gen.generate(50)
+        .select(
+            "sequence_id",
+            F.posexplode("sequence").alias("step", "_o"),
+        )
+        .select("sequence_id", "step", F.col("_o.value").alias("v"))
+    )
+    wl = Window.partitionBy("sequence_id").orderBy("step")
+    spairs = (
+        seq.select(
+            F.lag("v").over(wl).alias("x"), F.col("v").alias("y")
+        )
+        .where(F.col("x").isNotNull())
+        .localCheckpoint()
+    )
+    gen.unpersist()
+    wr = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    rpairs = ev.select(
+        F.lag("value").over(wr).alias("x"), F.col("value").alias("y")
+    ).where(F.col("x").isNotNull())
+
+    def acf(pairs):
+        return pairs.agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.covar_pop("x", "y")
+                / (F.stddev_pop("x") * F.stddev_pop("y"))
+            ).alias("acf"),
+        )
+
+    r = acf(rpairs).select(
+        F.col("n").alias("n_pairs_real"), F.col("acf").alias("_ar")
+    )
+    s = acf(spairs).select(
+        F.col("n").alias("n_pairs_synth"), F.col("acf").alias("_as")
+    )
+    return r.crossJoin(s).select(
+        "n_pairs_real",
+        "n_pairs_synth",
+        F.round("_ar", 6).alias("acf1_real"),
+        F.round("_as", 6).alias("acf1_synth"),
+        F.round(F.abs(F.col("_ar") - F.col("_as")), 6).alias("acf1_gap"),
+    )
+
+
+EV10_SQL = f"""
+WITH {_EV_SYNTH_CTE}, spairs AS (
+  SELECT (a2.value - mm.mn) / (mm.mx - mm.mn) * (mm.mx - mm.mn) + mm.mn AS x,
+         (b2.value - mm.mn) / (mm.mx - mm.mn) * (mm.mx - mm.mn) + mm.mn AS y
+  FROM top t CROSS JOIN (SELECT UNNEST(range(7)) AS step) s
+  JOIN r a2 ON a2.user_id = t.user_id AND a2.p = t.w + s.step
+  JOIN r b2 ON b2.user_id = t.user_id AND b2.p = t.w + s.step + 1
+  CROSS JOIN mm
+), rpairs AS (
+  SELECT a.value AS x, b.value AS y
+  FROM r a JOIN r b ON a.user_id = b.user_id AND b.p = a.p + 1
+), sstat AS (
+  SELECT COUNT(*) AS n,
+         COVAR_POP(x, y) / (STDDEV_POP(x) * STDDEV_POP(y)) AS acf
+  FROM spairs
+), rstat AS (
+  SELECT COUNT(*) AS n,
+         COVAR_POP(x, y) / (STDDEV_POP(x) * STDDEV_POP(y)) AS acf
+  FROM rpairs
+)
+SELECT rstat.n AS n_pairs_real, sstat.n AS n_pairs_synth,
+       ROUND(rstat.acf, 6) AS acf1_real,
+       ROUND(sstat.acf, 6) AS acf1_synth,
+       ROUND(ABS(rstat.acf - sstat.acf), 6) AS acf1_gap
+FROM rstat CROSS JOIN sstat
+"""
+
+
 def em19_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR diversified re-ranking (operators.similarity.mmr_rerank):
     every 50th vector queries the remaining corpus for its exact
@@ -10065,6 +10220,8 @@ SELECT generator, avg_forecast_mae, std_forecast_mae FROM (
 # local sf0.001/sf0.01 gate (tools/check_oracle.py).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-5 additions (never driver-verified) come first ---
+    "tx41_line_dedup": tx41_line_dedup,
+    "ev10_acf_fidelity": ev10_acf_fidelity,
     "em19_mmr_rerank": em19_mmr_rerank,
     "em20_ivf_ingest": em20_ivf_ingest,
     "q87_important_parts": q87_important_parts,
@@ -10124,15 +10281,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ev2_univariate_summary": ev2_univariate_summary,
     # --- round-3-verified regression sentinels (one per family) ---
     "em8_ivf_multiprobe": em8_ivf_multiprobe,
-    "em9_embed_clusters": em9_embed_clusters,
-    "mm6_png_resize": mm6_png_resize,
     # ------------- driver 50-entry window ends HERE (position 50) -------------
     # tx30/tx31/em12/st7/st8/q69 displaced for
     # q81/q82/em16/mm12/st12/ev9, then tx27/tx28/tx29 displaced for
     # q83/tx39/em17, then em11/q68 (r4-green) displaced for q87/q88
     # (all displaced entries r3/r4-green: driver windows
     # + judge sf0.01 spot-checks). Round-5 session-3 batch B displaced
-    # ev3/q64 (r4-green) for em19/em20.
+    # ev3/q64 (r4-green) for em19/em20; batch C displaced em9/mm6
+    # (r4-green) for tx41/ev10.
+    "em9_embed_clusters": em9_embed_clusters,
+    "mm6_png_resize": mm6_png_resize,
     "ev3_drift_summary": ev3_drift_summary,
     "q64_event_percentiles": q64_event_percentiles,
     "em11_quantization_error": em11_quantization_error,
@@ -10427,6 +10585,8 @@ ORACLE_SQL: dict[str, str] = {
     "q88_part_supplier_counts": Q88_SQL,
     "em19_mmr_rerank": EM19_SQL,
     "em20_ivf_ingest": EM20_SQL,
+    "tx41_line_dedup": TX41_SQL,
+    "ev10_acf_fidelity": EV10_SQL,
     "mm12_exif_tags": MM12_SQL,
     # st12 is q82's streaming dual: the batch SQL is its oracle.
     "st12_stream_cohort": Q82_SQL,

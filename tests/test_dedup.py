@@ -404,3 +404,36 @@ def test_fuzzy_pairs_block_frequency_cap_and_validation(spark):
     assert uncapped == 50 * 49 // 2
     with pytest.raises(ValueError, match="max_distance"):
         fuzzy_pairs(df, "s", "id", max_distance=3)
+
+
+def test_dedup_lines_keep_first_global(spark):
+    """Keep-first contract: the first global occurrence (doc id, then
+    line position) of a normalized line survives; every later
+    occurrence — in the SAME doc or a later one — is dropped. A tail
+    shorter than words_per_line is not a line."""
+    from paqarin_spark.operators import dedup_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d x y"),          # line 'a b' kept; 'c d' kept; 'x y' kept; tail none
+            (2, "a b a b e f"),          # 'a b' dup (doc1 pos0); second 'a b' dup too; 'e f' kept
+            (3, "E F g"),                # 'e f' (normalized) dup of doc2; tail 'g' ignored
+        ],
+        "doc_id int, text string",
+    )
+    rows = dedup_lines(docs, "text", "doc_id", words_per_line=2).collect()
+    flags = {(r["doc_id"], r["line_pos"]): r["kept"] for r in rows}
+    assert flags == {
+        (1, 0): True,   # a b — first global
+        (1, 1): True,   # c d
+        (1, 2): True,   # x y
+        (2, 0): False,  # a b repeat
+        (2, 1): False,  # a b repeat (within-doc second occurrence)
+        (2, 2): True,   # e f — first
+        (3, 0): False,  # E F normalizes to e f — repeat
+    }
+    keys = {r["line_key"] for r in rows}
+    assert "e f" in keys and "E F".lower() in keys
+
+    with pytest.raises(ValueError):
+        dedup_lines(docs, "text", "doc_id", words_per_line=0)
