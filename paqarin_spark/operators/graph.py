@@ -248,3 +248,70 @@ def bfs_hops(
         frontier = nxt.select("node")
     edges_p.unpersist()
     return visited
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Bounded-round k-core peeling over a directed edge list (pass
+    both directions for an undirected graph): each round computes
+    degrees over the surviving subgraph and removes every node with
+    degree < ``k`` — including nodes whose LAST edge disappeared with
+    an earlier peel (they vanish from the degree table, which is the
+    same as degree 0). Graph family #5 beside pagerank, connected
+    components, triangles, and BFS; the standard dense-subgraph /
+    influence-zone primitive (Seidman 1983, "Network structure and
+    minimum degree").
+
+    The round bound is the CONTRACT (fixed unroll, SQL-replayable in
+    stacked CTEs, exactly like :func:`bfs_hops`' hop bound) — after
+    ``rounds`` rounds the peeling may not have reached the true
+    k-core fixpoint on adversarial chains; the caller picks a bound
+    that saturates its graph shape. Each round is one degree groupBy
+    keyed on the edge source plus two semi-joins restricting the edge
+    list; edge list persists as the loop invariant and each round's
+    survivor set localCheckpoints (the pagerank loop discipline).
+
+    Returns (node, peel_round) with peel_round = the 1-based round
+    the node was removed, or NULL for nodes still in the subgraph
+    after the final round.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    cur_edges = edges.select(
+        F.col(src).alias("_src"), F.col(dst).alias("_dst")
+    ).persist()
+    first_edges = cur_edges
+    cur_nodes = cur_edges.select(F.col("_src").alias("node")).distinct()
+    peeled = None
+    for r in range(1, int(rounds) + 1):
+        surv = (
+            cur_edges.groupBy("_src")
+            .agg(F.count(F.lit(1)).alias("_deg"))
+            .where(F.col("_deg") >= k)
+            .select(F.col("_src").alias("node"))
+            .localCheckpoint()
+        )
+        gone = (
+            cur_nodes.join(surv, on="node", how="left_anti")
+            .withColumn("peel_round", F.lit(r))
+            .localCheckpoint()
+        )
+        if not gone.isEmpty():
+            cur_edges = (
+                cur_edges.join(
+                    surv, F.col("_src") == F.col("node"), "left_semi"
+                )
+                .join(surv, F.col("_dst") == F.col("node"), "left_semi")
+                .localCheckpoint()
+            )
+        peeled = gone if peeled is None else peeled.unionByName(gone)
+        cur_nodes = surv
+    first_edges.unpersist()
+    return peeled.unionByName(
+        cur_nodes.withColumn("peel_round", F.lit(None).cast("int"))
+    )

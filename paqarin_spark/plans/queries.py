@@ -6639,6 +6639,179 @@ ORDER BY supplier_cnt DESC, p_brand, p_type
 """
 
 
+def st13_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM–STREAM LEFT-OUTER interval join — the semantics st8's
+    inner join cannot show: clicks with NO purchase within the hour
+    emit a NULL-partner verdict, but only once the watermark PROVES
+    the window closed (state-eviction time), which is the whole
+    outer-join-on-streams contract. The daily attribution funnel
+    (matches vs abandonments) is restricted to clicks before a fixed
+    cutoff two days inside the stream end, so every aggregated
+    verdict is provably flushed regardless of where the final
+    watermark lands — the closed-window carve-out the docstring of
+    streaming.stream_interval_join prescribes. Oracle: plain batch
+    LEFT JOIN under the same cutoff.
+
+    Scale shape: watermarked state on both sides evicted at
+    watermark + lag (st8's discipline); the verdict aggregation is a
+    day-keyed rollup of the join output."""
+    from paqarin_spark.streaming import stream_interval_join
+
+    configure_for_determinism(spark)
+    stream = _events_stream(spark, sf_dir)
+    out = stream_interval_join(
+        stream,
+        timestamp_column="ts",
+        key_column="user_id",
+        left_filter=F.col("event_type") == "click",
+        right_filter=F.col("event_type") == "purchase",
+        max_lag="1 hour",
+        watermark="1 day",
+        left_prefix="click",
+        right_prefix="purchase",
+        how="left_outer",
+    )
+    name = "st13_stream_left_join"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .where(F.col("click_ts") < F.lit("2024-01-28").cast("timestamp"))
+        .groupBy(F.date_format("click_ts", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count("purchase_id").alias("n_attributed"),
+            F.count(
+                F.when(F.col("purchase_id").isNull(), F.lit(1))
+            ).alias("n_abandoned"),
+        )
+        .orderBy("day")
+    )
+
+
+ST13_SQL = """
+SELECT strftime(a.ts, '%Y-%m-%d') AS day,
+       COUNT(b.event_id) AS n_attributed,
+       COUNT(CASE WHEN b.event_id IS NULL THEN 1 END) AS n_abandoned
+FROM events a
+LEFT JOIN events b
+  ON a.user_id = b.user_id
+ AND b.event_type = 'purchase'
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL '1 hour'
+WHERE a.event_type = 'click'
+  AND a.ts < TIMESTAMP '2024-01-28 00:00:00'
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q89_trade_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded k-core peeling over the undirected customer–supplier
+    trade graph (operators.graph.kcore_peel — graph family #5 beside
+    pagerank, components, triangles, BFS): three rounds of
+    remove-degree-<30, the dense-trading-core question. On this
+    bipartite graph peeling customers only drops SUPPLIER degrees, so
+    the cascade stabilizes fast — the per-round peel counts pin
+    exactly where, and the fixed round bound is the contract the
+    oracle unrolls in stacked CTEs (the q85 BFS pattern).
+
+    Scale shape: per round one degree groupBy keyed on the edge
+    source + two semi-join restrictions; the edge list persists as
+    the loop invariant, survivor sets localCheckpoint (pagerank loop
+    discipline). Output: per side, initial nodes, per-round peels,
+    survivors."""
+    from paqarin_spark.operators import kcore_peel
+
+    configure_for_determinism(spark)
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    e = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("a"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("b"),
+        )
+        .distinct()
+    )
+    und = e.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(
+        e.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    res = kcore_peel(und, k=30, rounds=3)
+    return (
+        res.groupBy(F.substring("node", 1, 1).alias("side"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.count(F.when(F.col("peel_round") == 1, F.lit(1))).alias(
+                "n_peel1"
+            ),
+            F.count(F.when(F.col("peel_round") == 2, F.lit(1))).alias(
+                "n_peel2"
+            ),
+            F.count(F.when(F.col("peel_round") == 3, F.lit(1))).alias(
+                "n_peel3"
+            ),
+            F.count(F.when(F.col("peel_round").isNull(), F.lit(1))).alias(
+                "n_survive"
+            ),
+        )
+        .orderBy("side")
+    )
+
+
+Q89_SQL = """
+WITH e AS (
+  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS a,
+                  's' || CAST(l_suppkey AS VARCHAR) AS b
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+), u0 AS (
+  SELECT a AS src, b AS dst FROM e
+  UNION ALL SELECT b, a FROM e
+), d1 AS (
+  SELECT src AS node, COUNT(*) AS deg FROM u0 GROUP BY 1
+), s1 AS (
+  SELECT node FROM d1 WHERE deg >= 30
+), p1 AS (
+  SELECT node FROM d1 WHERE deg < 30
+), u1 AS (
+  SELECT src, dst FROM u0
+  WHERE src IN (SELECT node FROM s1) AND dst IN (SELECT node FROM s1)
+), d2 AS (
+  SELECT src AS node, COUNT(*) AS deg FROM u1 GROUP BY 1
+), s2 AS (
+  SELECT node FROM d2 WHERE deg >= 30
+), p2 AS (
+  SELECT node FROM s1 WHERE node NOT IN (SELECT node FROM s2)
+), u2 AS (
+  SELECT src, dst FROM u1
+  WHERE src IN (SELECT node FROM s2) AND dst IN (SELECT node FROM s2)
+), d3 AS (
+  SELECT src AS node, COUNT(*) AS deg FROM u2 GROUP BY 1
+), s3 AS (
+  SELECT node FROM d3 WHERE deg >= 30
+), p3 AS (
+  SELECT node FROM s2 WHERE node NOT IN (SELECT node FROM s3)
+), labeled AS (
+  SELECT node, 1 AS pr FROM p1
+  UNION ALL SELECT node, 2 FROM p2
+  UNION ALL SELECT node, 3 FROM p3
+  UNION ALL SELECT node, NULL FROM s3
+)
+SELECT substring(node, 1, 1) AS side,
+       COUNT(*) AS n_nodes,
+       COUNT(CASE WHEN pr = 1 THEN 1 END) AS n_peel1,
+       COUNT(CASE WHEN pr = 2 THEN 1 END) AS n_peel2,
+       COUNT(CASE WHEN pr = 3 THEN 1 END) AS n_peel3,
+       COUNT(CASE WHEN pr IS NULL THEN 1 END) AS n_survive
+FROM labeled GROUP BY 1 ORDER BY 1
+"""
+
+
 def tx41_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style line-level corpus dedup (operators.dedup.dedup_lines):
     documents are cut into consecutive non-overlapping 4-word lines;
@@ -10220,6 +10393,8 @@ SELECT generator, avg_forecast_mae, std_forecast_mae FROM (
 # local sf0.001/sf0.01 gate (tools/check_oracle.py).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-5 additions (never driver-verified) come first ---
+    "q89_trade_kcore": q89_trade_kcore,
+    "st13_stream_left_join": st13_stream_left_join,
     "tx41_line_dedup": tx41_line_dedup,
     "ev10_acf_fidelity": ev10_acf_fidelity,
     "em19_mmr_rerank": em19_mmr_rerank,
@@ -10278,9 +10453,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ev5_forecast_backtest": ev5_forecast_backtest,
     "em2_lsh_topk": em2_lsh_topk,
     "gen4_conditional_sample": gen4_conditional_sample,
-    "ev2_univariate_summary": ev2_univariate_summary,
-    # --- round-3-verified regression sentinels (one per family) ---
-    "em8_ivf_multiprobe": em8_ivf_multiprobe,
     # ------------- driver 50-entry window ends HERE (position 50) -------------
     # tx30/tx31/em12/st7/st8/q69 displaced for
     # q81/q82/em16/mm12/st12/ev9, then tx27/tx28/tx29 displaced for
@@ -10288,7 +10460,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (all displaced entries r3/r4-green: driver windows
     # + judge sf0.01 spot-checks). Round-5 session-3 batch B displaced
     # ev3/q64 (r4-green) for em19/em20; batch C displaced em9/mm6
-    # (r4-green) for tx41/ev10.
+    # (r4-green) for tx41/ev10; batch D displaced ev2/em8 (r4-green)
+    # for q89/st13.
+    "ev2_univariate_summary": ev2_univariate_summary,
+    # --- round-3-verified regression sentinels (one per family) ---
+    "em8_ivf_multiprobe": em8_ivf_multiprobe,
     "em9_embed_clusters": em9_embed_clusters,
     "mm6_png_resize": mm6_png_resize,
     "ev3_drift_summary": ev3_drift_summary,
@@ -10587,6 +10763,8 @@ ORACLE_SQL: dict[str, str] = {
     "em20_ivf_ingest": EM20_SQL,
     "tx41_line_dedup": TX41_SQL,
     "ev10_acf_fidelity": EV10_SQL,
+    "q89_trade_kcore": Q89_SQL,
+    "st13_stream_left_join": ST13_SQL,
     "mm12_exif_tags": MM12_SQL,
     # st12 is q82's streaming dual: the batch SQL is its oracle.
     "st12_stream_cohort": Q82_SQL,

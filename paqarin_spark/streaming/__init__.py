@@ -506,6 +506,7 @@ def stream_interval_join(
     left_prefix: str = "left",
     right_prefix: str = "right",
     id_column: str = "event_id",
+    how: str = "inner",
 ) -> DataFrame:
     """STREAM–STREAM interval self-join: pair each left-side event with
     every right-side event of the same key that follows within
@@ -518,9 +519,23 @@ def stream_interval_join(
     sides have arrived; the result set equals the batch interval join
     exactly, so the oracle is plain SQL.
 
+    ``how="left_outer"`` adds the NON-match verdicts: a left row with
+    no partner emits with NULL right columns — but only once the
+    watermark proves no partner can still arrive (state eviction
+    time), so unmatched results trail the inner ones by the watermark
+    delay, and rows whose match window is still open when the stream
+    ends are withheld entirely. Callers comparing against a batch
+    LEFT JOIN must restrict to left rows whose window provably closed
+    (st13 pins a fixed cutoff). Outer mode adds ``{left}_ts`` to the
+    output so that closed-window restriction can be expressed
+    downstream.
+
     Output: ({left}_id, {right}_id, key, lag_seconds), both id
-    columns taken from ``id_column``.
+    columns taken from ``id_column``; plus ``{left}_ts`` in outer
+    mode.
     """
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"unsupported join type: {how!r}")
     lts, rts = f"{left_prefix}_ts", f"{right_prefix}_ts"
     lid, rid = f"{left_prefix}_id", f"{right_prefix}_id"
     left = (
@@ -546,12 +561,16 @@ def stream_interval_join(
         & (F.col(rts) >= F.col(lts))
         & (F.col(rts) <= F.col(lts) + F.expr(f"INTERVAL {max_lag}"))
     )
-    return left.join(right, cond).select(
+    joined = left.join(right, cond, how)
+    cols = [
         F.col(lid),
         F.col(rid),
         F.col(key_column),
         (F.unix_timestamp(rts) - F.unix_timestamp(lts)).alias("lag_seconds"),
-    )
+    ]
+    if how != "inner":
+        cols.append(F.col(lts))
+    return joined.select(*cols)
 
 
 def stream_cohort_offsets(

@@ -407,3 +407,55 @@ def test_bfs_hops_chain_distances_and_early_exit(spark):
     lone = spark.createDataFrame([("z",)], "node string")
     out = bfs_hops(und, lone, max_hops=4).collect()
     assert [(r["node"], r["hop"]) for r in out] == [("z", 0)]
+
+
+def _und(spark, pairs):
+    e = spark.createDataFrame(pairs, "src string, dst string")
+    return e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+def test_kcore_peel_cascade_and_survivors(spark):
+    """Classic cascade: a triangle (2-core) with a pendant chain.
+    Round 1 peels the chain tip (deg 1), round 2 peels the next chain
+    node whose degree DROPPED to 1, round 3 peels the attachment
+    node; the triangle survives as the 2-core."""
+    from paqarin_spark.operators import kcore_peel
+
+    # triangle a-b-c, chain c-d-e-f
+    edges = _und(
+        spark,
+        [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "e"), ("e", "f")],
+    )
+    out = {
+        r["node"]: r["peel_round"]
+        for r in kcore_peel(edges, k=2, rounds=3).collect()
+    }
+    assert out == {
+        "f": 1,          # deg 1
+        "e": 2,          # deg fell to 1 after f left
+        "d": 3,          # deg fell to 1 after e left
+        "a": None, "b": None, "c": None,  # the 2-core
+    }
+
+
+def test_kcore_peel_zero_degree_nodes_count_as_peeled(spark):
+    """A node whose last edge vanished with an earlier peel is absent
+    from the next degree table — it must be peeled (degree 0), not
+    silently dropped."""
+    from paqarin_spark.operators import kcore_peel
+
+    # star: hub h with leaves x/y/z; k=2 peels all leaves round 1,
+    # hub's degree falls to 0 -> peeled round 2.
+    edges = _und(spark, [("h", "x"), ("h", "y"), ("h", "z")])
+    out = {
+        r["node"]: r["peel_round"]
+        for r in kcore_peel(edges, k=2, rounds=3).collect()
+    }
+    assert out == {"x": 1, "y": 1, "z": 1, "h": 2}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        kcore_peel(edges, k=0)

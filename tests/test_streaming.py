@@ -613,3 +613,61 @@ def test_stream_cohort_rebases_on_out_of_order_first_event(spark, tmp_path):
     v = {r["user_id"]: r["mx"] for r in emi.groupBy("user_id")
          .agg(F.max("version").alias("mx")).collect()}
     assert v[1] == 2 and v[2] == 2
+
+
+def test_stream_interval_join_left_outer_emits_unmatched(spark, tmp_path):
+    """Left-outer mode: clicks with no purchase in the window emit a
+    NULL-partner verdict once the watermark closes the window; a late
+    sentinel row on each side pushes the watermark far enough that
+    every real verdict flushes under availableNow."""
+    from paqarin_spark.streaming import stream_interval_join
+
+    rows = [
+        (1, 10, dt.datetime(2020, 1, 1, 10, 0), "click"),
+        (2, 10, dt.datetime(2020, 1, 1, 10, 30), "purchase"),   # match
+        (3, 11, dt.datetime(2020, 1, 1, 10, 0), "click"),       # no match
+        (4, 11, dt.datetime(2020, 1, 1, 12, 0), "purchase"),    # too late
+        # watermark-advancing sentinels (outside the asserted region)
+        (8, 99, dt.datetime(2020, 1, 10, 0, 0), "click"),
+        (9, 99, dt.datetime(2020, 1, 10, 0, 0), "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    path = str(tmp_path / "loj_in")
+    df.repartition(2).write.parquet(path)
+    stream = spark.readStream.schema(df.schema).parquet(path)
+    out = _run(
+        spark,
+        stream_interval_join(
+            stream,
+            "ts",
+            "user_id",
+            F.col("event_type") == "click",
+            F.col("event_type") == "purchase",
+            max_lag="1 hour",
+            watermark="1 hour",
+            left_prefix="click",
+            right_prefix="purchase",
+            how="left_outer",
+        ),
+        "t_loj",
+        "append",
+    )
+    got = sorted(
+        (r.click_id, r.purchase_id)
+        for r in out.where(F.col("user_id") < 99).collect()
+    )
+    assert got == [(1, 2), (3, None)]
+    # outer mode exposes the left timestamp for closed-window filters
+    assert "click_ts" in out.columns
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        stream_interval_join(
+            stream, "ts", "user_id",
+            F.col("event_type") == "click",
+            F.col("event_type") == "purchase",
+            how="full_outer",
+        )
