@@ -6639,6 +6639,116 @@ ORDER BY supplier_cnt DESC, p_brand, p_type
 """
 
 
+def q90_priority_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping-priority split): for each lineitem
+    status class, how many lines belong to critical-priority orders
+    (1-URGENT / 2-HIGH) vs everything else, within one ship-date
+    year. The reference dataset carries no l_shipmode, so
+    l_linestatus stands in for the grouping leg; the SHAPE is Q12's —
+    a fact⋈fact equi-join feeding two conditional counts computed in
+    ONE pass (`SUM(CASE WHEN ...)`), not two scans unioned.
+
+    Scale shape: the year filter pushes to the lineitem parquet scan;
+    the join shuffles both sides on the orderkey (the natural key at
+    100 TB — no broadcast pretence about the orders table); the
+    conditional counts partial-aggregate map-side so the final
+    exchange carries one row per (status, year) group. Counts are
+    exact bigints — nothing to round.
+
+    Reference parity: mirrors the conditional-aggregation pipeline of
+    /root/reference/paqarin (multi-metric rollups in
+    metrics/univariate_metrics.py) re-expressed as one codegen'd
+    CASE aggregation."""
+    configure_for_determinism(spark)
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    critical = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.where(F.year("l_shipdate") == 1998)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(critical, 1).otherwise(0))
+            .cast("long")
+            .alias("high_line_count"),
+            F.sum(F.when(critical, 0).otherwise(1))
+            .cast("long")
+            .alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+Q90_SQL = """
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE EXTRACT(YEAR FROM l_shipdate) = 1998
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
+def q91_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): per ship-month, the
+    percentage of discounted revenue that came from PROMO-type parts.
+    Both the conditional numerator and the total denominator are
+    computed in the SAME aggregation pass — one join, one shuffle,
+    no self-join — with exact decimal sums so fold order can't move
+    the ratio (q33 discipline), divided and rounded only at the
+    output boundary.
+
+    Scale shape: part scales with SF, so the join strategy is AQE's
+    choice (the q53/q74 de-hinting policy); only p_partkey/p_type
+    survive pruning onto the probe. The month rollup carries a few
+    dozen groups — the final exchange is trivial."""
+    configure_for_determinism(spark)
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    dec = "decimal(30,10)"
+    rev = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+        dec
+    )
+    promo_rev = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast(dec)
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(promo_rev).cast("double")
+                / F.sum(rev).cast("double"),
+                6,
+            ).alias("promo_share_pct"),
+            F.round(F.sum(rev).cast("double"), 4).alias("total_revenue"),
+        )
+        .orderBy("ship_month")
+    )
+
+
+Q91_SQL = """
+SELECT STRFTIME(l_shipdate, '%Y-%m') AS ship_month,
+       ROUND(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(l_extendedprice * (1.0 - l_discount)
+                               AS DECIMAL(30,10))
+                     ELSE CAST(0 AS DECIMAL(30,10)) END) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                             AS DECIMAL(30,10))) AS DOUBLE),
+             6) AS promo_share_pct,
+       ROUND(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                           AS DECIMAL(30,10))) AS DOUBLE), 4)
+         AS total_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+ORDER BY ship_month
+"""
+
+
 def st13_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAM–STREAM LEFT-OUTER interval join — the semantics st8's
     inner join cannot show: clicks with NO purchase within the hour
@@ -10393,6 +10503,8 @@ SELECT generator, avg_forecast_mae, std_forecast_mae FROM (
 # local sf0.001/sf0.01 gate (tools/check_oracle.py).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-5 additions (never driver-verified) come first ---
+    "q90_priority_shipments": q90_priority_shipments,
+    "q91_promo_revenue_share": q91_promo_revenue_share,
     "q89_trade_kcore": q89_trade_kcore,
     "st13_stream_left_join": st13_stream_left_join,
     "tx41_line_dedup": tx41_line_dedup,
@@ -10451,9 +10563,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx37_quality_dedup_keep": tx37_quality_dedup_keep,
     "ev1_pipeline_summary": ev1_pipeline_summary,
     "ev5_forecast_backtest": ev5_forecast_backtest,
+    # ------------- driver 50-entry window ends HERE (position 50) -------------
     "em2_lsh_topk": em2_lsh_topk,
     "gen4_conditional_sample": gen4_conditional_sample,
-    # ------------- driver 50-entry window ends HERE (position 50) -------------
     # tx30/tx31/em12/st7/st8/q69 displaced for
     # q81/q82/em16/mm12/st12/ev9, then tx27/tx28/tx29 displaced for
     # q83/tx39/em17, then em11/q68 (r4-green) displaced for q87/q88
@@ -10764,6 +10876,8 @@ ORACLE_SQL: dict[str, str] = {
     "tx41_line_dedup": TX41_SQL,
     "ev10_acf_fidelity": EV10_SQL,
     "q89_trade_kcore": Q89_SQL,
+    "q90_priority_shipments": Q90_SQL,
+    "q91_promo_revenue_share": Q91_SQL,
     "st13_stream_left_join": ST13_SQL,
     "mm12_exif_tags": MM12_SQL,
     # st12 is q82's streaming dual: the batch SQL is its oracle.
