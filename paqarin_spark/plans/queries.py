@@ -6978,6 +6978,87 @@ ORDER BY l.doc_id
 """
 
 
+def ev11_ewma_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA one-step-ahead backtest — the exponential-smoothing
+    forecaster the reference's univariate family implies but never
+    ships: for every user with ≥17 events, forecast the LAST value
+    from a 16-lag truncated exponentially-weighted average
+    (alpha = 0.5, weights renormalized over the truncated tail).
+    alpha = 0.5 is chosen deliberately: every weight 2^-(j+1) and the
+    renormalizer 1 - 2^-16 are EXACT doubles, and value * 2^-k is a
+    pure exponent shift (no rounding), so both engines fold the same
+    contributions — decimal sums then make the fold order-free (q33
+    discipline), and only outputs round.
+
+    Scale shape: one window pass keyed on user_id (partial rollups on
+    the natural partition key), one 16-row-per-user aggregation, one
+    user-keyed join — no global window, no Python."""
+    configure_for_determinism(spark)
+    ev = _events(spark, sf_dir)
+    wn = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wp = Window.partitionBy("user_id")
+    base = ev.select(
+        "user_id",
+        "value",
+        F.row_number().over(wn).alias("_rn"),
+        F.count(F.lit(1)).over(wp).alias("_n"),
+    ).where(F.col("_n") >= 17)
+    dec = "decimal(30,10)"
+    contrib = (
+        F.col("value") * F.pow(F.lit(0.5), (F.col("_n") - F.col("_rn")).cast("double"))
+    ).cast(dec)
+    norm = F.lit(1.0) - F.pow(F.lit(0.5), F.lit(16.0))
+    fc = (
+        base.where(
+            (F.col("_rn") >= F.col("_n") - 16) & (F.col("_rn") <= F.col("_n") - 1)
+        )
+        .groupBy("user_id")
+        .agg((F.sum(contrib).cast("double") / norm).alias("_fc"))
+    )
+    actual = base.where(F.col("_rn") == F.col("_n")).select(
+        "user_id", F.col("value").alias("_act")
+    )
+    return (
+        fc.join(actual, "user_id")
+        .select(
+            "user_id",
+            F.round("_fc", 6).alias("ewma_forecast"),
+            F.round("_act", 6).alias("actual_value"),
+            F.round(F.abs(F.col("_fc") - F.col("_act")), 6).alias("abs_err"),
+        )
+        .orderBy("user_id")
+    )
+
+
+EV11_SQL = """
+WITH base AS (
+  SELECT user_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+), eligible AS (
+  SELECT * FROM base WHERE n >= 17
+), fc AS (
+  SELECT user_id,
+         CAST(SUM(CAST(value * POWER(0.5, CAST(n - rn AS DOUBLE))
+                       AS DECIMAL(30,10))) AS DOUBLE)
+           / (1.0 - POWER(0.5, 16.0)) AS f
+  FROM eligible
+  WHERE rn BETWEEN n - 16 AND n - 1
+  GROUP BY user_id
+), act AS (
+  SELECT user_id, value AS a FROM eligible WHERE rn = n
+)
+SELECT fc.user_id AS user_id,
+       ROUND(fc.f, 6) AS ewma_forecast,
+       ROUND(act.a, 6) AS actual_value,
+       ROUND(ABS(fc.f - act.a), 6) AS abs_err
+FROM fc JOIN act ON fc.user_id = act.user_id
+ORDER BY user_id
+"""
+
+
 def ev10_acf_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TEMPORAL fidelity of the bootstrap generator — the axis no
     other ev metric sees: ev4/ev6/ev8/ev9 all compare MARGINAL value
@@ -10503,6 +10584,7 @@ SELECT generator, avg_forecast_mae, std_forecast_mae FROM (
 # local sf0.001/sf0.01 gate (tools/check_oracle.py).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-5 additions (never driver-verified) come first ---
+    "ev11_ewma_backtest": ev11_ewma_backtest,
     "q90_priority_shipments": q90_priority_shipments,
     "q91_promo_revenue_share": q91_promo_revenue_share,
     "q89_trade_kcore": q89_trade_kcore,
@@ -10562,8 +10644,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx36_ingest_novelty": tx36_ingest_novelty,
     "tx37_quality_dedup_keep": tx37_quality_dedup_keep,
     "ev1_pipeline_summary": ev1_pipeline_summary,
-    "ev5_forecast_backtest": ev5_forecast_backtest,
     # ------------- driver 50-entry window ends HERE (position 50) -------------
+    "ev5_forecast_backtest": ev5_forecast_backtest,
     "em2_lsh_topk": em2_lsh_topk,
     "gen4_conditional_sample": gen4_conditional_sample,
     # tx30/tx31/em12/st7/st8/q69 displaced for
@@ -10878,6 +10960,7 @@ ORACLE_SQL: dict[str, str] = {
     "q89_trade_kcore": Q89_SQL,
     "q90_priority_shipments": Q90_SQL,
     "q91_promo_revenue_share": Q91_SQL,
+    "ev11_ewma_backtest": EV11_SQL,
     "st13_stream_left_join": ST13_SQL,
     "mm12_exif_tags": MM12_SQL,
     # st12 is q82's streaming dual: the batch SQL is its oracle.
