@@ -702,7 +702,9 @@ def fuzzy_pairs(
     true output size, but capping keeps a poisoned corpus from
     quadratic blowup at the cost of recall on the hot block.
 
-    Output: (id_a, id_b, dist), id_a < id_b, one row per pair."""
+    Output: (id_a, id_b, dist), id_a < id_b, one row per pair — ids
+    that appear with several distinct strings collapse to their
+    minimum qualifying distance."""
     if max_distance not in (0, 1):
         raise ValueError(
             "deletion-neighborhood blocking is exact for max_distance <= 1; "
@@ -752,6 +754,8 @@ def fuzzy_pairs(
             F.levenshtein("_sa", "_sb").cast("long").alias("dist"),
         )
         .where(F.col("dist") <= max_distance)
+        .groupBy("id_a", "id_b")
+        .agg(F.min("dist").alias("dist"))
     )
 
 

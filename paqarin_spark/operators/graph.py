@@ -282,6 +282,8 @@ def kcore_peel(
     """
     if k < 1:
         raise ValueError("k must be >= 1")
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
     cur_edges = edges.select(
         F.col(src).alias("_src"), F.col(dst).alias("_dst")
     ).persist()

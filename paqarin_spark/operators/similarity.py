@@ -108,6 +108,17 @@ def _matmul_chunks(q_mat, c_mat, q_norm, c_norm, chunk: int = 2048):
         yield lo, sims
 
 
+def _round_half_up(a, decimals: int = 6):
+    """numpy rounding with Spark/DuckDB ROUND semantics (HALF_UP, away
+    from zero on exact halves) — np.round is banker's half-to-even, so
+    a projection landing exactly on a half boundary would flip a sign
+    bit between the numpy fast path and its SQL oracle mirror."""
+    import numpy as np
+
+    scale = 10.0 ** decimals
+    return np.sign(a) * np.floor(np.abs(a) * scale + 0.5) / scale
+
+
 def _md5_sign(key: str) -> float:
     """±1 from the first-hex-digit parity of md5(key) — THE portable
     sign convention every SQL oracle mirrors byte-for-byte (shared by
@@ -679,7 +690,7 @@ def lsh_topk(
             # summation order differs from a SQL replay's sequential
             # list_sum, so a dot within ~1 ulp of 0 could otherwise
             # flip a bucket bit between engines
-            bits = np.round(mat @ p.T, 6) >= 0
+            bits = _round_half_up(mat @ p.T, 6) >= 0
             out = pdf[[id_column, vector_column]].copy()
             out["bucket"] = bits @ weights
             yield out
@@ -1347,6 +1358,7 @@ def semdedup_pairs(
     iterations: int = 1,
     seed: int = 5,
     assignment: str = "expr",
+    max_cluster_size: int | None = None,
 ) -> DataFrame:
     """Semantic near-duplicate candidate pairs, SemDeDup-style (Abbas
     et al., 2023, arXiv:2303.09540 — "SemDeDup: Data-efficient
@@ -1365,6 +1377,14 @@ def semdedup_pairs(
     Within a cluster, similarity is one BLAS matmul per Arrow group,
     rounded to 6dp (the em3 cross-engine cosine contract).
 
+    ``max_cluster_size`` is the poisoned-corpus guard (the
+    ngram_jaccard df-cap pattern): each cluster materializes as ONE
+    applyInPandas group, so a skewed/hot cluster at small ``k`` could
+    OOM its executor; with the cap set, clusters above it are dropped
+    BEFORE the pair stage (no pairs emitted for them — a deliberate,
+    deterministic recall cut on the hot cluster, mirroring the paper's
+    advice to raise ``k`` instead of comparing inside a mega-cluster).
+
     Returns (id_a, id_b, cos_sim) with id_a < id_b.
     """
     import numpy as np
@@ -1378,6 +1398,16 @@ def semdedup_pairs(
         id_column,
         F.transform(vector_column, lambda x: x.cast("double")).alias("_v"),
     ).join(assign.select(id_column, "cluster"), on=id_column)
+    if max_cluster_size is not None:
+        if max_cluster_size < 1:
+            raise ValueError("max_cluster_size must be >= 1")
+        hot = (
+            feat.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") > max_cluster_size)
+            .select("cluster")
+        )
+        feat = feat.join(F.broadcast(hot), "cluster", "left_anti")
 
     id_type = dict(df.dtypes)[id_column]
     out_schema = f"id_a {id_type}, id_b {id_type}, cos_sim double"
@@ -1472,7 +1502,7 @@ def sign_signatures(
                 if len(pdf) == 0:
                     continue
                 mat = np.vstack(pdf["_v"].to_numpy()).astype(np.float64)
-                bits = np.round(mat @ pm.T, 6) >= 0
+                bits = _round_half_up(mat @ pm.T, 6) >= 0
                 yield pd.DataFrame(
                     {id_column: pdf[id_column], "sig": bits @ weights}
                 )
@@ -1561,7 +1591,7 @@ def mmr_rerank(
     cand = cosine_topk(
         corpus, id_column, vector_column, k=k_candidates, queries=queries,
         num_blocks=num_blocks,
-    ).persist()
+    ).localCheckpoint()
     vec = corpus.select(
         F.col(id_column).alias("_vid"),
         F.transform(vector_column, lambda x: x.cast("double")).alias("_ve"),
@@ -1590,7 +1620,7 @@ def mmr_rerank(
                 cosine(F.col("a_e"), F.col("b_e")), round_decimals
             ).alias("sim"),
         )
-        .persist()
+        .localCheckpoint()
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("_score").desc(), "neighbor_id"

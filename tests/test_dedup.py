@@ -437,3 +437,23 @@ def test_dedup_lines_keep_first_global(spark):
 
     with pytest.raises(ValueError):
         dedup_lines(docs, "text", "doc_id", words_per_line=0)
+
+
+def test_fuzzy_pairs_duplicate_ids_collapse_to_min_dist(spark):
+    """Ids carrying several distinct strings emit ONE row per
+    (id_a, id_b) at the minimum qualifying distance — the documented
+    one-row-per-pair contract holds even without unique ids."""
+    from paqarin_spark.operators.dedup import fuzzy_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "abc"), (1, "abd"),   # id 1 twice, different strings
+            (2, "abc"),               # d0 vs "abc", d1 vs "abd"
+        ],
+        "id long, s string",
+    )
+    got = sorted(
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in fuzzy_pairs(df, "s", "id").collect()
+    )
+    assert got == [(1, 2, 0)]

@@ -459,3 +459,13 @@ def test_kcore_peel_zero_degree_nodes_count_as_peeled(spark):
 
     with _pytest.raises(ValueError):
         kcore_peel(edges, k=0)
+
+
+def test_kcore_peel_validates_rounds(spark):
+    import pytest
+
+    from paqarin_spark.operators import kcore_peel
+
+    edges = _und(spark, [("a", "b")])
+    with pytest.raises(ValueError, match="rounds"):
+        kcore_peel(edges, k=2, rounds=0)

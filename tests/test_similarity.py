@@ -799,3 +799,51 @@ def test_ivf_ingest_matches_full_rebuild(spark):
     # empty delta: index unchanged, zero delta occupancy everywhere
     c2, m2 = ivf_ingest(base, delta.limit(0), "vec_id", "v", k=3, seed=2)
     assert all(r["n_delta"] == 0 for r in c2.collect())
+
+
+def test_round_half_up_matches_sql_round_semantics():
+    """np.round is banker's (half-to-even); Spark/DuckDB ROUND is
+    HALF_UP (away from zero). The helper must side with SQL on exact
+    half boundaries so sign bits never flip vs the oracle path."""
+    import numpy as np
+
+    from paqarin_spark.operators.similarity import _round_half_up
+
+    a = np.array([0.5, 1.5, 2.5, -0.5, -1.5, -2.5, 0.4, -0.4])
+    got = _round_half_up(a, decimals=0)
+    assert got.tolist() == [1.0, 2.0, 3.0, -1.0, -2.0, -3.0, 0.0, -0.0]
+    # np.round would give banker's [0, 2, 2, -0, -2, -2, ...] — pin
+    # that the divergence is real, not vacuous
+    assert np.round(a[:3]).tolist() == [0.0, 2.0, 2.0]
+
+
+def test_semdedup_max_cluster_size_drops_hot_clusters(spark):
+    """The poisoned-corpus guard: an oversized cluster emits NO pairs
+    (deterministic recall cut), other clusters are untouched."""
+    import pytest
+
+    from paqarin_spark.operators import semdedup_pairs
+
+    rows = []
+    for i in range(8):
+        base = 1.0 if i < 4 else -1.0
+        rows.append((i, [base, base * 0.5, 0.0, base]))
+    df = spark.createDataFrame(rows, "vec_id int, v array<float>")
+    full = semdedup_pairs(
+        df, "vec_id", "v", k=2, threshold=0.99, iterations=1
+    ).collect()
+    assert len(full) > 0
+    # both blobs have 4 members: cap at 3 drops every cluster
+    capped = semdedup_pairs(
+        df, "vec_id", "v", k=2, threshold=0.99, iterations=1,
+        max_cluster_size=3,
+    ).collect()
+    assert capped == []
+    # cap above the blob size changes nothing
+    same = semdedup_pairs(
+        df, "vec_id", "v", k=2, threshold=0.99, iterations=1,
+        max_cluster_size=4,
+    ).collect()
+    assert sorted(map(tuple, same)) == sorted(map(tuple, full))
+    with pytest.raises(ValueError, match="max_cluster_size"):
+        semdedup_pairs(df, "vec_id", "v", max_cluster_size=0)
