@@ -1156,3 +1156,198 @@ def dedup_lines(
             & (F.col("_first._p") == F.col("line_pos"))
         ).alias("kept"),
     )
+
+
+def _positional_anchor_rows(
+    df: DataFrame,
+    text_column: str,
+    id_column: str,
+    n: int,
+) -> DataFrame:
+    """(doc, pos, shingle) rows: every word ``n``-gram anchor with its
+    0-based TOKEN start position. Same one-pass lookahead regex as
+    :func:`_shingle_rows`; the posexplode index IS the token index,
+    because each match consumes exactly one token, the chain starts at
+    token 0, and once the lookahead fails (the last n-1 tokens) no
+    later start can see n tokens ahead."""
+    norm = F.btrim(
+        F.regexp_replace(F.lower(F.col(text_column)), "[^a-z0-9]+", " ")
+    )
+    pat = "(?=(" + " ".join(["[a-z0-9]+"] * n) + "))[a-z0-9]+ ?"
+    return df.select(
+        F.col(id_column).alias("doc"),
+        F.posexplode(F.regexp_extract_all(norm, F.lit(pat), 1)).alias(
+            "pos", "shingle"
+        ),
+    )
+
+
+def _merge_islands(dup_pos: DataFrame, n: int) -> DataFrame:
+    """Merge (doc, pos) anchor starts — each covering token interval
+    [pos, pos+n-1] — into maximal union intervals (classic
+    gaps-and-islands): a new island starts when the gap to the
+    previous anchor exceeds ``n`` (coverage would no longer touch).
+    Returns (doc, span_start, span_end, span_len) in token positions,
+    end inclusive."""
+    w = Window.partitionBy("doc").orderBy("pos")
+    run = (
+        Window.partitionBy("doc")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = dup_pos.withColumn("_prev", F.lag("pos").over(w)).withColumn(
+        "_new",
+        F.when(
+            F.col("_prev").isNull() | (F.col("pos") - F.col("_prev") > n),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    return (
+        flagged.withColumn("_island", F.sum("_new").over(run))
+        .groupBy("doc", "_island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + (n - 1)).alias("span_end"),
+        )
+        .select(
+            "doc",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_len"),
+        )
+    )
+
+
+def duplicate_substring_spans(
+    df: DataFrame,
+    text_column: str,
+    id_column: str,
+    min_tokens: int = 8,
+) -> DataFrame:
+    """Exact duplicate-SUBSTRING spans, the ExactSubstr dedup of Lee
+    et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better", §4.1) re-expressed relationally: every maximal token
+    interval in which EVERY ``min_tokens``-gram occurs at least twice
+    in the corpus (counting within-document repeats, as the paper's
+    suffix array does). A duplicated substring of length L >= n is
+    exactly a run of L-n+1 duplicated n-gram anchors, so maximal
+    duplicated substrings = the interval union of duplicated anchors —
+    no suffix array needed for a fixed minimum length.
+
+    Scale posture: one anchor-keyed aggregation (partial agg shrinks
+    the shuffle to corpus vocabulary) + the flag join, then one
+    doc-keyed window for the islands merge — the window partitions by
+    document, so no global sort exists. Viral boilerplate anchors fan
+    out only into the flag join, where they are genuine output.
+
+    Returns (id, span_start, span_end, span_len): maximal duplicated
+    spans in 0-based token positions, end inclusive.
+    """
+    if min_tokens < 2:
+        raise ValueError("min_tokens must be >= 2")
+    anchors = _positional_anchor_rows(df, text_column, id_column, min_tokens)
+    dup_set = (
+        anchors.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .where(F.col("_cnt") >= 2)
+        .select("shingle")
+    )
+    dup_pos = anchors.join(dup_set, "shingle", "left_semi").select(
+        "doc", "pos"
+    )
+    return _merge_islands(dup_pos, min_tokens).select(
+        F.col("doc").alias(id_column), "span_start", "span_end", "span_len"
+    )
+
+
+def strip_duplicate_substrings(
+    df: DataFrame,
+    text_column: str,
+    id_column: str,
+    min_tokens: int = 8,
+) -> DataFrame:
+    """The REMOVAL half of ExactSubstr dedup (Lee et al. 2022): drop
+    every duplicated substring from all but its globally-first
+    occurrence. Keep-first is decided at the anchor level — an n-gram
+    occurrence survives iff it is the minimum (doc id, position)
+    occurrence of its content — and the tokens covered by non-kept
+    duplicated anchors are removed; what remains is the doc's
+    deduplicated text. Tokenization is the shared [a-z0-9]+ word
+    normalization of the shingle family.
+
+    Scale posture: the keeper table is ONE partial-aggregatable
+    groupBy (count + min-struct per anchor content — no sort window
+    over anchor keys, so a viral boilerplate anchor never serializes
+    through a single task's sort); removal coverage merges to maximal
+    islands BEFORE the position explode, so fanout is span-sized, not
+    anchor-count x n. Reassembly is one doc-keyed aggregation.
+
+    Returns one row per input document:
+    (id, n_tokens, n_removed, clean_md5) where clean_md5 is the md5 of
+    the kept tokens joined by single spaces ('' when everything was
+    removed) — the value-verifiable fingerprint of the rewritten
+    corpus without shipping the full text through the comparator.
+    """
+    if min_tokens < 2:
+        raise ValueError("min_tokens must be >= 2")
+    anchors = _positional_anchor_rows(df, text_column, id_column, min_tokens)
+    keepers = anchors.groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        F.min(
+            F.struct(F.col("doc").alias("_d"), F.col("pos").alias("_p"))
+        ).alias("_first"),
+    )
+    removable = (
+        anchors.join(keepers, on="shingle")
+        .where(
+            (F.col("_cnt") >= 2)
+            & ~(
+                (F.col("_first._d") == F.col("doc"))
+                & (F.col("_first._p") == F.col("pos"))
+            )
+        )
+        .select("doc", "pos")
+    )
+    rm_pos = _merge_islands(removable, min_tokens).select(
+        "doc", F.explode(F.sequence("span_start", "span_end")).alias("pos")
+    )
+    norm = F.btrim(
+        F.regexp_replace(F.lower(F.col(text_column)), "[^a-z0-9]+", " ")
+    )
+    toks = df.select(
+        F.col(id_column).alias("doc"),
+        F.posexplode(F.split(norm, " ")).alias("pos", "tok"),
+    )
+    kept = (
+        toks.join(rm_pos, on=["doc", "pos"], how="left_anti")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("_n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(F.col("pos"), F.col("tok"))
+                        )
+                    ),
+                    lambda s: s.tok,
+                ),
+                " ",
+            ).alias("_clean"),
+        )
+    )
+    totals = df.select(
+        F.col(id_column).alias("doc"),
+        F.size(F.split(norm, " ")).cast("long").alias("n_tokens"),
+    )
+    return (
+        totals.join(kept, on="doc", how="left")
+        .select(
+            F.col("doc").alias(id_column),
+            "n_tokens",
+            (
+                F.col("n_tokens") - F.coalesce(F.col("_n_kept"), F.lit(0))
+            ).alias("n_removed"),
+            F.md5(F.coalesce(F.col("_clean"), F.lit(""))).alias("clean_md5"),
+        )
+    )

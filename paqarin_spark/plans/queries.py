@@ -10582,8 +10582,140 @@ SELECT generator, avg_forecast_mae, std_forecast_mae FROM (
 # driver check is the oldest. Everything after position 50 has at
 # least one green driver row from rounds 1-2 and stays covered by the
 # local sf0.001/sf0.01 gate (tools/check_oracle.py).
+
+def tx42_duplicate_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr span detection (operators.dedup.
+    duplicate_substring_spans) — Lee et al. 2022's substring dedup
+    primitive: every maximal token interval whose 8-gram anchors ALL
+    occur >= 2 times in the corpus (within-doc repeats count, as the
+    paper's suffix array does). tx23 counts duplicated fixed-width
+    spans; this finds the variable-length maximal duplicated
+    substrings themselves.
+
+    Scale shape: one anchor-keyed aggregation (partial agg bounds the
+    shuffle by vocabulary) + a semi-join flag pass + one DOC-keyed
+    islands window — no global sort, no suffix array."""
+    from paqarin_spark.operators import duplicate_substring_spans
+
+    configure_for_determinism(spark)
+    docs = _docs(spark, sf_dir)
+    out = duplicate_substring_spans(docs, "text", "doc_id", min_tokens=8)
+    return out.select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        F.col("span_len").cast("long").alias("span_len"),
+    ).orderBy("doc_id", "span_start")
+
+
+TX42_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+  FROM documents
+), anch AS (
+  SELECT doc_id, u.pos AS pos,
+         array_to_string(list_slice(t, u.pos + 1, u.pos + 8), ' ') AS sh
+  FROM toks, LATERAL (SELECT UNNEST(range(len(t) - 7)) AS pos) u
+), dup AS (
+  SELECT sh FROM anch GROUP BY sh HAVING COUNT(*) >= 2
+), hits AS (
+  SELECT a.doc_id, a.pos FROM anch a JOIN dup d ON d.sh = a.sh
+), isl AS (
+  SELECT doc_id, pos,
+         SUM(CASE WHEN prev IS NULL OR pos - prev > 8 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS UNBOUNDED PRECEDING) AS island
+  FROM (SELECT doc_id, pos,
+               LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM hits)
+)
+SELECT doc_id,
+       CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos) + 7 AS BIGINT) AS span_end,
+       CAST(MAX(pos) - MIN(pos) + 8 AS BIGINT) AS span_len
+FROM isl GROUP BY doc_id, island
+ORDER BY doc_id, span_start
+"""
+
+
+def tx43_exactsubstr_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr REMOVAL (operators.dedup.strip_duplicate_substrings)
+    — the corpus rewrite of Lee et al. 2022: duplicated substrings are
+    stripped from every occurrence except the globally-first one
+    (keep-first by doc id, then position, decided per 8-gram anchor).
+    Output per document: token count, removed-token count, and the md5
+    of the rewritten text — the value-verifiable fingerprint without
+    shipping full text through the comparator.
+
+    Scale shape: keeper table is ONE partial-aggregatable groupBy
+    (count + min-struct — no sort window over anchor content, so a
+    viral anchor never serializes through one task); removal intervals
+    merge to maximal islands BEFORE the position explode; reassembly
+    is one doc-keyed aggregation."""
+    from paqarin_spark.operators import strip_duplicate_substrings
+
+    configure_for_determinism(spark)
+    docs = _docs(spark, sf_dir)
+    return strip_duplicate_substrings(
+        docs, "text", "doc_id", min_tokens=8
+    ).orderBy("doc_id")
+
+
+TX43_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+  FROM documents
+), tokpos AS (
+  SELECT doc_id, u.pos AS pos, t[u.pos + 1] AS tok
+  FROM toks, LATERAL (SELECT UNNEST(range(len(t))) AS pos) u
+), anch AS (
+  SELECT doc_id, u.pos AS pos,
+         array_to_string(list_slice(t, u.pos + 1, u.pos + 8), ' ') AS sh
+  FROM toks, LATERAL (SELECT UNNEST(range(len(t) - 7)) AS pos) u
+), removable AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           ROW_NUMBER() OVER (PARTITION BY sh ORDER BY doc_id, pos) AS rk
+    FROM anch
+  ) WHERE rk > 1
+), isl AS (
+  SELECT doc_id, pos,
+         SUM(CASE WHEN prev IS NULL OR pos - prev > 8 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS UNBOUNDED PRECEDING) AS island
+  FROM (SELECT doc_id, pos,
+               LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM removable)
+), spans AS (
+  SELECT doc_id, MIN(pos) AS s, MAX(pos) + 7 AS e
+  FROM isl GROUP BY doc_id, island
+), rm AS (
+  SELECT doc_id, u.p AS pos
+  FROM spans, LATERAL (SELECT UNNEST(generate_series(s, e)) AS p) u
+), kept AS (
+  SELECT t.doc_id, COUNT(*) AS n_kept,
+         string_agg(t.tok, ' ' ORDER BY t.pos) AS clean
+  FROM tokpos t
+  LEFT JOIN rm ON rm.doc_id = t.doc_id AND rm.pos = t.pos
+  WHERE rm.pos IS NULL
+  GROUP BY t.doc_id
+)
+SELECT x.doc_id,
+       CAST(len(x.t) AS BIGINT) AS n_tokens,
+       CAST(len(x.t) - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed,
+       md5(COALESCE(k.clean, '')) AS clean_md5
+FROM toks x LEFT JOIN kept k ON k.doc_id = x.doc_id
+ORDER BY x.doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- round-5 additions (never driver-verified) come first ---
+    # --- round-6 additions (never driver-verified) come first ---
+    "tx42_duplicate_substrings": tx42_duplicate_substrings,
+    "tx43_exactsubstr_strip": tx43_exactsubstr_strip,
+    # --- round-5 additions, r5-driver-verified ---
     "ev11_ewma_backtest": ev11_ewma_backtest,
     "q90_priority_shipments": q90_priority_shipments,
     "q91_promo_revenue_share": q91_promo_revenue_share,
@@ -10641,10 +10773,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gen6_arnet_sample": gen6_arnet_sample,
     "em15_retrieval_topk": em15_retrieval_topk,
     "ev8_coverage_metric": ev8_coverage_metric,
-    "tx36_ingest_novelty": tx36_ingest_novelty,
-    "tx37_quality_dedup_keep": tx37_quality_dedup_keep,
     "ev1_pipeline_summary": ev1_pipeline_summary,
     # ------------- driver 50-entry window ends HERE (position 50) -------------
+    # tx36/tx37 (r5-green) displaced for round-6 tx42/tx43.
+    "tx36_ingest_novelty": tx36_ingest_novelty,
+    "tx37_quality_dedup_keep": tx37_quality_dedup_keep,
     "ev5_forecast_backtest": ev5_forecast_backtest,
     "em2_lsh_topk": em2_lsh_topk,
     "gen4_conditional_sample": gen4_conditional_sample,
@@ -10972,6 +11105,8 @@ ORACLE_SQL: dict[str, str] = {
     "q78_dormant_rich_customers": Q78_SQL,
     "q79_quantile_sketch": Q79_SQL,
     "tx38_fuzzy_supplier_match": TX38_SQL,
+    "tx42_duplicate_substrings": TX42_SQL,
+    "tx43_exactsubstr_strip": TX43_SQL,
     "st11_stream_quantile_sketch": ST11_SQL,
     "q80_bloom_prune": Q80_SQL,
     "q73_hll_distinct": Q73_SQL,

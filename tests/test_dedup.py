@@ -457,3 +457,113 @@ def test_fuzzy_pairs_duplicate_ids_collapse_to_min_dist(spark):
         for r in fuzzy_pairs(df, "s", "id").collect()
     )
     assert got == [(1, 2, 0)]
+
+
+def test_duplicate_substring_spans_maximal_islands(spark):
+    """Two docs share a 10-token passage -> with min_tokens=4 each doc
+    reports ONE maximal span covering exactly the shared passage; a
+    separate repeat inside one doc also counts (within-doc repeats
+    duplicate, as in Lee et al.'s suffix array)."""
+    from paqarin_spark.operators import duplicate_substring_spans
+
+    shared = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{shared} aa bb cc dd"),
+            (2, f"xx yy zz qq {shared}"),
+            # within-doc repeat of a 4-gram: "p1 p2 p3 p4" twice
+            (3, "p1 p2 p3 p4 mm nn oo pp p1 p2 p3 p4"),
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_len"])
+        for r in duplicate_substring_spans(
+            docs, "text", "doc_id", min_tokens=4
+        ).collect()
+    )
+    assert got == [
+        (1, 0, 9, 10),    # shared passage at head
+        (2, 4, 13, 10),   # shared passage at tail
+        (3, 0, 3, 4),     # first within-doc repeat
+        (3, 8, 11, 4),    # second within-doc repeat
+    ]
+
+
+def test_duplicate_substring_spans_merges_adjacent_runs(spark):
+    """Anchors whose coverage touches merge into one island even when
+    the duplicated content comes from DIFFERENT partner docs."""
+    from paqarin_spark.operators import duplicate_substring_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a1 a2 a3 a4 b1 b2 b3 b4"),  # a-run dup with 2, b-run with 3
+            (2, "a1 a2 a3 a4"),
+            (3, "b1 b2 b3 b4"),
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in duplicate_substring_spans(
+            docs, "text", "doc_id", min_tokens=4
+        ).collect()
+    )
+    # doc 1: anchors at 0 (a-run) and 4 (b-run); gap 4 == n -> merge
+    assert got == [(1, 0, 7), (2, 0, 3), (3, 0, 3)]
+
+
+def test_strip_duplicate_substrings_keep_first(spark):
+    """The globally-first occurrence (doc id, then position) keeps its
+    text; later occurrences lose the covered tokens. Docs without
+    duplicates (or shorter than n tokens) pass through untouched."""
+    import hashlib
+
+    from paqarin_spark.operators import strip_duplicate_substrings
+
+    shared = "w1 w2 w3 w4 w5"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{shared} tail1 tail2"),
+            (2, f"head1 head2 {shared}"),
+            (3, "solo1 solo2 solo3"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["clean_md5"])
+        for r in strip_duplicate_substrings(
+            docs, "text", "doc_id", min_tokens=4
+        ).collect()
+    }
+
+    def h(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    assert out[1] == (7, 0, h("w1 w2 w3 w4 w5 tail1 tail2"))
+    assert out[2] == (7, 5, h("head1 head2"))
+    assert out[3] == (3, 0, h("solo1 solo2 solo3"))
+
+
+def test_strip_duplicate_substrings_full_removal_and_validation(spark):
+    """A doc that is entirely a later copy hashes to md5('')."""
+    import hashlib
+
+    import pytest
+
+    from paqarin_spark.operators import strip_duplicate_substrings
+
+    docs = spark.createDataFrame(
+        [(1, "c1 c2 c3 c4"), (2, "c1 c2 c3 c4")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_removed"], r["clean_md5"])
+        for r in strip_duplicate_substrings(
+            docs, "text", "doc_id", min_tokens=4
+        ).collect()
+    }
+    assert out[1] == (0, hashlib.md5(b"c1 c2 c3 c4").hexdigest())
+    assert out[2] == (4, hashlib.md5(b"").hexdigest())
+    with pytest.raises(ValueError, match="min_tokens"):
+        strip_duplicate_substrings(docs, "text", "doc_id", min_tokens=1)
