@@ -10711,10 +10711,54 @@ ORDER BY x.doc_id
 """
 
 
+
+def mm13_audio_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-metadata harvest (multimodal.audio_meta_from_ids) — the
+    audio-side header probe beside the image (JPEG/PNG/BMP/EXIF) and
+    container (MP4) walks: even ids carry a REAL ID3v2.3 tag
+    (syncsafe size, bounds-checked text frames), odd ids a REAL FLAC
+    STREAMINFO block (the spec's 20/3/5/36-bit packed word), and
+    extraction reads only the bytes back. The oracle predicts every
+    tag from id arithmetic, so the output proves the header walks,
+    not the plumbing. Arrow-batched linear pass, no shuffle — the
+    pre-decode sharding step of a 100-TB audio ingest."""
+    from paqarin_spark.multimodal import audio_meta_from_ids
+
+    docs = _docs(spark, sf_dir)
+    return audio_meta_from_ids(docs, "doc_id").orderBy("asset_id")
+
+
+MM13_SQL = """
+SELECT doc_id AS asset_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'id3' ELSE 'flac' END AS container,
+       CASE WHEN doc_id % 2 = 0
+            THEN 'track-' || CAST(doc_id AS VARCHAR) END AS title,
+       CASE WHEN doc_id % 2 = 0
+            THEN 'artist-' || CAST(doc_id % 6 AS VARCHAR) END AS artist,
+       CASE WHEN doc_id % 2 = 0
+            THEN CAST(2000 + doc_id % 25 AS INTEGER) END AS year,
+       CASE WHEN doc_id % 2 = 1 THEN CAST(
+         CASE doc_id % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+              WHEN 2 THEN 22050 WHEN 3 THEN 44100 ELSE 48000 END
+         AS INTEGER) END AS sample_rate,
+       CASE WHEN doc_id % 2 = 1
+            THEN CAST(doc_id % 4 + 1 AS INTEGER) END AS channels,
+       CASE WHEN doc_id % 2 = 1 THEN CAST(
+         CASE doc_id % 3 WHEN 0 THEN 8 WHEN 1 THEN 16 ELSE 24 END
+         AS INTEGER) END AS bits_per_sample,
+       CASE WHEN doc_id % 2 = 1
+            THEN CAST(doc_id * 1000 + doc_id % 7 AS BIGINT)
+            END AS total_samples
+FROM documents
+ORDER BY asset_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-6 additions (never driver-verified) come first ---
     "tx42_duplicate_substrings": tx42_duplicate_substrings,
     "tx43_exactsubstr_strip": tx43_exactsubstr_strip,
+    "mm13_audio_metadata": mm13_audio_metadata,
     # --- round-5 additions, r5-driver-verified ---
     "ev11_ewma_backtest": ev11_ewma_backtest,
     "q90_priority_shipments": q90_priority_shipments,
@@ -10773,9 +10817,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gen6_arnet_sample": gen6_arnet_sample,
     "em15_retrieval_topk": em15_retrieval_topk,
     "ev8_coverage_metric": ev8_coverage_metric,
-    "ev1_pipeline_summary": ev1_pipeline_summary,
     # ------------- driver 50-entry window ends HERE (position 50) -------------
-    # tx36/tx37 (r5-green) displaced for round-6 tx42/tx43.
+    # tx36/tx37/ev1 (r5-green) displaced for round-6 tx42/tx43/mm13.
+    "ev1_pipeline_summary": ev1_pipeline_summary,
     "tx36_ingest_novelty": tx36_ingest_novelty,
     "tx37_quality_dedup_keep": tx37_quality_dedup_keep,
     "ev5_forecast_backtest": ev5_forecast_backtest,
@@ -11107,6 +11151,7 @@ ORACLE_SQL: dict[str, str] = {
     "tx38_fuzzy_supplier_match": TX38_SQL,
     "tx42_duplicate_substrings": TX42_SQL,
     "tx43_exactsubstr_strip": TX43_SQL,
+    "mm13_audio_metadata": MM13_SQL,
     "st11_stream_quantile_sketch": ST11_SQL,
     "q80_bloom_prune": Q80_SQL,
     "q73_hll_distinct": Q73_SQL,

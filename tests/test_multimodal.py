@@ -553,3 +553,94 @@ def test_exif_big_endian_and_malformed():
     seg = truncated[2:]
     fixed = b"\xff\xd8" + struct.pack(">HH", 0xFFE1, len(seg) - 2) + seg[4:]
     assert parse_exif(fixed + b"\xff\xd9") is None
+
+
+def test_id3v2_roundtrip_and_strictness():
+    """Tag text survives the encode->parse roundtrip only through the
+    real header walk; malformed headers return None, never garbage."""
+    from paqarin_spark.multimodal import encode_id3v2, parse_id3v2
+
+    tag = encode_id3v2([("TIT2", "song"), ("TPE1", "band"), ("TYER", "2011")])
+    got = parse_id3v2(tag + b"\xff\xfb\x00\x00")
+    assert got == {"TIT2": "song", "TPE1": "band", "TYER": "2011"}
+
+    assert parse_id3v2(b"") is None
+    assert parse_id3v2(b"ID4" + tag[3:]) is None          # bad magic
+    assert parse_id3v2(tag[:3] + b"\x04" + tag[4:]) is None  # wrong version
+    bad_size = bytearray(tag)
+    bad_size[6] = 0x80                                     # non-syncsafe byte
+    assert parse_id3v2(bytes(bad_size)) is None
+    truncated = tag[: 10 + 5]                              # frame cut mid-header
+    assert parse_id3v2(truncated) is None
+    # frame body length pointing past the tag -> None
+    oversize = bytearray(tag)
+    oversize[14:18] = (1 << 20).to_bytes(4, "big")
+    assert parse_id3v2(bytes(oversize)) is None
+    # lowercase frame id is not a valid v2.3 id
+    lower = bytearray(tag)
+    lower[10:14] = b"tit2"
+    assert parse_id3v2(bytes(lower)) is None
+
+
+def test_flac_streaminfo_roundtrip_and_strictness():
+    """STREAMINFO bit fields unpack exactly; bounds and the last-block
+    flag are honored; a vendor block before STREAMINFO is walked over."""
+    import struct as _struct
+
+    import pytest
+
+    from paqarin_spark.multimodal import (
+        encode_flac_streaminfo,
+        parse_flac_streaminfo,
+    )
+
+    f = encode_flac_streaminfo(48000, 8, 24, (1 << 36) - 1)
+    assert parse_flac_streaminfo(f) == {
+        "sample_rate": 48000,
+        "channels": 8,
+        "bits_per_sample": 24,
+        "total_samples": (1 << 36) - 1,
+    }
+    # STREAMINFO behind a non-last VORBIS_COMMENT block still found
+    vendor = bytes([0x04]) + (8).to_bytes(3, "big") + b"\x00" * 8
+    behind = b"fLaC" + vendor + f[4:]
+    assert parse_flac_streaminfo(behind) == parse_flac_streaminfo(f)
+    assert parse_flac_streaminfo(b"") is None
+    assert parse_flac_streaminfo(b"fLaX" + f[4:]) is None  # bad magic
+    assert parse_flac_streaminfo(f[:20]) is None           # truncated block
+    # last-flagged vendor block and no STREAMINFO -> None
+    only_vendor = b"fLaC" + bytes([0x84]) + (8).to_bytes(3, "big") + b"\x00" * 8
+    assert parse_flac_streaminfo(only_vendor) is None
+    # wrong STREAMINFO length -> None
+    badlen = b"fLaC" + bytes([0x80]) + (33).to_bytes(3, "big") + f[8:41]
+    assert parse_flac_streaminfo(badlen) is None
+    with pytest.raises(ValueError):
+        encode_flac_streaminfo(1 << 20, 1, 16, 0)
+    with pytest.raises(ValueError):
+        encode_flac_streaminfo(44100, 9, 16, 0)
+
+
+def test_audio_meta_from_ids_split_by_container(spark):
+    """Even ids carry ID3 text tags, odd ids carry FLAC STREAMINFO;
+    every populated value matches the id-arithmetic recipe and the
+    other container's columns stay NULL."""
+    from paqarin_spark.multimodal import _FLAC_BITS, _FLAC_RATES, audio_meta_from_ids
+
+    ids = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    rows = {r["asset_id"]: r for r in audio_meta_from_ids(ids, "doc_id").collect()}
+    assert len(rows) == 10
+    for i in range(10):
+        r = rows[i]
+        if i % 2 == 0:
+            assert r["container"] == "id3"
+            assert r["title"] == f"track-{i}"
+            assert r["artist"] == f"artist-{i % 6}"
+            assert r["year"] == 2000 + i % 25
+            assert r["sample_rate"] is None and r["total_samples"] is None
+        else:
+            assert r["container"] == "flac"
+            assert r["sample_rate"] == _FLAC_RATES[i % 5]
+            assert r["channels"] == i % 4 + 1
+            assert r["bits_per_sample"] == _FLAC_BITS[i % 3]
+            assert r["total_samples"] == i * 1000 + i % 7
+            assert r["title"] is None and r["year"] is None
