@@ -10754,11 +10754,59 @@ ORDER BY asset_id
 """
 
 
+
+def st14_stream_view_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING incremental-view maintenance — the stateful dual of
+    q86's batch base+delta merge (streaming.stream_view_rollup):
+    per-user state holds the exact running aggregate (count, scaled-
+    integer decimal sum, max ts) and publishes corrected rows under a
+    monotone version; the finisher takes max-version rows and applies
+    the batch pipeline's decimal(30,10)→double→6dp arithmetic. The
+    ORACLE is the plain GROUP BY full recompute over all events, so
+    the hash match proves the streaming state converges to the exact
+    batch view regardless of micro-batch boundaries or arrival order.
+
+    Scale shape: state is ONE row per user, O(users) forever; each
+    micro-batch pays one user-keyed exchange — the refresh cost a
+    100-TB continuously-maintained rollup actually needs."""
+    from paqarin_spark.streaming import (
+        stream_view_rollup,
+        view_from_emissions,
+    )
+
+    configure_for_determinism(spark)
+    stream = _events_stream(spark, sf_dir)
+    emi = stream_view_rollup(stream)
+    name = "st14_stream_view_rollup"
+    q = (
+        emi.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return view_from_emissions(spark.table(name)).orderBy("user_id")
+
+
+ST14_SQL = """
+SELECT user_id,
+       COUNT(*) AS n_events,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(30,10))) AS DOUBLE), 6)
+         AS sum_value,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_seen
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-6 additions (never driver-verified) come first ---
     "tx42_duplicate_substrings": tx42_duplicate_substrings,
     "tx43_exactsubstr_strip": tx43_exactsubstr_strip,
     "mm13_audio_metadata": mm13_audio_metadata,
+    "st14_stream_view_rollup": st14_stream_view_rollup,
     # --- round-5 additions, r5-driver-verified ---
     "ev11_ewma_backtest": ev11_ewma_backtest,
     "q90_priority_shipments": q90_priority_shipments,
@@ -10816,9 +10864,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q75_grouping_sets": q75_grouping_sets,
     "gen6_arnet_sample": gen6_arnet_sample,
     "em15_retrieval_topk": em15_retrieval_topk,
-    "ev8_coverage_metric": ev8_coverage_metric,
     # ------------- driver 50-entry window ends HERE (position 50) -------------
-    # tx36/tx37/ev1 (r5-green) displaced for round-6 tx42/tx43/mm13.
+    # tx36/tx37/ev1/ev8 (r5-green) displaced for round-6 tx42/tx43/mm13/st14.
+    "ev8_coverage_metric": ev8_coverage_metric,
     "ev1_pipeline_summary": ev1_pipeline_summary,
     "tx36_ingest_novelty": tx36_ingest_novelty,
     "tx37_quality_dedup_keep": tx37_quality_dedup_keep,
@@ -11152,6 +11200,7 @@ ORACLE_SQL: dict[str, str] = {
     "tx42_duplicate_substrings": TX42_SQL,
     "tx43_exactsubstr_strip": TX43_SQL,
     "mm13_audio_metadata": MM13_SQL,
+    "st14_stream_view_rollup": ST14_SQL,
     "st11_stream_quantile_sketch": ST11_SQL,
     "q80_bloom_prune": Q80_SQL,
     "q73_hll_distinct": Q73_SQL,

@@ -700,3 +700,122 @@ def cohort_retention_from_emissions(emissions: DataFrame) -> DataFrame:
         )
         .orderBy("cohort_day", "week_offset")
     )
+
+
+def stream_view_rollup(
+    stream: DataFrame,
+    user_column: str = "user_id",
+    ts_column: str = "ts",
+    value_column: str = "value",
+) -> DataFrame:
+    """Streaming MATERIALIZED-VIEW maintenance — the stateful dual of
+    the q86 batch base+delta merge: per-user state carries the exact
+    running aggregate (event count, value sum, max timestamp) and each
+    emission publishes the corrected row under a monotone version, so
+    a reader taking max-version rows holds the same view a batch FULL
+    recompute would produce, independent of micro-batch boundaries or
+    arrival order.
+
+    Determinism contract: the value sum is kept as an EXACT scaled
+    integer (each double is rounded to 10dp HALF_UP — bit-equal to
+    Spark/DuckDB ``CAST(value AS DECIMAL(30,10))`` — and summed in
+    arbitrary-precision int, so fold order cannot matter); emissions
+    carry the sum as a plain decimal string and the finisher casts it
+    back through decimal(30,10) before the display rounding, exactly
+    the batch pipeline's arithmetic.
+
+    State bound: ONE row per user (three scalars + a version) —
+    O(users) forever, never O(events)."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    staged = stream.select(
+        F.col(user_column).alias("user_id"),
+        F.unix_micros(F.col(ts_column)).alias("_ts_us"),
+        F.col(value_column).alias("_v"),
+    )
+    out_type = StructType(
+        [
+            StructField("user_id", LongType(), True),
+            StructField("version", LongType(), False),
+            StructField("n_events", LongType(), False),
+            StructField("sum_dec", StringType(), False),
+            StructField("last_ts_us", LongType(), True),
+        ]
+    )
+    state_type = StructType(
+        [
+            StructField("n", LongType(), True),
+            StructField("sum_scaled", StringType(), True),
+            StructField("last_ts", LongType(), True),
+            StructField("version", LongType(), True),
+        ]
+    )
+
+    def fold(key, pdf_iter, state: GroupState):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        if state.exists:
+            n, s_str, last, version = state.get
+            s = int(s_str)
+        else:
+            n, s, last, version = 0, 0, None, 0
+        for pdf in pdf_iter:
+            n += len(pdf)
+            for v in pdf["_v"]:
+                if not pd.isna(v):
+                    s += int(
+                        Decimal(float(v))
+                        .scaleb(10)
+                        .quantize(Decimal(1), rounding=ROUND_HALF_UP)
+                    )
+            for t in pdf["_ts_us"]:
+                if not pd.isna(t):
+                    t = int(t)
+                    last = t if last is None or t > last else last
+        version += 1
+        state.update((n, str(s), last, version))
+        dec = format(Decimal(s).scaleb(-10), "f")
+        yield pd.DataFrame(
+            [(key[0], version, n, dec, last)],
+            columns=["user_id", "version", "n_events", "sum_dec",
+                     "last_ts_us"],
+        )
+
+    return staged.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType=out_type,
+        stateStructType=state_type,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def view_from_emissions(emissions: DataFrame) -> DataFrame:
+    """Finish a :func:`stream_view_rollup` emission table into the
+    per-user view: max-version rows, then the decimal-string sum cast
+    back through decimal(30,10) and the same 6dp display rounding /
+    timestamp formatting as the batch full recompute — so a streaming
+    run hash-matches the plain GROUP BY oracle."""
+    w = Window.partitionBy("user_id")
+    latest = (
+        emissions.withColumn("_mx", F.max("version").over(w))
+        .where(F.col("version") == F.col("_mx"))
+    )
+    return latest.select(
+        "user_id",
+        "n_events",
+        F.round(
+            F.col("sum_dec").cast("decimal(30,10)").cast("double"), 6
+        ).alias("sum_value"),
+        F.date_format(
+            F.timestamp_micros("last_ts_us"), "yyyy-MM-dd HH:mm:ss"
+        ).alias("last_seen"),
+    )

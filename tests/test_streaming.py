@@ -671,3 +671,78 @@ def test_stream_interval_join_left_outer_emits_unmatched(spark, tmp_path):
             F.col("event_type") == "purchase",
             how="full_outer",
         )
+
+
+def _run_checkpointed_append(spark, stream_df, out_dir: str, ckpt: str):
+    # memory sink rejects append-mode recovery; parquet is the
+    # fault-tolerant sink
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.read.parquet(out_dir)
+
+
+def test_stream_view_rollup_state_survives_checkpoint_restart(spark, tmp_path):
+    """Durable-state pin for the incremental-view rollup: the restarted
+    query replays only NEW files (including out-of-order timestamps
+    and negative/NULL values), so the finished view can equal the
+    batch full recompute only if the per-user running aggregates were
+    recovered from the state store."""
+    from paqarin_spark.streaming import stream_view_rollup, view_from_emissions
+
+    path = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    part1 = spark.range(0, 100).select(
+        (F.col("id") % 10).alias("user_id"),
+        F.timestamp_micros(
+            F.lit(1700000000_000000) + F.col("id") * 60_000_000
+        ).alias("ts"),
+        (F.col("id") * 0.25 - 3.0).alias("value"),
+    )
+    # part2: EARLIER timestamps than part1's tail plus a NULL value
+    part2 = spark.range(100, 200).select(
+        (F.col("id") % 10).alias("user_id"),
+        F.timestamp_micros(
+            F.lit(1700000000_000000) + (F.col("id") - 150) * 60_000_000
+        ).alias("ts"),
+        F.when(F.col("id") % 7 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("id") * -0.125)
+        .alias("value"),
+    )
+    part1.repartition(2).write.mode("append").parquet(path)
+    schema = "user_id long, ts timestamp, value double"
+
+    out_dir = str(tmp_path / "out")
+    stream = spark.readStream.schema(schema).parquet(path)
+    _run_checkpointed_append(
+        spark, stream_view_rollup(stream), out_dir, ckpt
+    )
+
+    part2.repartition(2).write.mode("append").parquet(path)
+    stream2 = spark.readStream.schema(schema).parquet(path)
+    emi = _run_checkpointed_append(
+        spark, stream_view_rollup(stream2), out_dir, ckpt
+    )
+    got = {
+        r["user_id"]: (r["n_events"], r["sum_value"], r["last_seen"])
+        for r in view_from_emissions(emi).collect()
+    }
+    batch = spark.read.parquet(path).groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(30,10)")).cast("double"), 6
+        ).alias("sum_value"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_seen"),
+    )
+    want = {
+        r["user_id"]: (r["n_events"], r["sum_value"], r["last_seen"])
+        for r in batch.collect()
+    }
+    assert got == want
+    assert all(n == 20 for n, _, _ in got.values())

@@ -13,13 +13,24 @@ Amber flags (report, don't fail — legitimate in bounded contexts):
     grows with the data (this is how the block-matrix crossJoin bug
     was found)
 
-Usage: python tools/plan_audit.py [sf_dir] [query ...]
+Streaming queries (st*) execute to completion INSIDE their callable,
+so the frame they return is a memory-sink scan — batch-auditing it
+would silently grade the wrong plan. The default pass SKIPs them
+visibly; `--streaming` runs them under a StreamingQueryListener and
+audits what actually matters for a stream: that a stateful operator
+is present and its state row count is bounded (reported, so growth
+across rounds is reviewable).
+
+Usage:
+  python tools/plan_audit.py [sf_dir] [query ...]       batch plans
+  python tools/plan_audit.py --streaming [sf_dir] [st_query ...]
 """
 
 from __future__ import annotations
 
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -29,30 +40,18 @@ import __spark_entry__ as entrymod  # noqa: E402
 RED = ("BatchEvalPython", "CartesianProduct")
 AMBER = ("Exchange SinglePartition", "BroadcastNestedLoopJoin")
 
-# Streaming queries run to completion inside the callable; their
-# returned frame is a memory-sink scan, so the interesting plan has
-# already executed. Audit the batch plans.
-SKIP = {
-    "st1_stream_daily_sum",
-    "st2_stream_window_sums",
-    "st3_stream_sessions",
-    "st4_stream_minmax",
-    "st5_stream_dedup",
-    "st6_stream_daily_users",
-    "st7_stream_enrich",
-    "st8_stream_interval_join",
-}
+
+def _is_streaming(name: str) -> bool:
+    return name.startswith("st") and name[2:3].isdigit()
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
-    spark = get_session("plan-audit")
-    spark.sparkContext.setLogLevel("ERROR")
-
+def audit_batch(spark, sf_dir: str, only: set[str]) -> list[str]:
     failures: list[str] = []
     for name, fn in entrymod.queries().items():
-        if name in SKIP or (only and name not in only):
+        if only and name not in only:
+            continue
+        if _is_streaming(name):
+            print(f"SKIP {name}: streaming — audit with --streaming")
             continue
         try:
             plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
@@ -66,6 +65,80 @@ def main() -> int:
         print(f"{status:4} {name}: {notes}")
         if reds:
             failures.append(f"{name}: {reds}")
+    return failures
+
+
+def audit_streaming(spark, sf_dir: str, only: set[str]) -> list[str]:
+    """Run each streaming query under a progress listener and report
+    its stateful operators + peak state rows. Fails a query whose run
+    produced NO stateful operator (the memory-sink-scan trap this
+    audit exists to prevent) — stateless pass-through streams must be
+    explicitly adjudicated, not silently skipped."""
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    class Collector(StreamingQueryListener):
+        def __init__(self) -> None:
+            self.ops: dict[str, dict[str, int]] = {}
+
+        def onQueryStarted(self, event) -> None:  # noqa: N802
+            pass
+
+        def onQueryProgress(self, event) -> None:  # noqa: N802
+            p = event.progress
+            for so in p.stateOperators:
+                d = self.ops.setdefault(so.operatorName, {})
+                d["numRowsTotal"] = max(
+                    d.get("numRowsTotal", 0), so.numRowsTotal
+                )
+
+        def onQueryIdle(self, event) -> None:  # noqa: N802
+            pass
+
+        def onQueryTerminated(self, event) -> None:  # noqa: N802
+            pass
+
+    failures: list[str] = []
+    for name, fn in entrymod.queries().items():
+        if not _is_streaming(name) or (only and name not in only):
+            continue
+        collector = Collector()
+        spark.streams.addListener(collector)
+        try:
+            fn(spark, sf_dir).collect()
+            # listener events are delivered async; drain briefly
+            deadline = time.time() + 10
+            while not collector.ops and time.time() < deadline:
+                time.sleep(0.2)
+        except Exception as exc:  # noqa: BLE001
+            failures.append(f"{name}: streaming run failed: {exc}")
+            spark.streams.removeListener(collector)
+            continue
+        spark.streams.removeListener(collector)
+        if not collector.ops:
+            failures.append(f"{name}: no stateful operator observed")
+            print(f"FAIL {name}: no stateful operator observed")
+        else:
+            desc = ", ".join(
+                f"{op}[rows<={d['numRowsTotal']}]"
+                for op, d in sorted(collector.ops.items())
+            )
+            print(f"ok   {name}: {desc}")
+    return failures
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    streaming_mode = "--streaming" in args
+    args = [a for a in args if a != "--streaming"]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    only = set(args[1:])
+    spark = get_session("plan-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if streaming_mode:
+        failures = audit_streaming(spark, sf_dir, only)
+    else:
+        failures = audit_batch(spark, sf_dir, only)
 
     if failures:
         print(f"\n{len(failures)} plan failures")
