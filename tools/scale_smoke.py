@@ -794,6 +794,239 @@ def main() -> int:
         f"[{'ok' if ok else 'EXPECTED 100,000'}]"
     )
 
+
+    # BFS hops over a 20M-edge layered graph: 5 edges per node map
+    # layer k onto layer k+1 via i -> (i*c + r) % M with gcd(c, M)=1,
+    # so each residue image is a bijection and EVERY next-layer node
+    # sits at exactly hop k+1 — per-hop counts have a closed form and
+    # the frontier never revisits (edges only point forward).
+    from paqarin_spark.operators import bfs_hops, kcore_peel
+
+    M = 1_000_000
+    c_mul = 999_983  # prime, coprime with 10^6
+    t0 = time.perf_counter()
+    e = spark.range(20 * M).select(
+        (F.col("id") % F.lit(5)).alias("_r"),
+        (F.floor(F.col("id") / 5) % M).alias("_i"),
+        F.floor(F.col("id") / (5 * M)).alias("_l"),
+    )
+    ledges = e.select(
+        (F.col("_l") * M + F.col("_i")).alias("src"),
+        (
+            (F.col("_l") + 1) * M
+            + F.pmod(F.col("_i") * c_mul + F.col("_r"), F.lit(M))
+        ).alias("dst"),
+    )
+    seeds = spark.range(M).select(F.col("id").alias("node"))
+    hops = (
+        bfs_hops(ledges, seeds, max_hops=4)
+        .groupBy("hop")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    dt = time.perf_counter() - t0
+    got_hops = {r["hop"]: r["n"] for r in hops}
+    ok = all(got_hops.get(h) == M for h in (1, 2, 3, 4))
+    checks.append(ok)
+    print(
+        f"{'bfs hops 20M edges':24} {dt:7.1f}s  rows={sum(got_hops.values()):>12,}  "
+        f"[{'ok' if ok else f'per-hop counts {got_hops}'}]"
+    )
+
+    # k-core peel over a 10M-edge planted graph: a degree-4 circulant
+    # core (neighbors ±1, ±2 on a 1M ring) with a 3-node pendant chain
+    # on every core node. At k=2 the chains peel EXACTLY one node per
+    # round from the tip inward; the core never drops below degree 4.
+    t0 = time.perf_counter()
+    ring = spark.range(4 * M).select(
+        (F.col("id") % M).alias("_i"),
+        F.floor(F.col("id") / M).alias("_d"),
+    )
+    core_edges = ring.select(
+        F.col("_i").alias("src"),
+        F.pmod(
+            F.col("_i")
+            + F.when(F.col("_d") == 0, 1)
+            .when(F.col("_d") == 1, -1)
+            .when(F.col("_d") == 2, 2)
+            .otherwise(-2),
+            F.lit(M),
+        ).alias("dst"),
+    )
+    ch = spark.range(3 * M).select(
+        (F.col("id") % M).alias("_i"), F.floor(F.col("id") / M).alias("_lvl")
+    )
+    chain_up = ch.select(
+        (F.col("_lvl") * M + F.col("_i")).alias("src"),
+        ((F.col("_lvl") + 1) * M + F.col("_i")).alias("dst"),
+    )
+    chain_down = chain_up.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    gedges = core_edges.unionByName(chain_up).unionByName(chain_down)
+    peel = (
+        kcore_peel(gedges, k=2, rounds=3)
+        .groupBy("peel_round")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    dt = time.perf_counter() - t0
+    got_peel = {r["peel_round"]: r["n"] for r in peel}
+    ok = (
+        got_peel.get(1) == M
+        and got_peel.get(2) == M
+        and got_peel.get(3) == M
+        and got_peel.get(None) == M
+    )
+    checks.append(ok)
+    print(
+        f"{'kcore peel 10M edges':24} {dt:7.1f}s  rows={sum(got_peel.values()):>12,}  "
+        f"[{'ok' if ok else f'per-round counts {got_peel}'}]"
+    )
+
+    # Stream-stream LEFT-OUTER interval join at 1.5M events: every
+    # even key's 'a' gets a 'b' partner 60s later (inside the 1h lag),
+    # odd keys never do; a far-future sentinel pushes the final
+    # watermark past every window, so under the fixed cutoff the
+    # match/no-match split is exact: K/2 attributed, K/2 abandoned.
+    import shutil
+    import tempfile
+
+    from paqarin_spark.streaming import stream_interval_join
+
+    K = 1_000_000
+    tmp = tempfile.mkdtemp(prefix="smoke_st_")
+    try:
+        base = 1_600_000_000
+        left = spark.range(K).select(
+            F.col("id").alias("event_id"),
+            F.col("id").alias("user_id"),
+            F.lit("a").alias("event_type"),
+            F.timestamp_seconds(F.lit(base) + F.col("id") % 86_400).alias("ts"),
+        )
+        right = spark.range(K // 2).select(
+            (F.col("id") + K).alias("event_id"),
+            (F.col("id") * 2).alias("user_id"),
+            F.lit("b").alias("event_type"),
+            F.timestamp_seconds(
+                F.lit(base) + (F.col("id") * 2) % 86_400 + 60
+            ).alias("ts"),
+        )
+        # one far-future sentinel PER SIDE: the global watermark is the
+        # MIN over both filtered sides' watermarks, so advancing only
+        # the left side would never evict (or emit) unmatched state
+        sentinel = spark.range(2).select(
+            (F.lit(9_999_999) + F.col("id")).alias("event_id"),
+            (F.lit(K + 7) + F.col("id") * 13).alias("user_id"),
+            F.when(F.col("id") == 0, F.lit("a")).otherwise(F.lit("b")).alias(
+                "event_type"
+            ),
+            F.timestamp_seconds(
+                F.lit(base + 90 * 86_400) + F.col("id") * 7_200
+            ).alias("ts"),
+        )
+        left.unionByName(right).unionByName(sentinel).repartition(
+            8
+        ).write.mode("overwrite").parquet(f"{tmp}/in")
+        t0 = time.perf_counter()
+        stream = spark.readStream.schema(
+            "event_id long, user_id long, event_type string, ts timestamp"
+        ).parquet(f"{tmp}/in")
+        joined = stream_interval_join(
+            stream,
+            timestamp_column="ts",
+            key_column="user_id",
+            left_filter=F.col("event_type") == "a",
+            right_filter=F.col("event_type") == "b",
+            max_lag="1 hour",
+            watermark="1 day",
+            how="left_outer",
+        )
+        q = (
+            joined.writeStream.format("memory")
+            .queryName("smoke_st_join")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        res = (
+            spark.table("smoke_st_join")
+            .where(
+                F.col("left_ts")
+                < F.timestamp_seconds(F.lit(base + 2 * 86_400))
+            )
+            .agg(
+                F.count("right_id").alias("n_matched"),
+                F.count(
+                    F.when(F.col("right_id").isNull(), F.lit(1))
+                ).alias("n_abandoned"),
+            )
+            .first()
+        )
+        dt = time.perf_counter() - t0
+        ok = res["n_matched"] == K // 2 and res["n_abandoned"] == K // 2
+        checks.append(ok)
+        print(
+            f"{'stream left join 1.5M':24} {dt:7.1f}s  rows={res['n_matched'] + res['n_abandoned']:>12,}  "
+            f"[{'ok' if ok else f'matched={res[0]}'}]"
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    # ExactSubstr spans over a 10M-token corpus: 100k docs of 100
+    # tokens, all unique except a 20-token passage shared by each
+    # (2k, 2k+1) pair at positions 40..59 — every doc reports exactly
+    # ONE maximal span [40, 59]; boundary-straddling anchors contain
+    # unique tokens and cannot extend it.
+    from paqarin_spark.operators import duplicate_substring_spans
+
+    t0 = time.perf_counter()
+    D = 100_000
+    docs = spark.range(D).select(
+        F.col("id").alias("doc_id"),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(99)),
+                lambda i: F.when(
+                    (i >= 40) & (i < 60),
+                    F.concat(
+                        F.lit("s"),
+                        (F.col("id") / 2).cast("long").cast("string"),
+                        F.lit("x"),
+                        i.cast("string"),
+                    ),
+                ).otherwise(
+                    F.concat(
+                        F.lit("d"),
+                        F.col("id").cast("string"),
+                        F.lit("x"),
+                        i.cast("string"),
+                    )
+                ),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    spans = duplicate_substring_spans(docs, "text", "doc_id", min_tokens=8)
+    agg = spans.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            (
+                (F.col("span_start") == 40)
+                & (F.col("span_end") == 59)
+                & (F.col("span_len") == 20)
+            ).cast("long")
+        ).alias("exact"),
+    ).first()
+    dt = time.perf_counter() - t0
+    ok = agg["n"] == D and agg["exact"] == D
+    checks.append(ok)
+    print(
+        f"{'substring spans 10M tok':24} {dt:7.1f}s  rows={agg['n']:>12,}  "
+        f"[{'ok' if ok else f'exact={agg[1]}'}]"
+    )
+
     print("all invariants hold" if all(checks) else "INVARIANT FAILURES")
     return 0 if all(checks) else 1
 
