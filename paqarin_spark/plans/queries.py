@@ -10801,12 +10801,242 @@ ORDER BY user_id
 """
 
 
+
+def q92_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer distribution): histogram of customers
+    by how many qualifying (non-urgent) orders they placed, INCLUDING
+    the zero bucket — the left-outer-join-then-double-aggregate shape
+    Q13 exists to test (an inner join would silently drop the
+    customers with no orders, usually the biggest bucket).
+
+    Scale shape: one left join keyed on custkey (the filter prunes
+    the probe side before the join), then two partial-aggregatable
+    groupBys — counts only, no float arithmetic anywhere."""
+    configure_for_determinism(spark)
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = read_table(spark, sf_dir, "orders").where(
+        ~F.col("o_orderpriority").startswith("1-")
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+Q92_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o
+    ON o.o_custkey = c.c_custkey AND o.o_orderpriority NOT LIKE '1-%'
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q93_trade_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the customer–supplier trade graph
+    (Newman 2002, "Assortative mixing in networks"): the Pearson
+    correlation of endpoint degrees over all directed edges — do
+    high-degree customers trade with high-degree suppliers? Completes
+    the graph-analysis family (pagerank, components, triangles, BFS,
+    k-core) with its standard structure METRIC.
+
+    Determinism: every sum term is an INTEGER (degrees × degrees), so
+    numerator and both variance terms are exact bigint-domain values;
+    floats appear only in the final sqrt/divide, where both engines
+    see identical exact inputs (< 2^53) and IEEE sqrt/divide are
+    correctly rounded. Scale shape: one distinct pair build, one
+    degree groupBy, two keyed joins to label edge endpoints, one
+    global aggregation — no windows, no collects."""
+    configure_for_determinism(spark)
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    e = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("a"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("b"),
+        )
+        .distinct()
+    )
+    und = e.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        e.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).select(
+        F.col("src").alias("node"), "deg"
+    )
+    lab = (
+        und.join(deg.withColumnRenamed("deg", "dx"), und.src == deg.node)
+        .drop("node")
+        .join(
+            deg.withColumnRenamed("deg", "dy").withColumnRenamed(
+                "node", "node2"
+            ),
+            F.col("dst") == F.col("node2"),
+        )
+    )
+    agg = lab.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("dx").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+    )
+    return agg.select(
+        F.col("m").alias("n_edges"),
+        F.round(
+            (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (
+                F.sqrt(
+                    (
+                        F.col("m") * F.col("sxx")
+                        - F.col("sx") * F.col("sx")
+                    ).cast("double")
+                )
+                * F.sqrt(
+                    (
+                        F.col("m") * F.col("syy")
+                        - F.col("sy") * F.col("sy")
+                    ).cast("double")
+                )
+            ),
+            6,
+        ).alias("assortativity"),
+    )
+
+
+Q93_SQL = """
+WITH e AS (
+  SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS a,
+                  's' || CAST(l.l_suppkey AS VARCHAR) AS b
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+), und AS (
+  SELECT a AS src, b AS dst FROM e
+  UNION ALL
+  SELECT b AS src, a AS dst FROM e
+), deg AS (
+  SELECT src AS node, COUNT(*) AS deg FROM und GROUP BY src
+), lab AS (
+  SELECT dx.deg AS dx, dy.deg AS dy
+  FROM und u
+  JOIN deg dx ON dx.node = u.src
+  JOIN deg dy ON dy.node = u.dst
+)
+SELECT COUNT(*) AS n_edges,
+       ROUND(
+         (COUNT(*) * SUM(dx * dy) - SUM(dx) * SUM(dy))
+         / (SQRT(CAST(COUNT(*) * SUM(dx * dx) - SUM(dx) * SUM(dx) AS DOUBLE))
+            * SQRT(CAST(COUNT(*) * SUM(dy * dy) - SUM(dy) * SUM(dy) AS DOUBLE))),
+         6) AS assortativity
+FROM lab
+"""
+
+
+def ev12_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square drift test over the event-type mix: the contingency
+    of event_type × period (before/after Jan 20) and Pearson's X² —
+    the categorical-distribution drift gate a generation pipeline runs
+    beside the numeric TVD/KS/energy family (ev4/ev6/ev9). All counts
+    are integers; expected counts and per-cell contributions are
+    IEEE-deterministic from exact inputs, each cell's contribution is
+    stabilized at 9dp and summed in EXACT decimal (cell count is
+    bounded by the type alphabet, but the engines' float sum orders
+    are not — the q33 decimal-sum discipline applied to a float)."""
+    configure_for_determinism(spark)
+    ev = _events(spark, sf_dir)
+    split = F.lit("2024-01-20").cast("timestamp")
+    cells = (
+        ev.select(
+            "event_type",
+            F.when(F.col("ts") < split, F.lit("early"))
+            .otherwise(F.lit("late"))
+            .alias("period"),
+        )
+        .groupBy("event_type", "period")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    rows = cells.groupBy("event_type").agg(F.sum("o").alias("row_n"))
+    colz = cells.groupBy("period").agg(F.sum("o").alias("col_n"))
+    grand = cells.agg(F.sum("o").alias("n"))
+    contrib = (
+        cells.join(rows, "event_type")
+        .join(F.broadcast(colz), "period")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            (
+                (
+                    F.col("o")
+                    - F.col("row_n") * F.col("col_n") / F.col("n")
+                )
+                * (
+                    F.col("o")
+                    - F.col("row_n") * F.col("col_n") / F.col("n")
+                )
+                / (F.col("row_n") * F.col("col_n") / F.col("n"))
+            ).alias("c"),
+            F.col("n"),
+        )
+    )
+    return contrib.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.round(
+            F.sum(F.round(F.col("c"), 9).cast("decimal(25,9)")).cast(
+                "double"
+            ),
+            6,
+        ).alias("chi2"),
+    )
+
+
+EV12_SQL = """
+WITH cells AS (
+  SELECT event_type,
+         CASE WHEN ts < TIMESTAMP '2024-01-20' THEN 'early'
+              ELSE 'late' END AS period,
+         COUNT(*) AS o
+  FROM events GROUP BY 1, 2
+), rows_t AS (
+  SELECT event_type, SUM(o) AS row_n FROM cells GROUP BY event_type
+), cols_t AS (
+  SELECT period, SUM(o) AS col_n FROM cells GROUP BY period
+), grand AS (
+  SELECT SUM(o) AS n FROM cells
+), contrib AS (
+  SELECT (c.o - r.row_n * p.col_n / g.n)
+         * (c.o - r.row_n * p.col_n / g.n)
+         / (r.row_n * p.col_n / g.n) AS c
+  FROM cells c
+  JOIN rows_t r ON r.event_type = c.event_type
+  JOIN cols_t p ON p.period = c.period
+  CROSS JOIN grand g
+)
+SELECT COUNT(*) AS n_cells,
+       ROUND(CAST(SUM(CAST(ROUND(c, 9) AS DECIMAL(25,9))) AS DOUBLE), 6)
+         AS chi2
+FROM contrib
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-6 additions (never driver-verified) come first ---
     "tx42_duplicate_substrings": tx42_duplicate_substrings,
     "tx43_exactsubstr_strip": tx43_exactsubstr_strip,
     "mm13_audio_metadata": mm13_audio_metadata,
     "st14_stream_view_rollup": st14_stream_view_rollup,
+    "q92_customer_distribution": q92_customer_distribution,
+    "q93_trade_assortativity": q93_trade_assortativity,
+    "ev12_chi2_drift": ev12_chi2_drift,
     # --- round-5 additions, r5-driver-verified ---
     "ev11_ewma_backtest": ev11_ewma_backtest,
     "q90_priority_shipments": q90_priority_shipments,
@@ -10861,11 +11091,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "em14_kmeans_clusters": em14_kmeans_clusters,
     "ev6_ks_fidelity": ev6_ks_fidelity,
     "st10_stream_count_min": st10_stream_count_min,
+    # ------------- driver 50-entry window ends HERE (position 50) -------------
+    # tx36/tx37/ev1/ev8 then q75/gen6/em15 (all r5-green) displaced for
+    # round-6 tx42/tx43/mm13/st14/q92/q93/ev12.
     "q75_grouping_sets": q75_grouping_sets,
     "gen6_arnet_sample": gen6_arnet_sample,
     "em15_retrieval_topk": em15_retrieval_topk,
-    # ------------- driver 50-entry window ends HERE (position 50) -------------
-    # tx36/tx37/ev1/ev8 (r5-green) displaced for round-6 tx42/tx43/mm13/st14.
     "ev8_coverage_metric": ev8_coverage_metric,
     "ev1_pipeline_summary": ev1_pipeline_summary,
     "tx36_ingest_novelty": tx36_ingest_novelty,
@@ -11201,6 +11432,9 @@ ORACLE_SQL: dict[str, str] = {
     "tx43_exactsubstr_strip": TX43_SQL,
     "mm13_audio_metadata": MM13_SQL,
     "st14_stream_view_rollup": ST14_SQL,
+    "q92_customer_distribution": Q92_SQL,
+    "q93_trade_assortativity": Q93_SQL,
+    "ev12_chi2_drift": EV12_SQL,
     "st11_stream_quantile_sketch": ST11_SQL,
     "q80_bloom_prune": Q80_SQL,
     "q73_hll_distinct": Q73_SQL,
