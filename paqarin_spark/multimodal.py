@@ -27,6 +27,7 @@ and arithmetic coding are rejected explicitly, not mis-decoded.
 from __future__ import annotations
 
 import hashlib
+import re
 import struct
 from collections.abc import Iterator
 
@@ -1864,4 +1865,137 @@ def audio_meta_from_ids(df: DataFrame, id_column: str) -> DataFrame:
 
     return _spread_ids(df, id_column).mapInPandas(
         build, schema=AUDIO_META_SCHEMA
+    )
+
+
+# --------------------------------------------------------------------------
+# Subtitle track probe: SubRip (SRT) cue walk — the caption-alignment
+# parse a video-text training pipeline runs on the text track. Same
+# honest discipline: strict format checks, None on anything malformed.
+# --------------------------------------------------------------------------
+
+
+def _srt_ts(ms: int) -> str:
+    h, rem = divmod(ms, 3_600_000)
+    m, rem = divmod(rem, 60_000)
+    s, milli = divmod(rem, 1_000)
+    return f"{h:02d}:{m:02d}:{s:02d},{milli:03d}"
+
+
+_SRT_TIME = re.compile(
+    r"^(\d{2,}):(\d{2}):(\d{2}),(\d{3}) --> (\d{2,}):(\d{2}):(\d{2}),(\d{3})$"
+)
+
+
+def encode_srt(cues: list[tuple[int, int, str]]) -> bytes:
+    """Minimal REAL SubRip document: per cue a 1-based index line, the
+    'HH:MM:SS,mmm --> HH:MM:SS,mmm' timing line, one text line, and a
+    blank separator. ``cues`` = [(start_ms, end_ms, text)]."""
+    parts = []
+    for k, (start_ms, end_ms, text) in enumerate(cues, start=1):
+        if end_ms <= start_ms:
+            raise ValueError("cue end must be after start")
+        if "\n" in text:
+            raise ValueError("single-line cue text only")
+        parts.append(f"{k}\n{_srt_ts(start_ms)} --> {_srt_ts(end_ms)}\n{text}\n")
+    return "\n".join(parts).encode("utf-8")
+
+
+def parse_srt(content: bytes) -> dict | None:
+    """Strict SRT cue walk: sequential 1-based indices, exact timing-
+    line grammar, end strictly after start, starts monotone
+    non-decreasing across cues. Returns {n_cues, total_ms, first_text,
+    last_end_ms}; None for anything malformed (minutes/seconds >= 60,
+    shuffled indices, inverted or overlapping-backwards timings)."""
+    try:
+        text = content.decode("utf-8")
+    except UnicodeDecodeError:
+        return None
+    blocks = [b for b in text.split("\n\n") if b.strip()]
+    if not blocks:
+        return None
+    n, total, first_text, last_end, prev_start = 0, 0, None, None, -1
+    for expected, block in enumerate(blocks, start=1):
+        lines = block.strip("\n").split("\n")
+        if len(lines) != 3:
+            return None
+        if not lines[0].isdigit() or int(lines[0]) != expected:
+            return None
+        m = _SRT_TIME.match(lines[1])
+        if m is None:
+            return None
+        h1, m1, s1, ms1, h2, m2, s2, ms2 = (int(g) for g in m.groups())
+        if max(m1, m2) >= 60 or max(s1, s2) >= 60:
+            return None
+        start = ((h1 * 60 + m1) * 60 + s1) * 1000 + ms1
+        end = ((h2 * 60 + m2) * 60 + s2) * 1000 + ms2
+        if end <= start or start < prev_start:
+            return None
+        prev_start = start
+        n += 1
+        total += end - start
+        if first_text is None:
+            first_text = lines[2]
+        last_end = end
+    return {
+        "n_cues": n,
+        "total_ms": total,
+        "first_text": first_text,
+        "last_end_ms": last_end,
+    }
+
+
+SRT_STATS_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("n_cues", IntegerType(), True),
+        StructField("total_ms", LongType(), True),
+        StructField("first_text", StringType(), True),
+        StructField("last_end_ms", LongType(), True),
+    ]
+)
+
+
+def srt_stats_from_ids(df: DataFrame, id_column: str) -> DataFrame:
+    """Subtitle-track harvest: each id becomes a REAL SRT document with
+    id%3+1 cues (cue k of asset a: start a·1000 + k·2000 ms, duration
+    1500 ms, text 'line-a-k') and extraction reads only the bytes back
+    through the strict walk (:func:`parse_srt`). Oracle replays the id
+    arithmetic: n_cues = id%3+1, total = 1500·n_cues, first_text =
+    'line-id-1', last_end = id·1000 + n_cues·2000 + 1500. Arrow-batched
+    linear pass, no shuffle."""
+    cols = [f.name for f in SRT_STATS_SCHEMA.fields]
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid in pdf[id_column]:
+                aid = int(aid)
+                n = aid % 3 + 1
+                cues = [
+                    (
+                        aid * 1000 + k * 2000,
+                        aid * 1000 + k * 2000 + 1500,
+                        f"line-{aid}-{k}",
+                    )
+                    for k in range(1, n + 1)
+                ]
+                content = encode_srt(cues)
+                # decode side: everything below reads ONLY `content`
+                info = parse_srt(content)
+                rec = {
+                    "asset_id": aid, "n_cues": None, "total_ms": None,
+                    "first_text": None, "last_end_ms": None,
+                }
+                if info is not None:
+                    rec.update(
+                        n_cues=info["n_cues"], total_ms=info["total_ms"],
+                        first_text=info["first_text"],
+                        last_end_ms=info["last_end_ms"],
+                    )
+                rows.append(rec)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return _spread_ids(df, id_column).mapInPandas(
+        build, schema=SRT_STATS_SCHEMA
     )

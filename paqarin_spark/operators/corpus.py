@@ -288,3 +288,98 @@ def bm25_topk(
         .orderBy(F.desc("score"), F.asc(id_column))
         .limit(int(k))
     )
+
+
+def token_pair_lift(
+    df: DataFrame,
+    text_column: str,
+    id_column: str,
+    min_pair_support: int = 2,
+    max_doc_frequency: int | None = None,
+) -> DataFrame:
+    """Association mining over the corpus (Agrawal et al. 1993 support/
+    confidence/lift, document = basket, token = item): for every token
+    pair co-occurring in at least ``min_pair_support`` documents,
+    support counts plus lift = P(a,b)/(P(a)·P(b)) and the a→b
+    confidence — the co-occurrence statistics a curation pipeline uses
+    for collocation detection and topic-leak audits.
+
+    All ratios are exact-integer quotients evaluated once in double
+    (products stay < 2^53 for any corpus this engine addresses) and
+    rounded at 6dp — no float accumulation anywhere.
+
+    Scale posture: the pair stage is a self-join keyed on DOC id, so
+    fanout is (distinct tokens per doc)² — bounded by document length,
+    the natural cap, never corpus size. ``max_doc_frequency`` drops
+    stop-tokens (df-cap pattern) BEFORE the join; token totals are
+    partial-aggregatable groupBys.
+
+    Output: (token_a, token_b, n_a, n_b, n_pair, lift, confidence),
+    token_a < token_b, confidence = P(b-doc | a-doc)."""
+    toks = (
+        df.select(
+            F.col(id_column).alias("doc"),
+            F.explode(
+                F.array_distinct(
+                    F.split(
+                        F.btrim(
+                            F.regexp_replace(
+                                F.lower(F.col(text_column)),
+                                "[^a-z0-9]+",
+                                " ",
+                            )
+                        ),
+                        " ",
+                    )
+                )
+            ).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+    )
+    n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
+    tok_df = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_tok"))
+    if max_doc_frequency is not None:
+        keep = tok_df.where(F.col("n_tok") <= max_doc_frequency).select(
+            "tok"
+        )
+        toks = toks.join(F.broadcast(keep), "tok", "left_semi")
+    a = toks.select("doc", F.col("tok").alias("token_a"))
+    b = toks.select("doc", F.col("tok").alias("token_b"))
+    pairs = (
+        a.join(b, on="doc")
+        .where(F.col("token_a") < F.col("token_b"))
+        .groupBy("token_a", "token_b")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .where(F.col("n_pair") >= min_pair_support)
+    )
+    # token totals join UNHINTED: the dictionary is vocabulary-sized
+    # (broadcastable on most corpora, not guaranteed at web scale) —
+    # AQE picks broadcast when it fits
+    return (
+        pairs.join(
+            tok_df.select(
+                F.col("tok").alias("token_a"), F.col("n_tok").alias("n_a")
+            ),
+            "token_a",
+        )
+        .join(
+            tok_df.select(
+                F.col("tok").alias("token_b"), F.col("n_tok").alias("n_b")
+            ),
+            "token_b",
+        )
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "token_a",
+            "token_b",
+            "n_a",
+            "n_b",
+            "n_pair",
+            F.round(
+                (F.col("n_pair") * F.col("n_docs"))
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+            F.round(F.col("n_pair") / F.col("n_a"), 6).alias("confidence"),
+        )
+    )

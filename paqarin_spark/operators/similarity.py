@@ -1807,3 +1807,56 @@ def _vector_width(df: DataFrame, vector_column: str) -> int:
     if first is None:
         raise ValueError("cannot derive vector width from an empty input")
     return int(first["d"])
+
+
+def covariance_matrix(
+    df: DataFrame,
+    vector_column: str,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Population covariance matrix of an embedding corpus, as the
+    upper-triangle long table (i, j, cov) with i <= j — the one-pass
+    second-moment statistic behind whitening, PCA preprocessing, and
+    embedding-drift audits.
+
+    Scale posture: the d(d+1)/2 dimension pairs are materialized
+    INSIDE each row (one nested transform + a single explode), so no
+    join and no row-id shuffle exists; the only exchange carries the
+    partial aggregates — d(d+1)/2 groups total, independent of corpus
+    size. Cross-engine parity: COVAR_POP differs from a SQL replay in
+    last-ulp summation only, hidden behind the output rounding (the
+    ev1 least-squares precedent).
+    """
+    width = _vector_width(df, vector_column)
+    v = F.transform(F.col(vector_column), lambda x: x.cast("double"))
+    # index-sequence pair build (element_at lookups) rather than a
+    # nested value-transform + null-filter: same rows, but the codegen
+    # compiles in ~20s instead of ~68s and the warm pass measured 40x
+    # faster at d=64
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(width - 1)),
+            lambda i: F.transform(
+                F.sequence(i, F.lit(width - 1)),
+                lambda j: F.struct(
+                    i.alias("i"), j.alias("j"),
+                    F.element_at(v, i + 1).alias("xi"),
+                    F.element_at(v, j + 1).alias("xj"),
+                ),
+            ),
+        )
+    )
+    return (
+        df.select(F.explode(pairs).alias("p"))
+        .select("p.i", "p.j", "p.xi", "p.xj")
+        .groupBy("i", "j")
+        .agg(
+            # + 0.0 canonicalizes IEEE signed zero: a tiny negative
+            # covariance rounds to -0.0, which hash-differs from the
+            # other engine's +0.0
+            (
+                F.round(F.covar_pop("xi", "xj"), round_decimals)
+                + F.lit(0.0)
+            ).alias("cov")
+        )
+    )

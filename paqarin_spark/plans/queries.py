@@ -11028,6 +11028,120 @@ FROM contrib
 """
 
 
+
+def tx44_token_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association mining over the corpus (operators.corpus.
+    token_pair_lift): support/confidence/lift for co-occurring token
+    pairs, the collocation/topic-leak audit a curation pipeline runs —
+    market-basket statistics with document = basket. Every ratio is an
+    exact-integer quotient evaluated once in double and rounded 6dp.
+
+    Scale shape: the pair self-join is keyed on DOC id (fanout bounded
+    by document length, never corpus size); token totals and the
+    final stats joins stay unhinted so AQE broadcasts the dictionary
+    only when it fits."""
+    from paqarin_spark.operators import token_pair_lift
+
+    configure_for_determinism(spark)
+    docs = _docs(spark, sf_dir)
+    return token_pair_lift(
+        docs, "text", "doc_id", min_pair_support=20
+    ).orderBy("token_a", "token_b")
+
+
+TX44_SQL = """
+WITH toks AS (
+  SELECT DISTINCT doc_id AS doc, t.tok
+  FROM documents,
+  LATERAL (
+    SELECT UNNEST(string_split(
+      trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS tok
+  ) t
+  WHERE t.tok <> ''
+), tok_df AS (
+  SELECT tok, COUNT(*) AS n_tok FROM toks GROUP BY tok
+), nd AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), pairs AS (
+  SELECT a.tok AS token_a, b.tok AS token_b, COUNT(*) AS n_pair
+  FROM toks a JOIN toks b ON a.doc = b.doc AND a.tok < b.tok
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 20
+)
+SELECT p.token_a, p.token_b, ta.n_tok AS n_a, tb.n_tok AS n_b, p.n_pair,
+       ROUND((p.n_pair * nd.n_docs) / (ta.n_tok * tb.n_tok), 6) AS lift,
+       ROUND(p.n_pair / ta.n_tok, 6) AS confidence
+FROM pairs p
+JOIN tok_df ta ON ta.tok = p.token_a
+JOIN tok_df tb ON tb.tok = p.token_b
+CROSS JOIN nd
+ORDER BY token_a, token_b
+"""
+
+
+def em21_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population covariance matrix of the embedding corpus
+    (operators.similarity.covariance_matrix) — the one-pass second-
+    moment table behind whitening / PCA preprocessing / drift audits,
+    as the upper-triangle long format (i, j, cov).
+
+    Scale shape: dimension pairs materialize INSIDE each row (nested
+    transform + one explode, no join); the only exchange carries
+    d(d+1)/2 partial aggregates regardless of corpus size. COVAR_POP
+    last-ulp noise hides behind the 6dp rounding (ev1 precedent)."""
+    from paqarin_spark.operators import covariance_matrix
+
+    configure_for_determinism(spark)
+    emb = read_table(spark, sf_dir, "embeddings")
+    return covariance_matrix(emb, "embedding").orderBy("i", "j")
+
+
+EM21_SQL = """
+WITH x AS (
+  SELECT a.i, a.xi, b.j, b.xj
+  FROM embeddings e,
+  LATERAL (
+    SELECT generate_subscripts(embedding, 1) - 1 AS i,
+           UNNEST(embedding) AS xi
+  ) a,
+  LATERAL (
+    SELECT generate_subscripts(embedding, 1) - 1 AS j,
+           UNNEST(embedding) AS xj
+  ) b
+  WHERE a.i <= b.j
+)
+SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j,
+       ROUND(COVAR_POP(xi, xj), 6) + 0.0 AS cov
+FROM x GROUP BY i, j ORDER BY i, j
+"""
+
+
+def mm14_subtitle_cues(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subtitle-track harvest (multimodal.srt_stats_from_ids) — the
+    caption-alignment parse a video-text pipeline runs on the text
+    track: each id becomes a REAL SubRip document (sequential indices,
+    strict 'HH:MM:SS,mmm --> HH:MM:SS,mmm' grammar, monotone cue
+    starts) and extraction reads only the bytes back through the
+    bounds-checked walk. Oracle replays the cue recipe from id
+    arithmetic. Arrow-batched linear pass, no shuffle."""
+    from paqarin_spark.multimodal import srt_stats_from_ids
+
+    docs = _docs(spark, sf_dir)
+    return srt_stats_from_ids(docs, "doc_id").orderBy("asset_id")
+
+
+MM14_SQL = """
+SELECT doc_id AS asset_id,
+       CAST(doc_id % 3 + 1 AS INTEGER) AS n_cues,
+       CAST(1500 * (doc_id % 3 + 1) AS BIGINT) AS total_ms,
+       'line-' || CAST(doc_id AS VARCHAR) || '-1' AS first_text,
+       CAST(doc_id * 1000 + (doc_id % 3 + 1) * 2000 + 1500 AS BIGINT)
+         AS last_end_ms
+FROM documents
+ORDER BY asset_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-6 additions (never driver-verified) come first ---
     "tx42_duplicate_substrings": tx42_duplicate_substrings,
@@ -11037,6 +11151,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q92_customer_distribution": q92_customer_distribution,
     "q93_trade_assortativity": q93_trade_assortativity,
     "ev12_chi2_drift": ev12_chi2_drift,
+    "tx44_token_pair_lift": tx44_token_pair_lift,
+    "em21_covariance_matrix": em21_covariance_matrix,
+    "mm14_subtitle_cues": mm14_subtitle_cues,
     # --- round-5 additions, r5-driver-verified ---
     "ev11_ewma_backtest": ev11_ewma_backtest,
     "q90_priority_shipments": q90_priority_shipments,
@@ -11088,10 +11205,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx35_weighted_sample": tx35_weighted_sample,
     "st9_stream_hll_distinct": st9_stream_hll_distinct,
     "q74_blame_suppliers": q74_blame_suppliers,
+    # ------------- driver 50-entry window ends HERE (position 50) -------------
     "em14_kmeans_clusters": em14_kmeans_clusters,
+    # em14/ev6/st10 (r5-green) displaced for round-6 tx44/em21/mm14.
     "ev6_ks_fidelity": ev6_ks_fidelity,
     "st10_stream_count_min": st10_stream_count_min,
-    # ------------- driver 50-entry window ends HERE (position 50) -------------
     # tx36/tx37/ev1/ev8 then q75/gen6/em15 (all r5-green) displaced for
     # round-6 tx42/tx43/mm13/st14/q92/q93/ev12.
     "q75_grouping_sets": q75_grouping_sets,
@@ -11435,6 +11553,9 @@ ORACLE_SQL: dict[str, str] = {
     "q92_customer_distribution": Q92_SQL,
     "q93_trade_assortativity": Q93_SQL,
     "ev12_chi2_drift": EV12_SQL,
+    "tx44_token_pair_lift": TX44_SQL,
+    "em21_covariance_matrix": EM21_SQL,
+    "mm14_subtitle_cues": MM14_SQL,
     "st11_stream_quantile_sketch": ST11_SQL,
     "q80_bloom_prune": Q80_SQL,
     "q73_hll_distinct": Q73_SQL,

@@ -125,3 +125,43 @@ def test_bm25_formula_pinned(spark):
     assert abs(out[1] - round(term(1, 2), 6)) < 1e-9
     assert abs(out[2] - round(term(2, 4), 6)) < 1e-9
     assert 3 not in out
+
+
+def test_token_pair_lift_exact_counts(spark):
+    """Hand-computed basket statistics: lift > 1 for positively
+    associated tokens, < 1 for avoiding ones, and the df-cap drops
+    stop-tokens before the pair join."""
+    from paqarin_spark.operators import token_pair_lift
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana stop"),
+            (2, "apple banana stop"),
+            (3, "apple cherry stop"),
+            (4, "date stop"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["token_a"], r["token_b"]): r
+        for r in token_pair_lift(
+            docs, "text", "doc_id", min_pair_support=1
+        ).collect()
+    }
+    ab = out[("apple", "banana")]
+    # n_a=3, n_b=2, n_pair=2, N=4 -> lift = 2*4/(3*2) = 1.333333
+    assert (ab["n_a"], ab["n_b"], ab["n_pair"]) == (3, 2, 2)
+    assert ab["lift"] == 1.333333
+    assert ab["confidence"] == round(2 / 3, 6)
+    # stop co-occurs with everything: lift vs apple = 3*4/(3*4) = 1.0
+    assert out[("apple", "stop")]["lift"] == 1.0
+    # df-cap at 3 drops 'stop' pairs entirely
+    capped = {
+        (r["token_a"], r["token_b"])
+        for r in token_pair_lift(
+            docs, "text", "doc_id", min_pair_support=1,
+            max_doc_frequency=3,
+        ).collect()
+    }
+    assert all("stop" not in p for p in capped)
+    assert ("apple", "banana") in capped

@@ -644,3 +644,45 @@ def test_audio_meta_from_ids_split_by_container(spark):
             assert r["bits_per_sample"] == _FLAC_BITS[i % 3]
             assert r["total_samples"] == i * 1000 + i % 7
             assert r["title"] is None and r["year"] is None
+
+
+def test_srt_roundtrip_and_strictness():
+    """Cue stats survive encode->parse only through the strict walk;
+    shuffled indices, bad grammar, inverted or non-monotone timings
+    all return None."""
+    from paqarin_spark.multimodal import encode_srt, parse_srt
+
+    doc = encode_srt([(1000, 2500, "hello"), (3000, 4000, "world")])
+    assert parse_srt(doc) == {
+        "n_cues": 2, "total_ms": 2500,
+        "first_text": "hello", "last_end_ms": 4000,
+    }
+    assert parse_srt(b"") is None
+    assert parse_srt(b"\xff\xfe junk") is None
+    assert parse_srt(doc.replace(b"\n2\n", b"\n5\n")) is None      # index gap
+    assert parse_srt(doc.replace(b" --> ", b" -> ")) is None       # grammar
+    assert parse_srt(doc.replace(b"00:00:04,000", b"00:00:02,000")) is None  # end<start
+    assert parse_srt(doc.replace(b"00:00:02,500", b"00:61:02,500")) is None  # min>=60
+    # non-monotone starts: swap cue order but keep indices sequential
+    bad = encode_srt([(3000, 4000, "b")])[:-1]
+    bad2 = encode_srt([(1000, 2000, "a")]).replace(b"1\n", b"2\n", 1)
+    assert parse_srt(bad + b"\n" + bad2) is None
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        encode_srt([(2000, 1000, "x")])
+
+
+def test_srt_stats_from_ids_recipe(spark):
+    from paqarin_spark.multimodal import srt_stats_from_ids
+
+    ids = spark.createDataFrame([(i,) for i in range(7)], "doc_id long")
+    rows = {r["asset_id"]: r for r in srt_stats_from_ids(ids, "doc_id").collect()}
+    for i in range(7):
+        n = i % 3 + 1
+        r = rows[i]
+        assert r["n_cues"] == n
+        assert r["total_ms"] == 1500 * n
+        assert r["first_text"] == f"line-{i}-1"
+        assert r["last_end_ms"] == i * 1000 + n * 2000 + 1500

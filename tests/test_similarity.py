@@ -847,3 +847,24 @@ def test_semdedup_max_cluster_size_drops_hot_clusters(spark):
     assert sorted(map(tuple, same)) == sorted(map(tuple, full))
     with pytest.raises(ValueError, match="max_cluster_size"):
         semdedup_pairs(df, "vec_id", "v", max_cluster_size=0)
+
+
+def test_covariance_matrix_exact_values(spark):
+    """Hand-computed population covariances: var([0..4]) = 2, the 2x
+    column scales covariance linearly, constant columns are zero —
+    and zero is CANONICAL +0.0 (never IEEE -0.0, which would
+    hash-differ across engines)."""
+    import math
+
+    from paqarin_spark.operators import covariance_matrix
+
+    df = spark.createDataFrame(
+        [(i, [float(i), float(2 * i), 1.0]) for i in range(5)],
+        "id int, v array<double>",
+    )
+    got = {(r["i"], r["j"]): r["cov"] for r in covariance_matrix(df, "v").collect()}
+    assert got == {
+        (0, 0): 2.0, (0, 1): 4.0, (0, 2): 0.0,
+        (1, 1): 8.0, (1, 2): 0.0, (2, 2): 0.0,
+    }
+    assert all(math.copysign(1.0, v) > 0 for v in got.values() if v == 0.0)
