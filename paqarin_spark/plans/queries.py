@@ -11142,6 +11142,300 @@ ORDER BY asset_id
 """
 
 
+
+def q94_dormant_rich_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): per nation, how many
+    customers hold an above-average positive account balance whose last
+    order predates 2000 (dormant), and their total balance. The Q22 trio of shapes in
+    one plan: a scalar-subquery threshold (1-row broadcast cross
+    join), an anti-join against orders, and a dim rollup. The
+    threshold compare stays in EXACT decimal via cross-multiplication
+    (balance·count vs sum — the q87 rule: never round a value that
+    feeds a comparison).
+
+    Scale shape: orders is pre-shrunk to distinct custkeys before the
+    anti-join; nation is a broadcast dim; the scalar threshold is one
+    aggregate row broadcast back."""
+    configure_for_determinism(spark)
+    cust = read_table(spark, sf_dir, "customer")
+    orders = (
+        read_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+        .distinct()
+    )
+    nation = read_table(spark, sf_dir, "nation")
+    pos = cust.where(F.col("c_acctbal") > 0)
+    thr = pos.agg(
+        F.sum(F.col("c_acctbal").cast("decimal(30,10)")).alias("_s"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    rich_dormant = (
+        cust.crossJoin(F.broadcast(thr))
+        .where(
+            F.col("c_acctbal").cast("decimal(30,10)") * F.col("_n")
+            > F.col("_s")
+        )
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+    )
+    return (
+        rich_dormant.join(
+            F.broadcast(nation),
+            rich_dormant.c_nationkey == nation.n_nationkey,
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(30,10)")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("totacctbal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+Q94_SQL = """
+WITH thr AS (
+  SELECT SUM(CAST(c_acctbal AS DECIMAL(30,10))) AS s, COUNT(*) AS n
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT n.n_name,
+       COUNT(*) AS numcust,
+       ROUND(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(30,10))) AS DOUBLE), 6)
+         AS totacctbal
+FROM customer c
+CROSS JOIN thr
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE CAST(c.c_acctbal AS DECIMAL(30,10)) * thr.n > thr.s
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY n.n_name
+ORDER BY n.n_name
+"""
+
+
+def q95_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): quarterly revenue per supplier
+    (one decimal-exact rollup of discounted lineitem revenue,
+    l_shipdate in 1996-Q1) and the supplier(s) whose revenue EQUALS
+    the maximum — the view-plus-self-aggregate shape Q15 tests. The
+    max compare runs on the EXACT decimal totals (display rounding
+    happens after), so a last-ulp tie can never pick different
+    winners on different engines.
+
+    Scale shape: lineitem is filtered at the scan, one l_suppkey
+    exchange for the rollup, and the 1-row MAX broadcasts back; the
+    supplier dim joins broadcast."""
+    configure_for_determinism(spark)
+    li = read_table(spark, sf_dir, "lineitem")
+    supp = read_table(spark, sf_dir, "supplier")
+    rev = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                (
+                    F.col("l_extendedprice").cast("decimal(30,10)")
+                    * (
+                        F.lit(1).cast("decimal(30,10)")
+                        - F.col("l_discount").cast("decimal(30,10)")
+                    )
+                ).cast("decimal(30,10)")
+            ).alias("_rev")
+        )
+    )
+    mx = rev.agg(F.max("_rev").alias("_mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("_rev") == F.col("_mx"))
+        .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("_rev").cast("double"), 6).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+Q95_SQL = """
+WITH rev AS (
+  SELECT l_suppkey,
+         SUM(CAST(CAST(l_extendedprice AS DECIMAL(30,10))
+             * (CAST(1 AS DECIMAL(30,10))
+                - CAST(l_discount AS DECIMAL(30,10)))
+             AS DECIMAL(30,10))) AS r
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name,
+       ROUND(CAST(rev.r AS DOUBLE), 6) AS total_revenue
+FROM rev
+JOIN supplier s ON s.s_suppkey = rev.l_suppkey
+WHERE rev.r = (SELECT MAX(r) FROM rev)
+ORDER BY s.s_suppkey
+"""
+
+
+def gen7_quantile_remap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-quantile REMAP sampler — the rank-marginal half of a
+    copula generator: per user, 8 synthetic values drawn by mapping
+    md5-uniforms through the inverse empirical CDF (sample k of user u
+    takes the ceil(u_k·n)-th order statistic of u's history). Every
+    emitted value is an EXISTING double picked by exact index
+    arithmetic — no float synthesis anywhere — so the generator is
+    md5-portable like gen1/gen5 and the marginal distribution is the
+    training marginal by construction.
+
+    Scale shape: one per-user rollup (bounded panel history inside an
+    array), samples explode from a literal sequence, no shuffle after
+    the rollup."""
+    configure_for_determinism(spark)
+    ev = _events(spark, sf_dir)
+    hist = ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.col("value"))).alias("_vals"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    samples = hist.select(
+        "user_id",
+        "_vals",
+        "_n",
+        F.explode(F.sequence(F.lit(1), F.lit(8))).alias("k"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("gen7#"),
+                        F.col("user_id").cast("string"),
+                        F.lit("#"),
+                        F.col("k").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(1152921504606846976.0)
+    )
+    idx = F.greatest(F.lit(1), F.ceil(u * F.col("_n")).cast("int"))
+    return samples.select(
+        "user_id",
+        "k",
+        F.element_at("_vals", idx).alias("synth_value"),
+    ).orderBy("user_id", "k")
+
+
+GEN7_SQL = """
+WITH hist AS (
+  SELECT user_id,
+         list(value ORDER BY value) AS vals,
+         COUNT(*) AS n
+  FROM events GROUP BY user_id
+), samples AS (
+  SELECT user_id, vals, n, k.k
+  FROM hist, LATERAL (SELECT UNNEST(range(1, 9)) AS k) k
+)
+SELECT user_id, k,
+       vals[GREATEST(1, CAST(CEIL(
+         (('0x' || substring(
+            md5('gen7#' || CAST(user_id AS VARCHAR) || '#'
+                || CAST(k AS VARCHAR)), 1, 15))::UBIGINT
+          / 1152921504606846976.0) * n) AS INTEGER))] AS synth_value
+FROM samples
+ORDER BY user_id, k
+"""
+
+
+def ev13_theil_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil's U forecast-skill statistic per event type: the ratio of
+    the lag-1 'no-change' RMSE to the raw signal RMS — U < 1 means the
+    series is smoother than a random walk. Both squared sums are EXACT
+    decimals (each squared double is 10dp-stabilized into decimal
+    before summation, the q33 discipline), so sqrt of the exact ratio
+    is the only float op and it is correctly rounded on both engines.
+
+    Scale shape: one (type, user)-keyed window pass for the lag, one
+    type-keyed rollup."""
+    configure_for_determinism(spark)
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("event_type", "user_id").orderBy(
+        "ts", "event_id"
+    )
+    lagged = ev.select(
+        "event_type",
+        F.col("value"),
+        F.lag("value").over(w).alias("_prev"),
+    ).where(F.col("_prev").isNotNull())
+    err = lagged.select(
+        "event_type",
+        F.round(
+            (F.col("value") - F.col("_prev"))
+            * (F.col("value") - F.col("_prev")),
+            10,
+        )
+        .cast("decimal(30,10)")
+        .alias("_se"),
+        F.round(F.col("value") * F.col("value"), 10)
+        .cast("decimal(30,10)")
+        .alias("_sv"),
+    )
+    return (
+        err.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_steps"),
+            F.sum("_se").alias("_sse"),
+            F.sum("_sv").alias("_ssv"),
+        )
+        .select(
+            "event_type",
+            "n_steps",
+            F.round(
+                F.sqrt(
+                    F.col("_sse").cast("double")
+                    / F.col("_ssv").cast("double")
+                ),
+                6,
+            ).alias("theil_u"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EV13_SQL = """
+WITH lagged AS (
+  SELECT event_type, value,
+         LAG(value) OVER (PARTITION BY event_type, user_id
+                          ORDER BY ts, event_id) AS prev
+  FROM events
+), err AS (
+  SELECT event_type,
+         CAST(ROUND((value - prev) * (value - prev), 10)
+              AS DECIMAL(30,10)) AS se,
+         CAST(ROUND(value * value, 10) AS DECIMAL(30,10)) AS sv
+  FROM lagged WHERE prev IS NOT NULL
+)
+SELECT event_type, COUNT(*) AS n_steps,
+       ROUND(SQRT(CAST(SUM(se) AS DOUBLE) / CAST(SUM(sv) AS DOUBLE)), 6)
+         AS theil_u
+FROM err
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-6 additions (never driver-verified) come first ---
     "tx42_duplicate_substrings": tx42_duplicate_substrings,
@@ -11154,6 +11448,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx44_token_pair_lift": tx44_token_pair_lift,
     "em21_covariance_matrix": em21_covariance_matrix,
     "mm14_subtitle_cues": mm14_subtitle_cues,
+    "q94_dormant_rich_by_nation": q94_dormant_rich_by_nation,
+    "q95_top_supplier": q95_top_supplier,
+    "gen7_quantile_remap": gen7_quantile_remap,
+    "ev13_theil_u": ev13_theil_u,
     # --- round-5 additions, r5-driver-verified ---
     "ev11_ewma_backtest": ev11_ewma_backtest,
     "q90_priority_shipments": q90_priority_shipments,
@@ -11201,11 +11499,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm10_mp4_sample_table": mm10_mp4_sample_table,
     "q73_hll_distinct": q73_hll_distinct,
     "tx33_count_min_tokens": tx33_count_min_tokens,
+    # ------------- driver 50-entry window ends HERE (position 50) -------------
+    # tx34/tx35/st9/q74 (r5-green) displaced for round-6 q94/q95/gen7/ev13.
     "tx34_perplexity_buckets": tx34_perplexity_buckets,
     "tx35_weighted_sample": tx35_weighted_sample,
     "st9_stream_hll_distinct": st9_stream_hll_distinct,
     "q74_blame_suppliers": q74_blame_suppliers,
-    # ------------- driver 50-entry window ends HERE (position 50) -------------
     "em14_kmeans_clusters": em14_kmeans_clusters,
     # em14/ev6/st10 (r5-green) displaced for round-6 tx44/em21/mm14.
     "ev6_ks_fidelity": ev6_ks_fidelity,
@@ -11556,6 +11855,10 @@ ORACLE_SQL: dict[str, str] = {
     "tx44_token_pair_lift": TX44_SQL,
     "em21_covariance_matrix": EM21_SQL,
     "mm14_subtitle_cues": MM14_SQL,
+    "q94_dormant_rich_by_nation": Q94_SQL,
+    "q95_top_supplier": Q95_SQL,
+    "gen7_quantile_remap": GEN7_SQL,
+    "ev13_theil_u": EV13_SQL,
     "st11_stream_quantile_sketch": ST11_SQL,
     "q80_bloom_prune": Q80_SQL,
     "q73_hll_distinct": Q73_SQL,
