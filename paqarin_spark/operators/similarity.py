@@ -1860,3 +1860,86 @@ def covariance_matrix(
             ).alias("cov")
         )
     )
+
+
+def power_iteration(
+    df: DataFrame,
+    vector_column: str,
+    iterations: int = 6,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Leading principal component by POWER ITERATION on the population
+    covariance matrix — the PCA primitive (dominant eigenvector +
+    eigenvalue) behind whitening, drift visualization, and spectral
+    initialization, built from :func:`covariance_matrix`.
+
+    Replay contract (the kmeans/pagerank discipline): each matvec
+    product is 12dp-stabilized into EXACT decimal before summation,
+    each normalized iterate rounds to ``round_decimals``, and signed
+    zeros are absorbed by the decimal casts — so every iteration sees
+    bit-identical inputs on both engines and the whole loop unrolls
+    into stacked SQL CTEs (em22 pins it).
+
+    Scale posture: the corpus is touched ONCE (the covariance pass,
+    d(d+1)/2 partial aggregates); iterations run on the d×d table —
+    a bounded post-stage, localCheckpointed per round so lineage
+    stays flat.
+
+    Returns (i, loading, eigenvalue): the unit-normalized dominant
+    eigenvector and its eigenvalue estimate (the final iterate norm).
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    width = _vector_width(df, vector_column)
+    cov = covariance_matrix(df, vector_column, round_decimals=round_decimals)
+    mat = cov.unionByName(
+        cov.where(F.col("i") != F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "cov"
+        )
+    ).localCheckpoint()
+    spark = df.sparkSession
+    v = spark.range(width).select(
+        F.col("id").cast("int").alias("j"), F.lit(1.0).alias("vj")
+    )
+    nrm = None
+    for _ in range(iterations):
+        w = (
+            mat.join(v, on="j")
+            .select(
+                "i",
+                F.round(F.col("cov") * F.col("vj"), 12)
+                .cast("decimal(30,12)")
+                .alias("_p"),
+            )
+            .groupBy("i")
+            .agg(F.sum("_p").cast("double").alias("wi"))
+        )
+        nrm = w.agg(
+            F.sqrt(
+                F.sum(
+                    F.round(F.col("wi") * F.col("wi"), 12).cast(
+                        "decimal(38,12)"
+                    )
+                ).cast("double")
+            ).alias("nrm")
+        )
+        v = (
+            w.crossJoin(F.broadcast(nrm))
+            .select(
+                F.col("i").alias("j"),
+                F.round(
+                    F.col("wi") / F.col("nrm"), round_decimals
+                ).alias("vj"),
+            )
+            .localCheckpoint()
+        )
+    return (
+        v.crossJoin(F.broadcast(nrm))
+        .select(
+            F.col("j").alias("i"),
+            (F.col("vj") + F.lit(0.0)).alias("loading"),
+            (F.round(F.col("nrm"), round_decimals) + F.lit(0.0)).alias(
+                "eigenvalue"
+            ),
+        )
+    )

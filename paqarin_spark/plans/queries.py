@@ -11436,6 +11436,214 @@ ORDER BY event_type
 """
 
 
+
+def q96_mad_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per event type — the robust
+    location/scale pair (median, MAD) an outlier-resistant quality
+    gate runs where mean/stddev (q08) would be poisoned by heavy
+    tails. Both statistics are ORDER-STATISTIC PICKS (the smallest
+    value at rank ceil(n/2), percentile_disc semantics): every output
+    is an existing double or an exact double difference, so no
+    arithmetic noise exists to round away.
+
+    Scale note: exact per-group order statistics need a per-group
+    sort (two window passes here); the sketch path for corpora where
+    that sort cannot fit is q79's bounded quantile sketch — this
+    query is the EXACT contract."""
+    configure_for_determinism(spark)
+    ev = _events(spark, sf_dir)
+    w_ord = Window.partitionBy("event_type").orderBy("value", "event_id")
+    w_cnt = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        "event_id",
+        F.row_number().over(w_ord).alias("_rn"),
+        F.count(F.lit(1)).over(w_cnt).alias("_cnt"),
+    )
+    med = ranked.where(
+        F.col("_rn") == F.ceil(F.col("_cnt") / 2)
+    ).select("event_type", F.col("value").alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "event_id",
+        F.abs(F.col("value") - F.col("med")).alias("_dev"),
+    )
+    w_dev = Window.partitionBy("event_type").orderBy("_dev", "event_id")
+    mad = (
+        dev.select(
+            "event_type",
+            "_dev",
+            F.row_number().over(w_dev).alias("_rn"),
+            F.count(F.lit(1)).over(w_cnt).alias("_cnt"),
+        )
+        .where(F.col("_rn") == F.ceil(F.col("_cnt") / 2))
+        .select("event_type", F.col("_dev").alias("mad"))
+    )
+    counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        counts.join(med, "event_type")
+        .join(mad, "event_type")
+        .select("event_type", "n", "med", "mad")
+        .orderBy("event_type")
+    )
+
+
+Q96_SQL = """
+WITH ranked AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS cnt
+  FROM events
+), med AS (
+  SELECT event_type, value AS med FROM ranked
+  WHERE rn = CEIL(cnt / 2.0)
+), dev AS (
+  SELECT e.event_type, e.event_id, ABS(e.value - m.med) AS d
+  FROM events e JOIN med m ON m.event_type = e.event_type
+), dev_ranked AS (
+  SELECT event_type, d,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY d, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS cnt
+  FROM dev
+), mad AS (
+  SELECT event_type, d AS mad FROM dev_ranked
+  WHERE rn = CEIL(cnt / 2.0)
+)
+SELECT c.event_type, c.n, med.med, mad.mad
+FROM (SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1) c
+JOIN med ON med.event_type = c.event_type
+JOIN mad ON mad.event_type = c.event_type
+ORDER BY c.event_type
+"""
+
+
+def em22_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading principal component of the embedding corpus
+    (operators.similarity.power_iteration) — dominant eigenvector +
+    eigenvalue of the population covariance by 6 power-iteration
+    rounds. The ORACLE unrolls the whole loop into stacked CTEs
+    (12dp-stabilized decimal matvec sums, 6dp-rounded iterates — the
+    kmeans/pagerank replay discipline), so the hash match proves the
+    iteration arithmetic, not just the covariance pass.
+
+    Scale shape: corpus touched once (the em21 covariance pass);
+    every iteration is a d×d-bounded join chain, localCheckpointed."""
+    from paqarin_spark.operators import power_iteration
+
+    configure_for_determinism(spark)
+    emb = read_table(spark, sf_dir, "embeddings")
+    return power_iteration(emb, "embedding", iterations=6).orderBy("i")
+
+
+def _em22_sql() -> str:
+    cov = """
+cov AS (
+  SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j,
+         ROUND(COVAR_POP(xi, xj), 6) + 0.0 AS cov
+  FROM (
+    SELECT a.i, a.xi, b.j, b.xj
+    FROM embeddings e,
+    LATERAL (
+      SELECT generate_subscripts(embedding, 1) - 1 AS i,
+             UNNEST(embedding) AS xi
+    ) a,
+    LATERAL (
+      SELECT generate_subscripts(embedding, 1) - 1 AS j,
+             UNNEST(embedding) AS xj
+    ) b
+    WHERE a.i <= b.j
+  ) GROUP BY i, j
+), mat AS (
+  SELECT i, j, cov FROM cov
+  UNION ALL
+  SELECT j AS i, i AS j, cov FROM cov WHERE i <> j
+), v0 AS (
+  SELECT UNNEST(range(64)) AS j, 1.0 AS vj
+)"""
+    its = []
+    for t in range(1, 7):
+        its.append(f"""
+w{t} AS (
+  SELECT m.i,
+         CAST(SUM(CAST(ROUND(m.cov * v.vj, 12) AS DECIMAL(30,12)))
+              AS DOUBLE) AS wi
+  FROM mat m JOIN v{t-1} v ON v.j = m.j
+  GROUP BY m.i
+), n{t} AS (
+  SELECT SQRT(CAST(SUM(CAST(ROUND(wi * wi, 12) AS DECIMAL(38,12)))
+              AS DOUBLE)) AS nrm
+  FROM w{t}
+), v{t} AS (
+  SELECT w.i AS j, ROUND(w.wi / n.nrm, 6) AS vj
+  FROM w{t} w CROSS JOIN n{t} n
+)""")
+    return (
+        "WITH " + cov.strip() + "," + ",".join(its) + """
+SELECT CAST(v.j AS INTEGER) AS i,
+       v.vj + 0.0 AS loading,
+       ROUND(n.nrm, 6) + 0.0 AS eigenvalue
+FROM v6 v CROSS JOIN n6 n
+ORDER BY i
+"""
+    )
+
+
+EM22_SQL = _em22_sql()
+
+
+def st15_stream_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING last-write-wins cache (streaming.
+    stream_latest_per_key): per-user state keeps the single winning
+    event under the (ts, event_id) total order — the upsert/
+    materialized-KV pattern of a serving cache — publishing versioned
+    corrections so the max-version view equals the batch "latest row
+    per key" query regardless of arrival order. ORACLE: plain window
+    rank over all events.
+
+    Scale shape: one row of state per key, forever; one user-keyed
+    exchange per micro-batch."""
+    from paqarin_spark.streaming import (
+        latest_from_emissions,
+        stream_latest_per_key,
+    )
+
+    configure_for_determinism(spark)
+    stream = _events_stream(spark, sf_dir)
+    emi = stream_latest_per_key(stream)
+    name = "st15_stream_latest"
+    q = (
+        emi.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        latest_from_emissions(spark.table(name))
+        .withColumnRenamed("k", "user_id")
+        .orderBy("user_id")
+    )
+
+
+ST15_SQL = """
+SELECT user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_seen,
+       event_id AS last_id,
+       ROUND(value, 6) AS last_value
+FROM (
+  SELECT user_id, ts, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rk
+  FROM events
+) WHERE rk = 1
+ORDER BY user_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-6 additions (never driver-verified) come first ---
     "tx42_duplicate_substrings": tx42_duplicate_substrings,
@@ -11452,6 +11660,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q95_top_supplier": q95_top_supplier,
     "gen7_quantile_remap": gen7_quantile_remap,
     "ev13_theil_u": ev13_theil_u,
+    "q96_mad_robust_stats": q96_mad_robust_stats,
+    "em22_power_iteration": em22_power_iteration,
+    "st15_stream_latest": st15_stream_latest,
     # --- round-5 additions, r5-driver-verified ---
     "ev11_ewma_backtest": ev11_ewma_backtest,
     "q90_priority_shipments": q90_priority_shipments,
@@ -11496,10 +11707,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # query without an oracle) come first; then the five r3-late
     # oracle upgrades (ev1's first value oracle, ev5 post-window,
     # em2 sign-plane switch, gen4/ev2 full value replays). ---
+    # ------------- driver 50-entry window ends HERE (position 50) -------------
+    # mm10_mp4_sample_table/q73_hll_distinct/tx33_count_min_tokens (r5-green) displaced for round-6 q96/em22/st15.
     "mm10_mp4_sample_table": mm10_mp4_sample_table,
     "q73_hll_distinct": q73_hll_distinct,
     "tx33_count_min_tokens": tx33_count_min_tokens,
-    # ------------- driver 50-entry window ends HERE (position 50) -------------
     # tx34/tx35/st9/q74 (r5-green) displaced for round-6 q94/q95/gen7/ev13.
     "tx34_perplexity_buckets": tx34_perplexity_buckets,
     "tx35_weighted_sample": tx35_weighted_sample,
@@ -11859,6 +12071,9 @@ ORACLE_SQL: dict[str, str] = {
     "q95_top_supplier": Q95_SQL,
     "gen7_quantile_remap": GEN7_SQL,
     "ev13_theil_u": EV13_SQL,
+    "q96_mad_robust_stats": Q96_SQL,
+    "em22_power_iteration": EM22_SQL,
+    "st15_stream_latest": ST15_SQL,
     "st11_stream_quantile_sketch": ST11_SQL,
     "q80_bloom_prune": Q80_SQL,
     "q73_hll_distinct": Q73_SQL,

@@ -819,3 +819,106 @@ def view_from_emissions(emissions: DataFrame) -> DataFrame:
             F.timestamp_micros("last_ts_us"), "yyyy-MM-dd HH:mm:ss"
         ).alias("last_seen"),
     )
+
+
+def stream_latest_per_key(
+    stream: DataFrame,
+    key_column: str = "user_id",
+    ts_column: str = "ts",
+    id_column: str = "event_id",
+    value_column: str = "value",
+) -> DataFrame:
+    """Streaming LAST-WRITE-WINS cache — the upsert/materialized-KV
+    pattern every event pipeline serves (latest profile state, last
+    reading per sensor): per-key state holds the single winning row
+    under the total order (ts, id), so late or out-of-order arrivals
+    never regress the cache, and each change publishes a versioned
+    correction (the st12/st14 emission contract). A reader taking
+    max-version rows holds exactly the batch "latest row per key"
+    query's answer, independent of micro-batch boundaries.
+
+    State bound: ONE row per key, forever."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    staged = stream.select(
+        F.col(key_column).alias("k"),
+        F.unix_micros(F.col(ts_column)).alias("_ts_us"),
+        F.col(id_column).alias("_id"),
+        F.col(value_column).alias("_v"),
+    )
+    out_type = StructType(
+        [
+            StructField("k", LongType(), True),
+            StructField("version", LongType(), False),
+            StructField("last_ts_us", LongType(), True),
+            StructField("last_id", LongType(), True),
+            StructField("last_value", DoubleType(), True),
+        ]
+    )
+    state_type = StructType(
+        [
+            StructField("ts", LongType(), True),
+            StructField("id", LongType(), True),
+            StructField("v", DoubleType(), True),
+            StructField("version", LongType(), True),
+        ]
+    )
+
+    def fold(key, pdf_iter, state: GroupState):
+        if state.exists:
+            ts, rid, v, version = state.get
+        else:
+            ts, rid, v, version = None, None, None, 0
+        best = (ts, rid) if ts is not None else None
+        for pdf in pdf_iter:
+            for t, i, val in zip(pdf["_ts_us"], pdf["_id"], pdf["_v"]):
+                if pd.isna(t) or pd.isna(i):
+                    continue
+                cand = (int(t), int(i))
+                if best is None or cand > best:
+                    best = cand
+                    v = None if pd.isna(val) else float(val)
+        if best is not None and (ts, rid) != best:
+            ts, rid = best
+            version += 1
+            state.update((ts, rid, v, version))
+            yield pd.DataFrame(
+                [(key[0], version, ts, rid, v)],
+                columns=["k", "version", "last_ts_us", "last_id",
+                         "last_value"],
+            )
+
+    return staged.groupBy("k").applyInPandasWithState(
+        fold,
+        outputStructType=out_type,
+        stateStructType=state_type,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def latest_from_emissions(emissions: DataFrame) -> DataFrame:
+    """Finish a :func:`stream_latest_per_key` emission table: the
+    max-version row per key IS the cache — formatted with the batch
+    query's column contract (ts string, id, value)."""
+    w = Window.partitionBy("k")
+    latest = (
+        emissions.withColumn("_mx", F.max("version").over(w))
+        .where(F.col("version") == F.col("_mx"))
+    )
+    return latest.select(
+        F.col("k"),
+        F.date_format(
+            F.timestamp_micros("last_ts_us"), "yyyy-MM-dd HH:mm:ss"
+        ).alias("last_seen"),
+        "last_id",
+        F.round("last_value", 6).alias("last_value"),
+    )

@@ -868,3 +868,32 @@ def test_covariance_matrix_exact_values(spark):
         (1, 1): 8.0, (1, 2): 0.0, (2, 2): 0.0,
     }
     assert all(math.copysign(1.0, v) > 0 for v in got.values() if v == 0.0)
+
+
+def test_power_iteration_finds_planted_direction(spark):
+    """A corpus with one dominant variance direction: the iterate
+    aligns with numpy's leading eigenvector (|cos| ~ 1) and the
+    eigenvalue estimate matches eigh to ~1e-5."""
+    import numpy as np
+
+    from paqarin_spark.operators import power_iteration
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(200, 4)) * 0.1
+    base[:, 1] += rng.normal(size=200) * 3.0
+    rows = [(int(i), [float(x) for x in base[i]]) for i in range(200)]
+    df = spark.createDataFrame(rows, "id int, v array<double>")
+    out = sorted(
+        (r["i"], r["loading"], r["eigenvalue"])
+        for r in power_iteration(df, "v", iterations=8).collect()
+    )
+    C = np.cov(base.T, bias=True)
+    evals, evecs = np.linalg.eigh(C)
+    got = np.array([x[1] for x in out])
+    cos = abs(got @ evecs[:, -1]) / np.linalg.norm(got)
+    assert cos > 0.999999
+    assert abs(out[0][2] - evals[-1]) < 1e-4
+    import pytest
+
+    with pytest.raises(ValueError, match="iterations"):
+        power_iteration(df, "v", iterations=0)

@@ -6,6 +6,7 @@ from __future__ import annotations
 import datetime as dt
 
 import pytest
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from paqarin_spark.schema import TimeSeriesSchema
@@ -746,3 +747,66 @@ def test_stream_view_rollup_state_survives_checkpoint_restart(spark, tmp_path):
     }
     assert got == want
     assert all(n == 20 for n, _, _ in got.values())
+
+
+def test_stream_latest_per_key_survives_restart_and_out_of_order(spark, tmp_path):
+    """Last-write-wins state: the restart replays only new files whose
+    timestamps are EARLIER for some keys — the cache must keep the
+    round-1 winner for those and only advance where the new data
+    genuinely wins."""
+    from paqarin_spark.streaming import (
+        latest_from_emissions,
+        stream_latest_per_key,
+    )
+
+    path = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+    schema = "event_id long, user_id long, ts timestamp, value double"
+    part1 = spark.range(0, 40).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 4).alias("user_id"),
+        F.timestamp_micros(
+            F.lit(1700000000_000000) + F.col("id") * 1_000_000
+        ).alias("ts"),
+        (F.col("id") * 1.5).alias("value"),
+    )
+    # part2: users 0/1 get OLDER events (losers); users 2/3 newer
+    part2 = spark.range(100, 140).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 4).alias("user_id"),
+        F.timestamp_micros(
+            F.lit(1700000000_000000)
+            + F.when(F.col("id") % 4 < 2, F.col("id") - 200).otherwise(
+                F.col("id")
+            )
+            * 1_000_000
+        ).alias("ts"),
+        (F.col("id") * -2.0).alias("value"),
+    )
+    part1.repartition(2).write.mode("append").parquet(path)
+    stream = spark.readStream.schema(schema).parquet(path)
+    _run_checkpointed_append(
+        spark, stream_latest_per_key(stream), out_dir, ckpt
+    )
+    part2.repartition(2).write.mode("append").parquet(path)
+    stream2 = spark.readStream.schema(schema).parquet(path)
+    emi = _run_checkpointed_append(
+        spark, stream_latest_per_key(stream2), out_dir, ckpt
+    )
+    got = {
+        r["k"]: (r["last_id"], r["last_value"])
+        for r in latest_from_emissions(emi).collect()
+    }
+    batch = spark.read.parquet(path)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    want = {
+        r["user_id"]: (r["event_id"], round(r["value"], 6))
+        for r in batch.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .collect()
+    }
+    assert got == want
+    assert got[0][0] < 100 and got[2][0] >= 100  # losers kept, winners advanced
