@@ -11644,6 +11644,193 @@ ORDER BY user_id
 """
 
 
+
+def q97_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL sink/source round-trip PROOF (ops A1/A3 beyond unit
+    tests): events are written through sources.write_jsonl, read back
+    through sources.read_jsonl with an explicit schema, and rolled up
+    day × type — and the ORACLE aggregates the ORIGINAL parquet, so
+    the hash match proves doubles and timestamps survive the text
+    round-trip bit-exactly (shortest-repr JSON doubles re-parse to the
+    identical binary, the property interchange corpora rely on).
+
+    Scale shape: one partitioned JSON write + scan, one day×type
+    rollup with decimal-exact sums."""
+    import hashlib
+    import os
+
+    from paqarin_spark.sources import read_jsonl, write_jsonl
+
+    configure_for_determinism(spark)
+    ev = _events(spark, sf_dir)
+    staged = ev.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "value",
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = os.path.join("/tmp", f"paqarin_q97_{tag}")
+    write_jsonl(staged, path)
+    back = read_jsonl(
+        spark, path, schema="day string, event_type string, value double"
+    )
+    return (
+        back.groupBy("day", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(30,10)")).cast("double"),
+                6,
+            ).alias("sum_value"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+Q97_SQL = """
+SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+       COUNT(*) AS n,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(30,10))) AS DOUBLE), 6)
+         AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY day, event_type
+"""
+
+
+def q98_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): in every
+    multi-supplier order, if exactly ONE supplier shipped late
+    (l_shipdate > o_orderdate + 60 days), that supplier takes the
+    blame — Q21's exists/not-exists pair re-expressed as one per-order
+    aggregate (distinct suppliers, distinct LATE suppliers, and the
+    argmax-free single-late-supplier pick via conditional max), which
+    shuffles the lineitem side exactly once on the order key.
+
+    Scale shape: one orderkey join to fetch o_orderdate (orders is the
+    smaller side), one orderkey-keyed aggregate, one supplier rollup;
+    top-20 via TakeOrderedAndProject, never a global sort."""
+    configure_for_determinism(spark)
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    supp = read_table(spark, sf_dir, "supplier")
+    lines = li.join(
+        orders, li.l_orderkey == orders.o_orderkey
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)
+        ).alias("_late"),
+    )
+    per_order = lines.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("_n_supp"),
+        F.count_distinct(
+            F.when(F.col("_late"), F.col("l_suppkey"))
+        ).alias("_n_late"),
+        F.max(F.when(F.col("_late"), F.col("l_suppkey"))).alias("_blame"),
+    )
+    numwait = (
+        per_order.where(
+            (F.col("_n_supp") >= 2) & (F.col("_n_late") == 1)
+        )
+        .groupBy("_blame")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+    return (
+        numwait.join(
+            F.broadcast(supp), numwait._blame == supp.s_suppkey
+        )
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+Q98_SQL = """
+WITH lines AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY AS late
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+), per_order AS (
+  SELECT l_orderkey,
+         COUNT(DISTINCT l_suppkey) AS n_supp,
+         COUNT(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late,
+         MAX(CASE WHEN late THEN l_suppkey END) AS blame
+  FROM lines GROUP BY l_orderkey
+)
+SELECT s.s_name, COUNT(*) AS numwait
+FROM per_order p
+JOIN supplier s ON s.s_suppkey = p.blame
+WHERE p.n_supp >= 2 AND p.n_late = 1
+GROUP BY s.s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
+def em23_variance_explained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance explained by the leading principal component: the
+    em22 eigenvalue over the covariance trace — the one-number PCA
+    audit (how much of the corpus variance one direction carries)
+    that decides whether dimensionality reduction is even worth it.
+    Trace is an EXACT decimal sum of the 6dp-rounded diagonal; the
+    eigenvalue replays em22's unrolled iteration; only the final
+    ratio touches floats.
+
+    Scale shape: the covariance pass is the only corpus-sized stage
+    (a production caller computes it once for em21/em22/em23 — the
+    declared queries stay independent for the oracle contract)."""
+    from paqarin_spark.operators import covariance_matrix, power_iteration
+
+    configure_for_determinism(spark)
+    emb = read_table(spark, sf_dir, "embeddings")
+    eig = (
+        power_iteration(emb, "embedding", iterations=6)
+        .agg(F.max("eigenvalue").alias("eigenvalue"))
+    )
+    trace = (
+        covariance_matrix(emb, "embedding")
+        .where(F.col("i") == F.col("j"))
+        .agg(
+            F.round(
+                F.sum(F.col("cov").cast("decimal(25,6)")).cast("double"), 6
+            ).alias("trace")
+        )
+    )
+    return eig.crossJoin(F.broadcast(trace)).select(
+        "eigenvalue",
+        "trace",
+        F.round(F.col("eigenvalue") / F.col("trace"), 6).alias(
+            "explained_ratio"
+        ),
+    )
+
+
+def _em23_sql() -> str:
+    body = EM22_SQL
+    head, tail = body.rsplit("SELECT CAST(v.j AS INTEGER) AS i,", 1)
+    return (
+        head
+        + """, eig AS (
+  SELECT ROUND(nrm, 6) + 0.0 AS eigenvalue FROM n6
+), tr AS (
+  SELECT ROUND(CAST(SUM(CAST(cov AS DECIMAL(25,6))) AS DOUBLE), 6)
+           AS trace
+  FROM cov WHERE i = j
+)
+SELECT e.eigenvalue, t.trace,
+       ROUND(e.eigenvalue / t.trace, 6) AS explained_ratio
+FROM eig e CROSS JOIN tr t
+"""
+    )
+
+
+EM23_SQL = _em23_sql()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-6 additions (never driver-verified) come first ---
     "tx42_duplicate_substrings": tx42_duplicate_substrings,
@@ -11663,6 +11850,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q96_mad_robust_stats": q96_mad_robust_stats,
     "em22_power_iteration": em22_power_iteration,
     "st15_stream_latest": st15_stream_latest,
+    "q97_jsonl_roundtrip": q97_jsonl_roundtrip,
+    "q98_waiting_suppliers": q98_waiting_suppliers,
+    "em23_variance_explained": em23_variance_explained,
     # --- round-5 additions, r5-driver-verified ---
     "ev11_ewma_backtest": ev11_ewma_backtest,
     "q90_priority_shipments": q90_priority_shipments,
@@ -11694,9 +11884,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q77_small_qty_revenue": q77_small_qty_revenue,
     "q78_dormant_rich_customers": q78_dormant_rich_customers,
     "q79_quantile_sketch": q79_quantile_sketch,
-    "tx38_fuzzy_supplier_match": tx38_fuzzy_supplier_match,
-    "st11_stream_quantile_sketch": st11_stream_quantile_sketch,
-    "q80_bloom_prune": q80_bloom_prune,
     # --- round-4 rotation: everything from here to ev2 has never
     # been driver-verified on its CURRENT oracle. The 16 round-4
     # ADDITIONS (mm10 MP4 sample tables; q73/tx33/st9/st10 sketches;
@@ -11708,6 +11895,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # oracle upgrades (ev1's first value oracle, ev5 post-window,
     # em2 sign-plane switch, gen4/ev2 full value replays). ---
     # ------------- driver 50-entry window ends HERE (position 50) -------------
+    # tx38_fuzzy_supplier_match/st11_stream_quantile_sketch/q80_bloom_prune (r5-green) displaced for round-6 q97/q98/em23.
+    "tx38_fuzzy_supplier_match": tx38_fuzzy_supplier_match,
+    "st11_stream_quantile_sketch": st11_stream_quantile_sketch,
+    "q80_bloom_prune": q80_bloom_prune,
     # mm10_mp4_sample_table/q73_hll_distinct/tx33_count_min_tokens (r5-green) displaced for round-6 q96/em22/st15.
     "mm10_mp4_sample_table": mm10_mp4_sample_table,
     "q73_hll_distinct": q73_hll_distinct,
@@ -12074,6 +12265,9 @@ ORACLE_SQL: dict[str, str] = {
     "q96_mad_robust_stats": Q96_SQL,
     "em22_power_iteration": EM22_SQL,
     "st15_stream_latest": ST15_SQL,
+    "q97_jsonl_roundtrip": Q97_SQL,
+    "q98_waiting_suppliers": Q98_SQL,
+    "em23_variance_explained": EM23_SQL,
     "st11_stream_quantile_sketch": ST11_SQL,
     "q80_bloom_prune": Q80_SQL,
     "q73_hll_distinct": Q73_SQL,
