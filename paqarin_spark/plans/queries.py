@@ -11831,6 +11831,280 @@ FROM eig e CROSS JOIN tr t
 EM23_SQL = _em23_sql()
 
 
+
+def q99_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): within orders placed by
+    ASIA-region customers, the share of yearly revenue supplied by
+    NATION_2's suppliers. Both the nation slice and the yearly total
+    are EXACT decimal sums; the share divides the two decimals as
+    doubles only at output (the q91 promo-share discipline).
+
+    Scale shape: the region→nation→customer chain and the supplier→
+    nation chain are dim-only broadcasts semi-pruning the fact join;
+    lineitem shuffles once on the order key; the rollup is
+    year-keyed."""
+    configure_for_determinism(spark)
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    supp = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region")
+    asia_nations = nation.join(
+        region.where(F.col("r_name") == "ASIA"),
+        nation.n_regionkey == region.r_regionkey,
+    ).select("n_nationkey")
+    asia_cust = cust.join(
+        F.broadcast(asia_nations),
+        cust.c_nationkey == F.col("n_nationkey"),
+    ).select("c_custkey")
+    supp_nat = supp.join(
+        F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey", "n_name")
+    rev = (
+        orders.join(asia_cust, orders.o_custkey == F.col("c_custkey"))
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(supp_nat), li.l_suppkey == F.col("s_suppkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            (
+                F.col("l_extendedprice").cast("decimal(30,10)")
+                * (
+                    F.lit(1).cast("decimal(30,10)")
+                    - F.col("l_discount").cast("decimal(30,10)")
+                )
+            ).cast("decimal(30,10)").alias("_vol"),
+            (F.col("n_name") == "NATION_2").alias("_target"),
+        )
+    )
+    return (
+        rev.groupBy("o_year")
+        .agg(
+            F.sum(F.when(F.col("_target"), F.col("_vol"))).alias("_tn"),
+            F.sum("_vol").alias("_tot"),
+        )
+        .select(
+            "o_year",
+            F.round(
+                F.coalesce(F.col("_tn"), F.lit(0).cast("decimal(30,10)"))
+                .cast("double"),
+                6,
+            ).alias("nation_revenue"),
+            F.round(F.col("_tot").cast("double"), 6).alias("total_revenue"),
+            F.round(
+                F.coalesce(
+                    F.col("_tn"), F.lit(0).cast("decimal(30,10)")
+                ).cast("double")
+                / F.col("_tot").cast("double"),
+                6,
+            ).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+Q99_SQL = """
+WITH vol AS (
+  SELECT EXTRACT(year FROM o.o_orderdate) AS o_year,
+         CAST(CAST(l.l_extendedprice AS DECIMAL(30,10))
+              * (CAST(1 AS DECIMAL(30,10))
+                 - CAST(l.l_discount AS DECIMAL(30,10)))
+              AS DECIMAL(30,10)) AS v,
+         sn.n_name = 'NATION_2' AS is_target
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = cn.n_regionkey AND r.r_name = 'ASIA'
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+)
+SELECT o_year,
+       ROUND(CAST(COALESCE(SUM(CASE WHEN is_target THEN v END),
+                           CAST(0 AS DECIMAL(30,10))) AS DOUBLE), 6)
+         AS nation_revenue,
+       ROUND(CAST(SUM(v) AS DOUBLE), 6) AS total_revenue,
+       ROUND(CAST(COALESCE(SUM(CASE WHEN is_target THEN v END),
+                           CAST(0 AS DECIMAL(30,10))) AS DOUBLE)
+             / CAST(SUM(v) AS DOUBLE), 6) AS mkt_share
+FROM vol
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+def gen8_smoothed_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed bootstrap sampler (Efron's bootstrap + a uniform
+    kernel, bandwidth = the user's MAD): sample k draws the
+    ceil(u1·n)-th order statistic of the user's history, then jitters
+    it by (u2 − 0.5)·2·MAD — the KDE-style generator that fills gaps
+    between observed values where gen7's pure quantile remap can only
+    repeat them. Both uniforms are md5 streams; MAD is an exact
+    order-statistic pick of |x − median| (the q96 machinery in the
+    array domain), so every arithmetic step is a deterministic double
+    expression on identical inputs; outputs round 6dp.
+
+    Scale shape: one per-user rollup, samples explode from a literal
+    sequence — no shuffle after the rollup."""
+    configure_for_determinism(spark)
+    ev = _events(spark, sf_dir)
+    hist = ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.col("value"))).alias("_vals"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    med = F.element_at(
+        "_vals", F.greatest(F.lit(1), F.ceil(F.col("_n") / 2).cast("int"))
+    )
+    devs = F.array_sort(
+        F.transform("_vals", lambda x: F.abs(x - med))
+    )
+    mad = F.element_at(
+        devs, F.greatest(F.lit(1), F.ceil(F.col("_n") / 2).cast("int"))
+    )
+    samples = hist.select(
+        "user_id",
+        "_vals",
+        "_n",
+        mad.alias("_mad"),
+        F.explode(F.sequence(F.lit(1), F.lit(8))).alias("k"),
+    )
+
+    def md5u(prefix):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(prefix),
+                            F.col("user_id").cast("string"),
+                            F.lit("#"),
+                            F.col("k").cast("string"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("double")
+            / F.lit(1152921504606846976.0)
+        )
+    idx = F.greatest(F.lit(1), F.ceil(md5u("gen8v#") * F.col("_n")).cast("int"))
+    base = F.element_at("_vals", idx)
+    jitter = (md5u("gen8j#") - F.lit(0.5)) * F.lit(2.0) * F.col("_mad")
+    return samples.select(
+        "user_id",
+        "k",
+        F.round(base + jitter, 6).alias("synth_value"),
+    ).orderBy("user_id", "k")
+
+
+GEN8_SQL = """
+WITH hist AS (
+  SELECT user_id,
+         list(value ORDER BY value) AS vals,
+         COUNT(*) AS n
+  FROM events GROUP BY user_id
+), stats AS (
+  SELECT user_id, vals, n,
+         list_sort(list_transform(vals,
+           x -> ABS(x - vals[GREATEST(1, CAST(CEIL(n / 2.0) AS INTEGER))])
+         ))[GREATEST(1, CAST(CEIL(n / 2.0) AS INTEGER))] AS mad
+  FROM hist
+), samples AS (
+  SELECT user_id, vals, n, mad, k.k
+  FROM stats, LATERAL (SELECT UNNEST(range(1, 9)) AS k) k
+)
+SELECT user_id, k,
+       ROUND(
+         vals[GREATEST(1, CAST(CEIL(
+           (('0x' || substring(md5('gen8v#' || CAST(user_id AS VARCHAR)
+               || '#' || CAST(k AS VARCHAR)), 1, 15))::UBIGINT
+            / 1152921504606846976.0) * n) AS INTEGER))]
+         + ((('0x' || substring(md5('gen8j#' || CAST(user_id AS VARCHAR)
+               || '#' || CAST(k AS VARCHAR)), 1, 15))::UBIGINT
+             / 1152921504606846976.0) - 0.5) * 2.0 * mad,
+         6) AS synth_value
+FROM samples
+ORDER BY user_id, k
+"""
+
+
+def ev14_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical prediction-interval coverage — the conformal-style
+    calibration audit: per user, the [p10, p90] interval of all
+    history EXCEPT the final event (order-statistic picks, train
+    split), then the fraction of users whose held-out final value
+    actually landed inside. Every bound is an existing double; the
+    only arithmetic is exact integer ratios at output.
+
+    Scale shape: one user-keyed window pass marks the holdout, one
+    rollup builds the intervals in the array domain, one global
+    count."""
+    configure_for_determinism(spark)
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    marked = ev.select(
+        "user_id",
+        "value",
+        (F.row_number().over(w) == 1).alias("_is_last"),
+    )
+    per_user = marked.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(F.when(~F.col("_is_last"), F.col("value")))
+        ).alias("_train"),
+        F.max(F.when(F.col("_is_last"), F.col("value"))).alias("_y"),
+    ).where(F.size("_train") >= 5)
+    n_tr = F.size("_train")
+    lo = F.element_at(
+        "_train",
+        F.greatest(F.lit(1), F.ceil(n_tr * 0.1).cast("int")),
+    )
+    hi = F.element_at(
+        "_train",
+        F.greatest(F.lit(1), F.ceil(n_tr * 0.9).cast("int")),
+    )
+    flags = per_user.select(
+        ((F.col("_y") >= lo) & (F.col("_y") <= hi)).cast("long").alias(
+            "_cov"
+        )
+    )
+    return flags.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("_cov").alias("n_covered"),
+        F.round(F.sum("_cov") / F.count(F.lit(1)), 6).alias("coverage"),
+    )
+
+
+EV14_SQL = """
+WITH marked AS (
+  SELECT user_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) = 1 AS is_last
+  FROM events
+), per_user AS (
+  SELECT user_id,
+         list(value ORDER BY value)
+           FILTER (WHERE NOT is_last) AS train,
+         MAX(CASE WHEN is_last THEN value END) AS y
+  FROM marked GROUP BY user_id
+), sized AS (
+  SELECT user_id, train, y, len(train) AS n
+  FROM per_user WHERE len(train) >= 5
+), flags AS (
+  SELECT CASE WHEN y >= train[GREATEST(1, CAST(CEIL(n * 0.1) AS INTEGER))]
+               AND y <= train[GREATEST(1, CAST(CEIL(n * 0.9) AS INTEGER))]
+          THEN 1 ELSE 0 END AS cov
+  FROM sized
+)
+SELECT COUNT(*) AS n_users, CAST(SUM(cov) AS BIGINT) AS n_covered,
+       ROUND(SUM(cov) / COUNT(*), 6) AS coverage
+FROM flags
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-6 additions (never driver-verified) come first ---
     "tx42_duplicate_substrings": tx42_duplicate_substrings,
@@ -11853,6 +12127,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q97_jsonl_roundtrip": q97_jsonl_roundtrip,
     "q98_waiting_suppliers": q98_waiting_suppliers,
     "em23_variance_explained": em23_variance_explained,
+    "q99_market_share": q99_market_share,
+    "gen8_smoothed_bootstrap": gen8_smoothed_bootstrap,
+    "ev14_interval_coverage": ev14_interval_coverage,
     # --- round-5 additions, r5-driver-verified ---
     "ev11_ewma_backtest": ev11_ewma_backtest,
     "q90_priority_shipments": q90_priority_shipments,
@@ -11881,9 +12158,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ev9_energy_fidelity": ev9_energy_fidelity,
     "mm11_mjpeg_decode": mm11_mjpeg_decode,
     "q76_large_volume_orders": q76_large_volume_orders,
-    "q77_small_qty_revenue": q77_small_qty_revenue,
-    "q78_dormant_rich_customers": q78_dormant_rich_customers,
-    "q79_quantile_sketch": q79_quantile_sketch,
     # --- round-4 rotation: everything from here to ev2 has never
     # been driver-verified on its CURRENT oracle. The 16 round-4
     # ADDITIONS (mm10 MP4 sample tables; q73/tx33/st9/st10 sketches;
@@ -11895,6 +12169,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # oracle upgrades (ev1's first value oracle, ev5 post-window,
     # em2 sign-plane switch, gen4/ev2 full value replays). ---
     # ------------- driver 50-entry window ends HERE (position 50) -------------
+    # q77_small_qty_revenue/q78_dormant_rich_customers/q79_quantile_sketch (r5-green) displaced for round-6 q99/gen8/ev14.
+    "q77_small_qty_revenue": q77_small_qty_revenue,
+    "q78_dormant_rich_customers": q78_dormant_rich_customers,
+    "q79_quantile_sketch": q79_quantile_sketch,
     # tx38_fuzzy_supplier_match/st11_stream_quantile_sketch/q80_bloom_prune (r5-green) displaced for round-6 q97/q98/em23.
     "tx38_fuzzy_supplier_match": tx38_fuzzy_supplier_match,
     "st11_stream_quantile_sketch": st11_stream_quantile_sketch,
@@ -12268,6 +12546,9 @@ ORACLE_SQL: dict[str, str] = {
     "q97_jsonl_roundtrip": Q97_SQL,
     "q98_waiting_suppliers": Q98_SQL,
     "em23_variance_explained": EM23_SQL,
+    "q99_market_share": Q99_SQL,
+    "gen8_smoothed_bootstrap": GEN8_SQL,
+    "ev14_interval_coverage": EV14_SQL,
     "st11_stream_quantile_sketch": ST11_SQL,
     "q80_bloom_prune": Q80_SQL,
     "q73_hll_distinct": Q73_SQL,
