@@ -1892,12 +1892,30 @@ def power_iteration(
         raise ValueError("iterations must be >= 1")
     width = _vector_width(df, vector_column)
     cov = covariance_matrix(df, vector_column, round_decimals=round_decimals)
+    return power_iteration_on_cov(
+        cov, width, iterations=iterations, round_decimals=round_decimals
+    )
+
+
+def power_iteration_on_cov(
+    cov: DataFrame,
+    width: int,
+    iterations: int = 6,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """:func:`power_iteration` on a PRECOMPUTED upper-triangle
+    covariance table (the :func:`covariance_matrix` output) — the
+    production shape: compute the corpus-sized covariance pass once,
+    then run eigen-analysis, trace, and variance-explained audits from
+    the same d×d table (em23 does)."""
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
     mat = cov.unionByName(
         cov.where(F.col("i") != F.col("j")).select(
             F.col("j").alias("i"), F.col("i").alias("j"), "cov"
         )
     ).localCheckpoint()
-    spark = df.sparkSession
+    spark = cov.sparkSession
     v = spark.range(width).select(
         F.col("id").cast("int").alias("j"), F.lit(1.0).alias("vj")
     )

@@ -11092,7 +11092,7 @@ def em21_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from paqarin_spark.operators import covariance_matrix
 
     configure_for_determinism(spark)
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = read_table(spark, sf_dir, "embeddings", spread=True)
     return covariance_matrix(emb, "embedding").orderBy("i", "j")
 
 
@@ -11534,7 +11534,7 @@ def em22_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     from paqarin_spark.operators import power_iteration
 
     configure_for_determinism(spark)
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = read_table(spark, sf_dir, "embeddings", spread=True)
     return power_iteration(emb, "embedding", iterations=6).orderBy("i")
 
 
@@ -11780,20 +11780,23 @@ def em23_variance_explained(spark: SparkSession, sf_dir: str) -> DataFrame:
     eigenvalue replays em22's unrolled iteration; only the final
     ratio touches floats.
 
-    Scale shape: the covariance pass is the only corpus-sized stage
-    (a production caller computes it once for em21/em22/em23 — the
-    declared queries stay independent for the oracle contract)."""
-    from paqarin_spark.operators import covariance_matrix, power_iteration
+    Scale shape: the covariance pass is the only corpus-sized stage,
+    computed ONCE and localCheckpointed — eigenvalue and trace both
+    read the same d×d table."""
+    from paqarin_spark.operators import (
+        covariance_matrix,
+        power_iteration_on_cov,
+    )
 
     configure_for_determinism(spark)
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = read_table(spark, sf_dir, "embeddings", spread=True)
+    cov = covariance_matrix(emb, "embedding").localCheckpoint()
     eig = (
-        power_iteration(emb, "embedding", iterations=6)
+        power_iteration_on_cov(cov, 64, iterations=6)
         .agg(F.max("eigenvalue").alias("eigenvalue"))
     )
     trace = (
-        covariance_matrix(emb, "embedding")
-        .where(F.col("i") == F.col("j"))
+        cov.where(F.col("i") == F.col("j"))
         .agg(
             F.round(
                 F.sum(F.col("cov").cast("decimal(25,6)")).cast("double"), 6
