@@ -1686,6 +1686,11 @@ def parse_id3v2(content: bytes) -> dict | None:
         return None
     if content[3] != 3 or content[4] != 0:
         return None
+    if content[5] != 0:
+        # unsync / extended-header / experimental flags change the
+        # byte layout; walking them as plain frames would silently
+        # drop or corrupt tags — strict None instead
+        return None
     sz = content[6:10]
     if any(b & 0x80 for b in sz):
         return None
@@ -1699,9 +1704,13 @@ def parse_id3v2(content: bytes) -> dict | None:
         fid = content[i : i + 4]
         if fid == b"\x00\x00\x00\x00" or fid[0] == 0:
             break  # padding
-        if not all(0x30 <= b <= 0x5A for b in fid):
+        if not all(0x30 <= b <= 0x39 or 0x41 <= b <= 0x5A for b in fid):
             return None
         (flen,) = struct.unpack_from(">I", content, i + 4)
+        if content[i + 8] != 0 or content[i + 9] != 0:
+            # compression/encryption/grouping frame flags change the
+            # body layout — strict None
+            return None
         if i + 10 + flen > end:
             return None
         body = content[i + 10 : i + 10 + flen]

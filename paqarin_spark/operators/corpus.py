@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from paqarin_spark.operators.dedup import tokens
+from paqarin_spark.operators.dedup import normalized_text, tokens
 
 from paqarin_spark.functions import uniform_hash as _uniform_hash  # noqa: E402
 
@@ -321,16 +321,7 @@ def token_pair_lift(
             F.col(id_column).alias("doc"),
             F.explode(
                 F.array_distinct(
-                    F.split(
-                        F.btrim(
-                            F.regexp_replace(
-                                F.lower(F.col(text_column)),
-                                "[^a-z0-9]+",
-                                " ",
-                            )
-                        ),
-                        " ",
-                    )
+                    F.split(normalized_text(F.col(text_column)), " ")
                 )
             ).alias("tok"),
         )

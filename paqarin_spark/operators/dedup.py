@@ -22,6 +22,17 @@ from pyspark.sql import functions as F
 TOKEN_PATTERN = "[a-z0-9]+"
 
 
+def normalized_text(text_col) -> F.Column:
+    """The ONE corpus text normalization every shingle/anchor/line/
+    lift operator (and its mirrored oracle SQL) builds on: lowercase,
+    non-alphanumeric runs collapse to single spaces, ends trimmed.
+    Splitting the result on ' ' yields the token array; changing the
+    token alphabet here changes it everywhere at once."""
+    return F.btrim(
+        F.regexp_replace(F.lower(text_col), "[^a-z0-9]+", " ")
+    )
+
+
 def keep_first(
     df: DataFrame,
     key_columns: Sequence[str],
@@ -98,9 +109,7 @@ def _shingle_rows(
     within-document multiplicity — the span-level view
     :func:`duplicate_spans` needs.
     """
-    norm = F.btrim(
-        F.regexp_replace(F.lower(F.col(text_column)), "[^a-z0-9]+", " ")
-    )
+    norm = normalized_text(F.col(text_column))
     pat = "(?=(" + " ".join(["[a-z0-9]+"] * n) + "))[a-z0-9]+ ?"
     arr = F.regexp_extract_all(norm, F.lit(pat), 1)
     if distinct:
@@ -1170,9 +1179,7 @@ def _positional_anchor_rows(
     because each match consumes exactly one token, the chain starts at
     token 0, and once the lookahead fails (the last n-1 tokens) no
     later start can see n tokens ahead."""
-    norm = F.btrim(
-        F.regexp_replace(F.lower(F.col(text_column)), "[^a-z0-9]+", " ")
-    )
+    norm = normalized_text(F.col(text_column))
     pat = "(?=(" + " ".join(["[a-z0-9]+"] * n) + "))[a-z0-9]+ ?"
     return df.select(
         F.col(id_column).alias("doc"),
@@ -1226,13 +1233,15 @@ def duplicate_substring_spans(
 ) -> DataFrame:
     """Exact duplicate-SUBSTRING spans, the ExactSubstr dedup of Lee
     et al. 2022 ("Deduplicating Training Data Makes Language Models
-    Better", §4.1) re-expressed relationally: every maximal token
-    interval in which EVERY ``min_tokens``-gram occurs at least twice
-    in the corpus (counting within-document repeats, as the paper's
-    suffix array does). A duplicated substring of length L >= n is
-    exactly a run of L-n+1 duplicated n-gram anchors, so maximal
-    duplicated substrings = the interval union of duplicated anchors —
-    no suffix array needed for a fixed minimum length.
+    Better", §4.1) re-expressed relationally: the maximal token
+    intervals COVERED by duplicated ``min_tokens``-gram anchors
+    (counting within-document repeats, as the paper's suffix array
+    does). A duplicated substring of length L >= n is exactly a run of
+    L-n+1 duplicated anchors, so every duplicated substring lies
+    inside one returned span; coverage-union semantics mean a span can
+    also bridge two distinct duplicated passages whose anchor coverage
+    touches (gap <= n), so not every sub-n-gram of a span is itself
+    duplicated — no suffix array needed for a fixed minimum length.
 
     Scale posture: one anchor-keyed aggregation (partial agg shrinks
     the shuffle to corpus vocabulary) + the flag join, then one
@@ -1311,9 +1320,7 @@ def strip_duplicate_substrings(
     rm_pos = _merge_islands(removable, min_tokens).select(
         "doc", F.explode(F.sequence("span_start", "span_end")).alias("pos")
     )
-    norm = F.btrim(
-        F.regexp_replace(F.lower(F.col(text_column)), "[^a-z0-9]+", " ")
-    )
+    norm = normalized_text(F.col(text_column))
     toks = df.select(
         F.col(id_column).alias("doc"),
         F.posexplode(F.split(norm, " ")).alias("pos", "tok"),

@@ -102,7 +102,7 @@ def _matmul_chunks(q_mat, c_mat, q_norm, c_norm, chunk: int = 2048):
 
     for lo in range(0, q_mat.shape[0], chunk):
         hi = min(lo + chunk, q_mat.shape[0])
-        sims = np.round(
+        sims = _round_half_up(
             (q_mat[lo:hi] @ c_mat.T) / np.outer(q_norm[lo:hi], c_norm), 6
         )
         yield lo, sims
@@ -577,7 +577,7 @@ def ivf_topk(
                 continue
             q_mat = np.vstack(pdf[vector_column].to_numpy()).astype(np.float64)
             q_norm = np.linalg.norm(q_mat, axis=1)
-            sims = np.round((q_mat @ mat_c.T) / np.outer(q_norm, norm_c), 6)
+            sims = _round_half_up((q_mat @ mat_c.T) / np.outer(q_norm, norm_c), 6)
             # vectorized top-nprobe by (sim desc, centroid id asc):
             # with columns pre-sorted by centroid id, _top_cols's index
             # tie-break is the id tie-break — no per-row Python loop,
@@ -617,7 +617,7 @@ def ivf_topk(
         q_ids = pdf[id_column].to_numpy()
         q_mat = np.vstack(pdf[vector_column].to_numpy()).astype(np.float64)
         q_nrm = np.linalg.norm(q_mat, axis=1)
-        sims = np.round((q_mat @ m_mat.T) / np.outer(q_nrm, m_nrm), 6)
+        sims = _round_half_up((q_mat @ m_mat.T) / np.outer(q_nrm, m_nrm), 6)
         out_q, out_n, out_s = _topk_rows(q_ids, m_ids, sims, k)
         return pd.DataFrame(
             {"query_id": out_q, "neighbor_id": out_n, "cos_sim": out_s}
@@ -705,7 +705,7 @@ def lsh_topk(
         ids = pdf[id_column].to_numpy()
         mat = np.vstack(pdf[vector_column].to_numpy()).astype(np.float64)
         nrm = np.linalg.norm(mat, axis=1)
-        sims = np.round((mat @ mat.T) / np.outer(nrm, nrm), 6)
+        sims = _round_half_up((mat @ mat.T) / np.outer(nrm, nrm), 6)
         out_q, out_n, out_s = _topk_rows(ids, ids, sims, k)
         return pd.DataFrame(
             {"query_id": out_q, "neighbor_id": out_n, "cos_sim": out_s}

@@ -11668,8 +11668,10 @@ def q97_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "value",
     )
+    # pid in the path: two processes auditing/benching the same
+    # sf_dir must not overwrite each other's round-trip staging
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    path = os.path.join("/tmp", f"paqarin_q97_{tag}")
+    path = os.path.join("/tmp", f"paqarin_q97_{tag}_{os.getpid()}")
     write_jsonl(staged, path)
     back = read_jsonl(
         spark, path, schema="day string, event_type string, value double"
@@ -11722,7 +11724,8 @@ def q98_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_suppkey",
         (
-            F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
         ).alias("_late"),
     )
     per_order = lines.groupBy("l_orderkey").agg(
@@ -11790,9 +11793,10 @@ def em23_variance_explained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     configure_for_determinism(spark)
     emb = read_table(spark, sf_dir, "embeddings", spread=True)
+    width = emb.select(F.size("embedding").alias("d")).first()["d"]
     cov = covariance_matrix(emb, "embedding").localCheckpoint()
     eig = (
-        power_iteration_on_cov(cov, 64, iterations=6)
+        power_iteration_on_cov(cov, width, iterations=6)
         .agg(F.max("eigenvalue").alias("eigenvalue"))
     )
     trace = (

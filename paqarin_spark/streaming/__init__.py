@@ -746,13 +746,14 @@ def stream_view_rollup(
             StructField("user_id", LongType(), True),
             StructField("version", LongType(), False),
             StructField("n_events", LongType(), False),
-            StructField("sum_dec", StringType(), False),
+            StructField("sum_dec", StringType(), True),
             StructField("last_ts_us", LongType(), True),
         ]
     )
     state_type = StructType(
         [
             StructField("n", LongType(), True),
+            StructField("n_vals", LongType(), True),
             StructField("sum_scaled", StringType(), True),
             StructField("last_ts", LongType(), True),
             StructField("version", LongType(), True),
@@ -763,14 +764,15 @@ def stream_view_rollup(
         from decimal import ROUND_HALF_UP, Decimal
 
         if state.exists:
-            n, s_str, last, version = state.get
+            n, n_vals, s_str, last, version = state.get
             s = int(s_str)
         else:
-            n, s, last, version = 0, 0, None, 0
+            n, n_vals, s, last, version = 0, 0, 0, None, 0
         for pdf in pdf_iter:
             n += len(pdf)
             for v in pdf["_v"]:
                 if not pd.isna(v):
+                    n_vals += 1
                     s += int(
                         Decimal(float(v))
                         .scaleb(10)
@@ -781,8 +783,10 @@ def stream_view_rollup(
                     t = int(t)
                     last = t if last is None or t > last else last
         version += 1
-        state.update((n, str(s), last, version))
-        dec = format(Decimal(s).scaleb(-10), "f")
+        state.update((n, n_vals, str(s), last, version))
+        # SUM over zero non-NULL inputs is NULL in SQL, not 0 — emit
+        # None so the finished view hash-matches the batch GROUP BY
+        dec = format(Decimal(s).scaleb(-10), "f") if n_vals else None
         yield pd.DataFrame(
             [(key[0], version, n, dec, last)],
             columns=["user_id", "version", "n_events", "sum_dec",

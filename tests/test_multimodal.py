@@ -686,3 +686,22 @@ def test_srt_stats_from_ids_recipe(spark):
         assert r["total_ms"] == 1500 * n
         assert r["first_text"] == f"line-{i}-1"
         assert r["last_end_ms"] == i * 1000 + n * 2000 + 1500
+
+
+def test_id3v2_rejects_flagged_headers_and_frames():
+    """Header flags (unsync/extended) and frame flags (compression
+    etc.) change the byte layout — the strict walk returns None
+    rather than mis-walking them; ':' (0x3A) is not a frame-id char."""
+    from paqarin_spark.multimodal import encode_id3v2, parse_id3v2
+
+    tag = encode_id3v2([("TIT2", "x")])
+    assert parse_id3v2(tag) == {"TIT2": "x"}
+    hdr_flag = bytearray(tag)
+    hdr_flag[5] = 0x40                      # extended header flag
+    assert parse_id3v2(bytes(hdr_flag)) is None
+    frame_flag = bytearray(tag)
+    frame_flag[19] = 0x80                   # frame compression flag
+    assert parse_id3v2(bytes(frame_flag)) is None
+    colon = bytearray(tag)
+    colon[10] = ord(":")                    # 0x3A, between digits and A
+    assert parse_id3v2(bytes(colon)) is None

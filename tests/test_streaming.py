@@ -810,3 +810,38 @@ def test_stream_latest_per_key_survives_restart_and_out_of_order(spark, tmp_path
     }
     assert got == want
     assert got[0][0] < 100 and got[2][0] >= 100  # losers kept, winners advanced
+
+
+def test_stream_view_rollup_all_null_user_sums_to_null(spark, tmp_path):
+    """SQL SUM over zero non-NULL inputs is NULL, not 0 — a user whose
+    every value is NULL must finish with sum_value NULL to match the
+    batch GROUP BY oracle."""
+    from paqarin_spark.streaming import stream_view_rollup, view_from_emissions
+
+    path = str(tmp_path / "in")
+    df = spark.range(6).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 2).alias("user_id"),
+        F.timestamp_micros(F.lit(1700000000_000000) + F.col("id")).alias("ts"),
+        F.when(F.col("id") % 2 == 0, F.lit(None).cast("double"))
+        .otherwise(F.lit(2.5))
+        .alias("value"),
+    )
+    df.write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema(
+        "event_id long, user_id long, ts timestamp, value double"
+    ).parquet(path)
+    q = (
+        stream_view_rollup(stream)
+        .writeStream.format("memory")
+        .queryName("st_view_nulls")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["user_id"]: (r["n_events"], r["sum_value"])
+        for r in view_from_emissions(spark.table("st_view_nulls")).collect()
+    }
+    assert got == {0: (3, None), 1: (3, 7.5)}
