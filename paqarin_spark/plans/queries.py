@@ -12112,6 +12112,223 @@ FROM flags
 """
 
 
+
+def q100_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue under a triple-OR of
+    brand/size/quantity bands): the disjunctive join-predicate pattern
+    Q19 exists to test — Catalyst must push the common l_partkey
+    equi-key through the OR and keep the per-branch band filters as a
+    residual, instead of falling back to a cartesian. Revenue is the
+    exact-decimal discount sum.
+
+    Scale shape: part is a broadcast dim; lineitem is scanned once
+    with the residual OR evaluated in the join, no shuffle beyond the
+    single broadcast probe."""
+    configure_for_determinism(spark)
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    band = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 20)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 30)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.where(band).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(
+            F.sum(
+                (
+                    F.col("l_extendedprice").cast("decimal(30,10)")
+                    * (
+                        F.lit(1).cast("decimal(30,10)")
+                        - F.col("l_discount").cast("decimal(30,10)")
+                    )
+                ).cast("decimal(30,10)")
+            ).cast("double"),
+            6,
+        ).alias("revenue"),
+    )
+
+
+Q100_SQL = """
+SELECT COUNT(*) AS n_lines,
+       ROUND(CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(30,10))
+             * (CAST(1 AS DECIMAL(30,10))
+                - CAST(l.l_discount AS DECIMAL(30,10)))
+             AS DECIMAL(30,10))) AS DOUBLE), 6) AS revenue
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 20
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 30
+       AND l.l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def em24_loo_knn_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out 1-NN label accuracy — the embedding-quality audit
+    the labeled corpus affords: for every vector, does its nearest
+    OTHER vector (exact cosine, self-kNN mode excludes self) carry the
+    same label? Per-label accuracy exposes which classes the
+    embedding space actually separates; the standard probe before
+    trusting an index for retrieval or semdedup.
+
+    Scale shape: the exact self-kNN is the em1 blocked-matmul kernel;
+    the label joins are dim-sized; the rollup is label-keyed."""
+    from paqarin_spark.operators import cosine_topk
+
+    configure_for_determinism(spark)
+    emb = read_table(spark, sf_dir, "embeddings", spread=True)
+    nn = cosine_topk(emb, "vec_id", "embedding", k=1)
+    lab = emb.select("vec_id", "label")
+    qlab = lab.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("label")
+    )
+    nlab = lab.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("_nl"),
+    )
+    flagged = nn.join(F.broadcast(qlab), "query_id").join(
+        F.broadcast(nlab), "neighbor_id"
+    )
+    return (
+        flagged.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (F.col("label") == F.col("_nl")).cast("long")
+            ).alias("n_correct"),
+        )
+        .select(
+            "label",
+            "n",
+            "n_correct",
+            F.round(F.col("n_correct") / F.col("n"), 6).alias("accuracy"),
+        )
+        .orderBy("label")
+    )
+
+
+EM24_SQL = """
+WITH v AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS query_id, a.label AS label, b.label AS nl,
+         ROUND(
+           list_sum(list_transform(range(1, 65), i -> a.e[i] * b.e[i]))
+           / (sqrt(list_sum(list_transform(range(1, 65), i -> a.e[i] * a.e[i])))
+              * sqrt(list_sum(list_transform(range(1, 65), i -> b.e[i] * b.e[i])))),
+           6) AS cos_sim,
+         b.vec_id AS neighbor_id
+  FROM v a CROSS JOIN v b WHERE a.vec_id <> b.vec_id
+), nn AS (
+  SELECT label, nl FROM (
+    SELECT label, nl,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cos_sim DESC, neighbor_id) AS rk
+    FROM pairs
+  ) WHERE rk = 1
+)
+SELECT label, COUNT(*) AS n,
+       CAST(SUM(CASE WHEN label = nl THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       ROUND(SUM(CASE WHEN label = nl THEN 1 ELSE 0 END) / COUNT(*), 6)
+         AS accuracy
+FROM nn GROUP BY label ORDER BY label
+"""
+
+
+def ev15_synth_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end generate→evaluate composition: gen7's quantile-remap
+    SYNTHETIC sample against the real value distribution under the KS
+    statistic (ev6's union-ECDF shape) — the fidelity loop a synthesis
+    pipeline actually closes (train marginal in, KS gap out). gen7's
+    inverse-ECDF draws repeat existing doubles, so the union GROUP BY
+    collapses exactly and the ECDF gap is exact rational arithmetic
+    until the final divides.
+
+    Scale shape: one value-keyed union aggregate and one ordered
+    window over distinct values (the ev6 amber class — bounded by the
+    value domain, not row count)."""
+    configure_for_determinism(spark)
+    ev = _events(spark, sf_dir)
+    synth = gen7_quantile_remap(spark, sf_dir).select(
+        F.col("synth_value").alias("v"),
+        F.lit(0).alias("_r"),
+        F.lit(1).alias("_s"),
+    )
+    real = ev.select(
+        F.col("value").alias("v"), F.lit(1).alias("_r"), F.lit(0).alias("_s")
+    )
+    c = (
+        real.unionByName(synth)
+        .groupBy("v")
+        .agg(F.sum("_r").alias("cr"), F.sum("_s").alias("cs"))
+    )
+    tot = c.agg(
+        F.sum("cr").alias("nr"), F.sum("cs").alias("ns")
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = c.select(
+        F.sum("cr").over(w).alias("cum_r"),
+        F.sum("cs").over(w).alias("cum_s"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max(F.col("nr")).alias("n_real"),
+            F.max(F.col("ns")).alias("n_synth"),
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("cum_r") / F.col("nr")
+                        - F.col("cum_s") / F.col("ns")
+                    )
+                ),
+                6,
+            ).alias("ks_stat"),
+        )
+    )
+
+
+EV15_SQL = f"""
+WITH synth_rows AS ({GEN7_SQL.strip().rstrip()}
+), c AS (
+  SELECT v, SUM(is_r) AS cr, SUM(is_s) AS cs FROM (
+    SELECT value AS v, 1 AS is_r, 0 AS is_s FROM events
+    UNION ALL
+    SELECT synth_value AS v, 0, 1 FROM synth_rows
+  ) GROUP BY 1
+), tot AS (
+  SELECT SUM(cr) AS nr, SUM(cs) AS ns FROM c
+), cum AS (
+  SELECT SUM(cr) OVER (ORDER BY v) AS cum_r,
+         SUM(cs) OVER (ORDER BY v) AS cum_s
+  FROM c
+)
+SELECT (SELECT CAST(nr AS BIGINT) FROM tot) AS n_real,
+       (SELECT CAST(ns AS BIGINT) FROM tot) AS n_synth,
+       ROUND(MAX(ABS(cum_r / (SELECT nr FROM tot)
+                     - cum_s / (SELECT ns FROM tot))), 6) AS ks_stat
+FROM cum
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-6 additions (never driver-verified) come first ---
     "tx42_duplicate_substrings": tx42_duplicate_substrings,
@@ -12137,6 +12354,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q99_market_share": q99_market_share,
     "gen8_smoothed_bootstrap": gen8_smoothed_bootstrap,
     "ev14_interval_coverage": ev14_interval_coverage,
+    "q100_disjunctive_predicates": q100_disjunctive_predicates,
+    "em24_loo_knn_accuracy": em24_loo_knn_accuracy,
+    "ev15_synth_ks": ev15_synth_ks,
     # --- round-5 additions, r5-driver-verified ---
     "ev11_ewma_backtest": ev11_ewma_backtest,
     "q90_priority_shipments": q90_priority_shipments,
@@ -12162,9 +12382,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "em16_pq_adc_recall": em16_pq_adc_recall,
     "mm12_exif_tags": mm12_exif_tags,
     "st12_stream_cohort": st12_stream_cohort,
-    "ev9_energy_fidelity": ev9_energy_fidelity,
-    "mm11_mjpeg_decode": mm11_mjpeg_decode,
-    "q76_large_volume_orders": q76_large_volume_orders,
     # --- round-4 rotation: everything from here to ev2 has never
     # been driver-verified on its CURRENT oracle. The 16 round-4
     # ADDITIONS (mm10 MP4 sample tables; q73/tx33/st9/st10 sketches;
@@ -12176,6 +12393,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # oracle upgrades (ev1's first value oracle, ev5 post-window,
     # em2 sign-plane switch, gen4/ev2 full value replays). ---
     # ------------- driver 50-entry window ends HERE (position 50) -------------
+    # ev9_energy_fidelity/mm11_mjpeg_decode/q76_large_volume_orders (r5-green) displaced for round-6 q100/em24/ev15.
+    "ev9_energy_fidelity": ev9_energy_fidelity,
+    "mm11_mjpeg_decode": mm11_mjpeg_decode,
+    "q76_large_volume_orders": q76_large_volume_orders,
     # q77_small_qty_revenue/q78_dormant_rich_customers/q79_quantile_sketch (r5-green) displaced for round-6 q99/gen8/ev14.
     "q77_small_qty_revenue": q77_small_qty_revenue,
     "q78_dormant_rich_customers": q78_dormant_rich_customers,
@@ -12556,6 +12777,9 @@ ORACLE_SQL: dict[str, str] = {
     "q99_market_share": Q99_SQL,
     "gen8_smoothed_bootstrap": GEN8_SQL,
     "ev14_interval_coverage": EV14_SQL,
+    "q100_disjunctive_predicates": Q100_SQL,
+    "em24_loo_knn_accuracy": EM24_SQL,
+    "ev15_synth_ks": EV15_SQL,
     "st11_stream_quantile_sketch": ST11_SQL,
     "q80_bloom_prune": Q80_SQL,
     "q73_hll_distinct": Q73_SQL,
