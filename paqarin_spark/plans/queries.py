@@ -12329,6 +12329,91 @@ FROM cum
 """
 
 
+
+def q101_percent_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-function family breadth (percent_rank + cume_dist beside
+    q57's ntile): every order's price percentile within its priority
+    class — the relative-standing projection feeding SLA and pricing
+    analyses. Both functions are exact integer ratios ((rank-1)/(n-1),
+    rank/n) evaluated identically per row even under ties, so no
+    rounding is needed anywhere.
+
+    Scale shape: one priority-keyed window pass; output is row-wise,
+    no aggregation."""
+    configure_for_determinism(spark)
+    orders = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.percent_rank().over(w).alias("price_pr"),
+            F.cume_dist().over(w).alias("price_cd"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+Q101_SQL = """
+SELECT o_orderkey, o_orderpriority,
+       PERCENT_RANK() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice) AS price_pr,
+       CUME_DIST() OVER (PARTITION BY o_orderpriority
+                         ORDER BY o_totalprice) AS price_cd
+FROM orders
+ORDER BY o_orderkey
+"""
+
+
+def st16_stream_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING leaderboard (streaming.stream_group_topk): per event
+    type, the top-3 events by (value DESC, event_id ASC) maintained as
+    exactly-k-rows state with versioned full-set corrections — the
+    serving-layer "top movers" pattern. Max-version rows hash-match
+    the batch window-rank ORACLE regardless of arrival order or
+    micro-batch boundaries.
+
+    Scale shape: k rows of state per group forever; one group-keyed
+    exchange per micro-batch."""
+    from paqarin_spark.streaming import (
+        leaderboard_from_emissions,
+        stream_group_topk,
+    )
+
+    configure_for_determinism(spark)
+    stream = _events_stream(spark, sf_dir)
+    emi = stream_group_topk(
+        stream, key_column="event_type", value_column="value",
+        id_column="event_id", k=3,
+    )
+    name = "st16_stream_leaderboard"
+    q = (
+        emi.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        leaderboard_from_emissions(spark.table(name))
+        .withColumnRenamed("g", "event_type")
+        .orderBy("event_type", "rank")
+    )
+
+
+ST16_SQL = """
+SELECT event_type, rank, id, value FROM (
+  SELECT event_type,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id) AS rank,
+         event_id AS id, value
+  FROM events WHERE value IS NOT NULL
+) WHERE rank <= 3
+ORDER BY event_type, rank
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-6 additions (never driver-verified) come first ---
     "tx42_duplicate_substrings": tx42_duplicate_substrings,
@@ -12357,6 +12442,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q100_disjunctive_predicates": q100_disjunctive_predicates,
     "em24_loo_knn_accuracy": em24_loo_knn_accuracy,
     "ev15_synth_ks": ev15_synth_ks,
+    "q101_percent_ranks": q101_percent_ranks,
+    "st16_stream_leaderboard": st16_stream_leaderboard,
     # --- round-5 additions, r5-driver-verified ---
     "ev11_ewma_backtest": ev11_ewma_backtest,
     "q90_priority_shipments": q90_priority_shipments,
@@ -12380,8 +12467,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q81_triangle_brands": q81_triangle_brands,
     "q82_cohort_retention": q82_cohort_retention,
     "em16_pq_adc_recall": em16_pq_adc_recall,
-    "mm12_exif_tags": mm12_exif_tags,
-    "st12_stream_cohort": st12_stream_cohort,
     # --- round-4 rotation: everything from here to ev2 has never
     # been driver-verified on its CURRENT oracle. The 16 round-4
     # ADDITIONS (mm10 MP4 sample tables; q73/tx33/st9/st10 sketches;
@@ -12393,6 +12478,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # oracle upgrades (ev1's first value oracle, ev5 post-window,
     # em2 sign-plane switch, gen4/ev2 full value replays). ---
     # ------------- driver 50-entry window ends HERE (position 50) -------------
+    # mm12_exif_tags/st12_stream_cohort (r5-green) displaced for round-6 q101/st16.
+    "mm12_exif_tags": mm12_exif_tags,
+    "st12_stream_cohort": st12_stream_cohort,
     # ev9_energy_fidelity/mm11_mjpeg_decode/q76_large_volume_orders (r5-green) displaced for round-6 q100/em24/ev15.
     "ev9_energy_fidelity": ev9_energy_fidelity,
     "mm11_mjpeg_decode": mm11_mjpeg_decode,
@@ -12780,6 +12868,8 @@ ORACLE_SQL: dict[str, str] = {
     "q100_disjunctive_predicates": Q100_SQL,
     "em24_loo_knn_accuracy": EM24_SQL,
     "ev15_synth_ks": EV15_SQL,
+    "q101_percent_ranks": Q101_SQL,
+    "st16_stream_leaderboard": ST16_SQL,
     "st11_stream_quantile_sketch": ST11_SQL,
     "q80_bloom_prune": Q80_SQL,
     "q73_hll_distinct": Q73_SQL,

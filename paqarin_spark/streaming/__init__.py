@@ -926,3 +926,109 @@ def latest_from_emissions(emissions: DataFrame) -> DataFrame:
         "last_id",
         F.round("last_value", 6).alias("last_value"),
     )
+
+
+def stream_group_topk(
+    stream: DataFrame,
+    key_column: str,
+    value_column: str,
+    id_column: str,
+    k: int = 3,
+) -> DataFrame:
+    """Streaming LEADERBOARD: per-group top-``k`` rows by
+    (value DESC, id ASC), maintained as bounded state (exactly the
+    ≤ k winning rows per group — never the event history) and
+    published as versioned full-set corrections whenever membership
+    or order changes. Max-version rows equal the batch window-rank
+    query by construction, independent of arrival order: a late
+    higher value evicts the current minimum, a duplicate id update
+    replaces its entry.
+
+    State bound: k rows per group, forever."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    staged = stream.select(
+        F.col(key_column).cast("string").alias("g"),
+        F.col(value_column).cast("double").alias("_v"),
+        F.col(id_column).cast("long").alias("_id"),
+    )
+    out_type = StructType(
+        [
+            StructField("g", StringType(), True),
+            StructField("version", LongType(), False),
+            StructField("rank", LongType(), False),
+            StructField("id", LongType(), False),
+            StructField("value", DoubleType(), True),
+        ]
+    )
+    state_type = StructType(
+        [
+            StructField("vals", ArrayType(DoubleType()), True),
+            StructField("ids", ArrayType(LongType()), True),
+            StructField("version", LongType(), True),
+        ]
+    )
+
+    def fold(key, pdf_iter, state: GroupState):
+        if state.exists:
+            vals, ids, version = state.get
+            board = list(zip(vals, ids))
+        else:
+            board, version = [], 0
+        before = list(board)
+        for pdf in pdf_iter:
+            for v, i in zip(pdf["_v"], pdf["_id"]):
+                if pd.isna(v) or pd.isna(i):
+                    continue
+                board.append((float(v), int(i)))
+        # (value DESC, id ASC) with dedup on id keeping the best value
+        best: dict[int, float] = {}
+        for v, i in board:
+            if i not in best or v > best[i]:
+                best[i] = v
+        board = sorted(
+            ((v, i) for i, v in best.items()), key=lambda t: (-t[0], t[1])
+        )[:k]
+        if board != before:
+            version += 1
+            state.update(
+                ([v for v, _ in board], [i for _, i in board], version)
+            )
+            yield pd.DataFrame(
+                [
+                    (key[0], version, r + 1, i, v)
+                    for r, (v, i) in enumerate(board)
+                ],
+                columns=["g", "version", "rank", "id", "value"],
+            )
+
+    return staged.groupBy("g").applyInPandasWithState(
+        fold,
+        outputStructType=out_type,
+        stateStructType=state_type,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def leaderboard_from_emissions(emissions: DataFrame) -> DataFrame:
+    """Finish a :func:`stream_group_topk` emission table: max-version
+    rows per group ARE the leaderboard."""
+    w = Window.partitionBy("g")
+    return (
+        emissions.withColumn("_mx", F.max("version").over(w))
+        .where(F.col("version") == F.col("_mx"))
+        .select("g", "rank", "id", "value")
+    )

@@ -845,3 +845,45 @@ def test_stream_view_rollup_all_null_user_sums_to_null(spark, tmp_path):
         for r in view_from_emissions(spark.table("st_view_nulls")).collect()
     }
     assert got == {0: (3, None), 1: (3, 7.5)}
+
+
+def test_stream_group_topk_evicts_and_survives_restart(spark, tmp_path):
+    """Leaderboard state: round 2 delivers a higher value for one group
+    (evicts the minimum) and only losers for another (board unchanged,
+    version steady) — final boards equal the batch window rank."""
+    from paqarin_spark.streaming import (
+        leaderboard_from_emissions,
+        stream_group_topk,
+    )
+
+    path = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+    schema = "g string, v double, i long"
+    part1 = spark.createDataFrame(
+        [("a", 5.0, 1), ("a", 4.0, 2), ("a", 3.0, 3),
+         ("b", 9.0, 4), ("b", 8.0, 5), ("b", 7.0, 6)],
+        schema,
+    )
+    part2 = spark.createDataFrame(
+        [("a", 6.0, 7),          # evicts a's 3.0
+         ("b", 1.0, 8)],         # loser: b unchanged
+        schema,
+    )
+    part1.write.mode("append").parquet(path)
+    mk = lambda s: stream_group_topk(  # noqa: E731
+        s, key_column="g", value_column="v", id_column="i", k=3
+    )
+    stream = spark.readStream.schema(schema).parquet(path)
+    _run_checkpointed_append(spark, mk(stream), out_dir, ckpt)
+    part2.write.mode("append").parquet(path)
+    stream2 = spark.readStream.schema(schema).parquet(path)
+    emi = _run_checkpointed_append(spark, mk(stream2), out_dir, ckpt)
+    got = sorted(
+        (r["g"], r["rank"], r["id"], r["value"])
+        for r in leaderboard_from_emissions(emi).collect()
+    )
+    assert got == [
+        ("a", 1, 7, 6.0), ("a", 2, 1, 5.0), ("a", 3, 2, 4.0),
+        ("b", 1, 4, 9.0), ("b", 2, 5, 8.0), ("b", 3, 6, 7.0),
+    ]

@@ -1027,6 +1027,52 @@ def main() -> int:
         f"[{'ok' if ok else f'exact={agg[1]}'}]"
     )
 
+
+    # Covariance + power iteration at 200k x 8: dims 0/1 planted as
+    # v1 = 2*v0 with v0 in {0,1} (exact var 0.25), other dims constant
+    # -> the d x d table has closed-form entries (0.25 / 0.5 / 1.0 /
+    # 0), the matrix is rank-1, and the leading eigenpair is exact:
+    # eigenvalue 1.25, eigenvector (1,2)/sqrt(5) ~ (0.447214, 0.894427).
+    from paqarin_spark.operators import (
+        covariance_matrix,
+        power_iteration_on_cov,
+    )
+
+    t0 = time.perf_counter()
+    cvecs = spark.range(200_000).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(7)),
+            lambda i: F.when(i == 0, (F.col("id") % 2).cast("double"))
+            .when(i == 1, (F.col("id") % 2 * 2).cast("double"))
+            .otherwise(F.lit(3.0)),
+        ).alias("v")
+    )
+    cov_tbl = covariance_matrix(cvecs, "v").localCheckpoint()
+    got_cov = {
+        (r["i"], r["j"]): r["cov"] for r in cov_tbl.collect()
+    }
+    eig = {
+        r["i"]: (r["loading"], r["eigenvalue"])
+        for r in power_iteration_on_cov(cov_tbl, 8, iterations=6).collect()
+    }
+    dt = time.perf_counter() - t0
+    ok = (
+        got_cov[(0, 0)] == 0.25
+        and got_cov[(0, 1)] == 0.5
+        and got_cov[(1, 1)] == 1.0
+        and got_cov[(2, 2)] == 0.0
+        and got_cov[(0, 7)] == 0.0
+        and abs(eig[0][0] - 0.447214) <= 2e-6
+        and abs(eig[1][0] - 0.894427) <= 2e-6
+        and abs(eig[0][1] - 1.25) <= 2e-6
+        and all(abs(eig[i][0]) <= 1e-6 for i in range(2, 8))
+    )
+    checks.append(ok)
+    print(
+        f"{'covariance+eig 200k':24} {dt:7.1f}s  rows={len(got_cov):>12,}  "
+        f"[{'ok' if ok else f'cov={got_cov[(0,0)]},{got_cov[(0,1)]} eig={eig[0]}'}]"
+    )
+
     print("all invariants hold" if all(checks) else "INVARIANT FAILURES")
     return 0 if all(checks) else 1
 
