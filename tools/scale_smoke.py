@@ -1073,6 +1073,29 @@ def main() -> int:
         f"[{'ok' if ok else f'cov={got_cov[(0,0)]},{got_cov[(0,1)]} eig={eig[0]}'}]"
     )
 
+
+    # ExactSubstr REMOVAL at 10M tokens: same planted corpus as the
+    # spans invariant — keep-first means every EVEN doc (first
+    # occurrence of its pair's shared passage) keeps all 100 tokens
+    # and every ODD doc loses exactly the 20 shared ones.
+    from paqarin_spark.operators import strip_duplicate_substrings
+
+    t0 = time.perf_counter()
+    strip_agg = (
+        strip_duplicate_substrings(docs, "text", "doc_id", min_tokens=8)
+        .groupBy("n_removed")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    dt = time.perf_counter() - t0
+    got_strip = {r["n_removed"]: r["n"] for r in strip_agg}
+    ok = got_strip == {0: D // 2, 20: D // 2}
+    checks.append(ok)
+    print(
+        f"{'substring strip 10M tok':24} {dt:7.1f}s  rows={sum(got_strip.values()):>12,}  "
+        f"[{'ok' if ok else f'dist={got_strip}'}]"
+    )
+
     print("all invariants hold" if all(checks) else "INVARIANT FAILURES")
     return 0 if all(checks) else 1
 
