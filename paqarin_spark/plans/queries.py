@@ -12414,6 +12414,178 @@ ORDER BY event_type, rank
 """
 
 
+
+def q102_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (forecasting revenue change): the one-table
+    filtered aggregate — revenue that would have been gained by
+    eliminating discounts in a band (shipdate year, discount within
+    ±0.01 of a target, quantity cap). Completes the TPC-H sweep: with
+    q14/q84/q25/q26/q15/q34/q99/q27/q87/q90/q92/q91/q95/q88/q77/q33/
+    q100/q83/q98/q94 this registry covers 21 of the 22 shapes (Q9
+    needs partsupp, absent from the slim schema). The discount band
+    uses exact decimal bounds so no float literal can flip a boundary
+    row.
+
+    Scale shape: scan-level predicate pushdown (year + band + cap all
+    reach the parquet scan), one global aggregate — the minimal plan
+    Q6 exists to measure."""
+    configure_for_determinism(spark)
+    li = read_table(spark, sf_dir, "lineitem")
+    d = F.col("l_discount").cast("decimal(12,4)")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (d >= F.lit("0.05").cast("decimal(12,4)"))
+            & (d <= F.lit("0.07").cast("decimal(12,4)"))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(
+                F.sum(
+                    (
+                        F.col("l_extendedprice").cast("decimal(30,10)")
+                        * F.col("l_discount").cast("decimal(30,10)")
+                    ).cast("decimal(30,10)")
+                ).cast("double"),
+                6,
+            ).alias("revenue_effect"),
+        )
+    )
+
+
+Q102_SQL = """
+SELECT COUNT(*) AS n_lines,
+       ROUND(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(30,10))
+             * CAST(l_discount AS DECIMAL(30,10))
+             AS DECIMAL(30,10))) AS DOUBLE), 6) AS revenue_effect
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND CAST(l_discount AS DECIMAL(12,4)) BETWEEN CAST('0.05' AS DECIMAL(12,4))
+                                            AND CAST('0.07' AS DECIMAL(12,4))
+  AND l_quantity < 24
+"""
+
+
+def ev16_generator_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator LEADERBOARD under the KS fidelity gate — the I4
+    best-generator argmin applied to the marginal-fidelity family:
+    gen7 (quantile remap) and gen8 (smoothed bootstrap) each produce a
+    synthetic sample, each sample is scored with the ev6 union-ECDF KS
+    against the real values, and the winner is rank 1 by
+    (ks, generator name). The ranking compares doubles both engines
+    computed identically from exact integer cumulative counts.
+
+    Scale shape: per generator one value-keyed union aggregate + one
+    ordered window over distinct values; the leaderboard itself is a
+    2-row sort."""
+    configure_for_determinism(spark)
+    ev = _events(spark, sf_dir)
+    real = ev.select(
+        F.col("value").alias("v"), F.lit(1).alias("_r"), F.lit(0).alias("_s")
+    )
+
+    def ks_of(synth_df, name):
+        synth = synth_df.select(
+            F.col("synth_value").alias("v"),
+            F.lit(0).alias("_r"),
+            F.lit(1).alias("_s"),
+        )
+        c = (
+            real.unionByName(synth)
+            .groupBy("v")
+            .agg(F.sum("_r").alias("cr"), F.sum("_s").alias("cs"))
+        )
+        tot = c.agg(F.sum("cr").alias("nr"), F.sum("cs").alias("ns"))
+        w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+        cum = c.select(
+            F.sum("cr").over(w).alias("cum_r"),
+            F.sum("cs").over(w).alias("cum_s"),
+        )
+        return (
+            cum.crossJoin(F.broadcast(tot))
+            .agg(
+                F.round(
+                    F.max(
+                        F.abs(
+                            F.col("cum_r") / F.col("nr")
+                            - F.col("cum_s") / F.col("ns")
+                        )
+                    ),
+                    6,
+                ).alias("ks_stat")
+            )
+            .select(F.lit(name).alias("generator"), "ks_stat")
+        )
+
+    board = ks_of(gen7_quantile_remap(spark, sf_dir), "gen7_quantile_remap")
+    board = board.unionByName(
+        ks_of(gen8_smoothed_bootstrap(spark, sf_dir), "gen8_smoothed_bootstrap")
+    )
+    w = Window.orderBy("ks_stat", "generator")
+    return board.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "generator",
+        "ks_stat",
+    ).orderBy("rank")
+
+
+EV16_SQL = f"""
+WITH g7 AS ({GEN7_SQL.strip()}
+), g8 AS ({GEN8_SQL.strip()}
+), ks AS (
+  SELECT 'gen7_quantile_remap' AS generator,
+         (SELECT ROUND(MAX(ABS(cum_r / nr - cum_s / ns)), 6) FROM (
+            SELECT SUM(cr) OVER (ORDER BY v) AS cum_r,
+                   SUM(cs) OVER (ORDER BY v) AS cum_s,
+                   (SELECT SUM(cr) FROM (
+                      SELECT v, SUM(is_r) AS cr, SUM(is_s) AS cs FROM (
+                        SELECT value AS v, 1 AS is_r, 0 AS is_s FROM events
+                        UNION ALL SELECT synth_value, 0, 1 FROM g7
+                      ) GROUP BY 1)) AS nr,
+                   (SELECT SUM(cs) FROM (
+                      SELECT v, SUM(is_r) AS cr, SUM(is_s) AS cs FROM (
+                        SELECT value AS v, 1 AS is_r, 0 AS is_s FROM events
+                        UNION ALL SELECT synth_value, 0, 1 FROM g7
+                      ) GROUP BY 1)) AS ns
+            FROM (
+              SELECT v, SUM(is_r) AS cr, SUM(is_s) AS cs FROM (
+                SELECT value AS v, 1 AS is_r, 0 AS is_s FROM events
+                UNION ALL SELECT synth_value, 0, 1 FROM g7
+              ) GROUP BY 1)
+         )) AS ks_stat
+  UNION ALL
+  SELECT 'gen8_smoothed_bootstrap',
+         (SELECT ROUND(MAX(ABS(cum_r / nr - cum_s / ns)), 6) FROM (
+            SELECT SUM(cr) OVER (ORDER BY v) AS cum_r,
+                   SUM(cs) OVER (ORDER BY v) AS cum_s,
+                   (SELECT SUM(cr) FROM (
+                      SELECT v, SUM(is_r) AS cr, SUM(is_s) AS cs FROM (
+                        SELECT value AS v, 1 AS is_r, 0 AS is_s FROM events
+                        UNION ALL SELECT synth_value, 0, 1 FROM g8
+                      ) GROUP BY 1)) AS nr,
+                   (SELECT SUM(cs) FROM (
+                      SELECT v, SUM(is_r) AS cr, SUM(is_s) AS cs FROM (
+                        SELECT value AS v, 1 AS is_r, 0 AS is_s FROM events
+                        UNION ALL SELECT synth_value, 0, 1 FROM g8
+                      ) GROUP BY 1)) AS ns
+            FROM (
+              SELECT v, SUM(is_r) AS cr, SUM(is_s) AS cs FROM (
+                SELECT value AS v, 1 AS is_r, 0 AS is_s FROM events
+                UNION ALL SELECT synth_value, 0, 1 FROM g8
+              ) GROUP BY 1)
+         )) AS ks_stat
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY ks_stat, generator) AS BIGINT)
+         AS rank,
+       generator, ks_stat
+FROM ks
+ORDER BY rank
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-6 additions (never driver-verified) come first ---
     "tx42_duplicate_substrings": tx42_duplicate_substrings,
@@ -12444,6 +12616,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ev15_synth_ks": ev15_synth_ks,
     "q101_percent_ranks": q101_percent_ranks,
     "st16_stream_leaderboard": st16_stream_leaderboard,
+    "q102_forecast_revenue_change": q102_forecast_revenue_change,
+    "ev16_generator_rank": ev16_generator_rank,
     # --- round-5 additions, r5-driver-verified ---
     "ev11_ewma_backtest": ev11_ewma_backtest,
     "q90_priority_shipments": q90_priority_shipments,
@@ -12465,8 +12639,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx39_semdedup_keep": tx39_semdedup_keep,
     "em17_ivfpq_recall": em17_ivfpq_recall,
     "q81_triangle_brands": q81_triangle_brands,
-    "q82_cohort_retention": q82_cohort_retention,
-    "em16_pq_adc_recall": em16_pq_adc_recall,
     # --- round-4 rotation: everything from here to ev2 has never
     # been driver-verified on its CURRENT oracle. The 16 round-4
     # ADDITIONS (mm10 MP4 sample tables; q73/tx33/st9/st10 sketches;
@@ -12478,6 +12650,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # oracle upgrades (ev1's first value oracle, ev5 post-window,
     # em2 sign-plane switch, gen4/ev2 full value replays). ---
     # ------------- driver 50-entry window ends HERE (position 50) -------------
+    # q82_cohort_retention/em16_pq_adc_recall (r5-green) displaced for round-6 q102/ev16.
+    "q82_cohort_retention": q82_cohort_retention,
+    "em16_pq_adc_recall": em16_pq_adc_recall,
     # mm12_exif_tags/st12_stream_cohort (r5-green) displaced for round-6 q101/st16.
     "mm12_exif_tags": mm12_exif_tags,
     "st12_stream_cohort": st12_stream_cohort,
@@ -12870,6 +13045,8 @@ ORACLE_SQL: dict[str, str] = {
     "ev15_synth_ks": EV15_SQL,
     "q101_percent_ranks": Q101_SQL,
     "st16_stream_leaderboard": ST16_SQL,
+    "q102_forecast_revenue_change": Q102_SQL,
+    "ev16_generator_rank": EV16_SQL,
     "st11_stream_quantile_sketch": ST11_SQL,
     "q80_bloom_prune": Q80_SQL,
     "q73_hll_distinct": Q73_SQL,
