@@ -12253,6 +12253,40 @@ FROM nn GROUP BY label ORDER BY label
 """
 
 
+
+def _union_ecdf_ks(real: DataFrame, synth: DataFrame) -> DataFrame:
+    """Shared union-ECDF Kolmogorov–Smirnov shape (the ev6 contract):
+    both inputs are single-column frames of `v`; returns one row
+    (n_real, n_synth, ks_stat). Counts are exact integers; only the
+    two final divides touch floats."""
+    r = real.select("v", F.lit(1).alias("_r"), F.lit(0).alias("_s"))
+    t = synth.select("v", F.lit(0).alias("_r"), F.lit(1).alias("_s"))
+    c = (
+        r.unionByName(t)
+        .groupBy("v")
+        .agg(F.sum("_r").alias("cr"), F.sum("_s").alias("cs"))
+    )
+    tot = c.agg(F.sum("cr").alias("nr"), F.sum("cs").alias("ns"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = c.select(
+        F.sum("cr").over(w).alias("cum_r"),
+        F.sum("cs").over(w).alias("cum_s"),
+    )
+    return cum.crossJoin(F.broadcast(tot)).agg(
+        F.max(F.col("nr")).alias("n_real"),
+        F.max(F.col("ns")).alias("n_synth"),
+        F.round(
+            F.max(
+                F.abs(
+                    F.col("cum_r") / F.col("nr")
+                    - F.col("cum_s") / F.col("ns")
+                )
+            ),
+            6,
+        ).alias("ks_stat"),
+    )
+
+
 def ev15_synth_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end generate→evaluate composition: gen7's quantile-remap
     SYNTHETIC sample against the real value distribution under the KS
@@ -12267,47 +12301,16 @@ def ev15_synth_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     value domain, not row count)."""
     configure_for_determinism(spark)
     ev = _events(spark, sf_dir)
-    synth = gen7_quantile_remap(spark, sf_dir).select(
-        F.col("synth_value").alias("v"),
-        F.lit(0).alias("_r"),
-        F.lit(1).alias("_s"),
-    )
-    real = ev.select(
-        F.col("value").alias("v"), F.lit(1).alias("_r"), F.lit(0).alias("_s")
-    )
-    c = (
-        real.unionByName(synth)
-        .groupBy("v")
-        .agg(F.sum("_r").alias("cr"), F.sum("_s").alias("cs"))
-    )
-    tot = c.agg(
-        F.sum("cr").alias("nr"), F.sum("cs").alias("ns")
-    )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    cum = c.select(
-        F.sum("cr").over(w).alias("cum_r"),
-        F.sum("cs").over(w).alias("cum_s"),
-    )
-    return (
-        cum.crossJoin(F.broadcast(tot))
-        .agg(
-            F.max(F.col("nr")).alias("n_real"),
-            F.max(F.col("ns")).alias("n_synth"),
-            F.round(
-                F.max(
-                    F.abs(
-                        F.col("cum_r") / F.col("nr")
-                        - F.col("cum_s") / F.col("ns")
-                    )
-                ),
-                6,
-            ).alias("ks_stat"),
-        )
+    return _union_ecdf_ks(
+        ev.select(F.col("value").alias("v")),
+        gen7_quantile_remap(spark, sf_dir).select(
+            F.col("synth_value").alias("v")
+        ),
     )
 
 
 EV15_SQL = f"""
-WITH synth_rows AS ({GEN7_SQL.strip().rstrip()}
+WITH synth_rows AS ({GEN7_SQL.strip()}
 ), c AS (
   SELECT v, SUM(is_r) AS cr, SUM(is_s) AS cs FROM (
     SELECT value AS v, 1 AS is_r, 0 AS is_s FROM events
@@ -12408,7 +12411,8 @@ SELECT event_type, rank, id, value FROM (
          ROW_NUMBER() OVER (PARTITION BY event_type
                             ORDER BY value DESC, event_id) AS rank,
          event_id AS id, value
-  FROM events WHERE value IS NOT NULL
+  FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value) AND event_id IS NOT NULL
 ) WHERE rank <= 3
 ORDER BY event_type, rank
 """
@@ -12483,42 +12487,12 @@ def ev16_generator_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     2-row sort."""
     configure_for_determinism(spark)
     ev = _events(spark, sf_dir)
-    real = ev.select(
-        F.col("value").alias("v"), F.lit(1).alias("_r"), F.lit(0).alias("_s")
-    )
+    real = ev.select(F.col("value").alias("v"))
 
     def ks_of(synth_df, name):
-        synth = synth_df.select(
-            F.col("synth_value").alias("v"),
-            F.lit(0).alias("_r"),
-            F.lit(1).alias("_s"),
-        )
-        c = (
-            real.unionByName(synth)
-            .groupBy("v")
-            .agg(F.sum("_r").alias("cr"), F.sum("_s").alias("cs"))
-        )
-        tot = c.agg(F.sum("cr").alias("nr"), F.sum("cs").alias("ns"))
-        w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-        cum = c.select(
-            F.sum("cr").over(w).alias("cum_r"),
-            F.sum("cs").over(w).alias("cum_s"),
-        )
-        return (
-            cum.crossJoin(F.broadcast(tot))
-            .agg(
-                F.round(
-                    F.max(
-                        F.abs(
-                            F.col("cum_r") / F.col("nr")
-                            - F.col("cum_s") / F.col("ns")
-                        )
-                    ),
-                    6,
-                ).alias("ks_stat")
-            )
-            .select(F.lit(name).alias("generator"), "ks_stat")
-        )
+        return _union_ecdf_ks(
+            real, synth_df.select(F.col("synth_value").alias("v"))
+        ).select(F.lit(name).alias("generator"), "ks_stat")
 
     board = ks_of(gen7_quantile_remap(spark, sf_dir), "gen7_quantile_remap")
     board = board.unionByName(
@@ -12535,48 +12509,34 @@ def ev16_generator_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 EV16_SQL = f"""
 WITH g7 AS ({GEN7_SQL.strip()}
 ), g8 AS ({GEN8_SQL.strip()}
+), c7 AS (
+  SELECT v, SUM(is_r) AS cr, SUM(is_s) AS cs FROM (
+    SELECT value AS v, 1 AS is_r, 0 AS is_s FROM events
+    UNION ALL SELECT synth_value, 0, 1 FROM g7
+  ) GROUP BY 1
+), t7 AS (
+  SELECT SUM(cr) AS nr, SUM(cs) AS ns FROM c7
+), k7 AS (
+  SELECT ROUND(MAX(ABS(cum_r / (SELECT nr FROM t7)
+                       - cum_s / (SELECT ns FROM t7))), 6) AS ks_stat
+  FROM (SELECT SUM(cr) OVER (ORDER BY v) AS cum_r,
+               SUM(cs) OVER (ORDER BY v) AS cum_s FROM c7)
+), c8 AS (
+  SELECT v, SUM(is_r) AS cr, SUM(is_s) AS cs FROM (
+    SELECT value AS v, 1 AS is_r, 0 AS is_s FROM events
+    UNION ALL SELECT synth_value, 0, 1 FROM g8
+  ) GROUP BY 1
+), t8 AS (
+  SELECT SUM(cr) AS nr, SUM(cs) AS ns FROM c8
+), k8 AS (
+  SELECT ROUND(MAX(ABS(cum_r / (SELECT nr FROM t8)
+                       - cum_s / (SELECT ns FROM t8))), 6) AS ks_stat
+  FROM (SELECT SUM(cr) OVER (ORDER BY v) AS cum_r,
+               SUM(cs) OVER (ORDER BY v) AS cum_s FROM c8)
 ), ks AS (
-  SELECT 'gen7_quantile_remap' AS generator,
-         (SELECT ROUND(MAX(ABS(cum_r / nr - cum_s / ns)), 6) FROM (
-            SELECT SUM(cr) OVER (ORDER BY v) AS cum_r,
-                   SUM(cs) OVER (ORDER BY v) AS cum_s,
-                   (SELECT SUM(cr) FROM (
-                      SELECT v, SUM(is_r) AS cr, SUM(is_s) AS cs FROM (
-                        SELECT value AS v, 1 AS is_r, 0 AS is_s FROM events
-                        UNION ALL SELECT synth_value, 0, 1 FROM g7
-                      ) GROUP BY 1)) AS nr,
-                   (SELECT SUM(cs) FROM (
-                      SELECT v, SUM(is_r) AS cr, SUM(is_s) AS cs FROM (
-                        SELECT value AS v, 1 AS is_r, 0 AS is_s FROM events
-                        UNION ALL SELECT synth_value, 0, 1 FROM g7
-                      ) GROUP BY 1)) AS ns
-            FROM (
-              SELECT v, SUM(is_r) AS cr, SUM(is_s) AS cs FROM (
-                SELECT value AS v, 1 AS is_r, 0 AS is_s FROM events
-                UNION ALL SELECT synth_value, 0, 1 FROM g7
-              ) GROUP BY 1)
-         )) AS ks_stat
+  SELECT 'gen7_quantile_remap' AS generator, ks_stat FROM k7
   UNION ALL
-  SELECT 'gen8_smoothed_bootstrap',
-         (SELECT ROUND(MAX(ABS(cum_r / nr - cum_s / ns)), 6) FROM (
-            SELECT SUM(cr) OVER (ORDER BY v) AS cum_r,
-                   SUM(cs) OVER (ORDER BY v) AS cum_s,
-                   (SELECT SUM(cr) FROM (
-                      SELECT v, SUM(is_r) AS cr, SUM(is_s) AS cs FROM (
-                        SELECT value AS v, 1 AS is_r, 0 AS is_s FROM events
-                        UNION ALL SELECT synth_value, 0, 1 FROM g8
-                      ) GROUP BY 1)) AS nr,
-                   (SELECT SUM(cs) FROM (
-                      SELECT v, SUM(is_r) AS cr, SUM(is_s) AS cs FROM (
-                        SELECT value AS v, 1 AS is_r, 0 AS is_s FROM events
-                        UNION ALL SELECT synth_value, 0, 1 FROM g8
-                      ) GROUP BY 1)) AS ns
-            FROM (
-              SELECT v, SUM(is_r) AS cr, SUM(is_s) AS cs FROM (
-                SELECT value AS v, 1 AS is_r, 0 AS is_s FROM events
-                UNION ALL SELECT synth_value, 0, 1 FROM g8
-              ) GROUP BY 1)
-         )) AS ks_stat
+  SELECT 'gen8_smoothed_bootstrap', ks_stat FROM k8
 )
 SELECT CAST(ROW_NUMBER() OVER (ORDER BY ks_stat, generator) AS BIGINT)
          AS rank,

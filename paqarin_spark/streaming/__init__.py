@@ -935,14 +935,16 @@ def stream_group_topk(
     id_column: str,
     k: int = 3,
 ) -> DataFrame:
-    """Streaming LEADERBOARD: per-group top-``k`` rows by
+    """Streaming LEADERBOARD: per-group top-``k`` ROWS by
     (value DESC, id ASC), maintained as bounded state (exactly the
     ≤ k winning rows per group — never the event history) and
     published as versioned full-set corrections whenever membership
-    or order changes. Max-version rows equal the batch window-rank
-    query by construction, independent of arrival order: a late
-    higher value evicts the current minimum, a duplicate id update
-    replaces its entry.
+    or order changes. Row semantics match the batch window-rank query
+    exactly: ids are NOT upsert keys (two rows sharing an id are two
+    ranking candidates, as they are to ROW_NUMBER), a late higher
+    value evicts the current minimum, and NULL/NaN values or NULL ids
+    are ignored on both sides of the contract (the st16 oracle
+    filters them identically).
 
     State bound: k rows per group, forever."""
     import pandas as pd
@@ -959,6 +961,12 @@ def stream_group_topk(
 
     if k < 1:
         raise ValueError("k must be >= 1")
+    id_type = stream.schema[id_column].dataType.simpleString()
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"id_column must be an integral type (cast to long), got "
+            f"{id_type!r} — a lossy cast would silently drop rows"
+        )
     staged = stream.select(
         F.col(key_column).cast("string").alias("g"),
         F.col(value_column).cast("double").alias("_v"),
@@ -990,17 +998,12 @@ def stream_group_topk(
         before = list(board)
         for pdf in pdf_iter:
             for v, i in zip(pdf["_v"], pdf["_id"]):
+                # NULL/NaN values and NULL ids are non-candidates on
+                # BOTH sides (the oracle filters them identically)
                 if pd.isna(v) or pd.isna(i):
                     continue
                 board.append((float(v), int(i)))
-        # (value DESC, id ASC) with dedup on id keeping the best value
-        best: dict[int, float] = {}
-        for v, i in board:
-            if i not in best or v > best[i]:
-                best[i] = v
-        board = sorted(
-            ((v, i) for i, v in best.items()), key=lambda t: (-t[0], t[1])
-        )[:k]
+        board = sorted(board, key=lambda t: (-t[0], t[1]))[:k]
         if board != before:
             version += 1
             state.update(

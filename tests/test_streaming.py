@@ -887,3 +887,44 @@ def test_stream_group_topk_evicts_and_survives_restart(spark, tmp_path):
         ("a", 1, 7, 6.0), ("a", 2, 1, 5.0), ("a", 3, 2, 4.0),
         ("b", 1, 4, 9.0), ("b", 2, 5, 8.0), ("b", 3, 6, 7.0),
     ]
+
+
+def test_stream_group_topk_row_semantics_and_id_guard(spark, tmp_path):
+    """Duplicate ids are ranking ROWS (window-rank semantics), not
+    upsert keys: two rows sharing an id can both hold board slots.
+    Non-integral id columns are rejected loudly."""
+    from paqarin_spark.streaming import (
+        leaderboard_from_emissions,
+        stream_group_topk,
+    )
+
+    path = str(tmp_path / "in")
+    schema = "g string, v double, i long"
+    spark.createDataFrame(
+        [("a", 9.0, 1), ("a", 2.0, 1), ("a", 5.0, 2)], schema
+    ).write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema(schema).parquet(path)
+    q = (
+        stream_group_topk(stream, "g", "v", "i", k=3)
+        .writeStream.format("memory")
+        .queryName("st_topk_rows")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["rank"], r["id"], r["value"])
+        for r in leaderboard_from_emissions(
+            spark.table("st_topk_rows")
+        ).collect()
+    )
+    assert got == [(1, 1, 9.0), (2, 2, 5.0), (3, 1, 2.0)]
+
+    import pytest
+
+    sstr = spark.readStream.schema("g string, v double, i string").parquet(
+        path
+    )
+    with pytest.raises(ValueError, match="integral"):
+        stream_group_topk(sstr, "g", "v", "i", k=3)
