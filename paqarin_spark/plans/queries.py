@@ -12546,6 +12546,107 @@ ORDER BY rank
 """
 
 
+
+def gen9_text_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic TEXT generation — the corpus-domain instantiation of
+    the categorical Markov machinery (generators.markov.
+    MarkovEventGenerator with tokens as categories, document position
+    as the order axis): fit a first-order token bigram chain on the
+    documents table, then walk 30 sequences of 8 tokens with the
+    md5-portable draws. Like gen5, the SAMPLES THEMSELVES are
+    value-checked — the oracle refits the same chain over the same
+    (doc, pos)-ordered token rows and replays the identical walk in a
+    recursive CTE.
+
+    Scale note: fit is one doc-keyed window pass + one vocabulary-
+    bounded aggregate; the generate plan is a codegen'd projection
+    over spark.range — the per-state CASE chain bounds this design to
+    bounded vocabularies (character/BPE-bucket alphabets at corpus
+    scale; the fitted-dict collect is vocabulary-sized by
+    construction)."""
+    from paqarin_spark.generator import GeneratorParameters
+    from paqarin_spark.generators import MarkovEventGenerator
+    from paqarin_spark.operators.dedup import normalized_text
+    from paqarin_spark.schema import TimeSeriesSchema
+
+    configure_for_determinism(spark)
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.split(normalized_text(F.col("text")), " ")
+        ).alias("pos", "tok"),
+    ).where(F.col("tok") != "")
+    schema = TimeSeriesSchema(
+        item_id_columns=("doc_id",),
+        timestamp_column="pos",
+        value_columns=("pos",),
+        frequency="D",
+        order_columns=("pos",),
+    )
+    params = GeneratorParameters(schema=schema, sequence_length=8, seed=13)
+    gen = MarkovEventGenerator(params, category_column="tok").fit(toks)
+    return gen.generate(30, seed=13).orderBy("sequence_id", "step")
+
+
+GEN9_SQL = """
+WITH RECURSIVE
+toks AS (
+  SELECT doc_id, u.pos AS pos, t[u.pos + 1] AS cat
+  FROM (
+    SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ',
+                                            'g')), ' ') AS t
+    FROM documents
+  ) x,
+  LATERAL (SELECT UNNEST(range(len(t))) AS pos) u
+  WHERE t[u.pos + 1] <> ''
+),
+ordered AS (
+  SELECT cat,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos, cat) AS rn,
+         LAG(cat) OVER (PARTITION BY doc_id ORDER BY pos, cat) AS prev
+  FROM toks
+),
+init AS (SELECT cat, COUNT(*) AS c FROM ordered WHERE rn = 1 GROUP BY 1),
+init_cdf AS (
+  SELECT cat,
+         SUM(c) OVER (ORDER BY cat) / (SELECT SUM(c) FROM init) AS cum
+  FROM init
+),
+trans AS (
+  SELECT prev, cat, COUNT(*) AS c FROM ordered
+  WHERE prev IS NOT NULL GROUP BY 1, 2
+),
+trans_cdf AS (
+  SELECT prev, cat,
+         SUM(c) OVER (PARTITION BY prev ORDER BY cat)
+           / SUM(c) OVER (PARTITION BY prev) AS cum
+  FROM trans
+),
+walk(sequence_id, step, tok) AS (
+  SELECT s.range AS sequence_id, 0,
+         (SELECT i.cat FROM init_cdf i
+          WHERE i.cum >= ('0x' || substring(
+                  md5(s.range::VARCHAR || '#0#13'), 1, 15))::UBIGINT
+                / 1152921504606846976.0
+          ORDER BY i.cum LIMIT 1)
+  FROM range(30) s
+  UNION ALL
+  SELECT w.sequence_id, w.step + 1,
+         (SELECT t.cat FROM trans_cdf t
+          WHERE t.prev = w.tok
+            AND t.cum >= ('0x' || substring(
+                  md5(w.sequence_id::VARCHAR || '#' ||
+                      (w.step + 1)::VARCHAR || '#13'), 1, 15))::UBIGINT
+                / 1152921504606846976.0
+          ORDER BY t.cum LIMIT 1)
+  FROM walk w WHERE w.step < 7
+)
+SELECT sequence_id, step, tok FROM walk ORDER BY 1, 2
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-6 additions (never driver-verified) come first ---
     "tx42_duplicate_substrings": tx42_duplicate_substrings,
@@ -12578,6 +12679,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "st16_stream_leaderboard": st16_stream_leaderboard,
     "q102_forecast_revenue_change": q102_forecast_revenue_change,
     "ev16_generator_rank": ev16_generator_rank,
+    "gen9_text_markov": gen9_text_markov,
     # --- round-5 additions, r5-driver-verified ---
     "ev11_ewma_backtest": ev11_ewma_backtest,
     "q90_priority_shipments": q90_priority_shipments,
@@ -12598,7 +12700,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q83_dominant_part_suppliers": q83_dominant_part_suppliers,
     "tx39_semdedup_keep": tx39_semdedup_keep,
     "em17_ivfpq_recall": em17_ivfpq_recall,
-    "q81_triangle_brands": q81_triangle_brands,
     # --- round-4 rotation: everything from here to ev2 has never
     # been driver-verified on its CURRENT oracle. The 16 round-4
     # ADDITIONS (mm10 MP4 sample tables; q73/tx33/st9/st10 sketches;
@@ -12610,6 +12711,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # oracle upgrades (ev1's first value oracle, ev5 post-window,
     # em2 sign-plane switch, gen4/ev2 full value replays). ---
     # ------------- driver 50-entry window ends HERE (position 50) -------------
+    # q81_triangle_brands (r5-green) displaced for round-6 gen9.
+    "q81_triangle_brands": q81_triangle_brands,
     # q82_cohort_retention/em16_pq_adc_recall (r5-green) displaced for round-6 q102/ev16.
     "q82_cohort_retention": q82_cohort_retention,
     "em16_pq_adc_recall": em16_pq_adc_recall,
@@ -13007,6 +13110,7 @@ ORACLE_SQL: dict[str, str] = {
     "st16_stream_leaderboard": ST16_SQL,
     "q102_forecast_revenue_change": Q102_SQL,
     "ev16_generator_rank": EV16_SQL,
+    "gen9_text_markov": GEN9_SQL,
     "st11_stream_quantile_sketch": ST11_SQL,
     "q80_bloom_prune": Q80_SQL,
     "q73_hll_distinct": Q73_SQL,
