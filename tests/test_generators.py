@@ -388,3 +388,47 @@ def test_markov_generator_length_one(spark):
     # produced a descending [1, 0] and 3 rows each
     assert len(out) == 5
     assert {r["step"] for r in out} == {0}
+
+
+def test_markov_over_tokens_generates_vocabulary_words(spark):
+    """The categorical Markov machinery instantiated on token
+    sequences (the gen9 shape): fitted on tiny two-word docs, every
+    generated token is vocabulary and transitions follow the chain."""
+    from paqarin_spark.generator import GeneratorParameters
+    from paqarin_spark.generators import MarkovEventGenerator
+    from paqarin_spark.schema import TimeSeriesSchema
+
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta alpha beta"), (2, "beta gamma beta gamma")],
+        "doc_id long, text string",
+    )
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok"),
+    )
+    schema = TimeSeriesSchema(
+        item_id_columns=("doc_id",),
+        timestamp_column="pos",
+        value_columns=("pos",),
+        frequency="D",
+        order_columns=("pos",),
+    )
+    gen = MarkovEventGenerator(
+        GeneratorParameters(schema=schema, sequence_length=4, seed=3),
+        category_column="tok",
+    ).fit(toks)
+    out = gen.generate(10, seed=3).collect()
+    assert len(out) == 40
+    vocab = {"alpha", "beta", "gamma"}
+    chain = {"alpha": {"beta"}, "beta": {"alpha", "gamma"},
+             "gamma": {"beta"}}
+    seqs: dict[int, list[str]] = {}
+    for r in out:
+        seqs.setdefault(r["sequence_id"], []).append((r["step"], r["tok"]))
+    for sid, steps in seqs.items():
+        words = [t for _, t in sorted(steps)]
+        assert set(words) <= vocab
+        for a, b in zip(words, words[1:]):
+            assert b in chain[a], (sid, words)
