@@ -10792,7 +10792,9 @@ def st14_stream_view_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 ST14_SQL = """
 SELECT user_id,
        COUNT(*) AS n_events,
-       ROUND(CAST(SUM(CAST(value AS DECIMAL(30,10))) AS DOUBLE), 6)
+       ROUND(CAST(SUM(CASE WHEN isnan(value) THEN NULL
+                           ELSE CAST(value AS DECIMAL(30,10)) END)
+                  AS DOUBLE), 6)
          AS sum_value,
        strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_seen
 FROM events
@@ -10851,11 +10853,15 @@ def q93_trade_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     the graph-analysis family (pagerank, components, triangles, BFS,
     k-core) with its standard structure METRIC.
 
-    Determinism: every sum term is an INTEGER (degrees × degrees), so
-    numerator and both variance terms are exact bigint-domain values;
-    floats appear only in the final sqrt/divide, where both engines
-    see identical exact inputs (< 2^53) and IEEE sqrt/divide are
-    correctly rounded. Scale shape: one distinct pair build, one
+    Determinism: every sum term is an INTEGER (degrees × degrees)
+    accumulated in exact decimal(38,0) — bigint-domain sums of degree²
+    per edge would overflow 2^63 well before 100-TB edge counts, while
+    38 digits leave ~1e19× headroom (the q33/q69 exact-decimal
+    pattern; the DuckDB mirror sums in HUGEINT, exact to the same
+    width). Floats appear only in the final sqrt/divide, where both
+    engines see identical exact inputs (< 2^53 at any tested SF) and
+    IEEE sqrt/divide are correctly rounded.
+    Scale shape: one distinct pair build, one
     degree groupBy, two keyed joins to label edge endpoints, one
     global aggregation — no windows, no collects."""
     configure_for_determinism(spark)
@@ -10885,30 +10891,31 @@ def q93_trade_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dst") == F.col("node2"),
         )
     )
+    dxd = F.col("dx").cast("decimal(18,0)")
+    dyd = F.col("dy").cast("decimal(18,0)")
     agg = lab.agg(
         F.count(F.lit(1)).alias("m"),
-        F.sum("dx").alias("sx"),
-        F.sum("dy").alias("sy"),
-        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
-        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
-        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+        F.sum(dxd).alias("sx"),
+        F.sum(dyd).alias("sy"),
+        F.sum(dxd * dyd).alias("sxy"),
+        F.sum(dxd * dxd).alias("sxx"),
+        F.sum(dyd * dyd).alias("syy"),
     )
+    md = F.col("m").cast("decimal(18,0)")
     return agg.select(
         F.col("m").alias("n_edges"),
         F.round(
-            (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            (md * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
             / (
                 F.sqrt(
-                    (
-                        F.col("m") * F.col("sxx")
-                        - F.col("sx") * F.col("sx")
-                    ).cast("double")
+                    (md * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                        "double"
+                    )
                 )
                 * F.sqrt(
-                    (
-                        F.col("m") * F.col("syy")
-                        - F.col("sy") * F.col("sy")
-                    ).cast("double")
+                    (md * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+                        "double"
+                    )
                 )
             ),
             6,
@@ -10928,14 +10935,14 @@ WITH e AS (
 ), deg AS (
   SELECT src AS node, COUNT(*) AS deg FROM und GROUP BY src
 ), lab AS (
-  SELECT dx.deg AS dx, dy.deg AS dy
+  SELECT CAST(dx.deg AS HUGEINT) AS dx, CAST(dy.deg AS HUGEINT) AS dy
   FROM und u
   JOIN deg dx ON dx.node = u.src
   JOIN deg dy ON dy.node = u.dst
 )
 SELECT COUNT(*) AS n_edges,
        ROUND(
-         (COUNT(*) * SUM(dx * dy) - SUM(dx) * SUM(dy))
+         CAST(COUNT(*) * SUM(dx * dy) - SUM(dx) * SUM(dy) AS DOUBLE)
          / (SQRT(CAST(COUNT(*) * SUM(dx * dx) - SUM(dx) * SUM(dx) AS DOUBLE))
             * SQRT(CAST(COUNT(*) * SUM(dy * dy) - SUM(dy) * SUM(dy) AS DOUBLE))),
          6) AS assortativity
@@ -11633,7 +11640,8 @@ ST15_SQL = """
 SELECT user_id,
        strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_seen,
        event_id AS last_id,
-       ROUND(value, 6) AS last_value
+       CASE WHEN isnan(value) THEN NULL
+            ELSE ROUND(value, 6) END AS last_value
 FROM (
   SELECT user_id, ts, event_id, value,
          ROW_NUMBER() OVER (PARTITION BY user_id
@@ -11643,6 +11651,41 @@ FROM (
 ORDER BY user_id
 """
 
+
+
+_EXIT_PATHS: set[str] = set()
+
+
+def _remove_at_exit(path: str) -> None:
+    """Register ``path`` for best-effort removal at interpreter exit
+    (idempotent per path)."""
+    import atexit
+    import shutil
+
+    if path in _EXIT_PATHS:
+        return
+    _EXIT_PATHS.add(path)
+    atexit.register(lambda: shutil.rmtree(path, ignore_errors=True))
+
+
+def _sweep_stale_staging(prefix: str) -> None:
+    """Remove /tmp staging dirs named ``<prefix>..._<pid>`` whose pid
+    is no longer alive — bounds accumulation across crashed or killed
+    runs to the set of LIVE processes."""
+    import glob
+    import os
+    import shutil
+
+    for d in glob.glob(f"/tmp/{prefix}*"):
+        pid_part = d.rsplit("_", 1)[-1]
+        if not pid_part.isdigit() or int(pid_part) == os.getpid():
+            continue
+        try:
+            os.kill(int(pid_part), 0)
+        except ProcessLookupError:
+            shutil.rmtree(d, ignore_errors=True)
+        except PermissionError:
+            pass  # pid alive under another uid — leave it
 
 
 def q97_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -11669,9 +11712,14 @@ def q97_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
     )
     # pid in the path: two processes auditing/benching the same
-    # sf_dir must not overwrite each other's round-trip staging
+    # sf_dir must not overwrite each other's round-trip staging.
+    # Repeat invocations in ONE process reuse the same dir (overwrite
+    # write mode), dirs from dead pids are swept on entry, and this
+    # process's dir is removed at exit — staging never accumulates.
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    _sweep_stale_staging("paqarin_q97_")
     path = os.path.join("/tmp", f"paqarin_q97_{tag}_{os.getpid()}")
+    _remove_at_exit(path)
     write_jsonl(staged, path)
     back = read_jsonl(
         spark, path, schema="day string, event_type string, value double"
@@ -12094,7 +12142,7 @@ WITH marked AS (
 ), per_user AS (
   SELECT user_id,
          list(value ORDER BY value)
-           FILTER (WHERE NOT is_last) AS train,
+           FILTER (WHERE NOT is_last AND value IS NOT NULL) AS train,
          MAX(CASE WHEN is_last THEN value END) AS y
   FROM marked GROUP BY user_id
 ), sized AS (
@@ -12201,9 +12249,10 @@ def em24_loo_knn_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("neighbor_id"),
         F.col("label").alias("_nl"),
     )
-    flagged = nn.join(F.broadcast(qlab), "query_id").join(
-        F.broadcast(nlab), "neighbor_id"
-    )
+    # no broadcast hints: the vec_id→label map is one row per corpus
+    # vector (linear in SF) — the §4 policy reserves hints for
+    # bounded-by-construction dims; AQE picks the join strategy here
+    flagged = nn.join(qlab, "query_id").join(nlab, "neighbor_id")
     return (
         flagged.groupBy("label")
         .agg(

@@ -722,7 +722,10 @@ def stream_view_rollup(
     arbitrary-precision int, so fold order cannot matter); emissions
     carry the sum as a plain decimal string and the finisher casts it
     back through decimal(30,10) before the display rounding, exactly
-    the batch pipeline's arithmetic.
+    the batch pipeline's arithmetic. NaN values are canonicalized to
+    NULL (skipped from the sum, still counted in n_events) — the ST14
+    oracle mirrors this with a CASE-NULL inside its SUM, so the
+    contract is symmetric rather than latent.
 
     State bound: ONE row per user (three scalars + a version) —
     O(users) forever, never O(events)."""
@@ -839,7 +842,10 @@ def stream_latest_per_key(
     never regress the cache, and each change publishes a versioned
     correction (the st12/st14 emission contract). A reader taking
     max-version rows holds exactly the batch "latest row per key"
-    query's answer, independent of micro-batch boundaries.
+    query's answer, independent of micro-batch boundaries. A NaN value
+    on the winning row is canonicalized to NULL (rows with NULL ts/id
+    are ignored entirely — they have no place in the total order); the
+    ST15 oracle applies the same CASE-NULL canonicalization.
 
     State bound: ONE row per key, forever."""
     import pandas as pd

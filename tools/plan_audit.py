@@ -109,6 +109,10 @@ def audit_streaming(spark, sf_dir: str, only: set[str]) -> list[str]:
             deadline = time.time() + 10
             while not collector.ops and time.time() < deadline:
                 time.sleep(0.2)
+            # terminated-events may still be in flight after the query
+            # finished; let the bus drain BEFORE unregistering so the
+            # JVM never calls back into a removed Python listener
+            time.sleep(0.5)
         except Exception as exc:  # noqa: BLE001
             failures.append(f"{name}: streaming run failed: {exc}")
             spark.streams.removeListener(collector)
@@ -144,9 +148,21 @@ def main() -> int:
         print(f"\n{len(failures)} plan failures")
         for f in failures:
             print(f"  {f}")
-        return 1
-    print("\nall plans clean of red flags")
-    return 0
+        rc = 1
+    else:
+        print("\nall plans clean of red flags")
+        rc = 0
+    # stop the session explicitly (after all listeners are removed and
+    # the bus has drained) so the StreamingQueryListenerBus is torn
+    # down while the Py4J callback server is still up — otherwise the
+    # exit log shows a cosmetic Py4JException after the verdict
+    if streaming_mode:
+        time.sleep(1.0)
+    try:
+        spark.stop()
+    except Exception:  # noqa: BLE001
+        pass
+    return rc
 
 
 if __name__ == "__main__":
