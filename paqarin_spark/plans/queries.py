@@ -12696,8 +12696,152 @@ SELECT sequence_id, step, tok FROM walk ORDER BY 1, 2
 """
 
 
+def tx45_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned language classifier — distributed multinomial Naive
+    Bayes (operators/classify.py): the learned-filter seam of the
+    CCNet/GPT-3 pretraining pipelines (fastText-class, Joulin et al.
+    2016), absent from the repo until now (tx10/tx32 are heuristic
+    gates, tx25/tx34 corpus-self LMs). Train on the declared-lang
+    labels of the 75% md5 split, score the 25% holdout, report
+    per-class precision/recall — the standard audit before trusting a
+    learned filter on a corpus.
+
+    Honest result note: in the synthetic corpus BOTH candidate doc
+    labels (lang, source) are statistically independent of the token
+    stream (measured: per-source token lifts ≤1.6 are too weak for
+    30-token docs; accuracy lands at the class prior — the classifier
+    correctly defaults to majority-class behavior). The query is
+    therefore the end-to-end machinery-and-report audit on declared
+    labels; LEARNING itself is pinned by tests/test_classify.py on a
+    planted-vocabulary corpus where NB must reach 100%.
+
+    Determinism: the split is the portable md5 uniform; fit counts are
+    exact integers; every score term is ROUND(ln(·),12) summed in
+    exact decimal, and arg-max margins are bounded below by the
+    discrete count structure (≫ the 1e-12 stabilization width), so
+    predictions replay exactly — the oracle unrolls fit, score, and
+    arg-max in CTEs. Outputs are integer counts and 6dp ratios of
+    integers.
+
+    Scale shape: fit = one token-keyed groupBy (partial-aggregatable)
+    + a label-keyed doc count; score = token-keyed shuffle join
+    against the (vocab × classes) count table (never broadcast) and a
+    label-bounded broadcast of class stats; report is label-keyed."""
+    from paqarin_spark.operators.classify import (
+        classification_report,
+        naive_bayes_fit,
+        naive_bayes_predict,
+    )
+
+    configure_for_determinism(spark)
+    docs = _docs(spark, sf_dir)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("tx45#"), F.col("doc_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(1152921504606846976.0)
+    )
+    base = docs.select("doc_id", "text", "lang", u.alias("_u"))
+    train = base.where(F.col("_u") >= 0.25)
+    hold = base.where(F.col("_u") < 0.25)
+    model = naive_bayes_fit(train, "text", "lang")
+    preds = naive_bayes_predict(model, hold, "text", "doc_id")
+    return classification_report(
+        preds,
+        hold.select("doc_id", "lang"),
+        id_column="doc_id",
+        label_column="lang",
+        classes=model.class_stats.select("label"),
+    )
+
+
+TX45_SQL = f"""
+WITH base AS (
+  SELECT doc_id, text, lang,
+         ('0x' || substring(md5('tx45#' || CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT
+           / 1152921504606846976.0 AS u
+  FROM documents
+), train AS (
+  SELECT * FROM base WHERE u >= 0.25
+), hold AS (
+  SELECT * FROM base WHERE u < 0.25
+), ttoks AS (
+  SELECT lang, t.token
+  FROM train, LATERAL (SELECT UNNEST({_TOKS_SQL}) AS token) t
+), counts AS (
+  SELECT lang, token, COUNT(*) AS cnt FROM ttoks GROUP BY 1, 2
+), cstats AS (
+  SELECT d.lang, d.n_docs, COALESCE(k.n_tokens, 0) AS n_tokens
+  FROM (SELECT lang, COUNT(*) AS n_docs FROM train GROUP BY 1) d
+  LEFT JOIN (SELECT lang, CAST(SUM(cnt) AS BIGINT) AS n_tokens
+             FROM counts GROUP BY 1) k USING (lang)
+), vocab AS (
+  SELECT COUNT(DISTINCT token) AS v FROM counts
+), total AS (
+  SELECT CAST(SUM(n_docs) AS BIGINT) AS n FROM cstats
+), htoks AS (
+  SELECT doc_id, t.token
+  FROM hold, LATERAL (SELECT UNNEST({_TOKS_SQL}) AS token) t
+), token_terms AS (
+  SELECT h.doc_id, c.lang,
+         CAST(ROUND(ln((COALESCE(k.cnt, 0) + 1)
+                       / (c.n_tokens + vocab.v)), 12)
+              AS DECIMAL(25,12)) AS term
+  FROM htoks h
+  CROSS JOIN cstats c CROSS JOIN vocab
+  LEFT JOIN counts k ON k.token = h.token AND k.lang = c.lang
+), prior_terms AS (
+  SELECT h.doc_id, c.lang,
+         CAST(ROUND(ln(c.n_docs / total.n), 12)
+              AS DECIMAL(25,12)) AS term
+  FROM hold h CROSS JOIN cstats c CROSS JOIN total
+), scores AS (
+  SELECT doc_id, lang, SUM(term) AS s
+  FROM (SELECT * FROM token_terms UNION ALL SELECT * FROM prior_terms)
+  GROUP BY 1, 2
+), pred AS (
+  SELECT doc_id, lang AS predicted FROM (
+    SELECT doc_id, lang,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY s DESC, lang) AS rk
+    FROM scores
+  ) WHERE rk = 1
+), joined AS (
+  SELECT h.doc_id, h.lang AS true_lang, p.predicted
+  FROM hold h JOIN pred p USING (doc_id)
+)
+SELECT c.lang AS label,
+       COALESCE(t.n_true, 0) AS n_true,
+       COALESCE(p.n_pred, 0) AS n_pred,
+       COALESCE(x.n_correct, 0) AS n_correct,
+       CASE WHEN COALESCE(p.n_pred, 0) > 0
+            THEN ROUND(COALESCE(x.n_correct, 0) / p.n_pred, 6) END
+         AS "precision",
+       CASE WHEN COALESCE(t.n_true, 0) > 0
+            THEN ROUND(COALESCE(x.n_correct, 0) / t.n_true, 6) END
+         AS recall
+FROM (SELECT lang FROM cstats) c
+LEFT JOIN (SELECT true_lang AS lang, COUNT(*) AS n_true
+           FROM joined GROUP BY 1) t USING (lang)
+LEFT JOIN (SELECT predicted AS lang, COUNT(*) AS n_pred
+           FROM joined GROUP BY 1) p USING (lang)
+LEFT JOIN (SELECT true_lang AS lang, COUNT(*) AS n_correct
+           FROM joined WHERE true_lang = predicted GROUP BY 1) x
+  USING (lang)
+ORDER BY c.lang
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- round-6 additions (never driver-verified) come first ---
+    # --- round-7 additions (never driver-verified) come first ---
+    "tx45_naive_bayes_lang": tx45_naive_bayes_lang,
+    # --- round-6 additions, r6-driver-verified ---
     "tx42_duplicate_substrings": tx42_duplicate_substrings,
     "tx43_exactsubstr_strip": tx43_exactsubstr_strip,
     "mm13_audio_metadata": mm13_audio_metadata,
@@ -12748,7 +12892,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "em18_hamming_rerank": em18_hamming_rerank,
     "q83_dominant_part_suppliers": q83_dominant_part_suppliers,
     "tx39_semdedup_keep": tx39_semdedup_keep,
-    "em17_ivfpq_recall": em17_ivfpq_recall,
     # --- round-4 rotation: everything from here to ev2 has never
     # been driver-verified on its CURRENT oracle. The 16 round-4
     # ADDITIONS (mm10 MP4 sample tables; q73/tx33/st9/st10 sketches;
@@ -12760,6 +12903,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # oracle upgrades (ev1's first value oracle, ev5 post-window,
     # em2 sign-plane switch, gen4/ev2 full value replays). ---
     # ------------- driver 50-entry window ends HERE (position 50) -------------
+    # em17_ivfpq_recall (r5/r6-green) displaced for round-7 tx45.
+    "em17_ivfpq_recall": em17_ivfpq_recall,
     # q81_triangle_brands (r5-green) displaced for round-6 gen9.
     "q81_triangle_brands": q81_triangle_brands,
     # q82_cohort_retention/em16_pq_adc_recall (r5-green) displaced for round-6 q102/ev16.
@@ -12975,6 +13120,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # single-statement SQL — declared so the driver proves the neural
 # train/sample lifecycle runs, not to widen the oracle surface.
 ORACLE_SQL: dict[str, str] = {
+    "tx45_naive_bayes_lang": TX45_SQL,
     "q01_surrogate_key": Q01_SQL,
     "q02_daily_sum": Q02_SQL,
     "q03_gap_fill": Q03_SQL,
