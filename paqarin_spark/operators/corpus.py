@@ -374,3 +374,167 @@ def token_pair_lift(
             F.round(F.col("n_pair") / F.col("n_a"), 6).alias("confidence"),
         )
     )
+
+
+def _char_syms(word_col) -> F.Column:
+    """Initial BPE symbol array: one single-character symbol per
+    character (expressed as transform(sequence(...)) so the DuckDB
+    oracle mirrors it literally)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.length(word_col)),
+        lambda i: F.substring(word_col, i, F.lit(1)),
+    )
+
+
+def _apply_merge(syms_col, left: str, right: str) -> F.Column:
+    """Apply ONE BPE merge (left, right) greedily left-to-right to a
+    symbol array, as a pure JVM fold (whole-stage codegen; no Python).
+
+    The fold is equivalent to the classic non-overlapping scan: a pair
+    merges iff its left symbol was not consumed by the previous merge
+    (for left != right candidates can never overlap; for left == right
+    a run of k equal symbols merges at offsets 0, 2, 4, ... — the fold
+    reproduces this because a freshly merged symbol's string
+    (left||right) is strictly longer than `left` and so never
+    re-matches within the round)."""
+    merged = left + right
+    return F.aggregate(
+        syms_col,
+        F.expr("CAST(array() AS array<string>)"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_train(
+    corpus: DataFrame,
+    text_column: str = "text",
+    rounds: int = 8,
+) -> tuple[list[tuple[int, str, str, int, int]], DataFrame]:
+    """Distributed byte-pair-encoding TRAINING (Sennrich et al. 2016,
+    "Neural Machine Translation of Rare Words with Subword Units") —
+    the canonical tokenizer-build job of a training-data pipeline,
+    upgrading tx9's "BPE-ish" pre-tokenizer to real merge learning.
+
+    The scale trick (shared with every production BPE trainer): after
+    ONE corpus pass reduces the text to the word-frequency table, all
+    merge rounds iterate on that VOCABULARY-sized table — the corpus
+    is never touched again. Each round is one adjacent-pair groupBy
+    (weighted by word frequency, partial-aggregatable) + a
+    deterministic argmax (count DESC, pair ASC), then one fold pass
+    over the symbol arrays; the table is localCheckpoint-ed per round
+    (the em14/q69 iterative discipline). Driver traffic is ONE row per
+    round — the learned merge.
+
+    Returns (merge_records, encoded_words): merge_records is
+    [(round, merge_left, merge_right, pair_count, n_symbols_after)]
+    — pair_count value-verifies each round's argmax and
+    n_symbols_after checksums the full state evolution — and
+    encoded_words is the final (word, freq, syms) table, the lookup
+    half of :func:`bpe_encode`.
+
+    Determinism: all counts are exact integers; ties in the argmax
+    break on (merge_left, merge_right) ascending, so the merge table
+    replays bit-exactly in SQL (the tx46 oracle unrolls the rounds as
+    CTE blocks with a gaps-and-islands parity rule standing in for the
+    greedy scan). Stops early if no adjacent pairs remain.
+    """
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    words = (
+        corpus.select(F.explode(tokens(F.col(text_column))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select("word", "freq", _char_syms(F.col("word")).alias("syms"))
+        .localCheckpoint()
+    )
+    records: list[tuple[int, str, str, int, int]] = []
+    for r in range(1, rounds + 1):
+        pairs = words.select(
+            "freq",
+            F.explode(
+                F.arrays_zip(
+                    F.slice(F.col("syms"), 1, F.size("syms") - 1).alias("l"),
+                    F.slice(
+                        F.col("syms"), 2, F.size("syms") - 1
+                    ).alias("r"),
+                )
+            ).alias("p"),
+        ).select(
+            F.col("p.l").alias("merge_left"),
+            F.col("p.r").alias("merge_right"),
+            "freq",
+        )
+        best = (
+            pairs.groupBy("merge_left", "merge_right")
+            .agg(F.sum("freq").alias("pair_count"))
+            .orderBy(
+                F.col("pair_count").desc(), "merge_left", "merge_right"
+            )
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        left, right, cnt = (
+            best[0]["merge_left"],
+            best[0]["merge_right"],
+            best[0]["pair_count"],
+        )
+        words = words.select(
+            "word",
+            "freq",
+            _apply_merge(F.col("syms"), left, right).alias("syms"),
+        ).localCheckpoint()
+        n_after = words.agg(
+            F.sum(F.size("syms") * F.col("freq")).alias("n")
+        ).collect()[0]["n"]
+        records.append((r, left, right, int(cnt), int(n_after)))
+    return records, words
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[int, str, str, int, int]] | list[tuple[str, str]],
+    text_column: str = "text",
+    id_column: str = "doc_id",
+) -> DataFrame:
+    """Encode documents with a trained BPE merge table: tokenize,
+    char-split each DISTINCT word once (the vocabulary-bounded dedup
+    every fast encoder uses), apply the merges in training order, and
+    join the sub-word sequences back to the token stream. Returns
+    (id_column, bpe_tokens array<string>) with sub-words in document
+    order; concatenating them restores the tokenized text exactly."""
+    pairs = [
+        (m[1], m[2]) if len(m) >= 4 else (m[0], m[1]) for m in merges
+    ]
+    toks = df.select(
+        F.col(id_column).alias("_id"),
+        F.posexplode(tokens(F.col(text_column))).alias("_pos", "word"),
+    )
+    vocab = toks.select("word").distinct()
+    syms = _char_syms(F.col("word"))
+    for left, right in pairs:
+        syms = _apply_merge(syms, left, right)
+    vocab = vocab.select("word", syms.alias("_syms"))
+    return (
+        toks.join(vocab, "word")
+        .groupBy("_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("_pos", "_syms"))
+                    ),
+                    lambda s: s["_syms"],
+                )
+            ).alias("bpe_tokens")
+        )
+        .select(F.col("_id").alias(id_column), "bpe_tokens")
+    )

@@ -12838,8 +12838,116 @@ ORDER BY c.lang
 """
 
 
+def tx46_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Honest BPE tokenizer TRAINING (operators/corpus.py bpe_train;
+    Sennrich et al. 2016) — upgrades tx9's "BPE-ish" pre-tokenizer to
+    real merge learning: 6 fixed rounds, each ONE adjacent-pair
+    groupBy over the VOCABULARY-sized word-frequency table (the corpus
+    is read once, then never again) + a deterministic argmax
+    (count DESC, pair ASC) + a greedy fold applying the merge.
+
+    Output is the merge table itself: (round, merge_left, merge_right,
+    pair_count, n_symbols_after) — pair_count value-verifies each
+    round's count+argmax and n_symbols_after checksums the full symbol
+    state after applying the merge, so the oracle (which unrolls all 6
+    rounds as CTE blocks, replacing the greedy scan with a
+    gaps-and-islands parity rule proven equivalent) pins training AND
+    the encode fold at every step. All values are exact integers.
+
+    Scale shape: one corpus tokenize+groupBy; per round, one
+    vocab-keyed aggregate and one expression-only fold pass, words
+    localCheckpoint-ed per round (em14/q69 iterative discipline);
+    driver traffic is one merge row per round."""
+    from paqarin_spark.operators import bpe_train
+
+    configure_for_determinism(spark)
+    docs = _docs(spark, sf_dir)
+    records, _ = bpe_train(docs, "text", rounds=6)
+    return spark.createDataFrame(
+        records,
+        "round int, merge_left string, merge_right string, "
+        "pair_count long, n_symbols_after long",
+    ).orderBy("round")
+
+
+def _tx46_sql(rounds: int = 6) -> str:
+    """Unrolled CTE replay of bpe_train (the em22 fixed-round-unroll
+    pattern): per round — pair count + argmax, then the greedy merge
+    as explode → candidate mark → consecutive-candidate runs →
+    even-offset parity (equivalent to the left-to-right scan; for
+    merge_left != merge_right candidates can never be adjacent, and
+    for equal symbols a run of k merges at offsets 0,2,4...) →
+    rebuild arrays dropping consumed positions."""
+    blocks = [
+        f"""WITH wf AS (
+  SELECT t.token AS word, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM documents, LATERAL (SELECT UNNEST({_TOKS_SQL}) AS token) t
+  GROUP BY 1
+), words0 AS (
+  SELECT word, freq,
+         list_transform(range(1, length(word) + 1),
+                        i -> substring(word, i, 1)) AS syms
+  FROM wf
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        blocks.append(f""", exp{r} AS (
+  SELECT word, freq, u.pos, u.sym
+  FROM words{p}, LATERAL (SELECT UNNEST(syms) AS sym,
+                          generate_subscripts(syms, 1) AS pos) u
+), cand{r} AS (
+  SELECT word, freq, pos, sym,
+         LEAD(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+  FROM exp{r}
+), best{r} AS (
+  SELECT sym AS ml, nxt AS mr, CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM cand{r} WHERE nxt IS NOT NULL
+  GROUP BY 1, 2 ORDER BY cnt DESC, ml, mr LIMIT 1
+), mark{r} AS (
+  SELECT c.word, c.freq, c.pos, c.sym, c.nxt,
+         CASE WHEN c.sym = b.ml AND c.nxt = b.mr
+              THEN 1 ELSE 0 END AS is_cand
+  FROM cand{r} c CROSS JOIN best{r} b
+), runs{r} AS (
+  SELECT *, CASE WHEN is_cand = 1
+                 THEN pos - ROW_NUMBER() OVER (PARTITION BY word, is_cand
+                                               ORDER BY pos) END AS run_id
+  FROM mark{r}
+), merged{r} AS (
+  SELECT *, CASE WHEN is_cand = 1
+                 AND (pos - MIN(pos) OVER (PARTITION BY word, run_id))
+                     % 2 = 0
+            THEN 1 ELSE 0 END AS do_merge
+  FROM runs{r}
+), consumed{r} AS (
+  SELECT *, COALESCE(LAG(do_merge) OVER (PARTITION BY word
+                                         ORDER BY pos), 0) AS eaten
+  FROM merged{r}
+), words{r} AS (
+  SELECT word, freq,
+         list(CASE WHEN do_merge = 1 THEN sym || nxt ELSE sym END
+              ORDER BY pos) FILTER (WHERE eaten = 0) AS syms
+  FROM consumed{r} GROUP BY word, freq
+), stat{r} AS (
+  SELECT CAST({r} AS INTEGER) AS round, b.ml AS merge_left,
+         b.mr AS merge_right, b.cnt AS pair_count,
+         (SELECT CAST(SUM(freq * len(syms)) AS BIGINT)
+          FROM words{r}) AS n_symbols_after
+  FROM best{r} b
+)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT * FROM stat{r}" for r in range(1, rounds + 1)
+    )
+    return "".join(blocks) + f"\n{union}\nORDER BY round"
+
+
+TX46_SQL = _tx46_sql(6)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-7 additions (never driver-verified) come first ---
+    "tx46_bpe_train": tx46_bpe_train,
     "tx45_naive_bayes_lang": tx45_naive_bayes_lang,
     # --- round-6 additions, r6-driver-verified ---
     "tx42_duplicate_substrings": tx42_duplicate_substrings,
@@ -12891,7 +12999,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q84_min_cost_supplier": q84_min_cost_supplier,
     "em18_hamming_rerank": em18_hamming_rerank,
     "q83_dominant_part_suppliers": q83_dominant_part_suppliers,
-    "tx39_semdedup_keep": tx39_semdedup_keep,
     # --- round-4 rotation: everything from here to ev2 has never
     # been driver-verified on its CURRENT oracle. The 16 round-4
     # ADDITIONS (mm10 MP4 sample tables; q73/tx33/st9/st10 sketches;
@@ -12903,8 +13010,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # oracle upgrades (ev1's first value oracle, ev5 post-window,
     # em2 sign-plane switch, gen4/ev2 full value replays). ---
     # ------------- driver 50-entry window ends HERE (position 50) -------------
-    # em17_ivfpq_recall (r5/r6-green) displaced for round-7 tx45.
+    # em17_ivfpq_recall/tx39_semdedup_keep (r5/r6-green) displaced for
+    # round-7 tx45/tx46.
     "em17_ivfpq_recall": em17_ivfpq_recall,
+    "tx39_semdedup_keep": tx39_semdedup_keep,
     # q81_triangle_brands (r5-green) displaced for round-6 gen9.
     "q81_triangle_brands": q81_triangle_brands,
     # q82_cohort_retention/em16_pq_adc_recall (r5-green) displaced for round-6 q102/ev16.
@@ -13121,6 +13230,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # train/sample lifecycle runs, not to widen the oracle surface.
 ORACLE_SQL: dict[str, str] = {
     "tx45_naive_bayes_lang": TX45_SQL,
+    "tx46_bpe_train": TX46_SQL,
     "q01_surrogate_key": Q01_SQL,
     "q02_daily_sum": Q02_SQL,
     "q03_gap_fill": Q03_SQL,

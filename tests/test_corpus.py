@@ -165,3 +165,97 @@ def test_token_pair_lift_exact_counts(spark):
     }
     assert all("stop" not in p for p in capped)
     assert ("apple", "banana") in capped
+
+
+# ---------------------------------------------------------------- BPE
+
+
+def test_bpe_train_classic_corpus(spark):
+    """Sennrich's running example shape: 'low/lower/lowest/new/newer/
+    newest' — the trainer must discover the 'low', 'est', 'new'
+    sub-words through frequency-ordered merges."""
+    from paqarin_spark.operators import bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest low low"), (2, "newest newer new lowest")],
+        "doc_id long, text string",
+    )
+    recs, words = bpe_train(docs, "text", rounds=6)
+    assert [(r[1], r[2]) for r in recs] == [
+        ("l", "o"), ("lo", "w"), ("e", "s"), ("e", "w"), ("es", "t"),
+        ("n", "ew"),
+    ]
+    # counts: 'lo' appears in low(4) lower lowest(2) = 6 occurrences
+    assert recs[0][3] == 6
+    # n_symbols_after strictly decreases by pair_count each round
+    prev = None
+    for _, _, _, cnt, n_after in recs:
+        if prev is not None:
+            assert prev - n_after == cnt
+        prev = n_after
+    final = {r["word"]: r["syms"] for r in words.collect()}
+    assert final["low"] == ["low"]
+    assert final["lowest"] == ["low", "est"]
+    assert final["newer"] == ["new", "e", "r"]
+
+
+def test_bpe_encode_roundtrip(spark):
+    """Concatenating a word's sub-words restores the tokenized text;
+    unseen words at encode time degrade to finer splits, never crash."""
+    from paqarin_spark.operators import bpe_encode, bpe_train
+    from pyspark.sql import functions as F
+
+    train = spark.createDataFrame(
+        [(1, "low lower lowest low low newest newer new")],
+        "doc_id long, text string",
+    )
+    recs, _ = bpe_train(train, "text", rounds=6)
+    docs = spark.createDataFrame(
+        [(7, "Lowest New LOWDOWN?!"), (8, "zzz low")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["bpe_tokens"]
+           for r in bpe_encode(docs, recs, "text", "doc_id").collect()}
+    assert "".join(out[7]) == "lowestnewlowdown"
+    assert out[7][0] == "low"                    # trained sub-words apply
+    assert out[8] == ["z", "z", "z", "low"]      # unseen word char-degrades
+
+
+def test_bpe_merge_parity_runs(spark):
+    """Greedy left-to-right non-overlap on equal-symbol runs: 'aaa' ->
+    [aa, a], 'aaaa' -> [aa, aa] (the a==b case the parity rule in the
+    oracle must reproduce)."""
+    from paqarin_spark.operators.corpus import _apply_merge, _char_syms
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("aaa",), ("aaaa",), ("ababa",)], "word string"
+    )
+    out = {
+        r["word"]: r["m"]
+        for r in df.select(
+            "word", _apply_merge(_char_syms(F.col("word")), "a", "a").alias("m")
+        ).collect()
+    }
+    assert out["aaa"] == ["aa", "a"]
+    assert out["aaaa"] == ["aa", "aa"]
+    assert out["ababa"] == ["a", "b", "a", "b", "a"]
+    out2 = {
+        r["word"]: r["m"]
+        for r in df.select(
+            "word", _apply_merge(_char_syms(F.col("word")), "a", "b").alias("m")
+        ).collect()
+    }
+    assert out2["ababa"] == ["ab", "ab", "a"]
+
+
+def test_bpe_train_validates_and_stops_early(spark):
+    from paqarin_spark.operators import bpe_train
+    import pytest as _pytest
+
+    docs = spark.createDataFrame([(1, "x y")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        bpe_train(docs, "text", rounds=0)
+    # single-char words: no adjacent pairs ever -> zero merge records
+    recs, _ = bpe_train(docs, "text", rounds=4)
+    assert recs == []
