@@ -1961,3 +1961,183 @@ def power_iteration_on_cov(
             ),
         )
     )
+
+
+def nn_descent(
+    df: DataFrame,
+    id_column: str,
+    vector_column: str,
+    k: int = 6,
+    rounds: int = 3,
+) -> DataFrame:
+    """Approximate kNN-GRAPH construction via NN-descent (Dong, Moses
+    & Li, WWW 2011, "Efficient k-nearest neighbor graph construction
+    for generic similarity measures") — the graph-based ANN family
+    beside the IVF/PQ/LSH/binary indexes, and the input structure
+    HNSW-class indexes are built from.
+
+    Algorithm (the paper's local join, made deterministic): start from
+    md5-seeded pseudo-random neighbor lists, then for a FIXED number
+    of rounds (the pagerank/kmeans round discipline) generate
+    candidate pairs among each node's combined forward+capped-reverse
+    neighborhood B(v), score candidates exactly, and keep each node's
+    best k by (cos_sim DESC, neighbor ASC). Every step is relational:
+    the candidate join fans out O(n·(2k)²) pairs per round — never
+    all-pairs — and the update is a keyed window rank.
+
+    Determinism contract: the seed offsets are the portable md5
+    uniform; similarities are the expression cosine (strict
+    left-fold dot, same fold order as the oracle's list_sum) rounded
+    6dp; all ranks tie-break on neighbor id — so the final edge set
+    replays exactly in SQL (em25's oracle unrolls the rounds as CTE
+    blocks, the em22/tx46 pattern).
+
+    Requires integer ids occupying [0, n) (the seed arithmetic is
+    modular); raises otherwise. Edge tables are localCheckpoint-ed
+    per round (vocab-of-nodes-sized: n·k rows).
+
+    Returns (node, nbr, cos_sim): k (or fewer, after seed-collision
+    dedup) approximate nearest neighbors per node.
+    """
+    if k < 1 or rounds < 0:
+        raise ValueError("k must be >= 1 and rounds >= 0")
+    n = df.count()
+    if n < 3:
+        raise ValueError("nn_descent needs at least 3 vectors")
+    bounds = df.agg(
+        F.min(id_column).alias("mn"), F.max(id_column).alias("mx")
+    ).collect()[0]
+    if bounds["mn"] != 0 or bounds["mx"] != n - 1:
+        raise ValueError(
+            "nn_descent requires contiguous integer ids in [0, n); got "
+            f"[{bounds['mn']}, {bounds['mx']}] for n={n}"
+        )
+    import numpy as np
+    import pandas as pd
+
+    # cast to double BEFORE any arithmetic: float32 products would
+    # round differently from the oracle's float64 list arithmetic
+    emb = df.select(
+        F.col(id_column).alias("_eid"),
+        F.col(vector_column).cast("array<double>").alias("_v"),
+    ).localCheckpoint()
+
+    def _score(pairs: DataFrame, left: str, right: str) -> DataFrame:
+        """Exact cosine for an arbitrary pair list: join both vectors,
+        then one vectorized float64 kernel per Arrow batch (the em1
+        lane; _round_half_up keeps the 6dp values on the SQL contract
+        — the em24-proven BLAS↔list_sum equivalence)."""
+        a = emb.select(
+            F.col("_eid").alias(left), F.col("_v").alias("_va")
+        )
+        b = emb.select(
+            F.col("_eid").alias(right), F.col("_v").alias("_vb")
+        )
+        joined = pairs.join(a, left).join(b, right)
+
+        def kernel(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                va = np.array(pdf["_va"].tolist(), dtype=np.float64)
+                vb = np.array(pdf["_vb"].tolist(), dtype=np.float64)
+                num = np.einsum("ij,ij->i", va, vb)
+                den = np.sqrt(np.einsum("ij,ij->i", va, va)) * np.sqrt(
+                    np.einsum("ij,ij->i", vb, vb)
+                )
+                yield pd.DataFrame(
+                    {
+                        left: pdf[left],
+                        right: pdf[right],
+                        "sim": _round_half_up(num / den, 6),
+                    }
+                )
+
+        id_type = emb.schema["_eid"].dataType.simpleString()
+        return joined.mapInPandas(
+            kernel, f"{left} {id_type}, {right} {id_type}, sim double"
+        )
+
+    def _topk(edges: DataFrame) -> DataFrame:
+        w = Window.partitionBy("node").orderBy(
+            F.col("sim").desc(), F.col("nbr").asc()
+        )
+        return (
+            edges.distinct()
+            .withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") <= k)
+            .drop("_rk")
+        )
+
+    off_hash = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("nnd#init#"),
+                    F.col("node").cast("string"),
+                    F.lit("#"),
+                    F.col("s").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    init = (
+        emb.select(
+            F.col("_eid").alias("node"),
+            F.explode(F.sequence(F.lit(1), F.lit(k))).alias("s"),
+        )
+        .select(
+            "node",
+            F.pmod(
+                F.col("node") + F.lit(1) + F.pmod(off_hash, F.lit(n - 1)),
+                F.lit(n),
+            ).alias("nbr"),
+        )
+        .distinct()
+    )
+    edges = _topk(
+        _score(init, "node", "nbr").select("node", "nbr", "sim")
+    ).localCheckpoint()
+
+    for _ in range(rounds):
+        rev = edges.select(
+            F.col("nbr").alias("node"), F.col("node").alias("nbr"), "sim"
+        )
+        wrev = Window.partitionBy("node").orderBy(
+            F.col("sim").desc(), F.col("nbr").asc()
+        )
+        revc = (
+            rev.withColumn("_rk", F.row_number().over(wrev))
+            .where(F.col("_rk") <= k)
+            .drop("_rk")
+        )
+        # no distinct here: duplicate (node, nbr) rows only produce
+        # duplicate candidate pairs, which the pair-level distinct
+        # removes — skipping it saves one shuffle per round
+        und = edges.select("node", "nbr").unionByName(
+            revc.select("node", "nbr")
+        )
+        cand = (
+            und.alias("a")
+            .join(und.alias("b"), "node")
+            .where(F.col("a.nbr") < F.col("b.nbr"))
+            .select(F.col("a.nbr").alias("x"), F.col("b.nbr").alias("y"))
+            .distinct()
+        )
+        scored = _score(cand, "x", "y")
+        edges = _topk(
+            edges.unionByName(
+                scored.select(
+                    F.col("x").alias("node"), F.col("y").alias("nbr"), "sim"
+                )
+            ).unionByName(
+                scored.select(
+                    F.col("y").alias("node"), F.col("x").alias("nbr"), "sim"
+                )
+            )
+        ).localCheckpoint()
+    return edges.select("node", "nbr", F.col("sim").alias("cos_sim"))

@@ -3493,7 +3493,7 @@ WITH keys AS (
            ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY u) AS rn
     FROM hashed
   ) WHERE rn = 32
-), exact AS (
+), exact AS MATERIALIZED (
   SELECT event_type, COUNT(*) AS n_exact FROM keys GROUP BY 1
 )
 SELECT e.event_type, e.n_exact,
@@ -7330,7 +7330,7 @@ WITH v AS (
     SELECT generate_subscripts(embedding, 1) - 1 AS dim,
            UNNEST(embedding)::DOUBLE AS x
   ) u
-), init AS (
+), init AS MATERIALIZED (
   SELECT ROW_NUMBER() OVER (
            ORDER BY md5('kmeans#' || CAST(vec_id AS VARCHAR) || '#11')
          ) - 1 AS cluster,
@@ -12896,7 +12896,7 @@ def _tx46_sql(rounds: int = 6) -> str:
   SELECT word, freq, u.pos, u.sym
   FROM words{p}, LATERAL (SELECT UNNEST(syms) AS sym,
                           generate_subscripts(syms, 1) AS pos) u
-), cand{r} AS (
+), cand{r} AS MATERIALIZED (
   SELECT word, freq, pos, sym,
          LEAD(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
   FROM exp{r}
@@ -12945,8 +12945,155 @@ def _tx46_sql(rounds: int = 6) -> str:
 TX46_SQL = _tx46_sql(6)
 
 
+def em25_nn_descent_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN-graph construction via NN-descent (Dong et al., WWW 2011;
+    operators/similarity.py nn_descent) plus its recall@k audit vs the
+    exact em1 blocked kernel — the graph-based ANN family beside
+    IVF/PQ/LSH/binary, and the structure HNSW-class indexes build on.
+
+    The output row is the audit: how much of the TRUE kNN graph did 3
+    rounds of neighbor-of-neighbor refinement recover from md5-seeded
+    random lists? n_hits/recall pins the FULL final edge set (any
+    divergence in any round's candidate generation, scoring, or
+    ranking changes the intersection), all as exact integers + one
+    ratio.
+
+    Determinism: md5-offset seeds; expression-cosine similarities
+    (strict left-fold dot, float64, 6dp) with neighbor-ascending tie
+    breaks everywhere; the oracle unrolls the init and all 3 rounds as
+    CTE blocks and re-derives the exact graph by cross-join ranking
+    (the em24 precedent at the same SFs).
+
+    Scale shape: per round, candidate fanout is O(n·(2k)²) pairs —
+    never all-pairs; updates are node-keyed window ranks; edge tables
+    localCheckpoint per round. The EXACT side is the audit's oracle
+    cost (em1's blocked BLAS kernel, the deliberate brute-force
+    baseline); production at 100 TB runs nn_descent alone."""
+    from paqarin_spark.operators import cosine_topk, nn_descent
+
+    configure_for_determinism(spark)
+    emb = read_table(spark, sf_dir, "embeddings", spread=True)
+    approx = nn_descent(emb, "vec_id", "embedding", k=14, rounds=3)
+    exact = cosine_topk(emb, "vec_id", "embedding", k=14)
+    flagged = exact.join(
+        approx,
+        (exact.query_id == approx.node)
+        & (exact.neighbor_id == approx.nbr),
+        "left",
+    )
+    n_vec = emb.agg(F.count(F.lit(1)).alias("n_vectors"))
+    return (
+        flagged.agg(
+            F.count(F.lit(1)).alias("n_exact_edges"),
+            F.sum(F.col("node").isNotNull().cast("long")).alias("n_hits"),
+        )
+        .crossJoin(F.broadcast(n_vec))
+        .select(
+            "n_vectors",
+            "n_exact_edges",
+            "n_hits",
+            F.round(
+                F.col("n_hits") / F.col("n_exact_edges"), 6
+            ).alias("recall_at_k"),
+        )
+    )
+
+
+def _em25_sql(k: int = 6, rounds: int = 3) -> str:
+    """Unrolled CTE replay of nn_descent + the exact-graph audit."""
+
+    def cos(a: str, b: str) -> str:
+        return (
+            f"ROUND(list_sum(list_transform(range(1, len({a}.v) + 1),"
+            f" t -> {a}.v[t] * {b}.v[t]))"
+            f" / (sqrt(list_sum(list_transform(range(1, len({a}.v) + 1),"
+            f" t -> {a}.v[t] * {a}.v[t])))"
+            f" * sqrt(list_sum(list_transform(range(1, len({b}.v) + 1),"
+            f" t -> {b}.v[t] * {b}.v[t])))), 6)"
+        )
+
+    blocks = [f"""WITH emb AS (
+  SELECT vec_id AS id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), nn AS (
+  SELECT COUNT(*) AS n FROM emb
+), init AS (
+  SELECT DISTINCT e.id AS node,
+         (e.id + 1 + (('0x' || substring(md5('nnd#init#'
+              || CAST(e.id AS VARCHAR) || '#' || CAST(s.s AS VARCHAR)),
+              1, 15))::UBIGINT % (nn.n - 1))) % nn.n AS nbr
+  FROM emb e CROSS JOIN nn,
+       LATERAL (SELECT UNNEST(range(1, {k} + 1)) AS s) s
+), edges0 AS MATERIALIZED (
+  SELECT node, nbr, sim FROM (
+    SELECT i.node, i.nbr, {cos('a', 'b')} AS sim,
+           ROW_NUMBER() OVER (PARTITION BY i.node
+                              ORDER BY {cos('a', 'b')} DESC, i.nbr) AS rk
+    FROM init i
+    JOIN emb a ON a.id = i.node JOIN emb b ON b.id = i.nbr
+  ) WHERE rk <= {k}
+)"""]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        blocks.append(f""", revc{r} AS MATERIALIZED (
+  SELECT node, nbr, sim FROM (
+    SELECT nbr AS node, node AS nbr, sim,
+           ROW_NUMBER() OVER (PARTITION BY nbr
+                              ORDER BY sim DESC, node) AS rk
+    FROM edges{p}
+  ) WHERE rk <= {k}
+), und{r} AS MATERIALIZED (
+  SELECT DISTINCT node, nbr FROM (
+    SELECT node, nbr FROM edges{p}
+    UNION ALL SELECT node, nbr FROM revc{r}
+  )
+), cand{r} AS (
+  SELECT DISTINCT a.nbr AS x, b.nbr AS y
+  FROM und{r} a JOIN und{r} b
+    ON a.node = b.node AND a.nbr < b.nbr
+), scored{r} AS MATERIALIZED (
+  SELECT c.x, c.y, {cos('a', 'b')} AS sim
+  FROM cand{r} c JOIN emb a ON a.id = c.x JOIN emb b ON b.id = c.y
+), edges{r} AS MATERIALIZED (
+  SELECT node, nbr, sim FROM (
+    SELECT node, nbr, sim,
+           ROW_NUMBER() OVER (PARTITION BY node
+                              ORDER BY sim DESC, nbr) AS rk
+    FROM (SELECT DISTINCT node, nbr, sim FROM (
+      SELECT node, nbr, sim FROM edges{p}
+      UNION ALL SELECT x AS node, y AS nbr, sim FROM scored{r}
+      UNION ALL SELECT y AS node, x AS nbr, sim FROM scored{r}
+    ))
+  ) WHERE rk <= {k}
+)""")
+    blocks.append(f""", exact AS (
+  SELECT qid, nid FROM (
+    SELECT a.id AS qid, b.id AS nid,
+           ROW_NUMBER() OVER (PARTITION BY a.id
+                              ORDER BY {cos('a', 'b')} DESC, b.id) AS rk
+    FROM emb a JOIN emb b ON a.id <> b.id
+  ) WHERE rk <= {k}
+), audit AS (
+  SELECT e.qid,
+         CASE WHEN d.node IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM exact e
+  LEFT JOIN edges{rounds} d ON d.node = e.qid AND d.nbr = e.nid
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM emb) AS n_vectors,
+       CAST(COUNT(*) AS BIGINT) AS n_exact_edges,
+       CAST(SUM(hit) AS BIGINT) AS n_hits,
+       ROUND(SUM(hit) / COUNT(*), 6) AS recall_at_k
+FROM audit""")
+    return "".join(blocks)
+
+
+EM25_SQL = _em25_sql(14, 3)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-7 additions (never driver-verified) come first ---
+    "em25_nn_descent_recall": em25_nn_descent_recall,
     "tx46_bpe_train": tx46_bpe_train,
     "tx45_naive_bayes_lang": tx45_naive_bayes_lang,
     # --- round-6 additions, r6-driver-verified ---
@@ -12990,7 +13137,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx41_line_dedup": tx41_line_dedup,
     "ev10_acf_fidelity": ev10_acf_fidelity,
     "em19_mmr_rerank": em19_mmr_rerank,
-    "em20_ivf_ingest": em20_ivf_ingest,
     "q87_important_parts": q87_important_parts,
     "q88_part_supplier_counts": q88_part_supplier_counts,
     "q86_incremental_view_merge": q86_incremental_view_merge,
@@ -13010,10 +13156,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # oracle upgrades (ev1's first value oracle, ev5 post-window,
     # em2 sign-plane switch, gen4/ev2 full value replays). ---
     # ------------- driver 50-entry window ends HERE (position 50) -------------
-    # em17_ivfpq_recall/tx39_semdedup_keep (r5/r6-green) displaced for
-    # round-7 tx45/tx46.
+    # em17_ivfpq_recall/tx39_semdedup_keep/em20_ivf_ingest
+    # (r5/r6-green) displaced for round-7 tx45/tx46/em25.
     "em17_ivfpq_recall": em17_ivfpq_recall,
     "tx39_semdedup_keep": tx39_semdedup_keep,
+    "em20_ivf_ingest": em20_ivf_ingest,
     # q81_triangle_brands (r5-green) displaced for round-6 gen9.
     "q81_triangle_brands": q81_triangle_brands,
     # q82_cohort_retention/em16_pq_adc_recall (r5-green) displaced for round-6 q102/ev16.
@@ -13231,6 +13378,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLE_SQL: dict[str, str] = {
     "tx45_naive_bayes_lang": TX45_SQL,
     "tx46_bpe_train": TX46_SQL,
+    "em25_nn_descent_recall": EM25_SQL,
     "q01_surrogate_key": Q01_SQL,
     "q02_daily_sum": Q02_SQL,
     "q03_gap_fill": Q03_SQL,

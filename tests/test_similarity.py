@@ -897,3 +897,78 @@ def test_power_iteration_finds_planted_direction(spark):
 
     with pytest.raises(ValueError, match="iterations"):
         power_iteration(df, "v", iterations=0)
+
+
+# ------------------------------------------------------------ NN-descent
+
+
+def _clustered_vectors(n_clusters=5, per_cluster=8, dim=8):
+    """Tight, well-separated clusters: each vector is its cluster's
+    one-hot axis plus a tiny deterministic per-vector wiggle."""
+    rows = []
+    vid = 0
+    for c in range(n_clusters):
+        for j in range(per_cluster):
+            v = [0.0] * dim
+            v[c] = 1.0
+            v[(c + 1) % dim] = 0.01 * (j + 1)
+            rows.append((vid, v))
+            vid += 1
+    return rows
+
+
+def test_nn_descent_recovers_planted_clusters(spark):
+    """With k < cluster size, every true neighbor is intra-cluster;
+    NN-descent from random seeds must recover (nearly) all of them —
+    the planted-structure invariant of the graph-ANN family."""
+    from paqarin_spark.operators import cosine_topk, nn_descent
+
+    rows = _clustered_vectors()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    approx = nn_descent(df, "vec_id", "embedding", k=5, rounds=3)
+    got = approx.collect()
+    # bounded: at most k per node, never self
+    per_node = {}
+    for r in got:
+        assert r["node"] != r["nbr"]
+        per_node.setdefault(r["node"], []).append(r["nbr"])
+    assert max(len(v) for v in per_node.values()) <= 5
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(df, "vec_id", "embedding", k=5).collect()
+    }
+    hits = sum((r["node"], r["nbr"]) in exact for r in got)
+    recall = hits / len(exact)
+    assert recall >= 0.95, f"recall {recall} too low on planted clusters"
+    # neighbors land in the same cluster (cluster = id // 8)
+    same = sum(r["node"] // 8 == r["nbr"] // 8 for r in got) / len(got)
+    assert same >= 0.95
+
+
+def test_nn_descent_deterministic(spark):
+    from paqarin_spark.operators import nn_descent
+
+    rows = _clustered_vectors(n_clusters=3, per_cluster=6)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = sorted(map(tuple, nn_descent(df, "vec_id", "embedding", 4, 2).collect()))
+    b = sorted(map(tuple, nn_descent(df, "vec_id", "embedding", 4, 2).collect()))
+    assert a == b
+
+
+def test_nn_descent_validates_inputs(spark):
+    from paqarin_spark.operators import nn_descent
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (5, [1.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="contiguous"):
+        nn_descent(df, "vec_id", "embedding", k=2, rounds=1)
+    ok = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [1.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="k must be"):
+        nn_descent(ok, "vec_id", "embedding", k=0, rounds=1)
+    with pytest.raises(ValueError, match="at least 3"):
+        nn_descent(ok.limit(2), "vec_id", "embedding", k=1, rounds=1)
