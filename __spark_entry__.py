@@ -33,8 +33,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable oracle SQL per query. Every query is
-    value-hash-checked EXCEPT gen6_arnet_sample — deliberately
-    rows-only (neural gradient training is deterministic but not
-    single-statement SQL; see its docstring). len(ORACLE_SQL) ==
-    len(QUERIES) - 1 by design."""
+    value-hash-checked EXCEPT the two executing neural providers
+    (gen6_arnet_sample, gen10_grunet_sample) — deliberately rows-only
+    (gradient/BPTT training is deterministic but not single-statement
+    SQL; see their docstrings). len(ORACLE_SQL) == len(QUERIES) - 2
+    by design."""
     return dict(ORACLE_SQL)

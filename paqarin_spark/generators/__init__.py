@@ -7,6 +7,7 @@ from paqarin_spark.generators.deep import DeepProviderGenerator
 from paqarin_spark.generators.gaussian import GaussianPerStepGenerator
 from paqarin_spark.generators.markov import MarkovEventGenerator
 from paqarin_spark.generators.neural import ARNetGenerator
+from paqarin_spark.generators.recurrent import GRUNetGenerator
 from paqarin_spark.generators.views import (
     SynthcityLoaderViews,
     add_prefixes,
@@ -17,6 +18,7 @@ from paqarin_spark.generators.views import (
 
 __all__ = [
     "ARNetGenerator",
+    "GRUNetGenerator",
     "BlockBootstrapGenerator",
     "ConditionalBootstrapGenerator",
     "DeepProviderGenerator",

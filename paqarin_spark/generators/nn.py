@@ -171,3 +171,160 @@ def params_from_lists(data: list[dict]) -> list[dict]:
          "b": np.asarray(p["b"], dtype=np.float64)}
         for p in data
     ]
+
+
+# ----------------------------------------------------------------- GRU
+# Recurrent core for the TimeGAN/PAR sequence-model seam
+# (`paqarin/adapters/ydata_adapter.py:291-322`): a gated recurrent
+# unit trained by full-batch BPTT — a model CLASS the feedforward
+# ARNet/MLP heads cannot imitate (persistent hidden state across the
+# whole rollout). Same determinism contract as the MLP core: float64,
+# md5 Glorot init, fixed epochs, no RNG state.
+
+
+def _sigmoid(a: np.ndarray) -> np.ndarray:
+    return 1.0 / (1.0 + np.exp(-a))
+
+
+def init_gru_params(d_in: int, hidden: int, d_out: int, seed: int) -> dict:
+    """Gate matrices packed column-wise as [z | r | c] (each
+    ``hidden`` wide); md5-keyed Glorot draws, zero biases."""
+
+    def glorot(rows, cols, tag):
+        limit = (6.0 / (rows + cols)) ** 0.5
+        w = np.empty((rows, cols))
+        for i in range(rows):
+            for j in range(cols):
+                u = _md5_unit(f"gru-init#{seed}#{tag}#{i}#{j}")
+                w[i, j] = (2.0 * u - 1.0) * limit
+        return w
+
+    return {
+        "wx": glorot(d_in, 3 * hidden, "wx"),
+        "wh": glorot(hidden, 3 * hidden, "wh"),
+        "b": np.zeros(3 * hidden),
+        "wo": glorot(hidden, d_out, "wo"),
+        "bo": np.zeros(d_out),
+    }
+
+
+def gru_step(params: dict, x_t: np.ndarray, h: np.ndarray):
+    """One GRU step: returns (y_t, h_new) for a batch of states."""
+    hdim = params["wh"].shape[0]
+    a = x_t @ params["wx"] + h @ params["wh"] + params["b"]
+    z = _sigmoid(a[:, :hdim])
+    r = _sigmoid(a[:, hdim : 2 * hdim])
+    # candidate uses the RESET-gated state: recompute its recurrent
+    # term with r*h in place of h
+    a_c = (
+        x_t @ params["wx"][:, 2 * hdim :]
+        + (r * h) @ params["wh"][:, 2 * hdim :]
+        + params["b"][2 * hdim :]
+    )
+    c = np.tanh(a_c)
+    h_new = (1.0 - z) * h + z * c
+    return h_new @ params["wo"] + params["bo"], h_new
+
+
+def train_gru(
+    seqs: np.ndarray,
+    hidden: int,
+    epochs: int = 150,
+    lr: float = 0.05,
+    seed: int = 0,
+    params: dict | None = None,
+) -> dict:
+    """Full-batch BPTT with momentum on teacher-forced next-step MSE:
+    inputs are steps 0..T-2 of every sequence, targets steps 1..T-1.
+    ``seqs`` is (N, T, D) float64. Deterministic for the same reasons
+    as train_mlp — order-insensitive full-batch gradients, fixed
+    epochs, md5 init (or continue from ``params``)."""
+    seqs = np.asarray(seqs, dtype=np.float64)
+    n, t_len, d = seqs.shape
+    if t_len < 2:
+        raise ValueError("sequences must have at least 2 steps")
+    x = seqs[:, :-1, :]
+    y = seqs[:, 1:, :]
+    steps = t_len - 1
+    if params is None:
+        params = init_gru_params(d, hidden, d, seed)
+    else:
+        params = {k: np.array(v, dtype=np.float64) for k, v in params.items()}
+    hdim = params["wh"].shape[0]
+    vel = {k: np.zeros_like(v) for k, v in params.items()}
+    denom = float(n * steps * d)
+    for _ in range(int(epochs)):
+        # forward, caching per-step state
+        h = np.zeros((n, hdim))
+        cache = []
+        preds = np.empty_like(y)
+        for s in range(steps):
+            x_t = x[:, s, :]
+            a = x_t @ params["wx"] + h @ params["wh"] + params["b"]
+            z = _sigmoid(a[:, :hdim])
+            r = _sigmoid(a[:, hdim : 2 * hdim])
+            a_c = (
+                x_t @ params["wx"][:, 2 * hdim :]
+                + (r * h) @ params["wh"][:, 2 * hdim :]
+                + params["b"][2 * hdim :]
+            )
+            c = np.tanh(a_c)
+            h_new = (1.0 - z) * h + z * c
+            preds[:, s, :] = h_new @ params["wo"] + params["bo"]
+            cache.append((h, z, r, c))
+            h = h_new
+        grads = {k: np.zeros_like(v) for k, v in params.items()}
+        dh_next = np.zeros((n, hdim))
+        for s in range(steps - 1, -1, -1):
+            h_prev, z, r, c = cache[s]
+            h_new = (1.0 - z) * h_prev + z * c
+            dy = 2.0 * (preds[:, s, :] - y[:, s, :]) / denom
+            grads["wo"] += h_new.T @ dy
+            grads["bo"] += dy.sum(0)
+            dh = dy @ params["wo"].T + dh_next
+            dz = dh * (c - h_prev)
+            dc = dh * z
+            dh_prev = dh * (1.0 - z)
+            da_c = dc * (1.0 - c * c)
+            grads["wx"][:, 2 * hdim :] += x[:, s, :].T @ da_c
+            grads["wh"][:, 2 * hdim :] += (r * h_prev).T @ da_c
+            grads["b"][2 * hdim :] += da_c.sum(0)
+            d_rh = da_c @ params["wh"][:, 2 * hdim :].T
+            dr = d_rh * h_prev
+            dh_prev += d_rh * r
+            da_z = dz * z * (1.0 - z)
+            da_r = dr * r * (1.0 - r)
+            grads["wx"][:, :hdim] += x[:, s, :].T @ da_z
+            grads["wh"][:, :hdim] += h_prev.T @ da_z
+            grads["b"][:hdim] += da_z.sum(0)
+            grads["wx"][:, hdim : 2 * hdim] += x[:, s, :].T @ da_r
+            grads["wh"][:, hdim : 2 * hdim] += h_prev.T @ da_r
+            grads["b"][hdim : 2 * hdim] += da_r.sum(0)
+            dh_prev += da_z @ params["wh"][:, :hdim].T
+            dh_prev += da_r @ params["wh"][:, hdim : 2 * hdim].T
+            dh_next = dh_prev
+        for k in params:
+            vel[k] = 0.9 * vel[k] - lr * grads[k]
+            params[k] = params[k] + vel[k]
+    return params
+
+
+def gru_mse(params: dict, seqs: np.ndarray) -> float:
+    """Teacher-forced next-step MSE of a fitted GRU on (N, T, D)."""
+    seqs = np.asarray(seqs, dtype=np.float64)
+    n, t_len, d = seqs.shape
+    hdim = params["wh"].shape[0]
+    h = np.zeros((n, hdim))
+    err = 0.0
+    for s in range(t_len - 1):
+        y, h = gru_step(params, seqs[:, s, :], h)
+        err += float(((y - seqs[:, s + 1, :]) ** 2).sum())
+    return err / float(n * (t_len - 1) * d)
+
+
+def gru_params_to_lists(params: dict) -> dict:
+    return {k: np.asarray(v, dtype=np.float64).tolist() for k, v in params.items()}
+
+
+def gru_params_from_lists(data: dict) -> dict:
+    return {k: np.asarray(v, dtype=np.float64) for k, v in data.items()}

@@ -12945,6 +12945,39 @@ def _tx46_sql(rounds: int = 6) -> str:
 TX46_SQL = _tx46_sql(6)
 
 
+def gen10_grunet_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RECURRENT executing provider (generators.recurrent.
+    GRUNetGenerator — gated recurrent unit, pure-numpy full-batch
+    BPTT, zero TF/torch): fit on events, roll out 30 sequences with a
+    hidden state warmed on each context and carried through the whole
+    rollout, emit long-form samples.
+
+    ROWS-ONLY BY DESIGN (the gen6 precedent; the only two declared
+    queries without value oracles are the two executing neural
+    providers): BPTT is deterministic — md5 Glorot init, sorted
+    bounded batch, fixed epochs, layout-independent weights, all
+    pinned by tests/test_neural.py, which also pins the structural
+    long-memory win over the feedforward ARNet core (a delay-line
+    task the flat window head cannot express) — but not
+    single-statement SQL. Declaring it makes the driver smoke-prove
+    every round that a RECURRENT train/sample lifecycle (the
+    reference's TimeGAN/PAR sequence-model seam,
+    `paqarin/adapters/ydata_adapter.py:291-322`,
+    `sdv_adapter.py:94-119`) actually executes in this environment."""
+    from paqarin_spark.generators import GRUNetGenerator
+
+    configure_for_determinism(spark)
+    ev = _events(spark, sf_dir)
+    gen = GRUNetGenerator(_events_gen_params(), hidden=12, epochs=120).fit(ev)
+    out = gen.generate(30)
+    gen.unpersist()
+    return out.select(
+        "sequence_id", F.posexplode("sequence").alias("step", "_obs")
+    ).select(
+        "sequence_id", "step", F.round(F.col("_obs.value"), 6).alias("value")
+    ).orderBy("sequence_id", "step")
+
+
 def em25_nn_descent_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN-graph construction via NN-descent (Dong et al., WWW 2011;
     operators/similarity.py nn_descent) plus its recall@k audit vs the
@@ -13093,6 +13126,7 @@ EM25_SQL = _em25_sql(14, 3)
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-7 additions (never driver-verified) come first ---
+    "gen10_grunet_sample": gen10_grunet_sample,
     "em25_nn_descent_recall": em25_nn_descent_recall,
     "tx46_bpe_train": tx46_bpe_train,
     "tx45_naive_bayes_lang": tx45_naive_bayes_lang,
@@ -13138,7 +13172,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ev10_acf_fidelity": ev10_acf_fidelity,
     "em19_mmr_rerank": em19_mmr_rerank,
     "q87_important_parts": q87_important_parts,
-    "q88_part_supplier_counts": q88_part_supplier_counts,
     "q86_incremental_view_merge": q86_incremental_view_merge,
     "q85_trade_reach": q85_trade_reach,
     "tx40_minhash_error": tx40_minhash_error,
@@ -13156,11 +13189,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # oracle upgrades (ev1's first value oracle, ev5 post-window,
     # em2 sign-plane switch, gen4/ev2 full value replays). ---
     # ------------- driver 50-entry window ends HERE (position 50) -------------
-    # em17_ivfpq_recall/tx39_semdedup_keep/em20_ivf_ingest
-    # (r5/r6-green) displaced for round-7 tx45/tx46/em25.
+    # em17_ivfpq_recall/tx39_semdedup_keep/em20_ivf_ingest/
+    # q88_part_supplier_counts (r5/r6-green) displaced for round-7
+    # tx45/tx46/em25/gen10.
     "em17_ivfpq_recall": em17_ivfpq_recall,
     "tx39_semdedup_keep": tx39_semdedup_keep,
     "em20_ivf_ingest": em20_ivf_ingest,
+    "q88_part_supplier_counts": q88_part_supplier_counts,
     # q81_triangle_brands (r5-green) displaced for round-6 gen9.
     "q81_triangle_brands": q81_triangle_brands,
     # q82_cohort_retention/em16_pq_adc_recall (r5-green) displaced for round-6 q102/ev16.
