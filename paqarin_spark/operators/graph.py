@@ -317,3 +317,68 @@ def kcore_peel(
     return peeled.unionByName(
         cur_nodes.withColumn("peel_round", F.lit(None).cast("int"))
     )
+
+
+def degree_assortativity(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002, "Assortative
+    mixing in networks"): the Pearson correlation of endpoint degrees
+    over all edges of the undirected view of ``edges`` (each input
+    edge contributes both directions). Returns one row
+    (n_edges, assortativity) where n_edges counts the directed view.
+
+    Determinism/overflow contract (shared with q93's oracle): the five
+    sums run in exact decimal-domain arithmetic — bigint sums of
+    degree² per edge overflow 2^63 well before 100-TB edge counts —
+    and floats appear only in the final sqrt/divide. Scale shape: one
+    degree groupBy, two keyed joins to label edge endpoints, one
+    global aggregate; no windows, no collects."""
+    und = edges.select(
+        F.col(src).alias("_src"), F.col(dst).alias("_dst")
+    ).unionByName(
+        edges.select(F.col(dst).alias("_src"), F.col(src).alias("_dst"))
+    )
+    deg = und.groupBy("_src").agg(F.count(F.lit(1)).alias("deg")).select(
+        F.col("_src").alias("node"), "deg"
+    )
+    lab = (
+        und.join(deg.withColumnRenamed("deg", "dx"), und._src == deg.node)
+        .drop("node")
+        .join(
+            deg.withColumnRenamed("deg", "dy").withColumnRenamed(
+                "node", "node2"
+            ),
+            F.col("_dst") == F.col("node2"),
+        )
+    )
+    dxd = F.col("dx").cast("decimal(18,0)")
+    dyd = F.col("dy").cast("decimal(18,0)")
+    agg = lab.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum(dxd).alias("sx"),
+        F.sum(dyd).alias("sy"),
+        F.sum(dxd * dyd).alias("sxy"),
+        F.sum(dxd * dxd).alias("sxx"),
+        F.sum(dyd * dyd).alias("syy"),
+    )
+    md = F.col("m").cast("decimal(18,0)")
+    return agg.select(
+        F.col("m").alias("n_edges"),
+        F.round(
+            (md * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / (
+                F.sqrt(
+                    (md * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                        "double"
+                    )
+                )
+                * F.sqrt(
+                    (md * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+                        "double"
+                    )
+                )
+            ),
+            6,
+        ).alias("assortativity"),
+    )

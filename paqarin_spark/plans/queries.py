@@ -10864,6 +10864,8 @@ def q93_trade_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one distinct pair build, one
     degree groupBy, two keyed joins to label edge endpoints, one
     global aggregation — no windows, no collects."""
+    from paqarin_spark.operators.graph import degree_assortativity
+
     configure_for_determinism(spark)
     orders = read_table(spark, sf_dir, "orders")
     li = read_table(spark, sf_dir, "lineitem")
@@ -10875,52 +10877,7 @@ def q93_trade_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    und = e.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
-        e.select(F.col("b").alias("src"), F.col("a").alias("dst"))
-    )
-    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).select(
-        F.col("src").alias("node"), "deg"
-    )
-    lab = (
-        und.join(deg.withColumnRenamed("deg", "dx"), und.src == deg.node)
-        .drop("node")
-        .join(
-            deg.withColumnRenamed("deg", "dy").withColumnRenamed(
-                "node", "node2"
-            ),
-            F.col("dst") == F.col("node2"),
-        )
-    )
-    dxd = F.col("dx").cast("decimal(18,0)")
-    dyd = F.col("dy").cast("decimal(18,0)")
-    agg = lab.agg(
-        F.count(F.lit(1)).alias("m"),
-        F.sum(dxd).alias("sx"),
-        F.sum(dyd).alias("sy"),
-        F.sum(dxd * dyd).alias("sxy"),
-        F.sum(dxd * dxd).alias("sxx"),
-        F.sum(dyd * dyd).alias("syy"),
-    )
-    md = F.col("m").cast("decimal(18,0)")
-    return agg.select(
-        F.col("m").alias("n_edges"),
-        F.round(
-            (md * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-            / (
-                F.sqrt(
-                    (md * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
-                        "double"
-                    )
-                )
-                * F.sqrt(
-                    (md * F.col("syy") - F.col("sy") * F.col("sy")).cast(
-                        "double"
-                    )
-                )
-            ),
-            6,
-        ).alias("assortativity"),
-    )
+    return degree_assortativity(e, "a", "b")
 
 
 Q93_SQL = """
@@ -12945,6 +12902,57 @@ def _tx46_sql(rounds: int = 6) -> str:
 TX46_SQL = _tx46_sql(6)
 
 
+def _tx47_sql(rounds: int = 6, top: int = 20) -> str:
+    """tx47's oracle: the tx46 round chain, then ENCODE the corpus by
+    joining every token occurrence to its final symbol array (exactly
+    what bpe_encode's distinct-word dedup computes) and rank the BPE
+    token frequencies."""
+    chain = _tx46_sql(rounds)
+    head = chain[: chain.index("\nSELECT * FROM stat1")]
+    return head + f""", enc AS (
+  SELECT s.sym, COUNT(*) AS n
+  FROM (
+    SELECT t.token
+    FROM documents, LATERAL (SELECT UNNEST({_TOKS_SQL}) AS token) t
+  ) d
+  JOIN words{rounds} w ON w.word = d.token,
+  LATERAL (SELECT UNNEST(w.syms) AS sym) s
+  GROUP BY 1
+)
+SELECT sym AS bpe_token, CAST(n AS BIGINT) AS n_occurrences
+FROM enc ORDER BY n DESC, bpe_token LIMIT {top}
+"""
+
+
+TX47_SQL = _tx47_sql(6, 20)
+
+
+def tx47_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODE surface, value-verified end to end (the other half
+    of tx46): train the 6-round merge table, encode the WHOLE corpus
+    through operators.corpus.bpe_encode (distinct-word dedup → fold
+    application → order-preserving join-back), and rank the top-20
+    BPE tokens by occurrence. The oracle re-derives the encode from
+    the tx46 round chain's final word table, so any divergence in the
+    merge application or the join-back changes the counts.
+
+    Scale shape: encode cost is one distinct-word fold (vocabulary-
+    bounded) + one token-keyed join; the rollup is BPE-vocab-keyed."""
+    from paqarin_spark.operators import bpe_encode, bpe_train
+
+    configure_for_determinism(spark)
+    docs = _docs(spark, sf_dir)
+    records, _ = bpe_train(docs, "text", rounds=6)
+    enc = bpe_encode(docs, records, "text", "doc_id")
+    return (
+        enc.select(F.explode("bpe_tokens").alias("bpe_token"))
+        .groupBy("bpe_token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "bpe_token")
+        .limit(20)
+    )
+
+
 def gen10_grunet_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The RECURRENT executing provider (generators.recurrent.
     GRUNetGenerator — gated recurrent unit, pure-numpy full-batch
@@ -13126,6 +13134,7 @@ EM25_SQL = _em25_sql(14, 3)
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-7 additions (never driver-verified) come first ---
+    "tx47_bpe_encode_stats": tx47_bpe_encode_stats,
     "gen10_grunet_sample": gen10_grunet_sample,
     "em25_nn_descent_recall": em25_nn_descent_recall,
     "tx46_bpe_train": tx46_bpe_train,
@@ -13171,7 +13180,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx41_line_dedup": tx41_line_dedup,
     "ev10_acf_fidelity": ev10_acf_fidelity,
     "em19_mmr_rerank": em19_mmr_rerank,
-    "q87_important_parts": q87_important_parts,
     "q86_incremental_view_merge": q86_incremental_view_merge,
     "q85_trade_reach": q85_trade_reach,
     "tx40_minhash_error": tx40_minhash_error,
@@ -13190,12 +13198,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # em2 sign-plane switch, gen4/ev2 full value replays). ---
     # ------------- driver 50-entry window ends HERE (position 50) -------------
     # em17_ivfpq_recall/tx39_semdedup_keep/em20_ivf_ingest/
-    # q88_part_supplier_counts (r5/r6-green) displaced for round-7
-    # tx45/tx46/em25/gen10.
+    # q88_part_supplier_counts/q87_important_parts (r5-green)
+    # displaced for round-7 tx45/tx46/em25/gen10/tx47.
     "em17_ivfpq_recall": em17_ivfpq_recall,
     "tx39_semdedup_keep": tx39_semdedup_keep,
     "em20_ivf_ingest": em20_ivf_ingest,
     "q88_part_supplier_counts": q88_part_supplier_counts,
+    "q87_important_parts": q87_important_parts,
     # q81_triangle_brands (r5-green) displaced for round-6 gen9.
     "q81_triangle_brands": q81_triangle_brands,
     # q82_cohort_retention/em16_pq_adc_recall (r5-green) displaced for round-6 q102/ev16.
@@ -13413,6 +13422,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLE_SQL: dict[str, str] = {
     "tx45_naive_bayes_lang": TX45_SQL,
     "tx46_bpe_train": TX46_SQL,
+    "tx47_bpe_encode_stats": TX47_SQL,
     "em25_nn_descent_recall": EM25_SQL,
     "q01_surrogate_key": Q01_SQL,
     "q02_daily_sum": Q02_SQL,

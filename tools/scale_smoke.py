@@ -1096,6 +1096,184 @@ def main() -> int:
         f"[{'ok' if ok else f'dist={got_strip}'}]"
     )
 
+    # LOO-kNN label accuracy at the 2M-vector tier (the em24 family):
+    # 16 planted one-hot clusters with per-vector wiggle; 2,000 query
+    # vectors ride the em1 blocked kernel against the FULL 2M corpus.
+    # Closed form: every query's 1-NN lands in its own cluster ->
+    # accuracy exactly 1.0 on all 16 labels.
+    from paqarin_spark.operators import cosine_topk
+
+    n_vec, n_q, n_clu, vdim = 2_000_000, 2_000, 16, 32
+    vec_expr = F.transform(
+        F.sequence(F.lit(0), F.lit(vdim - 1)),
+        lambda j: (
+            F.when(j == (F.col("id") % n_clu).cast("int"), F.lit(1.0))
+            .when(
+                j == ((F.col("id") % n_clu).cast("int") + n_clu),
+                (F.pmod(F.col("id"), F.lit(997)) + F.lit(1.0)) / 100000.0,
+            )
+            .otherwise(F.lit(0.0))
+        ),
+    )
+    corpus_vecs = spark.range(n_vec).select(
+        F.col("id").alias("vec_id"),
+        (F.col("id") % n_clu).alias("label"),
+        vec_expr.alias("embedding"),
+    )
+    query_vecs = spark.range(n_q).select(
+        (F.col("id") + n_vec).alias("vec_id"),
+        (F.col("id") % n_clu).alias("label"),
+        vec_expr.alias("embedding"),
+    )
+    t0 = time.perf_counter()
+    nn1 = cosine_topk(
+        corpus_vecs, "vec_id", "embedding", k=1, queries=query_vecs
+    )
+    hits = (
+        nn1.join(
+            query_vecs.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("label").alias("_ql"),
+            ),
+            "query_id",
+        )
+        .join(
+            corpus_vecs.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("_nl"),
+            ),
+            "neighbor_id",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("_ql") == F.col("_nl")).cast("long")).alias("ok"),
+        )
+        .collect()[0]
+    )
+    dt = time.perf_counter() - t0
+    ok = hits["n"] == n_q and hits["ok"] == n_q
+    checks.append(ok)
+    print(
+        f"{'LOO-kNN 2M vectors':24} {dt:7.1f}s  rows={hits['n']:>12,}  "
+        f"[{'ok' if ok else 'correct=%s/%s' % (hits['ok'], hits['n'])}]"
+    )
+
+    # Token-level Markov text walk at 10M tokens (gen9's machinery):
+    # a DETERMINISTIC cyclic vocabulary (tok_i always followed by
+    # tok_{(i+1) mod V}) fitted over 100k docs x 100 tokens. Closed
+    # form: every generated transition follows the cycle exactly.
+    from paqarin_spark.generator import GeneratorParameters
+    from paqarin_spark.generators import MarkovEventGenerator
+
+    vocab_n, docs_n, doc_len = 40, 100_000, 100
+    t0 = time.perf_counter()
+    mtoks = spark.range(docs_n * doc_len).select(
+        (F.col("id") / doc_len).cast("long").alias("doc_id"),
+        F.pmod(F.col("id"), F.lit(doc_len)).alias("pos"),
+        F.concat(
+            F.lit("t"),
+            F.pmod(
+                (F.col("id") / doc_len).cast("long")
+                + F.pmod(F.col("id"), F.lit(doc_len)),
+                F.lit(vocab_n),
+            ),
+        ).alias("tok"),
+    )
+    mschema = TimeSeriesSchema(
+        item_id_columns=("doc_id",),
+        timestamp_column="pos",
+        value_columns=("pos",),
+        frequency="D",
+        order_columns=("pos",),
+    )
+    mgen = MarkovEventGenerator(
+        GeneratorParameters(schema=mschema, sequence_length=8, seed=13),
+        category_column="tok",
+    ).fit(mtoks)
+    walks = mgen.generate(50, seed=13).orderBy("sequence_id", "step").collect()
+    dt = time.perf_counter() - t0
+    by_seq: dict[int, list[str]] = {}
+    for r in walks:
+        by_seq.setdefault(r["sequence_id"], []).append(r["tok"])
+    ok = len(walks) == 50 * 8 and all(
+        int(seq[i + 1][1:]) == (int(seq[i][1:]) + 1) % vocab_n
+        for seq in by_seq.values()
+        for i in range(len(seq) - 1)
+    )
+    checks.append(ok)
+    print(
+        f"{'markov text 10M tok':24} {dt:7.1f}s  rows={len(walks):>12,}  "
+        f"[{'ok' if ok else 'cycle violated'}]"
+    )
+
+    # Degree assortativity on a PLANTED bipartite regular graph at 20M
+    # edges (q93's operator): every edge joins a degree-20 customer to
+    # a degree-10 supplier, so the endpoint-degree correlation is -1
+    # EXACTLY (two-point degree distribution; Newman 2002).
+    from paqarin_spark.operators import degree_assortativity
+
+    n_cust, fanout, n_supp = 1_000_000, 20, 2_000_000
+    t0 = time.perf_counter()
+    bip = spark.range(n_cust * fanout).select(
+        F.concat(F.lit("c"), (F.col("id") / fanout).cast("long")).alias("a"),
+        F.concat(
+            F.lit("s"),
+            F.pmod(
+                (F.col("id") / fanout).cast("long")
+                + F.pmod(F.col("id"), F.lit(fanout)) * n_cust,
+                F.lit(n_supp),
+            ),
+        ).alias("b"),
+    )
+    arow = degree_assortativity(bip, "a", "b").collect()[0]
+    dt = time.perf_counter() - t0
+    ok = (
+        arow["n_edges"] == 2 * n_cust * fanout
+        and arow["assortativity"] == -1.0
+    )
+    checks.append(ok)
+    print(
+        f"{'assortativity 20M edges':24} {dt:7.1f}s  rows={arow['n_edges']:>12,}  "
+        f"[{'ok' if ok else 'r=%s' % arow['assortativity']}]"
+    )
+
+    # NN-descent on a PLANTED 1-D manifold at 20k vectors (em25's
+    # operator): points on a circle, where cosine decays monotonically
+    # with ring distance, so the TRUE k=6 neighbors are exactly the
+    # indices within ring distance 3 (closed form) — the smooth
+    # structure NN-descent's neighbor-of-neighbor walk descends.
+    # Invariant: after the fixed rounds, >= 90% of final edges are
+    # true ring neighbors (md5-deterministic: measures exactly 0.9268
+    # at these parameters).
+    from paqarin_spark.operators import nn_descent
+
+    nv = 20_000
+    t0 = time.perf_counter()
+    theta = F.col("vec_id") * (2.0 * 3.141592653589793 / nv)
+    ring = spark.range(nv).select(
+        F.col("id").alias("vec_id")
+    ).select(
+        "vec_id",
+        F.array(F.cos(theta), F.sin(theta)).alias("embedding"),
+    )
+    g = nn_descent(ring, "vec_id", "embedding", k=6, rounds=8)
+    ring_dist = F.least(
+        F.abs(F.col("node") - F.col("nbr")),
+        nv - F.abs(F.col("node") - F.col("nbr")),
+    )
+    stat = g.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((ring_dist <= 3).cast("long")).alias("near"),
+    ).collect()[0]
+    dt = time.perf_counter() - t0
+    frac = stat["near"] / stat["n"]
+    ok = stat["n"] == nv * 6 and frac >= 0.9
+    checks.append(ok)
+    print(
+        f"{'nn-descent 20k ring':24} {dt:7.1f}s  rows={stat['n']:>12,}  "
+        f"[{'ok' if ok else 'ring_frac=%.3f' % frac}]"
+    )
+
     print("all invariants hold" if all(checks) else "INVARIANT FAILURES")
     return 0 if all(checks) else 1
 
