@@ -209,15 +209,24 @@ def init_gru_params(d_in: int, hidden: int, d_out: int, seed: int) -> dict:
 
 
 def gru_step(params: dict, x_t: np.ndarray, h: np.ndarray):
-    """One GRU step: returns (y_t, h_new) for a batch of states."""
+    """One GRU step: returns (y_t, h_new) for a batch of states.
+
+    The input projection is computed ONCE over all three gate blocks;
+    only the gate halves take the plain recurrent term, while the
+    candidate's recurrent term uses the RESET-gated state (a column
+    slice of a product equals the product with the sliced matrix, so
+    this is bit-identical to the naive form, one matmul cheaper)."""
     hdim = params["wh"].shape[0]
-    a = x_t @ params["wx"] + h @ params["wh"] + params["b"]
-    z = _sigmoid(a[:, :hdim])
-    r = _sigmoid(a[:, hdim : 2 * hdim])
-    # candidate uses the RESET-gated state: recompute its recurrent
-    # term with r*h in place of h
+    xw = x_t @ params["wx"]
+    a_zr = (
+        xw[:, : 2 * hdim]
+        + h @ params["wh"][:, : 2 * hdim]
+        + params["b"][: 2 * hdim]
+    )
+    z = _sigmoid(a_zr[:, :hdim])
+    r = _sigmoid(a_zr[:, hdim:])
     a_c = (
-        x_t @ params["wx"][:, 2 * hdim :]
+        xw[:, 2 * hdim :]
         + (r * h) @ params["wh"][:, 2 * hdim :]
         + params["b"][2 * hdim :]
     )
@@ -260,11 +269,16 @@ def train_gru(
         preds = np.empty_like(y)
         for s in range(steps):
             x_t = x[:, s, :]
-            a = x_t @ params["wx"] + h @ params["wh"] + params["b"]
-            z = _sigmoid(a[:, :hdim])
-            r = _sigmoid(a[:, hdim : 2 * hdim])
+            xw = x_t @ params["wx"]
+            a_zr = (
+                xw[:, : 2 * hdim]
+                + h @ params["wh"][:, : 2 * hdim]
+                + params["b"][: 2 * hdim]
+            )
+            z = _sigmoid(a_zr[:, :hdim])
+            r = _sigmoid(a_zr[:, hdim:])
             a_c = (
-                x_t @ params["wx"][:, 2 * hdim :]
+                xw[:, 2 * hdim :]
                 + (r * h) @ params["wh"][:, 2 * hdim :]
                 + params["b"][2 * hdim :]
             )

@@ -56,14 +56,43 @@ class NaiveBayesModel:
     ``class_stats``: (label, n_docs, n_tokens) — one row per class.
     ``totals``: single row (n_total_docs, vocab_size).
 
-    All three are plain DataFrames: persist them with any sink
-    (sources.write_parquet) and rebuild the model from the files —
-    the model IS its sufficient statistics.
+    All three are plain DataFrames: the model IS its sufficient
+    statistics — :meth:`save`/:meth:`load` persist them as parquet
+    (the op-A4 model-persistence contract, like the scaler/neural
+    states), and any newer corpus's counts can be unioned in and
+    re-aggregated to update the model incrementally.
     """
 
     token_counts: DataFrame
     class_stats: DataFrame
     totals: DataFrame
+
+    def save(self, path: str) -> None:
+        import os
+
+        self.token_counts.write.mode("overwrite").parquet(
+            os.path.join(path, "token_counts.parquet")
+        )
+        self.class_stats.write.mode("overwrite").parquet(
+            os.path.join(path, "class_stats.parquet")
+        )
+        self.totals.write.mode("overwrite").parquet(
+            os.path.join(path, "totals.parquet")
+        )
+
+    @classmethod
+    def load(cls, spark, path: str) -> "NaiveBayesModel":
+        import os
+
+        return cls(
+            token_counts=spark.read.parquet(
+                os.path.join(path, "token_counts.parquet")
+            ),
+            class_stats=spark.read.parquet(
+                os.path.join(path, "class_stats.parquet")
+            ),
+            totals=spark.read.parquet(os.path.join(path, "totals.parquet")),
+        )
 
 
 def naive_bayes_fit(

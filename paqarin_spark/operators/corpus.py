@@ -510,7 +510,10 @@ def bpe_encode(
     every fast encoder uses), apply the merges in training order, and
     join the sub-word sequences back to the token stream. Returns
     (id_column, bpe_tokens array<string>) with sub-words in document
-    order; concatenating them restores the tokenized text exactly."""
+    order — ONE row per input document (a document with no
+    alphanumeric tokens encodes to an empty array, never a dropped
+    row); concatenating the sub-words restores the tokenized text
+    exactly."""
     pairs = [
         (m[1], m[2]) if len(m) >= 4 else (m[0], m[1]) for m in merges
     ]
@@ -523,7 +526,7 @@ def bpe_encode(
     for left, right in pairs:
         syms = _apply_merge(syms, left, right)
     vocab = vocab.select("word", syms.alias("_syms"))
-    return (
+    encoded = (
         toks.join(vocab, "word")
         .groupBy("_id")
         .agg(
@@ -534,7 +537,16 @@ def bpe_encode(
                     ),
                     lambda s: s["_syms"],
                 )
-            ).alias("bpe_tokens")
+            ).alias("_enc")
         )
-        .select(F.col("_id").alias(id_column), "bpe_tokens")
+    )
+    return (
+        df.select(F.col(id_column).alias("_id"))
+        .join(encoded, "_id", "left")
+        .select(
+            F.col("_id").alias(id_column),
+            F.coalesce(
+                "_enc", F.expr("CAST(array() AS array<string>)")
+            ).alias("bpe_tokens"),
+        )
     )

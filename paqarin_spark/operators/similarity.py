@@ -2001,12 +2001,14 @@ def nn_descent(
     """
     if k < 1 or rounds < 0:
         raise ValueError("k must be >= 1 and rounds >= 0")
-    n = df.count()
+    bounds = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(id_column).alias("mn"),
+        F.max(id_column).alias("mx"),
+    ).collect()[0]
+    n = bounds["n"]
     if n < 3:
         raise ValueError("nn_descent needs at least 3 vectors")
-    bounds = df.agg(
-        F.min(id_column).alias("mn"), F.max(id_column).alias("mx")
-    ).collect()[0]
     if bounds["mn"] != 0 or bounds["mx"] != n - 1:
         raise ValueError(
             "nn_descent requires contiguous integer ids in [0, n); got "

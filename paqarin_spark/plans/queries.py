@@ -11604,6 +11604,9 @@ FROM (
          ROW_NUMBER() OVER (PARTITION BY user_id
                             ORDER BY ts DESC, event_id DESC) AS rk
   FROM events
+  -- symmetry with the streaming fold: rows with NULL ts/id have no
+  -- place in the (ts, id) total order and are ignored there too
+  WHERE ts IS NOT NULL AND event_id IS NOT NULL
 ) WHERE rk = 1
 ORDER BY user_id
 """

@@ -843,9 +843,10 @@ def stream_latest_per_key(
     correction (the st12/st14 emission contract). A reader taking
     max-version rows holds exactly the batch "latest row per key"
     query's answer, independent of micro-batch boundaries. A NaN value
-    on the winning row is canonicalized to NULL (rows with NULL ts/id
-    are ignored entirely — they have no place in the total order); the
-    ST15 oracle applies the same CASE-NULL canonicalization.
+    on the winning row is canonicalized to NULL, and rows with NULL
+    ts/id are ignored entirely (they have no place in the total
+    order); the ST15 oracle mirrors BOTH — a CASE-NULL on the value
+    and a NULL ts/id filter before its ranking.
 
     State bound: ONE row per key, forever."""
     import pandas as pd

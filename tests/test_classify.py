@@ -147,3 +147,25 @@ def test_never_broadcasts_token_counts(spark, planted):
 
     hints = re.findall(r"ResolvedHint.*", plan)
     assert all("cnt" not in h for h in hints)
+
+
+def test_model_save_load_roundtrip(spark, planted, tmp_path):
+    """Op A4 for the classifier: the persisted sufficient statistics
+    reload into a model that predicts identically."""
+    from paqarin_spark.operators.classify import NaiveBayesModel
+
+    model = naive_bayes_fit(planted, "text", "label")
+    path = str(tmp_path / "nb_model")
+    model.save(path)
+    loaded = NaiveBayesModel.load(spark, path)
+    hold = spark.createDataFrame(
+        [(50, "stream state"), (51, "codegen partition")],
+        "doc_id long, text string",
+    )
+    a = sorted(
+        map(tuple, naive_bayes_predict(model, hold, "text", "doc_id").collect())
+    )
+    b = sorted(
+        map(tuple, naive_bayes_predict(loaded, hold, "text", "doc_id").collect())
+    )
+    assert a == b and [r[1] for r in a] == ["sv", "bt"]

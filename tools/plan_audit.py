@@ -115,6 +115,9 @@ def audit_streaming(spark, sf_dir: str, only: set[str]) -> list[str]:
             time.sleep(0.5)
         except Exception as exc:  # noqa: BLE001
             failures.append(f"{name}: streaming run failed: {exc}")
+            # same drain-before-unregister as the success path — the
+            # failed query's terminated events may still be in flight
+            time.sleep(0.5)
             spark.streams.removeListener(collector)
             continue
         spark.streams.removeListener(collector)

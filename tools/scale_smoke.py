@@ -1214,16 +1214,13 @@ def main() -> int:
 
     n_cust, fanout, n_supp = 1_000_000, 20, 2_000_000
     t0 = time.perf_counter()
+    # edge i: customer i//20 -> supplier (i mod 20M) mod 2M; for each
+    # customer the 20 suppliers are consecutive residues (all
+    # distinct), and each supplier receives exactly the 10 preimages
+    # {s, s+2M, ..., s+18M} — a SIMPLE 20/10-biregular bipartite graph
     bip = spark.range(n_cust * fanout).select(
         F.concat(F.lit("c"), (F.col("id") / fanout).cast("long")).alias("a"),
-        F.concat(
-            F.lit("s"),
-            F.pmod(
-                (F.col("id") / fanout).cast("long")
-                + F.pmod(F.col("id"), F.lit(fanout)) * n_cust,
-                F.lit(n_supp),
-            ),
-        ).alias("b"),
+        F.concat(F.lit("s"), F.pmod(F.col("id"), F.lit(n_supp))).alias("b"),
     )
     arow = degree_assortativity(bip, "a", "b").collect()[0]
     dt = time.perf_counter() - t0
