@@ -272,3 +272,68 @@ def classification_report(
             F.round(F.col("n_correct") / F.col("n_true"), 6),
         ).alias("recall"),
     ).orderBy("label")
+
+
+def compile_scoring_table(
+    model: NaiveBayesModel, n_features: int
+) -> dict:
+    """Compile a fitted model into a BOUNDED python scoring table for
+    stream-side classification (streaming.stream_classify_counts):
+    keep only the top-``n_features`` tokens by total training count
+    (ties broken token-ascending), densify their per-class
+    12dp-stabilized log terms, and attach the class priors.
+
+    The feature selection IS the scale contract: the full-vocabulary
+    scoring path is the batch join (naive_bayes_predict, vocabulary
+    never leaves the cluster); a streaming classifier instead ships a
+    model whose size is bounded BY CONSTRUCTION (n_features × classes)
+    so it can ride inside the worker closure. Non-selected tokens
+    contribute nothing at scoring time (the standard
+    feature-selection semantics); unseen-in-class selected tokens
+    score with Laplace mass. Every term is round(ln(·), 12) — the
+    tx45 discipline, replayable in SQL."""
+    import math
+
+    if n_features < 1:
+        raise ValueError("n_features must be >= 1")
+    feats = [
+        r["token"]
+        for r in (
+            model.token_counts.groupBy("token")
+            .agg(F.sum("cnt").alias("_tot"))
+            .orderBy(F.col("_tot").desc(), "token")
+            .limit(n_features)
+            .collect()
+        )
+    ]
+    stats = {
+        r["label"]: (r["n_docs"], r["n_tokens"])
+        for r in model.class_stats.collect()
+    }
+    tot = model.totals.collect()[0]
+    n_total, v = tot["n_total_docs"], tot["vocab_size"]
+    counts = {
+        (r["token"], r["label"]): r["cnt"]
+        for r in model.token_counts.where(
+            F.col("token").isin(feats)
+        ).collect()
+    }
+    labels = sorted(stats)
+    return {
+        "labels": labels,
+        "prior": {
+            c: round(math.log(stats[c][0] / n_total), 12) for c in labels
+        },
+        "terms": {
+            t: {
+                c: round(
+                    math.log(
+                        (counts.get((t, c), 0) + 1) / (stats[c][1] + v)
+                    ),
+                    12,
+                )
+                for c in labels
+            }
+            for t in feats
+        },
+    }

@@ -12930,6 +12930,105 @@ FROM enc ORDER BY n DESC, bpe_token LIMIT {top}
 TX47_SQL = _tx47_sql(6, 20)
 
 
+def st17_stream_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING document classification — the DEPLOYED half of the
+    tx45 learned filter (streaming.stream_classify_counts): fit NB on
+    the batch corpus, compile the bounded top-32-feature scoring table
+    (feature selection is what makes the model worker-shippable), then
+    classify the documents STREAM and maintain one state row per class
+    with the running predicted-count, published as versioned
+    corrections. Max-version rows hash-match the batch
+    classify-everything GROUP BY oracle regardless of micro-batch
+    boundaries.
+
+    Determinism: scoring mirrors tx45 (12dp log terms, label-asc
+    ties) restricted to the selected features; the oracle replays fit,
+    selection (total count DESC, token ASC, LIMIT 32), scoring, and
+    arg-max in CTEs. State bound: one row per class, forever."""
+    from paqarin_spark.operators.classify import (
+        compile_scoring_table,
+        naive_bayes_fit,
+    )
+    from paqarin_spark.streaming import (
+        class_counts_from_emissions,
+        stream_classify_counts,
+    )
+
+    configure_for_determinism(spark)
+    docs = _docs(spark, sf_dir)
+    model = naive_bayes_fit(docs, "text", "lang")
+    scoring = compile_scoring_table(model, n_features=32)
+    raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = spark.readStream.schema(raw_schema).parquet(
+        f"{sf_dir}/documents*.parquet"
+    )
+    emi = stream_classify_counts(stream, scoring, "text")
+    name = "st17_stream_classify"
+    q = (
+        emi.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return class_counts_from_emissions(spark.table(name)).orderBy("label")
+
+
+ST17_SQL = f"""
+WITH ttoks AS (
+  SELECT lang, t.token
+  FROM documents, LATERAL (SELECT UNNEST({_TOKS_SQL}) AS token) t
+), counts AS (
+  SELECT lang, token, COUNT(*) AS cnt FROM ttoks GROUP BY 1, 2
+), cstats AS (
+  SELECT d.lang, d.n_docs, COALESCE(k.n_tokens, 0) AS n_tokens
+  FROM (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1) d
+  LEFT JOIN (SELECT lang, CAST(SUM(cnt) AS BIGINT) AS n_tokens
+             FROM counts GROUP BY 1) k USING (lang)
+), vocab AS (
+  SELECT COUNT(DISTINCT token) AS v FROM counts
+), total AS (
+  SELECT CAST(SUM(n_docs) AS BIGINT) AS n FROM cstats
+), feats AS (
+  SELECT token FROM (
+    SELECT token, SUM(cnt) AS tot FROM counts GROUP BY 1
+    ORDER BY tot DESC, token LIMIT 32
+  )
+), occ AS (
+  SELECT doc_id, t.token
+  FROM documents, LATERAL (SELECT UNNEST({_TOKS_SQL}) AS token) t
+), term_rows AS (
+  SELECT o.doc_id, c.lang,
+         CAST(ROUND(ln((COALESCE(k.cnt, 0) + 1)
+                       / (c.n_tokens + vocab.v)), 12)
+              AS DECIMAL(25,12)) AS term
+  FROM occ o
+  JOIN feats f USING (token)
+  CROSS JOIN cstats c CROSS JOIN vocab
+  LEFT JOIN counts k ON k.token = o.token AND k.lang = c.lang
+), prior_rows AS (
+  SELECT d.doc_id, c.lang,
+         CAST(ROUND(ln(c.n_docs / total.n), 12)
+              AS DECIMAL(25,12)) AS term
+  FROM documents d CROSS JOIN cstats c CROSS JOIN total
+), scores AS (
+  SELECT doc_id, lang, SUM(term) AS s
+  FROM (SELECT * FROM term_rows UNION ALL SELECT * FROM prior_rows)
+  GROUP BY 1, 2
+), pred AS (
+  SELECT doc_id, lang AS predicted FROM (
+    SELECT doc_id, lang,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY s DESC, lang) AS rk
+    FROM scores
+  ) WHERE rk = 1
+)
+SELECT predicted AS label, COUNT(*) AS n_docs
+FROM pred GROUP BY 1 ORDER BY 1
+"""
+
+
 def tx47_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE ENCODE surface, value-verified end to end (the other half
     of tx46): train the 6-round merge table, encode the WHOLE corpus
@@ -13137,6 +13236,7 @@ EM25_SQL = _em25_sql(14, 3)
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-7 additions (never driver-verified) come first ---
+    "st17_stream_classify": st17_stream_classify,
     "tx47_bpe_encode_stats": tx47_bpe_encode_stats,
     "gen10_grunet_sample": gen10_grunet_sample,
     "em25_nn_descent_recall": em25_nn_descent_recall,
@@ -13183,7 +13283,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx41_line_dedup": tx41_line_dedup,
     "ev10_acf_fidelity": ev10_acf_fidelity,
     "em19_mmr_rerank": em19_mmr_rerank,
-    "q86_incremental_view_merge": q86_incremental_view_merge,
     "q85_trade_reach": q85_trade_reach,
     "tx40_minhash_error": tx40_minhash_error,
     "q84_min_cost_supplier": q84_min_cost_supplier,
@@ -13208,6 +13307,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "em20_ivf_ingest": em20_ivf_ingest,
     "q88_part_supplier_counts": q88_part_supplier_counts,
     "q87_important_parts": q87_important_parts,
+    # q86_incremental_view_merge (r5-green; st14 is its streaming dual
+    # and stays in the window) displaced for round-7 st17.
+    "q86_incremental_view_merge": q86_incremental_view_merge,
     # q81_triangle_brands (r5-green) displaced for round-6 gen9.
     "q81_triangle_brands": q81_triangle_brands,
     # q82_cohort_retention/em16_pq_adc_recall (r5-green) displaced for round-6 q102/ev16.
@@ -13426,6 +13528,7 @@ ORACLE_SQL: dict[str, str] = {
     "tx45_naive_bayes_lang": TX45_SQL,
     "tx46_bpe_train": TX46_SQL,
     "tx47_bpe_encode_stats": TX47_SQL,
+    "st17_stream_classify": ST17_SQL,
     "em25_nn_descent_recall": EM25_SQL,
     "q01_surrogate_key": Q01_SQL,
     "q02_daily_sum": Q02_SQL,

@@ -1042,3 +1042,105 @@ def leaderboard_from_emissions(emissions: DataFrame) -> DataFrame:
         .where(F.col("version") == F.col("_mx"))
         .select("g", "rank", "id", "value")
     )
+
+
+def stream_classify_counts(
+    stream: DataFrame,
+    scoring: dict,
+    text_column: str = "text",
+) -> DataFrame:
+    """Streaming DOCUMENT CLASSIFICATION — the deployed half of the
+    tx45 learned filter: score each arriving document against a
+    COMPILED bounded model (operators.classify.compile_scoring_table —
+    top-N feature selection is what makes the model small enough to
+    ride in the worker closure) and maintain one state row per class
+    holding the running count of documents predicted into it,
+    published as versioned corrections (the st12/st14 emission
+    contract). A reader taking max-version rows holds exactly the
+    batch "classify everything and GROUP BY predicted" answer.
+
+    Scoring semantics (mirrored by the st17 oracle): selected tokens
+    contribute their 12dp-stabilized log terms per occurrence,
+    non-selected tokens contribute nothing, the prior always
+    contributes, arg-max ties break label-ascending. Tokenization is
+    the shared [a-z0-9]+ lowercase contract.
+
+    State bound: ONE row per class (two scalars), forever."""
+    import re
+
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    labels = list(scoring["labels"])
+    prior = dict(scoring["prior"])
+    terms = {t: dict(cs) for t, cs in scoring["terms"].items()}
+
+    def classify(batches):
+        tok_re = re.compile(r"[a-z0-9]+")
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            preds = []
+            for text in pdf[text_column]:
+                scores = dict(prior)
+                for tok in tok_re.findall((text or "").lower()):
+                    ts = terms.get(tok)
+                    if ts is not None:
+                        for c in labels:
+                            scores[c] += ts[c]
+                # arg-max, ties label-ascending
+                top = max(scores.values())
+                preds.append(min(c for c in labels if scores[c] == top))
+            yield pd.DataFrame({"label": preds})
+
+    scored = stream.select(text_column).mapInPandas(
+        classify, schema="label string"
+    )
+
+    out_type = StructType(
+        [
+            StructField("label", StringType(), True),
+            StructField("version", LongType(), False),
+            StructField("n_docs", LongType(), False),
+        ]
+    )
+    state_type = StructType(
+        [
+            StructField("n", LongType(), True),
+            StructField("version", LongType(), True),
+        ]
+    )
+
+    def fold(key, pdf_iter, state: GroupState):
+        if state.exists:
+            n, version = state.get
+        else:
+            n, version = 0, 0
+        for pdf in pdf_iter:
+            n += len(pdf)
+        version += 1
+        state.update((n, version))
+        yield pd.DataFrame(
+            [(key[0], version, n)], columns=["label", "version", "n_docs"]
+        )
+
+    return scored.groupBy("label").applyInPandasWithState(
+        fold,
+        outputStructType=out_type,
+        stateStructType=state_type,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def class_counts_from_emissions(emissions: DataFrame) -> DataFrame:
+    """Finish :func:`stream_classify_counts` emissions: max-version
+    row per class is the current count table."""
+    w = Window.partitionBy("label")
+    return (
+        emissions.withColumn("_mx", F.max("version").over(w))
+        .where(F.col("version") == F.col("_mx"))
+        .select("label", "n_docs")
+    )

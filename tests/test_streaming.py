@@ -928,3 +928,63 @@ def test_stream_group_topk_row_semantics_and_id_guard(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="integral"):
         stream_group_topk(sstr, "g", "v", "i", k=3)
+
+
+def test_stream_classify_counts_restart_and_batch_parity(spark, tmp_path):
+    """Streaming NB classification: the bounded scoring table routes
+    planted-vocabulary docs correctly, per-class counts accumulate
+    across a checkpoint restart (state recovered, only new files
+    replayed), and the finished counts equal the batch
+    classify-and-group answer."""
+    from paqarin_spark.operators.classify import (
+        compile_scoring_table,
+        naive_bayes_fit,
+    )
+    from paqarin_spark.streaming import (
+        class_counts_from_emissions,
+        stream_classify_counts,
+    )
+
+    train = spark.createDataFrame(
+        [
+            (1, "sv", "stream watermark state stream"),
+            (2, "sv", "state stream watermark"),
+            (3, "bt", "shuffle partition codegen"),
+            (4, "bt", "codegen shuffle partition shuffle"),
+        ],
+        "doc_id long, label string, text string",
+    )
+    model = naive_bayes_fit(train, "text", "label")
+    scoring = compile_scoring_table(model, n_features=4)
+    # selection is REAL: only 4 of the 6 content tokens survive
+    assert len(scoring["terms"]) == 4
+
+    path = str(tmp_path / "docs")
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+    schema = "doc_id long, text string"
+    part1 = spark.createDataFrame(
+        [(10, "stream state"), (11, "shuffle codegen"), (12, "stream")],
+        schema,
+    )
+    part1.repartition(2).write.mode("append").parquet(path)
+    stream = spark.readStream.schema(schema).parquet(path)
+    _run_checkpointed_append(
+        spark, stream_classify_counts(stream, scoring), out_dir, ckpt
+    )
+    part2 = spark.createDataFrame(
+        [(13, "partition partition"), (14, "watermark stream"),
+         (15, "???")],  # zero tokens -> prior argmax (tie -> 'bt')
+        schema,
+    )
+    part2.repartition(2).write.mode("append").parquet(path)
+    stream2 = spark.readStream.schema(schema).parquet(path)
+    emi = _run_checkpointed_append(
+        spark, stream_classify_counts(stream2, scoring), out_dir, ckpt
+    )
+    got = {
+        r["label"]: r["n_docs"]
+        for r in class_counts_from_emissions(emi).collect()
+    }
+    # sv: 10, 12, 14; bt: 11, 13, and 15 (prior tie, label asc)
+    assert got == {"sv": 3, "bt": 3}
