@@ -139,21 +139,16 @@ def naive_bayes_fit(
     )
 
 
-def naive_bayes_predict(
+def _score_frame(
     model: NaiveBayesModel,
     df: DataFrame,
     text_column: str = "text",
     id_column: str = "doc_id",
 ) -> DataFrame:
-    """Score documents against a fitted model; returns one row per
-    input document: (id_column, predicted label, score).
-
-    score(d, c) = ln P(c) + Σ_occurrences ln((cnt(t,c)+1)/(N_c+V)),
-    every term 12dp-stabilized and summed in exact decimal; arg-max
-    ties break on the label, so the prediction is deterministic and
-    replayable. Documents with zero tokens still score (prior-only
-    rows are generated per document × class, which also keeps the
-    smoothed unseen-token mass exact)."""
+    """Per-(document, class) exact-decimal log scores — the shared
+    internals of :func:`naive_bayes_predict` and the ev17 calibration
+    audit (which needs the full score table to take margins in the
+    exact domain). Returns (_id, label, _score decimal)."""
     classes = F.broadcast(
         model.class_stats.crossJoin(F.broadcast(model.totals))
     )
@@ -192,11 +187,29 @@ def naive_bayes_predict(
             .alias("term"),
         )
     )
-    scores = (
+    return (
         token_terms.unionByName(prior_terms)
         .groupBy("_id", "label")
         .agg(F.sum("term").alias("_score"))
     )
+
+
+def naive_bayes_predict(
+    model: NaiveBayesModel,
+    df: DataFrame,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+) -> DataFrame:
+    """Score documents against a fitted model; returns one row per
+    input document: (id_column, predicted label, score).
+
+    score(d, c) = ln P(c) + Σ_occurrences ln((cnt(t,c)+1)/(N_c+V)),
+    every term 12dp-stabilized and summed in exact decimal; arg-max
+    ties break on the label, so the prediction is deterministic and
+    replayable. Documents with zero tokens still score (prior-only
+    rows are generated per document × class, which also keeps the
+    smoothed unseen-token mass exact)."""
+    scores = _score_frame(model, df, text_column, id_column)
     w = Window.partitionBy("_id").orderBy(
         F.col("_score").desc(), F.col("label").asc()
     )

@@ -12930,6 +12930,171 @@ FROM enc ORDER BY n DESC, bpe_token LIMIT {top}
 TX47_SQL = _tx47_sql(6, 20)
 
 
+def ev17_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier CONFIDENCE CALIBRATION audit — does a bigger
+    decision margin actually mean a more reliable prediction? For the
+    tx45 NB holdout, bin every document by the EXACT DECIMAL margin
+    between its best and second-best class log-scores (0–1, 1–2, 2–4,
+    4–8, 8+ nats) and report per-bin accuracy — the reliability-curve
+    audit every deployed filter needs before its scores gate data.
+
+    Determinism: margins are differences of the exact decimal score
+    sums (no exp/softmax — a float probability would put bin edges at
+    the mercy of last-ulp noise; decimal compares are exact on both
+    engines), bins are decimal-literal comparisons, outputs are
+    integer counts + one ratio.
+
+    Scale shape: rides the tx45 scoring pipeline (token-keyed shuffle
+    join); the extra work is a second row_number over the same
+    per-doc window and a bin-keyed rollup."""
+    from paqarin_spark.operators.classify import (
+        naive_bayes_fit,
+        naive_bayes_predict,
+    )
+
+    configure_for_determinism(spark)
+    docs = _docs(spark, sf_dir)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("tx45#"), F.col("doc_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(1152921504606846976.0)
+    )
+    base = docs.select("doc_id", "text", "lang", u.alias("_u"))
+    train = base.where(F.col("_u") >= 0.25)
+    hold = base.where(F.col("_u") < 0.25)
+    model = naive_bayes_fit(train, "text", "lang")
+    # re-derive the per-class decimal scores (the predict pipeline's
+    # internals) so the margin stays in the exact domain
+    from paqarin_spark.operators.classify import _score_frame
+
+    scores = _score_frame(model, hold, "text", "doc_id")
+    w = Window.partitionBy("_id").orderBy(
+        F.col("_score").desc(), F.col("label").asc()
+    )
+    ranked = scores.withColumn("_rk", F.row_number().over(w))
+    best = ranked.where(F.col("_rk") == 1).select(
+        "_id",
+        F.col("label").alias("predicted"),
+        F.col("_score").alias("_s1"),
+    )
+    second = ranked.where(F.col("_rk") == 2).select(
+        "_id", F.col("_score").alias("_s2")
+    )
+    margins = best.join(second, "_id").select(
+        "_id",
+        "predicted",
+        (F.col("_s1") - F.col("_s2")).alias("_margin"),
+    )
+    truth = hold.select(F.col("doc_id").alias("_id"), F.col("lang"))
+    joined = margins.join(truth, "_id")
+    bin_col = (
+        F.when(F.col("_margin") < 1, F.lit("0-1"))
+        .when(F.col("_margin") < 2, F.lit("1-2"))
+        .when(F.col("_margin") < 4, F.lit("2-4"))
+        .when(F.col("_margin") < 8, F.lit("4-8"))
+        .otherwise(F.lit("8+"))
+    )
+    return (
+        joined.select(
+            bin_col.alias("margin_bin"),
+            (F.col("predicted") == F.col("lang")).cast("long").alias("_c"),
+        )
+        .groupBy("margin_bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_c").alias("n_correct"),
+        )
+        .select(
+            "margin_bin",
+            "n_docs",
+            "n_correct",
+            F.round(F.col("n_correct") / F.col("n_docs"), 6).alias(
+                "accuracy"
+            ),
+        )
+        .orderBy("margin_bin")
+    )
+
+
+EV17_SQL = f"""
+WITH base AS (
+  SELECT doc_id, text, lang,
+         ('0x' || substring(md5('tx45#' || CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT
+           / 1152921504606846976.0 AS u
+  FROM documents
+), train AS (
+  SELECT * FROM base WHERE u >= 0.25
+), hold AS (
+  SELECT * FROM base WHERE u < 0.25
+), ttoks AS (
+  SELECT lang, t.token
+  FROM train, LATERAL (SELECT UNNEST({_TOKS_SQL}) AS token) t
+), counts AS (
+  SELECT lang, token, COUNT(*) AS cnt FROM ttoks GROUP BY 1, 2
+), cstats AS (
+  SELECT d.lang, d.n_docs, COALESCE(k.n_tokens, 0) AS n_tokens
+  FROM (SELECT lang, COUNT(*) AS n_docs FROM train GROUP BY 1) d
+  LEFT JOIN (SELECT lang, CAST(SUM(cnt) AS BIGINT) AS n_tokens
+             FROM counts GROUP BY 1) k USING (lang)
+), vocab AS (
+  SELECT COUNT(DISTINCT token) AS v FROM counts
+), total AS (
+  SELECT CAST(SUM(n_docs) AS BIGINT) AS n FROM cstats
+), htoks AS (
+  SELECT doc_id, t.token
+  FROM hold, LATERAL (SELECT UNNEST({_TOKS_SQL}) AS token) t
+), term_rows AS (
+  SELECT h.doc_id, c.lang,
+         CAST(ROUND(ln((COALESCE(k.cnt, 0) + 1)
+                       / (c.n_tokens + vocab.v)), 12)
+              AS DECIMAL(25,12)) AS term
+  FROM htoks h
+  CROSS JOIN cstats c CROSS JOIN vocab
+  LEFT JOIN counts k ON k.token = h.token AND k.lang = c.lang
+), prior_rows AS (
+  SELECT h.doc_id, c.lang,
+         CAST(ROUND(ln(c.n_docs / total.n), 12)
+              AS DECIMAL(25,12)) AS term
+  FROM hold h CROSS JOIN cstats c CROSS JOIN total
+), scores AS (
+  SELECT doc_id, lang, SUM(term) AS s
+  FROM (SELECT * FROM term_rows UNION ALL SELECT * FROM prior_rows)
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT doc_id, lang, s,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY s DESC, lang) AS rk
+  FROM scores
+), margins AS (
+  SELECT b.doc_id, b.lang AS predicted, b.s - x.s AS margin
+  FROM (SELECT * FROM ranked WHERE rk = 1) b
+  JOIN (SELECT * FROM ranked WHERE rk = 2) x USING (doc_id)
+), joined AS (
+  SELECT m.predicted, m.margin, h.lang AS true_lang
+  FROM margins m JOIN hold h USING (doc_id)
+)
+SELECT CASE WHEN margin < 1 THEN '0-1'
+            WHEN margin < 2 THEN '1-2'
+            WHEN margin < 4 THEN '2-4'
+            WHEN margin < 8 THEN '4-8'
+            ELSE '8+' END AS margin_bin,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN predicted = true_lang THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_correct,
+       ROUND(SUM(CASE WHEN predicted = true_lang THEN 1 ELSE 0 END)
+             / COUNT(*), 6) AS accuracy
+FROM joined
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def st17_stream_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING document classification — the DEPLOYED half of the
     tx45 learned filter (streaming.stream_classify_counts): fit NB on
@@ -13236,6 +13401,7 @@ EM25_SQL = _em25_sql(14, 3)
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-7 additions (never driver-verified) come first ---
+    "ev17_classifier_calibration": ev17_classifier_calibration,
     "st17_stream_classify": st17_stream_classify,
     "tx47_bpe_encode_stats": tx47_bpe_encode_stats,
     "gen10_grunet_sample": gen10_grunet_sample,
@@ -13282,7 +13448,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "st13_stream_left_join": st13_stream_left_join,
     "tx41_line_dedup": tx41_line_dedup,
     "ev10_acf_fidelity": ev10_acf_fidelity,
-    "em19_mmr_rerank": em19_mmr_rerank,
     "q85_trade_reach": q85_trade_reach,
     "tx40_minhash_error": tx40_minhash_error,
     "q84_min_cost_supplier": q84_min_cost_supplier,
@@ -13308,8 +13473,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q88_part_supplier_counts": q88_part_supplier_counts,
     "q87_important_parts": q87_important_parts,
     # q86_incremental_view_merge (r5-green; st14 is its streaming dual
-    # and stays in the window) displaced for round-7 st17.
+    # and stays in the window) displaced for round-7 st17;
+    # em19_mmr_rerank (r5-green) displaced for round-7 ev17.
     "q86_incremental_view_merge": q86_incremental_view_merge,
+    "em19_mmr_rerank": em19_mmr_rerank,
     # q81_triangle_brands (r5-green) displaced for round-6 gen9.
     "q81_triangle_brands": q81_triangle_brands,
     # q82_cohort_retention/em16_pq_adc_recall (r5-green) displaced for round-6 q102/ev16.
@@ -13529,6 +13696,7 @@ ORACLE_SQL: dict[str, str] = {
     "tx46_bpe_train": TX46_SQL,
     "tx47_bpe_encode_stats": TX47_SQL,
     "st17_stream_classify": ST17_SQL,
+    "ev17_classifier_calibration": EV17_SQL,
     "em25_nn_descent_recall": EM25_SQL,
     "q01_surrogate_key": Q01_SQL,
     "q02_daily_sum": Q02_SQL,
