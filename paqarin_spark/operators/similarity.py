@@ -2143,3 +2143,91 @@ def nn_descent(
             )
         ).localCheckpoint()
     return edges.select("node", "nbr", F.col("sim").alias("cos_sim"))
+
+
+def graph_greedy_search(
+    edges: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_column: str,
+    vector_column: str,
+    query_id_column: str = "query_id",
+    query_vector_column: str = "query_vec",
+    beam: int = 8,
+    hops: int = 4,
+) -> DataFrame:
+    """Greedy BEAM SEARCH over a kNN graph — the SERVE half of
+    graph-based ANN (the layer-0 walk of HNSW-class indexes; Malkov &
+    Yashunin 2018): all queries start at the graph's minimum-id node,
+    then for a fixed number of hops expand the current beam's
+    out-neighbors, score them exactly against the query, and keep the
+    best ``beam`` per query — candidates touched per query per hop
+    are O(beam · degree), never the corpus.
+
+    Works on any (node, nbr) edge table: nn_descent's approximate
+    graph or an exact cosine_topk graph (the em26 audit uses the
+    latter to isolate SEARCH quality from construction quality).
+
+    Determinism: expression cosine (float64, strict left-fold) rounded
+    6dp, ranks tie-break node-ascending, fixed entry + fixed hops —
+    the walk unrolls in SQL (em26's oracle). Frontier tables are
+    localCheckpoint-ed per hop (beam · queries rows).
+
+    Returns (query_id, node, cos_sim): the final beam per query,
+    rank-ordered consumers take their own top-k."""
+    if beam < 1 or hops < 0:
+        raise ValueError("beam must be >= 1 and hops >= 0")
+    emb = corpus.select(
+        F.col(id_column).alias("_nid"),
+        F.col(vector_column).cast("array<double>").alias("_nv"),
+    ).localCheckpoint()
+    q = queries.select(
+        F.col(query_id_column).alias("_qid"),
+        F.col(query_vector_column).cast("array<double>").alias("_qv"),
+    ).localCheckpoint()
+    e = edges.select(
+        F.col("node").alias("_from"), F.col("nbr").alias("_nid")
+    ).localCheckpoint()
+    entry = emb.agg(F.min("_nid").alias("_nid"))
+
+    def _score(cand: DataFrame) -> DataFrame:
+        return (
+            cand.join(emb, "_nid")
+            .join(q, "_qid")
+            .select(
+                "_qid",
+                "_nid",
+                F.round(cosine(F.col("_nv"), F.col("_qv")), 6).alias("sim"),
+            )
+        )
+
+    w = Window.partitionBy("_qid").orderBy(
+        F.col("sim").desc(), F.col("_nid").asc()
+    )
+    frontier = _score(
+        q.select("_qid").crossJoin(F.broadcast(entry))
+    ).localCheckpoint()
+    for _ in range(hops):
+        expanded = (
+            frontier.select("_qid", F.col("_nid").alias("_from"))
+            .join(e, "_from")
+            .select("_qid", "_nid")
+            .distinct()
+            .join(
+                frontier.select("_qid", "_nid"),
+                ["_qid", "_nid"],
+                "left_anti",
+            )
+        )
+        frontier = (
+            frontier.unionByName(_score(expanded))
+            .withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") <= beam)
+            .drop("_rk")
+            .localCheckpoint()
+        )
+    return frontier.select(
+        F.col("_qid").alias(query_id_column),
+        F.col("_nid").alias("node"),
+        F.col("sim").alias("cos_sim"),
+    )

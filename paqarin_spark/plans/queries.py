@@ -13220,6 +13220,161 @@ def tx47_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def em26_graph_search_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-ANN SEARCH audit — the SERVE half beside em25's BUILD
+    half (operators/similarity.py graph_greedy_search, the HNSW-class
+    layer-0 walk): build the EXACT k=10 cosine graph (em1 kernel, so
+    search quality is isolated from construction quality), run the
+    fixed-entry greedy beam search (beam 8, 6 hops) for every 20th
+    vector as a query, and report recall@3 of the walk's final beam
+    against the true top-3.
+
+    Determinism: expression cosine 6dp, node-ascending ties, fixed
+    minimum-id entry, fixed hops — the oracle unrolls the walk as
+    MATERIALIZED CTEs over the same cross-join-derived graph.
+
+    Scale shape: per query per hop the walk touches O(beam · degree)
+    candidates — never the corpus; the exact graph build is the
+    audit's deliberate brute-force baseline (production builds it
+    with nn_descent)."""
+    from paqarin_spark.operators import cosine_topk, graph_greedy_search
+
+    configure_for_determinism(spark)
+    emb = read_table(spark, sf_dir, "embeddings", spread=True)
+    graph = cosine_topk(emb, "vec_id", "embedding", k=10).select(
+        F.col("query_id").alias("node"),
+        F.col("neighbor_id").alias("nbr"),
+        "cos_sim",
+    )
+    qs = emb.where(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    beam = graph_greedy_search(
+        graph, emb, qs, "vec_id", "embedding", beam=8, hops=6
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("node").asc()
+    )
+    search3 = (
+        beam.where(F.col("node") != F.col("query_id"))
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= 3)
+        .select("query_id", "node")
+    )
+    wg = Window.partitionBy("node").orderBy(
+        F.col("cos_sim").desc(), F.col("nbr").asc()
+    )
+    exact3 = (
+        graph.join(
+            qs.select(F.col("query_id").alias("node")), "node", "left_semi"
+        )
+        .withColumn("_rk", F.row_number().over(wg))
+        .where(F.col("_rk") <= 3)
+        .select(F.col("node").alias("query_id"), F.col("nbr").alias("node"))
+    )
+    flagged = exact3.join(search3, ["query_id", "node"], "left_semi")
+    n_q = qs.agg(F.count(F.lit(1)).alias("n_queries"))
+    return (
+        exact3.agg(F.count(F.lit(1)).alias("n_expected"))
+        .crossJoin(F.broadcast(flagged.agg(F.count(F.lit(1)).alias("n_hits"))))
+        .crossJoin(F.broadcast(n_q))
+        .select(
+            "n_queries",
+            "n_expected",
+            "n_hits",
+            F.round(F.col("n_hits") / F.col("n_expected"), 6).alias(
+                "recall_at_3"
+            ),
+        )
+    )
+
+
+def _em26_sql(
+    k_graph: int = 10, beam: int = 8, hops: int = 4, top: int = 3,
+    qmod: int = 20,
+) -> str:
+    """Unrolled CTE replay of graph_greedy_search + its recall audit."""
+
+    def cos(a: str, b: str) -> str:
+        return (
+            f"ROUND(list_sum(list_transform(range(1, len({a}) + 1),"
+            f" t -> {a}[t] * {b}[t]))"
+            f" / (sqrt(list_sum(list_transform(range(1, len({a}) + 1),"
+            f" t -> {a}[t] * {a}[t])))"
+            f" * sqrt(list_sum(list_transform(range(1, len({b}) + 1),"
+            f" t -> {b}[t] * {b}[t])))), 6)"
+        )
+
+    blocks = [f"""WITH emb AS (
+  SELECT vec_id AS id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), graph AS MATERIALIZED (
+  SELECT node, nbr, sim FROM (
+    SELECT a.id AS node, b.id AS nbr, {cos('a.v', 'b.v')} AS sim,
+           ROW_NUMBER() OVER (PARTITION BY a.id
+                              ORDER BY {cos('a.v', 'b.v')} DESC, b.id)
+             AS rk
+    FROM emb a JOIN emb b ON a.id <> b.id
+  ) WHERE rk <= {k_graph}
+), qs AS MATERIALIZED (
+  SELECT id AS qid, v AS qv FROM emb WHERE id % {qmod} = 0
+), entry AS (
+  SELECT MIN(id) AS nid FROM emb
+), f0 AS MATERIALIZED (
+  SELECT q.qid, n.id AS nid, {cos('n.v', 'q.qv')} AS sim
+  FROM qs q CROSS JOIN entry e JOIN emb n ON n.id = e.nid
+)"""]
+    for r in range(1, hops + 1):
+        p = r - 1
+        blocks.append(f""", exp{r} AS MATERIALIZED (
+  SELECT DISTINCT f.qid, g.nbr AS nid
+  FROM f{p} f JOIN graph g ON g.node = f.nid
+  WHERE NOT EXISTS (SELECT 1 FROM f{p} x
+                    WHERE x.qid = f.qid AND x.nid = g.nbr)
+), scored{r} AS MATERIALIZED (
+  SELECT e.qid, e.nid, {cos('n.v', 'q.qv')} AS sim
+  FROM exp{r} e JOIN emb n ON n.id = e.nid JOIN qs q ON q.qid = e.qid
+), f{r} AS MATERIALIZED (
+  SELECT qid, nid, sim FROM (
+    SELECT qid, nid, sim,
+           ROW_NUMBER() OVER (PARTITION BY qid
+                              ORDER BY sim DESC, nid) AS rk
+    FROM (SELECT * FROM f{p} UNION ALL SELECT * FROM scored{r})
+  ) WHERE rk <= {beam}
+)""")
+    blocks.append(f""", search3 AS (
+  SELECT qid, nid FROM (
+    SELECT qid, nid,
+           ROW_NUMBER() OVER (PARTITION BY qid
+                              ORDER BY sim DESC, nid) AS rk
+    FROM f{hops} WHERE nid <> qid
+  ) WHERE rk <= {top}
+), exact3 AS (
+  SELECT node AS qid, nbr AS nid FROM (
+    SELECT node, nbr,
+           ROW_NUMBER() OVER (PARTITION BY node
+                              ORDER BY sim DESC, nbr) AS rk
+    FROM graph WHERE node IN (SELECT qid FROM qs)
+  ) WHERE rk <= {top}
+), audit AS (
+  SELECT e.qid,
+         CASE WHEN s.qid IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM exact3 e
+  LEFT JOIN search3 s ON s.qid = e.qid AND s.nid = e.nid
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM qs) AS n_queries,
+       CAST(COUNT(*) AS BIGINT) AS n_expected,
+       CAST(SUM(hit) AS BIGINT) AS n_hits,
+       ROUND(SUM(hit) / COUNT(*), 6) AS recall_at_3
+FROM audit""")
+    return "".join(blocks)
+
+
+EM26_SQL = _em26_sql(10, 8, 6, 3, 20)
+
+
 def gen10_grunet_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The RECURRENT executing provider (generators.recurrent.
     GRUNetGenerator — gated recurrent unit, pure-numpy full-batch
@@ -13401,6 +13556,7 @@ EM25_SQL = _em25_sql(14, 3)
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-7 additions (never driver-verified) come first ---
+    "em26_graph_search_recall": em26_graph_search_recall,
     "ev17_classifier_calibration": ev17_classifier_calibration,
     "st17_stream_classify": st17_stream_classify,
     "tx47_bpe_encode_stats": tx47_bpe_encode_stats,
@@ -13451,7 +13607,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q85_trade_reach": q85_trade_reach,
     "tx40_minhash_error": tx40_minhash_error,
     "q84_min_cost_supplier": q84_min_cost_supplier,
-    "em18_hamming_rerank": em18_hamming_rerank,
     "q83_dominant_part_suppliers": q83_dominant_part_suppliers,
     # --- round-4 rotation: everything from here to ev2 has never
     # been driver-verified on its CURRENT oracle. The 16 round-4
@@ -13474,9 +13629,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q87_important_parts": q87_important_parts,
     # q86_incremental_view_merge (r5-green; st14 is its streaming dual
     # and stays in the window) displaced for round-7 st17;
-    # em19_mmr_rerank (r5-green) displaced for round-7 ev17.
+    # em19_mmr_rerank/em18_hamming_rerank (r5-green) displaced for
+    # round-7 ev17/em26.
     "q86_incremental_view_merge": q86_incremental_view_merge,
     "em19_mmr_rerank": em19_mmr_rerank,
+    "em18_hamming_rerank": em18_hamming_rerank,
     # q81_triangle_brands (r5-green) displaced for round-6 gen9.
     "q81_triangle_brands": q81_triangle_brands,
     # q82_cohort_retention/em16_pq_adc_recall (r5-green) displaced for round-6 q102/ev16.
@@ -13697,6 +13854,7 @@ ORACLE_SQL: dict[str, str] = {
     "tx47_bpe_encode_stats": TX47_SQL,
     "st17_stream_classify": ST17_SQL,
     "ev17_classifier_calibration": EV17_SQL,
+    "em26_graph_search_recall": EM26_SQL,
     "em25_nn_descent_recall": EM25_SQL,
     "q01_surrogate_key": Q01_SQL,
     "q02_daily_sum": Q02_SQL,

@@ -972,3 +972,58 @@ def test_nn_descent_validates_inputs(spark):
         nn_descent(ok, "vec_id", "embedding", k=0, rounds=1)
     with pytest.raises(ValueError, match="at least 3"):
         nn_descent(ok.limit(2), "vec_id", "embedding", k=1, rounds=1)
+
+
+def test_graph_greedy_search_navigates_ring(spark):
+    """On the exact ring graph the greedy walk must reach each query's
+    true neighborhood from the fixed min-id entry within the hop
+    budget — and never touch more than beam x degree candidates per
+    hop (bounded-frontier contract checked via the output size)."""
+    import math
+
+    from paqarin_spark.operators import cosine_topk, graph_greedy_search
+
+    n = 64
+    rows = [
+        (i, [math.cos(2 * math.pi * i / n), math.sin(2 * math.pi * i / n)])
+        for i in range(n)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    graph = cosine_topk(emb, "vec_id", "embedding", k=4).select(
+        F.col("query_id").alias("node"),
+        F.col("neighbor_id").alias("nbr"),
+        "cos_sim",
+    )
+    qs = emb.where(F.col("vec_id").isin(16, 32, 48)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    # ring distance from entry node 0 to node 32 is 32; each hop moves
+    # the beam at most 2 ring steps per edge but the beam front
+    # advances ~beam/2 steps — give it enough hops to converge
+    out = graph_greedy_search(
+        graph, emb, qs, "vec_id", "embedding", beam=6, hops=24
+    )
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["query_id"], set()).add(r["node"])
+    for q in (16, 32, 48):
+        assert len(got[q]) <= 6
+        # the query itself (cos 1.0) and its immediate ring neighbors
+        # must be in the final beam
+        assert {q, (q - 1) % n, (q + 1) % n} <= got[q], (q, got[q])
+
+
+def test_graph_greedy_search_validates(spark):
+    from paqarin_spark.operators import graph_greedy_search
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    g = spark.createDataFrame([(0, 1)], "node long, nbr long")
+    qs = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    with pytest.raises(ValueError, match="beam"):
+        graph_greedy_search(g, emb, qs, "vec_id", "embedding", beam=0)
