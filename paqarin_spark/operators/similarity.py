@@ -2231,3 +2231,121 @@ def graph_greedy_search(
         F.col("_nid").alias("node"),
         F.col("sim").alias("cos_sim"),
     )
+
+
+def nn_descent_ingest(
+    edges: DataFrame,
+    corpus: DataFrame,
+    new_df: DataFrame,
+    id_column: str,
+    vector_column: str,
+    k: int = 10,
+    beam: int = 10,
+    hops: int = 6,
+) -> DataFrame:
+    """INCREMENTAL kNN-graph maintenance — add a batch of new vectors
+    to an existing graph WITHOUT a full rebuild (the graph-family
+    counterpart of ivf_ingest): each new vector finds its neighbors by
+    :func:`graph_greedy_search` over the EXISTING graph (O(beam ·
+    degree · hops) per new vector, never the corpus), existing nodes
+    reconsider their lists against the arrivals (reverse direction of
+    the found pairs), and new–new edges come from co-neighbor
+    candidate pairs (two new vectors that found the same existing
+    node — the NN-descent locality trick, fanout bounded by the found
+    lists). Old–old edges are never rescored.
+
+    Requires new ids disjoint from corpus ids (raises otherwise — a
+    collision would silently merge two vectors' neighborhoods).
+
+    Determinism: all sims are the 6dp expression cosine; every rank
+    tie-breaks neighbor-ascending; fixed entry/hops — em27's oracle
+    unrolls the whole ingest. Returns the UPDATED full graph
+    (node, nbr, cos_sim): old nodes with refreshed lists ∪ new nodes
+    with their k best."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    overlap = (
+        new_df.select(F.col(id_column).alias("_nid"))
+        .join(
+            corpus.select(F.col(id_column).alias("_nid")), "_nid", "left_semi"
+        )
+        .count()
+    )
+    if overlap:
+        raise ValueError(
+            f"{overlap} new ids collide with corpus ids — ingest requires "
+            "disjoint id spaces"
+        )
+    qs = new_df.select(
+        F.col(id_column).alias("_qid"),
+        F.col(vector_column).cast("array<double>").alias("_qv"),
+    ).localCheckpoint()
+    found = graph_greedy_search(
+        edges,
+        corpus,
+        qs,
+        id_column,
+        vector_column,
+        query_id_column="_qid",
+        query_vector_column="_qv",
+        beam=beam,
+        hops=hops,
+    ).localCheckpoint()  # (_qid=new, node=existing, cos_sim)
+
+    def _topk(frame: DataFrame) -> DataFrame:
+        w = Window.partitionBy("node").orderBy(
+            F.col("sim").desc(), F.col("nbr").asc()
+        )
+        return (
+            frame.distinct()
+            .withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") <= k)
+            .drop("_rk")
+        )
+
+    new_to_old = found.select(
+        F.col("_qid").alias("node"),
+        F.col("node").alias("nbr"),
+        F.col("cos_sim").alias("sim"),
+    )
+    old_to_new = found.select(
+        F.col("node"),
+        F.col("_qid").alias("nbr"),
+        F.col("cos_sim").alias("sim"),
+    )
+    # co-neighbor candidates among the new batch: pairs sharing a
+    # found existing neighbor, scored fresh
+    co = (
+        found.alias("a")
+        .join(found.alias("b"), "node")
+        .where(F.col("a._qid") < F.col("b._qid"))
+        .select(F.col("a._qid").alias("x"), F.col("b._qid").alias("y"))
+        .distinct()
+    )
+    qa = qs.select(F.col("_qid").alias("x"), F.col("_qv").alias("_va"))
+    qb = qs.select(F.col("_qid").alias("y"), F.col("_qv").alias("_vb"))
+    co_scored = (
+        co.join(qa, "x")
+        .join(qb, "y")
+        .select(
+            "x",
+            "y",
+            F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("sim"),
+        )
+    )
+    new_new = co_scored.select(
+        F.col("x").alias("node"), F.col("y").alias("nbr"), "sim"
+    ).unionByName(
+        co_scored.select(
+            F.col("y").alias("node"), F.col("x").alias("nbr"), "sim"
+        )
+    )
+    old_edges = edges.select(
+        "node", "nbr", F.col("cos_sim").alias("sim")
+    )
+    updated_old = _topk(old_edges.unionByName(old_to_new))
+    new_lists = _topk(new_to_old.unionByName(new_new))
+    return (
+        updated_old.unionByName(new_lists)
+        .select("node", "nbr", F.col("sim").alias("cos_sim"))
+    )

@@ -13375,6 +13375,185 @@ FROM audit""")
 EM26_SQL = _em26_sql(10, 8, 6, 3, 20)
 
 
+def em27_graph_ingest_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental kNN-graph INGEST audit (operators/similarity.py
+    nn_descent_ingest) — the graph-family counterpart of em20's IVF
+    ingest: hold out every 5th vector, build the exact k=10 graph on
+    the remaining 80%, ingest the holdout through greedy search +
+    reverse updates + co-neighbor pairs (no full rebuild; old–old
+    edges never rescored), and report per-scope recall of the updated
+    graph against the exact FULL rebuild — one row for the new nodes'
+    lists, one for the refreshed existing lists.
+
+    Determinism: every sim is the 6dp cosine with neighbor-ascending
+    ties, fixed entry/hops — the oracle unrolls the search walk, the
+    ingest merge, and the rebuild in MATERIALIZED CTEs.
+
+    Scale shape: per new vector the ingest touches O(beam · degree ·
+    hops) candidates + its found-list's co-neighbors — never the
+    corpus; the full rebuild here is the audit's deliberate
+    brute-force baseline."""
+    from paqarin_spark.operators import cosine_topk, nn_descent_ingest
+
+    configure_for_determinism(spark)
+    emb = read_table(spark, sf_dir, "embeddings", spread=True)
+    corpus = emb.where(F.col("vec_id") % 5 != 4)
+    new = emb.where(F.col("vec_id") % 5 == 4)
+    graph = cosine_topk(corpus, "vec_id", "embedding", k=10).select(
+        F.col("query_id").alias("node"),
+        F.col("neighbor_id").alias("nbr"),
+        "cos_sim",
+    )
+    merged = nn_descent_ingest(
+        graph, corpus, new, "vec_id", "embedding", k=10, beam=20, hops=6
+    )
+    rebuild = cosine_topk(emb, "vec_id", "embedding", k=10).select(
+        F.col("query_id").alias("node"),
+        F.col("neighbor_id").alias("nbr"),
+    )
+    flagged = rebuild.join(
+        merged.select("node", "nbr"), ["node", "nbr"], "left_semi"
+    )
+    scope = F.when(F.col("node") % 5 == 4, F.lit("new")).otherwise(
+        F.lit("existing")
+    )
+    expected = rebuild.groupBy(scope.alias("scope")).agg(
+        F.countDistinct("node").alias("n_nodes"),
+        F.count(F.lit(1)).alias("n_expected"),
+    )
+    hits = flagged.groupBy(scope.alias("scope")).agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    return (
+        expected.join(hits, "scope", "left")
+        .select(
+            "scope",
+            "n_nodes",
+            "n_expected",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0)) / F.col("n_expected"), 6
+            ).alias("recall"),
+        )
+        .orderBy("scope")
+    )
+
+
+def _em27_sql(
+    k: int = 10, beam: int = 10, hops: int = 6, mod: int = 5, rem: int = 4
+) -> str:
+    """Unrolled CTE replay of nn_descent_ingest + its rebuild audit."""
+
+    def cos(a: str, b: str) -> str:
+        return (
+            f"ROUND(list_sum(list_transform(range(1, len({a}) + 1),"
+            f" t -> {a}[t] * {b}[t]))"
+            f" / (sqrt(list_sum(list_transform(range(1, len({a}) + 1),"
+            f" t -> {a}[t] * {a}[t])))"
+            f" * sqrt(list_sum(list_transform(range(1, len({b}) + 1),"
+            f" t -> {b}[t] * {b}[t])))), 6)"
+        )
+
+    blocks = [f"""WITH emb AS (
+  SELECT vec_id AS id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), corpus AS MATERIALIZED (
+  SELECT * FROM emb WHERE id % {mod} <> {rem}
+), news AS MATERIALIZED (
+  SELECT id AS qid, v AS qv FROM emb WHERE id % {mod} = {rem}
+), graph AS MATERIALIZED (
+  SELECT node, nbr, sim FROM (
+    SELECT a.id AS node, b.id AS nbr, {cos('a.v', 'b.v')} AS sim,
+           ROW_NUMBER() OVER (PARTITION BY a.id
+                              ORDER BY {cos('a.v', 'b.v')} DESC, b.id)
+             AS rk
+    FROM corpus a JOIN corpus b ON a.id <> b.id
+  ) WHERE rk <= {k}
+), entry AS (
+  SELECT MIN(id) AS nid FROM corpus
+), f0 AS MATERIALIZED (
+  SELECT q.qid, n.id AS nid, {cos('n.v', 'q.qv')} AS sim
+  FROM news q CROSS JOIN entry e JOIN corpus n ON n.id = e.nid
+)"""]
+    for r in range(1, hops + 1):
+        p = r - 1
+        blocks.append(f""", exp{r} AS MATERIALIZED (
+  SELECT DISTINCT f.qid, g.nbr AS nid
+  FROM f{p} f JOIN graph g ON g.node = f.nid
+  WHERE NOT EXISTS (SELECT 1 FROM f{p} x
+                    WHERE x.qid = f.qid AND x.nid = g.nbr)
+), scored{r} AS MATERIALIZED (
+  SELECT e.qid, e.nid, {cos('n.v', 'q.qv')} AS sim
+  FROM exp{r} e JOIN corpus n ON n.id = e.nid JOIN news q ON q.qid = e.qid
+), f{r} AS MATERIALIZED (
+  SELECT qid, nid, sim FROM (
+    SELECT qid, nid, sim,
+           ROW_NUMBER() OVER (PARTITION BY qid
+                              ORDER BY sim DESC, nid) AS rk
+    FROM (SELECT * FROM f{p} UNION ALL SELECT * FROM scored{r})
+  ) WHERE rk <= {beam}
+)""")
+    blocks.append(f""", found AS MATERIALIZED (
+  SELECT qid, nid, sim FROM f{hops}
+), co_scored AS MATERIALIZED (
+  SELECT c.x, c.y, {cos('qa.qv', 'qb.qv')} AS sim
+  FROM (
+    SELECT DISTINCT a.qid AS x, b.qid AS y
+    FROM found a JOIN found b ON a.nid = b.nid AND a.qid < b.qid
+  ) c
+  JOIN news qa ON qa.qid = c.x JOIN news qb ON qb.qid = c.y
+), updated_old AS MATERIALIZED (
+  SELECT node, nbr FROM (
+    SELECT node, nbr, sim,
+           ROW_NUMBER() OVER (PARTITION BY node
+                              ORDER BY sim DESC, nbr) AS rk
+    FROM (SELECT DISTINCT node, nbr, sim FROM (
+      SELECT node, nbr, sim FROM graph
+      UNION ALL SELECT nid AS node, qid AS nbr, sim FROM found
+    ))
+  ) WHERE rk <= {k}
+), new_lists AS MATERIALIZED (
+  SELECT node, nbr FROM (
+    SELECT node, nbr, sim,
+           ROW_NUMBER() OVER (PARTITION BY node
+                              ORDER BY sim DESC, nbr) AS rk
+    FROM (SELECT DISTINCT node, nbr, sim FROM (
+      SELECT qid AS node, nid AS nbr, sim FROM found
+      UNION ALL SELECT x AS node, y AS nbr, sim FROM co_scored
+      UNION ALL SELECT y AS node, x AS nbr, sim FROM co_scored
+    ))
+  ) WHERE rk <= {k}
+), merged AS MATERIALIZED (
+  SELECT * FROM updated_old UNION ALL SELECT * FROM new_lists
+), rebuild AS MATERIALIZED (
+  SELECT node, nbr FROM (
+    SELECT a.id AS node, b.id AS nbr,
+           ROW_NUMBER() OVER (PARTITION BY a.id
+                              ORDER BY {cos('a.v', 'b.v')} DESC, b.id)
+             AS rk
+    FROM emb a JOIN emb b ON a.id <> b.id
+  ) WHERE rk <= {k}
+), audit AS (
+  SELECT CASE WHEN r.node % {mod} = {rem} THEN 'new'
+              ELSE 'existing' END AS scope,
+         r.node,
+         CASE WHEN m.node IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM rebuild r
+  LEFT JOIN merged m ON m.node = r.node AND m.nbr = r.nbr
+)
+SELECT scope,
+       CAST(COUNT(DISTINCT node) AS BIGINT) AS n_nodes,
+       CAST(COUNT(*) AS BIGINT) AS n_expected,
+       CAST(SUM(hit) AS BIGINT) AS n_hits,
+       ROUND(SUM(hit) / COUNT(*), 6) AS recall
+FROM audit GROUP BY 1 ORDER BY 1""")
+    return "".join(blocks)
+
+
+EM27_SQL = _em27_sql(10, 20, 6, 5, 4)
+
+
 def gen10_grunet_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The RECURRENT executing provider (generators.recurrent.
     GRUNetGenerator — gated recurrent unit, pure-numpy full-batch
@@ -13556,6 +13735,7 @@ EM25_SQL = _em25_sql(14, 3)
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-7 additions (never driver-verified) come first ---
+    "em27_graph_ingest_recall": em27_graph_ingest_recall,
     "em26_graph_search_recall": em26_graph_search_recall,
     "ev17_classifier_calibration": ev17_classifier_calibration,
     "st17_stream_classify": st17_stream_classify,
@@ -13607,7 +13787,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q85_trade_reach": q85_trade_reach,
     "tx40_minhash_error": tx40_minhash_error,
     "q84_min_cost_supplier": q84_min_cost_supplier,
-    "q83_dominant_part_suppliers": q83_dominant_part_suppliers,
     # --- round-4 rotation: everything from here to ev2 has never
     # been driver-verified on its CURRENT oracle. The 16 round-4
     # ADDITIONS (mm10 MP4 sample tables; q73/tx33/st9/st10 sketches;
@@ -13634,11 +13813,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q86_incremental_view_merge": q86_incremental_view_merge,
     "em19_mmr_rerank": em19_mmr_rerank,
     "em18_hamming_rerank": em18_hamming_rerank,
+    # q83_dominant_part_suppliers (r5-green) displaced for round-7
+    # em27 (em16 was already below the marker since round 6).
+    "q83_dominant_part_suppliers": q83_dominant_part_suppliers,
+    "em16_pq_adc_recall": em16_pq_adc_recall,
     # q81_triangle_brands (r5-green) displaced for round-6 gen9.
     "q81_triangle_brands": q81_triangle_brands,
     # q82_cohort_retention/em16_pq_adc_recall (r5-green) displaced for round-6 q102/ev16.
     "q82_cohort_retention": q82_cohort_retention,
-    "em16_pq_adc_recall": em16_pq_adc_recall,
     # mm12_exif_tags/st12_stream_cohort (r5-green) displaced for round-6 q101/st16.
     "mm12_exif_tags": mm12_exif_tags,
     "st12_stream_cohort": st12_stream_cohort,
@@ -13855,6 +14037,7 @@ ORACLE_SQL: dict[str, str] = {
     "st17_stream_classify": ST17_SQL,
     "ev17_classifier_calibration": EV17_SQL,
     "em26_graph_search_recall": EM26_SQL,
+    "em27_graph_ingest_recall": EM27_SQL,
     "em25_nn_descent_recall": EM25_SQL,
     "q01_surrogate_key": Q01_SQL,
     "q02_daily_sum": Q02_SQL,

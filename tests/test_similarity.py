@@ -1027,3 +1027,57 @@ def test_graph_greedy_search_validates(spark):
     )
     with pytest.raises(ValueError, match="beam"):
         graph_greedy_search(g, emb, qs, "vec_id", "embedding", beam=0)
+
+
+def test_nn_descent_ingest_matches_rebuild_on_ring(spark):
+    """Ingest audit on the ring manifold: add 8 new points between
+    existing ones; the updated graph's new-node lists must equal the
+    full-rebuild lists (greedy search navigates the exact ring), and
+    existing nodes adopt their new neighbors."""
+    import math
+
+    from paqarin_spark.operators import (
+        cosine_topk,
+        nn_descent_ingest,
+    )
+
+    n = 48
+
+    def vec(pos):
+        return [math.cos(2 * math.pi * pos / n), math.sin(2 * math.pi * pos / n)]
+
+    old = [(i, vec(i)) for i in range(0, n, 2)]        # even ring slots
+    new = [(i, vec(i)) for i in range(1, 17, 2)]       # odd slots 1..15
+    emb = spark.createDataFrame(old, "vec_id long, embedding array<double>")
+    newdf = spark.createDataFrame(new, "vec_id long, embedding array<double>")
+    graph = cosine_topk(emb, "vec_id", "embedding", k=4).select(
+        F.col("query_id").alias("node"),
+        F.col("neighbor_id").alias("nbr"),
+        "cos_sim",
+    )
+    merged = nn_descent_ingest(
+        graph, emb, newdf, "vec_id", "embedding", k=4, beam=8, hops=12
+    )
+    allemb = emb.unionByName(newdf)
+    rebuild = cosine_topk(allemb, "vec_id", "embedding", k=4).select(
+        F.col("query_id").alias("node"), F.col("neighbor_id").alias("nbr")
+    )
+    got = {(r["node"], r["nbr"]) for r in merged.collect()}
+    want = {(r["node"], r["nbr"]) for r in rebuild.collect()}
+    new_ids = {i for i, _ in new}
+    # new nodes' lists exact
+    assert {p for p in want if p[0] in new_ids} <= got
+    # existing nodes adopted adjacent new arrivals
+    assert (2, 1) in got and (16, 15) in got
+
+
+def test_nn_descent_ingest_rejects_id_collision(spark):
+    from paqarin_spark.operators import nn_descent_ingest
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    g = spark.createDataFrame([(0, 1, 0.5)], "node long, nbr long, cos_sim double")
+    with pytest.raises(ValueError, match="collide"):
+        nn_descent_ingest(g, emb, emb.limit(1), "vec_id", "embedding", k=1)
