@@ -303,48 +303,56 @@ def compile_scoring_table(
     so it can ride inside the worker closure. Non-selected tokens
     contribute nothing at scoring time (the standard
     feature-selection semantics); unseen-in-class selected tokens
-    score with Laplace mass. Every term is round(ln(·), 12) — the
-    tx45 discipline, replayable in SQL."""
+    score with Laplace mass.
+
+    Exactness contract: every term is the 12dp-stabilized log SHIPPED
+    AS AN INTEGER count of 1e-12 units ("picanats"), so the stream
+    fold sums exactly and arg-max ties compare exactly — the same
+    lattice the oracle's DECIMAL(25,12) sums live on (a float
+    accumulation would drift off it and could flip near-ties or miss
+    true ties)."""
     import math
 
     if n_features < 1:
         raise ValueError("n_features must be >= 1")
-    feats = [
-        r["token"]
-        for r in (
-            model.token_counts.groupBy("token")
-            .agg(F.sum("cnt").alias("_tot"))
-            .orderBy(F.col("_tot").desc(), "token")
-            .limit(n_features)
-            .collect()
-        )
-    ]
-    stats = {
-        r["label"]: (r["n_docs"], r["n_tokens"])
-        for r in model.class_stats.collect()
-    }
-    tot = model.totals.collect()[0]
-    n_total, v = tot["n_total_docs"], tot["vocab_size"]
-    counts = {
-        (r["token"], r["label"]): r["cnt"]
-        for r in model.token_counts.where(
-            F.col("token").isin(feats)
-        ).collect()
-    }
+    # one persisted pass over the count-table lineage serves all the
+    # reads below (each collect would otherwise re-run the full corpus
+    # tokenize+groupBy from scratch); driver traffic stays bounded
+    tc = model.token_counts.persist()
+    try:
+        feats = [
+            r["token"]
+            for r in (
+                tc.groupBy("token")
+                .agg(F.sum("cnt").alias("_tot"))
+                .orderBy(F.col("_tot").desc(), "token")
+                .limit(n_features)
+                .collect()
+            )
+        ]
+        stats = {
+            r["label"]: (r["n_docs"], r["n_tokens"])
+            for r in model.class_stats.collect()
+        }
+        tot = model.totals.collect()[0]
+        n_total, v = tot["n_total_docs"], tot["vocab_size"]
+        counts = {
+            (r["token"], r["label"]): r["cnt"]
+            for r in tc.where(F.col("token").isin(feats)).collect()
+        }
+    finally:
+        tc.unpersist()
+
+    def pico(x: float) -> int:
+        return int(round(math.log(x) * 1e12))
+
     labels = sorted(stats)
     return {
         "labels": labels,
-        "prior": {
-            c: round(math.log(stats[c][0] / n_total), 12) for c in labels
-        },
+        "prior": {c: pico(stats[c][0] / n_total) for c in labels},
         "terms": {
             t: {
-                c: round(
-                    math.log(
-                        (counts.get((t, c), 0) + 1) / (stats[c][1] + v)
-                    ),
-                    12,
-                )
+                c: pico((counts.get((t, c), 0) + 1) / (stats[c][1] + v))
                 for c in labels
             }
             for t in feats

@@ -2207,17 +2207,18 @@ def graph_greedy_search(
     frontier = _score(
         q.select("_qid").crossJoin(F.broadcast(entry))
     ).localCheckpoint()
+    # visited-set pruning is RESULT-IDENTICAL: the beam only improves
+    # (frontier = top-k of frontier ∪ new), so its k-th-best bar is
+    # monotone and an evicted node can never re-enter — skipping
+    # already-scored nodes only removes wasted rescoring on later hops
+    visited = frontier.select("_qid", "_nid").localCheckpoint()
     for _ in range(hops):
         expanded = (
             frontier.select("_qid", F.col("_nid").alias("_from"))
             .join(e, "_from")
             .select("_qid", "_nid")
             .distinct()
-            .join(
-                frontier.select("_qid", "_nid"),
-                ["_qid", "_nid"],
-                "left_anti",
-            )
+            .join(visited, ["_qid", "_nid"], "left_anti")
         )
         frontier = (
             frontier.unionByName(_score(expanded))
@@ -2226,6 +2227,9 @@ def graph_greedy_search(
             .drop("_rk")
             .localCheckpoint()
         )
+        visited = visited.unionByName(
+            expanded.select("_qid", "_nid")
+        ).localCheckpoint()
     return frontier.select(
         F.col("_qid").alias(query_id_column),
         F.col("_nid").alias("node"),
@@ -2275,6 +2279,17 @@ def nn_descent_ingest(
         raise ValueError(
             f"{overlap} new ids collide with corpus ids — ingest requires "
             "disjoint id spaces"
+        )
+    dups = (
+        new_df.groupBy(F.col(id_column).alias("_nid"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") > 1)
+        .count()
+    )
+    if dups:
+        raise ValueError(
+            f"{dups} duplicate ids inside the new batch — their search "
+            "beams would silently merge into one corrupted neighbor list"
         )
     qs = new_df.select(
         F.col(id_column).alias("_qid"),

@@ -12948,8 +12948,8 @@ def ev17_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     join); the extra work is a second row_number over the same
     per-doc window and a bin-keyed rollup."""
     from paqarin_spark.operators.classify import (
+        _score_frame,
         naive_bayes_fit,
-        naive_bayes_predict,
     )
 
     configure_for_determinism(spark)
@@ -12970,10 +12970,8 @@ def ev17_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = base.where(F.col("_u") >= 0.25)
     hold = base.where(F.col("_u") < 0.25)
     model = naive_bayes_fit(train, "text", "lang")
-    # re-derive the per-class decimal scores (the predict pipeline's
-    # internals) so the margin stays in the exact domain
-    from paqarin_spark.operators.classify import _score_frame
-
+    # the per-class decimal scores (the predict pipeline's internals)
+    # keep the margin in the exact domain
     scores = _score_frame(model, hold, "text", "doc_id")
     w = Window.partitionBy("_id").orderBy(
         F.col("_score").desc(), F.col("label").asc()
@@ -13325,13 +13323,15 @@ def _em26_sql(
 ), f0 AS MATERIALIZED (
   SELECT q.qid, n.id AS nid, {cos('n.v', 'q.qv')} AS sim
   FROM qs q CROSS JOIN entry e JOIN emb n ON n.id = e.nid
+), seen0 AS MATERIALIZED (
+  SELECT qid, nid FROM f0
 )"""]
     for r in range(1, hops + 1):
         p = r - 1
         blocks.append(f""", exp{r} AS MATERIALIZED (
   SELECT DISTINCT f.qid, g.nbr AS nid
   FROM f{p} f JOIN graph g ON g.node = f.nid
-  WHERE NOT EXISTS (SELECT 1 FROM f{p} x
+  WHERE NOT EXISTS (SELECT 1 FROM seen{p} x
                     WHERE x.qid = f.qid AND x.nid = g.nbr)
 ), scored{r} AS MATERIALIZED (
   SELECT e.qid, e.nid, {cos('n.v', 'q.qv')} AS sim
@@ -13343,6 +13343,8 @@ def _em26_sql(
                               ORDER BY sim DESC, nid) AS rk
     FROM (SELECT * FROM f{p} UNION ALL SELECT * FROM scored{r})
   ) WHERE rk <= {beam}
+), seen{r} AS MATERIALIZED (
+  SELECT * FROM seen{p} UNION ALL SELECT qid, nid FROM exp{r}
 )""")
     blocks.append(f""", search3 AS (
   SELECT qid, nid FROM (
@@ -13475,13 +13477,15 @@ def _em27_sql(
 ), f0 AS MATERIALIZED (
   SELECT q.qid, n.id AS nid, {cos('n.v', 'q.qv')} AS sim
   FROM news q CROSS JOIN entry e JOIN corpus n ON n.id = e.nid
+), seen0 AS MATERIALIZED (
+  SELECT qid, nid FROM f0
 )"""]
     for r in range(1, hops + 1):
         p = r - 1
         blocks.append(f""", exp{r} AS MATERIALIZED (
   SELECT DISTINCT f.qid, g.nbr AS nid
   FROM f{p} f JOIN graph g ON g.node = f.nid
-  WHERE NOT EXISTS (SELECT 1 FROM f{p} x
+  WHERE NOT EXISTS (SELECT 1 FROM seen{p} x
                     WHERE x.qid = f.qid AND x.nid = g.nbr)
 ), scored{r} AS MATERIALIZED (
   SELECT e.qid, e.nid, {cos('n.v', 'q.qv')} AS sim
@@ -13493,6 +13497,8 @@ def _em27_sql(
                               ORDER BY sim DESC, nid) AS rk
     FROM (SELECT * FROM f{p} UNION ALL SELECT * FROM scored{r})
   ) WHERE rk <= {beam}
+), seen{r} AS MATERIALIZED (
+  SELECT * FROM seen{p} UNION ALL SELECT qid, nid FROM exp{r}
 )""")
     blocks.append(f""", found AS MATERIALIZED (
   SELECT qid, nid, sim FROM f{hops}

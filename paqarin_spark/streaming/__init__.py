@@ -1063,7 +1063,11 @@ def stream_classify_counts(
     contribute their 12dp-stabilized log terms per occurrence,
     non-selected tokens contribute nothing, the prior always
     contributes, arg-max ties break label-ascending. Tokenization is
-    the shared [a-z0-9]+ lowercase contract.
+    the shared [a-z0-9]+ lowercase contract. The compiled terms are
+    INTEGER picanats (1e-12 units), so per-class scores accumulate as
+    exact python ints on the same lattice the oracle's DECIMAL(25,12)
+    sums live on — near-ties cannot flip and true ties compare
+    exactly (a float accumulation would guarantee neither).
 
     State bound: ONE row per class (two scalars), forever."""
     import re
