@@ -550,3 +550,71 @@ def bpe_encode(
             ).alias("bpe_tokens"),
         )
     )
+
+
+def blocklist_phrase_hits(
+    df: DataFrame,
+    text_column: str,
+    id_column: str,
+    phrases: list[str],
+    n: int = 2,
+) -> DataFrame:
+    """Phrase-blocklist content filtering — the bad-words/banned-phrase
+    gate every production pretraining pipeline runs before training
+    (C4 strips documents on a public blocklist; here the report shape:
+    per-phrase document reach and total occurrence counts, INCLUDING
+    zero-hit phrases, so the curation dashboard sees the whole list).
+
+    Matching is exact word-n-gram equality on the shared
+    :func:`normalized_text` token alphabet (not substring LIKE — a
+    blocklist must not fire inside larger words), occurrences counted
+    NON-distinct so repeated violations weigh more.
+
+    Scale posture: the blocklist is bounded by construction (a
+    human-curated list) → broadcast; the corpus side is one tokenize +
+    n-gram explode with the phrase-equality filter applied AT the join
+    (no corpus-sized shuffle: Spark plans a broadcast hash join keyed
+    on the gram). Output is |blocklist| rows.
+
+    Returns (phrase, n_docs, n_hits), one row per blocklist phrase.
+    """
+    if not phrases:
+        raise ValueError("phrases must be non-empty")
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    spark = df.sparkSession
+    blk = spark.createDataFrame(
+        [(p,) for p in sorted(set(phrases))], ["phrase"]
+    )
+    toks = df.select(
+        F.col(id_column).alias("_doc"),
+        F.split(normalized_text(F.col(text_column)), " ").alias("_ts"),
+    ).where(F.size("_ts") >= n)
+    grams = toks.select(
+        "_doc",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("_ts") - (n - 1)),
+                lambda i: F.concat_ws(
+                    " ",
+                    *[F.element_at(F.col("_ts"), i + off) for off in range(n)],
+                ),
+            )
+        ).alias("_gram"),
+    )
+    hits = (
+        grams.join(F.broadcast(blk), grams._gram == blk.phrase)
+        .groupBy("phrase")
+        .agg(
+            F.countDistinct("_doc").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_hits"),
+        )
+    )
+    return (
+        blk.join(hits, on="phrase", how="left")
+        .select(
+            "phrase",
+            F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+        )
+    )

@@ -1963,6 +1963,162 @@ def power_iteration_on_cov(
     )
 
 
+def deflate_covariance(
+    cov: DataFrame,
+    pc: DataFrame,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Hotelling deflation: subtract a principal component's rank-1
+    term λ·v·vᵀ from an upper-triangle covariance table so power
+    iteration on the residual converges to the NEXT component.
+
+    ``cov`` is the :func:`covariance_matrix` output (i, j, cov with
+    i <= j); ``pc`` is the :func:`power_iteration_on_cov` output
+    (i, loading, eigenvalue). Every input is already on the 6dp
+    replay lattice, the rank-1 term is 12dp-stabilized before the
+    (deterministic IEEE) subtraction, and the residual re-rounds to
+    the lattice — so an oracle replaying the same expression tree
+    sees bit-identical covariances.
+
+    Scale posture: both joins are against the d-row loading table
+    (bounded by construction → broadcast per the §4 policy); the
+    output stays d(d+1)/2 rows."""
+    vi = pc.select(F.col("i"), F.col("loading").alias("_vi"))
+    vj = pc.select(
+        F.col("i").alias("j"),
+        F.col("loading").alias("_vj"),
+        F.col("eigenvalue").alias("_lam"),
+    )
+    return (
+        cov.join(F.broadcast(vi), on="i")
+        .join(F.broadcast(vj), on="j")
+        .select(
+            "i",
+            "j",
+            (
+                F.round(
+                    F.col("cov")
+                    - F.round(
+                        F.col("_lam") * F.col("_vi") * F.col("_vj"), 12
+                    ),
+                    round_decimals,
+                )
+                + F.lit(0.0)
+            ).alias("cov"),
+        )
+    )
+
+
+def pca_top2(
+    df: DataFrame,
+    vector_column: str,
+    iterations: int = 6,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Top-2 principal components of an embedding corpus: power
+    iteration for the dominant eigenpair, Hotelling deflation, power
+    iteration again on the residual — the 2-D PCA decomposition
+    behind embedding visualization, whitening, and drift projection.
+
+    Scale posture: the corpus is touched ONCE (the covariance pass);
+    both iteration chains and the deflation run on d×d-bounded
+    tables. The covariance table is localCheckpointed because two
+    consumers (the pc1 chain and the deflation) would otherwise
+    re-execute the corpus pass.
+
+    Returns (component ∈ {1, 2}, i, loading, eigenvalue)."""
+    width = _vector_width(df, vector_column)
+    cov = covariance_matrix(
+        df, vector_column, round_decimals=round_decimals
+    ).localCheckpoint()
+    pc1 = power_iteration_on_cov(
+        cov, width, iterations=iterations, round_decimals=round_decimals
+    ).localCheckpoint()
+    cov2 = deflate_covariance(cov, pc1, round_decimals=round_decimals)
+    pc2 = power_iteration_on_cov(
+        cov2, width, iterations=iterations, round_decimals=round_decimals
+    )
+    return pc1.select(F.lit(1).alias("component"), "i", "loading", "eigenvalue").unionByName(
+        pc2.select(F.lit(2).alias("component"), "i", "loading", "eigenvalue")
+    )
+
+
+def pca_label_projection(
+    df: DataFrame,
+    vector_column: str,
+    label_column: str,
+    iterations: int = 6,
+) -> DataFrame:
+    """Per-label centroid coordinates in the corpus's top-2 principal
+    plane — the class-separation / drift-visualization audit a
+    training-data pipeline runs over labeled embeddings (are classes
+    separable along the dominant variance directions?).
+
+    By linearity, the mean projection of a label group equals the
+    projection of the group's MEAN VECTOR — so no per-row score
+    materializes: one posexplode pass reduces the corpus to
+    (label × d) exact-decimal dimension sums, and the dot with the
+    :func:`pca_top2` loadings runs on that bounded table. Every sum
+    crosses engines as exact decimal (12dp lattice); the single
+    divide-by-n and the output rounding are deterministic IEEE on
+    bit-identical inputs.
+
+    Scale posture: corpus touched twice total (covariance pass inside
+    pca_top2 + the label-sum pass), both fully partial-aggregatable;
+    everything downstream is (labels × d)-bounded.
+
+    Returns (label, n_vectors, mean_pc1, mean_pc2, lam1, lam2)."""
+    # comps is 2d rows and consumed twice (projection join + the
+    # eigenvalue pivot) — checkpoint so the pc2 chain's tail doesn't
+    # re-execute per consumer.
+    comps = pca_top2(df, vector_column, iterations=iterations).localCheckpoint()
+    v = F.transform(F.col(vector_column), lambda x: x.cast("double"))
+    sums = (
+        df.select(F.col(label_column).alias("label"), F.posexplode(v).alias("i", "_x"))
+        .groupBy("label", "i")
+        .agg(
+            F.sum(
+                F.round(F.col("_x"), 12).cast("decimal(38,12)")
+            ).alias("_s"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+    )
+    terms = sums.join(
+        F.broadcast(comps), on="i"
+    ).select(
+        "label",
+        "_n",
+        "component",
+        F.round(
+            F.col("loading") * F.col("_s").cast("double"), 12
+        ).cast("decimal(38,12)").alias("_t"),
+    )
+    eig = (
+        comps.groupBy()
+        .agg(
+            F.max(F.when(F.col("component") == 1, F.col("eigenvalue"))).alias("lam1"),
+            F.max(F.when(F.col("component") == 2, F.col("eigenvalue"))).alias("lam2"),
+        )
+    )
+    return (
+        terms.groupBy("label")
+        .agg(
+            F.max("_n").alias("n_vectors"),
+            F.sum(F.when(F.col("component") == 1, F.col("_t"))).cast("double").alias("_t1"),
+            F.sum(F.when(F.col("component") == 2, F.col("_t"))).cast("double").alias("_t2"),
+        )
+        .crossJoin(F.broadcast(eig))
+        .select(
+            "label",
+            "n_vectors",
+            (F.round(F.col("_t1") / F.col("n_vectors"), 6) + F.lit(0.0)).alias("mean_pc1"),
+            (F.round(F.col("_t2") / F.col("n_vectors"), 6) + F.lit(0.0)).alias("mean_pc2"),
+            "lam1",
+            "lam2",
+        )
+    )
+
+
 def nn_descent(
     df: DataFrame,
     id_column: str,

@@ -13739,8 +13739,327 @@ FROM audit""")
 EM25_SQL = _em25_sql(14, 3)
 
 
+# --------------------------------------------------------------------------
+# Round-8 additions
+
+
+def em28_pca_label_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 PCA of the embedding corpus + per-label centroid
+    coordinates in the principal plane (operators.similarity.pca_top2
+    / pca_label_projection) — the class-separation and
+    drift-visualization audit over labeled embeddings, and the first
+    query to exercise Hotelling DEFLATION (second eigenpair), not just
+    the dominant one (em22).
+
+    ORACLE: unrolls BOTH power-iteration chains (6 rounds each on the
+    em22 decimal lattice), the rank-1 deflation, and the
+    label-sum projection — the hash match proves the whole
+    decomposition arithmetic. By linearity the per-label mean
+    projection equals the projection of the label's exact-decimal
+    mean vector, so no per-row score ever materializes.
+
+    Scale shape: corpus touched twice (covariance pass + label-sum
+    pass, both partial-aggregatable); everything else is d×d- or
+    (labels × d)-bounded."""
+    from paqarin_spark.operators import pca_label_projection
+
+    configure_for_determinism(spark)
+    emb = read_table(spark, sf_dir, "embeddings", spread=True)
+    return pca_label_projection(
+        emb, "embedding", "label", iterations=6
+    ).orderBy("label")
+
+
+def _em28_sql(width: int = 64, iterations: int = 6) -> str:
+    # Every stage CTE is MATERIALIZED (the em25/em27 precedent):
+    # DuckDB inlines plain CTEs per reference, and the stacked
+    # iteration chains would re-expand the covariance scan
+    # exponentially (observed: file-handle exhaustion at 2 chains).
+    def chain(tag: str, mat: str) -> str:
+        its = []
+        for t in range(1, iterations + 1):
+            its.append(f"""
+w{tag}{t} AS MATERIALIZED (
+  SELECT m.i,
+         CAST(SUM(CAST(ROUND(m.cov * v.vj, 12) AS DECIMAL(30,12)))
+              AS DOUBLE) AS wi
+  FROM {mat} m JOIN v{tag}{t-1} v ON v.j = m.j
+  GROUP BY m.i
+), n{tag}{t} AS MATERIALIZED (
+  SELECT SQRT(CAST(SUM(CAST(ROUND(wi * wi, 12) AS DECIMAL(38,12)))
+              AS DOUBLE)) AS nrm
+  FROM w{tag}{t}
+), v{tag}{t} AS MATERIALIZED (
+  SELECT w.i AS j, ROUND(w.wi / n.nrm, 6) AS vj
+  FROM w{tag}{t} w CROSS JOIN n{tag}{t} n
+)""")
+        return ",".join(its)
+
+    last = iterations
+    return f"""
+WITH cov AS MATERIALIZED (
+  SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j,
+         ROUND(COVAR_POP(xi, xj), 6) + 0.0 AS cov
+  FROM (
+    SELECT a.i, a.xi, b.j, b.xj
+    FROM embeddings e,
+    LATERAL (
+      SELECT generate_subscripts(embedding, 1) - 1 AS i,
+             UNNEST(embedding) AS xi
+    ) a,
+    LATERAL (
+      SELECT generate_subscripts(embedding, 1) - 1 AS j,
+             UNNEST(embedding) AS xj
+    ) b
+    WHERE a.i <= b.j
+  ) GROUP BY i, j
+), mat AS MATERIALIZED (
+  SELECT i, j, cov FROM cov
+  UNION ALL
+  SELECT j AS i, i AS j, cov FROM cov WHERE i <> j
+), va0 AS (
+  SELECT UNNEST(range({width})) AS j, 1.0 AS vj
+),{chain('a', 'mat')}, pc1 AS MATERIALIZED (
+  SELECT j AS i, vj AS v FROM va{last}
+), l1 AS MATERIALIZED (
+  SELECT ROUND(nrm, 6) AS lam FROM na{last}
+), cov2 AS MATERIALIZED (
+  SELECT c.i, c.j,
+         ROUND(c.cov - ROUND(l.lam * a.v * b.v, 12), 6) + 0.0 AS cov
+  FROM cov c
+  JOIN pc1 a ON a.i = c.i
+  JOIN pc1 b ON b.i = c.j
+  CROSS JOIN l1 l
+), mat2 AS MATERIALIZED (
+  SELECT i, j, cov FROM cov2
+  UNION ALL
+  SELECT j AS i, i AS j, cov FROM cov2 WHERE i <> j
+), vb0 AS (
+  SELECT UNNEST(range({width})) AS j, 1.0 AS vj
+),{chain('b', 'mat2')}, l2 AS MATERIALIZED (
+  SELECT ROUND(nrm, 6) AS lam FROM nb{last}
+), loadings AS MATERIALIZED (
+  SELECT 1 AS component, i, v FROM pc1
+  UNION ALL
+  SELECT 2 AS component, j AS i, vj AS v FROM vb{last}
+), ls AS MATERIALIZED (
+  SELECT label, a.i,
+         SUM(CAST(ROUND(a.x, 12) AS DECIMAL(38,12))) AS s,
+         COUNT(*) AS n
+  FROM embeddings e,
+  LATERAL (
+    SELECT generate_subscripts(embedding, 1) - 1 AS i,
+           UNNEST(embedding) AS x
+  ) a
+  GROUP BY label, a.i
+), terms AS MATERIALIZED (
+  SELECT s.label, s.n, l.component,
+         CAST(ROUND(l.v * CAST(s.s AS DOUBLE), 12) AS DECIMAL(38,12)) AS t
+  FROM ls s JOIN loadings l ON l.i = s.i
+), agg AS MATERIALIZED (
+  SELECT label, MAX(n) AS n_vectors,
+         CAST(SUM(CASE WHEN component = 1 THEN t END) AS DOUBLE) AS t1,
+         CAST(SUM(CASE WHEN component = 2 THEN t END) AS DOUBLE) AS t2
+  FROM terms GROUP BY label
+)
+SELECT CAST(a.label AS INTEGER) AS label,
+       CAST(a.n_vectors AS BIGINT) AS n_vectors,
+       ROUND(a.t1 / a.n_vectors, 6) + 0.0 AS mean_pc1,
+       ROUND(a.t2 / a.n_vectors, 6) + 0.0 AS mean_pc2,
+       l1.lam + 0.0 AS lam1,
+       l2.lam + 0.0 AS lam2
+FROM agg a CROSS JOIN l1 CROSS JOIN l2
+ORDER BY label
+"""
+
+
+EM28_SQL = _em28_sql()
+
+
+TX49_BLOCKLIST = [
+    "table hash",
+    "part filter",
+    "customer join",
+    "slow query",
+    "scan slow",
+    "sort merge",
+    "hash join",
+    "big data",
+    "drop table",
+    "never matches",
+]
+
+
+def tx49_blocklist_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase-blocklist content filter (operators.corpus.
+    blocklist_phrase_hits) — the banned-phrase gate of the C4/CCNet
+    curation funnels, as the per-phrase reach report: document counts
+    and non-distinct occurrence totals for every phrase on the list,
+    zero-hit phrases included (the dashboard must show the whole
+    list). Exact word-bigram matching on the shared normalized token
+    alphabet — a blocklist must not fire inside larger words, so no
+    substring LIKE.
+
+    Scale shape: blocklist bounded by construction → broadcast hash
+    join keyed on the gram; the corpus side is one tokenize + n-gram
+    explode, no corpus-sized shuffle; output is |blocklist| rows."""
+    from paqarin_spark.operators import blocklist_phrase_hits
+
+    configure_for_determinism(spark)
+    docs = _docs(spark, sf_dir)
+    return blocklist_phrase_hits(
+        docs, "text", "doc_id", TX49_BLOCKLIST, n=2
+    ).orderBy("phrase")
+
+
+TX49_SQL = """
+WITH blk AS (
+  SELECT * FROM (VALUES
+    ('table hash'), ('part filter'), ('customer join'), ('slow query'),
+    ('scan slow'), ('sort merge'), ('hash join'), ('big data'),
+    ('drop table'), ('never matches')
+  ) v(phrase)
+), toks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ',
+                                          'g')), ' ') AS ts
+  FROM documents
+), grams AS (
+  SELECT doc_id, ts[i] || ' ' || ts[i + 1] AS gram
+  FROM toks, LATERAL (SELECT UNNEST(range(1, len(ts))) AS i)
+  WHERE len(ts) >= 2
+), hits AS (
+  SELECT g.gram AS phrase,
+         COUNT(DISTINCT g.doc_id) AS n_docs,
+         COUNT(*) AS n_hits
+  FROM grams g JOIN blk b ON b.phrase = g.gram
+  GROUP BY 1
+)
+SELECT b.phrase,
+       CAST(COALESCE(h.n_docs, 0) AS BIGINT) AS n_docs,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits
+FROM blk b LEFT JOIN hits h ON h.phrase = b.phrase
+ORDER BY b.phrase
+"""
+
+
+def ev18_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired sign-flip permutation test (metrics.errors.
+    paired_permutation_test) between two one-step-ahead forecasting
+    heads — lag-1 naive vs the 4-lag moving average — on per-user MAE:
+    the SIGNIFICANCE check missing beside the point metrics (ev5/ev11
+    report errors; this reports whether the difference beats chance).
+    200 md5-keyed sign permutations (the q72 draw construction), exact
+    DECIMAL sums, and the |mean| comparison reduced to the exact SUMS
+    (same n every permutation) so no float division sits near the
+    decision boundary. Two-sided add-one p-value.
+
+    Scale shape: the corpus reduces to one diff row per user before
+    the rounds × users fan-out (linear, partial-aggregatable, 200
+    groups); the ORACLE replays every stage including all 200
+    permutation statistics."""
+    from paqarin_spark.metrics.errors import paired_permutation_test
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = ev.where(F.col("value").isNotNull()).select(
+        "user_id",
+        "value",
+        F.lag("value", 1).over(w).alias("_l1"),
+        F.lag("value", 2).over(w).alias("_l2"),
+        F.lag("value", 3).over(w).alias("_l3"),
+        F.lag("value", 4).over(w).alias("_l4"),
+    )
+    scored = lagged.where(F.col("_l4").isNotNull()).select(
+        "user_id",
+        F.round(F.abs(F.col("value") - F.col("_l1")), 12)
+        .cast("decimal(38,12)")
+        .alias("_ea"),
+        F.round(
+            F.abs(
+                F.col("value")
+                - F.round(
+                    (
+                        F.col("_l1")
+                        + F.col("_l2")
+                        + F.col("_l3")
+                        + F.col("_l4")
+                    )
+                    / F.lit(4.0),
+                    12,
+                )
+            ),
+            12,
+        )
+        .cast("decimal(38,12)")
+        .alias("_eb"),
+    )
+    diffs = scored.groupBy("user_id").agg(
+        F.round(
+            F.round(
+                F.sum("_ea").cast("double") / F.count(F.lit(1)), 12
+            )
+            - F.round(
+                F.sum("_eb").cast("double") / F.count(F.lit(1)), 12
+            ),
+            12,
+        ).alias("_diff")
+    )
+    return paired_permutation_test(
+        diffs, "user_id", "_diff", rounds=200, seed="ev18"
+    )
+
+
+EV18_SQL = """
+WITH lagged AS (
+  SELECT user_id, value,
+         LAG(value, 1) OVER w AS l1,
+         LAG(value, 2) OVER w AS l2,
+         LAG(value, 3) OVER w AS l3,
+         LAG(value, 4) OVER w AS l4
+  FROM events
+  WHERE value IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), scored AS (
+  SELECT user_id,
+         CAST(ROUND(ABS(value - l1), 12) AS DECIMAL(38,12)) AS ea,
+         CAST(ROUND(ABS(value - ROUND((l1 + l2 + l3 + l4) / 4.0, 12)), 12)
+              AS DECIMAL(38,12)) AS eb
+  FROM lagged WHERE l4 IS NOT NULL
+), diffs AS (
+  SELECT CAST(user_id AS VARCHAR) AS k,
+         CAST(ROUND(ROUND(CAST(SUM(ea) AS DOUBLE) / COUNT(*), 12)
+                    - ROUND(CAST(SUM(eb) AS DOUBLE) / COUNT(*), 12), 12)
+              AS DECIMAL(38,12)) AS d
+  FROM scored GROUP BY user_id
+), obs AS (
+  SELECT COUNT(*) AS n, SUM(d) AS t_obs FROM diffs
+), perms AS (
+  SELECT r.r,
+         SUM(CASE WHEN ('0x' || substring(md5('ev18#' || r.r || '#' || k),
+               1, 15))::UBIGINT / 1152921504606846976.0 < 0.5
+             THEN d ELSE -d END) AS t
+  FROM diffs, (SELECT UNNEST(range(1, 201)) AS r) r
+  GROUP BY r.r
+), ext AS (
+  SELECT SUM(CASE WHEN ABS(t) >= (SELECT ABS(t_obs) FROM obs)
+             THEN 1 ELSE 0 END) AS n_extreme
+  FROM perms
+)
+SELECT CAST(o.n AS BIGINT) AS n_units,
+       ROUND(CAST(o.t_obs AS DOUBLE) / o.n, 6) + 0.0 AS mean_diff,
+       CAST(e.n_extreme AS BIGINT) AS n_extreme,
+       ROUND((1 + e.n_extreme) / 201.0, 6) AS p_value
+FROM obs o CROSS JOIN ext e
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- round-7 additions (never driver-verified) come first ---
+    # --- round-8 additions (never driver-verified) come first ---
+    "em28_pca_label_projection": em28_pca_label_projection,
+    "tx49_blocklist_phrases": tx49_blocklist_phrases,
+    "ev18_permutation_test": ev18_permutation_test,
+    # --- round-7 additions, r7-locally-verified ---
     "em27_graph_ingest_recall": em27_graph_ingest_recall,
     "em26_graph_search_recall": em26_graph_search_recall,
     "ev17_classifier_calibration": ev17_classifier_calibration,
@@ -14037,6 +14356,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # single-statement SQL — declared so the driver proves the neural
 # train/sample lifecycle runs, not to widen the oracle surface.
 ORACLE_SQL: dict[str, str] = {
+    "em28_pca_label_projection": EM28_SQL,
+    "tx49_blocklist_phrases": TX49_SQL,
+    "ev18_permutation_test": EV18_SQL,
     "tx45_naive_bayes_lang": TX45_SQL,
     "tx46_bpe_train": TX46_SQL,
     "tx47_bpe_encode_stats": TX47_SQL,

@@ -259,3 +259,38 @@ def test_bpe_train_validates_and_stops_early(spark):
     # single-char words: no adjacent pairs ever -> zero merge records
     recs, _ = bpe_train(docs, "text", rounds=4)
     assert recs == []
+
+
+# ------------------------------------------------- blocklist phrase hits
+
+
+def test_blocklist_phrase_hits_counts_and_zero_rows(spark):
+    """Non-distinct occurrence counts vs distinct doc reach; zero-hit
+    phrases still appear; matching is exact word-bigram equality on
+    the normalized alphabet (no substring fire: 'tablet hash' must not
+    hit 'table hash'); punctuation normalizes away."""
+    import pytest
+
+    from paqarin_spark.operators import blocklist_phrase_hits
+
+    rows = [
+        (1, "Table hash, table hash and sort merge."),
+        (2, "the tablet hash misses but table hash hits"),
+        (3, "nothing relevant here"),
+        (4, "sort   merge"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["phrase"]: (r["n_docs"], r["n_hits"])
+        for r in blocklist_phrase_hits(
+            docs, "text", "doc_id", ["table hash", "sort merge", "absent pair"]
+        ).collect()
+    }
+    assert out["table hash"] == (2, 3)  # doc1 twice + doc2 once
+    assert out["sort merge"] == (2, 2)
+    assert out["absent pair"] == (0, 0)
+    assert len(out) == 3
+    with pytest.raises(ValueError, match="non-empty"):
+        blocklist_phrase_hits(docs, "text", "doc_id", [])
+    with pytest.raises(ValueError, match="n must be"):
+        blocklist_phrase_hits(docs, "text", "doc_id", ["x"], n=0)

@@ -52,3 +52,37 @@ def test_mean_absolute_error(spark):
         [(1.0, 2.0), (3.0, 1.0)], "label double, pred double"
     )
     assert mean_absolute_error(df, "label", "pred") == 1.5
+
+
+# ----------------------------------------- paired permutation test
+
+
+def test_paired_permutation_test_separates_signal_from_noise(spark):
+    """A strongly one-sided diff set is significant (every sign flip
+    shrinks |T|), a symmetric one is not; the add-one p-value bounds
+    hold and n_extreme is consistent with p."""
+    import pytest
+
+    from paqarin_spark.metrics.errors import paired_permutation_test
+
+    signal = spark.createDataFrame(
+        [(i, 1.0 + 0.01 * i) for i in range(40)], "k int, d double"
+    )
+    r = paired_permutation_test(signal, "k", "d", rounds=99).collect()[0]
+    assert r["n_units"] == 40
+    assert r["mean_diff"] > 1.0
+    assert r["p_value"] <= 0.05
+    assert r["n_extreme"] == round(r["p_value"] * 100) - 1
+
+    # antisymmetric diffs: T_obs == 0, every permutation is >= in
+    # absolute value, so the p-value is exactly 1
+    noise = spark.createDataFrame(
+        [(i, 1.0 if i % 2 == 0 else -1.0) for i in range(40)],
+        "k int, d double",
+    )
+    r2 = paired_permutation_test(noise, "k", "d", rounds=99).collect()[0]
+    assert r2["mean_diff"] == 0.0
+    assert r2["p_value"] == 1.0
+
+    with pytest.raises(ValueError, match="rounds"):
+        paired_permutation_test(signal, "k", "d", rounds=0)

@@ -1081,3 +1081,72 @@ def test_nn_descent_ingest_rejects_id_collision(spark):
     g = spark.createDataFrame([(0, 1, 0.5)], "node long, nbr long, cos_sim double")
     with pytest.raises(ValueError, match="collide"):
         nn_descent_ingest(g, emb, emb.limit(1), "vec_id", "embedding", k=1)
+
+
+# ------------------------------------------------------------ PCA top-2
+
+
+def test_pca_top2_matches_numpy_on_planted_spectrum(spark):
+    """Two planted dominant directions with a well-separated spectrum:
+    both components align with numpy eigh's top-2 eigenvectors and
+    both eigenvalue estimates match, proving the deflation actually
+    removes the first component (a broken deflation would re-converge
+    to pc1)."""
+    import numpy as np
+
+    from paqarin_spark.operators import pca_top2
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(300, 5)) * 0.05
+    base[:, 1] += rng.normal(size=300) * 4.0
+    base[:, 3] += rng.normal(size=300) * 2.0
+    rows = [(int(i), [float(x) for x in base[i]]) for i in range(300)]
+    df = spark.createDataFrame(rows, "id int, v array<double>")
+    out = pca_top2(df, "v", iterations=10).collect()
+    C = np.cov(base.T, bias=True)
+    evals, evecs = np.linalg.eigh(C)
+    for comp, eidx in ((1, -1), (2, -2)):
+        got = np.array(
+            [r["loading"] for r in sorted(
+                (r for r in out if r["component"] == comp),
+                key=lambda r: r["i"],
+            )]
+        )
+        lam = [r["eigenvalue"] for r in out if r["component"] == comp][0]
+        cos = abs(got @ evecs[:, eidx]) / np.linalg.norm(got)
+        assert cos > 0.9999, (comp, cos)
+        assert abs(lam - evals[eidx]) < 1e-3, (comp, lam, evals[eidx])
+
+
+def test_pca_label_projection_matches_loadings_linearity(spark):
+    """Per-label mean projection equals the dot of the label's mean
+    vector with the returned loadings (the linearity identity the
+    operator exploits), and eigenvalues repeat pca_top2's."""
+    import numpy as np
+
+    from paqarin_spark.operators import pca_label_projection, pca_top2
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(120, 4))
+    base[:, 0] *= 3.0
+    labels = [i % 3 for i in range(120)]
+    rows = [
+        (int(labels[i]), [float(x) for x in base[i]]) for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "label int, v array<double>")
+    out = {r["label"]: r for r in pca_label_projection(df, "v", "label").collect()}
+    comps = pca_top2(df, "v").collect()
+    v1 = np.array([r["loading"] for r in sorted(
+        (r for r in comps if r["component"] == 1), key=lambda r: r["i"])])
+    v2 = np.array([r["loading"] for r in sorted(
+        (r for r in comps if r["component"] == 2), key=lambda r: r["i"])])
+    lam1 = [r["eigenvalue"] for r in comps if r["component"] == 1][0]
+    lam2 = [r["eigenvalue"] for r in comps if r["component"] == 2][0]
+    for lab in (0, 1, 2):
+        mask = np.array(labels) == lab
+        mean_vec = base[mask].mean(axis=0)
+        r = out[lab]
+        assert r["n_vectors"] == int(mask.sum())
+        assert abs(r["mean_pc1"] - float(mean_vec @ v1)) < 1e-5
+        assert abs(r["mean_pc2"] - float(mean_vec @ v2)) < 1e-5
+        assert r["lam1"] == lam1 and r["lam2"] == lam2
