@@ -2008,3 +2008,171 @@ def srt_stats_from_ids(df: DataFrame, id_column: str) -> DataFrame:
     return _spread_ids(df, id_column).mapInPandas(
         build, schema=SRT_STATS_SCHEMA
     )
+
+
+# ---------------------------------------------------------------- tar / ustar
+
+
+def encode_ustar(members: list[tuple[str, bytes]]) -> bytes:
+    """Honest POSIX ustar writer (IEEE 1003.1 header layout, the
+    WebDataset shard container): per member one 512-byte header —
+    NUL-padded name, octal size, mtime 0, the space-seeded checksum —
+    followed by the payload padded to 512-byte blocks, closed by two
+    zero blocks. Deterministic: fixed mode/uid/gid/mtime, members
+    written in the order given."""
+    out = bytearray()
+    for name, payload in members:
+        nb = name.encode("utf-8")
+        if len(nb) > 100:
+            raise ValueError(f"member name too long for ustar: {name!r}")
+        header = bytearray(512)
+        header[0:len(nb)] = nb                          # name
+        header[100:108] = b"0000644\x00"                # mode
+        header[108:116] = b"0000000\x00"                # uid
+        header[116:124] = b"0000000\x00"                # gid
+        header[124:136] = f"{len(payload):011o}".encode() + b"\x00"  # size
+        header[136:148] = b"00000000000\x00"            # mtime 0
+        header[148:156] = b" " * 8                      # chksum seed
+        header[156:157] = b"0"                          # typeflag: regular
+        header[257:263] = b"ustar\x00"                  # magic
+        header[263:265] = b"00"                         # version
+        chksum = sum(header)
+        header[148:156] = f"{chksum:06o}".encode() + b"\x00 "
+        out += header
+        out += payload
+        if len(payload) % 512:
+            out += b"\x00" * (512 - len(payload) % 512)
+    out += b"\x00" * 1024
+    return bytes(out)
+
+
+def parse_tar_members(content: bytes) -> list[dict] | None:
+    """Honest tar reader: walks 512-byte headers, re-verifies every
+    header checksum (the space-seeded byte sum), reads octal sizes,
+    slices payloads, and stops at the terminating zero block. Returns
+    ``None`` for malformed archives (bad checksum, truncated payload,
+    non-octal size) — never a partial guess. Only regular files
+    (typeflag '0' or NUL) are returned; other entry kinds are walked
+    over but skipped, like a shard consumer would."""
+    members = []
+    off = 0
+    n = len(content)
+    while off + 512 <= n:
+        header = content[off:off + 512]
+        if header == b"\x00" * 512:
+            return members
+        stored = header[148:156]
+        try:
+            chk = int(stored.rstrip(b"\x00 ").lstrip(b" ") or b"0", 8)
+            size = int(
+                header[124:136].rstrip(b"\x00 ").lstrip(b" ") or b"0", 8
+            )
+        except ValueError:
+            return None
+        if sum(header[:148]) + 8 * 32 + sum(header[156:]) != chk:
+            return None
+        name = header[0:100].split(b"\x00", 1)[0].decode("utf-8", "replace")
+        data_end = off + 512 + size
+        if data_end > n:
+            return None
+        if header[156] in (0x30, 0x00):  # '0' or NUL: regular file
+            members.append(
+                {
+                    "name": name,
+                    "size": size,
+                    "payload": content[off + 512:data_end],
+                }
+            )
+        off = off + 512 + ((size + 511) // 512) * 512
+    return None  # ran off the end without a terminator
+
+
+TAR_SHARD_SCHEMA = StructType(
+    [
+        StructField("shard_id", IntegerType()),
+        StructField("content", BinaryType()),
+    ]
+)
+
+TAR_MEMBER_SCHEMA = StructType(
+    [
+        StructField("shard_id", IntegerType()),
+        StructField("name", StringType()),
+        StructField("size", LongType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+
+def tar_shards_from_docs(
+    df: DataFrame,
+    id_column: str,
+    text_column: str,
+    num_shards: int = 8,
+) -> DataFrame:
+    """WebDataset-style shard WRITER: pack a document corpus into
+    ``num_shards`` tar archives — the container format large-scale
+    multimodal/text training loaders stream (one sequential read per
+    shard, no per-file filesystem ops). Member names are the zero-
+    padded doc id + ``.txt``; members are sorted by id within a shard
+    so the archive bytes are layout-independent.
+
+    Scale posture: ONE groupBy on the shard key; each task builds one
+    shard's bytes in memory — the writer's contract is that the
+    caller sizes ``num_shards`` so a shard fits a task (the same
+    contract real shard writers have). Nothing passes through the
+    driver."""
+    if num_shards < 1:
+        raise ValueError("num_shards must be >= 1")
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_id")
+        members = [
+            (f"{int(i):012d}.txt", ("" if t is None else str(t)).encode("utf-8"))
+            for i, t in zip(pdf["_id"], pdf["_text"])
+        ]
+        return pd.DataFrame(
+            {
+                "shard_id": [int(pdf["_shard"].iloc[0])],
+                "content": [encode_ustar(members)],
+            }
+        )
+
+    staged = df.select(
+        F.col(id_column).cast("long").alias("_id"),
+        F.col(text_column).alias("_text"),
+        (F.col(id_column) % num_shards).cast("int").alias("_shard"),
+    )
+    return staged.groupBy("_shard").applyInPandas(
+        build, schema=TAR_SHARD_SCHEMA
+    )
+
+
+def tar_members_table(df: DataFrame) -> DataFrame:
+    """Shard READER: explode (shard_id, content) tar archives into one
+    row per member via Arrow-batched mapInPandas — the ingest half of
+    the WebDataset path. Malformed archives yield a single row with
+    NULL name/size/payload so corruption is visible downstream, not
+    silently dropped."""
+
+    def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in TAR_MEMBER_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                sid = int(row["shard_id"])
+                members = parse_tar_members(bytes(row["content"]))
+                if members is None:
+                    rows.append(
+                        {"shard_id": sid, "name": None, "size": None,
+                         "payload": None}
+                    )
+                    continue
+                for m in members:
+                    rows.append(
+                        {"shard_id": sid, "name": m["name"],
+                         "size": m["size"], "payload": m["payload"]}
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(walk, schema=TAR_MEMBER_SCHEMA)

@@ -618,3 +618,119 @@ def blocklist_phrase_hits(
             F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
         )
     )
+
+
+def textrank_keywords(
+    df: DataFrame,
+    text_column: str,
+    id_column: str,
+    vocab_size: int = 128,
+    window: int = 2,
+    iterations: int = 3,
+    top_k: int = 20,
+) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004):
+    corpus-level keywords as the PageRank of the word co-occurrence
+    graph — the unsupervised keyword/keyphrase primitive a curation
+    pipeline uses for topic inventories and index terms. Composes the
+    existing :func:`paqarin_spark.operators.graph.pagerank` (fixed
+    rounds, dangling mass, the q69 replay discipline) over a graph
+    built here.
+
+    Construction: candidate vocabulary = top ``vocab_size`` tokens by
+    document frequency (the paper's POS filter re-expressed as a
+    frequency gate, which also BOUNDS the graph); undirected edges
+    join candidate tokens co-occurring within ``window`` raw token
+    positions, weighted by co-occurrence count; ranks run
+    ``iterations`` rounds at damping 0.85; top ``top_k`` by
+    (6dp-rounded score DESC, token ASC) — ranking on the ROUNDED score
+    so the cut sits on the replay lattice, not on last-ulp float
+    order.
+
+    Scale posture: the position pair stage is an equality join on
+    (doc, position) with fanout exactly ``window`` per token — never
+    doc-length²; the vocabulary gate broadcasts (bounded by
+    construction); pagerank then iterates on a ≤``vocab_size``-node
+    graph. One corpus tokenize pass feeds both the gate and the pairs
+    (cached projection).
+
+    Returns (rk, token, score)."""
+    from paqarin_spark.operators.graph import pagerank
+
+    if vocab_size < 2 or window < 1 or top_k < 1:
+        raise ValueError("vocab_size >= 2, window >= 1, top_k >= 1 required")
+    pos = (
+        df.select(
+            F.col(id_column).alias("_doc"),
+            F.posexplode(
+                F.split(normalized_text(F.col(text_column)), " ")
+            ).alias("_pos", "_tok"),
+        )
+        .where(F.col("_tok") != "")
+        .persist()
+    )
+    vocab = (
+        pos.select("_doc", "_tok")
+        .distinct()
+        .groupBy("_tok")
+        .agg(F.count(F.lit(1)).alias("_df"))
+    )
+    # orderBy+limit plans TakeOrderedAndProject (per-partition partial
+    # top-k, then one bounded merge) — a row_number window here would
+    # single-partition-sort the whole corpus vocabulary
+    gate = (
+        vocab.orderBy(F.desc("_df"), F.asc("_tok"))
+        .limit(vocab_size)
+        .select("_tok")
+    )
+    cand = pos.join(F.broadcast(gate), on="_tok").select(
+        "_doc", "_pos", "_tok"
+    )
+    left = cand.select(
+        "_doc",
+        F.col("_tok").alias("_ta"),
+        F.explode(
+            F.sequence(F.col("_pos") + 1, F.col("_pos") + window)
+        ).alias("_p2"),
+    )
+    right = cand.select(
+        "_doc", F.col("_pos").alias("_p2"), F.col("_tok").alias("_tb")
+    )
+    und = (
+        left.join(right, on=["_doc", "_p2"])
+        .where(F.col("_ta") != F.col("_tb"))
+        .select(
+            F.least("_ta", "_tb").alias("_u"),
+            F.greatest("_ta", "_tb").alias("_v"),
+        )
+        .groupBy("_u", "_v")
+        .agg(F.count(F.lit(1)).alias("_w"))
+    )
+    # localCheckpoint BEFORE the iteration, not just persist: pagerank
+    # re-PLANS its loop state every round, and Catalyst planning over
+    # this build's join/explode subtree costs ~10x the execution
+    # (measured 45s -> 4s at sf0.001). Checkpointing truncates the
+    # lineage to a scan; the graph is vocab-bounded so the
+    # materialization is small.
+    edges = und.unionByName(
+        und.select(
+            F.col("_v").alias("_u"), F.col("_u").alias("_v"), "_w"
+        )
+    ).localCheckpoint()
+    pos.unpersist()
+    ranks = pagerank(
+        edges, src="_u", dst="_v", weight="_w",
+        iterations=iterations, damping=0.85,
+    )
+    wr = Window.orderBy(F.desc("score"), F.asc("token"))
+    return (
+        ranks.select(
+            F.col("node").alias("token"),
+            F.round("rank", 6).alias("score"),
+        )
+        .select(
+            F.row_number().over(wr).alias("rk"), "token", "score"
+        )
+        .where(F.col("rk") <= top_k)
+        .orderBy("rk")
+    )

@@ -14054,11 +14054,248 @@ FROM obs o CROSS JOIN ext e
 """
 
 
+def mm15_tar_shard_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style tar shard WRITE → READ round-trip
+    (multimodal.tar_shards_from_docs / tar_members_table): the corpus
+    packs into 8 honest POSIX-ustar archives (512-byte headers,
+    space-seeded checksums — encode_ustar), the reader walks the raw
+    bytes back out with checksums re-verified, and the report proves
+    PAYLOAD fidelity: per-shard member counts, byte totals, name range,
+    and the q72 md5-prefix content digest computed from the EXTRACTED
+    payload bytes. The ORACLE computes the same manifest straight from
+    the documents table, so a hash match means every byte survived the
+    container. tests/test_multimodal.py cross-validates the format
+    against the stdlib tarfile module in both directions.
+
+    Scale shape: one groupBy on the shard key to write (each task
+    builds one shard — the caller sizes shard count, the same contract
+    real shard writers have), one mapInPandas to read; no driver
+    involvement."""
+    from paqarin_spark.multimodal import (
+        tar_members_table,
+        tar_shards_from_docs,
+    )
+
+    configure_for_determinism(spark)
+    docs = _docs(spark, sf_dir)
+    shards = tar_shards_from_docs(docs, "doc_id", "text", num_shards=8)
+    members = tar_members_table(shards)
+    return (
+        members.select(
+            "shard_id",
+            "name",
+            "size",
+            F.conv(F.substring(F.md5("payload"), 1, 15), 16, 10)
+            .cast("decimal(38,0)")
+            .alias("_h"),
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("size").cast("bigint").alias("total_payload_bytes"),
+            F.min("name").alias("first_member"),
+            F.max("name").alias("last_member"),
+            (F.sum("_h").cast("decimal(38,0)") % F.lit(1 << 61))
+            .cast("bigint")
+            .alias("content_digest"),
+        )
+        .orderBy("shard_id")
+    )
+
+
+MM15_SQL = """
+WITH m AS (
+  SELECT CAST(doc_id % 8 AS INTEGER) AS shard_id,
+         lpad(CAST(doc_id AS VARCHAR), 12, '0') || '.txt' AS name,
+         octet_length(encode(COALESCE(text, ''))) AS nbytes,
+         CAST(('0x' || substring(md5(COALESCE(text, '')), 1, 15))::UBIGINT
+              AS DECIMAL(38,0)) AS h
+  FROM documents
+)
+SELECT shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(nbytes) AS BIGINT) AS total_payload_bytes,
+       MIN(name) AS first_member,
+       MAX(name) AS last_member,
+       CAST(CAST(SUM(h) AS DECIMAL(38,0)) % 2305843009213693952 AS BIGINT)
+         AS content_digest
+FROM m GROUP BY shard_id ORDER BY shard_id
+"""
+
+
+def st18_stream_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING prequential anomaly detection (streaming.
+    stream_ewma_anomaly): every event scores against the EWMA of its
+    per-user predecessors (|x − s_prev| > 100 after 5 warmup events),
+    then folds in — the online outlier monitor, and the registry's
+    first ORDER-DEPENDENT stateful dual (st1–st17 fold order-free).
+    NULL/NaN values are excluded in the staging projection and the
+    oracle's WHERE mirrors it (the st14/st15 symmetry discipline).
+
+    ORACLE: a recursive CTE replays the identical IEEE recurrence
+    (exact-binary coefficients 0.75/0.25, fixed event-time fold order)
+    per user — the hash match proves the streaming fold IS the
+    sequential replay, not an approximation of it.
+
+    Scale shape: one row of state per user (two watermark scalars +
+    the EWMA + counters); one user-keyed exchange per micro-batch."""
+    from paqarin_spark.streaming import (
+        ewma_from_emissions,
+        stream_ewma_anomaly,
+    )
+
+    configure_for_determinism(spark)
+    stream = _events_stream(spark, sf_dir).where(
+        F.col("value").isNotNull() & ~F.isnan("value")
+    )
+    emi = stream_ewma_anomaly(stream, warmup=5, threshold=100.0)
+    name = "st18_stream_ewma_anomaly"
+    q = (
+        emi.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return ewma_from_emissions(spark.table(name)).orderBy("user_id")
+
+
+ST18_SQL = """
+WITH RECURSIVE src AS (
+  SELECT user_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value)
+), step AS (
+  SELECT user_id, rn, value, CAST(value AS DOUBLE) AS s, 0 AS flagged
+  FROM src WHERE rn = 1
+  UNION ALL
+  SELECT o.user_id, o.rn, o.value,
+         0.75 * st.s + 0.25 * o.value AS s,
+         CASE WHEN o.rn > 5 AND ABS(o.value - st.s) > 100.0
+              THEN 1 ELSE 0 END AS flagged
+  FROM step st JOIN src o
+    ON o.user_id = st.user_id AND o.rn = st.rn + 1
+)
+SELECT user_id,
+       CAST(MAX(rn) AS BIGINT) AS n_events,
+       CAST(SUM(flagged) AS BIGINT) AS n_anomalies,
+       CAST(0 AS BIGINT) AS n_late,
+       ROUND(arg_max(s, rn), 6) AS ewma
+FROM step GROUP BY user_id ORDER BY user_id
+"""
+
+
+def tx48_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (operators.corpus.textrank_keywords
+    — Mihalcea & Tarau 2004): top-20 corpus keywords by PageRank over
+    the word co-occurrence graph (top-128 df-gated vocabulary, window
+    2, 3 damped rounds through operators.graph.pagerank). The ORACLE
+    rebuilds the graph and unrolls the same 3 rounds in CTEs (the q69
+    replay) and ranks on the 6dp-ROUNDED score with token tie-breaks,
+    so the cut sits on the lattice, not on last-ulp float order.
+
+    Scale shape: pair stage is an equality join on (doc, position)
+    with fanout exactly `window` per token; the vocabulary gate is a
+    TakeOrderedAndProject; pagerank iterates on a ≤128-node graph."""
+    from paqarin_spark.operators import textrank_keywords
+
+    configure_for_determinism(spark)
+    docs = _docs(spark, sf_dir)
+    return textrank_keywords(
+        docs, "text", "doc_id",
+        vocab_size=128, window=2, iterations=3, top_k=20,
+    )
+
+
+def _tx48_sql(
+    vocab_size: int = 128,
+    window: int = 2,
+    iterations: int = 3,
+    top_k: int = 20,
+) -> str:
+    rounds = []
+    for t in range(1, iterations + 1):
+        rounds.append(f"""
+i{t} AS (
+  SELECT d, SUM(r.rank * f.frac) AS infl
+  FROM f JOIN r{t-1} r ON f.s = r.node
+  GROUP BY 1
+), d{t} AS (
+  SELECT COALESCE(SUM(rank), 0) AS dm FROM r{t-1}
+  WHERE node NOT IN (SELECT s FROM ow)
+), r{t} AS (
+  SELECT nn AS node, (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / n
+         + CAST(0.85 AS DOUBLE) * (COALESCE(infl, 0) + dm / n) AS rank
+  FROM nodes LEFT JOIN i{t} ON nn = i{t}.d CROSS JOIN d{t} CROSS JOIN nc
+)""")
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, t.pos, t.tok
+  FROM documents,
+  LATERAL (
+    SELECT UNNEST(string_split(
+             trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+             ' ')) AS tok,
+           generate_subscripts(string_split(
+             trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+             ' '), 1) - 1 AS pos
+  ) t
+  WHERE t.tok <> ''
+), gate AS MATERIALIZED (
+  SELECT tok FROM (
+    SELECT tok, COUNT(DISTINCT doc_id) AS df_
+    FROM toks GROUP BY tok
+  ) ORDER BY df_ DESC, tok LIMIT {vocab_size}
+), cand AS MATERIALIZED (
+  SELECT doc_id, pos, tok FROM toks JOIN gate USING (tok)
+), und AS MATERIALIZED (
+  SELECT LEAST(a.tok, b.tok) AS u, GREATEST(a.tok, b.tok) AS v,
+         COUNT(*) AS w
+  FROM cand a JOIN cand b
+    ON a.doc_id = b.doc_id
+   AND b.pos BETWEEN a.pos + 1 AND a.pos + {window}
+  WHERE a.tok <> b.tok
+  GROUP BY 1, 2
+), e AS MATERIALIZED (
+  SELECT u AS s, v AS d, w FROM und
+  UNION ALL
+  SELECT v AS s, u AS d, w FROM und
+), nodes AS MATERIALIZED (
+  SELECT DISTINCT nn FROM (SELECT s AS nn FROM e UNION SELECT d FROM e)
+), nc AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes
+), ow AS MATERIALIZED (
+  SELECT s, SUM(w) AS ow FROM e GROUP BY 1
+), f AS MATERIALIZED (
+  SELECT e.s, e.d, CAST(e.w AS DOUBLE) / CAST(ow.ow AS DOUBLE) AS frac
+  FROM e JOIN ow USING (s)
+), r0 AS (
+  SELECT nn AS node, 1.0 / n AS rank FROM nodes CROSS JOIN nc
+),{",".join(rounds)}
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY ROUND(rank, 6) DESC, node)
+            AS INTEGER) AS rk,
+       node AS token,
+       ROUND(rank, 6) AS score
+FROM r{iterations}
+ORDER BY ROUND(rank, 6) DESC, node
+LIMIT {top_k}
+"""
+
+
+TX48_SQL = _tx48_sql()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-8 additions (never driver-verified) come first ---
     "em28_pca_label_projection": em28_pca_label_projection,
     "tx49_blocklist_phrases": tx49_blocklist_phrases,
     "ev18_permutation_test": ev18_permutation_test,
+    "mm15_tar_shard_roundtrip": mm15_tar_shard_roundtrip,
+    "st18_stream_ewma_anomaly": st18_stream_ewma_anomaly,
+    "tx48_textrank_keywords": tx48_textrank_keywords,
     # --- round-7 additions, r7-locally-verified ---
     "em27_graph_ingest_recall": em27_graph_ingest_recall,
     "em26_graph_search_recall": em26_graph_search_recall,
@@ -14359,6 +14596,9 @@ ORACLE_SQL: dict[str, str] = {
     "em28_pca_label_projection": EM28_SQL,
     "tx49_blocklist_phrases": TX49_SQL,
     "ev18_permutation_test": EV18_SQL,
+    "mm15_tar_shard_roundtrip": MM15_SQL,
+    "st18_stream_ewma_anomaly": ST18_SQL,
+    "tx48_textrank_keywords": TX48_SQL,
     "tx45_naive_bayes_lang": TX45_SQL,
     "tx46_bpe_train": TX46_SQL,
     "tx47_bpe_encode_stats": TX47_SQL,

@@ -1148,3 +1148,149 @@ def class_counts_from_emissions(emissions: DataFrame) -> DataFrame:
         .where(F.col("version") == F.col("_mx"))
         .select("label", "n_docs")
     )
+
+
+def stream_ewma_anomaly(
+    stream: DataFrame,
+    user_column: str = "user_id",
+    ts_column: str = "ts",
+    id_column: str = "event_id",
+    value_column: str = "value",
+    warmup: int = 5,
+    threshold: float = 100.0,
+) -> DataFrame:
+    """Streaming PREQUENTIAL anomaly detection per key: every event is
+    scored against the EWMA of its predecessors (flagged when
+    |x − s_prev| > ``threshold`` after ``warmup`` prior events), then
+    folded in — the online drift/outlier monitor a feature pipeline
+    runs on event streams, and the first ORDER-DEPENDENT stateful dual
+    (st1–st17 are all order-free folds).
+
+    Ordering contract (the watermark analogy, stated not hidden):
+    within a micro-batch the fold sorts each key's rows by
+    (ts, event_id); ACROSS micro-batches rows must arrive in
+    event-time order per key — a row at or below the state's
+    high-water mark is DROPPED and counted in ``n_late``, exactly how
+    a watermarked operator treats late data. A single
+    Trigger.AvailableNow file-source run is one batch, so the batch
+    oracle (a recursive replay in event-time order, zero late) applies
+    verbatim; restarts are exact whenever the file split respects
+    per-key event-time order.
+
+    Determinism: the recurrence s ← 0.75·s + 0.25·x runs in IEEE
+    doubles with exact-binary coefficients and a FIXED fold order, so
+    Python's floats replay DuckDB's recursive-CTE doubles bit-exactly;
+    state carries the EWMA as repr() (shortest round-trip — the cast
+    back parses to the identical double). NULL/NaN values must be
+    excluded upstream in the staging projection (the contract is
+    symmetric with the oracle's WHERE clause, per the st14/st15 NaN
+    precedent).
+
+    State bound: ONE row per key (two watermark scalars + the EWMA
+    string + three counters + a version), O(keys) forever. The fold
+    concatenates one BATCH's chunks per key before sorting — bounded
+    by per-key micro-batch volume, the applyInPandas group contract.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    if warmup < 0:
+        raise ValueError("warmup must be >= 0")
+    staged = stream.select(
+        F.col(user_column).alias("user_id"),
+        F.unix_micros(F.col(ts_column)).alias("_ts_us"),
+        F.col(id_column).cast("long").alias("_eid"),
+        F.col(value_column).cast("double").alias("_v"),
+    )
+    out_type = StructType(
+        [
+            StructField("user_id", LongType(), True),
+            StructField("version", LongType(), False),
+            StructField("n_events", LongType(), False),
+            StructField("n_anomalies", LongType(), False),
+            StructField("n_late", LongType(), False),
+            StructField("ewma_repr", StringType(), True),
+        ]
+    )
+    state_type = StructType(
+        [
+            StructField("last_ts", LongType(), True),
+            StructField("last_eid", LongType(), True),
+            StructField("s_repr", StringType(), True),
+            StructField("n", LongType(), True),
+            StructField("n_anom", LongType(), True),
+            StructField("n_late", LongType(), True),
+            StructField("version", LongType(), True),
+        ]
+    )
+
+    def fold(key, pdf_iter, state: GroupState):
+        if state.exists:
+            last_ts, last_eid, s_repr, n, n_anom, n_late, version = state.get
+            s = None if s_repr is None else float(s_repr)
+        else:
+            last_ts, last_eid, s, n, n_anom, n_late, version = (
+                None, None, None, 0, 0, 0, 0,
+            )
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                ["_ts_us", "_eid"]
+            )
+            for t, e, x in zip(pdf["_ts_us"], pdf["_eid"], pdf["_v"]):
+                t, e, x = int(t), int(e), float(x)
+                if last_ts is not None and (t, e) <= (last_ts, last_eid):
+                    n_late += 1
+                    continue
+                if s is None:
+                    s = x
+                else:
+                    if n >= warmup and abs(x - s) > threshold:
+                        n_anom += 1
+                    s = 0.75 * s + 0.25 * x
+                n += 1
+                last_ts, last_eid = t, e
+        version += 1
+        state.update(
+            (last_ts, last_eid,
+             None if s is None else repr(s), n, n_anom, n_late, version)
+        )
+        yield pd.DataFrame(
+            [(key[0], version, n, n_anom, n_late,
+              None if s is None else repr(s))],
+            columns=["user_id", "version", "n_events", "n_anomalies",
+                     "n_late", "ewma_repr"],
+        )
+
+    return staged.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType=out_type,
+        stateStructType=state_type,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def ewma_from_emissions(emissions: DataFrame) -> DataFrame:
+    """Finish :func:`stream_ewma_anomaly` emissions: max-version row
+    per key, the repr-string EWMA cast back to its identical double,
+    6dp display rounding."""
+    w = Window.partitionBy("user_id")
+    return (
+        emissions.withColumn("_mx", F.max("version").over(w))
+        .where(F.col("version") == F.col("_mx"))
+        .select(
+            "user_id",
+            "n_events",
+            "n_anomalies",
+            "n_late",
+            F.round(F.col("ewma_repr").cast("double"), 6).alias("ewma"),
+        )
+    )

@@ -294,3 +294,42 @@ def test_blocklist_phrase_hits_counts_and_zero_rows(spark):
         blocklist_phrase_hits(docs, "text", "doc_id", [])
     with pytest.raises(ValueError, match="n must be"):
         blocklist_phrase_hits(docs, "text", "doc_id", ["x"], n=0)
+
+
+# ------------------------------------------------------ TextRank keywords
+
+
+def test_textrank_keywords_ranks_hub_token_first(spark):
+    """A planted hub word co-occurring with every other candidate
+    outranks peripheral words; scores are a valid ranking (rk dense
+    from 1, scores non-increasing); the df gate caps the graph; arg
+    validation raises."""
+    import pytest
+
+    from paqarin_spark.operators import textrank_keywords
+
+    # 'spark' sits next to every other content word; satellites only
+    # ever neighbor 'spark'
+    rows = [
+        (1, "spark shuffle spark window spark codegen"),
+        (2, "spark partition spark catalyst spark arrow"),
+        (3, "spark shuffle spark window spark catalyst"),
+        (4, "spark codegen spark partition spark arrow"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = textrank_keywords(
+        docs, "text", "doc_id", vocab_size=16, window=1, top_k=10
+    ).collect()
+    assert out[0]["token"] == "spark" and out[0]["rk"] == 1
+    assert [r["rk"] for r in out] == list(range(1, len(out) + 1))
+    scores = [r["score"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+    assert out[0]["score"] > out[-1]["score"]
+
+    capped = textrank_keywords(
+        docs, "text", "doc_id", vocab_size=2, window=1, top_k=10
+    ).collect()
+    assert len(capped) <= 2  # graph bounded by the vocabulary gate
+
+    with pytest.raises(ValueError, match="vocab_size"):
+        textrank_keywords(docs, "text", "doc_id", vocab_size=1)

@@ -988,3 +988,118 @@ def test_stream_classify_counts_restart_and_batch_parity(spark, tmp_path):
     }
     # sv: 10, 12, 14; bt: 11, 13, and 15 (prior tie, label asc)
     assert got == {"sv": 3, "bt": 3}
+
+
+def test_stream_ewma_anomaly_restart_matches_single_pass(spark, tmp_path):
+    """Order-dependent state pin: a restart that replays only the
+    LATER half (per-key event-time order respected across the split)
+    must land on the same EWMA/anomaly counts as one single-batch
+    pass — only possible if the exact double and the (ts, id)
+    high-water mark were recovered from the state store."""
+    from paqarin_spark.streaming import (
+        ewma_from_emissions,
+        stream_ewma_anomaly,
+    )
+
+    def part(lo, hi):
+        # per-user series with a planted spike at every 9th step
+        return spark.range(lo, hi).select(
+            (F.col("id") % 4).alias("user_id"),
+            F.timestamp_micros(
+                F.lit(1700000000_000000) + F.col("id") * 60_000_000
+            ).alias("ts"),
+            F.col("id").alias("event_id"),
+            F.when(F.col("id") % 9 == 0, F.lit(500.0))
+            .otherwise((F.col("id") % 40) * 1.0)
+            .alias("value"),
+        )
+
+    schema = "user_id long, ts timestamp, event_id long, value double"
+    split_dir = str(tmp_path / "split")
+    full_dir = str(tmp_path / "full")
+    part(0, 60).repartition(1).write.mode("append").parquet(split_dir)
+    part(0, 120).repartition(1).write.mode("append").parquet(full_dir)
+
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+    s1 = spark.readStream.schema(schema).parquet(split_dir)
+    _run_checkpointed_append(
+        spark, stream_ewma_anomaly(s1, warmup=3, threshold=90.0),
+        out_dir, ckpt,
+    )
+    part(60, 120).repartition(1).write.mode("append").parquet(split_dir)
+    s2 = spark.readStream.schema(schema).parquet(split_dir)
+    emi = _run_checkpointed_append(
+        spark, stream_ewma_anomaly(s2, warmup=3, threshold=90.0),
+        out_dir, ckpt,
+    )
+    got = {
+        r["user_id"]: (r["n_events"], r["n_anomalies"], r["n_late"],
+                       r["ewma"])
+        for r in ewma_from_emissions(emi).collect()
+    }
+
+    ckpt2, out2 = str(tmp_path / "ckpt2"), str(tmp_path / "out2")
+    sf = spark.readStream.schema(schema).parquet(full_dir)
+    emi_full = _run_checkpointed_append(
+        spark, stream_ewma_anomaly(sf, warmup=3, threshold=90.0),
+        out2, ckpt2,
+    )
+    want = {
+        r["user_id"]: (r["n_events"], r["n_anomalies"], r["n_late"],
+                       r["ewma"])
+        for r in ewma_from_emissions(emi_full).collect()
+    }
+    assert got == want
+    assert all(n == 30 for n, _, _, _ in got.values())
+    assert sum(a for _, a, _, _ in got.values()) > 0  # spikes flagged
+    assert all(late == 0 for _, _, late, _ in got.values())
+
+
+def test_stream_ewma_anomaly_drops_and_counts_late_rows(spark, tmp_path):
+    """The ordering contract's teeth: a second batch whose rows sit at
+    or below the key's (ts, event_id) high-water mark is dropped from
+    the fold (EWMA unchanged) and surfaced in n_late — the watermark
+    analogy, counted rather than silent."""
+    import pytest
+
+    from paqarin_spark.streaming import (
+        ewma_from_emissions,
+        stream_ewma_anomaly,
+    )
+
+    schema = "user_id long, ts timestamp, event_id long, value double"
+    path = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+    fresh = spark.createDataFrame(
+        [(1, 1_000_000, 10, 4.0), (1, 2_000_000, 11, 8.0)],
+        "user_id long, us long, event_id long, value double",
+    ).select(
+        "user_id", F.timestamp_micros("us").alias("ts"), "event_id", "value"
+    )
+    fresh.repartition(1).write.mode("append").parquet(path)
+    s1 = spark.readStream.schema(schema).parquet(path)
+    _run_checkpointed_append(
+        spark, stream_ewma_anomaly(s1), out_dir, ckpt
+    )
+    late = spark.createDataFrame(
+        [(1, 1_500_000, 5, 999.0), (1, 2_000_000, 11, 999.0),
+         (1, 3_000_000, 12, 6.0)],
+        "user_id long, us long, event_id long, value double",
+    ).select(
+        "user_id", F.timestamp_micros("us").alias("ts"), "event_id", "value"
+    )
+    late.repartition(1).write.mode("append").parquet(path)
+    s2 = spark.readStream.schema(schema).parquet(path)
+    emi = _run_checkpointed_append(
+        spark, stream_ewma_anomaly(s2), out_dir, ckpt
+    )
+    row = ewma_from_emissions(emi).collect()[0]
+    # fold saw 4.0, 8.0, 6.0; the two late rows (ts below HWM; dup id)
+    # never touched the EWMA: ((4*.75+8*.25)... s=4 -> 5.0 -> 5.25
+    assert (row["n_events"], row["n_late"]) == (3, 2)
+    assert row["ewma"] == pytest.approx(0.75 * (0.75 * 4.0 + 0.25 * 8.0) + 0.25 * 6.0)
+
+    with pytest.raises(ValueError, match="warmup"):
+        stream_ewma_anomaly(s2, warmup=-1)
