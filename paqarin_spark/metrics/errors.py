@@ -9,7 +9,7 @@ them) — avg(abs), avg(abs/y), sqrt(avg(pow)).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -144,4 +144,129 @@ def paired_permutation_test(
                 6,
             ).alias("p_value"),
         )
+    )
+
+
+# Cumulative Poisson(1) pmf thresholds, truncated at 4 draws — the
+# deterministic bootstrap weights. The literals are mirrored VERBATIM
+# in the ev19 oracle SQL; both engines parse the same decimal text to
+# the same double.
+POISSON1_CDF = (
+    0.3678794411714423,
+    0.7357588823428846,
+    0.9196986029286058,
+    0.9810118431238462,
+)
+
+
+def bootstrap_ci(
+    df: DataFrame,
+    key_column: str,
+    value_column: str,
+    rounds: int = 200,
+    seed: str = "boot",
+) -> DataFrame:
+    """Percentile bootstrap confidence interval for a per-unit metric
+    mean — the uncertainty quantification beside
+    :func:`paired_permutation_test`'s significance test. Each of
+    ``rounds`` resamples draws every unit's multiplicity from a
+    truncated Poisson(1) (the classical Poisson bootstrap — the
+    resampling scheme that needs NO global n and therefore
+    distributes: weights are per-row md5 draws, the q72 construction)
+    and the 95% interval is the [floor(0.025·R)+1, R−floor(0.025·R)]
+    order statistics of the replicate means.
+
+    Determinism: weighted sums build from exact-decimal self-additions
+    (weight ∈ {0..4} → x, x+x, ... — no decimal×int precision cap in
+    sight), replicate means are 12dp-rounded doubles of exact inputs,
+    and the order statistics tie-break on the replicate index.
+    Zero-weight replicates (possible only for tiny corpora) are
+    excluded by the same predicate on both engines.
+
+    Scale posture: corpus reduces to one row per unit first
+    (localCheckpointed — two consumers); the rounds × units fan-out is
+    linear and partial-aggregatable (``rounds`` groups); ranking runs
+    on ≤``rounds`` rows.
+
+    Returns one row: (n_units, mean_value, n_rounds, ci_lo, ci_hi)."""
+    from paqarin_spark.functions import uniform_hash
+
+    if rounds < 2:
+        raise ValueError("rounds must be >= 2")
+    d = (
+        df.select(
+            F.col(key_column).cast("string").alias("_k"),
+            F.round(F.col(value_column), 12)
+            .cast("decimal(38,12)")
+            .alias("_x"),
+        )
+        .where(F.col("_x").isNotNull())
+        .localCheckpoint()
+    )
+    base = d.agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("_x").alias("_s")
+    )
+    spark = df.sparkSession
+    c0, c1, c2, c3 = POISSON1_CDF
+    x = F.col("_x")
+    zero = F.lit("0").cast("decimal(38,12)")
+    u = uniform_hash(F.lit(seed), F.col("_r"), F.col("_k"))
+    term = (
+        F.when(u < c0, zero)
+        .when(u < c1, x)
+        .when(u < c2, (x + x).cast("decimal(38,12)"))
+        .when(u < c3, (x + x + x).cast("decimal(38,12)"))
+        .otherwise((x + x + x + x).cast("decimal(38,12)"))
+    )
+    wcol = (
+        F.when(u < c0, F.lit(0))
+        .when(u < c1, F.lit(1))
+        .when(u < c2, F.lit(2))
+        .when(u < c3, F.lit(3))
+        .otherwise(F.lit(4))
+    )
+    stats = (
+        d.crossJoin(
+            spark.range(1, rounds + 1).select(F.col("id").alias("_r"))
+        )
+        .select("_r", term.alias("_sx"), wcol.alias("_w"))
+        .groupBy("_r")
+        .agg(F.sum("_sx").alias("_ss"), F.sum("_w").alias("_ww"))
+    )
+    kept = stats.where(F.col("_ww") > 0).select(
+        "_r",
+        F.round(F.col("_ss").cast("double") / F.col("_ww"), 12).alias("_t"),
+    )
+    wr = Window.orderBy(F.asc("_t"), F.asc("_r"))
+    wall = Window.partitionBy()
+    ranked = kept.select(
+        "_t",
+        F.row_number().over(wr).alias("_rk"),
+        F.count(F.lit(1)).over(wall).alias("_c"),
+    )
+    ci = ranked.agg(
+        F.max("_c").alias("n_rounds"),
+        F.max(
+            F.when(
+                F.col("_rk") == F.floor(0.025 * F.col("_c")) + 1,
+                F.col("_t"),
+            )
+        ).alias("_lo"),
+        F.max(
+            F.when(
+                F.col("_rk")
+                == F.col("_c") - F.floor(0.025 * F.col("_c")),
+                F.col("_t"),
+            )
+        ).alias("_hi"),
+    )
+    return base.crossJoin(F.broadcast(ci)).select(
+        F.col("_n").cast("long").alias("n_units"),
+        (
+            F.round(F.col("_s").cast("double") / F.col("_n"), 6)
+            + F.lit(0.0)
+        ).alias("mean_value"),
+        F.col("n_rounds").cast("long").alias("n_rounds"),
+        (F.round(F.col("_lo"), 6) + F.lit(0.0)).alias("ci_lo"),
+        (F.round(F.col("_hi"), 6) + F.lit(0.0)).alias("ci_hi"),
     )

@@ -2119,6 +2119,112 @@ def pca_label_projection(
     )
 
 
+def zscore_outliers(
+    df: DataFrame,
+    id_column: str,
+    vector_column: str,
+    top_k: int = 20,
+) -> DataFrame:
+    """Embedding OUTLIER audit: per-dimension z-score energy
+    Σ_i z_i² (the diagonal-covariance Mahalanobis distance) ranks the
+    corpus's most anomalous vectors — the corrupted-embedding /
+    pipeline-glitch detector a curation run executes before indexing.
+
+    Determinism lattice: per-dim moments accumulate as exact decimal
+    partial aggregates; mean/std derive on the 12dp lattice (variance
+    floored at 0 before the sqrt, zero-variance dims contribute 0 on
+    BOTH engines); each row's z² terms fold in exact decimal inside
+    one scan expression. Ranking uses the 6dp-rounded score with id
+    tie-breaks.
+
+    Scale posture: ONE stats pass (d-bounded partial aggregates), ONE
+    scoring scan with the d-row stats table broadcast as a single
+    packed array row (no per-element join, no row-id shuffle), and a
+    TakeOrderedAndProject top-k. Nothing through the driver.
+
+    Returns the input's non-vector columns + (score, rk), top ``top_k``
+    by (score DESC, id ASC)."""
+    if top_k < 1:
+        raise ValueError("top_k must be >= 1")
+    width = _vector_width(df, vector_column)
+    v = F.transform(F.col(vector_column), lambda x: x.cast("double"))
+    stats = (
+        df.select(F.posexplode(v).alias("_i", "_x"))
+        .groupBy("_i")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(F.round(F.col("_x"), 12).cast("decimal(38,12)")).alias("_s"),
+            F.sum(
+                F.round(F.col("_x") * F.col("_x"), 12).cast("decimal(38,12)")
+            ).alias("_s2"),
+        )
+        .select(
+            "_i",
+            F.round(F.col("_s").cast("double") / F.col("_n"), 12).alias("_mu"),
+            F.round(
+                F.sqrt(
+                    F.greatest(
+                        F.round(
+                            F.col("_s2").cast("double") / F.col("_n")
+                            - F.round(
+                                F.round(
+                                    F.col("_s").cast("double") / F.col("_n"),
+                                    12,
+                                )
+                                * F.round(
+                                    F.col("_s").cast("double") / F.col("_n"),
+                                    12,
+                                ),
+                                12,
+                            ),
+                            12,
+                        ),
+                        F.lit(0.0),
+                    )
+                ),
+                12,
+            ).alias("_sd"),
+        )
+    )
+    packed = stats.groupBy().agg(
+        F.array_sort(
+            F.collect_list(F.struct("_i", "_mu", "_sd"))
+        ).alias("_st")
+    )
+    vec = v
+
+    def term(i):
+        mu = F.element_at(F.col("_st"), i + 1)["_mu"]
+        sd = F.element_at(F.col("_st"), i + 1)["_sd"]
+        x = F.element_at(vec, i + 1)
+        z = F.round((x - mu) / sd, 12)
+        return (
+            F.when(sd > 0, F.round(z * z, 12))
+            .otherwise(F.lit(0.0))
+            .cast("decimal(30,12)")
+        )
+
+    keep = [c for c in df.columns if c != vector_column]
+    scored = df.crossJoin(F.broadcast(packed)).select(
+        *keep,
+        F.round(
+            F.aggregate(
+                F.transform(F.sequence(F.lit(0), F.lit(width - 1)), term),
+                F.lit("0").cast("decimal(38,12)"),
+                lambda acc, t: (acc + t).cast("decimal(38,12)"),
+            ).cast("double"),
+            6,
+        ).alias("score"),
+    )
+    top = scored.orderBy(
+        F.desc("score"), F.asc(id_column)
+    ).limit(top_k)
+    wr = Window.orderBy(F.desc("score"), F.asc(id_column))
+    return top.select(
+        F.row_number().over(wr).alias("rk"), *keep, "score"
+    )
+
+
 def nn_descent(
     df: DataFrame,
     id_column: str,

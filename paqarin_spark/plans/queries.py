@@ -14288,6 +14288,217 @@ LIMIT {top_k}
 TX48_SQL = _tx48_sql()
 
 
+def em29_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding outlier audit (operators.similarity.zscore_outliers):
+    top-20 most anomalous vectors by per-dimension z-score energy
+    Σ z² (diagonal Mahalanobis) — the corrupted-embedding detector a
+    curation pipeline runs before indexing. Stats pass is d-bounded
+    partial aggregates; scoring is ONE scan with the stats broadcast
+    as a packed array row and the z² terms folded in exact decimal
+    inside the expression (no per-element join, no row-id shuffle);
+    top-k is a TakeOrderedAndProject. ORACLE replays mean/std on the
+    12dp lattice, the identical fold, and ranks on the 6dp score with
+    id tie-breaks."""
+    from paqarin_spark.operators import zscore_outliers
+
+    configure_for_determinism(spark)
+    emb = read_table(spark, sf_dir, "embeddings", spread=True)
+    return zscore_outliers(emb, "vec_id", "embedding", top_k=20)
+
+
+EM29_SQL = """
+WITH el AS MATERIALIZED (
+  SELECT e.vec_id, a.i, a.x
+  FROM embeddings e,
+  LATERAL (
+    SELECT generate_subscripts(embedding, 1) - 1 AS i,
+           UNNEST(embedding) AS x
+  ) a
+), st AS MATERIALIZED (
+  SELECT i,
+         ROUND(CAST(SUM(CAST(ROUND(x, 12) AS DECIMAL(38,12))) AS DOUBLE)
+               / COUNT(*), 12) AS mu,
+         ROUND(SQRT(GREATEST(
+           ROUND(CAST(SUM(CAST(ROUND(x * x, 12) AS DECIMAL(38,12)))
+                      AS DOUBLE) / COUNT(*)
+                 - ROUND(ROUND(CAST(SUM(CAST(ROUND(x, 12)
+                                             AS DECIMAL(38,12)))
+                                    AS DOUBLE) / COUNT(*), 12)
+                         * ROUND(CAST(SUM(CAST(ROUND(x, 12)
+                                               AS DECIMAL(38,12)))
+                                      AS DOUBLE) / COUNT(*), 12), 12),
+                 12), 0.0)), 12) AS sd
+  FROM el GROUP BY i
+), scored AS (
+  SELECT el.vec_id,
+         ROUND(CAST(SUM(CASE WHEN st.sd > 0
+           THEN CAST(ROUND(ROUND((el.x - st.mu) / st.sd, 12)
+                           * ROUND((el.x - st.mu) / st.sd, 12), 12)
+                AS DECIMAL(30,12))
+           ELSE CAST(0.0 AS DECIMAL(30,12)) END) AS DOUBLE), 6) AS score
+  FROM el JOIN st USING (i)
+  GROUP BY el.vec_id
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY s.score DESC, s.vec_id)
+            AS INTEGER) AS rk,
+       s.vec_id, e.label, s.score
+FROM scored s JOIN embeddings e USING (vec_id)
+ORDER BY s.score DESC, s.vec_id
+LIMIT 20
+"""
+
+
+def ev19_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% confidence interval (metrics.errors.
+    bootstrap_ci) for the mean of the per-user average event value —
+    the uncertainty quantification beside ev18's significance test.
+    200 resamples draw each unit's multiplicity from a truncated
+    Poisson(1) via the portable md5 uniform (the bootstrap that needs
+    no global n, so it distributes); the interval is the
+    [floor(0.025·R)+1, R−floor(0.025·R)] order statistics of the
+    replicate means, tie-broken by replicate index. ORACLE replays
+    every draw, every exact-decimal weighted sum, and the rank pick."""
+    from paqarin_spark.metrics.errors import bootstrap_ci
+
+    ev = _events(spark, sf_dir)
+    units = (
+        ev.where(F.col("value").isNotNull() & ~F.isnan("value"))
+        .groupBy("user_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.round(F.col("value"), 12).cast("decimal(38,12)")
+                ).cast("double")
+                / F.count(F.lit(1)),
+                12,
+            ).alias("_m")
+        )
+    )
+    return bootstrap_ci(units, "user_id", "_m", rounds=200, seed="ev19")
+
+
+EV19_SQL = """
+WITH units AS (
+  SELECT CAST(user_id AS VARCHAR) AS k,
+         CAST(ROUND(CAST(SUM(CAST(ROUND(value, 12) AS DECIMAL(38,12)))
+                         AS DOUBLE) / COUNT(*), 12)
+              AS DECIMAL(38,12)) AS x
+  FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value)
+  GROUP BY user_id
+), base AS (
+  SELECT COUNT(*) AS n, SUM(x) AS s FROM units
+), draws AS (
+  SELECT r.r, u.x,
+         ('0x' || substring(md5('ev19#' || r.r || '#' || u.k), 1, 15))
+           ::UBIGINT / 1152921504606846976.0 AS uu
+  FROM units u, (SELECT UNNEST(range(1, 201)) AS r) r
+), stats AS (
+  SELECT r,
+         SUM(CASE WHEN uu < 0.3678794411714423
+                    THEN CAST(0 AS DECIMAL(38,12))
+                  WHEN uu < 0.7357588823428846 THEN x
+                  WHEN uu < 0.9196986029286058
+                    THEN CAST(x + x AS DECIMAL(38,12))
+                  WHEN uu < 0.9810118431238462
+                    THEN CAST(x + x + x AS DECIMAL(38,12))
+                  ELSE CAST(x + x + x + x AS DECIMAL(38,12)) END) AS ss,
+         SUM(CASE WHEN uu < 0.3678794411714423 THEN 0
+                  WHEN uu < 0.7357588823428846 THEN 1
+                  WHEN uu < 0.9196986029286058 THEN 2
+                  WHEN uu < 0.9810118431238462 THEN 3
+                  ELSE 4 END) AS ww
+  FROM draws GROUP BY r
+), kept AS (
+  SELECT r, ROUND(CAST(ss AS DOUBLE) / ww, 12) AS t
+  FROM stats WHERE ww > 0
+), ranked AS (
+  SELECT t, ROW_NUMBER() OVER (ORDER BY t, r) AS rk,
+         COUNT(*) OVER () AS c
+  FROM kept
+), ci AS (
+  SELECT MAX(c) AS n_rounds,
+         MAX(CASE WHEN rk = FLOOR(0.025 * c) + 1 THEN t END) AS lo,
+         MAX(CASE WHEN rk = c - FLOOR(0.025 * c) THEN t END) AS hi
+  FROM ranked
+)
+SELECT CAST(b.n AS BIGINT) AS n_units,
+       ROUND(CAST(b.s AS DOUBLE) / b.n, 6) + 0.0 AS mean_value,
+       CAST(ci.n_rounds AS BIGINT) AS n_rounds,
+       ROUND(ci.lo, 6) + 0.0 AS ci_lo,
+       ROUND(ci.hi, 6) + 0.0 AS ci_hi
+FROM base b CROSS JOIN ci
+"""
+
+
+def st19_stream_phrase_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING phrase-blocklist counter — the DEPLOYED half of tx49
+    (streaming.stream_phrase_hits): documents stream through the
+    stateless n-gram projection with the bounded blocklist shipped as
+    a literal IN-set, and one state row per phrase accumulates the
+    running occurrence count under versioned corrections. The
+    finisher restores zero-hit phrases from the list, so max-version
+    rows hash-match the batch per-phrase occurrence counts (tx49's
+    n_hits column) regardless of micro-batch boundaries. Document
+    REACH (n_docs) is deliberately batch-only — per-doc memory is
+    unbounded state (documented in the operator).
+
+    State bound: |blocklist| rows, forever; only matching grams reach
+    the stateful exchange."""
+    from paqarin_spark.streaming import (
+        phrase_hits_from_emissions,
+        stream_phrase_hits,
+    )
+
+    configure_for_determinism(spark)
+    read_table(spark, sf_dir, "documents")  # pins session read confs
+    raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = spark.readStream.schema(raw_schema).parquet(
+        f"{sf_dir}/documents*.parquet"
+    )
+    emi = stream_phrase_hits(stream, "text", TX49_BLOCKLIST, n=2)
+    name = "st19_stream_phrase_hits"
+    q = (
+        emi.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return phrase_hits_from_emissions(
+        spark.table(name), TX49_BLOCKLIST
+    ).orderBy("phrase")
+
+
+ST19_SQL = """
+WITH blk AS (
+  SELECT * FROM (VALUES
+    ('table hash'), ('part filter'), ('customer join'), ('slow query'),
+    ('scan slow'), ('sort merge'), ('hash join'), ('big data'),
+    ('drop table'), ('never matches')
+  ) v(phrase)
+), toks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ',
+                                          'g')), ' ') AS ts
+  FROM documents
+), grams AS (
+  SELECT doc_id, ts[i] || ' ' || ts[i + 1] AS gram
+  FROM toks, LATERAL (SELECT UNNEST(range(1, len(ts))) AS i)
+  WHERE len(ts) >= 2
+), hits AS (
+  SELECT g.gram AS phrase, COUNT(*) AS n_hits
+  FROM grams g JOIN blk b ON b.phrase = g.gram
+  GROUP BY 1
+)
+SELECT b.phrase,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits
+FROM blk b LEFT JOIN hits h ON h.phrase = b.phrase
+ORDER BY b.phrase
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-8 additions (never driver-verified) come first ---
     "em28_pca_label_projection": em28_pca_label_projection,
@@ -14296,6 +14507,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm15_tar_shard_roundtrip": mm15_tar_shard_roundtrip,
     "st18_stream_ewma_anomaly": st18_stream_ewma_anomaly,
     "tx48_textrank_keywords": tx48_textrank_keywords,
+    "em29_zscore_outliers": em29_zscore_outliers,
+    "ev19_bootstrap_ci": ev19_bootstrap_ci,
+    "st19_stream_phrase_hits": st19_stream_phrase_hits,
     # --- round-7 additions, r7-locally-verified ---
     "em27_graph_ingest_recall": em27_graph_ingest_recall,
     "em26_graph_search_recall": em26_graph_search_recall,
@@ -14599,6 +14813,9 @@ ORACLE_SQL: dict[str, str] = {
     "mm15_tar_shard_roundtrip": MM15_SQL,
     "st18_stream_ewma_anomaly": ST18_SQL,
     "tx48_textrank_keywords": TX48_SQL,
+    "em29_zscore_outliers": EM29_SQL,
+    "ev19_bootstrap_ci": EV19_SQL,
+    "st19_stream_phrase_hits": ST19_SQL,
     "tx45_naive_bayes_lang": TX45_SQL,
     "tx46_bpe_train": TX46_SQL,
     "tx47_bpe_encode_stats": TX47_SQL,

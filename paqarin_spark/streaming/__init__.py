@@ -1294,3 +1294,114 @@ def ewma_from_emissions(emissions: DataFrame) -> DataFrame:
             F.round(F.col("ewma_repr").cast("double"), 6).alias("ewma"),
         )
     )
+
+
+def stream_phrase_hits(
+    stream: DataFrame,
+    text_column: str,
+    phrases: list[str],
+    n: int = 2,
+) -> DataFrame:
+    """Streaming DEPLOYED half of the tx49 phrase-blocklist gate: as
+    documents stream in, per-phrase running occurrence counts
+    accumulate as ONE state row per blocklist phrase, published under
+    versioned corrections (the st14/st17 pattern) — the live content-
+    filter dashboard counter.
+
+    The blocklist is bounded by construction (human-curated), so the
+    membership filter ships as a literal IN-set inside the stateless
+    n-gram projection — only matching grams ever reach the stateful
+    exchange. Occurrences count NON-distinct (document reach needs
+    per-doc memory, which is unbounded — the batch tx49 reports it;
+    the stream deliberately does not, stated not hidden).
+
+    State bound: |blocklist| rows of (count, version), forever."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from paqarin_spark.operators.dedup import normalized_text
+
+    if not phrases:
+        raise ValueError("phrases must be non-empty")
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    blk = sorted(set(phrases))
+    toks = stream.select(
+        F.split(normalized_text(F.col(text_column)), " ").alias("_ts")
+    ).where(F.size("_ts") >= n)
+    grams = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("_ts") - (n - 1)),
+                lambda i: F.concat_ws(
+                    " ",
+                    *[F.element_at(F.col("_ts"), i + off) for off in range(n)],
+                ),
+            )
+        ).alias("phrase")
+    ).where(F.col("phrase").isin(*blk))
+    out_type = StructType(
+        [
+            StructField("phrase", StringType(), True),
+            StructField("version", LongType(), False),
+            StructField("n_hits", LongType(), False),
+        ]
+    )
+    state_type = StructType(
+        [
+            StructField("n_hits", LongType(), True),
+            StructField("version", LongType(), True),
+        ]
+    )
+
+    def fold(key, pdf_iter, state: GroupState):
+        if state.exists:
+            n_hits, version = state.get
+        else:
+            n_hits, version = 0, 0
+        for pdf in pdf_iter:
+            n_hits += len(pdf)
+        version += 1
+        state.update((n_hits, version))
+        yield pd.DataFrame(
+            [(key[0], version, n_hits)],
+            columns=["phrase", "version", "n_hits"],
+        )
+
+    return grams.groupBy("phrase").applyInPandasWithState(
+        fold,
+        outputStructType=out_type,
+        stateStructType=state_type,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def phrase_hits_from_emissions(
+    emissions: DataFrame, phrases: list[str]
+) -> DataFrame:
+    """Finish :func:`stream_phrase_hits` emissions into the full
+    blocklist report: max-version row per phrase, zero-hit phrases
+    restored by a left join from the (bounded) list — the dashboard
+    must show the whole blocklist, exactly like the batch tx49."""
+    spark = emissions.sparkSession
+    blk = spark.createDataFrame(
+        [(p,) for p in sorted(set(phrases))], ["phrase"]
+    )
+    w = Window.partitionBy("phrase")
+    latest = (
+        emissions.withColumn("_mx", F.max("version").over(w))
+        .where(F.col("version") == F.col("_mx"))
+        .select("phrase", "n_hits")
+    )
+    return blk.join(latest, on="phrase", how="left").select(
+        "phrase",
+        F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+    )

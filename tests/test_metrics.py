@@ -86,3 +86,28 @@ def test_paired_permutation_test_separates_signal_from_noise(spark):
 
     with pytest.raises(ValueError, match="rounds"):
         paired_permutation_test(signal, "k", "d", rounds=0)
+
+
+def test_bootstrap_ci_brackets_mean_and_is_deterministic(spark):
+    """The percentile interval brackets the sample mean for a
+    well-behaved sample, both endpoints are replicate means (within
+    the value range), the run is bit-deterministic, and validation
+    raises."""
+    import pytest
+
+    from paqarin_spark.metrics.errors import bootstrap_ci
+
+    df = spark.createDataFrame(
+        [(i, 10.0 + (i % 11) * 0.5) for i in range(80)], "k int, v double"
+    )
+    r1 = bootstrap_ci(df, "k", "v", rounds=99).collect()[0]
+    r2 = bootstrap_ci(df, "k", "v", rounds=99).collect()[0]
+    assert r1 == r2
+    assert r1["n_units"] == 80
+    assert r1["n_rounds"] == 99
+    assert r1["ci_lo"] <= r1["mean_value"] <= r1["ci_hi"]
+    assert 10.0 <= r1["ci_lo"] <= r1["ci_hi"] <= 15.0
+    assert r1["ci_lo"] < r1["ci_hi"]  # non-degenerate
+
+    with pytest.raises(ValueError, match="rounds"):
+        bootstrap_ci(df, "k", "v", rounds=1)

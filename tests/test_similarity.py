@@ -1150,3 +1150,27 @@ def test_pca_label_projection_matches_loadings_linearity(spark):
         assert abs(r["mean_pc1"] - float(mean_vec @ v1)) < 1e-5
         assert abs(r["mean_pc2"] - float(mean_vec @ v2)) < 1e-5
         assert r["lam1"] == lam1 and r["lam2"] == lam2
+
+
+# ------------------------------------------------------ z-score outliers
+
+
+def test_zscore_outliers_ranks_planted_outlier_first(spark):
+    """A planted far-out vector takes rk=1 with a score far above the
+    inliers; a constant (zero-variance) dimension contributes 0 for
+    every row instead of NaN-ing the audit; top_k caps the output."""
+    import pytest
+
+    from paqarin_spark.operators import zscore_outliers
+
+    rows = [(i, 0, [float(i % 7) * 0.1, 5.0, 1.0]) for i in range(60)]
+    rows.append((99, 1, [40.0, 5.0, 1.0]))  # dim1/dim2 constant
+    df = spark.createDataFrame(rows, "vec_id long, label int, v array<double>")
+    out = zscore_outliers(df, "vec_id", "v", top_k=5).collect()
+    assert len(out) == 5
+    assert out[0]["vec_id"] == 99 and out[0]["rk"] == 1
+    assert out[0]["score"] > 10 * out[1]["score"]
+    assert [r["rk"] for r in out] == [1, 2, 3, 4, 5]
+    assert all(r["score"] is not None for r in out)  # no NaN leak
+    with pytest.raises(ValueError, match="top_k"):
+        zscore_outliers(df, "vec_id", "v", top_k=0)

@@ -1103,3 +1103,53 @@ def test_stream_ewma_anomaly_drops_and_counts_late_rows(spark, tmp_path):
 
     with pytest.raises(ValueError, match="warmup"):
         stream_ewma_anomaly(s2, warmup=-1)
+
+
+def test_stream_phrase_hits_restart_matches_batch(spark, tmp_path):
+    """Blocklist counter state survives a checkpoint restart: counts
+    after two file batches equal the batch bigram counts over the
+    union, zero-hit phrases appear via the finisher, and only
+    blocklist grams reach state."""
+    import pytest
+
+    from paqarin_spark.operators import blocklist_phrase_hits
+    from paqarin_spark.streaming import (
+        phrase_hits_from_emissions,
+        stream_phrase_hits,
+    )
+
+    blk = ["red fox", "lazy dog", "ghost phrase"]
+    part1 = spark.createDataFrame(
+        [(1, "the red fox met the lazy dog"), (2, "red fox red fox")],
+        "doc_id long, text string",
+    )
+    part2 = spark.createDataFrame(
+        [(3, "one more lazy dog here")], "doc_id long, text string"
+    )
+    path, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+    schema = "doc_id long, text string"
+    part1.repartition(1).write.mode("append").parquet(path)
+    s1 = spark.readStream.schema(schema).parquet(path)
+    _run_checkpointed_append(
+        spark, stream_phrase_hits(s1, "text", blk), out_dir, ckpt
+    )
+    part2.repartition(1).write.mode("append").parquet(path)
+    s2 = spark.readStream.schema(schema).parquet(path)
+    emi = _run_checkpointed_append(
+        spark, stream_phrase_hits(s2, "text", blk), out_dir, ckpt
+    )
+    got = {
+        r["phrase"]: r["n_hits"]
+        for r in phrase_hits_from_emissions(emi, blk).collect()
+    }
+    assert got == {"red fox": 3, "lazy dog": 2, "ghost phrase": 0}
+    batch = {
+        r["phrase"]: r["n_hits"]
+        for r in blocklist_phrase_hits(
+            spark.read.parquet(path), "text", "doc_id", blk
+        ).collect()
+    }
+    assert got == batch
+    with pytest.raises(ValueError, match="non-empty"):
+        stream_phrase_hits(s2, "text", [])
