@@ -2025,6 +2025,12 @@ def encode_ustar(members: list[tuple[str, bytes]]) -> bytes:
         nb = name.encode("utf-8")
         if len(nb) > 100:
             raise ValueError(f"member name too long for ustar: {name!r}")
+        if len(payload) >= 8**11:
+            # the 12-byte octal size field caps at 8 GiB; a longer
+            # payload would silently misalign the header slice
+            raise ValueError(
+                f"member payload too large for ustar size field: {name!r}"
+            )
         header = bytearray(512)
         header[0:len(nb)] = nb                          # name
         header[100:108] = b"0000644\x00"                # mode
@@ -2161,7 +2167,11 @@ def tar_members_table(df: DataFrame) -> DataFrame:
             rows = []
             for _, row in pdf.iterrows():
                 sid = int(row["shard_id"])
-                members = parse_tar_members(bytes(row["content"]))
+                members = (
+                    None
+                    if row["content"] is None
+                    else parse_tar_members(bytes(row["content"]))
+                )
                 if members is None:
                     rows.append(
                         {"shard_id": sid, "name": None, "size": None,

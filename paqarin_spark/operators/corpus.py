@@ -552,6 +552,44 @@ def bpe_encode(
     )
 
 
+def word_ngrams(tokens_col, n: int) -> F.Column:
+    """Non-distinct, space-joined word n-grams from a MATERIALIZED
+    token-array column — the ONE gram projection the batch
+    (:func:`blocklist_phrase_hits`) and streaming
+    (``streaming.stream_phrase_hits``) blocklist gates share, so the
+    tx49/st19 hash parity cannot drift through a one-sided edit."""
+    return F.transform(
+        F.sequence(F.lit(1), F.size(tokens_col) - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(tokens_col, i + off) for off in range(n)]
+        ),
+    )
+
+
+def normalize_blocklist(phrases: list[str], n: int) -> list[str]:
+    """Canonicalize a phrase blocklist onto the corpus token alphabet
+    (the Python mirror of :func:`normalized_text`) and REJECT entries
+    that cannot match any document n-gram — a content-safety gate
+    must fail loudly on a dead blocklist entry, never report it as
+    zero violations."""
+    import re
+
+    if not phrases:
+        raise ValueError("phrases must be non-empty")
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    out = set()
+    for p in phrases:
+        norm = re.sub(r"[^a-z0-9]+", " ", str(p).lower()).strip()
+        if norm == "" or len(norm.split(" ")) != n:
+            raise ValueError(
+                f"blocklist phrase {p!r} does not normalize to exactly "
+                f"{n} tokens ({norm!r}) — it could never match"
+            )
+        out.add(norm)
+    return sorted(out)
+
+
 def blocklist_phrase_hits(
     df: DataFrame,
     text_column: str,
@@ -568,7 +606,10 @@ def blocklist_phrase_hits(
     Matching is exact word-n-gram equality on the shared
     :func:`normalized_text` token alphabet (not substring LIKE — a
     blocklist must not fire inside larger words), occurrences counted
-    NON-distinct so repeated violations weigh more.
+    NON-distinct so repeated violations weigh more. Phrases pass
+    through :func:`normalize_blocklist` first: an entry that cannot
+    normalize to exactly ``n`` tokens raises instead of silently
+    reporting zero.
 
     Scale posture: the blocklist is bounded by construction (a
     human-curated list) → broadcast; the corpus side is one tokenize +
@@ -576,31 +617,19 @@ def blocklist_phrase_hits(
     (no corpus-sized shuffle: Spark plans a broadcast hash join keyed
     on the gram). Output is |blocklist| rows.
 
-    Returns (phrase, n_docs, n_hits), one row per blocklist phrase.
+    Returns (phrase, n_docs, n_hits), one row per blocklist phrase;
+    the phrase column carries the NORMALIZED form.
     """
-    if not phrases:
-        raise ValueError("phrases must be non-empty")
-    if n < 1:
-        raise ValueError("n must be >= 1")
+    blk_list = normalize_blocklist(phrases, n)
     spark = df.sparkSession
-    blk = spark.createDataFrame(
-        [(p,) for p in sorted(set(phrases))], ["phrase"]
-    )
+    blk = spark.createDataFrame([(p,) for p in blk_list], ["phrase"])
     toks = df.select(
         F.col(id_column).alias("_doc"),
         F.split(normalized_text(F.col(text_column)), " ").alias("_ts"),
     ).where(F.size("_ts") >= n)
     grams = toks.select(
         "_doc",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("_ts") - (n - 1)),
-                lambda i: F.concat_ws(
-                    " ",
-                    *[F.element_at(F.col("_ts"), i + off) for off in range(n)],
-                ),
-            )
-        ).alias("_gram"),
+        F.explode(word_ngrams(F.col("_ts"), n)).alias("_gram"),
     )
     hits = (
         grams.join(F.broadcast(blk), grams._gram == blk.phrase)

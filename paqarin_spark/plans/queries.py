@@ -13849,7 +13849,7 @@ WITH cov AS MATERIALIZED (
   FROM embeddings e,
   LATERAL (
     SELECT generate_subscripts(embedding, 1) - 1 AS i,
-           UNNEST(embedding) AS x
+           UNNEST(embedding)::DOUBLE AS x
   ) a
   GROUP BY label, a.i
 ), terms AS MATERIALIZED (
@@ -13962,7 +13962,9 @@ def ev18_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    lagged = ev.where(F.col("value").isNotNull()).select(
+    lagged = ev.where(
+        F.col("value").isNotNull() & ~F.isnan("value")
+    ).select(
         "user_id",
         "value",
         F.lag("value", 1).over(w).alias("_l1"),
@@ -14018,7 +14020,7 @@ WITH lagged AS (
          LAG(value, 3) OVER w AS l3,
          LAG(value, 4) OVER w AS l4
   FROM events
-  WHERE value IS NOT NULL
+  WHERE value IS NOT NULL AND NOT isnan(value)
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), scored AS (
   SELECT user_id,
@@ -14312,7 +14314,7 @@ WITH el AS MATERIALIZED (
   FROM embeddings e,
   LATERAL (
     SELECT generate_subscripts(embedding, 1) - 1 AS i,
-           UNNEST(embedding) AS x
+           UNNEST(embedding)::DOUBLE AS x
   ) a
 ), st AS MATERIALIZED (
   SELECT i,
@@ -14554,15 +14556,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gen9_text_markov": gen9_text_markov,
     # --- round-5 additions, r5-driver-verified ---
     "ev11_ewma_backtest": ev11_ewma_backtest,
-    "q90_priority_shipments": q90_priority_shipments,
-    "q91_promo_revenue_share": q91_promo_revenue_share,
-    "q89_trade_kcore": q89_trade_kcore,
-    "st13_stream_left_join": st13_stream_left_join,
-    "tx41_line_dedup": tx41_line_dedup,
-    "ev10_acf_fidelity": ev10_acf_fidelity,
-    "q85_trade_reach": q85_trade_reach,
-    "tx40_minhash_error": tx40_minhash_error,
-    "q84_min_cost_supplier": q84_min_cost_supplier,
     # --- round-4 rotation: everything from here to ev2 has never
     # been driver-verified on its CURRENT oracle. The 16 round-4
     # ADDITIONS (mm10 MP4 sample tables; q73/tx33/st9/st10 sketches;
@@ -14574,6 +14567,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # oracle upgrades (ev1's first value oracle, ev5 post-window,
     # em2 sign-plane switch, gen4/ev2 full value replays). ---
     # ------------- driver 50-entry window ends HERE (position 50) -------------
+    # q90/q91/q89/st13/tx41/ev10/q85/tx40/q84 (r5-green, r6/r7
+    # re-verified) displaced for round-8 em28/tx49/ev18/mm15/st18/
+    # tx48/em29/ev19/st19.
+    "q90_priority_shipments": q90_priority_shipments,
+    "q91_promo_revenue_share": q91_promo_revenue_share,
+    "q89_trade_kcore": q89_trade_kcore,
+    "st13_stream_left_join": st13_stream_left_join,
+    "tx41_line_dedup": tx41_line_dedup,
+    "ev10_acf_fidelity": ev10_acf_fidelity,
+    "q85_trade_reach": q85_trade_reach,
+    "tx40_minhash_error": tx40_minhash_error,
+    "q84_min_cost_supplier": q84_min_cost_supplier,
     # em17_ivfpq_recall/tx39_semdedup_keep/em20_ivf_ingest/
     # q88_part_supplier_counts/q87_important_parts (r5-green)
     # displaced for round-7 tx45/tx46/em25/gen10/tx47.

@@ -1204,7 +1204,10 @@ def stream_ewma_anomaly(
     if warmup < 0:
         raise ValueError("warmup must be >= 0")
     staged = stream.select(
-        F.col(user_column).alias("user_id"),
+        # cast to the emission schema's LongType up front — a string
+        # or int key would otherwise contradict out_type at Arrow
+        # conversion inside the fold
+        F.col(user_column).cast("long").alias("user_id"),
         F.unix_micros(F.col(ts_column)).alias("_ts_us"),
         F.col(id_column).cast("long").alias("_eid"),
         F.col(value_column).cast("double").alias("_v"),
@@ -1326,26 +1329,20 @@ def stream_phrase_hits(
         StructType,
     )
 
+    from paqarin_spark.operators.corpus import (
+        normalize_blocklist,
+        word_ngrams,
+    )
     from paqarin_spark.operators.dedup import normalized_text
 
-    if not phrases:
-        raise ValueError("phrases must be non-empty")
-    if n < 1:
-        raise ValueError("n must be >= 1")
-    blk = sorted(set(phrases))
+    # same normalization + dead-entry rejection and the same shared
+    # gram projection as the batch gate — the tx49/st19 parity contract
+    blk = normalize_blocklist(phrases, n)
     toks = stream.select(
         F.split(normalized_text(F.col(text_column)), " ").alias("_ts")
     ).where(F.size("_ts") >= n)
     grams = toks.select(
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("_ts") - (n - 1)),
-                lambda i: F.concat_ws(
-                    " ",
-                    *[F.element_at(F.col("_ts"), i + off) for off in range(n)],
-                ),
-            )
-        ).alias("phrase")
+        F.explode(word_ngrams(F.col("_ts"), n)).alias("phrase")
     ).where(F.col("phrase").isin(*blk))
     out_type = StructType(
         [
@@ -1385,15 +1382,17 @@ def stream_phrase_hits(
 
 
 def phrase_hits_from_emissions(
-    emissions: DataFrame, phrases: list[str]
+    emissions: DataFrame, phrases: list[str], n: int = 2
 ) -> DataFrame:
     """Finish :func:`stream_phrase_hits` emissions into the full
     blocklist report: max-version row per phrase, zero-hit phrases
     restored by a left join from the (bounded) list — the dashboard
     must show the whole blocklist, exactly like the batch tx49."""
+    from paqarin_spark.operators.corpus import normalize_blocklist
+
     spark = emissions.sparkSession
     blk = spark.createDataFrame(
-        [(p,) for p in sorted(set(phrases))], ["phrase"]
+        [(p,) for p in normalize_blocklist(phrases, n)], ["phrase"]
     )
     w = Window.partitionBy("phrase")
     latest = (

@@ -290,10 +290,23 @@ def test_blocklist_phrase_hits_counts_and_zero_rows(spark):
     assert out["sort merge"] == (2, 2)
     assert out["absent pair"] == (0, 0)
     assert len(out) == 3
+    # phrases normalize onto the corpus alphabet: 'Table, HASH!' is
+    # the same gate as 'table hash'
+    normed = {
+        r["phrase"]: (r["n_docs"], r["n_hits"])
+        for r in blocklist_phrase_hits(
+            docs, "text", "doc_id", ["Table, HASH!"]
+        ).collect()
+    }
+    assert normed == {"table hash": (2, 3)}
     with pytest.raises(ValueError, match="non-empty"):
         blocklist_phrase_hits(docs, "text", "doc_id", [])
     with pytest.raises(ValueError, match="n must be"):
         blocklist_phrase_hits(docs, "text", "doc_id", ["x"], n=0)
+    # a dead entry (wrong token count for n) fails loudly, never
+    # reports zero violations
+    with pytest.raises(ValueError, match="could never match"):
+        blocklist_phrase_hits(docs, "text", "doc_id", ["three word phrase"])
 
 
 # ------------------------------------------------------ TextRank keywords

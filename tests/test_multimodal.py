@@ -791,7 +791,23 @@ def test_tar_shards_roundtrip_on_spark(spark):
         tar_shards_from_docs(docs, "doc_id", "text", num_shards=0)
 
     corrupt = spark.createDataFrame(
-        [(9, bytearray(b"\x01" * 600))], "shard_id int, content binary"
+        [(9, bytearray(b"\x01" * 600)), (10, None)],
+        "shard_id int, content binary",
     )
-    rows = tar_members_table(corrupt).collect()
-    assert len(rows) == 1 and rows[0]["name"] is None
+    rows = {r["shard_id"]: r for r in tar_members_table(corrupt).collect()}
+    assert len(rows) == 2
+    assert rows[9]["name"] is None and rows[10]["name"] is None
+
+    from paqarin_spark.multimodal import encode_ustar as _enc
+
+    with pytest.raises(ValueError, match="too large"):
+        _enc([("huge.bin", _FakeHuge())])
+
+
+
+class _FakeHuge(bytes):
+    """len() lies large so the ustar size-field guard is testable
+    without allocating 8 GiB."""
+
+    def __len__(self):
+        return 8**11

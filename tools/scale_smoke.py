@@ -1271,6 +1271,137 @@ def main() -> int:
         f"[{'ok' if ok else 'ring_frac=%.3f' % frac}]"
     )
 
+    # PCA top-2 with deflation on a PLANTED diagonal spectrum at 500k
+    # vectors (em28's operator): 8 independent md5-uniform dims scaled
+    # by (j+1), so the population covariance is ~diag((j+1)^2/12) and
+    # the top-2 principal axes are EXACTLY dims 7 and 6.
+    from paqarin_spark.functions import uniform_hash
+    from paqarin_spark.operators import pca_top2
+
+    npc = 500_000
+    t0 = time.perf_counter()
+    vecs = spark.range(npc).select(
+        F.array(
+            *[
+                (
+                    (uniform_hash(F.lit("pca"), F.col("id"), F.lit(j)) - 0.5)
+                    * float(j + 1)
+                )
+                for j in range(8)
+            ]
+        ).alias("v")
+    )
+    comps = pca_top2(vecs, "v", iterations=8).collect()
+    dt = time.perf_counter() - t0
+    axes = {}
+    lams = {}
+    for c in (1, 2):
+        lds = sorted(
+            ((abs(r["loading"]), r["i"]) for r in comps if r["component"] == c),
+            reverse=True,
+        )
+        axes[c] = lds[0][1]
+        lams[c] = [r["eigenvalue"] for r in comps if r["component"] == c][0]
+    ok = (
+        axes[1] == 7
+        and axes[2] == 6
+        and abs(lams[1] - 64.0 / 12.0) < 0.05 * (64.0 / 12.0)
+        and abs(lams[2] - 49.0 / 12.0) < 0.05 * (49.0 / 12.0)
+    )
+    checks.append(ok)
+    print(
+        f"{'pca top2 500k':24} {dt:7.1f}s  rows={len(comps):>12,}  "
+        f"[{'ok' if ok else 'axes=%s lams=%s' % (axes, lams)}]"
+    )
+
+    # Tar shard round-trip at 200k documents / 64 shards (mm15's
+    # operators): member count and total payload bytes are closed-form
+    # (doc i carries (i % 50) + 1 bytes), proving the ustar writer and
+    # checksummed reader agree at shard sizes the sf tables never hit.
+    from paqarin_spark.multimodal import tar_members_table, tar_shards_from_docs
+
+    nd = 200_000
+    t0 = time.perf_counter()
+    tdocs = spark.range(nd).select(
+        F.col("id").alias("doc_id"),
+        F.repeat(F.lit("w"), (F.col("id") % 50 + 1).cast("int")).alias("text"),
+    )
+    mem = tar_members_table(tar_shards_from_docs(tdocs, "doc_id", "text", 64))
+    stat = mem.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("size").alias("b")
+    ).collect()[0]
+    dt = time.perf_counter() - t0
+    want_bytes = (nd // 50) * sum(range(1, 51))
+    ok = stat["n"] == nd and stat["b"] == want_bytes
+    checks.append(ok)
+    print(
+        f"{'tar shards 200k docs':24} {dt:7.1f}s  rows={stat['n']:>12,}  "
+        f"[{'ok' if ok else 'bytes=%s want=%s' % (stat['b'], want_bytes)}]"
+    )
+
+    # TextRank on a PLANTED hub-and-spokes corpus at 500k docs (tx48's
+    # operator): 'hub' neighbors every satellite, satellites only ever
+    # neighbor 'hub' — the hub must take rank 1.
+    from paqarin_spark.operators import textrank_keywords
+
+    ntx = 500_000
+    t0 = time.perf_counter()
+    tr_docs = spark.range(ntx).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("hub sat"), F.pmod(F.col("id"), F.lit(50)),
+            F.lit(" hub sat"), F.pmod(F.col("id") + 1, F.lit(50)),
+        ).alias("text"),
+    )
+    kw = textrank_keywords(
+        tr_docs, "text", "doc_id", vocab_size=64, window=1, top_k=5
+    ).collect()
+    dt = time.perf_counter() - t0
+    ok = kw[0]["token"] == "hub" and kw[0]["rk"] == 1 and len(kw) == 5
+    checks.append(ok)
+    print(
+        f"{'textrank 500k docs':24} {dt:7.1f}s  rows={len(kw):>12,}  "
+        f"[{'ok' if ok else 'top=%s' % kw[0]['token']}]"
+    )
+
+    # Z-score outliers at 2M vectors (em29's operator): one planted
+    # +1000 spike on dim 0 of vec 0 — it must take rank 1 by orders of
+    # magnitude; stats stay d-bounded partial aggregates.
+    from paqarin_spark.operators import zscore_outliers
+
+    nz = 2_000_000
+    t0 = time.perf_counter()
+    zvecs = spark.range(nz).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[
+                (
+                    F.pmod(
+                        F.col("id") * 2_654_435_761 + j * 1_000_003,
+                        F.lit(1_000_000),
+                    )
+                    / 1_000_000.0
+                    + F.when(
+                        (F.col("id") == 0) & (F.lit(j) == 0), F.lit(1000.0)
+                    ).otherwise(F.lit(0.0))
+                )
+                for j in range(8)
+            ]
+        ).alias("v"),
+    )
+    zout = zscore_outliers(zvecs, "vec_id", "v", top_k=5).collect()
+    dt = time.perf_counter() - t0
+    ok = (
+        zout[0]["vec_id"] == 0
+        and zout[0]["rk"] == 1
+        and zout[0]["score"] > 100 * zout[1]["score"]
+    )
+    checks.append(ok)
+    print(
+        f"{'zscore outliers 2M':24} {dt:7.1f}s  rows={len(zout):>12,}  "
+        f"[{'ok' if ok else 'top=%s' % zout[0]['vec_id']}]"
+    )
+
     print("all invariants hold" if all(checks) else "INVARIANT FAILURES")
     return 0 if all(checks) else 1
 
