@@ -88,6 +88,9 @@ def paired_permutation_test(
 
     if rounds < 1:
         raise ValueError("rounds must be >= 1")
+    # NULL keys are dropped, not drawn: uniform_hash's concat_ws would
+    # silently SKIP a NULL key column ('seed#r') while SQL '||'
+    # propagates NULL — the draws would diverge between engines
     d = (
         df.select(
             F.col(key_column).cast("string").alias("_k"),
@@ -95,7 +98,7 @@ def paired_permutation_test(
             .cast("decimal(38,12)")
             .alias("_d"),
         )
-        .where(F.col("_d").isNotNull())
+        .where(F.col("_d").isNotNull() & F.col("_k").isNotNull())
         .localCheckpoint()
     )
     obs = d.agg(
@@ -193,6 +196,8 @@ def bootstrap_ci(
 
     if rounds < 2:
         raise ValueError("rounds must be >= 2")
+    # NULL keys dropped for the same engine-divergence reason as in
+    # paired_permutation_test: concat_ws skips NULLs, SQL '||' does not
     d = (
         df.select(
             F.col(key_column).cast("string").alias("_k"),
@@ -200,7 +205,7 @@ def bootstrap_ci(
             .cast("decimal(38,12)")
             .alias("_x"),
         )
-        .where(F.col("_x").isNotNull())
+        .where(F.col("_x").isNotNull() & F.col("_k").isNotNull())
         .localCheckpoint()
     )
     base = d.agg(

@@ -557,13 +557,21 @@ def word_ngrams(tokens_col, n: int) -> F.Column:
     token-array column — the ONE gram projection the batch
     (:func:`blocklist_phrase_hits`) and streaming
     (``streaming.stream_phrase_hits``) blocklist gates share, so the
-    tx49/st19 hash parity cannot drift through a one-sided edit."""
-    return F.transform(
-        F.sequence(F.lit(1), F.size(tokens_col) - (n - 1)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(tokens_col, i + off) for off in range(n)]
+    tx49/st19 hash parity cannot drift through a one-sided edit.
+
+    Total on short inputs: an array with fewer than ``n`` tokens
+    yields an EMPTY gram list — without the guard, F.sequence(1,
+    size-n+1) would run DESCENDING and element_at's negative indexes
+    would silently build grams from the array's tail."""
+    return F.when(
+        F.size(tokens_col) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tokens_col) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(tokens_col, i + off) for off in range(n)]
+            ),
         ),
-    )
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
 
 
 def normalize_blocklist(phrases: list[str], n: int) -> list[str]:

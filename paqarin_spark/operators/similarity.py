@@ -2196,10 +2196,14 @@ def zscore_outliers(
     def term(i):
         mu = F.element_at(F.col("_st"), i + 1)["_mu"]
         sd = F.element_at(F.col("_st"), i + 1)["_sd"]
-        x = F.element_at(vec, i + 1)
+        # guard BOTH ragged rows (element_at past the end raises under
+        # ANSI mode) and NULL elements (acc + NULL would poison the
+        # whole decimal fold, where the oracle's SUM just skips the
+        # term) — either contributes 0, matching SQL SUM semantics
+        x = F.when(F.size(vec) > i, F.element_at(vec, i + 1))
         z = F.round((x - mu) / sd, 12)
         return (
-            F.when(sd > 0, F.round(z * z, 12))
+            F.when(x.isNotNull() & (sd > 0), F.round(z * z, 12))
             .otherwise(F.lit(0.0))
             .cast("decimal(30,12)")
         )

@@ -14501,6 +14501,155 @@ ORDER BY b.phrase
 """
 
 
+def ev20_memorization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator MEMORIZATION audit — the "did the generator copy its
+    training data" check every generative-data pipeline runs before
+    releasing synthetic text (Carlini et al.'s n-gram overlap
+    instantiation): regenerate gen9's 30 Markov walks, shingle each
+    into word 4-grams (the SAME corpus.word_ngrams projection the
+    blocklist gate uses), and report per-sequence how many grams
+    appear verbatim anywhere in the training corpus. A first-order
+    chain SHOULD memorize heavily — the audit's value is the exact
+    number, not a pass/fail.
+
+    ORACLE: extends the gen9 recursive-CTE walk replay with the gram
+    join, so the hash match proves sample regeneration AND the overlap
+    accounting. NULL walk steps (a dead-end state) are dropped on both
+    sides before shingling — concat_ws skips NULLs where SQL ||
+    propagates them, so the contract is made explicit rather than
+    latent.
+
+    Scale shape: corpus grams are a tokenize + n-gram explode +
+    distinct (gram-keyed); the generated side is 30×5 grams; the
+    membership join is gram-keyed and unhinted (AQE broadcasts the
+    tiny generated side)."""
+    from paqarin_spark.generator import GeneratorParameters
+    from paqarin_spark.generators import MarkovEventGenerator
+    from paqarin_spark.operators.corpus import word_ngrams
+    from paqarin_spark.operators.dedup import normalized_text
+    from paqarin_spark.schema import TimeSeriesSchema
+
+    configure_for_determinism(spark)
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.split(normalized_text(F.col("text")), " ")
+        ).alias("pos", "tok"),
+    ).where(F.col("tok") != "")
+    schema = TimeSeriesSchema(
+        item_id_columns=("doc_id",),
+        timestamp_column="pos",
+        value_columns=("pos",),
+        frequency="D",
+        order_columns=("pos",),
+    )
+    params = GeneratorParameters(schema=schema, sequence_length=8, seed=13)
+    gen = MarkovEventGenerator(params, category_column="tok").fit(toks)
+    walks = gen.generate(30, seed=13)
+    seqs = (
+        walks.where(F.col("tok").isNotNull())
+        .groupBy("sequence_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("step", "tok"))),
+                lambda s: s["tok"],
+            ).alias("_ts")
+        )
+    )
+    ggrams = seqs.select(
+        "sequence_id", F.explode(word_ngrams(F.col("_ts"), 4)).alias("_g")
+    )
+    # the normalized alphabet cannot produce interior '' tokens, and
+    # word_ngrams returns [] below 4 tokens — no per-component filter
+    # needed on either engine (the oracle guards len(t) >= 4 the same
+    # way)
+    cgrams = (
+        docs.select(
+            F.split(normalized_text(F.col("text")), " ").alias("_ct")
+        )
+        .select(F.explode(word_ngrams(F.col("_ct"), 4)).alias("_g"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    per_seq = (
+        ggrams.join(cgrams, on="_g", how="left")
+        .groupBy("sequence_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias(
+                "n_memorized"
+            ),
+        )
+    )
+    return (
+        seqs.select("sequence_id")
+        .join(per_seq, on="sequence_id", how="left")
+        .select(
+            "sequence_id",
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_memorized", F.lit(0)).cast("long").alias(
+                "n_memorized"
+            ),
+            F.when(
+                F.coalesce("n_grams", F.lit(0)) > 0,
+                F.round(
+                    F.col("n_memorized") / F.col("n_grams"), 6
+                ),
+            ).alias("memorization_rate"),
+        )
+        .orderBy("sequence_id")
+    )
+
+
+def _ev20_sql() -> str:
+    walk_core = GEN9_SQL[GEN9_SQL.index("WITH RECURSIVE"):GEN9_SQL.index(
+        "SELECT sequence_id, step, tok FROM walk"
+    )].rstrip().rstrip(",")
+    return walk_core + """,
+seqs AS (
+  SELECT sequence_id, list(tok ORDER BY step) AS ts
+  FROM walk WHERE tok IS NOT NULL
+  GROUP BY sequence_id
+),
+ggrams AS (
+  SELECT sequence_id,
+         ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2] || ' ' || ts[i + 3]
+           AS g
+  FROM seqs, LATERAL (SELECT UNNEST(range(1, len(ts) - 2)) AS i)
+  WHERE len(ts) >= 4
+),
+cgrams AS (
+  SELECT DISTINCT
+         t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3] AS g
+  FROM (
+    SELECT string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ',
+                                            'g')), ' ') AS t
+    FROM documents
+  ) x, LATERAL (SELECT UNNEST(range(1, len(t) - 2)) AS i)
+  WHERE len(t) >= 4
+),
+per_seq AS (
+  SELECT gg.sequence_id,
+         COUNT(*) AS n_grams,
+         SUM(CASE WHEN c.g IS NOT NULL THEN 1 ELSE 0 END) AS n_memorized
+  FROM ggrams gg LEFT JOIN cgrams c ON c.g = gg.g
+  GROUP BY 1
+)
+SELECT s.sequence_id,
+       CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(p.n_memorized, 0) AS BIGINT) AS n_memorized,
+       CASE WHEN COALESCE(p.n_grams, 0) > 0
+            THEN ROUND(COALESCE(p.n_memorized, 0) / p.n_grams, 6)
+            END AS memorization_rate
+FROM seqs s LEFT JOIN per_seq p ON p.sequence_id = s.sequence_id
+ORDER BY s.sequence_id
+"""
+
+
+EV20_SQL = _ev20_sql()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-8 additions (never driver-verified) come first ---
     "em28_pca_label_projection": em28_pca_label_projection,
@@ -14512,6 +14661,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "em29_zscore_outliers": em29_zscore_outliers,
     "ev19_bootstrap_ci": ev19_bootstrap_ci,
     "st19_stream_phrase_hits": st19_stream_phrase_hits,
+    "ev20_memorization_audit": ev20_memorization_audit,
     # --- round-7 additions, r7-locally-verified ---
     "em27_graph_ingest_recall": em27_graph_ingest_recall,
     "em26_graph_search_recall": em26_graph_search_recall,
@@ -14555,7 +14705,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ev16_generator_rank": ev16_generator_rank,
     "gen9_text_markov": gen9_text_markov,
     # --- round-5 additions, r5-driver-verified ---
-    "ev11_ewma_backtest": ev11_ewma_backtest,
     # --- round-4 rotation: everything from here to ev2 has never
     # been driver-verified on its CURRENT oracle. The 16 round-4
     # ADDITIONS (mm10 MP4 sample tables; q73/tx33/st9/st10 sketches;
@@ -14567,6 +14716,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # oracle upgrades (ev1's first value oracle, ev5 post-window,
     # em2 sign-plane switch, gen4/ev2 full value replays). ---
     # ------------- driver 50-entry window ends HERE (position 50) -------------
+    # ev11_ewma_backtest (r5-green) displaced for round-8 ev20.
+    "ev11_ewma_backtest": ev11_ewma_backtest,
     # q90/q91/q89/st13/tx41/ev10/q85/tx40/q84 (r5-green, r6/r7
     # re-verified) displaced for round-8 em28/tx49/ev18/mm15/st18/
     # tx48/em29/ev19/st19.
@@ -14821,6 +14972,7 @@ ORACLE_SQL: dict[str, str] = {
     "em29_zscore_outliers": EM29_SQL,
     "ev19_bootstrap_ci": EV19_SQL,
     "st19_stream_phrase_hits": ST19_SQL,
+    "ev20_memorization_audit": EV20_SQL,
     "tx45_naive_bayes_lang": TX45_SQL,
     "tx46_bpe_train": TX46_SQL,
     "tx47_bpe_encode_stats": TX47_SQL,

@@ -346,3 +346,19 @@ def test_textrank_keywords_ranks_hub_token_first(spark):
 
     with pytest.raises(ValueError, match="vocab_size"):
         textrank_keywords(docs, "text", "doc_id", vocab_size=1)
+
+
+def test_word_ngrams_total_on_short_arrays(spark):
+    """Arrays shorter than n yield an EMPTY gram list (never grams
+    built from descending negative indexes), size n yields exactly
+    one, larger sizes slide by one."""
+    from paqarin_spark.operators.corpus import word_ngrams
+
+    df = spark.createDataFrame(
+        [(["a"],), (["a", "b"],), (["a", "b", "c"],), ([],)],
+        "ts array<string>",
+    )
+    rows = df.select(word_ngrams(F.col("ts"), 2).alias("g")).collect()
+    assert [r["g"] for r in rows] == [
+        [], ["a b"], ["a b", "b c"], [],
+    ]

@@ -111,3 +111,22 @@ def test_bootstrap_ci_brackets_mean_and_is_deterministic(spark):
 
     with pytest.raises(ValueError, match="rounds"):
         bootstrap_ci(df, "k", "v", rounds=1)
+
+
+def test_permutation_and_bootstrap_drop_null_keys(spark):
+    """NULL unit keys are excluded, not drawn: concat_ws would skip a
+    NULL key (different md5 input than the oracle's NULL-propagating
+    ||), so both stats operators drop those units symmetrically."""
+    from paqarin_spark.metrics.errors import (
+        bootstrap_ci,
+        paired_permutation_test,
+    )
+
+    df = spark.createDataFrame(
+        [(None, 5.0)] + [(str(i), 1.0 + i * 0.01) for i in range(20)],
+        "k string, d double",
+    )
+    r = paired_permutation_test(df, "k", "d", rounds=19).collect()[0]
+    assert r["n_units"] == 20
+    b = bootstrap_ci(df, "k", "d", rounds=19).collect()[0]
+    assert b["n_units"] == 20

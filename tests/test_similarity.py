@@ -1174,3 +1174,23 @@ def test_zscore_outliers_ranks_planted_outlier_first(spark):
     assert all(r["score"] is not None for r in out)  # no NaN leak
     with pytest.raises(ValueError, match="top_k"):
         zscore_outliers(df, "vec_id", "v", top_k=0)
+
+
+def test_zscore_outliers_tolerates_ragged_and_null_elements(spark):
+    """SQL-SUM semantics on dirty corpora: a NULL element and a
+    short (ragged) vector contribute 0 for the affected dims instead
+    of poisoning the fold to NULL or raising ANSI INVALID_ARRAY_INDEX;
+    clean rows rank normally."""
+    from paqarin_spark.operators import zscore_outliers
+
+    rows = [(i, [float(i % 5), 2.0, float((i * 7) % 11)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    dirty = spark.createDataFrame(
+        [(100, [None, 2.0, 50.0]), (101, [1.0])],
+        "vec_id long, v array<double>",
+    )
+    out = zscore_outliers(df.unionByName(dirty), "vec_id", "v", top_k=45)
+    got = {r["vec_id"]: r["score"] for r in out.collect()}
+    assert got[100] is not None and got[100] > 0  # partial score, not NULL
+    assert got[101] is not None  # ragged row survives
+    assert len(got) == 42
