@@ -2078,10 +2078,16 @@ def parse_tar_members(content: bytes) -> list[dict] | None:
         if sum(header[:148]) + 8 * 32 + sum(header[156:]) != chk:
             return None
         name = header[0:100].split(b"\x00", 1)[0].decode("utf-8", "replace")
-        data_end = off + 512 + size
+        flag = header[156]
+        # POSIX link/char/block/dir/fifo entries (typeflag '1'-'6')
+        # store NO data blocks even when the size field is nonzero
+        # (GNU tar records the link target's size for hard links);
+        # advancing past `size` there misaligns every later header.
+        data_len = 0 if 0x31 <= flag <= 0x36 else size
+        data_end = off + 512 + data_len
         if data_end > n:
             return None
-        if header[156] in (0x30, 0x00):  # '0' or NUL: regular file
+        if flag in (0x30, 0x00):  # '0' or NUL: regular file
             members.append(
                 {
                     "name": name,
@@ -2089,7 +2095,7 @@ def parse_tar_members(content: bytes) -> list[dict] | None:
                     "payload": content[off + 512:data_end],
                 }
             )
-        off = off + 512 + ((size + 511) // 512) * 512
+        off = off + 512 + ((data_len + 511) // 512) * 512
     return None  # ran off the end without a terminator
 
 

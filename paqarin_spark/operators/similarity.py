@@ -2201,11 +2201,19 @@ def zscore_outliers(
         # whole decimal fold, where the oracle's SUM just skips the
         # term) — either contributes 0, matching SQL SUM semantics
         x = F.when(F.size(vec) > i, F.element_at(vec, i + 1))
-        z = F.round((x - mu) / sd, 12)
+        # clamp |z| at 1e12 before squaring: a genuinely corrupted
+        # element (the very case this audit exists to rank) can push
+        # z past 1e13, whose square overflows even decimal(38,12) —
+        # clamped, z² ≤ 1e24 folds exactly and the outlier still ranks
+        # first instead of nulling (non-ANSI) or raising (ANSI/DuckDB)
+        z = F.least(
+            F.greatest(F.round((x - mu) / sd, 12), F.lit(-1.0e12)),
+            F.lit(1.0e12),
+        )
         return (
             F.when(x.isNotNull() & (sd > 0), F.round(z * z, 12))
             .otherwise(F.lit(0.0))
-            .cast("decimal(30,12)")
+            .cast("decimal(38,12)")
         )
 
     keep = [c for c in df.columns if c != vector_column]

@@ -44,7 +44,7 @@ from paqarin_spark.functions.text import (
 )
 from paqarin_spark.schema import EVENTS_SCHEMA
 from paqarin_spark.session import configure_for_determinism
-from paqarin_spark.sources import read_table
+from paqarin_spark.sources import read_table, stream_table_glob
 
 TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
@@ -13122,8 +13122,12 @@ def st17_stream_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = naive_bayes_fit(docs, "text", "lang")
     scoring = compile_scoring_table(model, n_features=32)
     raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    # FileStreamSource needs a glob (direct file paths are rejected);
+    # stream_table_glob asserts it resolves to EXACTLY the batch file,
+    # so the promised batch/oracle parity cannot silently diverge if
+    # the sf dir ever gained a second documents*.parquet file
     stream = spark.readStream.schema(raw_schema).parquet(
-        f"{sf_dir}/documents*.parquet"
+        stream_table_glob(spark, sf_dir, "documents")
     )
     emi = stream_classify_counts(stream, scoring, "text")
     name = "st17_stream_classify"
@@ -14331,15 +14335,23 @@ WITH el AS MATERIALIZED (
                                       AS DOUBLE) / COUNT(*), 12), 12),
                  12), 0.0)), 12) AS sd
   FROM el GROUP BY i
-), scored AS (
+), zc AS (
+  -- |z| clamped at 1e12 before squaring (mirrors the operator): a
+  -- corrupted element's unclamped z² would overflow DECIMAL(38,12).
+  -- The CASE guards BOTH sd=0 division and NULL elements (LEAST/
+  -- GREATEST skip NULLs, which would turn a NULL x into -1e12).
   SELECT el.vec_id,
-         ROUND(CAST(SUM(CASE WHEN st.sd > 0
-           THEN CAST(ROUND(ROUND((el.x - st.mu) / st.sd, 12)
-                           * ROUND((el.x - st.mu) / st.sd, 12), 12)
-                AS DECIMAL(30,12))
-           ELSE CAST(0.0 AS DECIMAL(30,12)) END) AS DOUBLE), 6) AS score
+         CASE WHEN el.x IS NULL OR st.sd <= 0 THEN NULL
+              ELSE LEAST(GREATEST(ROUND((el.x - st.mu) / st.sd, 12),
+                                  -1e12), 1e12) END AS z
   FROM el JOIN st USING (i)
-  GROUP BY el.vec_id
+), scored AS (
+  SELECT vec_id,
+         ROUND(CAST(SUM(CASE WHEN z IS NOT NULL
+           THEN CAST(ROUND(z * z, 12) AS DECIMAL(38,12))
+           ELSE CAST(0.0 AS DECIMAL(38,12)) END) AS DOUBLE), 6) AS score
+  FROM zc
+  GROUP BY vec_id
 )
 SELECT CAST(ROW_NUMBER() OVER (ORDER BY s.score DESC, s.vec_id)
             AS INTEGER) AS rk,
@@ -14455,8 +14467,12 @@ def st19_stream_phrase_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_for_determinism(spark)
     read_table(spark, sf_dir, "documents")  # pins session read confs
     raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    # FileStreamSource needs a glob (direct file paths are rejected);
+    # stream_table_glob asserts it resolves to EXACTLY the batch file,
+    # so the promised batch/oracle parity cannot silently diverge if
+    # the sf dir ever gained a second documents*.parquet file
     stream = spark.readStream.schema(raw_schema).parquet(
-        f"{sf_dir}/documents*.parquet"
+        stream_table_glob(spark, sf_dir, "documents")
     )
     emi = stream_phrase_hits(stream, "text", TX49_BLOCKLIST, n=2)
     name = "st19_stream_phrase_hits"

@@ -93,6 +93,32 @@ def hadoop_exists(spark: SparkSession, path: str) -> bool:
     return bool(fs.exists(jpath))
 
 
+def stream_table_glob(spark: SparkSession, sf_dir: str, name: str) -> str:
+    """Glob pattern for streaming a single testdata table, VERIFIED to
+    resolve to exactly the one batch file.
+
+    FileStreamSource rejects direct file paths ("Option 'basePath'
+    must be a directory"), so streaming queries must read a glob — but
+    a bare glob would silently diverge from the batch/oracle side if
+    the sf dir ever gained a second ``{name}*.parquet`` file. This
+    helper resolves the glob through the Hadoop FileSystem (scheme-
+    agnostic) and raises unless it matches the single batch path."""
+    pattern = f"{sf_dir.rstrip('/')}/{name}*.parquet"
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(pattern)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    statuses = fs.globStatus(jpath)
+    names = sorted(
+        str(st.getPath().getName()) for st in (statuses or [])
+    )
+    if names != [f"{name}.parquet"]:
+        raise ValueError(
+            f"stream glob {pattern!r} must resolve to exactly "
+            f"['{name}.parquet'] for batch/oracle parity, got {names}"
+        )
+    return pattern
+
+
 def _nano_timestamp_columns(path: str) -> list[str]:
     """Columns stored as parquet TIMESTAMP(NANOS), which Spark cannot
     read natively (PARQUET_TYPE_ILLEGAL). Footer-only check."""

@@ -1207,10 +1207,18 @@ def stream_ewma_anomaly(
         # cast to the emission schema's LongType up front — a string
         # or int key would otherwise contradict out_type at Arrow
         # conversion inside the fold
-        F.col(user_column).cast("long").alias("user_id"),
+        F.col(user_column).try_cast("long").alias("user_id"),
         F.unix_micros(F.col(ts_column)).alias("_ts_us"),
         F.col(id_column).cast("long").alias("_eid"),
         F.col(value_column).cast("double").alias("_v"),
+    ).where(
+        # try_cast (not cast: ANSI mode hard-crashes the stream on the
+        # first malformed key) turns a non-numeric key into NULL; the
+        # filter then drops it — without this every such key would
+        # collapse into ONE shared NULL-key state row, silently
+        # interleaving unrelated series through the order-dependent
+        # fold (mirrors the NULL-key drop in paired_permutation_test)
+        F.col("user_id").isNotNull()
     )
     out_type = StructType(
         [

@@ -811,3 +811,48 @@ class _FakeHuge(bytes):
 
     def __len__(self):
         return 8**11
+
+
+def test_parse_tar_members_skips_link_entries_without_data(spark):
+    """ADVICE r8: POSIX hard/sym-link entries (typeflag '1'/'2') store
+    NO data blocks even when their size field is nonzero (GNU tar
+    records the link target's size) — the walk must not advance past
+    phantom data blocks, or every later member misaligns to None."""
+    from paqarin_spark.multimodal import encode_ustar, parse_tar_members
+
+    def special_header(name: str, size: int, typeflag: bytes) -> bytes:
+        h = bytearray(512)
+        h[0:len(name)] = name.encode()
+        h[100:108] = b"0000644\x00"
+        h[108:116] = b"0000000\x00"
+        h[116:124] = b"0000000\x00"
+        h[124:136] = f"{size:011o}".encode() + b"\x00"
+        h[136:148] = b"00000000000\x00"
+        h[148:156] = b" " * 8
+        h[156:157] = typeflag
+        h[257:263] = b"ustar\x00"
+        h[263:265] = b"00"
+        h[148:156] = f"{sum(h):06o}".encode() + b"\x00 "
+        return bytes(h)
+
+    regular = encode_ustar([("real.txt", b"hello world")])
+    # GNU-style hard link claiming the target's 11-byte size, then a
+    # symlink and a directory — none of them carry data blocks
+    blob = (
+        special_header("ln.txt", 11, b"1")
+        + special_header("sym.txt", 11, b"2")
+        + special_header("dir/", 0, b"5")
+        + regular
+    )
+    got = parse_tar_members(blob)
+    assert got is not None, "link entries misaligned the walk"
+    assert [(m["name"], m["payload"]) for m in got] == [
+        ("real.txt", b"hello world")
+    ]
+
+    # cross-check: stdlib tarfile agrees on the member list
+    import io
+    import tarfile
+
+    tf = tarfile.open(fileobj=io.BytesIO(blob))
+    assert [i.name for i in tf if i.isfile()] == ["real.txt"]

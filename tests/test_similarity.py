@@ -1194,3 +1194,23 @@ def test_zscore_outliers_tolerates_ragged_and_null_elements(spark):
     assert got[100] is not None and got[100] > 0  # partial score, not NULL
     assert got[101] is not None  # ragged row survives
     assert len(got) == 42
+
+
+def test_zscore_outliers_survives_corrupted_extreme_spike(spark):
+    """ADVICE r8: a genuinely corrupted element (1e12 against a
+    unit-scale std → |z| ~1e12) must RANK FIRST with a finite non-null
+    score instead of overflowing the per-term decimal cast to NULL
+    (non-ANSI) or raising (ANSI) — the very vector the audit exists to
+    surface. The clamp bounds z² at 1e24, inside decimal(38,12)."""
+    from paqarin_spark.operators import zscore_outliers
+
+    rows = [(i, [float(i % 7), 3.0]) for i in range(50)]
+    rows.append((999, [1.0e12, 3.0]))  # corrupted spike
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    out = zscore_outliers(df, "vec_id", "v", top_k=3).collect()
+    assert out[0]["vec_id"] == 999 and out[0]["rk"] == 1
+    assert out[0]["score"] is not None
+    import math
+
+    assert math.isfinite(out[0]["score"])
+    assert out[0]["score"] > out[1]["score"] > 0

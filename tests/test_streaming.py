@@ -1153,3 +1153,34 @@ def test_stream_phrase_hits_restart_matches_batch(spark, tmp_path):
     assert got == batch
     with pytest.raises(ValueError, match="non-empty"):
         stream_phrase_hits(s2, "text", [])
+
+
+def test_stream_ewma_anomaly_drops_null_cast_keys(spark, tmp_path):
+    """ADVICE r8: a non-numeric key casts to NULL in staging; without
+    the post-cast filter every such key collapses into ONE shared
+    NULL-key state row, interleaving unrelated series through the
+    order-dependent fold. Dirty keys must vanish; clean numeric-string
+    keys fold normally."""
+    from paqarin_spark.streaming import (
+        ewma_from_emissions,
+        stream_ewma_anomaly,
+    )
+
+    schema = "user_id string, ts timestamp, event_id long, value double"
+    path = str(tmp_path / "in")
+    spark.createDataFrame(
+        [("7", 1_000_000, 1, 4.0), ("abc", 2_000_000, 2, 8.0),
+         ("7", 3_000_000, 3, 8.0), ("", 4_000_000, 4, 9.0)],
+        "user_id string, us long, event_id long, value double",
+    ).select(
+        "user_id", F.timestamp_micros("us").alias("ts"), "event_id", "value"
+    ).repartition(1).write.mode("append").parquet(path)
+    s = spark.readStream.schema(schema).parquet(path)
+    emi = _run_checkpointed_append(
+        spark, stream_ewma_anomaly(s),
+        str(tmp_path / "out"), str(tmp_path / "ckpt"),
+    )
+    rows = ewma_from_emissions(emi).collect()
+    assert {r["user_id"] for r in rows} == {7}  # NULL-cast keys dropped
+    assert rows[0]["n_events"] == 2
+    assert rows[0]["ewma"] == 0.75 * 4.0 + 0.25 * 8.0
