@@ -1,0 +1,174 @@
+"""Rank-statistic evaluation metrics: exact ROC-AUC and Spearman rank
+correlation, computed group-wise as pure relational plans.
+
+Reference seam: the reference's evaluation layer reports regression
+errors only (`paqarin/metrics/univariate_metrics.py:434-476`); every
+production data pipeline that trains a quality/language classifier
+(the tx45/ev17 family here) also reports threshold-free ranking
+quality — AUC is the canonical one, and Spearman is the standard
+monotone-association check between two quality signals.
+
+Both metrics are EXACT, not sampled:
+
+- Midranks (average ranks under ties) are half-integers, so we carry
+  ``2·midrank`` as an integer: ``2·RANK() + tie_count − 1``.
+- The Mann-Whitney identity gives AUC from the positive-class midrank
+  sum alone; Spearman is Pearson on CENTERED midranks, where
+  ``Σdx = Σdy = 0`` by construction so the naive ``n·Σxy − Σx·Σy``
+  blowup (and its decimal overflow at extreme n, the q93 lesson)
+  never appears.
+- Every sum runs in ``decimal(38,0)``: per-row terms are ≤ 2n (AUC)
+  or ≤ n² (Spearman products), so group sums stay within 38 digits to
+  n ≈ 1e12 rows per group — bigint sums would overflow at ~2e9.
+
+Scale shape: one window pass partitioned by the group key (ranks
+distribute across groups; within-group volume is the usual window
+skew bound, the q101 class), then one group-keyed aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_DEC = "decimal(38,0)"
+
+
+def _midrank2(group_cols: list[str], order_col: str) -> F.Column:
+    """2× the midrank of ``order_col`` within the group: for a tie
+    group starting at RANK() r with c members, every member's midrank
+    is r + (c−1)/2, so 2·midrank = 2r + c − 1 (always an integer)."""
+    w_rank = Window.partitionBy(*group_cols).orderBy(order_col)
+    w_tie = Window.partitionBy(*group_cols, order_col)
+    return (
+        F.lit(2) * F.rank().over(w_rank)
+        + F.count(F.lit(1)).over(w_tie)
+        - F.lit(1)
+    ).cast("long")
+
+
+def roc_auc(
+    df: DataFrame,
+    group_column: str,
+    label_column: str,
+    score_column: str,
+) -> DataFrame:
+    """Exact ROC-AUC per group via the Mann-Whitney rank-sum identity
+    with midrank tie handling (equivalent to the trapezoidal area
+    under the full-resolution ROC curve):
+
+        AUC = (Σ_{y=1} midrank − P(P+1)/2) / (P·N)
+
+    Carried as integers: ``2·Σmidrank − P·(P+1)·... `` — concretely
+    ``auc = (S2 − P(P+1)) / (2PN)`` where S2 = Σ_{y=1} 2·midrank.
+    Groups with no positives or no negatives return NULL (AUC is
+    undefined there, not 0.5 — a silent 0.5 would hide a broken
+    label). Rows with NULL/NaN score or NULL label are dropped (they
+    have no rank).
+
+    Output: (group, n_pos, n_neg, auc[6dp]).
+    """
+    base = df.select(
+        F.col(group_column).alias("grp"),
+        F.col(label_column).cast("int").alias("_y"),
+        F.col(score_column).cast("double").alias("_s"),
+    ).where(
+        F.col("_y").isNotNull()
+        & F.col("_s").isNotNull()
+        & ~F.isnan("_s")
+    )
+    ranked = base.select(
+        "grp", "_y", _midrank2(["grp"], "_s").alias("_mr2")
+    )
+    agg = ranked.groupBy("grp").agg(
+        F.sum("_y").cast("long").alias("n_pos"),
+        (F.count(F.lit(1)) - F.sum("_y")).cast("long").alias("n_neg"),
+        F.sum(
+            F.when(F.col("_y") == 1, F.col("_mr2")).otherwise(0)
+            .cast(_DEC)
+        ).alias("_s2"),
+    )
+    # accumulation is exact decimal; the final scalar identity runs in
+    # DOUBLE (decimal division scale rules differ across engines —
+    # identical IEEE ops replay bit-exactly instead)
+    p = F.col("n_pos").cast("double")
+    n = F.col("n_neg").cast("double")
+    auc = (F.col("_s2").cast("double") - p * (p + F.lit(1.0))) / (
+        F.lit(2.0) * p * n
+    )
+    return agg.select(
+        F.col("grp").alias(group_column),
+        "n_pos",
+        "n_neg",
+        F.round(
+            F.when((F.col("n_pos") > 0) & (F.col("n_neg") > 0), auc),
+            6,
+        ).alias("auc"),
+    )
+
+
+def spearman_rho(
+    df: DataFrame,
+    group_column: str,
+    x_column: str,
+    y_column: str,
+) -> DataFrame:
+    """Exact Spearman rank correlation per group: Pearson on midranks
+    (the tie-correct definition), computed on CENTERED doubled
+    midranks ``d = 2·midrank − (n+1)`` so Σd = 0 identically and
+
+        ρ = Σ dx·dy / sqrt(Σ dx² · Σ dy²)
+
+    needs no ``n·Σxy − Σx·Σy`` cross terms — products stay ≤ n² per
+    row and sums ≤ n³, inside decimal(38,0) to n ≈ 1e12. The single
+    sqrt/divide runs in double at the very end (round 6dp). Groups
+    where either variable is constant (zero rank variance) return
+    NULL. Rows with a NULL/NaN in either variable are dropped.
+
+    Output: (group, n, rho[6dp]).
+    """
+    base = df.select(
+        F.col(group_column).alias("grp"),
+        F.col(x_column).cast("double").alias("_x"),
+        F.col(y_column).cast("double").alias("_y"),
+    ).where(
+        F.col("_x").isNotNull()
+        & ~F.isnan("_x")
+        & F.col("_y").isNotNull()
+        & ~F.isnan("_y")
+    )
+    w_g = Window.partitionBy("grp")
+    centered = base.select(
+        "grp",
+        (
+            _midrank2(["grp"], "_x")
+            - (F.count(F.lit(1)).over(w_g) + F.lit(1))
+        ).alias("_dx"),
+        (
+            _midrank2(["grp"], "_y")
+            - (F.count(F.lit(1)).over(w_g) + F.lit(1))
+        ).alias("_dy"),
+    )
+    # cast BEFORE multiplying: dx·dy reaches n², past int64 at
+    # n ≈ 3e9 rows per group — the product itself must run in decimal
+    dx = F.col("_dx").cast(_DEC)
+    dy = F.col("_dy").cast(_DEC)
+    agg = centered.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dx * dy).alias("_sxy"),
+        F.sum(dx * dx).alias("_sxx"),
+        F.sum(dy * dy).alias("_syy"),
+    )
+    rho = F.col("_sxy").cast("double") / F.sqrt(
+        F.col("_sxx").cast("double") * F.col("_syy").cast("double")
+    )
+    return agg.select(
+        F.col("grp").alias(group_column),
+        "n",
+        F.round(
+            F.when(
+                (F.col("_sxx") > 0) & (F.col("_syy") > 0), rho
+            ),
+            6,
+        ).alias("rho"),
+    )

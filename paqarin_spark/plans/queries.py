@@ -14666,8 +14666,133 @@ ORDER BY s.sequence_id
 EV20_SQL = _ev20_sql()
 
 
+def ev21_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC (metrics.ranking.roc_auc) — the threshold-free
+    ranking-quality metric every classifier eval reports beside
+    ev17's calibration: per event type, how well `value` ranks events
+    whose props payload k ≥ 50 above the rest, via the Mann-Whitney
+    rank-sum identity with midrank tie handling. Midranks are carried
+    as exact integers (2·RANK() + ties − 1), the positive-class rank
+    sum accumulates in decimal(38,0) (bigint overflows at ~2e9 rows
+    per group), and only the final 3-term scalar identity runs in
+    double — bit-identical across engines.
+
+    Scale shape: one window pass partitioned by event type + one
+    group-keyed agg; no global sort, no SinglePartition exchange."""
+    from paqarin_spark.metrics.ranking import roc_auc
+
+    configure_for_determinism(spark)
+    ev = _events(spark, sf_dir)
+    labeled = ev.select(
+        "event_type",
+        "value",
+        F.when(
+            F.get_json_object("props", "$.k").cast("int") >= 50, 1
+        )
+        .when(F.get_json_object("props", "$.k").cast("int") < 50, 0)
+        .alias("label"),
+    )
+    return roc_auc(labeled, "event_type", "label", "value").orderBy(
+        "event_type"
+    )
+
+
+EV21_SQL = """
+WITH base AS (
+  SELECT event_type AS grp,
+         CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) >= 50
+              THEN 1 ELSE 0 END AS y,
+         value AS s
+  FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value)
+    AND json_extract_string(props, '$.k') IS NOT NULL
+), ranked AS (
+  SELECT grp, y,
+         2 * RANK() OVER (PARTITION BY grp ORDER BY s)
+           + COUNT(*) OVER (PARTITION BY grp, s) - 1 AS mr2
+  FROM base
+), agg AS (
+  SELECT grp,
+         CAST(SUM(y) AS BIGINT) AS n_pos,
+         CAST(COUNT(*) - SUM(y) AS BIGINT) AS n_neg,
+         SUM(CASE WHEN y = 1 THEN CAST(mr2 AS DECIMAL(38,0))
+                  ELSE CAST(0 AS DECIMAL(38,0)) END) AS s2
+  FROM ranked GROUP BY grp
+)
+SELECT grp AS event_type, n_pos, n_neg,
+       ROUND(CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+           (CAST(s2 AS DOUBLE) - CAST(n_pos AS DOUBLE)
+              * (CAST(n_pos AS DOUBLE) + 1.0))
+           / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
+         END, 6) AS auc
+FROM agg ORDER BY event_type
+"""
+
+
+def ev22_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Spearman rank correlation (metrics.ranking.spearman_rho)
+    — the standard monotone-association check between two quality
+    signals (here: does the props payload k co-rank with value within
+    each event type?). Pearson on CENTERED doubled midranks
+    (d = 2·midrank − (n+1), so Σd ≡ 0): products and sums run in
+    decimal(38,0) — the naive n·Σxy − Σx·Σy form overflows 38 digits
+    at ~1e12 rows (the q93 lesson), the centered form never does —
+    and only the final sqrt/divide runs in double.
+
+    Scale shape: two window passes partitioned by event type, one
+    group agg; distributes across groups like ev21/q101."""
+    from paqarin_spark.metrics.ranking import spearman_rho
+
+    configure_for_determinism(spark)
+    ev = _events(spark, sf_dir)
+    paired = ev.select(
+        "event_type",
+        "value",
+        F.get_json_object("props", "$.k").cast("double").alias("k"),
+    )
+    return spearman_rho(paired, "event_type", "k", "value").orderBy(
+        "event_type"
+    )
+
+
+EV22_SQL = """
+WITH base AS (
+  SELECT event_type AS grp,
+         CAST(json_extract_string(props, '$.k') AS DOUBLE) AS x,
+         value AS y
+  FROM events
+  WHERE json_extract_string(props, '$.k') IS NOT NULL
+    AND value IS NOT NULL AND NOT isnan(value)
+), centered AS (
+  SELECT grp,
+         CAST(2 * RANK() OVER (PARTITION BY grp ORDER BY x)
+              + COUNT(*) OVER (PARTITION BY grp, x) - 1
+              - (COUNT(*) OVER (PARTITION BY grp) + 1)
+              AS DECIMAL(38,0)) AS dx,
+         CAST(2 * RANK() OVER (PARTITION BY grp ORDER BY y)
+              + COUNT(*) OVER (PARTITION BY grp, y) - 1
+              - (COUNT(*) OVER (PARTITION BY grp) + 1)
+              AS DECIMAL(38,0)) AS dy
+  FROM base
+), agg AS (
+  SELECT grp, COUNT(*) AS n,
+         SUM(dx * dy) AS sxy, SUM(dx * dx) AS sxx, SUM(dy * dy) AS syy
+  FROM centered GROUP BY grp
+)
+SELECT grp AS event_type, CAST(n AS BIGINT) AS n,
+       ROUND(CASE WHEN sxx > 0 AND syy > 0 THEN
+           CAST(sxy AS DOUBLE)
+           / sqrt(CAST(sxx AS DOUBLE) * CAST(syy AS DOUBLE))
+         END, 6) AS rho
+FROM agg ORDER BY event_type
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- round-8 additions (never driver-verified) come first ---
+    # --- round-9 additions (never driver-verified) come first ---
+    "ev21_roc_auc": ev21_roc_auc,
+    "ev22_spearman_rho": ev22_spearman_rho,
+    # --- round-8 additions, r8-driver-verified ---
     "em28_pca_label_projection": em28_pca_label_projection,
     "tx49_blocklist_phrases": tx49_blocklist_phrases,
     "ev18_permutation_test": ev18_permutation_test,
@@ -14979,6 +15104,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # single-statement SQL — declared so the driver proves the neural
 # train/sample lifecycle runs, not to widen the oracle surface.
 ORACLE_SQL: dict[str, str] = {
+    "ev21_roc_auc": EV21_SQL,
+    "ev22_spearman_rho": EV22_SQL,
     "em28_pca_label_projection": EM28_SQL,
     "tx49_blocklist_phrases": TX49_SQL,
     "ev18_permutation_test": EV18_SQL,

@@ -1,0 +1,103 @@
+"""Exact rank-statistic metrics: ROC-AUC and Spearman (metrics.ranking)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F  # noqa: F401
+
+from paqarin_spark.metrics.ranking import roc_auc, spearman_rho
+
+
+def _auc_numpy(y, s):
+    """Brute-force pairwise AUC with 0.5 tie credit."""
+    y, s = np.asarray(y), np.asarray(s)
+    pos, neg = s[y == 1], s[y == 0]
+    wins = (pos[:, None] > neg[None, :]).sum()
+    ties = (pos[:, None] == neg[None, :]).sum()
+    return (wins + 0.5 * ties) / (len(pos) * len(neg))
+
+
+def _spearman_numpy(x, y):
+    """Midrank Spearman via Pearson on average ranks."""
+    def midranks(v):
+        v = np.asarray(v, dtype=float)
+        order = np.argsort(v, kind="stable")
+        r = np.empty(len(v))
+        i = 0
+        sv = v[order]
+        while i < len(v):
+            j = i
+            while j + 1 < len(v) and sv[j + 1] == sv[i]:
+                j += 1
+            r[order[i:j + 1]] = (i + j) / 2 + 1
+            i = j + 1
+        return r
+    rx, ry = midranks(x), midranks(y)
+    rx, ry = rx - rx.mean(), ry - ry.mean()
+    return float((rx * ry).sum() / np.sqrt((rx**2).sum() * (ry**2).sum()))
+
+
+def test_roc_auc_closed_forms_and_ties(spark):
+    """Perfect separation → 1, inverted → 0, heavy ties → the exact
+    pairwise 0.5-credit value; a single-class group is NULL (not a
+    silent 0.5); NaN scores are dropped."""
+    rows = []
+    # group A: perfect separation
+    rows += [("A", 1, 10.0 + i) for i in range(5)]
+    rows += [("A", 0, float(i)) for i in range(5)]
+    # group B: inverted
+    rows += [("B", 1, float(i)) for i in range(4)]
+    rows += [("B", 0, 10.0 + i) for i in range(4)]
+    # group C: ties across classes
+    c_y = [1, 1, 0, 0, 1, 0, 0, 1]
+    c_s = [2.0, 2.0, 2.0, 1.0, 3.0, 3.0, 0.0, 1.0]
+    rows += [("C", y, s) for y, s in zip(c_y, c_s)]
+    # group D: positives only → undefined
+    rows += [("D", 1, 1.0), ("D", 1, 2.0)]
+    # NaN score must be dropped, not ranked
+    rows += [("A", 1, float("nan"))]
+    df = spark.createDataFrame(rows, "grp string, label int, score double")
+    got = {
+        r["grp"]: (r["n_pos"], r["n_neg"], r["auc"])
+        for r in roc_auc(df, "grp", "label", "score").collect()
+    }
+    assert got["A"] == (5, 5, 1.0)
+    assert got["B"] == (4, 4, 0.0)
+    assert got["C"][2] == pytest.approx(_auc_numpy(c_y, c_s), abs=5e-7)
+    assert got["D"] == (2, 0, None)
+
+
+def test_roc_auc_matches_pairwise_on_random_data(spark):
+    """Rank-sum identity == brute-force pairwise count on md5-free
+    deterministic pseudo-random data with duplicated scores."""
+    rng = np.random.RandomState(7)
+    y = (rng.rand(300) < 0.4).astype(int)
+    s = np.round(rng.rand(300) * 20, 1)  # coarse grid → many ties
+    df = spark.createDataFrame(
+        [("g", int(a), float(b)) for a, b in zip(y, s)],
+        "grp string, label int, score double",
+    )
+    row = roc_auc(df, "grp", "label", "score").collect()[0]
+    assert row["auc"] == pytest.approx(_auc_numpy(y, s), abs=5e-7)
+
+
+def test_spearman_closed_forms(spark):
+    """Monotone → 1, anti-monotone → -1, constant variable → NULL, and
+    a tied sample matches the midrank-Pearson reference."""
+    rows = []
+    rows += [("up", float(i), float(i * i)) for i in range(10)]
+    rows += [("down", float(i), float(-3 * i + 2)) for i in range(10)]
+    rows += [("flat", 1.0, float(i)) for i in range(6)]
+    tx = [1.0, 2.0, 2.0, 3.0, 3.0, 3.0, 4.0, 5.0]
+    ty = [2.0, 1.0, 3.0, 3.0, 5.0, 4.0, 4.0, 6.0]
+    rows += [("tied", a, b) for a, b in zip(tx, ty)]
+    df = spark.createDataFrame(rows, "grp string, x double, y double")
+    got = {r["grp"]: (r["n"], r["rho"]) for r in
+           spearman_rho(df, "grp", "x", "y").collect()}
+    assert got["up"] == (10, 1.0)
+    assert got["down"] == (10, -1.0)
+    assert got["flat"] == (6, None)
+    assert got["tied"][1] == pytest.approx(
+        _spearman_numpy(tx, ty), abs=5e-7
+    )
