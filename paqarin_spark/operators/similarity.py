@@ -2638,3 +2638,72 @@ def nn_descent_ingest(
         updated_old.unionByName(new_lists)
         .select("node", "nbr", F.col("sim").alias("cos_sim"))
     )
+
+
+def rrf_fuse(
+    rankings: list[tuple[str, DataFrame]],
+    id_column: str,
+    rank_column: str = "rk",
+    k0: int = 60,
+    top_k: int = 10,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR
+    2009) — the standard hybrid-search combiner: each ranked list
+    contributes ``1/(k0 + rank)`` for every id it contains, and the
+    fused score is the sum. Used to merge lexical (BM25) and vector
+    (cosine) retrieval without score calibration — only RANKS cross
+    lanes, so wildly different score scales fuse cleanly.
+
+    Determinism contract: ``rankings`` is an ORDERED list of
+    (lane_name, frame) — contributions add in exactly that lane
+    order as one fixed expression chain (never a shuffle-order SUM of
+    doubles), each term is the IEEE double 1/(k0+rank), and the final
+    ranking sorts on the ``round_dp``-ROUNDED fused score with id
+    tie-break, so the output replays exactly in SQL.
+
+    Scale shape: the inputs are already top-k lists (k·lanes rows,
+    bounded by construction), so the full-outer merge, the fixed-order
+    add, and the final TakeOrderedAndProject all run on k-bounded
+    data — the corpus never appears here; lane construction (BM25
+    postings, ANN probes) bounds the heavy work upstream.
+
+    Output: (rk, id, <lane>_rk ... one per lane, rrf) — lane ranks
+    NULL where a lane did not retrieve the id.
+    """
+    if len(rankings) < 1:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    if k0 < 1 or top_k < 1:
+        raise ValueError("k0 and top_k must be >= 1")
+    names = [name for name, _ in rankings]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate lane names: {names}")
+    merged = None
+    for name, frame in rankings:
+        lane = frame.select(
+            F.col(id_column),
+            F.col(rank_column).cast("int").alias(f"{name}_rk"),
+        )
+        merged = (
+            lane
+            if merged is None
+            else merged.join(lane, id_column, "full_outer")
+        )
+    score = F.lit(0.0)
+    for name in names:
+        rk = F.col(f"{name}_rk")
+        score = score + F.when(
+            rk.isNotNull(), F.lit(1.0) / (F.lit(float(k0)) + rk)
+        ).otherwise(F.lit(0.0))
+    scored = merged.withColumn("rrf", F.round(score, round_dp))
+    w = Window.orderBy(F.desc("rrf"), F.asc(id_column))
+    return (
+        scored.orderBy(F.desc("rrf"), F.asc(id_column))
+        .limit(int(top_k))
+        .select(
+            F.row_number().over(w).alias("rk"),
+            id_column,
+            *[f"{n}_rk" for n in names],
+            "rrf",
+        )
+    )

@@ -14788,8 +14788,128 @@ FROM agg ORDER BY event_type
 """
 
 
+def em30_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval via reciprocal-rank fusion (similarity.
+    rrf_fuse, Cormack et al. 2009) — the standard way production
+    search merges a lexical and a vector lane without score
+    calibration: BM25 top-20 for the tx31 query bag fuses with the
+    exact cosine top-20 for query vector 0 (the em15 cross-table
+    kernel), each doc scoring Σ 1/(60 + rank) over the lanes that
+    retrieved it. Contributions add in fixed lane order (bm25 then
+    cos) as one expression chain; the final ranking sorts the
+    6dp-rounded fused score with doc-id tie-break — fully
+    SQL-replayable.
+
+    Scale shape: both lanes bound their own heavy work (BM25 explodes
+    only query-term postings; cosine is the blocked BLAS kernel); the
+    fusion itself touches only 2×20 rows."""
+    from paqarin_spark.operators import bm25_topk, rrf_fuse
+
+    configure_for_determinism(spark)
+    docs = _docs(spark, sf_dir)
+    bm = bm25_topk(
+        docs, "doc_id", "text", ["spark", "join", "window", "hash"], k=20
+    )
+    w_bm = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    bm_ranked = bm.select(
+        "doc_id", F.row_number().over(w_bm).alias("rk")
+    )
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    q0 = emb.where(F.col("vec_id") == 0)
+    corpus = emb.where(F.col("vec_id") != 0)
+    cs = cosine_topk(corpus, "vec_id", "embedding", k=20, queries=q0)
+    w_cs = Window.orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    cs_ranked = cs.select(
+        F.col("neighbor_id").alias("doc_id"),
+        F.row_number().over(w_cs).alias("rk"),
+    )
+    return rrf_fuse(
+        [("bm25", bm_ranked), ("cos", cs_ranked)],
+        "doc_id",
+        k0=60,
+        top_k=10,
+    )
+
+
+EM30_SQL = f"""
+WITH d AS (
+  SELECT doc_id, len({_TOKS_SQL}) AS dl,
+         list_filter({_TOKS_SQL},
+                     t -> list_contains(['spark','join','window','hash'], t))
+           AS hits
+  FROM documents
+), stats AS (
+  SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM d
+), postings AS (
+  SELECT doc_id, dl, UNNEST(hits) AS term FROM d
+), tf AS (
+  SELECT doc_id, dl, term, COUNT(*) AS tf FROM postings GROUP BY 1, 2, 3
+), dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+), bmscore AS (
+  SELECT doc_id,
+         ROUND(SUM(ln(1.0 + (s.n - f.df + 0.5) / (f.df + 0.5))
+                   * (t.tf * 2.2)
+                   / (t.tf + 1.2 * (0.25 + 0.75 * t.dl / s.avgdl))), 6)
+           AS score
+  FROM tf t JOIN dfreq f USING (term) CROSS JOIN stats s
+  GROUP BY doc_id
+  ORDER BY score DESC, doc_id
+  LIMIT 20
+), bm AS (
+  SELECT doc_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+              AS INTEGER) AS bm25_rk
+  FROM bmscore
+), q AS (
+  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings WHERE vec_id = 0
+), c AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings WHERE vec_id <> 0
+), cpairs AS (
+  SELECT b.vec_id AS doc_id,
+         ROUND(
+           list_sum(list_transform(range(1, 65), i -> a.e[i] * b.e[i]))
+           / (sqrt(list_sum(list_transform(range(1, 65),
+                                           i -> a.e[i] * a.e[i])))
+              * sqrt(list_sum(list_transform(range(1, 65),
+                                             i -> b.e[i] * b.e[i])))),
+           6) AS cos_sim
+  FROM q a CROSS JOIN c b
+  ORDER BY cos_sim DESC, doc_id
+  LIMIT 20
+), ck AS (
+  SELECT doc_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY cos_sim DESC, doc_id)
+              AS INTEGER) AS cos_rk
+  FROM cpairs
+), fused AS (
+  SELECT COALESCE(bm.doc_id, ck.doc_id) AS doc_id, bm.bm25_rk, ck.cos_rk,
+         ROUND(
+           (CASE WHEN bm.bm25_rk IS NOT NULL
+                 THEN 1.0 / (60.0 + bm.bm25_rk) ELSE 0.0 END)
+           + (CASE WHEN ck.cos_rk IS NOT NULL
+                   THEN 1.0 / (60.0 + ck.cos_rk) ELSE 0.0 END), 6) AS rrf
+  FROM bm FULL OUTER JOIN ck ON bm.doc_id = ck.doc_id
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS INTEGER)
+         AS rk,
+       doc_id, bm25_rk, cos_rk, rrf
+FROM fused
+ORDER BY rrf DESC, doc_id
+LIMIT 10
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-9 additions (never driver-verified) come first ---
+    "em30_rrf_fusion": em30_rrf_fusion,
     "ev21_roc_auc": ev21_roc_auc,
     "ev22_spearman_rho": ev22_spearman_rho,
     # --- round-8 additions, r8-driver-verified ---
@@ -15104,6 +15224,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # single-statement SQL — declared so the driver proves the neural
 # train/sample lifecycle runs, not to widen the oracle surface.
 ORACLE_SQL: dict[str, str] = {
+    "em30_rrf_fusion": EM30_SQL,
     "ev21_roc_auc": EV21_SQL,
     "ev22_spearman_rho": EV22_SQL,
     "em28_pca_label_projection": EM28_SQL,

@@ -1214,3 +1214,40 @@ def test_zscore_outliers_survives_corrupted_extreme_spike(spark):
 
     assert math.isfinite(out[0]["score"])
     assert out[0]["score"] > out[1]["score"] > 0
+
+
+# ------------------------------------------------------------- RRF fusion
+
+
+def test_rrf_fuse_known_values_and_missing_lanes(spark):
+    """Hand-computed fusion: doc present in both lanes beats docs in
+    one lane; the lane-rank columns are NULL where a lane missed the
+    doc; the rounded score ties break on id; validation raises."""
+    import pytest
+
+    from paqarin_spark.operators import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(10, 1), (20, 2), (30, 3)], "doc_id long, rk int"
+    )
+    b = spark.createDataFrame(
+        [(20, 1), (40, 2), (10, 3)], "doc_id long, rk int"
+    )
+    out = rrf_fuse([("lex", a), ("vec", b)], "doc_id", k0=60, top_k=4)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert set(rows) == {10, 20, 30, 40}
+    # doc 20: 1/62 + 1/61 ; doc 10: 1/61 + 1/63
+    assert rows[20]["rrf"] == round(1 / 62 + 1 / 61, 6)
+    assert rows[10]["rrf"] == round(1 / 61 + 1 / 63, 6)
+    assert rows[20]["rk"] == 1 and rows[10]["rk"] == 2
+    assert rows[30]["vec_rk"] is None and rows[30]["lex_rk"] == 3
+    assert rows[40]["lex_rk"] is None and rows[40]["vec_rk"] == 2
+    # single-lane docs rank by their one contribution, id tie-break
+    assert rows[40]["rk"] == 3 and rows[30]["rk"] == 4
+
+    with pytest.raises(ValueError, match="duplicate"):
+        rrf_fuse([("x", a), ("x", b)], "doc_id")
+    with pytest.raises(ValueError, match="k0"):
+        rrf_fuse([("x", a)], "doc_id", k0=0)
+    with pytest.raises(ValueError, match="at least one"):
+        rrf_fuse([], "doc_id")
