@@ -771,3 +771,82 @@ def textrank_keywords(
         .where(F.col("rk") <= top_k)
         .orderBy("rk")
     )
+
+
+def kn_bigram_doc_scores(
+    df: DataFrame,
+    id_column: str,
+    text_column: str,
+    discount: float = 0.75,
+) -> DataFrame:
+    """Per-document cross-entropy under an interpolated KNESER-NEY
+    bigram language model trained on the corpus itself — the honest
+    analogue of the KenLM perplexity gate CCNet-style pipelines run
+    (Wenzek et al. 2020), upgrading tx34's add-k smoothing with the
+    absolute-discount + continuation-probability backoff that made KN
+    the standard n-gram smoother:
+
+        P(w2|w1) = max(c(w1w2) − D, 0)/c(w1)
+                   + (D · N1+(w1·)/c(w1)) · (N1+(·w2)/T)
+
+    where N1+(w1·)/N1+(·w2) count distinct continuations/histories
+    and T is the total distinct-bigram count. D defaults to 0.75
+    (exact binary, so the discounted numerator is exact in doubles).
+
+    Determinism: each bigram's −ln P evaluates the formula above with
+    a FIXED operation order (both engines run identical IEEE double
+    ops), is rounded 12dp and summed in decimal(38,12) — per-doc
+    scores are partition-order-independent, unlike a raw double SUM.
+
+    Scale shape: one token-keyed shuffle builds the bigram table; all
+    model tables (c1, N1+ forward/backward) are vocabulary-sized
+    partial aggregations derived from it; the score join is keyed on
+    the bigram/token — the tx25/tx34 posture, fine at 100 TB with an
+    unbounded vocabulary (no broadcasts of token tables).
+
+    Output: (id, n_bigrams, cross_entropy[9dp]) — docs with fewer
+    than 2 tokens have no bigrams and no row.
+    """
+    if not (0.0 < discount < 1.0):
+        raise ValueError(f"discount must be in (0,1), got {discount}")
+    toks = df.select(
+        F.col(id_column),
+        F.posexplode(tokens(F.col(text_column))).alias("pos", "token"),
+    )
+    w = Window.partitionBy(id_column).orderBy("pos")
+    bi = toks.select(
+        F.col(id_column),
+        F.lag("token").over(w).alias("prev"),
+        F.col("token").alias("cur"),
+    ).where(F.col("prev").isNotNull())
+    c2 = bi.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("_c2"))
+    # context totals, forward continuations N1+(w1.), and backward
+    # histories N1+(.w2) all derive from the unique-bigram table —
+    # one groupBy each, vocabulary-sized results
+    c1 = c2.groupBy("prev").agg(
+        F.sum("_c2").alias("_c1"), F.count(F.lit(1)).alias("_n1p")
+    )
+    cont = c2.groupBy("cur").agg(F.count(F.lit(1)).alias("_cont"))
+    t_types = c2.agg(F.count(F.lit(1)).cast("double").alias("_t"))
+    d = float(discount)
+    p = (
+        F.greatest(F.col("_c2") - F.lit(d), F.lit(0.0)) / F.col("_c1")
+        + (F.lit(d) * F.col("_n1p") / F.col("_c1"))
+        * (F.col("_cont") / F.col("_t"))
+    )
+    term = F.round(-F.log(p), 12).cast("decimal(38,12)")
+    scored = (
+        bi.join(c2, ["prev", "cur"])
+        .join(c1, "prev")
+        .join(cont, "cur")
+        .crossJoin(F.broadcast(t_types))
+    )
+    return (
+        scored.groupBy(id_column)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum(term).cast("double") / F.count(F.lit(1)), 9
+            ).alias("cross_entropy"),
+        )
+    )

@@ -14907,8 +14907,88 @@ LIMIT 10
 """
 
 
+def tx50_kneser_ney_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated KNESER-NEY bigram LM scoring (corpus.
+    kn_bigram_doc_scores) — the honest analogue of the KenLM
+    perplexity gate in CCNet-style pipelines (Wenzek et al. 2020),
+    upgrading tx34's add-k smoothing with absolute discounting +
+    continuation-probability backoff. Per-language mean cross-entropy
+    over the corpus: language-coherent subcorpora (en) should score
+    lower than the mixed tail — the signal a quality-stratified
+    mixture actually uses.
+
+    Exactness: each bigram's −ln P is rounded 12dp and summed in
+    decimal(38,12) (partition-order-independent, unlike a raw double
+    SUM); per-doc means are re-quantized to decimal(20,9) before the
+    per-language sum so both aggregation levels replay exactly.
+
+    Scale shape: one token-keyed shuffle builds the bigram table; the
+    model tables are vocabulary-sized partial aggs; no token-table
+    broadcasts (unbounded vocabulary)."""
+    from paqarin_spark.operators import kn_bigram_doc_scores
+
+    configure_for_determinism(spark)
+    docs = _docs(spark, sf_dir)
+    perdoc = kn_bigram_doc_scores(docs, "doc_id", "text")
+    return (
+        perdoc.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bigrams").cast("long").alias("n_bigrams"),
+            F.round(
+                F.sum(
+                    F.col("cross_entropy").cast("decimal(20,9)")
+                ).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_cross_entropy"),
+        )
+        .orderBy("lang")
+    )
+
+
+TX50_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_SQL} AS ts FROM documents
+), bi AS (
+  SELECT doc_id, ts[i] AS prev, ts[i + 1] AS cur
+  FROM toks, LATERAL (SELECT UNNEST(range(1, len(ts))) AS i)
+  WHERE len(ts) >= 2
+), c2 AS (
+  SELECT prev, cur, COUNT(*) AS c2 FROM bi GROUP BY 1, 2
+), c1 AS (
+  SELECT prev, SUM(c2) AS c1, COUNT(*) AS n1p FROM c2 GROUP BY 1
+), cont AS (
+  SELECT cur, COUNT(*) AS cont FROM c2 GROUP BY 1
+), tt AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM c2
+), terms AS (
+  SELECT bi.doc_id,
+         CAST(ROUND(-ln(
+           GREATEST(c2.c2 - 0.75, 0.0) / c1.c1
+           + (0.75 * c1.n1p / c1.c1) * (cont.cont / tt.t)
+         ), 12) AS DECIMAL(38,12)) AS term
+  FROM bi JOIN c2 USING (prev, cur) JOIN c1 USING (prev)
+       JOIN cont USING (cur) CROSS JOIN tt
+), perdoc AS (
+  SELECT doc_id, COUNT(*) AS nb,
+         ROUND(CAST(SUM(term) AS DOUBLE) / COUNT(*), 9) AS ce
+  FROM terms GROUP BY 1
+)
+SELECT d.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(p.nb) AS BIGINT) AS n_bigrams,
+       ROUND(CAST(SUM(CAST(p.ce AS DECIMAL(20,9))) AS DOUBLE)
+             / COUNT(*), 6) AS avg_cross_entropy
+FROM perdoc p JOIN documents d USING (doc_id)
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-9 additions (never driver-verified) come first ---
+    "tx50_kneser_ney_lm": tx50_kneser_ney_lm,
     "em30_rrf_fusion": em30_rrf_fusion,
     "ev21_roc_auc": ev21_roc_auc,
     "ev22_spearman_rho": ev22_spearman_rho,
@@ -15224,6 +15304,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # single-statement SQL — declared so the driver proves the neural
 # train/sample lifecycle runs, not to widen the oracle surface.
 ORACLE_SQL: dict[str, str] = {
+    "tx50_kneser_ney_lm": TX50_SQL,
     "em30_rrf_fusion": EM30_SQL,
     "ev21_roc_auc": EV21_SQL,
     "ev22_spearman_rho": EV22_SQL,

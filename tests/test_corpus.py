@@ -362,3 +362,61 @@ def test_word_ngrams_total_on_short_arrays(spark):
     assert [r["g"] for r in rows] == [
         [], ["a b"], ["a b", "b c"], [],
     ]
+
+
+def test_kn_bigram_doc_scores_matches_hand_model(spark):
+    """Interpolated KN on a toy corpus: per-doc cross-entropy equals
+    a hand-built reference model; P(.|w1) sums to 1 over the vocab
+    (the property that makes KN a proper distribution); repetitive
+    docs score lower entropy than novel-token docs; <2-token docs
+    emit no row; discount validation raises."""
+    import math
+    from collections import Counter
+
+    import pytest
+
+    from paqarin_spark.operators import kn_bigram_doc_scores
+
+    docs = [
+        (0, "a b a b a b a b"),
+        (1, "a b c d e f g h"),
+        (2, "b a c a d a e a"),
+        (3, "solo"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           kn_bigram_doc_scores(df, "doc_id", "text").collect()}
+
+    # hand model
+    bigrams = {}
+    for i, t in docs:
+        ws = t.split()
+        bigrams[i] = list(zip(ws, ws[1:]))
+    all_bi = [b for bs in bigrams.values() for b in bs]
+    c2 = Counter(all_bi)
+    c1 = Counter({w1: sum(c for (a, _), c in c2.items() if a == w1)
+                  for w1 in {a for a, _ in c2}})
+    n1p = Counter(a for a, _ in c2)
+    cont = Counter(b for _, b in c2)
+    T = len(c2)
+    D = 0.75
+
+    def p(w1, w2):
+        return (max(c2[(w1, w2)] - D, 0.0) / c1[w1]
+                + (D * n1p[w1] / c1[w1]) * (cont[w2] / T))
+
+    vocab = {w for b in c2 for w in b}
+    for w1 in n1p:
+        assert sum(p(w1, w2) for w2 in vocab) == pytest.approx(1.0)
+
+    for i in (0, 1, 2):
+        want = sum(-math.log(p(a, b)) for a, b in bigrams[i]) / len(
+            bigrams[i]
+        )
+        assert out[i]["cross_entropy"] == pytest.approx(want, abs=1e-8)
+        assert out[i]["n_bigrams"] == len(bigrams[i])
+    assert 3 not in out  # no bigrams, no row
+    assert out[0]["cross_entropy"] < out[1]["cross_entropy"]
+
+    with pytest.raises(ValueError, match="discount"):
+        kn_bigram_doc_scores(df, "doc_id", "text", discount=1.5)
