@@ -2192,3 +2192,228 @@ def tar_members_table(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=cols)
 
     return df.mapInPandas(walk, schema=TAR_MEMBER_SCHEMA)
+
+
+# ------------------------------------------------------------------- zip
+
+ZIP_MEMBER_SCHEMA = StructType(
+    [
+        StructField("shard_id", IntegerType()),
+        StructField("name", StringType()),
+        StructField("size", LongType()),
+        StructField("method", IntegerType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+
+def encode_zip(
+    members: list[tuple[str, bytes]], method: str = "deflate"
+) -> bytes:
+    """Honest ZIP writer (PKWARE APPNOTE layout): per member one local
+    file header + data, then the central directory and the end-of-
+    central-directory record. ``method`` is ``'stored'`` (0, raw
+    bytes) or ``'deflate'`` (8, raw-deflate via zlib). Deterministic:
+    zeroed DOS timestamps, members written in the order given, fixed
+    version fields. ZIP32 only — a payload or offset at the 4 GiB
+    field limit raises rather than silently truncating (the tar
+    size-field precedent)."""
+    import struct
+    import zlib
+
+    if method not in ("stored", "deflate"):
+        raise ValueError(f"method must be stored|deflate, got {method!r}")
+    mid = 0 if method == "stored" else 8
+    out = bytearray()
+    central = bytearray()
+    count = 0
+    for name, payload in members:
+        nb = name.encode("utf-8")
+        if len(nb) > 0xFFFF:
+            raise ValueError(f"member name too long for zip: {name!r}")
+        if len(payload) >= 0xFFFFFFFF:
+            raise ValueError(
+                f"member payload too large for zip32 size field: {name!r}"
+            )
+        crc = zlib.crc32(payload) & 0xFFFFFFFF
+        if mid == 8:
+            co = zlib.compressobj(6, zlib.DEFLATED, -15)
+            data = co.compress(payload) + co.flush()
+        else:
+            data = payload
+        if len(data) >= 0xFFFFFFFF:
+            raise ValueError(f"compressed member too large: {name!r}")
+        offset = len(out)
+        if offset >= 0xFFFFFFFF:
+            raise ValueError("archive exceeds the zip32 offset field")
+        out += struct.pack(
+            "<IHHHHHIIIHH",
+            0x04034B50, 20, 0, mid, 0, 0,
+            crc, len(data), len(payload), len(nb), 0,
+        )
+        out += nb
+        out += data
+        central += struct.pack(
+            "<IHHHHHHIIIHHHHHII",
+            0x02014B50, 20, 20, 0, mid, 0, 0,
+            crc, len(data), len(payload), len(nb), 0, 0, 0, 0, 0,
+            offset,
+        )
+        central += nb
+        count += 1
+    cd_off = len(out)
+    out += central
+    out += struct.pack(
+        "<IHHHHIIH",
+        0x06054B50, 0, 0, count, count, len(central), cd_off, 0,
+    )
+    return bytes(out)
+
+
+def parse_zip_members(content: bytes) -> list[dict] | None:
+    """Honest ZIP reader: locates the end-of-central-directory record
+    (backward sig scan through the ≤64 KiB comment window), walks the
+    central directory, cross-checks each local header's signature,
+    inflates/slices the data, and RE-VERIFIES the CRC-32 and the
+    declared uncompressed size. Returns ``None`` for malformed
+    archives (bad signature, CRC mismatch, size lie, unsupported
+    method, truncation) — never a partial guess."""
+    import struct
+    import zlib
+
+    n = len(content)
+    if n < 22:
+        return None
+    lo = max(0, n - 22 - 0xFFFF)
+    eocd = content.rfind(b"PK\x05\x06", lo)
+    if eocd < 0 or eocd + 22 > n:
+        return None
+    (_, _, _, _, count, cd_size, cd_off, _) = struct.unpack(
+        "<IHHHHIIH", content[eocd:eocd + 22]
+    )
+    if cd_off + cd_size > eocd:
+        return None
+    members = []
+    off = cd_off
+    for _ in range(count):
+        if off + 46 > n:
+            return None
+        fields = struct.unpack("<IHHHHHHIIIHHHHHII", content[off:off + 46])
+        if fields[0] != 0x02014B50:
+            return None
+        (_, _, _, _, mid, _, _, crc, csize, usize,
+         namelen, extralen, commentlen, _, _, _, lho) = fields
+        name = content[off + 46:off + 46 + namelen].decode(
+            "utf-8", "replace"
+        )
+        off += 46 + namelen + extralen + commentlen
+        if lho + 30 > n:
+            return None
+        lh = struct.unpack("<IHHHHHIIIHH", content[lho:lho + 30])
+        if lh[0] != 0x04034B50:
+            return None
+        data_off = lho + 30 + lh[9] + lh[10]
+        if data_off + csize > n:
+            return None
+        data = content[data_off:data_off + csize]
+        if mid == 0:
+            payload = data
+        elif mid == 8:
+            try:
+                payload = zlib.decompress(data, -15)
+            except zlib.error:
+                return None
+        else:
+            return None
+        if len(payload) != usize:
+            return None
+        if zlib.crc32(payload) & 0xFFFFFFFF != crc:
+            return None
+        members.append(
+            {
+                "name": name,
+                "size": usize,
+                "method": mid,
+                "payload": payload,
+            }
+        )
+    return members
+
+
+def zip_shards_from_docs(
+    df: DataFrame,
+    id_column: str,
+    text_column: str,
+    num_shards: int = 8,
+    method: str = "deflate",
+) -> DataFrame:
+    """ZIP shard WRITER — the tar_shards_from_docs contract on the
+    random-access container (ZIP's central directory lets a training
+    loader fetch ONE member without streaming the whole shard, the
+    trade tar cannot make). Same scale posture: one groupBy on the
+    shard key, each task builds one shard, nothing passes through the
+    driver; member names are the zero-padded doc id + ``.txt`` sorted
+    by id, so shard bytes are layout-independent."""
+    if num_shards < 1:
+        raise ValueError("num_shards must be >= 1")
+    if method not in ("stored", "deflate"):
+        raise ValueError(f"method must be stored|deflate, got {method!r}")
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_id")
+        members = [
+            (
+                f"{int(i):012d}.txt",
+                ("" if t is None else str(t)).encode("utf-8"),
+            )
+            for i, t in zip(pdf["_id"], pdf["_text"])
+        ]
+        return pd.DataFrame(
+            {
+                "shard_id": [int(pdf["_shard"].iloc[0])],
+                "content": [encode_zip(members, method=method)],
+            }
+        )
+
+    staged = df.select(
+        F.col(id_column).cast("long").alias("_id"),
+        F.col(text_column).alias("_text"),
+        (F.col(id_column) % num_shards).cast("int").alias("_shard"),
+    )
+    return staged.groupBy("_shard").applyInPandas(
+        build, schema=TAR_SHARD_SCHEMA
+    )
+
+
+def zip_members_table(df: DataFrame) -> DataFrame:
+    """ZIP shard READER: explode (shard_id, content) archives into one
+    row per member with CRC-32 re-verified per member (the
+    tar_members_table contract); malformed archives yield one
+    NULL-member row so corruption is visible, not dropped."""
+
+    def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in ZIP_MEMBER_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                sid = int(row["shard_id"])
+                members = (
+                    None
+                    if row["content"] is None
+                    else parse_zip_members(bytes(row["content"]))
+                )
+                if members is None:
+                    rows.append(
+                        {"shard_id": sid, "name": None, "size": None,
+                         "method": None, "payload": None}
+                    )
+                    continue
+                for m in members:
+                    rows.append(
+                        {"shard_id": sid, "name": m["name"],
+                         "size": m["size"], "method": m["method"],
+                         "payload": m["payload"]}
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(walk, schema=ZIP_MEMBER_SCHEMA)

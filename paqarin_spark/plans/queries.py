@@ -14986,8 +14986,80 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def mm16_zip_shard_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIP shard WRITE → READ round-trip (multimodal.
+    zip_shards_from_docs / zip_members_table) — the random-access
+    counterpart of mm15's tar shards: the central directory lets a
+    training loader fetch ONE member without streaming the shard. The
+    corpus packs into 8 honest ZIP archives (PKWARE local headers +
+    central directory, raw-deflate member data — encode_zip), the
+    reader walks the central directory with per-member CRC-32
+    RE-VERIFIED, and the manifest proves payload fidelity through the
+    compressor: per-shard member counts, UNCOMPRESSED byte totals,
+    name range, and the q72 md5-prefix digest of the EXTRACTED bytes.
+    A hash match therefore proves inflate(deflate(x)) == x for every
+    member. tests/test_multimodal.py cross-validates the format
+    against the stdlib zipfile module in both directions.
+
+    Scale shape: identical to mm15 — one shard-keyed groupBy to
+    write, one mapInPandas to read, no driver involvement."""
+    from paqarin_spark.multimodal import (
+        zip_members_table,
+        zip_shards_from_docs,
+    )
+
+    configure_for_determinism(spark)
+    docs = _docs(spark, sf_dir)
+    shards = zip_shards_from_docs(
+        docs, "doc_id", "text", num_shards=8, method="deflate"
+    )
+    members = zip_members_table(shards)
+    return (
+        members.select(
+            "shard_id",
+            "name",
+            "size",
+            F.conv(F.substring(F.md5("payload"), 1, 15), 16, 10)
+            .cast("decimal(38,0)")
+            .alias("_h"),
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("size").cast("bigint").alias("total_payload_bytes"),
+            F.min("name").alias("first_member"),
+            F.max("name").alias("last_member"),
+            (F.sum("_h").cast("decimal(38,0)") % F.lit(1 << 61))
+            .cast("bigint")
+            .alias("content_digest"),
+        )
+        .orderBy("shard_id")
+    )
+
+
+MM16_SQL = """
+WITH m AS (
+  SELECT CAST(doc_id % 8 AS INTEGER) AS shard_id,
+         lpad(CAST(doc_id AS VARCHAR), 12, '0') || '.txt' AS name,
+         octet_length(encode(COALESCE(text, ''))) AS nbytes,
+         CAST(('0x' || substring(md5(COALESCE(text, '')), 1, 15))::UBIGINT
+              AS DECIMAL(38,0)) AS h
+  FROM documents
+)
+SELECT shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(nbytes) AS BIGINT) AS total_payload_bytes,
+       MIN(name) AS first_member,
+       MAX(name) AS last_member,
+       CAST(CAST(SUM(h) AS DECIMAL(38,0)) % 2305843009213693952 AS BIGINT)
+         AS content_digest
+FROM m GROUP BY shard_id ORDER BY shard_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-9 additions (never driver-verified) come first ---
+    "mm16_zip_shard_roundtrip": mm16_zip_shard_roundtrip,
     "tx50_kneser_ney_lm": tx50_kneser_ney_lm,
     "em30_rrf_fusion": em30_rrf_fusion,
     "ev21_roc_auc": ev21_roc_auc,
@@ -15304,6 +15376,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # single-statement SQL — declared so the driver proves the neural
 # train/sample lifecycle runs, not to widen the oracle surface.
 ORACLE_SQL: dict[str, str] = {
+    "mm16_zip_shard_roundtrip": MM16_SQL,
     "tx50_kneser_ney_lm": TX50_SQL,
     "em30_rrf_fusion": EM30_SQL,
     "ev21_roc_auc": EV21_SQL,

@@ -856,3 +856,99 @@ def test_parse_tar_members_skips_link_entries_without_data(spark):
 
     tf = tarfile.open(fileobj=io.BytesIO(blob))
     assert [i.name for i in tf if i.isfile()] == ["real.txt"]
+
+
+def test_zip_codec_roundtrip_and_stdlib_cross_validation(spark):
+    """encode_zip → parse_zip_members round-trips byte-exactly for
+    stored AND deflate; stdlib zipfile reads our archives; our parser
+    reads stdlib-written zips; corruption (flipped byte → CRC
+    mismatch), truncation, and a size-lying header are detected as
+    None, never a partial guess; zip32 limits raise in the writer."""
+    import io
+    import struct
+    import zipfile
+
+    import pytest
+
+    from paqarin_spark.multimodal import encode_zip, parse_zip_members
+
+    members = [
+        ("000000000001.txt", b"hello world"),
+        ("000000000002.txt", b""),
+        ("big.txt", b"x" * 70000),  # >64KiB exercises multi-block deflate
+    ]
+    for method in ("stored", "deflate"):
+        blob = encode_zip(members, method=method)
+        got = parse_zip_members(blob)
+        assert [(m["name"], m["payload"]) for m in got] == members
+        assert [m["size"] for m in got] == [11, 0, 70000]
+        assert all(m["method"] == (0 if method == "stored" else 8)
+                   for m in got)
+        zf = zipfile.ZipFile(io.BytesIO(blob))
+        assert [(i.filename, zf.read(i.filename))
+                for i in zf.infolist()] == members
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as w:
+        w.writestr("a.txt", b"abc")
+        w.writestr("b.txt", b"defg" * 100)
+    got2 = parse_zip_members(buf.getvalue())
+    assert [(m["name"], m["payload"]) for m in got2] == [
+        ("a.txt", b"abc"),
+        ("b.txt", b"defg" * 100),
+    ]
+
+    blob = encode_zip(members)
+    bad = bytearray(blob)
+    bad[50] ^= 0xFF  # inside member 1's deflate stream → CRC mismatch
+    assert parse_zip_members(bytes(bad)) is None
+    assert parse_zip_members(blob[:len(blob) - 10]) is None  # no EOCD
+    # size-lying CD entry: bump member 1's uncompressed size field
+    cd = blob.rfind(b"PK\x01\x02")
+    first_cd = blob.find(b"PK\x01\x02")
+    lied = bytearray(blob)
+    usz = struct.unpack("<I", blob[first_cd + 24:first_cd + 28])[0]
+    lied[first_cd + 24:first_cd + 28] = struct.pack("<I", usz + 1)
+    assert parse_zip_members(bytes(lied)) is None
+    assert cd >= first_cd
+
+    with pytest.raises(ValueError, match="method"):
+        encode_zip(members, method="lzma")
+
+
+def test_zip_shards_roundtrip_on_spark(spark):
+    """Write → read across shards on Spark: every doc comes back
+    byte-exact in its id-mod shard; NULL text packs as an empty
+    member; a corrupted shard surfaces as one NULL-member row."""
+    from pyspark.sql import functions as F
+
+    from paqarin_spark.multimodal import (
+        zip_members_table,
+        zip_shards_from_docs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc body {i} " * (i % 4)) for i in range(20)]
+        + [(20, None)],
+        "doc_id long, text string",
+    )
+    shards = zip_shards_from_docs(docs, "doc_id", "text", num_shards=4)
+    got = {
+        r["name"]: (r["shard_id"], bytes(r["payload"]))
+        for r in zip_members_table(shards).collect()
+    }
+    assert len(got) == 21
+    for i in range(20):
+        name = f"{i:012d}.txt"
+        assert got[name] == (i % 4, (f"doc body {i} " * (i % 4)).encode())
+    assert got["000000000020.txt"] == (0, b"")
+
+    corrupted = shards.select(
+        "shard_id",
+        F.expr("substring(content, 1, length(content) - 5)").alias(
+            "content"
+        ),
+    )
+    bad_rows = zip_members_table(corrupted).collect()
+    assert all(r["name"] is None for r in bad_rows)
+    assert len(bad_rows) == 4
