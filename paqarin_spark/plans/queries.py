@@ -50,6 +50,29 @@ TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
 
 
+from contextlib import contextmanager  # noqa: E402
+
+
+@contextmanager
+def _bounded_state_partitions(spark: SparkSession, n: int):
+    """Cap ``spark.sql.shuffle.partitions`` for a streaming run whose
+    stateful exchange holds a BOUNDED key set (global min/max = 1 key,
+    a curated blocklist = |blocklist| keys). Stateful operators pin
+    their partitioning from the session conf at query start; a
+    128-way state exchange over ≤10 keys buys no parallelism at ANY
+    scale — it pays 128 state-store instances and 128 Python workers
+    per micro-batch for nothing (measured: st19 29s → 9s at sf0.1).
+    Upstream stateless stages keep their scan parallelism; only the
+    keyed exchange narrows. Restored afterwards, so batch plans in the
+    same session are untouched."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_for_determinism(spark)
     return read_table(spark, sf_dir, "events")
@@ -5825,14 +5848,16 @@ def st11_stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         group_by=["event_type"],
     )
     name = "st11_stream_quantile_sketch"
-    q = (
-        sk.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # state rows bounded by construction — cap the keyed exchange
+    with _bounded_state_partitions(spark, 8):
+        q = (
+            sk.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     final = latest_sketch_version(spark.table(name), ["event_type"])
     return quantile_estimate_from_sketch(
         final, [0.5, 0.9, 0.99], group_by=["event_type"]
@@ -7559,14 +7584,16 @@ def st4_stream_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = _events_stream(spark, sf_dir)
     out = stream_running_minmax(stream, EVENTS_SCHEMA)
     name = "st4_stream_minmax"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # ONE state row total — a wide state exchange is pure overhead
+    with _bounded_state_partitions(spark, 4):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).select(
         F.round("min_value", 6).alias("min_value"),
         F.round("max_value", 6).alias("max_value"),
@@ -9356,14 +9383,16 @@ def st9_stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, "user_id", p=10, group_by=["event_type"]
     )
     name = "st9_stream_hll_distinct"
-    q = (
-        regs.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # state rows bounded by construction — cap the keyed exchange
+    with _bounded_state_partitions(spark, 16):
+        q = (
+            regs.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         hll_estimate_from_registers(
             spark.table(name), p=10, group_by=["event_type"]
@@ -9419,14 +9448,16 @@ def st10_stream_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = _events_stream(spark, sf_dir)
     counters = stream_count_min(stream, "event_type", depth=4, width=512)
     name = "st10_stream_count_min"
-    q = (
-        counters.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # state rows bounded by construction — cap the keyed exchange
+    with _bounded_state_partitions(spark, 16):
+        q = (
+            counters.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     ev = _events(spark, sf_dir)
     true_counts = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_true")
@@ -12399,14 +12430,16 @@ def st16_stream_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_column="event_id", k=3,
     )
     name = "st16_stream_leaderboard"
-    q = (
-        emi.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # state rows bounded by construction — cap the keyed exchange
+    with _bounded_state_partitions(spark, 8):
+        q = (
+            emi.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         leaderboard_from_emissions(spark.table(name))
         .withColumnRenamed("g", "event_type")
@@ -14476,14 +14509,17 @@ def st19_stream_phrase_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     emi = stream_phrase_hits(stream, "text", TX49_BLOCKLIST, n=2)
     name = "st19_stream_phrase_hits"
-    q = (
-        emi.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # the stateful exchange holds ≤|blocklist| keys forever — cap its
+    # width instead of inheriting the session's full shuffle fanout
+    with _bounded_state_partitions(spark, 8):
+        q = (
+            emi.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return phrase_hits_from_emissions(
         spark.table(name), TX49_BLOCKLIST
     ).orderBy("phrase")
