@@ -107,6 +107,170 @@ def roc_auc(
     )
 
 
+def kendall_tau(
+    df: DataFrame,
+    group_column: str,
+    order_column: str,
+    x_column: str,
+    y_column: str,
+) -> DataFrame:
+    """Exact Kendall tau-b per group via the all-pairs sign census:
+
+        tau_b = (C − D) / sqrt((n0 − Tx)·(n0 − Ty))
+
+    where over the n0 = n(n−1)/2 unordered pairs C/D count strictly
+    concordant/discordant sign products and Tx/Ty count pairs tied in
+    x (resp. y) regardless of the other variable. Every count is an
+    exact integer carried in decimal(38,0); only the final
+    sqrt/divide runs in double (6dp).
+
+    DELIBERATELY O(n²) pairs per group — this is the rollup-series
+    statistic (tau on a daily/bucket series whose length is fixed by
+    the CALENDAR, not the data volume; a year is 365 rows → 66k pairs
+    per group forever). For raw-row-scale association use
+    :func:`spearman_rho`, which is one window pass. ``order_column``
+    must be unique within a group (it is the pair identity that keeps
+    each unordered pair counted exactly once).
+
+    Output: (group, n, tau[6dp]).
+    """
+    base = df.select(
+        F.col(group_column).alias("grp"),
+        F.col(order_column).alias("_i"),
+        F.col(x_column).alias("_x"),
+        F.col(y_column).alias("_y"),
+    ).where(F.col("_x").isNotNull() & F.col("_y").isNotNull())
+    a = base.select("grp", "_i", "_x", "_y")
+    b = base.select(
+        F.col("grp").alias("grp_b"),
+        F.col("_i").alias("_ib"),
+        F.col("_x").alias("_xb"),
+        F.col("_y").alias("_yb"),
+    )
+    pairs = a.join(
+        b, (F.col("grp") == F.col("grp_b")) & (F.col("_i") < F.col("_ib"))
+    )
+    one = F.lit(1).cast(_DEC)
+    zero = F.lit(0).cast(_DEC)
+    dx = F.when(F.col("_x") < F.col("_xb"), -1).when(
+        F.col("_x") > F.col("_xb"), 1
+    ).otherwise(0)
+    dy = F.when(F.col("_y") < F.col("_yb"), -1).when(
+        F.col("_y") > F.col("_yb"), 1
+    ).otherwise(0)
+    cen = pairs.groupBy("grp").agg(
+        F.sum(F.when(dx * dy == 1, one).otherwise(zero)).alias("_c"),
+        F.sum(F.when(dx * dy == -1, one).otherwise(zero)).alias("_d"),
+        F.sum(F.when(dx == 0, one).otherwise(zero)).alias("_tx"),
+        F.sum(F.when(dy == 0, one).otherwise(zero)).alias("_ty"),
+        F.count(F.lit(1)).alias("_n0"),
+    )
+    counts = base.groupBy("grp").agg(F.count(F.lit(1)).alias("n"))
+    n0 = F.col("_n0").cast(_DEC)
+    denom = (n0 - F.col("_tx")).cast("double") * (
+        n0 - F.col("_ty")
+    ).cast("double")
+    tau = (F.col("_c") - F.col("_d")).cast("double") / F.sqrt(denom)
+    return (
+        counts.join(cen, "grp")
+        .select(
+            F.col("grp").alias(group_column),
+            "n",
+            F.round(F.when(denom > 0, tau), 6).alias("tau"),
+        )
+    )
+
+
+def rank_sum_test(
+    df: DataFrame,
+    group_column: str,
+    flag_column: str,
+    value_column: str,
+) -> DataFrame:
+    """Wilcoxon–Mann–Whitney rank-sum test per group (two-sample,
+    flag=1 vs flag=0 within the group), tie-corrected normal
+    approximation:
+
+        U  = S1 − n1(n1+1)/2        (S1 = Σ midranks of flag-1 rows)
+        z  = (U − n1·n0/2) / sqrt(n1·n0/12 · ((n+1) − ΣT/(n(n−1))))
+
+    with ΣT = Σ_ties (t³ − t) over value-tie groups. Midranks ride
+    the shared doubled-midrank window (:func:`_midrank2`); every sum
+    runs in decimal(38,0) (t³ ≤ n³ stays inside 38 digits to n≈1e12)
+    and only the final z runs in double. Groups where either sample
+    is empty, or where all values tie (σ = 0), return NULL z — a
+    silent 0 would read as "no effect" where the test is undefined.
+
+    The distribution-free two-sample drift check beside ev6's KS
+    statistic: KS gives the max CDF gap, the rank-sum z gives a
+    calibrated stochastic-dominance score. Output:
+    (group, n_flag, n_rest, u[=U of flag-1], z[6dp]).
+    """
+    base = df.select(
+        F.col(group_column).alias("grp"),
+        F.col(flag_column).cast("int").alias("_f"),
+        F.col(value_column).cast("double").alias("_v"),
+    ).where(
+        F.col("_f").isNotNull()
+        & F.col("_v").isNotNull()
+        & ~F.isnan("_v")
+    )
+    ranked = base.select(
+        "grp", "_f", "_v", _midrank2(["grp"], "_v").alias("_mr2")
+    )
+    # value-tie census: one row per (grp, value) with its tie size
+    ties = (
+        base.groupBy("grp", "_v")
+        .agg(F.count(F.lit(1)).cast(_DEC).alias("_t"))
+        .groupBy("grp")
+        .agg(
+            F.sum(
+                F.col("_t") * F.col("_t") * F.col("_t") - F.col("_t")
+            ).alias("_tsum")
+        )
+    )
+    agg = ranked.groupBy("grp").agg(
+        F.sum("_f").cast("long").alias("n_flag"),
+        (F.count(F.lit(1)) - F.sum("_f")).cast("long").alias("n_rest"),
+        F.sum(
+            F.when(F.col("_f") == 1, F.col("_mr2")).otherwise(0).cast(_DEC)
+        ).alias("_s2"),
+    )
+    n1 = F.col("n_flag").cast("double")
+    n0 = F.col("n_rest").cast("double")
+    n = n1 + n0
+    u = (F.col("_s2").cast("double") - n1 * (n1 + F.lit(1.0))) / F.lit(2.0)
+    mu = n1 * n0 / F.lit(2.0)
+    var = (
+        n1
+        * n0
+        / F.lit(12.0)
+        * (
+            (n + F.lit(1.0))
+            - F.col("_tsum").cast("double") / (n * (n - F.lit(1.0)))
+        )
+    )
+    z = (u - mu) / F.sqrt(var)
+    return (
+        agg.join(ties, "grp")
+        .select(
+            F.col("grp").alias(group_column),
+            "n_flag",
+            "n_rest",
+            F.round(
+                F.when((F.col("n_flag") > 0) & (F.col("n_rest") > 0), u), 6
+            ).alias("u"),
+            F.round(
+                F.when(
+                    (F.col("n_flag") > 0) & (F.col("n_rest") > 0) & (var > 0),
+                    z,
+                ),
+                6,
+            ).alias("z"),
+        )
+    )
+
+
 def spearman_rho(
     df: DataFrame,
     group_column: str,

@@ -14824,6 +14824,136 @@ FROM agg ORDER BY event_type
 """
 
 
+def ev23_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Kendall tau-b (metrics.ranking.kendall_tau) between daily
+    volume and daily revenue per event type — the calendar-rollup
+    association check (does busier = richer, monotonically?). The
+    all-pairs sign census runs over DAYS (30 rows → 435 pairs per
+    group, fixed by the calendar forever), NOT raw events: the
+    distributed work is the day rollup; tau itself is
+    calendar-bounded. Comparisons happen on exact values (bigint
+    count, decimal sum) so concordance is engine-exact, and every
+    C/D/Tx/Ty count is a decimal(38,0) integer — only the final
+    sqrt/divide runs in double."""
+    from paqarin_spark.metrics.ranking import kendall_tau
+
+    configure_for_determinism(spark)
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(30,10)")).alias("sum_value"),
+    )
+    return kendall_tau(
+        daily, "event_type", "day", "n_events", "sum_value"
+    ).orderBy("event_type")
+
+
+EV23_SQL = """
+WITH daily AS (
+  SELECT event_type AS grp, CAST(ts AS DATE) AS day,
+         COUNT(*) AS x, SUM(CAST(value AS DECIMAL(30,10))) AS y
+  FROM events GROUP BY 1, 2
+), pairs AS (
+  SELECT a.grp,
+         CASE WHEN a.x < b.x THEN -1 WHEN a.x > b.x THEN 1 ELSE 0 END AS dx,
+         CASE WHEN a.y < b.y THEN -1 WHEN a.y > b.y THEN 1 ELSE 0 END AS dy
+  FROM daily a JOIN daily b ON a.grp = b.grp AND a.day < b.day
+), cen AS (
+  SELECT grp,
+         CAST(SUM(CASE WHEN dx * dy = 1 THEN 1 ELSE 0 END)
+              AS DECIMAL(38,0)) AS c,
+         CAST(SUM(CASE WHEN dx * dy = -1 THEN 1 ELSE 0 END)
+              AS DECIMAL(38,0)) AS d,
+         CAST(SUM(CASE WHEN dx = 0 THEN 1 ELSE 0 END)
+              AS DECIMAL(38,0)) AS tx,
+         CAST(SUM(CASE WHEN dy = 0 THEN 1 ELSE 0 END)
+              AS DECIMAL(38,0)) AS ty,
+         CAST(COUNT(*) AS DECIMAL(38,0)) AS n0
+  FROM pairs GROUP BY grp
+), counts AS (
+  SELECT grp, COUNT(*) AS n FROM daily GROUP BY grp
+)
+SELECT counts.grp AS event_type, CAST(n AS BIGINT) AS n,
+       ROUND(CASE WHEN CAST(n0 - tx AS DOUBLE) * CAST(n0 - ty AS DOUBLE) > 0
+         THEN CAST(c - d AS DOUBLE)
+              / sqrt(CAST(n0 - tx AS DOUBLE) * CAST(n0 - ty AS DOUBLE))
+         END, 6) AS tau
+FROM counts JOIN cen USING (grp)
+ORDER BY event_type
+"""
+
+
+def ev24_rank_sum_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon–Mann–Whitney rank-sum drift test (metrics.ranking.
+    rank_sum_test): within each order priority, do FINALIZED orders'
+    totals stochastically dominate the open/pending ones? The
+    distribution-free two-sample location test beside ev6's KS gap —
+    U from the shared doubled-midrank window, tie-corrected normal z,
+    every sum exact decimal, z's IEEE arithmetic mirrored in the
+    oracle. Ranks partition by priority, so the pass distributes
+    across groups (the ev21/ev22 window class)."""
+    from paqarin_spark.metrics.ranking import rank_sum_test
+
+    configure_for_determinism(spark)
+    orders = read_table(spark, sf_dir, "orders")
+    flagged = orders.select(
+        "o_orderpriority",
+        (F.col("o_orderstatus") == "F").cast("int").alias("is_final"),
+        "o_totalprice",
+    )
+    return rank_sum_test(
+        flagged, "o_orderpriority", "is_final", "o_totalprice"
+    ).orderBy("o_orderpriority")
+
+
+EV24_SQL = """
+WITH base AS (
+  SELECT o_orderpriority AS grp,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS f,
+         o_totalprice AS v
+  FROM orders
+  WHERE o_totalprice IS NOT NULL AND NOT isnan(o_totalprice)
+), ranked AS (
+  SELECT grp, f,
+         2 * RANK() OVER (PARTITION BY grp ORDER BY v)
+           + COUNT(*) OVER (PARTITION BY grp, v) - 1 AS mr2
+  FROM base
+), ties AS (
+  SELECT grp, SUM(t * t * t - t) AS tsum FROM (
+    SELECT grp, CAST(COUNT(*) AS DECIMAL(38,0)) AS t
+    FROM base GROUP BY grp, v
+  ) GROUP BY grp
+), agg AS (
+  SELECT grp, CAST(SUM(f) AS BIGINT) AS n_flag,
+         CAST(COUNT(*) - SUM(f) AS BIGINT) AS n_rest,
+         CAST(SUM(CASE WHEN f = 1 THEN mr2 ELSE 0 END)
+              AS DECIMAL(38,0)) AS s2
+  FROM ranked GROUP BY grp
+), stats AS (
+  SELECT agg.*,
+         (CAST(s2 AS DOUBLE)
+          - CAST(n_flag AS DOUBLE) * (CAST(n_flag AS DOUBLE) + 1.0)) / 2.0
+           AS u,
+         CAST(n_flag AS DOUBLE) * CAST(n_rest AS DOUBLE) / 2.0 AS mu,
+         CAST(n_flag AS DOUBLE) * CAST(n_rest AS DOUBLE) / 12.0
+           * ((CAST(n_flag AS DOUBLE) + CAST(n_rest AS DOUBLE) + 1.0)
+              - CAST(tsum AS DOUBLE)
+                / ((CAST(n_flag AS DOUBLE) + CAST(n_rest AS DOUBLE))
+                   * (CAST(n_flag AS DOUBLE) + CAST(n_rest AS DOUBLE)
+                      - 1.0))) AS var
+  FROM agg JOIN ties USING (grp)
+)
+SELECT grp AS o_orderpriority, n_flag, n_rest,
+       ROUND(CASE WHEN n_flag > 0 AND n_rest > 0 THEN u END, 6) AS u,
+       ROUND(CASE WHEN n_flag > 0 AND n_rest > 0 AND var > 0
+                  THEN (u - mu) / sqrt(var) END, 6) AS z
+FROM stats
+ORDER BY o_orderpriority
+"""
+
+
 def em30_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HYBRID retrieval via reciprocal-rank fusion (similarity.
     rrf_fuse, Cormack et al. 2009) — the standard way production
@@ -15095,6 +15225,8 @@ FROM m GROUP BY shard_id ORDER BY shard_id
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-9 additions (never driver-verified) come first ---
+    "ev23_kendall_tau": ev23_kendall_tau,
+    "ev24_rank_sum_test": ev24_rank_sum_test,
     "mm16_zip_shard_roundtrip": mm16_zip_shard_roundtrip,
     "tx50_kneser_ney_lm": tx50_kneser_ney_lm,
     "em30_rrf_fusion": em30_rrf_fusion,
@@ -15412,6 +15544,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # single-statement SQL — declared so the driver proves the neural
 # train/sample lifecycle runs, not to widen the oracle surface.
 ORACLE_SQL: dict[str, str] = {
+    "ev23_kendall_tau": EV23_SQL,
+    "ev24_rank_sum_test": EV24_SQL,
     "mm16_zip_shard_roundtrip": MM16_SQL,
     "tx50_kneser_ney_lm": TX50_SQL,
     "em30_rrf_fusion": EM30_SQL,

@@ -6,7 +6,12 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F  # noqa: F401
 
-from paqarin_spark.metrics.ranking import roc_auc, spearman_rho
+from paqarin_spark.metrics.ranking import (
+    kendall_tau,
+    rank_sum_test,
+    roc_auc,
+    spearman_rho,
+)
 
 
 def _auc_numpy(y, s):
@@ -101,3 +106,94 @@ def test_spearman_closed_forms(spark):
     assert got["tied"][1] == pytest.approx(
         _spearman_numpy(tx, ty), abs=5e-7
     )
+
+
+def _tau_b_numpy(x, y):
+    """Brute-force tau-b from the pair census."""
+    x, y = np.asarray(x), np.asarray(y)
+    c = d = tx = ty = 0
+    n = len(x)
+    for i in range(n):
+        for j in range(i + 1, n):
+            dx = np.sign(x[j] - x[i])
+            dy = np.sign(y[j] - y[i])
+            if dx == 0:
+                tx += 1
+            if dy == 0:
+                ty += 1
+            if dx * dy > 0:
+                c += 1
+            elif dx * dy < 0:
+                d += 1
+    n0 = n * (n - 1) // 2
+    return (c - d) / np.sqrt((n0 - tx) * (n0 - ty))
+
+
+def test_kendall_tau_closed_forms(spark):
+    """Monotone → 1, anti-monotone → −1, ties match the brute-force
+    pair census, all-tied x → NULL (zero denominator)."""
+    rows = []
+    rows += [("up", i, float(i), float(2 * i)) for i in range(8)]
+    rows += [("down", i, float(i), float(-i)) for i in range(8)]
+    tx_ = [1.0, 2.0, 2.0, 3.0, 3.0, 4.0]
+    ty_ = [1.0, 3.0, 2.0, 2.0, 5.0, 4.0]
+    rows += [("tied", i, a, b) for i, (a, b) in enumerate(zip(tx_, ty_))]
+    rows += [("flat", i, 7.0, float(i)) for i in range(5)]
+    df = spark.createDataFrame(rows, "grp string, i int, x double, y double")
+    got = {r["grp"]: (r["n"], r["tau"]) for r in
+           kendall_tau(df, "grp", "i", "x", "y").collect()}
+    assert got["up"] == (8, 1.0)
+    assert got["down"] == (8, -1.0)
+    assert got["tied"][1] == pytest.approx(_tau_b_numpy(tx_, ty_), abs=5e-7)
+    assert got["flat"] == (5, None)
+
+
+def _mw_z_numpy(a, b):
+    """Tie-corrected normal z for sample a (flag=1) vs b."""
+    import itertools
+    pooled = np.concatenate([a, b])
+    order = np.argsort(pooled, kind="stable")
+    ranks = np.empty(len(pooled))
+    sv = pooled[order]
+    i = 0
+    while i < len(sv):
+        j = i
+        while j + 1 < len(sv) and sv[j + 1] == sv[i]:
+            j += 1
+        ranks[order[i:j + 1]] = (i + j) / 2 + 1
+        i = j + 1
+    n1, n0 = len(a), len(b)
+    n = n1 + n0
+    s1 = ranks[:n1].sum()
+    u = s1 - n1 * (n1 + 1) / 2
+    mu = n1 * n0 / 2
+    tsum = sum(
+        t ** 3 - t
+        for _, g in itertools.groupby(sorted(pooled))
+        for t in [len(list(g))]
+    )
+    var = n1 * n0 / 12 * ((n + 1) - tsum / (n * (n - 1)))
+    return u, (u - mu) / np.sqrt(var)
+
+
+def test_rank_sum_test_matches_reference(spark):
+    """U and z match the tie-corrected reference computation; a
+    shifted sample yields a clearly positive z; one-sample and
+    all-tied groups return NULL z."""
+    rng = np.random.RandomState(3)
+    a = np.round(rng.rand(40) * 5 + 2, 1)   # shifted up, coarse ties
+    b = np.round(rng.rand(60) * 5, 1)
+    rows = [("g", 1, float(v)) for v in a]
+    rows += [("g", 0, float(v)) for v in b]
+    rows += [("solo", 1, 1.0), ("solo", 1, 2.0)]
+    rows += [("const", 1, 5.0), ("const", 0, 5.0), ("const", 0, 5.0)]
+    df = spark.createDataFrame(rows, "grp string, f int, v double")
+    got = {r["grp"]: r for r in
+           rank_sum_test(df, "grp", "f", "v").collect()}
+    u_ref, z_ref = _mw_z_numpy(a, b)
+    assert got["g"]["n_flag"] == 40 and got["g"]["n_rest"] == 60
+    assert got["g"]["u"] == pytest.approx(u_ref, abs=5e-7)
+    assert got["g"]["z"] == pytest.approx(z_ref, abs=5e-7)
+    assert got["g"]["z"] > 2.0
+    assert got["solo"]["z"] is None
+    assert got["const"]["z"] is None
