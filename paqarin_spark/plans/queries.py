@@ -14954,6 +14954,177 @@ ORDER BY o_orderpriority
 """
 
 
+def q103_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gini coefficient of customer revenue per market segment —
+    the inequality/concentration audit a revenue (or token-ownership)
+    pipeline reports. Computed in the CENTERED single-pass form
+
+        G = Σ (2·r − n − 1)·x / (n·Σx),   x ascending, r = 1..n
+
+    which is tie-order invariant (equal x swap freely between ranks
+    without changing the sum). Revenue is made integer first
+    (decimal(30,10) sum shifted ×1e10 into decimal(38,0) — exact, no
+    float rounding), so numerator and denominator are exact integers
+    at any row count; the single divide runs in double. Scale shape:
+    one revenue rollup, one rank window partitioned by segment, one
+    group agg — the q101/ev21 window class. Covers customers WITH
+    orders (an inner rollup; zero-revenue customers are a documented
+    exclusion, they would need the calendar-fill join)."""
+    configure_for_determinism(spark)
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    rev = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(30,10)")).alias("_rev")
+        )
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_mktsegment",
+            "o_custkey",
+            (F.col("_rev") * F.lit(10000000000).cast("decimal(20,0)"))
+            .cast("decimal(38,0)")
+            .alias("_x"),
+        )
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("_x", "o_custkey")
+    wn = Window.partitionBy("c_mktsegment")
+    terms = rev.select(
+        "c_mktsegment",
+        "_x",
+        (
+            F.lit(2) * F.row_number().over(w)
+            - F.count(F.lit(1)).over(wn)
+            - F.lit(1)
+        )
+        .cast("decimal(38,0)")
+        .alias("_c"),
+        F.count(F.lit(1)).over(wn).alias("_n"),
+    )
+    agg = terms.groupBy("c_mktsegment").agg(
+        F.max("_n").alias("n_customers"),
+        F.sum(F.col("_c") * F.col("_x")).alias("_num"),
+        F.sum("_x").alias("_sx"),
+    )
+    gini = F.col("_num").cast("double") / (
+        F.col("n_customers").cast("double") * F.col("_sx").cast("double")
+    )
+    return agg.select(
+        "c_mktsegment",
+        F.col("n_customers").cast("long").alias("n_customers"),
+        F.round(
+            (F.col("_sx").cast("double") / F.lit(1e10)), 6
+        ).alias("total_revenue"),
+        F.round(F.when(F.col("_sx") > 0, gini), 6).alias("gini"),
+    ).orderBy("c_mktsegment")
+
+
+Q103_SQL = """
+WITH rev AS (
+  SELECT c_mktsegment, o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10)))
+              * CAST(10000000000 AS DECIMAL(20,0)) AS DECIMAL(38,0)) AS x
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_mktsegment, o_custkey
+), terms AS (
+  SELECT c_mktsegment, x,
+         CAST(2 * ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                     ORDER BY x, o_custkey)
+              - COUNT(*) OVER (PARTITION BY c_mktsegment) - 1
+              AS DECIMAL(38,0)) AS c,
+         COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+  FROM rev
+), agg AS (
+  SELECT c_mktsegment, MAX(n) AS n_customers,
+         SUM(c * x) AS num, SUM(x) AS sx
+  FROM terms GROUP BY c_mktsegment
+)
+SELECT c_mktsegment, CAST(n_customers AS BIGINT) AS n_customers,
+       ROUND(CAST(sx AS DOUBLE) / 1e10, 6) AS total_revenue,
+       ROUND(CASE WHEN sx > 0 THEN CAST(num AS DOUBLE)
+         / (CAST(n_customers AS DOUBLE) * CAST(sx AS DOUBLE)) END,
+         6) AS gini
+FROM agg ORDER BY c_mktsegment
+"""
+
+
+def q104_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend of daily revenue — the median of all
+    pairwise day-to-day slopes, the outlier-proof alternative to an
+    OLS fit (one corrupted day moves OLS arbitrarily, Theil–Sen
+    tolerates ~29% corruption). Pairs are built over the DAILY rollup,
+    so the O(n²) stage is calendar-bounded (a year = 66k pairs
+    forever) while the distributed work is the day aggregation —
+    the ev23 discipline. Slope numerators stay exact decimal until
+    the one double divide per pair; the exact median (mean of the two
+    middle order statistics, deterministic total order) replays in
+    SQL without percentile-interpolation ambiguity."""
+    configure_for_determinism(spark)
+    orders = read_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.to_date("o_orderdate").alias("day")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(30,10)")).alias("rev"))
+    a = daily.select(F.col("day").alias("day_a"), F.col("rev").alias("rev_a"))
+    b = daily.select(F.col("day").alias("day_b"), F.col("rev").alias("rev_b"))
+    pairs = a.join(b, F.col("day_a") < F.col("day_b")).select(
+        "day_a",
+        "day_b",
+        (
+            (F.col("rev_b") - F.col("rev_a")).cast("double")
+            / F.datediff("day_b", "day_a").cast("double")
+        ).alias("slope"),
+    )
+    w = Window.orderBy("slope", "day_a", "day_b")
+    ranked = pairs.select(
+        "slope",
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("_m"),
+    )
+    med = ranked.where(
+        (F.col("_rn") == F.floor((F.col("_m") + 1) / 2))
+        | (F.col("_rn") == F.floor((F.col("_m") + 2) / 2))
+    ).agg(
+        F.max("_m").alias("n_pairs"),
+        F.round(F.avg("slope"), 6).alias("sen_slope"),
+    )
+    n_days = daily.agg(F.count(F.lit(1)).alias("n_days"))
+    return n_days.crossJoin(med).select(
+        F.col("n_days").cast("long").alias("n_days"),
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        "sen_slope",
+    )
+
+
+Q104_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS rev
+  FROM orders GROUP BY 1
+), pairs AS (
+  SELECT a.day AS day_a, b.day AS day_b,
+         CAST(b.rev - a.rev AS DOUBLE)
+           / CAST(date_diff('day', a.day, b.day) AS DOUBLE) AS slope
+  FROM daily a JOIN daily b ON a.day < b.day
+), ranked AS (
+  SELECT slope,
+         ROW_NUMBER() OVER (ORDER BY slope, day_a, day_b) AS rn,
+         COUNT(*) OVER () AS m
+  FROM pairs
+), med AS (
+  SELECT MAX(m) AS n_pairs, ROUND(AVG(slope), 6) AS sen_slope
+  FROM ranked
+  WHERE rn = (m + 1) // 2 OR rn = (m + 2) // 2
+)
+SELECT CAST((SELECT COUNT(*) FROM daily) AS BIGINT) AS n_days,
+       CAST(n_pairs AS BIGINT) AS n_pairs, sen_slope
+FROM med
+"""
+
+
 def em30_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HYBRID retrieval via reciprocal-rank fusion (similarity.
     rrf_fuse, Cormack et al. 2009) — the standard way production
@@ -15226,6 +15397,8 @@ FROM m GROUP BY shard_id ORDER BY shard_id
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-9 additions (never driver-verified) come first ---
     "ev23_kendall_tau": ev23_kendall_tau,
+    "q103_gini_concentration": q103_gini_concentration,
+    "q104_theil_sen_trend": q104_theil_sen_trend,
     "ev24_rank_sum_test": ev24_rank_sum_test,
     "mm16_zip_shard_roundtrip": mm16_zip_shard_roundtrip,
     "tx50_kneser_ney_lm": tx50_kneser_ney_lm,
@@ -15545,6 +15718,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # train/sample lifecycle runs, not to widen the oracle surface.
 ORACLE_SQL: dict[str, str] = {
     "ev23_kendall_tau": EV23_SQL,
+    "q103_gini_concentration": Q103_SQL,
+    "q104_theil_sen_trend": Q104_SQL,
     "ev24_rank_sum_test": EV24_SQL,
     "mm16_zip_shard_roundtrip": MM16_SQL,
     "tx50_kneser_ney_lm": TX50_SQL,
