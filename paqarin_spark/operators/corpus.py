@@ -850,3 +850,98 @@ def kn_bigram_doc_scores(
             ).alias("cross_entropy"),
         )
     )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    id_column: str,
+    text_column: str,
+    target_column: str,
+) -> DataFrame:
+    """Data Selection via Importance Resampling weights (Xie et al.,
+    NeurIPS 2023): per-document log importance weight
+
+        log w(d) = Σ_tok c_d(tok) · [ln p_tgt(tok) − ln p_raw(tok)]
+
+    under add-one-smoothed unigram LMs fit on the TARGET subset
+    (``target_column`` true) and the full RAW corpus, both smoothed
+    over the joint vocabulary — the cheap hashed-feature variant of
+    the fastText-classifier gate: upweight documents that look like
+    the target domain, then resample ∝ softmax(log w).
+
+    The reference pipeline has no learned selection stage
+    (paqarin/preprocessing.py is schema plumbing); this is north-star
+    LLM-pipeline surface. Scale shape: one (doc, token) rollup, one
+    vocabulary-keyed aggregation (partial-agg bounded by vocab), one
+    token-keyed join back, one doc rollup — the tx25 two-pass plan
+    with a 1-row totals broadcast. Documents with zero tokens carry
+    no evidence and are absent from the output (stated, not hidden).
+
+    Output: (id, n_tokens, log_weight[raw double]).
+    """
+    toks = docs.select(
+        F.col(id_column).alias("_id"),
+        F.col(target_column).cast("boolean").alias("_tgt"),
+        F.explode(tokens(F.col(text_column))).alias("token"),
+    )
+    per_doc = toks.groupBy("_id", "_tgt", "token").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    vocab = per_doc.groupBy("token").agg(
+        F.sum("_c").alias("_c_raw"),
+        F.sum(F.when(F.col("_tgt"), F.col("_c")).otherwise(0)).alias(
+            "_c_tgt"
+        ),
+    )
+    totals = vocab.agg(
+        F.sum("_c_raw").alias("_n_raw"),
+        F.sum("_c_tgt").alias("_n_tgt"),
+        F.count(F.lit(1)).alias("_v"),
+    )
+    llr = F.col("_c").cast("double") * (
+        F.log(F.col("_c_tgt") + F.lit(1))
+        - F.log(F.col("_n_tgt") + F.col("_v"))
+        - F.log(F.col("_c_raw") + F.lit(1))
+        + F.log(F.col("_n_raw") + F.col("_v"))
+    )
+    return (
+        per_doc.join(vocab, "token")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("_id")
+        .agg(
+            F.sum("_c").cast("long").alias("n_tokens"),
+            F.sum(llr).alias("log_weight"),
+        )
+        .select(F.col("_id").alias(id_column), "n_tokens", "log_weight")
+    )
+
+
+def dsir_resample(
+    weighted: DataFrame,
+    id_column: str,
+    log_weight_column: str,
+    k: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Gumbel-top-k resampling from DSIR log weights: key =
+    log w + Gumbel(0,1) drawn as −ln(−ln(u)) from the portable md5
+    uniform — an exact without-replacement sample ∝ softmax(log w),
+    deterministic under any layout (the tx35 exponential-clocks
+    discipline, in Gumbel form because weights arrive in log space).
+    The global sort sees only (id, key) pairs (TakeOrderedAndProject).
+    """
+    u = _uniform_hash(
+        F.lit("dsir"),
+        F.col(id_column).cast("string"),
+        F.lit(str(seed)),
+    )
+    key = F.col(log_weight_column) - F.log(-F.log(u))
+    return (
+        weighted.select(
+            F.col(id_column),
+            key.alias("_key"),
+        )
+        .orderBy(F.desc("_key"), id_column)
+        .limit(k)
+        .select(id_column)
+    )

@@ -15125,6 +15125,153 @@ FROM med
 """
 
 
+def tx51_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (operators.corpus.dsir_weights +
+    dsir_resample; Xie et al. 2023): importance weights of every
+    document toward the English subset under add-one unigram LMs,
+    then an exact Gumbel-top-k resample of 25 docs ∝ softmax(log w)
+    via the portable md5 uniform — the learned-ish domain-selection
+    stage (the hashed-n-gram DSIR variant) between the heuristic
+    gates (tx10/tx32) and the trained classifier (tx45). The output
+    reports each picked doc's weight and language, so the hash match
+    also value-verifies the weight arithmetic end-to-end."""
+    from paqarin_spark.operators import dsir_resample, dsir_weights
+
+    configure_for_determinism(spark)
+    docs = _docs(spark, sf_dir)
+    weighted = dsir_weights(
+        docs.withColumn("is_en", F.col("lang") == "en"),
+        "doc_id",
+        "text",
+        "is_en",
+    )
+    picked = dsir_resample(weighted, "doc_id", "log_weight", k=25, seed=11)
+    return (
+        picked.join(weighted, "doc_id")
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            F.round("log_weight", 6).alias("log_weight"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TX51_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang = 'en' AS tgt, unnest({_TOKS_SQL}) AS token
+  FROM documents
+), pd AS (
+  SELECT doc_id, tgt, token, COUNT(*) AS c FROM t GROUP BY 1, 2, 3
+), vc AS (
+  SELECT token, SUM(c) AS c_raw,
+         SUM(CASE WHEN tgt THEN c ELSE 0 END) AS c_tgt
+  FROM pd GROUP BY 1
+), tot AS (
+  SELECT SUM(c_raw) AS n_raw, SUM(c_tgt) AS n_tgt, COUNT(*) AS v FROM vc
+), w AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         SUM(CAST(c AS DOUBLE) * (ln(c_tgt + 1) - ln(n_tgt + v)
+                                  - ln(c_raw + 1) + ln(n_raw + v)))
+           AS lw
+  FROM pd JOIN vc USING (token) CROSS JOIN tot GROUP BY doc_id
+), picked AS (
+  SELECT doc_id, n_tokens, lw
+  FROM w
+  ORDER BY lw - ln(-ln(('0x' || substring(md5('dsir#'
+             || CAST(doc_id AS VARCHAR) || '#11'), 1, 15))::UBIGINT
+             / 1152921504606846976.0)) DESC, doc_id
+  LIMIT 25
+)
+SELECT doc_id, lang, n_tokens, ROUND(lw, 6) AS log_weight
+FROM picked JOIN documents USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+def tx52_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit — the corpus-health diagnostic every
+    tokenizer/corpus QA pass plots: OLS of ln(freq) on ln(rank) over
+    the top-100 terms (natural corpora slope ≈ −1; a flat or broken
+    slope flags template spam or tokenizer damage). One distributed
+    token count, then the fit runs on a VOCABULARY-BOUNDED top-k
+    (deterministic freq-desc/token-asc order); slope, intercept and
+    r² come from closed-form sums over those 100 points, mirrored
+    expression-for-expression in the oracle."""
+    configure_for_determinism(spark)
+    docs = _docs(spark, sf_dir)
+    from paqarin_spark.operators.dedup import tokens as _tokens
+
+    freq = (
+        docs.select(F.explode(_tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    w = Window.orderBy(F.desc("_c"), F.asc("token"))
+    top = freq.select(
+        "_c", F.row_number().over(w).alias("_rk")
+    ).where(F.col("_rk") <= 100)
+    pts = top.select(
+        F.log(F.col("_rk").cast("double")).alias("_x"),
+        F.log(F.col("_c").cast("double")).alias("_y"),
+        F.col("_c"),
+    )
+    agg = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.max("_c").cast("long").alias("top_freq"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+    )
+    cov = F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    varx = F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    vary = F.col("_n") * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    slope = cov / varx
+    return agg.select(
+        F.col("_n").cast("long").alias("n_terms"),
+        "top_freq",
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("_sy") - slope * F.col("_sx")) / F.col("_n"), 6).alias(
+            "intercept"
+        ),
+        F.round(
+            F.when(vary > 0, cov * cov / (varx * vary)), 6
+        ).alias("r2"),
+    )
+
+
+TX52_SQL = f"""
+WITH f AS (
+  SELECT token, COUNT(*) AS c
+  FROM (SELECT unnest({_TOKS_SQL}) AS token FROM documents)
+  GROUP BY 1
+), top AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, token ASC) AS rk
+  FROM f QUALIFY rk <= 100
+), pts AS (
+  SELECT ln(CAST(rk AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y, c
+  FROM top
+), agg AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n, MAX(c) AS top_freq,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy
+  FROM pts
+)
+SELECT CAST(n AS BIGINT) AS n_terms, CAST(top_freq AS BIGINT) AS top_freq,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
+             6) AS intercept,
+       ROUND(CASE WHEN (n * syy - sy * sy) > 0 THEN
+           (n * sxy - sx * sy) * (n * sxy - sx * sy)
+           / ((n * sxx - sx * sx) * (n * syy - sy * sy)) END, 6) AS r2
+FROM agg
+"""
+
+
 def em30_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HYBRID retrieval via reciprocal-rank fusion (similarity.
     rrf_fuse, Cormack et al. 2009) — the standard way production
@@ -15397,6 +15544,8 @@ FROM m GROUP BY shard_id ORDER BY shard_id
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-9 additions (never driver-verified) come first ---
     "ev23_kendall_tau": ev23_kendall_tau,
+    "tx51_dsir_resample": tx51_dsir_resample,
+    "tx52_zipf_fit": tx52_zipf_fit,
     "q103_gini_concentration": q103_gini_concentration,
     "q104_theil_sen_trend": q104_theil_sen_trend,
     "ev24_rank_sum_test": ev24_rank_sum_test,
@@ -15718,6 +15867,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # train/sample lifecycle runs, not to widen the oracle surface.
 ORACLE_SQL: dict[str, str] = {
     "ev23_kendall_tau": EV23_SQL,
+    "tx51_dsir_resample": TX51_SQL,
+    "tx52_zipf_fit": TX52_SQL,
     "q103_gini_concentration": Q103_SQL,
     "q104_theil_sen_trend": Q104_SQL,
     "ev24_rank_sum_test": EV24_SQL,

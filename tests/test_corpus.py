@@ -420,3 +420,32 @@ def test_kn_bigram_doc_scores_matches_hand_model(spark):
 
     with pytest.raises(ValueError, match="discount"):
         kn_bigram_doc_scores(df, "doc_id", "text", discount=1.5)
+
+
+def test_dsir_weights_upweight_target_like_docs(spark):
+    """Docs sharing the target subset's vocabulary get higher log
+    weights than off-domain docs; zero-token docs are absent; the
+    Gumbel resample is deterministic and size-k."""
+    from paqarin_spark.operators import dsir_resample, dsir_weights
+
+    rows = [
+        (1, "alpha beta alpha beta gamma", True),
+        (2, "alpha beta gamma alpha", True),
+        (3, "alpha beta beta gamma alpha", False),   # target-like raw doc
+        (4, "zebra quux xyzzy corge grault", False), # off-domain
+        (5, "", False),                              # zero tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, tgt boolean")
+    w = {r["doc_id"]: r for r in
+         dsir_weights(df, "doc_id", "text", "tgt").collect()}
+    assert 5 not in w                       # no evidence, no row
+    assert w[3]["log_weight"] > w[4]["log_weight"]
+    assert w[3]["n_tokens"] == 5
+    weighted = dsir_weights(df, "doc_id", "text", "tgt")
+    p1 = sorted(r["doc_id"] for r in
+                dsir_resample(weighted, "doc_id", "log_weight", 2, 7)
+                .collect())
+    p2 = sorted(r["doc_id"] for r in
+                dsir_resample(weighted, "doc_id", "log_weight", 2, 7)
+                .collect())
+    assert p1 == p2 and len(p1) == 2
