@@ -382,3 +382,109 @@ def degree_assortativity(
             6,
         ).alias("assortativity"),
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 4,
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007) with a SELF-VOTE, over an undirected edge list:
+    every node starts labeled with its own id; each round it adopts
+    the most frequent label among its neighbors plus itself, ties
+    broken by MINIMUM label. The self-vote damps the two-coloring
+    oscillation plain synchronous LPA exhibits on bipartite graphs;
+    the fixed round count and total tie order make the fixpoint
+    deterministic and SQL-unrollable (the pagerank/em22 discipline —
+    no convergence test, so the oracle replays the exact rounds).
+
+    Output: (node, label) — nodes sharing a label share a community.
+
+    Scale shape per round: one neighbor join keyed on the node, one
+    (node, label) count, one per-node argmax window — all partitioned
+    by node id; label state is localCheckpoint-ed each round so round
+    k plans against a flat scan, not k joins of lineage. Beyond-
+    reference north-star op (graph family #6).
+    """
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    from pyspark.sql import Window
+
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    und = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).persist()
+    labels = (
+        und.select(F.col("a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint()
+    )
+    w = Window.partitionBy("node").orderBy(F.desc("_cnt"), F.asc("label"))
+    for _ in range(int(rounds)):
+        cand = (
+            und.join(labels, und.b == labels.node)
+            .select(F.col("a").alias("node"), "label")
+            .unionByName(labels.select("node", "label"))
+        )
+        labels = (
+            cand.groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("_cnt"))
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("node", "label")
+            .localCheckpoint()
+        )
+    und.unpersist()
+    return labels
+
+
+def adamic_adar(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_degree: int = 64,
+) -> DataFrame:
+    """Adamic–Adar link-prediction scores over a bipartite edge list:
+    for every pair of DST-side nodes, AA = Σ 1/ln(deg(c)) over their
+    common SRC-side neighbors c — the classic "who should trade next"
+    signal, where rare shared neighbors count more than hubs.
+
+    Contributors with degree > ``max_degree`` are EXCLUDED (stated
+    contract, not a silent cap): a hub's wedge fanout is C(deg, 2) —
+    quadratic — while its information content 1/ln(deg) vanishes, so
+    the cap is what makes the wedge join linear in |edges|·max_degree
+    at any scale (the same hub discipline as the LSH band-bucket df
+    cap). Degree-1 contributors generate no pairs by construction.
+
+    Output: (node_a, node_b, n_common, aa_score) with node_a < node_b.
+    """
+    if max_degree < 2:
+        raise ValueError(f"max_degree must be >= 2, got {max_degree}")
+    e = edges.select(
+        F.col(src).alias("_c"), F.col(dst).alias("_s")
+    ).distinct()
+    deg = e.groupBy("_c").agg(F.count(F.lit(1)).alias("_d"))
+    contrib = (
+        e.join(deg, "_c")
+        .where((F.col("_d") >= 2) & (F.col("_d") <= max_degree))
+        .localCheckpoint()
+    )
+    e1 = contrib.select("_c", F.col("_s").alias("node_a"), "_d")
+    e2 = contrib.select(F.col("_c").alias("_c2"), F.col("_s").alias("node_b"))
+    wedges = e1.join(
+        e2,
+        (F.col("_c") == F.col("_c2")) & (F.col("node_a") < F.col("node_b")),
+    )
+    return wedges.groupBy("node_a", "node_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_common"),
+        F.sum(F.lit(1.0) / F.log(F.col("_d").cast("double"))).alias(
+            "aa_score"
+        ),
+    )

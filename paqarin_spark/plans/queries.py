@@ -15272,6 +15272,153 @@ FROM agg
 """
 
 
+def _trade_rel_edges(spark: SparkSession, sf_dir: str, min_items: int):
+    """Repeat-trade relationship edges: (customer, supplier) pairs
+    with >= min_items line items — the thresholded sparse view of the
+    bipartite trade graph the community/link-prediction queries run
+    on (the raw graph is near-complete and carries no structure)."""
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_custkey", "l_suppkey")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") >= min_items)
+        .select("o_custkey", "l_suppkey")
+    )
+
+
+_TRADE_REL_SQL = """
+  SELECT o_custkey, l_suppkey
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY o_custkey, l_suppkey HAVING COUNT(*) >= {t}
+"""
+
+
+def q105_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection (operators.graph.label_propagation — LPA
+    with self-vote, 4 synchronous rounds, min-label ties) over the
+    repeat-trade graph (>= 3 line items per relationship; the raw
+    bipartite graph is near-complete and structureless). Nodes carry
+    'c'/'s' prefixes so the key spaces cannot collide. Reports the 10
+    largest communities (members, customer/supplier split, community
+    id = its minimum-label anchor); the oracle unrolls the identical
+    4 rounds as stacked count+argmax CTEs, so the hash match pins
+    every round's tie-breaks, not just the final partition."""
+    from paqarin_spark.operators import label_propagation
+
+    configure_for_determinism(spark)
+    rel = _trade_rel_edges(spark, sf_dir, 3)
+    edges = rel.select(
+        F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+    )
+    labels = label_propagation(edges, "src", "dst", rounds=4)
+    return (
+        labels.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.sum(
+                F.when(F.col("node").startswith("c"), 1).otherwise(0)
+            ).cast("long").alias("n_customers"),
+            F.sum(
+                F.when(F.col("node").startswith("s"), 1).otherwise(0)
+            ).cast("long").alias("n_suppliers"),
+        )
+        .orderBy(F.desc("n_members"), F.asc("label"))
+        .limit(10)
+        .withColumnRenamed("label", "community")
+    )
+
+
+def _lpa_round_sql(prev: str, out: str) -> str:
+    return f"""{out} AS (
+  SELECT node, label FROM (
+    SELECT node, label, COUNT(*) AS cnt FROM (
+      SELECT e.a AS node, l.label FROM und e JOIN {prev} l ON l.node = e.b
+      UNION ALL SELECT node, label FROM {prev}
+    ) GROUP BY node, label
+  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY node
+                               ORDER BY cnt DESC, label ASC) = 1
+)"""
+
+
+Q105_SQL = f"""
+WITH rel AS (
+{_TRADE_REL_SQL.format(t=3)}
+), e0 AS (
+  SELECT 'c' || CAST(o_custkey AS VARCHAR) AS a,
+         's' || CAST(l_suppkey AS VARCHAR) AS b
+  FROM rel
+), und AS (
+  SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0
+), l0 AS (
+  SELECT DISTINCT a AS node, a AS label FROM und
+), {_lpa_round_sql('l0', 'l1')},
+{_lpa_round_sql('l1', 'l2')},
+{_lpa_round_sql('l2', 'l3')},
+{_lpa_round_sql('l3', 'l4')}
+SELECT label AS community,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(CASE WHEN node LIKE 'c%' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_customers,
+       CAST(SUM(CASE WHEN node LIKE 's%' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_suppliers
+FROM l4 GROUP BY label
+ORDER BY n_members DESC, community ASC LIMIT 10
+"""
+
+
+def q106_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction (operators.graph.adamic_adar): which supplier
+    pairs share the most informative customer base? AA sums
+    1/ln(deg) over common customers, so rare shared customers count
+    more than shop-everywhere hubs; contributors above degree 48 are
+    excluded by stated contract (their C(deg,2) wedge fanout is
+    quadratic while 1/ln(deg) carries ~nothing — the cap is what
+    keeps the wedge join linear in |edges| at 100 TB). Top 20 pairs
+    by 6dp-rounded score with full id tie-breaks."""
+    from paqarin_spark.operators import adamic_adar
+
+    configure_for_determinism(spark)
+    rel = _trade_rel_edges(spark, sf_dir, 2)
+    scores = adamic_adar(
+        rel, "o_custkey", "l_suppkey", max_degree=48
+    )
+    return (
+        scores.select(
+            F.col("node_a").cast("long").alias("supp_a"),
+            F.col("node_b").cast("long").alias("supp_b"),
+            "n_common",
+            F.round("aa_score", 6).alias("aa_score"),
+        )
+        .orderBy(F.desc("aa_score"), "supp_a", "supp_b")
+        .limit(20)
+    )
+
+
+Q106_SQL = f"""
+WITH e AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s FROM (
+{_TRADE_REL_SQL.format(t=2)}
+  )
+), deg AS (
+  SELECT c, COUNT(*) AS d FROM e GROUP BY c
+), contrib AS (
+  SELECT e.c, e.s, deg.d FROM e JOIN deg USING (c)
+  WHERE d BETWEEN 2 AND 48
+), wedges AS (
+  SELECT a.s AS supp_a, b.s AS supp_b, a.d
+  FROM contrib a JOIN contrib b ON a.c = b.c AND a.s < b.s
+)
+SELECT CAST(supp_a AS BIGINT) AS supp_a, CAST(supp_b AS BIGINT) AS supp_b,
+       CAST(COUNT(*) AS BIGINT) AS n_common,
+       ROUND(SUM(1.0 / ln(CAST(d AS DOUBLE))), 6) AS aa_score
+FROM wedges GROUP BY supp_a, supp_b
+ORDER BY aa_score DESC, supp_a, supp_b LIMIT 20
+"""
+
+
 def em30_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HYBRID retrieval via reciprocal-rank fusion (similarity.
     rrf_fuse, Cormack et al. 2009) — the standard way production
@@ -15544,6 +15691,8 @@ FROM m GROUP BY shard_id ORDER BY shard_id
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-9 additions (never driver-verified) come first ---
     "ev23_kendall_tau": ev23_kendall_tau,
+    "q105_label_propagation": q105_label_propagation,
+    "q106_adamic_adar": q106_adamic_adar,
     "tx51_dsir_resample": tx51_dsir_resample,
     "tx52_zipf_fit": tx52_zipf_fit,
     "q103_gini_concentration": q103_gini_concentration,
@@ -15867,6 +16016,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # train/sample lifecycle runs, not to widen the oracle surface.
 ORACLE_SQL: dict[str, str] = {
     "ev23_kendall_tau": EV23_SQL,
+    "q105_label_propagation": Q105_SQL,
+    "q106_adamic_adar": Q106_SQL,
     "tx51_dsir_resample": TX51_SQL,
     "tx52_zipf_fit": TX52_SQL,
     "q103_gini_concentration": Q103_SQL,

@@ -469,3 +469,50 @@ def test_kcore_peel_validates_rounds(spark):
     edges = _und(spark, [("a", "b")])
     with pytest.raises(ValueError, match="rounds"):
         kcore_peel(edges, k=2, rounds=0)
+
+
+def test_label_propagation_separates_planted_communities(spark):
+    """Two disjoint cliques bridged by nothing resolve to two
+    communities anchored at their minimum labels; rounds<1 raises."""
+    import pytest
+    from paqarin_spark.operators import label_propagation
+
+    edges = [
+        ("a", "b"), ("b", "c"), ("a", "c"),             # triangle 1
+        ("x", "y"), ("y", "z"), ("x", "z"), ("z", "zz") # cluster 2
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["label"]
+           for r in label_propagation(df, rounds=4).collect()}
+    assert {got["a"], got["b"], got["c"]} == {"a"}
+    assert {got["x"], got["y"], got["z"], got["zz"]} == {"x"}
+    assert got["x"] != got["a"]
+    with pytest.raises(ValueError, match="rounds"):
+        label_propagation(df, rounds=0)
+
+
+def test_adamic_adar_weights_rare_neighbors_higher(spark):
+    """Two dst nodes sharing a degree-2 contributor outscore a pair
+    sharing only a degree-4 hub; hub above max_degree drops out."""
+    import math
+    from paqarin_spark.operators import adamic_adar
+
+    edges = [
+        # rare contributor c1 (deg 2) links s1-s2
+        ("c1", "s1"), ("c1", "s2"),
+        # hub c2 (deg 4) links everything
+        ("c2", "s1"), ("c2", "s2"), ("c2", "s3"), ("c2", "s4"),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {(r["node_a"], r["node_b"]): (r["n_common"], r["aa_score"])
+           for r in adamic_adar(df, max_degree=64).collect()}
+    s12 = got[("s1", "s2")]
+    s34 = got[("s3", "s4")]
+    assert s12[0] == 2 and s34[0] == 1
+    expected = 1 / math.log(2) + 1 / math.log(4)
+    assert abs(s12[1] - expected) < 1e-9
+    assert s12[1] > s34[1]
+    # cap at 3 removes the hub entirely: only the rare pair remains
+    capped = {(r["node_a"], r["node_b"]) for r in
+              adamic_adar(df, max_degree=3).collect()}
+    assert capped == {("s1", "s2")}
