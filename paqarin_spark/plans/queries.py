@@ -15419,6 +15419,245 @@ ORDER BY aa_score DESC, supp_a, supp_b LIMIT 20
 """
 
 
+def mm17_audio_dft(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral band energies from real decoded PCM (multimodal.
+    wav_dft_features over wav_assets_from_ids): every asset is a REAL
+    16-bit mono WAV whose samples are id-arithmetic, the decode walks
+    the actual RIFF bytes, and the DFT magnitudes at bins 1/2/3 are
+    computed from the decoded waveform — so the oracle (which replays
+    the sample formula with unnest(range) + cos/sin sums) verifies
+    the full decode→featurize value path, not just counts. The audio
+    analogue of mm6's pixel-value resize proof. Arrow-batched linear
+    pass, no shuffle — the featurize step of a 100-TB audio ingest."""
+    from paqarin_spark.multimodal import (
+        wav_assets_from_ids,
+        wav_dft_features,
+    )
+
+    configure_for_determinism(spark)
+    docs = _docs(spark, sf_dir)
+    assets = wav_assets_from_ids(docs, "doc_id")
+    return wav_dft_features(assets, bins=(1, 2, 3)).orderBy(
+        "asset_id", "bin"
+    )
+
+
+MM17_SQL = """
+WITH a AS (
+  SELECT doc_id AS asset_id, doc_id % 100 + 1 AS n, doc_id % 7 + 1 AS step
+  FROM documents
+), s AS (
+  SELECT asset_id, n,
+         CAST(t.i AS DOUBLE) AS i,
+         CAST(((t.i * step * 37 + asset_id) % 4001) - 2000 AS DOUBLE) AS x
+  FROM a, LATERAL (SELECT unnest(range(0, n)) AS i) t
+), b AS (
+  SELECT unnest([1, 2, 3]) AS bin
+), dft AS (
+  SELECT asset_id, bin, MAX(n) AS n,
+         SUM(x * cos((2 * pi() * bin) * i / n)) AS re,
+         SUM(x * sin((2 * pi() * bin) * i / n)) AS im
+  FROM s CROSS JOIN b GROUP BY asset_id, bin
+)
+SELECT asset_id, CAST(bin AS INTEGER) AS bin,
+       CAST(n AS INTEGER) AS n_samples,
+       ROUND(sqrt(re * re + im * im) / n, 6) AS magnitude
+FROM dft ORDER BY asset_id, bin
+"""
+
+
+def q107_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink/source round-trip PROOF (ops A1/A3 for the second
+    columnar lake format — Hive-era warehouses hand data over as
+    ORC): lineitem's pricing columns are written through
+    sources.write_orc, read back through sources.read_orc with an
+    explicit schema, and rolled up ship-day × returnflag — while the
+    ORACLE aggregates the ORIGINAL parquet, so the hash match proves
+    doubles survive the ORC round-trip bit-exactly. Same staging
+    hygiene as q97 (pid-scoped dir, stale sweep, exit cleanup)."""
+    import hashlib
+    import os
+
+    from paqarin_spark.sources import read_orc, write_orc
+
+    configure_for_determinism(spark)
+    li = read_table(spark, sf_dir, "lineitem")
+    staged = li.select(
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_day"),
+        "l_returnflag",
+        "l_quantity",
+        "l_extendedprice",
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    _sweep_stale_staging("paqarin_q107_")
+    path = os.path.join("/tmp", f"paqarin_q107_{tag}_{os.getpid()}")
+    _remove_at_exit(path)
+    write_orc(staged, path)
+    back = read_orc(
+        spark,
+        path,
+        schema=(
+            "ship_day string, l_returnflag string, "
+            "l_quantity double, l_extendedprice double"
+        ),
+    )
+    return (
+        back.groupBy("ship_day", "l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("l_quantity").cast("decimal(30,10)")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("sum_qty"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(30,10)")
+                ).cast("double"),
+                6,
+            ).alias("sum_price"),
+        )
+        .orderBy("ship_day", "l_returnflag")
+    )
+
+
+Q107_SQL = """
+SELECT strftime(l_shipdate, '%Y-%m-%d') AS ship_day, l_returnflag,
+       COUNT(*) AS n,
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE), 6)
+         AS sum_qty,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE), 6)
+         AS sum_price
+FROM lineitem
+GROUP BY 1, 2
+ORDER BY ship_day, l_returnflag
+"""
+
+
+def em31_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Davies–Bouldin cluster-validity audit over the labeled
+    embedding clusters: per label the within-cluster scatter (mean
+    member→centroid distance) and the DB component max_{j≠i}
+    (s_i+s_j)/d(c_i,c_j) — the compactness-vs-separation score that
+    needs only centroid-local statistics (no all-pairs over vectors,
+    unlike silhouette): k·d centroids + k² centroid distances.
+    Determinism discipline: centroids round to 6dp FIRST (the em7
+    identical-inputs rule), every 64-term squared sum aggregates as
+    decimal(30,12) (order-independent), scatters round to 6dp before
+    the ratio — so both engines walk identical doubles end to end.
+    Scale shape: one posexplode rollup for centroids, one
+    member-distance join keyed on (label, dim), one k²-bounded
+    centroid self-join; nothing driver-side."""
+    configure_for_determinism(spark)
+    emb = read_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("dim", "x"),
+    )
+    cen = dims.groupBy("label", "dim").agg(
+        F.round(F.avg("x"), 6).alias("c")
+    ).localCheckpoint()
+    term = (F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))
+    dist = (
+        dims.join(cen, ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sqrt(
+                F.sum(term.cast("decimal(30,12)")).cast("double")
+            ).alias("_dist")
+        )
+    )
+    scat = dist.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.round(
+            F.sum(F.col("_dist").cast("decimal(30,12)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("scatter"),
+    )
+    ca = cen.select(
+        F.col("label").alias("_la"), "dim", F.col("c").alias("_c1")
+    )
+    cb = cen.select(
+        F.col("label").alias("_lb"),
+        F.col("dim").alias("_dim2"),
+        F.col("c").alias("_c2"),
+    )
+    dterm = (F.col("_c1") - F.col("_c2")) * (F.col("_c1") - F.col("_c2"))
+    cdist = (
+        ca.join(
+            cb,
+            (F.col("dim") == F.col("_dim2"))
+            & (F.col("_la") != F.col("_lb")),
+        )
+        .groupBy("_la", "_lb")
+        .agg(
+            F.sqrt(
+                F.sum(dterm.cast("decimal(30,12)")).cast("double")
+            ).alias("_d")
+        )
+    )
+    sa = scat.select(F.col("label").alias("_la"), F.col("scatter").alias("_sa"))
+    sb = scat.select(F.col("label").alias("_lb"), F.col("scatter").alias("_sb"))
+    ratios = (
+        cdist.join(sa, "_la")
+        .join(sb, "_lb")
+        .groupBy("_la")
+        .agg(
+            F.round(
+                F.max((F.col("_sa") + F.col("_sb")) / F.col("_d")), 6
+            ).alias("db_component")
+        )
+    )
+    return (
+        scat.join(ratios, scat.label == ratios._la)
+        .select("label", "n_members", "scatter", "db_component")
+        .orderBy("label")
+    )
+
+
+EM31_SQL = """
+WITH dims AS (
+  SELECT vec_id, label, CAST(t.i - 1 AS INTEGER) AS dim,
+         CAST(embedding[t.i] AS DOUBLE) AS x
+  FROM embeddings CROSS JOIN range(1, 65) t(i)
+), cen AS (
+  SELECT label, dim, ROUND(AVG(x), 6) AS c
+  FROM dims GROUP BY label, dim
+), dist AS (
+  SELECT vec_id, dims.label,
+         sqrt(CAST(SUM(CAST((x - c) * (x - c) AS DECIMAL(30,12)))
+                   AS DOUBLE)) AS d
+  FROM dims JOIN cen ON dims.label = cen.label AND dims.dim = cen.dim
+  GROUP BY vec_id, dims.label
+), scat AS (
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS n_members,
+         ROUND(CAST(SUM(CAST(d AS DECIMAL(30,12))) AS DOUBLE)
+               / COUNT(*), 6) AS scatter
+  FROM dist GROUP BY label
+), cdist AS (
+  SELECT a.label AS la, b.label AS lb,
+         sqrt(CAST(SUM(CAST((a.c - b.c) * (a.c - b.c) AS DECIMAL(30,12)))
+                   AS DOUBLE)) AS d
+  FROM cen a JOIN cen b ON a.dim = b.dim AND a.label <> b.label
+  GROUP BY a.label, b.label
+), ratios AS (
+  SELECT la, ROUND(MAX((sa.scatter + sb.scatter) / d), 6) AS db_component
+  FROM cdist
+  JOIN scat sa ON sa.label = cdist.la
+  JOIN scat sb ON sb.label = cdist.lb
+  GROUP BY la
+)
+SELECT label, n_members, scatter, db_component
+FROM scat JOIN ratios ON scat.label = ratios.la
+ORDER BY label
+"""
+
+
 def em30_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HYBRID retrieval via reciprocal-rank fusion (similarity.
     rrf_fuse, Cormack et al. 2009) — the standard way production
@@ -15691,6 +15930,9 @@ FROM m GROUP BY shard_id ORDER BY shard_id
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-9 additions (never driver-verified) come first ---
     "ev23_kendall_tau": ev23_kendall_tau,
+    "mm17_audio_dft": mm17_audio_dft,
+    "q107_orc_roundtrip": q107_orc_roundtrip,
+    "em31_davies_bouldin": em31_davies_bouldin,
     "q105_label_propagation": q105_label_propagation,
     "q106_adamic_adar": q106_adamic_adar,
     "tx51_dsir_resample": tx51_dsir_resample,
@@ -16016,6 +16258,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # train/sample lifecycle runs, not to widen the oracle surface.
 ORACLE_SQL: dict[str, str] = {
     "ev23_kendall_tau": EV23_SQL,
+    "mm17_audio_dft": MM17_SQL,
+    "q107_orc_roundtrip": Q107_SQL,
+    "em31_davies_bouldin": EM31_SQL,
     "q105_label_propagation": Q105_SQL,
     "q106_adamic_adar": Q106_SQL,
     "tx51_dsir_resample": TX51_SQL,

@@ -244,6 +244,21 @@ def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
+def read_orc(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """Op A1/A2 for ORC lakes (the second columnar interchange format
+    beside parquet — Hive-era warehouses hand data over as ORC). Same
+    pushdown/pruning contract as the parquet scan: filters and column
+    selection reach the reader, globs distribute."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).orc(path)
+
+
 def write_partitioned(
     df: DataFrame,
     path: str,

@@ -952,3 +952,36 @@ def test_zip_shards_roundtrip_on_spark(spark):
     bad_rows = zip_members_table(corrupted).collect()
     assert all(r["name"] is None for r in bad_rows)
     assert len(bad_rows) == 4
+
+
+def test_wav_dft_features_pins_pure_tones(spark):
+    """A pure integer-bin cosine concentrates its energy at that bin
+    (mag = A/2, others ~0); a constant signal has zero energy at
+    every nonzero bin; unparseable payloads are skipped."""
+    import math
+
+    from paqarin_spark.multimodal import encode_wav, wav_dft_features
+
+    n, amp = 64, 1000
+    tone = encode_wav(
+        8000, n,
+        sample_fn=lambda i: int(round(amp * math.cos(2 * math.pi * 2 * i / n)))
+    )
+    const = encode_wav(8000, n, sample_fn=lambda i: 777)
+    rows = [
+        (1, tone, {"media_type": "audio", "format": "wav", "width": None,
+                   "height": None, "n_frames": None, "sample_rate": None}),
+        (2, const, dict(media_type="audio", format="wav", width=None,
+                        height=None, n_frames=None, sample_rate=None)),
+        (3, b"not a wav", dict(media_type="audio", format="wav", width=None,
+                               height=None, n_frames=None, sample_rate=None)),
+    ]
+    from paqarin_spark.multimodal import MEDIA_SCHEMA
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {(r["asset_id"], r["bin"]): r["magnitude"]
+           for r in wav_dft_features(df, bins=(1, 2, 3)).collect()}
+    # integer-rounded cosine: allow quantization slack of ~1
+    assert abs(got[(1, 2)] - amp / 2) < 1.0
+    assert got[(1, 1)] < 5.0 and got[(1, 3)] < 5.0
+    assert got[(2, 1)] < 1e-6 and got[(2, 2)] < 1e-6
+    assert not any(aid == 3 for aid, _ in got)
