@@ -15658,6 +15658,201 @@ ORDER BY label
 """
 
 
+def st20_stream_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING FILE SINK round-trip — every other streaming query
+    verifies through the memory sink; the DEPLOYED path of a
+    streaming ETL writes exactly-once PARQUET FILES under a
+    checkpoint, and this query proves that path end to end: events
+    stream through a stateless projection into a parquet file sink
+    (append mode, availableNow, checkpointed), the sink directory is
+    then read back with the BATCH reader and rolled up day × type —
+    and the oracle aggregates the ORIGINAL events table, so the hash
+    match proves the streamed files carry every row exactly once
+    with doubles bit-intact (the q97/q107 proof, now through the
+    micro-batch commit protocol). Re-runs in one process reuse the
+    checkpoint: committed offsets make the second run a no-op and
+    the files stay correct — idempotence is the sink contract.
+
+    Scale shape: stateless stream (no state store), file commits per
+    micro-batch; the q97 staging hygiene (pid-scoped dirs, stale
+    sweep, exit cleanup)."""
+    import hashlib
+    import os
+
+    configure_for_determinism(spark)
+    stream = _events_stream(spark, sf_dir)
+    staged = stream.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "value",
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    _sweep_stale_staging("paqarin_st20_")
+    base = os.path.join("/tmp", f"paqarin_st20_{tag}_{os.getpid()}")
+    _remove_at_exit(base)
+    q = (
+        staged.writeStream.format("parquet")
+        .option("path", os.path.join(base, "out"))
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.schema(
+        "day string, event_type string, value double"
+    ).parquet(os.path.join(base, "out"))
+    return (
+        back.groupBy("day", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(30,10)")).cast("double"),
+                6,
+            ).alias("sum_value"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+ST20_SQL = """
+SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+       COUNT(*) AS n,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(30,10))) AS DOUBLE), 6)
+         AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY day, event_type
+"""
+
+
+def ev25_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the Brier score — the calibration
+    audit beside ev17's reliability bins: a probability forecast of
+    "order finalizes" is FIT on the odd-orderkey half (per-priority
+    empirical F-rate) and EVALUATED on the even half, where
+
+        brier = reliability − resolution + uncertainty
+        REL = Σ n_k (p_k − o_k)² / N    (forecast vs realized, per bin)
+        RES = Σ n_k (o_k − ō)² / N      (how much the bins separate)
+        UNC = ō (1 − ō)
+
+    The identity is exact for binned forecasts (p constant within a
+    priority), so the output reports all four terms AND the directly
+    computed mean (p−y)² — the hash match pins the identity itself.
+    Counts aggregate exactly (bigint); the double arithmetic runs on
+    count ratios, mirrored op-for-op. Scale shape: two priority-keyed
+    rollups and one 5-row join — nothing wider than the ev12 class."""
+    configure_for_determinism(spark)
+    orders = read_table(spark, sf_dir, "orders")
+    labeled = orders.select(
+        "o_orderpriority",
+        (F.col("o_orderkey") % 2 == 1).alias("_train"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("_y"),
+    )
+    fit = (
+        labeled.where("_train")
+        .groupBy("o_orderpriority")
+        .agg(
+            (
+                F.sum("_y").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("_p")
+        )
+    )
+    test = (
+        labeled.where(~F.col("_train"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("_nk"),
+            F.sum("_y").alias("_yk"),
+        )
+    )
+    binned = test.join(fit, "o_orderpriority").select(
+        "_nk",
+        "_p",
+        (F.col("_yk").cast("double") / F.col("_nk").cast("double")).alias(
+            "_ok"
+        ),
+        "_yk",
+    )
+    agg = binned.agg(
+        F.sum("_nk").cast("long").alias("n"),
+        F.sum("_yk").cast("long").alias("_ny"),
+        F.sum(
+            F.col("_nk").cast("double")
+            * (F.col("_p") - F.col("_ok"))
+            * (F.col("_p") - F.col("_ok"))
+        ).alias("_rel_num"),
+        # Σ_rows (p−y)² = n_k·p² − 2·p·y_k + y_k per bin (y² = y)
+        F.sum(
+            F.col("_nk").cast("double") * F.col("_p") * F.col("_p")
+            - F.lit(2.0) * F.col("_p") * F.col("_yk").cast("double")
+            + F.col("_yk").cast("double")
+        ).alias("_brier_num"),
+        F.sum(F.col("_nk").cast("double") * F.col("_ok") * F.col("_ok"))
+        .alias("_sok2"),
+    )
+    obar = F.col("_ny").cast("double") / F.col("n").cast("double")
+    rel = F.col("_rel_num") / F.col("n").cast("double")
+    res = F.col("_sok2") / F.col("n").cast("double") - obar * obar
+    unc = obar * (F.lit(1.0) - obar)
+    brier = F.col("_brier_num") / F.col("n").cast("double")
+    return agg.select(
+        "n",
+        F.round(brier, 6).alias("brier"),
+        F.round(rel, 6).alias("reliability"),
+        F.round(res, 6).alias("resolution"),
+        F.round(unc, 6).alias("uncertainty"),
+        F.round(rel - res + unc, 6).alias("identity_brier"),
+    )
+
+
+EV25_SQL = """
+WITH labeled AS (
+  SELECT o_orderpriority,
+         o_orderkey % 2 = 1 AS train,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+  FROM orders
+), fit AS (
+  SELECT o_orderpriority,
+         CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS p
+  FROM labeled WHERE train GROUP BY 1
+), test AS (
+  SELECT o_orderpriority, COUNT(*) AS nk, SUM(y) AS yk
+  FROM labeled WHERE NOT train GROUP BY 1
+), binned AS (
+  SELECT nk, p, CAST(yk AS DOUBLE) / CAST(nk AS DOUBLE) AS ok, yk
+  FROM test JOIN fit USING (o_orderpriority)
+), agg AS (
+  SELECT CAST(SUM(nk) AS BIGINT) AS n, CAST(SUM(yk) AS BIGINT) AS ny,
+         SUM(CAST(nk AS DOUBLE) * (p - ok) * (p - ok)) AS rel_num,
+         SUM(CAST(nk AS DOUBLE) * p * p
+             - 2.0 * p * CAST(yk AS DOUBLE)
+             + CAST(yk AS DOUBLE)) AS brier_num,
+         SUM(CAST(nk AS DOUBLE) * ok * ok) AS sok2
+  FROM binned
+)
+SELECT n,
+       ROUND(brier_num / CAST(n AS DOUBLE), 6) AS brier,
+       ROUND(rel_num / CAST(n AS DOUBLE), 6) AS reliability,
+       ROUND(sok2 / CAST(n AS DOUBLE)
+             - (CAST(ny AS DOUBLE) / CAST(n AS DOUBLE))
+               * (CAST(ny AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS resolution,
+       ROUND((CAST(ny AS DOUBLE) / CAST(n AS DOUBLE))
+             * (1.0 - CAST(ny AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+         AS uncertainty,
+       ROUND(rel_num / CAST(n AS DOUBLE)
+             - (sok2 / CAST(n AS DOUBLE)
+                - (CAST(ny AS DOUBLE) / CAST(n AS DOUBLE))
+                  * (CAST(ny AS DOUBLE) / CAST(n AS DOUBLE)))
+             + (CAST(ny AS DOUBLE) / CAST(n AS DOUBLE))
+               * (1.0 - CAST(ny AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+         AS identity_brier
+FROM agg
+"""
+
+
 def em30_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HYBRID retrieval via reciprocal-rank fusion (similarity.
     rrf_fuse, Cormack et al. 2009) — the standard way production
@@ -15930,6 +16125,8 @@ FROM m GROUP BY shard_id ORDER BY shard_id
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-9 additions (never driver-verified) come first ---
     "ev23_kendall_tau": ev23_kendall_tau,
+    "st20_stream_file_sink": st20_stream_file_sink,
+    "ev25_brier_decomposition": ev25_brier_decomposition,
     "mm17_audio_dft": mm17_audio_dft,
     "q107_orc_roundtrip": q107_orc_roundtrip,
     "em31_davies_bouldin": em31_davies_bouldin,
@@ -15980,8 +16177,24 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q94_dormant_rich_by_nation": q94_dormant_rich_by_nation,
     "q95_top_supplier": q95_top_supplier,
     "gen7_quantile_remap": gen7_quantile_remap,
-    "ev13_theil_u": ev13_theil_u,
+    # --- round-5 additions, r5-driver-verified ---
+    # --- round-4 rotation: everything from here to ev2 has never
+    # been driver-verified on its CURRENT oracle. The 16 round-4
+    # ADDITIONS (mm10 MP4 sample tables; q73/tx33/st9/st10 sketches;
+    # tx34 perplexity buckets; tx35 weighted sample; q74/q75 TPC-H
+    # shapes; em14 k-means; em15 cross-table retrieval; ev6/ev8
+    # fidelity metrics; tx36 ingest manifest; tx37 quality dedup;
+    # gen6 executing neural provider — rows-only BY DESIGN, the one
+    # query without an oracle) come first; then the five r3-late
+    # oracle upgrades (ev1's first value oracle, ev5 post-window,
+    # em2 sign-plane switch, gen4/ev2 full value replays). ---
+    # ------------- driver 50-entry window ends HERE (position 50) -------------
+    # ev13/q96 (r6-driver-verified) displaced for round-9 st20/ev25.
     "q96_mad_robust_stats": q96_mad_robust_stats,
+    "ev13_theil_u": ev13_theil_u,
+    # em22/st15/q97/q98/em23/q99/gen8/ev14/q100/em24/ev15/q101/st16/
+    # q102/ev16/gen9 (r6-driver-verified, r8-window re-verified where
+    # rotated) displaced for the 16 round-9 entries.
     "em22_power_iteration": em22_power_iteration,
     "st15_stream_latest": st15_stream_latest,
     "q97_jsonl_roundtrip": q97_jsonl_roundtrip,
@@ -15998,18 +16211,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q102_forecast_revenue_change": q102_forecast_revenue_change,
     "ev16_generator_rank": ev16_generator_rank,
     "gen9_text_markov": gen9_text_markov,
-    # --- round-5 additions, r5-driver-verified ---
-    # --- round-4 rotation: everything from here to ev2 has never
-    # been driver-verified on its CURRENT oracle. The 16 round-4
-    # ADDITIONS (mm10 MP4 sample tables; q73/tx33/st9/st10 sketches;
-    # tx34 perplexity buckets; tx35 weighted sample; q74/q75 TPC-H
-    # shapes; em14 k-means; em15 cross-table retrieval; ev6/ev8
-    # fidelity metrics; tx36 ingest manifest; tx37 quality dedup;
-    # gen6 executing neural provider — rows-only BY DESIGN, the one
-    # query without an oracle) come first; then the five r3-late
-    # oracle upgrades (ev1's first value oracle, ev5 post-window,
-    # em2 sign-plane switch, gen4/ev2 full value replays). ---
-    # ------------- driver 50-entry window ends HERE (position 50) -------------
     # ev11_ewma_backtest (r5-green) displaced for round-8 ev20.
     "ev11_ewma_backtest": ev11_ewma_backtest,
     # q90/q91/q89/st13/tx41/ev10/q85/tx40/q84 (r5-green, r6/r7
@@ -16258,6 +16459,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # train/sample lifecycle runs, not to widen the oracle surface.
 ORACLE_SQL: dict[str, str] = {
     "ev23_kendall_tau": EV23_SQL,
+    "st20_stream_file_sink": ST20_SQL,
+    "ev25_brier_decomposition": EV25_SQL,
     "mm17_audio_dft": MM17_SQL,
     "q107_orc_roundtrip": Q107_SQL,
     "em31_davies_bouldin": EM31_SQL,

@@ -1402,6 +1402,150 @@ def main() -> int:
         f"[{'ok' if ok else 'top=%s' % zout[0]['vec_id']}]"
     )
 
+    # Label propagation at 1M nodes / 2M edges (q105's operator):
+    # 200k planted 5-cliques — after ONE round every member of a
+    # clique holds its minimum node id (4 distinct neighbor labels +
+    # self all count 1, min wins), so 4 rounds must yield exactly one
+    # label per clique, anchored at the clique base.
+    from paqarin_spark.operators import label_propagation
+
+    n_cliq, kq = 200_000, 5
+    t0 = time.perf_counter()
+    base = spark.range(n_cliq).select(F.col("id").alias("cl"))
+    pairs_ij = [(i, j) for i in range(kq) for j in range(i + 1, kq)]
+    cedges = base.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (F.col("cl") * kq + i).alias("src"),
+                        (F.col("cl") * kq + j).alias("dst"),
+                    )
+                    for i, j in pairs_ij
+                ]
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    lab = label_propagation(cedges, rounds=4)
+    bad = lab.where(
+        F.col("label") != (F.col("node") - F.pmod("node", kq))
+    ).count()
+    n_lab = lab.count()
+    dt = time.perf_counter() - t0
+    ok = bad == 0 and n_lab == n_cliq * kq
+    checks.append(ok)
+    print(
+        f"{'lpa 200k cliques':24} {dt:7.1f}s  rows={n_lab:>12,}  "
+        f"[{'ok' if ok else 'bad=%d' % bad}]"
+    )
+
+    # Adamic-Adar on a planted bipartite graph (q106's operator):
+    # 5M customers, each linked to suppliers (c%S, c%S+1) — every
+    # contributor has degree exactly 2, so each ring pair must score
+    # exactly (N/S)/ln(2) with n_common == N/S, and no other pair
+    # may appear.
+    import math as _math
+
+    from paqarin_spark.operators import adamic_adar
+
+    n_cust, n_supp = 5_000_000, 1_000
+    t0 = time.perf_counter()
+    bedges = (
+        spark.range(n_cust)
+        .select(
+            F.col("id").alias("c"),
+            F.pmod("id", n_supp).alias("s1"),
+            (F.pmod("id", n_supp) + 1).alias("s2"),
+        )
+        .select(
+            "c", F.explode(F.array(F.col("s1"), F.col("s2"))).alias("s")
+        )
+    )
+    aa = adamic_adar(bedges, "c", "s", max_degree=8)
+    per_pair = n_cust // n_supp
+    expect = per_pair / _math.log(2.0)
+    bad_aa = aa.where(
+        (F.col("n_common") != per_pair)
+        | (F.abs(F.col("aa_score") - F.lit(expect)) > 1e-6 * expect)
+    ).count()
+    n_pairs_aa = aa.count()
+    dt = time.perf_counter() - t0
+    ok = bad_aa == 0 and n_pairs_aa == n_supp
+    checks.append(ok)
+    print(
+        f"{'adamic-adar 10M edges':24} {dt:7.1f}s  rows={n_pairs_aa:>12,}  "
+        f"[{'ok' if ok else 'bad=%d pairs=%d' % (bad_aa, n_pairs_aa)}]"
+    )
+
+    # Rank-sum test at 20M rows over 100 groups (ev24's operator):
+    # flag-1 values are planted strictly above flag-0 within every
+    # group and all values are distinct, so U == n1*n0 exactly and z
+    # equals the no-ties closed form in every group.
+    from paqarin_spark.metrics.ranking import rank_sum_test
+
+    n_rs, n_grp = 20_000_000, 100
+    t0 = time.perf_counter()
+    rs = spark.range(n_rs).select(
+        F.pmod("id", n_grp).alias("grp"),
+        (F.col("id") >= n_rs // 4).cast("int").alias("f"),
+        # distinct per group; flag-1 ids sit strictly above flag-0
+        F.col("id").cast("double").alias("v"),
+    )
+    out = rank_sum_test(rs, "grp", "f", "v").collect()
+    dt = time.perf_counter() - t0
+    ok = len(out) == n_grp
+    for r in out:
+        n1, n0 = r["n_flag"], r["n_rest"]
+        u_exp = float(n1) * n0
+        var = n1 * n0 * (n1 + n0 + 1) / 12.0
+        z_exp = (u_exp - n1 * n0 / 2.0) / _math.sqrt(var)
+        ok = ok and abs(r["u"] - u_exp) < 1e-6 and abs(
+            r["z"] - z_exp
+        ) < 1e-6
+    checks.append(ok)
+    print(
+        f"{'rank-sum 20M rows':24} {dt:7.1f}s  rows={len(out):>12,}  "
+        f"[{'ok' if ok else 'MISMATCH'}]"
+    )
+
+    # Audio DFT featurize across 200k real WAV assets (mm17's
+    # operator): decode + 3-bin DFT per asset through the Arrow pass;
+    # row count is exactly assets×3 and a spot asset's bin-1
+    # magnitude matches a local numpy recompute.
+    import numpy as _np
+
+    from paqarin_spark.multimodal import wav_assets_from_ids, wav_dft_features
+
+    n_wav = 200_000
+    t0 = time.perf_counter()
+    ids = spark.range(n_wav).select(F.col("id").alias("asset_id"))
+    feats = wav_dft_features(
+        wav_assets_from_ids(ids, "asset_id"), bins=(1, 2, 3)
+    )
+    n_feat = feats.count()
+    spot = (
+        feats.where((F.col("asset_id") == 12345) & (F.col("bin") == 1))
+        .collect()[0]["magnitude"]
+    )
+    aid = 12345
+    nn, step = aid % 100 + 1, aid % 7 + 1
+    xs = _np.array(
+        [((i * step * 37 + aid) % 4001) - 2000 for i in range(nn)],
+        dtype=_np.float64,
+    )
+    idx = _np.arange(nn, dtype=_np.float64)
+    ang = (2.0 * _math.pi * 1.0) * idx / float(nn)
+    re = float((xs * _np.cos(ang)).sum())
+    im = float((xs * _np.sin(ang)).sum())
+    ref = _math.sqrt(re * re + im * im) / float(nn)
+    dt = time.perf_counter() - t0
+    ok = n_feat == n_wav * 3 and abs(spot - ref) < 1e-5
+    checks.append(ok)
+    print(
+        f"{'wav dft 200k assets':24} {dt:7.1f}s  rows={n_feat:>12,}  "
+        f"[{'ok' if ok else 'spot=%s ref=%s' % (spot, ref)}]"
+    )
+
     print("all invariants hold" if all(checks) else "INVARIANT FAILURES")
     return 0 if all(checks) else 1
 
