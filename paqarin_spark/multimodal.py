@@ -1518,6 +1518,305 @@ def wav_dft_features(
     return df.mapInPandas(feats, schema=WAV_DFT_SCHEMA)
 
 
+# --- GIF89a / LZW -------------------------------------------------------
+# A real dictionary compressor implemented by hand (variable-width LZW,
+# the GIF flavor: LSB-first bit packing, clear/EOI codes, width growth
+# at dictionary powers of two, reset at 4096) — the codec class the
+# repo's honest-codec ladder was missing between "stored/zlib" (ZIP,
+# PNG) and transform coding (JPEG). Encoder and decoder are an exactly
+# synchronized pair: the encoder grows its code width immediately
+# after allocating dictionary value 2^w (affecting codes it emits
+# afterwards), the decoder — which allocates each entry one code later
+# — grows when its next free code reaches 2^w. Cross-validation
+# against an external GIF reader is an environment seam (no PIL in
+# this container); the format is pinned instead by hand-computed
+# bitstream fixtures and boundary-crossing roundtrip tests.
+
+
+def _lzw_encode(indices, min_code_size: int) -> bytes:
+    """GIF LZW compress a symbol sequence (symbols < 2^min_code_size)
+    into the raw code stream (before sub-block framing)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    width = min_code_size + 1
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    def fresh_table() -> dict:
+        return {bytes([i]): i for i in range(clear)}
+
+    table = fresh_table()
+    next_code = eoi + 1
+    emit(clear)
+    prefix = b""
+    for sym in indices:
+        s = int(sym)
+        cand = prefix + bytes([s])
+        if cand in table:
+            prefix = cand
+            continue
+        emit(table[prefix])
+        if next_code < 4096:
+            table[cand] = next_code
+            if next_code == (1 << width) and width < 12:
+                width += 1
+            next_code += 1
+        else:
+            emit(clear)
+            table = fresh_table()
+            next_code = eoi + 1
+            width = min_code_size + 1
+        prefix = bytes([s])
+    if prefix:
+        emit(table[prefix])
+    emit(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_code_size: int):
+    """Inverse of :func:`_lzw_encode`; returns the symbol bytes or
+    None on a corrupt stream (out-of-range code)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    width = min_code_size + 1
+    table = {i: bytes([i]) for i in range(clear)}
+    next_code = eoi + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    pos = 0
+    prev = None
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                return bytes(out)  # truncated stream: best-effort
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = {i: bytes([i]) for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if prev is None:
+            if code not in table:
+                return None
+            out += table[code]
+            prev = code
+            continue
+        if code in table:
+            entry = table[code]
+        elif code == next_code:
+            entry = table[prev] + table[prev][:1]  # the KwKwK case
+        else:
+            return None
+        out += entry
+        if next_code < 4096:
+            table[next_code] = table[prev] + entry[:1]
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = code
+
+
+def encode_gif(
+    width: int, height: int, palette: list, indices
+) -> bytes:
+    """Minimal single-frame GIF89a: logical screen descriptor, global
+    color table, one image descriptor, LZW-compressed index data in
+    ≤255-byte sub-blocks, trailer."""
+    n = len(palette)
+    if not 2 <= n <= 256:
+        raise ValueError(f"palette size must be in [2, 256], got {n}")
+    bits = max(1, (n - 1).bit_length())
+    size = 1 << bits
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height, 0x80 | ((bits - 1) << 4) | (bits - 1), 0, 0)
+    for i in range(size):
+        r, g, b = palette[i] if i < n else (0, 0, 0)
+        out += bytes([r, g, b])
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+    mcs = max(2, bits)
+    data = _lzw_encode(indices, mcs)
+    out += bytes([mcs])
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def parse_gif(content: bytes) -> dict | None:
+    """Walk a GIF87a/89a byte stream: screen descriptor, global color
+    table, extensions skipped by sub-block framing, first image
+    descriptor LZW-decoded to its palette indices. Returns
+    {width, height, n_colors, indices} or None (not a GIF / corrupt /
+    interlaced or locally-paletted images are out of contract)."""
+    if len(content) < 13 or content[:4] != b"GIF8" or content[4:6] not in (
+        b"7a",
+        b"9a",
+    ):
+        return None
+    try:
+        width, height, packed, _bg, _ar = struct.unpack(
+            "<HHBBB", content[6:13]
+        )
+        pos = 13
+        n_colors = 0
+        if packed & 0x80:
+            n_colors = 2 << (packed & 0x07)
+            pos += 3 * n_colors
+        while pos < len(content):
+            b0 = content[pos]
+            pos += 1
+            if b0 == 0x3B:  # trailer
+                return None  # no image block found
+            if b0 == 0x21:  # extension: label + sub-blocks
+                pos += 1
+                while pos < len(content) and content[pos] != 0:
+                    pos += 1 + content[pos]
+                pos += 1
+                continue
+            if b0 != 0x2C:
+                return None
+            left, top, iw, ih, ipacked = struct.unpack(
+                "<HHHHB", content[pos : pos + 9]
+            )
+            pos += 9
+            if ipacked & 0xC0:  # local color table / interlace
+                return None
+            mcs = content[pos]
+            pos += 1
+            data = bytearray()
+            while pos < len(content) and content[pos] != 0:
+                ln = content[pos]
+                data += content[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            decoded = _lzw_decode(bytes(data), mcs)
+            if decoded is None or len(decoded) < iw * ih:
+                return None
+            return {
+                "width": iw,
+                "height": ih,
+                "n_colors": n_colors,
+                "indices": bytes(decoded[: iw * ih]),
+            }
+    except (struct.error, IndexError):
+        return None
+    return None
+
+
+GIF_PALETTE = ((0, 0, 0), (255, 0, 0), (0, 255, 0), (0, 0, 255))
+
+GIF_STATS_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("n_pixels", IntegerType(), True),
+        StructField("mean_index", DoubleType(), True),
+        StructField("count_c0", IntegerType(), True),
+    ]
+)
+
+
+def gif_assets_from_ids(df: DataFrame, id_column: str) -> DataFrame:
+    """Deterministic REAL-GIF asset table from an id column: a
+    4-color paletted frame of w=id%16+1 × h=id%12+1 pixels with
+    index(x, y) = (x + y·w + id) mod 4 — every pixel is id-arithmetic,
+    so decoded statistics are SQL-checkable through the LZW round
+    trip (the wav_assets_from_ids discipline for the compressed-image
+    class)."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid in pdf[id_column]:
+                aid = int(aid)
+                w = aid % 16 + 1
+                h = aid % 12 + 1
+                idx = bytes(
+                    (x + y * w + aid) % 4
+                    for y in range(h)
+                    for x in range(w)
+                )
+                rows.append(
+                    {
+                        "asset_id": aid,
+                        "content": encode_gif(w, h, list(GIF_PALETTE), idx),
+                        "meta": {
+                            "media_type": "image",
+                            "format": "gif",
+                            "width": w,
+                            "height": h,
+                            "n_frames": None,
+                            "sample_rate": None,
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["asset_id", "content", "meta"])
+
+    return _spread_ids(df, id_column).mapInPandas(build, schema=MEDIA_SCHEMA)
+
+
+def gif_pixel_stats(df: DataFrame) -> DataFrame:
+    """Pixel statistics from DECODED GIF indices (parse_gif → LZW
+    decompress on the hot path): dimensions, pixel count, mean
+    palette index (6dp HALF-UP) and background-color count — proves
+    inflate(LZW(x)) == x value-by-value, not just length. Assets that
+    fail the parse are skipped (no pixel evidence)."""
+    import math
+
+    cols = [f.name for f in GIF_STATS_SCHEMA.fields]
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                content = row["content"]
+                g = parse_gif(bytes(content)) if content is not None else None
+                if g is None:
+                    continue
+                idx = g["indices"]
+                n = len(idx)
+                mean = sum(idx) / n if n else None
+                rows.append(
+                    {
+                        "asset_id": int(row["asset_id"]),
+                        "width": g["width"],
+                        "height": g["height"],
+                        "n_pixels": n,
+                        "mean_index": (
+                            math.floor(mean * 1e6 + 0.5) / 1e6
+                            if mean is not None
+                            else None
+                        ),
+                        "count_c0": idx.count(0),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(stats, schema=GIF_STATS_SCHEMA)
+
+
 # --- EXIF / TIFF metadata (APP1) ---------------------------------------
 # The third honest binary-metadata parser beside the JPEG marker walk
 # and the ISO-BMFF box walk: a real TIFF IFD traversal — byte-order

@@ -15853,6 +15853,52 @@ FROM agg
 """
 
 
+def mm18_gif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF/LZW codec round-trip (multimodal.gif_assets_from_ids →
+    gif_pixel_stats): every asset is a REAL single-frame GIF89a whose
+    4-color index raster is id-arithmetic, compressed by the
+    hand-written variable-width LZW encoder and decoded back through
+    the parser's screen-descriptor walk + LZW decompressor — the
+    dictionary-coding rung of the honest-codec ladder (stored/zlib →
+    LZW → DCT). The oracle predicts width/height/pixel-mean/
+    color-counts from id arithmetic alone, so a hash match proves
+    decode(encode(x)) == x pixel-by-pixel through the compressor.
+    External-reader cross-validation is an env seam (no PIL here);
+    the bit format is pinned by hand-computed bitstream fixtures in
+    tests/test_multimodal.py. Arrow-batched linear pass, no shuffle."""
+    from paqarin_spark.multimodal import (
+        gif_assets_from_ids,
+        gif_pixel_stats,
+    )
+
+    configure_for_determinism(spark)
+    docs = _docs(spark, sf_dir)
+    return gif_pixel_stats(gif_assets_from_ids(docs, "doc_id")).orderBy(
+        "asset_id"
+    )
+
+
+MM18_SQL = """
+WITH a AS (
+  SELECT doc_id AS asset_id, doc_id % 16 + 1 AS w, doc_id % 12 + 1 AS h
+  FROM documents
+), px AS (
+  SELECT asset_id, w, h, (x.i + y.i * w + asset_id) % 4 AS idx
+  FROM a,
+       LATERAL (SELECT unnest(range(0, w)) AS i) x,
+       LATERAL (SELECT unnest(range(0, h)) AS i) y
+)
+SELECT asset_id,
+       CAST(MAX(w) AS INTEGER) AS width,
+       CAST(MAX(h) AS INTEGER) AS height,
+       CAST(COUNT(*) AS INTEGER) AS n_pixels,
+       ROUND(CAST(SUM(idx) AS DOUBLE) / COUNT(*), 6) AS mean_index,
+       CAST(SUM(CASE WHEN idx = 0 THEN 1 ELSE 0 END) AS INTEGER)
+         AS count_c0
+FROM px GROUP BY asset_id ORDER BY asset_id
+"""
+
+
 def em30_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HYBRID retrieval via reciprocal-rank fusion (similarity.
     rrf_fuse, Cormack et al. 2009) — the standard way production
@@ -16125,6 +16171,7 @@ FROM m GROUP BY shard_id ORDER BY shard_id
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-9 additions (never driver-verified) come first ---
     "ev23_kendall_tau": ev23_kendall_tau,
+    "mm18_gif_roundtrip": mm18_gif_roundtrip,
     "st20_stream_file_sink": st20_stream_file_sink,
     "ev25_brier_decomposition": ev25_brier_decomposition,
     "mm17_audio_dft": mm17_audio_dft,
@@ -16176,7 +16223,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm14_subtitle_cues": mm14_subtitle_cues,
     "q94_dormant_rich_by_nation": q94_dormant_rich_by_nation,
     "q95_top_supplier": q95_top_supplier,
-    "gen7_quantile_remap": gen7_quantile_remap,
     # --- round-5 additions, r5-driver-verified ---
     # --- round-4 rotation: everything from here to ev2 has never
     # been driver-verified on its CURRENT oracle. The 16 round-4
@@ -16189,6 +16235,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # oracle upgrades (ev1's first value oracle, ev5 post-window,
     # em2 sign-plane switch, gen4/ev2 full value replays). ---
     # ------------- driver 50-entry window ends HERE (position 50) -------------
+    # gen7 (r6-driver-verified) displaced for round-9 mm18.
+    "gen7_quantile_remap": gen7_quantile_remap,
     # ev13/q96 (r6-driver-verified) displaced for round-9 st20/ev25.
     "q96_mad_robust_stats": q96_mad_robust_stats,
     "ev13_theil_u": ev13_theil_u,
@@ -16459,6 +16507,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # train/sample lifecycle runs, not to widen the oracle surface.
 ORACLE_SQL: dict[str, str] = {
     "ev23_kendall_tau": EV23_SQL,
+    "mm18_gif_roundtrip": MM18_SQL,
     "st20_stream_file_sink": ST20_SQL,
     "ev25_brier_decomposition": EV25_SQL,
     "mm17_audio_dft": MM17_SQL,

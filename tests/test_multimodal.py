@@ -985,3 +985,45 @@ def test_wav_dft_features_pins_pure_tones(spark):
     assert got[(1, 1)] < 5.0 and got[(1, 3)] < 5.0
     assert got[(2, 1)] < 1e-6 and got[(2, 2)] < 1e-6
     assert not any(aid == 3 for aid, _ in got)
+
+
+def test_lzw_pair_bit_order_and_boundaries():
+    """Hand-computed bitstream fixture pins the GIF LZW bit order
+    (codes clear,0,1,eoi at 3 bits LSB-first == 44 0A); roundtrips
+    cross every code-width boundary and the 4096 dictionary reset."""
+    import random
+
+    from paqarin_spark.multimodal import _lzw_decode, _lzw_encode
+
+    assert _lzw_encode([0, 1], 2) == bytes([0x44, 0x0A])
+    assert _lzw_decode(bytes([0x44, 0x0A]), 2) == bytes([0, 1])
+    rng = random.Random(11)
+    for mcs, nsym, length in [(2, 4, 5000), (8, 256, 30000), (2, 4, 80000)]:
+        seq = bytes(rng.randrange(nsym) for _ in range(length))
+        assert _lzw_decode(_lzw_encode(seq, mcs), mcs) == seq
+    # KwKwK case: aaa... forces code == next_code on decode
+    seq = b"\x00" * 500
+    assert _lzw_decode(_lzw_encode(seq, 2), 2) == seq
+
+
+def test_gif_roundtrip_and_rejects():
+    """encode_gif -> parse_gif recovers the exact index raster;
+    non-GIF payloads, trailer-only and oversized-palette inputs are
+    rejected; extension blocks are skipped."""
+    import pytest
+
+    from paqarin_spark.multimodal import GIF_PALETTE, encode_gif, parse_gif
+
+    idx = bytes((x + y * 7 + 123) % 4 for y in range(9) for x in range(7))
+    raw = encode_gif(7, 9, list(GIF_PALETTE), idx)
+    g = parse_gif(raw)
+    assert (g["width"], g["height"], g["n_colors"]) == (7, 9, 4)
+    assert g["indices"] == idx
+    # splice a GCE extension before the image descriptor: still parses
+    i = raw.index(b"\x2c")
+    with_ext = raw[:i] + b"\x21\xf9\x04\x00\x00\x00\x00\x00" + raw[i:]
+    assert parse_gif(with_ext)["indices"] == idx
+    assert parse_gif(b"not a gif") is None
+    assert parse_gif(b"GIF89a\x01\x00\x01\x00\x00\x00\x00\x3b") is None
+    with pytest.raises(ValueError, match="palette"):
+        encode_gif(2, 2, [(0, 0, 0)] * 300, bytes(4))
