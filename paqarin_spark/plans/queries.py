@@ -15899,6 +15899,175 @@ FROM px GROUP BY asset_id ORDER BY asset_id
 """
 
 
+def gen11_fgm_copula_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copula-based joint synthesizer — the SDV-GaussianCopula seam of
+    the reference's generator zoo (paqarin wraps SDV's copula models;
+    sdv_adapter.py), re-expressed with the Farlie–Gumbel–Morgenstern
+    family because its conditional inverse is CLOSED-FORM in +,−,×,÷
+    and one sqrt — every step is a correctly-rounded IEEE op, so the
+    sample replays BIT-EXACTLY in SQL (no libm pow/ln in the sampling
+    path, unlike Clayton/Gumbel). Fit: Kendall τ of (daily volume,
+    daily revenue) over the calendar-bounded rollup (the ev23
+    census), θ = clamp(9τ/2, −1, 1) via the FGM identity τ = 2θ/9.
+    Sample: 1200 draws of (u, v) where u is an md5 uniform and v
+    inverts the conditional CDF v(1 + θ(1−2u)(1−v)) = p; marginals
+    map back through exact empirical quantile joins (ceil(u·n)-th
+    order statistic, the gen7/gen8 machinery). FGM buys exactness at
+    the cost of weak dependence (|τ| ≤ 2/9) — stated, not hidden.
+
+    Scale shape: fit is the bounded day-pair census; sampling is a
+    spark.range projection + two broadcast-sized rank-table joins."""
+    from paqarin_spark.functions import uniform_hash
+
+    configure_for_determinism(spark)
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("x"),
+        F.sum(F.col("value").cast("decimal(30,10)")).alias("y"),
+    )
+    a = daily.select(
+        F.col("day").alias("day_a"), F.col("x").alias("xa"), F.col("y").alias("ya")
+    )
+    b_ = daily.select(
+        F.col("day").alias("day_b"), F.col("x").alias("xb"), F.col("y").alias("yb")
+    )
+    pairs = a.join(b_, F.col("day_a") < F.col("day_b"))
+    dx = F.when(F.col("xa") < F.col("xb"), -1).when(
+        F.col("xa") > F.col("xb"), 1
+    ).otherwise(0)
+    dy = F.when(F.col("ya") < F.col("yb"), -1).when(
+        F.col("ya") > F.col("yb"), 1
+    ).otherwise(0)
+    dec = "decimal(38,0)"
+    cen = pairs.agg(
+        F.sum(F.when(dx * dy == 1, 1).otherwise(0).cast(dec)).alias("_c"),
+        F.sum(F.when(dx * dy == -1, 1).otherwise(0).cast(dec)).alias("_d"),
+        F.sum(F.when(dx == 0, 1).otherwise(0).cast(dec)).alias("_tx"),
+        F.sum(F.when(dy == 0, 1).otherwise(0).cast(dec)).alias("_ty"),
+        F.count(F.lit(1)).cast(dec).alias("_n0"),
+    )
+    tau = (F.col("_c") - F.col("_d")).cast("double") / F.sqrt(
+        (F.col("_n0") - F.col("_tx")).cast("double")
+        * (F.col("_n0") - F.col("_ty")).cast("double")
+    )
+    theta_row = cen.select(
+        F.least(
+            F.lit(1.0), F.greatest(F.lit(-1.0), F.lit(4.5) * tau)
+        ).alias("_theta")
+    )
+    n_row = daily.agg(F.count(F.lit(1)).alias("_n"))
+    wx = Window.orderBy("x", "day")
+    xr = daily.select(F.col("x"), F.row_number().over(wx).alias("_ix"))
+    wy = Window.orderBy("y", "day")
+    yr = daily.select(F.col("y"), F.row_number().over(wy).alias("_iy"))
+    m = 1200
+    draws = (
+        spark.range(m)
+        .select(
+            F.col("id").alias("i"),
+            uniform_hash(
+                F.lit("g11u"), F.col("id").cast("string")
+            ).alias("_u"),
+            uniform_hash(
+                F.lit("g11p"), F.col("id").cast("string")
+            ).alias("_p"),
+        )
+        .crossJoin(F.broadcast(theta_row))
+        .crossJoin(F.broadcast(n_row))
+    )
+    bb = F.col("_theta") * (F.lit(1.0) - F.lit(2.0) * F.col("_u"))
+    disc = (F.lit(1.0) + bb) * (F.lit(1.0) + bb) - F.lit(4.0) * bb * F.col(
+        "_p"
+    )
+    v = F.when(F.abs(bb) < F.lit(1e-12), F.col("_p")).otherwise(
+        ((F.lit(1.0) + bb) - F.sqrt(disc)) / (F.lit(2.0) * bb)
+    )
+    keyed = draws.select(
+        "i",
+        "_theta",
+        F.least(
+            F.col("_n"),
+            F.greatest(F.lit(1).cast("long"), F.ceil(F.col("_u") * F.col("_n"))),
+        ).cast("int").alias("_ix"),
+        F.least(
+            F.col("_n"),
+            F.greatest(F.lit(1).cast("long"), F.ceil(v * F.col("_n"))),
+        ).cast("int").alias("_iy"),
+    )
+    return (
+        keyed.join(F.broadcast(xr), "_ix")
+        .join(F.broadcast(yr), "_iy")
+        .select(
+            "i",
+            F.col("x").cast("long").alias("sampled_events"),
+            F.round(F.col("y").cast("double"), 6).alias("sampled_revenue"),
+            F.round("_theta", 6).alias("theta"),
+        )
+        .orderBy("i")
+    )
+
+
+GEN11_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS x,
+         SUM(CAST(value AS DECIMAL(30,10))) AS y
+  FROM events GROUP BY 1
+), pairs AS (
+  SELECT CASE WHEN a.x < b.x THEN -1 WHEN a.x > b.x THEN 1 ELSE 0 END AS dx,
+         CASE WHEN a.y < b.y THEN -1 WHEN a.y > b.y THEN 1 ELSE 0 END AS dy
+  FROM daily a JOIN daily b ON a.day < b.day
+), cen AS (
+  SELECT CAST(SUM(CASE WHEN dx * dy = 1 THEN 1 ELSE 0 END)
+              AS DECIMAL(38,0)) AS c,
+         CAST(SUM(CASE WHEN dx * dy = -1 THEN 1 ELSE 0 END)
+              AS DECIMAL(38,0)) AS d,
+         CAST(SUM(CASE WHEN dx = 0 THEN 1 ELSE 0 END) AS DECIMAL(38,0))
+           AS tx,
+         CAST(SUM(CASE WHEN dy = 0 THEN 1 ELSE 0 END) AS DECIMAL(38,0))
+           AS ty,
+         CAST(COUNT(*) AS DECIMAL(38,0)) AS n0
+  FROM pairs
+), theta_row AS (
+  SELECT LEAST(1.0, GREATEST(-1.0,
+           4.5 * (CAST(c - d AS DOUBLE)
+                  / sqrt(CAST(n0 - tx AS DOUBLE)
+                         * CAST(n0 - ty AS DOUBLE))))) AS theta
+  FROM cen
+), n_row AS (
+  SELECT COUNT(*) AS n FROM daily
+), xr AS (
+  SELECT x, ROW_NUMBER() OVER (ORDER BY x, day) AS ix FROM daily
+), yr AS (
+  SELECT y, ROW_NUMBER() OVER (ORDER BY y, day) AS iy FROM daily
+), draws AS (
+  SELECT i,
+         ('0x' || substring(md5('g11u#' || CAST(i AS VARCHAR)), 1, 15))
+           ::UBIGINT / 1152921504606846976.0 AS u,
+         ('0x' || substring(md5('g11p#' || CAST(i AS VARCHAR)), 1, 15))
+           ::UBIGINT / 1152921504606846976.0 AS p
+  FROM (SELECT unnest(range(0, 1200)) AS i)
+), solved AS (
+  SELECT i, theta, u, p,
+         theta * (1.0 - 2.0 * u) AS b
+  FROM draws CROSS JOIN theta_row
+), keyed AS (
+  SELECT i, theta,
+         LEAST(n, GREATEST(1, CAST(CEIL(u * n) AS BIGINT))) AS ix,
+         LEAST(n, GREATEST(1, CAST(CEIL(
+           (CASE WHEN ABS(b) < 1e-12 THEN p
+                 ELSE ((1.0 + b) - sqrt((1.0 + b) * (1.0 + b)
+                                        - 4.0 * b * p)) / (2.0 * b)
+            END) * n) AS BIGINT))) AS iy
+  FROM solved CROSS JOIN n_row
+)
+SELECT i, CAST(xr.x AS BIGINT) AS sampled_events,
+       ROUND(CAST(yr.y AS DOUBLE), 6) AS sampled_revenue,
+       ROUND(theta, 6) AS theta
+FROM keyed JOIN xr USING (ix) JOIN yr USING (iy)
+ORDER BY i
+"""
+
+
 def em30_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HYBRID retrieval via reciprocal-rank fusion (similarity.
     rrf_fuse, Cormack et al. 2009) — the standard way production
@@ -16171,6 +16340,7 @@ FROM m GROUP BY shard_id ORDER BY shard_id
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-9 additions (never driver-verified) come first ---
     "ev23_kendall_tau": ev23_kendall_tau,
+    "gen11_fgm_copula_sample": gen11_fgm_copula_sample,
     "mm18_gif_roundtrip": mm18_gif_roundtrip,
     "st20_stream_file_sink": st20_stream_file_sink,
     "ev25_brier_decomposition": ev25_brier_decomposition,
@@ -16222,7 +16392,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "em21_covariance_matrix": em21_covariance_matrix,
     "mm14_subtitle_cues": mm14_subtitle_cues,
     "q94_dormant_rich_by_nation": q94_dormant_rich_by_nation,
-    "q95_top_supplier": q95_top_supplier,
     # --- round-5 additions, r5-driver-verified ---
     # --- round-4 rotation: everything from here to ev2 has never
     # been driver-verified on its CURRENT oracle. The 16 round-4
@@ -16235,6 +16404,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # oracle upgrades (ev1's first value oracle, ev5 post-window,
     # em2 sign-plane switch, gen4/ev2 full value replays). ---
     # ------------- driver 50-entry window ends HERE (position 50) -------------
+    # q95 (r6-driver-verified) displaced for round-9 gen11.
+    "q95_top_supplier": q95_top_supplier,
     # gen7 (r6-driver-verified) displaced for round-9 mm18.
     "gen7_quantile_remap": gen7_quantile_remap,
     # ev13/q96 (r6-driver-verified) displaced for round-9 st20/ev25.
@@ -16507,6 +16678,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # train/sample lifecycle runs, not to widen the oracle surface.
 ORACLE_SQL: dict[str, str] = {
     "ev23_kendall_tau": EV23_SQL,
+    "gen11_fgm_copula_sample": GEN11_SQL,
     "mm18_gif_roundtrip": MM18_SQL,
     "st20_stream_file_sink": ST20_SQL,
     "ev25_brier_decomposition": EV25_SQL,
