@@ -132,8 +132,41 @@ def kendall_tau(
     must be unique within a group (it is the pair identity that keeps
     each unordered pair counted exactly once).
 
-    Output: (group, n, tau[6dp]).
+    Output: (group, n, tau[6dp]). Groups with fewer than two usable
+    rows have no pairs and return (group, n, NULL) — kept, not
+    dropped, so callers can join the output back to the group list
+    (the spearman_rho/rank_sum_test degenerate-group contract).
+    Comparisons run on the columns' EXACT native types (bigint,
+    decimal) — pass doubles through a NaN filter first if the data
+    can carry NaN (NaN compares false on every branch and would
+    silently count as a double tie).
     """
+    cen = kendall_census(df, group_column, order_column, x_column, y_column)
+    n0 = F.col("_n0").cast(_DEC)
+    denom = (n0 - F.col("_tx")).cast("double") * (
+        n0 - F.col("_ty")
+    ).cast("double")
+    tau = (F.col("_c") - F.col("_d")).cast("double") / F.sqrt(denom)
+    return cen.select(
+        F.col("grp").alias(group_column),
+        "n",
+        F.round(F.when(denom > 0, tau), 6).alias("tau"),
+    )
+
+
+def kendall_census(
+    df: DataFrame,
+    group_column: str,
+    order_column: str,
+    x_column: str,
+    y_column: str,
+) -> DataFrame:
+    """The shared all-pairs sign census behind :func:`kendall_tau`
+    and gen11's copula fit: per group, exact decimal(38,0) pair
+    counts (_c concordant, _d discordant, _tx/_ty ties, _n0 pairs)
+    plus the usable row count n. Groups with no pairs keep a row
+    with zeroed censuses (left join) so degenerate groups stay
+    visible instead of vanishing from the output."""
     base = df.select(
         F.col(group_column).alias("grp"),
         F.col(order_column).alias("_i"),
@@ -166,18 +199,14 @@ def kendall_tau(
         F.count(F.lit(1)).alias("_n0"),
     )
     counts = base.groupBy("grp").agg(F.count(F.lit(1)).alias("n"))
-    n0 = F.col("_n0").cast(_DEC)
-    denom = (n0 - F.col("_tx")).cast("double") * (
-        n0 - F.col("_ty")
-    ).cast("double")
-    tau = (F.col("_c") - F.col("_d")).cast("double") / F.sqrt(denom)
-    return (
-        counts.join(cen, "grp")
-        .select(
-            F.col("grp").alias(group_column),
-            "n",
-            F.round(F.when(denom > 0, tau), 6).alias("tau"),
-        )
+    return counts.join(cen, "grp", "left").select(
+        "grp",
+        "n",
+        F.coalesce("_c", F.lit(0).cast(_DEC)).alias("_c"),
+        F.coalesce("_d", F.lit(0).cast(_DEC)).alias("_d"),
+        F.coalesce("_tx", F.lit(0).cast(_DEC)).alias("_tx"),
+        F.coalesce("_ty", F.lit(0).cast(_DEC)).alias("_ty"),
+        F.coalesce("_n0", F.lit(0).cast("long")).alias("_n0"),
     )
 
 

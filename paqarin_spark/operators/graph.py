@@ -482,9 +482,14 @@ def adamic_adar(
         e2,
         (F.col("_c") == F.col("_c2")) & (F.col("node_a") < F.col("node_b")),
     )
+    # each 1/ln(deg) term is cast to decimal(30,12) before summing so
+    # the per-pair total is order-independent (the em31 discipline) —
+    # a raw double sum varies with partial-aggregation order and can
+    # flip a 6dp-rounded top-k boundary between runs/engines
+    term = (F.lit(1.0) / F.log(F.col("_d").cast("double"))).cast(
+        "decimal(30,12)"
+    )
     return wedges.groupBy("node_a", "node_b").agg(
         F.count(F.lit(1)).cast("long").alias("n_common"),
-        F.sum(F.lit(1.0) / F.log(F.col("_d").cast("double"))).alias(
-            "aa_score"
-        ),
+        F.sum(term).cast("double").alias("aa_score"),
     )

@@ -14851,10 +14851,14 @@ def ev23_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EV23_SQL = """
-WITH daily AS (
+WITH daily0 AS (
   SELECT event_type AS grp, CAST(ts AS DATE) AS day,
          COUNT(*) AS x, SUM(CAST(value AS DECIMAL(30,10))) AS y
   FROM events GROUP BY 1, 2
+), daily AS (
+  -- mirror kendall_tau's usable-row filter (x is a COUNT, never
+  -- NULL; y can be NULL only if every value in the bucket is NULL)
+  SELECT * FROM daily0 WHERE x IS NOT NULL AND y IS NOT NULL
 ), pairs AS (
   SELECT a.grp,
          CASE WHEN a.x < b.x THEN -1 WHEN a.x > b.x THEN 1 ELSE 0 END AS dx,
@@ -14880,7 +14884,7 @@ SELECT counts.grp AS event_type, CAST(n AS BIGINT) AS n,
          THEN CAST(c - d AS DOUBLE)
               / sqrt(CAST(n0 - tx AS DOUBLE) * CAST(n0 - ty AS DOUBLE))
          END, 6) AS tau
-FROM counts JOIN cen USING (grp)
+FROM counts LEFT JOIN cen USING (grp)
 ORDER BY event_type
 """
 
@@ -15413,7 +15417,8 @@ WITH e AS (
 )
 SELECT CAST(supp_a AS BIGINT) AS supp_a, CAST(supp_b AS BIGINT) AS supp_b,
        CAST(COUNT(*) AS BIGINT) AS n_common,
-       ROUND(SUM(1.0 / ln(CAST(d AS DOUBLE))), 6) AS aa_score
+       ROUND(CAST(SUM(CAST(1.0 / ln(CAST(d AS DOUBLE))
+                         AS DECIMAL(30,12))) AS DOUBLE), 6) AS aa_score
 FROM wedges GROUP BY supp_a, supp_b
 ORDER BY aa_score DESC, supp_a, supp_b LIMIT 20
 """
@@ -15919,36 +15924,23 @@ def gen11_fgm_copula_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.range projection + two broadcast-sized rank-table joins."""
     from paqarin_spark.functions import uniform_hash
 
+    from paqarin_spark.metrics.ranking import kendall_census
+
     configure_for_determinism(spark)
     ev = _events(spark, sf_dir)
     daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
         F.count(F.lit(1)).alias("x"),
         F.sum(F.col("value").cast("decimal(30,10)")).alias("y"),
     )
-    a = daily.select(
-        F.col("day").alias("day_a"), F.col("x").alias("xa"), F.col("y").alias("ya")
+    # ONE shared pair census with ev23 (metrics.ranking) — a constant
+    # group key makes it global
+    cen = kendall_census(
+        daily.withColumn("_g", F.lit(1)), "_g", "day", "x", "y"
     )
-    b_ = daily.select(
-        F.col("day").alias("day_b"), F.col("x").alias("xb"), F.col("y").alias("yb")
-    )
-    pairs = a.join(b_, F.col("day_a") < F.col("day_b"))
-    dx = F.when(F.col("xa") < F.col("xb"), -1).when(
-        F.col("xa") > F.col("xb"), 1
-    ).otherwise(0)
-    dy = F.when(F.col("ya") < F.col("yb"), -1).when(
-        F.col("ya") > F.col("yb"), 1
-    ).otherwise(0)
     dec = "decimal(38,0)"
-    cen = pairs.agg(
-        F.sum(F.when(dx * dy == 1, 1).otherwise(0).cast(dec)).alias("_c"),
-        F.sum(F.when(dx * dy == -1, 1).otherwise(0).cast(dec)).alias("_d"),
-        F.sum(F.when(dx == 0, 1).otherwise(0).cast(dec)).alias("_tx"),
-        F.sum(F.when(dy == 0, 1).otherwise(0).cast(dec)).alias("_ty"),
-        F.count(F.lit(1)).cast(dec).alias("_n0"),
-    )
     tau = (F.col("_c") - F.col("_d")).cast("double") / F.sqrt(
-        (F.col("_n0") - F.col("_tx")).cast("double")
-        * (F.col("_n0") - F.col("_ty")).cast("double")
+        (F.col("_n0").cast(dec) - F.col("_tx")).cast("double")
+        * (F.col("_n0").cast(dec) - F.col("_ty")).cast("double")
     )
     theta_row = cen.select(
         F.least(
@@ -16012,10 +16004,12 @@ WITH daily AS (
   SELECT CAST(ts AS DATE) AS day, COUNT(*) AS x,
          SUM(CAST(value AS DECIMAL(30,10))) AS y
   FROM events GROUP BY 1
+), dailyf AS (
+  SELECT * FROM daily WHERE x IS NOT NULL AND y IS NOT NULL
 ), pairs AS (
   SELECT CASE WHEN a.x < b.x THEN -1 WHEN a.x > b.x THEN 1 ELSE 0 END AS dx,
          CASE WHEN a.y < b.y THEN -1 WHEN a.y > b.y THEN 1 ELSE 0 END AS dy
-  FROM daily a JOIN daily b ON a.day < b.day
+  FROM dailyf a JOIN dailyf b ON a.day < b.day
 ), cen AS (
   SELECT CAST(SUM(CASE WHEN dx * dy = 1 THEN 1 ELSE 0 END)
               AS DECIMAL(38,0)) AS c,
@@ -16392,17 +16386,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "em21_covariance_matrix": em21_covariance_matrix,
     "mm14_subtitle_cues": mm14_subtitle_cues,
     "q94_dormant_rich_by_nation": q94_dormant_rich_by_nation,
-    # --- round-5 additions, r5-driver-verified ---
-    # --- round-4 rotation: everything from here to ev2 has never
-    # been driver-verified on its CURRENT oracle. The 16 round-4
-    # ADDITIONS (mm10 MP4 sample tables; q73/tx33/st9/st10 sketches;
-    # tx34 perplexity buckets; tx35 weighted sample; q74/q75 TPC-H
-    # shapes; em14 k-means; em15 cross-table retrieval; ev6/ev8
-    # fidelity metrics; tx36 ingest manifest; tx37 quality dedup;
-    # gen6 executing neural provider — rows-only BY DESIGN, the one
-    # query without an oracle) come first; then the five r3-late
-    # oracle upgrades (ev1's first value oracle, ev5 post-window,
-    # em2 sign-plane switch, gen4/ev2 full value replays). ---
+    # (Historical round-4/round-5 rotation prose removed in round 9 —
+    # it described entries that have long since been driver-verified
+    # and rotated; per-displacement notes below the marker are the
+    # accurate record. Everything ABOVE this line is the current
+    # 50-entry driver window: round-9 additions first, then the most
+    # recently verified rounds.)
     # ------------- driver 50-entry window ends HERE (position 50) -------------
     # q95 (r6-driver-verified) displaced for round-9 gen11.
     "q95_top_supplier": q95_top_supplier,

@@ -1464,11 +1464,18 @@ def main() -> int:
     aa = adamic_adar(bedges, "c", "s", max_degree=8)
     per_pair = n_cust // n_supp
     expect = per_pair / _math.log(2.0)
-    bad_aa = aa.where(
-        (F.col("n_common") != per_pair)
-        | (F.abs(F.col("aa_score") - F.lit(expect)) > 1e-6 * expect)
-    ).count()
-    n_pairs_aa = aa.count()
+    # one aggregation pass: total pairs + violations together (the
+    # wedge join must not execute twice)
+    row = aa.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(
+            (
+                (F.col("n_common") != per_pair)
+                | (F.abs(F.col("aa_score") - F.lit(expect)) > 1e-6 * expect)
+            ).cast("int")
+        ).alias("bad"),
+    ).collect()[0]
+    bad_aa, n_pairs_aa = int(row["bad"] or 0), row["n_pairs"]
     dt = time.perf_counter() - t0
     ok = bad_aa == 0 and n_pairs_aa == n_supp
     checks.append(ok)
@@ -1521,7 +1528,7 @@ def main() -> int:
     ids = spark.range(n_wav).select(F.col("id").alias("asset_id"))
     feats = wav_dft_features(
         wav_assets_from_ids(ids, "asset_id"), bins=(1, 2, 3)
-    )
+    ).persist()
     n_feat = feats.count()
     spot = (
         feats.where((F.col("asset_id") == 12345) & (F.col("bin") == 1))
@@ -1538,6 +1545,7 @@ def main() -> int:
     re = float((xs * _np.cos(ang)).sum())
     im = float((xs * _np.sin(ang)).sum())
     ref = _math.sqrt(re * re + im * im) / float(nn)
+    feats.unpersist()
     dt = time.perf_counter() - t0
     ok = n_feat == n_wav * 3 and abs(spot - ref) < 1e-5
     checks.append(ok)
