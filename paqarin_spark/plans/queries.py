@@ -16062,6 +16062,196 @@ ORDER BY i
 """
 
 
+def ev26_crps_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-based CRPS — the proper scoring rule for ENSEMBLE
+    forecasts (the ev14 interval check grades one interval; CRPS
+    grades the whole predictive distribution):
+
+        CRPS = (1/m)·Σ|xᵢ − y| − (1/2m²)·ΣΣ|xᵢ − xⱼ|
+
+    per event type, with the ensemble = the first 8 days' totals and
+    the outcome y = the last day's total (a persistence-ensemble
+    backtest). Both Σ terms are ENSEMBLE-BOUNDED (m and m² rows per
+    group, m=8 forever) and aggregate exact decimals — |xᵢ−y| of
+    decimal(30,10) values is exact — so only the final two divides
+    run in double. Output keeps the MAE and spread terms beside the
+    score (CRPS = sharpness-penalized error; the decomposition is
+    what a forecast dashboard plots)."""
+    configure_for_determinism(spark)
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum(F.col("value").cast("decimal(30,10)")).alias("x"))
+    w_asc = Window.partitionBy("event_type").orderBy("day")
+    w_desc = Window.partitionBy("event_type").orderBy(F.desc("day"))
+    ranked = daily.select(
+        "event_type",
+        "x",
+        F.row_number().over(w_asc).alias("_ra"),
+        F.row_number().over(w_desc).alias("_rd"),
+    )
+    ens = ranked.where(F.col("_ra") <= 8).select(
+        "event_type", F.col("_ra").alias("_i"), F.col("x").alias("_xi")
+    )
+    obs = ranked.where(F.col("_rd") == 1).select(
+        "event_type", F.col("x").alias("_y")
+    )
+    mae = (
+        ens.join(obs, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("m"),
+            F.sum(F.abs(F.col("_xi") - F.col("_y"))).alias("_mae_sum"),
+        )
+    )
+    e2 = ens.select(
+        F.col("event_type").alias("_et"),
+        F.col("_i").alias("_j"),
+        F.col("_xi").alias("_xj"),
+    )
+    spread = (
+        ens.join(e2, ens.event_type == e2._et)
+        .groupBy("event_type")
+        .agg(F.sum(F.abs(F.col("_xi") - F.col("_xj"))).alias("_sp_sum"))
+    )
+    md = F.col("m").cast("double")
+    crps = F.col("_mae_sum").cast("double") / md - F.col(
+        "_sp_sum"
+    ).cast("double") / (F.lit(2.0) * md * md)
+    return (
+        mae.join(spread, "event_type")
+        .select(
+            "event_type",
+            "m",
+            F.round(F.col("_mae_sum").cast("double") / md, 6).alias(
+                "mae_term"
+            ),
+            F.round(
+                F.col("_sp_sum").cast("double") / (F.lit(2.0) * md * md), 6
+            ).alias("spread_term"),
+            F.round(crps, 6).alias("crps"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EV26_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         SUM(CAST(value AS DECIMAL(30,10))) AS x
+  FROM events GROUP BY 1, 2
+), ranked AS (
+  SELECT event_type, x,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS ra,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day DESC)
+           AS rd
+  FROM daily
+), ens AS (
+  SELECT event_type, ra AS i, x AS xi FROM ranked WHERE ra <= 8
+), obs AS (
+  SELECT event_type, x AS y FROM ranked WHERE rd = 1
+), mae AS (
+  SELECT ens.event_type, CAST(COUNT(*) AS BIGINT) AS m,
+         SUM(ABS(xi - y)) AS mae_sum
+  FROM ens JOIN obs USING (event_type) GROUP BY 1
+), spread AS (
+  SELECT a.event_type, SUM(ABS(a.xi - b.xi)) AS sp_sum
+  FROM ens a JOIN ens b USING (event_type) GROUP BY 1
+)
+SELECT event_type, m,
+       ROUND(CAST(mae_sum AS DOUBLE) / CAST(m AS DOUBLE), 6) AS mae_term,
+       ROUND(CAST(sp_sum AS DOUBLE)
+             / (2.0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE)), 6)
+         AS spread_term,
+       ROUND(CAST(mae_sum AS DOUBLE) / CAST(m AS DOUBLE)
+             - CAST(sp_sum AS DOUBLE)
+               / (2.0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE)), 6) AS crps
+FROM mae JOIN spread USING (event_type)
+ORDER BY event_type
+"""
+
+
+def tx53_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document — the classic readability
+    gate beside the length/stopword heuristics (tx10) and learned
+    filters (tx45/tx51): 206.835 − 1.015·(words/sentences) −
+    84.6·(syllables/words), with sentences = [.!?]+ runs in the raw
+    text (floored at 1) and syllables = per-word [aeiouy]+ vowel
+    groups (floored at 1 per word, so digit-only tokens count one) —
+    the standard dictionary-free approximation. Everything is
+    regexp-count arithmetic on the shared token alphabet: one explode
+    rollup for syllables, zero joins, shuffle keyed on doc_id only.
+    Documents with no tokens report NULL flesch (undefined, not 0)."""
+    configure_for_determinism(spark)
+    docs = _docs(spark, sf_dir)
+    from paqarin_spark.operators.dedup import tokens as _tokens
+
+    syl = (
+        docs.select(
+            "doc_id", F.explode(_tokens(F.col("text"))).alias("tok")
+        )
+        .select(
+            "doc_id",
+            F.greatest(
+                F.lit(1), F.regexp_count("tok", F.lit("[aeiouy]+"))
+            ).alias("_s"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("_s").cast("long").alias("n_syllables"),
+        )
+    )
+    sent = docs.select(
+        "doc_id",
+        F.greatest(
+            F.lit(1), F.regexp_count("text", F.lit("[.!?]+"))
+        ).cast("long").alias("n_sentences"),
+    )
+    joined = sent.join(syl, "doc_id", "left")
+    wd = F.col("n_words").cast("double")
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (wd / F.col("n_sentences").cast("double"))
+        - F.lit(84.6) * (F.col("n_syllables").cast("double") / wd)
+    )
+    return joined.select(
+        "doc_id",
+        F.coalesce("n_words", F.lit(0)).alias("n_words"),
+        "n_sentences",
+        F.coalesce("n_syllables", F.lit(0)).alias("n_syllables"),
+        F.round(F.when(F.col("n_words") > 0, flesch), 6).alias("flesch"),
+    ).orderBy("doc_id")
+
+
+TX53_SQL = f"""
+WITH syl AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         CAST(SUM(GREATEST(1, len(regexp_extract_all(tok, '[aeiouy]+'))))
+              AS BIGINT) AS n_syllables
+  FROM (SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents)
+  GROUP BY doc_id
+), sent AS (
+  SELECT doc_id,
+         CAST(GREATEST(1, len(regexp_extract_all(text, '[.!?]+')))
+              AS BIGINT) AS n_sentences
+  FROM documents
+)
+SELECT doc_id,
+       COALESCE(n_words, 0) AS n_words,
+       n_sentences,
+       COALESCE(n_syllables, 0) AS n_syllables,
+       ROUND(CASE WHEN n_words > 0 THEN
+           206.835
+           - 1.015 * (CAST(n_words AS DOUBLE)
+                      / CAST(n_sentences AS DOUBLE))
+           - 84.6 * (CAST(n_syllables AS DOUBLE)
+                     / CAST(n_words AS DOUBLE)) END, 6) AS flesch
+FROM sent LEFT JOIN syl USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 def em30_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HYBRID retrieval via reciprocal-rank fusion (similarity.
     rrf_fuse, Cormack et al. 2009) — the standard way production
@@ -16334,6 +16524,8 @@ FROM m GROUP BY shard_id ORDER BY shard_id
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-9 additions (never driver-verified) come first ---
     "ev23_kendall_tau": ev23_kendall_tau,
+    "ev26_crps_ensemble": ev26_crps_ensemble,
+    "tx53_readability": tx53_readability,
     "gen11_fgm_copula_sample": gen11_fgm_copula_sample,
     "mm18_gif_roundtrip": mm18_gif_roundtrip,
     "st20_stream_file_sink": st20_stream_file_sink,
@@ -16384,8 +16576,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ev12_chi2_drift": ev12_chi2_drift,
     "tx44_token_pair_lift": tx44_token_pair_lift,
     "em21_covariance_matrix": em21_covariance_matrix,
-    "mm14_subtitle_cues": mm14_subtitle_cues,
-    "q94_dormant_rich_by_nation": q94_dormant_rich_by_nation,
     # (Historical round-4/round-5 rotation prose removed in round 9 —
     # it described entries that have long since been driver-verified
     # and rotated; per-displacement notes below the marker are the
@@ -16393,6 +16583,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # 50-entry driver window: round-9 additions first, then the most
     # recently verified rounds.)
     # ------------- driver 50-entry window ends HERE (position 50) -------------
+    # mm14 (r6-driver-verified) displaced for round-9 tx53.
+    "mm14_subtitle_cues": mm14_subtitle_cues,
+    # q94 (r6-driver-verified) displaced for round-9 ev26.
+    "q94_dormant_rich_by_nation": q94_dormant_rich_by_nation,
     # q95 (r6-driver-verified) displaced for round-9 gen11.
     "q95_top_supplier": q95_top_supplier,
     # gen7 (r6-driver-verified) displaced for round-9 mm18.
@@ -16667,6 +16861,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # train/sample lifecycle runs, not to widen the oracle surface.
 ORACLE_SQL: dict[str, str] = {
     "ev23_kendall_tau": EV23_SQL,
+    "ev26_crps_ensemble": EV26_SQL,
+    "tx53_readability": TX53_SQL,
     "gen11_fgm_copula_sample": GEN11_SQL,
     "mm18_gif_roundtrip": MM18_SQL,
     "st20_stream_file_sink": ST20_SQL,
