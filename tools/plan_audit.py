@@ -122,8 +122,14 @@ def audit_streaming(spark, sf_dir: str, only: set[str]) -> list[str]:
             continue
         spark.streams.removeListener(collector)
         if not collector.ops:
-            failures.append(f"{name}: no stateful operator observed")
-            print(f"FAIL {name}: no stateful operator observed")
+            if name in STATELESS_STREAMS:
+                # declared-stateless streams (file-sink commit-protocol
+                # proofs) carry no state store BY DESIGN — the audit
+                # asserts the declaration, not the absence
+                print(f"ok   {name}: stateless by declaration (no state store)")
+            else:
+                failures.append(f"{name}: no stateful operator observed")
+                print(f"FAIL {name}: no stateful operator observed")
         else:
             desc = ", ".join(
                 f"{op}[rows<={d['numRowsTotal']}]"
@@ -131,6 +137,13 @@ def audit_streaming(spark, sf_dir: str, only: set[str]) -> list[str]:
             )
             print(f"ok   {name}: {desc}")
     return failures
+
+
+# Streams that hold NO state store by design: st20 proves the parquet
+# file-sink exactly-once commit protocol through a stateless
+# projection — requiring a stateful operator there would grade the
+# wrong contract. Every other st* query must show bounded state.
+STATELESS_STREAMS = {"st20_stream_file_sink"}
 
 
 def main() -> int:
