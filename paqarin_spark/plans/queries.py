@@ -16252,6 +16252,206 @@ ORDER BY doc_id
 """
 
 
+def ev27_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index — the production ML-monitoring
+    drift metric beside the KS gap (ev6) and chi-square (ev12): the
+    event-value distribution of the FIRST 15 days (reference window)
+    vs everything after (current window), binned by the reference's
+    own exact decile edges (order-statistic picks at rank ceil(k·n/10)
+    with a deterministic (value, event_id) total order), each bin's
+    term (c_i − r_i)·ln(c_i/r_i) reported with Laplace-smoothed
+    proportions so empty bins stay finite. Counts are exact bigints;
+    only the proportion ratios and ln run in double, mirrored
+    op-for-op. Bin assignment = COUNT of edges strictly below the
+    value (a 9-row broadcast, no shuffle on the fact side beyond the
+    bin rollup). Output: one row per bin; Σterm is the PSI (>0.25 =
+    action threshold in the standard reading)."""
+    configure_for_determinism(spark)
+    ev = _events(spark, sf_dir)
+    dated = ev.select(
+        "event_id",
+        "value",
+        (
+            F.datediff(
+                F.to_date("ts"),
+                F.min(F.to_date("ts")).over(
+                    Window.rowsBetween(
+                        Window.unboundedPreceding, Window.unboundedFollowing
+                    )
+                ),
+            )
+            < 15
+        ).alias("_ref"),
+    )
+    ref = dated.where("_ref")
+    w = Window.orderBy("value", "event_id")
+    ranked = ref.select(
+        "value",
+        F.row_number().over(w).alias("_r"),
+        F.count(F.lit(1)).over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("_n"),
+    )
+    edges = ranked.where(
+        F.expr("exists(sequence(1, 9), k -> _r = ceil(k * _n / 10))")
+    ).select(F.col("value").alias("_edge"))
+    binned = (
+        dated.crossJoin(F.broadcast(edges))
+        .groupBy("event_id", "_ref")
+        .agg(
+            F.sum((F.col("value") > F.col("_edge")).cast("int")).alias(
+                "_bin"
+            )
+        )
+        .groupBy("_bin")
+        .agg(
+            F.sum(F.when(F.col("_ref"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_ref"),
+            F.sum(F.when(~F.col("_ref"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_cur"),
+        )
+    )
+    tot = binned.agg(
+        F.sum("n_ref").alias("_tr"), F.sum("n_cur").alias("_tc")
+    )
+    p = (F.col("n_ref").cast("double") + F.lit(1.0)) / (
+        F.col("_tr").cast("double") + F.lit(10.0)
+    )
+    q = (F.col("n_cur").cast("double") + F.lit(1.0)) / (
+        F.col("_tc").cast("double") + F.lit(10.0)
+    )
+    return (
+        binned.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("_bin").cast("int").alias("bin"),
+            "n_ref",
+            "n_cur",
+            F.round((q - p) * F.log(q / p), 6).alias("psi_term"),
+        )
+        .orderBy("bin")
+    )
+
+
+EV27_SQL = """
+WITH dated AS (
+  SELECT event_id, value,
+         date_diff('day', (SELECT MIN(CAST(ts AS DATE)) FROM events),
+                   CAST(ts AS DATE)) < 15 AS ref
+  FROM events
+), ranked AS (
+  SELECT value, ROW_NUMBER() OVER (ORDER BY value, event_id) AS r,
+         COUNT(*) OVER () AS n
+  FROM dated WHERE ref
+), edges AS (
+  SELECT value AS edge FROM ranked
+  WHERE EXISTS (SELECT 1 FROM range(1, 10) t(k)
+                WHERE r = CAST(CEIL(k * n / 10.0) AS BIGINT))
+), binned AS (
+  SELECT bin,
+         CAST(SUM(CASE WHEN ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+         CAST(SUM(CASE WHEN NOT ref THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_cur
+  FROM (
+    SELECT d.event_id, d.ref,
+           SUM(CASE WHEN d.value > e.edge THEN 1 ELSE 0 END) AS bin
+    FROM dated d CROSS JOIN edges e
+    GROUP BY d.event_id, d.ref
+  ) GROUP BY bin
+), tot AS (
+  SELECT SUM(n_ref) AS tr, SUM(n_cur) AS tc FROM binned
+)
+SELECT CAST(bin AS INTEGER) AS bin, n_ref, n_cur,
+       ROUND(((CAST(n_cur AS DOUBLE) + 1.0) / (CAST(tc AS DOUBLE) + 10.0)
+              - (CAST(n_ref AS DOUBLE) + 1.0)
+                / (CAST(tr AS DOUBLE) + 10.0))
+             * ln(((CAST(n_cur AS DOUBLE) + 1.0)
+                   / (CAST(tc AS DOUBLE) + 10.0))
+                  / ((CAST(n_ref AS DOUBLE) + 1.0)
+                     / (CAST(tr AS DOUBLE) + 10.0))), 6) AS psi_term
+FROM binned CROSS JOIN tot
+ORDER BY bin
+"""
+
+
+def q108_repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT surface proof (the one relational set operation the
+    registry hadn't exercised — EXCEPT lives in q33): customers who
+    ordered in BOTH calendar halves, with the retained share per
+    market segment. The halves split on the order-date midpoint
+    (min+max)/2 computed in-plan; INTERSECT DISTINCT of the two
+    custkey sets is the Spark `intersect`, which Catalyst plans as a
+    left-semi join aggregation — shuffle keyed on the customer, no
+    driver involvement."""
+    configure_for_determinism(spark)
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    bounds = orders.agg(
+        F.min(F.to_date("o_orderdate")).alias("_lo"),
+        F.max(F.to_date("o_orderdate")).alias("_hi"),
+    )
+    dated = orders.crossJoin(F.broadcast(bounds)).select(
+        "o_custkey",
+        (
+            F.datediff(F.to_date("o_orderdate"), F.col("_lo"))
+            * 2
+            <= F.datediff(F.col("_hi"), F.col("_lo"))
+        ).alias("_first_half"),
+    )
+    first = dated.where("_first_half").select("o_custkey").distinct()
+    second = dated.where(~F.col("_first_half")).select("o_custkey").distinct()
+    both = first.intersect(second)
+    return (
+        cust.join(both, cust.c_custkey == both.o_custkey, "left")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum(
+                F.when(F.col("o_custkey").isNotNull(), 1).otherwise(0)
+            ).cast("long").alias("n_repeat"),
+            F.round(
+                F.sum(
+                    F.when(F.col("o_custkey").isNotNull(), 1).otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("repeat_share"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+Q108_SQL = """
+WITH bounds AS (
+  SELECT MIN(CAST(o_orderdate AS DATE)) AS lo,
+         MAX(CAST(o_orderdate AS DATE)) AS hi
+  FROM orders
+), dated AS (
+  SELECT o_custkey,
+         date_diff('day', lo, CAST(o_orderdate AS DATE)) * 2
+           <= date_diff('day', lo, hi) AS first_half
+  FROM orders CROSS JOIN bounds
+), both_halves AS (
+  SELECT o_custkey FROM dated WHERE first_half
+  INTERSECT
+  SELECT o_custkey FROM dated WHERE NOT first_half
+)
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CASE WHEN b.o_custkey IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_repeat,
+       ROUND(CAST(SUM(CASE WHEN b.o_custkey IS NOT NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS repeat_share
+FROM customer LEFT JOIN both_halves b ON c_custkey = b.o_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
 def em30_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HYBRID retrieval via reciprocal-rank fusion (similarity.
     rrf_fuse, Cormack et al. 2009) — the standard way production
@@ -16524,6 +16724,8 @@ FROM m GROUP BY shard_id ORDER BY shard_id
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-9 additions (never driver-verified) come first ---
     "ev23_kendall_tau": ev23_kendall_tau,
+    "ev27_psi_drift": ev27_psi_drift,
+    "q108_repeat_customers": q108_repeat_customers,
     "ev26_crps_ensemble": ev26_crps_ensemble,
     "tx53_readability": tx53_readability,
     "gen11_fgm_copula_sample": gen11_fgm_copula_sample,
@@ -16574,8 +16776,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q92_customer_distribution": q92_customer_distribution,
     "q93_trade_assortativity": q93_trade_assortativity,
     "ev12_chi2_drift": ev12_chi2_drift,
-    "tx44_token_pair_lift": tx44_token_pair_lift,
-    "em21_covariance_matrix": em21_covariance_matrix,
     # (Historical round-4/round-5 rotation prose removed in round 9 —
     # it described entries that have long since been driver-verified
     # and rotated; per-displacement notes below the marker are the
@@ -16583,6 +16783,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # 50-entry driver window: round-9 additions first, then the most
     # recently verified rounds.)
     # ------------- driver 50-entry window ends HERE (position 50) -------------
+    # tx44 (r6-driver-verified) displaced for round-9 q108.
+    "tx44_token_pair_lift": tx44_token_pair_lift,
+    # em21 (r6-driver-verified) displaced for round-9 ev27.
+    "em21_covariance_matrix": em21_covariance_matrix,
     # mm14 (r6-driver-verified) displaced for round-9 tx53.
     "mm14_subtitle_cues": mm14_subtitle_cues,
     # q94 (r6-driver-verified) displaced for round-9 ev26.
@@ -16861,6 +17065,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # train/sample lifecycle runs, not to widen the oracle surface.
 ORACLE_SQL: dict[str, str] = {
     "ev23_kendall_tau": EV23_SQL,
+    "ev27_psi_drift": EV27_SQL,
+    "q108_repeat_customers": Q108_SQL,
     "ev26_crps_ensemble": EV26_SQL,
     "tx53_readability": TX53_SQL,
     "gen11_fgm_copula_sample": GEN11_SQL,
