@@ -16452,6 +16452,119 @@ ORDER BY c_mktsegment
 """
 
 
+def q109_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch SET ALGEBRA — the estimation HLL registers cannot
+    do: intersection cardinality of two key sets from one bottom-k
+    sketch of their union (Beyer et al. 2007). Clickers ∩ viewers:
+    every member hashes to the portable md5 uniform, the k smallest
+    of the UNION form the sketch, the fraction m/k of sketch members
+    belonging to BOTH sets estimates the Jaccard, and est_inter =
+    (m/k)·(k−1)/u_k. The exact intersection runs beside it so the
+    output audits the estimator's relative error end to end (the q67
+    discipline, lifted from one set to the set algebra). Scale shape:
+    one distinct rollup keyed on the user (flags via conditional
+    max), one global bottom-k (TakeOrderedAndProject-class), one
+    1-row compare."""
+    configure_for_determinism(spark)
+    k = 64
+    ev = _events(spark, sf_dir)
+    flags = (
+        ev.where(F.col("event_type").isin("click", "view"))
+        .groupBy("user_id")
+        .agg(
+            F.max((F.col("event_type") == "click").cast("int")).alias("_a"),
+            F.max((F.col("event_type") == "view").cast("int")).alias("_b"),
+        )
+    )
+    hashed = flags.select(
+        "user_id",
+        "_a",
+        "_b",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
+                16,
+                10,
+            ).cast("double")
+            / F.lit(float(1 << 60))
+        ).alias("_u"),
+    )
+    w = Window.orderBy("_u", "user_id")
+    sk = hashed.withColumn("_rn", F.row_number().over(w)).where(
+        F.col("_rn") <= k
+    )
+    sk_agg = sk.agg(
+        F.count(F.lit(1)).alias("_nk"),
+        F.sum(F.col("_a") * F.col("_b")).alias("_m"),
+        F.max(F.when(F.col("_rn") == k, F.col("_u"))).alias("_uk"),
+    )
+    exact = hashed.agg(
+        F.sum("_a").cast("long").alias("n_clickers"),
+        F.sum("_b").cast("long").alias("n_viewers"),
+        F.sum(F.col("_a") * F.col("_b")).cast("long").alias("exact_inter"),
+        F.count(F.lit(1)).cast("long").alias("exact_union"),
+    )
+    est_union = F.coalesce(
+        F.lit(k - 1) / F.col("_uk"), F.col("exact_union").cast("double")
+    )
+    est_inter = (
+        F.col("_m").cast("double") / F.col("_nk").cast("double")
+    ) * est_union
+    return exact.crossJoin(F.broadcast(sk_agg)).select(
+        "n_clickers",
+        "n_viewers",
+        "exact_inter",
+        F.round(
+            F.col("_m").cast("double") / F.col("_nk").cast("double"), 6
+        ).alias("jaccard_est"),
+        F.round(est_inter, 6).alias("est_inter"),
+        F.round(
+            F.abs(est_inter - F.col("exact_inter").cast("double"))
+            / F.col("exact_inter").cast("double"),
+            6,
+        ).alias("rel_err"),
+    )
+
+
+Q109_SQL = """
+WITH flags AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS a,
+         MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS b
+  FROM events WHERE event_type IN ('click', 'view')
+  GROUP BY user_id
+), hashed AS (
+  SELECT user_id, a, b,
+         ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+           ::UBIGINT / 1152921504606846976.0 AS u
+  FROM flags
+), sk AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY u, user_id) AS rn
+  FROM hashed QUALIFY rn <= 64
+), sk_agg AS (
+  SELECT COUNT(*) AS nk, SUM(a * b) AS m,
+         MAX(CASE WHEN rn = 64 THEN u END) AS uk
+  FROM sk
+), exact AS (
+  SELECT CAST(SUM(a) AS BIGINT) AS n_clickers,
+         CAST(SUM(b) AS BIGINT) AS n_viewers,
+         CAST(SUM(a * b) AS BIGINT) AS exact_inter,
+         CAST(COUNT(*) AS BIGINT) AS exact_union
+  FROM hashed
+)
+SELECT n_clickers, n_viewers, exact_inter,
+       ROUND(CAST(m AS DOUBLE) / CAST(nk AS DOUBLE), 6) AS jaccard_est,
+       ROUND((CAST(m AS DOUBLE) / CAST(nk AS DOUBLE))
+             * COALESCE(63.0 / uk, CAST(exact_union AS DOUBLE)), 6)
+         AS est_inter,
+       ROUND(ABS((CAST(m AS DOUBLE) / CAST(nk AS DOUBLE))
+                 * COALESCE(63.0 / uk, CAST(exact_union AS DOUBLE))
+                 - CAST(exact_inter AS DOUBLE))
+             / CAST(exact_inter AS DOUBLE), 6) AS rel_err
+FROM exact CROSS JOIN sk_agg
+"""
+
+
 def em30_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HYBRID retrieval via reciprocal-rank fusion (similarity.
     rrf_fuse, Cormack et al. 2009) — the standard way production
@@ -16724,6 +16837,7 @@ FROM m GROUP BY shard_id ORDER BY shard_id
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-9 additions (never driver-verified) come first ---
     "ev23_kendall_tau": ev23_kendall_tau,
+    "q109_kmv_intersection": q109_kmv_intersection,
     "ev27_psi_drift": ev27_psi_drift,
     "q108_repeat_customers": q108_repeat_customers,
     "ev26_crps_ensemble": ev26_crps_ensemble,
@@ -16775,7 +16889,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "st14_stream_view_rollup": st14_stream_view_rollup,
     "q92_customer_distribution": q92_customer_distribution,
     "q93_trade_assortativity": q93_trade_assortativity,
-    "ev12_chi2_drift": ev12_chi2_drift,
     # (Historical round-4/round-5 rotation prose removed in round 9 —
     # it described entries that have long since been driver-verified
     # and rotated; per-displacement notes below the marker are the
@@ -16783,6 +16896,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # 50-entry driver window: round-9 additions first, then the most
     # recently verified rounds.)
     # ------------- driver 50-entry window ends HERE (position 50) -------------
+    # ev12 (r6-driver-verified) displaced for round-9 q109.
+    "ev12_chi2_drift": ev12_chi2_drift,
     # tx44 (r6-driver-verified) displaced for round-9 q108.
     "tx44_token_pair_lift": tx44_token_pair_lift,
     # em21 (r6-driver-verified) displaced for round-9 ev27.
@@ -17065,6 +17180,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # train/sample lifecycle runs, not to widen the oracle surface.
 ORACLE_SQL: dict[str, str] = {
     "ev23_kendall_tau": EV23_SQL,
+    "q109_kmv_intersection": Q109_SQL,
     "ev27_psi_drift": EV27_SQL,
     "q108_repeat_customers": Q108_SQL,
     "ev26_crps_ensemble": EV26_SQL,
