@@ -1817,6 +1817,49 @@ def gif_pixel_stats(df: DataFrame) -> DataFrame:
     return df.mapInPandas(stats, schema=GIF_STATS_SCHEMA)
 
 
+def transcode_png_to_gif(df: DataFrame) -> DataFrame:
+    """Codec COMPOSITION: decode each PNG through the real chunk-walk
+    + defilter path, quantize every pixel onto the 4-color GIF
+    palette as (r+g+b) mod 4, and re-encode through the real LZW
+    compressor — the transcode step of an image-ingest pipeline
+    (normalize heterogeneous formats into one training shard format).
+    Assets whose PNG parse fails (or whose variant the decoder
+    doesn't reconstruct pixels for) are skipped — no pixel evidence,
+    no output. Arrow-batched linear pass, no shuffle."""
+
+    def tx(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                content = row["content"]
+                g = parse_png(bytes(content)) if content is not None else None
+                if g is None or g.get("pixels") is None or g["channels"] != 3:
+                    continue
+                w, h = g["width"], g["height"]
+                px = g["pixels"]
+                idx = bytes(
+                    (px[3 * i] + px[3 * i + 1] + px[3 * i + 2]) % 4
+                    for i in range(w * h)
+                )
+                rows.append(
+                    {
+                        "asset_id": int(row["asset_id"]),
+                        "content": encode_gif(w, h, list(GIF_PALETTE), idx),
+                        "meta": {
+                            "media_type": "image",
+                            "format": "gif",
+                            "width": w,
+                            "height": h,
+                            "n_frames": None,
+                            "sample_rate": None,
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["asset_id", "content", "meta"])
+
+    return df.mapInPandas(tx, schema=MEDIA_SCHEMA)
+
+
 # --- EXIF / TIFF metadata (APP1) ---------------------------------------
 # The third honest binary-metadata parser beside the JPEG marker walk
 # and the ISO-BMFF box walk: a real TIFF IFD traversal — byte-order

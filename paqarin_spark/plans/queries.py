@@ -16565,6 +16565,53 @@ FROM exact CROSS JOIN sk_agg
 """
 
 
+def mm19_png_gif_transcode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codec-composition transcode proof (multimodal.
+    transcode_png_to_gif → gif_pixel_stats): PNG assets decode
+    through the real chunk-walk/defilter path (every standard PNG
+    filter appears), quantize onto the 4-color palette, re-encode
+    through the hand-written LZW, decode AGAIN, and report pixel
+    statistics — so the oracle (which predicts every pixel from the
+    PNG gradient arithmetic) verifies a four-stage codec chain
+    (deflate-decode → defilter → LZW-encode → LZW-decode) end to end
+    by value. The normalize-formats step of a 100-TB image ingest,
+    shuffle-free."""
+    from paqarin_spark.multimodal import (
+        gif_pixel_stats,
+        png_assets_from_ids,
+        transcode_png_to_gif,
+    )
+
+    configure_for_determinism(spark)
+    docs = _docs(spark, sf_dir)
+    gifs = transcode_png_to_gif(png_assets_from_ids(docs, "doc_id"))
+    return gif_pixel_stats(gifs).orderBy("asset_id")
+
+
+MM19_SQL = """
+WITH a AS (
+  SELECT doc_id AS asset_id, doc_id % 6 + 2 AS w, doc_id % 5 + 2 AS h
+  FROM documents
+), px AS (
+  SELECT asset_id, w, h,
+         ((x.i + y.i + asset_id) % 256
+          + (2 * x.i + y.i + asset_id) % 256
+          + (x.i * y.i + asset_id) % 256) % 4 AS idx
+  FROM a,
+       LATERAL (SELECT unnest(range(0, w)) AS i) x,
+       LATERAL (SELECT unnest(range(0, h)) AS i) y
+)
+SELECT asset_id,
+       CAST(MAX(w) AS INTEGER) AS width,
+       CAST(MAX(h) AS INTEGER) AS height,
+       CAST(COUNT(*) AS INTEGER) AS n_pixels,
+       ROUND(CAST(SUM(idx) AS DOUBLE) / COUNT(*), 6) AS mean_index,
+       CAST(SUM(CASE WHEN idx = 0 THEN 1 ELSE 0 END) AS INTEGER)
+         AS count_c0
+FROM px GROUP BY asset_id ORDER BY asset_id
+"""
+
+
 def em30_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HYBRID retrieval via reciprocal-rank fusion (similarity.
     rrf_fuse, Cormack et al. 2009) — the standard way production
@@ -16837,6 +16884,7 @@ FROM m GROUP BY shard_id ORDER BY shard_id
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-9 additions (never driver-verified) come first ---
     "ev23_kendall_tau": ev23_kendall_tau,
+    "mm19_png_gif_transcode": mm19_png_gif_transcode,
     "q109_kmv_intersection": q109_kmv_intersection,
     "ev27_psi_drift": ev27_psi_drift,
     "q108_repeat_customers": q108_repeat_customers,
@@ -16887,7 +16935,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx43_exactsubstr_strip": tx43_exactsubstr_strip,
     "mm13_audio_metadata": mm13_audio_metadata,
     "st14_stream_view_rollup": st14_stream_view_rollup,
-    "q92_customer_distribution": q92_customer_distribution,
     "q93_trade_assortativity": q93_trade_assortativity,
     # (Historical round-4/round-5 rotation prose removed in round 9 —
     # it described entries that have long since been driver-verified
@@ -16896,6 +16943,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # 50-entry driver window: round-9 additions first, then the most
     # recently verified rounds.)
     # ------------- driver 50-entry window ends HERE (position 50) -------------
+    # q92 (r6-driver-verified) displaced for round-9 mm19.
+    "q92_customer_distribution": q92_customer_distribution,
     # ev12 (r6-driver-verified) displaced for round-9 q109.
     "ev12_chi2_drift": ev12_chi2_drift,
     # tx44 (r6-driver-verified) displaced for round-9 q108.
@@ -17180,6 +17229,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # train/sample lifecycle runs, not to widen the oracle surface.
 ORACLE_SQL: dict[str, str] = {
     "ev23_kendall_tau": EV23_SQL,
+    "mm19_png_gif_transcode": MM19_SQL,
     "q109_kmv_intersection": Q109_SQL,
     "ev27_psi_drift": EV27_SQL,
     "q108_repeat_customers": Q108_SQL,

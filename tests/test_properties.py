@@ -425,3 +425,39 @@ def test_png_parser_never_raises_on_junk(junk):
     for payload in (junk, PNG_SIGNATURE + junk):
         out = parse_png(payload)
         assert out is None or isinstance(out, dict)
+
+
+@PROP_SETTINGS
+@given(
+    mcs=st.integers(min_value=2, max_value=8),
+    data=st.binary(min_size=0, max_size=6000),
+)
+def test_lzw_roundtrip_property(mcs, data):
+    """GIF-flavor LZW decode(encode(x)) == x for arbitrary symbol
+    streams at every min-code-size — hypothesis drives width growth,
+    dictionary resets, runs (KwKwK) and empty input."""
+    from paqarin_spark.multimodal import _lzw_decode, _lzw_encode
+
+    symbols = bytes(b % (1 << mcs) for b in data)
+    assert _lzw_decode(_lzw_encode(symbols, mcs), mcs) == symbols
+
+
+@PROP_SETTINGS
+@given(
+    width=st.integers(min_value=1, max_value=24),
+    height=st.integers(min_value=1, max_value=18),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_gif_roundtrip_property(width, height, seed):
+    """encode_gif -> parse_gif recovers the exact raster for arbitrary
+    4-color index patterns and dimensions."""
+    from paqarin_spark.multimodal import GIF_PALETTE, encode_gif, parse_gif
+
+    idx = bytes(
+        (x * 31 + y * 17 + seed) % 4
+        for y in range(height)
+        for x in range(width)
+    )
+    g = parse_gif(encode_gif(width, height, list(GIF_PALETTE), idx))
+    assert (g["width"], g["height"]) == (width, height)
+    assert g["indices"] == idx
