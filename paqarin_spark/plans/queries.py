@@ -16612,6 +16612,109 @@ FROM px GROUP BY asset_id ORDER BY asset_id
 """
 
 
+def st21_stream_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING drift monitor — the DEPLOYED half of ev27's PSI: the
+    reference window (first 15 days) is batch-owned — its exact
+    decile edges ship into the stream as literals (the blocklist
+    discipline: 9 bounded scalars, the one collect class the §4
+    policy allows) — and the CURRENT window's values stream through a
+    stateless bin expression into ONE state row per bin
+    (streaming.stream_bin_counts, versioned corrections, ≤10 keys →
+    capped exchange). The finisher joins the streamed counts against
+    the batch reference histogram and computes the identical
+    Laplace-smoothed PSI terms, so the output hash-matches ev27's
+    batch recompute regardless of micro-batch boundaries — the
+    st14-class batch/stream parity proof, now for the monitoring
+    metric itself.
+
+    State bound: 10 rows of (count, version), forever."""
+    from paqarin_spark.streaming import (
+        bin_counts_from_emissions,
+        stream_bin_counts,
+    )
+
+    configure_for_determinism(spark)
+    ev = _events(spark, sf_dir)
+    min_day_row = ev.agg(F.min(F.to_date("ts")).alias("_d")).collect()[0]
+    min_day = min_day_row["_d"].isoformat()
+    ref = ev.where(
+        F.datediff(F.to_date("ts"), F.lit(min_day).cast("date")) < 15
+    )
+    w = Window.orderBy("value", "event_id")
+    ranked = ref.select(
+        "value",
+        F.row_number().over(w).alias("_r"),
+        F.count(F.lit(1)).over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("_n"),
+    )
+    edges = [
+        r["value"]
+        for r in ranked.where(
+            F.expr("exists(sequence(1, 9), k -> _r = ceil(k * _n / 10))")
+        )
+        .orderBy("_r")
+        .collect()
+    ]
+    bin_expr = sum(
+        (F.col("value") > F.lit(float(e))).cast("int") for e in edges
+    )
+    ref_counts = (
+        ref.select(bin_expr.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ref"))
+    )
+    stream = _events_stream(spark, sf_dir).where(
+        F.datediff(F.to_date("ts"), F.lit(min_day).cast("date")) >= 15
+    )
+    emi = stream_bin_counts(stream, "value", edges)
+    name = "st21_stream_psi"
+    with _bounded_state_partitions(spark, 8):
+        q = (
+            emi.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    cur = bin_counts_from_emissions(spark.table(name), 10).select(
+        "bin", F.col("n").alias("n_cur")
+    )
+    joined = (
+        cur.join(ref_counts, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("n_ref", F.lit(0)).cast("long").alias("n_ref"),
+            "n_cur",
+        )
+    )
+    tot = joined.agg(
+        F.sum("n_ref").alias("_tr"), F.sum("n_cur").alias("_tc")
+    )
+    p = (F.col("n_ref").cast("double") + F.lit(1.0)) / (
+        F.col("_tr").cast("double") + F.lit(10.0)
+    )
+    qq = (F.col("n_cur").cast("double") + F.lit(1.0)) / (
+        F.col("_tc").cast("double") + F.lit(10.0)
+    )
+    return (
+        joined.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("bin").cast("int").alias("bin"),
+            "n_ref",
+            "n_cur",
+            F.round((qq - p) * F.log(qq / p), 6).alias("psi_term"),
+        )
+        .orderBy("bin")
+    )
+
+
+ST21_SQL = EV27_SQL
+
+
 def em30_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HYBRID retrieval via reciprocal-rank fusion (similarity.
     rrf_fuse, Cormack et al. 2009) — the standard way production
@@ -16884,6 +16987,7 @@ FROM m GROUP BY shard_id ORDER BY shard_id
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-9 additions (never driver-verified) come first ---
     "ev23_kendall_tau": ev23_kendall_tau,
+    "st21_stream_psi": st21_stream_psi,
     "mm19_png_gif_transcode": mm19_png_gif_transcode,
     "q109_kmv_intersection": q109_kmv_intersection,
     "ev27_psi_drift": ev27_psi_drift,
@@ -16935,7 +17039,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx43_exactsubstr_strip": tx43_exactsubstr_strip,
     "mm13_audio_metadata": mm13_audio_metadata,
     "st14_stream_view_rollup": st14_stream_view_rollup,
-    "q93_trade_assortativity": q93_trade_assortativity,
     # (Historical round-4/round-5 rotation prose removed in round 9 —
     # it described entries that have long since been driver-verified
     # and rotated; per-displacement notes below the marker are the
@@ -16943,6 +17046,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # 50-entry driver window: round-9 additions first, then the most
     # recently verified rounds.)
     # ------------- driver 50-entry window ends HERE (position 50) -------------
+    # q93 (r6-driver-verified) displaced for round-9 st21.
+    "q93_trade_assortativity": q93_trade_assortativity,
     # q92 (r6-driver-verified) displaced for round-9 mm19.
     "q92_customer_distribution": q92_customer_distribution,
     # ev12 (r6-driver-verified) displaced for round-9 q109.
@@ -17229,6 +17334,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # train/sample lifecycle runs, not to widen the oracle surface.
 ORACLE_SQL: dict[str, str] = {
     "ev23_kendall_tau": EV23_SQL,
+    "st21_stream_psi": ST21_SQL,
     "mm19_png_gif_transcode": MM19_SQL,
     "q109_kmv_intersection": Q109_SQL,
     "ev27_psi_drift": EV27_SQL,

@@ -1412,3 +1412,89 @@ def phrase_hits_from_emissions(
         "phrase",
         F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
     )
+
+
+def stream_bin_counts(
+    stream: DataFrame,
+    value_column: str,
+    edges: list[float],
+) -> DataFrame:
+    """Streaming histogram state — the live half of a drift monitor
+    (ev27's PSI): values bin by COUNT-OF-EDGES-BELOW against a
+    BOUNDED, batch-fit edge list shipped as literals (the blocklist
+    discipline: reference statistics are human/batch-owned, the
+    stream only counts), and ONE state row per bin accumulates the
+    running count under versioned corrections (the st14/st19
+    pattern). Bin assignment is a stateless expression, so only
+    |edges|+1 keys ever reach the stateful exchange.
+
+    State bound: |edges|+1 rows of (count, version), forever."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    if not edges:
+        raise ValueError("edges must be non-empty")
+    bin_expr = sum(
+        (F.col(value_column) > F.lit(float(e))).cast("int") for e in edges
+    )
+    binned = stream.select(bin_expr.alias("bin"))
+    out_type = StructType(
+        [
+            StructField("bin", IntegerType(), True),
+            StructField("version", LongType(), False),
+            StructField("n", LongType(), False),
+        ]
+    )
+    state_type = StructType(
+        [
+            StructField("n", LongType(), True),
+            StructField("version", LongType(), True),
+        ]
+    )
+
+    def fold(key, pdf_iter, state: GroupState):
+        if state.exists:
+            n, version = state.get
+        else:
+            n, version = 0, 0
+        for pdf in pdf_iter:
+            n += len(pdf)
+        version += 1
+        state.update((n, version))
+        yield pd.DataFrame(
+            [(key[0], version, n)], columns=["bin", "version", "n"]
+        )
+
+    return binned.groupBy("bin").applyInPandasWithState(
+        fold,
+        outputStructType=out_type,
+        stateStructType=state_type,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def bin_counts_from_emissions(
+    emissions: DataFrame, n_bins: int
+) -> DataFrame:
+    """Finish :func:`stream_bin_counts` emissions: max-version row per
+    bin, empty bins restored as zero — the monitor must report every
+    bin, exactly like the batch histogram."""
+    spark = emissions.sparkSession
+    bins = spark.createDataFrame([(b,) for b in range(n_bins)], ["bin"])
+    w = Window.partitionBy("bin")
+    latest = (
+        emissions.withColumn("_mx", F.max("version").over(w))
+        .where(F.col("version") == F.col("_mx"))
+        .select("bin", "n")
+    )
+    return bins.join(latest, on="bin", how="left").select(
+        "bin", F.coalesce("n", F.lit(0)).cast("long").alias("n")
+    )
