@@ -16715,6 +16715,134 @@ def st21_stream_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
 ST21_SQL = EV27_SQL
 
 
+def q110_trailing_dau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users via HLL REGISTER-WINDOW MERGES —
+    the sliding-window cardinality pattern a petabyte dashboard
+    actually runs: exact trailing COUNT DISTINCT cannot be maintained
+    incrementally (distinct doesn't subtract), but register tables
+    merge with MAX, so each day's sketch is built ONCE and every
+    7-day window is a register-wise MAX over the trailing days. The
+    register fan-out ships each (day, idx, r) row to its ≤7 target
+    days (a sequence explode — days × 2^p × 7 rows, calendar- and
+    p-bounded), the merged registers finish through the SHARED
+    hll_estimate_from_registers arithmetic (the q73/st9 estimator),
+    and the exact trailing distinct runs beside it so the output
+    audits the estimator per window. Output: one row per day with a
+    FULL 7-day trailing window."""
+    from paqarin_spark.operators import (
+        hll_estimate_from_registers,
+        hll_registers,
+    )
+
+    configure_for_determinism(spark)
+    p = 10
+    ev = _events(spark, sf_dir)
+    dated = ev.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).crossJoin(
+        F.broadcast(
+            ev.agg(F.min(F.to_date("ts")).alias("_d0"))
+        )
+    ).select(
+        F.datediff("day", "_d0").alias("_di"), "user_id"
+    )
+    regs = hll_registers(dated, "user_id", p=p, group_by=["_di"])
+    span = dated.agg(F.max("_di").alias("_mx"))
+    fanned = (
+        regs.select(
+            "idx",
+            "r",
+            F.explode(
+                F.sequence(F.col("_di"), F.col("_di") + F.lit(6))
+            ).alias("_tgt"),
+        )
+        .crossJoin(F.broadcast(span))
+        .where((F.col("_tgt") >= 6) & (F.col("_tgt") <= F.col("_mx")))
+        .groupBy("_tgt", "idx")
+        .agg(F.max("r").alias("r"))
+    )
+    est = hll_estimate_from_registers(
+        fanned, p=p, group_by=["_tgt"], out_column="_est"
+    )
+    du = dated.select(F.col("_di").alias("_dj"), "user_id").distinct()
+    tgts = dated.select("_di").distinct().where(F.col("_di") >= 6)
+    exact = (
+        tgts.join(
+            du,
+            (F.col("_dj") >= F.col("_di") - 6) & (F.col("_dj") <= F.col("_di")),
+        )
+        .groupBy("_di")
+        .agg(F.countDistinct("user_id").cast("long").alias("exact_dau7"))
+    )
+    return (
+        exact.join(est, exact._di == est._tgt)
+        .select(
+            F.col("_di").cast("int").alias("day_index"),
+            "exact_dau7",
+            F.round("_est", 4).alias("est_dau7"),
+            F.round(
+                F.abs(F.col("_est") - F.col("exact_dau7").cast("double"))
+                / F.col("exact_dau7").cast("double"),
+                6,
+            ).alias("rel_err"),
+        )
+        .orderBy("day_index")
+    )
+
+
+Q110_SQL = """
+WITH d0 AS (
+  SELECT MIN(CAST(ts AS DATE)) AS d0 FROM events
+), dated AS (
+  SELECT date_diff('day', d0, CAST(ts AS DATE)) AS di, user_id
+  FROM events CROSS JOIN d0
+), h AS (
+  SELECT di,
+         ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::UBIGINT
+           AS hv
+  FROM dated
+), reg AS (
+  SELECT di, hv // 1125899906842624 AS idx,
+         MAX(CASE WHEN hv % 1125899906842624 = 0 THEN 51
+                  ELSE 50 - length(bin(hv % 1125899906842624)) + 1 END) AS r
+  FROM h GROUP BY 1, 2
+), span AS (
+  SELECT MAX(di) AS mx FROM dated
+), fanned AS (
+  SELECT t.tgt, idx, MAX(r) AS r
+  FROM reg, LATERAL (SELECT unnest(range(di, di + 7)) AS tgt) t
+       CROSS JOIN span
+  WHERE t.tgt >= 6 AND t.tgt <= mx
+  GROUP BY t.tgt, idx
+), agg AS (
+  SELECT tgt, COUNT(*) AS nobs, SUM(power(2.0, -r)) AS sobs
+  FROM fanned GROUP BY tgt
+), est AS (
+  SELECT tgt,
+         CASE WHEN (0.7213 / (1.0 + 1.079 / 1024.0)) * 1024.0 * 1024.0
+                   / (sobs + (1024 - nobs)) <= 2.5 * 1024
+                   AND (1024 - nobs) > 0
+              THEN 1024.0 * ln(1024.0 / (1024 - nobs))
+              ELSE (0.7213 / (1.0 + 1.079 / 1024.0)) * 1024.0 * 1024.0
+                   / (sobs + (1024 - nobs)) END AS e
+  FROM agg
+), exact AS (
+  SELECT a.di, COUNT(DISTINCT b.user_id) AS exact_dau7
+  FROM (SELECT DISTINCT di FROM dated WHERE di >= 6) a
+  JOIN (SELECT DISTINCT di AS dj, user_id FROM dated) b
+    ON b.dj BETWEEN a.di - 6 AND a.di
+  GROUP BY a.di
+)
+SELECT CAST(di AS INTEGER) AS day_index,
+       CAST(exact_dau7 AS BIGINT) AS exact_dau7,
+       ROUND(e, 4) AS est_dau7,
+       ROUND(ABS(e - CAST(exact_dau7 AS DOUBLE))
+             / CAST(exact_dau7 AS DOUBLE), 6) AS rel_err
+FROM exact JOIN est ON di = tgt
+ORDER BY day_index
+"""
+
+
 def em30_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HYBRID retrieval via reciprocal-rank fusion (similarity.
     rrf_fuse, Cormack et al. 2009) — the standard way production
@@ -16987,6 +17115,7 @@ FROM m GROUP BY shard_id ORDER BY shard_id
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-9 additions (never driver-verified) come first ---
     "ev23_kendall_tau": ev23_kendall_tau,
+    "q110_trailing_dau_hll": q110_trailing_dau_hll,
     "st21_stream_psi": st21_stream_psi,
     "mm19_png_gif_transcode": mm19_png_gif_transcode,
     "q109_kmv_intersection": q109_kmv_intersection,
@@ -17038,7 +17167,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx42_duplicate_substrings": tx42_duplicate_substrings,
     "tx43_exactsubstr_strip": tx43_exactsubstr_strip,
     "mm13_audio_metadata": mm13_audio_metadata,
-    "st14_stream_view_rollup": st14_stream_view_rollup,
     # (Historical round-4/round-5 rotation prose removed in round 9 —
     # it described entries that have long since been driver-verified
     # and rotated; per-displacement notes below the marker are the
@@ -17046,6 +17174,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # 50-entry driver window: round-9 additions first, then the most
     # recently verified rounds.)
     # ------------- driver 50-entry window ends HERE (position 50) -------------
+    # st14 (r6-driver-verified) displaced for round-9 q110.
+    "st14_stream_view_rollup": st14_stream_view_rollup,
     # q93 (r6-driver-verified) displaced for round-9 st21.
     "q93_trade_assortativity": q93_trade_assortativity,
     # q92 (r6-driver-verified) displaced for round-9 mm19.
@@ -17334,6 +17464,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # train/sample lifecycle runs, not to widen the oracle surface.
 ORACLE_SQL: dict[str, str] = {
     "ev23_kendall_tau": EV23_SQL,
+    "q110_trailing_dau_hll": Q110_SQL,
     "st21_stream_psi": ST21_SQL,
     "mm19_png_gif_transcode": MM19_SQL,
     "q109_kmv_intersection": Q109_SQL,
