@@ -16252,38 +16252,13 @@ ORDER BY doc_id
 """
 
 
-def ev27_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Population Stability Index — the production ML-monitoring
-    drift metric beside the KS gap (ev6) and chi-square (ev12): the
-    event-value distribution of the FIRST 15 days (reference window)
-    vs everything after (current window), binned by the reference's
-    own exact decile edges (order-statistic picks at rank ceil(k·n/10)
-    with a deterministic (value, event_id) total order), each bin's
-    term (c_i − r_i)·ln(c_i/r_i) reported with Laplace-smoothed
-    proportions so empty bins stay finite. Counts are exact bigints;
-    only the proportion ratios and ln run in double, mirrored
-    op-for-op. Bin assignment = COUNT of edges strictly below the
-    value (a 9-row broadcast, no shuffle on the fact side beyond the
-    bin rollup). Output: one row per bin; Σterm is the PSI (>0.25 =
-    action threshold in the standard reading)."""
-    configure_for_determinism(spark)
-    ev = _events(spark, sf_dir)
-    dated = ev.select(
-        "event_id",
-        "value",
-        (
-            F.datediff(
-                F.to_date("ts"),
-                F.min(F.to_date("ts")).over(
-                    Window.rowsBetween(
-                        Window.unboundedPreceding, Window.unboundedFollowing
-                    )
-                ),
-            )
-            < 15
-        ).alias("_ref"),
-    )
-    ref = dated.where("_ref")
+def _psi_reference_edges(ref: DataFrame) -> DataFrame:
+    """The ONE decile-edge extraction both PSI surfaces (ev27 batch,
+    st21 streaming) build on: exact order-statistic picks at rank
+    ceil(k·n/10), k = 1..9, under a deterministic (value, event_id)
+    total order. A global rank window over the REFERENCE window only
+    (the q101 window class — the reference is the bounded curated
+    side of a drift monitor)."""
     w = Window.orderBy("value", "event_id")
     ranked = ref.select(
         "value",
@@ -16294,28 +16269,18 @@ def ev27_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("_n"),
     )
-    edges = ranked.where(
+    return ranked.where(
         F.expr("exists(sequence(1, 9), k -> _r = ceil(k * _n / 10))")
-    ).select(F.col("value").alias("_edge"))
-    binned = (
-        dated.crossJoin(F.broadcast(edges))
-        .groupBy("event_id", "_ref")
-        .agg(
-            F.sum((F.col("value") > F.col("_edge")).cast("int")).alias(
-                "_bin"
-            )
-        )
-        .groupBy("_bin")
-        .agg(
-            F.sum(F.when(F.col("_ref"), 1).otherwise(0))
-            .cast("long")
-            .alias("n_ref"),
-            F.sum(F.when(~F.col("_ref"), 1).otherwise(0))
-            .cast("long")
-            .alias("n_cur"),
-        )
-    )
-    tot = binned.agg(
+    ).select(F.col("value").alias("_edge"), F.col("_r").alias("_rank"))
+
+
+def _psi_report(counts: DataFrame) -> DataFrame:
+    """The ONE Laplace-smoothed PSI-term arithmetic both surfaces
+    share: (bin, n_ref, n_cur) → per-bin (q−p)·ln(q/p) with
+    (count+1)/(total+10) proportions, 6dp. Mirrored op-for-op by
+    EV27_SQL (st21's oracle is literally that SQL, so this helper is
+    what keeps the batch/stream parity proof from drifting)."""
+    tot = counts.agg(
         F.sum("n_ref").alias("_tr"), F.sum("n_cur").alias("_tc")
     )
     p = (F.col("n_ref").cast("double") + F.lit(1.0)) / (
@@ -16325,15 +16290,63 @@ def ev27_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_tc").cast("double") + F.lit(10.0)
     )
     return (
-        binned.crossJoin(F.broadcast(tot))
+        counts.crossJoin(F.broadcast(tot))
         .select(
-            F.col("_bin").cast("int").alias("bin"),
+            F.col("bin").cast("int").alias("bin"),
             "n_ref",
             "n_cur",
             F.round((q - p) * F.log(q / p), 6).alias("psi_term"),
         )
         .orderBy("bin")
     )
+
+
+def ev27_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index — the production ML-monitoring
+    drift metric beside the KS gap (ev6) and chi-square (ev12): the
+    event-value distribution of the FIRST 15 days (reference window)
+    vs everything after (current window), binned by the reference's
+    own exact decile edges (_psi_reference_edges), each bin's term
+    (c_i − r_i)·ln(c_i/r_i) reported with Laplace-smoothed
+    proportions (_psi_report) so empty bins stay finite. Counts are
+    exact bigints; only the proportion ratios and ln run in double,
+    mirrored op-for-op. Bin assignment folds the 9-edge ARRAY in one
+    broadcast row (F.aggregate — no per-event fan-out or row-keyed
+    shuffle; the only fact-side exchange is the ≤10-key bin rollup).
+    Output: one row per OCCUPIED bin; Σterm is the PSI (>0.25 =
+    action threshold in the standard reading)."""
+    configure_for_determinism(spark)
+    ev = _events(spark, sf_dir)
+    d0 = ev.agg(F.min(F.to_date("ts")).alias("_d0"))
+    dated = ev.crossJoin(F.broadcast(d0)).select(
+        "event_id",
+        "value",
+        (F.datediff(F.to_date("ts"), F.col("_d0")) < 15).alias("_ref"),
+    )
+    earr = _psi_reference_edges(dated.where("_ref")).agg(
+        F.collect_list("_edge").alias("_edges")
+    )
+    binned = (
+        dated.crossJoin(F.broadcast(earr))
+        .select(
+            "_ref",
+            F.aggregate(
+                "_edges",
+                F.lit(0),
+                lambda acc, e: acc + (F.col("value") > e).cast("int"),
+            ).alias("bin"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("_ref"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_ref"),
+            F.sum(F.when(~F.col("_ref"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_cur"),
+        )
+    )
+    return _psi_report(binned)
 
 
 EV27_SQL = """
@@ -16621,13 +16634,15 @@ def st21_stream_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     stateless bin expression into ONE state row per bin
     (streaming.stream_bin_counts, versioned corrections, ≤10 keys →
     capped exchange). The finisher joins the streamed counts against
-    the batch reference histogram and computes the identical
-    Laplace-smoothed PSI terms, so the output hash-matches ev27's
-    batch recompute regardless of micro-batch boundaries — the
-    st14-class batch/stream parity proof, now for the monitoring
-    metric itself.
+    the batch reference histogram, drops bins no event ever reached
+    (EV27_SQL's occupied-bin contract — a both-empty bin exists only
+    when the reference has heavy decile ties), and computes the PSI
+    terms through the SAME _psi_report arithmetic as the batch
+    query, so the output hash-matches ev27's recompute regardless of
+    micro-batch boundaries — the st14-class batch/stream parity
+    proof, now for the monitoring metric itself.
 
-    State bound: 10 rows of (count, version), forever."""
+    State bound: |edges|+1 ≤ 10 rows of (count, version), forever."""
     from paqarin_spark.streaming import (
         bin_counts_from_emissions,
         stream_bin_counts,
@@ -16640,22 +16655,12 @@ def st21_stream_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref = ev.where(
         F.datediff(F.to_date("ts"), F.lit(min_day).cast("date")) < 15
     )
-    w = Window.orderBy("value", "event_id")
-    ranked = ref.select(
-        "value",
-        F.row_number().over(w).alias("_r"),
-        F.count(F.lit(1)).over(
-            Window.rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        ).alias("_n"),
-    )
+    # the shared edge extraction (ev27's helper), collected — 9
+    # bounded scalars, the blocklist/centroid collect class
     edges = [
-        r["value"]
-        for r in ranked.where(
-            F.expr("exists(sequence(1, 9), k -> _r = ceil(k * _n / 10))")
-        )
-        .orderBy("_r")
+        r["_edge"]
+        for r in _psi_reference_edges(ref.select("event_id", "value"))
+        .orderBy("_rank")
         .collect()
     ]
     bin_expr = sum(
@@ -16680,9 +16685,9 @@ def st21_stream_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    cur = bin_counts_from_emissions(spark.table(name), 10).select(
-        "bin", F.col("n").alias("n_cur")
-    )
+    cur = bin_counts_from_emissions(
+        spark.table(name), len(edges) + 1
+    ).select("bin", F.col("n").alias("n_cur"))
     joined = (
         cur.join(ref_counts, "bin", "left")
         .select(
@@ -16690,26 +16695,9 @@ def st21_stream_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_ref", F.lit(0)).cast("long").alias("n_ref"),
             "n_cur",
         )
+        .where((F.col("n_ref") + F.col("n_cur")) > 0)
     )
-    tot = joined.agg(
-        F.sum("n_ref").alias("_tr"), F.sum("n_cur").alias("_tc")
-    )
-    p = (F.col("n_ref").cast("double") + F.lit(1.0)) / (
-        F.col("_tr").cast("double") + F.lit(10.0)
-    )
-    qq = (F.col("n_cur").cast("double") + F.lit(1.0)) / (
-        F.col("_tc").cast("double") + F.lit(10.0)
-    )
-    return (
-        joined.crossJoin(F.broadcast(tot))
-        .select(
-            F.col("bin").cast("int").alias("bin"),
-            "n_ref",
-            "n_cur",
-            F.round((qq - p) * F.log(qq / p), 6).alias("psi_term"),
-        )
-        .orderBy("bin")
-    )
+    return _psi_report(joined)
 
 
 ST21_SQL = EV27_SQL
