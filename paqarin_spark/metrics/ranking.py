@@ -166,13 +166,26 @@ def kendall_census(
     counts (_c concordant, _d discordant, _tx/_ty ties, _n0 pairs)
     plus the usable row count n. Groups with no pairs keep a row
     with zeroed censuses (left join) so degenerate groups stay
-    visible instead of vanishing from the output."""
+    visible instead of vanishing from the output.
+
+    Rows with a NULL order value are filtered OUT (a NULL ``_i``
+    would pass a NULL-x/y-only filter, count toward n, yet never
+    form a pair — ``_i < _ib`` is NULL — silently biasing the
+    census). ``order_column`` must also be UNIQUE within a group:
+    duplicate order values drop their pair the same silent way
+    (neither ``<`` direction holds), which this function cannot
+    detect cheaply — callers own that invariant (every in-repo
+    caller orders by a calendar day or row_number)."""
     base = df.select(
         F.col(group_column).alias("grp"),
         F.col(order_column).alias("_i"),
         F.col(x_column).alias("_x"),
         F.col(y_column).alias("_y"),
-    ).where(F.col("_x").isNotNull() & F.col("_y").isNotNull())
+    ).where(
+        F.col("_i").isNotNull()
+        & F.col("_x").isNotNull()
+        & F.col("_y").isNotNull()
+    )
     a = base.select("grp", "_i", "_x", "_y")
     b = base.select(
         F.col("grp").alias("grp_b"),

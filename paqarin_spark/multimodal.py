@@ -1477,7 +1477,16 @@ def wav_dft_features(
     The angle is computed as ``(2π·k)·i/n`` in that association order
     — keep it in lockstep with the oracle mirror; magnitudes round
     HALF-UP at 6dp (np.round is banker's and would flip half-boundary
-    values against the SQL ROUND)."""
+    values against the SQL ROUND).
+
+    Determinism of the reduction: each cos/sin term is rounded
+    half-away-from-zero at 12dp to an INTEGER count of 1e-12 units
+    and summed as int64 — an exact, order-independent sum (numpy's
+    pairwise ``.sum()`` vs a SQL engine's sequential SUM can differ
+    in the last ulp otherwise). The final ``units/1e12`` divide
+    mirrors the oracle's ``CAST(SUM(CAST(ROUND(term,12) AS
+    DECIMAL(38,12))) AS DOUBLE)`` bit-for-bit (decimal→double in
+    DuckDB is integer-units → double → /10^scale)."""
     import math
 
     import numpy as np
@@ -1501,8 +1510,22 @@ def wav_dft_features(
                 idx = np.arange(n, dtype=np.float64)
                 for k in bins:
                     ang = (2.0 * math.pi * float(k)) * idx / float(n)
-                    re = float((x * np.cos(ang)).sum())
-                    im = float((x * np.sin(ang)).sum())
+                    tr = x * np.cos(ang)
+                    ti = x * np.sin(ang)
+                    re_u = int(
+                        (
+                            np.floor(np.abs(tr) * 1e12 + 0.5)
+                            * np.sign(tr)
+                        ).astype(np.int64).sum()
+                    )
+                    im_u = int(
+                        (
+                            np.floor(np.abs(ti) * 1e12 + 0.5)
+                            * np.sign(ti)
+                        ).astype(np.int64).sum()
+                    )
+                    re = float(re_u) / 1e12
+                    im = float(im_u) / 1e12
                     mag = math.sqrt(re * re + im * im) / float(n)
                     scaled = abs(mag) * 1e6
                     rows.append(

@@ -898,19 +898,29 @@ def dsir_weights(
         F.sum("_c_tgt").alias("_n_tgt"),
         F.count(F.lit(1)).alias("_v"),
     )
-    llr = F.col("_c").cast("double") * (
-        F.log(F.col("_c_tgt") + F.lit(1))
-        - F.log(F.col("_n_tgt") + F.col("_v"))
-        - F.log(F.col("_c_raw") + F.lit(1))
-        + F.log(F.col("_n_raw") + F.col("_v"))
-    )
+    # Each per-token term is rounded 12dp and summed in
+    # decimal(38,12) (the kn_bigram discipline): a raw double SUM is
+    # partial-aggregation-order-dependent across Spark partitions and
+    # vs DuckDB's sequential SUM, and the value feeds both the
+    # rounded output and the Gumbel-top-k cutoff downstream, where a
+    # last-ulp flip would change the selection.
+    llr = F.round(
+        F.col("_c").cast("double")
+        * (
+            F.log(F.col("_c_tgt") + F.lit(1))
+            - F.log(F.col("_n_tgt") + F.col("_v"))
+            - F.log(F.col("_c_raw") + F.lit(1))
+            + F.log(F.col("_n_raw") + F.col("_v"))
+        ),
+        12,
+    ).cast("decimal(38,12)")
     return (
         per_doc.join(vocab, "token")
         .crossJoin(F.broadcast(totals))
         .groupBy("_id")
         .agg(
             F.sum("_c").cast("long").alias("n_tokens"),
-            F.sum(llr).alias("log_weight"),
+            F.sum(llr).cast("double").alias("log_weight"),
         )
         .select(F.col("_id").alias(id_column), "n_tokens", "log_weight")
     )

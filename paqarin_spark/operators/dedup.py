@@ -187,13 +187,13 @@ def ngram_jaccard_pairs(
     )
     out = (
         common.join(
-            F.broadcast(sizes).withColumnRenamed("doc", "id_a").withColumnRenamed(
+            sizes.withColumnRenamed("doc", "id_a").withColumnRenamed(
                 "n_shingles", "size_a"
             ),
             on="id_a",
         )
         .join(
-            F.broadcast(sizes).withColumnRenamed("doc", "id_b").withColumnRenamed(
+            sizes.withColumnRenamed("doc", "id_b").withColumnRenamed(
                 "n_shingles", "size_b"
             ),
             on="id_b",
@@ -954,7 +954,9 @@ def containment_pairs(
 
     Same scale shape as :func:`ngram_jaccard_pairs`: inverted-index
     self-join on shingle (docs meet only on shared shingles), df-cap
-    pruning against viral shingles, sizes broadcast back. Each
+    pruning against viral shingles, sizes joined back on doc id
+    (unhinted: `sizes` is one row per document, so it scales with
+    the corpus — AQE broadcasts it only when small). Each
     undirected common-count expands to both directions before the
     threshold, so the output names (id_small = the contained side).
     """
@@ -980,12 +982,12 @@ def containment_pairs(
     # union of two selects over `common` would recompute the whole
     # shingle self-join per branch (measured 28s -> 3s at sf0.01).
     paired = common.join(
-        F.broadcast(sizes).withColumnRenamed("doc", "id_a").withColumnRenamed(
+        sizes.withColumnRenamed("doc", "id_a").withColumnRenamed(
             "n_shingles", "size_a"
         ),
         on="id_a",
     ).join(
-        F.broadcast(sizes).withColumnRenamed("doc", "id_b").withColumnRenamed(
+        sizes.withColumnRenamed("doc", "id_b").withColumnRenamed(
             "n_shingles", "size_b"
         ),
         on="id_b",

@@ -6300,11 +6300,11 @@ def q84_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey", "p_name"
     )
     pruned = li.join(
-        F.broadcast(large.select("p_partkey")),
+        large.select("p_partkey"),
         li.l_partkey == F.col("p_partkey"),
         "left_semi",
     ).join(
-        F.broadcast(euro_supp.select("s_suppkey")),
+        euro_supp.select("s_suppkey"),
         li.l_suppkey == F.col("s_suppkey"),
         "left_semi",
     )
@@ -11250,7 +11250,7 @@ def q95_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.crossJoin(F.broadcast(mx))
         .where(F.col("_rev") == F.col("_mx"))
-        .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        .join(supp, rev.l_suppkey == supp.s_suppkey)
         .select(
             "s_suppkey",
             "s_name",
@@ -11782,9 +11782,7 @@ def q98_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
     return (
-        numwait.join(
-            F.broadcast(supp), numwait._blame == supp.s_suppkey
-        )
+        numwait.join(supp, numwait._blame == supp.s_suppkey)
         .select("s_name", "numwait")
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(20)
@@ -11910,7 +11908,7 @@ def q99_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (
         orders.join(asia_cust, orders.o_custkey == F.col("c_custkey"))
         .join(li, orders.o_orderkey == li.l_orderkey)
-        .join(F.broadcast(supp_nat), li.l_suppkey == F.col("s_suppkey"))
+        .join(supp_nat, li.l_suppkey == F.col("s_suppkey"))
         .select(
             F.year("o_orderdate").alias("o_year"),
             (
@@ -12160,13 +12158,14 @@ def q100_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     residual, instead of falling back to a cartesian. Revenue is the
     exact-decimal discount sum.
 
-    Scale shape: part is a broadcast dim; lineitem is scanned once
-    with the residual OR evaluated in the join, no shuffle beyond the
-    single broadcast probe."""
+    Scale shape: part scales linearly with SF (SF*200k rows), so the
+    join strategy is left to AQE -- broadcast at small SF, shuffled
+    hash / sort-merge at cluster scale. lineitem is scanned once with
+    the residual OR evaluated as a join residual, never a cartesian."""
     configure_for_determinism(spark)
     li = read_table(spark, sf_dir, "lineitem")
     part = read_table(spark, sf_dir, "part")
-    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    j = li.join(part, li.l_partkey == part.p_partkey)
     band = (
         (
             (F.col("p_brand") == "Brand#1")
@@ -14857,8 +14856,12 @@ WITH daily0 AS (
   FROM events GROUP BY 1, 2
 ), daily AS (
   -- mirror kendall_tau's usable-row filter (x is a COUNT, never
-  -- NULL; y can be NULL only if every value in the bucket is NULL)
-  SELECT * FROM daily0 WHERE x IS NOT NULL AND y IS NOT NULL
+  -- NULL; y can be NULL only if every value in the bucket is NULL;
+  -- day is the order key and also NULL-filtered, matching
+  -- kendall_census — a NULL order value would count in n but never
+  -- pair)
+  SELECT * FROM daily0
+  WHERE day IS NOT NULL AND x IS NOT NULL AND y IS NOT NULL
 ), pairs AS (
   SELECT a.grp,
          CASE WHEN a.x < b.x THEN -1 WHEN a.x > b.x THEN 1 ELSE 0 END AS dx,
@@ -15177,8 +15180,10 @@ WITH t AS (
   SELECT SUM(c_raw) AS n_raw, SUM(c_tgt) AS n_tgt, COUNT(*) AS v FROM vc
 ), w AS (
   SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
-         SUM(CAST(c AS DOUBLE) * (ln(c_tgt + 1) - ln(n_tgt + v)
-                                  - ln(c_raw + 1) + ln(n_raw + v)))
+         CAST(SUM(CAST(ROUND(
+           CAST(c AS DOUBLE) * (ln(c_tgt + 1) - ln(n_tgt + v)
+                                - ln(c_raw + 1) + ln(n_raw + v)), 12)
+           AS DECIMAL(38,12))) AS DOUBLE)
            AS lw
   FROM pd JOIN vc USING (token) CROSS JOIN tot GROUP BY doc_id
 ), picked AS (
@@ -15222,14 +15227,22 @@ def tx52_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.log(F.col("_c").cast("double")).alias("_y"),
         F.col("_c"),
     )
+    # Moment sums are rounded 12dp per point and accumulated in
+    # decimal(38,12) (the em31 order-independence discipline): a raw
+    # double SUM over 100 points is partial-agg-order-dependent vs
+    # DuckDB's sequential SUM and can flip the 6dp-rounded fit at a
+    # rounding boundary.
+    dec = lambda c: F.sum(F.round(c, 12).cast("decimal(38,12)")).cast(
+        "double"
+    )
     agg = pts.agg(
         F.count(F.lit(1)).cast("double").alias("_n"),
         F.max("_c").cast("long").alias("top_freq"),
-        F.sum("_x").alias("_sx"),
-        F.sum("_y").alias("_sy"),
-        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
-        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
-        F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+        dec(F.col("_x")).alias("_sx"),
+        dec(F.col("_y")).alias("_sy"),
+        dec(F.col("_x") * F.col("_x")).alias("_sxx"),
+        dec(F.col("_x") * F.col("_y")).alias("_sxy"),
+        dec(F.col("_y") * F.col("_y")).alias("_syy"),
     )
     cov = F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
     varx = F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
@@ -15261,8 +15274,14 @@ WITH f AS (
   FROM top
 ), agg AS (
   SELECT CAST(COUNT(*) AS DOUBLE) AS n, MAX(c) AS top_freq,
-         SUM(x) AS sx, SUM(y) AS sy,
-         SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy
+         CAST(SUM(CAST(ROUND(x, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(ROUND(y, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(ROUND(x * x, 12) AS DECIMAL(38,12))) AS DOUBLE)
+           AS sxx,
+         CAST(SUM(CAST(ROUND(x * y, 12) AS DECIMAL(38,12))) AS DOUBLE)
+           AS sxy,
+         CAST(SUM(CAST(ROUND(y * y, 12) AS DECIMAL(38,12))) AS DOUBLE)
+           AS syy
   FROM pts
 )
 SELECT CAST(n AS BIGINT) AS n_terms, CAST(top_freq AS BIGINT) AS top_freq,
@@ -15460,8 +15479,10 @@ WITH a AS (
   SELECT unnest([1, 2, 3]) AS bin
 ), dft AS (
   SELECT asset_id, bin, MAX(n) AS n,
-         SUM(x * cos((2 * pi() * bin) * i / n)) AS re,
-         SUM(x * sin((2 * pi() * bin) * i / n)) AS im
+         CAST(SUM(CAST(ROUND(x * cos((2 * pi() * bin) * i / n), 12)
+                       AS DECIMAL(38,12))) AS DOUBLE) AS re,
+         CAST(SUM(CAST(ROUND(x * sin((2 * pi() * bin) * i / n), 12)
+                       AS DECIMAL(38,12))) AS DOUBLE) AS im
   FROM s CROSS JOIN b GROUP BY asset_id, bin
 )
 SELECT asset_id, CAST(bin AS INTEGER) AS bin,
@@ -16005,7 +16026,10 @@ WITH daily AS (
          SUM(CAST(value AS DECIMAL(30,10))) AS y
   FROM events GROUP BY 1
 ), dailyf AS (
-  SELECT * FROM daily WHERE x IS NOT NULL AND y IS NOT NULL
+  -- day is the census order key; NULL-filtered to mirror
+  -- kendall_census's usable-row contract
+  SELECT * FROM daily
+  WHERE day IS NOT NULL AND x IS NOT NULL AND y IS NOT NULL
 ), pairs AS (
   SELECT CASE WHEN a.x < b.x THEN -1 WHEN a.x > b.x THEN 1 ELSE 0 END AS dx,
          CASE WHEN a.y < b.y THEN -1 WHEN a.y > b.y THEN 1 ELSE 0 END AS dy
@@ -16316,7 +16340,11 @@ def ev27_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: one row per OCCUPIED bin; Σterm is the PSI (>0.25 =
     action threshold in the standard reading)."""
     configure_for_determinism(spark)
-    ev = _events(spark, sf_dir)
+    # NULL values carry no bin evidence and are dropped explicitly —
+    # the same stated contract as stream_bin_counts, keeping the
+    # st21 batch/stream parity proof independent of the dataset
+    # never carrying NULLs.
+    ev = _events(spark, sf_dir).where(F.col("value").isNotNull())
     d0 = ev.agg(F.min(F.to_date("ts")).alias("_d0"))
     dated = ev.crossJoin(F.broadcast(d0)).select(
         "event_id",
@@ -16352,9 +16380,10 @@ def ev27_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 EV27_SQL = """
 WITH dated AS (
   SELECT event_id, value,
-         date_diff('day', (SELECT MIN(CAST(ts AS DATE)) FROM events),
+         date_diff('day', (SELECT MIN(CAST(ts AS DATE))
+                           FROM events WHERE value IS NOT NULL),
                    CAST(ts AS DATE)) < 15 AS ref
-  FROM events
+  FROM events WHERE value IS NOT NULL
 ), ranked AS (
   SELECT value, ROW_NUMBER() OVER (ORDER BY value, event_id) AS r,
          COUNT(*) OVER () AS n
@@ -16649,7 +16678,10 @@ def st21_stream_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     configure_for_determinism(spark)
-    ev = _events(spark, sf_dir)
+    # NULL values dropped explicitly on BOTH the reference and the
+    # stream side (stream_bin_counts states the same filter) — the
+    # parity contract with ev27, not an implicit dataset property.
+    ev = _events(spark, sf_dir).where(F.col("value").isNotNull())
     min_day_row = ev.agg(F.min(F.to_date("ts")).alias("_d")).collect()[0]
     min_day = min_day_row["_d"].isoformat()
     ref = ev.where(

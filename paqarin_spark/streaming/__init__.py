@@ -1444,7 +1444,13 @@ def stream_bin_counts(
     bin_expr = sum(
         (F.col(value_column) > F.lit(float(e))).cast("int") for e in edges
     )
-    binned = stream.select(bin_expr.alias("bin"))
+    # NULL values are dropped EXPLICITLY (a NULL comparison sums to a
+    # NULL bin, which downstream consumers would silently lose) —
+    # ev27's batch binning states the same contract, so the
+    # batch/stream parity proof holds even on NULL-carrying data.
+    binned = stream.where(F.col(value_column).isNotNull()).select(
+        bin_expr.alias("bin")
+    )
     out_type = StructType(
         [
             StructField("bin", IntegerType(), True),
