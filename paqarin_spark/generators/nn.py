@@ -336,6 +336,88 @@ def gru_mse(params: dict, seqs: np.ndarray) -> float:
     return err / float(n * (t_len - 1) * d)
 
 
+def gru_step_strict(params: dict, x: list, h: list) -> tuple[list, list]:
+    """SQL-replayable twin of :func:`gru_step`: identical GRU math,
+    but every reduction is a STRICT LEFT FOLD of scalar IEEE ops and
+    every transcendental goes through libm ``math.exp`` — tanh is
+    evaluated in its exp form (e²ᵃ−1)/(e²ᵃ+1) because DuckDB 1.0
+    ships no hyperbolics — so a DuckDB recursive CTE evaluating the
+    same expressions in the same association order reproduces the
+    rollout BIT-FOR-BIT (gen13's value oracle for the recurrent
+    sample path; DuckDB's ``exp`` is the same glibc call). The BLAS
+    matmuls in :func:`gru_step` carry no such order guarantee, which
+    is exactly why the executing providers' oracles need this twin.
+    Numerical agreement with gru_step is pinned by tests (≤1e-9 on
+    md5-derived states); the two differ only below that, in
+    summation-order ulps.
+
+    ``x`` is a length-d_in list, ``h`` a length-hidden list; returns
+    (y, h_new) as plain float lists. Association order contract
+    (mirrored token-for-token by the oracle SQL):
+
+        xw_k    = fold_d  x[d]·wx[d][k]            (left fold, 0 init)
+        pre_k   = (xw_k + fold_i h[i]·wh[i][k]) + b[k]
+        cand_k  = (xw_k + fold_i (r[i]·h[i])·wh[i][k]) + b[k]
+        h'_k    = ((1−z_k)·h_k) + (z_k·c_k)
+        y_j     = (fold_i h'_i·wo[i][j]) + bo[j]
+    """
+    import math
+
+    wx, wh, b = params["wx"], params["wh"], params["b"]
+    wo, bo = params["wo"], params["bo"]
+    hdim = len(h)
+    d_in = len(x)
+    xw = []
+    for k in range(3 * hdim):
+        s = 0.0
+        for d in range(d_in):
+            s += float(x[d]) * float(wx[d][k])
+        xw.append(s)
+
+    def fold(vec, col):
+        s = 0.0
+        for i in range(hdim):
+            s += vec[i] * float(wh[i][col])
+        return s
+
+    z = [
+        1.0 / (1.0 + math.exp(-((xw[k] + fold(h, k)) + float(b[k]))))
+        for k in range(hdim)
+    ]
+    r = [
+        1.0
+        / (
+            1.0
+            + math.exp(
+                -((xw[hdim + k] + fold(h, hdim + k)) + float(b[hdim + k]))
+            )
+        )
+        for k in range(hdim)
+    ]
+    rh = [r[i] * float(h[i]) for i in range(hdim)]
+    def tanh_exp(a: float) -> float:
+        e2 = math.exp(2.0 * a)
+        return (e2 - 1.0) / (e2 + 1.0)
+
+    c = [
+        tanh_exp(
+            (xw[2 * hdim + k] + fold(rh, 2 * hdim + k))
+            + float(b[2 * hdim + k])
+        )
+        for k in range(hdim)
+    ]
+    h_new = [
+        ((1.0 - z[k]) * float(h[k])) + (z[k] * c[k]) for k in range(hdim)
+    ]
+    y = []
+    for j in range(len(bo)):
+        s = 0.0
+        for i in range(hdim):
+            s += h_new[i] * float(wo[i][j])
+        y.append(s + float(bo[j]))
+    return y, h_new
+
+
 def gru_params_to_lists(params: dict) -> dict:
     return {k: np.asarray(v, dtype=np.float64).tolist() for k, v in params.items()}
 

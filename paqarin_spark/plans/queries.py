@@ -13610,7 +13610,11 @@ def gen10_grunet_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned by tests/test_neural.py, which also pins the structural
     long-memory win over the feedforward ARNet core (a delay-line
     task the flat window head cannot express) — but not
-    single-statement SQL. Declaring it makes the driver smoke-prove
+    single-statement SQL, and the trained weights differ per SF, so
+    no static oracle can own them (round-10 adjudication). The
+    SAMPLE path is value-oracled separately: gen13 replays the same
+    rollout orchestration with frozen md5-Glorot weights against a
+    recursive-CTE mirror, leaving ONLY the BPTT fit rows-only. Declaring it makes the driver smoke-prove
     every round that a RECURRENT train/sample lifecycle (the
     reference's TimeGAN/PAR sequence-model seam,
     `paqarin/adapters/ydata_adapter.py:291-322`,
@@ -17132,8 +17136,243 @@ FROM m GROUP BY shard_id ORDER BY shard_id
 """
 
 
+_GEN13_HIDDEN = 4
+_GEN13_SEED = 13
+_GEN13_WARM = 7
+_GEN13_FREE = 8
+_GEN13_NSEQ = 12
+
+
+def gen13_gru_rollout_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUE-ORACLED recurrent SAMPLE path — the oracle-side evidence
+    the executing GRU provider (gen10) cannot carry for its trained
+    weights: the same md5-Glorot init (generators.nn.init_gru_params,
+    shared code with gen10's fit) is FROZEN (no BPTT), each picked
+    user's first 7 min-max-scaled event values warm the hidden state,
+    and the GRU then free-runs 8 steps feeding its own predictions
+    back — the exact rollout orchestration of
+    GRUNetGenerator.generate (generators/recurrent.py:176), driven
+    through nn.gru_step_strict, the strict-left-fold/libm twin of
+    the BLAS gru_step kernel. The oracle replays the full recurrence
+    in a recursive CTE with the weights shipped as literals (the
+    VERDICT-r9 "frozen weights, replay the rollout" design), so the
+    hash match value-verifies gate arithmetic, hidden-state carry,
+    feedback, and inverse scaling end-to-end. Training (BPTT) remains
+    the one rows-only boundary, now provably ONLY training: its
+    weights differ per SF, so no static SQL can own them (adjudicated
+    round 10; gen6/gen10 stay rows-only by design).
+
+    Reference seam: the sample half of the recurrent providers —
+    TimeGAN rollout (`paqarin/adapters/ydata_adapter.py:291-358`) and
+    SDV-PAR sampling (`sdv_adapter.py:94-119`).
+
+    Scale shape: bounds are one scalar aggregate; contexts are one
+    per-user window rank (user-keyed shuffle); the rollout is an
+    Arrow-batched linear pass with ZERO shuffles — 1000 executors
+    each roll their own sequence partition; the 15-step recursion is
+    per-sequence state, never cross-sequence."""
+    from paqarin_spark.generators import nn
+
+    configure_for_determinism(spark)
+    H, seed = _GEN13_HIDDEN, _GEN13_SEED
+    warm, free, nseq = _GEN13_WARM, _GEN13_FREE, _GEN13_NSEQ
+    ev = _events(spark, sf_dir).where(F.col("value").isNotNull())
+    b = ev.agg(F.min("value").alias("_mn"), F.max("value").alias("_mx"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ctx = (
+        ev.select("user_id", "ts", "event_id", "value")
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= warm)
+        .groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("_rn", "value"))
+            ).alias("_a"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .where(F.col("_n") == warm)
+        .select(
+            "user_id",
+            F.transform("_a", lambda s: s["value"]).alias("_ctx"),
+        )
+    )
+    ranked = ctx.withColumn(
+        "_r",
+        F.md5(F.concat(F.lit("g13u#"), F.col("user_id").cast("string"))),
+    )
+    picked = (
+        ranked.orderBy("_r")
+        .limit(nseq)
+        .select(
+            (F.row_number().over(Window.orderBy("_r")) - 1)
+            .cast("long")
+            .alias("sequence_id"),
+            "_ctx",
+        )
+    )
+    scaled = picked.crossJoin(F.broadcast(b)).select(
+        "sequence_id",
+        F.transform(
+            "_ctx",
+            lambda v: (v - F.col("_mn")) / (F.col("_mx") - F.col("_mn")),
+        ).alias("_xs"),
+        "_mn",
+        "_mx",
+    )
+    wlists = nn.gru_params_to_lists(nn.init_gru_params(1, H, 1, seed))
+
+    def rollout(batches):
+        import pandas as pd
+
+        from paqarin_spark.generators import nn as _nn
+
+        for pdf in batches:
+            rows = []
+            for sid, xs, mn, mx in zip(
+                pdf["sequence_id"], pdf["_xs"], pdf["_mn"], pdf["_mx"]
+            ):
+                h = [0.0] * H
+                y = [0.0]
+                for t in range(warm):
+                    y, h = _nn.gru_step_strict(wlists, [float(xs[t])], h)
+                for s in range(free):
+                    pred = y[0]
+                    rows.append(
+                        {
+                            "sequence_id": int(sid),
+                            "step": s,
+                            "value": (pred * (mx - mn)) + mn,
+                        }
+                    )
+                    y, h = _nn.gru_step_strict(wlists, [pred], h)
+            yield pd.DataFrame(
+                rows, columns=["sequence_id", "step", "value"]
+            )
+
+    out = scaled.mapInPandas(
+        rollout, schema="sequence_id long, step int, value double"
+    )
+    return out.select(
+        "sequence_id", "step", F.round("value", 6).alias("value")
+    ).orderBy("sequence_id", "step")
+
+
+def _gen13_sql() -> str:
+    """Recursive-CTE replay of gen13's rollout with the frozen
+    weights inlined as literals (computed by the SAME
+    nn.init_gru_params call the Spark side makes — data-independent,
+    so one static SQL holds at every SF). Every expression mirrors
+    gru_step_strict's association-order contract token-for-token."""
+    from paqarin_spark.generators import nn
+
+    H, seed = _GEN13_HIDDEN, _GEN13_SEED
+    warm, free, nseq = _GEN13_WARM, _GEN13_FREE, _GEN13_NSEQ
+    p = nn.gru_params_to_lists(nn.init_gru_params(1, H, 1, seed))
+    wx, wh, wo = p["wx"][0], p["wh"], p["wo"]
+
+    def lit(v: float) -> str:
+        s = repr(float(v))
+        return f"({s})" if s.startswith("-") else s
+
+    def fold_h(vec_fmt: str, col: int) -> str:
+        return " + ".join(
+            f"{vec_fmt.format(i=i + 1)} * {lit(wh[i][col])}"
+            for i in range(H)
+        )
+
+    z_arr = ", ".join(
+        f"1.0 / (1.0 + exp(-((x * {lit(wx[k])}"
+        f" + ({fold_h('hp[{i}]', k)})) + 0.0)))"
+        for k in range(H)
+    )
+    r_arr = ", ".join(
+        f"1.0 / (1.0 + exp(-((x * {lit(wx[H + k])}"
+        f" + ({fold_h('hp[{i}]', H + k)})) + 0.0)))"
+        for k in range(H)
+    )
+    def tanh_sql(a: str) -> str:
+        # DuckDB 1.0 has no tanh; the exp form mirrors
+        # gru_step_strict's tanh_exp op-for-op
+        return f"(exp(2.0 * ({a})) - 1.0) / (exp(2.0 * ({a})) + 1.0)"
+
+    c_arr = ", ".join(
+        tanh_sql(
+            f"(x * {lit(wx[2 * H + k])}"
+            f" + ({fold_h('(r[{i}] * hp[{i}])', 2 * H + k)})) + 0.0"
+        )
+        for k in range(H)
+    )
+    hn_arr = ", ".join(
+        f"((1.0 - z[{k + 1}]) * hp[{k + 1}]) + (z[{k + 1}] * c[{k + 1}])"
+        for k in range(H)
+    )
+    y_expr = (
+        " + ".join(f"hn[{i + 1}] * {lit(wo[i][0])}" for i in range(H))
+        + " + 0.0"
+    )
+    # the initial state must be typed DOUBLE[] explicitly — a bare
+    # [0.0, ...] literal types the CTE's h column DECIMAL(2,1)[] in
+    # DuckDB, silently quantizing the whole recurrence
+    h0 = ", ".join(["CAST(0.0 AS DOUBLE)"] * H)
+    last_t = warm + free - 1
+    return f"""
+WITH RECURSIVE
+bounds AS (
+  SELECT MIN(value) AS mn, MAX(value) AS mx
+  FROM events WHERE value IS NOT NULL
+),
+byuser AS (
+  SELECT user_id, list(value ORDER BY ts, event_id) AS vs
+  FROM events WHERE value IS NOT NULL
+  GROUP BY user_id HAVING COUNT(*) >= {warm}
+),
+picked AS (
+  SELECT user_id, vs,
+         ROW_NUMBER() OVER (
+           ORDER BY md5('g13u#' || CAST(user_id AS VARCHAR))) - 1 AS sid
+  FROM byuser
+  QUALIFY sid < {nseq}
+),
+scaled AS (
+  SELECT sid,
+         list_transform(vs[1:{warm}], v -> (v - mn) / (mx - mn)) AS xs
+  FROM picked CROSS JOIN bounds
+),
+walk(sid, xs, t, h, y) AS (
+  SELECT sid, xs, 0, [{h0}], CAST(NULL AS DOUBLE) FROM scaled
+  UNION ALL
+  SELECT sid, xs, t2, hn, ({y_expr})
+  FROM (
+    SELECT sid, xs, t2, [{hn_arr}] AS hn
+    FROM (
+      SELECT sid, xs, t2, hp, z, [{c_arr}] AS c
+      FROM (
+        SELECT sid, xs, t2, hp, x, [{z_arr}] AS z, [{r_arr}] AS r
+        FROM (
+          SELECT sid, xs, t + 1 AS t2, h AS hp,
+                 CASE WHEN t < {warm} THEN xs[t + 1] ELSE y END AS x
+          FROM walk WHERE t < {last_t}
+        )
+      )
+    )
+  )
+)
+SELECT CAST(sid AS BIGINT) AS sequence_id,
+       CAST(t - {warm} AS INTEGER) AS step,
+       ROUND((y * (mx - mn)) + mn, 6) AS value
+FROM walk CROSS JOIN bounds
+WHERE t >= {warm}
+ORDER BY sequence_id, step
+"""
+
+
+GEN13_SQL = _gen13_sql()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- round-9 additions (never driver-verified) come first ---
+    # --- round-10 additions (never driver-verified) come first ---
+    "gen13_gru_rollout_replay": gen13_gru_rollout_replay,
+    # --- round-9 additions, r9-driver-verified ---
     "ev23_kendall_tau": ev23_kendall_tau,
     "q110_trailing_dau_hll": q110_trailing_dau_hll,
     "st21_stream_psi": st21_stream_psi,
@@ -17186,14 +17425,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-6 additions, r6-driver-verified ---
     "tx42_duplicate_substrings": tx42_duplicate_substrings,
     "tx43_exactsubstr_strip": tx43_exactsubstr_strip,
-    "mm13_audio_metadata": mm13_audio_metadata,
     # (Historical round-4/round-5 rotation prose removed in round 9 —
     # it described entries that have long since been driver-verified
     # and rotated; per-displacement notes below the marker are the
     # accurate record. Everything ABOVE this line is the current
-    # 50-entry driver window: round-9 additions first, then the most
+    # 50-entry driver window: round-10 additions first, then the most
     # recently verified rounds.)
     # ------------- driver 50-entry window ends HERE (position 50) -------------
+    # mm13 (r6-driver-verified) displaced for round-10 gen13.
+    "mm13_audio_metadata": mm13_audio_metadata,
     # st14 (r6-driver-verified) displaced for round-9 q110.
     "st14_stream_view_rollup": st14_stream_view_rollup,
     # q93 (r6-driver-verified) displaced for round-9 st21.
@@ -17483,6 +17723,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # single-statement SQL — declared so the driver proves the neural
 # train/sample lifecycle runs, not to widen the oracle surface.
 ORACLE_SQL: dict[str, str] = {
+    "gen13_gru_rollout_replay": GEN13_SQL,
     "ev23_kendall_tau": EV23_SQL,
     "q110_trailing_dau_hll": Q110_SQL,
     "st21_stream_psi": ST21_SQL,

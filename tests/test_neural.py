@@ -376,6 +376,31 @@ def test_gru_bptt_gradients_match_finite_differences():
             it.iternext()
 
 
+def test_gru_step_strict_matches_blas_kernel():
+    """gru_step_strict (the SQL-replayable left-fold/libm twin that
+    gen13's recursive-CTE oracle mirrors) agrees with the BLAS
+    gru_step kernel to <=1e-9 on md5-derived states across multiple
+    shapes — the tie that makes the oracled rollout evidence about
+    the REAL recurrent sample path, not a parallel implementation."""
+    import numpy as np
+
+    from paqarin_spark.generators import nn
+
+    for d_in, hidden, d_out, seed in [(1, 4, 1, 13), (2, 3, 2, 7), (3, 6, 1, 29)]:
+        p = nn.init_gru_params(d_in, hidden, d_out, seed)
+        x = [2.0 * nn._md5_unit(f"sx#{seed}#{d}") - 1.0 for d in range(d_in)]
+        h = [2.0 * nn._md5_unit(f"sh#{seed}#{i}") - 1.0 for i in range(hidden)]
+        # drive several chained steps so divergence would compound
+        hb = np.array([h])
+        hs = list(h)
+        for t in range(5):
+            yb, hb = nn.gru_step(p, np.array([x]), hb)
+            ys, hs = nn.gru_step_strict(p, x, hs)
+            assert np.max(np.abs(np.array([ys]) - yb)) <= 1e-9
+            assert np.max(np.abs(np.array([hs]) - hb)) <= 1e-9
+            x = [float(v) for v in ys[:d_in]] if d_out >= d_in else x
+
+
 def test_gru_beats_feedforward_on_long_memory_delay_line():
     """The structural claim gen10 exists for: a delay-line task
     (period-5 sequences of md5 bits, so x_{t+1} = x_{t-4}) is EXACTLY
