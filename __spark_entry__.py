@@ -33,9 +33,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable oracle SQL per query. Every query is
-    value-hash-checked EXCEPT the two executing neural providers
-    (gen6_arnet_sample, gen10_grunet_sample) — deliberately rows-only
-    (gradient/BPTT training is deterministic but not single-statement
-    SQL; see their docstrings). len(ORACLE_SQL) == len(QUERIES) - 2
-    by design."""
+    value-hash-checked EXCEPT the three executing neural providers
+    (gen6_arnet_sample, gen10_grunet_sample, gen12_gan_sample) —
+    deliberately rows-only (gradient/BPTT/adversarial training is
+    deterministic but not single-statement SQL; see their docstrings;
+    the recurrent SAMPLE path is value-oracled separately by gen13).
+    len(ORACLE_SQL) == len(QUERIES) - 3 by design."""
     return dict(ORACLE_SQL)

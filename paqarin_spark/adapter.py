@@ -20,6 +20,7 @@ from paqarin_spark.generators.conditional import ConditionalBootstrapGenerator
 from paqarin_spark.generators.gaussian import GaussianPerStepGenerator
 from paqarin_spark.generators.markov import MarkovEventGenerator
 from paqarin_spark.generators.neural import ARNetGenerator
+from paqarin_spark.generators.adversarial import GANWindowGenerator
 from paqarin_spark.generators.recurrent import GRUNetGenerator
 
 Factory = Callable[[GeneratorParameters], TimeSeriesGenerator]
@@ -27,6 +28,7 @@ Factory = Callable[[GeneratorParameters], TimeSeriesGenerator]
 _REGISTRY: dict[tuple[str, str], Factory] = {
     ("paqarin_spark", "arnet"): ARNetGenerator,
     ("paqarin_spark", "grunet"): GRUNetGenerator,
+    ("paqarin_spark", "gan"): GANWindowGenerator,
     ("paqarin_spark", "bootstrap"): BlockBootstrapGenerator,
     ("paqarin_spark", "conditional_bootstrap"): ConditionalBootstrapGenerator,
     ("paqarin_spark", "gaussian"): GaussianPerStepGenerator,

@@ -1,6 +1,7 @@
 """Spark-native generation providers (SURVEY.md §7 step 3) and the
 deep-provider data-contract views."""
 
+from paqarin_spark.generators.adversarial import GANWindowGenerator
 from paqarin_spark.generators.bootstrap import BlockBootstrapGenerator
 from paqarin_spark.generators.conditional import ConditionalBootstrapGenerator
 from paqarin_spark.generators.deep import DeepProviderGenerator
@@ -18,6 +19,7 @@ from paqarin_spark.generators.views import (
 
 __all__ = [
     "ARNetGenerator",
+    "GANWindowGenerator",
     "GRUNetGenerator",
     "BlockBootstrapGenerator",
     "ConditionalBootstrapGenerator",

@@ -424,3 +424,117 @@ def gru_params_to_lists(params: dict) -> dict:
 
 def gru_params_from_lists(data: dict) -> dict:
     return {k: np.asarray(v, dtype=np.float64) for k, v in data.items()}
+
+
+# ----------------------------------------------------------------- GAN
+# Adversarial core for the TimeGAN generator/discriminator seam
+# (`paqarin/adapters/ydata_adapter.py:291-322`): a generator and a
+# discriminator trained JOINTLY by alternating full-batch steps — the
+# one model class every other executing provider (regression-fit
+# ARNet/GRU, closed-form copula/bootstrap) cannot occupy, because its
+# objective is a two-player game, not a loss against paired targets.
+# Same determinism contract as the other cores: float64, md5 Glorot
+# init, md5-derived noise keyed (seed, epoch, i, j), fixed epochs,
+# plain gradient descent (NO momentum — momentum on a full-batch
+# minimax oscillator is what made the first prototypes diverge),
+# one-sided label smoothing (real target 0.9, Salimans et al. 2016)
+# to keep the discriminator from saturating the game.
+
+
+def gan_noise(n: int, nz: int, seed: int, tag: str) -> np.ndarray:
+    """(n, nz) uniform(-1,1) noise from md5 draws keyed
+    (tag, seed, row, col) — replayable on any host, no RNG state."""
+    return np.array(
+        [
+            [
+                2.0 * _md5_unit(f"gan-{tag}#{seed}#{i}#{j}") - 1.0
+                for j in range(nz)
+            ]
+            for i in range(n)
+        ],
+        dtype=np.float64,
+    )
+
+
+def gan_sample(g_params: list[dict], z: np.ndarray) -> np.ndarray:
+    """Generator forward pass: tanh hidden, SIGMOID output — samples
+    live in (0,1), the min-max-scaled domain, so the generator can
+    neither explode nor need clipping."""
+    hg = np.tanh(z @ g_params[0]["w"] + g_params[0]["b"])
+    return _sigmoid(hg @ g_params[1]["w"] + g_params[1]["b"])
+
+
+def train_gan(
+    real: np.ndarray,
+    nz: int = 3,
+    hidden_g: int = 16,
+    hidden_d: int = 8,
+    epochs: int = 1500,
+    lr_g: float = 1.0,
+    lr_d: float = 0.5,
+    seed: int = 0,
+    smooth: float = 0.9,
+) -> tuple[list[dict], list[dict], list[float]]:
+    """Non-saturating GAN (Goodfellow et al. 2014) on (N, D) rows in
+    [0,1]: per epoch, ONE full-batch discriminator step on
+    −mean log σ(D(x)) − mean log(1−σ(D(G(z)))) with the real target
+    smoothed to ``smooth``, then ONE generator step on the
+    non-saturating −mean log σ(D(G(z))) against the UPDATED
+    discriminator, fresh md5 noise every epoch. Returns
+    (g_params, d_params, per-epoch discriminator losses) — the loss
+    trace is what the tests pin (descends from the init value but
+    stays OFF zero: a discriminator loss at 0 means the game
+    collapsed, which is exactly what the no-momentum/smoothing
+    choices prevent)."""
+    real = np.asarray(real, dtype=np.float64)
+    n, d = real.shape
+    if n == 0:
+        raise ValueError("cannot train a GAN on zero rows")
+    g = init_params([nz, hidden_g, d], seed)
+    dis = init_params([d, hidden_d, 1], seed + 1)
+    losses: list[float] = []
+    for ep in range(int(epochs)):
+        z = gan_noise(n, nz, seed, f"z#{ep}")
+        hg = np.tanh(z @ g[0]["w"] + g[0]["b"])
+        xg = _sigmoid(hg @ g[1]["w"] + g[1]["b"])
+        # --- discriminator step (real + fake halves, fake detached)
+        hr = np.tanh(real @ dis[0]["w"] + dis[0]["b"])
+        pr = _sigmoid(hr @ dis[1]["w"] + dis[1]["b"])
+        hf = np.tanh(xg @ dis[0]["w"] + dis[0]["b"])
+        pf = _sigmoid(hf @ dis[1]["w"] + dis[1]["b"])
+        losses.append(
+            float(
+                -(np.log(np.maximum(pr, 1e-12))).mean()
+                - (np.log(np.maximum(1.0 - pf, 1e-12))).mean()
+            )
+        )
+        dlr = (pr - smooth) / n
+        dlf = pf / n
+        g1w = hr.T @ dlr + hf.T @ dlf
+        g1b = dlr.sum(0) + dlf.sum(0)
+        dhr = (dlr @ dis[1]["w"].T) * (1.0 - hr * hr)
+        dhf = (dlf @ dis[1]["w"].T) * (1.0 - hf * hf)
+        g0w = real.T @ dhr + xg.T @ dhf
+        g0b = dhr.sum(0) + dhf.sum(0)
+        dis[0]["w"] = dis[0]["w"] - lr_d * g0w
+        dis[0]["b"] = dis[0]["b"] - lr_d * g0b
+        dis[1]["w"] = dis[1]["w"] - lr_d * g1w
+        dis[1]["b"] = dis[1]["b"] - lr_d * g1b
+        # --- generator step against the updated discriminator
+        hg = np.tanh(z @ g[0]["w"] + g[0]["b"])
+        xg = _sigmoid(hg @ g[1]["w"] + g[1]["b"])
+        hf = np.tanh(xg @ dis[0]["w"] + dis[0]["b"])
+        pf = _sigmoid(hf @ dis[1]["w"] + dis[1]["b"])
+        dlf = (pf - 1.0) / n
+        dxg = ((dlf @ dis[1]["w"].T) * (1.0 - hf * hf)) @ dis[0]["w"].T
+        dpre = dxg * xg * (1.0 - xg)
+        gg1w = hg.T @ dpre
+        gg1b = dpre.sum(0)
+        dhg = (dpre @ g[1]["w"].T) * (1.0 - hg * hg)
+        gg0w = z.T @ dhg
+        gg0b = dhg.sum(0)
+        g[0]["w"] = g[0]["w"] - lr_g * gg0w
+        g[0]["b"] = g[0]["b"] - lr_g * gg0b
+        g[1]["w"] = g[1]["w"] - lr_g * gg1w
+        g[1]["b"] = g[1]["b"] - lr_g * gg1b
+    return g, dis, losses

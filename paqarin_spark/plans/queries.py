@@ -17136,6 +17136,43 @@ FROM m GROUP BY shard_id ORDER BY shard_id
 """
 
 
+def gen12_gan_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ADVERSARIALLY-TRAINED executing provider
+    (generators.adversarial.GANWindowGenerator — generator +
+    discriminator trained JOINTLY by alternating full-batch steps,
+    pure numpy, zero TF/torch): fit on events windows, sample 30
+    unconditional sequences from md5 noise, emit long-form.
+
+    ROWS-ONLY BY DESIGN (the gen6/gen10 precedent — the executing
+    neural providers' TRAINING loops are not single-statement SQL):
+    the fit is deterministic — md5 Glorot init, md5 noise keyed
+    (seed, epoch, i, j), sorted bounded batch, fixed epochs,
+    layout-independent weights — all pinned by
+    tests/test_adversarial.py, which also pins the structural claims
+    no other in-env provider can make: the discriminator loss
+    descends without the game collapsing, and the generator covers
+    BOTH modes of a bimodal population where any MSE-trained head
+    provably averages to the mean. Declaring it makes the driver
+    smoke-prove every round that an ADVERSARIAL train/sample
+    lifecycle — the reference's TimeGAN generator/discriminator seam
+    (`paqarin/adapters/ydata_adapter.py:291-322`), the last
+    unoccupied generator class — actually executes in this
+    environment. Sampling is unconditional (z → window), so the
+    rollout is one embarrassingly parallel mapInPandas pass, no
+    start-pool state."""
+    from paqarin_spark.generators import GANWindowGenerator
+
+    configure_for_determinism(spark)
+    ev = _events(spark, sf_dir)
+    gen = GANWindowGenerator(_events_gen_params(), epochs=800).fit(ev)
+    out = gen.generate(30)
+    return out.select(
+        "sequence_id", F.posexplode("sequence").alias("step", "_obs")
+    ).select(
+        "sequence_id", "step", F.round(F.col("_obs.value"), 6).alias("value")
+    ).orderBy("sequence_id", "step")
+
+
 _GEN13_HIDDEN = 4
 _GEN13_SEED = 13
 _GEN13_WARM = 7
@@ -17371,6 +17408,7 @@ GEN13_SQL = _gen13_sql()
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-10 additions (never driver-verified) come first ---
+    "gen12_gan_sample": gen12_gan_sample,
     "gen13_gru_rollout_replay": gen13_gru_rollout_replay,
     # --- round-9 additions, r9-driver-verified ---
     "ev23_kendall_tau": ev23_kendall_tau,
@@ -17424,7 +17462,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx45_naive_bayes_lang": tx45_naive_bayes_lang,
     # --- round-6 additions, r6-driver-verified ---
     "tx42_duplicate_substrings": tx42_duplicate_substrings,
-    "tx43_exactsubstr_strip": tx43_exactsubstr_strip,
     # (Historical round-4/round-5 rotation prose removed in round 9 —
     # it described entries that have long since been driver-verified
     # and rotated; per-displacement notes below the marker are the
@@ -17432,6 +17469,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # 50-entry driver window: round-10 additions first, then the most
     # recently verified rounds.)
     # ------------- driver 50-entry window ends HERE (position 50) -------------
+    # tx43 (r6-driver-verified) displaced for round-10 gen12.
+    "tx43_exactsubstr_strip": tx43_exactsubstr_strip,
     # mm13 (r6-driver-verified) displaced for round-10 gen13.
     "mm13_audio_metadata": mm13_audio_metadata,
     # st14 (r6-driver-verified) displaced for round-9 q110.
