@@ -378,3 +378,84 @@ def spearman_rho(
             6,
         ).alias("rho"),
     )
+
+
+def cramer_von_mises(
+    df: DataFrame,
+    group_column: str,
+    flag_column: str,
+    value_column: str,
+    order_column: str,
+) -> DataFrame:
+    """Two-sample Cramér–von Mises statistic per group (flag=1 vs
+    flag=0 within the group), Anderson's rank form:
+
+        U = n·Σ_i (r_i − i)²  +  m·Σ_j (s_j − j)²
+        T = U / (n·m·(n+m))  −  (4nm − 1) / (6(n+m))
+
+    where r_i (s_j) are the COMBINED-sample ranks of the flag-1
+    (flag-0) values and i (j) their within-sample ranks. T weighs the
+    INTEGRATED squared gap between the two empirical CDFs — the omnibus
+    distribution-equality test beside the KS sup-gap (ev6) and the
+    rank-sum location test (ev24): KS sees the largest deviation, CvM
+    accumulates all of them.
+
+    Ranks are ROW_NUMBERs under the deterministic total order
+    (value, order_column) — the operational tie convention (classical
+    CvM assumes continuous data; tie-broken ranks make the statistic
+    well-defined and identically replayable on both engines, the
+    ev23 discipline). Every squared gap is an exact integer summed in
+    decimal(38,0) ((r−i)² ≤ N², so sums stay inside 38 digits to
+    N≈1e12); only the final two-term T expression runs in double.
+    Groups where either sample is empty return NULL t (the
+    rank_sum_test degenerate contract). NULL values or order keys are
+    filtered (the kendall_census contract).
+    """
+    base = df.select(
+        F.col(group_column).alias("grp"),
+        F.col(flag_column).cast("int").alias("_f"),
+        F.col(value_column).alias("_v"),
+        F.col(order_column).alias("_k"),
+    ).where(
+        F.col("_f").isNotNull()
+        & F.col("_v").isNotNull()
+        & F.col("_k").isNotNull()
+    )
+    w_all = Window.partitionBy("grp").orderBy("_v", "_k")
+    w_own = Window.partitionBy("grp", "_f").orderBy("_v", "_k")
+    gap = (
+        F.row_number().over(w_all) - F.row_number().over(w_own)
+    ).cast("long")
+    d2 = (gap * gap).cast(_DEC)
+    one = F.lit(1).cast(_DEC)
+    zero = F.lit(0).cast(_DEC)
+    cen = base.select("grp", "_f", d2.alias("_d2")).groupBy("grp").agg(
+        F.sum(F.when(F.col("_f") == 1, one).otherwise(zero)).alias("_n1"),
+        F.sum(F.when(F.col("_f") == 0, one).otherwise(zero)).alias("_n0"),
+        F.sum(
+            F.when(F.col("_f") == 1, F.col("_d2")).otherwise(zero)
+        ).alias("_u1"),
+        F.sum(
+            F.when(F.col("_f") == 0, F.col("_d2")).otherwise(zero)
+        ).alias("_u0"),
+    )
+    n1d = F.col("_n1").cast("double")
+    n0d = F.col("_n0").cast("double")
+    # the U combination runs in DOUBLE on identically-cast factors
+    # (n·u1 in decimal would need precision 2·38, which DuckDB's
+    # decimal multiply rejects); determinism needs only the SUMS
+    # exact — the final scalar ops replay as identical IEEE doubles
+    u = n1d * F.col("_u1").cast("double") + n0d * F.col("_u0").cast(
+        "double"
+    )
+    t = u / (n1d * n0d * (n1d + n0d)) - (
+        4.0 * n1d * n0d - 1.0
+    ) / (6.0 * (n1d + n0d))
+    return cen.select(
+        F.col("grp").alias(group_column),
+        F.col("_n1").cast("long").alias("n_flag"),
+        F.col("_n0").cast("long").alias("n_rest"),
+        F.round(
+            F.when((F.col("_n1") > 0) & (F.col("_n0") > 0), t), 6
+        ).alias("t_cvm"),
+    )

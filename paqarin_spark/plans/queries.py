@@ -15299,6 +15299,129 @@ FROM agg
 """
 
 
+def tx54_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary-growth fit — the corpus-health diagnostic
+    BESIDE the Zipf rank-frequency slope (tx52): distinct-vocabulary
+    size V(n) against corpus token count n over doc-id-ordered
+    prefixes follows V ≈ K·n^β (natural English β≈0.4–0.6; β→1 flags
+    boilerplate-free synthetic spam, β→0 template duplication). The
+    CHECKPOINT formulation keeps it scale-shaped: no global token
+    order, no running-distinct window — per-token MIN(doc_id) (one
+    token-keyed aggregation) gives each type's first-appearance
+    prefix, per-doc token counts give prefix sizes, and 16
+    deterministic checkpoints ck_j = (max_id·j) div 16 turn both into
+    16-row conditional rollups (a bounded broadcast of checkpoints
+    against two already-aggregated tables — the corpus is touched
+    once). OLS of ln V on ln n uses the tx52/em31 decimal-sum
+    discipline. Output: one row (n_points, beta, log_k, r2)."""
+    configure_for_determinism(spark)
+    docs = _docs(spark, sf_dir)
+    from paqarin_spark.operators.dedup import tokens as _tokens
+
+    toks = docs.select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("token")
+    )
+    first_doc = toks.groupBy("token").agg(F.min("doc_id").alias("_fd"))
+    doc_sizes = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("_sz")
+    )
+    mx = docs.agg(F.max("doc_id").alias("_mx"))
+    cks = (
+        spark.range(1, 17)
+        .crossJoin(F.broadcast(mx))
+        .select(
+            # integer `div` — a double divide would lose exactness
+            # once max_id*j exceeds 2^53 at corpus scale
+            F.expr("(_mx * id) div 16").cast("long").alias("_ck")
+        )
+        .distinct()
+    )
+    n_at = (
+        doc_sizes.crossJoin(F.broadcast(cks))
+        .where(F.col("doc_id") <= F.col("_ck"))
+        .groupBy("_ck")
+        .agg(F.sum("_sz").cast("long").alias("_n"))
+    )
+    v_at = (
+        first_doc.crossJoin(F.broadcast(cks))
+        .where(F.col("_fd") <= F.col("_ck"))
+        .groupBy("_ck")
+        .agg(F.count(F.lit(1)).cast("long").alias("_v"))
+    )
+    pts = n_at.join(v_at, "_ck").select(
+        F.log(F.col("_n").cast("double")).alias("_x"),
+        F.log(F.col("_v").cast("double")).alias("_y"),
+    )
+    dec = lambda c: F.sum(F.round(c, 12).cast("decimal(38,12)")).cast(
+        "double"
+    )
+    agg = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        dec(F.col("_x")).alias("_sx"),
+        dec(F.col("_y")).alias("_sy"),
+        dec(F.col("_x") * F.col("_x")).alias("_sxx"),
+        dec(F.col("_x") * F.col("_y")).alias("_sxy"),
+        dec(F.col("_y") * F.col("_y")).alias("_syy"),
+    )
+    cov = F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    varx = F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    vary = F.col("_n") * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    slope = cov / varx
+    return agg.select(
+        F.col("_n").cast("long").alias("n_points"),
+        F.round(slope, 6).alias("beta"),
+        F.round(
+            (F.col("_sy") - slope * F.col("_sx")) / F.col("_n"), 6
+        ).alias("log_k"),
+        F.round(
+            F.when(vary > 0, cov * cov / (varx * vary)), 6
+        ).alias("r2"),
+    )
+
+
+TX54_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS token FROM documents
+), first_doc AS (
+  SELECT token, MIN(doc_id) AS fd FROM toks GROUP BY 1
+), doc_sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY 1
+), cks AS (
+  SELECT DISTINCT CAST((SELECT MAX(doc_id) FROM documents) * j // 16
+                  AS BIGINT) AS ck
+  FROM range(1, 17) t(j)
+), n_at AS (
+  SELECT ck, CAST(SUM(sz) AS BIGINT) AS n
+  FROM doc_sizes CROSS JOIN cks WHERE doc_id <= ck GROUP BY ck
+), v_at AS (
+  SELECT ck, CAST(COUNT(*) AS BIGINT) AS v
+  FROM first_doc CROSS JOIN cks WHERE fd <= ck GROUP BY ck
+), pts AS (
+  SELECT ln(CAST(n AS DOUBLE)) AS x, ln(CAST(v AS DOUBLE)) AS y
+  FROM n_at JOIN v_at USING (ck)
+), agg AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(ROUND(x, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(ROUND(y, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(ROUND(x * x, 12) AS DECIMAL(38,12))) AS DOUBLE)
+           AS sxx,
+         CAST(SUM(CAST(ROUND(x * y, 12) AS DECIMAL(38,12))) AS DOUBLE)
+           AS sxy,
+         CAST(SUM(CAST(ROUND(y * y, 12) AS DECIMAL(38,12))) AS DOUBLE)
+           AS syy
+  FROM pts
+)
+SELECT CAST(n AS BIGINT) AS n_points,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS beta,
+       ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
+             6) AS log_k,
+       ROUND(CASE WHEN (n * syy - sy * sy) > 0 THEN
+           (n * sxy - sx * sy) * (n * sxy - sx * sy)
+           / ((n * sxx - sx * sx) * (n * syy - sy * sy)) END, 6) AS r2
+FROM agg
+"""
+
+
 def _trade_rel_edges(spark: SparkSession, sf_dir: str, min_items: int):
     """Repeat-trade relationship edges: (customer, supplier) pairs
     with >= min_items line items — the thresholded sparse view of the
@@ -15445,6 +15568,126 @@ SELECT CAST(supp_a AS BIGINT) AS supp_a, CAST(supp_b AS BIGINT) AS supp_b,
 FROM wedges GROUP BY supp_a, supp_b
 ORDER BY aa_score DESC, supp_a, supp_b LIMIT 20
 """
+
+
+def q111_hits_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities (Kleinberg 1999) on the bipartite trade
+    graph — the mutually-recursive centrality beside PageRank's random
+    walk (q69): customers are hubs, suppliers authorities; 4
+    synchronous rounds of a = normalize(Eᵀh), h = normalize(Ea) with
+    L2 norms. Completes the spectral-graph family (PageRank, LPA,
+    k-core, assortativity, Adamic–Adar) with the power iteration on
+    EᵀE that search-era link analysis actually ran.
+
+    Determinism: every edge-keyed score sum and both norm sums follow
+    the em31/adamic-adar order-independence discipline — addends
+    rounded 12dp, summed in decimal(38,12), cast double — and each
+    round's normalized scores are RE-QUANTIZED at 12dp, so all four
+    rounds replay bit-exactly in the unrolled-CTE oracle regardless
+    of partial-aggregation order.
+
+    Scale shape: per round, one edge-keyed join + two group-bys and
+    one scalar norm broadcast — PageRank's exact plan shape (bounded
+    rounds on a thresholded edge table, never all-pairs). Output: the
+    top-10 authority suppliers."""
+    configure_for_determinism(spark)
+    e = _trade_rel_edges(spark, sf_dir, 2).select(
+        F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
+    ).persist()
+    dec12 = lambda col: F.sum(
+        F.round(col, 12).cast("decimal(38,12)")
+    ).cast("double")
+    h = e.select("c").distinct().select("c", F.lit(1.0).alias("score"))
+    a = None
+    for _ in range(4):
+        # localCheckpoint each side's unnormalized scores: `au` is
+        # referenced twice (norm + normalize) and the h↔a recursion
+        # would otherwise double the recompute every round — the
+        # pagerank/q89 bounded-round discipline
+        au = (
+            e.join(h, "c")
+            .groupBy("s")
+            .agg(dec12(F.col("score")).alias("_u"))
+            .localCheckpoint()
+        )
+        anorm = au.agg(
+            F.sqrt(dec12(F.col("_u") * F.col("_u"))).alias("_nrm")
+        )
+        a = au.crossJoin(F.broadcast(anorm)).select(
+            "s", F.round(F.col("_u") / F.col("_nrm"), 12).alias("score")
+        )
+        hu = (
+            e.join(a, "s")
+            .groupBy("c")
+            .agg(dec12(F.col("score")).alias("_u"))
+            .localCheckpoint()
+        )
+        hnorm = hu.agg(
+            F.sqrt(dec12(F.col("_u") * F.col("_u"))).alias("_nrm")
+        )
+        h = hu.crossJoin(F.broadcast(hnorm)).select(
+            "c", F.round(F.col("_u") / F.col("_nrm"), 12).alias("score")
+        )
+    e.unpersist()
+    return (
+        a.select(
+            F.col("s").cast("long").alias("l_suppkey"),
+            F.round("score", 6).alias("authority"),
+        )
+        .orderBy(F.desc("authority"), "l_suppkey")
+        .limit(10)
+    )
+
+
+def _q111_sql() -> str:
+    """Unrolled-CTE replay of the 4 HITS rounds with identical
+    12dp/decimal(38,12) quantization at every reduction."""
+
+    def dsum(term: str) -> str:
+        return (
+            f"CAST(SUM(CAST(ROUND({term}, 12) AS DECIMAL(38,12)))"
+            " AS DOUBLE)"
+        )
+
+    blocks = [
+        f"""WITH e AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s FROM (
+{_TRADE_REL_SQL.format(t=2)}
+  )
+), h0 AS (
+  SELECT DISTINCT c, 1.0 AS score FROM e
+)"""
+    ]
+    prev_h = "h0"
+    for r in range(1, 5):
+        blocks.append(
+            f""", a{r}u AS (
+  SELECT s, {dsum('score')} AS u
+  FROM e JOIN {prev_h} USING (c) GROUP BY s
+), a{r}n AS (
+  SELECT SQRT({dsum('u * u')}) AS nrm FROM a{r}u
+), a{r} AS (
+  SELECT s, ROUND(u / nrm, 12) AS score FROM a{r}u CROSS JOIN a{r}n
+), h{r}u AS (
+  SELECT c, {dsum('score')} AS u
+  FROM e JOIN a{r} USING (s) GROUP BY c
+), h{r}n AS (
+  SELECT SQRT({dsum('u * u')}) AS nrm FROM h{r}u
+), h{r} AS (
+  SELECT c, ROUND(u / nrm, 12) AS score FROM h{r}u CROSS JOIN h{r}n
+)"""
+        )
+        prev_h = f"h{r}"
+    blocks.append(
+        """
+SELECT CAST(s AS BIGINT) AS l_suppkey, ROUND(score, 6) AS authority
+FROM a4 ORDER BY authority DESC, l_suppkey LIMIT 10
+"""
+    )
+    return "".join(blocks)
+
+
+Q111_SQL = _q111_sql()
 
 
 def mm17_audio_dft(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -16739,6 +16982,152 @@ def st21_stream_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
 ST21_SQL = EV27_SQL
 
 
+def ev28_cramer_von_mises(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramér–von Mises drift test (metrics.ranking.
+    cramer_von_mises): within each order priority, does the FULL
+    distribution of finalized orders' totals match the open/pending
+    ones? The omnibus integrated-CDF-gap statistic that completes the
+    two-sample family — KS (ev6) sees the largest deviation, rank-sum
+    (ev24) the location shift, chi² (ev12) binned frequencies; CvM
+    accumulates every deviation. Ranks under the deterministic
+    (value, orderkey) total order, every squared rank gap an exact
+    decimal(38,0) integer, only the final two-term T in double —
+    mirrored op-for-op in the oracle (the ev21–ev24 window class)."""
+    from paqarin_spark.metrics.ranking import cramer_von_mises
+
+    configure_for_determinism(spark)
+    orders = read_table(spark, sf_dir, "orders")
+    flagged = orders.select(
+        "o_orderpriority",
+        (F.col("o_orderstatus") == "F").cast("int").alias("is_final"),
+        "o_totalprice",
+        "o_orderkey",
+    )
+    return cramer_von_mises(
+        flagged, "o_orderpriority", "is_final", "o_totalprice", "o_orderkey"
+    ).orderBy("o_orderpriority")
+
+
+EV28_SQL = """
+WITH base AS (
+  SELECT o_orderpriority AS grp,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS f,
+         o_totalprice AS v, o_orderkey AS k
+  FROM orders
+  WHERE o_orderstatus IS NOT NULL AND o_totalprice IS NOT NULL
+    AND o_orderkey IS NOT NULL
+), ranked AS (
+  SELECT grp, f,
+         ROW_NUMBER() OVER (PARTITION BY grp ORDER BY v, k)
+           - ROW_NUMBER() OVER (PARTITION BY grp, f ORDER BY v, k)
+           AS gap
+  FROM base
+), cen AS (
+  SELECT grp,
+         CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS DECIMAL(38,0))
+           AS n1,
+         CAST(SUM(CASE WHEN f = 0 THEN 1 ELSE 0 END) AS DECIMAL(38,0))
+           AS n0,
+         CAST(SUM(CASE WHEN f = 1 THEN gap * gap ELSE 0 END)
+              AS DECIMAL(38,0)) AS u1,
+         CAST(SUM(CASE WHEN f = 0 THEN gap * gap ELSE 0 END)
+              AS DECIMAL(38,0)) AS u0
+  FROM ranked GROUP BY grp
+)
+SELECT grp AS o_orderpriority,
+       CAST(n1 AS BIGINT) AS n_flag,
+       CAST(n0 AS BIGINT) AS n_rest,
+       ROUND(CASE WHEN n1 > 0 AND n0 > 0 THEN
+         (CAST(n1 AS DOUBLE) * CAST(u1 AS DOUBLE)
+          + CAST(n0 AS DOUBLE) * CAST(u0 AS DOUBLE))
+           / (CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)
+              * (CAST(n1 AS DOUBLE) + CAST(n0 AS DOUBLE)))
+         - (4.0 * CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE) - 1.0)
+           / (6.0 * (CAST(n1 AS DOUBLE) + CAST(n0 AS DOUBLE)))
+         END, 6) AS t_cvm
+FROM cen ORDER BY o_orderpriority
+"""
+
+
+def st22_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SESSION WINDOWS run to completion — the one stateful
+    window class the registry's streaming family didn't yet exercise:
+    ``F.session_window`` MERGES windows as events arrive (state = open
+    sessions, not fixed buckets), the semantics behind every
+    user-journey/sessionization pipeline. Each user's events collapse
+    into 6-hour-gap sessions; the oracle replays the identical
+    partition with the batch gaps-and-islands formulation (LAG +
+    running break-sum — operators.sessions.sessionize's plan), using
+    the SAME boundary rule (break iff gap >= 6h; session end =
+    MAX(ts) + 6h), so the hash match pins Spark's merge semantics
+    against the closed-form batch recompute — the st1/st14-class
+    lambda parity proof for merging windows. Complete output mode
+    (the st1 contract note: a terminating stream never emits final
+    windows in append mode); production runs append + watermark and
+    evicts each session once event time passes end + watermark.
+
+    Scale shape: state is one row per OPEN session per user, shuffled
+    on the user key — 1000 executors each own their users; nothing
+    global."""
+    from paqarin_spark.streaming import stream_session_stats
+
+    configure_for_determinism(spark)
+    stream = _events_stream(spark, sf_dir)
+    out = stream_session_stats(
+        stream, "user_id", "ts", "6 hours", value_column="value"
+    )
+    name = "st22_stream_sessions"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .select(
+            "user_id",
+            F.date_format(
+                "session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS"
+            ).alias("session_start"),
+            F.date_format(
+                "session_end", "yyyy-MM-dd HH:mm:ss.SSSSSS"
+            ).alias("session_end"),
+            "n_events",
+            F.round("value_sum", 6).alias("value_sum"),
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+ST22_SQL = """
+WITH marked AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR ts - LAG(ts) OVER w >= INTERVAL 6 HOUR
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessioned AS (
+  SELECT user_id, ts, value,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       strftime(MAX(ts) + INTERVAL 6 HOUR,
+                '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 6) AS value_sum
+FROM sessioned
+GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""
+
+
 def q110_trailing_dau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-7-day distinct users via HLL REGISTER-WINDOW MERGES —
     the sliding-window cardinality pattern a petabyte dashboard
@@ -17408,6 +17797,10 @@ GEN13_SQL = _gen13_sql()
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-10 additions (never driver-verified) come first ---
+    "q111_hits_authorities": q111_hits_authorities,
+    "tx54_heaps_fit": tx54_heaps_fit,
+    "ev28_cramer_von_mises": ev28_cramer_von_mises,
+    "st22_stream_sessions": st22_stream_sessions,
     "gen12_gan_sample": gen12_gan_sample,
     "gen13_gru_rollout_replay": gen13_gru_rollout_replay,
     # --- round-9 additions, r9-driver-verified ---
@@ -17457,11 +17850,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "st17_stream_classify": st17_stream_classify,
     "tx47_bpe_encode_stats": tx47_bpe_encode_stats,
     "gen10_grunet_sample": gen10_grunet_sample,
-    "em25_nn_descent_recall": em25_nn_descent_recall,
-    "tx46_bpe_train": tx46_bpe_train,
-    "tx45_naive_bayes_lang": tx45_naive_bayes_lang,
-    # --- round-6 additions, r6-driver-verified ---
-    "tx42_duplicate_substrings": tx42_duplicate_substrings,
     # (Historical round-4/round-5 rotation prose removed in round 9 —
     # it described entries that have long since been driver-verified
     # and rotated; per-displacement notes below the marker are the
@@ -17469,6 +17857,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # 50-entry driver window: round-10 additions first, then the most
     # recently verified rounds.)
     # ------------- driver 50-entry window ends HERE (position 50) -------------
+    # em25 (r7-driver-verified) displaced for round-10 q111.
+    "em25_nn_descent_recall": em25_nn_descent_recall,
+    # tx46 (r7-driver-verified) displaced for round-10 tx54.
+    "tx46_bpe_train": tx46_bpe_train,
+    # tx45 (r7-driver-verified) displaced for round-10 ev28.
+    "tx45_naive_bayes_lang": tx45_naive_bayes_lang,
+    # tx42 (r6-driver-verified) displaced for round-10 st22.
+    "tx42_duplicate_substrings": tx42_duplicate_substrings,
     # tx43 (r6-driver-verified) displaced for round-10 gen12.
     "tx43_exactsubstr_strip": tx43_exactsubstr_strip,
     # mm13 (r6-driver-verified) displaced for round-10 gen13.
@@ -17762,6 +18158,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # single-statement SQL — declared so the driver proves the neural
 # train/sample lifecycle runs, not to widen the oracle surface.
 ORACLE_SQL: dict[str, str] = {
+    "q111_hits_authorities": Q111_SQL,
+    "tx54_heaps_fit": TX54_SQL,
+    "ev28_cramer_von_mises": EV28_SQL,
+    "st22_stream_sessions": ST22_SQL,
     "gen13_gru_rollout_replay": GEN13_SQL,
     "ev23_kendall_tau": EV23_SQL,
     "q110_trailing_dau_hll": Q110_SQL,

@@ -86,6 +86,50 @@ def stream_keep_first(
     ).dropDuplicatesWithinWatermark(keys)
 
 
+def stream_session_stats(
+    stream: DataFrame,
+    entity_column: str,
+    timestamp_column: str,
+    gap: str,
+    value_column: str | None = None,
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Streaming SESSION WINDOWS — the native merging-window state
+    class (``F.session_window``) the batch :func:`operators.sessions.
+    sessionize` is the gaps-and-islands dual of: two events join the
+    same session iff the later one starts before the earlier one's
+    window end (ts + gap), so the session end is MAX(ts) + gap and a
+    break happens exactly when the inter-event gap is >= ``gap`` —
+    the same boundary the batch LAG formulation uses, which is what
+    lets one SQL oracle own both surfaces.
+
+    State: one row per OPEN session per entity; with a watermark in
+    append mode sessions finalize and evict once event time passes
+    end + watermark — the production posture. A bounded
+    run-to-completion check uses complete mode instead (a terminating
+    stream never emits its final sessions in append mode — the st1
+    contract note).
+
+    Output: (entity, session_start, session_end, n_events[, value_sum]).
+    """
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_events")]
+    if value_column is not None:
+        aggs.append(F.sum(value_column).alias("value_sum"))
+    win = F.session_window(F.col(timestamp_column), gap)
+    return (
+        stream.withWatermark(timestamp_column, watermark)
+        .groupBy(F.col(entity_column), win.alias("_w"))
+        .agg(*aggs)
+        .select(
+            entity_column,
+            F.col("_w.start").alias("session_start"),
+            F.col("_w.end").alias("session_end"),
+            "n_events",
+            *([F.col("value_sum")] if value_column is not None else []),
+        )
+    )
+
+
 def stream_distinct_count(
     stream: DataFrame,
     timestamp_column: str,

@@ -1184,3 +1184,114 @@ def test_stream_ewma_anomaly_drops_null_cast_keys(spark, tmp_path):
     assert {r["user_id"] for r in rows} == {7}  # NULL-cast keys dropped
     assert rows[0]["n_events"] == 2
     assert rows[0]["ewma"] == 0.75 * 4.0 + 0.25 * 8.0
+
+
+def test_stream_bin_counts_state_survives_checkpoint_restart(spark, tmp_path):
+    """Durable-state pin for the DEPLOYED-DUAL monitor family (st21's
+    operator): kill the stream_bin_counts query after the first batch
+    of files, append more, restart from the SAME checkpoint — the
+    restarted applyInPandasWithState run replays only NEW files, so
+    the finished histogram can equal the full-data batch histogram
+    only if every bin's running count was recovered from the state
+    store. Clean-run parity was already proven (st21 hash-matches
+    ev27); this adds the mid-stream-kill leg the round-9 verdict
+    asked for."""
+    from paqarin_spark.streaming import (
+        bin_counts_from_emissions,
+        stream_bin_counts,
+    )
+
+    path = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+    edges = [100.0, 250.0, 400.0]
+
+    def part(lo, hi):
+        return spark.range(lo, hi).select(
+            (F.pmod(F.hash("id"), F.lit(500)) * 1.0).alias("value")
+        )
+
+    part(0, 2000).repartition(2).write.mode("append").parquet(path)
+    stream1 = spark.readStream.schema("value double").parquet(path)
+    _run_checkpointed_append(
+        spark, stream_bin_counts(stream1, "value", edges), out_dir, ckpt
+    )
+
+    part(2000, 4000).repartition(2).write.mode("append").parquet(path)
+    stream2 = spark.readStream.schema("value double").parquet(path)
+    emi = _run_checkpointed_append(
+        spark, stream_bin_counts(stream2, "value", edges), out_dir, ckpt
+    )
+
+    final = {
+        r["bin"]: r["n"]
+        for r in bin_counts_from_emissions(emi, len(edges) + 1).collect()
+    }
+    bin_expr = sum(
+        (F.col("value") > F.lit(e)).cast("int") for e in edges
+    )
+    batch = {
+        r["bin"]: r["n"]
+        for r in spark.read.parquet(path)
+        .select(bin_expr.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    p2_only = {
+        r["bin"]: r["n"]
+        for r in part(2000, 4000)
+        .select(bin_expr.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # precondition: the second batch alone is NOT the full histogram,
+    # so equality below can only come from recovered counter state
+    assert p2_only != batch
+    for b in range(len(edges) + 1):
+        assert final[b] == batch.get(b, 0), (b, final, batch)
+
+
+def test_stream_keep_first_dedup_survives_checkpoint_restart(spark, tmp_path):
+    """Durable-state pin for the dropDuplicates operator class (st5's
+    stream_keep_first): duplicates of part-1 keys that arrive ONLY in
+    the restarted run must still be dropped, which requires the
+    dedup key set to have survived the mid-stream kill in the state
+    store. The survivor VALUE also proves first-wins order (part 1's
+    value, not the restarted run's)."""
+    import datetime as dtm
+
+    path = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+    t0 = dtm.datetime(2020, 1, 1, 6)
+    part1 = spark.createDataFrame(
+        [("a", t0, 1.0), ("b", t0, 10.0)],
+        "item_id string, ts timestamp, v double",
+    )
+    # part 2 re-sends BOTH part-1 keys with different values, plus one
+    # genuinely new key
+    part2 = spark.createDataFrame(
+        [("a", t0, 99.0), ("b", t0, 88.0), ("c", t0, 3.0)],
+        "item_id string, ts timestamp, v double",
+    )
+    part1.coalesce(1).write.mode("append").parquet(path)
+    stream1 = spark.readStream.schema(
+        "item_id string, ts timestamp, v double"
+    ).parquet(path)
+    _run_checkpointed_append(
+        spark, stream_keep_first(stream1, SCHEMA), out_dir, ckpt
+    )
+
+    part2.coalesce(1).write.mode("append").parquet(path)
+    stream2 = spark.readStream.schema(
+        "item_id string, ts timestamp, v double"
+    ).parquet(path)
+    out = _run_checkpointed_append(
+        spark, stream_keep_first(stream2, SCHEMA), out_dir, ckpt
+    )
+
+    rows = {(r["item_id"]): r["v"] for r in out.collect()}
+    assert out.count() == 3, out.collect()  # a, b survived once; c new
+    assert rows == {"a": 1.0, "b": 10.0, "c": 3.0}, rows

@@ -1554,6 +1554,64 @@ def main() -> int:
         f"[{'ok' if ok else 'spot=%s ref=%s' % (spot, ref)}]"
     )
 
+    # Trailing-7-day DAU via HLL register-window merges (q110's
+    # pattern) at 10.2M user-days across 60 days: day d's active set
+    # is the PLANTED disjoint block [d*A, (d+1)*A), so every full
+    # window's exact trailing DAU is closed-form 7·A, the register
+    # fan-out is calendar-bounded (54 windows × 2^p rows — all
+    # registers occupied at 1.19M users/window), and the HLL estimate
+    # must land within the p=10 error envelope on every window.
+    from paqarin_spark.operators import (
+        hll_estimate_from_registers,
+        hll_registers,
+    )
+
+    a_day, n_days, p_hll = 170_000, 60, 10
+    t0 = time.perf_counter()
+    dated = spark.range(a_day * n_days).select(
+        (F.col("id") % n_days).cast("int").alias("_di"),
+        F.col("id").alias("user_id"),
+    )
+    regs = hll_registers(dated, "user_id", p=p_hll, group_by=["_di"])
+    fanned = (
+        regs.select(
+            "idx",
+            "r",
+            F.explode(
+                F.sequence(F.col("_di"), F.col("_di") + F.lit(6))
+            ).alias("_tgt"),
+        )
+        .where((F.col("_tgt") >= 6) & (F.col("_tgt") <= n_days - 1))
+        .groupBy("_tgt", "idx")
+        .agg(F.max("r").alias("r"))
+        .persist()
+    )
+    n_fanned = fanned.count()
+    est = hll_estimate_from_registers(
+        fanned, p=p_hll, group_by=["_tgt"], out_column="_est"
+    )
+    exact_dau = 7 * a_day
+    row = est.agg(
+        F.count(F.lit(1)).alias("n_win"),
+        F.max(
+            F.abs(F.col("_est") - F.lit(float(exact_dau)))
+            / F.lit(float(exact_dau))
+        ).alias("max_rel_err"),
+    ).collect()[0]
+    fanned.unpersist()
+    dt = time.perf_counter() - t0
+    n_win = n_days - 6
+    ok = (
+        n_fanned == n_win * (1 << p_hll)  # every register occupied
+        and row["n_win"] == n_win
+        and row["max_rel_err"] < 0.15  # ~4.6 sigma at p=10
+    )
+    checks.append(ok)
+    print(
+        f"{'trailing dau 10M udays':24} {dt:7.1f}s  rows={n_fanned:>12,}  "
+        f"[{'ok' if ok else 'win=%s err=%s' % (row['n_win'], row['max_rel_err'])}]"
+    )
+
     print("all invariants hold" if all(checks) else "INVARIANT FAILURES")
     return 0 if all(checks) else 1
 
