@@ -490,6 +490,8 @@ def train_gan(
     n, d = real.shape
     if n == 0:
         raise ValueError("cannot train a GAN on zero rows")
+    if int(epochs) < 1:
+        raise ValueError(f"epochs must be >= 1, got {epochs}")
     g = init_params([nz, hidden_g, d], seed)
     dis = init_params([d, hidden_d, 1], seed + 1)
     losses: list[float] = []
@@ -521,8 +523,9 @@ def train_gan(
         dis[1]["w"] = dis[1]["w"] - lr_d * g1w
         dis[1]["b"] = dis[1]["b"] - lr_d * g1b
         # --- generator step against the updated discriminator
-        hg = np.tanh(z @ g[0]["w"] + g[0]["b"])
-        xg = _sigmoid(hg @ g[1]["w"] + g[1]["b"])
+        # (hg/xg are unchanged since the epoch's forward pass — only
+        # the discriminator moved — so reuse them; recomputing was
+        # two wasted full-batch matmuls per epoch)
         hf = np.tanh(xg @ dis[0]["w"] + dis[0]["b"])
         pf = _sigmoid(hf @ dis[1]["w"] + dis[1]["b"])
         dlf = (pf - 1.0) / n

@@ -1512,17 +1512,24 @@ def wav_dft_features(
                     ang = (2.0 * math.pi * float(k)) * idx / float(n)
                     tr = x * np.cos(ang)
                     ti = x * np.sin(ang)
-                    re_u = int(
-                        (
+                    # Python-int summation: per-term units reach
+                    # |sample|*1e12 (3.3e16 for 16-bit PCM), so an
+                    # int64 accumulator would wrap on long correlated
+                    # clips while the oracle's DECIMAL(38,12) doesn't;
+                    # arbitrary-precision ints stay exact at any n
+                    re_u = sum(
+                        int(v)
+                        for v in (
                             np.floor(np.abs(tr) * 1e12 + 0.5)
                             * np.sign(tr)
-                        ).astype(np.int64).sum()
+                        )
                     )
-                    im_u = int(
-                        (
+                    im_u = sum(
+                        int(v)
+                        for v in (
                             np.floor(np.abs(ti) * 1e12 + 0.5)
                             * np.sign(ti)
-                        ).astype(np.int64).sum()
+                        )
                     )
                     re = float(re_u) / 1e12
                     im = float(im_u) / 1e12

@@ -15321,9 +15321,17 @@ def tx54_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(_tokens(F.col("text"))).alias("token")
     )
-    first_doc = toks.groupBy("token").agg(F.min("doc_id").alias("_fd"))
-    doc_sizes = toks.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("_sz")
+    # one tokenize pass: both rollups derive from a localCheckpointed
+    # (doc, token, cnt) table — without it the scan+explode subtree
+    # executes once per consumer (the q111 bounded-round discipline)
+    pairs = (
+        toks.groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .localCheckpoint()
+    )
+    first_doc = pairs.groupBy("token").agg(F.min("doc_id").alias("_fd"))
+    doc_sizes = pairs.groupBy("doc_id").agg(
+        F.sum("_c").cast("long").alias("_sz")
     )
     mx = docs.agg(F.max("doc_id").alias("_mx"))
     cks = (
@@ -17049,34 +17057,40 @@ FROM cen ORDER BY o_orderpriority
 """
 
 
-def st22_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming SESSION WINDOWS run to completion — the one stateful
-    window class the registry's streaming family didn't yet exercise:
-    ``F.session_window`` MERGES windows as events arrive (state = open
-    sessions, not fixed buckets), the semantics behind every
-    user-journey/sessionization pipeline. Each user's events collapse
-    into 6-hour-gap sessions; the oracle replays the identical
-    partition with the batch gaps-and-islands formulation (LAG +
-    running break-sum — operators.sessions.sessionize's plan), using
-    the SAME boundary rule (break iff gap >= 6h; session end =
-    MAX(ts) + 6h), so the hash match pins Spark's merge semantics
-    against the closed-form batch recompute — the st1/st14-class
-    lambda parity proof for merging windows. Complete output mode
-    (the st1 contract note: a terminating stream never emits final
-    windows in append mode); production runs append + watermark and
-    evicts each session once event time passes end + watermark.
+def st22_stream_sessions_close(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows, DETERMINISM-HARDENED and at the window-CLOSE
+    contract — the variant of st3's session proof a downstream
+    TTL/expiry consumer needs: st3 reports last-event ends and a raw
+    double value SUM (its long-verified contract); this query pins
+    (a) ``session_end`` = Spark's native window close (MAX(ts) + gap),
+    (b) value sums under the decimal(38,12) order-independence
+    discipline (a raw double SUM can flip its 6dp rounding between
+    Spark's state-merge order and the oracle's sequential SUM — the
+    dsir/tx52 class), and (c) the EXACT boundary rule at a different
+    gap (6h): two events exactly ``gap`` apart MERGE, so the
+    gaps-and-islands oracle breaks on STRICTLY-greater gaps
+    (verified against Spark's merge semantics; a >= break is the
+    latent off-by-one this round's review caught in the first draft).
+    Complete output mode (the st1 contract note); production runs
+    append + watermark and evicts each session once event time passes
+    end + watermark.
 
     Scale shape: state is one row per OPEN session per user, shuffled
     on the user key — 1000 executors each own their users; nothing
     global."""
-    from paqarin_spark.streaming import stream_session_stats
+    from paqarin_spark.streaming import stream_sessions
 
     configure_for_determinism(spark)
     stream = _events_stream(spark, sf_dir)
-    out = stream_session_stats(
-        stream, "user_id", "ts", "6 hours", value_column="value"
+    out = stream_sessions(
+        stream,
+        EVENTS_SCHEMA,
+        gap="6 hours",
+        value_column="value",
+        end_at_window_close=True,
+        exact_value_sum=True,
     )
-    name = "st22_stream_sessions"
+    name = "st22_stream_sessions_close"
     q = (
         out.writeStream.format("memory")
         .queryName(name)
@@ -17104,9 +17118,11 @@ def st22_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ST22_SQL = """
 WITH marked AS (
+  -- break on STRICTLY greater gaps: Spark's session_window MERGES
+  -- two events exactly `gap` apart (pinned by unit test)
   SELECT user_id, ts, event_id, value,
          CASE WHEN LAG(ts) OVER w IS NULL
-                OR ts - LAG(ts) OVER w >= INTERVAL 6 HOUR
+                OR ts - LAG(ts) OVER w > INTERVAL 6 HOUR
               THEN 1 ELSE 0 END AS brk
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -17121,7 +17137,8 @@ SELECT user_id,
        strftime(MAX(ts) + INTERVAL 6 HOUR,
                 '%Y-%m-%d %H:%M:%S.%f') AS session_end,
        CAST(COUNT(*) AS BIGINT) AS n_events,
-       ROUND(SUM(value), 6) AS value_sum
+       ROUND(CAST(SUM(CAST(ROUND(value, 12) AS DECIMAL(38,12)))
+                  AS DOUBLE), 6) AS value_sum
 FROM sessioned
 GROUP BY user_id, sid
 ORDER BY user_id, session_start
@@ -17800,7 +17817,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q111_hits_authorities": q111_hits_authorities,
     "tx54_heaps_fit": tx54_heaps_fit,
     "ev28_cramer_von_mises": ev28_cramer_von_mises,
-    "st22_stream_sessions": st22_stream_sessions,
+    "st22_stream_sessions_close": st22_stream_sessions_close,
     "gen12_gan_sample": gen12_gan_sample,
     "gen13_gru_rollout_replay": gen13_gru_rollout_replay,
     # --- round-9 additions, r9-driver-verified ---
@@ -18161,7 +18178,7 @@ ORACLE_SQL: dict[str, str] = {
     "q111_hits_authorities": Q111_SQL,
     "tx54_heaps_fit": TX54_SQL,
     "ev28_cramer_von_mises": EV28_SQL,
-    "st22_stream_sessions": ST22_SQL,
+    "st22_stream_sessions_close": ST22_SQL,
     "gen13_gru_rollout_replay": GEN13_SQL,
     "ev23_kendall_tau": EV23_SQL,
     "q110_trailing_dau_hll": Q110_SQL,

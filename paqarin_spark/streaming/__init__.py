@@ -86,50 +86,6 @@ def stream_keep_first(
     ).dropDuplicatesWithinWatermark(keys)
 
 
-def stream_session_stats(
-    stream: DataFrame,
-    entity_column: str,
-    timestamp_column: str,
-    gap: str,
-    value_column: str | None = None,
-    watermark: str = "1 day",
-) -> DataFrame:
-    """Streaming SESSION WINDOWS — the native merging-window state
-    class (``F.session_window``) the batch :func:`operators.sessions.
-    sessionize` is the gaps-and-islands dual of: two events join the
-    same session iff the later one starts before the earlier one's
-    window end (ts + gap), so the session end is MAX(ts) + gap and a
-    break happens exactly when the inter-event gap is >= ``gap`` —
-    the same boundary the batch LAG formulation uses, which is what
-    lets one SQL oracle own both surfaces.
-
-    State: one row per OPEN session per entity; with a watermark in
-    append mode sessions finalize and evict once event time passes
-    end + watermark — the production posture. A bounded
-    run-to-completion check uses complete mode instead (a terminating
-    stream never emits its final sessions in append mode — the st1
-    contract note).
-
-    Output: (entity, session_start, session_end, n_events[, value_sum]).
-    """
-    aggs = [F.count(F.lit(1)).cast("long").alias("n_events")]
-    if value_column is not None:
-        aggs.append(F.sum(value_column).alias("value_sum"))
-    win = F.session_window(F.col(timestamp_column), gap)
-    return (
-        stream.withWatermark(timestamp_column, watermark)
-        .groupBy(F.col(entity_column), win.alias("_w"))
-        .agg(*aggs)
-        .select(
-            entity_column,
-            F.col("_w.start").alias("session_start"),
-            F.col("_w.end").alias("session_end"),
-            "n_events",
-            *([F.col("value_sum")] if value_column is not None else []),
-        )
-    )
-
-
 def stream_distinct_count(
     stream: DataFrame,
     timestamp_column: str,
@@ -465,6 +421,8 @@ def stream_sessions(
     gap: str = "12 hours",
     watermark: str = "1 day",
     value_column: str | None = None,
+    end_at_window_close: bool = False,
+    exact_value_sum: bool = False,
 ) -> DataFrame:
     """Streaming dual of :func:`paqarin_spark.operators.sessionize`:
     gap-based session windows via the built-in ``session_window``
@@ -474,23 +432,61 @@ def stream_sessions(
     Gap-merge produces the same session partitioning as the batch
     cumulative-gap rule, so a bounded run carries the batch oracle
     (q30's segmentation, minus the ordinal). ``session_end`` here is
-    the last event time (``max(ts)``), not the window close
-    (last + gap), to match the batch contract.
+    the last event time (``max(ts)``) by default, to match the batch
+    contract; ``end_at_window_close=True`` reports the window CLOSE
+    (last + gap) instead — Spark's native session_window end, what a
+    downstream TTL/expiry consumer reads.
+
+    BOUNDARY SEMANTICS (pinned by test): two events exactly ``gap``
+    apart MERGE — Spark merges when the next event's window start is
+    <= the open session's end, so a batch oracle must break on
+    strictly-greater gaps (``diff > gap``), never ``>=``.
+
+    ``exact_value_sum=True`` quantizes each value 12dp and sums in
+    decimal(38,12) (the dsir/tx52 order-independence discipline) so a
+    6dp-rounded sum can never flip between Spark's state-merge order
+    and a sequential oracle SUM; the default raw double SUM keeps
+    st3's long-verified contract.
     """
     ts = schema.timestamp_column
+    end_col = (
+        F.col("_w.end").alias("session_end")
+        if end_at_window_close
+        else F.max(ts).alias("session_end")
+    )
+    if value_column is None:
+        vals = []
+    elif exact_value_sum:
+        vals = [
+            F.sum(
+                F.round(F.col(value_column), 12).cast("decimal(38,12)")
+            )
+            .cast("double")
+            .alias("value_sum")
+        ]
+    else:
+        vals = [F.round(F.sum(value_column), 6).alias("value_sum")]
     aggs = [
         F.min(ts).alias("session_start"),
-        F.max(ts).alias("session_end"),
+        *([] if end_at_window_close else [end_col]),
         F.count(F.lit(1)).alias("n_events"),
+        *vals,
     ]
-    if value_column is not None:
-        aggs.append(F.round(F.sum(value_column), 6).alias("value_sum"))
-    return (
+    out = (
         stream.withWatermark(ts, watermark)
         .groupBy(*schema.ids, F.session_window(F.col(ts), gap).alias("_w"))
         .agg(*aggs)
-        .drop("_w")
     )
+    if end_at_window_close:
+        out = out.withColumn("session_end", F.col("_w.end"))
+    cols = [
+        *schema.ids,
+        "session_start",
+        "session_end",
+        "n_events",
+        *(["value_sum"] if value_column is not None else []),
+    ]
+    return out.select(*cols)
 
 
 def stream_enrich_window_sum(

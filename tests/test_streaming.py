@@ -1295,3 +1295,43 @@ def test_stream_keep_first_dedup_survives_checkpoint_restart(spark, tmp_path):
     rows = {(r["item_id"]): r["v"] for r in out.collect()}
     assert out.count() == 3, out.collect()  # a, b survived once; c new
     assert rows == {"a": 1.0, "b": 10.0, "c": 3.0}, rows
+
+
+def test_session_window_merges_at_exactly_gap(spark):
+    """Pins Spark's session-window boundary rule the st3/st22 oracles
+    depend on: two events EXACTLY `gap` apart MERGE (windows touch),
+    one microsecond beyond breaks — so a gaps-and-islands oracle must
+    break on strictly-greater gaps (`diff > gap`), never `>=` (the
+    latent off-by-one the round-10 review caught in st22's first
+    draft)."""
+    import datetime as dtm
+
+    from paqarin_spark.streaming import stream_sessions
+
+    t0 = dtm.datetime(2020, 1, 1, 0, 0, 0)
+    rows = [
+        ("u", t0, 1.0),
+        ("u", t0 + dtm.timedelta(hours=1), 2.0),  # exactly gap: merges
+        (
+            "u",
+            t0 + dtm.timedelta(hours=2, microseconds=1),  # gap+1us: breaks
+            4.0,
+        ),
+    ]
+    df = spark.createDataFrame(rows, "item_id string, ts timestamp, v double")
+    out = sorted(
+        (r["n_events"], r["value_sum"])
+        for r in stream_sessions(
+            df, SCHEMA, gap="1 hour", value_column="v"
+        ).collect()
+    )
+    assert out == [(1, 4.0), (2, 3.0)], out
+    # and the window-close contract: end = last event + gap
+    closed = stream_sessions(
+        df, SCHEMA, gap="1 hour", value_column="v",
+        end_at_window_close=True, exact_value_sum=True,
+    ).collect()
+    by_start = {r["session_start"]: r for r in closed}
+    first = by_start[t0]
+    assert first["session_end"] == t0 + dtm.timedelta(hours=2)
+    assert first["value_sum"] == 3.0

@@ -1556,8 +1556,9 @@ def main() -> int:
 
     # Trailing-7-day DAU via HLL register-window merges (q110's
     # pattern) at 10.2M user-days across 60 days: day d's active set
-    # is the PLANTED disjoint block [d*A, (d+1)*A), so every full
-    # window's exact trailing DAU is closed-form 7·A, the register
+    # is the PLANTED residue class {u : u % 60 == d} of size A —
+    # disjoint across days, so every full window's exact trailing DAU
+    # is closed-form 7·A, the register
     # fan-out is calendar-bounded (54 windows × 2^p rows — all
     # registers occupied at 1.19M users/window), and the HLL estimate
     # must land within the p=10 error envelope on every window.
