@@ -15816,6 +15816,235 @@ ORDER BY ship_day, l_returnflag
 """
 
 
+def em32_sq_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar quantization (symmetric int8) retrieval + recall audit —
+    the third ANN compression class beside product quantization
+    (em16/em17) and binary sign-sketches (em18): each vector gets ONE
+    per-vector scale s = max|x|/127 and 64 int8 codes
+    q_i = round(|x_i|/s)·sign(x_i), the memory layout every
+    billion-vector serving index (FAISS SQ8, ScaNN) defaults to at
+    4× compression. The elegance the query pins: under SYMMETRIC
+    per-vector scaling the scale CANCELS in cosine —
+    cos ≈ Σq_a·q_b / (√Σq_a² · √Σq_b²) — so the entire approximate
+    ranking is EXACT-INTEGER arithmetic (bigint dots and norms, one
+    double sqrt/divide at the end), deterministic under any layout
+    with no decimal discipline needed. Probes (vec_id % 100 == 0)
+    rank the whole corpus through codes; recall@10 audits the int8
+    ranking against em1's exact blocked-BLAS top-k.
+
+    Scale shape: quantization is one per-vector rollup + dim-keyed
+    join; the rank pass moves 1-byte codes instead of 8-byte doubles
+    (the 4-8× scan-bandwidth win SQ exists for); the exact side is
+    the audit's oracle cost, production runs codes alone."""
+    from paqarin_spark.operators import cosine_topk
+
+    configure_for_determinism(spark)
+    emb = read_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("dim", "x"),
+    )
+    stats = dims.groupBy("vec_id").agg(F.max(F.abs("x")).alias("_mx"))
+    codes = (
+        dims.join(stats, "vec_id")
+        .select(
+            "vec_id",
+            "dim",
+            F.when(
+                F.col("_mx") > 0,
+                (
+                    F.floor(
+                        F.abs("x") / (F.col("_mx") / F.lit(127.0))
+                        + F.lit(0.5)
+                    )
+                    * F.signum("x")
+                ).cast("long"),
+            )
+            .otherwise(F.lit(0))
+            .alias("q"),
+        )
+    )
+    ssq = codes.groupBy("vec_id").agg(
+        F.sum(F.col("q") * F.col("q")).cast("long").alias("_ssq")
+    )
+    probes = codes.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("p"), "dim", F.col("q").alias("pq")
+    )
+    dots = (
+        probes.join(codes, "dim")
+        .where(F.col("p") != F.col("vec_id"))
+        .groupBy("p", "vec_id")
+        .agg(F.sum(F.col("pq") * F.col("q")).cast("long").alias("_dot"))
+    )
+    scored = (
+        dots.join(ssq.withColumnRenamed("vec_id", "p"), "p")
+        .withColumnRenamed("_ssq", "_ssq_p")
+        .join(ssq, "vec_id")
+        .select(
+            "p",
+            "vec_id",
+            F.round(
+                F.col("_dot").cast("double")
+                / (
+                    F.sqrt(F.col("_ssq_p").cast("double"))
+                    * F.sqrt(F.col("_ssq").cast("double"))
+                ),
+                6,
+            ).alias("_sq_cos"),
+        )
+    )
+    w = Window.partitionBy("p").orderBy(
+        F.desc("_sq_cos"), F.asc("vec_id")
+    )
+    sq10 = scored.select(
+        "p", "vec_id", F.row_number().over(w).alias("_rk")
+    ).where(F.col("_rk") <= 10)
+    exact10 = cosine_topk(emb, "vec_id", "embedding", k=10).where(
+        F.col("query_id") % 100 == 0
+    )
+    flagged = sq10.join(
+        exact10,
+        (sq10.p == exact10.query_id) & (sq10.vec_id == exact10.neighbor_id),
+        "left",
+    )
+    return (
+        flagged.groupBy("p")
+        .agg(
+            F.sum(F.col("query_id").isNotNull().cast("long"))
+            .cast("long")
+            .alias("n_hits"),
+        )
+        .select(
+            F.col("p").cast("long").alias("probe_id"),
+            "n_hits",
+            F.round(F.col("n_hits") / 10.0, 6).alias("recall_at_10"),
+        )
+        .orderBy("probe_id")
+    )
+
+
+EM32_SQL = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), dims AS (
+  SELECT vec_id, t.i AS dim, e[t.i + 1] AS x
+  FROM v, LATERAL (SELECT unnest(range(0, 64)) AS i) t
+), stats AS (
+  SELECT vec_id, MAX(ABS(x)) AS mx FROM dims GROUP BY 1
+), codes AS (
+  SELECT d.vec_id, d.dim,
+         CASE WHEN s.mx > 0 THEN
+           CAST(FLOOR(ABS(d.x) / (s.mx / 127.0) + 0.5) * SIGN(d.x)
+                AS BIGINT)
+         ELSE 0 END AS q
+  FROM dims d JOIN stats s USING (vec_id)
+), ssq AS (
+  SELECT vec_id, CAST(SUM(q * q) AS BIGINT) AS ssq FROM codes GROUP BY 1
+), dots AS (
+  SELECT p.vec_id AS pid, c.vec_id AS cid,
+         CAST(SUM(p.q * c.q) AS BIGINT) AS dot
+  FROM codes p JOIN codes c ON p.dim = c.dim
+  WHERE p.vec_id % 100 = 0 AND p.vec_id <> c.vec_id
+  GROUP BY 1, 2
+), sq10 AS (
+  SELECT pid, cid FROM (
+    SELECT pid, cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY pid
+             ORDER BY ROUND(CAST(dot AS DOUBLE)
+                  / (sqrt(CAST(a.ssq AS DOUBLE))
+                     * sqrt(CAST(b.ssq AS DOUBLE))), 6) DESC, cid) AS rk
+    FROM dots JOIN ssq a ON a.vec_id = pid JOIN ssq b ON b.vec_id = cid
+  ) WHERE rk <= 10
+), exact10 AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+             ROUND(
+               list_sum(list_transform(range(1, 65), i -> a.e[i] * b.e[i]))
+               / (sqrt(list_sum(list_transform(range(1, 65),
+                                               i -> a.e[i] * a.e[i])))
+                  * sqrt(list_sum(list_transform(range(1, 65),
+                                                 i -> b.e[i] * b.e[i])))),
+               6) DESC, b.vec_id) AS rk
+    FROM v a CROSS JOIN v b
+    WHERE a.vec_id % 100 = 0 AND a.vec_id <> b.vec_id
+  ) WHERE rk <= 10
+)
+SELECT CAST(pid AS BIGINT) AS probe_id,
+       CAST(SUM(CASE WHEN e.query_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hits,
+       ROUND(SUM(CASE WHEN e.query_id IS NOT NULL THEN 1 ELSE 0 END)
+             / 10.0, 6) AS recall_at_10
+FROM sq10 LEFT JOIN exact10 e
+  ON e.query_id = sq10.pid AND e.neighbor_id = sq10.cid
+GROUP BY pid ORDER BY probe_id
+"""
+
+
+def q112_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink/source round-trip PROOF — the LAST unproven leg of the
+    A1/A3 format family (q97 JSONL, q107 ORC, parquet everywhere):
+    orders' pricing columns are written through sources.write_csv
+    (header text files), read back through sources.read_csv with an
+    EXPLICIT schema (inference is the production anti-pattern — two
+    scans, no pruning), and rolled up day × status — while the ORACLE
+    aggregates the ORIGINAL parquet, so the hash match proves doubles
+    survive the text round-trip bit-exactly (Spark writes shortest
+    round-trip decimal representations; reading them back under a
+    double schema reproduces the exact IEEE values). Same staging
+    hygiene as q97/q107 (pid-scoped dir, stale sweep, exit cleanup)."""
+    import hashlib
+    import os
+
+    from paqarin_spark.sources import read_csv, write_csv
+
+    configure_for_determinism(spark)
+    orders = read_table(spark, sf_dir, "orders")
+    staged = orders.select(
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
+        "o_orderstatus",
+        "o_totalprice",
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    _sweep_stale_staging("paqarin_q112_")
+    path = os.path.join("/tmp", f"paqarin_q112_{tag}_{os.getpid()}")
+    _remove_at_exit(path)
+    write_csv(staged, path)
+    back = read_csv(
+        spark,
+        path,
+        schema="order_day string, o_orderstatus string, o_totalprice double",
+    )
+    return (
+        back.groupBy("order_day", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(30,10)")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("sum_price"),
+        )
+        .orderBy("order_day", "o_orderstatus")
+    )
+
+
+Q112_SQL = """
+SELECT strftime(o_orderdate, '%Y-%m-%d') AS order_day, o_orderstatus,
+       COUNT(*) AS n,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE), 6)
+         AS sum_price
+FROM orders
+GROUP BY 1, 2
+ORDER BY order_day, o_orderstatus
+"""
+
+
 def em31_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Davies–Bouldin cluster-validity audit over the labeled
     embedding clusters: per label the within-cluster scatter (mean
@@ -17814,6 +18043,8 @@ GEN13_SQL = _gen13_sql()
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-10 additions (never driver-verified) come first ---
+    "em32_sq_int8_recall": em32_sq_int8_recall,
+    "q112_csv_roundtrip": q112_csv_roundtrip,
     "q111_hits_authorities": q111_hits_authorities,
     "tx54_heaps_fit": tx54_heaps_fit,
     "ev28_cramer_von_mises": ev28_cramer_von_mises,
@@ -17865,8 +18096,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "em26_graph_search_recall": em26_graph_search_recall,
     "ev17_classifier_calibration": ev17_classifier_calibration,
     "st17_stream_classify": st17_stream_classify,
-    "tx47_bpe_encode_stats": tx47_bpe_encode_stats,
-    "gen10_grunet_sample": gen10_grunet_sample,
     # (Historical round-4/round-5 rotation prose removed in round 9 —
     # it described entries that have long since been driver-verified
     # and rotated; per-displacement notes below the marker are the
@@ -17874,6 +18103,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # 50-entry driver window: round-10 additions first, then the most
     # recently verified rounds.)
     # ------------- driver 50-entry window ends HERE (position 50) -------------
+    # tx47 (r7-driver-verified) displaced for round-10 em32.
+    "tx47_bpe_encode_stats": tx47_bpe_encode_stats,
+    # gen10 (r7-driver-verified; rows-only smoke) displaced for
+    # round-10 q112.
+    "gen10_grunet_sample": gen10_grunet_sample,
     # em25 (r7-driver-verified) displaced for round-10 q111.
     "em25_nn_descent_recall": em25_nn_descent_recall,
     # tx46 (r7-driver-verified) displaced for round-10 tx54.
@@ -18175,6 +18409,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # single-statement SQL — declared so the driver proves the neural
 # train/sample lifecycle runs, not to widen the oracle surface.
 ORACLE_SQL: dict[str, str] = {
+    "em32_sq_int8_recall": EM32_SQL,
+    "q112_csv_roundtrip": Q112_SQL,
     "q111_hits_authorities": Q111_SQL,
     "tx54_heaps_fit": TX54_SQL,
     "ev28_cramer_von_mises": EV28_SQL,
