@@ -1027,3 +1027,49 @@ def test_gif_roundtrip_and_rejects():
     assert parse_gif(b"GIF89a\x01\x00\x01\x00\x00\x00\x00\x3b") is None
     with pytest.raises(ValueError, match="palette"):
         encode_gif(2, 2, [(0, 0, 0)] * 300, bytes(4))
+
+
+def test_wav_dft_unit_sums_do_not_wrap_on_full_scale_pcm(spark):
+    """Overflow regression (round-10 review): a long full-scale tone
+    correlated with its own bin drives per-term 1e-12 units to ~3e16
+    and the bin's signed unit sum past int64 — the Python-int
+    accumulator must stay exact (mag == A/2), where an int64 one
+    wraps to garbage."""
+    import math
+
+    from paqarin_spark.multimodal import (
+        MEDIA_SCHEMA,
+        encode_wav,
+        wav_dft_features,
+    )
+
+    n, amp = 4000, 32000  # sum of amp/2 * n units ~ 6.4e19 > int64 max
+    tone = encode_wav(
+        8000,
+        n,
+        sample_fn=lambda i: int(
+            round(amp * math.cos(2 * math.pi * 3 * i / n))
+        ),
+    )
+    df = spark.createDataFrame(
+        [
+            (
+                1,
+                tone,
+                dict(
+                    media_type="audio",
+                    format="wav",
+                    width=None,
+                    height=None,
+                    n_frames=None,
+                    sample_rate=None,
+                ),
+            )
+        ],
+        MEDIA_SCHEMA,
+    )
+    got = {
+        (r["asset_id"], r["bin"]): r["magnitude"]
+        for r in wav_dft_features(df, bins=(3,)).collect()
+    }
+    assert abs(got[(1, 3)] - amp / 2) < 1.0, got
