@@ -1360,3 +1360,67 @@ def strip_duplicate_substrings(
             F.md5(F.coalesce(F.col("_clean"), F.lit(""))).alias("clean_md5"),
         )
     )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    text_column: str,
+    id_column: str,
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS local fingerprinting algorithm): hash every
+    ORDERED k-gram of the token stream, slide a window of ``w``
+    consecutive hashes, and keep each window's MINIMUM hash value.
+    Guarantee: any token run of length >= w + k - 1 shared by two
+    documents contributes at least one IDENTICAL fingerprint to both —
+    unlike MinHash (a probabilistic whole-document sketch), winnowing
+    is POSITION-LOCAL, so it catches a long plagiarized passage inside
+    an otherwise unrelated document, at ~2/(w+1) of the k-gram count.
+
+    This variant keeps fingerprint VALUES only (the distinct window
+    minima; selection position/tie rules therefore don't matter),
+    which preserves the guarantee and makes the selection expressible
+    as one windowed MIN on both engines. Only FULL windows select
+    (tail windows shorter than ``w`` are excluded on both sides).
+
+    Hashes are the portable md5-prefix bigints (the minhash/tx35
+    convention), so DuckDB replays them exactly. Scale shape: one
+    doc-keyed window pass (lead + frame-min — the ordered dual of the
+    shingle rollup), one distinct; output is (id, fingerprint),
+    ~2/(w+1) rows per token. Downstream pair-joins should df-cap hot
+    fingerprints exactly like :func:`ngram_jaccard_pairs` caps viral
+    shingles."""
+    if k < 1 or w < 2:
+        raise ValueError(f"need k >= 1 and w >= 2, got k={k}, w={w}")
+    toks = df.select(
+        F.col(id_column).alias("doc"),
+        F.posexplode(tokens(F.col(text_column))).alias("pos", "_t0"),
+    )
+    order = Window.partitionBy("doc").orderBy("pos")
+    parts = [F.col("_t0")] + [
+        F.lead("_t0", i).over(order) for i in range(1, k)
+    ]
+    grams = toks.select(
+        "doc",
+        "pos",
+        F.concat_ws(" ", *parts).alias("_gram"),
+        parts[-1].alias("_last"),
+    ).where(F.col("_last").isNotNull())
+    hashed = grams.select(
+        "doc",
+        "pos",
+        F.conv(F.substring(F.md5("_gram"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("_h"),
+    )
+    frame = Window.partitionBy("doc").orderBy("pos").rowsBetween(0, w - 1)
+    winmin = hashed.select(
+        "doc",
+        F.min("_h").over(frame).alias("fingerprint"),
+        F.count(F.lit(1)).over(frame).alias("_c"),
+    ).where(F.col("_c") == w)
+    return winmin.select(
+        F.col("doc").alias(id_column), "fingerprint"
+    ).distinct()

@@ -15430,6 +15430,275 @@ FROM agg
 """
 
 
+def q113_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionized FUNNEL conversion — the ordered-pattern analytics
+    every product team runs on top of sessionization (the
+    MATCH_RECOGNIZE class, expressed relationally): within each
+    6-hour session (operators.sessions.sessionize — the batch
+    gaps-and-islands dual of st3/st22's session windows), did a
+    'click' happen and a 'purchase' happen STRICTLY AFTER it in
+    session order? Order positions are ROW_NUMBERs under the
+    deterministic (ts, event_id) total order, so 'after' is an exact
+    integer comparison (min click position < max purchase position),
+    not a timestamp-tie gamble. Rolled up by ISO weekday of the
+    session start — conversion by day-of-week, the report shape.
+
+    Scale shape: one user-keyed window pass (sessionize), one
+    (user, session) rollup, one 7-row weekday rollup — no joins at
+    all; the funnel predicate is pure aggregation."""
+    from paqarin_spark.operators import sessionize
+
+    configure_for_determinism(spark)
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_id", "event_type")
+    sess = sessionize(
+        ev, "user_id", "ts", 6 * 3600, order_columns=("event_id",)
+    )
+    pos_w = Window.partitionBy("user_id", "session_id").orderBy(
+        "ts", "event_id"
+    )
+    marked = sess.select(
+        "user_id",
+        "session_id",
+        "ts",
+        "event_type",
+        F.row_number().over(pos_w).alias("_pos"),
+    )
+    per_sess = marked.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("_start"),
+        F.min(
+            F.when(F.col("event_type") == "click", F.col("_pos"))
+        ).alias("_mc"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", F.col("_pos"))
+        ).alias("_mp"),
+    )
+    flagged = per_sess.select(
+        (F.weekday("_start") + 1).cast("long").alias("isodow"),
+        (
+            F.col("_mc").isNotNull()
+            & F.col("_mp").isNotNull()
+            & (F.col("_mp") > F.col("_mc"))
+        ).cast("int").alias("_conv"),
+    )
+    return (
+        flagged.groupBy("isodow")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.sum("_conv").cast("long").alias("n_converted"),
+        )
+        .select(
+            "isodow",
+            "n_sessions",
+            "n_converted",
+            F.round(
+                F.col("n_converted").cast("double")
+                / F.col("n_sessions").cast("double"),
+                6,
+            ).alias("conv_rate"),
+        )
+        .orderBy("isodow")
+    )
+
+
+Q113_SQL = """
+WITH flaggedrows AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                   > 21600000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessioned0 AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+  FROM flaggedrows
+), sessioned AS (
+  SELECT user_id, ts, event_type, session_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+                            ORDER BY ts, event_id) AS pos
+  FROM sessioned0
+), per_sess AS (
+  SELECT user_id, session_id, MIN(ts) AS start_ts,
+         MIN(CASE WHEN event_type = 'click' THEN pos END) AS mc,
+         MAX(CASE WHEN event_type = 'purchase' THEN pos END) AS mp
+  FROM sessioned GROUP BY 1, 2
+), flagged AS (
+  SELECT CAST(EXTRACT(ISODOW FROM start_ts) AS BIGINT) AS isodow,
+         CASE WHEN mc IS NOT NULL AND mp IS NOT NULL AND mp > mc
+              THEN 1 ELSE 0 END AS conv
+  FROM per_sess
+)
+SELECT isodow, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(conv) AS BIGINT) AS n_converted,
+       ROUND(CAST(SUM(conv) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS conv_rate
+FROM flagged GROUP BY 1 ORDER BY isodow
+"""
+
+
+def ev29_jensen_shannon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen–Shannon divergence between the event-TYPE distributions
+    of the reference window (first 15 days, ev27's split) and
+    everything after — the info-theoretic drift metric beside PSI
+    (ev27), chi² (ev12) and KS (ev6): symmetric, bounded [0, ln 2],
+    finite even on disjoint supports (KL is not, which is why
+    monitoring uses JSD). Per-type terms
+    0.5·p·ln(p/m) + 0.5·q·ln(q/m) with m = (p+q)/2 are reported so
+    the hash pins the whole decomposition; Σterm = JSD. Counts are
+    exact bigints; the category set is data-bounded (event types), so
+    the only doubles are the per-type proportion ratios, mirrored
+    op-for-op. One type-keyed rollup + one scalar broadcast — the
+    ev27 plan shape."""
+    configure_for_determinism(spark)
+    ev = _events(spark, sf_dir).where(F.col("event_type").isNotNull())
+    d0 = ev.agg(F.min(F.to_date("ts")).alias("_d0"))
+    counts = (
+        ev.crossJoin(F.broadcast(d0))
+        .select(
+            "event_type",
+            (F.datediff(F.to_date("ts"), F.col("_d0")) < 15).alias("_ref"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("_ref"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_ref"),
+            F.sum(F.when(~F.col("_ref"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_cur"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("n_ref").alias("_tr"), F.sum("n_cur").alias("_tc")
+    )
+    p = F.col("n_ref").cast("double") / F.col("_tr").cast("double")
+    q = F.col("n_cur").cast("double") / F.col("_tc").cast("double")
+    m = (p + q) / F.lit(2.0)
+    term = F.lit(0.5) * F.when(p > 0, p * F.log(p / m)).otherwise(
+        F.lit(0.0)
+    ) + F.lit(0.5) * F.when(q > 0, q * F.log(q / m)).otherwise(F.lit(0.0))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "n_ref",
+            "n_cur",
+            F.round(term, 6).alias("jsd_term"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EV29_SQL = """
+WITH dated AS (
+  SELECT event_type,
+         date_diff('day', (SELECT MIN(CAST(ts AS DATE))
+                           FROM events WHERE event_type IS NOT NULL),
+                   CAST(ts AS DATE)) < 15 AS ref
+  FROM events WHERE event_type IS NOT NULL
+), counts AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+         CAST(SUM(CASE WHEN NOT ref THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_cur
+  FROM dated GROUP BY 1
+), tot AS (
+  SELECT SUM(n_ref) AS tr, SUM(n_cur) AS tc FROM counts
+), terms AS (
+  SELECT event_type, n_ref, n_cur,
+         CAST(n_ref AS DOUBLE) / CAST(tr AS DOUBLE) AS p,
+         CAST(n_cur AS DOUBLE) / CAST(tc AS DOUBLE) AS q
+  FROM counts CROSS JOIN tot
+)
+SELECT event_type, n_ref, n_cur,
+       ROUND(0.5 * (CASE WHEN p > 0
+                         THEN p * ln(p / ((p + q) / 2.0)) ELSE 0.0 END)
+             + 0.5 * (CASE WHEN q > 0
+                           THEN q * ln(q / ((p + q) / 2.0)) ELSE 0.0 END),
+             6) AS jsd_term
+FROM terms ORDER BY event_type
+"""
+
+
+def tx55_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint matching (operators.dedup.
+    winnowing_fingerprints — Schleimer/Wilkerson/Aiken's MOSS local
+    fingerprinting, SIGMOD 2003): the POSITION-LOCAL near-dup scheme
+    the dedup family was missing — MinHash sketches whole documents
+    (a long plagiarized passage inside an otherwise unrelated page is
+    invisible at document Jaccard), while winnowing guarantees any
+    shared token run of length >= w+k-1 = 6 shares a fingerprint.
+    Distinct window-minimum md5-prefix hashes per doc (k=3, w=4),
+    hot fingerprints df-capped at 32 docs (the tx4 viral-shingle
+    discipline — one boilerplate fingerprint in 10k docs is a 50M-row
+    join without it), pairs sharing >= 2 fingerprints reported.
+
+    Scale shape: one doc-keyed window pass selects ~2/(w+1) of the
+    k-grams; the pair join is fingerprint-keyed and df-capped — the
+    inverted-index shape, never all-pairs."""
+    from paqarin_spark.operators import winnowing_fingerprints
+
+    configure_for_determinism(spark)
+    docs = _docs(spark, sf_dir)
+    fps = winnowing_fingerprints(docs, "text", "doc_id", k=3, w=4)
+    df_counts = (
+        fps.groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") <= 32)
+        .select("fingerprint")
+    )
+    kept = fps.join(df_counts, "fingerprint", "left_semi")
+    a = kept.alias("a")
+    b = kept.alias("b")
+    pairs = (
+        a.join(b, "fingerprint")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= 2)
+    )
+    return pairs.orderBy(
+        F.desc("n_shared"), "id_a", "id_b"
+    ).limit(40)
+
+
+TX55_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_SQL} AS ts FROM documents
+), grams AS (
+  SELECT doc_id, i AS pos,
+         ('0x' || substring(md5(ts[i] || ' ' || ts[i + 1] || ' '
+                                || ts[i + 2]), 1, 15))::UBIGINT AS h
+  FROM toks, LATERAL (SELECT UNNEST(range(1, len(ts) - 1)) AS i)
+  WHERE len(ts) >= 3
+), winmin AS (
+  SELECT doc_id,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+         COUNT(*) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS c
+  FROM grams
+), fps AS (
+  SELECT DISTINCT doc_id, fp FROM winmin WHERE c = 4
+), keep AS (
+  SELECT doc_id, fp FROM fps
+  WHERE fp IN (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= 32)
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM keep a JOIN keep b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+)
+SELECT id_a, id_b, n_shared FROM pairs
+ORDER BY n_shared DESC, id_a, id_b LIMIT 40
+"""
+
+
 def _trade_rel_edges(spark: SparkSession, sf_dir: str, min_items: int):
     """Repeat-trade relationship edges: (customer, supplier) pairs
     with >= min_items line items — the thresholded sparse view of the
@@ -18043,6 +18312,9 @@ GEN13_SQL = _gen13_sql()
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-10 additions (never driver-verified) come first ---
+    "q113_session_funnel": q113_session_funnel,
+    "ev29_jensen_shannon": ev29_jensen_shannon,
+    "tx55_winnowing_pairs": tx55_winnowing_pairs,
     "em32_sq_int8_recall": em32_sq_int8_recall,
     "q112_csv_roundtrip": q112_csv_roundtrip,
     "q111_hits_authorities": q111_hits_authorities,
@@ -18093,9 +18365,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ev20_memorization_audit": ev20_memorization_audit,
     # --- round-7 additions, r7-locally-verified ---
     "em27_graph_ingest_recall": em27_graph_ingest_recall,
-    "em26_graph_search_recall": em26_graph_search_recall,
-    "ev17_classifier_calibration": ev17_classifier_calibration,
-    "st17_stream_classify": st17_stream_classify,
     # (Historical round-4/round-5 rotation prose removed in round 9 —
     # it described entries that have long since been driver-verified
     # and rotated; per-displacement notes below the marker are the
@@ -18103,6 +18372,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # 50-entry driver window: round-10 additions first, then the most
     # recently verified rounds.)
     # ------------- driver 50-entry window ends HERE (position 50) -------------
+    # em26 (r7-driver-verified) displaced for round-10 q113.
+    "em26_graph_search_recall": em26_graph_search_recall,
+    # ev17 (r7-driver-verified) displaced for round-10 ev29.
+    "ev17_classifier_calibration": ev17_classifier_calibration,
+    # st17 (r7-driver-verified) displaced for round-10 tx55.
+    "st17_stream_classify": st17_stream_classify,
     # tx47 (r7-driver-verified) displaced for round-10 em32.
     "tx47_bpe_encode_stats": tx47_bpe_encode_stats,
     # gen10 (r7-driver-verified; rows-only smoke) displaced for
@@ -18409,6 +18684,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # single-statement SQL — declared so the driver proves the neural
 # train/sample lifecycle runs, not to widen the oracle surface.
 ORACLE_SQL: dict[str, str] = {
+    "q113_session_funnel": Q113_SQL,
+    "ev29_jensen_shannon": EV29_SQL,
+    "tx55_winnowing_pairs": TX55_SQL,
     "em32_sq_int8_recall": EM32_SQL,
     "q112_csv_roundtrip": Q112_SQL,
     "q111_hits_authorities": Q111_SQL,

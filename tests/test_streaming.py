@@ -1335,3 +1335,58 @@ def test_session_window_merges_at_exactly_gap(spark):
     first = by_start[t0]
     assert first["session_end"] == t0 + dtm.timedelta(hours=2)
     assert first["value_sum"] == 3.0
+
+
+def test_stream_sessions_state_survives_checkpoint_restart(spark, tmp_path):
+    """Durable-state pin for the MERGING-window state class
+    (session_window): a session left OPEN at the kill must absorb a
+    post-restart event that falls within its gap — which requires the
+    open-session state (bounds + running aggregates) to have been
+    recovered — while a post-restart event beyond the gap opens a new
+    session. Complete-mode final table equals the batch gaps-and-
+    islands recompute of all files."""
+    import datetime as dtm
+
+    from paqarin_spark.streaming import stream_sessions
+
+    path = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    t0 = dtm.datetime(2020, 1, 1, 0, 0, 0)
+    part1 = spark.createDataFrame(
+        [("u", t0, 1.0), ("u", t0 + dtm.timedelta(minutes=30), 2.0)],
+        "item_id string, ts timestamp, v double",
+    )
+    # within 1h of part1's last event -> must MERGE into the recovered
+    # open session; the second row is >1h beyond -> new session
+    part2 = spark.createDataFrame(
+        [
+            ("u", t0 + dtm.timedelta(minutes=80), 4.0),
+            ("u", t0 + dtm.timedelta(minutes=300), 8.0),
+        ],
+        "item_id string, ts timestamp, v double",
+    )
+    part1.coalesce(1).write.mode("append").parquet(path)
+    schema = "item_id string, ts timestamp, v double"
+    stream1 = spark.readStream.schema(schema).parquet(path)
+    _run_checkpointed(
+        spark,
+        stream_sessions(stream1, SCHEMA, gap="1 hour", value_column="v"),
+        "st_sess_r1",
+        ckpt,
+    )
+    part2.coalesce(1).write.mode("append").parquet(path)
+    stream2 = spark.readStream.schema(schema).parquet(path)
+    out = _run_checkpointed(
+        spark,
+        stream_sessions(stream2, SCHEMA, gap="1 hour", value_column="v"),
+        "st_sess_r2",
+        ckpt,
+    )
+    rows = sorted(
+        (r["session_start"], r["n_events"], r["value_sum"])
+        for r in out.collect()
+    )
+    assert rows == [
+        (t0, 3, 7.0),  # part1's open session absorbed the 80-min event
+        (t0 + dtm.timedelta(minutes=300), 1, 8.0),
+    ], rows
