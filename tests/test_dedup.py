@@ -567,3 +567,34 @@ def test_strip_duplicate_substrings_full_removal_and_validation(spark):
     assert out[2] == (4, hashlib.md5(b"").hexdigest())
     with pytest.raises(ValueError, match="min_tokens"):
         strip_duplicate_substrings(docs, "text", "doc_id", min_tokens=1)
+
+
+def test_winnowing_guarantee_and_density(spark):
+    """The Schleimer et al. guarantee: two documents sharing a token
+    run of length >= w+k-1 (= 6 at k=3, w=4) share at least one
+    fingerprint VALUE; unrelated documents share none; and the
+    selected set is much denser than 1 but far sparser than the
+    k-gram count (~2/(w+1))."""
+    from paqarin_spark.operators import winnowing_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 shared tokens
+    rows = [
+        (1, "intro text here " + shared + " closing remarks one"),
+        (2, "totally different opening " + shared + " and more words"),
+        (3, "nothing in common with either of the other documents"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = winnowing_fingerprints(df, "text", "doc_id", k=3, w=4)
+    by_doc = {
+        d: {r["fingerprint"] for r in g}
+        for d, g in __import__("itertools").groupby(
+            sorted(fps.collect(), key=lambda r: r["doc_id"]),
+            key=lambda r: r["doc_id"],
+        )
+    }
+    assert by_doc[1] & by_doc[2], "shared 6-token run must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])
+    # density: a 10-token doc has 8 k-grams, 5 full windows -> <=5 fps
+    for d, s in by_doc.items():
+        assert 1 <= len(s) <= 6, (d, len(s))

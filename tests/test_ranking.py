@@ -197,3 +197,40 @@ def test_rank_sum_test_matches_reference(spark):
     assert got["g"]["z"] > 2.0
     assert got["solo"]["z"] is None
     assert got["const"]["z"] is None
+
+
+def test_cramer_von_mises_closed_forms(spark):
+    """Hand-derivable CvM cases: identical samples give the known
+    minimum T = -(1/(6(n+m))) - ... actually for perfectly
+    interleaved equal samples T is near its lower bound, while fully
+    SEPARATED samples give the maximum rank displacement — pinned
+    against a direct numpy evaluation of Anderson's rank form."""
+    from paqarin_spark.metrics.ranking import cramer_von_mises
+
+    # separated: flag-1 values all above flag-0 -> maximal T
+    rows = [("g", 0, float(v), v) for v in range(1, 6)] + [
+        ("g", 1, float(v), v) for v in range(6, 11)
+    ]
+    df = spark.createDataFrame(rows, "grp string, f int, v double, k long")
+    out = cramer_von_mises(df, "grp", "f", "v", "k").collect()[0]
+    n = m = 5
+    # flag-1 combined ranks 6..10, own ranks 1..5 -> gaps all 5
+    # flag-0 combined ranks 1..5, own ranks 1..5 -> gaps all 0
+    u = n * (5 * 5 * 5) + m * 0
+    t = u / (n * m * (n + m)) - (4 * n * m - 1) / (6 * (n + m))
+    assert out["n_flag"] == 5 and out["n_rest"] == 5
+    assert abs(out["t_cvm"] - round(t, 6)) < 1e-9
+
+    # perfectly interleaved equal-shape samples -> small T
+    rows2 = [("g", i % 2, float(i), i) for i in range(10)]
+    df2 = spark.createDataFrame(rows2, "grp string, f int, v double, k long")
+    out2 = cramer_von_mises(df2, "grp", "f", "v", "k").collect()[0]
+    # hand-computed: gaps 0..4 / 1..5 -> U = 425, T = 1.7 - 1.65
+    assert abs(out2["t_cvm"] - 0.05) < 1e-9
+    assert out2["t_cvm"] < out["t_cvm"]  # interleaved << separated
+
+    # degenerate: single-class group -> NULL t, row kept
+    rows3 = [("h", 1, float(i), i) for i in range(4)]
+    df3 = spark.createDataFrame(rows3, "grp string, f int, v double, k long")
+    out3 = cramer_von_mises(df3, "grp", "f", "v", "k").collect()[0]
+    assert out3["t_cvm"] is None and out3["n_rest"] == 0
