@@ -1481,9 +1481,11 @@ def wav_dft_features(
 
     Determinism of the reduction: each cos/sin term is rounded
     half-away-from-zero at 12dp to an INTEGER count of 1e-12 units
-    and summed as int64 — an exact, order-independent sum (numpy's
-    pairwise ``.sum()`` vs a SQL engine's sequential SUM can differ
-    in the last ulp otherwise). The final ``units/1e12`` divide
+    and summed as ARBITRARY-PRECISION Python ints — an exact,
+    order-independent sum (numpy's pairwise ``.sum()`` vs a SQL
+    engine's sequential SUM can differ in the last ulp otherwise,
+    and an int64 accumulator would wrap at full-scale 16-bit PCM:
+    per-term units reach |sample|·1e12 ≈ 3.3e16, test-pinned). The final ``units/1e12`` divide
     mirrors the oracle's ``CAST(SUM(CAST(ROUND(term,12) AS
     DECIMAL(38,12))) AS DOUBLE)`` bit-for-bit (decimal→double in
     DuckDB is integer-units → double → /10^scale)."""

@@ -16170,9 +16170,22 @@ def em32_sq_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     sq10 = scored.select(
         "p", "vec_id", F.row_number().over(w).alias("_rk")
     ).where(F.col("_rk") <= 10)
-    exact10 = cosine_topk(emb, "vec_id", "embedding", k=10).where(
-        F.col("query_id") % 100 == 0
+    # exact leg restricted to the probes (cosine_topk's queries=
+    # param): k=11 because explicit queries disables self-exclusion
+    # (the probe ranks itself #1), then drop self and re-rank under
+    # the kernel's own (rounded-cos desc, neighbor asc) order — the
+    # full-corpus top-k would do ~100x the BLAS work only to be
+    # filtered to 1%
+    probes_emb = emb.where(F.col("vec_id") % 100 == 0)
+    exact_raw = cosine_topk(
+        emb, "vec_id", "embedding", k=11, queries=probes_emb
+    ).where(F.col("neighbor_id") != F.col("query_id"))
+    we = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
     )
+    exact10 = exact_raw.select(
+        "query_id", "neighbor_id", F.row_number().over(we).alias("_erk")
+    ).where(F.col("_erk") <= 10)
     flagged = sq10.join(
         exact10,
         (sq10.p == exact10.query_id) & (sq10.vec_id == exact10.neighbor_id),

@@ -585,16 +585,15 @@ def test_winnowing_guarantee_and_density(spark):
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     fps = winnowing_fingerprints(df, "text", "doc_id", k=3, w=4)
-    by_doc = {
-        d: {r["fingerprint"] for r in g}
-        for d, g in __import__("itertools").groupby(
-            sorted(fps.collect(), key=lambda r: r["doc_id"]),
-            key=lambda r: r["doc_id"],
-        )
-    }
+    by_doc: dict = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fingerprint"])
     assert by_doc[1] & by_doc[2], "shared 6-token run must share a fingerprint"
     assert not (by_doc[1] & by_doc[3])
     assert not (by_doc[2] & by_doc[3])
-    # density: a 10-token doc has 8 k-grams, 5 full windows -> <=5 fps
+    # density upper bound is structural: docs have 12/12/9 tokens ->
+    # 10/10/7 k-grams -> 7/7/4 full windows, so at most that many
+    # distinct window minima can be selected per doc
+    max_fps = {1: 7, 2: 7, 3: 4}
     for d, s in by_doc.items():
-        assert 1 <= len(s) <= 6, (d, len(s))
+        assert 1 <= len(s) <= max_fps[d], (d, len(s))

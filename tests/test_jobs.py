@@ -379,8 +379,12 @@ def test_write_zordered_prunes_on_both_columns(spark, tmp_path):
 
     x_pred = F.col("x").between(0, 624)    # 1/16 of the x domain
     y_pred = F.col("y").between(0, 624)    # 1/16 of the y domain
-    # 1-D sort: perfect on x, useless on y
-    assert read_rows(x_path, x_pred) <= n // files * 2
+    # 1-D sort: perfect on x, useless on y. Slack is 3 files' worth,
+    # not 2: repartitionByRange draws its boundaries from a RANDOM
+    # sample, so the slab can straddle up to one extra file when a
+    # sampled boundary lands just inside the predicate range (flaked
+    # at 10,329 rows vs the old 10,000 cap on an otherwise green run).
+    assert read_rows(x_path, x_pred) <= n // files * 3
     assert read_rows(x_path, y_pred) == n
     # z-order: prunes on BOTH columns (bounding boxes are ~4x4 grid at
     # 16 files, so a 1/16 slab touches ~1/4 of the files)
