@@ -295,33 +295,80 @@ def _png_predictor(ft: int, cur, prev, i: int, bpp: int) -> int:
     return _paeth(a, b, c)
 
 
-def encode_png(width: int, height: int, pixel_fn=None) -> bytes:
+# Adam7 interlace pass grid (PNG spec §8.2): (x_start, y_start,
+# x_step, y_step). Each pass is an independently-filtered sub-image;
+# empty passes (zero width or height) contribute NO bytes at all.
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _adam7_dims(width: int, height: int, p: tuple) -> tuple[int, int]:
+    x0, y0, dx, dy = p
+    pw = (width - x0 + dx - 1) // dx if width > x0 else 0
+    ph = (height - y0 + dy - 1) // dy if height > y0 else 0
+    return pw, ph
+
+
+def _png_filter_row(raw: bytearray, row: bytes, prev: bytes, ft: int, bpp: int) -> None:
+    """Append one filtered scanline (filter byte + residuals) to raw.
+    Filtering is defined on RECONSTRUCTED neighbors, which for the
+    encoder are the raw bytes themselves."""
+    raw.append(ft)
+    if ft == 0:
+        raw += row
+    else:
+        for i in range(len(row)):
+            raw.append((row[i] - _png_predictor(ft, row, prev, i, bpp)) & 0xFF)
+
+
+def encode_png(
+    width: int, height: int, pixel_fn=None, interlace: bool = False
+) -> bytes:
     """Spec-compliant 8-bit RGB (color type 2) PNG encoder. Each row is
-    filtered with type ``y % 5``, so a round trip exercises every
-    standard filter (None/Sub/Up/Average/Paeth). ``pixel_fn(x, y)``
-    returns an (r, g, b) tuple; default is a deterministic gradient."""
+    filtered with type ``y % 5`` (pass-local row index when
+    interlaced), so a round trip exercises every standard filter
+    (None/Sub/Up/Average/Paeth). ``pixel_fn(x, y)`` returns an
+    (r, g, b) tuple; default is a deterministic gradient.
+    ``interlace=True`` serializes the seven Adam7 passes (spec §8.2),
+    each filtered independently with its own zero previous row."""
     import zlib
 
     if pixel_fn is None:
         pixel_fn = lambda x, y: ((x + y) % 256, (2 * x + y) % 256, (x * y) % 256)  # noqa: E731
     bpp = 3
     raw = bytearray()
-    prev = bytes(width * bpp)
-    for y in range(height):
-        row = bytearray()
-        for x in range(width):
-            row += bytes(pixel_fn(x, y))
-        ft = y % 5
-        raw.append(ft)
-        if ft == 0:
-            raw += row
-        else:
-            for i in range(len(row)):
-                # filtering is defined on RECONSTRUCTED neighbors, which
-                # for the encoder are the raw bytes themselves
-                raw.append((row[i] - _png_predictor(ft, row, prev, i, bpp)) & 0xFF)
-        prev = bytes(row)
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    if not interlace:
+        prev = bytes(width * bpp)
+        for y in range(height):
+            row = bytearray()
+            for x in range(width):
+                row += bytes(pixel_fn(x, y))
+            _png_filter_row(raw, bytes(row), prev, y % 5, bpp)
+            prev = bytes(row)
+    else:
+        for p in _ADAM7:
+            x0, y0, dx, dy = p
+            pw, ph = _adam7_dims(width, height, p)
+            if pw == 0 or ph == 0:
+                continue
+            prev = bytes(pw * bpp)
+            for j in range(ph):
+                y = y0 + j * dy
+                row = bytearray()
+                for i in range(pw):
+                    row += bytes(pixel_fn(x0 + i * dx, y))
+                _png_filter_row(raw, bytes(row), prev, j % 5, bpp)
+                prev = bytes(row)
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, 8, 2, 0, 0, 1 if interlace else 0
+    )
     return (
         PNG_SIGNATURE
         + _png_chunk(b"IHDR", ihdr)
@@ -336,8 +383,10 @@ def parse_png(content: bytes) -> dict | None:
     scanline defiltering. Returns ``{"width", "height", "channels",
     "pixels"}`` where ``pixels`` is the reconstructed raw sample bytes
     (palette images expanded to RGB via PLTE) — or ``pixels=None`` for
-    valid-but-unsupported variants (bit depth != 8, interlaced), where
-    only the IHDR dimensions are trustworthy. Malformed payloads
+    valid-but-unsupported variants (bit depth != 8), where only the
+    IHDR dimensions are trustworthy. Adam7-INTERLACED images decode
+    for real: each of the seven passes defilters independently and
+    scatters into the full raster (spec §8.2). Malformed payloads
     (bad CRC, wrong IDAT length, unknown filter type) return None
     rather than raising — a poisoned asset must not kill a scan task.
 
@@ -388,31 +437,73 @@ def parse_png(content: bytes) -> dict | None:
     ):
         return None
     dims = {"width": width, "height": height, "channels": None, "pixels": None}
-    if bit_depth != 8 or interlace != 0:
+    if bit_depth != 8:
         return dims  # header-only: dimensions are still from the bytes
     try:
         raw = zlib.decompress(bytes(idat))
     except zlib.error:
         return None
     channels = _PNG_CHANNELS[color_type]
-    stride = width * channels
-    if len(raw) != (stride + 1) * height:
-        return None
-    recon = bytearray()
-    prev = bytearray(stride)
-    rpos = 0
-    for _y in range(height):
-        ft = raw[rpos]
-        rpos += 1
-        if ft > 4:
+    if interlace == 0:
+        stride = width * channels
+        if len(raw) != (stride + 1) * height:
             return None
-        cur = bytearray(raw[rpos : rpos + stride])
-        rpos += stride
-        if ft != 0:
-            for i in range(stride):
-                cur[i] = (cur[i] + _png_predictor(ft, cur, prev, i, channels)) & 0xFF
-        recon += cur
-        prev = cur
+        recon = bytearray()
+        prev = bytearray(stride)
+        rpos = 0
+        for _y in range(height):
+            ft = raw[rpos]
+            rpos += 1
+            if ft > 4:
+                return None
+            cur = bytearray(raw[rpos : rpos + stride])
+            rpos += stride
+            if ft != 0:
+                for i in range(stride):
+                    cur[i] = (cur[i] + _png_predictor(ft, cur, prev, i, channels)) & 0xFF
+            recon += cur
+            prev = cur
+    else:
+        # Adam7: seven independently-filtered sub-images scattered
+        # back into the full raster (spec §8.2); empty passes carry
+        # no bytes, and each pass's defilter starts from a zero row
+        expected = sum(
+            (pw * channels + 1) * ph
+            for pw, ph in (_adam7_dims(width, height, p) for p in _ADAM7)
+            if pw and ph
+        )
+        if len(raw) != expected:
+            return None
+        recon = bytearray(width * height * channels)
+        rpos = 0
+        for p in _ADAM7:
+            x0, y0, dx, dy = p
+            pw, ph = _adam7_dims(width, height, p)
+            if pw == 0 or ph == 0:
+                continue
+            stride = pw * channels
+            prev = bytearray(stride)
+            for j in range(ph):
+                ft = raw[rpos]
+                rpos += 1
+                if ft > 4:
+                    return None
+                cur = bytearray(raw[rpos : rpos + stride])
+                rpos += stride
+                if ft != 0:
+                    for i in range(stride):
+                        cur[i] = (
+                            cur[i]
+                            + _png_predictor(ft, cur, prev, i, channels)
+                        ) & 0xFF
+                y = y0 + j * dy
+                base = y * width * channels
+                for i in range(pw):
+                    off = base + (x0 + i * dx) * channels
+                    recon[off : off + channels] = cur[
+                        i * channels : (i + 1) * channels
+                    ]
+                prev = cur
     if color_type == 3:  # palette: expand indices to RGB
         if plte is None or len(plte) % 3 != 0:
             return None
@@ -528,13 +619,20 @@ def codec_assets_from_ids(df: DataFrame, id_column: str) -> DataFrame:
     return _spread_ids(df, id_column).mapInPandas(build, schema=MEDIA_SCHEMA)
 
 
-def png_assets_from_ids(df: DataFrame, id_column: str) -> DataFrame:
+def png_assets_from_ids(
+    df: DataFrame,
+    id_column: str,
+    interlace: bool = False,
+    base: int = 2,
+) -> DataFrame:
     """Deterministic REAL-PNG asset table from an id column: 8-bit RGB,
-    width = id%6+2, height = id%5+2, pixel (x, y) =
+    width = id%6+base, height = id%5+base, pixel (x, y) =
     ((x+y+id)%256, (2x+y+id)%256, (x·y+id)%256), rows filtered with
     type y%5 (every standard PNG filter appears for height ≥ 5).
-    Dimension metadata is deliberately withheld: anything a decoder
-    reports can only have come from the compressed bytes."""
+    ``interlace=True`` writes Adam7 passes (pair with a larger
+    ``base`` so several passes are non-empty). Dimension metadata is
+    deliberately withheld: anything a decoder reports can only have
+    come from the compressed bytes."""
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -542,8 +640,9 @@ def png_assets_from_ids(df: DataFrame, id_column: str) -> DataFrame:
             for aid in pdf[id_column]:
                 aid = int(aid)
                 content = encode_png(
-                    aid % 6 + 2,
-                    aid % 5 + 2,
+                    aid % 6 + base,
+                    aid % 5 + base,
+                    interlace=interlace,
                     pixel_fn=lambda x, y, a=aid: (
                         (x + y + a) % 256,
                         (2 * x + y + a) % 256,

@@ -16267,6 +16267,48 @@ GROUP BY pid ORDER BY probe_id
 """
 
 
+def mm20_png_interlaced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adam7-INTERLACED PNG decode end to end — the progressive-
+    rendering layout web PNGs actually ship in, and the one PNG
+    variant the decoder previously returned header-only: seven
+    independently-filtered sub-images whose samples scatter back into
+    the full raster on a (x0,y0,dx,dy) pass grid (spec §8.2; empty
+    passes carry no bytes). Assets are spec-built at 6..11 × 6..10 so
+    all seven passes are non-empty and every standard filter appears
+    pass-locally; dimension metadata is withheld. The channel means
+    come from the RECONSTRUCTED raster, so the oracle — which
+    predicts them from the pixel formula by pure id arithmetic,
+    exactly mm5's proof shape — catches any pass-extraction,
+    defilter, or scatter bug, not just header parsing. Arrow-batched
+    linear pass, no shuffle."""
+    from paqarin_spark.multimodal import png_assets_from_ids, png_pixel_stats
+
+    configure_for_determinism(spark)
+    docs = _docs(spark, sf_dir)
+    return png_pixel_stats(
+        png_assets_from_ids(docs, "doc_id", interlace=True, base=6)
+    ).orderBy("asset_id")
+
+
+MM20_SQL = """
+WITH a AS (
+  SELECT doc_id AS asset_id,
+         CAST(doc_id % 6 + 6 AS INTEGER) AS width,
+         CAST(doc_id % 5 + 6 AS INTEGER) AS height
+  FROM documents
+),
+gx AS (SELECT asset_id, width, height, UNNEST(range(width)) AS x FROM a),
+g AS (SELECT asset_id, width, height, x, UNNEST(range(height)) AS y FROM gx)
+SELECT asset_id, width, height,
+       ROUND(AVG((x + y + asset_id) % 256), 6) AS mean_r,
+       ROUND(AVG((2 * x + y + asset_id) % 256), 6) AS mean_g,
+       ROUND(AVG((x * y + asset_id) % 256), 6) AS mean_b
+FROM g
+GROUP BY asset_id, width, height
+ORDER BY asset_id
+"""
+
+
 def q112_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV sink/source round-trip PROOF — the LAST unproven leg of the
     A1/A3 format family (q97 JSONL, q107 ORC, parquet everywhere):
@@ -18325,6 +18367,7 @@ GEN13_SQL = _gen13_sql()
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-10 additions (never driver-verified) come first ---
+    "mm20_png_interlaced": mm20_png_interlaced,
     "q113_session_funnel": q113_session_funnel,
     "ev29_jensen_shannon": ev29_jensen_shannon,
     "tx55_winnowing_pairs": tx55_winnowing_pairs,
@@ -18376,8 +18419,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ev19_bootstrap_ci": ev19_bootstrap_ci,
     "st19_stream_phrase_hits": st19_stream_phrase_hits,
     "ev20_memorization_audit": ev20_memorization_audit,
-    # --- round-7 additions, r7-locally-verified ---
-    "em27_graph_ingest_recall": em27_graph_ingest_recall,
     # (Historical round-4/round-5 rotation prose removed in round 9 —
     # it described entries that have long since been driver-verified
     # and rotated; per-displacement notes below the marker are the
@@ -18385,6 +18426,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # 50-entry driver window: round-10 additions first, then the most
     # recently verified rounds.)
     # ------------- driver 50-entry window ends HERE (position 50) -------------
+    # em27 (r7-driver-verified) displaced for round-10 mm20.
+    "em27_graph_ingest_recall": em27_graph_ingest_recall,
     # em26 (r7-driver-verified) displaced for round-10 q113.
     "em26_graph_search_recall": em26_graph_search_recall,
     # ev17 (r7-driver-verified) displaced for round-10 ev29.
@@ -18697,6 +18740,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # single-statement SQL — declared so the driver proves the neural
 # train/sample lifecycle runs, not to widen the oracle surface.
 ORACLE_SQL: dict[str, str] = {
+    "mm20_png_interlaced": MM20_SQL,
     "q113_session_funnel": Q113_SQL,
     "ev29_jensen_shannon": EV29_SQL,
     "tx55_winnowing_pairs": TX55_SQL,

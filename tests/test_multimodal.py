@@ -1073,3 +1073,39 @@ def test_wav_dft_unit_sums_do_not_wrap_on_full_scale_pcm(spark):
         for r in wav_dft_features(df, bins=(3,)).collect()
     }
     assert abs(got[(1, 3)] - amp / 2) < 1.0, got
+
+
+def test_png_adam7_interlace_roundtrip_matches_progressive():
+    """Adam7 encode → decode reproduces the EXACT raster the
+    progressive encoding yields, across every shape 1..13 × 1..11 —
+    covering empty passes (width or height below a pass origin),
+    single-pixel images, and pass-local filter cycling. Truncated
+    interlaced streams return None, and the interlaced flag is
+    really in the bytes (IHDR byte 13)."""
+    from paqarin_spark.multimodal import encode_png, parse_png
+
+    fn = lambda x, y: ((x + 3 * y) % 256, (x * y + 1) % 256, (5 * x + y) % 256)  # noqa: E731
+    for w in range(1, 14):
+        for h in range(1, 12):
+            plain = parse_png(encode_png(w, h, fn))
+            inter_bytes = encode_png(w, h, fn, interlace=True)
+            inter = parse_png(inter_bytes)
+            assert inter is not None and inter["pixels"] is not None, (w, h)
+            assert inter["width"] == w and inter["height"] == h
+            assert inter["pixels"] == plain["pixels"], (w, h)
+    big = encode_png(11, 10, fn, interlace=True)
+    # IHDR data starts after signature(8) + len(4) + type(4); byte 12
+    # of the 13-byte IHDR payload is the interlace flag
+    assert big[8 + 8 + 12] == 1
+    # truncating the IDAT payload must fail closed, not mis-scatter
+    import struct as _struct
+
+    pos = 8
+    while True:
+        (length,) = _struct.unpack_from(">I", big, pos)
+        ctype = big[pos + 4 : pos + 8]
+        if ctype == b"IDAT":
+            break
+        pos = pos + 12 + length
+    cut = big[: pos + 8 + length - 3]  # drop the IDAT tail + CRC
+    assert parse_png(cut) is None
