@@ -15538,6 +15538,87 @@ FROM flagged GROUP BY 1 ORDER BY isodow
 """
 
 
+def st23_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING funnel conversion — q113's deployed dual, and the
+    composition the session-window state class exists for: the funnel
+    predicate rides INSIDE the merging session aggregation as
+    conditional struct extrema (min click (ts,event_id), max purchase
+    (ts,event_id) — orderable structs, so 'purchase strictly after
+    click' is one tuple comparison at session close; no per-event
+    state beyond the open session row). Batch sessionize breaks on
+    strictly-greater gaps and session_window merges at exactly-gap —
+    the SAME partitioning (pinned by the boundary test) — so a
+    bounded run carries q113's oracle VERBATIM (the st21=ev27
+    precedent): identical weekday conversion rates regardless of
+    micro-batch boundaries.
+
+    State bound: one row (two structs + a timestamp) per OPEN session
+    per user; watermark evicts closed sessions in production."""
+    configure_for_determinism(spark)
+    stream = _events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "1 day")
+        .groupBy(
+            "user_id", F.session_window("ts", "6 hours").alias("_w")
+        )
+        .agg(
+            F.min("ts").alias("_start"),
+            F.min(
+                F.when(
+                    F.col("event_type") == "click",
+                    F.struct("ts", "event_id"),
+                )
+            ).alias("_mc"),
+            F.max(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.struct("ts", "event_id"),
+                )
+            ).alias("_mp"),
+        )
+    )
+    name = "st23_stream_funnel"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    per_sess = spark.table(name).select(
+        (F.weekday("_start") + 1).cast("long").alias("isodow"),
+        (
+            F.col("_mc").isNotNull()
+            & F.col("_mp").isNotNull()
+            & (F.col("_mp") > F.col("_mc"))
+        ).cast("int").alias("_conv"),
+    )
+    return (
+        per_sess.groupBy("isodow")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.sum("_conv").cast("long").alias("n_converted"),
+        )
+        .select(
+            "isodow",
+            "n_sessions",
+            "n_converted",
+            F.round(
+                F.col("n_converted").cast("double")
+                / F.col("n_sessions").cast("double"),
+                6,
+            ).alias("conv_rate"),
+        )
+        .orderBy("isodow")
+    )
+
+
+# q113's oracle verbatim — the batch/stream parity proof contract
+# (the ST21_SQL = EV27_SQL precedent)
+ST23_SQL = Q113_SQL
+
+
 def ev29_jensen_shannon(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Jensen–Shannon divergence between the event-TYPE distributions
     of the reference window (first 15 days, ev27's split) and
@@ -18367,6 +18448,7 @@ GEN13_SQL = _gen13_sql()
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-10 additions (never driver-verified) come first ---
+    "st23_stream_funnel": st23_stream_funnel,
     "mm20_png_interlaced": mm20_png_interlaced,
     "q113_session_funnel": q113_session_funnel,
     "ev29_jensen_shannon": ev29_jensen_shannon,
@@ -18418,7 +18500,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "em29_zscore_outliers": em29_zscore_outliers,
     "ev19_bootstrap_ci": ev19_bootstrap_ci,
     "st19_stream_phrase_hits": st19_stream_phrase_hits,
-    "ev20_memorization_audit": ev20_memorization_audit,
     # (Historical round-4/round-5 rotation prose removed in round 9 —
     # it described entries that have long since been driver-verified
     # and rotated; per-displacement notes below the marker are the
@@ -18426,6 +18507,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # 50-entry driver window: round-10 additions first, then the most
     # recently verified rounds.)
     # ------------- driver 50-entry window ends HERE (position 50) -------------
+    # ev20 (r8-driver-verified) displaced for round-10 st23.
+    "ev20_memorization_audit": ev20_memorization_audit,
     # em27 (r7-driver-verified) displaced for round-10 mm20.
     "em27_graph_ingest_recall": em27_graph_ingest_recall,
     # em26 (r7-driver-verified) displaced for round-10 q113.
@@ -18740,6 +18823,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # single-statement SQL — declared so the driver proves the neural
 # train/sample lifecycle runs, not to widen the oracle surface.
 ORACLE_SQL: dict[str, str] = {
+    "st23_stream_funnel": ST23_SQL,
     "mm20_png_interlaced": MM20_SQL,
     "q113_session_funnel": Q113_SQL,
     "ev29_jensen_shannon": EV29_SQL,
