@@ -24,6 +24,7 @@ from paqarin_spark.evaluation import (  # noqa: E402
 from paqarin_spark.generator import GeneratorParameters  # noqa: E402
 from paqarin_spark.generators import (  # noqa: E402
     BlockBootstrapGenerator,
+    GANWindowGenerator,
     GaussianPerStepGenerator,
 )
 from paqarin_spark.schema import TimeSeriesSchema  # noqa: E402
@@ -52,6 +53,9 @@ def main() -> int:
     generators = {
         "bootstrap": BlockBootstrapGenerator(params),
         "gaussian": GaussianPerStepGenerator(params),
+        # the adversarially-trained provider (generator+discriminator
+        # trained jointly, pure numpy — the TimeGAN seam), round 10
+        "gan": GANWindowGenerator(params, epochs=400),
     }
 
     # 3. Fit + score: train a forecaster on each generator's synthetic
