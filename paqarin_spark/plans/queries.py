@@ -877,7 +877,7 @@ def gen4_conditional_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", F.col("event_type").alias("dom_type"))
     )
     tagged = ev.select("user_id", "ts", "event_id", "value").join(
-        F.broadcast(dom), on="user_id"
+        dom, on="user_id"
     )
     schema = TimeSeriesSchema(
         item_id_columns=("user_id",),
@@ -4901,7 +4901,7 @@ def q80_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         hashes=3,
     )
     exact = li.join(
-        F.broadcast(risky), li.l_suppkey == risky.s_suppkey, "left_semi"
+        risky, li.l_suppkey == risky.s_suppkey, "left_semi"
     ).groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n_exact"))
     return (
         probed.groupBy("l_returnflag")
@@ -6203,7 +6203,7 @@ def q83_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape — one (part, supplier) aggregation, one per-part rank over
     it, written directly instead of as a correlated subquery.
 
-    Scale shape: the part-type filter broadcast-semi-prunes lineitem
+    Scale shape: the part-type filter semi-prunes lineitem
     at the scan; the rank window re-uses the aggregation's l_partkey
     partitioning (no extra exchange); the supplier join is AQE's
     choice (q53/q74 policy). Exact-decimal qty ordering means the
@@ -6214,7 +6214,7 @@ def q83_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = read_table(spark, sf_dir, "supplier")
     promo = part.where(F.col("p_type") == "PROMO").select("p_partkey")
     pruned = li.join(
-        F.broadcast(promo), li.l_partkey == F.col("p_partkey"), "left_semi"
+        promo, li.l_partkey == F.col("p_partkey"), "left_semi"
     )
     per_ps = pruned.groupBy("l_partkey", "l_suppkey").agg(
         F.sum(F.col("l_quantity").cast("decimal(30,10)")).alias("qty_ps")
@@ -6565,7 +6565,7 @@ def q87_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey")
     )
     pruned = li.join(
-        F.broadcast(asia_supp), li.l_suppkey == F.col("s_suppkey"), "left_semi"
+        asia_supp, li.l_suppkey == F.col("s_suppkey"), "left_semi"
     )
     per_part = pruned.groupBy("l_partkey").agg(
         F.sum(
@@ -6628,17 +6628,18 @@ def q88_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-aggregated, which is how Spark avoids a full-detail exchange
     for COUNT(DISTINCT).
 
-    Scale shape: the excluded-supplier list is a tiny broadcast
-    anti-probe; the part join carries only 3 columns after pruning
-    and is AQE's choice (q53/q74 de-hinting policy — part scales with
-    SF); both engines order on the exact bigint count."""
+    Scale shape: the excluded-supplier anti-probe is left unhinted —
+    supplier scales with SF, so AQE picks broadcast only while the
+    filtered side actually fits; the part join carries only 3 columns
+    after pruning and is AQE's choice too (q53/q74 de-hinting
+    policy); both engines order on the exact bigint count."""
     configure_for_determinism(spark)
     li = read_table(spark, sf_dir, "lineitem")
     part = read_table(spark, sf_dir, "part")
     supp = read_table(spark, sf_dir, "supplier")
     bad = supp.where(F.col("s_acctbal") < 1000).select("s_suppkey")
     good_li = li.join(
-        F.broadcast(bad), li.l_suppkey == F.col("s_suppkey"), "left_anti"
+        bad, li.l_suppkey == F.col("s_suppkey"), "left_anti"
     )
     mid_parts = part.where(
         (F.col("p_size").between(10, 40)) & (F.col("p_brand") != "Brand#1")

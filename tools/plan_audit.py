@@ -40,6 +40,56 @@ import __spark_entry__ as entrymod  # noqa: E402
 RED = ("BatchEvalPython", "CartesianProduct")
 AMBER = ("Exchange SinglePartition", "BroadcastNestedLoopJoin")
 
+# Tables whose row counts scale with SF — a forced broadcast whose
+# build side scans one of these unbounded is a driver-OOM at 100 TB
+# even when it is fast locally (the q80/q83/q87/q88/gen4 class found
+# in round 10). region/nation are fixed-cardinality and exempt.
+SF_SCALING_TABLES = (
+    "customer", "orders", "lineitem", "part", "supplier",
+    "events", "documents", "embeddings",
+)
+# Operators that bound a subtree's cardinality independent of SF: a
+# global (keyless) aggregate is 1 row; explicit limits are k rows.
+_BOUNDING = ("keys=[]", "TakeOrderedAndProject", "GlobalLimit", "CollectLimit")
+
+
+def _tree_depth(line: str) -> int:
+    return len(line) - len(line.lstrip(" :+-"))
+
+
+def sf_broadcast_ambers(plan: str) -> list[str]:
+    """Lineage check: flag every BroadcastExchange whose build subtree
+    scans an SF-scaling table with no cardinality bound (keyless
+    aggregate / limit) between the exchange and the scan. The caller
+    builds this plan with autoBroadcastJoinThreshold=-1, so a
+    BroadcastExchange can only come from an explicit F.broadcast hint
+    (or a non-equi BNLJ fallback, already ambered separately) — never
+    from the tiny-SF statistics that make everything broadcastable at
+    sf0.001. AQE-chosen broadcasts are decided at runtime against real
+    sizes and are by construction safe. This makes SURVEY §4's
+    no-SF-broadcast contract mechanical: a hint can no longer hide
+    behind its variable name."""
+    lines = plan.splitlines()
+    flags: list[str] = []
+    for i, line in enumerate(lines):
+        if "BroadcastExchange" not in line:
+            continue
+        depth = _tree_depth(line)
+        subtree = []
+        for sub in lines[i + 1:]:
+            if sub.strip() and _tree_depth(sub) <= depth:
+                break
+            subtree.append(sub)
+        if any(any(b in s for b in _BOUNDING) for s in subtree):
+            continue
+        scanned = sorted({
+            t for s in subtree if "FileScan" in s
+            for t in SF_SCALING_TABLES if f"{t}.parquet" in s or f"/{t}]" in s
+        })
+        if scanned:
+            flags.append(f"BroadcastExchange-scans-SF({','.join(scanned)})")
+    return flags
+
 
 def _is_streaming(name: str) -> bool:
     return name.startswith("st") and name[2:3].isdigit()
@@ -55,11 +105,21 @@ def audit_batch(spark, sf_dir: str, only: set[str]) -> list[str]:
             continue
         try:
             plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+            # second planning pass with size-based broadcast disabled:
+            # any BroadcastExchange left is an explicit hint (see
+            # sf_broadcast_ambers) — planning only, nothing executes
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            try:
+                hinted = (
+                    fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+                )
+            finally:
+                spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         except Exception as exc:  # noqa: BLE001
             failures.append(f"{name}: plan build failed: {exc}")
             continue
         reds = [m for m in RED if m in plan]
-        ambers = [m for m in AMBER if m in plan]
+        ambers = [m for m in AMBER if m in plan] + sf_broadcast_ambers(hinted)
         status = "FAIL" if reds else "ok"
         notes = ", ".join(reds + [f"amber:{a}" for a in ambers]) or "clean"
         print(f"{status:4} {name}: {notes}")
