@@ -173,6 +173,53 @@ def params_from_lists(data: list[dict]) -> list[dict]:
     ]
 
 
+def mlp_forward_strict(
+    params: list[dict], x: list, sigmoid_out: bool = False
+) -> list:
+    """SQL-replayable twin of :func:`forward` (and, with
+    ``sigmoid_out=True``, of :func:`gan_sample`): identical
+    tanh-hidden MLP math, but every dot product is a STRICT LEFT FOLD
+    of scalar IEEE ops and every transcendental goes through libm
+    ``math.exp`` — tanh in its exp form (e²ᵃ−1)/(e²ᵃ+1), sigmoid as
+    1/(1+e⁻ᵃ) — so a DuckDB query evaluating the same expressions in
+    the same association order reproduces the forward pass
+    BIT-FOR-BIT (gen14/gen15's value oracles for the GAN and ARNet
+    sample paths; the gru_step_strict design applied to the
+    feedforward cores). ``params`` is the ``params_to_lists`` form
+    (plain lists — no numpy in the contract). Association order,
+    mirrored token-for-token by the oracle SQL:
+
+        pre_k  = (fold_d x[d]·w[d][k]) + b[k]     (left fold, 0 init)
+        h_k    = tanh_exp(pre_k)                   hidden layers
+        out_j  = (fold_k h_k·wo[k][j]) + bo[j]     [then sigmoid]
+    """
+    import math
+
+    def tanh_exp(a: float) -> float:
+        e2 = math.exp(2.0 * a)
+        return (e2 - 1.0) / (e2 + 1.0)
+
+    h = [float(v) for v in x]
+    for layer in params[:-1]:
+        w, b = layer["w"], layer["b"]
+        nxt = []
+        for k in range(len(b)):
+            s = 0.0
+            for d in range(len(h)):
+                s += h[d] * float(w[d][k])
+            nxt.append(tanh_exp(s + float(b[k])))
+        h = nxt
+    w, b = params[-1]["w"], params[-1]["b"]
+    out = []
+    for j in range(len(b)):
+        s = 0.0
+        for k in range(len(h)):
+            s += h[k] * float(w[k][j])
+        a = s + float(b[j])
+        out.append(1.0 / (1.0 + math.exp(-a)) if sigmoid_out else a)
+    return out
+
+
 # ----------------------------------------------------------------- GRU
 # Recurrent core for the TimeGAN/PAR sequence-model seam
 # (`paqarin/adapters/ydata_adapter.py:291-322`): a gated recurrent

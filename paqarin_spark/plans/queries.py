@@ -1156,7 +1156,10 @@ def gen6_arnet_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     it anyway makes the driver smoke-prove every round that a neural
     train/sample lifecycle (the reference's TimeGAN-shaped boundary,
     `paqarin/adapters/ydata_adapter.py:291-358`) actually executes in
-    this environment; every OTHER query remains value-verified."""
+    this environment. The SAMPLE path is value-oracled separately:
+    gen15 replays the same feedback rollout with frozen md5-init
+    weights through a recursive-CTE oracle, so only the SGD epochs
+    themselves stay rows-only."""
     from paqarin_spark.generators import ARNetGenerator
 
     configure_for_determinism(spark)
@@ -18200,7 +18203,10 @@ def gen12_gan_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     unoccupied generator class — actually executes in this
     environment. Sampling is unconditional (z → window), so the
     rollout is one embarrassingly parallel mapInPandas pass, no
-    start-pool state."""
+    start-pool state. The SAMPLE path is value-oracled separately:
+    gen14 replays the same z → tanh → sigmoid forward with frozen
+    md5-init weights against a plain-SQL oracle, so only the
+    adversarial game itself stays rows-only."""
     from paqarin_spark.generators import GANWindowGenerator
 
     configure_for_determinism(spark)
@@ -18447,8 +18453,347 @@ ORDER BY sequence_id, step
 GEN13_SQL = _gen13_sql()
 
 
+_GEN14_NZ = 3
+_GEN14_HG = 6
+_GEN14_L = 8
+_GEN14_NSEQ = 20
+_GEN14_SEED = 14
+
+
+def gen14_gan_sample_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUE-ORACLED adversarial SAMPLE path — the gen13 design
+    applied to the GAN provider: the same md5-Glorot init
+    (generators.nn.init_params, shared code with gen12's train_gan)
+    is FROZEN (no adversarial steps), each sequence draws its noise
+    vector with the exact keying GANWindowGenerator.generate uses
+    (``gan-gen#{seed}#{sid}#{j}``, adversarial.py:182), and the
+    generator net — tanh hidden, SIGMOID output, the gan_sample
+    forward (nn.py:459) — maps z to an 8-step window in (0,1) that
+    inverse-min-max-scales against the events bounds. The rollout
+    drives nn.mlp_forward_strict, the strict-left-fold/libm twin of
+    the BLAS forward, so the oracle replays every expression
+    token-for-token as plain (non-recursive) SQL — noise hashing,
+    both layers, sigmoid, inverse scaling. With gen13 this closes the
+    sample half of BOTH executing neural classes: training (the
+    adversarial game / BPTT) remains the only rows-only boundary,
+    provably ONLY training (its weights differ per SF; no static SQL
+    can own them — gen12/gen6/gen10 stay rows-only by design).
+
+    Reference seam: the sample half of the adversarial provider —
+    TimeGAN `.sample(n_samples)`
+    (`paqarin/adapters/ydata_adapter.py:371-373`).
+
+    Scale shape: bounds are one scalar aggregate broadcast; the
+    rollout is an embarrassingly parallel mapInPandas over a range —
+    ZERO shuffles, no start pool, 1000 executors each roll their own
+    sid partition."""
+    from paqarin_spark.generators import nn
+
+    configure_for_determinism(spark)
+    nz, hg, L = _GEN14_NZ, _GEN14_HG, _GEN14_L
+    nseq, seed = _GEN14_NSEQ, _GEN14_SEED
+    ev = _events(spark, sf_dir).where(F.col("value").isNotNull())
+    b = ev.agg(F.min("value").alias("_mn"), F.max("value").alias("_mx"))
+    sids = spark.range(nseq).select(F.col("id").alias("sequence_id"))
+    g_lists = nn.params_to_lists(nn.init_params([nz, hg, L], seed))
+
+    def rollout(batches):
+        import pandas as pd
+
+        from paqarin_spark.generators import nn as _nn
+        from paqarin_spark.generators.nn import _md5_unit
+
+        for pdf in batches:
+            rows = []
+            for sid, mn, mx in zip(pdf["sequence_id"], pdf["_mn"], pdf["_mx"]):
+                z = [
+                    (2.0 * _md5_unit(f"gan-gen#{seed}#{int(sid)}#{j}")) - 1.0
+                    for j in range(nz)
+                ]
+                win = _nn.mlp_forward_strict(g_lists, z, sigmoid_out=True)
+                for t in range(L):
+                    rows.append(
+                        {
+                            "sequence_id": int(sid),
+                            "step": t,
+                            "value": (win[t] * (mx - mn)) + mn,
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=["sequence_id", "step", "value"])
+
+    out = sids.crossJoin(F.broadcast(b)).mapInPandas(
+        rollout, schema="sequence_id long, step int, value double"
+    )
+    return out.select(
+        "sequence_id", "step", F.round("value", 6).alias("value")
+    ).orderBy("sequence_id", "step")
+
+
+def _gen14_sql() -> str:
+    """Plain-SQL replay of gen14's GAN forward with the frozen
+    generator weights inlined as literals (computed by the SAME
+    nn.init_params call the Spark side makes — data-independent, so
+    one static SQL holds at every SF). Mirrors mlp_forward_strict's
+    association-order contract token-for-token; the md5→uniform noise
+    uses the repo's standard hex-prefix idiom."""
+    from paqarin_spark.generators import nn
+
+    nz, hg, L = _GEN14_NZ, _GEN14_HG, _GEN14_L
+    nseq, seed = _GEN14_NSEQ, _GEN14_SEED
+    g = nn.params_to_lists(nn.init_params([nz, hg, L], seed))
+    w0, w1 = g[0]["w"], g[1]["w"]
+
+    def lit(v: float) -> str:
+        s = repr(float(v))
+        return f"({s})" if s.startswith("-") else s
+
+    z_arr = ", ".join(
+        "((2.0 * (('0x' || substring(md5('gan-gen#"
+        f"{seed}#' || CAST(sid AS VARCHAR) || '#{j}'), 1, 15))::UBIGINT"
+        " / 1152921504606846976.0)) - 1.0)"
+        for j in range(nz)
+    )
+
+    def tanh_sql(a: str) -> str:
+        return f"(exp(2.0 * ({a})) - 1.0) / (exp(2.0 * ({a})) + 1.0)"
+
+    h_arr = ", ".join(
+        tanh_sql(
+            "("
+            + " + ".join(f"z[{d + 1}] * {lit(w0[d][k])}" for d in range(nz))
+            + ") + 0.0"
+        )
+        for k in range(hg)
+    )
+    v_arr = ", ".join(
+        "1.0 / (1.0 + exp(-(("
+        + " + ".join(f"h[{k + 1}] * {lit(w1[k][t])}" for k in range(hg))
+        + ") + 0.0)))"
+        for t in range(L)
+    )
+    return f"""
+WITH
+bounds AS (
+  SELECT MIN(value) AS mn, MAX(value) AS mx
+  FROM events WHERE value IS NOT NULL
+),
+sids AS (SELECT CAST(range AS BIGINT) AS sid FROM range({nseq})),
+zs AS (SELECT sid, [{z_arr}] AS z FROM sids),
+hs AS (SELECT sid, [{h_arr}] AS h FROM zs),
+vs AS (SELECT sid, [{v_arr}] AS v FROM hs)
+SELECT sid AS sequence_id,
+       CAST(st AS INTEGER) AS step,
+       ROUND((v[st + 1] * (mx - mn)) + mn, 6) AS value
+FROM vs
+CROSS JOIN bounds
+CROSS JOIN (SELECT range AS st FROM range({L})) steps
+ORDER BY sequence_id, step
+"""
+
+
+GEN14_SQL = _gen14_sql()
+
+
+_GEN15_HIDDEN = 4
+_GEN15_CTX = 7
+_GEN15_FREE = 8
+_GEN15_NSEQ = 12
+_GEN15_SEED = 15
+
+
+def gen15_arnet_rollout_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUE-ORACLED autoregressive SAMPLE path — gen13's
+    frozen-weight replay applied to the ARNet provider (gen6): the
+    same md5-Glorot init (nn.init_params, shared code with gen6's
+    fit) is FROZEN (no SGD), each picked user's first 7
+    min-max-scaled event values form the start context, and the
+    one-hidden-layer AR MLP then free-runs 8 steps feeding its own
+    predictions back through the sliding context — the exact rollout
+    orchestration of ARNetGenerator.generate with noise=0
+    (generators/neural.py:297: ctx = ctx[1:] + [pred]), driven
+    through nn.mlp_forward_strict, the strict-left-fold/libm twin of
+    the BLAS forward. The oracle replays the full recurrence in a
+    recursive CTE with the weights as literals, so the hash match
+    value-verifies context sliding, both layers, feedback, and
+    inverse scaling end-to-end — the feedforward counterpart of
+    gen13's GRU proof.
+
+    Reference seam: the sample half of the sequence providers —
+    SDV-PAR `.sample(num_sequences)`
+    (`paqarin/adapters/sdv_adapter.py:94-119`).
+
+    Scale shape: bounds are one scalar aggregate; contexts are one
+    per-user window rank (user-keyed shuffle); the rollout is an
+    Arrow-batched linear pass with ZERO shuffles; the 8-step
+    recursion is per-sequence state, never cross-sequence."""
+    from paqarin_spark.generators import nn
+
+    configure_for_determinism(spark)
+    H, seed = _GEN15_HIDDEN, _GEN15_SEED
+    ctxn, free, nseq = _GEN15_CTX, _GEN15_FREE, _GEN15_NSEQ
+    ev = _events(spark, sf_dir).where(F.col("value").isNotNull())
+    b = ev.agg(F.min("value").alias("_mn"), F.max("value").alias("_mx"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ctx = (
+        ev.select("user_id", "ts", "event_id", "value")
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= ctxn)
+        .groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("_rn", "value"))
+            ).alias("_a"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .where(F.col("_n") == ctxn)
+        .select(
+            "user_id",
+            F.transform("_a", lambda s: s["value"]).alias("_ctx"),
+        )
+    )
+    ranked = ctx.withColumn(
+        "_r",
+        F.md5(F.concat(F.lit("g15u#"), F.col("user_id").cast("string"))),
+    )
+    picked = (
+        ranked.orderBy("_r")
+        .limit(nseq)
+        .select(
+            (F.row_number().over(Window.orderBy("_r")) - 1)
+            .cast("long")
+            .alias("sequence_id"),
+            "_ctx",
+        )
+    )
+    scaled = picked.crossJoin(F.broadcast(b)).select(
+        "sequence_id",
+        F.transform(
+            "_ctx",
+            lambda v: (v - F.col("_mn")) / (F.col("_mx") - F.col("_mn")),
+        ).alias("_xs"),
+        "_mn",
+        "_mx",
+    )
+    wlists = nn.params_to_lists(nn.init_params([ctxn, H, 1], seed))
+
+    def rollout(batches):
+        import pandas as pd
+
+        from paqarin_spark.generators import nn as _nn
+
+        for pdf in batches:
+            rows = []
+            for sid, xs, mn, mx in zip(
+                pdf["sequence_id"], pdf["_xs"], pdf["_mn"], pdf["_mx"]
+            ):
+                c = [float(v) for v in xs]
+                for s in range(free):
+                    y = _nn.mlp_forward_strict(wlists, c)[0]
+                    rows.append(
+                        {
+                            "sequence_id": int(sid),
+                            "step": s,
+                            "value": (y * (mx - mn)) + mn,
+                        }
+                    )
+                    c = c[1:] + [y]
+            yield pd.DataFrame(rows, columns=["sequence_id", "step", "value"])
+
+    out = scaled.mapInPandas(
+        rollout, schema="sequence_id long, step int, value double"
+    )
+    return out.select(
+        "sequence_id", "step", F.round("value", 6).alias("value")
+    ).orderBy("sequence_id", "step")
+
+
+def _gen15_sql() -> str:
+    """Recursive-CTE replay of gen15's AR rollout with the frozen
+    weights inlined as literals. Every expression mirrors
+    mlp_forward_strict's association-order contract token-for-token;
+    the context slide ctx[1:] + [y] becomes list slicing on the CTE
+    state column."""
+    from paqarin_spark.generators import nn
+
+    H, seed = _GEN15_HIDDEN, _GEN15_SEED
+    ctxn, free, nseq = _GEN15_CTX, _GEN15_FREE, _GEN15_NSEQ
+    p = nn.params_to_lists(nn.init_params([ctxn, H, 1], seed))
+    w0, w1 = p[0]["w"], p[1]["w"]
+
+    def lit(v: float) -> str:
+        s = repr(float(v))
+        return f"({s})" if s.startswith("-") else s
+
+    def tanh_sql(a: str) -> str:
+        return f"(exp(2.0 * ({a})) - 1.0) / (exp(2.0 * ({a})) + 1.0)"
+
+    h_arr = ", ".join(
+        tanh_sql(
+            "("
+            + " + ".join(
+                f"cp[{d + 1}] * {lit(w0[d][k])}" for d in range(ctxn)
+            )
+            + ") + 0.0"
+        )
+        for k in range(H)
+    )
+    y_expr = (
+        "("
+        + " + ".join(f"h[{k + 1}] * {lit(w1[k][0])}" for k in range(H))
+        + ") + 0.0"
+    )
+    return f"""
+WITH RECURSIVE
+bounds AS (
+  SELECT MIN(value) AS mn, MAX(value) AS mx
+  FROM events WHERE value IS NOT NULL
+),
+byuser AS (
+  SELECT user_id, list(value ORDER BY ts, event_id) AS vs
+  FROM events WHERE value IS NOT NULL
+  GROUP BY user_id HAVING COUNT(*) >= {ctxn}
+),
+picked AS (
+  SELECT user_id, vs,
+         ROW_NUMBER() OVER (
+           ORDER BY md5('g15u#' || CAST(user_id AS VARCHAR))) - 1 AS sid
+  FROM byuser
+  QUALIFY sid < {nseq}
+),
+scaled AS (
+  SELECT sid,
+         list_transform(vs[1:{ctxn}], v -> (v - mn) / (mx - mn)) AS xs
+  FROM picked CROSS JOIN bounds
+),
+walk(sid, t, ctx, y) AS (
+  SELECT sid, 0, xs, CAST(NULL AS DOUBLE) FROM scaled
+  UNION ALL
+  SELECT sid, t2, cp[2:{ctxn}] || [y2], y2
+  FROM (
+    SELECT sid, t2, cp, ({y_expr}) AS y2
+    FROM (
+      SELECT sid, t + 1 AS t2, ctx AS cp, [{h_arr}] AS h
+      FROM walk WHERE t < {free}
+    )
+  )
+)
+SELECT CAST(sid AS BIGINT) AS sequence_id,
+       CAST(t - 1 AS INTEGER) AS step,
+       ROUND((y * (mx - mn)) + mn, 6) AS value
+FROM walk CROSS JOIN bounds
+WHERE t >= 1
+ORDER BY sequence_id, step
+"""
+
+
+GEN15_SQL = _gen15_sql()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- round-10 additions (never driver-verified) come first ---
+    # --- round-11 additions (never driver-verified) come first ---
+    "gen14_gan_sample_replay": gen14_gan_sample_replay,
+    "gen15_arnet_rollout_replay": gen15_arnet_rollout_replay,
+    # --- round-10 additions ---
     "st23_stream_funnel": st23_stream_funnel,
     "mm20_png_interlaced": mm20_png_interlaced,
     "q113_session_funnel": q113_session_funnel,
@@ -18813,17 +19158,22 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "st5_stream_dedup": st5_stream_dedup,
 }
 
-# Every query EXCEPT gen6 is value-hash-checked against DuckDB — all
-# md5-portable generator samples, all THREE TSTR pipelines (ev1
-# multivariate, ev2/ev3 univariate), the LSH index itself (em2), the
-# sketches (q73/tx33/st9/st10), and the k-means rounds (em14). ev1
-# was the last legacy rows-only entry; its closed-form least-squares
-# head replays in EV1_SQL. gen6 is the ONE deliberate rows-only
-# query: the executing neural provider's 200 gradient epochs are
-# deterministic (tests pin layout-independence) but not
-# single-statement SQL — declared so the driver proves the neural
-# train/sample lifecycle runs, not to widen the oracle surface.
+# Every query EXCEPT gen6/gen10/gen12 is value-hash-checked against
+# DuckDB — all md5-portable generator samples, all THREE TSTR
+# pipelines (ev1 multivariate, ev2/ev3 univariate), the LSH index
+# itself (em2), the sketches (q73/tx33/st9/st10), and the k-means
+# rounds (em14). The three rows-only entries are the executing neural
+# providers' TRAINING loops (ARNet SGD / GRU BPTT / GAN adversarial
+# game): deterministic (tests pin layout-independence) but not
+# single-statement SQL — declared so the driver proves each
+# train/sample lifecycle runs. Their SAMPLE paths ARE value-oracled:
+# gen13 replays the GRU rollout, gen14 the GAN generator forward,
+# gen15 the ARNet feedback rollout — each with frozen md5-init
+# weights shipped into the SQL as literals, so training is provably
+# the ONLY rows-only boundary.
 ORACLE_SQL: dict[str, str] = {
+    "gen14_gan_sample_replay": GEN14_SQL,
+    "gen15_arnet_rollout_replay": GEN15_SQL,
     "st23_stream_funnel": ST23_SQL,
     "mm20_png_interlaced": MM20_SQL,
     "q113_session_funnel": Q113_SQL,

@@ -509,3 +509,37 @@ def test_grunet_via_adapter_and_tstr_pipeline(sine_panel):
     assert set(by_gen) >= {"grunet", "bootstrap"}
     assert all(v is not None and v == v for v in by_gen.values())
     pipe.unpersist()
+
+
+def test_mlp_forward_strict_matches_blas_forward():
+    """mlp_forward_strict (the SQL-replayable left-fold/libm twin that
+    gen14/gen15's oracles mirror) agrees with the BLAS forward — and,
+    with sigmoid_out=True, with gan_sample — to <=1e-9 on md5-derived
+    inputs across multiple shapes, including a chained AR rollout
+    where divergence would compound. The tie that makes the oracled
+    replay evidence about the REAL feedforward sample paths."""
+    import numpy as np
+
+    from paqarin_spark.generators import nn
+
+    for sizes, seed in [([3, 6, 8], 14), ([7, 4, 1], 15), ([2, 5, 3], 3)]:
+        p = nn.init_params(sizes, seed)
+        pl = nn.params_to_lists(p)
+        x = [2.0 * nn._md5_unit(f"mx#{seed}#{d}") - 1.0 for d in range(sizes[0])]
+        blas = nn.forward(p, np.array([x]))[0]
+        strict = nn.mlp_forward_strict(pl, x)
+        assert np.max(np.abs(np.array(strict) - blas)) <= 1e-9
+        sig = nn.gan_sample(p, np.array([x]))[0]
+        strict_sig = nn.mlp_forward_strict(pl, x, sigmoid_out=True)
+        assert np.max(np.abs(np.array(strict_sig) - sig)) <= 1e-9
+    # chained feedback rollout (gen15's shape): 7 -> 1, slide 10 steps
+    p = nn.init_params([7, 4, 1], 15)
+    pl = nn.params_to_lists(p)
+    ctx = [nn._md5_unit(f"mc#{i}") for i in range(7)]
+    ctx_b = list(ctx)
+    for _ in range(10):
+        y = nn.mlp_forward_strict(pl, ctx)[0]
+        yb = float(nn.forward(p, np.array([ctx_b]))[0][0])
+        assert abs(y - yb) <= 1e-9
+        ctx = ctx[1:] + [y]
+        ctx_b = ctx_b[1:] + [yb]
