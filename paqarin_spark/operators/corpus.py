@@ -102,7 +102,7 @@ def pack_sequences(
         "_bucket",
         F.coalesce(F.sum("_bt").over(bucket_order), F.lit(0)).alias("_base"),
     )
-    packed = local.join(F.broadcast(offsets), on="_bucket").select(
+    packed = local.join(offsets, on="_bucket").select(
         F.col(id_column),
         "n_tokens",
         (F.col("_base") + F.col("_local_end") - F.col("n_tokens")).alias(

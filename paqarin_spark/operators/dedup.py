@@ -164,8 +164,10 @@ def ngram_jaccard_pairs(
     only (doc sizes still count every shingle), which can only lower
     the reported ``common`` for pairs sharing a stop-shingle — the
     usual precision/cost trade, mirrored exactly in the tx4 oracle
-    SQL. The hot-shingle list is tiny by construction (heavy hitters),
-    so it broadcasts.
+    SQL. The hot-shingle anti-join is unhinted: the heavy-hitter list
+    is small in practice but its size is data-dependent (an absolute
+    df cap admits more shingles as the corpus grows), so AQE owns the
+    strategy.
     """
     shing = _shingle_rows(df, text_column, id_column, n)
     sizes = shing.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
@@ -176,7 +178,7 @@ def ngram_jaccard_pairs(
             .where(F.col("df") > max_doc_frequency)
             .select("shingle")
         )
-        shing = shing.join(F.broadcast(hot), on="shingle", how="left_anti")
+        shing = shing.join(hot, on="shingle", how="left_anti")
     a = shing.alias("a")
     b = shing.alias("b")
     common = (
@@ -745,7 +747,7 @@ def fuzzy_pairs(
             .where(F.col("_df") > max_block_frequency)
             .select("_block")
         )
-        blocks = blocks.join(F.broadcast(hot), "_block", "left_anti")
+        blocks = blocks.join(hot, "_block", "left_anti")
     a = blocks.select(
         F.col("_block"), F.col("_id").alias("id_a"), F.col("_s").alias("_sa")
     )
@@ -969,7 +971,7 @@ def containment_pairs(
             .where(F.col("df") > max_doc_frequency)
             .select("shingle")
         )
-        shing = shing.join(F.broadcast(hot), on="shingle", how="left_anti")
+        shing = shing.join(hot, on="shingle", how="left_anti")
     a = shing.alias("a")
     b = shing.alias("b")
     common = (

@@ -8,12 +8,13 @@ entity's id appended as ``surrogate_item_id``.
 The reference does a row-at-a-time Python ``apply`` (O(rows)
 interpreter cost). Spark-first design: build the entity dim with a
 map-side-combinable ``groupBy().agg(min(struct(order)))``, rank the dim
-(small: one row per distinct entity) with a window, then broadcast
-hash-join back. No global row_number over the fact table — the only
-single-partition step touches the dim, so the op scales to 100 TB
-facts as long as the *entity count* fits a broadcast (use
-``broadcast_threshold=False`` to fall back to a shuffle join when it
-doesn't).
+(small: one row per distinct entity) with a window, then hash-join
+back on the id columns. No global row_number over the fact table —
+the only single-partition step touches the dim. The join carries NO
+broadcast hint by default: the entity count scales with the data, so
+AQE picks broadcast when the dim actually fits and a shuffle join
+when it doesn't (pass ``broadcast_dim=True`` only when the entity
+domain is bounded by construction).
 """
 
 from __future__ import annotations
@@ -31,7 +32,7 @@ def add_surrogate_key(
     item_id_columns: Sequence[str],
     order_columns: Sequence[str],
     key_column: str = SURROGATE_ITEM_ID,
-    broadcast_dim: bool = True,
+    broadcast_dim: bool = False,
 ) -> DataFrame:
     """Append a dense first-appearance surrogate id per entity tuple.
 

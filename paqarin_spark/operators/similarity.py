@@ -1407,7 +1407,7 @@ def semdedup_pairs(
             .where(F.col("_n") > max_cluster_size)
             .select("cluster")
         )
-        feat = feat.join(F.broadcast(hot), "cluster", "left_anti")
+        feat = feat.join(hot, "cluster", "left_anti")
 
     id_type = dict(df.dtypes)[id_column]
     out_schema = f"id_a {id_type}, id_b {id_type}, cos_sim double"

@@ -5662,14 +5662,22 @@ def em18_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranking against exact cosine. E[ham]/32 estimates θ/π, so this is
     the compression/recall trade of binary-hashing ANN, measured.
 
+    The Hamming leg is BANDED, em2-style (round 11): each 32-bit
+    signature splits into four 8-bit bands; a corpus item is a
+    candidate for a probe iff they collide in at least one band
+    (256-value bucket equi-join, 4·n·p/256 pairs instead of n·p),
+    and only candidates are reranked by full Hamming distance. The
+    oracle replays the identical banding, so the hash match verifies
+    the banded retrieval itself; exact cosine stays the unbanded
+    ground-truth leg recall@5 is measured against.
+
     Scale shape: signatures are ONE JVM-side groupBy over exploded
     dims against a broadcast 32×d ±1 plane table, computed once and
-    8 bytes/vector thereafter; the probe scan broadcasts the ~1%
-    probe signature table across the corpus signature scan (integer
-    xor+popcount per pair — the linear scan binary hashing exists to
-    make cheap; band the signature into LSH buckets, em2-style, when
-    even that scan is too much). Ties in Hamming distance break by
-    vec_id; every signature bit and both rankings replay in SQL."""
+    8 bytes/vector thereafter; the probe scan is a (band, value)
+    bucket equi-join — a keyed shuffle, NO corpus-fraction broadcast
+    (the r10-adjudicated amber this banding closes). Ties in Hamming
+    distance break by vec_id; every signature bit, the band split,
+    and both rankings replay in SQL."""
     from paqarin_spark.operators import sign_signatures
 
     configure_for_determinism(spark)
@@ -5678,10 +5686,24 @@ def em18_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, "vec_id", "embedding", num_planes=32, seed=7, prefix="ham",
         method="expr",  # the oracle-parity path; matmul is the default
     ).localCheckpoint()  # consumed by both sides of the probe scan
-    probes = sigs.where(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("q"), F.col("sig").alias("qsig")
+    bands = F.array(
+        *[
+            F.shiftright(F.col("sig"), 8 * b).bitwiseAND(F.lit(255))
+            for b in range(4)
+        ]
     )
-    ham = sigs.crossJoin(F.broadcast(probes)).select(
+    cb = sigs.select(
+        "vec_id", "sig", F.posexplode(bands).alias("b", "bv")
+    )
+    pb = cb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q"), F.col("sig").alias("qsig"), "b", "bv"
+    )
+    cand = (
+        cb.join(pb, on=["b", "bv"])
+        .select("q", "vec_id", "sig", "qsig")
+        .distinct()
+    )
+    ham = cand.select(
         "q",
         "vec_id",
         F.bit_count(F.col("sig").bitwiseXOR(F.col("qsig"))).alias("ham"),
@@ -5784,10 +5806,18 @@ WITH v AS (
 ), sigs AS (
   SELECT vec_id, SUM(CASE WHEN pr >= 0 THEN w ELSE 0 END) AS sig
   FROM proj GROUP BY 1
+), cbands AS (
+  SELECT vec_id, CAST(sig AS BIGINT) AS sig, b.b,
+         (CAST(sig AS BIGINT) >> (8 * b.b)) & 255 AS bv
+  FROM sigs, (SELECT unnest(range(4)) AS b) b
+), cand AS (
+  SELECT DISTINCT p.vec_id AS q, p.sig AS qsig, c.vec_id, c.sig
+  FROM cbands c
+  JOIN (SELECT * FROM cbands WHERE vec_id % 100 = 0) p
+    ON c.b = p.b AND c.bv = p.bv
 ), ham AS (
-  SELECT p.vec_id AS q, c.vec_id,
-         bit_count(xor(CAST(c.sig AS BIGINT), CAST(p.sig AS BIGINT))) AS hd
-  FROM sigs c, sigs p WHERE p.vec_id % 100 = 0
+  SELECT q, vec_id, bit_count(xor(sig, qsig)) AS hd
+  FROM cand
 ), ham_top AS (
   SELECT q, vec_id, rk FROM (
     SELECT q, vec_id,
@@ -8057,8 +8087,9 @@ def em6_label_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-modal join (documents ⋈ embeddings on the shared id):
     text-quality statistics per embedding-cluster label — the check a
     curation pipeline runs to see which semantic clusters carry
-    low-quality text. Embedding side is a broadcast dim of (id,
-    label); quality reuses tx1's single-pass stats."""
+    low-quality text. The (id, label) side is one row per embedding —
+    it scales with the corpus, so the join is unhinted (AQE picks);
+    quality reuses tx1's single-pass stats."""
     configure_for_determinism(spark)
     docs = _docs(spark, sf_dir)
     emb = read_table(spark, sf_dir, "embeddings").select(
@@ -8066,7 +8097,7 @@ def em6_label_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stats = text_stats(docs, "text", "doc_id").select("doc_id", "quality")
     return (
-        stats.join(F.broadcast(emb), on="doc_id")
+        stats.join(emb, on="doc_id")
         .groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
