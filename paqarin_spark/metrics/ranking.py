@@ -426,7 +426,14 @@ def cramer_von_mises(
     gap = (
         F.row_number().over(w_all) - F.row_number().over(w_own)
     ).cast("long")
-    d2 = (gap * gap).cast(_DEC)
+    # cast to decimal BEFORE squaring: a long*long multiply silently
+    # wraps once a group exceeds ~3.04e9 rows (gap^2 > 2^63).
+    # decimal(19,0) factors make the product land exactly in
+    # decimal(38,0) on BOTH engines (DuckDB rejects multiplies whose
+    # result precision exceeds 38), keeping the statistic exact to
+    # N~1e12
+    gap_d = gap.cast("decimal(19,0)")
+    d2 = (gap_d * gap_d).cast(_DEC)
     one = F.lit(1).cast(_DEC)
     zero = F.lit(0).cast(_DEC)
     cen = base.select("grp", "_f", d2.alias("_d2")).groupBy("grp").agg(

@@ -1617,21 +1617,18 @@ def wav_dft_features(
                     # |sample|*1e12 (3.3e16 for 16-bit PCM), so an
                     # int64 accumulator would wrap on long correlated
                     # clips while the oracle's DECIMAL(38,12) doesn't;
-                    # arbitrary-precision ints stay exact at any n
-                    re_u = sum(
-                        int(v)
-                        for v in (
-                            np.floor(np.abs(tr) * 1e12 + 0.5)
-                            * np.sign(tr)
-                        )
-                    )
-                    im_u = sum(
-                        int(v)
-                        for v in (
-                            np.floor(np.abs(ti) * 1e12 + 0.5)
-                            * np.sign(ti)
-                        )
-                    )
+                    # arbitrary-precision ints stay exact at any n.
+                    # Round-half-away via floor(x+0.5) only BELOW
+                    # 2^52: above it doubles are already integral and
+                    # the +0.5 would tie-to-even, bumping odd values —
+                    # the oracle's DECIMAL cast takes them verbatim
+                    def _units(t: np.ndarray) -> int:
+                        a = np.abs(t) * 1e12
+                        u = np.where(a >= 2.0**52, a, np.floor(a + 0.5))
+                        return sum(int(v) for v in (u * np.sign(t)))
+
+                    re_u = _units(tr)
+                    im_u = _units(ti)
                     re = float(re_u) / 1e12
                     im = float(im_u) / 1e12
                     mag = math.sqrt(re * re + im * im) / float(n)

@@ -17695,8 +17695,9 @@ WITH base AS (
     AND o_orderkey IS NOT NULL
 ), ranked AS (
   SELECT grp, f,
-         ROW_NUMBER() OVER (PARTITION BY grp ORDER BY v, k)
+         CAST(ROW_NUMBER() OVER (PARTITION BY grp ORDER BY v, k)
            - ROW_NUMBER() OVER (PARTITION BY grp, f ORDER BY v, k)
+           AS DECIMAL(19,0))
            AS gap
   FROM base
 ), cen AS (
@@ -17705,10 +17706,10 @@ WITH base AS (
            AS n1,
          CAST(SUM(CASE WHEN f = 0 THEN 1 ELSE 0 END) AS DECIMAL(38,0))
            AS n0,
-         CAST(SUM(CASE WHEN f = 1 THEN gap * gap ELSE 0 END)
-              AS DECIMAL(38,0)) AS u1,
-         CAST(SUM(CASE WHEN f = 0 THEN gap * gap ELSE 0 END)
-              AS DECIMAL(38,0)) AS u0
+         SUM(CASE WHEN f = 1 THEN gap * gap
+                  ELSE CAST(0 AS DECIMAL(38,0)) END)::DECIMAL(38,0) AS u1,
+         SUM(CASE WHEN f = 0 THEN gap * gap
+                  ELSE CAST(0 AS DECIMAL(38,0)) END)::DECIMAL(38,0) AS u0
   FROM ranked GROUP BY grp
 )
 SELECT grp AS o_orderpriority,

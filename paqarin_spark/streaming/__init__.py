@@ -446,7 +446,9 @@ def stream_sessions(
     decimal(38,12) (the dsir/tx52 order-independence discipline) so a
     6dp-rounded sum can never flip between Spark's state-merge order
     and a sequential oracle SUM; the default raw double SUM keeps
-    st3's long-verified contract.
+    st3's long-verified contract. BOTH branches emit ``value_sum``
+    rounded at 6dp — the flag changes how the sum is accumulated,
+    never the output's rounding contract.
     """
     ts = schema.timestamp_column
     end_col = (
@@ -458,11 +460,12 @@ def stream_sessions(
         vals = []
     elif exact_value_sum:
         vals = [
-            F.sum(
-                F.round(F.col(value_column), 12).cast("decimal(38,12)")
-            )
-            .cast("double")
-            .alias("value_sum")
+            F.round(
+                F.sum(
+                    F.round(F.col(value_column), 12).cast("decimal(38,12)")
+                ).cast("double"),
+                6,
+            ).alias("value_sum")
         ]
     else:
         vals = [F.round(F.sum(value_column), 6).alias("value_sum")]
