@@ -42,6 +42,7 @@ from paqarin_spark.functions.text import (
     predict_language,
     text_stats,
 )
+from paqarin_spark.plans import tpch_families as tpch
 from paqarin_spark.schema import EVENTS_SCHEMA
 from paqarin_spark.session import configure_for_determinism
 from paqarin_spark.sources import read_table, stream_table_glob
@@ -2011,48 +2012,14 @@ def q51_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     l_partkey), then one join+filter — never a per-row subquery.
     The brand filter prunes the part side to a broadcastable dim."""
     configure_for_determinism(spark)
-    li = read_table(spark, sf_dir, "lineitem")
-    part = read_table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#13")
-    dec = "decimal(30,10)"
-    # decimal-sum average: identical doubles on both engines
-    avg_q = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
-        (
-            F.sum(F.col("l_quantity").cast(dec)).cast("double")
-            / F.count(F.lit(1))
-        ).alias("_avg_qty")
-    )
-    return (
-        li.join(part, li.l_partkey == part.p_partkey)
-        .join(avg_q, li.l_partkey == F.col("_pk"))
-        .where(F.col("l_quantity") < F.col("_avg_qty") * 0.2)
-        .agg(
-            F.round(
-                (
-                    F.sum(F.col("l_extendedprice").cast(dec)).cast("double")
-                    / 7.0
-                ),
-                4,
-            ).alias("avg_yearly"),
-            F.count(F.lit(1)).cast("long").alias("n_lines"),
-        )
-    )
+    return tpch.q17_small_qty_revenue(spark, sf_dir, **_Q51_KNOBS)
 
 
-Q51_SQL = """
-WITH avg_q AS (
-  SELECT l_partkey,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*)
-           AS avg_qty
-  FROM lineitem GROUP BY 1
+_Q51_KNOBS = dict(
+    brand="Brand#13", avg_scope="all", count_alias="n_lines", dp=4
 )
-SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE)
-             / 7.0, 4) AS avg_yearly,
-       CAST(COUNT(*) AS BIGINT) AS n_lines
-FROM lineitem l
-JOIN part ON p_partkey = l_partkey AND p_brand = 'Brand#13'
-JOIN avg_q a ON a.l_partkey = l.l_partkey
-WHERE l.l_quantity < a.avg_qty * 0.2
-"""
+
+Q51_SQL = tpch.q17_sql(**_Q51_KNOBS)
 
 
 def q52_disjunctive_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2118,50 +2085,12 @@ def q53_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal-sum doubles (bit-identical on both engines), so float
     ties are exact."""
     configure_for_determinism(spark)
-    li = read_table(spark, sf_dir, "lineitem")
-    supp = read_table(spark, sf_dir, "supplier")
-    dec = "decimal(30,10)"
-    rev = (
-        li.where(
-            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
-        )
-        .groupBy("l_suppkey")
-        .agg(
-            F.sum(
-                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(dec)
-            )
-            .cast("double")
-            .alias("_rev")
-        )
-    )
-    top = rev.agg(F.max("_rev").alias("_max_rev"))
-    return (
-        rev.join(F.broadcast(top), rev._rev == top._max_rev)
-        .join(supp, rev.l_suppkey == supp.s_suppkey)
-        .select(
-            "s_suppkey",
-            "s_name",
-            F.round("_rev", 4).alias("total_rev"),
-        )
-    )
+    return tpch.q15_top_supplier(spark, sf_dir, order=None, **_Q53_KNOBS)
 
 
-Q53_SQL = """
-WITH rev AS (
-  SELECT l_suppkey,
-         CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-                       AS DECIMAL(30,10))) AS DOUBLE) AS r
-  FROM lineitem
-  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
-  GROUP BY 1
-)
-SELECT s_suppkey, s_name, ROUND(r, 4) AS total_rev
-FROM supplier JOIN rev ON s_suppkey = l_suppkey
-WHERE r = (SELECT MAX(r) FROM rev)
-ORDER BY 1
-"""
+_Q53_KNOBS = dict(rev_mode="double", rev_alias="total_rev", dp=4)
+
+Q53_SQL = tpch.q15_sql(**_Q53_KNOBS)
 
 
 def q54_promo_bulk_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2203,55 +2132,30 @@ ORDER BY 1
 """
 
 
+_Q55_KNOBS = dict(
+    cutoff="1999-01-01",
+    threshold="sumcount_double",
+    group="nationkey",
+    group_alias="c_nationkey",
+    count_alias="numcust",
+    sum_alias="totacctbal",
+    dp=4,
+)
+
+
 def q55_rich_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape (nationkey standing in for the phone prefix):
     customers with above-average positive balance and no recent
     (1999+) orders — scalar-subquery threshold (one-row broadcast) +
     anti-join, grouped per nation. The average compares unrounded
-    decimal-sum doubles; only the output sum rounds."""
+    decimal-sum doubles; only the output sum rounds.
+    (plans/tpch_families.q22_dormant_rich — the Q22 family's shared
+    plan; this variant's knobs in _Q55_KNOBS.)"""
     configure_for_determinism(spark)
-    cust = read_table(spark, sf_dir, "customer")
-    orders = read_table(spark, sf_dir, "orders").where(
-        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
-    )
-    dec = "decimal(30,10)"
-    avg_bal = cust.where(F.col("c_acctbal") > 0.0).agg(
-        (
-            F.sum(F.col("c_acctbal").cast(dec)).cast("double")
-            / F.count(F.lit(1))
-        ).alias("_avg_bal")
-    )
-    return (
-        cust.join(F.broadcast(avg_bal))
-        .where(F.col("c_acctbal") > F.col("_avg_bal"))
-        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
-        .groupBy(F.col("c_nationkey").cast("long").alias("c_nationkey"))
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("numcust"),
-            F.round(
-                F.sum(F.col("c_acctbal").cast(dec)).cast("double"), 4
-            ).alias("totacctbal"),
-        )
-    )
+    return tpch.q22_dormant_rich(spark, sf_dir, order=None, **_Q55_KNOBS)
 
 
-Q55_SQL = """
-SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
-       CAST(COUNT(*) AS BIGINT) AS numcust,
-       ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(30,10))) AS DOUBLE), 4)
-         AS totacctbal
-FROM customer c
-WHERE c_acctbal > (
-  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*)
-  FROM customer WHERE c_acctbal > 0.0
-)
-AND NOT EXISTS (
-  SELECT 1 FROM orders o
-  WHERE o.o_custkey = c.c_custkey
-    AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
-)
-GROUP BY 1 ORDER BY 1
-"""
+Q55_SQL = tpch.q22_sql(**_Q55_KNOBS)
 
 
 def q30_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3232,36 +3136,12 @@ def q62_custorder_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     zeros), then two stacked aggregations. o_orderpriority stands in
     for Q13's o_comment exclusion (no comment column in this schema)."""
     configure_for_determinism(spark)
-    cust = read_table(spark, sf_dir, "customer")
-    orders = read_table(spark, sf_dir, "orders")
-    per_cust = (
-        cust.join(
-            orders,
-            (cust.c_custkey == orders.o_custkey)
-            & (orders.o_orderpriority != "1-URGENT"),
-            "left",
-        )
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("c_count"))
-    )
-    return (
-        per_cust.groupBy("c_count")
-        .agg(F.count(F.lit(1)).alias("custdist"))
-        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    return tpch.q13_custorder_distribution(
+        spark, sf_dir, exclude=F.col("o_orderpriority") != "1-URGENT"
     )
 
 
-Q62_SQL = """
-SELECT c_count, COUNT(*) AS custdist
-FROM (
-  SELECT c_custkey, COUNT(o_orderkey) AS c_count
-  FROM customer
-  LEFT JOIN orders ON c_custkey = o_custkey
-                   AND o_orderpriority <> '1-URGENT'
-  GROUP BY c_custkey
-)
-GROUP BY c_count ORDER BY custdist DESC, c_count DESC
-"""
+Q62_SQL = tpch.q13_sql(exclude_sql="o.o_orderpriority <> '1-URGENT'")
 
 
 def q63_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3358,50 +3238,20 @@ def q65_cold_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale both sides hash-exchange on the key while AQE can flip the
     shrunken recent-orders side to broadcast."""
     configure_for_determinism(spark)
-    cust = read_table(spark, sf_dir, "customer")
-    orders = read_table(spark, sf_dir, "orders")
-    nation = read_table(spark, sf_dir, "nation")
-    avg_bal = cust.where(F.col("c_acctbal") > 0).agg(
-        F.avg("c_acctbal").alias("_ab")
-    )
-    rich = cust.crossJoin(F.broadcast(avg_bal)).where(
-        F.col("c_acctbal") > F.col("_ab")
-    )
-    recent = orders.where(
-        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
-    ).select(F.col("o_custkey").alias("c_custkey"))
-    cold = rich.join(recent, "c_custkey", "left_anti")
-    return (
-        cold.join(F.broadcast(nation), cold.c_nationkey == nation.n_nationkey)
-        .groupBy(F.col("n_name").alias("nation"))
-        .agg(
-            F.count(F.lit(1)).alias("n_cold"),
-            F.round(
-                F.sum(F.col("c_acctbal").cast("decimal(30,10)")).cast(
-                    "double"
-                ),
-                2,
-            ).alias("total_bal"),
-        )
-        .orderBy("nation")
-    )
+    return tpch.q22_dormant_rich(spark, sf_dir, order="nation", **_Q65_KNOBS)
 
 
-Q65_SQL = """
-WITH a AS (SELECT AVG(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0)
-SELECT n_name AS nation,
-       COUNT(*) AS n_cold,
-       ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(30,10))) AS DOUBLE), 2)
-         AS total_bal
-FROM customer c
-JOIN nation ON c_nationkey = n_nationkey
-CROSS JOIN a
-WHERE c_acctbal > a.ab
-  AND NOT EXISTS (SELECT 1 FROM orders o
-                  WHERE o.o_custkey = c.c_custkey
-                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
-GROUP BY 1 ORDER BY 1
-"""
+_Q65_KNOBS = dict(
+    cutoff="2000-01-01",
+    threshold="avg_double",
+    group="nation_name",
+    group_alias="nation",
+    count_alias="n_cold",
+    sum_alias="total_bal",
+    dp=2,
+)
+
+Q65_SQL = tpch.q22_sql(**_Q65_KNOBS)
 
 
 def q66_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6109,50 +5959,14 @@ def q77_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums over a long count (identical doubles on both engines — no
     rounded-threshold boundary to flip)."""
     configure_for_determinism(spark)
-    li = read_table(spark, sf_dir, "lineitem")
-    part = read_table(spark, sf_dir, "part")
-    brand_parts = part.where(F.col("p_brand") == "Brand#23").select("p_partkey")
-    branded = li.join(
-        brand_parts, li.l_partkey == brand_parts.p_partkey
-    ).select("l_partkey", "l_quantity", "l_extendedprice")
-    per_part = branded.groupBy("l_partkey").agg(
-        (
-            F.sum(F.col("l_quantity").cast("decimal(30,10)")).cast("double")
-            / F.count(F.lit(1))
-        ).alias("_avg_qty")
-    )
-    kept = branded.join(per_part, on="l_partkey").where(
-        F.col("l_quantity") < 0.2 * F.col("_avg_qty")
-    )
-    return kept.agg(
-        F.round(
-            F.sum(F.col("l_extendedprice").cast("decimal(30,10)")).cast(
-                "double"
-            )
-            / 7.0,
-            6,
-        ).alias("avg_yearly"),
-        F.count(F.lit(1)).alias("n_small"),
-    )
+    return tpch.q17_small_qty_revenue(spark, sf_dir, **_Q77_KNOBS)
 
 
-Q77_SQL = """
-WITH branded AS (
-  SELECT l_partkey, l_quantity, l_extendedprice
-  FROM lineitem JOIN part ON l_partkey = p_partkey
-  WHERE p_brand = 'Brand#23'
-), per_part AS (
-  SELECT l_partkey,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE)
-           / COUNT(*) AS avg_qty
-  FROM branded GROUP BY l_partkey
+_Q77_KNOBS = dict(
+    brand="Brand#23", avg_scope="branded", count_alias="n_small", dp=6
 )
-SELECT ROUND(CAST(SUM(CAST(b.l_extendedprice AS DECIMAL(30,10))) AS DOUBLE)
-             / 7.0, 6) AS avg_yearly,
-       COUNT(*) AS n_small
-FROM branded b JOIN per_part p ON b.l_partkey = p.l_partkey
-WHERE b.l_quantity < 0.2 * p.avg_qty
-"""
+
+Q77_SQL = tpch.q17_sql(**_Q77_KNOBS)
 
 
 def q78_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6164,63 +5978,23 @@ def q78_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar average threshold is an exact decimal sum over a long
     count, so both engines compare against the identical double."""
     configure_for_determinism(spark)
-    orders = read_table(spark, sf_dir, "orders")
-    cust = read_table(spark, sf_dir, "customer")
-    avg_bal = (
-        cust.where(F.col("c_acctbal") > 0.0)
-        .agg(
-            (
-                F.sum(F.col("c_acctbal").cast("decimal(30,10)")).cast(
-                    "double"
-                )
-                / F.count(F.lit(1))
-            ).alias("_thr")
-        )
-    )
-    recent = orders.where(
-        F.col("o_orderdate") >= F.lit("2000-06-01").cast("timestamp")
-    ).select("o_custkey")
-    rich = cust.crossJoin(F.broadcast(avg_bal)).where(
-        F.col("c_acctbal") > F.col("_thr")
-    )
-    dormant = rich.join(
-        recent, rich.c_custkey == recent.o_custkey, "left_anti"
-    )
-    return (
-        dormant.groupBy(F.col("c_nationkey").cast("long").alias("nationkey"))
-        .agg(
-            F.count(F.lit(1)).alias("numcust"),
-            F.round(
-                F.sum(F.col("c_acctbal").cast("decimal(30,10)")).cast(
-                    "double"
-                ),
-                6,
-            ).alias("totacctbal"),
-        )
-        .orderBy("nationkey")
+    return tpch.q22_dormant_rich(
+        spark, sf_dir, order="nationkey", **_Q78_KNOBS
     )
 
 
-Q78_SQL = """
-WITH thr AS (
-  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(30,10))) AS DOUBLE)
-           / COUNT(*) AS t
-  FROM customer WHERE c_acctbal > 0.0
+_Q78_KNOBS = dict(
+    cutoff="2000-06-01",
+    threshold="sumcount_double",
+    group="nationkey",
+    group_alias="nationkey",
+    count_alias="numcust",
+    sum_alias="totacctbal",
+    dp=6,
 )
-SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
-       COUNT(*) AS numcust,
-       ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(30,10))) AS DOUBLE), 6)
-         AS totacctbal
-FROM customer, thr
-WHERE c_acctbal > thr.t
-  AND NOT EXISTS (
-    SELECT 1 FROM orders
-    WHERE o_custkey = c_custkey
-      AND o_orderdate >= TIMESTAMP '2000-06-01'
-  )
-GROUP BY c_nationkey
-ORDER BY nationkey
-"""
+
+
+Q78_SQL = tpch.q22_sql(**_Q78_KNOBS)
 
 
 def q83_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -10881,34 +10655,12 @@ def q92_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     the probe side before the join), then two partial-aggregatable
     groupBys — counts only, no float arithmetic anywhere."""
     configure_for_determinism(spark)
-    cust = read_table(spark, sf_dir, "customer").select("c_custkey")
-    orders = read_table(spark, sf_dir, "orders").where(
-        ~F.col("o_orderpriority").startswith("1-")
-    ).select("o_custkey", "o_orderkey")
-    per_cust = (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("c_count"))
-    )
-    return (
-        per_cust.groupBy("c_count")
-        .agg(F.count(F.lit(1)).alias("custdist"))
-        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    return tpch.q13_custorder_distribution(
+        spark, sf_dir, exclude=~F.col("o_orderpriority").startswith("1-")
     )
 
 
-Q92_SQL = """
-SELECT c_count, COUNT(*) AS custdist
-FROM (
-  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
-  FROM customer c
-  LEFT JOIN orders o
-    ON o.o_custkey = c.c_custkey AND o.o_orderpriority NOT LIKE '1-%'
-  GROUP BY c.c_custkey
-)
-GROUP BY c_count
-ORDER BY custdist DESC, c_count DESC
-"""
+Q92_SQL = tpch.q13_sql(exclude_sql="o.o_orderpriority NOT LIKE '1-%'")
 
 
 def q93_trade_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -11187,65 +10939,22 @@ def q94_dormant_rich_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     anti-join; nation is a broadcast dim; the scalar threshold is one
     aggregate row broadcast back."""
     configure_for_determinism(spark)
-    cust = read_table(spark, sf_dir, "customer")
-    orders = (
-        read_table(spark, sf_dir, "orders")
-        .where(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
-        .select("o_custkey")
-        .distinct()
-    )
-    nation = read_table(spark, sf_dir, "nation")
-    pos = cust.where(F.col("c_acctbal") > 0)
-    thr = pos.agg(
-        F.sum(F.col("c_acctbal").cast("decimal(30,10)")).alias("_s"),
-        F.count(F.lit(1)).alias("_n"),
-    )
-    rich_dormant = (
-        cust.crossJoin(F.broadcast(thr))
-        .where(
-            F.col("c_acctbal").cast("decimal(30,10)") * F.col("_n")
-            > F.col("_s")
-        )
-        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
-    )
-    return (
-        rich_dormant.join(
-            F.broadcast(nation),
-            rich_dormant.c_nationkey == nation.n_nationkey,
-        )
-        .groupBy("n_name")
-        .agg(
-            F.count(F.lit(1)).alias("numcust"),
-            F.round(
-                F.sum(F.col("c_acctbal").cast("decimal(30,10)")).cast(
-                    "double"
-                ),
-                6,
-            ).alias("totacctbal"),
-        )
-        .orderBy("n_name")
+    return tpch.q22_dormant_rich(
+        spark, sf_dir, order="n_name", distinct_orders=True, **_Q94_KNOBS
     )
 
 
-Q94_SQL = """
-WITH thr AS (
-  SELECT SUM(CAST(c_acctbal AS DECIMAL(30,10))) AS s, COUNT(*) AS n
-  FROM customer WHERE c_acctbal > 0
+_Q94_KNOBS = dict(
+    cutoff="2000-01-01",
+    threshold="crossmul_decimal",
+    group="nation_name",
+    group_alias="n_name",
+    count_alias="numcust",
+    sum_alias="totacctbal",
+    dp=6,
 )
-SELECT n.n_name,
-       COUNT(*) AS numcust,
-       ROUND(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(30,10))) AS DOUBLE), 6)
-         AS totacctbal
-FROM customer c
-CROSS JOIN thr
-JOIN nation n ON n.n_nationkey = c.c_nationkey
-WHERE CAST(c.c_acctbal AS DECIMAL(30,10)) * thr.n > thr.s
-  AND NOT EXISTS (SELECT 1 FROM orders o
-                  WHERE o.o_custkey = c.c_custkey
-                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
-GROUP BY n.n_name
-ORDER BY n.n_name
-"""
+
+Q94_SQL = tpch.q22_sql(**_Q94_KNOBS)
 
 
 def q95_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -11261,59 +10970,14 @@ def q95_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange for the rollup, and the 1-row MAX broadcasts back; the
     supplier dim joins broadcast."""
     configure_for_determinism(spark)
-    li = read_table(spark, sf_dir, "lineitem")
-    supp = read_table(spark, sf_dir, "supplier")
-    rev = (
-        li.where(
-            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
-        )
-        .groupBy("l_suppkey")
-        .agg(
-            F.sum(
-                (
-                    F.col("l_extendedprice").cast("decimal(30,10)")
-                    * (
-                        F.lit(1).cast("decimal(30,10)")
-                        - F.col("l_discount").cast("decimal(30,10)")
-                    )
-                ).cast("decimal(30,10)")
-            ).alias("_rev")
-        )
-    )
-    mx = rev.agg(F.max("_rev").alias("_mx"))
-    return (
-        rev.crossJoin(F.broadcast(mx))
-        .where(F.col("_rev") == F.col("_mx"))
-        .join(supp, rev.l_suppkey == supp.s_suppkey)
-        .select(
-            "s_suppkey",
-            "s_name",
-            F.round(F.col("_rev").cast("double"), 6).alias("total_revenue"),
-        )
-        .orderBy("s_suppkey")
+    return tpch.q15_top_supplier(
+        spark, sf_dir, order="s_suppkey", **_Q95_KNOBS
     )
 
 
-Q95_SQL = """
-WITH rev AS (
-  SELECT l_suppkey,
-         SUM(CAST(CAST(l_extendedprice AS DECIMAL(30,10))
-             * (CAST(1 AS DECIMAL(30,10))
-                - CAST(l_discount AS DECIMAL(30,10)))
-             AS DECIMAL(30,10))) AS r
-  FROM lineitem
-  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-    AND l_shipdate < TIMESTAMP '1996-04-01'
-  GROUP BY l_suppkey
-)
-SELECT s.s_suppkey, s.s_name,
-       ROUND(CAST(rev.r AS DOUBLE), 6) AS total_revenue
-FROM rev
-JOIN supplier s ON s.s_suppkey = rev.l_suppkey
-WHERE rev.r = (SELECT MAX(r) FROM rev)
-ORDER BY s.s_suppkey
-"""
+_Q95_KNOBS = dict(rev_mode="decimal", rev_alias="total_revenue", dp=6)
+
+Q95_SQL = tpch.q15_sql(**_Q95_KNOBS)
 
 
 def gen7_quantile_remap(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,388 @@
+"""Parameterized builders for the TPC-H probe families that the query
+registry declares several variants of (the round-10 verdict's
+near-twins): Q22 dormant-rich-customers (q55/q65/q78/q94), Q17
+small-quantity revenue (q51/q77), Q13 customer-order distribution
+(q62/q92), and Q15 top-supplier (q53/q95). Each registry entry stays a
+thin named wrapper in plans/queries.py — same names, same docstrings,
+same hash-pinned outputs — while the plan logic and the DuckDB oracle
+mirror live here ONCE with the variant knobs spelled out.
+
+Knobs are exact by construction: every arithmetic difference between
+variants (decimal-sum/count double vs AVG vs exact cross-multiplied
+decimal thresholds; double vs pure-decimal revenue pipelines) is a
+named mode, never an approximation, so folding the twins cannot move a
+single output bit.
+
+Reference seam: these probes exercise the engine surface the reference
+consumes through its pandas preprocessing (`paqarin/utils/
+data_utils.py`, `paqarin/adapters/*`) — filters, joins, grouped
+aggregates — at TPC-H plan shapes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from paqarin_spark.sources import read_table
+
+_DEC = "decimal(30,10)"
+
+
+# --------------------------------------------------------------- Q22
+def q22_dormant_rich(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    cutoff: str,
+    threshold: str,
+    group: str,
+    group_alias: str,
+    count_alias: str,
+    sum_alias: str,
+    dp: int,
+    order: str | None,
+    distinct_orders: bool = False,
+) -> DataFrame:
+    """TPC-H Q22 shape: above-threshold-balance customers with no
+    order on/after ``cutoff``, rolled up per nation.
+
+    ``threshold`` picks the exact compare pipeline:
+      - ``"sumcount_double"``: decimal-sum / long-count cast to double
+        (identical doubles on both engines);
+      - ``"avg_double"``: plain AVG (q65's long-verified contract);
+      - ``"crossmul_decimal"``: balance·count > sum in exact decimal —
+        never rounds a value that feeds a comparison.
+    ``group`` is ``"nationkey"`` (group the raw key) or
+    ``"nation_name"`` (broadcast-join the bounded nation dim).
+    """
+    cust = read_table(spark, sf_dir, "customer")
+    recent = (
+        read_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit(cutoff).cast("timestamp"))
+        .select("o_custkey")
+    )
+    if distinct_orders:
+        recent = recent.distinct()
+    if threshold == "sumcount_double":
+        thr = cust.where(F.col("c_acctbal") > 0.0).agg(
+            (
+                F.sum(F.col("c_acctbal").cast(_DEC)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("_thr")
+        )
+        rich = cust.crossJoin(F.broadcast(thr)).where(
+            F.col("c_acctbal") > F.col("_thr")
+        )
+    elif threshold == "avg_double":
+        thr = cust.where(F.col("c_acctbal") > 0).agg(
+            F.avg("c_acctbal").alias("_thr")
+        )
+        rich = cust.crossJoin(F.broadcast(thr)).where(
+            F.col("c_acctbal") > F.col("_thr")
+        )
+    elif threshold == "crossmul_decimal":
+        thr = cust.where(F.col("c_acctbal") > 0).agg(
+            F.sum(F.col("c_acctbal").cast(_DEC)).alias("_s"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        rich = cust.crossJoin(F.broadcast(thr)).where(
+            F.col("c_acctbal").cast(_DEC) * F.col("_n") > F.col("_s")
+        )
+    else:  # pragma: no cover - contract
+        raise ValueError(f"unknown threshold mode {threshold!r}")
+    dormant = rich.join(
+        recent, rich.c_custkey == recent.o_custkey, "left_anti"
+    )
+    if group == "nationkey":
+        grouped = dormant.groupBy(
+            F.col("c_nationkey").cast("long").alias(group_alias)
+        )
+    elif group == "nation_name":
+        nation = read_table(spark, sf_dir, "nation")
+        grouped = dormant.join(
+            F.broadcast(nation),
+            dormant.c_nationkey == nation.n_nationkey,
+        ).groupBy(F.col("n_name").alias(group_alias))
+    else:  # pragma: no cover - contract
+        raise ValueError(f"unknown group mode {group!r}")
+    out = grouped.agg(
+        F.count(F.lit(1)).cast("long").alias(count_alias),
+        F.round(
+            F.sum(F.col("c_acctbal").cast(_DEC)).cast("double"), dp
+        ).alias(sum_alias),
+    )
+    return out.orderBy(order) if order else out
+
+
+def q22_sql(
+    *,
+    cutoff: str,
+    threshold: str,
+    group: str,
+    group_alias: str,
+    count_alias: str,
+    sum_alias: str,
+    dp: int,
+) -> str:
+    if threshold == "sumcount_double":
+        thr_sel = (
+            "CAST(SUM(CAST(c_acctbal AS DECIMAL(30,10))) AS DOUBLE)"
+            " / COUNT(*) AS t"
+        )
+        pred = "c.c_acctbal > thr.t"
+    elif threshold == "avg_double":
+        thr_sel = "AVG(c_acctbal) AS t"
+        pred = "c.c_acctbal > thr.t"
+    else:
+        thr_sel = (
+            "SUM(CAST(c_acctbal AS DECIMAL(30,10))) AS s, COUNT(*) AS n"
+        )
+        pred = "CAST(c.c_acctbal AS DECIMAL(30,10)) * thr.n > thr.s"
+    if group == "nationkey":
+        sel = f"CAST(c.c_nationkey AS BIGINT) AS {group_alias}"
+        njoin = ""
+    else:
+        sel = f"n.n_name AS {group_alias}"
+        njoin = "JOIN nation n ON n.n_nationkey = c.c_nationkey\n"
+    return f"""
+WITH thr AS (SELECT {thr_sel} FROM customer WHERE c_acctbal > 0)
+SELECT {sel},
+       CAST(COUNT(*) AS BIGINT) AS {count_alias},
+       ROUND(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(30,10))) AS DOUBLE), {dp})
+         AS {sum_alias}
+FROM customer c
+{njoin}CROSS JOIN thr
+WHERE {pred}
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '{cutoff}')
+GROUP BY 1 ORDER BY 1
+"""
+
+
+# --------------------------------------------------------------- Q17
+def q17_small_qty_revenue(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    brand: str,
+    avg_scope: str,
+    count_alias: str,
+    dp: int,
+) -> DataFrame:
+    """TPC-H Q17 shape: revenue (sum/7.0) from brand lineitems whose
+    quantity is below 20% of the per-part average quantity, written
+    decorrelated (per-part rollup + join, never a per-row subquery).
+
+    ``avg_scope`` = ``"all"`` averages over every lineitem of the
+    part (Q17's literal contract); ``"branded"`` averages over the
+    brand-pruned rows only (both lineitem passes scan just the
+    brand's parts — the co-located-exchange variant).
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part").where(
+        F.col("p_brand") == brand
+    )
+    if avg_scope == "all":
+        avg_q = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
+            (
+                F.sum(F.col("l_quantity").cast(_DEC)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("_avg_qty")
+        )
+        kept = (
+            li.join(part, li.l_partkey == part.p_partkey)
+            .join(avg_q, li.l_partkey == F.col("_pk"))
+            .where(F.col("l_quantity") < F.col("_avg_qty") * 0.2)
+        )
+    elif avg_scope == "branded":
+        branded = li.join(
+            part.select("p_partkey"), li.l_partkey == F.col("p_partkey")
+        ).select("l_partkey", "l_quantity", "l_extendedprice")
+        per_part = branded.groupBy("l_partkey").agg(
+            (
+                F.sum(F.col("l_quantity").cast(_DEC)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("_avg_qty")
+        )
+        kept = branded.join(per_part, on="l_partkey").where(
+            F.col("l_quantity") < 0.2 * F.col("_avg_qty")
+        )
+    else:  # pragma: no cover - contract
+        raise ValueError(f"unknown avg scope {avg_scope!r}")
+    return kept.agg(
+        F.round(
+            F.sum(F.col("l_extendedprice").cast(_DEC)).cast("double") / 7.0,
+            dp,
+        ).alias("avg_yearly"),
+        F.count(F.lit(1)).cast("long").alias(count_alias),
+    )
+
+
+def q17_sql(*, brand: str, avg_scope: str, count_alias: str, dp: int) -> str:
+    if avg_scope == "all":
+        return f"""
+WITH avg_q AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*)
+           AS avg_qty
+  FROM lineitem GROUP BY 1
+)
+SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE)
+             / 7.0, {dp}) AS avg_yearly,
+       CAST(COUNT(*) AS BIGINT) AS {count_alias}
+FROM lineitem l
+JOIN part ON p_partkey = l_partkey AND p_brand = '{brand}'
+JOIN avg_q a ON a.l_partkey = l.l_partkey
+WHERE l.l_quantity < a.avg_qty * 0.2
+"""
+    return f"""
+WITH branded AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = '{brand}'
+), per_part AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE)
+           / COUNT(*) AS avg_qty
+  FROM branded GROUP BY l_partkey
+)
+SELECT ROUND(CAST(SUM(CAST(b.l_extendedprice AS DECIMAL(30,10))) AS DOUBLE)
+             / 7.0, {dp}) AS avg_yearly,
+       CAST(COUNT(*) AS BIGINT) AS {count_alias}
+FROM branded b JOIN per_part p ON b.l_partkey = p.l_partkey
+WHERE b.l_quantity < 0.2 * p.avg_qty
+"""
+
+
+# --------------------------------------------------------------- Q13
+def q13_custorder_distribution(
+    spark: SparkSession, sf_dir: str, *, exclude
+) -> DataFrame:
+    """TPC-H Q13 shape: histogram of customers by qualifying-order
+    count INCLUDING the zero bucket — left join (the exclusion
+    predicate prunes the probe side, which is equivalent to putting
+    it in the join condition since it references orders only), then
+    two stacked partial-aggregatable groupBys. ``exclude`` is the
+    keep-predicate Column over orders."""
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = (
+        read_table(spark, sf_dir, "orders")
+        .where(exclude)
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def q13_sql(*, exclude_sql: str) -> str:
+    return f"""
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o
+    ON o.o_custkey = c.c_custkey AND {exclude_sql}
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+"""
+
+
+# --------------------------------------------------------------- Q15
+def q15_top_supplier(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    rev_mode: str,
+    rev_alias: str,
+    dp: int,
+    order: str | None,
+) -> DataFrame:
+    """TPC-H Q15 shape: 1996-Q1 revenue per supplier and the
+    supplier(s) whose revenue EQUALS the maximum. The equality
+    compares UNROUNDED totals, so a last-ulp tie can never pick
+    different winners on different engines.
+
+    ``rev_mode`` = ``"double"`` casts each discounted product to
+    decimal then the sum to double (q53's contract);
+    ``"decimal"`` keeps the whole pipeline in decimal(30,10) and
+    casts only the display column (q95's contract)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    supp = read_table(spark, sf_dir, "supplier")
+    q1 = li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    if rev_mode == "double":
+        rev_expr = (
+            F.sum(
+                (
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                ).cast(_DEC)
+            )
+            .cast("double")
+            .alias("_rev")
+        )
+    elif rev_mode == "decimal":
+        rev_expr = F.sum(
+            (
+                F.col("l_extendedprice").cast(_DEC)
+                * (F.lit(1).cast(_DEC) - F.col("l_discount").cast(_DEC))
+            ).cast(_DEC)
+        ).alias("_rev")
+    else:  # pragma: no cover - contract
+        raise ValueError(f"unknown rev mode {rev_mode!r}")
+    rev = q1.groupBy("l_suppkey").agg(rev_expr)
+    mx = rev.agg(F.max("_rev").alias("_mx"))
+    disp = (
+        F.round("_rev", dp)
+        if rev_mode == "double"
+        else F.round(F.col("_rev").cast("double"), dp)
+    )
+    out = (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("_rev") == F.col("_mx"))
+        .join(supp, rev.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", disp.alias(rev_alias))
+    )
+    return out.orderBy(order) if order else out
+
+
+def q15_sql(*, rev_mode: str, rev_alias: str, dp: int) -> str:
+    if rev_mode == "double":
+        rev_sel = (
+            "CAST(SUM(CAST(l_extendedprice * (1 - l_discount)"
+            " AS DECIMAL(30,10))) AS DOUBLE) AS r"
+        )
+        disp = f"ROUND(r, {dp})"
+    else:
+        rev_sel = (
+            "SUM(CAST(CAST(l_extendedprice AS DECIMAL(30,10))"
+            " * (CAST(1 AS DECIMAL(30,10))"
+            " - CAST(l_discount AS DECIMAL(30,10)))"
+            " AS DECIMAL(30,10))) AS r"
+        )
+        disp = f"ROUND(CAST(r AS DOUBLE), {dp})"
+    return f"""
+WITH rev AS (
+  SELECT l_suppkey, {rev_sel}
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name, {disp} AS {rev_alias}
+FROM supplier JOIN rev ON s_suppkey = l_suppkey
+WHERE r = (SELECT MAX(r) FROM rev)
+ORDER BY 1
+"""
