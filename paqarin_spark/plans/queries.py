@@ -18485,8 +18485,276 @@ ORDER BY sequence_id, step
 GEN15_SQL = _gen15_sql()
 
 
+def em33_embedding_decontamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Embedding-space DECONTAMINATION — the embedding dual of tx22's
+    shingle-space benchmark check, the audit an LLM pipeline runs
+    before training: does any eval-benchmark item have a near-duplicate
+    in the training corpus under the retrieval embedding? The
+    benchmark here is PLANTED (the tx22/DAU-smoke discipline): every
+    13th corpus vector gets a deterministic md5 perturbation
+    (x + (((2u−1)·0.3)/8) per dim ⇒ cos≈0.985 with its source on the
+    unit-norm corpus, far above the ~0.3 p99 of unrelated pairs), so
+    ground truth exists by construction and the τ=0.9 flag has a real
+    margin on both sides.
+
+    Retrieval is BANDED, never all-pairs: 16-bit sign-plane signatures
+    (operators.similarity.sign_signatures expr contract — md5-sign
+    planes, 6dp-rounded decimal projections) split into two 8-bit
+    bands; a corpus item is a candidate iff it collides with a
+    benchmark item in ≥1 band, and only candidates get the exact
+    decimal-disciplined cosine. LSH recall < 1 by design — a planted
+    pair whose perturbation flips a bit in BOTH bands is missed, and
+    the oracle replays exactly which (deterministic planes + noise;
+    no probability at the value level). Probes with zero candidates
+    still report (left join), n_candidates/n_contaminated = 0.
+
+    Scale shape: the benchmark side is bounded in production (a fixed
+    eval suite); bands are a (band, value) bucket equi-join; the
+    verify joins dims only for candidate pairs. No corpus-fraction
+    broadcast anywhere (the em18-banding lesson applied from birth).
+
+    Reference seam: the evaluation-integrity half of K2 — the
+    reference scores generators against held-out data
+    (`paqarin/metrics/univariate_metrics.py`), which is meaningless
+    if the held-out set leaks into training; this is the leak check.
+    """
+    from paqarin_spark.functions import uniform_hash
+    from paqarin_spark.operators import sign_signatures
+    from paqarin_spark.operators.similarity import _md5_sign
+
+    configure_for_determinism(spark)
+    tau = 0.9
+    emb = read_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("dim", "x"),
+    ).localCheckpoint()
+    dec = "decimal(30,10)"
+    noise = (
+        (
+            F.lit(2.0)
+            * uniform_hash(
+                F.lit("dec33p"),
+                F.col("vec_id").cast("string"),
+                F.col("dim").cast("string"),
+            )
+            - F.lit(1.0)
+        )
+        * F.lit(0.3)
+    ) / F.lit(8.0)
+    bdims = (
+        dims.where(F.col("vec_id") % 13 == 0)
+        .select(
+            F.col("vec_id").alias("bench_id"),
+            "dim",
+            (F.col("x") + noise).alias("bx"),
+        )
+        .localCheckpoint()
+    )
+    csig = sign_signatures(
+        emb, "vec_id", "embedding", num_planes=16, seed=33, prefix="dec",
+        method="expr",
+    )
+    planes = spark.createDataFrame(
+        [
+            (j, i, _md5_sign(f"dec33#{j}#{i}"), 1 << j)
+            for j in range(16)
+            for i in range(64)
+        ],
+        "j int, dim int, s double, w long",
+    )
+    bproj = (
+        bdims.join(F.broadcast(planes), on="dim")
+        .groupBy("bench_id", "j", "w")
+        .agg(
+            F.round(
+                F.sum((F.col("bx") * F.col("s")).cast(dec)).cast("double"),
+                6,
+            ).alias("p")
+        )
+    )
+    bsig = bproj.groupBy("bench_id").agg(
+        F.sum(
+            F.when(F.col("p") >= 0, F.col("w")).otherwise(F.lit(0))
+        ).alias("bsig")
+    )
+    band = lambda c, b: F.shiftright(F.col(c), 8 * b).bitwiseAND(F.lit(255))
+    cb = csig.select(
+        "vec_id",
+        F.posexplode(F.array(band("sig", 0), band("sig", 1))).alias(
+            "b", "bv"
+        ),
+    )
+    bb = bsig.select(
+        "bench_id",
+        F.posexplode(F.array(band("bsig", 0), band("bsig", 1))).alias(
+            "b", "bv"
+        ),
+    )
+    cand = cb.join(bb, on=["b", "bv"]).select("bench_id", "vec_id").distinct()
+    cnorm = dims.groupBy("vec_id").agg(
+        F.sqrt(
+            F.sum((F.col("x") * F.col("x")).cast(dec)).cast("double")
+        ).alias("cn")
+    )
+    bnorm = bdims.groupBy("bench_id").agg(
+        F.sqrt(
+            F.sum((F.col("bx") * F.col("bx")).cast(dec)).cast("double")
+        ).alias("bn")
+    )
+    dots = (
+        cand.join(bdims, on="bench_id")
+        .join(dims, on=["vec_id", "dim"])
+        .groupBy("bench_id", "vec_id")
+        .agg(
+            F.sum((F.col("bx") * F.col("x")).cast(dec))
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    cos = (
+        dots.join(bnorm, on="bench_id")
+        .join(cnorm, on="vec_id")
+        .select(
+            "bench_id",
+            "vec_id",
+            F.round(F.col("dot") / (F.col("bn") * F.col("cn")), 6).alias(
+                "cs"
+            ),
+        )
+    )
+    w = Window.partitionBy("bench_id").orderBy(F.desc("cs"), F.asc("vec_id"))
+    per_probe = (
+        cos.withColumn("_rk", F.row_number().over(w))
+        .groupBy("bench_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.sum((F.col("cs") >= tau).cast("long")).alias("n_contaminated"),
+            F.max("cs").alias("max_cos"),
+            F.min(F.when(F.col("_rk") == 1, F.col("vec_id"))).alias(
+                "top_match_id"
+            ),
+        )
+    )
+    probes = emb.where(F.col("vec_id") % 13 == 0).select(
+        F.col("vec_id").alias("bench_id")
+    )
+    return (
+        probes.join(per_probe, on="bench_id", how="left")
+        .select(
+            F.col("bench_id").cast("long").alias("probe_id"),
+            F.coalesce("n_candidates", F.lit(0)).cast("long").alias(
+                "n_candidates"
+            ),
+            F.coalesce("n_contaminated", F.lit(0)).cast("long").alias(
+                "n_contaminated"
+            ),
+            F.col("top_match_id").cast("long").alias("top_match_id"),
+            "max_cos",
+        )
+        .orderBy("probe_id")
+    )
+
+
+EM33_SQL = """
+WITH v AS (
+  SELECT vec_id, u.dim, u.x FROM embeddings, LATERAL (
+    SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+           UNNEST(embedding)::DOUBLE AS x
+  ) u
+), bdims AS (
+  SELECT vec_id AS bench_id, dim,
+         x + ((((2.0 * (('0x' || substring(md5('dec33p#'
+                 || CAST(vec_id AS VARCHAR) || '#'
+                 || CAST(dim AS VARCHAR)), 1, 15))::UBIGINT
+                 / 1152921504606846976.0)) - 1.0) * 0.3) / 8.0) AS bx
+  FROM v WHERE vec_id % 13 = 0
+), planes AS (
+  SELECT j, i,
+         CASE WHEN ('0x' || substring(
+                md5('dec33#' || j || '#' || i), 1, 1))::UBIGINT % 2 = 0
+              THEN 1.0 ELSE -1.0 END AS s,
+         CAST(2 ** j AS BIGINT) AS w
+  FROM (SELECT unnest(range(16)) AS j), (SELECT unnest(range(64)) AS i)
+), cproj AS (
+  SELECT v.vec_id, p.j, p.w,
+         ROUND(CAST(SUM(CAST(v.x * p.s AS DECIMAL(30,10))) AS DOUBLE), 6)
+           AS pr
+  FROM v JOIN planes p ON p.i = v.dim
+  GROUP BY 1, 2, 3
+), csig AS (
+  SELECT vec_id, SUM(CASE WHEN pr >= 0 THEN w ELSE 0 END) AS sig
+  FROM cproj GROUP BY 1
+), bproj AS (
+  SELECT b.bench_id, p.j, p.w,
+         ROUND(CAST(SUM(CAST(b.bx * p.s AS DECIMAL(30,10))) AS DOUBLE), 6)
+           AS pr
+  FROM bdims b JOIN planes p ON p.i = b.dim
+  GROUP BY 1, 2, 3
+), bsig AS (
+  SELECT bench_id, SUM(CASE WHEN pr >= 0 THEN w ELSE 0 END) AS sig
+  FROM bproj GROUP BY 1
+), cband AS (
+  SELECT vec_id, t.b, (CAST(sig AS BIGINT) >> (8 * t.b)) & 255 AS bv
+  FROM csig, (SELECT unnest(range(2)) AS b) t
+), bband AS (
+  SELECT bench_id, t.b, (CAST(sig AS BIGINT) >> (8 * t.b)) & 255 AS bv
+  FROM bsig, (SELECT unnest(range(2)) AS b) t
+), cand AS (
+  SELECT DISTINCT b.bench_id, c.vec_id
+  FROM cband c JOIN bband b ON c.b = b.b AND c.bv = b.bv
+), cnorm AS (
+  SELECT vec_id, sqrt(CAST(SUM(CAST(x * x AS DECIMAL(30,10))) AS DOUBLE))
+           AS cn
+  FROM v GROUP BY 1
+), bnorm AS (
+  SELECT bench_id,
+         sqrt(CAST(SUM(CAST(bx * bx AS DECIMAL(30,10))) AS DOUBLE)) AS bn
+  FROM bdims GROUP BY 1
+), dots AS (
+  SELECT cand.bench_id, cand.vec_id,
+         CAST(SUM(CAST(b.bx * v.x AS DECIMAL(30,10))) AS DOUBLE) AS dot
+  FROM cand
+  JOIN bdims b ON b.bench_id = cand.bench_id
+  JOIN v ON v.vec_id = cand.vec_id AND v.dim = b.dim
+  GROUP BY 1, 2
+), cs AS (
+  SELECT d.bench_id, d.vec_id,
+         ROUND(d.dot / (bn.bn * cn.cn), 6) AS cs
+  FROM dots d
+  JOIN bnorm bn ON bn.bench_id = d.bench_id
+  JOIN cnorm cn ON cn.vec_id = d.vec_id
+), ranked AS (
+  SELECT bench_id, vec_id, cs,
+         ROW_NUMBER() OVER (PARTITION BY bench_id
+                            ORDER BY cs DESC, vec_id) AS rk
+  FROM cs
+), per_probe AS (
+  SELECT bench_id,
+         COUNT(*) AS n_candidates,
+         SUM(CASE WHEN cs >= 0.9 THEN 1 ELSE 0 END) AS n_contaminated,
+         MAX(cs) AS max_cos,
+         MIN(CASE WHEN rk = 1 THEN vec_id END) AS top_match_id
+  FROM ranked GROUP BY 1
+)
+SELECT CAST(p.vec_id AS BIGINT) AS probe_id,
+       CAST(COALESCE(pp.n_candidates, 0) AS BIGINT) AS n_candidates,
+       CAST(COALESCE(pp.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+       CAST(pp.top_match_id AS BIGINT) AS top_match_id,
+       pp.max_cos
+FROM (SELECT vec_id FROM embeddings WHERE vec_id % 13 = 0) p
+LEFT JOIN per_probe pp ON pp.bench_id = p.vec_id
+ORDER BY probe_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-11 additions (never driver-verified) come first ---
+    "em33_embedding_decontamination": em33_embedding_decontamination,
     "gen14_gan_sample_replay": gen14_gan_sample_replay,
     "gen15_arnet_rollout_replay": gen15_arnet_rollout_replay,
     # --- round-10 additions ---
@@ -18868,6 +19136,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # weights shipped into the SQL as literals, so training is provably
 # the ONLY rows-only boundary.
 ORACLE_SQL: dict[str, str] = {
+    "em33_embedding_decontamination": EM33_SQL,
     "gen14_gan_sample_replay": GEN14_SQL,
     "gen15_arnet_rollout_replay": GEN15_SQL,
     "st23_stream_funnel": ST23_SQL,
