@@ -18752,8 +18752,231 @@ ORDER BY probe_id
 """
 
 
+def st24_stream_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING decontamination — em33's DEPLOYED dual (the st17/tx45
+    pattern: batch fits the artifact, the stream consumes it): the
+    bounded benchmark table (every 13th vector + the em33 md5
+    perturbation — in production a FIXED eval suite, the tx22
+    bounded-probe-side precedent) is compiled batch-side into
+    (bands, vector, norm) rows, and the embeddings STREAM is checked
+    per micro-batch: signature → band overlap against the benchmark →
+    exact cosine ≥ τ=0.9 → one running (n_hits, max_cos) state row
+    per benchmark item. Max state rows = |benchmark|, forever.
+
+    Everything on the stream side is PURE EXPRESSIONS — the 16 plane
+    projections are exact-decimal left folds (`F.aggregate` over
+    `zip_with`) matching the sign_signatures expr contract
+    bit-for-bit (no mapInPandas, no shuffle before the bounded agg),
+    so a bounded run carries the batch oracle regardless of
+    micro-batch boundaries: the oracle replays signatures, band
+    overlap, cosine, threshold, and the per-probe rollup in SQL.
+    The benchmark join is arrays_overlap against the bounded static
+    side (at most one row per stream-vector × benchmark-item — no
+    dedup state needed); at true scale the equi band join + windowed
+    dedup is the path, and the bounded eval suite makes the overlap
+    join the honest deployment shape here."""
+    from paqarin_spark.functions import uniform_hash
+    from paqarin_spark.operators.similarity import _md5_sign
+
+    configure_for_determinism(spark)
+    tau = 0.9
+    emb = read_table(spark, sf_dir, "embeddings")
+
+    def dot_fold(a, b):
+        # STRICT LEFT FOLD in IEEE double: Spark's `aggregate` and
+        # DuckDB's `list_reduce` walk the array in the same order over
+        # bit-identical products, so the sums agree bit-for-bit (the
+        # gru_step_strict association-order discipline applied to
+        # array expressions — decimal accumulators are not closed
+        # under Spark's aggregate type rule, so the fold IS the
+        # portable convention here; Spark's extra 0.0 seed is
+        # IEEE-exact against DuckDB's first-element seed)
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    def sig_expr(vcol):
+        bits = []
+        for j in range(16):
+            plane = F.array(
+                *[F.lit(_md5_sign(f"dec33#{j}#{i}")) for i in range(64)]
+            )
+            bits.append(
+                F.when(
+                    F.round(dot_fold(vcol, plane), 6) >= 0,
+                    F.lit(1 << j).cast("long"),
+                ).otherwise(F.lit(0).cast("long"))
+            )
+        out = bits[0]
+        for b in bits[1:]:
+            out = out + b
+        return out
+
+    def bands_expr(sig):
+        return F.array(
+            *[
+                F.shiftright(sig, 8 * b).bitwiseAND(F.lit(255))
+                for b in range(2)
+            ]
+        )
+
+    noise = lambda i: (
+        (
+            F.lit(2.0)
+            * uniform_hash(
+                F.lit("dec33p"),
+                F.col("vec_id").cast("string"),
+                i.cast("string"),
+            )
+            - F.lit(1.0)
+        )
+        * F.lit(0.3)
+    ) / F.lit(8.0)
+    bench = (
+        emb.where(F.col("vec_id") % 13 == 0)
+        .select(
+            F.col("vec_id").alias("bench_id"),
+            F.transform(
+                "embedding", lambda x, i: x.cast("double") + noise(i)
+            ).alias("bvec"),
+        )
+        .select(
+            "bench_id",
+            "bvec",
+            F.sqrt(dot_fold(F.col("bvec"), F.col("bvec"))).alias("bn"),
+            bands_expr(sig_expr(F.col("bvec"))).alias("bbands"),
+        )
+        .localCheckpoint()  # bounded eval-suite artifact, computed once
+    )
+    raw_schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
+    stream = spark.readStream.schema(raw_schema).parquet(
+        stream_table_glob(spark, sf_dir, "embeddings")
+    )
+    svec = stream.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    ).select(
+        "vec_id",
+        "v",
+        F.sqrt(dot_fold(F.col("v"), F.col("v"))).alias("vn"),
+        bands_expr(sig_expr(F.col("v"))).alias("vbands"),
+    )
+    hits = (
+        svec.join(
+            F.broadcast(bench),
+            F.arrays_overlap(F.col("vbands"), F.col("bbands")),
+        )
+        .select(
+            "bench_id",
+            F.round(
+                dot_fold(F.col("v"), F.col("bvec"))
+                / (F.col("vn") * F.col("bn")),
+                6,
+            ).alias("cs"),
+        )
+        .where(F.col("cs") >= tau)
+        .groupBy("bench_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hits"),
+            F.max("cs").alias("max_cos"),
+        )
+    )
+    name = "st24_stream_decontamination"
+    q = (
+        hits.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    probes = emb.where(F.col("vec_id") % 13 == 0).select(
+        F.col("vec_id").alias("bench_id")
+    )
+    return (
+        probes.join(spark.table(name), on="bench_id", how="left")
+        .select(
+            F.col("bench_id").cast("long").alias("probe_id"),
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            "max_cos",
+        )
+        .orderBy("probe_id")
+    )
+
+
+ST24_SQL = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), bench AS (
+  SELECT vec_id AS bench_id,
+         list_transform(e, (x, i) -> x
+           + ((((2.0 * (('0x' || substring(md5('dec33p#'
+                   || CAST(vec_id AS VARCHAR) || '#'
+                   || CAST(i - 1 AS VARCHAR)), 1, 15))::UBIGINT
+                   / 1152921504606846976.0)) - 1.0) * 0.3) / 8.0)) AS bvec
+  FROM v WHERE vec_id % 13 = 0
+), planes AS (
+  SELECT j, CAST(2 ** j AS BIGINT) AS w, list(s ORDER BY i) AS p
+  FROM (
+    SELECT j, i,
+           CAST(CASE WHEN ('0x' || substring(
+                  md5('dec33#' || j || '#' || i), 1, 1))::UBIGINT % 2 = 0
+                THEN 1.0 ELSE -1.0 END AS DOUBLE) AS s
+    FROM (SELECT unnest(range(16)) AS j), (SELECT unnest(range(64)) AS i)
+  ) GROUP BY j
+), csig AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN ROUND(list_reduce(
+                list_transform(e, (x, i) -> x * p[i]),
+                (acc, t) -> acc + t), 6) >= 0
+              THEN w ELSE 0 END) AS BIGINT) AS sig
+  FROM v CROSS JOIN planes GROUP BY 1
+), bsig AS (
+  SELECT bench_id,
+         CAST(SUM(CASE WHEN ROUND(list_reduce(
+                list_transform(bvec, (x, i) -> x * p[i]),
+                (acc, t) -> acc + t), 6) >= 0
+              THEN w ELSE 0 END) AS BIGINT) AS sig
+  FROM bench CROSS JOIN planes GROUP BY 1
+), cband AS (
+  SELECT vec_id, t.b, (sig >> (8 * t.b)) & 255 AS bv
+  FROM csig, (SELECT unnest(range(2)) AS b) t
+), bband AS (
+  SELECT bench_id, t.b, (sig >> (8 * t.b)) & 255 AS bv
+  FROM bsig, (SELECT unnest(range(2)) AS b) t
+), cand AS (
+  SELECT DISTINCT b.bench_id, c.vec_id
+  FROM cband c JOIN bband b ON c.b = b.b AND c.bv = b.bv
+), scored AS (
+  SELECT cand.bench_id,
+         ROUND(list_reduce(list_transform(v.e, (x, i) -> x * bench.bvec[i]),
+                           (acc, t) -> acc + t)
+               / (sqrt(list_reduce(list_transform(bench.bvec, x -> x * x),
+                                   (acc, t) -> acc + t))
+                  * sqrt(list_reduce(list_transform(v.e, x -> x * x),
+                                     (acc, t) -> acc + t))), 6) AS cs
+  FROM cand
+  JOIN v ON v.vec_id = cand.vec_id
+  JOIN bench ON bench.bench_id = cand.bench_id
+), per_probe AS (
+  SELECT bench_id, COUNT(*) AS n_hits, MAX(cs) AS max_cos
+  FROM scored WHERE cs >= 0.9 GROUP BY 1
+)
+SELECT CAST(p.vec_id AS BIGINT) AS probe_id,
+       CAST(COALESCE(pp.n_hits, 0) AS BIGINT) AS n_hits,
+       pp.max_cos
+FROM (SELECT vec_id FROM embeddings WHERE vec_id % 13 = 0) p
+LEFT JOIN per_probe pp ON pp.bench_id = p.vec_id
+ORDER BY probe_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-11 additions (never driver-verified) come first ---
+    "st24_stream_decontamination": st24_stream_decontamination,
     "em33_embedding_decontamination": em33_embedding_decontamination,
     "gen14_gan_sample_replay": gen14_gan_sample_replay,
     "gen15_arnet_rollout_replay": gen15_arnet_rollout_replay,
@@ -19136,6 +19359,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # weights shipped into the SQL as literals, so training is provably
 # the ONLY rows-only boundary.
 ORACLE_SQL: dict[str, str] = {
+    "st24_stream_decontamination": ST24_SQL,
     "em33_embedding_decontamination": EM33_SQL,
     "gen14_gan_sample_replay": GEN14_SQL,
     "gen15_arnet_rollout_replay": GEN15_SQL,
