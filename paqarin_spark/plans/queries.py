@@ -5396,7 +5396,13 @@ def _ivfpq_subspace_sql(s: int, width: int = _PQ_WIDTH, k: int = 4) -> str:
 
 _EM17_COARSE_KEY = "md5('kmeans#' || CAST(vec_id AS VARCHAR) || '#11')"
 
-EM17_SQL = f"""
+
+def _ivfpq_adc_sql(probe_pred: str) -> str:
+    """Shared IVF-PQ ADC pipeline CTEs (through ``adc_top``),
+    parameterized by the probe predicate — EM17 (corpus-fraction
+    recall audit) and EM34 (fixed-probe serving leg) consume the
+    SAME replay so the two oracles cannot drift."""
+    return f"""
 WITH v AS (
   SELECT vec_id, u.dim, u.x FROM embeddings, LATERAL (
     SELECT generate_subscripts(embedding, 1) - 1 AS dim,
@@ -5449,7 +5455,7 @@ WITH v AS (
          CAST(SUM(CAST((v.x - c.c) * (v.x - c.c) AS DECIMAL(30,10)))
               AS DOUBLE) AS d2
   FROM v JOIN c1 c ON v.dim = c.dim
-  WHERE v.vec_id % 100 = 0 GROUP BY 1, 2
+  WHERE {probe_pred} GROUP BY 1, 2
 ), qcell AS (
   SELECT q, cell FROM (
     SELECT q, cell, ROW_NUMBER() OVER (PARTITION BY q ORDER BY d2, cell) AS rk
@@ -5471,12 +5477,15 @@ WITH v AS (
     ON l.s = e.s AND l.cluster = e.code AND l.cell = a2.cell
   GROUP BY l.q, e.vec_id
 ), adc_top AS (
-  SELECT q, vec_id, rk FROM (
-    SELECT q, vec_id,
+  SELECT q, vec_id, adc, rk FROM (
+    SELECT q, vec_id, adc,
            ROW_NUMBER() OVER (PARTITION BY q ORDER BY adc, vec_id) AS rk
     FROM adc
   ) WHERE rk <= 5
-), exact AS (
+)"""
+
+
+EM17_SQL = _ivfpq_adc_sql("v.vec_id % 100 = 0") + f""", exact AS (
   SELECT p.vec_id AS q, o.vec_id,
          CAST(SUM(CAST((p.x - o.x) * (p.x - o.x) AS DECIMAL(30,10)))
               AS DOUBLE) AS ed2
@@ -5499,6 +5508,49 @@ FROM (SELECT q, vec_id FROM adc_top WHERE rk = 1) a1t
 JOIN (SELECT q, vec_id FROM exact_top WHERE rk = 1) e1 ON a1t.q = e1.q
 LEFT JOIN inter i ON i.q = a1t.q
 ORDER BY query_id
+"""
+
+
+def em34_ivfpq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ SERVING leg with a FIXED probe set — the production
+    counterpart of em17's recall audit, and the round-11 scale-bench
+    finding made operational: the 10× leg measured the corpus-FRACTION
+    probe audits (em17 39.9×, em18 45.7×) going quadratic by
+    construction, because probes scaling with the corpus make
+    probe×candidate work ∝ n². A serving path pins the query set —
+    here the 8 vectors with vec_id < 8, fixed at ANY scale factor
+    (ids are dense from 0) — so cost scales with the corpus only
+    through the pruned inverted lists (~nprobe/num_cells of one
+    cell's codes per query), the FAISS deployment shape. Same trained
+    index, same ADC arithmetic, same oracle pipeline as em17 (the
+    shared `_ivfpq_adc_sql` replay — the two CANNOT drift); output is
+    the served result itself: top-5 neighbors per query with the
+    6dp-rounded ADC distance, no exact-scan leg at all (that is the
+    audit's job, run offline)."""
+    from paqarin_spark.operators import ivfpq_adc_topk
+
+    configure_for_determinism(spark)
+    emb = read_table(spark, sf_dir, "embeddings")
+    return (
+        ivfpq_adc_topk(
+            emb, "vec_id", "embedding", F.col("vec_id") < 8,
+            num_cells=4, subspaces=2, k_codes=4, nprobe=2, k=5,
+            train_limit=400, coarse_seed=11, pq_seed=7,
+        )
+        .select(
+            "query_id",
+            F.col("rk").cast("int").alias("rank"),
+            "neighbor_id",
+            F.round("adc", 6).alias("adc_d2"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+EM34_SQL = _ivfpq_adc_sql("v.vec_id < 8") + """
+SELECT q AS query_id, CAST(rk AS INTEGER) AS rank,
+       vec_id AS neighbor_id, ROUND(adc, 6) AS adc_d2
+FROM adc_top ORDER BY query_id, rank
 """
 
 
@@ -18976,6 +19028,7 @@ ORDER BY probe_id
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-11 additions (never driver-verified) come first ---
+    "em34_ivfpq_serve": em34_ivfpq_serve,
     "st24_stream_decontamination": st24_stream_decontamination,
     "em33_embedding_decontamination": em33_embedding_decontamination,
     "gen14_gan_sample_replay": gen14_gan_sample_replay,
@@ -19359,6 +19412,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # weights shipped into the SQL as literals, so training is provably
 # the ONLY rows-only boundary.
 ORACLE_SQL: dict[str, str] = {
+    "em34_ivfpq_serve": EM34_SQL,
     "st24_stream_decontamination": ST24_SQL,
     "em33_embedding_decontamination": EM33_SQL,
     "gen14_gan_sample_replay": GEN14_SQL,
