@@ -18842,7 +18842,10 @@ def st24_stream_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         # array expressions — decimal accumulators are not closed
         # under Spark's aggregate type rule, so the fold IS the
         # portable convention here; Spark's extra 0.0 seed is
-        # IEEE-exact against DuckDB's first-element seed)
+        # IEEE-exact against DuckDB's first-element seed — up to the
+        # sign of zero: 0.0 + (-0.0) = +0.0, so a -0.0 FIRST product
+        # would differ in zero-sign only; unit-norm embeddings carry
+        # no exact zeros, and every consumer rounds after a divide)
         return F.aggregate(
             F.zip_with(a, b, lambda x, y: x * y),
             F.lit(0.0),
