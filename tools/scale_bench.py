@@ -82,6 +82,11 @@ DEFAULT_QUERIES = [
     "st6_stream_daily_users",
     "st8_stream_interval_join",
     "st13_stream_left_join",
+    # round-11 additions worth trending: the fixed-probe serving leg
+    # (should stay ~flat) and the two decontamination duals
+    "em34_ivfpq_serve",
+    "em33_embedding_decontamination",
+    "st24_stream_decontamination",
 ]
 
 _KEY_SHIFTS = {
