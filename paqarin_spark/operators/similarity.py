@@ -1684,11 +1684,25 @@ def mmr_rerank(
         selected = selected.unionByName(
             nxt.select("query_id", F.col("neighbor_id").alias("sel_id"))
         )
+    # Display rounding goes THROUGH a decimal reconstruction at one
+    # extra digit: with half-digit lam (the 0.5 default) the true
+    # score of round_decimals-dp inputs IS a (round_decimals+1)-dp
+    # decimal, and the greedy doubles sit within ~1 ulp of it — the
+    # cast recovers it exactly, and decimal ROUND is half-up on BOTH
+    # engines. Rounding the raw double instead flips on exact
+    # 7th-digit-5 ties (Spark half-up vs DuckDB's float round — found
+    # by the round-11 full sf0.1 gate), and with lam=0.5 such ties
+    # are structural: every odd last digit of (rel − penalty) makes
+    # one.
+    disp = F.round(
+        F.col("_score").cast(f"decimal(27,{round_decimals + 1})"),
+        round_decimals,
+    ).cast("double")
     return out.select(
         "query_id",
         "sel_rank",
         "neighbor_id",
-        F.round("_score", round_decimals).alias("mmr_score"),
+        disp.alias("mmr_score"),
     )
 
 

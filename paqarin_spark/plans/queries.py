@@ -6174,7 +6174,23 @@ def q84_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum(F.col("l_quantity").cast("decimal(30,10)")).cast(
                 "double"
             )
-        ).alias("unit_price")
+        ).alias("unit_price"),
+        # exact-integer legs for the DISPLAY rounding: prices are 2dp
+        # and quantities integral, so both sums scale to exact
+        # integers and half-up at 6dp becomes pure integer floor
+        # arithmetic — floor((2·P·10⁶ + Q)/(2·Q)) — identical on both
+        # engines. Rounding the quotient DOUBLE instead flips on
+        # exact 6dp ties (the sf0.1 gate caught 266.9078125: Spark
+        # half-up 813 vs DuckDB's float round 812); the unrounded
+        # double still carries the argmin ORDERING, bit-identical
+        # cross-engine as before.
+        (
+            F.sum(F.col("l_extendedprice").cast("decimal(30,10)"))
+            * F.lit(1000000)
+        ).cast("decimal(38,0)").alias("_p6"),
+        F.sum(F.col("l_quantity").cast("decimal(30,10)"))
+        .cast("decimal(38,0)")
+        .alias("_q0"),
     )
     w = Window.partitionBy("l_partkey").orderBy("unit_price", "l_suppkey")
     best = per_ps.withColumn("_rk", F.row_number().over(w)).where(
@@ -6188,7 +6204,10 @@ def q84_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_name",
             "s_name",
             F.col("n_name").alias("nation"),
-            F.round("unit_price", 6).alias("unit_price"),
+            (
+                F.expr("(2 * _p6 + _q0) div (2 * _q0)").cast("double")
+                / F.lit(1000000.0)
+            ).alias("unit_price"),
         )
         .orderBy("partkey")
     )
@@ -6207,21 +6226,25 @@ WITH euro_supp AS (
   SELECT l_partkey, l_suppkey,
          CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE)
            / CAST(SUM(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE)
-           AS unit_price
+           AS unit_price,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,10))) * 1000000
+              AS HUGEINT) AS p6,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(30,10))) AS HUGEINT) AS q0
   FROM lineitem
   WHERE l_partkey IN (SELECT p_partkey FROM large)
     AND l_suppkey IN (SELECT s_suppkey FROM euro_supp)
   GROUP BY 1, 2
 ), best AS (
-  SELECT l_partkey, l_suppkey, unit_price FROM (
-    SELECT l_partkey, l_suppkey, unit_price,
+  SELECT l_partkey, l_suppkey, p6, q0 FROM (
+    SELECT l_partkey, l_suppkey, p6, q0,
            ROW_NUMBER() OVER (PARTITION BY l_partkey
                               ORDER BY unit_price, l_suppkey) AS rk
     FROM per_ps
   ) WHERE rk = 1
 )
 SELECT b.l_partkey AS partkey, p.p_name, s.s_name, s.n_name AS nation,
-       ROUND(b.unit_price, 6) AS unit_price
+       CAST((2 * b.p6 + b.q0) // (2 * b.q0) AS DOUBLE) / 1000000.0
+         AS unit_price
 FROM best b
 JOIN large p ON b.l_partkey = p.p_partkey
 JOIN euro_supp s ON b.l_suppkey = s.s_suppkey
@@ -7154,7 +7177,8 @@ WITH q AS (
                         AND s.neighbor_id = cd.neighbor_id)
   ) WHERE rk = 1
 )
-SELECT query_id, sel_rank, neighbor_id, ROUND(score, 6) AS mmr_score FROM (
+SELECT query_id, sel_rank, neighbor_id,
+       CAST(ROUND(CAST(score AS DECIMAL(27,7)), 6) AS DOUBLE) AS mmr_score FROM (
   SELECT query_id, CAST(1 AS INTEGER) AS sel_rank, neighbor_id, score FROM s1
   UNION ALL
   SELECT query_id, CAST(2 AS INTEGER), neighbor_id, score FROM s2
