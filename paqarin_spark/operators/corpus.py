@@ -60,7 +60,7 @@ def pack_sequences(
     id_column: str,
     text_column: str,
     budget: int,
-    bucket_size: int = 1024,
+    num_buckets: int = 1024,
 ) -> DataFrame:
     """Concat-and-chunk SEQUENCE PACKING (the GPT-style pretraining
     step): documents are laid out in ``id_column`` order as one token
@@ -69,18 +69,30 @@ def pack_sequences(
     into. Output: one row per doc with
     (id, n_tokens, start_offset, first_seq, last_seq, n_seqs).
 
-    Scale: the global prefix-sum is TWO-LEVEL — docs are bucketed by
-    ``id div bucket_size``, the within-bucket cumsum is a window
-    partitioned BY BUCKET (each window sees ≤bucket_size rows, never a
-    whole corpus on one task), and the per-bucket totals (corpus/2^10
-    rows) take one tiny global-window pass before being joined back on
-    the bucket key. No single-partition window over the full corpus —
+    Scale: the global prefix-sum is TWO-LEVEL — docs are equal-width
+    bucketed on ``id_column`` against its broadcast [min,max] into a
+    CONSTANT ``num_buckets`` buckets (a per-SF bucket *size* would
+    leave the offsets table growing with the corpus — the round-12
+    fix), the within-bucket cumsum is a window partitioned BY BUCKET
+    (buckets scale out across tasks), and the per-bucket totals — at
+    most ``num_buckets`` rows forever — take one tiny bounded window
+    pass before being joined back on the bucket key. No
+    single-partition window over anything that grows with the data —
     the classic prefix-sum-at-scale layout.
     """
-    # integer `div`, not float `/`: double division loses low bits of
+    ext = df.agg(
+        F.min(id_column).alias("_lo"), F.max(id_column).alias("_hi")
+    )
+    # integer `div` end to end: double division loses low bits of
     # 64-bit ids above 2^53 and could round an id into the wrong
-    # bucket, corrupting the prefix sum's bucket-monotonic invariant
-    bucket = F.expr(f"`{id_column}` div {int(bucket_size)}")
+    # bucket, corrupting the prefix sum's bucket-monotonic invariant.
+    # width = ceil(span / num_buckets) keeps every bucket index in
+    # [0, num_buckets) with equal-width integer ranges.
+    b = int(num_buckets)
+    df = df.crossJoin(F.broadcast(ext)).withColumn(
+        "_w", F.expr(f"(_hi - _lo + {b}) div {b}")
+    )
+    bucket = F.expr(f"(`{id_column}` - _lo) div _w")
     # persist: both the in-bucket window and the bucket totals consume
     # this projection — without caching, the tokenize-and-count pass
     # over the full corpus executes twice. The cached rows are ~24

@@ -26,6 +26,11 @@ from pyspark.sql import functions as F
 
 from paqarin_spark.schema import SURROGATE_ITEM_ID
 
+# Constant bucket count for the two-level first-appearance numbering:
+# the per-bucket offset table is AT MOST this many rows regardless of
+# SF, so its rollup window is bounded by a compile-time constant.
+_NUM_RANK_BUCKETS = 1024
+
 
 def add_surrogate_key(
     df: DataFrame,
@@ -42,10 +47,55 @@ def add_surrogate_key(
     ids = list(item_id_columns)
     first_seen = F.min(F.struct(*[F.col(c) for c in order_columns])).alias("_first_seen")
     dim = df.groupBy(*ids).agg(first_seen)
-    # The window runs over the (small) entity dim only.
-    rank_window = Window.orderBy("_first_seen")
-    dim = dim.withColumn(key_column, F.row_number().over(rank_window) - F.lit(1)).drop(
-        "_first_seen"
+    # Dense first-appearance numbering WITHOUT a global sort of the
+    # dim: the entity count scales with the data, so even a dim-only
+    # single-partition row_number is one task sorting every distinct
+    # entity at 100 TB. Two-level prefix numbering instead (the
+    # pack_sequences layout): equal-width-bucket the dim on the FIRST
+    # order column against its broadcast [min,max] (bucketing on the
+    # leading struct field is monotone in the struct order — equal
+    # values share a bucket), rank WITHIN each bucket in parallel,
+    # and add back exclusive per-bucket count offsets rolled up over
+    # the constant-size (_NUM_RANK_BUCKETS-row) bucket table. A
+    # non-numeric leading order column casts to NULL and degrades to
+    # one bucket — the old global window — without changing results.
+    B = _NUM_RANK_BUCKETS
+    lead = F.col(f"_first_seen.{order_columns[0]}").cast("double")
+    ext = dim.agg(
+        F.min(lead).alias("_lo"), F.max(lead).alias("_hi")
+    )
+    bdim = dim.crossJoin(F.broadcast(ext)).withColumn(
+        "_bkt",
+        F.when(
+            lead.isNull() | (F.col("_hi") <= F.col("_lo")), F.lit(0)
+        )
+        .otherwise(
+            F.least(
+                F.lit(B - 1).cast("long"),
+                F.floor(
+                    (lead - F.col("_lo"))
+                    / (F.col("_hi") - F.col("_lo"))
+                    * B
+                ),
+            )
+        )
+        .cast("int"),
+    )
+    woff = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        bdim.groupBy("_bkt")
+        .agg(F.count(F.lit(1)).alias("_bn"))
+        .select(
+            "_bkt",
+            F.coalesce(F.sum("_bn").over(woff), F.lit(0)).alias("_base"),
+        )
+    )
+    in_bucket = Window.partitionBy("_bkt").orderBy("_first_seen")
+    dim = (
+        bdim.withColumn("_lrk", F.row_number().over(in_bucket))
+        .join(offsets, on="_bkt")
+        .withColumn(key_column, F.col("_base") + F.col("_lrk") - F.lit(1))
+        .drop("_first_seen", "_bkt", "_lrk", "_base", "_lo", "_hi")
     )
     dim = F.broadcast(dim) if broadcast_dim else dim
     return df.join(dim, on=ids, how="inner")

@@ -1581,6 +1581,18 @@ def mmr_rerank(
     literal (the q69 pagerank rule). Default lam=0.5 is exact either
     way.
 
+    PRECONDITION on ``lam`` for display-tie parity: the tie-safe
+    decimal reconstruction of ``mmr_score`` assumes ``lam`` (and so
+    ``1−lam``) has at most ONE fractional decimal digit (0.5, 0.3,
+    0.7, …) — then the true score of ``round_decimals``-dp inputs is
+    itself a ``(round_decimals+1)``-dp decimal and the
+    double→decimal cast recovers it exactly. For any other ``lam``
+    (0.25, 1/3, …) that identity fails and the cast itself would sit
+    on engine-divergent cast-rounding, so the operator GATES the
+    decimal path on the precondition and otherwise rounds the raw
+    double — correct values, but exact 7th-digit-5 display ties may
+    then differ between Spark (HALF_UP) and a replaying engine.
+
     Output: (query_id, sel_rank 1..select_k, neighbor_id, mmr_score)
     where sel_rank is the greedy pick order and mmr_score the
     objective value at pick time (rank-1 score = lam·rel).
@@ -1693,11 +1705,19 @@ def mmr_rerank(
     # 7th-digit-5 ties (Spark half-up vs DuckDB's float round — found
     # by the round-11 full sf0.1 gate), and with lam=0.5 such ties
     # are structural: every odd last digit of (rel − penalty) makes
-    # one.
-    disp = F.round(
-        F.col("_score").cast(f"decimal(27,{round_decimals + 1})"),
-        round_decimals,
-    ).cast("double")
+    # one. Gated on the docstring precondition: lam with >1
+    # fractional digit makes the true score finer than
+    # (round_decimals+1)-dp, so the cast would be the divergence.
+    from decimal import Decimal
+
+    lam_1dp = -Decimal(repr(lam)).normalize().as_tuple().exponent <= 1
+    if lam_1dp:
+        disp = F.round(
+            F.col("_score").cast(f"decimal(27,{round_decimals + 1})"),
+            round_decimals,
+        ).cast("double")
+    else:
+        disp = F.round(F.col("_score"), round_decimals)
     return out.select(
         "query_id",
         "sel_rank",

@@ -1352,10 +1352,12 @@ def ev6_ks_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     distribution and the sampled one — the continuous complement to
     ev4's categorical TVD, and the standard synthetic-data acceptance
     test. Exact tie-aware form: per DISTINCT value, cumulative counts
-    on both sides; D = max |F̂_real − F̂_synth|. The ECDF window runs
-    over distinct VALUES (already aggregated), not rows — the same
-    bounded-window posture as q57/tx34, with the count table as the
-    petabyte-to-distinct reduction in front."""
+    on both sides; D = max |F̂_real − F̂_synth|. Rides _union_ecdf_ks's
+    distributed two-pass prefix sum: the count table is the
+    petabyte-to-distinct reduction, and the cumulative window is
+    PARTITIONED by equal-width value bucket with a constant-size
+    bucket-offset rollup in front — no single task ever sorts the
+    distinct-value table."""
     from paqarin_spark.generators import BlockBootstrapGenerator
 
     ev = _events(spark, sf_dir)
@@ -1364,34 +1366,10 @@ def ev6_ks_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
         gen.generate(50)
         .select(F.explode("sequence").alias("_o"))
         .select(F.col("_o.value").alias("v"))
-        .select("v", F.lit(0).alias("_r"), F.lit(1).alias("_s"))
     )
     gen.unpersist()
-    real = ev.select(
-        F.col("value").alias("v"), F.lit(1).alias("_r"), F.lit(0).alias("_s")
-    )
-    counts = (
-        real.unionByName(synth)
-        .groupBy("v")
-        .agg(F.sum("_r").alias("_cr"), F.sum("_s").alias("_cs"))
-    )
-    totals = counts.agg(
-        F.sum("_cr").alias("_nr"), F.sum("_cs").alias("_ns")
-    )
-    w = Window.orderBy("v")
-    cum = counts.select(
-        "v",
-        F.sum("_cr").over(w).alias("_cum_r"),
-        F.sum("_cs").over(w).alias("_cum_s"),
-    ).crossJoin(F.broadcast(totals))
-    return cum.agg(
-        F.max("_nr").cast("bigint").alias("n_real"),
-        F.max("_ns").cast("bigint").alias("n_synth"),
-        F.round(
-            F.max(F.abs(F.col("_cum_r") / F.col("_nr") - F.col("_cum_s") / F.col("_ns"))),
-            6,
-        ).alias("ks_stat"),
-    )
+    real = ev.select(F.col("value").alias("v"))
+    return _union_ecdf_ks(real, synth)
 
 
 # The synth side replays gen1's exact draw (md5 block ranks, seed 17,
@@ -8799,7 +8777,7 @@ def tx28_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     from paqarin_spark.operators import pack_sequences
 
     docs = _docs(spark, sf_dir)
-    packed = pack_sequences(docs, "doc_id", "text", budget=512, bucket_size=128)
+    packed = pack_sequences(docs, "doc_id", "text", budget=512, num_buckets=128)
     return packed.select(
         "doc_id",
         F.col("n_tokens").cast("bigint").alias("n_tokens"),
@@ -12068,11 +12046,28 @@ FROM nn GROUP BY label ORDER BY label
 
 
 
+_ECDF_BUCKETS = 1024
+
+
 def _union_ecdf_ks(real: DataFrame, synth: DataFrame) -> DataFrame:
     """Shared union-ECDF Kolmogorov–Smirnov shape (the ev6 contract):
     both inputs are single-column frames of `v`; returns one row
     (n_real, n_synth, ks_stat). Counts are exact integers; only the
-    two final divides touch floats."""
+    two final divides touch floats.
+
+    Scale shape — DISTRIBUTED two-pass prefix sum (no global window
+    over the distinct values): (1) the value-keyed union aggregate is
+    the petabyte-to-distinct reduction; (2) each distinct value is
+    binned into one of _ECDF_BUCKETS equal-width buckets on the
+    broadcast global [min,max]; (3) per-bucket partial counts roll up
+    to an exclusive running offset over the bucket table — the ONLY
+    single-partition window, bounded by the CONSTANT bucket count,
+    never by data; (4) the offsets join back (AQE picks broadcast at
+    runtime against real sizes) and the cumulative counts come from a
+    window PARTITIONED BY bucket. The statistic is bucketing-invariant
+    (prefix sums over a total order don't care where the order is
+    cut), so the oracle SQL keeps the plain single-window form."""
+    B = _ECDF_BUCKETS
     r = real.select("v", F.lit(1).alias("_r"), F.lit(0).alias("_s"))
     t = synth.select("v", F.lit(0).alias("_r"), F.lit(1).alias("_s"))
     c = (
@@ -12080,13 +12075,49 @@ def _union_ecdf_ks(real: DataFrame, synth: DataFrame) -> DataFrame:
         .groupBy("v")
         .agg(F.sum("_r").alias("cr"), F.sum("_s").alias("cs"))
     )
-    tot = c.agg(F.sum("cr").alias("nr"), F.sum("cs").alias("ns"))
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    cum = c.select(
-        F.sum("cr").over(w).alias("cum_r"),
-        F.sum("cs").over(w).alias("cum_s"),
+    tot = c.agg(
+        F.sum("cr").alias("nr"),
+        F.sum("cs").alias("ns"),
+        F.min("v").alias("_vmin"),
+        F.max("v").alias("_vmax"),
     )
-    return cum.crossJoin(F.broadcast(tot)).agg(
+    cb = c.crossJoin(F.broadcast(tot)).withColumn(
+        "_b",
+        F.when(F.col("_vmax") <= F.col("_vmin"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(B - 1).cast("long"),
+                F.floor(
+                    (F.col("v") - F.col("_vmin"))
+                    / (F.col("_vmax") - F.col("_vmin"))
+                    * B
+                ),
+            )
+        )
+        .cast("int"),
+    )
+    woff = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        cb.groupBy("_b")
+        .agg(F.sum("cr").alias("_br"), F.sum("cs").alias("_bs"))
+        .select(
+            "_b",
+            F.coalesce(F.sum("_br").over(woff), F.lit(0)).alias("_or"),
+            F.coalesce(F.sum("_bs").over(woff), F.lit(0)).alias("_os"),
+        )
+    )
+    win = (
+        Window.partitionBy("_b")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = cb.join(offsets, "_b").select(
+        (F.col("_or") + F.sum("cr").over(win)).alias("cum_r"),
+        (F.col("_os") + F.sum("cs").over(win)).alias("cum_s"),
+        "nr",
+        "ns",
+    )
+    return cum.agg(
         F.max(F.col("nr")).alias("n_real"),
         F.max(F.col("ns")).alias("n_synth"),
         F.round(
@@ -17169,8 +17200,10 @@ def q109_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     output audits the estimator's relative error end to end (the q67
     discipline, lifted from one set to the set algebra). Scale shape:
     one distinct rollup keyed on the user (flags via conditional
-    max), one global bottom-k (TakeOrderedAndProject-class), one
-    1-row compare."""
+    max), one global bottom-k via orderBy+limit — a true distributed
+    TakeOrderedAndProject (per-partition heaps, k-row merge on the
+    driver side of the exchange) — then a rank window over only the
+    k=64 survivors, and one 1-row compare."""
     configure_for_determinism(spark)
     k = 64
     ev = _events(spark, sf_dir)
@@ -17195,10 +17228,15 @@ def q109_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(float(1 << 60))
         ).alias("_u"),
     )
+    # Bottom-k first via distributed TakeOrdered (orderBy+limit) —
+    # the q16 pattern — THEN rank the k survivors for u_k.  A global
+    # row_number window over every distinct user would
+    # single-partition the whole rollup at scale (the exact failure
+    # a KMV sketch exists to avoid: Beyer et al. 2007's bottom-k is
+    # a per-partition top-k merge, never a global sort).
+    bottom = hashed.orderBy("_u", "user_id").limit(k)
     w = Window.orderBy("_u", "user_id")
-    sk = hashed.withColumn("_rn", F.row_number().over(w)).where(
-        F.col("_rn") <= k
-    )
+    sk = bottom.withColumn("_rn", F.row_number().over(w))
     sk_agg = sk.agg(
         F.count(F.lit(1)).alias("_nk"),
         F.sum(F.col("_a") * F.col("_b")).alias("_m"),
@@ -18894,9 +18932,17 @@ def st24_stream_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
 
     def bands_expr(sig):
+        # band index ENCODED into the value (band b occupies
+        # [256*b, 256*b+255]) so arrays_overlap is exactly the
+        # positional same-band collision the oracle's cand CTE
+        # replays — without the offset, a cross-band coincidence
+        # (band0(v) == band1(b)) would admit a candidate the oracle
+        # misses, and with ~1/256 odds per doubly-flipped pair the
+        # bit-exact gate would eventually flake at larger SF
         return F.array(
             *[
                 F.shiftright(sig, 8 * b).bitwiseAND(F.lit(255))
+                + F.lit(256 * b)
                 for b in range(2)
             ]
         )

@@ -48,7 +48,7 @@ def test_mixture_sample_deterministic_and_rate_bound(spark, docs):
 def test_pack_sequences_offsets_are_a_prefix_sum(spark, docs):
     out = {
         r.doc_id: r
-        for r in pack_sequences(docs, "doc_id", "text", budget=5, bucket_size=2)
+        for r in pack_sequences(docs, "doc_id", "text", budget=5, num_buckets=3)
         .collect()
     }
     # token counts: 4, 3, 2, 3, 0, 5 -> offsets 0, 4, 7, 9, 12, 12
@@ -62,9 +62,9 @@ def test_pack_sequences_offsets_are_a_prefix_sum(spark, docs):
     assert out[5].last_seq == 3
 
 
-def test_pack_sequences_bucket_size_invariance(spark, docs):
-    small = pack_sequences(docs, "doc_id", "text", budget=5, bucket_size=1)
-    big = pack_sequences(docs, "doc_id", "text", budget=5, bucket_size=1000)
+def test_pack_sequences_bucket_count_invariance(spark, docs):
+    small = pack_sequences(docs, "doc_id", "text", budget=5, num_buckets=1)
+    big = pack_sequences(docs, "doc_id", "text", budget=5, num_buckets=1000)
     assert sorted(map(tuple, small.collect())) == sorted(map(tuple, big.collect()))
 
 

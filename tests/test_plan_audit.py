@@ -74,3 +74,73 @@ def test_subtree_ends_at_sibling_depth():
     # only the build side may be attributed to the broadcast
     flags = sf_broadcast_ambers(PLAN_HINTED_SUPPLIER)
     assert all("lineitem" not in f for f in flags)
+
+
+from plan_audit import single_partition_ambers  # noqa: E402
+
+
+PLAN_SIBLING_LIMIT = """
+*(3) BroadcastHashJoin [doc_id#1L], [doc_id#7L], Inner
+:- FileScan parquet [doc_id#1L] Location: [file:/data/documents.parquet]
++- BroadcastExchange HashedRelationBroadcastMode
+   +- *(2) SortMergeJoin [doc_id#7L], [doc_id#9L], Inner
+      :- TakeOrderedAndProject(limit=32, orderBy=[cnt#9L DESC])
+      :  +- FileScan parquet [doc_id#7L] Location: [file:/data/documents.parquet]
+      +- *(2) Filter isnotnull(doc_id#9L)
+         +- FileScan parquet [doc_id#9L] Location: [file:/data/lineitem.parquet]
+"""
+
+PLAN_GLOBAL_WINDOW = """
+*(4) Project [user_id#1L, _rn#20]
++- Window [row_number() windowspecdefinition(_u#5 ASC NULLS FIRST)]
+   +- *(3) Sort [_u#5 ASC NULLS FIRST], false, 0
+      +- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=64]
+         +- *(2) HashAggregate(keys=[user_id#1L], functions=[max(_a#2)])
+            +- Exchange hashpartitioning(user_id#1L, 32)
+               +- *(1) HashAggregate(keys=[user_id#1L], functions=[partial_max(_a#2)])
+                  +- FileScan parquet [user_id#1L] Location: [file:/data/events.parquet]
+"""
+
+PLAN_BOUNDED_WINDOW = """
+*(4) Project [user_id#1L, _rn#20]
++- Window [row_number() windowspecdefinition(_u#5 ASC NULLS FIRST)]
+   +- *(3) Sort [_u#5 ASC NULLS FIRST], false, 0
+      +- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=64]
+         +- TakeOrderedAndProject(limit=64, orderBy=[_u#5 ASC NULLS FIRST])
+            +- FileScan parquet [user_id#1L] Location: [file:/data/events.parquet]
+"""
+
+PLAN_SCALAR_FUNNEL = """
+*(3) HashAggregate(keys=[], functions=[sum(rev#9)])
++- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=12]
+   +- *(2) HashAggregate(keys=[], functions=[partial_sum(rev#9)])
+      +- FileScan parquet [rev#9] Location: [file:/data/lineitem.parquet]
+"""
+
+
+def test_sibling_limit_does_not_exempt_unbounded_branch():
+    # the limit bounds ONE join input; the lineitem scan beside it is
+    # still unbounded — the whole-subtree exemption was a false
+    # negative (round-11 ADVICE)
+    flags = sf_broadcast_ambers(PLAN_SIBLING_LIMIT)
+    assert flags == ["BroadcastExchange-scans-SF(lineitem)"]
+
+
+def test_single_partition_over_unbounded_rollup_is_flagged():
+    # the q109-round-11 shape: global row_number window fed by a
+    # SinglePartition exchange over every distinct user — the keyed
+    # aggregate does NOT bound cardinality
+    flags = single_partition_ambers(PLAN_GLOBAL_WINDOW)
+    assert flags == ["SinglePartition-over-SF(events)"]
+
+
+def test_single_partition_after_take_ordered_is_clean():
+    # the q16/q109-fixed shape: orderBy+limit first, window over the
+    # k survivors only
+    assert single_partition_ambers(PLAN_BOUNDED_WINDOW) == []
+
+
+def test_single_partition_scalar_aggregate_is_clean():
+    # keyless partial aggregate beneath the exchange = 1 row per
+    # upstream partition reaches the single task
+    assert single_partition_ambers(PLAN_SCALAR_FUNNEL) == []

@@ -57,37 +57,81 @@ def _tree_depth(line: str) -> int:
     return len(line) - len(line.lstrip(" :+-"))
 
 
+def _unbounded_sf_scans(lines: list[str], i: int) -> list[str]:
+    """SF-scaling tables scanned in the subtree rooted at lines[i] that
+    are NOT beneath a cardinality-bounding operator. Bounding is
+    attributed per-branch: a bounding node exempts only the scans in
+    ITS OWN subtree (deeper lines until depth returns to the bounding
+    node's level), never sibling branches — a limit on one input of a
+    join says nothing about the other input."""
+    depth = _tree_depth(lines[i])
+    scanned: set[str] = set()
+    skip_depth: int | None = None
+    for s in lines[i + 1:]:
+        if not s.strip():
+            continue
+        d = _tree_depth(s)
+        if d <= depth:
+            break
+        if skip_depth is not None:
+            if d > skip_depth:
+                continue
+            skip_depth = None
+        if any(b in s for b in _BOUNDING):
+            skip_depth = d
+            continue
+        if "FileScan" in s:
+            for t in SF_SCALING_TABLES:
+                if f"{t}.parquet" in s or f"/{t}]" in s:
+                    scanned.add(t)
+    return sorted(scanned)
+
+
 def sf_broadcast_ambers(plan: str) -> list[str]:
     """Lineage check: flag every BroadcastExchange whose build subtree
     scans an SF-scaling table with no cardinality bound (keyless
-    aggregate / limit) between the exchange and the scan. The caller
-    builds this plan with autoBroadcastJoinThreshold=-1, so a
-    BroadcastExchange can only come from an explicit F.broadcast hint
+    aggregate / limit) on the path between the exchange and the scan.
+    The caller builds this plan with autoBroadcastJoinThreshold=-1, so
+    a BroadcastExchange can only come from an explicit F.broadcast hint
     (or a non-equi BNLJ fallback, already ambered separately) — never
     from the tiny-SF statistics that make everything broadcastable at
     sf0.001. AQE-chosen broadcasts are decided at runtime against real
     sizes and are by construction safe. This makes SURVEY §4's
     no-SF-broadcast contract mechanical: a hint can no longer hide
-    behind its variable name."""
+    behind its variable name. Bounding is per-branch (not
+    whole-subtree): a limit on a sibling branch of the build side does
+    not exempt an unbounded scan next to it."""
     lines = plan.splitlines()
     flags: list[str] = []
     for i, line in enumerate(lines):
         if "BroadcastExchange" not in line:
             continue
-        depth = _tree_depth(line)
-        subtree = []
-        for sub in lines[i + 1:]:
-            if sub.strip() and _tree_depth(sub) <= depth:
-                break
-            subtree.append(sub)
-        if any(any(b in s for b in _BOUNDING) for s in subtree):
-            continue
-        scanned = sorted({
-            t for s in subtree if "FileScan" in s
-            for t in SF_SCALING_TABLES if f"{t}.parquet" in s or f"/{t}]" in s
-        })
+        scanned = _unbounded_sf_scans(lines, i)
         if scanned:
             flags.append(f"BroadcastExchange-scans-SF({','.join(scanned)})")
+    return flags
+
+
+def single_partition_ambers(plan: str) -> list[str]:
+    """Lineage check for the other scale funnel: flag every `Exchange
+    SinglePartition` whose subtree scans an SF-scaling table with no
+    cardinality bound between the exchange and the scan. A keyless
+    partial aggregate or a TakeOrdered/limit beneath the exchange means
+    the single partition receives a bounded row count (the normal
+    scalar-agg / top-k shape); an UNBOUNDED input means one task sorts
+    or windows the whole relation — the q109-round-11 failure class
+    (global row_number window over every distinct user), now a finding
+    by construction. Legitimate-but-unprovable bounds (group-key
+    domains like event_type's 5 values) are adjudicated per-query in
+    ADJUDICATED_SINGLE_PARTITION with a written reason."""
+    lines = plan.splitlines()
+    flags: list[str] = []
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        scanned = _unbounded_sf_scans(lines, i)
+        if scanned:
+            flags.append(f"SinglePartition-over-SF({','.join(scanned)})")
     return flags
 
 
@@ -112,6 +156,66 @@ ADJUDICATED_SF_BROADCAST: dict[str, str] = {
     ),
     "tx36_ingest_novelty": (
         "daily ingest batch probes (batch is the bounded side by design)"
+    ),
+}
+
+
+# SinglePartition-over-SF ambers reviewed and accepted, with why the
+# row count reaching the single partition is bounded even though the
+# lineage scans an SF-scaling table without a mechanical bound. A
+# flagged query NOT in this map is a FAILURE — the q109 class (one
+# task sorting an SF-scaling relation) can no longer hide in prose.
+ADJUDICATED_SINGLE_PARTITION: dict[str, str] = {
+    # constant-bucket two-level prefix sums: the only single-partition
+    # window runs over a bucket-offset table whose row count is a
+    # compile-time constant (1024 / num_buckets), never data-sized —
+    # the audit can't see the constant through a keyed aggregate, so
+    # the bound is recorded here
+    "q01_surrogate_key": (
+        "constant-1024-bucket offset rollup of the two-level "
+        "first-appearance numbering (keys.add_surrogate_key)"
+    ),
+    "tx28_sequence_pack": (
+        "constant-bucket offset table of pack_sequences' two-level "
+        "prefix sum (<= num_buckets rows forever)"
+    ),
+    "ev6_ks_fidelity": (
+        "constant-1024-bucket ECDF offset rollup (_union_ecdf_ks); "
+        "the cumulative window itself is partitioned by bucket"
+    ),
+    "ev15_synth_ks": (
+        "constant-1024-bucket ECDF offset rollup (_union_ecdf_ks)"
+    ),
+    "ev16_generator_rank": (
+        "constant-1024-bucket ECDF offset rollup per generator "
+        "(_union_ecdf_ks) + 2-row leaderboard sort"
+    ),
+    # documented exact-result contracts (each docstring names its
+    # 100-TB percentile-binned alternative)
+    "q57_order_deciles": (
+        "exact global ntile is the query's stated contract; "
+        "docstring names the percent-rank-binned alternative"
+    ),
+    "tx34_perplexity_buckets": (
+        "exact global ntile contract (q57 class), documented"
+    ),
+    "ev27_psi_drift": (
+        "exact decile-edge extraction over the bounded 15-day "
+        "reference window (q57 exact-quantile class)"
+    ),
+    # domain-bounded windows: the exchanged row count is bounded by a
+    # calendar / top-k construction, not by SF
+    "q104_theil_sen_trend": (
+        "median window over day-pair slopes; days grow with the "
+        "calendar, not SF (a year is ~66k pairs forever)"
+    ),
+    "em30_rrf_fusion": (
+        "rank windows over two top-k lanes (<= 2*k=40 rows by "
+        "construction)"
+    ),
+    "gen11_fgm_copula_sample": (
+        "per-day marginal rank tables (calendar-bounded; same bound "
+        "as its adjudicated broadcast) + 1-row scalars"
     ),
 }
 
@@ -148,7 +252,13 @@ def audit_batch(spark, sf_dir: str, only: set[str]) -> list[str]:
         if sf_flags and name in ADJUDICATED_SF_BROADCAST:
             why = ADJUDICATED_SF_BROADCAST[name]
             sf_flags = [f"{f}[adjudicated: {why}]" for f in sf_flags]
-        ambers = [m for m in AMBER if m in plan] + sf_flags
+        sp_flags = single_partition_ambers(plan)
+        if sp_flags and name in ADJUDICATED_SINGLE_PARTITION:
+            why = ADJUDICATED_SINGLE_PARTITION[name]
+            sp_flags = [f"{f}[adjudicated: {why}]" for f in sp_flags]
+        elif sp_flags:
+            reds = reds + [f"unadjudicated:{f}" for f in sp_flags]
+        ambers = [m for m in AMBER if m in plan] + sf_flags + sp_flags
         status = "FAIL" if reds else "ok"
         notes = ", ".join(reds + [f"amber:{a}" for a in ambers]) or "clean"
         print(f"{status:4} {name}: {notes}")

@@ -102,7 +102,23 @@ _KEY_SHIFTS = {
 
 
 def _rot(s: str, i: int) -> str:
-    return s[i:] + s[:i]
+    """Per-replica permutation of the translate domain: a keyed
+    Fisher–Yates shuffle (seeded by the replica index), NOT a
+    rotation — a rotation is the identity whenever i % 26 == 0, which
+    would silently reintroduce cross-replica duplicate shingles at
+    k > 26 and make dedup pair counts superlinear, invalidating the
+    linear-work premise this bench documents. The shuffle is
+    deterministic per replica and guaranteed non-identity for i > 0."""
+    if i == 0:
+        return s
+    import random
+
+    perm = list(s)
+    random.Random(f"scale-rot-{i}").shuffle(perm)
+    out = "".join(perm)
+    if out == s:  # 1/26! chance, but make the guarantee unconditional
+        out = s[1:] + s[:1]
+    return out
 
 
 def _write_single(df, out_dir: str, name: str) -> None:
@@ -140,8 +156,14 @@ def build_replica_dir(spark, base_dir: str, out_dir: str, k: int) -> None:
             for key in keys:
                 df = df.withColumn(key, F.col(key) + F.lit(i * off))
             if name == "documents" and i > 0:
+                digits = "0123456789"
                 df = df.withColumn(
-                    "text", F.translate("text", ALPHA, _rot(ALPHA, i))
+                    "text",
+                    F.translate(
+                        "text",
+                        ALPHA + digits,
+                        _rot(ALPHA, i) + _rot(digits, i),
+                    ),
                 )
             if name == "embeddings" and i > 0:
                 scale = 1.0 + i * 1e-3
