@@ -770,23 +770,195 @@ def fuzzy_pairs(
     )
 
 
+def derived_band_bits(corpus_rows: int) -> int:
+    """Band width that keeps RANDOM band collisions sub-quadratic:
+    expected random candidate pairs per band ≈ n²/2^width, so width
+    must track log₂(n) — the round-11 scale-bench finding (8-bit
+    bands measured 44× candidate growth at 10× data because 2^8 ≪ n).
+    width = ⌈log₂ n⌉ + 1 keeps expected random collisions ≲ n/2 per
+    band, floored at 15 (the legacy 60-bit layout) and capped at 60
+    (one md5 word per band)."""
+    n = max(int(corpus_rows), 2)
+    return min(60, max(15, (n - 1).bit_length() + 1))
+
+
+def _simhash_band_values(
+    tok: DataFrame, n_bands: int, width: int
+) -> DataFrame:
+    """Per-doc SimHash band values over an ``n_bands × width``-bit
+    fingerprint: global bit j draws its ±1 token votes from bit
+    ``j % 60`` of md5 word ``j // 60`` (word 0 is the plain
+    ``md5(token)`` — so the 4×15 layout is bit-identical to the
+    legacy single-long fingerprint — and word w is
+    ``md5(token || '#w<w>')``). Returns (doc, _bands array<long>)
+    where ``_bands[b]`` packs bits [b·width, (b+1)·width)."""
+    total = n_bands * width
+    n_words = (total + 59) // 60
+    words = [
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.col("token")
+                    if w == 0
+                    else F.concat(F.col("token"), F.lit(f"#w{w}"))
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        for w in range(n_words)
+    ]
+    votes = [
+        F.sum(
+            F.when(
+                F.shiftright(words[j // 60], j % 60).bitwiseAND(F.lit(1))
+                == 1,
+                1,
+            ).otherwise(-1)
+        ).alias(f"v_{j}")
+        for j in range(total)
+    ]
+    per_doc = tok.groupBy("doc").agg(*votes)
+    band_cols = []
+    for b in range(n_bands):
+        val = F.lit(0).cast("long")
+        for i in range(width):
+            bit = F.when(
+                F.col(f"v_{b * width + i}") > 0, F.lit(1).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+            val = val + F.shiftleft(bit, i)
+        band_cols.append(val)
+    return per_doc.select("doc", F.array(*band_cols).alias("_bands"))
+
+
+def simhash_candidate_count(
+    df: DataFrame,
+    text_column: str,
+    id_column: str,
+    max_hamming: int = 3,
+    band_bits: int | str = "auto",
+) -> dict:
+    """Measure the banded candidate-generation stage BEFORE the exact
+    Hamming filter — the quantity that goes quadratic when band width
+    lags log₂(n) (scale_bench records it per leg so candidate growth
+    is reviewable, per the round-11 verdict). Returns
+    {n_docs, n_bands, band_bits, n_candidates}."""
+    n_docs = df.count()
+    n_bands = max_hamming + 1
+    width = (
+        derived_band_bits(n_docs) if band_bits == "auto" else int(band_bits)
+    )
+    tok = df.select(
+        F.col(id_column).alias("doc"),
+        F.explode(tokens(F.col(text_column))).alias("token"),
+    )
+    bands_arr = _simhash_band_values(tok, n_bands, width)
+    wide_b = bands_arr.select(
+        "doc", F.posexplode("_bands").alias("band", "band_bits")
+    )
+    a = wide_b.alias("a")
+    b_ = wide_b.alias("b")
+    n_cand = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_bits") == F.col("b.band_bits"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select("a.doc", "b.doc")
+        .distinct()
+        .count()
+    )
+    return {
+        "n_docs": n_docs,
+        "n_bands": n_bands,
+        "band_bits": width,
+        "n_candidates": n_cand,
+    }
+
+
 def simhash_pairs(
     df: DataFrame,
     text_column: str,
     id_column: str,
     max_hamming: int = 3,
     n_bands: int = 4,
+    band_bits: int | str | None = None,
 ) -> DataFrame:
-    """SimHash near-duplicate pairs: docs whose 60-bit fingerprints
-    differ in at most ``max_hamming`` bits.
+    """SimHash near-duplicate pairs: docs whose fingerprints differ in
+    at most ``max_hamming`` bits.
 
     Pigeonhole banding keeps this an EQUI-join: with ``n_bands`` bands
-    of 15 bits, any pair within ``n_bands - 1`` flipped bits shares at
-    least one identical band, so candidate generation is a shuffle on
+    any pair within ``n_bands - 1`` flipped bits shares at least one
+    identical band, so candidate generation is a shuffle on
     (band_id, band_bits) — never all-pairs — and the exact
     ``bit_count(xor)`` filter prunes band collisions afterwards.
     Requires ``max_hamming < n_bands`` for the guarantee.
+
+    ``band_bits`` controls the band WIDTH, the knob that keeps random
+    collisions sub-quadratic (the round-11 scale-bench finding:
+    candidate pairs ∝ n²/2^width, so width must grow with log₂(n)):
+
+    - ``None`` (legacy): one 60-bit fingerprint, width = 60 ÷
+      n_bands — the declared tx12 layout, pinned for oracle parity.
+    - ``"auto"``: counts the corpus and derives width via
+      :func:`derived_band_bits` with ``n_bands = max_hamming + 1``
+      (the fewest bands the guarantee allows — fewer band rows AND
+      wider bands for the same total bits).
+    - an int: that width, ``n_bands`` as passed.
+
+    The widened fingerprint spans ``n_bands × band_bits`` bits drawn
+    from per-token md5 words; Hamming distance is summed
+    ``bit_count(xor)`` over the band longs (bands tile the bit space
+    exactly). The 4-band 15-bit auto/int layout is bit-identical to
+    the legacy path.
     """
+    if band_bits == "auto":
+        n_bands = max_hamming + 1
+        band_bits = derived_band_bits(df.count())
+    if band_bits is not None:
+        if max_hamming >= n_bands:
+            raise ValueError(
+                f"banding guarantee needs max_hamming < n_bands; "
+                f"got {max_hamming} >= {n_bands}"
+            )
+        tok = df.select(
+            F.col(id_column).alias("doc"),
+            F.explode(tokens(F.col(text_column))).alias("token"),
+        )
+        bands_arr = _simhash_band_values(tok, n_bands, int(band_bits))
+        wide_b = bands_arr.select(
+            "doc",
+            "_bands",
+            F.posexplode("_bands").alias("band", "band_bits"),
+        )
+        a = wide_b.alias("a")
+        b_ = wide_b.alias("b")
+        return (
+            a.join(
+                b_,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.band_bits") == F.col("b.band_bits"))
+                & (F.col("a.doc") < F.col("b.doc")),
+            )
+            .select(
+                F.col("a.doc").alias("id_a"),
+                F.col("b.doc").alias("id_b"),
+                F.aggregate(
+                    F.zip_with(
+                        F.col("a._bands"),
+                        F.col("b._bands"),
+                        lambda x, y: F.bit_count(x.bitwiseXOR(y)),
+                    ),
+                    F.lit(0),
+                    lambda acc, v: acc + v,
+                ).alias("hamming"),
+            )
+            .where(F.col("hamming") <= max_hamming)
+            .distinct()
+        )
     if max_hamming >= n_bands:
         raise ValueError(
             f"banding guarantee needs max_hamming < n_bands; "

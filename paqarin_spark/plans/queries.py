@@ -5532,6 +5532,135 @@ FROM adc_top ORDER BY query_id, rank
 """
 
 
+def _hamming_banded_top5(spark: SparkSession, sf_dir: str, probe_filter):
+    """Shared banded-SimHash retrieval kernel for em18 (the recall
+    AUDIT) and em35 (the fixed-probe SERVE) — one definition so audit
+    and serving path cannot drift (the em17/em34 `_ivfpq_adc_sql`
+    discipline applied to the Hamming family). 32 md5-sign hyperplane
+    bits pack into one long per vector (similarity.sign_signatures,
+    expr method); each signature splits into four 8-bit bands; a
+    corpus item is a candidate for a probe iff they collide in ≥1
+    band (256-value (band, value) bucket equi-join — a keyed shuffle,
+    never a corpus-fraction broadcast); candidates rerank by full
+    Hamming distance (bit_count of xor), top-5 per probe, ties to the
+    smaller vec_id. Returns (q, vec_id, ham, rk<=5)."""
+    from paqarin_spark.operators import sign_signatures
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    sigs = sign_signatures(
+        emb, "vec_id", "embedding", num_planes=32, seed=7, prefix="ham",
+        method="expr",  # the oracle-parity path; matmul is the default
+    ).localCheckpoint()  # consumed by both sides of the probe scan
+    bands = F.array(
+        *[
+            F.shiftright(F.col("sig"), 8 * b).bitwiseAND(F.lit(255))
+            for b in range(4)
+        ]
+    )
+    cb = sigs.select(
+        "vec_id", "sig", F.posexplode(bands).alias("b", "bv")
+    )
+    pb = cb.where(probe_filter).select(
+        F.col("vec_id").alias("q"), F.col("sig").alias("qsig"), "b", "bv"
+    )
+    cand = (
+        cb.join(pb, on=["b", "bv"])
+        .select("q", "vec_id", "sig", "qsig")
+        .distinct()
+    )
+    ham = cand.select(
+        "q",
+        "vec_id",
+        F.bit_count(F.col("sig").bitwiseXOR(F.col("qsig"))).alias("ham"),
+    )
+    w_h = Window.partitionBy("q").orderBy("ham", "vec_id")
+    return ham.withColumn("rk", F.row_number().over(w_h)).where(
+        F.col("rk") <= 5
+    )
+
+
+def _hamming_banded_sql(probe_pred: str) -> str:
+    """Oracle prefix shared by EM18_SQL and EM35_SQL: replays
+    signatures, the 4×8-bit band split, the positional band-collision
+    candidate join under `probe_pred`, and the Hamming top-5 — ending
+    open after the ham_top CTE so each query appends its own tail."""
+    return f"""
+WITH v AS (
+  SELECT vec_id, u.dim, u.x FROM embeddings, LATERAL (
+    SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+           UNNEST(embedding)::DOUBLE AS x
+  ) u
+), planes AS (
+  SELECT j, i,
+         CASE WHEN ('0x' || substring(
+                md5('ham7#' || j || '#' || i), 1, 1))::UBIGINT % 2 = 0
+              THEN 1.0 ELSE -1.0 END AS s,
+         CAST(2 ** j AS BIGINT) AS w
+  FROM (SELECT unnest(range(32)) AS j), (SELECT unnest(range(64)) AS i)
+), proj AS (
+  SELECT v.vec_id, p.j, p.w,
+         ROUND(CAST(SUM(CAST(v.x * p.s AS DECIMAL(30,10))) AS DOUBLE), 6)
+           AS pr
+  FROM v JOIN planes p ON p.i = v.dim
+  GROUP BY 1, 2, 3
+), sigs AS (
+  SELECT vec_id, SUM(CASE WHEN pr >= 0 THEN w ELSE 0 END) AS sig
+  FROM proj GROUP BY 1
+), cbands AS (
+  SELECT vec_id, CAST(sig AS BIGINT) AS sig, b.b,
+         (CAST(sig AS BIGINT) >> (8 * b.b)) & 255 AS bv
+  FROM sigs, (SELECT unnest(range(4)) AS b) b
+), cand AS (
+  SELECT DISTINCT p.vec_id AS q, p.sig AS qsig, c.vec_id, c.sig
+  FROM cbands c
+  JOIN (SELECT * FROM cbands WHERE {probe_pred}) p
+    ON c.b = p.b AND c.bv = p.bv
+), ham AS (
+  SELECT q, vec_id, bit_count(xor(sig, qsig)) AS hd
+  FROM cand
+), ham_top AS (
+  SELECT q, vec_id, hd, rk FROM (
+    SELECT q, vec_id, hd,
+           ROW_NUMBER() OVER (PARTITION BY q ORDER BY hd, vec_id) AS rk
+    FROM ham
+  ) WHERE rk <= 5
+)"""
+
+
+def em35_hamming_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-signature SERVING leg with a FIXED probe set — em34's
+    fixed-probe pattern applied to the Hamming/SimHash family (the
+    round-11 scale-bench answer made operational for the second index
+    class): em18's recall audit probes a corpus FRACTION (vec_id %
+    100 == 0), so its probe×candidate work grows ∝ n² by the audit's
+    own construction (measured 45.7× at 10× data); production serving
+    pins the query set — the 8 vectors with vec_id < 8, fixed at ANY
+    scale factor (ids are dense from 0) — so cost scales with the
+    corpus only through the per-band bucket lists (~4·n/256 candidate
+    rows per query), the Charikar-SimHash deployment shape. Same
+    signatures, same band split, same candidate join, same Hamming
+    rerank, same oracle pipeline as em18 (the shared
+    `_hamming_banded_sql` replay — audit and serve CANNOT drift);
+    output is the served result itself: top-5 neighbors per query
+    with the integer Hamming distance, no exact-cosine leg at all
+    (that is the audit's job, run offline)."""
+    configure_for_determinism(spark)
+    top = _hamming_banded_top5(spark, sf_dir, F.col("vec_id") < 8)
+    return top.select(
+        F.col("q").alias("query_id"),
+        F.col("rk").cast("int").alias("rank"),
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("ham").cast("int").alias("ham_d"),
+    ).orderBy("query_id", "rank")
+
+
+EM35_SQL = _hamming_banded_sql("vec_id < 8") + """
+SELECT q AS query_id, CAST(rk AS INTEGER) AS rank,
+       vec_id AS neighbor_id, CAST(hd AS INTEGER) AS ham_d
+FROM ham_top ORDER BY query_id, rank
+"""
+
+
 def em18_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-signature retrieval audit (operators.similarity.
     sign_signatures — Charikar's SimHash over dense embeddings): pack
@@ -5558,42 +5687,11 @@ def em18_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the r10-adjudicated amber this banding closes). Ties in Hamming
     distance break by vec_id; every signature bit, the band split,
     and both rankings replay in SQL."""
-    from paqarin_spark.operators import sign_signatures
-
     configure_for_determinism(spark)
     emb = read_table(spark, sf_dir, "embeddings")
-    sigs = sign_signatures(
-        emb, "vec_id", "embedding", num_planes=32, seed=7, prefix="ham",
-        method="expr",  # the oracle-parity path; matmul is the default
-    ).localCheckpoint()  # consumed by both sides of the probe scan
-    bands = F.array(
-        *[
-            F.shiftright(F.col("sig"), 8 * b).bitwiseAND(F.lit(255))
-            for b in range(4)
-        ]
-    )
-    cb = sigs.select(
-        "vec_id", "sig", F.posexplode(bands).alias("b", "bv")
-    )
-    pb = cb.where(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("q"), F.col("sig").alias("qsig"), "b", "bv"
-    )
-    cand = (
-        cb.join(pb, on=["b", "bv"])
-        .select("q", "vec_id", "sig", "qsig")
-        .distinct()
-    )
-    ham = cand.select(
-        "q",
-        "vec_id",
-        F.bit_count(F.col("sig").bitwiseXOR(F.col("qsig"))).alias("ham"),
-    )
-    w_h = Window.partitionBy("q").orderBy("ham", "vec_id")
-    ham_top = (
-        ham.withColumn("rk", F.row_number().over(w_h))
-        .where(F.col("rk") <= 5)
-        .localCheckpoint()
-    )
+    ham_top = _hamming_banded_top5(
+        spark, sf_dir, F.col("vec_id") % 100 == 0
+    ).localCheckpoint()  # consumed by both the recall join and h1
     dims = emb.select(
         "vec_id",
         F.posexplode(
@@ -5664,47 +5762,7 @@ def em18_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-EM18_SQL = """
-WITH v AS (
-  SELECT vec_id, u.dim, u.x FROM embeddings, LATERAL (
-    SELECT generate_subscripts(embedding, 1) - 1 AS dim,
-           UNNEST(embedding)::DOUBLE AS x
-  ) u
-), planes AS (
-  SELECT j, i,
-         CASE WHEN ('0x' || substring(
-                md5('ham7#' || j || '#' || i), 1, 1))::UBIGINT % 2 = 0
-              THEN 1.0 ELSE -1.0 END AS s,
-         CAST(2 ** j AS BIGINT) AS w
-  FROM (SELECT unnest(range(32)) AS j), (SELECT unnest(range(64)) AS i)
-), proj AS (
-  SELECT v.vec_id, p.j, p.w,
-         ROUND(CAST(SUM(CAST(v.x * p.s AS DECIMAL(30,10))) AS DOUBLE), 6)
-           AS pr
-  FROM v JOIN planes p ON p.i = v.dim
-  GROUP BY 1, 2, 3
-), sigs AS (
-  SELECT vec_id, SUM(CASE WHEN pr >= 0 THEN w ELSE 0 END) AS sig
-  FROM proj GROUP BY 1
-), cbands AS (
-  SELECT vec_id, CAST(sig AS BIGINT) AS sig, b.b,
-         (CAST(sig AS BIGINT) >> (8 * b.b)) & 255 AS bv
-  FROM sigs, (SELECT unnest(range(4)) AS b) b
-), cand AS (
-  SELECT DISTINCT p.vec_id AS q, p.sig AS qsig, c.vec_id, c.sig
-  FROM cbands c
-  JOIN (SELECT * FROM cbands WHERE vec_id % 100 = 0) p
-    ON c.b = p.b AND c.bv = p.bv
-), ham AS (
-  SELECT q, vec_id, bit_count(xor(sig, qsig)) AS hd
-  FROM cand
-), ham_top AS (
-  SELECT q, vec_id, rk FROM (
-    SELECT q, vec_id,
-           ROW_NUMBER() OVER (PARTITION BY q ORDER BY hd, vec_id) AS rk
-    FROM ham
-  ) WHERE rk <= 5
-), norms AS (
+EM18_SQL = _hamming_banded_sql("vec_id % 100 = 0") + """, norms AS (
   SELECT vec_id, sqrt(CAST(SUM(CAST(x * x AS DECIMAL(30,10))) AS DOUBLE))
            AS nrm
   FROM v GROUP BY 1
@@ -19102,6 +19160,7 @@ ORDER BY probe_id
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-11 additions (never driver-verified) come first ---
     "em34_ivfpq_serve": em34_ivfpq_serve,
+    "em35_hamming_serve": em35_hamming_serve,
     "st24_stream_decontamination": st24_stream_decontamination,
     "em33_embedding_decontamination": em33_embedding_decontamination,
     "gen14_gan_sample_replay": gen14_gan_sample_replay,
@@ -19486,6 +19545,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # the ONLY rows-only boundary.
 ORACLE_SQL: dict[str, str] = {
     "em34_ivfpq_serve": EM34_SQL,
+    "em35_hamming_serve": EM35_SQL,
     "st24_stream_decontamination": ST24_SQL,
     "em33_embedding_decontamination": EM33_SQL,
     "gen14_gan_sample_replay": GEN14_SQL,

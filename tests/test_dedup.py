@@ -597,3 +597,59 @@ def test_winnowing_guarantee_and_density(spark):
     max_fps = {1: 7, 2: 7, 3: 4}
     for d, s in by_doc.items():
         assert 1 <= len(s) <= max_fps[d], (d, len(s))
+
+
+def test_derived_band_bits_tracks_log2_of_corpus():
+    from paqarin_spark.operators import derived_band_bits
+
+    # floor at the legacy 15-bit layout for small corpora
+    assert derived_band_bits(100) == 15
+    assert derived_band_bits(16_000) == 15
+    # past 2^14 docs the width must grow with log2(n) to keep random
+    # band collisions (~n^2 / 2^width) sub-quadratic
+    assert derived_band_bits(1_000_000) == 21
+    assert derived_band_bits(1_000_000_000) == 31
+    # one md5 word per band caps the width
+    assert derived_band_bits(2**70) == 60
+    # monotone non-decreasing in n
+    widths = [derived_band_bits(2**k) for k in range(1, 64)]
+    assert widths == sorted(widths)
+
+
+def test_simhash_pairs_chunked_4x15_matches_legacy(spark):
+    from paqarin_spark.operators import simhash_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta epsilon"),
+            (3, "alpha beta gamma delta zeta"),
+            (4, "completely different words entirely here"),
+        ],
+        "doc_id long, text string",
+    )
+    legacy = sorted(
+        map(tuple, simhash_pairs(docs, "text", "doc_id").collect())
+    )
+    chunked = sorted(
+        map(tuple, simhash_pairs(docs, "text", "doc_id", band_bits=15).collect())
+    )
+    # the 4x15 chunked layout draws every bit from md5 word 0 exactly
+    # like the legacy single-long fingerprint — results are identical
+    assert chunked == legacy
+    assert legacy and legacy[0][:2] == (1, 2)
+
+
+def test_simhash_candidate_count_reports_band_layout(spark):
+    from paqarin_spark.operators import simhash_candidate_count
+
+    docs = spark.createDataFrame(
+        [(i, f"common tokens shared {i % 2}") for i in range(6)],
+        "doc_id long, text string",
+    )
+    stats = simhash_candidate_count(docs, "text", "doc_id")
+    assert stats["n_docs"] == 6
+    assert stats["n_bands"] == 4
+    assert stats["band_bits"] == 15
+    # near-identical docs collide: candidates >= the 2x3-doc cliques
+    assert stats["n_candidates"] >= 6

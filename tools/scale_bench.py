@@ -247,6 +247,26 @@ def main() -> int:
             if "error" in d:
                 row[f"{leg}_error"] = d["error"]
         queries[name] = row
+    # SimHash candidate growth under the derived band width (round-11
+    # verdict #5): the fixed 8-bit tx12 bands measured candidate pairs
+    # growing 44x at 10x data (random collisions ∝ n²/2^width); the
+    # derived width widens with log₂(n), so candidates must grow
+    # ~linearly here. Measured at BOTH legs so the ratio is on record.
+    from paqarin_spark.operators import simhash_candidate_count
+
+    simhash_growth = {}
+    for leg, d in (("base", base_dir), (f"x{k}", rep_dir)):
+        docs = read_table(spark, d, "documents")
+        t0 = time.time()
+        stats = simhash_candidate_count(docs, "text", "doc_id")
+        stats["s"] = round(time.time() - t0, 3)
+        simhash_growth[leg] = stats
+        print(f"simhash candidates {leg}: {stats}", flush=True)
+    b_c = simhash_growth["base"]["n_candidates"]
+    g_c = simhash_growth[f"x{k}"]["n_candidates"]
+    if b_c:
+        simhash_growth["candidate_ratio"] = round(g_c / b_c, 2)
+
     result = {
         "metric": "scale_bench",
         "k": k,
@@ -254,6 +274,7 @@ def main() -> int:
         "replica_dir": rep_dir,
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
         "queries": queries,
+        "simhash_derived_band_growth": simhash_growth,
     }
     if out_path:
         with open(out_path, "w") as f:
