@@ -431,39 +431,75 @@ FROM (SELECT user_id, COUNT(*) AS c FROM events GROUP BY 1)
 
 
 def q14_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1 shape: returnflag/linestatus pricing aggregate with exact decimal sums (the q49/q75 shared-dialect anchor)."""
+    """TPC-H Q1 shape: returnflag/linestatus pricing aggregate with
+    exact decimal sums (the q49/q75 shared-dialect anchor).
+
+    The three averages display through exact micro-units (the q84
+    pattern, applied proactively by the round-12 tie sweep):
+    quantities are integral and prices/discounts 2dp, so each average
+    is a low-denominator rational whose 6dp rounding can land on an
+    exact 7th-digit-5 tie where Spark's half-up and DuckDB's float
+    round diverge — half-up(N/D, 6dp) = floor((2·S·10⁶ + n)/(2n))
+    computed as ONE IEEE double divide of two exactly-derived doubles
+    plus a floor, bit-identical on both engines (unlike ROUND, whose
+    implementations differ). Expressed as floor-of-double rather than
+    q84's integer `div` because Q14_SQL must stay DUAL-DIALECT: q49
+    runs this exact text through spark.sql, and there is no integer-
+    division operator both engines parse."""
     configure_for_determinism(spark)
     li = read_table(spark, sf_dir, "lineitem")
     dec = "decimal(30,10)"
     filtered = li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
-    return (
-        filtered.groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.round(F.sum(F.col("l_quantity").cast(dec)).cast("double"), 4).alias("sum_qty"),
-            F.round(F.sum(F.col("l_extendedprice").cast(dec)).cast("double"), 4).alias(
-                "sum_base_price"
-            ),
-            F.round(
-                F.sum(
-                    (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(dec)
-                ).cast("double"),
-                4,
-            ).alias("sum_disc_price"),
-            F.round(
-                F.sum(
-                    (
-                        F.col("l_extendedprice")
-                        * (F.lit(1.0) - F.col("l_discount"))
-                        * (F.lit(1.0) + F.col("l_tax"))
-                    ).cast(dec)
-                ).cast("double"),
-                4,
-            ).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
-        )
+
+    def _micro(sum6_col: str, n_col: str = "_n"):
+        num = (F.lit(2) * F.col(sum6_col) + F.col(n_col)).cast("double")
+        den = (F.lit(2) * F.col(n_col)).cast("double")
+        return F.floor(num / den).cast("double") / F.lit(1000000.0)
+
+    agged = filtered.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum(F.col("l_quantity").cast(dec)).cast("double"), 4).alias("sum_qty"),
+        F.round(F.sum(F.col("l_extendedprice").cast(dec)).cast("double"), 4).alias(
+            "sum_base_price"
+        ),
+        F.round(
+            F.sum(
+                (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(dec)
+            ).cast("double"),
+            4,
+        ).alias("sum_disc_price"),
+        F.round(
+            F.sum(
+                (
+                    F.col("l_extendedprice")
+                    * (F.lit(1.0) - F.col("l_discount"))
+                    * (F.lit(1.0) + F.col("l_tax"))
+                ).cast(dec)
+            ).cast("double"),
+            4,
+        ).alias("sum_charge"),
+        (F.sum(F.col("l_quantity").cast(dec)) * F.lit(1000000))
+        .cast("decimal(38,0)")
+        .alias("_qty6"),
+        (F.sum(F.col("l_extendedprice").cast(dec)) * F.lit(1000000))
+        .cast("decimal(38,0)")
+        .alias("_prc6"),
+        (F.sum(F.col("l_discount").cast(dec)) * F.lit(1000000))
+        .cast("decimal(38,0)")
+        .alias("_dsc6"),
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+    return agged.select(
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty",
+        "sum_base_price",
+        "sum_disc_price",
+        "sum_charge",
+        _micro("_qty6").alias("avg_qty"),
+        _micro("_prc6").alias("avg_price"),
+        _micro("_dsc6").alias("avg_disc"),
+        "count_order",
     )
 
 
@@ -473,9 +509,18 @@ SELECT l_returnflag, l_linestatus,
        ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE), 4) AS sum_base_price,
        ROUND(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,10))) AS DOUBLE), 4) AS sum_disc_price,
        ROUND(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(30,10))) AS DOUBLE), 4) AS sum_charge,
-       ROUND(AVG(l_quantity), 6) AS avg_qty,
-       ROUND(AVG(l_extendedprice), 6) AS avg_price,
-       ROUND(AVG(l_discount), 6) AS avg_disc,
+       CAST(FLOOR(CAST(2 * (SUM(CAST(l_quantity AS DECIMAL(30,10))) * 1000000)
+                       + COUNT(*) AS DOUBLE)
+                  / CAST(2 * COUNT(*) AS DOUBLE)) AS DOUBLE)
+         / 1000000.0 AS avg_qty,
+       CAST(FLOOR(CAST(2 * (SUM(CAST(l_extendedprice AS DECIMAL(30,10))) * 1000000)
+                       + COUNT(*) AS DOUBLE)
+                  / CAST(2 * COUNT(*) AS DOUBLE)) AS DOUBLE)
+         / 1000000.0 AS avg_price,
+       CAST(FLOOR(CAST(2 * (SUM(CAST(l_discount AS DECIMAL(30,10))) * 1000000)
+                       + COUNT(*) AS DOUBLE)
+                  / CAST(2 * COUNT(*) AS DOUBLE)) AS DOUBLE)
+         / 1000000.0 AS avg_disc,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -4242,17 +4287,31 @@ def tx9_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_doc = docs.select(
         "source", F.col("doc_id"), bpe_token_count(F.col("text")).alias("bpe_tokens")
     )
+    # integer-count average → exact micro-unit display (the q84/q14
+    # round-12 tie-sweep pattern): token counts are integers, so the
+    # average is a low-denominator rational whose 6dp rounding can
+    # land on an exact 7th-digit-5 tie; half-up = floor((2·S·10⁶+n)
+    # /(2n)) via one IEEE double divide, identical on both engines
+    _num = (
+        F.lit(2) * F.sum("bpe_tokens").cast("decimal(38,0)") * F.lit(1000000)
+        + F.count(F.lit(1))
+    ).cast("double")
+    _den = (F.lit(2) * F.count(F.lit(1))).cast("double")
     return per_doc.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("bpe_tokens").alias("total_bpe_tokens"),
-        F.round(F.avg("bpe_tokens"), 6).alias("avg_bpe_tokens"),
+        (F.floor(_num / _den).cast("double") / F.lit(1000000.0)).alias(
+            "avg_bpe_tokens"
+        ),
     )
 
 
 TX9_SQL = r"""
 SELECT source, COUNT(*) AS n_docs,
        CAST(SUM(n) AS BIGINT) AS total_bpe_tokens,
-       ROUND(AVG(n), 6) AS avg_bpe_tokens
+       CAST(FLOOR(CAST(2 * SUM(n) * 1000000 + COUNT(*) AS DOUBLE)
+                  / CAST(2 * COUNT(*) AS DOUBLE)) AS DOUBLE)
+         / 1000000.0 AS avg_bpe_tokens
 FROM (
   SELECT source,
          CAST(len(regexp_extract_all(text,
@@ -8585,11 +8644,22 @@ def em10_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per_q = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("_k"))
     recall = per_q.join(hits, on="query_id", how="left").select(
-        (F.coalesce(F.col("_h"), F.lit(0)) / F.col("_k")).alias("_recall")
+        F.coalesce(F.col("_h"), F.lit(0)).alias("_h"), "_k"
     )
+    # k is the constant top-5, so mean-of-ratios == pooled SUM(h)/SUM(k)
+    # — which is a low-denominator rational displayed through the exact
+    # micro-unit floor (the q84/q14 round-12 tie-sweep pattern) instead
+    # of rounding a float AVG whose 7th-digit-5 ties diverge by engine.
+    _num = (
+        F.lit(2) * F.sum("_h").cast("decimal(38,0)") * F.lit(1000000)
+        + F.sum("_k")
+    ).cast("double")
+    _den = (F.lit(2) * F.sum("_k")).cast("double")
     return recall.agg(
         F.count(F.lit(1)).alias("n_queries"),
-        F.round(F.avg("_recall"), 6).alias("avg_recall"),
+        (F.floor(_num / _den).cast("double") / F.lit(1000000.0)).alias(
+            "avg_recall"
+        ),
     )
 
 
@@ -8605,7 +8675,9 @@ hits AS (
   SELECT query_id, CAST(COUNT(*) AS DOUBLE) AS k FROM exact GROUP BY 1
 )
 SELECT COUNT(*) AS n_queries,
-       ROUND(AVG(COALESCE(h.h, 0) / p.k), 6) AS avg_recall
+       CAST(FLOOR(CAST(2 * SUM(COALESCE(h.h, 0)) * 1000000 + SUM(p.k) AS DOUBLE)
+                  / CAST(2 * SUM(p.k) AS DOUBLE)) AS DOUBLE)
+         / 1000000.0 AS avg_recall
 FROM per_q p LEFT JOIN hits h ON p.query_id = h.query_id
 """
 
@@ -9634,11 +9706,20 @@ def em13_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per_q = full_topk.groupBy("query_id").agg(F.count(F.lit(1)).alias("_k"))
     recall = per_q.join(hits, on="query_id", how="left").select(
-        (F.coalesce(F.col("_h"), F.lit(0)) / F.col("_k")).alias("_r")
+        F.coalesce(F.col("_h"), F.lit(0)).alias("_h"), "_k"
     )
+    # constant k ⇒ mean-of-ratios == pooled SUM(h)/SUM(k); exact
+    # micro-unit display (see em10's note — same round-12 tie sweep)
+    _num = (
+        F.lit(2) * F.sum("_h").cast("decimal(38,0)") * F.lit(1000000)
+        + F.sum("_k")
+    ).cast("double")
+    _den = (F.lit(2) * F.sum("_k")).cast("double")
     return recall.agg(
         F.count(F.lit(1)).alias("n_queries"),
-        F.round(F.avg("_r"), 6).alias("avg_recall"),
+        (F.floor(_num / _den).cast("double") / F.lit(1000000.0)).alias(
+            "avg_recall"
+        ),
     )
 
 
@@ -9676,7 +9757,9 @@ hits AS (
   SELECT query_id, CAST(COUNT(*) AS DOUBLE) AS k FROM fullk GROUP BY 1
 )
 SELECT COUNT(*) AS n_queries,
-       ROUND(AVG(COALESCE(h.h, 0) / p.k), 6) AS avg_recall
+       CAST(FLOOR(CAST(2 * SUM(COALESCE(h.h, 0)) * 1000000 + SUM(p.k) AS DOUBLE)
+                  / CAST(2 * SUM(p.k) AS DOUBLE)) AS DOUBLE)
+         / 1000000.0 AS avg_recall
 FROM per_q p LEFT JOIN hits h ON p.query_id = h.query_id
 """
 

@@ -344,10 +344,15 @@ def q15_top_supplier(
         raise ValueError(f"unknown rev mode {rev_mode!r}")
     rev = q1.groupBy("l_suppkey").agg(rev_expr)
     mx = rev.agg(F.max("_rev").alias("_mx"))
+    # decimal mode rounds the DECIMAL (exact half-up on both engines)
+    # and casts the already-rounded value to double — rounding the
+    # double instead leaves the one-ulp 7th-digit-5 tie window the
+    # q84/em19 class lives in. Identity on 4dp-exact revenue; the
+    # ordering/threshold compares never touch the display path.
     disp = (
         F.round("_rev", dp)
         if rev_mode == "double"
-        else F.round(F.col("_rev").cast("double"), dp)
+        else F.round(F.col("_rev"), dp).cast("double")
     )
     out = (
         rev.crossJoin(F.broadcast(mx))
@@ -372,7 +377,7 @@ def q15_sql(*, rev_mode: str, rev_alias: str, dp: int) -> str:
             " - CAST(l_discount AS DECIMAL(30,10)))"
             " AS DECIMAL(30,10))) AS r"
         )
-        disp = f"ROUND(CAST(r AS DOUBLE), {dp})"
+        disp = f"CAST(ROUND(r, {dp}) AS DOUBLE)"
     return f"""
 WITH rev AS (
   SELECT l_suppkey, {rev_sel}
