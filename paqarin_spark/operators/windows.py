@@ -205,3 +205,93 @@ def attach_date_index(
     return exploded.select(
         *[c for c in exploded.columns if c != "_obs"], F.col("_obs.*")
     )
+
+
+def distributed_ntile(
+    df: DataFrame,
+    order_columns: list[str],
+    n_tiles: int,
+    tile_column: str = "tile",
+    num_buckets: int = 1024,
+) -> DataFrame:
+    """Exact NTILE over a total order WITHOUT a global sort — the
+    two-level prefix-rank layout (keys.add_surrogate_key /
+    corpus.pack_sequences family) applied to quantile binning.
+
+    Standard ``NTILE(k)`` needs every row's exact global rank, which a
+    plain ``Window.orderBy`` computes by moving the whole relation to
+    ONE task. Here: (1) rows equal-width-bucket on the LEADING order
+    column against its broadcast [min, max] — bucketing on the leading
+    key is monotone in the total order (equal values share a bucket;
+    decimal→double bucketing is monotone), so bucket index ≍ rank
+    order; (2) ``row_number`` runs WITHIN each bucket in parallel;
+    (3) per-bucket counts roll to exclusive offsets over the
+    constant-size (≤``num_buckets``-row) bucket table — the only
+    single-partition step; (4) global rank = offset + local rank, and
+    the ANSI NTILE arithmetic (first ``N mod k`` tiles hold
+    ``⌈N/k⌉`` rows, the rest ``⌊N/k⌋``) assigns the tile from (rank,
+    N) in pure integer expressions. Bit-identical to ``F.ntile`` over
+    the same total order. NULLs in the leading column land in bucket
+    0, where ASC NULLS FIRST ordering already places them.
+
+    A non-numeric leading column casts to NULL and degrades to one
+    bucket — the plain global window — without changing results.
+    """
+    if n_tiles < 1:
+        raise ValueError("n_tiles must be >= 1")
+    B = int(num_buckets)
+    lead = F.col(order_columns[0]).cast("double")
+    ext = df.agg(
+        F.min(lead).alias("_lo"),
+        F.max(lead).alias("_hi"),
+        F.count(F.lit(1)).alias("_nn"),
+    )
+    bdf = df.crossJoin(F.broadcast(ext)).withColumn(
+        "_bkt",
+        F.when(
+            lead.isNull() | (F.col("_hi") <= F.col("_lo")), F.lit(0)
+        )
+        .otherwise(
+            F.least(
+                F.lit(B - 1).cast("long"),
+                F.floor(
+                    (lead - F.col("_lo"))
+                    / (F.col("_hi") - F.col("_lo"))
+                    * B
+                ),
+            )
+        )
+        .cast("int"),
+    )
+    woff = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        bdf.groupBy("_bkt")
+        .agg(F.count(F.lit(1)).alias("_bn"))
+        .select(
+            "_bkt",
+            F.coalesce(F.sum("_bn").over(woff), F.lit(0)).alias("_boff"),
+        )
+    )
+    in_bucket = Window.partitionBy("_bkt").orderBy(
+        *[F.col(c) for c in order_columns]
+    )
+    ranked = (
+        bdf.withColumn("_lrk", F.row_number().over(in_bucket))
+        .join(offsets, on="_bkt")
+        .withColumn("_grk", (F.col("_boff") + F.col("_lrk")).cast("long"))
+    )
+    # ANSI NTILE from (global rank, N) in pure integer `div` — no
+    # doubles, so exact at any N: small = N div k, rem = N mod k,
+    # big = small + 1; the first rem tiles take big rows each.
+    k = int(n_tiles)
+    small = f"(_nn div {k})"
+    rem = f"(_nn % {k})"
+    big = f"(_nn div {k} + 1)"
+    tile = F.expr(
+        f"CASE WHEN _grk <= {rem} * {big}"
+        f" THEN (_grk - 1) div {big} + 1"
+        f" ELSE {rem} + (_grk - {rem} * {big} - 1)"
+        f" div greatest({small}, 1) + 1 END"
+    )
+    keep = [c for c in df.columns]
+    return ranked.select(*keep, tile.cast("int").alias(tile_column))

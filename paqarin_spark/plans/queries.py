@@ -2834,19 +2834,26 @@ ORDER BY event_id
 def q57_order_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NTILE decile profile of order prices (mixture/quality binning
     for corpus curation): tie-broken by order key so the decile
-    assignment is total-order deterministic on both engines. The
-    global sort is the inherent cost of exact quantile binning; at
-    100 TB use approx percentile boundaries + a broadcast range join
-    instead (q32 covers the exact-group-quantile path)."""
+    assignment is total-order deterministic on both engines. Round
+    12: the exact global NTILE now runs through
+    operators.windows.distributed_ntile — equal-width price buckets
+    (broadcast [min,max]) rank in parallel and a constant-1024-row
+    bucket-offset rollup reconstructs the exact global rank, so NO
+    task ever sorts the full orders table; bit-identical to the
+    single-window NTILE the oracle replays."""
+    from paqarin_spark.operators import distributed_ntile
+
     configure_for_determinism(spark)
     orders = read_table(spark, sf_dir, "orders")
     dec = "decimal(30,10)"
-    w = Window.orderBy("o_totalprice", "o_orderkey")
+    tiled = distributed_ntile(
+        orders.select("o_totalprice", "o_orderkey"),
+        ["o_totalprice", "o_orderkey"],
+        10,
+        tile_column="decile",
+    )
     return (
-        orders.select(
-            "o_totalprice", F.ntile(10).over(w).alias("decile")
-        )
-        .groupBy(F.col("decile").cast("long").alias("decile"))
+        tiled.groupBy(F.col("decile").cast("long").alias("decile"))
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
             F.round(
@@ -10184,16 +10191,14 @@ def tx34_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic cross-engine. Per-bucket output keeps the whole
     plan value-checkable.
 
-    Scale note (same posture as q57's deciles): the ntile is a global
-    window over the per-DOC score table — one row per document, the
-    corpus already reduced — and plan_audit flags its
-    SinglePartition exchange amber. Exact equal-count terciles
-    require a global rank; at 1e9-doc scale swap the ntile for
-    quantile-cutoff assignment (compute c1/c2 once, bucket by
-    comparison — CCNet's actual construction), trading exact equal
-    counts for a shuffle-free assignment. The oracle pins the exact
-    form because approx-quantile cutoffs are not bit-portable across
-    engines."""
+    Scale note (same posture as q57's deciles, upgraded round 12):
+    the tercile split runs through distributed_ntile — the exact
+    global rank is reconstructed from per-bucket parallel ranks plus
+    a constant-1024-row bucket-offset rollup, so no task sorts the
+    whole per-doc score table. Bit-identical to the single-window
+    NTILE the oracle replays (approx-quantile cutoffs — CCNet's
+    actual construction — were rejected because they are not
+    bit-portable across engines)."""
     from paqarin_spark.operators.dedup import tokens as _tokens
 
     configure_for_determinism(spark)
@@ -10229,8 +10234,10 @@ def tx34_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("_score")
         )
     )
-    bucketed = scored.withColumn(
-        "bucket", F.ntile(3).over(Window.orderBy("_score", "doc_id"))
+    from paqarin_spark.operators import distributed_ntile
+
+    bucketed = distributed_ntile(
+        scored, ["_score", "doc_id"], 3, tile_column="bucket"
     )
     return (
         bucketed.groupBy("bucket")

@@ -136,3 +136,41 @@ def test_attach_date_index(spark):
     days = sorted({str(r["ts"])[:10] for r in rows})
     assert days == ["2020-05-01", "2020-05-02", "2020-05-03"]
     assert [r["v"] for r in rows if r["sequence_id"] == 1] == [4.0, 5.0, 6.0]
+
+
+def test_distributed_ntile_matches_global_ntile(spark):
+    """distributed_ntile must be BIT-IDENTICAL to F.ntile over the
+    same total order — sizes (first N mod k tiles get one extra row)
+    and tie handling included — while never sorting the whole relation
+    on one task."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from paqarin_spark.operators import distributed_ntile
+
+    # adversarial shapes: duplicates straddling bucket edges, N not
+    # divisible by k, k > N, single distinct value (degenerate range)
+    rows = [(i, float((i * 7919) % 97)) for i in range(101)]
+    rows += [(200 + i, 42.0) for i in range(13)]  # heavy tie block
+    df = spark.createDataFrame(rows, "rid long, v double")
+    for k in (1, 3, 10, 7):
+        got = {
+            r.rid: r.tile
+            for r in distributed_ntile(
+                df, ["v", "rid"], k, num_buckets=8
+            ).collect()
+        }
+        want = {
+            r.rid: r.t
+            for r in df.select(
+                "rid", F.ntile(k).over(Window.orderBy("v", "rid")).alias("t")
+            ).collect()
+        }
+        assert got == want, f"k={k}"
+    # k > N and constant column (zero-width range -> one bucket)
+    tiny = spark.createDataFrame([(1, 5.0), (2, 5.0), (3, 5.0)], "rid long, v double")
+    got = {
+        r.rid: r.tile
+        for r in distributed_ntile(tiny, ["v", "rid"], 5).collect()
+    }
+    assert got == {1: 1, 2: 2, 3: 3}

@@ -193,11 +193,12 @@ ADJUDICATED_SINGLE_PARTITION: dict[str, str] = {
     # documented exact-result contracts (each docstring names its
     # 100-TB percentile-binned alternative)
     "q57_order_deciles": (
-        "exact global ntile is the query's stated contract; "
-        "docstring names the percent-rank-binned alternative"
+        "constant-1024-bucket offset rollup of distributed_ntile "
+        "(exact NTILE from two-level ranks; no global sort)"
     ),
     "tx34_perplexity_buckets": (
-        "exact global ntile contract (q57 class), documented"
+        "constant-1024-bucket offset rollup of distributed_ntile "
+        "(q57 class)"
     ),
     "ev27_psi_drift": (
         "exact decile-edge extraction over the bounded 15-day "

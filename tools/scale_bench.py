@@ -87,6 +87,9 @@ DEFAULT_QUERIES = [
     "em34_ivfpq_serve",
     "em33_embedding_decontamination",
     "st24_stream_decontamination",
+    # round-12: the Hamming-family fixed-probe serving leg (em18's
+    # production answer — should stay far below em18's n² audit)
+    "em35_hamming_serve",
 ]
 
 _KEY_SHIFTS = {
