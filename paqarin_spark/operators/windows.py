@@ -207,44 +207,33 @@ def attach_date_index(
     )
 
 
-def distributed_ntile(
+def distributed_rank(
     df: DataFrame,
     order_columns: list[str],
-    n_tiles: int,
-    tile_column: str = "tile",
+    rank_column: str = "rank",
+    count_column: str | None = None,
     num_buckets: int = 1024,
 ) -> DataFrame:
-    """Exact NTILE over a total order WITHOUT a global sort — the
-    two-level prefix-rank layout (keys.add_surrogate_key /
-    corpus.pack_sequences family) applied to quantile binning.
-
-    Standard ``NTILE(k)`` needs every row's exact global rank, which a
-    plain ``Window.orderBy`` computes by moving the whole relation to
-    ONE task. Here: (1) rows equal-width-bucket on the LEADING order
-    column against its broadcast [min, max] — bucketing on the leading
-    key is monotone in the total order (equal values share a bucket;
-    decimal→double bucketing is monotone), so bucket index ≍ rank
-    order; (2) ``row_number`` runs WITHIN each bucket in parallel;
-    (3) per-bucket counts roll to exclusive offsets over the
-    constant-size (≤``num_buckets``-row) bucket table — the only
-    single-partition step; (4) global rank = offset + local rank, and
-    the ANSI NTILE arithmetic (first ``N mod k`` tiles hold
-    ``⌈N/k⌉`` rows, the rest ``⌊N/k⌋``) assigns the tile from (rank,
-    N) in pure integer expressions. Bit-identical to ``F.ntile`` over
-    the same total order. NULLs in the leading column land in bucket
-    0, where ASC NULLS FIRST ordering already places them.
-
-    A non-numeric leading column casts to NULL and degrades to one
-    bucket — the plain global window — without changing results.
-    """
-    if n_tiles < 1:
-        raise ValueError("n_tiles must be >= 1")
+    """Exact global ``row_number`` over a total order WITHOUT a global
+    sort — the shared core of :func:`distributed_ntile` and the
+    exact-order-statistic extractions (ev27's PSI decile edges):
+    (1) equal-width bucket on the LEADING order column against its
+    broadcast [min, max] (monotone in the total order — equal values
+    share a bucket); (2) ``row_number`` within each bucket in
+    parallel; (3) per-bucket counts roll to exclusive offsets over
+    the constant-size (≤``num_buckets``-row) bucket table — the only
+    single-partition step; (4) global rank = offset + local rank.
+    ``count_column`` optionally appends the total row count (needed
+    by rank→quantile arithmetic). NULLs in the leading column land in
+    bucket 0, where ASC NULLS FIRST ordering already places them; a
+    non-numeric leading column casts to NULL and degrades to one
+    bucket — the plain global window — without changing results."""
     B = int(num_buckets)
     lead = F.col(order_columns[0]).cast("double")
     ext = df.agg(
         F.min(lead).alias("_lo"),
         F.max(lead).alias("_hi"),
-        F.count(F.lit(1)).alias("_nn"),
+        F.count(F.lit(1)).alias("_dr_nn"),
     )
     bdf = df.crossJoin(F.broadcast(ext)).withColumn(
         "_bkt",
@@ -278,7 +267,54 @@ def distributed_ntile(
     ranked = (
         bdf.withColumn("_lrk", F.row_number().over(in_bucket))
         .join(offsets, on="_bkt")
-        .withColumn("_grk", (F.col("_boff") + F.col("_lrk")).cast("long"))
+        .withColumn(
+            rank_column, (F.col("_boff") + F.col("_lrk")).cast("long")
+        )
+    )
+    keep = list(df.columns) + [rank_column]
+    if count_column is not None:
+        ranked = ranked.withColumn(
+            count_column, F.col("_dr_nn").cast("long")
+        )
+        keep.append(count_column)
+    return ranked.select(*keep)
+
+
+def distributed_ntile(
+    df: DataFrame,
+    order_columns: list[str],
+    n_tiles: int,
+    tile_column: str = "tile",
+    num_buckets: int = 1024,
+) -> DataFrame:
+    """Exact NTILE over a total order WITHOUT a global sort — the
+    two-level prefix-rank layout (keys.add_surrogate_key /
+    corpus.pack_sequences family) applied to quantile binning.
+
+    Standard ``NTILE(k)`` needs every row's exact global rank, which a
+    plain ``Window.orderBy`` computes by moving the whole relation to
+    ONE task. Here: (1) rows equal-width-bucket on the LEADING order
+    column against its broadcast [min, max] — bucketing on the leading
+    key is monotone in the total order (equal values share a bucket;
+    decimal→double bucketing is monotone), so bucket index ≍ rank
+    order; (2) ``row_number`` runs WITHIN each bucket in parallel;
+    (3) per-bucket counts roll to exclusive offsets over the
+    constant-size (≤``num_buckets``-row) bucket table — the only
+    single-partition step; (4) global rank = offset + local rank, and
+    the ANSI NTILE arithmetic (first ``N mod k`` tiles hold
+    ``⌈N/k⌉`` rows, the rest ``⌊N/k⌋``) assigns the tile from (rank,
+    N) in pure integer expressions. Bit-identical to ``F.ntile`` over
+    the same total order. NULLs in the leading column land in bucket
+    0, where ASC NULLS FIRST ordering already places them.
+
+    A non-numeric leading column casts to NULL and degrades to one
+    bucket — the plain global window — without changing results.
+    """
+    if n_tiles < 1:
+        raise ValueError("n_tiles must be >= 1")
+    ranked = distributed_rank(
+        df, order_columns, rank_column="_grk", count_column="_nn",
+        num_buckets=num_buckets,
     )
     # ANSI NTILE from (global rank, N) in pure integer `div` — no
     # doubles, so exact at any N: small = N div k, rem = N mod k,

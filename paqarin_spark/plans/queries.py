@@ -17123,18 +17123,19 @@ def _psi_reference_edges(ref: DataFrame) -> DataFrame:
     """The ONE decile-edge extraction both PSI surfaces (ev27 batch,
     st21 streaming) build on: exact order-statistic picks at rank
     ceil(k·n/10), k = 1..9, under a deterministic (value, event_id)
-    total order. A global rank window over the REFERENCE window only
-    (the q101 window class — the reference is the bounded curated
-    side of a drift monitor)."""
-    w = Window.orderBy("value", "event_id")
-    ranked = ref.select(
-        "value",
-        F.row_number().over(w).alias("_r"),
-        F.count(F.lit(1)).over(
-            Window.rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        ).alias("_n"),
+    total order. Round 12: the global rank comes from
+    operators.windows.distributed_rank (two-level bucket ranks +
+    constant-size offset rollup), so the reference window — which
+    SCALES with SF (15 days of events) — is never sorted on one
+    task; the rank values are identical to the single-window
+    row_number the oracle replays."""
+    from paqarin_spark.operators import distributed_rank
+
+    ranked = distributed_rank(
+        ref.select("value", "event_id"),
+        ["value", "event_id"],
+        rank_column="_r",
+        count_column="_n",
     )
     return ranked.where(
         F.expr("exists(sequence(1, 9), k -> _r = ceil(k * _n / 10))")

@@ -201,8 +201,8 @@ ADJUDICATED_SINGLE_PARTITION: dict[str, str] = {
         "(q57 class)"
     ),
     "ev27_psi_drift": (
-        "exact decile-edge extraction over the bounded 15-day "
-        "reference window (q57 exact-quantile class)"
+        "constant-1024-bucket offset rollup of distributed_rank "
+        "(exact decile edges from two-level ranks; no global sort)"
     ),
     # domain-bounded windows: the exchanged row count is bounded by a
     # calendar / top-k construction, not by SF
