@@ -7752,6 +7752,82 @@ ORDER BY 1, 2
 """
 
 
+def tx56_simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WIDENED SimHash near-dup pairs — the multi-word fingerprint
+    path behind ``simhash_pairs(band_bits=...)`` (round-12: band
+    width must grow with log₂(corpus) to keep random band collisions
+    sub-quadratic; dedup.derived_band_bits). Declared at the FIXED
+    width 16 so the oracle is SF-stable: 4 bands × 16 bits = 64
+    fingerprint bits drawn from TWO md5 words per token (bits 0–59
+    from md5(token), 60–63 from md5(token||'#w1')) — deliberately
+    past the 60-bit single-long boundary so the word-spanning layout
+    is value-verified, not just unit-tested. The oracle brute-forces
+    all pairs over the replayed 2-word fingerprints and filters
+    Hamming ≤ 3 — same result set, proving the 16-bit pigeonhole
+    banding loses nothing (max_hamming < n_bands)."""
+    from paqarin_spark.operators import simhash_pairs
+
+    configure_for_determinism(spark)
+    docs = _docs(spark, sf_dir)
+    return simhash_pairs(
+        docs, "text", "doc_id", max_hamming=3, n_bands=4, band_bits=16
+    )
+
+
+def _simhash_wide_sql(n_bands: int = 4, width: int = 16) -> str:
+    """DuckDB mirror of dedup._simhash_band_values: global bit j draws
+    its ±1 votes from bit j%60 of md5 word j//60 (word 0 = md5(t),
+    word w = md5(t || '#w<w>')); band b packs bits [b·width,
+    (b+1)·width). Brute-force pair scan + exact Hamming over the band
+    longs (bands tile the bit space exactly)."""
+    total = n_bands * width
+    n_words = (total + 59) // 60
+    votes = []
+    for j in range(total):
+        w, i = j // 60, j % 60
+        hexpos = 15 - i // 4
+        digit = f"(strpos('0123456789abcdef', substring(h{w}, {hexpos}, 1)) - 1)"
+        votes.append(
+            f"SUM(CASE WHEN (({digit} >> {i % 4}) & 1) = 1"
+            f" THEN 1 ELSE -1 END) AS v_{j}"
+        )
+    band_cols = []
+    for b in range(n_bands):
+        bits = " + ".join(
+            f"(CASE WHEN v_{b * width + i} > 0"
+            f" THEN (CAST(1 AS BIGINT) << {i}) ELSE CAST(0 AS BIGINT) END)"
+            for i in range(width)
+        )
+        band_cols.append(f"({bits}) AS bb_{b}")
+    hexprs = ", ".join(
+        "md5(t) AS h0"
+        if w == 0
+        else f"md5(t || '#w{w}') AS h{w}"
+        for w in range(n_words)
+    )
+    ham = " + ".join(
+        f"bit_count(xor(a.bb_{b}, b.bb_{b}))" for b in range(n_bands)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc, {hexprs} FROM (
+    SELECT doc_id AS doc, unnest({_TOKS_SQL}) AS t FROM documents
+  )
+), votes AS (
+  SELECT doc, {', '.join(votes)} FROM tok GROUP BY doc
+), fp AS (
+  SELECT doc, {', '.join(band_cols)} FROM votes
+)
+SELECT a.doc AS id_a, b.doc AS id_b, CAST({ham} AS INTEGER) AS hamming
+FROM fp a JOIN fp b ON a.doc < b.doc
+WHERE {ham} <= 3
+ORDER BY 1, 2
+"""
+
+
+TX56_SQL = _simhash_wide_sql()
+
+
 def tx13_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary head: top-20 tokens by frequency (the
     word-count shape — partial-agg shuffle on token, distributed
@@ -19262,6 +19338,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q113_session_funnel": q113_session_funnel,
     "ev29_jensen_shannon": ev29_jensen_shannon,
     "tx55_winnowing_pairs": tx55_winnowing_pairs,
+    "tx56_simhash_wide": tx56_simhash_wide,
     "em32_sq_int8_recall": em32_sq_int8_recall,
     "q112_csv_roundtrip": q112_csv_roundtrip,
     "q111_hits_authorities": q111_hits_authorities,
@@ -19646,6 +19723,7 @@ ORACLE_SQL: dict[str, str] = {
     "q113_session_funnel": Q113_SQL,
     "ev29_jensen_shannon": EV29_SQL,
     "tx55_winnowing_pairs": TX55_SQL,
+    "tx56_simhash_wide": TX56_SQL,
     "em32_sq_int8_recall": EM32_SQL,
     "q112_csv_roundtrip": Q112_SQL,
     "q111_hits_authorities": Q111_SQL,
