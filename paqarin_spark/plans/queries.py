@@ -19109,11 +19109,14 @@ def st24_stream_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     so a bounded run carries the batch oracle regardless of
     micro-batch boundaries: the oracle replays signatures, band
     overlap, cosine, threshold, and the per-probe rollup in SQL.
-    The benchmark join is arrays_overlap against the bounded static
-    side (at most one row per stream-vector × benchmark-item — no
-    dedup state needed); at true scale the equi band join + windowed
-    dedup is the path, and the bounded eval suite makes the overlap
-    join the honest deployment shape here."""
+    The benchmark join is a pair of broadcast HASH EQUI-JOINS on the
+    band values (band-0 equality, plus band-1 equality excluding
+    band-0 collisions — a disjoint split of the same-band collision
+    set, so every candidate pair appears exactly once and the
+    stateful agg needs no dedup state). Round 12 replaced the
+    original arrays_overlap BroadcastNestedLoopJoin: its predicate
+    ran against every stream×benchmark pair, which the 10×
+    scale-bench leg measured at 36× wall when both sides grow."""
     from paqarin_spark.functions import uniform_hash
     from paqarin_spark.operators.similarity import _md5_sign
 
@@ -19156,21 +19159,8 @@ def st24_stream_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             out = out + b
         return out
 
-    def bands_expr(sig):
-        # band index ENCODED into the value (band b occupies
-        # [256*b, 256*b+255]) so arrays_overlap is exactly the
-        # positional same-band collision the oracle's cand CTE
-        # replays — without the offset, a cross-band coincidence
-        # (band0(v) == band1(b)) would admit a candidate the oracle
-        # misses, and with ~1/256 odds per doubly-flipped pair the
-        # bit-exact gate would eventually flake at larger SF
-        return F.array(
-            *[
-                F.shiftright(sig, 8 * b).bitwiseAND(F.lit(255))
-                + F.lit(256 * b)
-                for b in range(2)
-            ]
-        )
+    def band_expr(sig, b):
+        return F.shiftright(sig, 8 * b).bitwiseAND(F.lit(255))
 
     noise = lambda i: (
         (
@@ -19196,7 +19186,8 @@ def st24_stream_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bench_id",
             "bvec",
             F.sqrt(dot_fold(F.col("bvec"), F.col("bvec"))).alias("bn"),
-            bands_expr(sig_expr(F.col("bvec"))).alias("bbands"),
+            band_expr(sig_expr(F.col("bvec")), 0).alias("bb0"),
+            band_expr(sig_expr(F.col("bvec")), 1).alias("bb1"),
         )
         .localCheckpoint()  # bounded eval-suite artifact, computed once
     )
@@ -19211,14 +19202,21 @@ def st24_stream_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "v",
         F.sqrt(dot_fold(F.col("v"), F.col("v"))).alias("vn"),
-        bands_expr(sig_expr(F.col("v"))).alias("vbands"),
+        band_expr(sig_expr(F.col("v")), 0).alias("vb0"),
+        band_expr(sig_expr(F.col("v")), 1).alias("vb1"),
     )
-    hits = (
-        svec.join(
-            F.broadcast(bench),
-            F.arrays_overlap(F.col("vbands"), F.col("bbands")),
-        )
-        .select(
+    # Candidate join as TWO HASH EQUI-JOINS, pair-once by construction
+    # (round 12 — replaces the arrays_overlap BNLJ, which evaluated
+    # its predicate against every (stream-row × benchmark-row) pair:
+    # linear in the honest fixed-suite deployment but measured 36× at
+    # the 10× scale-bench leg where both sides grow): band-0 equality
+    # catches every pair colliding in band 0; band-1 equality WITH
+    # band-0 inequality catches exactly the rest — the union is the
+    # positional same-band collision set the oracle's cand CTE
+    # replays, each pair appearing exactly once, so the stateful agg
+    # still needs no dedup state.
+    def _score(j):
+        return j.select(
             "bench_id",
             F.round(
                 dot_fold(F.col("v"), F.col("bvec"))
@@ -19226,6 +19224,14 @@ def st24_stream_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("cs"),
         )
+
+    j0 = svec.join(F.broadcast(bench), F.col("vb0") == F.col("bb0"))
+    j1 = svec.join(
+        F.broadcast(bench),
+        (F.col("vb1") == F.col("bb1")) & (F.col("vb0") != F.col("bb0")),
+    )
+    hits = (
+        _score(j0).unionByName(_score(j1))
         .where(F.col("cs") >= tau)
         .groupBy("bench_id")
         .agg(
