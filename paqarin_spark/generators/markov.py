@@ -73,6 +73,53 @@ def _pick(cdf: list[tuple[str, float]], u: Column) -> Column:
     return expr
 
 
+def _sql_str(s: str) -> str:
+    """Single-quoted SQL string literal (quote/backslash doubled)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _cdf_arr_sql(cdf: list[tuple[str, float]]) -> str:
+    """The CDF as a constant array<struct<c,s>> SQL literal (sorted-
+    category order preserved).  ``repr(cum)`` is the shortest decimal
+    that round-trips to the exact double, and the ``D`` suffix makes
+    the parser read it as DOUBLE (a bare decimal literal would become
+    DECIMAL and change the <= comparisons), so the thresholds are
+    bit-identical to the F.lit form."""
+    return (
+        "array("
+        + ",".join(
+            f"named_struct('c',{cum!r}D,'s',{_sql_str(cat)})"
+            for cat, cum in cdf
+        )
+        + ")"
+    )
+
+
+def _cdf_arr(cdf: list[tuple[str, float]]) -> Column:
+    """``_cdf_arr_sql`` parsed JVM-side in ONE call.  Building the
+    same constant out of nested ``F.lit``/``F.struct`` costs a Py4J
+    round-trip per node — on a fitted token vocabulary (~1k transition
+    entries) that is several SECONDS of driver chatter before any plan
+    exists; one ``F.expr`` string is milliseconds."""
+    return F.expr(_cdf_arr_sql(cdf))
+
+
+def _pick_arr(arr: Column, u: Column) -> Column:
+    """CDF inversion over a constant struct array: the FIRST entry (in
+    the array's sorted-category order) whose cumulative reaches ``u``,
+    with the last entry as the unconditional float-edge fallback —
+    pick-for-pick identical to the nested-CASE ``_pick`` (same
+    thresholds, same <= comparisons, same order), but expression DEPTH
+    is O(1) instead of O(|states|).  A vocabulary-sized chain of
+    ``WHEN ... OTHERWISE (WHEN ...)`` nodes is quadratic in the
+    analyzer (each When wraps the whole remaining chain) and is copied
+    into every unrolled walk step; the array/map literal form keeps
+    the fitted CDFs as DATA, which constant-folding collapses to a
+    single Literal per step."""
+    hit = F.element_at(F.filter(arr, lambda e: u <= e["c"]), 1)["s"]
+    return F.coalesce(hit, F.element_at(arr, -1)["s"])
+
+
 class MarkovEventGenerator(TimeSeriesGenerator):
     provider = "paqarin_spark"
     method = "markov"
@@ -156,29 +203,33 @@ class MarkovEventGenerator(TimeSeriesGenerator):
             F.col("id").alias("sequence_id")
         )
         sid = F.col("sequence_id").cast("string")
-        first = _pick(
-            _cdf(self.initial), uniform_hash(sid, F.lit(0), F.lit(str(seed)))
+        first = _pick_arr(
+            _cdf_arr(_cdf(self.initial)),
+            uniform_hash(sid, F.lit(0), F.lit(str(seed))),
         )
         trans_cdfs = {
             prev: _cdf(nexts) for prev, nexts in self.transitions.items()
         }
+        # One constant map<state, cdf-array> shared by every step —
+        # fit() guarantees an entry for every observed category, so the
+        # element_at lookup always hits.  (The previous form compiled a
+        # nested CASE over every fitted state per step; on a token-
+        # level vocabulary that is a depth-|V| expression the analyzer
+        # re-walks quadratically — gen9's 30 walks spent ~6 s in plan
+        # compilation, zero in execution.)
+        states = sorted(trans_cdfs)
+        trans_map = F.expr(
+            "map("
+            + ",".join(
+                f"{_sql_str(p)},{_cdf_arr_sql(trans_cdfs[p])}"
+                for p in states
+            )
+            + ")"
+        )
 
         def step(acc, i):
             u = uniform_hash(sid, i, F.lit(str(seed)))
-            cur = acc["cur"]
-            # CASE chain over every fitted state; fit() guarantees an
-            # entry for every observed category, so `cur` always
-            # matches one branch — the trailing unconditional branch
-            # (the first sorted state's pick) is unreachable, kept
-            # only so the expression stays total.
-            nxt = None
-            for prev in sorted(trans_cdfs):
-                picked = _pick(trans_cdfs[prev], u)
-                nxt = (
-                    picked
-                    if nxt is None
-                    else F.when(cur == F.lit(prev), picked).otherwise(nxt)
-                )
+            nxt = _pick_arr(F.element_at(trans_map, acc["cur"]), u)
             return F.struct(
                 nxt.alias("cur"),
                 F.concat(acc["seq"], F.array(nxt)).alias("seq"),

@@ -14649,11 +14649,19 @@ def ev20_memorization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # word_ngrams returns [] below 4 tokens — no per-component filter
     # needed on either engine (the oracle guards len(t) >= 4 the same
     # way)
+    # membership, not enumeration: the audit only needs corpus grams
+    # that MATCH one of the <=150 generated grams (30 walks x <=5
+    # 4-grams), so the bounded generated set broadcasts as a semi-join
+    # filter BELOW the distinct — the full corpus gram set is scanned
+    # once but never shuffled (the old plan distinct-shuffled every
+    # corpus 4-gram before the join; 11.8 s -> 8.0 s at sf0.1)
+    gset = ggrams.select("_g").distinct()
     cgrams = (
         docs.select(
             F.split(normalized_text(F.col("text")), " ").alias("_ct")
         )
         .select(F.explode(word_ngrams(F.col("_ct"), 4)).alias("_g"))
+        .join(F.broadcast(gset), on="_g", how="left_semi")
         .distinct()
         .withColumn("_hit", F.lit(1))
     )
