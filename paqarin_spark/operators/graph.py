@@ -11,6 +11,8 @@ broadcast, not a driver collect.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -221,33 +223,43 @@ def bfs_hops(
     """
     # The edge list is the LOOP INVARIANT: persist it once or every
     # round re-runs the caller's edge ETL (the q69 pagerank lesson —
-    # measured 2.4x there). Safe to release at exit because `visited`
-    # is eagerly localCheckpoint-ed and no longer references it.
+    # measured 2.4x there). Safe to release at exit because every
+    # per-hop layer is eagerly localCheckpoint-ed and no longer
+    # references it.
     edges_p = edges.select(
         F.col(src).alias("_src"), F.col(dst).alias("_dst")
     ).persist()
-    visited = (
+    # Visited state is the LIST of per-hop checkpointed layers, not a
+    # re-checkpointed running union: materializing the union every
+    # round re-serializes the whole visited set per hop (O(V * hops)
+    # checkpoint bytes); a lazy union of already-checkpointed layers
+    # scans the same rows at join time with flat lineage (each leaf is
+    # a checkpoint) and runs ONE materialization job per hop, not two.
+    layers = [
         seeds.select(F.col(node).alias("node"))
         .distinct()
         .withColumn("hop", F.lit(0))
         .localCheckpoint()
-    )
-    frontier = visited.select("node")
+    ]
+    frontier = layers[0].select("node")
     for h in range(1, int(max_hops) + 1):
+        visited_nodes = reduce(
+            DataFrame.unionByName, [d.select("node") for d in layers]
+        )
         nxt = (
             frontier.join(edges_p, frontier.node == edges_p._src)
             .select(F.col("_dst").alias("node"))
             .distinct()
-            .join(visited.select("node"), on="node", how="left_anti")
+            .join(visited_nodes, on="node", how="left_anti")
             .withColumn("hop", F.lit(h))
             .localCheckpoint()
         )
         if nxt.isEmpty():
             break
-        visited = visited.unionByName(nxt).localCheckpoint()
+        layers.append(nxt)
         frontier = nxt.select("node")
     edges_p.unpersist()
-    return visited
+    return reduce(DataFrame.unionByName, layers)
 
 
 def kcore_peel(

@@ -8,6 +8,8 @@ Embeddings travel as ``array<float>`` columns; dot products are
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -2518,15 +2520,21 @@ def graph_greedy_search(
     # visited-set pruning is RESULT-IDENTICAL: the beam only improves
     # (frontier = top-k of frontier ∪ new), so its k-th-best bar is
     # monotone and an evicted node can never re-enter — skipping
-    # already-scored nodes only removes wasted rescoring on later hops
-    visited = frontier.select("_qid", "_nid").localCheckpoint()
+    # already-scored nodes only removes wasted rescoring on later hops.
+    # The visited state is the LIST of per-hop checkpointed expansion
+    # layers (the bfs_hops discipline): a lazy union of checkpointed
+    # leaves anti-joins identically but never re-serializes the
+    # running union per hop.
+    layers = [frontier.select("_qid", "_nid").localCheckpoint()]
     for _ in range(hops):
+        visited = reduce(DataFrame.unionByName, layers)
         expanded = (
             frontier.select("_qid", F.col("_nid").alias("_from"))
             .join(e, "_from")
             .select("_qid", "_nid")
             .distinct()
             .join(visited, ["_qid", "_nid"], "left_anti")
+            .localCheckpoint()
         )
         frontier = (
             frontier.unionByName(_score(expanded))
@@ -2535,9 +2543,7 @@ def graph_greedy_search(
             .drop("_rk")
             .localCheckpoint()
         )
-        visited = visited.unionByName(
-            expanded.select("_qid", "_nid")
-        ).localCheckpoint()
+        layers.append(expanded)
     return frontier.select(
         F.col("_qid").alias(query_id_column),
         F.col("_nid").alias("node"),

@@ -15741,6 +15741,189 @@ FROM terms ORDER BY event_type
 """
 
 
+def ev30_wasserstein_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type 1-D Wasserstein-1 (earth-mover) distance between the
+    value distributions of the even and odd event-id halves — the
+    split-half NOISE FLOOR for the drift family: PSI (ev27), chi²
+    (ev12), JSD (ev29) and KS (ev6) all need a "how big is big"
+    reference, and the W1 between two random halves of the SAME
+    distribution is exactly that (Ramdas et al. 2017's two-sample
+    framing). W1 = Σ_i |F̂_a(v_i) − F̂_b(v_i)|·(v_{i+1} − v_i) over
+    the union of distinct values — the tie-aware discrete form of
+    ∫|F_a − F_b|dx.
+
+    Determinism end to end: values quantize to integer micro-units
+    via FLOOR(value·1e6) (floor of the same IEEE double is
+    bit-identical on both engines — no round-half tie class at all);
+    cumulative counts are exact integers; each term
+    |cum_a·n_b − cum_b·n_a|·gap accumulates in DECIMAL(38,0)
+    (HUGEINT in the oracle — n_a·n_b·gap overflows BIGINT already at
+    bench scale), and ONE shared double expression divides and
+    rounds at the end.
+
+    Scale shape: the (type, value)-keyed rollup is the
+    petabyte-to-distinct reduction; the cumulative sums AND the
+    next-distinct-value gap both ride the _union_ecdf_ks two-level
+    prefix-sum discipline — values bucket into _ECDF_BUCKETS
+    equal-width bins per type on the broadcast per-type [min,max],
+    per-bucket offsets and next-bucket minima roll over the
+    constant-size bucket table, and the within-bucket window is
+    PARTITIONED BY (type, bucket). No task ever sorts a full
+    per-type distinct-value table. The last distinct value needs no
+    gap: its CDF term is |n_a·n_b − n_b·n_a| = 0 by construction."""
+    B = _ECDF_BUCKETS
+    configure_for_determinism(spark)
+    ev = _events(spark, sf_dir).where(F.col("value").isNotNull())
+    even = F.col("event_id") % 2 == 0
+    c = (
+        ev.select(
+            F.col("event_type").alias("et"),
+            F.floor(F.col("value") * F.lit(1000000.0)).alias("m"),
+            F.when(even, 1).otherwise(0).alias("_a"),
+            F.when(even, 0).otherwise(1).alias("_b"),
+        )
+        .groupBy("et", "m")
+        .agg(F.sum("_a").alias("ca"), F.sum("_b").alias("cb"))
+    )
+    tot = c.groupBy("et").agg(
+        F.sum("ca").alias("na"),
+        F.sum("cb").alias("nb"),
+        F.min("m").alias("_mmin"),
+        F.max("m").alias("_mmax"),
+    )
+    cbk = c.join(F.broadcast(tot), "et").withColumn(
+        "_bk",
+        F.when(F.col("_mmax") <= F.col("_mmin"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(B - 1).cast("long"),
+                F.floor(
+                    (F.col("m") - F.col("_mmin"))
+                    / (F.col("_mmax") - F.col("_mmin")).cast("double")
+                    * B
+                ),
+            )
+        )
+        .cast("int"),
+    )
+    owin = Window.partitionBy("et").orderBy("_bk")
+    offsets = (
+        cbk.groupBy("et", "_bk")
+        .agg(
+            F.sum("ca").alias("_ba"),
+            F.sum("cb").alias("_bb"),
+            F.min("m").alias("_bmin"),
+        )
+        .select(
+            "et",
+            "_bk",
+            F.coalesce(
+                F.sum("_ba").over(
+                    owin.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).alias("_oa"),
+            F.coalesce(
+                F.sum("_bb").over(
+                    owin.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).alias("_ob"),
+            F.lead("_bmin").over(owin).alias("_nbmin"),
+        )
+    )
+    win = Window.partitionBy("et", "_bk").orderBy("m")
+    cum = cbk.join(offsets, ["et", "_bk"]).select(
+        "et",
+        "na",
+        "nb",
+        (
+            F.col("_oa")
+            + F.sum("ca").over(
+                win.rowsBetween(Window.unboundedPreceding, 0)
+            )
+        ).alias("cum_a"),
+        (
+            F.col("_ob")
+            + F.sum("cb").over(
+                win.rowsBetween(Window.unboundedPreceding, 0)
+            )
+        ).alias("cum_b"),
+        F.coalesce(
+            F.coalesce(F.lead("m").over(win), F.col("_nbmin"))
+            - F.col("m"),
+            F.lit(0),
+        ).alias("gap"),
+    )
+    dec = "decimal(38,0)"
+    term = F.abs(
+        F.col("cum_a").cast(dec) * F.col("nb").cast(dec)
+        - F.col("cum_b").cast(dec) * F.col("na").cast(dec)
+    ) * F.col("gap").cast(dec)
+    return (
+        cum.groupBy("et")
+        .agg(
+            F.max("na").cast("long").alias("n_a"),
+            F.max("nb").cast("long").alias("n_b"),
+            F.sum(term).alias("_s"),
+        )
+        .select(
+            F.col("et").alias("event_type"),
+            "n_a",
+            "n_b",
+            F.when(
+                (F.col("n_a") > 0) & (F.col("n_b") > 0),
+                F.round(
+                    F.col("_s").cast("double")
+                    / (
+                        F.col("n_a").cast("double")
+                        * F.col("n_b").cast("double")
+                        * F.lit(1000000.0)
+                    ),
+                    6,
+                ),
+            ).alias("w1"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EV30_SQL = """
+WITH c AS (
+  SELECT event_type AS et,
+         CAST(FLOOR(value * 1000000.0) AS BIGINT) AS m,
+         SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS ca,
+         SUM(CASE WHEN event_id % 2 = 0 THEN 0 ELSE 1 END) AS cb
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2
+), tot AS (
+  SELECT et, SUM(ca) AS na, SUM(cb) AS nb FROM c GROUP BY et
+), cum AS (
+  SELECT et, m,
+         SUM(ca) OVER (PARTITION BY et ORDER BY m) AS cum_a,
+         SUM(cb) OVER (PARTITION BY et ORDER BY m) AS cum_b,
+         COALESCE(LEAD(m) OVER (PARTITION BY et ORDER BY m) - m, 0)
+           AS gap
+  FROM c
+), terms AS (
+  SELECT cum.et, na, nb,
+         ABS(CAST(cum_a AS HUGEINT) * CAST(nb AS HUGEINT)
+             - CAST(cum_b AS HUGEINT) * CAST(na AS HUGEINT))
+           * CAST(gap AS HUGEINT) AS term
+  FROM cum JOIN tot ON cum.et = tot.et
+)
+SELECT et AS event_type,
+       CAST(MAX(na) AS BIGINT) AS n_a,
+       CAST(MAX(nb) AS BIGINT) AS n_b,
+       CASE WHEN MAX(na) > 0 AND MAX(nb) > 0 THEN
+         ROUND(CAST(SUM(term) AS DOUBLE)
+               / (CAST(MAX(na) AS DOUBLE) * CAST(MAX(nb) AS DOUBLE)
+                  * 1000000.0), 6)
+       END AS w1
+FROM terms GROUP BY et ORDER BY et
+"""
+
+
 def tx55_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprint matching (operators.dedup.
     winnowing_fingerprints — Schleimer/Wilkerson/Aiken's MOSS local
@@ -19351,6 +19534,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm20_png_interlaced": mm20_png_interlaced,
     "q113_session_funnel": q113_session_funnel,
     "ev29_jensen_shannon": ev29_jensen_shannon,
+    "ev30_wasserstein_split": ev30_wasserstein_split,
     "tx55_winnowing_pairs": tx55_winnowing_pairs,
     "tx56_simhash_wide": tx56_simhash_wide,
     "em32_sq_int8_recall": em32_sq_int8_recall,
@@ -19736,6 +19920,7 @@ ORACLE_SQL: dict[str, str] = {
     "mm20_png_interlaced": MM20_SQL,
     "q113_session_funnel": Q113_SQL,
     "ev29_jensen_shannon": EV29_SQL,
+    "ev30_wasserstein_split": EV30_SQL,
     "tx55_winnowing_pairs": TX55_SQL,
     "tx56_simhash_wide": TX56_SQL,
     "em32_sq_int8_recall": EM32_SQL,

@@ -24,9 +24,14 @@ that works on every scheme Spark itself can reach.
 
 from __future__ import annotations
 
+import os
+
 from urllib.parse import urlparse
 
 from pyspark.sql import DataFrame, SparkSession
+
+# (applicationId, realpath, spread, mtime) -> DataFrame; see read_table.
+_READ_TABLE_CACHE: dict[tuple, DataFrame] = {}
 
 TABLES = (
     "region",
@@ -153,6 +158,29 @@ def read_table(
     # parquet is micros; for foreign nano-parquet on a bucket, set
     # spark.sql.legacy.parquet.nanosAsLong and truncate explicitly).
     lpath = local_path(path)
+    # Logical-plan handle cache: building the scan costs ~85 ms of
+    # driver work (footer read, Py4J reader round-trips, the spread
+    # partition probe) that a suite calling read_table hundreds of
+    # times repays on every query. A DataFrame is an immutable plan,
+    # so reuse is safe; the file mtime in the key invalidates the
+    # snapshot-at-read file listing if the table is rewritten, and the
+    # applicationId scopes entries to the owning session. Remote-scheme
+    # paths (no local mtime) skip the cache.
+    key = None
+    if lpath is not None:
+        try:
+            key = (
+                spark.sparkContext.applicationId,
+                os.path.realpath(lpath),
+                spread,
+                os.path.getmtime(lpath),
+            )
+        except OSError:
+            key = None
+        if key is not None:
+            hit = _READ_TABLE_CACHE.get(key)
+            if hit is not None:
+                return hit
     nano_cols = _nano_timestamp_columns(lpath) if lpath is not None else []
     if not nano_cols:
         df = _ntz_to_utc(spark.read.parquet(path))
@@ -162,7 +190,10 @@ def read_table(
         for c in nano_cols:
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
         df = _ntz_to_utc(df)
-    return _spread_small_scan(spark, df) if spread else df
+    df = _spread_small_scan(spark, df) if spread else df
+    if key is not None:
+        _READ_TABLE_CACHE[key] = df
+    return df
 
 
 def _spread_small_scan(spark: SparkSession, df: DataFrame) -> DataFrame:

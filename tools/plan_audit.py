@@ -157,6 +157,10 @@ ADJUDICATED_SF_BROADCAST: dict[str, str] = {
     "tx36_ingest_novelty": (
         "daily ingest batch probes (batch is the bounded side by design)"
     ),
+    "ev30_wasserstein_split": (
+        "per-type totals + [min,max] keyed by event_type "
+        "(bounded category domain, the ev12 class)"
+    ),
     "ev20_memorization_audit": (
         "generated-gram semi-join filter: 30 fixed walks x <=5 word "
         "4-grams each, bounded by the generator contract at any SF"
