@@ -15110,9 +15110,15 @@ def q104_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL without percentile-interpolation ambiguity."""
     configure_for_determinism(spark)
     orders = read_table(spark, sf_dir, "orders")
-    daily = orders.groupBy(
-        F.to_date("o_orderdate").alias("day")
-    ).agg(F.sum(F.col("o_totalprice").cast("decimal(30,10)")).alias("rev"))
+    # calendar-bounded rollup, THREE consumers (pair sides a/b,
+    # n_days) — checkpoint or each consumer re-scans orders
+    daily = (
+        orders.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(30,10)")).alias("rev")
+        )
+        .localCheckpoint()
+    )
     a = daily.select(F.col("day").alias("day_a"), F.col("rev").alias("rev_a"))
     b = daily.select(F.col("day").alias("day_b"), F.col("rev").alias("rev_b"))
     pairs = a.join(b, F.col("day_a") < F.col("day_b")).select(
@@ -19522,9 +19528,12 @@ ORDER BY probe_id
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- round-11 additions (never driver-verified) come first ---
-    "em34_ivfpq_serve": em34_ivfpq_serve,
+    # --- round-12 additions (never driver-verified) come first ---
+    "ev30_wasserstein_split": ev30_wasserstein_split,
+    "tx56_simhash_wide": tx56_simhash_wide,
     "em35_hamming_serve": em35_hamming_serve,
+    # --- round-11 additions ---
+    "em34_ivfpq_serve": em34_ivfpq_serve,
     "st24_stream_decontamination": st24_stream_decontamination,
     "em33_embedding_decontamination": em33_embedding_decontamination,
     "gen14_gan_sample_replay": gen14_gan_sample_replay,
@@ -19534,9 +19543,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm20_png_interlaced": mm20_png_interlaced,
     "q113_session_funnel": q113_session_funnel,
     "ev29_jensen_shannon": ev29_jensen_shannon,
-    "ev30_wasserstein_split": ev30_wasserstein_split,
     "tx55_winnowing_pairs": tx55_winnowing_pairs,
-    "tx56_simhash_wide": tx56_simhash_wide,
     "em32_sq_int8_recall": em32_sq_int8_recall,
     "q112_csv_roundtrip": q112_csv_roundtrip,
     "q111_hits_authorities": q111_hits_authorities,

@@ -192,6 +192,34 @@ def test_read_table_accepts_file_uri(spark):
     assert plain == via_uri > 0
 
 
+def test_read_table_plan_cache_hit_and_mtime_invalidation(spark, tmp_path):
+    """The scan-handle cache returns the SAME DataFrame object for a
+    repeat read (plan construction is ~85 ms of driver work the suite
+    pays hundreds of times) and invalidates when the parquet file is
+    rewritten — the mtime key, so scale_bench's write-then-read
+    replica dirs can never see a stale file listing."""
+    import os
+    import time
+
+    from paqarin_spark.sources import read_table
+
+    d = str(tmp_path)
+    p = os.path.join(d, "events.parquet")
+    spark.range(3).toPandas().to_parquet(p)
+    first = read_table(spark, d, "events")
+    assert read_table(spark, d, "events") is first
+    assert first.count() == 3
+    # distinct spread variant gets its own entry
+    assert read_table(spark, d, "events", spread=True) is not first
+    # rewrite -> new mtime -> fresh plan seeing the new file
+    time.sleep(0.02)
+    spark.range(5).toPandas().to_parquet(p)
+    os.utime(p)
+    again = read_table(spark, d, "events")
+    assert again is not first
+    assert again.count() == 5
+
+
 def test_train_job_end_to_end_with_uris(spark, csv_dir, metadata_file, tmp_path):
     """The reference's cloud-trainer contract (cloud_trainer.py:119-146)
     with every path in URI form: metadata read through the Hadoop FS

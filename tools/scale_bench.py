@@ -90,6 +90,12 @@ DEFAULT_QUERIES = [
     # round-12: the Hamming-family fixed-probe serving leg (em18's
     # production answer — should stay far below em18's n² audit)
     "em35_hamming_serve",
+    # round-12 continuation: the JVM-literal Markov rewrite's two
+    # consumers (fit is the only data-sized stage — should trend ~
+    # linear) and the new bucketed-prefix-sum Wasserstein floor
+    "gen9_text_markov",
+    "ev20_memorization_audit",
+    "ev30_wasserstein_split",
 ]
 
 _KEY_SHIFTS = {
