@@ -11852,6 +11852,154 @@ FROM eig e CROSS JOIN tr t
 EM23_SQL = _em23_sql()
 
 
+def em36_pc_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Principal-component DRIFT between two embedding cohorts — the
+    spectral member of the drift family (PSI ev27, chi² ev12, JSD
+    ev29, KS ev6, W1 ev30 are all per-feature marginals; this one
+    asks whether the dominant DIRECTION of the representation space
+    itself rotated): power-iterate the dominant eigenpair on the
+    even and odd vec_id halves independently and report the absolute
+    cosine of the two unit eigenvectors (1 = perfectly aligned
+    principal axes, 0 = orthogonal rotation) plus both eigenvalues.
+    On a split-half of the same corpus this is the noise-floor
+    reading, the ev30 framing applied to spectra.
+
+    Determinism: both chains are the em22 replay contract
+    (12dp-stabilized decimal matvecs, 6dp iterates, fixed v0 = 1);
+    the alignment dot product accumulates ROUND(la·lb, 12) in exact
+    DECIMAL(38,12) — the same sum shape the iteration itself uses —
+    so the oracle (two prefixed copies of the em22 CTE chain joined
+    on component index) replays it term-for-term. Power iteration
+    from a fixed positive start vector gives a deterministic SIGN on
+    both engines; ABS makes the reported metric sign-free anyway.
+
+    Scale shape: two half-corpus covariance passes (together ~one
+    full pass, d(d+1)/2 partial aggregates each) and two
+    d×d-bounded iteration chains; the final join is d rows."""
+    from paqarin_spark.operators import power_iteration
+
+    configure_for_determinism(spark)
+    emb = read_table(spark, sf_dir, "embeddings", spread=True)
+    even = emb.where(F.col("vec_id") % 2 == 0)
+    odd = emb.where(F.col("vec_id") % 2 == 1)
+    pa = power_iteration(even, "embedding", iterations=6)
+    pb = power_iteration(odd, "embedding", iterations=6)
+    counts = (
+        emb.agg(
+            F.sum(F.when(F.col("vec_id") % 2 == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_even"),
+            F.sum(F.when(F.col("vec_id") % 2 == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_odd"),
+        )
+    )
+    j = pa.select(
+        "i",
+        F.col("loading").alias("_la"),
+        F.col("eigenvalue").alias("_ea"),
+    ).join(
+        pb.select(
+            "i",
+            F.col("loading").alias("_lb"),
+            F.col("eigenvalue").alias("_eb"),
+        ),
+        "i",
+    )
+    scores = j.agg(
+        F.max("_ea").alias("eigen_even"),
+        F.max("_eb").alias("eigen_odd"),
+        (
+            F.round(
+                F.abs(
+                    F.sum(
+                        F.round(F.col("_la") * F.col("_lb"), 12).cast(
+                            "decimal(38,12)"
+                        )
+                    ).cast("double")
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("pc_alignment"),
+    )
+    return counts.crossJoin(F.broadcast(scores)).select(
+        "n_even", "n_odd", "eigen_even", "eigen_odd", "pc_alignment"
+    )
+
+
+def _power_iter_blocks(prefix: str, pred: str) -> str:
+    """The em22 covariance + 6-round power-iteration CTE chain with
+    every CTE name prefixed and the corpus restricted by ``pred`` —
+    lets one statement carry several independent chains (em36 runs
+    two)."""
+    p = prefix
+    cov = f"""
+{p}cov AS (
+  SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j,
+         ROUND(COVAR_POP(xi, xj), 6) + 0.0 AS cov
+  FROM (
+    SELECT a.i, a.xi, b.j, b.xj
+    FROM embeddings e,
+    LATERAL (
+      SELECT generate_subscripts(embedding, 1) - 1 AS i,
+             UNNEST(embedding) AS xi
+    ) a,
+    LATERAL (
+      SELECT generate_subscripts(embedding, 1) - 1 AS j,
+             UNNEST(embedding) AS xj
+    ) b
+    WHERE a.i <= b.j AND ({pred})
+  ) GROUP BY i, j
+), {p}mat AS (
+  SELECT i, j, cov FROM {p}cov
+  UNION ALL
+  SELECT j AS i, i AS j, cov FROM {p}cov WHERE i <> j
+), {p}v0 AS (
+  SELECT UNNEST(range(64)) AS j, 1.0 AS vj
+)"""
+    its = []
+    for t in range(1, 7):
+        its.append(f"""
+{p}w{t} AS (
+  SELECT m.i,
+         CAST(SUM(CAST(ROUND(m.cov * v.vj, 12) AS DECIMAL(30,12)))
+              AS DOUBLE) AS wi
+  FROM {p}mat m JOIN {p}v{t-1} v ON v.j = m.j
+  GROUP BY m.i
+), {p}n{t} AS (
+  SELECT SQRT(CAST(SUM(CAST(ROUND(wi * wi, 12) AS DECIMAL(38,12)))
+              AS DOUBLE)) AS nrm
+  FROM {p}w{t}
+), {p}v{t} AS (
+  SELECT w.i AS j, ROUND(w.wi / n.nrm, 6) AS vj
+  FROM {p}w{t} w CROSS JOIN {p}n{t} n
+)""")
+    return cov.strip() + "," + ",".join(its)
+
+
+EM36_SQL = (
+    "WITH "
+    + _power_iter_blocks("a", "e.vec_id % 2 = 0")
+    + ", "
+    + _power_iter_blocks("b", "e.vec_id % 2 = 1")
+    + """
+SELECT (SELECT CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) FROM embeddings) AS n_even,
+       (SELECT CAST(SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) FROM embeddings) AS n_odd,
+       ROUND(an.nrm, 6) + 0.0 AS eigen_even,
+       ROUND(bn.nrm, 6) + 0.0 AS eigen_odd,
+       ROUND(ABS(CAST(SUM(CAST(ROUND(av.vj * bv.vj, 12)
+                              AS DECIMAL(38,12))) AS DOUBLE)), 6) + 0.0
+         AS pc_alignment
+FROM av6 av JOIN bv6 bv ON av.j = bv.j
+CROSS JOIN an6 an CROSS JOIN bn6 bn
+GROUP BY an.nrm, bn.nrm
+"""
+)
+
+
 
 def q99_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape (national market share): within orders placed by
@@ -19529,6 +19677,7 @@ ORDER BY probe_id
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-12 additions (never driver-verified) come first ---
+    "em36_pc_drift": em36_pc_drift,
     "ev30_wasserstein_split": ev30_wasserstein_split,
     "tx56_simhash_wide": tx56_simhash_wide,
     "em35_hamming_serve": em35_hamming_serve,
@@ -19928,6 +20077,7 @@ ORACLE_SQL: dict[str, str] = {
     "q113_session_funnel": Q113_SQL,
     "ev29_jensen_shannon": EV29_SQL,
     "ev30_wasserstein_split": EV30_SQL,
+    "em36_pc_drift": EM36_SQL,
     "tx55_winnowing_pairs": TX55_SQL,
     "tx56_simhash_wide": TX56_SQL,
     "em32_sq_int8_recall": EM32_SQL,
