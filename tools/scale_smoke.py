@@ -102,6 +102,31 @@ def main() -> int:
     )
     timed("surrogate keys", add_surrogate_key(ev, ["entity"], ["ts", "rid"]), n)
 
+    # Two-level exact global rank (q57/tx34/ev27 + ev30's gap/cum
+    # discipline): rank all n rows with NO global sort and verify
+    # bijectivity in closed form — Σrank = n(n+1)/2 catches any
+    # duplicated or skipped rank; the equal-width leading-key buckets
+    # here are adversarially SKEWED (value has only 1e6 distinct
+    # candidates over 20M rows).
+    from paqarin_spark.operators.windows import distributed_rank
+
+    t0 = time.perf_counter()
+    rk = distributed_rank(
+        ev.select("value", "rid"), ["value", "rid"], rank_column="rk"
+    )
+    got = rk.agg(
+        F.sum("rk").alias("s"), F.count(F.lit(1)).alias("c")
+    ).collect()[0]
+    dt = time.perf_counter() - t0
+    rank_sum = got["s"]
+    n_ranked = got["c"]
+    ok = rank_sum == n * (n + 1) // 2 and n_ranked == n
+    checks.append(ok)
+    print(
+        f"{'distributed rank':24} {dt:7.1f}s  rows={n_ranked:>12,}  "
+        f"[{'ok' if ok else f'EXPECTED sum {n * (n + 1) // 2}, got {rank_sum}'}]"
+    )
+
     # As-of join: every left row survives (left-join contract), one
     # shuffle on the key regardless of history length.
     daily = time_bucket_sum(ev, SCHEMA, bucket_column="bucket").select(
