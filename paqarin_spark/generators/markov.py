@@ -19,9 +19,14 @@ Design for scale and determinism:
 - ``generate`` runs the sampling walk as PURE JVM expressions: the
   per-step uniform draw is ``conv(md5(seq#step#seed)) / 2^60`` (the
   same portable hash the q67 KMV sketch pins against DuckDB), and the
-  CDF inversion is a nested CASE folded over steps with
+  CDF inversion is an array filter over ONE constant
+  map<state, cdf-array> literal folded over steps with
   ``F.aggregate`` — one codegen'd projection over ``spark.range(n)``,
-  no Python, no shuffle, trivially parallel in n. Because every draw
+  no Python, no shuffle, trivially parallel in n. (The map literal is
+  built as a single JVM-parsed ``F.expr`` string: the earlier
+  nested-CASE form cost a Py4J round-trip per expression node —
+  seconds of driver time on a token-level vocabulary — for identical
+  picks.) Because every draw
   is a pure function of (sequence_id, step, seed), the output is
   reproducible on any cluster layout AND expressible in portable SQL
   — gen5's DuckDB oracle replays the identical walk with a recursive
