@@ -15843,6 +15843,14 @@ def ev29_jensen_shannon(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_cur"),
         )
     )
+    return _jsd_report(counts)
+
+
+def _jsd_report(counts: DataFrame) -> DataFrame:
+    """Shared JSD finisher (ev29 + its streaming dual st25): input is
+    (event_type, n_ref, n_cur) exact counts, output the per-type
+    0.5·p·ln(p/m) + 0.5·q·ln(q/m) decomposition — one arithmetic
+    path, so the batch query and the deployed monitor cannot drift."""
     tot = counts.agg(
         F.sum("n_ref").alias("_tr"), F.sum("n_cur").alias("_tc")
     )
@@ -18007,6 +18015,70 @@ def st21_stream_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
 ST21_SQL = EV27_SQL
 
 
+def st25_stream_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING categorical drift monitor — the DEPLOYED half of
+    ev29's Jensen–Shannon divergence, completing the st21 pattern for
+    the CATEGORY axis: the reference window (first 15 days) is
+    batch-owned, the CURRENT window's event types stream through
+    streaming.stream_key_counts into ONE state row per type
+    (versioned corrections, data-bounded key domain → capped
+    exchange), and the finisher joins the streamed histogram against
+    the batch reference counts FULL OUTER (only the union of the two
+    windows knows the type domain) before scoring through the SAME
+    _jsd_report arithmetic as the batch query — so the output
+    hash-matches ev29's recompute regardless of micro-batch
+    boundaries (the st14-class batch/stream parity proof).
+
+    State bound: one (count, version) row per event type, forever."""
+    from paqarin_spark.streaming import (
+        key_counts_from_emissions,
+        stream_key_counts,
+    )
+
+    configure_for_determinism(spark)
+    ev = _events(spark, sf_dir).where(F.col("event_type").isNotNull())
+    min_day = (
+        ev.agg(F.min(F.to_date("ts")).alias("_d")).collect()[0]["_d"]
+    ).isoformat()
+    ref_counts = (
+        ev.where(
+            F.datediff(F.to_date("ts"), F.lit(min_day).cast("date")) < 15
+        )
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ref"))
+    )
+    stream = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type").isNotNull())
+        .where(
+            F.datediff(F.to_date("ts"), F.lit(min_day).cast("date")) >= 15
+        )
+    )
+    emi = stream_key_counts(stream, "event_type")
+    name = "st25_stream_jsd"
+    with _bounded_state_partitions(spark, 8):
+        q = (
+            emi.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    cur = key_counts_from_emissions(spark.table(name)).select(
+        F.col("key").alias("event_type"), F.col("n").alias("n_cur")
+    )
+    counts = ref_counts.join(cur, "event_type", "full_outer").select(
+        "event_type",
+        F.coalesce("n_ref", F.lit(0)).cast("long").alias("n_ref"),
+        F.coalesce("n_cur", F.lit(0)).cast("long").alias("n_cur"),
+    )
+    return _jsd_report(counts)
+
+
+ST25_SQL = EV29_SQL
+
+
 def ev28_cramer_von_mises(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample Cramér–von Mises drift test (metrics.ranking.
     cramer_von_mises): within each order priority, does the FULL
@@ -19677,6 +19749,7 @@ ORDER BY probe_id
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-12 additions (never driver-verified) come first ---
+    "st25_stream_jsd": st25_stream_jsd,
     "em36_pc_drift": em36_pc_drift,
     "ev30_wasserstein_split": ev30_wasserstein_split,
     "tx56_simhash_wide": tx56_simhash_wide,
@@ -20078,6 +20151,7 @@ ORACLE_SQL: dict[str, str] = {
     "ev29_jensen_shannon": EV29_SQL,
     "ev30_wasserstein_split": EV30_SQL,
     "em36_pc_drift": EM36_SQL,
+    "st25_stream_jsd": ST25_SQL,
     "tx55_winnowing_pairs": TX55_SQL,
     "tx56_simhash_wide": TX56_SQL,
     "em32_sq_int8_recall": EM32_SQL,

@@ -1457,6 +1457,80 @@ def phrase_hits_from_emissions(
     )
 
 
+def stream_key_counts(
+    stream: DataFrame,
+    key_column: str,
+) -> DataFrame:
+    """Streaming CATEGORY histogram — the live half of a categorical
+    drift monitor (ev29's JSD): each arriving row increments ONE state
+    row for its key under versioned corrections (the st14/st19
+    emission contract). The key domain is data-bounded (event types /
+    class labels — the same boundedness argument ev29's batch rollup
+    makes), so the stateful exchange only ever carries |domain| keys.
+
+    NULL keys are dropped EXPLICITLY — ev29's batch rollup states the
+    same ``event_type IS NOT NULL`` contract, so the batch/stream
+    parity proof holds on NULL-carrying data.
+
+    State bound: one (count, version) row per distinct key, forever."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    keyed = stream.where(F.col(key_column).isNotNull()).select(
+        F.col(key_column).cast("string").alias("key")
+    )
+    out_type = StructType(
+        [
+            StructField("key", StringType(), True),
+            StructField("version", LongType(), False),
+            StructField("n", LongType(), False),
+        ]
+    )
+    state_type = StructType(
+        [
+            StructField("n", LongType(), True),
+            StructField("version", LongType(), True),
+        ]
+    )
+
+    def fold(key, pdf_iter, state: GroupState):
+        if state.exists:
+            n, version = state.get
+        else:
+            n, version = 0, 0
+        for pdf in pdf_iter:
+            n += len(pdf)
+        version += 1
+        state.update((n, version))
+        yield pd.DataFrame(
+            [(key[0], version, n)], columns=["key", "version", "n"]
+        )
+
+    return keyed.groupBy("key").applyInPandasWithState(
+        fold,
+        outputStructType=out_type,
+        stateStructType=state_type,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def key_counts_from_emissions(emissions: DataFrame) -> DataFrame:
+    """Finish :func:`stream_key_counts` emissions: max-version row per
+    key is the current categorical histogram. Keys the stream never
+    saw have no row — the finisher joins against the batch reference
+    side to restore them (st25 does), because only the reference knows
+    the full domain."""
+    w = Window.partitionBy("key")
+    return (
+        emissions.withColumn("_mx", F.max("version").over(w))
+        .where(F.col("version") == F.col("_mx"))
+        .select("key", "n")
+    )
+
+
 def stream_bin_counts(
     stream: DataFrame,
     value_column: str,

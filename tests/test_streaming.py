@@ -1253,6 +1253,63 @@ def test_stream_bin_counts_state_survives_checkpoint_restart(spark, tmp_path):
         assert final[b] == batch.get(b, 0), (b, final, batch)
 
 
+def test_stream_key_counts_state_survives_checkpoint_restart(spark, tmp_path):
+    """Durable-state pin for st25's operator (the categorical twin of
+    the bin-counts test above): kill the stream_key_counts query after
+    the first batch of files, append more, restart from the SAME
+    checkpoint — the finished histogram equals the full-data batch
+    GROUP BY only if every key's running count was recovered from the
+    state store."""
+    from paqarin_spark.streaming import (
+        key_counts_from_emissions,
+        stream_key_counts,
+    )
+
+    path = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+
+    def part(lo, hi):
+        return spark.range(lo, hi).select(
+            F.concat(
+                F.lit("k"), F.pmod(F.hash("id"), F.lit(4)).cast("string")
+            ).alias("event_type")
+        )
+
+    part(0, 2000).repartition(2).write.mode("append").parquet(path)
+    stream1 = spark.readStream.schema("event_type string").parquet(path)
+    _run_checkpointed_append(
+        spark, stream_key_counts(stream1, "event_type"), out_dir, ckpt
+    )
+
+    part(2000, 4000).repartition(2).write.mode("append").parquet(path)
+    stream2 = spark.readStream.schema("event_type string").parquet(path)
+    emi = _run_checkpointed_append(
+        spark, stream_key_counts(stream2, "event_type"), out_dir, ckpt
+    )
+
+    final = {
+        r["key"]: r["n"]
+        for r in key_counts_from_emissions(emi).collect()
+    }
+    batch = {
+        r["event_type"]: r["n"]
+        for r in spark.read.parquet(path)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    p2_only = {
+        r["event_type"]: r["n"]
+        for r in part(2000, 4000)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert p2_only != batch
+    assert final == batch
+
+
 def test_stream_keep_first_dedup_survives_checkpoint_restart(spark, tmp_path):
     """Durable-state pin for the dropDuplicates operator class (st5's
     stream_keep_first): duplicates of part-1 keys that arrive ONLY in
