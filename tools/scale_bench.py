@@ -96,6 +96,11 @@ DEFAULT_QUERIES = [
     "gen9_text_markov",
     "ev20_memorization_audit",
     "ev30_wasserstein_split",
+    # round-12 continuation: spectral drift (two half-corpus cov
+    # passes — should trend ~linear) and the categorical stream
+    # monitor (bounded state — should trend ~flat + scan)
+    "em36_pc_drift",
+    "st25_stream_jsd",
 ]
 
 _KEY_SHIFTS = {
