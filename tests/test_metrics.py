@@ -130,3 +130,30 @@ def test_permutation_and_bootstrap_drop_null_keys(spark):
     assert r["n_units"] == 20
     b = bootstrap_ci(df, "k", "d", rounds=19).collect()[0]
     assert b["n_units"] == 20
+
+
+def test_ev30_wasserstein_closed_form_across_buckets(spark, tmp_path):
+    """Closed-form pin for ev30's bucketed prefix-sum W1: halves
+    [1, 2] vs [2, 3] have Wasserstein-1 distance exactly 1.0, and the
+    three distinct micro-values land in DIFFERENT equal-width buckets
+    (min 1e6, max 3e6, 1024 bins), so the next-value gap for each
+    bucket's last row must come from the next-bucket-minimum stitch —
+    a wrong or missing stitch changes the sum, not just the plan."""
+    import pandas as pd
+
+    from paqarin_spark.plans.queries import ev30_wasserstein_split
+
+    pd.DataFrame(
+        {
+            "event_id": [0, 2, 1, 3],
+            "ts": pd.to_datetime(["2024-01-01"] * 4),
+            "user_id": [1, 1, 1, 1],
+            "event_type": ["A"] * 4,
+            "value": [1.0, 2.0, 2.0, 3.0],
+            "props": [""] * 4,
+        }
+    ).to_parquet(str(tmp_path / "events.parquet"))
+    row = ev30_wasserstein_split(spark, str(tmp_path)).collect()[0]
+    assert row["event_type"] == "A"
+    assert row["n_a"] == 2 and row["n_b"] == 2
+    assert row["w1"] == 1.0
