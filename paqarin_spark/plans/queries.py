@@ -11,6 +11,7 @@ ordering tie-broken by explicit key columns.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -72,6 +73,67 @@ def _bounded_state_partitions(spark: SparkSession, n: int):
         yield
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def _stream_state_partition_count(spark: SparkSession, sf_dir: str, tables) -> int:
+    """Input-volume-derived state partition count for an UNBOUNDED-key
+    streaming run: ``max(cores, ceil(input_bytes / advisory))``.
+
+    Stateful operators pin their partitioning from
+    ``spark.sql.shuffle.partitions`` at query start, so AQE's
+    coalescing — which makes the session's full shuffle fanout
+    harmless for batch plans over small inputs — never applies to a
+    streaming exchange (optimization guide §2: make partitioning
+    scale-adaptive, derive it from input size). Every state-store
+    instance costs a per-micro-batch load/commit cycle whether or not
+    it holds rows (measured on st8: 128 stores ≈ 26 s wall at sf0.1,
+    8 stores ≈ 6.7 s, 2 stores ≈ 3.1 s — the commit overhead is per
+    store, not per row), so the count must track data volume the same
+    way AQE's post-shuffle partition sizing does:
+
+    - floor = ``defaultParallelism`` (every core owns at least one
+      store, on local[N] and on a cluster alike);
+    - growth = input bytes / ``spark.sql.adaptive.advisoryPartitionSizeInBytes``
+      (64 MiB default) — at petabyte per-batch volumes the byte term
+      dominates and yields the thousands of stores a real deployment
+      runs with; at bench scale the floor wins.
+
+    ``PAQARIN_STREAM_STATE_PARTITIONS`` overrides for deployments that
+    pin an explicit count (state partition count is frozen into a
+    checkpoint, so production jobs version it deliberately).
+    """
+    env = os.environ.get("PAQARIN_STREAM_STATE_PARTITIONS")
+    if env:
+        return int(env)
+    total = 0
+    for t in tables:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            total += os.path.getsize(path)
+    advisory_str = spark.conf.get(
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB"
+    )
+    advisory = int(
+        spark._jvm.org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+            advisory_str
+        )
+    )
+    cores = spark.sparkContext.defaultParallelism
+    return max(cores, -(-total // max(advisory, 1)))
+
+
+@contextmanager
+def _scaled_state_partitions(spark: SparkSession, sf_dir: str, tables=("events",)):
+    """`_bounded_state_partitions` for unbounded-key streams: same
+    set/restore discipline, with the count derived from input volume
+    by :func:`_stream_state_partition_count` instead of a declared
+    key-domain bound. Wraps only the ``start()``/``awaitTermination``
+    window, so batch plans in the same session keep the session
+    fanout."""
+    with _bounded_state_partitions(
+        spark, _stream_state_partition_count(spark, sf_dir, tables)
+    ):
+        yield
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5949,14 +6011,15 @@ def st12_stream_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = _events_stream(spark, sf_dir)
     emi = stream_cohort_offsets(stream)
     name = "st12_stream_cohort"
-    q = (
-        emi.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _scaled_state_partitions(spark, sf_dir, ("events",)):
+        q = (
+            emi.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return cohort_retention_from_emissions(spark.table(name))
 
 
@@ -6792,14 +6855,15 @@ def st13_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         how="left_outer",
     )
     name = "st13_stream_left_join"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _scaled_state_partitions(spark, sf_dir, ("events",)):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.table(name)
         .where(F.col("click_ts") < F.lit("2024-01-28").cast("timestamp"))
@@ -7482,14 +7546,15 @@ def st1_stream_daily_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = _events_stream(spark, sf_dir)
     out = stream_time_bucket_sum(stream, EVENTS_SCHEMA, watermark="1 day")
     name = "st1_stream_daily_sum"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _scaled_state_partitions(spark, sf_dir, ("events",)):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).select(
         "user_id",
         F.date_format("bucket", "yyyy-MM-dd").alias("day"),
@@ -7522,14 +7587,15 @@ def st2_stream_window_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = _events_stream(spark, sf_dir)
     out = stream_sliding_windows(stream, EVENTS_SCHEMA, sequence_length=8)
     name = "st2_stream_window_sums"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _scaled_state_partitions(spark, sf_dir, ("events",)):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).select(
         "user_id",
         "sequence_id",
@@ -7614,14 +7680,15 @@ def st5_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = stream_keep_first(stream, day_schema, watermark="1 day")
     name = "st5_stream_dedup"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _scaled_state_partitions(spark, sf_dir, ("events",)):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).select(
         "user_id", F.date_format("day", "yyyy-MM-dd").alias("day")
     )
@@ -7653,14 +7720,15 @@ def st6_stream_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, "ts", "user_id", window_duration="1 day", watermark="1 day"
     )
     name = "st6_stream_daily_users"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _scaled_state_partitions(spark, sf_dir, ("events",)):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).select(
         F.date_format("window_start", "yyyy-MM-dd").alias("day"), "n_distinct"
     )
@@ -7690,14 +7758,15 @@ def st3_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, EVENTS_SCHEMA, gap="12 hours", value_column="value"
     )
     name = "st3_stream_sessions"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _scaled_state_partitions(spark, sf_dir, ("events",)):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).select(
         "user_id",
         F.date_format("session_start", TS_FMT_SPARK).alias("session_start"),
@@ -9214,14 +9283,15 @@ def st7_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         watermark="1 day",
     )
     name = "st7_stream_enrich"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _scaled_state_partitions(spark, sf_dir, ("events",)):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).select(
         F.date_format("window_start", "yyyy-MM-dd").alias("day"),
         F.col("c_mktsegment").alias("segment"),
@@ -9416,14 +9486,15 @@ def st8_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_prefix="purchase",
     )
     name = "st8_stream_interval_join"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _scaled_state_partitions(spark, sf_dir, ("events",)):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).select(
         "click_id", "purchase_id", "user_id", "lag_seconds"
     )
@@ -10896,14 +10967,15 @@ def st14_stream_view_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = _events_stream(spark, sf_dir)
     emi = stream_view_rollup(stream)
     name = "st14_stream_view_rollup"
-    q = (
-        emi.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _scaled_state_partitions(spark, sf_dir, ("events",)):
+        q = (
+            emi.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return view_from_emissions(spark.table(name)).orderBy("user_id")
 
 
@@ -11586,14 +11658,15 @@ def st15_stream_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = _events_stream(spark, sf_dir)
     emi = stream_latest_per_key(stream)
     name = "st15_stream_latest"
-    q = (
-        emi.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _scaled_state_partitions(spark, sf_dir, ("events",)):
+        q = (
+            emi.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         latest_from_emissions(spark.table(name))
         .withColumnRenamed("k", "user_id")
@@ -13341,14 +13414,15 @@ def st17_stream_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     emi = stream_classify_counts(stream, scoring, "text")
     name = "st17_stream_classify"
-    q = (
-        emi.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _scaled_state_partitions(spark, sf_dir, ("documents",)):
+        q = (
+            emi.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return class_counts_from_emissions(spark.table(name)).orderBy("label")
 
 
@@ -14370,14 +14444,15 @@ def st18_stream_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     emi = stream_ewma_anomaly(stream, warmup=5, threshold=100.0)
     name = "st18_stream_ewma_anomaly"
-    q = (
-        emi.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _scaled_state_partitions(spark, sf_dir, ("events",)):
+        q = (
+            emi.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return ewma_from_emissions(spark.table(name)).orderBy("user_id")
 
 
@@ -15770,14 +15845,15 @@ def st23_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = "st23_stream_funnel"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _scaled_state_partitions(spark, sf_dir, ("events",)):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     per_sess = spark.table(name).select(
         (F.weekday("_start") + 1).cast("long").alias("isodow"),
         (
@@ -16988,15 +17064,16 @@ def st20_stream_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     _sweep_stale_staging("paqarin_st20_")
     base = os.path.join("/tmp", f"paqarin_st20_{tag}_{os.getpid()}")
     _remove_at_exit(base)
-    q = (
-        staged.writeStream.format("parquet")
-        .option("path", os.path.join(base, "out"))
-        .option("checkpointLocation", os.path.join(base, "ckpt"))
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _scaled_state_partitions(spark, sf_dir, ("events",)):
+        q = (
+            staged.writeStream.format("parquet")
+            .option("path", os.path.join(base, "out"))
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     back = spark.read.schema(
         "day string, event_type string, value double"
     ).parquet(os.path.join(base, "out"))
@@ -18181,14 +18258,15 @@ def st22_stream_sessions_close(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact_value_sum=True,
     )
     name = "st22_stream_sessions_close"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _scaled_state_partitions(spark, sf_dir, ("events",)):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.table(name)
         .select(
@@ -19657,14 +19735,15 @@ def st24_stream_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = "st24_stream_decontamination"
-    q = (
-        hits.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _scaled_state_partitions(spark, sf_dir, ("embeddings",)):
+        q = (
+            hits.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     probes = emb.where(F.col("vec_id") % 13 == 0).select(
         F.col("vec_id").alias("bench_id")
     )

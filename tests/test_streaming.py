@@ -1447,3 +1447,42 @@ def test_stream_sessions_state_survives_checkpoint_restart(spark, tmp_path):
         (t0, 3, 7.0),  # part1's open session absorbed the 80-min event
         (t0 + dtm.timedelta(minutes=300), 1, 8.0),
     ], rows
+
+
+def test_stream_state_partition_count_scales_with_input(spark, tmp_path):
+    """The unbounded-key streaming partition derivation: floor at the
+    session's core count for small inputs, byte-derived growth above
+    the advisory size, explicit env override wins outright."""
+    import os
+
+    from paqarin_spark.plans.queries import _stream_state_partition_count
+
+    sf_dir = str(tmp_path)
+    with open(os.path.join(sf_dir, "events.parquet"), "wb") as fh:
+        fh.write(b"x" * 1024)  # 1 KiB "table"
+    cores = spark.sparkContext.defaultParallelism
+    # tiny input -> the core floor, never fewer stores than cores
+    assert (
+        _stream_state_partition_count(spark, sf_dir, ("events",)) == cores
+    )
+    # missing table files contribute zero bytes (still the floor)
+    assert (
+        _stream_state_partition_count(spark, sf_dir, ("nope",)) == cores
+    )
+    # a table far above the advisory size grows ceil(bytes/advisory):
+    # fake it by shrinking the advisory instead of writing gigabytes
+    old = spark.conf.get(
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB"
+    )
+    try:
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1b")
+        n = _stream_state_partition_count(spark, sf_dir, ("events",))
+        assert n == max(cores, 1024), n
+    finally:
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", old)
+    # deployment override pins the count exactly
+    os.environ["PAQARIN_STREAM_STATE_PARTITIONS"] = "7"
+    try:
+        assert _stream_state_partition_count(spark, sf_dir, ("events",)) == 7
+    finally:
+        del os.environ["PAQARIN_STREAM_STATE_PARTITIONS"]
