@@ -1933,6 +1933,82 @@ def power_iteration(
     )
 
 
+def _jround(x: float, scale: int) -> float:
+    """Replay of Spark's ``F.round`` on DOUBLE: Java evaluates
+    ``BigDecimal.valueOf(x).setScale(scale, HALF_UP)`` — a HALF_UP
+    quantization of the double's shortest decimal rendering, which is
+    exactly ``Decimal(repr(x))`` here (both sides print the shortest
+    string that round-trips)."""
+    import decimal
+    import math
+
+    if not math.isfinite(x):  # Spark's Round passes NaN/Inf through
+        return x
+    return float(
+        decimal.Decimal(repr(x)).quantize(
+            decimal.Decimal(1).scaleb(-scale), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
+def _power_iteration_local(
+    sym: dict,
+    width: int,
+    iterations: int,
+    round_decimals: int,
+) -> tuple[list[float], float]:
+    """The :func:`power_iteration_on_cov` loop replayed on the driver
+    over a collected d×d matrix — term-for-term the same decimal
+    lattice as the distributed expression tree it replaced (each
+    matvec product 12dp-rounded into exact decimal before summation,
+    iterates re-rounded to ``round_decimals``), so the result is
+    bit-identical and the unrolled-CTE oracles (em22/em23/em36) hold
+    unchanged. Returns (loadings, final_norm)."""
+    import decimal
+    import math
+
+    q12 = decimal.Decimal(1).scaleb(-12)
+
+    def dec12(x: float) -> decimal.Decimal:
+        # round(x, 12) then cast to decimal(_,12): the intermediate
+        # double round-trips the 12dp value exactly at these
+        # magnitudes, so one quantize replays both steps.
+        return decimal.Decimal(repr(x)).quantize(
+            q12, rounding=decimal.ROUND_HALF_UP
+        )
+
+    v = [1.0] * width
+    nrm = 0.0
+    for _ in range(iterations):
+        w = [
+            float(
+                sum(
+                    (
+                        dec12(sym[(i, j)] * v[j])
+                        for j in range(width)
+                        if (i, j) in sym
+                    ),
+                    decimal.Decimal(0),
+                )
+            )
+            for i in range(width)
+        ]
+        nrm = math.sqrt(
+            float(sum((dec12(wi * wi) for wi in w), decimal.Decimal(0)))
+        )
+        # JVM double division: x/0.0 is ±Inf / NaN, never an error
+        v = [
+            _jround(
+                wi / nrm
+                if nrm != 0.0
+                else (math.nan if wi == 0.0 else math.copysign(math.inf, wi)),
+                round_decimals,
+            )
+            for wi in w
+        ]
+    return v, nrm
+
+
 def power_iteration_on_cov(
     cov: DataFrame,
     width: int,
@@ -1943,59 +2019,31 @@ def power_iteration_on_cov(
     covariance table (the :func:`covariance_matrix` output) — the
     production shape: compute the corpus-sized covariance pass once,
     then run eigen-analysis, trace, and variance-explained audits from
-    the same d×d table (em23 does)."""
+    the same d×d table (em23 does).
+
+    The iteration loop runs on the DRIVER over the collected d×d
+    table (bounded: d(d+1)/2 rows by schema width, corpus-size
+    independent — the kmeans k×d-centroid collect policy). The
+    distributed loop it replaces spent ~3 jobs per iteration
+    (join + agg + normalize + localCheckpoint) on a ≤4096-row table;
+    at ~0.5-1 s per job on the bench host that was ~8 s of pure
+    scheduling for em22's 6 iterations (optimization guide §5: the
+    driver does no data work — the corpus-sized covariance pass stays
+    distributed; this loop is O(d²) fixed). Arithmetic is the same
+    12dp-decimal replay lattice, term for term (pinned by
+    test_power_iteration_on_cov_matches_distributed_replay)."""
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
-    mat = cov.unionByName(
-        cov.where(F.col("i") != F.col("j")).select(
-            F.col("j").alias("i"), F.col("i").alias("j"), "cov"
-        )
-    ).localCheckpoint()
+    sym: dict = {}
+    for r in cov.collect():  # bounded: d(d+1)/2 rows
+        sym[(r["i"], r["j"])] = r["cov"]
+        sym[(r["j"], r["i"])] = r["cov"]
+    v, nrm = _power_iteration_local(sym, width, iterations, round_decimals)
     spark = cov.sparkSession
-    v = spark.range(width).select(
-        F.col("id").cast("int").alias("j"), F.lit(1.0).alias("vj")
-    )
-    nrm = None
-    for _ in range(iterations):
-        w = (
-            mat.join(v, on="j")
-            .select(
-                "i",
-                F.round(F.col("cov") * F.col("vj"), 12)
-                .cast("decimal(30,12)")
-                .alias("_p"),
-            )
-            .groupBy("i")
-            .agg(F.sum("_p").cast("double").alias("wi"))
-        )
-        nrm = w.agg(
-            F.sqrt(
-                F.sum(
-                    F.round(F.col("wi") * F.col("wi"), 12).cast(
-                        "decimal(38,12)"
-                    )
-                ).cast("double")
-            ).alias("nrm")
-        )
-        v = (
-            w.crossJoin(F.broadcast(nrm))
-            .select(
-                F.col("i").alias("j"),
-                F.round(
-                    F.col("wi") / F.col("nrm"), round_decimals
-                ).alias("vj"),
-            )
-            .localCheckpoint()
-        )
-    return (
-        v.crossJoin(F.broadcast(nrm))
-        .select(
-            F.col("j").alias("i"),
-            (F.col("vj") + F.lit(0.0)).alias("loading"),
-            (F.round(F.col("nrm"), round_decimals) + F.lit(0.0)).alias(
-                "eigenvalue"
-            ),
-        )
+    eig = _jround(nrm, round_decimals) + 0.0
+    return spark.createDataFrame(
+        [(i, v[i] + 0.0, eig) for i in range(width)],
+        "i int, loading double, eigenvalue double",
     )
 
 
@@ -2062,20 +2110,46 @@ def pca_top2(
     consumers (the pc1 chain and the deflation) would otherwise
     re-execute the corpus pass.
 
-    Returns (component ∈ {1, 2}, i, loading, eigenvalue)."""
+    Returns (component ∈ {1, 2}, i, loading, eigenvalue).
+
+    Both iteration chains AND the Hotelling deflation between them
+    run on the DRIVER over the one collected d×d covariance table
+    (the :func:`power_iteration_on_cov` rationale: the corpus pass is
+    the only distributed stage; everything downstream is O(d²) fixed,
+    and the distributed loop paid ~6 scheduling-bound jobs per chain
+    on a ≤4096-row table). The deflation replays
+    :func:`deflate_covariance`'s expression tree term for term:
+    rank-1 term 12dp-rounded before the IEEE subtraction, residual
+    re-rounded to the 6dp lattice."""
     width = _vector_width(df, vector_column)
-    cov = covariance_matrix(
-        df, vector_column, round_decimals=round_decimals
-    ).localCheckpoint()
-    pc1 = power_iteration_on_cov(
-        cov, width, iterations=iterations, round_decimals=round_decimals
-    ).localCheckpoint()
-    cov2 = deflate_covariance(cov, pc1, round_decimals=round_decimals)
-    pc2 = power_iteration_on_cov(
-        cov2, width, iterations=iterations, round_decimals=round_decimals
-    )
-    return pc1.select(F.lit(1).alias("component"), "i", "loading", "eigenvalue").unionByName(
-        pc2.select(F.lit(2).alias("component"), "i", "loading", "eigenvalue")
+    cov = covariance_matrix(df, vector_column, round_decimals=round_decimals)
+    sym: dict = {}
+    upper: list = []
+    for r in cov.collect():  # bounded: d(d+1)/2 rows
+        sym[(r["i"], r["j"])] = r["cov"]
+        sym[(r["j"], r["i"])] = r["cov"]
+        upper.append((r["i"], r["j"], r["cov"]))
+    v1, nrm1 = _power_iteration_local(sym, width, iterations, round_decimals)
+    lam1 = _jround(nrm1, round_decimals) + 0.0
+    load1 = [x + 0.0 for x in v1]
+    sym2: dict = {}
+    for i, j, c in upper:
+        resid = (
+            _jround(
+                c - _jround(lam1 * load1[i] * load1[j], 12),
+                round_decimals,
+            )
+            + 0.0
+        )
+        sym2[(i, j)] = resid
+        sym2[(j, i)] = resid
+    v2, nrm2 = _power_iteration_local(sym2, width, iterations, round_decimals)
+    lam2 = _jround(nrm2, round_decimals) + 0.0
+    rows = [(1, i, load1[i], lam1) for i in range(width)] + [
+        (2, i, v2[i] + 0.0, lam2) for i in range(width)
+    ]
+    return df.sparkSession.createDataFrame(
+        rows, "component int, i int, loading double, eigenvalue double"
     )
 
 

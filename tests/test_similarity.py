@@ -1251,3 +1251,123 @@ def test_rrf_fuse_known_values_and_missing_lanes(spark):
         rrf_fuse([("x", a)], "doc_id", k0=0)
     with pytest.raises(ValueError, match="at least one"):
         rrf_fuse([], "doc_id")
+
+
+def test_power_iteration_on_cov_matches_distributed_replay(spark):
+    """r12 optimization pin: the driver-side iteration loop (bounded
+    d×d collect) is bit-identical to the distributed expression chain
+    it replaced — same 12dp-decimal matvec lattice, 6dp iterates,
+    final rounding — on random 6dp-lattice covariance tables. The
+    reference below IS the pre-r12 distributed implementation,
+    verbatim."""
+    import random
+
+    from paqarin_spark.operators import power_iteration_on_cov
+    from paqarin_spark.operators.similarity import _jround
+
+    def distributed_reference(cov, width, iterations=6, round_decimals=6):
+        mat = cov.unionByName(
+            cov.where(F.col("i") != F.col("j")).select(
+                F.col("j").alias("i"), F.col("i").alias("j"), "cov"
+            )
+        ).localCheckpoint()
+        sp = cov.sparkSession
+        v = sp.range(width).select(
+            F.col("id").cast("int").alias("j"), F.lit(1.0).alias("vj")
+        )
+        nrm = None
+        for _ in range(iterations):
+            w = (
+                mat.join(v, on="j")
+                .select(
+                    "i",
+                    F.round(F.col("cov") * F.col("vj"), 12)
+                    .cast("decimal(30,12)")
+                    .alias("_p"),
+                )
+                .groupBy("i")
+                .agg(F.sum("_p").cast("double").alias("wi"))
+            )
+            nrm = w.agg(
+                F.sqrt(
+                    F.sum(
+                        F.round(F.col("wi") * F.col("wi"), 12).cast(
+                            "decimal(38,12)"
+                        )
+                    ).cast("double")
+                ).alias("nrm")
+            )
+            v = (
+                w.crossJoin(F.broadcast(nrm))
+                .select(
+                    F.col("i").alias("j"),
+                    F.round(
+                        F.col("wi") / F.col("nrm"), round_decimals
+                    ).alias("vj"),
+                )
+                .localCheckpoint()
+            )
+        return v.crossJoin(F.broadcast(nrm)).select(
+            F.col("j").alias("i"),
+            (F.col("vj") + F.lit(0.0)).alias("loading"),
+            (F.round(F.col("nrm"), round_decimals) + F.lit(0.0)).alias(
+                "eigenvalue"
+            ),
+        )
+
+    rng = random.Random(7)
+    for d, iters in [(3, 3), (6, 6), (8, 4)]:
+        a = [[rng.uniform(-2, 2) for _ in range(d)] for _ in range(d)]
+        rows = []
+        for i in range(d):
+            for j in range(i, d):
+                s = sum(a[k][i] * a[k][j] for k in range(d))
+                rows.append((i, j, _jround(s, 6) + 0.0))
+        cov = spark.createDataFrame(rows, "i int, j int, cov double")
+        old = {
+            r["i"]: (r["loading"], r["eigenvalue"])
+            for r in distributed_reference(cov, d, iterations=iters).collect()
+        }
+        new = {
+            r["i"]: (r["loading"], r["eigenvalue"])
+            for r in power_iteration_on_cov(cov, d, iterations=iters).collect()
+        }
+        assert old == new, f"d={d} iters={iters}: {old} != {new}"
+
+
+def test_pca_top2_deflation_matches_distributed_replay(spark):
+    """r12 optimization pin: pca_top2's driver-side Hotelling
+    deflation is bit-identical to composing the (still-distributed)
+    deflate_covariance operator with power_iteration_on_cov."""
+    import random
+
+    from paqarin_spark.operators import (
+        deflate_covariance,
+        pca_top2,
+        power_iteration_on_cov,
+    )
+    from paqarin_spark.operators.similarity import (
+        _jround,
+        covariance_matrix,
+    )
+
+    rng = random.Random(11)
+    d, n = 6, 40
+    data = [
+        ([rng.uniform(-1, 1) + (k % 3) * 0.5 for _ in range(d)],)
+        for k in range(n)
+    ]
+    df = spark.createDataFrame(data, "v array<double>")
+    cov = covariance_matrix(df, "v").localCheckpoint()
+    pc1 = power_iteration_on_cov(cov, d, iterations=6)
+    pc2 = power_iteration_on_cov(
+        deflate_covariance(cov, pc1), d, iterations=6
+    )
+    want = {
+        (1, r["i"]): (r["loading"], r["eigenvalue"]) for r in pc1.collect()
+    } | {(2, r["i"]): (r["loading"], r["eigenvalue"]) for r in pc2.collect()}
+    got = {
+        (r["component"], r["i"]): (r["loading"], r["eigenvalue"])
+        for r in pca_top2(df, "v", iterations=6).collect()
+    }
+    assert got == want
