@@ -359,9 +359,16 @@ def kcore_peel(
                 "_src",
             )
             generations.append(cur_edges)
+            # Keep at most two generations cached: generation r's
+            # lineage reads generation r-1's cached scan, but r-2 is
+            # unreachable once r-1 was materialized by this round's
+            # surv aggregate — holding every generation would grow
+            # cache memory as rounds × surviving-edge-table size.
+            if len(generations) > 2:
+                generations[-3].unpersist()
         peeled = gone if peeled is None else peeled.unionByName(gone)
         cur_nodes = surv
-    for g in generations:
+    for g in generations[-2:]:
         g.unpersist()
     return peeled.unionByName(
         cur_nodes.withColumn("peel_round", F.lit(None).cast("int"))

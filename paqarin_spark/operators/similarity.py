@@ -1938,7 +1938,17 @@ def _jround(x: float, scale: int) -> float:
     ``BigDecimal.valueOf(x).setScale(scale, HALF_UP)`` — a HALF_UP
     quantization of the double's shortest decimal rendering, which is
     exactly ``Decimal(repr(x))`` here (both sides print the shortest
-    string that round-trips)."""
+    string that round-trips).
+
+    JDK-dependence caveat: the "both render shortest" premise is
+    guaranteed on JDK >= 19 (Ryu, JDK-4511638); older
+    ``Double.toString`` can emit a non-shortest rendering, and a
+    non-shortest rendering could in principle straddle a HALF_UP tie
+    at the target scale. No such divergence exists for this lattice on
+    the JDK 17 this repo is developed against —
+    ``test_jround_adversarial_near_ties`` pins products whose digit at
+    ``scale+1`` is exactly 5 ± 1 ulp against Spark's own evaluation —
+    but a deployment on another pre-19 JDK should re-run that test."""
     import decimal
     import math
 
@@ -2034,12 +2044,25 @@ def power_iteration_on_cov(
     test_power_iteration_on_cov_matches_distributed_replay)."""
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
+    spark = cov.sparkSession
+    rows = cov.collect()  # bounded: d(d+1)/2 rows
+    if not rows:
+        # The distributed loop this replays joined against the cov
+        # table, so an empty covariance yields an EMPTY result — not
+        # `width` NaN rows.
+        return spark.createDataFrame(
+            [], "i int, loading double, eigenvalue double"
+        )
     sym: dict = {}
-    for r in cov.collect():  # bounded: d(d+1)/2 rows
+    for r in rows:
+        if r["cov"] is None:
+            # NULL cov (e.g. covar_pop over ragged/null vectors): the
+            # replaced plan's SUM skipped the null product — treat the
+            # term as absent rather than raising on None * float.
+            continue
         sym[(r["i"], r["j"])] = r["cov"]
         sym[(r["j"], r["i"])] = r["cov"]
     v, nrm = _power_iteration_local(sym, width, iterations, round_decimals)
-    spark = cov.sparkSession
     eig = _jround(nrm, round_decimals) + 0.0
     return spark.createDataFrame(
         [(i, v[i] + 0.0, eig) for i in range(width)],

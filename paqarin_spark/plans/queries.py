@@ -104,11 +104,31 @@ def _stream_state_partition_count(spark: SparkSession, sf_dir: str, tables) -> i
     """
     env = os.environ.get("PAQARIN_STREAM_STATE_PARTITIONS")
     if env:
-        return int(env)
+        try:
+            n = int(env)
+        except ValueError:
+            raise ValueError(
+                "PAQARIN_STREAM_STATE_PARTITIONS must be a positive "
+                f"integer, got {env!r}"
+            ) from None
+        if n <= 0:
+            raise ValueError(
+                "PAQARIN_STREAM_STATE_PARTITIONS must be a positive "
+                f"integer, got {env!r}"
+            )
+        return n
     total = 0
     for t in tables:
         path = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(path):
+        if os.path.isdir(path):
+            # A parquet DIRECTORY's getsize is the ~4 KB dirent, which
+            # would silently collapse the count to the core floor at
+            # any scale — sum the tree's file sizes instead.
+            for root, _dirs, files in os.walk(path):
+                total += sum(
+                    os.path.getsize(os.path.join(root, f)) for f in files
+                )
+        elif os.path.exists(path):
             total += os.path.getsize(path)
     advisory_str = spark.conf.get(
         "spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB"

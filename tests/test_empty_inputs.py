@@ -186,3 +186,38 @@ def test_round5_surface_empty_inputs(spark, tmp_path):
     p = str(tmp_path / "empty_sorted")
     write_sorted(empty_v.select("event_id", "v"), p, ["v"], num_files=2)
     assert spark.read.parquet(p).count() == 0
+
+
+def test_power_iteration_on_cov_degenerate_inputs(spark):
+    """ADVICE r12: the driver-side replay must match the replaced
+    distributed plan on degenerate covariance tables — an EMPTY cov
+    yields an empty result (the old joins produced nothing), and a
+    NULL cov value is skipped like the old SUM skipped null products
+    (not a TypeError on None * float)."""
+    from paqarin_spark.operators import power_iteration_on_cov
+
+    empty_cov = spark.createDataFrame([], "i int, j int, cov double")
+    out = power_iteration_on_cov(empty_cov, width=4, iterations=3)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "i",
+        "loading",
+        "eigenvalue",
+    ]
+
+    # NULL covariance entries behave exactly as absent terms: the two
+    # tables below must produce identical results.
+    with_null = spark.createDataFrame(
+        [(0, 0, 2.0), (0, 1, None), (1, 1, 1.0)],
+        "i int, j int, cov double",
+    )
+    without = spark.createDataFrame(
+        [(0, 0, 2.0), (1, 1, 1.0)], "i int, j int, cov double"
+    )
+    got = sorted(
+        power_iteration_on_cov(with_null, 2, iterations=4).collect()
+    )
+    want = sorted(
+        power_iteration_on_cov(without, 2, iterations=4).collect()
+    )
+    assert got == want

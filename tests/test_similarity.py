@@ -1371,3 +1371,42 @@ def test_pca_top2_deflation_matches_distributed_replay(spark):
         for r in pca_top2(df, "v", iterations=6).collect()
     }
     assert got == want
+
+
+def test_jround_adversarial_near_ties(spark):
+    """ADVICE r12: _jround's premise — Java's BigDecimal.valueOf(x)
+    and Python's repr(x) quantize HALF_UP identically — is only
+    guaranteed shortest-rendering on JDK >= 19, so pin it against
+    Spark's own Round evaluation on adversarial near-tie values:
+    doubles sitting exactly on / one ulp either side of a HALF_UP tie
+    at the target scale."""
+    import math
+    import random
+
+    from pyspark.sql import functions as F
+
+    from paqarin_spark.operators.similarity import _jround
+
+    rng = random.Random(13)
+    for scale in (6, 12):
+        vals = set()
+        for _ in range(60):
+            k = rng.randint(-(10**6), 10**6)
+            tie = (10 * k + 5) * (10.0 ** -(scale + 1))
+            vals.update(
+                (
+                    tie,
+                    math.nextafter(tie, math.inf),
+                    math.nextafter(tie, -math.inf),
+                )
+            )
+        vals = sorted(vals)
+        df = spark.createDataFrame([(v,) for v in vals], "x double")
+        got = [
+            r["r"]
+            for r in df.select(F.round("x", scale).alias("r"))
+            .orderBy("x")
+            .collect()
+        ]
+        want = [_jround(v, scale) for v in vals]
+        assert got == want

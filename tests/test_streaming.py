@@ -1486,3 +1486,41 @@ def test_stream_state_partition_count_scales_with_input(spark, tmp_path):
         assert _stream_state_partition_count(spark, sf_dir, ("events",)) == 7
     finally:
         del os.environ["PAQARIN_STREAM_STATE_PARTITIONS"]
+
+def test_stream_state_partition_count_dir_layout_and_env_validation(
+    spark, tmp_path
+):
+    """ADVICE r12: a table stored as a parquet DIRECTORY must
+    contribute its recursive file bytes (a dirent's ~4 KB getsize
+    would collapse the count to the core floor at any scale), and the
+    env override rejects non-integer / non-positive values loudly."""
+    import os
+
+    import pytest
+
+    from paqarin_spark.plans.queries import _stream_state_partition_count
+
+    sf_dir = str(tmp_path)
+    d = os.path.join(sf_dir, "events.parquet")
+    os.makedirs(os.path.join(d, "part=0"))
+    with open(os.path.join(d, "part=0", "f0.parquet"), "wb") as fh:
+        fh.write(b"x" * 600)
+    with open(os.path.join(d, "f1.parquet"), "wb") as fh:
+        fh.write(b"x" * 424)
+    cores = spark.sparkContext.defaultParallelism
+    old = spark.conf.get(
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB"
+    )
+    try:
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1b")
+        n = _stream_state_partition_count(spark, sf_dir, ("events",))
+        assert n == max(cores, 1024), n  # 600 + 424 summed recursively
+    finally:
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", old)
+    for bad in ("zero", "0", "-3"):
+        os.environ["PAQARIN_STREAM_STATE_PARTITIONS"] = bad
+        try:
+            with pytest.raises(ValueError, match="positive integer"):
+                _stream_state_partition_count(spark, sf_dir, ("events",))
+        finally:
+            del os.environ["PAQARIN_STREAM_STATE_PARTITIONS"]

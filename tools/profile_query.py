@@ -52,6 +52,7 @@ def main() -> int:
     spark.range(64).repartition(32).mapInPandas(_warm, schema="id bigint").count()
 
     queries = entrymod.queries()
+    tracker = spark.sparkContext.statusTracker()
     for name in args.queries:
         fn = queries[name]
         spark.sparkContext.setJobDescription(name)
@@ -64,10 +65,24 @@ def main() -> int:
             with open(os.path.join(args.plans_dir, f"{name}_{args.suffix}.txt"), "w") as fh:
                 fh.write(df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted"))
         best_c = best_n = None
-        for _ in range(args.reps):
+        njobs = nstages = 0
+        for rep in range(args.reps):
+            # Count Spark jobs/stages for the FIRST collect rep via a
+            # job group (guide §1: how many actions/barriers a query
+            # really launches — the per-job scheduler latency on this
+            # host makes job count itself a first-order cost).
+            group = f"profile:{name}:{rep}"
+            spark.sparkContext.setJobGroup(group, name)
             t0 = time.perf_counter()
             n = len(fn(spark, args.sf_dir).collect())
             el = time.perf_counter() - t0
+            if rep == 0:
+                job_ids = tracker.getJobIdsForGroup(group)
+                njobs = len(job_ids)
+                for jid in job_ids:
+                    info = tracker.getJobInfo(jid)
+                    if info is not None:
+                        nstages += len(info.stageIds)
             best_c = el if best_c is None or el < best_c else best_c
             if not args.no_noop:
                 t0 = time.perf_counter()
@@ -75,7 +90,10 @@ def main() -> int:
                 el = time.perf_counter() - t0
                 best_n = el if best_n is None or el < best_n else best_n
         noop = f" noop={best_n:.3f}s" if best_n is not None else ""
-        print(f"{name}: collect={best_c:.3f}s{noop} plan_build={t_plan:.3f}s rows={n}")
+        print(
+            f"{name}: collect={best_c:.3f}s{noop} plan_build={t_plan:.3f}s"
+            f" jobs={njobs} stages={nstages} rows={n}"
+        )
         spark.sparkContext.setJobDescription(None)
     return 0
 
