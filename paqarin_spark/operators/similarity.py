@@ -1865,27 +1865,29 @@ def covariance_matrix(
     """
     width = _vector_width(df, vector_column)
     v = F.transform(F.col(vector_column), lambda x: x.cast("double"))
-    # index-sequence pair build (element_at lookups) rather than a
-    # nested value-transform + null-filter: same rows, but the codegen
-    # compiles in ~20s instead of ~68s and the warm pass measured 40x
-    # faster at d=64
-    pairs = F.flatten(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(width - 1)),
-            lambda i: F.transform(
-                F.sequence(i, F.lit(width - 1)),
-                lambda j: F.struct(
-                    i.alias("i"), j.alias("j"),
-                    F.element_at(v, i + 1).alias("xi"),
-                    F.element_at(v, j + 1).alias("xj"),
-                ),
-            ),
+    # Pair build as TWO chained posexplodes (i from the vector, then j
+    # from its tail slice) instead of one constant-width nested
+    # transform emitting d(d+1)/2 struct builders. The single-expression
+    # form generated a whole-stage method so large that the JVM's C2
+    # compile of it intermittently stalled a rep for ~20s (measured:
+    # 1.6–1.9s quiet, 19–23s on the stalled rep, at d=64 / 32 cores;
+    # codegen disabled ran a stable ~2s). The chained-generator form
+    # keeps every generated method small — measured stable 1.3–1.9s
+    # warm with zero value diffs, and the aggregation input rows are
+    # identical so COVAR_POP is unchanged bit for bit.
+    rows = (
+        df.select(F.posexplode(v).alias("i", "xi"), v.alias("_v"))
+        .select(
+            "i",
+            "xi",
+            F.posexplode(
+                F.slice(F.col("_v"), F.col("i") + 1, F.lit(width) - F.col("i"))
+            ).alias("_dj", "xj"),
         )
+        .select("i", (F.col("i") + F.col("_dj")).alias("j"), "xi", "xj")
     )
     return (
-        df.select(F.explode(pairs).alias("p"))
-        .select("p.i", "p.j", "p.xi", "p.xj")
-        .groupBy("i", "j")
+        rows.groupBy("i", "j")
         .agg(
             # + 0.0 canonicalizes IEEE signed zero: a tiny negative
             # covariance rounds to -0.0, which hash-differs from the
