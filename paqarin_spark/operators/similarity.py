@@ -2613,9 +2613,12 @@ def graph_greedy_search(
     w = Window.partitionBy("_qid").orderBy(
         F.col("sim").desc(), F.col("_nid").asc()
     )
+    # The hop loop is keyed on _qid end to end (the window, and every
+    # per-query set operation), so lay the entry frontier out by _qid
+    # once — at scale this is also the only layout the walk ever needs.
     frontier = _score(
         q.select("_qid").crossJoin(F.broadcast(entry))
-    ).localCheckpoint()
+    ).repartition("_qid").localCheckpoint()
     # visited-set pruning is RESULT-IDENTICAL: the beam only improves
     # (frontier = top-k of frontier ∪ new), so its k-th-best bar is
     # monotone and an evicted node can never re-enter — skipping
@@ -2623,7 +2626,15 @@ def graph_greedy_search(
     # The visited state is the LIST of per-hop checkpointed expansion
     # layers (the bfs_hops discipline): a lazy union of checkpointed
     # leaves anti-joins identically but never re-serializes the
-    # running union per hop.
+    # running union per hop. The expansion checkpoint is LAZY
+    # (eager=False): its only first consumer is the very next frontier
+    # materialization, which computes-and-caches it inside the same
+    # job — one action per hop instead of two — while later hops'
+    # visited unions still scan the cached leaf, never the plan.
+    # Dedup is a groupBy rather than distinct (same rows, and the
+    # aggregate's partial/map side pre-shrinks the (qid, nid) exchange).
+    # r13 interleaved A/B (em26+em27 walk shapes, 4 reps): this shape
+    # med 9.95s vs 12.68s for the r12 eager-expanded form.
     layers = [frontier.select("_qid", "_nid").localCheckpoint()]
     for _ in range(hops):
         visited = reduce(DataFrame.unionByName, layers)
@@ -2631,9 +2642,11 @@ def graph_greedy_search(
             frontier.select("_qid", F.col("_nid").alias("_from"))
             .join(e, "_from")
             .select("_qid", "_nid")
-            .distinct()
+            .groupBy("_qid", "_nid")
+            .agg(F.lit(1))
+            .select("_qid", "_nid")
             .join(visited, ["_qid", "_nid"], "left_anti")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         frontier = (
             frontier.unionByName(_score(expanded))

@@ -13547,11 +13547,14 @@ def em26_graph_search_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     configure_for_determinism(spark)
     emb = read_table(spark, sf_dir, "embeddings", spread=True)
+    # localCheckpoint: the exact graph feeds the walk AND both audit
+    # legs — without it the final collect replays the O(n²) kernel 4
+    # more times (plan dump: 4 MapInPandas, 0 ReusedExchange)
     graph = cosine_topk(emb, "vec_id", "embedding", k=10).select(
         F.col("query_id").alias("node"),
         F.col("neighbor_id").alias("nbr"),
         "cos_sim",
-    )
+    ).localCheckpoint()
     qs = emb.where(F.col("vec_id") % 20 == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("query_vec"),
@@ -13709,18 +13712,22 @@ def em27_graph_ingest_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings", spread=True)
     corpus = emb.where(F.col("vec_id") % 5 != 4)
     new = emb.where(F.col("vec_id") % 5 == 4)
+    # localCheckpoints: graph feeds the ingest (twice: walk + merge)
+    # and rebuild feeds both audit aggregations — without them the
+    # final collect replays the O(n²) kernel 6 more times (plan dump:
+    # 6 MapInPandas, 0 ReusedExchange)
     graph = cosine_topk(corpus, "vec_id", "embedding", k=10).select(
         F.col("query_id").alias("node"),
         F.col("neighbor_id").alias("nbr"),
         "cos_sim",
-    )
+    ).localCheckpoint()
     merged = nn_descent_ingest(
         graph, corpus, new, "vec_id", "embedding", k=10, beam=20, hops=6
     )
     rebuild = cosine_topk(emb, "vec_id", "embedding", k=10).select(
         F.col("query_id").alias("node"),
         F.col("neighbor_id").alias("nbr"),
-    )
+    ).localCheckpoint()
     flagged = rebuild.join(
         merged.select("node", "nbr"), ["node", "nbr"], "left_semi"
     )
