@@ -25,6 +25,20 @@ def get_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Let AQE's size-based coalescing apply to CACHED plans too
+        # (default false): otherwise every persist() materializes at
+        # the raw spark.sql.shuffle.partitions count and each
+        # downstream stage over the cache pays one task per tiny
+        # partition. This is the same input-size-derived partitioning
+        # policy the rest of the session runs on — a 100 TB cached
+        # panel still gets many partitions from the advisory size,
+        # a 45k-row one no longer gets cpus*4. Results are unaffected
+        # (the only partition-sensitive operator, quantile_sketch's
+        # per-partition bottom-k, is exact under any layout).
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         .config(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions or int(cpus) * 4),
