@@ -2473,8 +2473,14 @@ def nn_descent(
         w = Window.partitionBy("node").orderBy(
             F.col("sim").desc(), F.col("nbr").asc()
         )
+        # one exchange instead of two: lay out by node once, then both
+        # the dedup (a groupBy over (node, nbr, sim) — hash(node)
+        # already clusters it) and the rank window reuse that layout
         return (
-            edges.distinct()
+            edges.repartition("node")
+            .groupBy("node", "nbr", "sim")
+            .agg(F.lit(1))
+            .select("node", "nbr", "sim")
             .withColumn("_rk", F.row_number().over(w))
             .where(F.col("_rk") <= k)
             .drop("_rk")
@@ -2537,20 +2543,35 @@ def nn_descent(
             .join(und.alias("b"), "node")
             .where(F.col("a.nbr") < F.col("b.nbr"))
             .select(F.col("a.nbr").alias("x"), F.col("b.nbr").alias("y"))
-            .distinct()
+            # dedup laid out on x so _score's first vector join (also
+            # keyed x) reuses the exchange — same rows as distinct()
+            .repartition("x")
+            .groupBy("x", "y")
+            .agg(F.lit(1))
+            .select("x", "y")
         )
         scored = _score(cand, "x", "y")
-        edges = _topk(
-            edges.unionByName(
-                scored.select(
-                    F.col("x").alias("node"), F.col("y").alias("nbr"), "sim"
+        # both edge directions via ONE explode over the scored pairs:
+        # referencing `scored` twice replayed the whole candidate
+        # build + Arrow scoring kernel per direction (no cross-subtree
+        # reuse fires through mapInPandas)
+        both = scored.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("x").alias("node"),
+                        F.col("y").alias("nbr"),
+                        F.col("sim"),
+                    ),
+                    F.struct(
+                        F.col("y").alias("node"),
+                        F.col("x").alias("nbr"),
+                        F.col("sim"),
+                    ),
                 )
-            ).unionByName(
-                scored.select(
-                    F.col("y").alias("node"), F.col("x").alias("nbr"), "sim"
-                )
-            )
-        ).localCheckpoint()
+            ).alias("_e")
+        ).select("_e.node", "_e.nbr", "_e.sim")
+        edges = _topk(edges.unionByName(both)).localCheckpoint()
     return edges.select("node", "nbr", F.col("sim").alias("cos_sim"))
 
 
@@ -2737,8 +2758,13 @@ def nn_descent_ingest(
         w = Window.partitionBy("node").orderBy(
             F.col("sim").desc(), F.col("nbr").asc()
         )
+        # same one-exchange layout as nn_descent._topk: dedup and rank
+        # both ride one hash(node) exchange
         return (
-            frame.distinct()
+            frame.repartition("node")
+            .groupBy("node", "nbr", "sim")
+            .agg(F.lit(1))
+            .select("node", "nbr", "sim")
             .withColumn("_rk", F.row_number().over(w))
             .where(F.col("_rk") <= k)
             .drop("_rk")
@@ -2774,13 +2800,24 @@ def nn_descent_ingest(
             F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("sim"),
         )
     )
+    # both directions via one explode — referencing co_scored twice
+    # replayed the co-pair join + scoring subtree per direction
     new_new = co_scored.select(
-        F.col("x").alias("node"), F.col("y").alias("nbr"), "sim"
-    ).unionByName(
-        co_scored.select(
-            F.col("y").alias("node"), F.col("x").alias("nbr"), "sim"
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("x").alias("node"),
+                    F.col("y").alias("nbr"),
+                    F.col("sim"),
+                ),
+                F.struct(
+                    F.col("y").alias("node"),
+                    F.col("x").alias("nbr"),
+                    F.col("sim"),
+                ),
+            )
+        ).alias("_e")
+    ).select("_e.node", "_e.nbr", "_e.sim")
     old_edges = edges.select(
         "node", "nbr", F.col("cos_sim").alias("sim")
     )
